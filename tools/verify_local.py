@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate.
+
+Usage:
+  python3 tools/verify_local.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/<name>/ parquet dirs (written by graft.Verify) and
+<verifyOutDir>/oracle_sql.json, runs each oracle in DuckDB with views over
+the sfDir parquet tables, and compares: columns sorted by name, rows
+sorted by all columns, float tolerance 1e-6 relative.
+"""
+import json, math, sys
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # make lists/arrays hashable+comparable
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, tuple)) or
+                              (hasattr(v, "__len__") and not isinstance(v, (str, bytes)) and hasattr(v, "tolist"))
+                              else v)
+            df[c] = df[c].map(lambda v: tuple(v.tolist()) if hasattr(v, "tolist") else v)
+    try:
+        df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="last")
+    except Exception:
+        df = df.iloc[df.astype(str).apply(tuple, axis=1).argsort()]
+    return df.reset_index(drop=True)
+
+
+def values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            af, bf = float(a), float(b)
+        except (TypeError, ValueError):
+            return str(a) == str(b)
+        if math.isnan(af) and math.isnan(bf):
+            return True
+        return math.isclose(af, bf, rel_tol=1e-6, abs_tol=1e-9)
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(values_equal(x, y) for x, y in zip(a, b))
+    return a == b or str(a) == str(b)
+
+
+def compare(name, got: pd.DataFrame, want: pd.DataFrame):
+    got, want = canon(got), canon(want)
+    if list(got.columns) != list(want.columns):
+        return f"schema mismatch: spark={list(got.columns)} oracle={list(want.columns)}"
+    if len(got) != len(want):
+        return f"row count mismatch: spark={len(got)} oracle={len(want)}"
+    for c in got.columns:
+        gv, wv = got[c].tolist(), want[c].tolist()
+        for i, (x, y) in enumerate(zip(gv, wv)):
+            x = None if (isinstance(x, float) and math.isnan(x)) else x
+            y = None if (isinstance(y, float) and math.isnan(y)) else y
+            if x is not None and hasattr(x, "item") and not isinstance(x, tuple):
+                x = x.item()
+            if y is not None and hasattr(y, "item") and not isinstance(y, tuple):
+                y = y.item()
+            if (x is None) != (y is None) or not (x is None or values_equal(x, y)):
+                return f"value mismatch col={c} row={i}: spark={x!r} oracle={y!r}"
+    return None
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    ok, fail, skipped = [], [], []
+    import glob, os
+    produced = [os.path.basename(p) for p in glob.glob(f"{out_dir}/*") if os.path.isdir(p)]
+    for name in sorted(produced):
+        got = pd.read_parquet(f"{out_dir}/{name}")
+        if name not in oracle:
+            skipped.append((name, len(got)))
+            continue
+        try:
+            want = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            fail.append((name, f"oracle sql error: {e}"))
+            continue
+        err = compare(name, got, want)
+        if err:
+            fail.append((name, err))
+        else:
+            ok.append(name)
+    print(f"OK       ({len(ok)}): {' '.join(ok)}")
+    for name, n in skipped:
+        print(f"ROWSONLY  {name}: {n} rows")
+    for name, err in fail:
+        print(f"FAIL      {name}: {err}")
+    sys.exit(1 if fail else 0)
+
+
+if __name__ == "__main__":
+    main()
