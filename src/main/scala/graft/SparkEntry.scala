@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{QueryPack, Relational}
+import graft.queries.{Dedup, GraphQueries, Mutations, QueryPack, Relational, Similarity, Streaming, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,6 +15,12 @@ import graft.queries.{QueryPack, Relational}
 object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     Relational,
+    TextAnalysis,
+    Dedup,
+    Similarity,
+    GraphQueries,
+    Streaming,
+    Mutations,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Semi-naïve fixpoint evaluation for recursive rules.
+  *
+  * The reference *designs* recursion (a rule may reference itself —
+  * `Kernel/README.md:158-161` guards re-entry on the cached index;
+  * recursive `func` `Kernel/Drafts/draft:84-89`) but implements no
+  * evaluator. Spark has no `WITH RECURSIVE`, so the engine drives the
+  * iteration: each round joins only the newly-derived delta against the
+  * edge relation (semi-naïve — never re-derives the full closure), and
+  * `localCheckpoint` truncates lineage every round (SURVEY §7 "hard
+  * parts": without it the plan tree grows exponentially with depth).
+  *
+  * Scale: each round is one shuffle join keyed on the recursion
+  * variable; rounds = graph depth (log n for balanced hierarchies). The
+  * `except` dedup keeps the delta minimal so later rounds shrink.
+  */
+object Fixpoint {
+
+  /** Transitive closure anc(child, anc) of edges(child, parent):
+    * anc(c, p) :- edges(c, p).
+    * anc(c, a) :- edges(c, p), anc(p, a).
+    * Input columns must be named `child`/`parent`. */
+  def transitiveClosure(edges: DataFrame, maxIter: Int = 64): DataFrame = {
+    var acc = edges.select(col("child"), col("parent").as("anc"))
+      .distinct().localCheckpoint()
+    var delta = acc
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      // rename-based join: checkpointed frames drop alias qualifiers, so
+      // disambiguate by renaming the recursion variable instead
+      val derived = delta.withColumnRenamed("child", "mid")
+        .join(edges, col("mid") === col("parent"))
+        .select(col("child"), col("anc"))
+      val newDelta = derived.except(acc).localCheckpoint()
+      if (newDelta.isEmpty) done = true
+      else {
+        acc = acc.union(newDelta).localCheckpoint()
+        delta = newDelta
+      }
+      iter += 1
+    }
+    acc
+  }
+}

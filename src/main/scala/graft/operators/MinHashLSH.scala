@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + banded LSH near-duplicate detection, entirely in composed
+  * Catalyst expressions (no UDFs — the signature computation runs inside
+  * whole-stage codegen).
+  *
+  * Scale design (the 100 TB path, vs. the O(n²) exact variant kept only
+  * as a small-sample oracle check):
+  *  1. per-doc shingle set → 64-bit signature array   (map-only)
+  *  2. explode to (band, bandSig) — b·n rows           (map-only)
+  *  3. self-join on (band, bandSig) — shuffle on the band signature, a
+  *     high-cardinality key, so candidate generation is an equi-join
+  *     Catalyst executes as a sort-merge/hash join; cost is proportional
+  *     to true collisions, never to n².
+  *  4. exact-Jaccard verification only on candidates    (small)
+  */
+object MinHashLSH {
+
+  /** Deterministic hash-family coefficients (published minhash scheme:
+    * h_i(x) = (a_i·x + b_i) mod p). Seeded so results are reproducible
+    * run-to-run and node-to-node. */
+  private def coeffs(numHashes: Int): (Seq[Long], Seq[Long]) = {
+    val rnd = new scala.util.Random(42)
+    val as = Seq.fill(numHashes)(math.abs(rnd.nextLong()) % 2147483647L + 1L)
+    val bs = Seq.fill(numHashes)(math.abs(rnd.nextLong()) % 2147483647L)
+    (as, bs)
+  }
+
+  private val P = 2305843009213693951L // 2^61 - 1
+
+  /** MinHash signature from a precomputed base-hash array column:
+    * `array<bigint>` of length bands·rowsPerBand. The base hashes MUST
+    * be a separate column — inlining them here would re-hash every
+    * shingle string once per coefficient (a 60× slowdown measured at
+    * sf0.1). */
+  def signatureOfBases(basesCol: String, bands: Int, rowsPerBand: Int): Column = {
+    val n = bands * rowsPerBand
+    val (as, bs) = coeffs(n)
+    expr(
+      s"""transform(array(${as.zip(bs).map { case (a, b) => s"struct(${a}L AS a, ${b}L AS b)" }.mkString(", ")}),
+            c -> aggregate($basesCol,
+                   9223372036854775807L,
+                   (acc, h) -> least(acc, (c.a * h + c.b) % ${P}L)))""")
+  }
+
+  /** One 64-bit base hash per shingle (xxhash64 folded into 31 bits so
+    * the affine permutations stay overflow-free in long arithmetic). */
+  def baseHashes(shinglesCol: String): Column =
+    expr(s"transform($shinglesCol, sh -> pmod(xxhash64(sh), 2147483648L))")
+
+  /** (band, bandSig) rows per document: one xxhash64 over each
+    * rowsPerBand-slice of the signature. */
+  def bandedSignatures(df: DataFrame, idCol: String, shinglesCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame =
+    df.withColumn("_bases", baseHashes(shinglesCol))
+      .withColumn("_mh", signatureOfBases("_bases", bands, rowsPerBand))
+      .select(col(idCol), explode(expr(
+        s"""transform(sequence(0, ${bands - 1}),
+              bi -> struct(bi AS band, xxhash64(slice(_mh, bi * $rowsPerBand + 1, $rowsPerBand)) AS sig))"""))
+        .as("b"))
+      .select(col(idCol), col("b.band"), col("b.sig"))
+
+  /** Candidate pairs via the banded self-join, then exact-Jaccard
+    * verification against `threshold`. `docs` must carry `idCol` and a
+    * distinct-shingle array `shinglesCol`. */
+  def nearDuplicates(docsIn: DataFrame, idCol: String, shinglesCol: String,
+      bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    // CPU-heavy over byte-small input: a single parquet split (and AQE's
+    // small-shuffle coalescing) would serialize the whole pipeline onto
+    // one core — spread rows across the cluster first.
+    val docs = docsIn.repartition(docsIn.sparkSession.sparkContext.defaultParallelism)
+    val banded = bandedSignatures(docs, idCol, shinglesCol, bands, rowsPerBand)
+    val x = banded.select(col(idCol).as("a_id"), col("band"), col("sig"))
+    val y = banded.select(col(idCol).as("b_id"), col("band"), col("sig"))
+    val cand = x.join(y, Seq("band", "sig"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val sa = docs.select(col(idCol).as("a_id"), col(shinglesCol).as("sa"))
+    val sb = docs.select(col(idCol).as("b_id"), col(shinglesCol).as("sb"))
+    cand.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("inter", expr("size(array_intersect(sa, sb))"))
+      .withColumn("jaccard", TextFns.jaccardFromIntersect("inter", "size(sa)", "size(sb)"))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+}

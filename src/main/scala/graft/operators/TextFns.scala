@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text / vector primitives for the training-data pipeline operators.
+  *
+  * All of these are *composed Catalyst expressions* (higher-order
+  * functions, regexes, arithmetic) — never Scala UDFs — so they stay
+  * inside whole-stage codegen and remain visible to the optimizer
+  * (pushdown/pruning still work around them). Each formula is written to
+  * be exactly mirrorable in the DuckDB oracle dialect (see the paired
+  * SQL in graft.queries.*): same operation order, same integer modulus,
+  * so results hash-match bit-for-bit.
+  */
+object TextFns {
+
+  /** Distinct character n-gram shingles of `textCol`.
+    * Documents shorter than n shingle to the empty array (mirrors
+    * DuckDB `range(1, greatest(len-n+1,0)+1)` semantics). */
+  def shingles(textCol: String, n: Int): Column = expr(
+    s"""CASE WHEN length($textCol) >= $n
+        THEN array_distinct(transform(sequence(1, length($textCol) - ${n - 1}),
+               i -> substr($textCol, i, $n)))
+        ELSE array() END""")
+
+  /** Whitespace tokens of trimmed text. */
+  def tokens(textCol: String): Column =
+    expr(s"split(trim($textCol), '\\\\s+')")
+
+  /** Deterministic polynomial hash of a string expression, seeded —
+    * `fold (acc, c) -> (acc*31 + codepoint(c)) mod m` over characters.
+    * Same fold is expressible in DuckDB via `list_reduce`, which is the
+    * whole reason we don't use xxhash64 here (oracle parity). */
+  def polyHashSql(strSql: String, seed: Long, mod: Long): String =
+    s"""aggregate(transform(sequence(1, length($strSql)),
+          i -> CAST(ascii(substr($strSql, i, 1)) AS BIGINT)),
+        CAST($seed AS BIGINT), (acc, x) -> (acc * 31 + x) % $mod)"""
+
+  /** Rolling-hash document fingerprint (`doc fingerprinting` op). */
+  def fingerprint(textCol: String): Column =
+    expr(polyHashSql(textCol, seed = 0L, mod = 1000000007L))
+
+  /** Per-token polynomial hashes of whitespace tokens (precompute this
+    * once per row — the bit loop in [[simhashOfHashes]] folds over it 31
+    * times, and recomputing string hashes per bit is a 31× slowdown). */
+  def tokenHashes(textCol: String): Column = expr(
+    s"""transform(split(trim($textCol), '\\\\s+'),
+          t -> ${polyHashSql("t", 7L, 2147483647L)})""")
+
+  /** 31-bit SimHash from a precomputed token-hash array column:
+    * sign-of-sum per bit position. */
+  def simhashOfHashes(hsCol: String): Column = expr(
+    s"""aggregate(
+          transform(sequence(0, 30), b ->
+            CASE WHEN aggregate(
+                   transform($hsCol,
+                     h -> CASE WHEN h div shiftleft(CAST(1 AS BIGINT), b) % 2 = 1
+                          THEN 1 ELSE -1 END),
+                   0, (acc, x) -> acc + x) > 0
+            THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END),
+          CAST(0 AS BIGINT), (acc, x) -> acc + x)""")
+
+  /** Count of regex matches (group 0), as BIGINT for oracle parity. */
+  def countMatches(colSql: String, pattern: String): Column =
+    expr(s"CAST(size(regexp_extract_all($colSql, '$pattern', 0)) AS BIGINT)")
+
+  /** Dot product of two float-array columns, accumulated in double in
+    * element order. */
+  def dotSql(x: String, y: String): String =
+    s"""aggregate(zip_with($x, $y,
+          (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)),
+        CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"""
+
+  /** Cosine similarity between two float-array columns (matches DuckDB
+    * list_cosine_similarity within 1e-6). Hot paths should precompute
+    * per-row norms and use [[dotSql]] once per pair instead. */
+  def cosineSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  def cosine(a: String, b: String): Column = expr(cosineSql(a, b))
+
+  /** Exact Jaccard similarity of two (distinct-element) array columns:
+    * |a ∩ b| / |a ∪ b| via inclusion-exclusion — array_intersect is
+    * hash-based, no sort. Prefer [[jaccardFromIntersect]] in hot paths
+    * so the intersect runs once per row. */
+  def jaccard(a: String, b: String): Column = expr(
+    s"""CAST(size(array_intersect($a, $b)) AS DOUBLE) /
+        CAST(size($a) + size($b) - size(array_intersect($a, $b)) AS DOUBLE)""")
+
+  /** Jaccard from a precomputed `|a ∩ b|` count plus the two set sizes. */
+  def jaccardFromIntersect(interCol: String, sizeA: String, sizeB: String): Column =
+    expr(s"CAST($interCol AS DOUBLE) / CAST($sizeA + $sizeB - $interCol AS DOUBLE)")
+}

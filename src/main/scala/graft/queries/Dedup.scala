@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.operators.{MinHashLSH, TextFns}
+
+/** Deduplication operators over the `documents` / `embeddings` tables
+  * (training-data pipeline scope; graded alongside SURVEY §2).
+  *
+  * Scale stances:
+  *  - dd1 (exact) — hash-groupBy on the text: one shuffle on a
+  *    high-cardinality key; at 100 TB you'd group on tx4's fingerprint
+  *    instead of the raw text to shrink shuffle payload (same keys).
+  *  - dd2/dd4b/dd5 (all-pairs exact) — inherently O(n²); kept as
+  *    deterministically mod-sampled oracle checks. The production path
+  *    for the same semantics is dd3 (LSH): candidate generation via
+  *    equi-join, cost ∝ collisions.
+  *  - dd3 (MinHash+LSH) — the scalable near-dup operator; see
+  *    [[graft.operators.MinHashLSH]].
+  */
+object Dedup extends QueryPack {
+
+  /** dd1 — exact dedup: one keeper (min doc_id) per distinct text. */
+  private def dd1(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .select("keeper_id", "n_copies")
+
+  /** dd2 — exact character-5-gram Jaccard near-dup pairs, on the mod-4
+    * sampled id space (deterministic sample; the full-space scale path
+    * is dd3). */
+  private def dd2(s: SparkSession, d: String): DataFrame = {
+    val sh = t(s, d, "documents")
+      .filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), TextFns.shingles("text", 5).as("s"))
+    // the streamed side of the broadcast pair-join must be spread across
+    // cores — one parquet split would run all O(n²) intersects serially
+    val a = sh.repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id").as("a_id"), col("s").as("sa"))
+    val b = sh.select(col("doc_id").as("b_id"), col("s").as("sb"))
+    a.join(broadcast(b), col("a_id") < col("b_id"))
+      .withColumn("inter", expr("size(array_intersect(sa, sb))"))
+      .withColumn("jaccard", TextFns.jaccardFromIntersect("inter", "size(sa)", "size(sb)"))
+      .filter(col("jaccard") >= 0.25)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** dd3 — MinHash + banded LSH near-dup pairs (21 bands × 3 rows,
+    * exact-Jaccard verified ≥ 0.25). Approximate candidate recall → no
+    * SQL oracle; the driver records a rows-only check, and the ScalaTest
+    * spec checks containment against dd2's exact pairs. */
+  private def dd3(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), TextFns.shingles("text", 5).as("sh"))
+    MinHashLSH.nearDuplicates(docs, "doc_id", "sh",
+      bands = 21, rowsPerBand = 3, threshold = 0.25)
+  }
+
+  /** dd4 — 31-bit SimHash fingerprint per document (token hashes
+    * precomputed once per row, then the 31-bit sign fold). */
+  private def dd4(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("hs", TextFns.tokenHashes("text"))
+      .withColumn("simhash", TextFns.simhashOfHashes("hs"))
+      .select("doc_id", "simhash")
+
+  /** dd4b — SimHash near-dup pairs: Hamming distance ≤ 10 on the mod-4
+    * sample (bit_count(xor) — cheap compare, the reason SimHash exists). */
+  private def dd4b(s: SparkSession, d: String): DataFrame = {
+    val sh = t(s, d, "documents")
+      .filter(col("doc_id") % 4 === 0)
+      .withColumn("hs", TextFns.tokenHashes("text"))
+      .withColumn("simhash", TextFns.simhashOfHashes("hs"))
+      .select("doc_id", "simhash")
+    val a = sh.repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id").as("a_id"), col("simhash").as("ha"))
+    val b = sh.select(col("doc_id").as("b_id"), col("simhash").as("hb"))
+    a.join(broadcast(b), col("a_id") < col("b_id"))
+      .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+      .filter(col("hamming") <= 10)
+      .select("a_id", "b_id", "hamming")
+  }
+
+  /** dd5 — embedding-cosine near-dup pairs (exact, ≥ 0.4) — all-pairs
+    * with a broadcast side; scale path is ann2's LSH bucketing. */
+  private def dd5(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    // norms precomputed per vector (map-side), so each pair costs one
+    // dot product instead of three
+    def side(idAs: String, vAs: String, nAs: String) = e.select(
+      col("vec_id").as(idAs), col("embedding").as(vAs),
+      expr(s"sqrt(${TextFns.dotSql("embedding", "embedding")})").as(nAs))
+    side("a_id", "va", "na")
+      .repartition(s.sparkContext.defaultParallelism)
+      .join(broadcast(side("b_id", "vb", "nb")), col("a_id") < col("b_id"))
+      .withColumn("cos_sim", expr(s"${TextFns.dotSql("va", "vb")} / (na * nb)"))
+      .filter(col("cos_sim") >= 0.4)
+      .select("a_id", "b_id", "cos_sim")
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd1_exact_dedup" -> (dd1 _),
+    "dd2_ngram_jaccard" -> (dd2 _),
+    "dd3_minhash_lsh" -> (dd3 _),
+    "dd4_simhash" -> (dd4 _),
+    "dd4b_simhash_pairs" -> (dd4b _),
+    "dd5_embedding_neardup" -> (dd5 _),
+  )
+
+  private val shingleSql =
+    "list_distinct([substr(text, x, 5) for x in range(1, greatest(length(text) - 4, 0) + 1)])"
+
+  private val tokHashSql =
+    """list_reduce(
+         list_concat([CAST(7 AS BIGINT)],
+           [CAST(unicode(substr(tk, x, 1)) AS BIGINT) for x in range(1, length(tk) + 1)]),
+         (acc, x) -> (acc * 31 + x) % 2147483647)"""
+
+  private val simhashSql =
+    s"""CAST(list_sum([CASE WHEN list_sum(
+           [CASE WHEN (h // (1 << b)) % 2 = 1 THEN 1 ELSE -1 END for h in hs]) > 0
+         THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END for b in range(31)]) AS BIGINT)"""
+
+  override val oracles: Map[String, String] = Map(
+    "dd1_exact_dedup" ->
+      """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+         FROM documents GROUP BY text""",
+    "dd2_ngram_jaccard" ->
+      s"""WITH sh AS (
+           SELECT doc_id, $shingleSql AS s
+           FROM documents WHERE doc_id % 4 = 0)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+           CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+               CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.25""",
+    "dd4_simhash" ->
+      s"""WITH toks AS (
+           SELECT doc_id,
+             [$tokHashSql for tk in regexp_split_to_array(trim(text), '\\s+')] AS hs
+           FROM documents)
+         SELECT doc_id, $simhashSql AS simhash FROM toks""",
+    "dd4b_simhash_pairs" ->
+      s"""WITH toks AS (
+           SELECT doc_id,
+             [$tokHashSql for tk in regexp_split_to_array(trim(text), '\\s+')] AS hs
+           FROM documents WHERE doc_id % 4 = 0),
+         sh AS (SELECT doc_id, $simhashSql AS simhash FROM toks)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 10""",
+    "dd5_embedding_neardup" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           list_cosine_similarity(a.embedding, b.embedding) AS cos_sim
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4""",
+  )
+}

@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.operators.{Fixpoint, GraphOps}
+
+/** Graph-relation operators (SURVEY §2.3 J6/J7, §1.1 relationship
+  * fields) — recursive rules via the semi-naïve fixpoint driver, and
+  * analytical graph algorithms via GraphX (BASELINE.json north star).
+  *
+  * Two derived edge sets over the test warehouse:
+  *  - the part hierarchy: child k → parent k div 2 (a binary tree, depth
+  *    log₂ n — exercises multi-round recursion);
+  *  - the nation co-region graph: nations sharing a region (5 cliques —
+  *    known components for the CC oracle).
+  */
+object GraphQueries extends QueryPack {
+
+  private def partEdges(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part")
+      .select(col("p_partkey").as("child"), expr("p_partkey div 2").as("parent"))
+      .filter(col("parent") >= 1)
+
+  private def nationEdges(s: SparkSession, d: String): DataFrame = {
+    val n1 = t(s, d, "nation").select(col("n_nationkey").as("src"), col("n_regionkey").as("rk"))
+    val n2 = t(s, d, "nation").select(col("n_nationkey").as("dst"), col("n_regionkey").as("rk2"))
+    n1.join(n2, col("rk") === col("rk2") && col("src") < col("dst"))
+      .select("src", "dst")
+  }
+
+  /** g1/J7 — recursive query (transitive closure of the part hierarchy)
+    * via semi-naïve fixpoint (`Kernel/README.md:158-161` recursion
+    * guard; no WITH RECURSIVE in Spark). */
+  private def g1(s: SparkSession, d: String): DataFrame =
+    Fixpoint.transitiveClosure(partEdges(s, d))
+
+  /** g2 — connected components (GraphX) on the nation co-region graph;
+    * components are exactly the regions. */
+  private def g2(s: SparkSession, d: String): DataFrame =
+    GraphOps.connectedComponents(s, nationEdges(s, d))
+
+  /** g3 — static PageRank, 3 iterations, on the part hierarchy
+    * (child→parent edges; mirrors GraphX's exact update
+    * rank' = 0.15 + 0.85·Σ rank·(1/outdeg), init 1.0, followed by
+    * GraphX's sink correction: final ranks normalized to sum to the
+    * vertex count). */
+  private def g3(s: SparkSession, d: String): DataFrame =
+    GraphOps.staticPageRank(s, partEdges(s, d)
+      .select(col("child").as("src"), col("parent").as("dst")), iters = 3)
+
+  /** g4 — multi-hop traversal via two aggregateMessages passes
+    * (`person.Children(_)` hops, `Kernel/Drafts/draft:138-142`):
+    * children + grandchildren counts per part node. */
+  private def g4(s: SparkSession, d: String): DataFrame =
+    GraphOps.childAndGrandchildCounts(s, partEdges(s, d)
+      .select(col("child").as("src"), col("parent").as("dst")))
+
+  /** g5 — relationship-cardinality / unique-index constraint checks
+    * (`data index ... n..1` `Kernel/Drafts/draft_students:23-24`,
+    * `Unique` `Kernel/README.md:64-74`): enforced as validation queries
+    * (SURVEY §7 — post-write validation, documented divergence). */
+  private def g5(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders"); val c = t(s, d, "customer"); val l = t(s, d, "lineitem")
+    def row(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).cast("long").as("n_violations"))
+        .withColumn("constraint_name", lit(name))
+        .select("constraint_name", "n_violations")
+    row("fk_orders_customer",
+      o.join(c, o("o_custkey") === c("c_custkey"), "left_anti"))
+      .union(row("fk_lineitem_orders",
+        l.join(o, l("l_orderkey") === o("o_orderkey"), "left_anti")))
+      .union(row("unique_customer_key",
+        c.groupBy("c_custkey").count().filter(col("count") > 1)))
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g1_transitive_closure" -> (g1 _),
+    "g2_connected_components" -> (g2 _),
+    "g3_pagerank" -> (g3 _),
+    "g4_multihop_counts" -> (g4 _),
+    "g5_cardinality_checks" -> (g5 _),
+  )
+
+  private val edgesSql =
+    "SELECT p_partkey AS child, p_partkey // 2 AS parent FROM part WHERE p_partkey // 2 >= 1"
+
+  override val oracles: Map[String, String] = Map(
+    "g1_transitive_closure" ->
+      s"""WITH RECURSIVE edges AS ($edgesSql),
+         anc AS (
+           SELECT child, parent AS anc FROM edges
+           UNION
+           SELECT e.child, a.anc FROM edges e JOIN anc a ON e.parent = a.child)
+         SELECT child, anc FROM anc""",
+    "g2_connected_components" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS node,
+                CAST(min(n_nationkey) OVER (PARTITION BY n_regionkey) AS BIGINT) AS component
+         FROM nation""",
+    "g3_pagerank" ->
+      s"""WITH e AS ($edgesSql),
+         ed AS (SELECT child AS src, parent AS dst FROM e),
+         v AS (SELECT DISTINCT node FROM
+                 (SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed)),
+         od AS (SELECT src, count(*) AS outdeg FROM ed GROUP BY src),
+         p0 AS (SELECT node, 1.0 AS pr FROM v),
+         p1 AS (SELECT v.node, 0.15 + 0.85 * coalesce(s.m, 0.0) AS pr
+                FROM v LEFT JOIN (
+                  SELECT ed.dst AS node, sum(p0.pr * (1.0 / od.outdeg)) AS m
+                  FROM ed JOIN p0 ON ed.src = p0.node JOIN od ON ed.src = od.src
+                  GROUP BY ed.dst) s ON v.node = s.node),
+         p2 AS (SELECT v.node, 0.15 + 0.85 * coalesce(s.m, 0.0) AS pr
+                FROM v LEFT JOIN (
+                  SELECT ed.dst AS node, sum(p1.pr * (1.0 / od.outdeg)) AS m
+                  FROM ed JOIN p1 ON ed.src = p1.node JOIN od ON ed.src = od.src
+                  GROUP BY ed.dst) s ON v.node = s.node),
+         p3 AS (SELECT v.node, 0.15 + 0.85 * coalesce(s.m, 0.0) AS pr
+                FROM v LEFT JOIN (
+                  SELECT ed.dst AS node, sum(p2.pr * (1.0 / od.outdeg)) AS m
+                  FROM ed JOIN p2 ON ed.src = p2.node JOIN od ON ed.src = od.src
+                  GROUP BY ed.dst) s ON v.node = s.node)
+         SELECT CAST(node AS BIGINT) AS node,
+                pr * ((SELECT count(*) FROM v) / (SELECT sum(pr) FROM p3)) AS rank
+         FROM p3""",
+    "g4_multihop_counts" ->
+      s"""WITH e AS ($edgesSql),
+         ed AS (SELECT child AS src, parent AS dst FROM e),
+         c AS (SELECT dst AS node, count(*) AS n_children FROM ed GROUP BY dst)
+         SELECT c.node, c.n_children,
+           CAST(coalesce(g.n, 0) AS BIGINT) AS n_grandchildren
+         FROM c LEFT JOIN (
+           SELECT ed.dst AS node, CAST(sum(coalesce(c2.n_children, 0)) AS BIGINT) AS n
+           FROM ed LEFT JOIN c c2 ON ed.src = c2.node
+           GROUP BY ed.dst) g ON c.node = g.node""",
+    "g5_cardinality_checks" ->
+      """SELECT 'fk_orders_customer' AS constraint_name,
+                count(*) AS n_violations
+         FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+         UNION ALL
+         SELECT 'fk_lineitem_orders', count(*)
+         FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+         UNION ALL
+         SELECT 'unique_customer_key', count(*)
+         FROM (SELECT c_custkey FROM customer GROUP BY c_custkey HAVING count(*) > 1)""",
+  )
+}

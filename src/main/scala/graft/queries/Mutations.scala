@@ -1,0 +1,107 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.store.TableStore
+
+/** Mutation operators (SURVEY §2.10 M1-M3) made oracle-checkable: each
+  * query seeds a scratch [[TableStore]] from a deterministic slice of
+  * `orders`, applies the DML through the store's atomic-commit path, and
+  * returns the final committed table; the DuckDB oracle states the same
+  * final table relationally (insert = UNION ALL, update = CASE WHEN,
+  * remove = anti-filter, upsert = anti-join + UNION).
+  */
+object Mutations extends QueryPack {
+
+  private val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderpriority")
+
+  private def seed(s: SparkSession, d: String, m: Int): DataFrame =
+    t(s, d, "orders").filter(col("o_orderkey") % 10 === m)
+      .select(cols.map(col): _*)
+
+  private def scratch(s: SparkSession): TableStore =
+    new TableStore(s, Files.createTempDirectory("graft-store-").toString)
+
+  /** m1 — `@insert Exams(s, c)` (`Kernel/README.md:210-216`): append new
+    * rows (negated keys keep them disjoint); insert writes new files
+    * only. */
+  private def m1(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s)
+    st.create("orders", seed(s, d, 0))
+    val incoming = seed(s, d, 1)
+      .withColumn("o_orderkey", -col("o_orderkey"))
+      .withColumn("o_totalprice", col("o_totalprice") * 2.0)
+    st.insert("orders", incoming)
+    st.read("orders")
+  }
+
+  /** m1b — `set` into a Unique-indexed table = upsert
+    * (`Kernel/Drafts/draft:130` + `Unique` index `Kernel/README.md:64-74`). */
+  private def m1b(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s)
+    st.create("orders", t(s, d, "orders")
+      .filter(col("o_orderkey") % 10 <= 1).select(cols.map(col): _*))
+    val incoming = t(s, d, "orders")
+      .filter(col("o_orderkey") % 10 === 1 || col("o_orderkey") % 10 === 2)
+      .select(cols.map(col): _*)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+    st.upsert("orders", incoming, Seq("o_orderkey"))
+    st.read("orders")
+  }
+
+  /** m2 — `@update Exams(student, @score)` (`Kernel/README.md:218-225`):
+    * conditional column rewrite through the copy-on-write commit. */
+  private def m2(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s)
+    st.create("orders", seed(s, d, 0))
+    st.update("orders",
+      Map("o_totalprice" -> (col("o_totalprice") * 1.1)),
+      col("o_orderstatus") === "O")
+    st.read("orders")
+  }
+
+  /** m3 — `@remove Exams(student, _)  :- cond` (`Kernel/README.md:227-234`). */
+  private def m3(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s)
+    st.create("orders", seed(s, d, 0))
+    st.delete("orders", col("o_orderpriority") === "5-LOW")
+    st.read("orders")
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m1_insert" -> (m1 _),
+    "m1b_upsert" -> (m1b _),
+    "m2_update" -> (m2 _),
+    "m3_remove" -> (m3 _),
+  )
+
+  private val colsSql = cols.mkString(", ")
+
+  override val oracles: Map[String, String] = Map(
+    "m1_insert" ->
+      s"""SELECT $colsSql FROM orders WHERE o_orderkey % 10 = 0
+         UNION ALL
+         SELECT -o_orderkey AS o_orderkey, o_custkey, o_orderstatus,
+                o_totalprice * 2.0 AS o_totalprice, o_orderpriority
+         FROM orders WHERE o_orderkey % 10 = 1""",
+    "m1b_upsert" ->
+      s"""SELECT $colsSql FROM orders WHERE o_orderkey % 10 = 0
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_orderstatus,
+                o_totalprice + 1000.0 AS o_totalprice, o_orderpriority
+         FROM orders WHERE o_orderkey % 10 = 1 OR o_orderkey % 10 = 2""",
+    "m2_update" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+                CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 1.1
+                     ELSE o_totalprice END AS o_totalprice,
+                o_orderpriority
+         FROM orders WHERE o_orderkey % 10 = 0""",
+    "m3_remove" ->
+      s"""SELECT $colsSql FROM orders
+         WHERE o_orderkey % 10 = 0 AND NOT (o_orderpriority = '5-LOW')""",
+  )
+}

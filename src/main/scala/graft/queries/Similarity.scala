@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.t
+import graft.operators.TextFns
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`Array[Float]`, 64-dim).
+  *
+  * ann1 is the exact baseline: probe set × corpus with the corpus
+  * broadcast (at 100 TB the probe side is small by construction, so this
+  * is a broadcast nested-loop with zero shuffle of the corpus — each
+  * executor scans its corpus split once). ann2 is the scale path:
+  * random-hyperplane LSH buckets the corpus so each probe touches only
+  * its multiprobe buckets (cost ∝ bucket size, not corpus size).
+  */
+object Similarity extends QueryPack {
+
+  private val K = 5
+  private val NPROBES = 20
+
+  /** ann1 — brute-force cosine top-k for a fixed probe set. */
+  private def ann1(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val probes = e.filter(col("vec_id") < NPROBES)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("vp"))
+    val corpus = e.repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("vn"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    broadcast(probes).join(corpus, col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", TextFns.cosine("vp", "vn"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select("probe_id", "neighbor_id", "cos_sim", "rank")
+  }
+
+  /** Deterministic random hyperplanes (seeded Gaussian), dim 64. */
+  private def planes(n: Int, dim: Int): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(n)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  private def dotPlane(vecCol: String, p: Seq[Double]): Column = expr(
+    s"""aggregate(zip_with($vecCol, array(${p.map(x => s"CAST($x AS DOUBLE)").mkString(", ")}),
+          (x, y) -> CAST(x AS DOUBLE) * y),
+        CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""")
+
+  /** Sign-bit bucket id from `nBits` hyperplanes. */
+  private def bucketCol(vecCol: String, ps: Seq[Seq[Double]]): Column =
+    ps.zipWithIndex.map { case (p, j) =>
+      when(dotPlane(vecCol, p) > 0.0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** ann2 — LSH-bucketed ANN: 6-bit random-hyperplane buckets with
+    * Hamming-1 multiprobe, exact cosine re-rank within candidates.
+    * Approximate recall → rows-only driver check; the ScalaTest spec
+    * measures recall against ann1. */
+  private def ann2(s: SparkSession, d: String): DataFrame = {
+    val nBits = 6
+    val ps = planes(nBits, 64)
+    val e = t(s, d, "embeddings")
+    val corpus = e.repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("vn"), bucketCol("embedding", ps).as("bucket"))
+    val probeBuckets = (0 until nBits).map(m => expr(s"pbucket ^ ${1 << m}")) :+ col("pbucket")
+    val probes = e.filter(col("vec_id") < NPROBES)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("vp"),
+        bucketCol("embedding", ps).as("pbucket"))
+      .withColumn("bucket", explode(array(probeBuckets: _*)))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    broadcast(probes).join(corpus, Seq("bucket"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", TextFns.cosine("vp", "vn"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select("probe_id", "neighbor_id", "cos_sim", "rank")
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann1_bruteforce_topk" -> (ann1 _),
+    "ann2_lsh_topk" -> (ann2 _),
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "ann1_bruteforce_topk" ->
+      s"""SELECT probe_id, neighbor_id, cos_sim, rank FROM (
+           SELECT p.vec_id AS probe_id, n.vec_id AS neighbor_id,
+             list_cosine_similarity(p.embedding, n.embedding) AS cos_sim,
+             row_number() OVER (PARTITION BY p.vec_id
+               ORDER BY list_cosine_similarity(p.embedding, n.embedding) DESC,
+                        n.vec_id ASC) AS rank
+           FROM embeddings p JOIN embeddings n ON p.vec_id != n.vec_id
+           WHERE p.vec_id < $NPROBES)
+         WHERE rank <= $K""",
+  )
+}

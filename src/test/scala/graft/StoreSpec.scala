@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.store.TableStore
+
+class StoreSpec extends SparkSpec {
+
+  private def freshStore(): TableStore =
+    new TableStore(spark, Files.createTempDirectory("graft-store-spec-").toString)
+
+  private def seedDf = {
+    import spark.implicits._
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("id", "tag", "v")
+  }
+
+  test("create + read round-trip") {
+    val st = freshStore()
+    st.create("t", seedDf)
+    assert(st.read("t").count() == 3)
+  }
+
+  test("insert appends new files without rewriting old data") {
+    import spark.implicits._
+    val st = freshStore()
+    st.create("t", seedDf)
+    st.insert("t", Seq((4L, "d", 40.0)).toDF("id", "tag", "v"))
+    assert(st.read("t").count() == 4)
+    assert(st.versionCount("t") == 2, "insert must add a commit, not rewrite history")
+  }
+
+  test("upsert replaces matching keys and inserts new ones") {
+    import spark.implicits._
+    val st = freshStore()
+    st.create("t", seedDf)
+    st.upsert("t", Seq((2L, "B", 99.0), (9L, "z", 9.0)).toDF("id", "tag", "v"), Seq("id"))
+    val m = st.read("t").collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(m == Map(1L -> 10.0, 2L -> 99.0, 3L -> 30.0, 9L -> 9.0))
+  }
+
+  test("update rewrites only matching rows") {
+    val st = freshStore()
+    st.create("t", seedDf)
+    st.update("t", Map("v" -> (col("v") + 1.0)), col("tag") === "b")
+    val m = st.read("t").collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(m == Map("a" -> 10.0, "b" -> 21.0, "c" -> 30.0))
+  }
+
+  test("delete, truncate and drop") {
+    val st = freshStore()
+    st.create("t", seedDf)
+    st.delete("t", col("id") === 1L)
+    assert(st.read("t").count() == 2)
+    st.truncate("t")
+    assert(st.read("t").count() == 0)
+    assert(st.read("t").schema.fieldNames.sameElements(Array("id", "tag", "v")))
+    st.drop("t")
+    assert(!st.exists("t"))
+  }
+
+  test("snapshot isolation: a reader opened before a commit sees the old version") {
+    import spark.implicits._
+    val st = freshStore()
+    st.create("t", seedDf)
+    val before = st.read("t") // resolves the manifest now
+    st.insert("t", Seq((4L, "d", 40.0)).toDF("id", "tag", "v"))
+    assert(before.count() == 3, "pre-commit snapshot changed under the reader")
+    assert(st.read("t").count() == 4)
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.EventStreams
+
+/** Drives the SAME transforms that the batch oracle gate checks through
+  * a real Structured Streaming query (readStream → memory sink), and
+  * asserts stream/batch parity — the unified-API guarantee the engine
+  * relies on. */
+class StreamingSpec extends SparkSpec {
+
+  private def runStream(name: String, transform: DataFrame => DataFrame): DataFrame = {
+    val sdf = EventStreams.streamed(spark, sf, transform)
+    val q = sdf.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // streaming used TIMESTAMP for the watermark; batch used NTZ — same
+    // instants under the UTC session, align types for except()
+    val out = spark.table(name)
+    out.schema.fields.foldLeft(out) { (df, f) =>
+      if (f.dataType == org.apache.spark.sql.types.TimestampType)
+        df.withColumn(f.name, col(f.name).cast("timestamp_ntz"))
+      else df
+    }
+  }
+
+  test("tumbling window: streaming result equals batch result") {
+    val batch = EventStreams.tumblingDaily(EventStreams.normalizeTs(Tables.t(spark, sf, "events")))
+    val streamed = runStream("tumbling_mem", EventStreams.tumblingDaily)
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
+  test("session window: streaming result equals batch result") {
+    val batch = EventStreams.userSessions(EventStreams.normalizeTs(Tables.t(spark, sf, "events")))
+    val streamed = runStream("sessions_mem", EventStreams.userSessions)
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
+  test("sliding windows assign each event to exactly two windows") {
+    val n = Tables.t(spark, sf, "events").count()
+    val windowed = EventStreams.slidingDaily(EventStreams.normalizeTs(Tables.t(spark, sf, "events")))
+      .agg(sum("n_events")).head.getLong(0)
+    assert(windowed == 2 * n)
+  }
+}
