@@ -1,0 +1,103 @@
+package graft.heroql
+
+import Ast._
+
+/** Mode analysis — the reference's `<-` is directional ("cannot run
+  * backward from x2 to x", `Kernel/README.md:136-137`), so every
+  * expression may only read variables already bound by an earlier atom
+  * or binding, and only a fresh (out) variable may appear left of `<-`.
+  * This static pass orders/validates a rule before planning (SURVEY §4
+  * "mode analysis ... is our join-order seed"); it needs no
+  * SparkSession.
+  */
+object Analyzer {
+
+  final case class AnalysisError(msg: String) extends RuntimeException(msg)
+
+  def exprVars(e: Expr): Set[String] = e match {
+    case EVar(n) => Set(n)
+    case ELit(_) => Set.empty
+    case EUnary(_, x) => exprVars(x)
+    case EBinary(_, l, r) => exprVars(l) | exprVars(r)
+  }
+
+  private def atomVars(a: Atom): Set[String] =
+    a.args.collect { case TVar(v) => v }.toSet
+
+  /** Validate one query against the data declarations and the other
+    * query declarations (atoms may reference either — a rule body atom
+    * naming another `query` inlines that derived relation). */
+  def analyze(decls: Map[String, DataDecl], queries: Map[String, QueryDecl],
+      q: QueryDecl): Unit = {
+    val head = (q.inArgs ++ q.outArgs).map(_._1)
+    q.body.alts.foreach { conj =>
+      val bound = analyzeConj(decls, queries, conj)
+      val missing = head.filterNot(bound.contains)
+      if (missing.nonEmpty)
+        throw AnalysisError(
+          s"${q.name}: head variables not bound by body: ${missing.mkString(", ")}")
+    }
+  }
+
+  def analyzeConj(decls: Map[String, DataDecl], queries: Map[String, QueryDecl],
+      conj: Conj): Set[String] = {
+    var bound = Set.empty[String]
+    conj.items.foreach {
+      case a: Atom =>
+        checkArity(decls, queries, a)
+        bound |= atomVars(a)
+      case SubQuery(outVars, body) =>
+        body.alts.foreach { alt =>
+          val b = analyzeConj(decls, queries, alt)
+          val missing = outVars.filterNot(b.contains)
+          if (missing.nonEmpty)
+            throw AnalysisError(s"sub-rule head not bound: ${missing.mkString(", ")}")
+        }
+        bound |= outVars.toSet
+      case Negation(a) =>
+        checkArity(decls, queries, a)
+        if ((atomVars(a) & bound).isEmpty)
+          throw AnalysisError(s"'not exists ${a.rel}' shares no bound variable")
+      case Existence(a) =>
+        checkArity(decls, queries, a)
+        if ((atomVars(a) & bound).isEmpty)
+          throw AnalysisError(s"'exists ${a.rel}' shares no bound variable")
+      case Binding(out, value) =>
+        requireBound(exprVars(value), bound, s"binding of $out")
+        if (bound.contains(out))
+          throw AnalysisError(
+            s"cannot run backward: $out is already bound (only out variables may be left of '<-')")
+        bound += out
+      case RankBinding(out, key, _) =>
+        requireBound(exprVars(key), bound, s"rank binding of $out")
+        if (bound.contains(out)) throw AnalysisError(s"rank variable $out already bound")
+        bound += out
+      case Compare(_, l, r) =>
+        requireBound(exprVars(l) | exprVars(r), bound, "comparison")
+      case Partition(vars) =>
+        requireBound(vars.toSet, bound, "@partition")
+      case Aggregate(_, v) =>
+        requireBound(Set(v), bound, "@aggregate")
+    }
+    bound
+  }
+
+  private def requireBound(vars: Set[String], bound: Set[String], where: String): Unit = {
+    val unbound = vars -- bound
+    if (unbound.nonEmpty)
+      throw AnalysisError(
+        s"cannot run backward: unbound variable(s) ${unbound.mkString(", ")} in $where")
+  }
+
+  private def checkArity(decls: Map[String, DataDecl],
+      queries: Map[String, QueryDecl], a: Atom): Unit = {
+    val arity = decls.get(a.rel).map(_.fields.size)
+      .orElse(queries.get(a.rel).map(q => (q.inArgs ++ q.outArgs).size))
+    arity match {
+      case None => throw AnalysisError(s"unknown relation ${a.rel}")
+      case Some(n) if n != a.args.size =>
+        throw AnalysisError(s"${a.rel} expects $n arguments, got ${a.args.size}")
+      case _ => ()
+    }
+  }
+}

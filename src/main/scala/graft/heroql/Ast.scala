@@ -1,0 +1,67 @@
+package graft.heroql
+
+/** AST for HeroQL — the Datalog-style query language the reference
+  * specifies but never implements (grammar sketch
+  * `Kernel/Drafts/draft:103-118`; worked samples
+  * `Kernel/README.md:107-234`). The engine is a compiler from this AST
+  * to DataFrame plans (SURVEY §7 design stance).
+  */
+object Ast {
+
+  /** `data Exams(student: string, score: int).` (`Kernel/README.md:56-60`) */
+  final case class DataDecl(name: String, fields: Seq[(String, String)])
+
+  /** `query Name(in: t, ...) -> (out: t, ...) :- body .`
+    * (`Kernel/README.md:162-205`); result columns are inArgs ++ outArgs. */
+  final case class QueryDecl(
+      name: String,
+      inArgs: Seq[(String, String)],
+      outArgs: Seq[(String, String)],
+      body: Body)
+
+  final case class Program(datas: Seq[DataDecl], queries: Seq[QueryDecl])
+
+  /** Body = disjunction of conjunctions (`;` alternates rule bodies,
+    * `Kernel/README.md:109-112`). */
+  final case class Body(alts: Seq[Conj])
+  final case class Conj(items: Seq[Item])
+
+  sealed trait Item
+  /** `Exams(student, score)` — relation atom with positional terms. */
+  final case class Atom(rel: String, args: Seq[Term]) extends Item
+  /** `not exists Atom` / `exists Atom` (`Kernel/Drafts/draft:111`,
+    * `Kernel/Drafts/draft_type:190`). */
+  final case class Negation(atom: Atom) extends Item
+  final case class Existence(atom: Atom) extends Item
+  /** `x2 <- x * x` — directional binding (`Kernel/README.md:125-140`). */
+  final case class Binding(out: String, value: Expr) extends Item
+  /** `delta > 0` — filter predicate. */
+  final case class Compare(op: String, left: Expr, right: Expr) extends Item
+  /** `@partition(student)` (`Kernel/README.md:176-185`). */
+  final case class Partition(vars: Seq[String]) extends Item
+  /** `order <- @order_by_desc(score)` / `@order_by(...)`
+    * (`Kernel/README.md:162-174`). */
+  final case class RankBinding(out: String, key: Expr, desc: Boolean) extends Item
+  /** `@aggregate(average(score))` (`Kernel/README.md:188-205`). */
+  final case class Aggregate(fn: String, variable: String) extends Item
+  /** `(parent) :- Body .` — nested anonymous sub-rule
+    * (`Kernel/README.md:114-121`). */
+  final case class SubQuery(outVars: Seq[String], body: Body) extends Item
+
+  sealed trait Term
+  final case class TVar(name: String) extends Term
+  final case class TConst(value: Lit) extends Term
+  case object TWildcard extends Term
+
+  sealed trait Expr
+  final case class EVar(name: String) extends Expr
+  final case class ELit(value: Lit) extends Expr
+  final case class EUnary(op: String, e: Expr) extends Expr
+  final case class EBinary(op: String, l: Expr, r: Expr) extends Expr
+
+  sealed trait Lit
+  final case class LInt(v: Long) extends Lit
+  final case class LDouble(v: Double) extends Lit
+  final case class LString(v: String) extends Lit
+  final case class LBool(v: Boolean) extends Lit
+}

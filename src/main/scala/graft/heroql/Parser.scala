@@ -1,0 +1,315 @@
+package graft.heroql
+
+import Ast._
+
+/** Hand-rolled lexer + recursive-descent parser for HeroQL (grammar per
+  * `Kernel/Drafts/draft:103-118` and the samples in
+  * `Kernel/README.md:107-234`; zero-dependency by design — the build has
+  * no parser-combinator library available offline).
+  *
+  * Supported surface: `data` declarations, `query` rules with `in`/`out`
+  * argument lists, conjunction `,` / disjunction `;` / terminator `.`,
+  * atoms with variables, constants and `_`, `exists` / `not exists`,
+  * bindings `x <- expr`, pipeline commands `@partition`,
+  * `@order_by[_desc]`, `@aggregate(fn(var))`, nested sub-rules
+  * `(vars) :- body .`, comparison predicates, and arithmetic expressions
+  * with unary minus.
+  */
+object Parser {
+
+  final case class ParseError(msg: String, pos: Int)
+    extends RuntimeException(s"$msg at token $pos")
+
+  // ------------------------------------------------------------- lexer
+
+  sealed trait Tok
+  final case class TId(s: String) extends Tok      // identifier or @command
+  final case class TNum(s: String) extends Tok
+  final case class TStr(s: String) extends Tok
+  final case class TSym(s: String) extends Tok
+
+  private val symbols = Seq(":-", "->", "<-", "<=", ">=", "==", "!=",
+    "(", ")", ",", ";", ".", ":", "<", ">", "=", "+", "-", "*", "/", "_")
+
+  def lex(src: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = src.length
+    while (i < n) {
+      val c = src(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '/' && i + 1 < n && src(i + 1) == '/') {
+        while (i < n && src(i) != '\n') i += 1
+      } else if (c.isLetter || c == '@') {
+        val start = i
+        i += 1
+        while (i < n && (src(i).isLetterOrDigit || src(i) == '_')) i += 1
+        out += TId(src.substring(start, i))
+      } else if (c.isDigit) {
+        val start = i
+        while (i < n && (src(i).isDigit || src(i) == '.') &&
+          // a '.' only continues the number if a digit follows (else it
+          // is the rule terminator)
+          !(src(i) == '.' && (i + 1 >= n || !src(i + 1).isDigit))) i += 1
+        out += TNum(src.substring(start, i))
+      } else if (c == '"' || c == '\'') {
+        val quote = c
+        val sb = new StringBuilder
+        i += 1
+        while (i < n && src(i) != quote) {
+          if (src(i) == '\\' && i + 1 < n) { sb += src(i + 1); i += 2 }
+          else { sb += src(i); i += 1 }
+        }
+        i += 1
+        out += TStr(sb.toString)
+      } else {
+        symbols.find(s => src.startsWith(s, i)) match {
+          case Some(s) => out += TSym(s); i += s.length
+          case None => throw ParseError(s"unexpected character '$c'", i)
+        }
+      }
+    }
+    out.result()
+  }
+
+  // ------------------------------------------------------------ parser
+
+  final class P(toks: Vector[Tok]) {
+    var pos = 0
+    def peek: Option[Tok] = toks.lift(pos)
+    def next(): Tok = { val t = toks(pos); pos += 1; t }
+    def expectSym(s: String): Unit = next() match {
+      case TSym(`s`) => ()
+      case t => throw ParseError(s"expected '$s', got $t", pos - 1)
+    }
+    def expectId(): String = next() match {
+      case TId(s) => s
+      case t => throw ParseError(s"expected identifier, got $t", pos - 1)
+    }
+    def at(s: String): Boolean = peek.contains(TSym(s))
+    def atId(s: String): Boolean = peek.contains(TId(s))
+    def eat(s: String): Boolean = { val b = at(s); if (b) pos += 1; b }
+
+    def program(): Program = {
+      val datas = Seq.newBuilder[DataDecl]
+      val queries = Seq.newBuilder[QueryDecl]
+      while (peek.isDefined) {
+        peek match {
+          case Some(TId("data")) => datas += dataDecl()
+          case Some(TId("query")) => queries += queryDecl()
+          case t => throw ParseError(s"expected 'data' or 'query', got $t", pos)
+        }
+      }
+      Program(datas.result(), queries.result())
+    }
+
+    def dataDecl(): DataDecl = {
+      expectId() // data
+      val name = expectId()
+      expectSym("(")
+      val fields = argList()
+      expectSym(")")
+      expectSym(".")
+      DataDecl(name, fields)
+    }
+
+    private def argList(): Seq[(String, String)] = {
+      val out = Seq.newBuilder[(String, String)]
+      var first = true
+      while (!at(")")) {
+        if (!first) expectSym(",")
+        first = false
+        val n = expectId()
+        expectSym(":")
+        out += (n -> expectId())
+      }
+      out.result()
+    }
+
+    def queryDecl(): QueryDecl = {
+      expectId() // query
+      val name = expectId()
+      expectSym("(")
+      val inArgs = argList()
+      expectSym(")")
+      val outArgs = if (eat("->")) {
+        expectSym("("); val a = argList(); expectSym(")"); a
+      } else Seq.empty
+      expectSym(":-")
+      val b = body()
+      expectSym(".")
+      QueryDecl(name, inArgs, outArgs, b)
+    }
+
+    def body(): Body = {
+      val alts = Seq.newBuilder[Conj]
+      alts += conj()
+      while (eat(";")) alts += conj()
+      Body(alts.result())
+    }
+
+    def conj(): Conj = {
+      val items = Seq.newBuilder[Item]
+      items += item()
+      // ',' separates items; stop on ';' '.' or ')'
+      while (eat(",")) items += item()
+      Conj(items.result())
+    }
+
+    def item(): Item = peek match {
+      case Some(TSym("(")) => subQuery()
+      case Some(TId("not")) =>
+        pos += 1
+        if (!atId("exists")) throw ParseError("expected 'exists' after 'not'", pos)
+        pos += 1
+        Negation(atomItem())
+      case Some(TId("exists")) =>
+        pos += 1
+        Existence(atomItem())
+      case Some(TId(id)) if id.startsWith("@") => pipelineCommand()
+      case _ =>
+        // Atom | binding | comparison — decide by lookahead
+        val save = pos
+        peek match {
+          case Some(TId(name)) if !name.startsWith("@") =>
+            pos += 1
+            if (at("(")) { pos = save; atomItem() }
+            else if (at("<-")) {
+              pos += 1
+              peek match {
+                case Some(TId(cmd)) if cmd.startsWith("@") =>
+                  pos += 1
+                  val desc = cmd == "@order_by_desc"
+                  if (cmd != "@order_by" && cmd != "@order_by_desc")
+                    throw ParseError(s"unknown command $cmd in binding", pos)
+                  expectSym("(")
+                  val key = exprP()
+                  expectSym(")")
+                  RankBinding(name, key, desc)
+                case _ => Binding(name, exprP())
+              }
+            } else { pos = save; comparison() }
+          case _ => comparison()
+        }
+    }
+
+    private def pipelineCommand(): Item = {
+      val cmd = expectId()
+      cmd match {
+        case "@partition" =>
+          expectSym("(")
+          val vars = Seq.newBuilder[String]
+          var first = true
+          while (!at(")")) {
+            if (!first) expectSym(",")
+            first = false
+            vars += expectId()
+          }
+          expectSym(")")
+          Partition(vars.result())
+        case "@aggregate" =>
+          expectSym("(")
+          val fn = expectId()
+          expectSym("(")
+          val v = expectId()
+          expectSym(")")
+          expectSym(")")
+          Aggregate(fn, v)
+        case other => throw ParseError(s"unknown pipeline command $other", pos)
+      }
+    }
+
+    private def subQuery(): SubQuery = {
+      expectSym("(")
+      val vars = Seq.newBuilder[String]
+      var first = true
+      while (!at(")")) {
+        if (!first) expectSym(",")
+        first = false
+        vars += expectId()
+      }
+      expectSym(")")
+      expectSym(":-")
+      val b = body()
+      expectSym(".")
+      SubQuery(vars.result(), b)
+    }
+
+    private def atomItem(): Atom = {
+      val rel = expectId()
+      expectSym("(")
+      val args = Seq.newBuilder[Term]
+      var first = true
+      while (!at(")")) {
+        if (!first) expectSym(",")
+        first = false
+        args += term()
+      }
+      expectSym(")")
+      Atom(rel, args.result())
+    }
+
+    private def term(): Term = next() match {
+      case TSym("_") => TWildcard
+      case TId("true") => TConst(LBool(true))
+      case TId("false") => TConst(LBool(false))
+      case TId(v) => TVar(v)
+      case TNum(s) => TConst(numLit(s))
+      case TStr(s) => TConst(LString(s))
+      case TSym("-") => next() match {
+        case TNum(s) => TConst(negate(numLit(s)))
+        case t => throw ParseError(s"expected number after '-', got $t", pos - 1)
+      }
+      case t => throw ParseError(s"bad term $t", pos - 1)
+    }
+
+    private def comparison(): Item = {
+      val l = exprP()
+      val op = next() match {
+        case TSym(o) if Seq("<", "<=", ">", ">=", "==", "!=", "=").contains(o) => o
+        case t => throw ParseError(s"expected comparison operator, got $t", pos - 1)
+      }
+      Compare(if (op == "=") "==" else op, l, exprP())
+    }
+
+    // expression grammar: addSub ::= mulDiv (('+'|'-') mulDiv)*
+    def exprP(): Expr = {
+      var e = mulDiv()
+      while (at("+") || at("-")) {
+        val op = next().asInstanceOf[TSym].s
+        e = EBinary(op, e, mulDiv())
+      }
+      e
+    }
+    private def mulDiv(): Expr = {
+      var e = unary()
+      while (at("*") || at("/")) {
+        val op = next().asInstanceOf[TSym].s
+        e = EBinary(op, e, unary())
+      }
+      e
+    }
+    private def unary(): Expr =
+      if (eat("-")) EUnary("-", unary())
+      else primary()
+    private def primary(): Expr = next() match {
+      case TSym("(") => val e = exprP(); expectSym(")"); e
+      case TId("true") => ELit(LBool(true))
+      case TId("false") => ELit(LBool(false))
+      case TId(v) => EVar(v)
+      case TNum(s) => ELit(numLit(s))
+      case TStr(s) => ELit(LString(s))
+      case t => throw ParseError(s"bad expression token $t", pos - 1)
+    }
+
+    private def numLit(s: String): Lit =
+      if (s.contains('.')) LDouble(s.toDouble) else LInt(s.toLong)
+    private def negate(l: Lit): Lit = l match {
+      case LInt(v) => LInt(-v)
+      case LDouble(v) => LDouble(-v)
+      case other => other
+    }
+  }
+
+  def parse(src: String): Program = new P(lex(src)).program()
+}

@@ -1,0 +1,205 @@
+package graft.heroql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Ast._
+
+/** HeroQL AST → DataFrame plans (the designed query path,
+  * SURVEY §3 E_designed): atoms → scans+filters, shared variables →
+  * equi-joins, `;` → union, `not exists`/`exists` → anti/semi joins,
+  * `@partition`/`@order_by_desc`/rank-filter/`@aggregate` →
+  * window + aggregation, head → projection with declared-type casts.
+  *
+  * Everything is emitted declaratively, so Catalyst does pushdown, join
+  * selection, WindowGroupLimit top-k rewriting and whole-stage codegen —
+  * the planner never schedules physical execution itself.
+  *
+  * Determinism note: the reference leaves rank ties unspecified; this
+  * planner totalizes the `@order_by*` sort with the remaining bound
+  * variables ascending (name order), so rank-filtered results are stable
+  * and oracle-checkable.
+  */
+final class Planner(decls: Map[String, DataDecl],
+    queryDecls: Map[String, QueryDecl], catalog: Map[String, DataFrame]) {
+
+  /** Planning stack — a rule atom naming a query already being planned
+    * is recursion, which the reference errors on via its "calculating"
+    * cache sentinel (`Kernel/README.md:158-161`); recursive rules go
+    * through [[graft.operators.Fixpoint]] instead. */
+  private val planning = scala.collection.mutable.Set.empty[String]
+
+  private def sparkType(t: String): String = t match {
+    case "int" | "int32" => "int"
+    case "int64" | "long" => "bigint"
+    case "int8" => "tinyint"
+    case "int16" => "smallint"
+    case "uint8" | "uint16" => "int"
+    case "uint32" | "uint64" => "bigint"
+    case "double" | "float64" => "double"
+    case "float" | "float32" => "float"
+    case "string" | "char" => "string"
+    case "bool" => "boolean"
+    case other => other
+  }
+
+  def plan(q: QueryDecl): DataFrame = {
+    if (planning.contains(q.name))
+      throw Analyzer.AnalysisError(
+        s"recursive query ${q.name}: already calculating (use the fixpoint evaluator)")
+    planning += q.name
+    try {
+      val head = q.inArgs ++ q.outArgs
+      val alts = q.body.alts.map { conj =>
+        val df = planConj(conj)
+        df.select(head.map { case (n, t) => col(n).cast(sparkType(t)).as(n) }: _*)
+      }
+      alts.reduce(_ union _)
+    } finally planning -= q.name
+  }
+
+  /** Plan a body used as a derived relation (sub-rule): bag of rows with
+    * `outVars` columns. */
+  private def planBody(body: Body, outVars: Seq[String]): DataFrame =
+    body.alts.map(planConj(_).select(outVars.map(col): _*)).reduce(_ union _)
+
+  private final case class State(
+      df: Option[DataFrame],
+      bound: Set[String],
+      partition: Seq[String])
+
+  private def planConj(conj: Conj): DataFrame = {
+    var st = State(None, Set.empty, Seq.empty)
+    conj.items.foreach {
+      case a: Atom =>
+        st = joinIn(st, atomDf(a), atomVarSeq(a))
+      case SubQuery(outVars, body) =>
+        st = joinIn(st, planBody(body, outVars), outVars)
+      case Negation(a) =>
+        val av = atomVarSeq(a)
+        val shared = av.filter(st.bound.contains)
+        st = st.copy(df = Some(st.df.get.join(atomDf(a), shared, "left_anti")))
+      case Existence(a) =>
+        val av = atomVarSeq(a)
+        val shared = av.filter(st.bound.contains)
+        st = st.copy(df = Some(st.df.get.join(atomDf(a), shared, "left_semi")))
+      case Binding(out, value) =>
+        st = st.copy(df = Some(st.df.get.withColumn(out, exprCol(value))),
+          bound = st.bound + out)
+      case RankBinding(out, key, desc) =>
+        val keyCol = if (desc) exprCol(key).desc else exprCol(key).asc
+        val ties = (st.bound -- Analyzer.exprVars(key) -- st.partition)
+          .toSeq.sorted.map(col(_).asc)
+        val w = Window.partitionBy(st.partition.map(col): _*)
+          .orderBy(keyCol +: ties: _*)
+        st = st.copy(df = Some(st.df.get.withColumn(out, row_number().over(w))),
+          bound = st.bound + out)
+      case Compare(op, l, r) =>
+        val c = op match {
+          case "==" => exprCol(l) === exprCol(r)
+          case "!=" => exprCol(l) =!= exprCol(r)
+          case "<" => exprCol(l) < exprCol(r)
+          case "<=" => exprCol(l) <= exprCol(r)
+          case ">" => exprCol(l) > exprCol(r)
+          case ">=" => exprCol(l) >= exprCol(r)
+        }
+        st = st.copy(df = Some(st.df.get.filter(c)))
+      case Partition(vars) =>
+        st = st.copy(partition = vars)
+      case Aggregate(fn, v) =>
+        val agg: Column = fn match {
+          case "average" => avg(col(v))
+          case "sum" => sum(col(v))
+          case "count" => count(col(v))
+          case "min" => min(col(v))
+          case "max" => max(col(v))
+          case "collect" => sort_array(collect_list(col(v)))
+          case other => throw Analyzer.AnalysisError(s"unknown aggregate $other")
+        }
+        val grouped = st.df.get.groupBy(st.partition.map(col): _*).agg(agg.as(v))
+        st = State(Some(grouped), st.partition.toSet + v, st.partition)
+    }
+    st.df.getOrElse(throw Analyzer.AnalysisError("empty rule body"))
+  }
+
+  private def joinIn(st: State, right: DataFrame, rightVars: Seq[String]): State = {
+    val merged = st.df match {
+      case None => right
+      case Some(left) =>
+        val shared = rightVars.filter(st.bound.contains)
+        if (shared.nonEmpty) left.join(right, shared)
+        else left.crossJoin(right)
+    }
+    State(Some(merged), st.bound ++ rightVars, st.partition)
+  }
+
+  private def atomVarSeq(a: Atom): Seq[String] =
+    a.args.collect { case TVar(v) => v }.distinct
+
+  /** Atom → scan with constants as pushed filters, wildcards dropped,
+    * repeated variables as equality filters, fields renamed to rule
+    * variables. An atom naming another `query` inlines that derived
+    * relation's plan (view expansion). */
+  private def atomDf(a: Atom): DataFrame = {
+    val (fields, base) = decls.get(a.rel) match {
+      case Some(d) =>
+        (d.fields.map(_._1), catalog.getOrElse(a.rel,
+          throw Analyzer.AnalysisError(s"relation ${a.rel} not bound in catalog")))
+      case None =>
+        val q = queryDecls.getOrElse(a.rel,
+          throw Analyzer.AnalysisError(s"unknown relation ${a.rel}"))
+        ((q.inArgs ++ q.outArgs).map(_._1), plan(q))
+    }
+    var df = base
+    val firstFieldOfVar = scala.collection.mutable.Map.empty[String, String]
+    a.args.zip(fields).foreach {
+      case (TConst(l), f) => df = df.filter(col(f) === litOf(l))
+      case (TVar(v), f) =>
+        firstFieldOfVar.get(v) match {
+          case Some(f0) => df = df.filter(col(f) === col(f0))
+          case None => firstFieldOfVar(v) = f
+        }
+      case (TWildcard, _) => ()
+    }
+    df.select(firstFieldOfVar.toSeq.map { case (v, f) => col(f).as(v) }: _*)
+  }
+
+  private def litOf(l: Lit): Column = l match {
+    case LInt(v) => lit(v)
+    case LDouble(v) => lit(v)
+    case LString(v) => lit(v)
+    case LBool(v) => lit(v)
+  }
+
+  private def exprCol(e: Expr): Column = e match {
+    case EVar(n) => col(n)
+    case ELit(l) => litOf(l)
+    case EUnary("-", x) => -exprCol(x)
+    case EUnary(op, _) => throw Analyzer.AnalysisError(s"unknown unary $op")
+    case EBinary(op, l, r) =>
+      val (lc, rc) = (exprCol(l), exprCol(r))
+      op match {
+        case "+" => lc + rc
+        case "-" => lc - rc
+        case "*" => lc * rc
+        case "/" => lc / rc
+        case other => throw Analyzer.AnalysisError(s"unknown operator $other")
+      }
+  }
+}
+
+/** Facade: parse + analyze + plan one named query of a HeroQL program
+  * against a catalog of table bindings. */
+object HeroQL {
+  def compile(program: String, queryName: String,
+      catalog: Map[String, DataFrame]): DataFrame = {
+    val ast = Parser.parse(program)
+    val decls = ast.datas.map(d => d.name -> d).toMap
+    val queryDecls = ast.queries.map(q => q.name -> q).toMap
+    val q = ast.queries.find(_.name == queryName)
+      .getOrElse(throw Analyzer.AnalysisError(s"no query named $queryName"))
+    Analyzer.analyze(decls, queryDecls, q)
+    new Planner(decls, queryDecls, catalog).plan(q)
+  }
+}

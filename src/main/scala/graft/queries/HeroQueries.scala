@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.heroql.HeroQL
+
+/** End-to-end HeroQL: the reference's own design-doc queries
+  * (`Kernel/README.md:107-234`), parsed from actual HeroQL text,
+  * mode-analyzed, planned to DataFrames, and oracle-checked.
+  *
+  * Catalog bindings (warehouse-derived):
+  *  - Exams(student, score)    := orders (student = custkey as string,
+  *    score = floor(totalprice) as int)
+  *  - Father/Mother(p, child)  := part hierarchy split by child parity
+  *  - Person(id)               := part keys
+  *  - Coef(pk, a, b, c)        := part (quadratic coefficients)
+  */
+object HeroQueries extends QueryPack {
+
+  /** The HeroQL program — transcribed from the reference's samples:
+    * Top10 (`Kernel/README.md:169-174`), Top3PerStudent
+    * (`Kernel/README.md:180-185`), AvgTop3 (`Kernel/README.md:197-205`),
+    * Parents/GrandParents (`Kernel/README.md:107-121,144-152`), Solve
+    * (`Kernel/README.md:131-134`), not-exists (`Kernel/Drafts/
+    * draft_type:190`). */
+  val program: String = """
+data Exams(student: string, score: int).
+data Father(father: int64, child: int64).
+data Mother(mother: int64, child: int64).
+data Person(id: int64).
+data Coef(pk: int64, a: double, b: double, c: double).
+
+query Top10() -> (student: string, score: int)
+:-  Exams(student, score),
+    order <- @order_by_desc(score),
+    order < 10
+.
+
+query Top3PerStudent(student: string) -> (score: int, order: int)
+:-  Exams(student, score),
+    @partition(student),
+    order <- @order_by_desc(score),
+    order < 3
+.
+
+query AvgTop3(student: string) -> (average: int)
+:-  Exams(student, score),
+    @partition(student),
+    order <- @order_by_desc(score),
+    order < 3,
+    @aggregate(average(score)),
+    average <- score
+.
+
+query Parents(parent: int64, child: int64)
+:-  Father(parent, child)
+;   Mother(parent, child)
+.
+
+query GrandParents(grandParent: int64, grandChild: int64)
+:-  Parents(grandParent, parent),
+    Parents(parent, grandChild)
+.
+
+query GrandParentsSub(grandParent: int64, grandChild: int64)
+:-  (parent, grandChild)
+    :-  Father(parent, grandChild)
+    ;   Mother(parent, grandChild)
+    .,
+    Parents(grandParent, parent)
+.
+
+query Quad(pk: int64) -> (delta: double, x1: double, x2: double)
+:-  Coef(pk, a, b, c),
+    delta <- b*b - 4*a*c,
+    delta > 0,
+    x1 <- (-b + delta) / (2 * a),
+    x2 <- (-b - delta) / (2 * a)
+.
+
+query Childless(id: int64)
+:-  Person(id),
+    not exists Father(id, _),
+    not exists Mother(id, _)
+.
+"""
+
+  private def catalog(s: SparkSession, d: String): Map[String, DataFrame] = {
+    val exams = t(s, d, "orders").select(
+      col("o_custkey").cast("string").as("student"),
+      expr("CAST(floor(o_totalprice) AS INT)").as("score"))
+    val edges = t(s, d, "part")
+      .select(expr("p_partkey div 2").as("father"), col("p_partkey").as("child"))
+      .filter(col("father") >= 1)
+    val father = edges.filter(col("child") % 2 === 0)
+    val mother = edges.filter(col("child") % 2 === 1)
+      .withColumnRenamed("father", "mother")
+    val person = t(s, d, "part").select(col("p_partkey").as("id"))
+    val coef = t(s, d, "part").select(
+      col("p_partkey").as("pk"),
+      col("p_size").cast("double").as("a"),
+      (col("p_retailprice") / 100.0).as("b"),
+      lit(1.0).as("c"))
+    Map("Exams" -> exams, "Father" -> father, "Mother" -> mother,
+      "Person" -> person, "Coef" -> coef)
+  }
+
+  private def run(name: String)(s: SparkSession, d: String): DataFrame =
+    HeroQL.compile(program, name, catalog(s, d))
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hq1_top10_global" -> (run("Top10") _),
+    "hq2_top3_per_partition" -> (run("Top3PerStudent") _),
+    "hq3_aggregate_average" -> (run("AvgTop3") _),
+    "hq4_union_rule" -> (run("Parents") _),
+    "hq5_join_rule" -> (run("GrandParents") _),
+    "hq6_subrule" -> (run("GrandParentsSub") _),
+    "hq7_moded_expressions" -> (run("Quad") _),
+    "hq8_negation" -> (run("Childless") _),
+  )
+
+  private val examsSql =
+    """SELECT CAST(o_custkey AS VARCHAR) AS student,
+              CAST(floor(o_totalprice) AS INTEGER) AS score FROM orders"""
+  private val fatherSql =
+    """SELECT p_partkey // 2 AS father, p_partkey AS child FROM part
+       WHERE p_partkey // 2 >= 1 AND p_partkey % 2 = 0"""
+  private val motherSql =
+    """SELECT p_partkey // 2 AS mother, p_partkey AS child FROM part
+       WHERE p_partkey // 2 >= 1 AND p_partkey % 2 = 1"""
+  private val parentsSql =
+    s"""SELECT father AS parent, child FROM ($fatherSql)
+       UNION ALL SELECT mother AS parent, child FROM ($motherSql)"""
+
+  override val oracles: Map[String, String] = Map(
+    "hq1_top10_global" ->
+      s"""SELECT student, score FROM (
+           SELECT student, score,
+             row_number() OVER (ORDER BY score DESC, student ASC) AS ord
+           FROM ($examsSql)) WHERE ord < 10""",
+    "hq2_top3_per_partition" ->
+      s"""SELECT student, score, CAST(ord AS INTEGER) AS "order" FROM (
+           SELECT student, score,
+             row_number() OVER (PARTITION BY student ORDER BY score DESC) AS ord
+           FROM ($examsSql)) WHERE ord < 3""",
+    "hq3_aggregate_average" ->
+      s"""SELECT student, CAST(trunc(avg(score)) AS INTEGER) AS average FROM (
+           SELECT student, score,
+             row_number() OVER (PARTITION BY student ORDER BY score DESC) AS ord
+           FROM ($examsSql)) WHERE ord < 3 GROUP BY student""",
+    "hq4_union_rule" ->
+      s"""SELECT parent, child FROM ($parentsSql)""",
+    "hq5_join_rule" ->
+      s"""SELECT a.parent AS grandParent, b.child AS grandChild
+         FROM ($parentsSql) a JOIN ($parentsSql) b ON a.child = b.parent""",
+    "hq6_subrule" ->
+      s"""SELECT a.parent AS grandParent, b.child AS grandChild
+         FROM ($parentsSql) a JOIN ($parentsSql) b ON a.child = b.parent""",
+    "hq7_moded_expressions" ->
+      """SELECT pk, delta, (-b + delta) / (2 * a) AS x1, (-b - delta) / (2 * a) AS x2
+         FROM (
+           SELECT pk, a, b, c, b*b - 4*a*c AS delta FROM (
+             SELECT p_partkey AS pk, CAST(p_size AS DOUBLE) AS a,
+                    p_retailprice / 100.0 AS b, 1.0 AS c FROM part))
+         WHERE delta > 0""",
+    "hq8_negation" ->
+      s"""SELECT p_partkey AS id FROM part
+         WHERE NOT EXISTS (SELECT 1 FROM ($fatherSql) f WHERE f.father = p_partkey)
+           AND NOT EXISTS (SELECT 1 FROM ($motherSql) m WHERE m.mother = p_partkey)""",
+  )
+}
