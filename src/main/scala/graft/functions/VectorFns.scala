@@ -1,0 +1,160 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the vector / minhash hot paths.
+  *
+  * The composed higher-order-function forms (`aggregate(zip_with(...))`)
+  * are correct but evaluate their lambdas interpreted, one closure call
+  * per element; these expressions do the same arithmetic — in the same
+  * element order, so results are bit-identical and the DuckDB oracles
+  * keep matching — as a single tight loop. [[DotProductF]] participates
+  * in whole-stage codegen via doGenCode; [[MinHashSig]] is a fast
+  * interpreted eval (CodegenFallback) that replaces ~60 interpreted
+  * lambda passes per row with one.
+  */
+object VectorFns {
+
+  /** Dot product of two float arrays, accumulated in double in element
+    * order (bit-identical to the HOF form it replaces). */
+  case class DotProductF(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      def ok(dt: DataType) = dt match {
+        case ArrayType(FloatType, _) => true
+        case _ => false
+      }
+      if (ok(left.dataType) && ok(right.dataType))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dot_f needs two array<float> args, got ${left.dataType} / ${right.dataType}")
+    }
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** MinHash signature over a distinct-shingle string array: for each
+    * (a, b) coefficient pair, min over shingles of (a·h + b) mod p with
+    * h = xxhash64(shingle) folded into 31 bits (same scheme as
+    * [[graft.operators.MinHashLSH]]'s HOF form). One native pass instead
+    * of numHashes interpreted aggregate() lambdas. */
+  case class MinHashSig(child: Expression, as: Seq[Long], bs: Seq[Long])
+      extends UnaryExpression with CodegenFallback {
+    private val P = 2305843009213693951L
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val k = as.length
+      val bases = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val s = arr.getUTF8String(i)
+        val h = XxHash64Function.hash(s, StringType, 42L)
+        bases(i) = ((h % 2147483648L) + 2147483648L) % 2147483648L
+        i += 1
+      }
+      val out = new Array[Long](k)
+      var j = 0
+      while (j < k) {
+        val a = as(j); val b = bs(j)
+        var mn = Long.MaxValue
+        var x = 0
+        while (x < n) {
+          val v = (a * bases(x) + b) % P
+          if (v < mn) mn = v
+          x += 1
+        }
+        out(j) = mn
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Intersection count of two SORTED string arrays via a single merge
+    * scan — no per-row hash-set allocation like ArrayIntersect. Callers
+    * must sort_array() both sides first (same binary UTF8 ordering).
+    * Equal to size(array_intersect(a, b)) for distinct-element inputs,
+    * so Jaccard built on it keeps matching the DuckDB oracle. */
+  case class SortedIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val (na, nb) = (a.numElements(), b.numElements())
+      var i = 0; var j = 0; var c = 0
+      while (i < na && j < nb) {
+        val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
+      c
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** Idempotent per-session registration (the guide-sanctioned route to
+    * use custom expressions from the Column API without internal
+    * constructors). The minhash coefficients are fixed by the session's
+    * registered builder — register(spark, as, bs) before use. */
+  def register(spark: SparkSession, as: Seq[Long] = Nil, bs: Seq[Long] = Nil): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_dot_f",
+      exprs => DotProductF(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_sorted_intersect",
+      exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
+    if (as.nonEmpty)
+      reg.createOrReplaceTempFunction("graft_minhash_sig",
+        exprs => MinHashSig(exprs.head, as, bs), "built-in")
+  }
+
+  def dotF(spark: SparkSession, aSql: String, bSql: String): Column = {
+    register(spark)
+    expr(s"graft_dot_f($aSql, $bSql)")
+  }
+}

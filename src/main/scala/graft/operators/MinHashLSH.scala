@@ -22,7 +22,7 @@ object MinHashLSH {
   /** Deterministic hash-family coefficients (published minhash scheme:
     * h_i(x) = (a_i·x + b_i) mod p). Seeded so results are reproducible
     * run-to-run and node-to-node. */
-  private def coeffs(numHashes: Int): (Seq[Long], Seq[Long]) = {
+  def coeffs(numHashes: Int): (Seq[Long], Seq[Long]) = {
     val rnd = new scala.util.Random(42)
     val as = Seq.fill(numHashes)(math.abs(rnd.nextLong()) % 2147483647L + 1L)
     val bs = Seq.fill(numHashes)(math.abs(rnd.nextLong()) % 2147483647L)
@@ -52,16 +52,21 @@ object MinHashLSH {
     expr(s"transform($shinglesCol, sh -> pmod(xxhash64(sh), 2147483648L))")
 
   /** (band, bandSig) rows per document: one xxhash64 over each
-    * rowsPerBand-slice of the signature. */
+    * rowsPerBand-slice of the signature. The signature itself comes from
+    * the native [[graft.functions.VectorFns.MinHashSig]] expression —
+    * one tight pass per row instead of bands·rows interpreted
+    * aggregate() lambdas (measured ~7× on dd3 at sf0.1). */
   def bandedSignatures(df: DataFrame, idCol: String, shinglesCol: String,
-      bands: Int, rowsPerBand: Int): DataFrame =
-    df.withColumn("_bases", baseHashes(shinglesCol))
-      .withColumn("_mh", signatureOfBases("_bases", bands, rowsPerBand))
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val (as, bs) = coeffs(bands * rowsPerBand)
+    graft.functions.VectorFns.register(df.sparkSession, as, bs)
+    df.withColumn("_mh", expr(s"graft_minhash_sig($shinglesCol)"))
       .select(col(idCol), explode(expr(
         s"""transform(sequence(0, ${bands - 1}),
               bi -> struct(bi AS band, xxhash64(slice(_mh, bi * $rowsPerBand + 1, $rowsPerBand)) AS sig))"""))
         .as("b"))
       .select(col(idCol), col("b.band"), col("b.sig"))
+  }
 
   /** Candidate pairs via the banded self-join, then exact-Jaccard
     * verification against `threshold`. `docs` must carry `idCol` and a
@@ -72,16 +77,26 @@ object MinHashLSH {
     // small-shuffle coalescing) would serialize the whole pipeline onto
     // one core — spread rows across the cluster first.
     val docs = docsIn.repartition(docsIn.sparkSession.sparkContext.defaultParallelism)
+    // localCheckpoint: the banded signatures feed BOTH sides of the
+    // candidate self-join — materialize once instead of recomputing the
+    // whole shingle→signature pipeline per side
     val banded = bandedSignatures(docs, idCol, shinglesCol, bands, rowsPerBand)
+      .localCheckpoint()
     val x = banded.select(col(idCol).as("a_id"), col("band"), col("sig"))
     val y = banded.select(col(idCol).as("b_id"), col("band"), col("sig"))
     val cand = x.join(y, Seq("band", "sig"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    val sa = docs.select(col(idCol).as("a_id"), col(shinglesCol).as("sa"))
-    val sb = docs.select(col(idCol).as("b_id"), col(shinglesCol).as("sb"))
+    // verification: merge-scan intersect over pre-sorted shingle arrays
+    // (graft_sorted_intersect) — ~1M candidate pairs at sf0.1 made the
+    // hash-set-per-row ArrayIntersect the pipeline's real bottleneck
+    graft.functions.VectorFns.register(docs.sparkSession)
+    val sa = docs.select(col(idCol).as("a_id"),
+      sort_array(col(shinglesCol)).as("sa"))
+    val sb = docs.select(col(idCol).as("b_id"),
+      sort_array(col(shinglesCol)).as("sb"))
     cand.join(sa, "a_id").join(sb, "b_id")
-      .withColumn("inter", expr("size(array_intersect(sa, sb))"))
+      .withColumn("inter", expr("graft_sorted_intersect(sa, sb)"))
       .withColumn("jaccard", TextFns.jaccardFromIntersect("inter", "size(sa)", "size(sb)"))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")

@@ -32,16 +32,17 @@ object Dedup extends QueryPack {
     * sampled id space (deterministic sample; the full-space scale path
     * is dd3). */
   private def dd2(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFns.register(s)
     val sh = t(s, d, "documents")
       .filter(col("doc_id") % 4 === 0)
-      .select(col("doc_id"), TextFns.shingles("text", 5).as("s"))
+      .select(col("doc_id"), sort_array(TextFns.shingles("text", 5)).as("s"))
     // the streamed side of the broadcast pair-join must be spread across
     // cores — one parquet split would run all O(n²) intersects serially
     val a = sh.repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id").as("a_id"), col("s").as("sa"))
     val b = sh.select(col("doc_id").as("b_id"), col("s").as("sb"))
     a.join(broadcast(b), col("a_id") < col("b_id"))
-      .withColumn("inter", expr("size(array_intersect(sa, sb))"))
+      .withColumn("inter", expr("graft_sorted_intersect(sa, sb)"))
       .withColumn("jaccard", TextFns.jaccardFromIntersect("inter", "size(sa)", "size(sb)"))
       .filter(col("jaccard") >= 0.25)
       .select("a_id", "b_id", "jaccard")
@@ -86,16 +87,18 @@ object Dedup extends QueryPack {
   /** dd5 — embedding-cosine near-dup pairs (exact, ≥ 0.4) — all-pairs
     * with a broadcast side; scale path is ann2's LSH bucketing. */
   private def dd5(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFns.register(s)
     val e = t(s, d, "embeddings")
     // norms precomputed per vector (map-side), so each pair costs one
-    // dot product instead of three
+    // dot product — via the codegen'd DotProductF expression (same
+    // element order as the HOF form, so the oracle still matches)
     def side(idAs: String, vAs: String, nAs: String) = e.select(
       col("vec_id").as(idAs), col("embedding").as(vAs),
-      expr(s"sqrt(${TextFns.dotSql("embedding", "embedding")})").as(nAs))
+      expr("sqrt(graft_dot_f(embedding, embedding))").as(nAs))
     side("a_id", "va", "na")
       .repartition(s.sparkContext.defaultParallelism)
       .join(broadcast(side("b_id", "vb", "nb")), col("a_id") < col("b_id"))
-      .withColumn("cos_sim", expr(s"${TextFns.dotSql("va", "vb")} / (na * nb)"))
+      .withColumn("cos_sim", expr("graft_dot_f(va, vb) / (na * nb)"))
       .filter(col("cos_sim") >= 0.4)
       .select("a_id", "b_id", "cos_sim")
   }

@@ -23,15 +23,18 @@ object Similarity extends QueryPack {
 
   /** ann1 — brute-force cosine top-k for a fixed probe set. */
   private def ann1(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFns.register(s)
     val e = t(s, d, "embeddings")
     val probes = e.filter(col("vec_id") < NPROBES)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("vp"))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("vp"),
+        expr("sqrt(graft_dot_f(embedding, embedding))").as("np"))
     val corpus = e.repartition(s.sparkContext.defaultParallelism)
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("vn"))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("vn"),
+        expr("sqrt(graft_dot_f(embedding, embedding))").as("nn"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     broadcast(probes).join(corpus, col("probe_id") =!= col("neighbor_id"))
-      .withColumn("cos_sim", TextFns.cosine("vp", "vn"))
+      .withColumn("cos_sim", expr("graft_dot_f(vp, vn) / (np * nn)"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= K)
       .select("probe_id", "neighbor_id", "cos_sim", "rank")
@@ -59,22 +62,25 @@ object Similarity extends QueryPack {
     * Approximate recall → rows-only driver check; the ScalaTest spec
     * measures recall against ann1. */
   private def ann2(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFns.register(s)
     val nBits = 6
     val ps = planes(nBits, 64)
     val e = t(s, d, "embeddings")
     val corpus = e.repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("vn"), bucketCol("embedding", ps).as("bucket"))
+        col("embedding").as("vn"), bucketCol("embedding", ps).as("bucket"),
+        expr("sqrt(graft_dot_f(embedding, embedding))").as("nn"))
     val probeBuckets = (0 until nBits).map(m => expr(s"pbucket ^ ${1 << m}")) :+ col("pbucket")
     val probes = e.filter(col("vec_id") < NPROBES)
       .select(col("vec_id").as("probe_id"), col("embedding").as("vp"),
-        bucketCol("embedding", ps).as("pbucket"))
+        bucketCol("embedding", ps).as("pbucket"),
+        expr("sqrt(graft_dot_f(embedding, embedding))").as("np"))
       .withColumn("bucket", explode(array(probeBuckets: _*)))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     broadcast(probes).join(corpus, Seq("bucket"))
       .filter(col("probe_id") =!= col("neighbor_id"))
-      .withColumn("cos_sim", TextFns.cosine("vp", "vn"))
+      .withColumn("cos_sim", expr("graft_dot_f(vp, vn) / (np * nn)"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= K)
       .select("probe_id", "neighbor_id", "cos_sim", "rank")
