@@ -17,7 +17,14 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
+    // wipe stale per-query dumps: a failing query must NOT leave a
+    // previous run's parquet in place to be compared as if current
+    val outRoot = new java.io.File(outDir)
+    if (outRoot.exists()) {
+      Files.walk(outRoot.toPath).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+    outRoot.mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

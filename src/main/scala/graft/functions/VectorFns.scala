@@ -111,6 +111,69 @@ object VectorFns {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Per-element polynomial hash of a string array (fold
+    * (acc·31 + codepoint) mod m, seeded) — native form of
+    * TextFns.polyHashSql applied per token; identical results on BMP
+    * text (the fixture corpus is ASCII). */
+  case class TokenPolyHash(child: Expression, seed: Long, mod: Long)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val out = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val s = arr.getUTF8String(i).toString
+        var h = seed
+        var j = 0
+        while (j < s.length) {
+          val cp = s.codePointAt(j)
+          h = (h * 31 + cp) % mod
+          j += Character.charCount(cp)
+        }
+        out(i) = h
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** 31-bit SimHash from a precomputed token-hash array (same formula
+    * as TextFns.simhashOfHashes — sign-of-sum per bit — in one native
+    * pass instead of 31 interpreted aggregate() lambdas). */
+  case class SimHash31(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+
+    override def nullSafeEval(input: Any): Any = {
+      val hs = input.asInstanceOf[ArrayData]
+      val n = hs.numElements()
+      val sums = new Array[Int](31)
+      var i = 0
+      while (i < n) {
+        val h = hs.getLong(i)
+        var b = 0
+        while (b < 31) {
+          if (((h >> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var out = 0L
+      var b = 0
+      while (b < 31) {
+        if (sums(b) > 0) out |= (1L << b)
+        b += 1
+      }
+      out
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Intersection count of two SORTED string arrays via a single merge
     * scan — no per-row hash-set allocation like ArrayIntersect. Callers
     * must sort_array() both sides first (same binary UTF8 ordering).
@@ -148,6 +211,10 @@ object VectorFns {
       exprs => DotProductF(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_sorted_intersect",
       exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash31",
+      exprs => SimHash31(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_token_polyhash",
+      exprs => TokenPolyHash(exprs.head, 7L, 2147483647L), "built-in")
     if (as.nonEmpty)
       reg.createOrReplaceTempFunction("graft_minhash_sig",
         exprs => MinHashSig(exprs.head, as, bs), "built-in")

@@ -31,7 +31,8 @@ object Analyzer {
       q: QueryDecl): Unit = {
     val head = (q.inArgs ++ q.outArgs).map(_._1)
     q.body.alts.foreach { conj =>
-      val bound = analyzeConj(decls, queries, conj)
+      // in-args are moded "in": provided by the caller, bound up front
+      val bound = analyzeConj(decls, queries, conj, q.inArgs.map(_._1).toSet)
       val missing = head.filterNot(bound.contains)
       if (missing.nonEmpty)
         throw AnalysisError(
@@ -40,9 +41,20 @@ object Analyzer {
   }
 
   def analyzeConj(decls: Map[String, DataDecl], queries: Map[String, QueryDecl],
-      conj: Conj): Set[String] = {
-    var bound = Set.empty[String]
+      conj: Conj, initialBound: Set[String] = Set.empty): Set[String] = {
+    var bound = initialBound
     conj.items.foreach {
+      case Mutation(kind, a) =>
+        checkArity(decls, queries, a)
+        val atVars = a.args.collect { case TAtVar(v) => v }
+        val unbound = (atomVars(a) ++ atVars) -- bound
+        if (unbound.nonEmpty)
+          throw AnalysisError(
+            s"@$kind ${a.rel}: unbound variable(s) ${unbound.mkString(", ")}")
+        if (atVars.nonEmpty && kind != "update")
+          throw AnalysisError(s"@-prefixed fields only valid in @update, not @$kind")
+        if (kind == "update" && atVars.isEmpty)
+          throw AnalysisError("@update needs at least one @-prefixed field to assign")
       case a: Atom =>
         checkArity(decls, queries, a)
         bound |= atomVars(a)

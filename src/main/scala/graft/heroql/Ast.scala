@@ -47,11 +47,17 @@ object Ast {
   /** `(parent) :- Body .` — nested anonymous sub-rule
     * (`Kernel/README.md:114-121`). */
   final case class SubQuery(outVars: Seq[String], body: Body) extends Item
+  /** `@insert Exams(student, score)` / `@update Exams(student, @score)` /
+    * `@remove Exams(student, _)` (`Kernel/README.md:210-234`). */
+  final case class Mutation(kind: String, atom: Atom) extends Item
 
   sealed trait Term
   final case class TVar(name: String) extends Term
   final case class TConst(value: Lit) extends Term
   case object TWildcard extends Term
+  /** `@score` inside `@update` — the field to assign
+    * (`Kernel/README.md:218-225`). */
+  final case class TAtVar(name: String) extends Term
 
   sealed trait Expr
   final case class EVar(name: String) extends Expr

@@ -196,6 +196,8 @@ object Parser {
     private def pipelineCommand(): Item = {
       val cmd = expectId()
       cmd match {
+        case "@insert" | "@update" | "@remove" =>
+          Mutation(cmd.drop(1), atomItem())
         case "@partition" =>
           expectSym("(")
           val vars = Seq.newBuilder[String]
@@ -253,6 +255,7 @@ object Parser {
       case TSym("_") => TWildcard
       case TId("true") => TConst(LBool(true))
       case TId("false") => TConst(LBool(false))
+      case TId(v) if v.startsWith("@") => TAtVar(v.drop(1))
       case TId(v) => TVar(v)
       case TNum(s) => TConst(numLit(s))
       case TStr(s) => TConst(LString(s))

@@ -105,6 +105,9 @@ final class Planner(decls: Map[String, DataDecl],
           case ">=" => exprCol(l) >= exprCol(r)
         }
         st = st.copy(df = Some(st.df.get.filter(c)))
+      case Mutation(kind, _) =>
+        throw Analyzer.AnalysisError(
+          s"@$kind queries execute via HeroQL.executeMutation, not plan()")
       case Partition(vars) =>
         st = st.copy(partition = vars)
       case Aggregate(fn, v) =>
@@ -201,5 +204,77 @@ object HeroQL {
       .getOrElse(throw Analyzer.AnalysisError(s"no query named $queryName"))
     Analyzer.analyze(decls, queryDecls, q)
     new Planner(decls, queryDecls, catalog).plan(q)
+  }
+
+  /** Execute a mutation query (`@insert` / `@update` / `@remove`,
+    * `Kernel/README.md:210-234`) against a [[graft.store.TableStore]]
+    * table named after the mutated relation. The caller supplies the
+    * query's in-arguments as a DataFrame whose columns are the in-arg
+    * names (the reference's procedure-call form, bulk: one mutation per
+    * args row, applied as a single atomic commit — the `for query (set)`
+    * pattern `Kernel/Drafts/draft:138-142` lowered to one merge, never
+    * row-at-a-time). */
+  def executeMutation(program: String, queryName: String,
+      args: DataFrame, store: graft.store.TableStore): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val ast = Parser.parse(program)
+    val decls = ast.datas.map(d => d.name -> d).toMap
+    val queryDecls = ast.queries.map(q => q.name -> q).toMap
+    val q = ast.queries.find(_.name == queryName)
+      .getOrElse(throw Analyzer.AnalysisError(s"no query named $queryName"))
+    Analyzer.analyze(decls, queryDecls, q)
+    val item = q.body.alts match {
+      case Seq(Conj(Seq(m: Mutation))) => m
+      case _ => throw Analyzer.AnalysisError(
+        s"$queryName: mutation queries must have exactly one @-statement body")
+    }
+    val fields = decls(item.atom.rel).fields.map(_._1)
+    val table = item.atom.rel
+    def litOf(l: Lit) = l match {
+      case LInt(v) => lit(v)
+      case LDouble(v) => lit(v)
+      case LString(v) => lit(v)
+      case LBool(v) => lit(v)
+    }
+    item.kind match {
+      case "insert" =>
+        val cols = item.atom.args.zip(fields).map {
+          case (TVar(v), f) => col(v).cast(store.read(table).schema(f).dataType).as(f)
+          case (TConst(l), f) => litOf(l).as(f)
+          case (t, f) => throw Analyzer.AnalysisError(s"bad @insert term $t for $f")
+        }
+        store.insert(table, args.select(cols: _*))
+      case "remove" =>
+        val keyPairs = item.atom.args.zip(fields).collect { case (TVar(v), f) => (v, f) }
+        val constCond = item.atom.args.zip(fields).collect {
+          case (TConst(l), f) => col(f) === litOf(l)
+        }.reduceOption(_ && _)
+        val cur = store.read(table)
+        val keys = args
+          .select(keyPairs.map { case (v, f) => col(v).cast(cur.schema(f).dataType).as(f) }: _*)
+          .distinct()
+        val keyFields = keyPairs.map(_._2)
+        val next = constCond match {
+          case None => cur.join(keys, keyFields, "left_anti")
+          case Some(c) =>
+            cur.filter(!c).unionByName(cur.filter(c).join(keys, keyFields, "left_anti"))
+        }
+        store.create(table, next)
+      case "update" =>
+        val matchPairs = item.atom.args.zip(fields).collect { case (TVar(v), f) => (v, f) }
+        val setPairs = item.atom.args.zip(fields).collect { case (TAtVar(v), f) => (v, f) }
+        val cur = store.read(table)
+        val updates = args.select(
+          matchPairs.map { case (v, f) => col(v).cast(cur.schema(f).dataType).as(f) } ++
+            setPairs.map { case (v, f) => col(v).cast(cur.schema(f).dataType).as(s"__set_$f") }: _*)
+          .distinct()
+        val setFields = setPairs.map(_._2).toSet
+        val merged = cur.join(updates, matchPairs.map(_._2), "left")
+          .select(fields.map { f =>
+            if (setFields(f)) coalesce(col(s"__set_$f"), col(f)).as(f) else col(f)
+          }: _*)
+        store.create(table, merged)
+      case other => throw Analyzer.AnalysisError(s"unknown mutation @$other")
+    }
   }
 }

@@ -59,21 +59,25 @@ object Dedup extends QueryPack {
       bands = 21, rowsPerBand = 3, threshold = 0.25)
   }
 
-  /** dd4 — 31-bit SimHash fingerprint per document (token hashes
-    * precomputed once per row, then the 31-bit sign fold). */
-  private def dd4(s: SparkSession, d: String): DataFrame =
+  /** dd4 — 31-bit SimHash fingerprint per document: native token-hash
+    * + sign-fold expressions (identical results to the HOF forms in
+    * TextFns, which remain as the readable reference implementation). */
+  private def dd4(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFns.register(s)
     t(s, d, "documents")
-      .withColumn("hs", TextFns.tokenHashes("text"))
-      .withColumn("simhash", TextFns.simhashOfHashes("hs"))
+      .withColumn("hs", expr("graft_token_polyhash(split(trim(text), '\\\\s+'))"))
+      .withColumn("simhash", expr("graft_simhash31(hs)"))
       .select("doc_id", "simhash")
+  }
 
   /** dd4b — SimHash near-dup pairs: Hamming distance ≤ 10 on the mod-4
     * sample (bit_count(xor) — cheap compare, the reason SimHash exists). */
   private def dd4b(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFns.register(s)
     val sh = t(s, d, "documents")
       .filter(col("doc_id") % 4 === 0)
-      .withColumn("hs", TextFns.tokenHashes("text"))
-      .withColumn("simhash", TextFns.simhashOfHashes("hs"))
+      .withColumn("hs", expr("graft_token_polyhash(split(trim(text), '\\\\s+'))"))
+      .withColumn("simhash", expr("graft_simhash31(hs)"))
       .select("doc_id", "simhash")
     val a = sh.repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id").as("a_id"), col("simhash").as("ha"))
