@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{Dedup, GraphQueries, HeroMutations, HeroQueries, MultimodalQueries, Mutations, QueryPack, Relational, Similarity, Streaming, TextAnalysis}
+import graft.queries.{CollectionQueries, Dedup, GraphQueries, HeroMutations, HeroQueries, MultimodalQueries, Mutations, QueryPack, Relational, Similarity, Streaming, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,6 +23,7 @@ object SparkEntry {
     Mutations,
     HeroQueries,
     HeroMutations,
+    CollectionQueries,
     MultimodalQueries,
   )
 

@@ -51,6 +51,27 @@ object Ast {
     * `@remove Exams(student, _)` (`Kernel/README.md:210-234`). */
   final case class Mutation(kind: String, atom: Atom) extends Item
 
+  /** `collection_query(args) :- body partition_by k(...) group_by k(...)
+    * [:- having] [order_by[_desc] e] [range_by a..b] ;`
+    * (`Kernel/Drafts/draft:148-156`, `draft_students:37-53`). */
+  final case class CollectionQuery(
+      head: Seq[String],
+      body: Conj,
+      partitionBy: Option[CqStage],
+      groupBy: Option[CqStage],
+      having: Option[Compare],
+      orderBy: Option[(Expr, Boolean)], // (expr, descending)
+      rangeBy: Option[(Long, Long)]) // 1-based inclusive
+
+  /** `partition_by exam(student, exam, s = OrderByDesc(score, 3))` or
+    * `group_by student(student, c = Count(score))`. */
+  final case class CqStage(key: String, items: Seq[CqItem])
+  sealed trait CqItem
+  final case class CqVar(name: String) extends CqItem
+  /** `out = Fn(expr[, k])` — OrderByDesc (sequence fn, k required) or an
+    * aggregation fn (Average/Count/Sum/Min/Max/Collect). */
+  final case class CqBind(out: String, fn: String, arg: Expr, k: Option[Long]) extends CqItem
+
   sealed trait Term
   final case class TVar(name: String) extends Term
   final case class TConst(value: Lit) extends Term

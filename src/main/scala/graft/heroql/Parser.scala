@@ -156,8 +156,76 @@ object Parser {
       Conj(items.result())
     }
 
+    // ------------------------------------------- collection_query form
+
+    def collectionQuery(): CollectionQuery = {
+      if (!atId("collection_query"))
+        throw ParseError("expected 'collection_query'", pos)
+      pos += 1
+      expectSym("(")
+      val head = Seq.newBuilder[String]
+      var first = true
+      while (!at(")")) {
+        if (!first) expectSym(",")
+        first = false
+        next() match {
+          case TId(v) => head += v
+          case TSym("_") => head += "_"
+          case t => throw ParseError(s"bad head term $t", pos - 1)
+        }
+      }
+      expectSym(")")
+      expectSym(":-")
+      val bodyConj = conj()
+      def stage(kw: String): Option[CqStage] =
+        if (atId(kw)) {
+          pos += 1
+          val key = expectId()
+          expectSym("(")
+          val items = Seq.newBuilder[CqItem]
+          var f = true
+          while (!at(")")) {
+            if (!f) expectSym(",")
+            f = false
+            val n = expectId()
+            if (eat("=")) {
+              val fn = expectId()
+              expectSym("(")
+              val arg = exprP()
+              val k = if (eat(",")) next() match {
+                case TNum(s) => Some(s.toLong)
+                case t => throw ParseError(s"expected k, got $t", pos - 1)
+              } else None
+              expectSym(")")
+              items += CqBind(n, fn, arg, k)
+            } else items += CqVar(n)
+          }
+          expectSym(")")
+          Some(CqStage(key, items.result()))
+        } else None
+      val pb = stage("partition_by")
+      val gb = stage("group_by")
+      val having = if (eat(":-")) Some(comparison().asInstanceOf[Compare]) else None
+      val ob =
+        if (atId("order_by_desc")) { pos += 1; Some((exprP(), true)) }
+        else if (atId("order_by")) { pos += 1; Some((exprP(), false)) }
+        else None
+      val rb = if (atId("range_by")) {
+        pos += 1
+        val a = next() match { case TNum(s) => s.toLong; case t => throw ParseError(s"bad range $t", pos - 1) }
+        expectSym("."); expectSym(".")
+        val b = next() match { case TNum(s) => s.toLong; case t => throw ParseError(s"bad range $t", pos - 1) }
+        Some((a, b))
+      } else None
+      expectSym(";")
+      CollectionQuery(head.result(), bodyConj, pb, gb, having, ob, rb)
+    }
+
     def item(): Item = peek match {
       case Some(TSym("(")) => subQuery()
+      case Some(TId("where")) =>
+        pos += 1
+        comparison()
       case Some(TId("not")) =>
         pos += 1
         if (!atId("exists")) throw ParseError("expected 'exists' after 'not'", pos)
@@ -315,4 +383,9 @@ object Parser {
   }
 
   def parse(src: String): Program = new P(lex(src)).program()
+
+  /** Parse a standalone `collection_query ... ;` statement
+    * (`Kernel/Drafts/draft:148-156`). */
+  def parseCollection(src: String): CollectionQuery =
+    new P(lex(src)).collectionQuery()
 }

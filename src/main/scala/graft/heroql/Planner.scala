@@ -126,6 +126,82 @@ final class Planner(decls: Map[String, DataDecl],
     st.df.getOrElse(throw Analyzer.AnalysisError("empty rule body"))
   }
 
+  /** `collection_query` pipeline (`Kernel/Drafts/draft:148-156`):
+    * body → [partition_by top-k sample] → [group_by aggregation] →
+    * [having] → [order_by] → [range_by slice]. Sorting is totalized with
+    * the remaining columns ascending for deterministic, oracle-checkable
+    * output; `range_by` is 1-based inclusive (`draft_students:53`
+    * `range_by 1..1`). */
+  def planCollection(cq: CollectionQuery): DataFrame = {
+    var df = planConj(cq.body)
+    var cols: Seq[String] = df.columns.toSeq
+
+    cq.partitionBy.foreach { st =>
+      val binds = st.items.collect { case b: CqBind => b }
+      val keeps = st.items.collect { case CqVar(v) => v }
+      binds match {
+        case Seq(CqBind(out, "OrderByDesc", arg, Some(k))) =>
+          val ties = (cols.toSet -- Analyzer.exprVars(arg) - st.key)
+            .toSeq.sorted.map(col(_).asc)
+          val w = Window.partitionBy(col(st.key))
+            .orderBy(exprCol(arg).desc +: ties: _*)
+          df = df.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") <= k)
+            .withColumn(out, exprCol(arg))
+          cols = keeps :+ out
+          df = df.select(cols.map(col): _*)
+        case other => throw Analyzer.AnalysisError(
+          s"partition_by supports exactly one OrderByDesc(expr, k) sample, got $other")
+      }
+    }
+
+    cq.groupBy.foreach { st =>
+      val aggs = st.items.collect { case CqBind(out, fn, arg, _) =>
+        val c = fn match {
+          case "Average" => avg(exprCol(arg))
+          case "Count" => count(exprCol(arg))
+          case "Sum" => sum(exprCol(arg))
+          case "Min" => min(exprCol(arg))
+          case "Max" => max(exprCol(arg))
+          case "Collect" => sort_array(collect_list(exprCol(arg)))
+          case other => throw Analyzer.AnalysisError(s"unknown aggregation $other")
+        }
+        c.as(out)
+      }
+      if (aggs.isEmpty)
+        throw Analyzer.AnalysisError("group_by needs at least one aggregation binding")
+      df = df.groupBy(col(st.key)).agg(aggs.head, aggs.tail: _*)
+      cols = st.key +: st.items.collect { case CqBind(out, _, _, _) => out }
+      df = df.select(cols.map(col): _*)
+    }
+
+    cq.having.foreach { case Compare(op, l, r) =>
+      val c = op match {
+        case "==" => exprCol(l) === exprCol(r)
+        case "!=" => exprCol(l) =!= exprCol(r)
+        case "<" => exprCol(l) < exprCol(r)
+        case "<=" => exprCol(l) <= exprCol(r)
+        case ">" => exprCol(l) > exprCol(r)
+        case ">=" => exprCol(l) >= exprCol(r)
+      }
+      df = df.filter(c)
+    }
+
+    cq.orderBy.foreach { case (e, desc) =>
+      val key = if (desc) exprCol(e).desc else exprCol(e).asc
+      val ties = (cols.toSet -- Analyzer.exprVars(e)).toSeq.sorted.map(col(_).asc)
+      df = df.orderBy(key +: ties: _*)
+    }
+
+    cq.rangeBy.foreach { case (a, b) =>
+      if (cq.orderBy.isEmpty)
+        throw Analyzer.AnalysisError("range_by requires an order_by")
+      df = df.offset((a - 1).toInt).limit((b - a + 1).toInt)
+    }
+
+    df
+  }
+
   private def joinIn(st: State, right: DataFrame, rightVars: Seq[String]): State = {
     val merged = st.df match {
       case None => right
@@ -204,6 +280,18 @@ object HeroQL {
       .getOrElse(throw Analyzer.AnalysisError(s"no query named $queryName"))
     Analyzer.analyze(decls, queryDecls, q)
     new Planner(decls, queryDecls, catalog).plan(q)
+  }
+
+  /** Compile a standalone `collection_query ... ;` against the data
+    * declarations of `program` and a catalog of table bindings. */
+  def compileCollection(program: String, cqSrc: String,
+      catalog: Map[String, DataFrame]): DataFrame = {
+    val ast = Parser.parse(program)
+    val decls = ast.datas.map(d => d.name -> d).toMap
+    val queryDecls = ast.queries.map(q => q.name -> q).toMap
+    val cq = Parser.parseCollection(cqSrc)
+    Analyzer.analyzeConj(decls, queryDecls, cq.body)
+    new Planner(decls, queryDecls, catalog).planCollection(cq)
   }
 
   /** Execute a mutation query (`@insert` / `@update` / `@remove`,

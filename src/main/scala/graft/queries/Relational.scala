@@ -351,9 +351,32 @@ object Relational extends QueryPack {
       .groupBy(col("o_year"), col("o_month"))
       .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("sum_price"))
 
+  /** F8b — JSON extraction (SURVEY §2.8 F8 "json functions"): parse the
+    * events.props JSON payload and aggregate on an extracted field. */
+  private def f9(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        avg(col("k")).as("avg_k"))
+
+  /** F8c — array/map functions: build a map from aggregated pairs and
+    * read it back (map_from_entries / element_at / map_keys). */
+  private def f10(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(col("user_id"), col("event_type")).count()
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("event_type"), col("count"))))).as("m"))
+      .select(col("user_id"),
+        expr("CAST(cardinality(m) AS BIGINT)").as("n_types"),
+        expr("array_join(map_keys(m), ',')").as("type_keys"))
+
   // ------------------------------------------------------------------- maps
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f9_json_functions" -> (f9 _),
+    "f10_map_functions" -> (f10 _),
     "s1_scan_filter" -> (s1 _),
     "s3_inline_values" -> (s3 _),
     "p1_projection" -> (p1 _),
@@ -394,6 +417,16 @@ object Relational extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    "f9_json_functions" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                avg(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k
+         FROM events GROUP BY event_type""",
+    "f10_map_functions" ->
+      """SELECT user_id,
+                CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+                array_to_string(list_sort(list(DISTINCT event_type)), ',') AS type_keys
+         FROM events GROUP BY user_id""",
     "s1_scan_filter" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem WHERE l_returnflag = 'R'",
     "s3_inline_values" ->

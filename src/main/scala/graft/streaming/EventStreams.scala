@@ -53,6 +53,39 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("sess_start"), col("user_id"), col("n_events"))
 
+  /** Stateful per-user running totals via `mapGroupsWithState` — the
+    * custom-state surface (SURVEY §2.9 scope): state = (event count,
+    * value sum) per user, updated per micro-batch, emitted in Update
+    * mode. The state store bounds memory to one small tuple per active
+    * user key at any scale. */
+  def runningUserTotals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val src = spark.readStream.schema(schema).parquet(stageDir(dir))
+    src.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          var (n, s) = state.getOption.getOrElse((0L, 0.0))
+          rows.foreach { r => n += 1; s += r._2 }
+          state.update((n, s))
+          (uid, n, s)
+      }
+      .toDF("user_id", "n_events", "sum_value")
+  }
+
+  /** Stage the single-file events table into a directory (the file
+    * stream source requires one). */
+  private def stageDir(dir: String): String = {
+    val stage = java.nio.file.Files.createTempDirectory("graft-stream-")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events.parquet"))
+    stage.toString
+  }
+
   /** Streaming variant of a transform: reads the same parquet through
     * readStream with a watermark, for the spec harness. Watermarks
     * require TIMESTAMP (not NTZ), so the streaming path keeps ts as an
@@ -60,15 +93,8 @@ object EventStreams {
     * result columns back to NTZ before comparing with batch. */
   def streamed(spark: SparkSession, dir: String,
       transform: DataFrame => DataFrame, watermark: String = "1 hour"): DataFrame = {
-    // FileStreamSource requires a directory — stage the single parquet
-    // file into a temp dir (test-scale only; production streams read a
-    // directory/bucket to begin with)
-    val stage = java.nio.file.Files.createTempDirectory("graft-stream-")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      stage.resolve("events.parquet"))
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val src = spark.readStream.schema(schema).parquet(stage.toString)
+    val src = spark.readStream.schema(schema).parquet(stageDir(dir))
     val tsInstant = src.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     transform(tsInstant.withWatermark("ts", watermark))
   }

@@ -44,6 +44,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("stateful mapGroupsWithState totals equal the batch aggregate") {
+    val sdf = EventStreams.runningUserTotals(spark, sf)
+    val q = sdf.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("running_mem")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // Update mode may emit once per micro-batch — keep the last emit per user
+    val latest = spark.table("running_mem")
+      .groupBy("user_id")
+      .agg(max("n_events").as("n_events"), max("sum_value").as("sum_value"))
+    val batch = Tables.t(spark, sf, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+    val joined = latest.as("s").join(batch.as("b"), "user_id")
+    assert(joined.count() == batch.count())
+    val bad = joined.filter(col("s.n_events") =!= col("b.n_events") ||
+      abs(col("s.sum_value") - col("b.sum_value")) > 1e-6).count()
+    assert(bad == 0, "stateful stream totals diverge from batch")
+  }
+
   test("sliding windows assign each event to exactly two windows") {
     val n = Tables.t(spark, sf, "events").count()
     val windowed = EventStreams.slidingDaily(EventStreams.normalizeTs(Tables.t(spark, sf, "events")))
