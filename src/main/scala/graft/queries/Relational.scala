@@ -351,6 +351,36 @@ object Relational extends QueryPack {
       .groupBy(col("o_year"), col("o_month"))
       .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("sum_price"))
 
+  /** J9 — as-of join (the custom-operator example the brief names):
+    * each click event gets the latest prior purchase value per user; one
+    * shuffle + one sort via [[graft.operators.AsOfJoin]], checked
+    * against DuckDB's native ASOF JOIN. */
+  private def j9(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.streaming.EventStreams.normalizeTs(t(s, d, "events"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "value")
+    graft.operators.AsOfJoin.asOf(clicks, purchases, "user_id", "ts", "value")
+      .select(col("event_id"), col("user_id"), col("ts"), col("asof_value"))
+  }
+
+  /** J10 — interval/range join: events within 7 days of each signup for
+    * the same user (equi-join on the key + range predicate — shuffles on
+    * user_id only, never enumerates cross pairs). */
+  private def j10(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.streaming.EventStreams.normalizeTs(t(s, d, "events"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id"), col("ts").as("ts0"))
+    val all = ev.select(col("user_id"), col("ts"))
+    signups.join(all,
+      signups("user_id") === all("user_id") &&
+        all("ts") >= signups("ts0") &&
+        all("ts") < signups("ts0") + expr("INTERVAL 7 DAYS"))
+      .groupBy(col("signup_id"))
+      .agg(count(lit(1)).as("n_events"))
+  }
+
   /** F8b — JSON extraction (SURVEY §2.8 F8 "json functions"): parse the
     * events.props JSON payload and aggregate on an extracted field. */
   private def f9(s: SparkSession, d: String): DataFrame =
@@ -377,6 +407,8 @@ object Relational extends QueryPack {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f9_json_functions" -> (f9 _),
     "f10_map_functions" -> (f10 _),
+    "j9_asof_join" -> (j9 _),
+    "j10_interval_join" -> (j10 _),
     "s1_scan_filter" -> (s1 _),
     "s3_inline_values" -> (s3 _),
     "p1_projection" -> (p1 _),
@@ -427,6 +459,21 @@ object Relational extends QueryPack {
                 CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
                 array_to_string(list_sort(list(DISTINCT event_type)), ',') AS type_keys
          FROM events GROUP BY user_id""",
+    "j9_asof_join" ->
+      """SELECT l.event_id, l.user_id, l.ts, r.value AS asof_value
+         FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'click') l
+         ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+               FROM events WHERE event_type = 'purchase') r
+           ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    "j10_interval_join" ->
+      """SELECT l.event_id AS signup_id, count(*) AS n_events
+         FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts0
+               FROM events WHERE event_type = 'signup') l
+         JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) r
+           ON r.user_id = l.user_id AND r.ts >= l.ts0
+          AND r.ts < l.ts0 + INTERVAL 7 DAY
+         GROUP BY l.event_id""",
     "s1_scan_filter" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem WHERE l_returnflag = 'R'",
     "s3_inline_values" ->
