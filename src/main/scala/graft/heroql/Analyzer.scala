@@ -28,11 +28,11 @@ object Analyzer {
     * query declarations (atoms may reference either — a rule body atom
     * naming another `query` inlines that derived relation). */
   def analyze(decls: Map[String, DataDecl], queries: Map[String, QueryDecl],
-      q: QueryDecl): Unit = {
+      q: QueryDecl, funcs: Map[String, FuncDecl] = Map.empty): Unit = {
     val head = (q.inArgs ++ q.outArgs).map(_._1)
     q.body.alts.foreach { conj =>
       // in-args are moded "in": provided by the caller, bound up front
-      val bound = analyzeConj(decls, queries, conj, q.inArgs.map(_._1).toSet)
+      val bound = analyzeConj(decls, queries, conj, q.inArgs.map(_._1).toSet, funcs)
       val missing = head.filterNot(bound.contains)
       if (missing.nonEmpty)
         throw AnalysisError(
@@ -41,9 +41,23 @@ object Analyzer {
   }
 
   def analyzeConj(decls: Map[String, DataDecl], queries: Map[String, QueryDecl],
-      conj: Conj, initialBound: Set[String] = Set.empty): Set[String] = {
+      conj: Conj, initialBound: Set[String] = Set.empty,
+      funcs: Map[String, FuncDecl] = Map.empty): Set[String] = {
     var bound = initialBound
     conj.items.foreach {
+      // moded function call: in-positions must be bound, out binds
+      case a: Atom if funcs.contains(a.rel) =>
+        val f = funcs(a.rel)
+        if (f.params.size != a.args.size)
+          throw AnalysisError(s"${a.rel} expects ${f.params.size} args, got ${a.args.size}")
+        f.params.zip(a.args).foreach {
+          case (("in", _), TVar(v)) if !bound.contains(v) =>
+            throw AnalysisError(s"cannot run backward: unbound variable $v at an 'in' position of ${a.rel}")
+          case (("out", _), TVar(v)) => bound += v
+          case (("out", _), t) =>
+            throw AnalysisError(s"'out' argument of ${a.rel} must be a fresh variable, got $t")
+          case _ => ()
+        }
       case Mutation(kind, a) =>
         checkArity(decls, queries, a)
         val atVars = a.args.collect { case TAtVar(v) => v }

@@ -19,7 +19,16 @@ object Ast {
       outArgs: Seq[(String, String)],
       body: Body)
 
-  final case class Program(datas: Seq[DataDecl], queries: Seq[QueryDecl])
+  final case class Program(datas: Seq[DataDecl], queries: Seq[QueryDecl],
+      funcs: Seq[FuncDecl] = Seq.empty)
+
+  /** `func Name(in a, out b); case Name(0, 1); case Name(a, b) :- ... ;`
+    * (`Kernel/Drafts/draft:75-89`): multi-clause moded function with
+    * first-match-wins case dispatch. */
+  final case class FuncDecl(name: String, params: Seq[(String, String)], // (mode, name)
+      cases: Seq[FuncCase])
+  /** One clause: positional patterns + optional guard/binding body. */
+  final case class FuncCase(args: Seq[Term], guards: Seq[Item])
 
   /** Body = disjunction of conjunctions (`;` alternates rule bodies,
     * `Kernel/README.md:109-112`). */

@@ -93,14 +93,54 @@ object Parser {
     def program(): Program = {
       val datas = Seq.newBuilder[DataDecl]
       val queries = Seq.newBuilder[QueryDecl]
+      val funcs = scala.collection.mutable.LinkedHashMap.empty[String, FuncDecl]
       while (peek.isDefined) {
         peek match {
           case Some(TId("data")) => datas += dataDecl()
           case Some(TId("query")) => queries += queryDecl()
-          case t => throw ParseError(s"expected 'data' or 'query', got $t", pos)
+          case Some(TId("func")) =>
+            val f = funcDecl()
+            funcs(f.name) = f
+          case Some(TId("case")) =>
+            val (name, c) = funcCase()
+            val f = funcs.getOrElse(name,
+              throw ParseError(s"case for undeclared func $name", pos))
+            funcs(name) = f.copy(cases = f.cases :+ c)
+          case t => throw ParseError(s"expected 'data', 'query', 'func' or 'case', got $t", pos)
         }
       }
-      Program(datas.result(), queries.result())
+      Program(datas.result(), queries.result(), funcs.values.toSeq)
+    }
+
+    /** `func Name(in a, out b);` — modes default to `in`
+      * (`Kernel/Drafts/draft:75-79`). */
+    def funcDecl(): FuncDecl = {
+      expectId() // func
+      val name = expectId()
+      expectSym("(")
+      val params = Seq.newBuilder[(String, String)]
+      var first = true
+      while (!at(")")) {
+        if (!first) expectSym(",")
+        first = false
+        val a = expectId()
+        if (a == "in" || a == "out") params += (a -> expectId())
+        else params += ("in" -> a)
+      }
+      expectSym(")")
+      if (!eat(";")) expectSym(".")
+      FuncDecl(name, params.result(), Seq.empty)
+    }
+
+    /** `case Name(pat, ...) [:- guards] ;` (`Kernel/Drafts/draft:81-89`). */
+    def funcCase(): (String, FuncCase) = {
+      expectId() // case
+      val a = atomItem()
+      val guards =
+        if (eat(":-")) conj().items
+        else Seq.empty
+      if (!eat(";")) expectSym(".")
+      (a.rel, FuncCase(a.args, guards))
     }
 
     def dataDecl(): DataDecl = {

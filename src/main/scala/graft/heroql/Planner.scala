@@ -22,7 +22,8 @@ import Ast._
   * and oracle-checkable.
   */
 final class Planner(decls: Map[String, DataDecl],
-    queryDecls: Map[String, QueryDecl], catalog: Map[String, DataFrame]) {
+    queryDecls: Map[String, QueryDecl], catalog: Map[String, DataFrame],
+    funcs: Map[String, FuncDecl] = Map.empty) {
 
   /** Planning stack — a rule atom naming a query already being planned
     * is recursion, which the reference errors on via its "calculating"
@@ -72,6 +73,8 @@ final class Planner(decls: Map[String, DataDecl],
   private def planConj(conj: Conj): DataFrame = {
     var st = State(None, Set.empty, Seq.empty)
     conj.items.foreach {
+      case a: Atom if funcs.contains(a.rel) =>
+        st = funcAtom(st, funcs(a.rel), a)
       case a: Atom =>
         st = joinIn(st, atomDf(a), atomVarSeq(a))
       case SubQuery(outVars, body) =>
@@ -202,6 +205,118 @@ final class Planner(decls: Map[String, DataDecl],
     df
   }
 
+  /** Moded `func` call (`Kernel/Drafts/draft:75-89`): inline the case
+    * clauses as a first-match-wins CASE chain over the caller's bound
+    * columns. Scalar mode only (all `in` bound + one `out`); recursive
+    * funcs are rejected (the reference's own recursion guard — use the
+    * fixpoint evaluator). */
+  private def funcAtom(st: State, f: FuncDecl, a: Atom): State = {
+    val outIdxs = f.params.zipWithIndex.collect { case (("out", _), i) => i }
+    if (outIdxs.size != 1)
+      throw Analyzer.AnalysisError(s"${f.name}: exactly one 'out' parameter supported")
+    val outIdx = outIdxs.head
+    val outVar = a.args(outIdx) match {
+      case TVar(v) => v
+      case t => throw Analyzer.AnalysisError(s"${f.name}: out argument must be a variable, got $t")
+    }
+    val callerIn: Map[Int, Column] = f.params.zipWithIndex.collect {
+      case (("in", _), i) => i -> (a.args(i) match {
+        case TVar(v) => col(v)
+        case TConst(l) => litOf(l)
+        case t => throw Analyzer.AnalysisError(s"${f.name}: bad 'in' argument $t")
+      })
+    }.toMap
+
+    if (f.cases.isEmpty)
+      throw Analyzer.AnalysisError(s"${f.name}: func has no case clauses")
+
+    // one (condition, value) per case
+    val clauses = f.cases.map { c =>
+      if (c.args.size != f.params.size)
+        throw Analyzer.AnalysisError(s"${f.name}: case arity mismatch")
+      var env = Map.empty[String, Column]
+      var conds = Seq.empty[Column]
+      callerIn.foreach { case (i, callerCol) =>
+        c.args(i) match {
+          case TVar(v) =>
+            if (env.contains(v)) conds :+= (callerCol === env(v))
+            else env += v -> callerCol
+          case TConst(l) => conds :+= (callerCol === litOf(l))
+          case TWildcard => ()
+          case t => throw Analyzer.AnalysisError(s"${f.name}: bad case pattern $t")
+        }
+      }
+      // guards: comparisons → conditions; bindings → extend env (a
+      // recursive self-call inside a guard is rejected)
+      var outExprFromGuard: Option[Column] = None
+      val caseOutVar = c.args(outIdx) match {
+        case TVar(v) => Some(v)
+        case _ => None
+      }
+      c.guards.foreach {
+        case Compare(op, l, r) =>
+          val (lc, rc) = (exprColEnv(l, env), exprColEnv(r, env))
+          conds :+= (op match {
+            case "==" => lc === rc
+            case "!=" => lc =!= rc
+            case "<" => lc < rc
+            case "<=" => lc <= rc
+            case ">" => lc > rc
+            case ">=" => lc >= rc
+          })
+        case Binding(out, value) =>
+          val vc = exprColEnv(value, env)
+          if (caseOutVar.contains(out)) outExprFromGuard = Some(vc)
+          else env += out -> vc
+        case at: Atom if at.rel == f.name =>
+          throw Analyzer.AnalysisError(
+            s"recursive func ${f.name}: already calculating (use the fixpoint evaluator)")
+        case other => throw Analyzer.AnalysisError(
+          s"${f.name}: unsupported guard $other (only comparisons and bindings)")
+      }
+      val value = c.args(outIdx) match {
+        case TConst(l) => litOf(l)
+        case TVar(v) =>
+          outExprFromGuard.orElse(env.get(v)).getOrElse(
+            throw Analyzer.AnalysisError(s"${f.name}: out variable $v never assigned in case"))
+        case t => throw Analyzer.AnalysisError(s"${f.name}: bad out pattern $t")
+      }
+      (conds.reduceOption(_ && _), value)
+    }
+
+    val chain = clauses.foldLeft(Option.empty[Column]) {
+      case (acc, (condOpt, value)) =>
+        val cond = condOpt.getOrElse(lit(true))
+        Some(acc match {
+          case None => when(cond, value)
+          case Some(c) => c.when(cond, value)
+        })
+    }.get
+
+    State(Some(st.df.getOrElse(throw Analyzer.AnalysisError(
+      s"${f.name}: func call needs prior bindings in the rule body"))
+      .withColumn(outVar, chain)),
+      st.bound + outVar, st.partition)
+  }
+
+  /** Expr → Column with a substitution environment (used by func
+    * inlining; defaults to column references). */
+  private def exprColEnv(e: Expr, env: Map[String, Column]): Column = e match {
+    case EVar(n) => env.getOrElse(n, col(n))
+    case ELit(l) => litOf(l)
+    case EUnary("-", x) => -exprColEnv(x, env)
+    case EUnary(op, _) => throw Analyzer.AnalysisError(s"unknown unary $op")
+    case EBinary(op, l, r) =>
+      val (lc, rc) = (exprColEnv(l, env), exprColEnv(r, env))
+      op match {
+        case "+" => lc + rc
+        case "-" => lc - rc
+        case "*" => lc * rc
+        case "/" => lc / rc
+        case other => throw Analyzer.AnalysisError(s"unknown operator $other")
+      }
+  }
+
   private def joinIn(st: State, right: DataFrame, rightVars: Seq[String]): State = {
     val merged = st.df match {
       case None => right
@@ -276,10 +391,11 @@ object HeroQL {
     val ast = Parser.parse(program)
     val decls = ast.datas.map(d => d.name -> d).toMap
     val queryDecls = ast.queries.map(q => q.name -> q).toMap
+    val funcs = ast.funcs.map(f => f.name -> f).toMap
     val q = ast.queries.find(_.name == queryName)
       .getOrElse(throw Analyzer.AnalysisError(s"no query named $queryName"))
-    Analyzer.analyze(decls, queryDecls, q)
-    new Planner(decls, queryDecls, catalog).plan(q)
+    Analyzer.analyze(decls, queryDecls, q, funcs)
+    new Planner(decls, queryDecls, catalog, funcs).plan(q)
   }
 
   /** Compile a standalone `collection_query ... ;` against the data
@@ -289,9 +405,10 @@ object HeroQL {
     val ast = Parser.parse(program)
     val decls = ast.datas.map(d => d.name -> d).toMap
     val queryDecls = ast.queries.map(q => q.name -> q).toMap
+    val funcs = ast.funcs.map(f => f.name -> f).toMap
     val cq = Parser.parseCollection(cqSrc)
-    Analyzer.analyzeConj(decls, queryDecls, cq.body)
-    new Planner(decls, queryDecls, catalog).planCollection(cq)
+    Analyzer.analyzeConj(decls, queryDecls, cq.body, Set.empty, funcs)
+    new Planner(decls, queryDecls, catalog, funcs).planCollection(cq)
   }
 
   /** Execute a mutation query (`@insert` / `@update` / `@remove`,

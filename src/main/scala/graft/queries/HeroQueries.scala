@@ -84,6 +84,16 @@ query Childless(id: int64)
     not exists Father(id, _),
     not exists Mother(id, _)
 .
+
+func Grade(in score, out label);
+case Grade(s, l) :- s >= 40, l <- "high";
+case Grade(s, l) :- s >= 20, l <- "mid";
+case Grade(s, l) :- l <- "low";
+
+query Graded(student: string, score: int) -> (label: string)
+:-  Exams(student, score),
+    Grade(score, label)
+.
 """
 
   private def catalog(s: SparkSession, d: String): Map[String, DataFrame] = {
@@ -118,6 +128,7 @@ query Childless(id: int64)
     "hq6_subrule" -> (run("GrandParentsSub") _),
     "hq7_moded_expressions" -> (run("Quad") _),
     "hq8_negation" -> (run("Childless") _),
+    "hq9_func_cases" -> (run("Graded") _),
   )
 
   private val examsSql =
@@ -168,5 +179,11 @@ query Childless(id: int64)
       s"""SELECT p_partkey AS id FROM part
          WHERE NOT EXISTS (SELECT 1 FROM ($fatherSql) f WHERE f.father = p_partkey)
            AND NOT EXISTS (SELECT 1 FROM ($motherSql) m WHERE m.mother = p_partkey)""",
+    "hq9_func_cases" ->
+      s"""SELECT student, score,
+                CASE WHEN score >= 40 THEN 'high'
+                     WHEN score >= 20 THEN 'mid'
+                     ELSE 'low' END AS label
+         FROM ($examsSql)""",
   )
 }

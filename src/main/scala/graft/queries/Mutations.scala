@@ -72,11 +72,27 @@ object Mutations extends QueryPack {
     st.read("orders")
   }
 
+  /** m5 — `transaction query` (`Kernel/README.md:251-254`,
+    * `Rewrite.md:4-16`): archive-and-delete across two tables in ONE
+    * atomic commit; the result proves both effects landed together. */
+  private def m5(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s)
+    st.create("orders", seed(s, d, 0))
+    val cond = col("o_orderpriority") === "5-LOW"
+    st.transaction { tx =>
+      tx.create("archive", tx.read("orders").filter(cond))
+      tx.delete("orders", cond)
+    }
+    st.read("orders").withColumn("bucket", lit("live"))
+      .unionByName(st.read("archive").withColumn("bucket", lit("archived")))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_insert" -> (m1 _),
     "m1b_upsert" -> (m1b _),
     "m2_update" -> (m2 _),
     "m3_remove" -> (m3 _),
+    "m5_transaction" -> (m5 _),
   )
 
   private val colsSql = cols.mkString(", ")
@@ -103,5 +119,11 @@ object Mutations extends QueryPack {
     "m3_remove" ->
       s"""SELECT $colsSql FROM orders
          WHERE o_orderkey % 10 = 0 AND NOT (o_orderpriority = '5-LOW')""",
+    "m5_transaction" ->
+      s"""SELECT $colsSql, 'live' AS bucket FROM orders
+         WHERE o_orderkey % 10 = 0 AND NOT (o_orderpriority = '5-LOW')
+         UNION ALL
+         SELECT $colsSql, 'archived' AS bucket FROM orders
+         WHERE o_orderkey % 10 = 0 AND o_orderpriority = '5-LOW'""",
   )
 }

@@ -1,6 +1,6 @@
 package graft.store
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.UUID
 import scala.jdk.CollectionConverters._
 
@@ -10,123 +10,174 @@ import org.apache.spark.sql.functions._
 /** Parquet-backed mutable table store — the semantic heir of the
   * reference's storage kernel, re-based on immutable columnar files.
   *
+  * Layout:
+  * {{{
+  *   root/_CURRENT                 -> current store-manifest filename
+  *   root/store-<uuid>             : lines "table<TAB>tableManifest"
+  *   root/<table>/manifest-<uuid>  : lines of data sub-dirs
+  *   root/<table>/data-<uuid>/     : parquet files
+  * }}}
+  *
   * Reference mechanics → store mechanics:
   *  - WAL + commit (`Kernel/Source/Utility/Log.cpp:316-387`,
   *    `LogManager::OpenTransaction` `Log.cpp:523-531`) → every commit
-  *    writes a new manifest file and atomically renames a pointer file
-  *    (`_CURRENT`) onto it; the manifest history IS the commit log, and
-  *    recovery = read `_CURRENT` (crash mid-write leaves the old pointer
-  *    intact).
-  *  - "queue updates parallelly, apply single-threaded"
-  *    (`Rewrite.md:11-15`) → single-writer last-committer-wins pointer
-  *    swap; readers always see a consistent snapshot (the manifest they
-  *    opened), i.e. snapshot isolation for free from immutability.
-  *  - Page reuse/locks (`Buffer.cpp`, `Lock.cpp`) → not ported: Parquet
-  *    files are immutable, so no lock hierarchy is needed for analytics
-  *    (SURVEY §3 E3).
+  *    writes a new store manifest and atomically renames `_CURRENT` onto
+  *    it; the manifest history IS the commit log, recovery = read
+  *    `_CURRENT` (a crash mid-write leaves the old pointer intact).
+  *  - `transaction query` (`Kernel/README.md:251-254`, `Rewrite.md:4-16`
+  *    "queue updates parallelly, apply single-threaded") →
+  *    [[transaction]]: buffer any number of table mutations, publish ONE
+  *    store manifest with ONE atomic pointer swap — multi-table atomic
+  *    commit, single-writer last-committer-wins.
+  *  - Page reuse/locks (`Buffer.cpp`, `Lock.cpp`) → not ported: files
+  *    are immutable, readers get snapshot isolation from the manifest
+  *    they resolved (SURVEY §3 E3).
   *
-  * Mutation surface (SURVEY §2.10):
-  *  - `@insert` / `set` (M1, `Kernel/README.md:210-216`) → [[insert]]
-  *    appends NEW FILES ONLY plus a manifest that references old + new —
-  *    at 100 TB an append never rewrites existing data.
-  *  - `set` into a `Unique`-indexed table (M1 upsert) → [[upsert]]:
-  *    copy-on-write anti-join merge.
-  *  - `@update` (M2, `Kernel/README.md:218-225`) → [[update]]:
-  *    conditional column rewrite, copy-on-write.
-  *  - `@remove` (M3, `Kernel/README.md:227-234`) → [[delete]] /
-  *    [[truncate]].
-  *  - `uncache` (M4, `Kernel/Drafts/draft:135-136`) → [[drop]].
+  * Mutation surface (SURVEY §2.10): insert appends NEW FILES ONLY (at
+  * 100 TB an append never rewrites existing data); update/delete/upsert
+  * are copy-on-write merges; uncache/drop unpublishes.
   */
 final class TableStore(val spark: SparkSession, val root: String) {
 
-  private def tableDir(name: String): Path = Paths.get(root, name)
-  private def currentPtr(name: String): Path = tableDir(name).resolve("_CURRENT")
+  private def rootPath: Path = Paths.get(root)
+  private def currentPtr: Path = rootPath.resolve("_CURRENT")
 
-  private def readManifest(name: String): Seq[String] = {
-    val mf = new String(Files.readAllBytes(currentPtr(name)), "UTF-8").trim
-    val manifestPath = tableDir(name).resolve(mf)
-    Files.readAllLines(manifestPath, java.nio.charset.StandardCharsets.UTF_8)
-      .asScala.toSeq.filter(_.nonEmpty)
-  }
+  private[store] def currentTables(): Map[String, String] =
+    if (!Files.exists(currentPtr)) Map.empty
+    else {
+      val mf = new String(Files.readAllBytes(currentPtr), "UTF-8").trim
+      Files.readAllLines(rootPath.resolve(mf)).asScala
+        .filter(_.nonEmpty)
+        .map { line => val Array(t, m) = line.split("\t", 2); t -> m }
+        .toMap
+    }
 
-  /** Atomically publish a new manifest listing `dataDirs`; readers see
-    * either the old or the new table, never a mix. */
-  private def commit(name: String, dataDirs: Seq[String]): Unit = {
-    val dir = tableDir(name)
-    Files.createDirectories(dir)
-    val manifestName = s"manifest-${System.currentTimeMillis()}-${UUID.randomUUID().toString.take(8)}"
-    Files.write(dir.resolve(manifestName),
-      dataDirs.mkString("\n").getBytes("UTF-8"))
-    val tmp = dir.resolve(s"_CURRENT.tmp.${UUID.randomUUID().toString.take(8)}")
-    Files.write(tmp, manifestName.getBytes("UTF-8"))
-    Files.move(tmp, currentPtr(name), StandardCopyOption.ATOMIC_MOVE,
+  /** Atomically publish a new table→manifest mapping. */
+  private[store] def publish(tables: Map[String, String]): Unit = {
+    Files.createDirectories(rootPath)
+    val name = s"store-${UUID.randomUUID().toString.take(12)}"
+    Files.write(rootPath.resolve(name),
+      tables.toSeq.sorted.map { case (t, m) => s"$t\t$m" }
+        .mkString("\n").getBytes("UTF-8"))
+    val tmp = rootPath.resolve(s"_CURRENT.tmp.${UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, name.getBytes("UTF-8"))
+    Files.move(tmp, currentPtr, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  private def writeData(name: String, df: DataFrame): String = {
+  private[store] def writeTableManifest(table: String, dataDirs: Seq[String]): String = {
+    val dir = rootPath.resolve(table)
+    Files.createDirectories(dir)
+    val name = s"manifest-${UUID.randomUUID().toString.take(12)}"
+    Files.write(dir.resolve(name), dataDirs.mkString("\n").getBytes("UTF-8"))
+    name
+  }
+
+  private[store] def readTableManifest(table: String, manifest: String): Seq[String] =
+    Files.readAllLines(rootPath.resolve(table).resolve(manifest)).asScala
+      .toSeq.filter(_.nonEmpty)
+
+  private[store] def writeData(table: String, df: DataFrame): String = {
     val sub = s"data-${UUID.randomUUID().toString.take(12)}"
-    df.write.mode("overwrite").parquet(tableDir(name).resolve(sub).toString)
+    df.write.mode("overwrite").parquet(rootPath.resolve(table).resolve(sub).toString)
     sub
   }
 
-  def exists(name: String): Boolean = Files.exists(currentPtr(name))
+  private[store] def readDirs(table: String, dirs: Seq[String]): DataFrame =
+    spark.read.parquet(dirs.map(d => rootPath.resolve(table).resolve(d).toString): _*)
 
-  /** Create (or replace) a table from a DataFrame. */
-  def create(name: String, df: DataFrame): Unit =
-    commit(name, Seq(writeData(name, df)))
+  // ----------------------------------------------------------- public API
 
-  /** Snapshot read of the current committed version. */
+  def exists(name: String): Boolean = currentTables().contains(name)
+
+  /** Multi-table atomic transaction: all mutations in `f` become visible
+    * in one pointer swap, or none do (an exception publishes nothing). */
+  def transaction[T](f: Txn => T): T = {
+    val tx = new Txn(this)
+    val result = f(tx)
+    tx.publishAll()
+    result
+  }
+
+  def create(name: String, df: DataFrame): Unit = transaction(_.create(name, df))
   def read(name: String): DataFrame = {
-    val dirs = readManifest(name).map(d => tableDir(name).resolve(d).toString)
-    spark.read.parquet(dirs: _*)
+    val tables = currentTables()
+    val m = tables.getOrElse(name,
+      throw new IllegalArgumentException(s"no such table: $name"))
+    readDirs(name, readTableManifest(name, m))
+  }
+  def insert(name: String, rows: DataFrame): Unit = transaction(_.insert(name, rows))
+  def upsert(name: String, rows: DataFrame, keys: Seq[String]): Unit =
+    transaction(_.upsert(name, rows, keys))
+  def update(name: String, assignments: Map[String, Column], cond: Column): Unit =
+    transaction(_.update(name, assignments, cond))
+  def delete(name: String, cond: Column): Unit = transaction(_.delete(name, cond))
+  def truncate(name: String): Unit = transaction(_.truncate(name))
+
+  /** M4 `uncache Table`: unpublish and remove the materialization. */
+  def drop(name: String): Unit = {
+    publish(currentTables() - name)
+    val dir = rootPath.resolve(name)
+    if (Files.exists(dir))
+      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
   }
 
-  /** M1 `@insert`: append-only — writes only the new rows' files; the
-    * new manifest references old + new data dirs. */
+  /** Per-table committed-manifest count — the commit-log length for the
+    * table (observability of the WAL analogue). */
+  def versionCount(name: String): Int =
+    Files.list(rootPath.resolve(name)).iterator().asScala
+      .count(_.getFileName.toString.startsWith("manifest-"))
+
+  /** Store-level commit count (one per published transaction). */
+  def commitCount(): Int =
+    if (!Files.exists(rootPath)) 0
+    else Files.list(rootPath).iterator().asScala
+      .count(_.getFileName.toString.startsWith("store-"))
+}
+
+/** Buffered mutations with read-your-writes; published atomically by
+  * [[TableStore.transaction]]. */
+final class Txn(store: TableStore) {
+  private var pending: Map[String, String] = Map.empty // table -> manifest
+
+  private def manifestOf(name: String): Option[String] =
+    pending.get(name).orElse(store.currentTables().get(name))
+
+  def read(name: String): DataFrame = {
+    val m = manifestOf(name).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $name"))
+    store.readDirs(name, store.readTableManifest(name, m))
+  }
+
+  def create(name: String, df: DataFrame): Unit =
+    pending += name -> store.writeTableManifest(name, Seq(store.writeData(name, df)))
+
   def insert(name: String, rows: DataFrame): Unit = {
-    val newDir = writeData(name, rows)
-    commit(name, readManifest(name) :+ newDir)
+    val dirs = manifestOf(name) match {
+      case Some(m) => store.readTableManifest(name, m)
+      case None => Seq.empty
+    }
+    pending += name -> store.writeTableManifest(name,
+      dirs :+ store.writeData(name, rows))
   }
 
-  /** M1 `set` into a `Unique`-indexed table: upsert by key columns —
-    * copy-on-write merge (rows matching an incoming key are replaced).
-    * At scale this is one shuffle-free broadcast anti-join when the
-    * incoming batch is small, or a key-partitioned merge otherwise —
-    * Catalyst picks via AQE. */
-  def upsert(name: String, rows: DataFrame, keys: Seq[String]): Unit = {
-    val merged = read(name).join(rows.select(keys.map(col): _*), keys, "left_anti")
-      .unionByName(rows)
-    create(name, merged)
-  }
+  def upsert(name: String, rows: DataFrame, keys: Seq[String]): Unit =
+    create(name, read(name).join(rows.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(rows))
 
-  /** M2 `@update ... :- cond`: conditional column rewrite (copy-on-write). */
   def update(name: String, assignments: Map[String, Column], cond: Column): Unit = {
     val cur = read(name)
-    val updated = assignments.foldLeft(cur) { case (df, (c, e)) =>
+    create(name, assignments.foldLeft(cur) { case (df, (c, e)) =>
       df.withColumn(c, when(cond, e).otherwise(col(c)))
-    }
-    create(name, updated)
+    })
   }
 
-  /** M3 `@remove ... :- cond`: anti-filter rewrite. */
   def delete(name: String, cond: Column): Unit =
     create(name, read(name).filter(!cond))
 
-  /** M3 `remove Table`: truncate to empty (schema preserved). */
   def truncate(name: String): Unit =
     create(name, read(name).filter(lit(false)))
 
-  /** M4 `uncache Table`: drop the materialization entirely. */
-  def drop(name: String): Unit = {
-    val dir = tableDir(name)
-    if (Files.exists(dir)) {
-      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    }
-  }
-
-  /** Committed manifest count — the commit-log length (observability of
-    * the WAL analogue; used by specs to assert atomic publication). */
-  def versionCount(name: String): Int =
-    Files.list(tableDir(name)).iterator().asScala
-      .count(_.getFileName.toString.startsWith("manifest-"))
+  private[store] def publishAll(): Unit =
+    if (pending.nonEmpty) store.publish(store.currentTables() ++ pending)
 }

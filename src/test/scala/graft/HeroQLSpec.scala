@@ -45,11 +45,13 @@ class HeroQLParserSpec extends AnyFunSuite {
       Conj(Seq(Atom("Mother", Seq(TVar("parent"), TVar("child")))))))
   }
 
-  test("golden: the full HeroQueries program parses (8 queries)") {
+  test("golden: the full HeroQueries program parses (9 queries + 1 func)") {
     val p = Parser.parse(HeroQueries.program)
     assert(p.datas.size == 5)
     assert(p.queries.map(_.name) == Seq("Top10", "Top3PerStudent", "AvgTop3",
-      "Parents", "GrandParents", "GrandParentsSub", "Quad", "Childless"))
+      "Parents", "GrandParents", "GrandParentsSub", "Quad", "Childless", "Graded"))
+    assert(p.funcs.map(_.name) == Seq("Grade"))
+    assert(p.funcs.head.cases.size == 3)
   }
 
   test("mode analysis rejects running a binding backward") {

@@ -59,6 +59,44 @@ class StoreSpec extends SparkSpec {
     assert(!st.exists("t"))
   }
 
+  test("multi-table transaction commits atomically (all-or-nothing)") {
+    import spark.implicits._
+    val st = freshStore()
+    st.create("a", seedDf)
+    st.create("b", seedDf)
+    val commitsBefore = st.commitCount()
+    st.transaction { tx =>
+      tx.insert("a", Seq((4L, "d", 40.0)).toDF("id", "tag", "v"))
+      tx.update("b", Map("v" -> (col("v") * 2.0)), col("id") === 1L)
+    }
+    assert(st.read("a").count() == 4)
+    assert(st.read("b").filter(col("id") === 1L).head.getDouble(2) == 20.0)
+    assert(st.commitCount() == commitsBefore + 1, "one store commit for the whole txn")
+  }
+
+  test("a failing transaction publishes nothing") {
+    import spark.implicits._
+    val st = freshStore()
+    st.create("a", seedDf)
+    intercept[RuntimeException] {
+      st.transaction { tx =>
+        tx.insert("a", Seq((4L, "d", 40.0)).toDF("id", "tag", "v"))
+        throw new RuntimeException("abort")
+      }
+    }
+    assert(st.read("a").count() == 3, "aborted txn must stay invisible")
+  }
+
+  test("transaction read-your-writes sees buffered mutations") {
+    import spark.implicits._
+    val st = freshStore()
+    st.create("a", seedDf)
+    st.transaction { tx =>
+      tx.insert("a", Seq((4L, "d", 40.0)).toDF("id", "tag", "v"))
+      assert(tx.read("a").count() == 4, "txn must see its own writes")
+    }
+  }
+
   test("snapshot isolation: a reader opened before a commit sees the old version") {
     import spark.implicits._
     val st = freshStore()
