@@ -35,6 +35,41 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("strict-threshold LSH on a replicated corpus finds exactly the replica pairs") {
+    import spark.implicits._
+    // 40 docs × 3 near-identical variants: production near-dup shape
+    val base = Tables.t(spark, sf, "documents").limit(40)
+      .select(col("doc_id"), col("text"))
+    val reps = (0 until 3).map(i => base.select(
+      (col("doc_id") * 10 + i).as("doc_id"),
+      concat(col("text"), lit(s" variant$i")).as("text")))
+      .reduce(_ union _)
+    val docs = reps.select(col("doc_id"), TextFns.shingles("text", 5).as("sh"))
+    val pairs = MinHashLSH.nearDuplicates(docs, "doc_id", "sh",
+      bands = 9, rowsPerBand = 7, threshold = 0.7)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.nonEmpty)
+    // full recall: every within-group replica pair is found (high-j pairs
+    // are exactly what strict banding is tuned for)
+    val replicaPairs = (for {
+      g <- 0 until 40; i <- 0 until 3; j <- (i + 1) until 3
+    } yield (g * 10L + i, g * 10L + j)).toSet
+    val missed = replicaPairs -- pairs
+    assert(missed.isEmpty, s"replica pairs missed: $missed")
+    // precision: every reported pair really clears the exact threshold
+    // (cross-group pairs may legitimately qualify on this tiny corpus)
+    val a = docs.select(col("doc_id").as("a_id"), col("sh").as("sa"))
+    val b = docs.select(col("doc_id").as("b_id"), col("sh").as("sb"))
+    val exact = a.join(b, col("a_id") < col("b_id"))
+      .withColumn("j", TextFns.jaccard("sa", "sb"))
+      .filter(col("j") >= 0.7)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val falsePos = pairs -- exact
+    assert(falsePos.isEmpty, s"pairs below exact threshold: $falsePos")
+  }
+
   test("exact dedup keeps every distinct text exactly once") {
     val docs = Tables.t(spark, sf, "documents")
     val distinctTexts = docs.select("text").distinct().count()
