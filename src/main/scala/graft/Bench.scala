@@ -1,6 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: one JSON line of per-query seconds on
+  * SPARK_GRAFT_SF_DIR. Runs the headline set (one representative query
+  * per operator family) by default; set SPARK_GRAFT_BENCH_ALL=1 to time
+  * every registered query. */
 object Bench {
+  /** One per operator family — scan/filter, agg, join, window, top-k,
+    * set op, recursion, graph, dedup (exact + LSH), ANN, text, stream
+    * windows, store mutation, HeroQL end-to-end. */
+  val headline: Seq[String] = Seq(
+    "s1_scan_filter", "a2_group_multi_agg", "j1_conjunctive_join",
+    "w5_frames_lead_lag", "a6_topk_per_group", "u1_union_distinct",
+    "g1_transitive_closure", "g3_pagerank", "dd1_exact_dedup",
+    "dd3_minhash_lsh", "ann1_bruteforce_topk", "ann2_lsh_topk",
+    "tx2_quality_score", "st1_tumbling_window", "m1b_upsert",
+    "hq2_top3_per_partition", "j9_asof_join")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -17,7 +33,11 @@ object Bench {
     // service) so the first measured query isn't charged ~5s of init
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/nation.parquet").count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val all = SparkEntry.queries
+    val selected =
+      if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) all
+      else headline.flatMap(n => all.get(n).map(n -> _)).toMap
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -33,7 +33,7 @@ object GraphQueries extends QueryPack {
     * via semi-naïve fixpoint (`Kernel/README.md:158-161` recursion
     * guard; no WITH RECURSIVE in Spark). */
   private def g1(s: SparkSession, d: String): DataFrame =
-    Fixpoint.transitiveClosure(partEdges(s, d))
+    Fixpoint.transitiveClosureDoubling(partEdges(s, d))
 
   /** g2 — connected components (GraphX) on the nation co-region graph;
     * components are exactly the regions. */
