@@ -76,7 +76,12 @@ object VectorFns {
     * of numHashes interpreted aggregate() lambdas. */
   case class MinHashSig(child: Expression, as: Seq[Long], bs: Seq[Long])
       extends UnaryExpression with CodegenFallback {
-    private val P = 2305843009213693951L
+    // prime JUST ABOVE the 31-bit base-hash domain: with a large prime
+    // (2^61-1) the affine maps never wrap, every "permutation" becomes
+    // order-isomorphic to the identity, and all signature components
+    // collapse to the same information (caught by the estimator-error
+    // spec). a*x+b < 2^62 still fits in a long before the mod.
+    private val P = 2147483659L
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
     override def nullSafeEval(input: Any): Any = {

@@ -24,12 +24,14 @@ object MinHashLSH {
     * run-to-run and node-to-node. */
   def coeffs(numHashes: Int): (Seq[Long], Seq[Long]) = {
     val rnd = new scala.util.Random(42)
-    val as = Seq.fill(numHashes)(math.abs(rnd.nextLong()) % 2147483647L + 1L)
-    val bs = Seq.fill(numHashes)(math.abs(rnd.nextLong()) % 2147483647L)
+    val as = Seq.fill(numHashes)(math.abs(rnd.nextLong()) % (P - 1) + 1L)
+    val bs = Seq.fill(numHashes)(math.abs(rnd.nextLong()) % P)
     (as, bs)
   }
 
-  private val P = 2305843009213693951L // 2^61 - 1
+  // prime just above the 31-bit base-hash domain — the affine maps must
+  // wrap to behave as independent permutations (see VectorFns.MinHashSig)
+  private val P = 2147483659L
 
   /** MinHash signature from a precomputed base-hash array column:
     * `array<bigint>` of length bands·rowsPerBand. The base hashes MUST
@@ -66,6 +68,39 @@ object MinHashLSH {
               bi -> struct(bi AS band, xxhash64(slice(_mh, bi * $rowsPerBand + 1, $rowsPerBand)) AS sig))"""))
         .as("b"))
       .select(col(idCol), col("b.band"), col("b.sig"))
+  }
+
+  /** Near-duplicates with SIGNATURE-ESTIMATED verification: instead of
+    * the exact shingle intersect, estimate Jaccard as the fraction of
+    * agreeing signature components (the textbook unbiased MinHash
+    * estimator) — k comparisons per candidate instead of |shingles|
+    * hashes, for when verification dominates (§9 scale probe). */
+  def nearDuplicatesEstimated(docsIn: DataFrame, idCol: String, shinglesCol: String,
+      bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val k = bands * rowsPerBand
+    val docs = docsIn.repartition(docsIn.sparkSession.sparkContext.defaultParallelism)
+    val (as, bs) = coeffs(k)
+    graft.functions.VectorFns.register(docs.sparkSession, as, bs)
+    val sigs = docs
+      .withColumn("_mh", expr(s"graft_minhash_sig($shinglesCol)"))
+      .select(col(idCol), col("_mh")).localCheckpoint()
+    val banded = sigs.select(col(idCol), explode(expr(
+      s"""transform(sequence(0, ${bands - 1}),
+            bi -> struct(bi AS band, xxhash64(slice(_mh, bi * $rowsPerBand + 1, $rowsPerBand)) AS sig))"""))
+      .as("b"))
+      .select(col(idCol), col("b.band"), col("b.sig"))
+    val x = banded.select(col(idCol).as("a_id"), col("band"), col("sig"))
+    val y = banded.select(col(idCol).as("b_id"), col("band"), col("sig"))
+    val cand = x.join(y, Seq("band", "sig"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val sa = sigs.select(col(idCol).as("a_id"), col("_mh").as("ma"))
+    val sb = sigs.select(col(idCol).as("b_id"), col("_mh").as("mb"))
+    cand.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("jaccard_est", expr(
+        s"CAST(size(filter(zip_with(ma, mb, (x, y) -> x = y), v -> v)) AS DOUBLE) / $k"))
+      .filter(col("jaccard_est") >= threshold)
+      .select("a_id", "b_id", "jaccard_est")
   }
 
   /** Candidate pairs via the banded self-join, then exact-Jaccard

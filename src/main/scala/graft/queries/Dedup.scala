@@ -59,6 +59,17 @@ object Dedup extends QueryPack {
       bands = 21, rowsPerBand = 3, threshold = 0.25)
   }
 
+  /** dd3b — MinHash with signature-estimated verification (no shingle
+    * re-intersect; the unbiased k-component estimator). Approximate →
+    * rows-only; DedupSpec bounds the estimator error against exact
+    * Jaccard. */
+  private def dd3b(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), TextFns.shingles("text", 5).as("sh"))
+    MinHashLSH.nearDuplicatesEstimated(docs, "doc_id", "sh",
+      bands = 21, rowsPerBand = 3, threshold = 0.25)
+  }
+
   /** dd4 — 31-bit SimHash fingerprint per document: native token-hash
     * + sign-fold expressions (identical results to the HOF forms in
     * TextFns, which remain as the readable reference implementation). */
@@ -111,6 +122,7 @@ object Dedup extends QueryPack {
     "dd1_exact_dedup" -> (dd1 _),
     "dd2_ngram_jaccard" -> (dd2 _),
     "dd3_minhash_lsh" -> (dd3 _),
+    "dd3b_minhash_estimate" -> (dd3b _),
     "dd4_simhash" -> (dd4 _),
     "dd4b_simhash_pairs" -> (dd4b _),
     "dd5_embedding_neardup" -> (dd5 _),

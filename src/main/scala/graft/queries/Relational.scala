@@ -381,6 +381,18 @@ object Relational extends QueryPack {
       .agg(count(lit(1)).as("n_events"))
   }
 
+  /** A12 — statistical aggregates (added scope): sample stddev/variance,
+    * correlation and covariance — identical closed-form definitions in
+    * Spark and DuckDB. */
+  private def a12(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        stddev_samp(col("l_quantity")).as("sd_qty"),
+        var_samp(col("l_extendedprice")).as("var_price"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("corr_qty_price"),
+        covar_samp(col("l_quantity"), col("l_discount")).as("cov_qty_disc"))
+
   /** F8b — JSON extraction (SURVEY §2.8 F8 "json functions"): parse the
     * events.props JSON payload and aggregate on an extracted field. */
   private def f9(s: SparkSession, d: String): DataFrame =
@@ -409,6 +421,7 @@ object Relational extends QueryPack {
     "f10_map_functions" -> (f10 _),
     "j9_asof_join" -> (j9 _),
     "j10_interval_join" -> (j10 _),
+    "a12_stats_aggregates" -> (a12 _),
     "s1_scan_filter" -> (s1 _),
     "s3_inline_values" -> (s3 _),
     "p1_projection" -> (p1 _),
@@ -466,6 +479,13 @@ object Relational extends QueryPack {
          ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
                FROM events WHERE event_type = 'purchase') r
            ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    "a12_stats_aggregates" ->
+      """SELECT l_returnflag,
+                stddev_samp(l_quantity) AS sd_qty,
+                var_samp(l_extendedprice) AS var_price,
+                corr(l_quantity, l_extendedprice) AS corr_qty_price,
+                covar_samp(l_quantity, l_discount) AS cov_qty_disc
+         FROM lineitem GROUP BY l_returnflag""",
     "j10_interval_join" ->
       """SELECT l.event_id AS signup_id, count(*) AS n_events
          FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts0

@@ -70,6 +70,20 @@ class DedupSpec extends SparkSpec {
     assert(falsePos.isEmpty, s"pairs below exact threshold: $falsePos")
   }
 
+  test("signature-estimated jaccard tracks exact jaccard (mean abs error bound)") {
+    val est = Dedup.queries("dd3b_minhash_estimate")(spark, sf)
+      .select("a_id", "b_id", "jaccard_est")
+    val sh = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), TextFns.shingles("text", 5).as("s"))
+    val a = sh.select(col("doc_id").as("a_id"), col("s").as("sa"))
+    val b = sh.select(col("doc_id").as("b_id"), col("s").as("sb"))
+    val joined = est.join(a, "a_id").join(b, "b_id")
+      .withColumn("exact", TextFns.jaccard("sa", "sb"))
+      .select(avg(abs(col("jaccard_est") - col("exact"))).as("mae"))
+      .head.getDouble(0)
+    assert(joined < 0.12, s"minhash estimator MAE too high: $joined")
+  }
+
   test("exact dedup keeps every distinct text exactly once") {
     val docs = Tables.t(spark, sf, "documents")
     val distinctTexts = docs.select("text").distinct().count()

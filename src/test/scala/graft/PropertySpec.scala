@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Fixpoint
+
+/** Seeded randomized property tests (SURVEY §5 point 4): algebraic laws
+  * over generated inputs — union commutativity up to bag equality,
+  * filter/projection commutation (the pushdown-safety law Catalyst
+  * relies on), and fixpoint closure vs a driver-side reference
+  * implementation on random DAGs. */
+class PropertySpec extends SparkSpec {
+
+  private val rnd = new scala.util.Random(2026)
+
+  private def randomDf(n: Int) = {
+    import spark.implicits._
+    Seq.fill(n)((rnd.nextInt(10).toLong, rnd.nextInt(100))).toDF("k", "v")
+  }
+
+  test("property: union is commutative up to bag equality (20 cases)") {
+    (1 to 20).foreach { _ =>
+      val (a, b) = (randomDf(rnd.nextInt(30) + 1), randomDf(rnd.nextInt(30) + 1))
+      val ab = a.union(b).groupBy("k", "v").count()
+      val ba = b.union(a).groupBy("k", "v").count()
+      assert(ab.except(ba).isEmpty && ba.except(ab).isEmpty)
+    }
+  }
+
+  test("property: filter commutes with projection (20 cases)") {
+    (1 to 20).foreach { _ =>
+      val df = randomDf(rnd.nextInt(50) + 1)
+      val cut = rnd.nextInt(100)
+      val a = df.filter(col("v") > cut).select("k")
+      val b = df.select("k", "v").filter(col("v") > cut).select("k")
+      assert(a.groupBy("k").count().except(b.groupBy("k").count()).isEmpty)
+    }
+  }
+
+  test("property: fixpoint closure equals driver-side reference on random DAGs (10 cases)") {
+    import spark.implicits._
+    (1 to 10).foreach { _ =>
+      // acyclic by construction: edges only low -> high
+      val edges = (0 until (rnd.nextInt(20) + 5)).map { _ =>
+        val a = rnd.nextInt(12)
+        val b = a + 1 + rnd.nextInt(4)
+        (a.toLong, b.toLong)
+      }.distinct
+      val df = edges.toDF("child", "parent")
+      val got = Fixpoint.transitiveClosure(df)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // reference: BFS over the edge list
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      def reach(x: Long): Set[Long] = {
+        var seen = Set.empty[Long]
+        var frontier = adj.getOrElse(x, Set.empty)
+        while (frontier.nonEmpty) {
+          seen ++= frontier
+          frontier = frontier.flatMap(f => adj.getOrElse(f, Set.empty)) -- seen
+        }
+        seen
+      }
+      val want = edges.map(_._1).distinct
+        .flatMap(c => reach(c).map(c -> _)).toSet
+      assert(got == want, s"closure mismatch: extra=${got -- want} missing=${want -- got}")
+    }
+  }
+
+  test("property: doubling and semi-naive closures agree (5 cases)") {
+    import spark.implicits._
+    (1 to 5).foreach { _ =>
+      val edges = (0 until (rnd.nextInt(15) + 5)).map { _ =>
+        val a = rnd.nextInt(10)
+        (a.toLong, (a + 1 + rnd.nextInt(3)).toLong)
+      }.distinct.toDF("child", "parent")
+      val a = Fixpoint.transitiveClosure(edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val b = Fixpoint.transitiveClosureDoubling(edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(a == b)
+    }
+  }
+}
