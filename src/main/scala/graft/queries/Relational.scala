@@ -256,6 +256,19 @@ object Relational extends QueryPack {
       .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty", "prev_price")
   }
 
+  /** W6 — remaining ranking analytics: dense_rank / percent_rank /
+    * ntile over a per-group ordering (SURVEY §2.5 W5 family). */
+  private def w6(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, d, "orders")
+      .withColumn("dr", dense_rank().over(w).cast("long"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .filter(col("dr") <= 100)
+      .select("o_orderpriority", "o_orderkey", "dr", "pr", "quartile")
+  }
+
   // --------------------------------------------------------- sorts / slices
 
   /** O1/W2-global — `order_by_desc` + top-10 (`Kernel/README.md:162-174`):
@@ -449,6 +462,7 @@ object Relational extends QueryPack {
     "a10_cube" -> (a10c _),
     "a10_approx_distinct" -> (a10d _),
     "w5_frames_lead_lag" -> (w5 _),
+    "w6_ranking_functions" -> (w6 _),
     "o1_orderby_limit" -> (o1 _),
     "o2_range_by_slice" -> (o2 _),
     "u1_union_distinct" -> (u1 _),
@@ -598,6 +612,16 @@ object Relational extends QueryPack {
          WINDOW w AS (PARTITION BY l_suppkey
            ORDER BY l_shipdate, l_orderkey, l_linenumber
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    "w6_ranking_functions" ->
+      """SELECT o_orderpriority, o_orderkey, dr, pr, quartile FROM (
+           SELECT o_orderpriority, o_orderkey,
+             CAST(dense_rank() OVER w AS BIGINT) AS dr,
+             percent_rank() OVER w AS pr,
+             CAST(ntile(4) OVER w AS BIGINT) AS quartile
+           FROM orders
+           WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey ASC))
+         WHERE dr <= 100""",
     "o1_orderby_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
