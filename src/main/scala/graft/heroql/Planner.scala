@@ -462,7 +462,8 @@ object HeroQL {
         val next = constCond match {
           case None => cur.join(keys, keyFields, "left_anti")
           case Some(c) =>
-            cur.filter(!c).unionByName(cur.filter(c).join(keys, keyFields, "left_anti"))
+            val hit = coalesce(c, lit(false))
+            cur.filter(not(hit)).unionByName(cur.filter(hit).join(keys, keyFields, "left_anti"))
         }
         store.create(table, next)
       case "update" =>

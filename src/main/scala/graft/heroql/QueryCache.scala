@@ -22,6 +22,14 @@ final class QueryCache(store: TableStore) {
   private def marker(name: String) =
     Paths.get(store.root, s"_CALCULATING_$name")
 
+  // Recursion detection is SESSION-scoped: re-entering the same key within
+  // one evaluation is the reference's "calculating" stop condition. The
+  // on-disk marker is kept only as an observability breadcrumb — a marker
+  // left behind by a crashed JVM is stale by definition (no live thread of
+  // this process is computing it) and must not poison the key forever.
+  private val calculating =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def isCached(name: String): Boolean = store.exists(memoName(name))
 
   /** Serve `name` from the memo, computing and materializing on miss. */
@@ -29,13 +37,17 @@ final class QueryCache(store: TableStore) {
     val t = memoName(name)
     if (store.exists(t)) store.read(t)
     else {
-      if (Files.exists(marker(name)))
+      if (!calculating.add(name))
         throw Analyzer.AnalysisError(
           s"cached query $name is already calculating (recursive evaluation)")
       Files.createDirectories(Paths.get(store.root))
+      Files.deleteIfExists(marker(name)) // stale crash leftover, if any
       Files.createFile(marker(name))
       try store.create(t, build)
-      finally Files.deleteIfExists(marker(name))
+      finally {
+        calculating.remove(name)
+        Files.deleteIfExists(marker(name))
+      }
       store.read(t)
     }
   }

@@ -22,12 +22,18 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   /** left/right must share `keyCol` and `tsCol`; the right side
-    * contributes `valueCol`, emitted as `asof_<valueCol>`. */
+    * contributes `valueCol`, emitted as `asof_<valueCol>`.
+    *
+    * Duplicate right rows on the same (key, ts) are collapsed to
+    * `max(value)` BEFORE the union: `last(__rv)` over a RANGE frame picks
+    * an arbitrary peer (intra-peer order is unspecified), so without the
+    * pre-aggregation results would be nondeterministic run-to-run. */
   def asOf(left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String, valueCol: String): DataFrame = {
     val l = left.withColumn("__side", lit("L"))
       .withColumn("__rv", lit(null).cast(right.schema(valueCol).dataType))
-    val r = right.select(col(keyCol), col(tsCol), col(valueCol).as("__rv"))
+    val r = right.groupBy(col(keyCol), col(tsCol))
+      .agg(max(col(valueCol)).as("__rv"))
       .withColumn("__side", lit("R"))
     val leftCols = left.columns
     val unioned = l.select(

@@ -24,8 +24,10 @@ object MinHashLSH {
     * run-to-run and node-to-node. */
   def coeffs(numHashes: Int): (Seq[Long], Seq[Long]) = {
     val rnd = new scala.util.Random(42)
-    val as = Seq.fill(numHashes)(math.abs(rnd.nextLong()) % (P - 1) + 1L)
-    val bs = Seq.fill(numHashes)(math.abs(rnd.nextLong()) % P)
+    // floorMod, not abs: abs(Long.MinValue) is negative, which would push a
+    // coefficient out of [1, P-1] and silently break the permutation
+    val as = Seq.fill(numHashes)(java.lang.Math.floorMod(rnd.nextLong(), P - 1) + 1L)
+    val bs = Seq.fill(numHashes)(java.lang.Math.floorMod(rnd.nextLong(), P))
     (as, bs)
   }
 

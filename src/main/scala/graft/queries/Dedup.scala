@@ -115,6 +115,9 @@ object Dedup extends QueryPack {
       .join(broadcast(side("b_id", "vb", "nb")), col("a_id") < col("b_id"))
       .withColumn("cos_sim", expr("graft_dot_f(va, vb) / (na * nb)"))
       .filter(col("cos_sim") >= 0.4)
+      // emitted value rounded so the external hash gate is insensitive to
+      // last-ulp accumulation-order differences between engines
+      .withColumn("cos_sim", round(col("cos_sim"), 6))
       .select("a_id", "b_id", "cos_sim")
   }
 
@@ -172,10 +175,15 @@ object Dedup extends QueryPack {
            CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 10""",
+    // double-precision cosine, same formula as the Spark side
+    // (list_cosine_similarity on FLOAT[] accumulates in float)
     "dd5_embedding_neardup" ->
-      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-           list_cosine_similarity(a.embedding, b.embedding) AS cos_sim
-         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4""",
+      """SELECT a_id, b_id, round(cos_sim, 6) AS cos_sim FROM (
+           SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cos_sim
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         WHERE cos_sim >= 0.4""",
   )
 }

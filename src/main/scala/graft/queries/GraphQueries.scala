@@ -46,8 +46,11 @@ object GraphQueries extends QueryPack {
     * GraphX's sink correction: final ranks normalized to sum to the
     * vertex count). */
   private def g3(s: SparkSession, d: String): DataFrame =
+    // rank rounded on BOTH sides: GraphX's and the oracle's sum orders
+    // differ in the last ulps (~1e-13), one drift away from a hash flake
     GraphOps.staticPageRank(s, partEdges(s, d)
       .select(col("child").as("src"), col("parent").as("dst")), iters = 3)
+      .withColumn("rank", round(col("rank"), 6))
 
   /** g4 — multi-hop traversal via two aggregateMessages passes
     * (`person.Children(_)` hops, `Kernel/Drafts/draft:138-142`):
@@ -120,7 +123,7 @@ object GraphQueries extends QueryPack {
                   FROM ed JOIN p2 ON ed.src = p2.node JOIN od ON ed.src = od.src
                   GROUP BY ed.dst) s ON v.node = s.node)
          SELECT CAST(node AS BIGINT) AS node,
-                pr * ((SELECT count(*) FROM v) / (SELECT sum(pr) FROM p3)) AS rank
+                round(pr * ((SELECT count(*) FROM v) / (SELECT sum(pr) FROM p3)), 6) AS rank
          FROM p3""",
     "g4_multihop_counts" ->
       s"""WITH e AS ($edgesSql),

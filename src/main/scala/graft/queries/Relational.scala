@@ -173,8 +173,11 @@ object Relational extends QueryPack {
   /** A5 — `Collect` aggregation (`Kernel/Drafts/draft:160`); the list is
     * sorted to make bag order deterministic. */
   private def a5(s: SparkSession, d: String): DataFrame =
+    // joined to a scalar string: the driver's pandas-based compare cannot
+    // hash array cells (ADVICE r1), and the string keeps the collect
+    // semantics fully checkable by the external gate
     t(s, d, "lineitem").groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"))
+      .agg(concat_ws(",", sort_array(collect_list(col("l_linenumber")))).as("lines"))
 
   /** A6/W1-W4 — `OrderByDesc(score, 3)` top-k within group
     * (`Kernel/Drafts/draft:151,157`; per-student top-3
@@ -401,10 +404,14 @@ object Relational extends QueryPack {
     t(s, d, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        stddev_samp(col("l_quantity")).as("sd_qty"),
-        var_samp(col("l_extendedprice")).as("var_price"),
-        corr(col("l_quantity"), col("l_extendedprice")).as("corr_qty_price"),
-        covar_samp(col("l_quantity"), col("l_discount")).as("cov_qty_disc"))
+        // rounded on BOTH sides: Spark's and DuckDB's moment-merge
+        // algorithms differ in the last ulps, so raw doubles never
+        // hash-match; digits chosen so the rounding bucket is >>
+        // the cross-engine error at each column's magnitude
+        round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+        round(var_samp(col("l_extendedprice")), -2).as("var_price"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qty_disc"))
 
   /** F8b — JSON extraction (SURVEY §2.8 F8 "json functions"): parse the
     * events.props JSON payload and aggregate on an extracted field. */
@@ -495,10 +502,10 @@ object Relational extends QueryPack {
            ON l.user_id = r.user_id AND l.ts >= r.ts""",
     "a12_stats_aggregates" ->
       """SELECT l_returnflag,
-                stddev_samp(l_quantity) AS sd_qty,
-                var_samp(l_extendedprice) AS var_price,
-                corr(l_quantity, l_extendedprice) AS corr_qty_price,
-                covar_samp(l_quantity, l_discount) AS cov_qty_disc
+                round(stddev_samp(l_quantity), 6) AS sd_qty,
+                round(var_samp(l_extendedprice), -2) AS var_price,
+                round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+                round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc
          FROM lineitem GROUP BY l_returnflag""",
     "j10_interval_join" ->
       """SELECT l.event_id AS signup_id, count(*) AS n_events
@@ -578,7 +585,7 @@ object Relational extends QueryPack {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, count(*) AS n_lines
          FROM lineitem GROUP BY l_returnflag""",
     "a5_collect_list" ->
-      """SELECT l_orderkey, list_sort(list(l_linenumber)) AS lines
+      """SELECT l_orderkey, array_to_string(list_sort(list(l_linenumber)), ',') AS lines
          FROM lineitem GROUP BY l_orderkey""",
     "a6_topk_per_group" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice, rn FROM (

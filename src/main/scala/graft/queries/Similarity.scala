@@ -37,6 +37,10 @@ object Similarity extends QueryPack {
       .withColumn("cos_sim", expr("graft_dot_f(vp, vn) / (np * nn)"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= K)
+      // rank from the raw double; the EMITTED value is rounded so the
+      // external hash gate is insensitive to last-ulp accumulation-order
+      // differences between engines
+      .withColumn("cos_sim", round(col("cos_sim"), 6))
       .select("probe_id", "neighbor_id", "cos_sim", "rank")
   }
 
@@ -92,15 +96,21 @@ object Similarity extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // explicit double-precision cosine (list_cosine_similarity on FLOAT[]
+    // accumulates in float — ~1e-6 relative error vs our double loop),
+    // same dot/(sqrt·sqrt) formula as the Spark side, rounded identically
     "ann1_bruteforce_topk" ->
-      s"""SELECT probe_id, neighbor_id, cos_sim, rank FROM (
-           SELECT p.vec_id AS probe_id, n.vec_id AS neighbor_id,
-             list_cosine_similarity(p.embedding, n.embedding) AS cos_sim,
-             row_number() OVER (PARTITION BY p.vec_id
-               ORDER BY list_cosine_similarity(p.embedding, n.embedding) DESC,
-                        n.vec_id ASC) AS rank
-           FROM embeddings p JOIN embeddings n ON p.vec_id != n.vec_id
-           WHERE p.vec_id < $NPROBES)
+      s"""SELECT probe_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rank FROM (
+           SELECT probe_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY probe_id
+               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+           FROM (
+             SELECT p.vec_id AS probe_id, n.vec_id AS neighbor_id,
+               list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) /
+                 (sqrt(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[]))) *
+                  sqrt(list_dot_product(CAST(n.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])))) AS cos_sim
+             FROM embeddings p JOIN embeddings n ON p.vec_id != n.vec_id
+             WHERE p.vec_id < $NPROBES))
          WHERE rank <= $K""",
   )
 }

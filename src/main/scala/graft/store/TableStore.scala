@@ -172,8 +172,9 @@ final class Txn(store: TableStore) {
     })
   }
 
+  /** SQL DELETE semantics: only rows where cond is TRUE are removed; NULL keeps the row. */
   def delete(name: String, cond: Column): Unit =
-    create(name, read(name).filter(!cond))
+    create(name, read(name).filter(not(coalesce(cond, lit(false)))))
 
   def truncate(name: String): Unit =
     create(name, read(name).filter(lit(false)))

@@ -13,6 +13,8 @@ import json, math, sys
 import duckdb
 import pandas as pd
 
+STRICT = "--strict" in sys.argv  # exact float equality, like the driver's hash gate
+
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -43,6 +45,8 @@ def values_equal(a, b) -> bool:
             return str(a) == str(b)
         if math.isnan(af) and math.isnan(bf):
             return True
+        if STRICT:
+            return af == bf
         return math.isclose(af, bf, rel_tol=1e-6, abs_tol=1e-9)
     if isinstance(a, tuple) and isinstance(b, tuple):
         return len(a) == len(b) and all(values_equal(x, y) for x, y in zip(a, b))
@@ -70,7 +74,7 @@ def compare(name, got: pd.DataFrame, want: pd.DataFrame):
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    sf_dir, out_dir = [a for a in sys.argv[1:] if not a.startswith("--")][:2]
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     for t in TABLES:
