@@ -1,0 +1,88 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.store.{PackageDef, PackageManager, TableStore}
+
+/** Package / instance lifecycle (`Kernel/README.md:256-273`,
+  * `Kernel/Drafts/draft:168-197`) made oracle-checkable: each query
+  * drives define → instantiate → (inherit → mutate → merge | isolate)
+  * through [[graft.store.PackageManager]]'s atomic-commit paths and
+  * returns a final committed state the DuckDB oracle states relationally
+  * from the same base tables.
+  */
+object PackageQueries extends QueryPack {
+
+  private val custCols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+
+  private def seedDf(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").filter(col("c_custkey") % 5 === 0)
+      .select(custCols.map(col): _*)
+
+  private def mgr(s: SparkSession): PackageManager =
+    new PackageManager(new TableStore(s,
+      Files.createTempDirectory("graft-pkg-").toString))
+
+  /** pk1 — inherit (manifest pointer-copy), mutate the CHILD
+    * copy-on-write, check the PARENT is untouched, then merge the child
+    * back (one atomic multi-table swap) and emit the parent's final
+    * state. */
+  private def pk1(s: SparkSession, d: String): DataFrame = {
+    val pm = mgr(s)
+    pm.define(PackageDef("crm", tables = Seq("customer")))
+    val base = pm.instantiate("crm", "prod", Map("customer" -> seedDf(s, d)))
+    val fork = pm.instantiateInheriting(base, "staging")
+    // child mutations: credit nation<10 balances, remove negative ones
+    pm.store.update(fork.table("customer"),
+      Map("c_acctbal" -> (col("c_acctbal") + 100.0)), col("c_nationkey") < 10)
+    pm.store.delete(fork.table("customer"), col("c_acctbal") < 0.0)
+    // parent must still serve the pre-fork snapshot (COW isolation):
+    // fail loudly inside the query if inheritance leaked
+    val parentN = pm.read(base, "customer").count()
+    val seedN = seedDf(s, d).count()
+    require(parentN == seedN, s"COW leak: parent $parentN != seed $seedN")
+    pm.merge(fork)
+    pm.read(base, "customer")
+  }
+
+  /** pk2 — two INDEPENDENT instances of one package in the same module:
+    * mutations in one are invisible in the other; emit both namespaces
+    * tagged. */
+  private def pk2(s: SparkSession, d: String): DataFrame = {
+    val pm = mgr(s)
+    pm.define(PackageDef("crm", tables = Seq("customer")))
+    val a = pm.instantiate("crm", "tenant_a", Map("customer" -> seedDf(s, d)))
+    val b = pm.instantiate("crm", "tenant_b", Map("customer" -> seedDf(s, d)))
+    pm.store.update(a.table("customer"),
+      Map("c_acctbal" -> lit(0.0)), lit(true))
+    pm.read(a, "customer").withColumn("tenant", lit("tenant_a"))
+      .unionByName(pm.read(b, "customer").withColumn("tenant", lit("tenant_b")))
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pk1_package_inherit_merge" -> (pk1 _),
+    "pk2_package_isolation" -> (pk2 _),
+  )
+
+  private val seedSql =
+    "SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer WHERE c_custkey % 5 = 0"
+
+  override val oracles: Map[String, String] = Map(
+    "pk1_package_inherit_merge" ->
+      s"""SELECT c_custkey, c_name, c_nationkey,
+                 CASE WHEN c_nationkey < 10 THEN c_acctbal + 100.0
+                      ELSE c_acctbal END AS c_acctbal
+          FROM ($seedSql)
+          WHERE (CASE WHEN c_nationkey < 10 THEN c_acctbal + 100.0
+                      ELSE c_acctbal END) >= 0.0""",
+    "pk2_package_isolation" ->
+      s"""SELECT c_custkey, c_name, c_nationkey, 0.0 AS c_acctbal,
+                 'tenant_a' AS tenant FROM ($seedSql)
+          UNION ALL
+          SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                 'tenant_b' AS tenant FROM ($seedSql)""",
+  )
+}

@@ -1,0 +1,148 @@
+package graft.store
+
+import org.apache.spark.sql.DataFrame
+
+/** Data packages and package instances — the reference's module system
+  * (`Kernel/README.md:256-273` "DATA PACKAGE": declaration with
+  * `package NAME using P1, P2 ...`, public queries, and the operations
+  * "instantiate an independent data package / discard / instantiate
+  * inheriting from another one / merge an inheriting instance to its
+  * parent"; `Kernel/Drafts/draft:168-197`: "a database is a group of
+  * files; a database instance is an installed database with data; ...
+  * database likes assembly, module likes appdomain").
+  *
+  * Spark-first mapping:
+  *  - package        → schema declaration (table names + public query
+  *                     names + `using` edges), a catalog-level object
+  *  - module         → one [[TableStore]] root ("appdomain": instances
+  *                     inside one store may share data files; two stores
+  *                     never exchange anything)
+  *  - instance       → a table-name namespace `<instance>::<table>`
+  *                     inside the store
+  *  - inheritance    → COPY-ON-WRITE AT THE MANIFEST LEVEL: the child's
+  *                     table manifests point at the parent's immutable
+  *                     parquet data dirs (root-relative refs) — zero
+  *                     bytes copied at instantiation regardless of data
+  *                     size, mutations in the child write child-local
+  *                     files only. This is the 100 TB-safe shape: fork a
+  *                     whole database instance in O(#tables) metadata
+  *                     writes.
+  *  - merge          → re-point every parent table at the child's
+  *                     current dirs in ONE store-manifest swap (the same
+  *                     multi-table atomic commit as `transaction query`)
+  *  - discard        → unpublish the instance's names; files stay (they
+  *                     may be pointer-shared with other instances — GC
+  *                     is a vacuum concern, not a correctness one)
+  *
+  * The no-cycle `using` dependency rule and public-query visibility
+  * (`public QUERY | TRANSACTION`) are enforced at definition/resolution
+  * time.
+  */
+final case class PackageDef(
+    name: String,
+    tables: Seq[String],
+    publicQueries: Set[String] = Set.empty,
+    using: Seq[String] = Seq.empty)
+
+final class PackageManager(val store: TableStore) {
+
+  private var packages = Map.empty[String, PackageDef]
+  private var instances = Map.empty[String, Instance] // instance name -> handle
+
+  final case class Instance(name: String, pkg: String, parent: Option[String]) {
+    /** Physical store-table name of a logical package table. */
+    def table(logical: String): String = s"$name::$logical"
+  }
+
+  def define(pkg: PackageDef): Unit = {
+    pkg.using.foreach { dep =>
+      if (!packages.contains(dep))
+        throw new IllegalArgumentException(
+          s"package ${pkg.name}: unknown dependency $dep")
+    }
+    // dependencies must already exist and redefinition is rejected, so
+    // the `using` graph is acyclic by construction
+    if (packages.contains(pkg.name))
+      throw new IllegalArgumentException(s"package ${pkg.name} already defined")
+    packages += pkg.name -> pkg
+  }
+
+  def packageOf(name: String): PackageDef = packages(name)
+
+  /** Cross-package query visibility: within the declaring package
+    * everything is visible; from a `using` package only `public`
+    * queries are. */
+  def visible(fromPkg: String, declaringPkg: String, query: String): Boolean =
+    fromPkg == declaringPkg ||
+      (packages(fromPkg).using.contains(declaringPkg) &&
+        packages(declaringPkg).publicQueries.contains(query))
+
+  /** Instantiate an independent instance; `seed` provides initial data
+    * per logical table (unseeded tables are not materialized until
+    * written). One atomic commit publishes the whole instance. */
+  def instantiate(pkgName: String, instName: String,
+      seed: Map[String, DataFrame] = Map.empty): Instance = {
+    val pkg = packages.getOrElse(pkgName,
+      throw new IllegalArgumentException(s"unknown package $pkgName"))
+    if (instances.contains(instName))
+      throw new IllegalArgumentException(
+        s"instance $instName already exists in this module")
+    val inst = Instance(instName, pkg.name, None)
+    store.transaction { tx =>
+      seed.foreach { case (logical, df) =>
+        require(pkg.tables.contains(logical),
+          s"package $pkgName has no table $logical")
+        tx.create(inst.table(logical), df)
+      }
+    }
+    instances += instName -> inst
+    inst
+  }
+
+  /** Instantiate inheriting from `parent`: every parent table becomes
+    * visible in the child via manifest pointer-copy (no data copied);
+    * subsequent child mutations are copy-on-write. */
+  def instantiateInheriting(parent: Instance, instName: String): Instance = {
+    if (instances.contains(instName))
+      throw new IllegalArgumentException(
+        s"instance $instName already exists in this module")
+    val pkg = packages(parent.pkg)
+    val child = Instance(instName, parent.pkg, Some(parent.name))
+    store.transaction { tx =>
+      pkg.tables.foreach { logical =>
+        val pt = parent.table(logical)
+        if (store.exists(pt)) tx.link(child.table(logical), store.dirsAsRefs(pt))
+      }
+    }
+    instances += instName -> child
+    child
+  }
+
+  /** Merge an inheriting instance back to its parent: one atomic
+    * multi-table pointer swap, exactly the `transaction query` commit
+    * shape. The child remains usable (its tables are untouched). */
+  def merge(child: Instance): Unit = {
+    val parentName = child.parent.getOrElse(
+      throw new IllegalArgumentException(
+        s"instance ${child.name} does not inherit from anything"))
+    val parent = instances(parentName)
+    val pkg = packages(child.pkg)
+    store.transaction { tx =>
+      pkg.tables.foreach { logical =>
+        val ct = child.table(logical)
+        if (store.exists(ct)) tx.link(parent.table(logical), store.dirsAsRefs(ct))
+      }
+    }
+  }
+
+  /** Discard an instance: unpublish its namespace in one commit. Files
+    * stay on disk — they may be pointer-shared with other instances. */
+  def discard(inst: Instance): Unit = {
+    val pkg = packages(inst.pkg)
+    store.unpublish(pkg.tables.map(inst.table))
+    instances -= inst.name
+  }
+
+  def read(inst: Instance, logical: String): DataFrame =
+    store.read(inst.table(logical))
+}

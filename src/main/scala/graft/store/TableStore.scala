@@ -83,8 +83,27 @@ final class TableStore(val spark: SparkSession, val root: String) {
     sub
   }
 
+  /** Manifest lines are data-dir names local to the table's directory;
+    * a line containing '/' is a CROSS-TABLE reference resolved from the
+    * store root (`otherTable/data-xyz`) — the mechanism behind
+    * copy-on-write package-instance inheritance ([[PackageManager]]):
+    * an inheriting instance's manifest points at the parent's immutable
+    * data files, no bytes copied. */
+  private[store] def resolveDir(table: String, dir: String): Path =
+    if (dir.contains("/")) rootPath.resolve(dir)
+    else rootPath.resolve(table).resolve(dir)
+
+  /** A table's current data dirs, rewritten as root-relative refs usable
+    * from another table's manifest. */
+  private[store] def dirsAsRefs(table: String): Seq[String] = {
+    val m = currentTables().getOrElse(table,
+      throw new IllegalArgumentException(s"no such table: $table"))
+    readTableManifest(table, m).map(d =>
+      if (d.contains("/")) d else s"$table/$d")
+  }
+
   private[store] def readDirs(table: String, dirs: Seq[String]): DataFrame =
-    spark.read.parquet(dirs.map(d => rootPath.resolve(table).resolve(d).toString): _*)
+    spark.read.parquet(dirs.map(d => resolveDir(table, d).toString): _*)
 
   // ----------------------------------------------------------- public API
 
@@ -113,6 +132,13 @@ final class TableStore(val spark: SparkSession, val root: String) {
     transaction(_.update(name, assignments, cond))
   def delete(name: String, cond: Column): Unit = transaction(_.delete(name, cond))
   def truncate(name: String): Unit = transaction(_.truncate(name))
+
+  /** Unpublish tables WITHOUT deleting files — the safe removal for
+    * package instances, whose data dirs may be pointer-shared with an
+    * inheriting or merged-into instance (GC is a separate concern, like
+    * any snapshot store's vacuum). */
+  def unpublish(names: Seq[String]): Unit =
+    publish(currentTables() -- names)
 
   /** M4 `uncache Table`: unpublish and remove the materialization. */
   def drop(name: String): Unit = {
@@ -178,6 +204,13 @@ final class Txn(store: TableStore) {
 
   def truncate(name: String): Unit =
     create(name, read(name).filter(lit(false)))
+
+  /** Pointer-only publish: point `name` at existing data dirs (root-
+    * relative refs from [[TableStore.dirsAsRefs]]) — no data written.
+    * The copy-on-write primitive behind package-instance inheritance
+    * and merge. */
+  private[store] def link(name: String, refDirs: Seq[String]): Unit =
+    pending += name -> store.writeTableManifest(name, refDirs)
 
   private[store] def publishAll(): Unit =
     if (pending.nonEmpty) store.publish(store.currentTables() ++ pending)

@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.store.{PackageDef, PackageManager, TableStore}
+
+/** Package / instance semantics (`Kernel/README.md:256-273`,
+  * `Kernel/Drafts/draft:168-197`): instancing, COW inheritance, atomic
+  * merge, discard, visibility, and the no-second-instance module rule. */
+class PackagesSpec extends SparkSpec {
+
+  private def freshMgr(): PackageManager =
+    new PackageManager(new TableStore(spark,
+      Files.createTempDirectory("graft-pkg-spec-").toString))
+
+  private def seedDf = {
+    import spark.implicits._
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v")
+  }
+
+  test("inheritance is a pointer copy: no new data files, child reads parent data") {
+    val pm = freshMgr()
+    pm.define(PackageDef("p", tables = Seq("t")))
+    val base = pm.instantiate("p", "base", Map("t" -> seedDf))
+    val commitsBefore = pm.store.commitCount()
+    val fork = pm.instantiateInheriting(base, "fork")
+    assert(pm.read(fork, "t").orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // exactly one metadata commit, and the child table dir holds no data dirs
+    assert(pm.store.commitCount() == commitsBefore + 1)
+    val childDir = java.nio.file.Paths.get(pm.store.root, fork.table("t"))
+    val entries = Files.list(childDir).iterator()
+    var dataDirs = 0
+    while (entries.hasNext) if (entries.next().getFileName.toString.startsWith("data-")) dataDirs += 1
+    assert(dataDirs == 0, "inheriting must not copy data files")
+  }
+
+  test("child mutations are copy-on-write: parent snapshot unchanged") {
+    val pm = freshMgr()
+    pm.define(PackageDef("p", tables = Seq("t")))
+    val base = pm.instantiate("p", "base", Map("t" -> seedDf))
+    val fork = pm.instantiateInheriting(base, "fork")
+    pm.store.update(fork.table("t"), Map("v" -> lit(0.0)), col("id") === 1L)
+    pm.store.delete(fork.table("t"), col("id") === 3L)
+    assert(pm.read(fork, "t").count() == 2)
+    val parent = pm.read(base, "t").orderBy("id").collect()
+    assert(parent.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(parent.map(_.getDouble(1)).toSeq == Seq(10.0, 20.0, 30.0))
+  }
+
+  test("merge re-points the parent atomically; independent instances stay isolated") {
+    val pm = freshMgr()
+    pm.define(PackageDef("p", tables = Seq("t")))
+    val base = pm.instantiate("p", "base", Map("t" -> seedDf))
+    val other = pm.instantiate("p", "other", Map("t" -> seedDf))
+    val fork = pm.instantiateInheriting(base, "fork")
+    pm.store.update(fork.table("t"), Map("v" -> (col("v") * 2)), lit(true))
+    val commitsBefore = pm.store.commitCount()
+    pm.merge(fork)
+    assert(pm.store.commitCount() == commitsBefore + 1, "merge is ONE commit")
+    assert(pm.read(base, "t").agg(sum("v")).head.getDouble(0) == 120.0)
+    assert(pm.read(other, "t").agg(sum("v")).head.getDouble(0) == 60.0,
+      "independent instance must not see the merge")
+  }
+
+  test("discard unpublishes but leaves shared files readable via other instances") {
+    val pm = freshMgr()
+    pm.define(PackageDef("p", tables = Seq("t")))
+    val base = pm.instantiate("p", "base", Map("t" -> seedDf))
+    val fork = pm.instantiateInheriting(base, "fork")
+    pm.discard(base)
+    assert(!pm.store.exists("base::t"))
+    // fork's manifest still points at the (undeleted) parent data files
+    assert(pm.read(fork, "t").count() == 3)
+  }
+
+  test("module rules: duplicate instance name and unknown dependency rejected") {
+    val pm = freshMgr()
+    pm.define(PackageDef("p", tables = Seq("t")))
+    pm.instantiate("p", "solo")
+    intercept[IllegalArgumentException](pm.instantiate("p", "solo"))
+    intercept[IllegalArgumentException](
+      pm.define(PackageDef("q", tables = Seq("u"), using = Seq("missing"))))
+  }
+
+  test("public-query visibility across using packages") {
+    val pm = freshMgr()
+    pm.define(PackageDef("core", tables = Seq("t"),
+      publicQueries = Set("Exported")))
+    pm.define(PackageDef("app", tables = Seq("u"), using = Seq("core")))
+    assert(pm.visible("app", "core", "Exported"))
+    assert(!pm.visible("app", "core", "Internal"))
+    assert(pm.visible("core", "core", "Internal"),
+      "declaring package sees its own private queries")
+  }
+}
