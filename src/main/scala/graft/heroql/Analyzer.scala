@@ -15,7 +15,9 @@ object Analyzer {
   final case class AnalysisError(msg: String) extends RuntimeException(msg)
 
   def exprVars(e: Expr): Set[String] = e match {
-    case EVar(n) => Set(n)
+    // `c.r` is a field access on variable `c` — the base is the
+    // binding-relevant name
+    case EVar(n) => Set(n.takeWhile(_ != '.'))
     case ELit(_) => Set.empty
     case EUnary(_, x) => exprVars(x)
     case EBinary(_, l, r) => exprVars(l) | exprVars(r)

@@ -19,8 +19,16 @@ object Ast {
       outArgs: Seq[(String, String)],
       body: Body)
 
+  /** `union Shape = Circle | Rect | Point.` — a tagged-union type
+    * declaration; variant order fixes the runtime tag
+    * (`Kernel/README.md:36-39` union types; runtime-type case dispatch
+    * `Kernel/Drafts/draft_type:218-311`). Values use the frozen
+    * [[graft.types.UnionType]] struct encoding. */
+  final case class UnionDecl(name: String, variants: Seq[String])
+
   final case class Program(datas: Seq[DataDecl], queries: Seq[QueryDecl],
-      funcs: Seq[FuncDecl] = Seq.empty)
+      funcs: Seq[FuncDecl] = Seq.empty,
+      unions: Seq[UnionDecl] = Seq.empty)
 
   /** `func Name(in a, out b); case Name(0, 1); case Name(a, b) :- ... ;`
     * (`Kernel/Drafts/draft:75-89`): multi-clause moded function with
@@ -85,6 +93,13 @@ object Ast {
   final case class TVar(name: String) extends Term
   final case class TConst(value: Lit) extends Term
   case object TWildcard extends Term
+  /** `x : Circle` — runtime-type pattern: matches when the union-typed
+    * argument's tag is the variant's, binding `x` to the variant payload
+    * (`Kernel/Drafts/draft_type:218-311`, e.g. `in target : FuncType`). */
+  final case class TTyped(name: String, variant: String) extends Term
+  /** Computed argument in a func-call atom (`Fib(i-1, a)` —
+    * `Kernel/Drafts/draft:85-89`); not a match pattern. */
+  final case class TExpr(e: Expr) extends Term
   /** `@score` inside `@update` — the field to assign
     * (`Kernel/README.md:218-225`). */
   final case class TAtVar(name: String) extends Term

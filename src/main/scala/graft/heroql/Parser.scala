@@ -29,7 +29,7 @@ object Parser {
   final case class TSym(s: String) extends Tok
 
   private val symbols = Seq(":-", "->", "<-", "<=", ">=", "==", "!=",
-    "(", ")", ",", ";", ".", ":", "<", ">", "=", "+", "-", "*", "/", "_")
+    "(", ")", ",", ";", ".", ":", "<", ">", "=", "+", "-", "*", "/", "_", "|")
 
   def lex(src: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -44,6 +44,15 @@ object Parser {
         val start = i
         i += 1
         while (i < n && (src(i).isLetterOrDigit || src(i) == '_')) i += 1
+        // dotted identifier = struct/variant field access (`c.r`,
+        // `target.belongTo` — `Kernel/Drafts/draft_type:264`): the dot
+        // continues the identifier only when a letter follows IMMEDIATELY,
+        // so the whitespace-separated rule terminator `.` still lexes as a
+        // symbol
+        while (i + 1 < n && src(i) == '.' && src(i + 1).isLetter) {
+          i += 2
+          while (i < n && (src(i).isLetterOrDigit || src(i) == '_')) i += 1
+        }
         out += TId(src.substring(start, i))
       } else if (c.isDigit) {
         val start = i
@@ -93,10 +102,12 @@ object Parser {
     def program(): Program = {
       val datas = Seq.newBuilder[DataDecl]
       val queries = Seq.newBuilder[QueryDecl]
+      val unions = Seq.newBuilder[UnionDecl]
       val funcs = scala.collection.mutable.LinkedHashMap.empty[String, FuncDecl]
       while (peek.isDefined) {
         peek match {
           case Some(TId("data")) => datas += dataDecl()
+          case Some(TId("union")) => unions += unionDecl()
           case Some(TId("query")) => queries += queryDecl()
           case Some(TId("func")) =>
             val f = funcDecl()
@@ -109,7 +120,20 @@ object Parser {
           case t => throw ParseError(s"expected 'data', 'query', 'func' or 'case', got $t", pos)
         }
       }
-      Program(datas.result(), queries.result(), funcs.values.toSeq)
+      Program(datas.result(), queries.result(), funcs.values.toSeq,
+        unions.result())
+    }
+
+    /** `union Shape = Circle | Rect | Point.` */
+    def unionDecl(): UnionDecl = {
+      expectId() // union
+      val name = expectId()
+      expectSym("=")
+      val variants = Seq.newBuilder[String]
+      variants += expectId()
+      while (eat("|")) variants += expectId()
+      if (!eat(";")) expectSym(".")
+      UnionDecl(name, variants.result())
     }
 
     /** `func Name(in a, out b);` — modes default to `in`
@@ -126,6 +150,10 @@ object Parser {
         val a = expectId()
         if (a == "in" || a == "out") params += (a -> expectId())
         else params += ("in" -> a)
+        // optional declared type (`in s : Shape` — draft_type:216): the
+        // engine dispatches on case-level runtime-type patterns, so the
+        // declaration-level annotation is parsed and not stored
+        if (eat(":")) expectId()
       }
       expectSym(")")
       if (!eat(";")) expectSym(".")
@@ -353,7 +381,15 @@ object Parser {
       while (!at(")")) {
         if (!first) expectSym(",")
         first = false
-        args += term()
+        val save = pos
+        val t = term()
+        // `Fib(i-1, a)`: an arithmetic operator after a simple term means
+        // the argument is a computed expression — reparse with the full
+        // expression grammar (`Kernel/Drafts/draft:85-89`)
+        if (at("+") || at("-") || at("*") || at("/")) {
+          pos = save
+          args += TExpr(exprP())
+        } else args += t
       }
       expectSym(")")
       Atom(rel, args.result())
@@ -364,6 +400,8 @@ object Parser {
       case TId("true") => TConst(LBool(true))
       case TId("false") => TConst(LBool(false))
       case TId(v) if v.startsWith("@") => TAtVar(v.drop(1))
+      case TId(v) if at(":") => // `x : Variant` runtime-type pattern
+        expectSym(":"); TTyped(v, expectId())
       case TId(v) => TVar(v)
       case TNum(s) => TConst(numLit(s))
       case TStr(s) => TConst(LString(s))

@@ -23,7 +23,12 @@ import Ast._
   */
 final class Planner(decls: Map[String, DataDecl],
     queryDecls: Map[String, QueryDecl], catalog: Map[String, DataFrame],
-    funcs: Map[String, FuncDecl] = Map.empty) {
+    funcs: Map[String, FuncDecl] = Map.empty,
+    unions: Map[String, UnionDecl] = Map.empty) {
+
+  /** variant name -> (tag, owning union) across all declared unions. */
+  private val variantTags: Map[String, Int] =
+    unions.values.flatMap(u => u.variants.zipWithIndex).toMap
 
   /** Planning stack — a rule atom naming a query already being planned
     * is recursion, which the reference errors on via its "calculating"
@@ -205,12 +210,395 @@ final class Planner(decls: Map[String, DataDecl],
     df
   }
 
+  private def isSelfRecursive(f: FuncDecl): Boolean =
+    f.cases.exists(_.guards.exists {
+      case a: Atom => a.rel == f.name
+      case _ => false
+    })
+
+  /** Self-recursive moded func (`func Fib(in i, out o); case Fib(0, 1);
+    * case Fib(i, o) :- Fib(i-1, a), Fib(i-2, b), o <- a + b` —
+    * `Kernel/Drafts/draft:75-89`), evaluated DEMAND-DRIVEN as two
+    * DataFrame fixpoints over the MEMO TABLE of distinct argument
+    * values (the reference's cached-query memo, `Kernel/README.md:
+    * 142-161`, applied to a function):
+    *
+    *  1. demand closure — which argument values are transitively needed
+    *     (semi-naïve frontier expansion, like [[graft.operators
+    *     .Fixpoint]]);
+    *  2. resolution — base-case demands evaluate immediately; a
+    *     recursive demand evaluates once every self-call dependency is
+    *     resolved (one equi-join per self-call per round).
+    *
+    * Scale shape: state is the distinct-argument memo, never the
+    * caller's rows; rounds = recursion DEPTH (inherent for a chain
+    * dependency, same bound as any recursive CTE); the final memo joins
+    * back to the caller broadcast. Case selection must be static (the
+    * in-pattern + comparison guards decide which clause fires BEFORE
+    * dependency values are known — true of the reference's samples,
+    * where patterns/guards inspect the inputs only). */
+  private def recursiveFuncAtom(st: State, f: FuncDecl, a: Atom): State = {
+    val inIdxs = f.params.zipWithIndex.collect { case (("in", _), i) => i }
+    val outIdxs = f.params.zipWithIndex.collect { case (("out", _), i) => i }
+    if (inIdxs.size != 1 || outIdxs.size != 1)
+      throw Analyzer.AnalysisError(
+        s"${f.name}: recursive funcs support exactly one 'in' and one 'out'")
+    val (inIdx, outIdx) = (inIdxs.head, outIdxs.head)
+    val outVar = a.args(outIdx) match {
+      case TVar(v) => v
+      case t => throw Analyzer.AnalysisError(s"${f.name}: out argument must be a variable, got $t")
+    }
+    val callerCol = a.args(inIdx) match {
+      case TVar(v) => col(v)
+      case TConst(l) => litOf(l)
+      case TExpr(e) => exprColEnv(e, Map.empty)
+      case t => throw Analyzer.AnalysisError(s"${f.name}: bad 'in' argument $t")
+    }
+    val base = st.df.getOrElse(throw Analyzer.AnalysisError(
+      s"${f.name}: func call needs prior bindings in the rule body"))
+    // with no base case the demand graph can never resolve — fail before
+    // any evaluation instead of spinning to the round cap
+    if (!f.cases.exists(_.guards.forall {
+      case a: Atom => a.rel != f.name
+      case _ => true
+    }))
+      throw Analyzer.AnalysisError(s"${f.name}: recursive func has no base case")
+    val inputs = base.select(callerCol.cast("bigint").as("__fin")).distinct()
+    val memo = funcMemo(f, inIdx, outIdx, inputs)
+    val joined = base.join(broadcast(memo), callerCol.cast("bigint") === memo("__fin"), "left")
+      .withColumn(outVar, col("__fout")).drop("__fin", "__fout")
+    State(Some(joined), st.bound + outVar, st.partition)
+  }
+
+  /** The memo behind [[recursiveFuncAtom]]: inputs DF(__fin: bigint) →
+    * DF(__fin, __fout).
+    *
+    * Two execution strategies, chosen by demand size:
+    *  - inputs ≤ [[Planner.localMemoThreshold]]: the memo is METADATA-
+    *    sized (distinct scalar arguments), so the closure + resolution
+    *    run on the driver with the AST interpreter — rounds collapse to
+    *    one broadcastable lookup table instead of 2·depth Spark jobs
+    *    (~1s each locally). This is the same judgement call as
+    *    broadcasting a small join side.
+    *  - else: fully distributed dual fixpoint ([[funcMemoDistributed]]),
+    *    correct for demand sets that don't fit one node. */
+  private def funcMemo(f: FuncDecl, inIdx: Int, outIdx: Int,
+      inputs: DataFrame): DataFrame = {
+    val spark = inputs.sparkSession
+    val threshold = Planner.localMemoThreshold
+    val sample = inputs.limit(threshold + 1).collect()
+    if (sample.length <= threshold) {
+      val vals = sample.map(r => r.getLong(0))
+      val memo = funcMemoLocal(f, inIdx, outIdx, vals)
+      import spark.implicits._
+      // values are uniformly long or double per func (promotion happens
+      // during interpretation); split on the realized type
+      if (memo.forall(_._2.isInstanceOf[Long]))
+        memo.map { case (k, v) => (k, v.asInstanceOf[Long]) }
+          .toSeq.toDF("__fin", "__fout")
+      else if (memo.forall(v => v._2.isInstanceOf[Double] || v._2.isInstanceOf[Long]))
+        memo.map { case (k, v) => (k, v match {
+          case d: Double => d
+          case l: Long => l.toDouble
+          case _ => throw Analyzer.AnalysisError(s"${f.name}: non-numeric memo value")
+        }) }.toSeq.toDF("__fin", "__fout")
+      else memo.map { case (k, v) => (k, String.valueOf(v)) }
+        .toSeq.toDF("__fin", "__fout")
+    } else funcMemoDistributed(f, inIdx, outIdx, inputs)
+  }
+
+  /** Driver-side recursive evaluation over the HeroQL expression AST:
+    * memoized iterative DFS (explicit stack — no JVM recursion limit),
+    * first-match-wins clause selection, cycle detection = the
+    * reference's "calculating" guard per argument value. */
+  private def funcMemoLocal(f: FuncDecl, inIdx: Int, outIdx: Int,
+      demands: Array[Long]): collection.Map[Long, Any] = {
+    def evalExpr(e: Expr, env: Map[String, Any]): Any = e match {
+      case EVar(n) => env.getOrElse(n, throw Analyzer.AnalysisError(
+        s"${f.name}: unbound variable $n in recursive case (only in-args and lets are available)"))
+      case ELit(LInt(v)) => v
+      case ELit(LDouble(v)) => v
+      case ELit(LString(v)) => v
+      case ELit(LBool(v)) => v
+      case EUnary("-", x) => evalExpr(x, env) match {
+        case l: Long => -l
+        case d: Double => -d
+        case o => throw Analyzer.AnalysisError(s"${f.name}: cannot negate $o")
+      }
+      case EUnary(op, _) => throw Analyzer.AnalysisError(s"unknown unary $op")
+      case EBinary(op, l, r) =>
+        val (a, b) = (evalExpr(l, env), evalExpr(r, env))
+        def num(x: Any): Double = x match {
+          case l: Long => l.toDouble; case d: Double => d
+          case o => throw Analyzer.AnalysisError(s"${f.name}: non-numeric operand $o")
+        }
+        (op, a, b) match {
+          case ("+", x: Long, y: Long) => x + y
+          case ("-", x: Long, y: Long) => x - y
+          case ("*", x: Long, y: Long) => x * y
+          // Spark's Column `/` is always floating-point division
+          case ("/", _, _) => num(a) / num(b)
+          case ("+", _, _) => num(a) + num(b)
+          case ("-", _, _) => num(a) - num(b)
+          case ("*", _, _) => num(a) * num(b)
+          case (o, _, _) => throw Analyzer.AnalysisError(s"unknown operator $o")
+        }
+    }
+    def cmp(op: String, a: Any, b: Any): Boolean = {
+      val c = (a, b) match {
+        case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+        case (x: String, y: String) => x.compareTo(y)
+        case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+        case _ => java.lang.Double.compare(
+          a match { case l: Long => l.toDouble; case d: Double => d
+            case o => throw Analyzer.AnalysisError(s"${f.name}: cannot compare $o") },
+          b match { case l: Long => l.toDouble; case d: Double => d
+            case o => throw Analyzer.AnalysisError(s"${f.name}: cannot compare $o") })
+      }
+      op match {
+        case "==" => c == 0; case "!=" => c != 0; case "<" => c < 0
+        case "<=" => c <= 0; case ">" => c > 0; case ">=" => c >= 0
+      }
+    }
+    def litVal(l: Lit): Any = l match {
+      case LInt(v) => v; case LDouble(v) => v
+      case LString(v) => v; case LBool(v) => v
+    }
+    // which clause fires for argument v (static selection — patterns and
+    // comparison guards may inspect the input and input-derived lets,
+    // never self-call results), or -1
+    def caseFor(v: Long): Int = f.cases.indexWhere { c =>
+      var env = c.args(inIdx) match {
+        case TVar(n) => Map[String, Any](n -> v)
+        case _ => Map.empty[String, Any]
+      }
+      val patOk = c.args(inIdx) match {
+        case TConst(l) => cmp("==", litVal(l), v)
+        case _ => true
+      }
+      patOk && c.guards.forall {
+        case Compare(op, l, r) => cmp(op, evalExpr(l, env), evalExpr(r, env))
+        case Binding(out, value) =>
+          // lets over statically-bound vars extend the selection env;
+          // ones referencing self-call results are resolution-time only
+          scala.util.Try(evalExpr(value, env)).foreach(x => env += out -> x)
+          true
+        case _ => true
+      }
+    }
+    def selfCallsOf(k: Int): Seq[Atom] = f.cases(k).guards.collect {
+      case a: Atom if a.rel == f.name => a
+    }
+    val memo = scala.collection.mutable.HashMap.empty[Long, Any]
+    val inProgress = scala.collection.mutable.HashSet.empty[Long]
+    demands.foreach { d =>
+      // iterative memoized DFS: (value, depsPushed)
+      val stack = scala.collection.mutable.Stack[(Long, Boolean)]((d, false))
+      while (stack.nonEmpty) {
+        val (v, depsPushed) = stack.pop()
+        if (!memo.contains(v)) {
+          val k = caseFor(v)
+          if (k < 0) throw Analyzer.AnalysisError(
+            s"${f.name}: no case matches argument $v")
+          var env = f.cases(k).args(inIdx) match {
+            case TVar(n) => Map[String, Any](n -> v)
+            case _ => Map.empty[String, Any]
+          }
+          val deps = selfCallsOf(k).map(a => a.args(inIdx) match {
+            case TExpr(e) => evalExpr(e, env) match {
+              case l: Long => l
+              case d2: Double => d2.toLong
+              case o => throw Analyzer.AnalysisError(s"${f.name}: non-integer self-call argument $o")
+            }
+            case TVar(n) => env(n).asInstanceOf[Long]
+            case TConst(l) => litVal(l).asInstanceOf[Long]
+            case t => throw Analyzer.AnalysisError(s"${f.name}: bad self-call argument $t")
+          })
+          val missing = deps.filterNot(memo.contains)
+          if (missing.nonEmpty && !depsPushed) {
+            if (!inProgress.add(v)) throw Analyzer.AnalysisError(
+              s"${f.name}: cyclic recursion on argument $v (already calculating)")
+            stack.push((v, true))
+            missing.distinct.foreach(m => stack.push((m, false)))
+          } else {
+            if (missing.nonEmpty) throw Analyzer.AnalysisError(
+              s"${f.name}: cyclic recursion on argument $v (already calculating)")
+            inProgress.remove(v)
+            // bind dep results, then run bindings in guard order
+            selfCallsOf(k).zip(deps).foreach { case (a, dv) =>
+              a.args(outIdx) match {
+                case TVar(n) => env += n -> memo(dv)
+                case t => throw Analyzer.AnalysisError(
+                  s"${f.name}: self-call out must be a variable, got $t")
+              }
+            }
+            var fromBind = Option.empty[Any]
+            val caseOutVar = f.cases(k).args(outIdx) match {
+              case TVar(n) => Some(n); case _ => None
+            }
+            f.cases(k).guards.foreach {
+              case Binding(out, value) =>
+                val x = evalExpr(value, env)
+                if (caseOutVar.contains(out)) fromBind = Some(x) else env += out -> x
+              case _ => ()
+            }
+            memo(v) = f.cases(k).args(outIdx) match {
+              case TConst(l) => litVal(l)
+              case TVar(n) => fromBind.orElse(env.get(n)).getOrElse(
+                throw Analyzer.AnalysisError(s"${f.name}: out variable $n never assigned in case"))
+              case t => throw Analyzer.AnalysisError(s"${f.name}: bad out pattern $t")
+            }
+          }
+        }
+      }
+    }
+    memo
+  }
+
+  /** Distributed dual fixpoint (closure + resolution) — the any-scale
+    * path behind [[funcMemo]]. */
+  private def funcMemoDistributed(f: FuncDecl, inIdx: Int, outIdx: Int,
+      inputs: DataFrame): DataFrame = {
+    val maxRounds = 512
+    // per-case static metadata over a prospective demand column `__fin`
+    final case class CaseInfo(
+        cond: Column,                       // this clause's own static condition
+        env0: Map[String, Column],          // in-pattern bindings
+        selfCalls: Seq[(Column, String)],   // (dep argument expr, dep out var)
+        guards: Seq[Item])
+    val fin = col("__fin")
+    val infos = f.cases.map { c =>
+      var env = Map.empty[String, Column]
+      var conds = Seq.empty[Column]
+      c.args(inIdx) match {
+        case TVar(v) => env += v -> fin
+        case TConst(l) => conds :+= (fin === litOf(l))
+        case TWildcard => ()
+        case t => throw Analyzer.AnalysisError(s"${f.name}: bad case pattern $t")
+      }
+      val selfCalls = Seq.newBuilder[(Column, String)]
+      c.guards.foreach {
+        case at: Atom if at.rel == f.name =>
+          val dep = at.args(inIdx) match {
+            case TExpr(e) => exprColEnv(e, env)
+            case TVar(v) => env.getOrElse(v, col(v))
+            case TConst(l) => litOf(l)
+            case t => throw Analyzer.AnalysisError(s"${f.name}: bad self-call argument $t")
+          }
+          val dv = at.args(outIdx) match {
+            case TVar(v) => v
+            case t => throw Analyzer.AnalysisError(s"${f.name}: self-call out must be a variable, got $t")
+          }
+          selfCalls += ((dep.cast("bigint"), dv))
+        case Compare(op, l, r) =>
+          val (lc, rc) = (exprColEnv(l, env), exprColEnv(r, env))
+          conds :+= (op match {
+            case "==" => lc === rc
+            case "!=" => lc =!= rc
+            case "<" => lc < rc
+            case "<=" => lc <= rc
+            case ">" => lc > rc
+            case ">=" => lc >= rc
+          })
+        case _: Binding => () // evaluated at resolution time
+        case other => throw Analyzer.AnalysisError(
+          s"${f.name}: unsupported guard $other in recursive func")
+      }
+      CaseInfo(conds.reduceOption(_ && _).getOrElse(lit(true)), env,
+        selfCalls.result(), c.guards)
+    }
+    // first-match-wins: clause k fires iff its condition holds and no
+    // earlier clause's does
+    def effCond(k: Int): Column =
+      infos.take(k).map(i => !i.cond).foldLeft(infos(k).cond)(_ && _)
+    // out value of clause k given dependency bindings
+    def outOf(k: Int, deps: Map[String, Column]): Column = {
+      var env = infos(k).env0 ++ deps
+      var fromBind = Option.empty[Column]
+      val caseOutVar = f.cases(k).args(outIdx) match {
+        case TVar(v) => Some(v); case _ => None
+      }
+      infos(k).guards.foreach {
+        case Binding(out, value) =>
+          val vc = exprColEnv(value, env)
+          if (caseOutVar.contains(out)) fromBind = Some(vc) else env += out -> vc
+        case _ => ()
+      }
+      f.cases(k).args(outIdx) match {
+        case TConst(l) => litOf(l)
+        case TVar(v) => fromBind.orElse(env.get(v)).getOrElse(
+          throw Analyzer.AnalysisError(s"${f.name}: out variable $v never assigned in case"))
+        case t => throw Analyzer.AnalysisError(s"${f.name}: bad out pattern $t")
+      }
+    }
+    val recIdxs = infos.indices.filter(infos(_).selfCalls.nonEmpty)
+    val baseIdxs = infos.indices.filterNot(infos(_).selfCalls.nonEmpty)
+    // checked BEFORE the closure: with no base case the demand frontier
+    // can never drain, so failing here beats spinning to the round cap
+    if (baseIdxs.isEmpty)
+      throw Analyzer.AnalysisError(s"${f.name}: recursive func has no base case")
+
+    // ---- fixpoint 1: demand closure (semi-naïve) -----------------------
+    def depsOf(d: DataFrame): DataFrame =
+      recIdxs.flatMap { k =>
+        infos(k).selfCalls.map { case (dep, _) =>
+          d.filter(effCond(k)).select(dep.as("__fin"))
+        }
+      }.reduce(_ union _).distinct()
+    var all = inputs.localCheckpoint(true)
+    var frontier = all
+    var round = 0
+    while (frontier.take(1).nonEmpty && round < maxRounds) {
+      frontier = depsOf(frontier).join(all, Seq("__fin"), "left_anti")
+        .distinct().localCheckpoint(true)
+      all = all.union(frontier).localCheckpoint(true)
+      round += 1
+    }
+    if (round >= maxRounds)
+      throw Analyzer.AnalysisError(s"${f.name}: demand closure exceeded $maxRounds rounds")
+
+    // ---- fixpoint 2: resolution ---------------------------------------
+    val baseValue = baseIdxs.foldLeft(Option.empty[Column]) { (acc, k) =>
+      Some(acc match {
+        case None => when(effCond(k), outOf(k, Map.empty))
+        case Some(c) => c.when(effCond(k), outOf(k, Map.empty))
+      })
+    }.getOrElse(throw Analyzer.AnalysisError(s"${f.name}: no base case"))
+    var resolved = all
+      .filter(baseIdxs.map(effCond).reduceOption(_ || _).getOrElse(lit(false)))
+      .select(fin, baseValue.as("__fout")).localCheckpoint(true)
+    var unresolved = all.join(resolved, Seq("__fin"), "left_anti").localCheckpoint(true)
+    round = 0
+    while (unresolved.take(1).nonEmpty && round < maxRounds) {
+      val newlyResolved = recIdxs.map { k =>
+        var cur = unresolved.filter(effCond(k))
+        val deps = infos(k).selfCalls.zipWithIndex.map { case ((dep, dv), j) =>
+          val r = resolved.select(col("__fin").as(s"__dk$j"), col("__fout").as(s"__dv$j"))
+          cur = cur.join(r, dep === col(s"__dk$j"))
+          dv -> col(s"__dv$j")
+        }.toMap
+        cur.select(fin, outOf(k, deps).as("__fout"))
+      }.reduce(_ union _).localCheckpoint(true)
+      if (newlyResolved.take(1).isEmpty)
+        throw Analyzer.AnalysisError(
+          s"${f.name}: unresolvable demands (missing base case for some input?)")
+      resolved = resolved.union(newlyResolved).localCheckpoint(true)
+      unresolved = unresolved.join(newlyResolved, Seq("__fin"), "left_anti")
+        .localCheckpoint(true)
+      round += 1
+    }
+    if (round >= maxRounds)
+      throw Analyzer.AnalysisError(s"${f.name}: resolution exceeded $maxRounds rounds")
+    resolved
+  }
+
   /** Moded `func` call (`Kernel/Drafts/draft:75-89`): inline the case
     * clauses as a first-match-wins CASE chain over the caller's bound
     * columns. Scalar mode only (all `in` bound + one `out`); recursive
     * funcs are rejected (the reference's own recursion guard — use the
     * fixpoint evaluator). */
   private def funcAtom(st: State, f: FuncDecl, a: Atom): State = {
+    if (isSelfRecursive(f)) return recursiveFuncAtom(st, f, a)
     val outIdxs = f.params.zipWithIndex.collect { case (("out", _), i) => i }
     if (outIdxs.size != 1)
       throw Analyzer.AnalysisError(s"${f.name}: exactly one 'out' parameter supported")
@@ -223,6 +611,7 @@ final class Planner(decls: Map[String, DataDecl],
       case (("in", _), i) => i -> (a.args(i) match {
         case TVar(v) => col(v)
         case TConst(l) => litOf(l)
+        case TExpr(e) => exprColEnv(e, Map.empty)
         case t => throw Analyzer.AnalysisError(s"${f.name}: bad 'in' argument $t")
       })
     }.toMap
@@ -243,6 +632,14 @@ final class Planner(decls: Map[String, DataDecl],
             else env += v -> callerCol
           case TConst(l) => conds :+= (callerCol === litOf(l))
           case TWildcard => ()
+          // runtime-type dispatch (`Kernel/Drafts/draft_type:218-311`):
+          // the clause fires when the union-typed argument's tag matches
+          // the variant; the pattern variable binds the variant payload
+          case TTyped(v, variant) =>
+            val tag = variantTags.getOrElse(variant, throw Analyzer.AnalysisError(
+              s"${f.name}: unknown union variant $variant"))
+            conds :+= graft.types.UnionType.isVariant(callerCol, tag)
+            env += v -> graft.types.UnionType.variant(callerCol, tag)
           case t => throw Analyzer.AnalysisError(s"${f.name}: bad case pattern $t")
         }
       }
@@ -302,6 +699,12 @@ final class Planner(decls: Map[String, DataDecl],
   /** Expr → Column with a substitution environment (used by func
     * inlining; defaults to column references). */
   private def exprColEnv(e: Expr, env: Map[String, Column]): Column = e match {
+    // dotted name = struct field access (`c.r` on a variant payload
+    // bound by a runtime-type pattern); the base resolves through the
+    // env first so payload bindings work, then falls back to a column
+    // reference (Spark's col() itself resolves nested fields)
+    case EVar(n) if n.contains(".") && env.contains(n.takeWhile(_ != '.')) =>
+      n.split('.').toSeq.tail.foldLeft(env(n.takeWhile(_ != '.')))(_.getField(_))
     case EVar(n) => env.getOrElse(n, col(n))
     case ELit(l) => litOf(l)
     case EUnary("-", x) => -exprColEnv(x, env)
@@ -383,6 +786,13 @@ final class Planner(decls: Map[String, DataDecl],
   }
 }
 
+object Planner {
+  /** Demand-closure size under which recursive-func memos are computed
+    * driver-side (see [[Planner.funcMemo]]) — the broadcast-small-side
+    * judgement call. Mutable so specs can force the distributed path. */
+  private[graft] var localMemoThreshold: Int = 100000
+}
+
 /** Facade: parse + analyze + plan one named query of a HeroQL program
   * against a catalog of table bindings. */
 object HeroQL {
@@ -392,10 +802,11 @@ object HeroQL {
     val decls = ast.datas.map(d => d.name -> d).toMap
     val queryDecls = ast.queries.map(q => q.name -> q).toMap
     val funcs = ast.funcs.map(f => f.name -> f).toMap
+    val unions = ast.unions.map(u => u.name -> u).toMap
     val q = ast.queries.find(_.name == queryName)
       .getOrElse(throw Analyzer.AnalysisError(s"no query named $queryName"))
     Analyzer.analyze(decls, queryDecls, q, funcs)
-    new Planner(decls, queryDecls, catalog, funcs).plan(q)
+    new Planner(decls, queryDecls, catalog, funcs, unions).plan(q)
   }
 
   /** Compile a standalone `collection_query ... ;` against the data

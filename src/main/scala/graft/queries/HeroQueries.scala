@@ -94,6 +94,31 @@ query Graded(student: string, score: int) -> (label: string)
 :-  Exams(student, score),
     Grade(score, label)
 .
+
+union Shape = Circle | Rect | Point.
+data Shapes(pk: int64, s: Shape).
+
+func Area(in s : Shape, out a);
+case Area(c : Circle, a) :- a <- 3.14 * c.r * c.r;
+case Area(r : Rect, a) :- a <- r.w * r.h;
+case Area(p : Point, a) :- a <- 0.0;
+
+query ShapeAreas(pk: int64) -> (area: double)
+:-  Shapes(pk, s),
+    Area(s, area)
+.
+
+data Nums(pk: int64, n: int64).
+
+func Fib(in i, out o);
+case Fib(0, 1);
+case Fib(1, 1);
+case Fib(i, o) :- Fib(i-1, x1), Fib(i-2, x2), o <- x1 + x2;
+
+query FibOf(pk: int64) -> (n: int64, fib: int64)
+:-  Nums(pk, n),
+    Fib(n, fib)
+.
 """
 
   private def catalog(s: SparkSession, d: String): Map[String, DataFrame] = {
@@ -112,8 +137,22 @@ query Graded(student: string, score: int) -> (label: string)
       col("p_size").cast("double").as("a"),
       (col("p_retailprice") / 100.0).as("b"),
       lit(1.0).as("c"))
+    // Shapes: union-typed column in the FROZEN UnionType struct encoding
+    // (tag 0=Circle{r}, 1=Rect{w,h}, 2=Point{x}) — variant chosen by key
+    // residue, payloads from part attributes
+    val p = t(s, d, "part")
+    val m3 = col("p_partkey") % 3
+    val shapes = p.select(col("p_partkey").as("pk"),
+      graft.types.UnionType.encodeWhen(Seq(
+        (m3 === 0, 0, struct(col("p_size").cast("double").as("r"))),
+        (m3 === 1, 1, struct(col("p_size").cast("double").as("w"),
+          (col("p_retailprice") / 100.0).as("h"))),
+        (m3 === 2, 2, struct(lit(0.0).as("x")))), arity = 3).as("s"))
+    val nums = p.select(col("p_partkey").as("pk"),
+      (col("p_partkey") % 21).as("n"))
     Map("Exams" -> exams, "Father" -> father, "Mother" -> mother,
-      "Person" -> person, "Coef" -> coef)
+      "Person" -> person, "Coef" -> coef,
+      "Shapes" -> shapes, "Nums" -> nums)
   }
 
   private def run(name: String)(s: SparkSession, d: String): DataFrame =
@@ -129,6 +168,8 @@ query Graded(student: string, score: int) -> (label: string)
     "hq7_moded_expressions" -> (run("Quad") _),
     "hq8_negation" -> (run("Childless") _),
     "hq9_func_cases" -> (run("Graded") _),
+    "hq10_union_dispatch" -> (run("ShapeAreas") _),
+    "hq11_recursive_func" -> (run("FibOf") _),
   )
 
   private val examsSql =
@@ -185,5 +226,21 @@ query Graded(student: string, score: int) -> (label: string)
                      WHEN score >= 20 THEN 'mid'
                      ELSE 'low' END AS label
          FROM ($examsSql)""",
+    // runtime-type dispatch lowered relationally: the variant tag is the
+    // CASE discriminant, each branch is one func clause's arithmetic
+    // (same operator order as the Spark plan, so doubles are bit-equal)
+    "hq10_union_dispatch" ->
+      """SELECT p_partkey AS pk,
+                CASE WHEN p_partkey % 3 = 0 THEN 3.14 * CAST(p_size AS DOUBLE) * CAST(p_size AS DOUBLE)
+                     WHEN p_partkey % 3 = 1 THEN CAST(p_size AS DOUBLE) * (p_retailprice / 100.0)
+                     ELSE 0.0 END AS area
+         FROM part""",
+    "hq11_recursive_func" ->
+      """WITH RECURSIVE fib(n, a, b) AS (
+           SELECT 0, CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+           UNION ALL
+           SELECT n + 1, b, a + b FROM fib WHERE n < 20)
+         SELECT p_partkey AS pk, CAST(p_partkey % 21 AS BIGINT) AS n, a AS fib
+         FROM part JOIN fib ON fib.n = p_partkey % 21""",
   )
 }

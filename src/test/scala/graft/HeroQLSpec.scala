@@ -45,13 +45,30 @@ class HeroQLParserSpec extends AnyFunSuite {
       Conj(Seq(Atom("Mother", Seq(TVar("parent"), TVar("child")))))))
   }
 
-  test("golden: the full HeroQueries program parses (9 queries + 1 func)") {
+  test("golden: the full HeroQueries program parses (11 queries + 3 funcs + 1 union)") {
     val p = Parser.parse(HeroQueries.program)
-    assert(p.datas.size == 5)
+    assert(p.datas.size == 7)
     assert(p.queries.map(_.name) == Seq("Top10", "Top3PerStudent", "AvgTop3",
-      "Parents", "GrandParents", "GrandParentsSub", "Quad", "Childless", "Graded"))
-    assert(p.funcs.map(_.name) == Seq("Grade"))
+      "Parents", "GrandParents", "GrandParentsSub", "Quad", "Childless", "Graded",
+      "ShapeAreas", "FibOf"))
+    assert(p.funcs.map(_.name) == Seq("Grade", "Area", "Fib"))
     assert(p.funcs.head.cases.size == 3)
+    assert(p.unions == Seq(UnionDecl("Shape", Seq("Circle", "Rect", "Point"))))
+  }
+
+  test("golden: runtime-type patterns and expression args parse") {
+    val p = Parser.parse(
+      """union U = A | B.
+        |func F(in s : U, out o);
+        |case F(a : A, o) :- o <- a.x * 2;
+        |case F(b : B, o) :- F(b.y - 1, r), o <- r;
+        |""".stripMargin)
+    val f = p.funcs.head
+    assert(f.cases(0).args == Seq(TTyped("a", "A"), TVar("o")))
+    assert(f.cases(0).guards == Seq(
+      Binding("o", EBinary("*", EVar("a.x"), ELit(LInt(2))))))
+    assert(f.cases(1).guards.head ==
+      Atom("F", Seq(TExpr(EBinary("-", EVar("b.y"), ELit(LInt(1)))), TVar("r"))))
   }
 
   test("mode analysis rejects running a binding backward") {
@@ -93,5 +110,86 @@ class HeroQLParserSpec extends AnyFunSuite {
         Map("E" -> Seq((1L, 2L)).toDF("a", "b"))).collect()
     }
     assert(e.getMessage.contains("calculating"))
+  }
+}
+
+/** Runtime semantics of the round-2 language features: runtime-type
+  * dispatch over union tags (`Kernel/Drafts/draft_type:218-311`) and
+  * demand-driven recursive funcs (`Kernel/Drafts/draft:75-89`). */
+class HeroQLRuntimeSpec extends SparkSpec {
+
+  test("recursive Fib: demand-driven memo matches the closed sequence") {
+    import spark.implicits._
+    val src =
+      """data Nums(pk: int64, n: int64).
+        |func Fib(in i, out o);
+        |case Fib(0, 1);
+        |case Fib(1, 1);
+        |case Fib(i, o) :- Fib(i-1, x1), Fib(i-2, x2), o <- x1 + x2;
+        |query FibOf(pk: int64) -> (n: int64, fib: int64)
+        |:- Nums(pk, n), Fib(n, fib)
+        |.""".stripMargin
+    // sparse demands — the closure must pull in the un-demanded middle
+    val nums = Seq((1L, 0L), (2L, 1L), (3L, 7L), (4L, 15L)).toDF("pk", "n")
+    val got = HeroQL.compile(src, "FibOf", Map("Nums" -> nums))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got == Map(0L -> 1L, 1L -> 1L, 7L -> 21L, 15L -> 987L))
+  }
+
+  test("recursive Fib: distributed fixpoint path agrees with the local memo") {
+    import spark.implicits._
+    val src =
+      """data Nums(pk: int64, n: int64).
+        |func Fib(in i, out o);
+        |case Fib(0, 1);
+        |case Fib(1, 1);
+        |case Fib(i, o) :- Fib(i-1, x1), Fib(i-2, x2), o <- x1 + x2;
+        |query FibOf(pk: int64) -> (n: int64, fib: int64)
+        |:- Nums(pk, n), Fib(n, fib)
+        |.""".stripMargin
+    val nums = Seq((1L, 6L), (2L, 9L)).toDF("pk", "n")
+    val saved = graft.heroql.Planner.localMemoThreshold
+    try {
+      graft.heroql.Planner.localMemoThreshold = 0 // force distributed
+      val got = HeroQL.compile(src, "FibOf", Map("Nums" -> nums))
+        .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+      assert(got == Map(6L -> 13L, 9L -> 55L))
+    } finally graft.heroql.Planner.localMemoThreshold = saved
+  }
+
+  test("recursive func without a base case is rejected") {
+    import spark.implicits._
+    val src =
+      """data Nums(pk: int64, n: int64).
+        |func Loop(in i, out o);
+        |case Loop(i, o) :- Loop(i-1, x), o <- x;
+        |query L(pk: int64) -> (o: int64) :- Nums(pk, n), Loop(n, o)
+        |.""".stripMargin
+    val e = intercept[Analyzer.AnalysisError] {
+      HeroQL.compile(src, "L",
+        Map("Nums" -> Seq((1L, 3L)).toDF("pk", "n"))).collect()
+    }
+    assert(e.getMessage.contains("base case") ||
+      e.getMessage.contains("exceeded"))
+  }
+
+  test("union dispatch selects the clause by runtime tag and reads payload fields") {
+    import org.apache.spark.sql.functions._
+    val src =
+      """union Shape = Circle | Rect.
+        |data Shapes(pk: int64, s: Shape).
+        |func Area(in s : Shape, out a);
+        |case Area(c : Circle, a) :- a <- 2.0 * c.r;
+        |case Area(r : Rect, a) :- a <- r.w * r.h;
+        |query Areas(pk: int64) -> (area: double) :- Shapes(pk, s), Area(s, area)
+        |.""".stripMargin
+    val base = spark.range(4).select(col("id").as("pk"))
+    val shapes = base.select(col("pk"), graft.types.UnionType.encodeWhen(Seq(
+      (col("pk") % 2 === 0, 0, struct((col("pk") + 1).cast("double").as("r"))),
+      (col("pk") % 2 === 1, 1, struct(lit(3.0).as("w"), col("pk").cast("double").as("h")))),
+      arity = 2).as("s"))
+    val got = HeroQL.compile(src, "Areas", Map("Shapes" -> shapes))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(0L -> 2.0, 1L -> 3.0, 2L -> 6.0, 3L -> 9.0))
   }
 }
