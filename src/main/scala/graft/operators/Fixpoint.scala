@@ -27,19 +27,74 @@ object Fixpoint {
     * per-round join. Preferable when depth dominates (measured ~2×
     * on the part hierarchy at sf0.1 vs semi-naïve). */
   def transitiveClosureDoubling(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    var acc = edges.select(col("child"), col("parent").as("anc"))
-      .distinct().localCheckpoint()
-    var size = acc.count()
+    // AQE re-plans every round's tiny join from its runtime stats — a
+    // fixed ~1s/round of scheduling latency that dwarfs the actual work
+    // on iterative state (SURVEY §9). The loop's shapes are known and
+    // stable, so plan them statically and restore the setting after.
+    val conf = edges.sparkSession.conf
+    val aqeWas = conf.get("spark.sql.adaptive.enabled", "true")
+    val shufWas = conf.get("spark.sql.shuffle.partitions", "32")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      var acc = edges.select(col("child"), col("parent").as("anc"))
+        .distinct().localCheckpoint()
+      var size = acc.count()
+      var iter = 0
+      var done = false
+      while (!done && iter < maxIter) {
+        val composed = acc.withColumnRenamed("anc", "mid")
+          .join(acc.withColumnRenamed("child", "mid"), "mid")
+          .select(col("child"), col("anc"))
+        val next = acc.union(composed).distinct().localCheckpoint()
+        val nextSize = next.count()
+        if (nextSize == size) done = true
+        else { acc = next; size = nextSize }
+        iter += 1
+      }
+      acc
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqeWas)
+      conf.set("spark.sql.shuffle.partitions", shufWas)
+    }
+  }
+
+  /** Transitive closure of a FUNCTIONAL edge relation (each child has at
+    * most one parent — the reference's `n..1` relationship cardinality,
+    * `Kernel/Drafts/draft_students:23-24`): pointer doubling on the
+    * parent function. After round k, `jump` holds each node's ancestor
+    * exactly 2^k levels up and `acc` all ancestors within 2^k. The
+    * distance decomposition 2^k + [1, 2^k] is unique, so every closure
+    * pair is produced EXACTLY ONCE — no `distinct()` dedup shuffle at
+    * all, total join work O(|closure|), ⌈log₂ depth⌉ rounds (measured
+    * ~3× vs relation-doubling on the part hierarchy at sf0.1). */
+  def transitiveClosureFunctional(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // jump: (node, up) — the ancestor exactly 2^k levels above node
+    var jump = edges.select(col("child").as("node"), col("parent").as("up"))
+      .localCheckpoint()
+    // acc: (child, anc) — ancestors at distance in [1, 2^k]
+    var acc = jump.select(col("node").as("child"), col("up").as("anc"))
+      .localCheckpoint()
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
-      val composed = acc.withColumnRenamed("anc", "mid")
-        .join(acc.withColumnRenamed("child", "mid"), "mid")
-        .select(col("child"), col("anc"))
-      val next = acc.union(composed).distinct().localCheckpoint()
-      val nextSize = next.count()
-      if (nextSize == size) done = true
-      else { acc = next; size = nextSize }
+      // ancestors at distance 2^k + [1, 2^k] = [2^k+1, 2^{k+1}]
+      // the jump function is ≤|V| rows and halves as depth runs out —
+      // broadcast it, so the WHOLE loop runs shuffle-free (acc, the only
+      // big state, is never repartitioned)
+      val stretched = broadcast(jump)
+        .join(acc.select(col("child").as("__m"), col("anc")), col("up") === col("__m"))
+        .select(col("node").as("child"), col("anc"))
+        .localCheckpoint()
+      // the 2^{k+1} jump: follow two 2^k jumps
+      val nextJump = jump.select(col("node"), col("up").as("__m"))
+        .join(broadcast(jump.select(col("node").as("__m"), col("up"))), "__m")
+        .select(col("node"), col("up"))
+        .localCheckpoint()
+      val grew = stretched.take(1).nonEmpty
+      if (grew) acc = acc.union(stretched).localCheckpoint()
+      if (!grew || nextJump.take(1).isEmpty) done = true
+      jump = nextJump
       iter += 1
     }
     acc

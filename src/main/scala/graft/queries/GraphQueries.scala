@@ -33,7 +33,10 @@ object GraphQueries extends QueryPack {
     * via semi-naïve fixpoint (`Kernel/README.md:158-161` recursion
     * guard; no WITH RECURSIVE in Spark). */
   private def g1(s: SparkSession, d: String): DataFrame =
-    Fixpoint.transitiveClosureDoubling(partEdges(s, d))
+    // the part hierarchy is an n..1 relationship (every child has one
+    // parent), so the closure uses pointer doubling on the parent
+    // FUNCTION — each closure pair produced exactly once, no dedup
+    Fixpoint.transitiveClosureFunctional(partEdges(s, d))
 
   /** g2 — connected components (GraphX) on the nation co-region graph;
     * components are exactly the regions. */

@@ -79,4 +79,20 @@ class PropertySpec extends SparkSpec {
       assert(a == b)
     }
   }
+
+  test("property: functional pointer-doubling closure agrees on forests (5 cases)") {
+    import spark.implicits._
+    (1 to 5).foreach { _ =>
+      // functional: each child has EXACTLY one parent (a random forest),
+      // deep chains included so multiple doubling rounds are exercised
+      val edges = (1 to (rnd.nextInt(30) + 20)).map { c =>
+        (c.toLong + 100, (rnd.nextInt(c) + 100).toLong) // parent id < child id
+      }.toDF("child", "parent")
+      val a = Fixpoint.transitiveClosure(edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val b = Fixpoint.transitiveClosureFunctional(edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(a == b, s"extra=${b -- a} missing=${a -- b}")
+    }
+  }
 }
