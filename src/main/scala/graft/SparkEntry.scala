@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{CollectionQueries, Dedup, GraphQueries, HeroMutations, HeroQueries, MultimodalQueries, Mutations, PackageQueries, QueryPack, Relational, Similarity, Streaming, TextAnalysis}
+import graft.queries.{CollectionQueries, Dedup, GraphQueries, HeroMutations, HeroQueries, MultimodalQueries, Mutations, PackageQueries, QueryPack, Relational, Similarity, SourceQueries, Streaming, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -26,6 +26,7 @@ object SparkEntry {
     CollectionQueries,
     MultimodalQueries,
     PackageQueries,
+    SourceQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -413,6 +413,19 @@ object Relational extends QueryPack {
         round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
         round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qty_disc"))
 
+  /** A13 — exact percentiles per group (Average/OrderBy family,
+    * `Kernel/Drafts/draft:157-162`): Spark `percentile` and DuckDB
+    * `quantile_cont` both linearly interpolate, rounded on both sides
+    * against last-ulp interpolation drift. */
+  private def a13(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+
   /** F8b — JSON extraction (SURVEY §2.8 F8 "json functions"): parse the
     * events.props JSON payload and aggregate on an extracted field. */
   private def f9(s: SparkSession, d: String): DataFrame =
@@ -442,6 +455,7 @@ object Relational extends QueryPack {
     "j9_asof_join" -> (j9 _),
     "j10_interval_join" -> (j10 _),
     "a12_stats_aggregates" -> (a12 _),
+    "a13_percentiles" -> (a13 _),
     "s1_scan_filter" -> (s1 _),
     "s3_inline_values" -> (s3 _),
     "p1_projection" -> (p1 _),
@@ -506,6 +520,13 @@ object Relational extends QueryPack {
                 round(var_samp(l_extendedprice), -2) AS var_price,
                 round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
                 round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc
+         FROM lineitem GROUP BY l_returnflag""",
+    "a13_percentiles" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+                round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+                round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
          FROM lineitem GROUP BY l_returnflag""",
     "j10_interval_join" ->
       """SELECT l.event_id AS signup_id, count(*) AS n_events

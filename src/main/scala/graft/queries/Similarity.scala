@@ -90,9 +90,58 @@ object Similarity extends QueryPack {
       .select("probe_id", "neighbor_id", "cos_sim", "rank")
   }
 
+  /** ann3 — IVF (inverted-file) ANN: a coarse quantizer of `C` seed
+    * centroids (Forgy-initialized on deterministic corpus vectors)
+    * partitions the corpus into inverted lists; each probe scans only
+    * its `NLISTS_PROBED` nearest lists and re-ranks exactly. The scale
+    * shape of FAISS-style IVF: query cost ∝ probed-list size, corpus
+    * assignment is one broadcast join, and the lists partition cleanly
+    * across executors. Approximate → rows-only gate; recall@K vs ann1
+    * is spec-checked. */
+  private def ann3(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFns.register(s)
+    val C = 32; val NLISTS_PROBED = 8
+    val e = t(s, d, "embeddings")
+    // Forgy seeds: deterministic residue-class pick spread over the id
+    // space (works at every scale factor), ordered so `limit` is stable
+    val cents = e.filter(col("vec_id") >= NPROBES && col("vec_id") % 13 === 5)
+      .orderBy("vec_id").limit(C)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        expr("sqrt(graft_dot_f(embedding, embedding))").as("cn"))
+    def nearestLists(side: DataFrame, id: String, v: String, n: String, k: Int,
+        keep: Seq[Column]) = {
+      val w = Window.partitionBy(col(id)).orderBy(col("__csim").desc, col("cid").asc)
+      side.crossJoin(broadcast(cents))
+        .withColumn("__csim", expr(s"graft_dot_f($v, cv) / ($n * cn)"))
+        .withColumn("__cr", row_number().over(w))
+        .filter(col("__cr") <= k)
+        .select(keep :+ col("cid"): _*)
+    }
+    val corpus = e.repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("vn"),
+        expr("sqrt(graft_dot_f(embedding, embedding))").as("nn"))
+    val lists = nearestLists(corpus, "neighbor_id", "vn", "nn", 1,
+      Seq(col("neighbor_id"), col("vn"), col("nn")))
+    val probes = e.filter(col("vec_id") < NPROBES)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("vp"),
+        expr("sqrt(graft_dot_f(embedding, embedding))").as("np"))
+    val probeLists = nearestLists(probes, "probe_id", "vp", "np", NLISTS_PROBED,
+      Seq(col("probe_id"), col("vp"), col("np")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    broadcast(probeLists).join(lists, Seq("cid"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", expr("graft_dot_f(vp, vn) / (np * nn)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .withColumn("cos_sim", round(col("cos_sim"), 6))
+      .select("probe_id", "neighbor_id", "cos_sim", "rank")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann1_bruteforce_topk" -> (ann1 _),
     "ann2_lsh_topk" -> (ann2 _),
+    "ann3_ivf_topk" -> (ann3 _),
   )
 
   override val oracles: Map[String, String] = Map(

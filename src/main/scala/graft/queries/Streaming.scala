@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.Tables.t
 import graft.streaming.EventStreams
 
@@ -24,10 +25,24 @@ object Streaming extends QueryPack {
   private def st3(s: SparkSession, d: String): DataFrame =
     EventStreams.userSessions(EventStreams.normalizeTs(t(s, d, "events")))
 
+  /** st4 — streaming ingest through the store sink: a REAL streaming
+    * query (availableNow) appends micro-batches into a scratch
+    * [[graft.store.TableStore]] via foreachBatch atomic commits; the
+    * emitted result aggregates the committed table, so the oracle
+    * checks end-to-end sink fidelity. */
+  private def st4(s: SparkSession, d: String): DataFrame = {
+    val store = new graft.store.TableStore(s,
+      java.nio.file.Files.createTempDirectory("graft-sink-").toString)
+    EventStreams.sinkToStore(s, d, store, "events_sink")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_tumbling_window" -> (st1 _),
     "st2_sliding_window" -> (st2 _),
     "st3_session_window" -> (st3 _),
+    "st4_store_sink" -> (st4 _),
   )
 
   override val oracles: Map[String, String] = Map(
@@ -45,6 +60,9 @@ object Streaming extends QueryPack {
                   event_type
            FROM events)
          SELECT win_start, event_type, count(*) AS n_events FROM x GROUP BY 1, 2""",
+    "st4_store_sink" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY event_type""",
     "st3_session_window" ->
       """WITH o AS (
            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,

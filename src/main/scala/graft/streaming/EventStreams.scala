@@ -86,6 +86,32 @@ object EventStreams {
     stage.toString
   }
 
+  /** Streaming SINK into the table store: readStream over the staged
+    * events, `foreachBatch` appending each micro-batch through the
+    * store's atomic-commit insert (new files only — the streaming
+    * ingest shape at any scale: a commit per micro-batch, readers
+    * always see a consistent snapshot). Runs with `availableNow` so the
+    * batch gate can await completion, then returns the committed
+    * table. */
+  def sinkToStore(spark: SparkSession, dir: String,
+      store: graft.store.TableStore, table: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir(dir))
+    val q = src.select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (store.exists(table)) store.insert(table, batch)
+        else store.create(table, batch)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-sink-ckpt-").toString)
+      .start()
+    q.awaitTermination()
+    store.read(table)
+  }
+
   /** Streaming variant of a transform: reads the same parquet through
     * readStream with a watermark, for the spec harness. Watermarks
     * require TIMESTAMP (not NTZ), so the streaming path keeps ts as an

@@ -125,4 +125,15 @@ class DedupSpec extends SparkSpec {
     val hit = exact.intersect(approx).count()
     assert(hit.toDouble / total >= 0.2, s"ANN recall $hit/$total below floor")
   }
+
+  test("ann3 IVF recall@5 against exact ann1") {
+    val exact = Similarity.queries("ann1_bruteforce_topk")(spark, sf)
+      .select("probe_id", "neighbor_id")
+    val approx = Similarity.queries("ann3_ivf_topk")(spark, sf)
+      .select("probe_id", "neighbor_id")
+    val total = exact.count()
+    val hit = exact.intersect(approx).count()
+    // 8 of ~32 lists probed — recall floor reflects the 25% scan budget
+    assert(hit.toDouble / total >= 0.3, s"IVF recall $hit/$total below floor")
+  }
 }
