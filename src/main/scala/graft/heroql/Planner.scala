@@ -240,19 +240,21 @@ final class Planner(decls: Map[String, DataDecl],
   private def recursiveFuncAtom(st: State, f: FuncDecl, a: Atom): State = {
     val inIdxs = f.params.zipWithIndex.collect { case (("in", _), i) => i }
     val outIdxs = f.params.zipWithIndex.collect { case (("out", _), i) => i }
-    if (inIdxs.size != 1 || outIdxs.size != 1)
+    if (inIdxs.isEmpty || outIdxs.size != 1)
       throw Analyzer.AnalysisError(
-        s"${f.name}: recursive funcs support exactly one 'in' and one 'out'")
-    val (inIdx, outIdx) = (inIdxs.head, outIdxs.head)
+        s"${f.name}: recursive funcs need 'in' parameters and exactly one 'out'")
+    val outIdx = outIdxs.head
     val outVar = a.args(outIdx) match {
       case TVar(v) => v
       case t => throw Analyzer.AnalysisError(s"${f.name}: out argument must be a variable, got $t")
     }
-    val callerCol = a.args(inIdx) match {
-      case TVar(v) => col(v)
-      case TConst(l) => litOf(l)
-      case TExpr(e) => exprColEnv(e, Map.empty)
-      case t => throw Analyzer.AnalysisError(s"${f.name}: bad 'in' argument $t")
+    val callerCols = inIdxs.map { i =>
+      a.args(i) match {
+        case TVar(v) => col(v)
+        case TConst(l) => litOf(l)
+        case TExpr(e) => exprColEnv(e, Map.empty)
+        case t => throw Analyzer.AnalysisError(s"${f.name}: bad 'in' argument $t")
+      }
     }
     val base = st.df.getOrElse(throw Analyzer.AnalysisError(
       s"${f.name}: func call needs prior bindings in the rule body"))
@@ -263,10 +265,16 @@ final class Planner(decls: Map[String, DataDecl],
       case _ => true
     }))
       throw Analyzer.AnalysisError(s"${f.name}: recursive func has no base case")
-    val inputs = base.select(callerCol.cast("bigint").as("__fin")).distinct()
-    val memo = funcMemo(f, inIdx, outIdx, inputs)
-    val joined = base.join(broadcast(memo), callerCol.cast("bigint") === memo("__fin"), "left")
-      .withColumn(outVar, col("__fout")).drop("__fin", "__fout")
+    val inputs = base.select(callerCols.zipWithIndex.map { case (c, j) =>
+      c.cast("bigint").as(s"__fin$j")
+    }: _*).distinct()
+    val memo = funcMemo(f, inIdxs, outIdx, inputs)
+    val joinCond = callerCols.zipWithIndex.map { case (c, j) =>
+      c.cast("bigint") === memo(s"__fin$j")
+    }.reduce(_ && _)
+    val joined = base.join(broadcast(memo), joinCond, "left")
+      .withColumn(outVar, col("__fout"))
+      .drop(inIdxs.indices.map(j => s"__fin$j") :+ "__fout": _*)
     State(Some(joined), st.bound + outVar, st.partition)
   }
 
@@ -282,37 +290,41 @@ final class Planner(decls: Map[String, DataDecl],
     *    broadcasting a small join side.
     *  - else: fully distributed dual fixpoint ([[funcMemoDistributed]]),
     *    correct for demand sets that don't fit one node. */
-  private def funcMemo(f: FuncDecl, inIdx: Int, outIdx: Int,
+  private def funcMemo(f: FuncDecl, inIdxs: Seq[Int], outIdx: Int,
       inputs: DataFrame): DataFrame = {
     val spark = inputs.sparkSession
     val threshold = Planner.localMemoThreshold
     val sample = inputs.limit(threshold + 1).collect()
+    val nIn = inIdxs.size
     if (sample.length <= threshold) {
-      val vals = sample.map(r => r.getLong(0))
-      val memo = funcMemoLocal(f, inIdx, outIdx, vals)
-      import spark.implicits._
+      val keys = sample.map(r => (0 until nIn).map(r.getLong).toList)
+      val memo = funcMemoLocal(f, inIdxs, outIdx, keys)
       // values are uniformly long or double per func (promotion happens
       // during interpretation); split on the realized type
-      if (memo.forall(_._2.isInstanceOf[Long]))
-        memo.map { case (k, v) => (k, v.asInstanceOf[Long]) }
-          .toSeq.toDF("__fin", "__fout")
+      import org.apache.spark.sql.types._
+      val keyFields = (0 until nIn).map(j => StructField(s"__fin$j", LongType))
+      def df(valueType: DataType, conv: Any => Any): DataFrame = {
+        val rows = memo.toSeq.map { case (k, v) =>
+          org.apache.spark.sql.Row.fromSeq(k ++ Seq(conv(v)))
+        }
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1),
+          StructType(keyFields :+ StructField("__fout", valueType)))
+      }
+      if (memo.forall(_._2.isInstanceOf[Long])) df(LongType, identity)
       else if (memo.forall(v => v._2.isInstanceOf[Double] || v._2.isInstanceOf[Long]))
-        memo.map { case (k, v) => (k, v match {
-          case d: Double => d
-          case l: Long => l.toDouble
-          case _ => throw Analyzer.AnalysisError(s"${f.name}: non-numeric memo value")
-        }) }.toSeq.toDF("__fin", "__fout")
-      else memo.map { case (k, v) => (k, String.valueOf(v)) }
-        .toSeq.toDF("__fin", "__fout")
-    } else funcMemoDistributed(f, inIdx, outIdx, inputs)
+        df(DoubleType, { case d: Double => d; case l: Long => l.toDouble
+          case o => throw Analyzer.AnalysisError(s"${f.name}: non-numeric memo value $o") })
+      else df(StringType, String.valueOf)
+    } else funcMemoDistributed(f, inIdxs, outIdx, inputs)
   }
 
   /** Driver-side recursive evaluation over the HeroQL expression AST:
     * memoized iterative DFS (explicit stack — no JVM recursion limit),
     * first-match-wins clause selection, cycle detection = the
     * reference's "calculating" guard per argument value. */
-  private def funcMemoLocal(f: FuncDecl, inIdx: Int, outIdx: Int,
-      demands: Array[Long]): collection.Map[Long, Any] = {
+  private def funcMemoLocal(f: FuncDecl, inIdxs: Seq[Int], outIdx: Int,
+      demands: Array[List[Long]]): collection.Map[List[Long], Any] = {
     def evalExpr(e: Expr, env: Map[String, Any]): Any = e match {
       case EVar(n) => env.getOrElse(n, throw Analyzer.AnalysisError(
         s"${f.name}: unbound variable $n in recursive case (only in-args and lets are available)"))
@@ -364,56 +376,69 @@ final class Planner(decls: Map[String, DataDecl],
       case LInt(v) => v; case LDouble(v) => v
       case LString(v) => v; case LBool(v) => v
     }
-    // which clause fires for argument v (static selection — patterns and
-    // comparison guards may inspect the input and input-derived lets,
+    // in-pattern env for clause k over key v: TVar binds (repeated vars
+    // must agree), TConst must match
+    def patEnv(k: Int, v: List[Long]): Option[Map[String, Any]] = {
+      var env = Map.empty[String, Any]
+      val ok = inIdxs.zip(v).forall { case (i, x) =>
+        f.cases(k).args(i) match {
+          case TVar(n) if env.contains(n) => cmp("==", env(n), x)
+          case TVar(n) => env += n -> x; true
+          case TConst(l) => cmp("==", litVal(l), x)
+          case TWildcard => true
+          case t => throw Analyzer.AnalysisError(s"${f.name}: bad case pattern $t")
+        }
+      }
+      if (ok) Some(env) else None
+    }
+    // which clause fires for key v (static selection — patterns and
+    // comparison guards may inspect the inputs and input-derived lets,
     // never self-call results), or -1
-    def caseFor(v: Long): Int = f.cases.indexWhere { c =>
-      var env = c.args(inIdx) match {
-        case TVar(n) => Map[String, Any](n -> v)
-        case _ => Map.empty[String, Any]
-      }
-      val patOk = c.args(inIdx) match {
-        case TConst(l) => cmp("==", litVal(l), v)
-        case _ => true
-      }
-      patOk && c.guards.forall {
-        case Compare(op, l, r) => cmp(op, evalExpr(l, env), evalExpr(r, env))
-        case Binding(out, value) =>
-          // lets over statically-bound vars extend the selection env;
-          // ones referencing self-call results are resolution-time only
-          scala.util.Try(evalExpr(value, env)).foreach(x => env += out -> x)
-          true
-        case _ => true
+    def caseFor(v: List[Long]): Int = f.cases.indices.indexWhere { k =>
+      patEnv(k, v) match {
+        case None => false
+        case Some(env0) =>
+          var env = env0
+          f.cases(k).guards.forall {
+            case Compare(op, l, r) => cmp(op, evalExpr(l, env), evalExpr(r, env))
+            case Binding(out, value) =>
+              // lets over statically-bound vars extend the selection env;
+              // ones referencing self-call results are resolution-time only
+              scala.util.Try(evalExpr(value, env)).foreach(x => env += out -> x)
+              true
+            case _ => true
+          }
       }
     }
     def selfCallsOf(k: Int): Seq[Atom] = f.cases(k).guards.collect {
       case a: Atom if a.rel == f.name => a
     }
-    val memo = scala.collection.mutable.HashMap.empty[Long, Any]
-    val inProgress = scala.collection.mutable.HashSet.empty[Long]
+    val memo = scala.collection.mutable.HashMap.empty[List[Long], Any]
+    val inProgress = scala.collection.mutable.HashSet.empty[List[Long]]
     demands.foreach { d =>
-      // iterative memoized DFS: (value, depsPushed)
-      val stack = scala.collection.mutable.Stack[(Long, Boolean)]((d, false))
+      // iterative memoized DFS: (key, depsPushed)
+      val stack = scala.collection.mutable.Stack[(List[Long], Boolean)]((d, false))
       while (stack.nonEmpty) {
         val (v, depsPushed) = stack.pop()
         if (!memo.contains(v)) {
           val k = caseFor(v)
           if (k < 0) throw Analyzer.AnalysisError(
             s"${f.name}: no case matches argument $v")
-          var env = f.cases(k).args(inIdx) match {
-            case TVar(n) => Map[String, Any](n -> v)
-            case _ => Map.empty[String, Any]
-          }
-          val deps = selfCallsOf(k).map(a => a.args(inIdx) match {
+          var env = patEnv(k, v).get
+          def depKey(a: Atom): List[Long] = inIdxs.map(i => a.args(i) match {
             case TExpr(e) => evalExpr(e, env) match {
               case l: Long => l
               case d2: Double => d2.toLong
               case o => throw Analyzer.AnalysisError(s"${f.name}: non-integer self-call argument $o")
             }
-            case TVar(n) => env(n).asInstanceOf[Long]
+            case TVar(n) => env(n) match {
+              case l: Long => l
+              case o => throw Analyzer.AnalysisError(s"${f.name}: non-integer self-call argument $o")
+            }
             case TConst(l) => litVal(l).asInstanceOf[Long]
             case t => throw Analyzer.AnalysisError(s"${f.name}: bad self-call argument $t")
-          })
+          }).toList
+          val deps = selfCallsOf(k).map(depKey)
           val missing = deps.filterNot(memo.contains)
           if (missing.nonEmpty && !depsPushed) {
             if (!inProgress.add(v)) throw Analyzer.AnalysisError(
@@ -457,39 +482,46 @@ final class Planner(decls: Map[String, DataDecl],
 
   /** Distributed dual fixpoint (closure + resolution) — the any-scale
     * path behind [[funcMemo]]. */
-  private def funcMemoDistributed(f: FuncDecl, inIdx: Int, outIdx: Int,
+  private def funcMemoDistributed(f: FuncDecl, inIdxs: Seq[Int], outIdx: Int,
       inputs: DataFrame): DataFrame = {
     val maxRounds = 512
-    // per-case static metadata over a prospective demand column `__fin`
+    val nIn = inIdxs.size
+    val finNames = (0 until nIn).map(j => s"__fin$j")
+    val fins = finNames.map(col)
+    // per-case static metadata over prospective demand columns `__finJ`
     final case class CaseInfo(
-        cond: Column,                       // this clause's own static condition
-        env0: Map[String, Column],          // in-pattern bindings
-        selfCalls: Seq[(Column, String)],   // (dep argument expr, dep out var)
+        cond: Column,                          // this clause's own static condition
+        env0: Map[String, Column],             // in-pattern bindings
+        selfCalls: Seq[(Seq[Column], String)], // (dep key exprs, dep out var)
         guards: Seq[Item])
-    val fin = col("__fin")
     val infos = f.cases.map { c =>
       var env = Map.empty[String, Column]
       var conds = Seq.empty[Column]
-      c.args(inIdx) match {
-        case TVar(v) => env += v -> fin
-        case TConst(l) => conds :+= (fin === litOf(l))
-        case TWildcard => ()
-        case t => throw Analyzer.AnalysisError(s"${f.name}: bad case pattern $t")
+      inIdxs.zip(fins).foreach { case (i, fin) =>
+        c.args(i) match {
+          case TVar(v) if env.contains(v) => conds :+= (fin === env(v))
+          case TVar(v) => env += v -> fin
+          case TConst(l) => conds :+= (fin === litOf(l))
+          case TWildcard => ()
+          case t => throw Analyzer.AnalysisError(s"${f.name}: bad case pattern $t")
+        }
       }
-      val selfCalls = Seq.newBuilder[(Column, String)]
+      val selfCalls = Seq.newBuilder[(Seq[Column], String)]
       c.guards.foreach {
         case at: Atom if at.rel == f.name =>
-          val dep = at.args(inIdx) match {
-            case TExpr(e) => exprColEnv(e, env)
-            case TVar(v) => env.getOrElse(v, col(v))
-            case TConst(l) => litOf(l)
-            case t => throw Analyzer.AnalysisError(s"${f.name}: bad self-call argument $t")
+          val deps = inIdxs.map { i =>
+            (at.args(i) match {
+              case TExpr(e) => exprColEnv(e, env)
+              case TVar(v) => env.getOrElse(v, col(v))
+              case TConst(l) => litOf(l)
+              case t => throw Analyzer.AnalysisError(s"${f.name}: bad self-call argument $t")
+            }).cast("bigint")
           }
           val dv = at.args(outIdx) match {
             case TVar(v) => v
             case t => throw Analyzer.AnalysisError(s"${f.name}: self-call out must be a variable, got $t")
           }
-          selfCalls += ((dep.cast("bigint"), dv))
+          selfCalls += ((deps, dv))
         case Compare(op, l, r) =>
           val (lc, rc) = (exprColEnv(l, env), exprColEnv(r, env))
           conds :+= (op match {
@@ -541,15 +573,17 @@ final class Planner(decls: Map[String, DataDecl],
     // ---- fixpoint 1: demand closure (semi-naïve) -----------------------
     def depsOf(d: DataFrame): DataFrame =
       recIdxs.flatMap { k =>
-        infos(k).selfCalls.map { case (dep, _) =>
-          d.filter(effCond(k)).select(dep.as("__fin"))
+        infos(k).selfCalls.map { case (deps, _) =>
+          d.filter(effCond(k)).select(deps.zip(finNames).map {
+            case (dep, n) => dep.as(n)
+          }: _*)
         }
       }.reduce(_ union _).distinct()
     var all = inputs.localCheckpoint(true)
     var frontier = all
     var round = 0
     while (frontier.take(1).nonEmpty && round < maxRounds) {
-      frontier = depsOf(frontier).join(all, Seq("__fin"), "left_anti")
+      frontier = depsOf(frontier).join(all, finNames, "left_anti")
         .distinct().localCheckpoint(true)
       all = all.union(frontier).localCheckpoint(true)
       round += 1
@@ -566,24 +600,28 @@ final class Planner(decls: Map[String, DataDecl],
     }.getOrElse(throw Analyzer.AnalysisError(s"${f.name}: no base case"))
     var resolved = all
       .filter(baseIdxs.map(effCond).reduceOption(_ || _).getOrElse(lit(false)))
-      .select(fin, baseValue.as("__fout")).localCheckpoint(true)
-    var unresolved = all.join(resolved, Seq("__fin"), "left_anti").localCheckpoint(true)
+      .select(fins :+ baseValue.as("__fout"): _*).localCheckpoint(true)
+    var unresolved = all.join(resolved, finNames, "left_anti").localCheckpoint(true)
     round = 0
     while (unresolved.take(1).nonEmpty && round < maxRounds) {
       val newlyResolved = recIdxs.map { k =>
         var cur = unresolved.filter(effCond(k))
         val deps = infos(k).selfCalls.zipWithIndex.map { case ((dep, dv), j) =>
-          val r = resolved.select(col("__fin").as(s"__dk$j"), col("__fout").as(s"__dv$j"))
-          cur = cur.join(r, dep === col(s"__dk$j"))
+          val r = resolved.select(
+            finNames.map(n => col(n).as(s"__dk${j}_$n")) :+
+              col("__fout").as(s"__dv$j"): _*)
+          cur = cur.join(r, dep.zip(finNames).map { case (d, n) =>
+            d === col(s"__dk${j}_$n")
+          }.reduce(_ && _))
           dv -> col(s"__dv$j")
         }.toMap
-        cur.select(fin, outOf(k, deps).as("__fout"))
+        cur.select(fins :+ outOf(k, deps).as("__fout"): _*)
       }.reduce(_ union _).localCheckpoint(true)
       if (newlyResolved.take(1).isEmpty)
         throw Analyzer.AnalysisError(
           s"${f.name}: unresolvable demands (missing base case for some input?)")
       resolved = resolved.union(newlyResolved).localCheckpoint(true)
-      unresolved = unresolved.join(newlyResolved, Seq("__fin"), "left_anti")
+      unresolved = unresolved.join(newlyResolved, finNames, "left_anti")
         .localCheckpoint(true)
       round += 1
     }

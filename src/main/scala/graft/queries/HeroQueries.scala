@@ -119,6 +119,18 @@ query FibOf(pk: int64) -> (n: int64, fib: int64)
 :-  Nums(pk, n),
     Fib(n, fib)
 .
+
+data Pairs(pk: int64, n: int64, k: int64).
+
+func Comb(in n, in k, out o);
+case Comb(n, 0, 1);
+case Comb(n, k, 1) :- k == n;
+case Comb(n, k, o) :- Comb(n-1, k-1, x1), Comb(n-1, k, x2), o <- x1 + x2;
+
+query ChooseOf(pk: int64) -> (n: int64, k: int64, c: int64)
+:-  Pairs(pk, n, k),
+    Comb(n, k, c)
+.
 """
 
   private def catalog(s: SparkSession, d: String): Map[String, DataFrame] = {
@@ -150,9 +162,14 @@ query FibOf(pk: int64) -> (n: int64, fib: int64)
         (m3 === 2, 2, struct(lit(0.0).as("x")))), arity = 3).as("s"))
     val nums = p.select(col("p_partkey").as("pk"),
       (col("p_partkey") % 21).as("n"))
+    // (n, k) with 0 <= k <= n <= 17: Pascal-recursion demands stay exact
+    // in int64 and the closure is the full triangle
+    val pairs = p.select(col("p_partkey").as("pk"),
+      (col("p_partkey") % 18).as("n"),
+      (expr("p_partkey div 7") % (col("p_partkey") % 18 + 1)).as("k"))
     Map("Exams" -> exams, "Father" -> father, "Mother" -> mother,
       "Person" -> person, "Coef" -> coef,
-      "Shapes" -> shapes, "Nums" -> nums)
+      "Shapes" -> shapes, "Nums" -> nums, "Pairs" -> pairs)
   }
 
   private def run(name: String)(s: SparkSession, d: String): DataFrame =
@@ -170,6 +187,7 @@ query FibOf(pk: int64) -> (n: int64, fib: int64)
     "hq9_func_cases" -> (run("Graded") _),
     "hq10_union_dispatch" -> (run("ShapeAreas") _),
     "hq11_recursive_func" -> (run("FibOf") _),
+    "hq12_recursive_multiarg" -> (run("ChooseOf") _),
   )
 
   private val examsSql =
@@ -242,5 +260,16 @@ query FibOf(pk: int64) -> (n: int64, fib: int64)
            SELECT n + 1, b, a + b FROM fib WHERE n < 20)
          SELECT p_partkey AS pk, CAST(p_partkey % 21 AS BIGINT) AS n, a AS fib
          FROM part JOIN fib ON fib.n = p_partkey % 21""",
+    // Pascal recursion C(n,k) = C(n-1,k-1) + C(n-1,k) vs the closed
+    // factorial form (exact in HUGEINT for n <= 17, cast back down)
+    "hq12_recursive_multiarg" ->
+      """SELECT p_partkey AS pk,
+                CAST(p_partkey % 18 AS BIGINT) AS n,
+                CAST((p_partkey // 7) % (p_partkey % 18 + 1) AS BIGINT) AS k,
+                CAST(factorial(CAST(p_partkey % 18 AS INTEGER)) //
+                     (factorial(CAST((p_partkey // 7) % (p_partkey % 18 + 1) AS INTEGER)) *
+                      factorial(CAST(p_partkey % 18 - (p_partkey // 7) % (p_partkey % 18 + 1) AS INTEGER)))
+                     AS BIGINT) AS c
+         FROM part""",
   )
 }

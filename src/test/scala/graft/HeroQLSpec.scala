@@ -45,13 +45,13 @@ class HeroQLParserSpec extends AnyFunSuite {
       Conj(Seq(Atom("Mother", Seq(TVar("parent"), TVar("child")))))))
   }
 
-  test("golden: the full HeroQueries program parses (11 queries + 3 funcs + 1 union)") {
+  test("golden: the full HeroQueries program parses (12 queries + 4 funcs + 1 union)") {
     val p = Parser.parse(HeroQueries.program)
-    assert(p.datas.size == 7)
+    assert(p.datas.size == 8)
     assert(p.queries.map(_.name) == Seq("Top10", "Top3PerStudent", "AvgTop3",
       "Parents", "GrandParents", "GrandParentsSub", "Quad", "Childless", "Graded",
-      "ShapeAreas", "FibOf"))
-    assert(p.funcs.map(_.name) == Seq("Grade", "Area", "Fib"))
+      "ShapeAreas", "FibOf", "ChooseOf"))
+    assert(p.funcs.map(_.name) == Seq("Grade", "Area", "Fib", "Comb"))
     assert(p.funcs.head.cases.size == 3)
     assert(p.unions == Seq(UnionDecl("Shape", Seq("Circle", "Rect", "Point"))))
   }
@@ -154,6 +154,30 @@ class HeroQLRuntimeSpec extends SparkSpec {
       val got = HeroQL.compile(src, "FibOf", Map("Nums" -> nums))
         .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
       assert(got == Map(6L -> 13L, 9L -> 55L))
+    } finally graft.heroql.Planner.localMemoThreshold = saved
+  }
+
+  test("multi-arg recursion: Pascal C(n,k) on both evaluation paths") {
+    import spark.implicits._
+    val src =
+      """data Pairs(pk: int64, n: int64, k: int64).
+        |func Comb(in n, in k, out o);
+        |case Comb(n, 0, 1);
+        |case Comb(n, k, 1) :- k == n;
+        |case Comb(n, k, o) :- Comb(n-1, k-1, x1), Comb(n-1, k, x2), o <- x1 + x2;
+        |query C(pk: int64) -> (n: int64, k: int64, c: int64)
+        |:- Pairs(pk, n, k), Comb(n, k, c)
+        |.""".stripMargin
+    val pairs = Seq((1L, 5L, 2L), (2L, 10L, 3L), (3L, 7L, 0L), (4L, 6L, 6L))
+      .toDF("pk", "n", "k")
+    val want = Map((5L, 2L) -> 10L, (10L, 3L) -> 120L, (7L, 0L) -> 1L, (6L, 6L) -> 1L)
+    def got() = HeroQL.compile(src, "C", Map("Pairs" -> pairs))
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(got() == want)
+    val saved = graft.heroql.Planner.localMemoThreshold
+    try {
+      graft.heroql.Planner.localMemoThreshold = 0 // force distributed
+      assert(got() == want)
     } finally graft.heroql.Planner.localMemoThreshold = saved
   }
 
