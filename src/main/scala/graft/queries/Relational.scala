@@ -397,6 +397,21 @@ object Relational extends QueryPack {
       .agg(count(lit(1)).as("n_events"))
   }
 
+  /** J11 — salted skew join (added scope): l_quantity has ~50 distinct
+    * values over the whole fact table — the canonical hot-key shape.
+    * [[graft.operators.SkewJoin.salted]] spreads each key 8 ways; the
+    * aggregate checks exact join multiplicity (any dup/loss from the
+    * salting shifts the counts). */
+  private def j11(s: SparkSession, d: String): DataFrame = {
+    val facts = t(s, d, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    val dim = t(s, d, "lineitem").select(col("l_quantity")).distinct()
+      .withColumn("q_label", concat(lit("Q"), col("l_quantity").cast("int")))
+    graft.operators.SkewJoin.salted(facts, dim, "l_quantity", salt = 8)
+      .groupBy(col("q_label"))
+      .agg(count(lit(1)).as("n"), sum(col("l_linenumber").cast("long")).as("sum_line"))
+  }
+
   /** A12 — statistical aggregates (added scope): sample stddev/variance,
     * correlation and covariance — identical closed-form definitions in
     * Spark and DuckDB. */
@@ -456,6 +471,7 @@ object Relational extends QueryPack {
     "j10_interval_join" -> (j10 _),
     "a12_stats_aggregates" -> (a12 _),
     "a13_percentiles" -> (a13 _),
+    "j11_salted_skew_join" -> (j11 _),
     "s1_scan_filter" -> (s1 _),
     "s3_inline_values" -> (s3 _),
     "p1_projection" -> (p1 _),
@@ -528,6 +544,10 @@ object Relational extends QueryPack {
                 round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
                 round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
          FROM lineitem GROUP BY l_returnflag""",
+    "j11_salted_skew_join" ->
+      """SELECT 'Q' || CAST(CAST(l_quantity AS INT) AS VARCHAR) AS q_label,
+                count(*) AS n, CAST(sum(l_linenumber) AS BIGINT) AS sum_line
+         FROM lineitem GROUP BY 1""",
     "j10_interval_join" ->
       """SELECT l.event_id AS signup_id, count(*) AS n_events
          FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts0

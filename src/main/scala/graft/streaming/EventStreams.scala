@@ -86,6 +86,28 @@ object EventStreams {
     stage.toString
   }
 
+  /** Stream-stream interval join (the streaming form of the J10
+    * interval join): signups joined to the same user's events within 7
+    * days. Both sides carry watermarks and the join condition is
+    * time-bounded on BOTH ends, so the state store evicts rows once
+    * the watermark passes — bounded state at any stream length, the
+    * non-negotiable for a join that runs forever. */
+  def streamStreamSignupJoin(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val staged = stageDir(dir)
+    def src() = spark.readStream.schema(schema).parquet(staged)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val signups = src().filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
+        col("ts").as("ts0"))
+      .withWatermark("ts0", "1 hour")
+    val all = src().select(col("user_id"), col("ts"), col("event_id"))
+      .withWatermark("ts", "1 hour")
+    signups.join(all, expr(
+      "s_user = user_id AND ts >= ts0 AND ts < ts0 + INTERVAL 7 DAYS"))
+      .select(col("signup_id"), col("event_id"), col("user_id"), col("ts"))
+  }
+
   /** Streaming SINK into the table store: readStream over the staged
     * events, `foreachBatch` appending each micro-batch through the
     * store's atomic-commit insert (new files only — the streaming

@@ -50,4 +50,21 @@ class JoinMatrixSpec extends SparkSpec {
     val nsafe = left.join(right, left("k") <=> right("k2"), "inner")
     assert(nsafe.count() == 2) // (2,2) and (null,null)
   }
+
+  test("salted skew join equals the plain equi-join, and the salt reaches the shuffle") {
+    import spark.implicits._
+    // heavy skew: 90% of facts share key 1
+    val facts = (1 to 1000).map(i => (if (i <= 900) 1L else (i % 7).toLong, i.toLong))
+      .toDF("k", "v")
+    val dim = Seq((0L, "z"), (1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"),
+      (5L, "e"), (6L, "f")).toDF("k", "label")
+    val plain = facts.join(dim, "k")
+      .select("k", "v", "label").collect().map(_.toSeq).toSet
+    val saltedDf = graft.operators.SkewJoin.salted(facts, dim, "k", salt = 4)
+    val salted = saltedDf.select("k", "v", "label").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+    // the exchange must partition on (k, __salt), not k alone
+    val plan = saltedDf.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"salt column missing from plan:\n$plan")
+  }
 }

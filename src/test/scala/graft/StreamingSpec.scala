@@ -73,4 +73,27 @@ class StreamingSpec extends SparkSpec {
       .agg(sum("n_events")).head.getLong(0)
     assert(windowed == 2 * n)
   }
+
+  test("stream-stream interval join equals the batch interval join") {
+    val sdf = EventStreams.streamStreamSignupJoin(spark, sf)
+    val q = sdf.writeStream
+      .outputMode("append") // stream-stream inner joins emit append-only
+      .format("memory")
+      .queryName("ssjoin_mem")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(240000)
+    val streamed = spark.table("ssjoin_mem")
+      .groupBy("signup_id").agg(count(lit(1)).as("n_events"))
+    val ev = EventStreams.normalizeTs(Tables.t(spark, sf, "events"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
+        col("ts").as("ts0"))
+    val batch = signups.join(ev,
+      col("s_user") === ev("user_id") &&
+        ev("ts") >= col("ts0") && ev("ts") < col("ts0") + expr("INTERVAL 7 DAYS"))
+      .groupBy("signup_id").agg(count(lit(1)).as("n_events"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
 }
