@@ -21,6 +21,7 @@ object Analyzer {
     case ELit(_) => Set.empty
     case EUnary(_, x) => exprVars(x)
     case EBinary(_, l, r) => exprVars(l) | exprVars(r)
+    case EConstruct(_, fields) => fields.map(_._2).flatMap(exprVars).toSet
   }
 
   private def atomVars(a: Atom): Set[String] =

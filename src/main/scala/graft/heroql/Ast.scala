@@ -19,12 +19,19 @@ object Ast {
       outArgs: Seq[(String, String)],
       body: Body)
 
-  /** `union Shape = Circle | Rect | Point.` — a tagged-union type
-    * declaration; variant order fixes the runtime tag
-    * (`Kernel/README.md:36-39` union types; runtime-type case dispatch
-    * `Kernel/Drafts/draft_type:218-311`). Values use the frozen
-    * [[graft.types.UnionType]] struct encoding. */
-  final case class UnionDecl(name: String, variants: Seq[String])
+  /** `union Shape = Circle(r: double) | Rect(w: double, h: double).` —
+    * a tagged-union (ADT) declaration; variant order fixes the runtime
+    * tag (`Kernel/README.md:36-39` union types; ADTs as unions of
+    * structs `Kernel/Drafts/draft:21-23`; runtime-type case dispatch
+    * `Kernel/Drafts/draft_type:218-311`). Payload field lists enable
+    * constructor expressions (`Circle{ r = x }` — the draft_type
+    * construction syntax, e.g. `LambdaType{ type = t }`); a variant may
+    * omit them when its values only ever arrive pre-encoded. Values use
+    * the frozen [[graft.types.UnionType]] struct encoding. */
+  final case class UnionDecl(name: String, variants: Seq[UnionVariant]) {
+    def variantNames: Seq[String] = variants.map(_.name)
+  }
+  final case class UnionVariant(name: String, fields: Seq[(String, String)])
 
   final case class Program(datas: Seq[DataDecl], queries: Seq[QueryDecl],
       funcs: Seq[FuncDecl] = Seq.empty,
@@ -109,6 +116,9 @@ object Ast {
   final case class ELit(value: Lit) extends Expr
   final case class EUnary(op: String, e: Expr) extends Expr
   final case class EBinary(op: String, l: Expr, r: Expr) extends Expr
+  /** `Circle{ r = expr, ... }` — union-variant construction
+    * (`Kernel/Drafts/draft_type:227` `DisgintuishedType{ name = ... }`). */
+  final case class EConstruct(variant: String, fields: Seq[(String, Expr)]) extends Expr
 
   sealed trait Lit
   final case class LInt(v: Long) extends Lit

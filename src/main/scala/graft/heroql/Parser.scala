@@ -29,7 +29,8 @@ object Parser {
   final case class TSym(s: String) extends Tok
 
   private val symbols = Seq(":-", "->", "<-", "<=", ">=", "==", "!=",
-    "(", ")", ",", ";", ".", ":", "<", ">", "=", "+", "-", "*", "/", "_", "|")
+    "(", ")", "{", "}", ",", ";", ".", ":", "<", ">", "=", "+", "-", "*", "/",
+    "_", "|")
 
   def lex(src: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -124,14 +125,20 @@ object Parser {
         unions.result())
     }
 
-    /** `union Shape = Circle | Rect | Point.` */
+    /** `union Shape = Circle(r: double) | Rect(w: double, h: double) | Point.` */
     def unionDecl(): UnionDecl = {
       expectId() // union
       val name = expectId()
       expectSym("=")
-      val variants = Seq.newBuilder[String]
-      variants += expectId()
-      while (eat("|")) variants += expectId()
+      def variant(): UnionVariant = {
+        val vn = expectId()
+        val fields = if (eat("(")) { val f = argList(); expectSym(")"); f }
+        else Seq.empty
+        UnionVariant(vn, fields)
+      }
+      val variants = Seq.newBuilder[UnionVariant]
+      variants += variant()
+      while (eat("|")) variants += variant()
       if (!eat(";")) expectSym(".")
       UnionDecl(name, variants.result())
     }
@@ -445,6 +452,19 @@ object Parser {
       case TSym("(") => val e = exprP(); expectSym(")"); e
       case TId("true") => ELit(LBool(true))
       case TId("false") => ELit(LBool(false))
+      case TId(v) if at("{") => // `Variant{ field = expr, ... }`
+        expectSym("{")
+        val fields = Seq.newBuilder[(String, Expr)]
+        var first = true
+        while (!at("}")) {
+          if (!first) expectSym(",")
+          first = false
+          val fn = expectId()
+          expectSym("=")
+          fields += fn -> exprP()
+        }
+        expectSym("}")
+        EConstruct(v, fields.result())
       case TId(v) => EVar(v)
       case TNum(s) => ELit(numLit(s))
       case TStr(s) => ELit(LString(s))

@@ -27,8 +27,11 @@ final class Planner(decls: Map[String, DataDecl],
     unions: Map[String, UnionDecl] = Map.empty) {
 
   /** variant name -> (tag, owning union) across all declared unions. */
-  private val variantTags: Map[String, Int] =
-    unions.values.flatMap(u => u.variants.zipWithIndex).toMap
+  private val variantInfo: Map[String, (Int, UnionDecl)] =
+    unions.values.flatMap(u =>
+      u.variantNames.zipWithIndex.map { case (v, t) => v -> (t, u) }).toMap
+  private def variantTags: Map[String, Int] =
+    variantInfo.map { case (v, (t, _)) => v -> t }
 
   /** Planning stack — a rule atom naming a query already being planned
     * is recursion, which the reference errors on via its "calculating"
@@ -338,6 +341,8 @@ final class Planner(decls: Map[String, DataDecl],
         case o => throw Analyzer.AnalysisError(s"${f.name}: cannot negate $o")
       }
       case EUnary(op, _) => throw Analyzer.AnalysisError(s"unknown unary $op")
+      case _: EConstruct => throw Analyzer.AnalysisError(
+        s"${f.name}: union constructors are not supported inside recursive funcs")
       case EBinary(op, l, r) =>
         val (a, b) = (evalExpr(l, env), evalExpr(r, env))
         def num(x: Any): Double = x match {
@@ -745,6 +750,30 @@ final class Planner(decls: Map[String, DataDecl],
       n.split('.').toSeq.tail.foldLeft(env(n.takeWhile(_ != '.')))(_.getField(_))
     case EVar(n) => env.getOrElse(n, col(n))
     case ELit(l) => litOf(l)
+    // `Circle{ r = x }`: construct the frozen tagged-union struct —
+    // active slot from the declared payload schema, inactive slots as
+    // TYPED null structs so the encoding is schema-stable row-to-row
+    case EConstruct(variant, fieldExprs) =>
+      val (tag, u) = variantInfo.getOrElse(variant,
+        throw Analyzer.AnalysisError(s"unknown union variant $variant"))
+      val slots = u.variants.zipWithIndex.map { case (v, j) =>
+        if (v.fields.isEmpty)
+          throw Analyzer.AnalysisError(
+            s"union ${u.name}: variant ${v.name} declares no payload fields — constructors need them")
+        if (j == tag) {
+          val given = fieldExprs.toMap
+          struct(v.fields.map { case (fn, ft) =>
+            given.getOrElse(fn, throw Analyzer.AnalysisError(
+              s"$variant{...}: missing field $fn"))
+            match { case e => exprColEnv(e, env).cast(sparkType(ft)).as(fn) }
+          }: _*).as(s"v$j")
+        } else {
+          val tpe = v.fields.map { case (fn, ft) => s"$fn: ${sparkType(ft)}" }
+            .mkString("struct<", ", ", ">")
+          lit(null).cast(tpe).as(s"v$j")
+        }
+      }
+      struct(lit(tag).cast("int").as("tag") +: slots: _*)
     case EUnary("-", x) => -exprColEnv(x, env)
     case EUnary(op, _) => throw Analyzer.AnalysisError(s"unknown unary $op")
     case EBinary(op, l, r) =>
@@ -807,21 +836,9 @@ final class Planner(decls: Map[String, DataDecl],
     case LBool(v) => lit(v)
   }
 
-  private def exprCol(e: Expr): Column = e match {
-    case EVar(n) => col(n)
-    case ELit(l) => litOf(l)
-    case EUnary("-", x) => -exprCol(x)
-    case EUnary(op, _) => throw Analyzer.AnalysisError(s"unknown unary $op")
-    case EBinary(op, l, r) =>
-      val (lc, rc) = (exprCol(l), exprCol(r))
-      op match {
-        case "+" => lc + rc
-        case "-" => lc - rc
-        case "*" => lc * rc
-        case "/" => lc / rc
-        case other => throw Analyzer.AnalysisError(s"unknown operator $other")
-      }
-  }
+  // rule-body expressions delegate to the env-aware translator with an
+  // empty environment (column references + constructors included)
+  private def exprCol(e: Expr): Column = exprColEnv(e, Map.empty)
 }
 
 object Planner {

@@ -95,7 +95,7 @@ query Graded(student: string, score: int) -> (label: string)
     Grade(score, label)
 .
 
-union Shape = Circle | Rect | Point.
+union Shape = Circle(r: double) | Rect(w: double, h: double) | Point(x: double).
 data Shapes(pk: int64, s: Shape).
 
 func Area(in s : Shape, out a);
@@ -105,6 +105,12 @@ case Area(p : Point, a) :- a <- 0.0;
 
 query ShapeAreas(pk: int64) -> (area: double)
 :-  Shapes(pk, s),
+    Area(s, area)
+.
+
+query BoxedAreas(pk: int64) -> (area: double)
+:-  Coef(pk, a, b, c),
+    s <- Rect{ w = a, h = b },
     Area(s, area)
 .
 
@@ -188,6 +194,7 @@ query ChooseOf(pk: int64) -> (n: int64, k: int64, c: int64)
     "hq10_union_dispatch" -> (run("ShapeAreas") _),
     "hq11_recursive_func" -> (run("FibOf") _),
     "hq12_recursive_multiarg" -> (run("ChooseOf") _),
+    "hq13_union_construct" -> (run("BoxedAreas") _),
   )
 
   private val examsSql =
@@ -260,6 +267,12 @@ query ChooseOf(pk: int64) -> (n: int64, k: int64, c: int64)
            SELECT n + 1, b, a + b FROM fib WHERE n < 20)
          SELECT p_partkey AS pk, CAST(p_partkey % 21 AS BIGINT) AS n, a AS fib
          FROM part JOIN fib ON fib.n = p_partkey % 21""",
+    // constructed Rect{w=a, h=b} dispatched through Area's Rect clause:
+    // area = a*b with the same operand order as the Spark plan
+    "hq13_union_construct" ->
+      """SELECT p_partkey AS pk,
+                CAST(p_size AS DOUBLE) * (p_retailprice / 100.0) AS area
+         FROM part""",
     // Pascal recursion C(n,k) = C(n-1,k-1) + C(n-1,k) vs the closed
     // factorial form (exact in HUGEINT for n <= 17, cast back down)
     "hq12_recursive_multiarg" ->

@@ -45,15 +45,19 @@ class HeroQLParserSpec extends AnyFunSuite {
       Conj(Seq(Atom("Mother", Seq(TVar("parent"), TVar("child")))))))
   }
 
-  test("golden: the full HeroQueries program parses (12 queries + 4 funcs + 1 union)") {
+  test("golden: the full HeroQueries program parses (13 queries + 4 funcs + 1 union)") {
     val p = Parser.parse(HeroQueries.program)
     assert(p.datas.size == 8)
     assert(p.queries.map(_.name) == Seq("Top10", "Top3PerStudent", "AvgTop3",
       "Parents", "GrandParents", "GrandParentsSub", "Quad", "Childless", "Graded",
-      "ShapeAreas", "FibOf", "ChooseOf"))
+      "ShapeAreas", "BoxedAreas", "FibOf", "ChooseOf"))
     assert(p.funcs.map(_.name) == Seq("Grade", "Area", "Fib", "Comb"))
     assert(p.funcs.head.cases.size == 3)
-    assert(p.unions == Seq(UnionDecl("Shape", Seq("Circle", "Rect", "Point"))))
+    assert(p.unions.map(_.name) == Seq("Shape"))
+    assert(p.unions.head.variants == Seq(
+      UnionVariant("Circle", Seq("r" -> "double")),
+      UnionVariant("Rect", Seq("w" -> "double", "h" -> "double")),
+      UnionVariant("Point", Seq("x" -> "double"))))
   }
 
   test("golden: runtime-type patterns and expression args parse") {
