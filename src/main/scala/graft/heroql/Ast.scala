@@ -13,11 +13,15 @@ object Ast {
 
   /** `query Name(in: t, ...) -> (out: t, ...) :- body .`
     * (`Kernel/README.md:162-205`); result columns are inArgs ++ outArgs. */
+  /** `cached` marks the reference's materialized-query form
+    * (`Kernel/README.md:142-161`): first evaluation memoizes into the
+    * store, later calls serve the committed snapshot. */
   final case class QueryDecl(
       name: String,
       inArgs: Seq[(String, String)],
       outArgs: Seq[(String, String)],
-      body: Body)
+      body: Body,
+      cached: Boolean = false)
 
   /** `union Shape = Circle(r: double) | Rect(w: double, h: double).` —
     * a tagged-union (ADT) declaration; variant order fixes the runtime

@@ -109,7 +109,7 @@ object Parser {
         peek match {
           case Some(TId("data")) => datas += dataDecl()
           case Some(TId("union")) => unions += unionDecl()
-          case Some(TId("query")) => queries += queryDecl()
+          case Some(TId("query")) | Some(TId("cached")) => queries += queryDecl()
           case Some(TId("func")) =>
             val f = funcDecl()
             funcs(f.name) = f
@@ -202,6 +202,8 @@ object Parser {
     }
 
     def queryDecl(): QueryDecl = {
+      val cached = peek.contains(TId("cached"))
+      if (cached) { next(); () } // `cached query ...`
       expectId() // query
       val name = expectId()
       expectSym("(")
@@ -213,7 +215,7 @@ object Parser {
       expectSym(":-")
       val b = body()
       expectSym(".")
-      QueryDecl(name, inArgs, outArgs, b)
+      QueryDecl(name, inArgs, outArgs, b, cached)
     }
 
     def body(): Body = {

@@ -864,6 +864,19 @@ object HeroQL {
     new Planner(decls, queryDecls, catalog, funcs, unions).plan(q)
   }
 
+  /** Compile with cached-query support (`cached query Name ...` —
+    * `Kernel/README.md:142-161`): a query declared `cached` serves from
+    * the store-materialized memo, computing it once; `uncache` via
+    * [[QueryCache.uncache]]. Non-cached queries compile as usual. */
+  def compileCached(program: String, queryName: String,
+      catalog: Map[String, DataFrame], cache: QueryCache): DataFrame = {
+    val ast = Parser.parse(program)
+    val decl = ast.queries.find(_.name == queryName)
+      .getOrElse(throw Analyzer.AnalysisError(s"no query named $queryName"))
+    if (decl.cached) cache.cached(queryName)(compile(program, queryName, catalog))
+    else compile(program, queryName, catalog)
+  }
+
   /** Compile a standalone `collection_query ... ;` against the data
     * declarations of `program` and a catalog of table bindings. */
   def compileCollection(program: String, cqSrc: String,

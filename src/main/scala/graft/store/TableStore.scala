@@ -133,6 +133,14 @@ final class TableStore(val spark: SparkSession, val root: String) {
   def delete(name: String, cond: Column): Unit = transaction(_.delete(name, cond))
   def truncate(name: String): Unit = transaction(_.truncate(name))
 
+  /** S7 backup/export: write a self-contained snapshot of the table's
+    * CURRENT committed state to `destDir` (plain parquet, no manifest —
+    * readable by anything). The source files are immutable, so the
+    * export is consistent without blocking writers: it reads the
+    * manifest-resolved file set, concurrent commits don't perturb it. */
+  def exportTable(name: String, destDir: String): Unit =
+    read(name).write.mode("overwrite").parquet(destDir)
+
   /** Unpublish tables WITHOUT deleting files — the safe removal for
     * package instances, whose data dirs may be pointer-shared with an
     * inheriting or merged-into instance (GC is a separate concern, like
