@@ -56,6 +56,8 @@ object Analyzer {
         f.params.zip(a.args).foreach {
           case (("in", _), TVar(v)) if !bound.contains(v) =>
             throw AnalysisError(s"cannot run backward: unbound variable $v at an 'in' position of ${a.rel}")
+          case (("in", _), TExpr(e)) =>
+            requireBound(exprVars(e), bound, s"'in' expression of ${a.rel}")
           case (("out", _), TVar(v)) => bound += v
           case (("out", _), t) =>
             throw AnalysisError(s"'out' argument of ${a.rel} must be a fresh variable, got $t")
