@@ -80,8 +80,23 @@ object GraphQueries extends QueryPack {
         c.groupBy("c_custkey").count().filter(col("count") > 1)))
   }
 
+  /** rel1 — bidirectional relationship field with n..1 cardinality
+    * (`Kernel/Drafts/draft:36-38`, `draft_students:23-24`): link the
+    * part hierarchy through the enforcing store, emit the BACKWARD
+    * direction — the same committed rows projected parent→child, so the
+    * oracle checking it also checks two-direction consistency. */
+  private def rel1(s: SparkSession, d: String): DataFrame = {
+    val rs = new graft.store.RelationshipStore(new graft.store.TableStore(s,
+      java.nio.file.Files.createTempDirectory("graft-rel-").toString))
+    rs.declare(graft.store.RelDecl("parent_of", "child", "parent", "n..1"))
+    rs.link("parent_of", partEdges(s, d)
+      .select(col("child").as("src"), col("parent").as("dst")))
+    rs.backward("parent_of")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_transitive_closure" -> (g1 _),
+    "rel1_bidirectional" -> (rel1 _),
     "g2_connected_components" -> (g2 _),
     "g3_pagerank" -> (g3 _),
     "g4_multihop_counts" -> (g4 _),
@@ -99,6 +114,9 @@ object GraphQueries extends QueryPack {
            UNION
            SELECT e.child, a.anc FROM edges e JOIN anc a ON e.parent = a.child)
          SELECT child, anc FROM anc""",
+    "rel1_bidirectional" ->
+      s"""SELECT p_partkey // 2 AS src, p_partkey AS dst FROM part
+          WHERE p_partkey // 2 >= 1""",
     "g2_connected_components" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS node,
                 CAST(min(n_nationkey) OVER (PARTITION BY n_regionkey) AS BIGINT) AS component
