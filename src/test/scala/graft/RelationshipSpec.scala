@@ -49,6 +49,21 @@ class RelationshipSpec extends SparkSpec {
     assert(rs.forward("friends").count() == 3)
   }
 
+  test("data-class handles are never reused across delete/insert cycles") {
+    import spark.implicits._
+    val dc = new graft.store.DataClassStore(
+      new TableStore(spark, Files.createTempDirectory("graft-dc-").toString))
+    dc.insertInstances("person", Seq("a", "b", "c").toDF("name"))
+    val ids1 = dc.read("person").select("id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == Set(1L, 2L, 3L))
+    dc.deleteInstances("person", col("name") === "b")
+    dc.insertInstances("person", Seq("d", "e").toDF("name"))
+    val all = dc.read("person").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the burned handle 2 must NOT be re-assigned to d or e
+    assert(all.keySet == Set(1L, 3L, 4L, 5L))
+    assert(all(4L) == "d" && all(5L) == "e")
+  }
+
   test("unlink keeps rows where the predicate is null (SQL DELETE semantics)") {
     import spark.implicits._
     val rs = fresh()
