@@ -30,9 +30,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // session warmup (codegen compiler, parquet footer IO, shuffle
-    // service) so the first measured query isn't charged ~5s of init
+    // service, AND the parquet write committer — the first write in a
+    // session pays ~1.5s of class loading that otherwise lands on
+    // whichever store-mutation query runs first) so the first measured
+    // query isn't charged init costs
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/nation.parquet").count()
+    val warm = java.nio.file.Files.createTempDirectory("graft-bench-warm-").toString
+    spark.range(100).toDF("id").write.mode("overwrite").parquet(warm)
     val all = SparkEntry.queries
     val selected =
       if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) all
