@@ -38,6 +38,9 @@ object Bench {
     spark.read.parquet(s"$sfDir/nation.parquet").count()
     val warm = java.nio.file.Files.createTempDirectory("graft-bench-warm-").toString
     spark.range(100).toDF("id").write.mode("overwrite").parquet(warm)
+    spark.range(100).selectExpr("id % 5 AS k", "id AS v")
+      .selectExpr("k", "row_number() OVER (PARTITION BY k ORDER BY v) AS rn")
+      .filter("rn <= 2").count() // window/group-limit codegen path
     val all = SparkEntry.queries
     val selected =
       if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) all

@@ -1,0 +1,41 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Dump `explain("formatted")` for the headline queries to a markdown
+  * file — the plan-level review artifact (every operator's scale story
+  * is a plan property: pushdown, broadcast, partial aggregation,
+  * WindowGroupLimit, salted exchanges).
+  *
+  * Usage: runMain graft.PlanDump <sfDir> <outFile>
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val out = args.lift(1).getOrElse("PLANS.md")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sb = new StringBuilder
+    sb.append("# Physical plans (explain formatted), headline queries\n\n")
+    sb.append(s"Generated from `$sfDir` — regenerate with " +
+      "`sbt \"runMain graft.PlanDump <sfDir> PLANS.md\"`.\n")
+    Bench.headline.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      sb.append(s"\n## $name\n\n```\n$plan```\n")
+    }
+    Files.write(Paths.get(out), sb.toString.getBytes("UTF-8"))
+    println(s"wrote $out")
+    spark.stop()
+  }
+}
