@@ -47,7 +47,9 @@ final class RelationshipStore(val store: TableStore) {
         .select(col("src").cast("bigint"), col("dst").cast("bigint"))
         .distinct()
     def maxFan(key: String): Long =
-      merged.groupBy(key).count().agg(max("count")).head.getLong(0)
+      // coalesce: max over an empty edge set is NULL, not zero
+      merged.groupBy(key).count()
+        .agg(coalesce(max("count"), lit(0L))).head.getLong(0)
     // n..1: each src at most one dst; 1..n: each dst at most one src
     if ((rel.card == "n..1" || rel.card == "1..1") && maxFan("src") > 1)
       throw new IllegalArgumentException(
