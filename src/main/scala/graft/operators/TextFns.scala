@@ -18,11 +18,13 @@ object TextFns {
   /** Distinct character n-gram shingles of `textCol`.
     * Documents shorter than n shingle to the empty array (mirrors
     * DuckDB `range(1, greatest(len-n+1,0)+1)` semantics). */
-  def shingles(textCol: String, n: Int): Column = expr(
+  def shinglesSql(textCol: String, n: Int): String =
     s"""CASE WHEN length($textCol) >= $n
         THEN array_distinct(transform(sequence(1, length($textCol) - ${n - 1}),
                i -> substr($textCol, i, $n)))
-        ELSE array() END""")
+        ELSE array() END"""
+
+  def shingles(textCol: String, n: Int): Column = expr(shinglesSql(textCol, n))
 
   /** Whitespace tokens of trimmed text. */
   def tokens(textCol: String): Column =

@@ -33,16 +33,21 @@ object Dedup extends QueryPack {
     * is dd3). */
   private def dd2(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFns.register(s)
+    // intersects run on sorted 64-bit shingle hashes (set sizes
+    // preserved — see dd3's verification note) — long compares beat
+    // UTF8String compares ~3× on the O(n²) pair stream
     val sh = t(s, d, "documents")
       .filter(col("doc_id") % 4 === 0)
-      .select(col("doc_id"), sort_array(TextFns.shingles("text", 5)).as("s"))
+      .select(col("doc_id"), sort_array(
+        expr(s"transform(${TextFns.shinglesSql("text", 5)}, x -> xxhash64(x))"))
+        .as("s"))
     // the streamed side of the broadcast pair-join must be spread across
     // cores — one parquet split would run all O(n²) intersects serially
     val a = sh.repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id").as("a_id"), col("s").as("sa"))
     val b = sh.select(col("doc_id").as("b_id"), col("s").as("sb"))
     a.join(broadcast(b), col("a_id") < col("b_id"))
-      .withColumn("inter", expr("graft_sorted_intersect(sa, sb)"))
+      .withColumn("inter", expr("graft_sorted_intersect_long(sa, sb)"))
       .withColumn("jaccard", TextFns.jaccardFromIntersect("inter", "size(sa)", "size(sb)"))
       .filter(col("jaccard") >= 0.25)
       .select("a_id", "b_id", "jaccard")
