@@ -484,6 +484,19 @@ object Parser {
 
   def parse(src: String): Program = new P(lex(src)).program()
 
+  /** Parse a standalone `uncache Name.` statement
+    * (`Kernel/Drafts/draft:135-136` M4) — returns the cache key. */
+  def parseUncache(src: String): String = {
+    val p = new P(lex(src))
+    p.expectId() match {
+      case "uncache" => ()
+      case t => throw ParseError(s"expected 'uncache', got $t", 0)
+    }
+    val name = p.expectId()
+    if (!p.eat(";")) p.expectSym(".")
+    name
+  }
+
   /** Parse a standalone `collection_query ... ;` statement
     * (`Kernel/Drafts/draft:148-156`). */
   def parseCollection(src: String): CollectionQuery =

@@ -877,6 +877,12 @@ object HeroQL {
     else compile(program, queryName, catalog)
   }
 
+  /** Execute an `uncache Name.` statement (M4,
+    * `Kernel/Drafts/draft:135-136`): drops the materialization; the
+    * next `cached query` evaluation recomputes. */
+  def executeUncache(statement: String, cache: QueryCache): Unit =
+    cache.uncache(Parser.parseUncache(statement))
+
   /** Compile a standalone `collection_query ... ;` against the data
     * declarations of `program` and a catalog of table bindings. */
   def compileCollection(program: String, cqSrc: String,

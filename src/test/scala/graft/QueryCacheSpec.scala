@@ -64,7 +64,8 @@ class QueryCacheSpec extends SparkSpec {
     // semantics: the cache serves its snapshot until uncached)
     data = Seq((1L, 99L)).toDF("k", "v")
     assert(run() == Map(1L -> 20L, 2L -> 40L))
-    qc.uncache("Doubled")
+    // the statement form of M4
+    HeroQL.executeUncache("uncache Doubled.", qc)
     assert(run() == Map(1L -> 198L))
   }
 
