@@ -35,7 +35,12 @@ object Fixpoint {
     val aqeWas = conf.get("spark.sql.adaptive.enabled", "true")
     val shufWas = conf.get("spark.sql.shuffle.partitions", "32")
     conf.set("spark.sql.adaptive.enabled", "false")
-    conf.set("spark.sql.shuffle.partitions", "8")
+    // iterative state is small relative to the cluster — but derive the
+    // round partitioning from the actual parallelism (a pinned constant
+    // tuned on local[32] would underpartition a 1000-core cluster)
+    val roundParts = math.max(8,
+      edges.sparkSession.sparkContext.defaultParallelism / 4)
+    conf.set("spark.sql.shuffle.partitions", roundParts.toString)
     try {
       var acc = edges.select(col("child"), col("parent").as("anc"))
         .distinct().localCheckpoint()
@@ -72,6 +77,15 @@ object Fixpoint {
     // jump: (node, up) — the ancestor exactly 2^k levels above node
     var jump = edges.select(col("child").as("node"), col("parent").as("up"))
       .localCheckpoint()
+    // jump is |V| rows of two longs and only ever shrinks, so one count
+    // at entry decides the whole loop's join strategy: under the gate,
+    // broadcast it and the loop runs SHUFFLE-FREE (acc, the only big
+    // state, is never repartitioned); at billions of vertices the gate
+    // trips and every round is a plain co-located shuffle join instead
+    // of an executor-OOMing forced broadcast. 20M rows ≈ 320 MB.
+    val jumpRows = jump.count()
+    def gated(df: DataFrame): DataFrame =
+      SizeGate.maybeBroadcast(df, jumpRows, 20000000L)
     // acc: (child, anc) — ancestors at distance in [1, 2^k]
     var acc = jump.select(col("node").as("child"), col("up").as("anc"))
       .localCheckpoint()
@@ -79,16 +93,13 @@ object Fixpoint {
     var done = false
     while (!done && iter < maxIter) {
       // ancestors at distance 2^k + [1, 2^k] = [2^k+1, 2^{k+1}]
-      // the jump function is ≤|V| rows and halves as depth runs out —
-      // broadcast it, so the WHOLE loop runs shuffle-free (acc, the only
-      // big state, is never repartitioned)
-      val stretched = broadcast(jump)
+      val stretched = gated(jump)
         .join(acc.select(col("child").as("__m"), col("anc")), col("up") === col("__m"))
         .select(col("node").as("child"), col("anc"))
         .localCheckpoint()
       // the 2^{k+1} jump: follow two 2^k jumps
       val nextJump = jump.select(col("node"), col("up").as("__m"))
-        .join(broadcast(jump.select(col("node").as("__m"), col("up"))), "__m")
+        .join(gated(jump.select(col("node").as("__m"), col("up"))), "__m")
         .select(col("node"), col("up"))
         .localCheckpoint()
       val grew = stretched.take(1).nonEmpty

@@ -98,10 +98,14 @@ object MinHashLSH {
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
     // signatures (k longs per doc) are the small side vs the candidate
-    // stream — broadcast, same reasoning as the exact-verify path
+    // stream — broadcast, same reasoning as the exact-verify path; gated
+    // on corpus size (sigs is checkpointed, the count is a cache scan)
+    val corpusRows = sigs.count()
     val sa = sigs.select(col(idCol).as("a_id"), col("_mh").as("ma"))
     val sb = sigs.select(col(idCol).as("b_id"), col("_mh").as("mb"))
-    cand.join(broadcast(sa), "a_id").join(broadcast(sb), "b_id")
+    // k longs ≈ 0.5 KB/doc → 4M docs ≈ 2 GB broadcast, the sane ceiling
+    cand.join(SizeGate.maybeBroadcast(sa, corpusRows, 4000000L), "a_id")
+      .join(SizeGate.maybeBroadcast(sb, corpusRows, 4000000L), "b_id")
       .withColumn("jaccard_est", expr(
         s"CAST(size(filter(zip_with(ma, mb, (x, y) -> x = y), v -> v)) AS DOUBLE) / $k"))
       .filter(col("jaccard_est") >= threshold)
@@ -143,15 +147,18 @@ object MinHashLSH {
     // (set sizes are preserved — a collision would need two of a doc's
     // ~10³ shingles to land on one of 2⁶⁴ values). Long compares beat
     // UTF8String compares ~3× and the payload is ~2.5× smaller. The doc
-    // sides are BROADCAST: the corpus representation (one array per doc)
-    // is orders smaller than the candidate-pair stream it joins, so
-    // shipping arrays through two shuffles — the measured bottleneck at
-    // sf0.1, ~10 GB for ~1M pairs — disappears. At cluster scale with a
-    // corpus too big to broadcast, bucket both sides by doc id instead
-    // (same plan shape, co-located).
+    // sides broadcast WHEN THEY FIT: the corpus representation (one array
+    // per doc) is orders smaller than the candidate-pair stream it joins,
+    // so shipping arrays through two shuffles — the measured bottleneck
+    // at sf0.1, ~10 GB for ~1M pairs — disappears. Past the gate the
+    // joins fall back to shuffles on doc id (co-located equi-joins),
+    // which is the only shape that survives a corpus of 10⁹ docs.
+    val corpusRows = hashed.count() // hashed is checkpointed — cache scan
     val sa = hashed.select(col(idCol).as("a_id"), col("h").as("sa"))
     val sb = hashed.select(col(idCol).as("b_id"), col("h").as("sb"))
-    cand.join(broadcast(sa), "a_id").join(broadcast(sb), "b_id")
+    // ~10³ shingle hashes ≈ 8 KB/doc → 250k docs ≈ 2 GB broadcast ceiling
+    cand.join(SizeGate.maybeBroadcast(sa, corpusRows, 250000L), "a_id")
+      .join(SizeGate.maybeBroadcast(sb, corpusRows, 250000L), "b_id")
       .withColumn("inter", expr("graft_sorted_intersect_long(sa, sb)"))
       .withColumn("jaccard", TextFns.jaccardFromIntersect("inter", "size(sa)", "size(sb)"))
       .filter(col("jaccard") >= threshold)

@@ -70,6 +70,32 @@ class DedupSpec extends SparkSpec {
     assert(falsePos.isEmpty, s"pairs below exact threshold: $falsePos")
   }
 
+  test("dd3 verify joins degrade to shuffle when the corpus exceeds the broadcast gate") {
+    val docs = Tables.t(spark, sf, "documents").limit(60)
+      .select(col("doc_id"), TextFns.shingles("text", 5).as("sh"))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaBroadcast = MinHashLSH.nearDuplicates(docs, "doc_id", "sh", 16, 4, 0.25)
+    assert(viaBroadcast.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+      "under the gate the verify join must be hinted broadcast")
+    val expected = pairs(viaBroadcast)
+    // corpus "too big": gate forced shut, auto-broadcast off — the plan
+    // must hold with shuffle joins only, and produce identical pairs
+    spark.conf.set(graft.operators.SizeGate.MaxRowsConf, "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val viaShuffle = MinHashLSH.nearDuplicates(docs, "doc_id", "sh", 16, 4, 0.25)
+      assert(!viaShuffle.queryExecution.sparkPlan.toString.contains("Broadcast"),
+        "gate failed to suppress the verify broadcast")
+      assert(pairs(viaShuffle) == expected,
+        "near-dup pairs differ between broadcast and shuffle verify paths")
+    } finally {
+      spark.conf.unset(graft.operators.SizeGate.MaxRowsConf)
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("signature-estimated jaccard tracks exact jaccard (mean abs error bound)") {
     val est = Dedup.queries("dd3b_minhash_estimate")(spark, sf)
       .select("a_id", "b_id", "jaccard_est")

@@ -42,6 +42,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "asof must not enumerate pairs")
   }
 
+  test("SizeGate: broadcast hint under the cap, plain join over it") {
+    val small = spark.range(10).toDF("k")
+    val big = spark.range(1000).toDF("k")
+    val under = big.join(graft.operators.SizeGate.maybeBroadcast(small, 10, 100), "k")
+    assert(under.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+      "hint within cap must plan a broadcast join")
+    // over the cap (forced via conf=0) and with auto-broadcast off, the
+    // join must degrade to a co-located shuffle join — the 100 TB shape
+    spark.conf.set(graft.operators.SizeGate.MaxRowsConf, "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val over = big.join(graft.operators.SizeGate.maybeBroadcast(small, 10, 100), "k")
+      val p = over.queryExecution.sparkPlan.toString
+      assert(!p.contains("Broadcast"), s"gate failed to suppress broadcast:\n$p")
+    } finally {
+      spark.conf.unset(graft.operators.SizeGate.MaxRowsConf)
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("fixpoint functional closure: shuffle fallback derives the same closure") {
+    import spark.implicits._
+    // depth-9 binary-ish hierarchy: node i's parent is i/2
+    val edges = (2 to 512).map(i => (i.toLong, (i / 2).toLong)).toDF("child", "parent")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaBroadcast = rows(graft.operators.Fixpoint.transitiveClosureFunctional(edges))
+    spark.conf.set(graft.operators.SizeGate.MaxRowsConf, "0")
+    try {
+      val viaShuffle = rows(graft.operators.Fixpoint.transitiveClosureFunctional(edges))
+      assert(viaShuffle == viaBroadcast,
+        "closure differs between broadcast and shuffle-fallback paths")
+    } finally spark.conf.unset(graft.operators.SizeGate.MaxRowsConf)
+  }
+
   test("scan projection prunes to the read schema on the documents table") {
     val p = plan(graft.queries.TextAnalysis, "tx4_fingerprint")
     // fingerprint reads doc_id + text only; the scan must not read lang/source
