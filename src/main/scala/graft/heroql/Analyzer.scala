@@ -22,6 +22,11 @@ object Analyzer {
     case EUnary(_, x) => exprVars(x)
     case EBinary(_, l, r) => exprVars(l) | exprVars(r)
     case EConstruct(_, fields) => fields.map(_._2).flatMap(exprVars).toSet
+    case ECmp(_, l, r) => exprVars(l) | exprVars(r)
+    case EAnd(l, r) => exprVars(l) | exprVars(r)
+    case EOr(l, r) => exprVars(l) | exprVars(r)
+    case ENot(x) => exprVars(x)
+    case EIf(c, t, e) => exprVars(c) | exprVars(t) | e.map(exprVars).getOrElse(Set.empty)
   }
 
   private def atomVars(a: Atom): Set[String] =
@@ -105,6 +110,10 @@ object Analyzer {
         bound += out
       case Compare(_, l, r) =>
         requireBound(exprVars(l) | exprVars(r), bound, "comparison")
+      case Filter(e) =>
+        requireBound(exprVars(e), bound, "boolean filter")
+      case Ensure(e) =>
+        requireBound(exprVars(e), bound, "ensure")
       case Partition(vars) =>
         requireBound(vars.toSet, bound, "@partition")
       case Aggregate(_, v) =>

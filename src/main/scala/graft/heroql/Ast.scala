@@ -65,6 +65,15 @@ object Ast {
   final case class Binding(out: String, value: Expr) extends Item
   /** `delta > 0` — filter predicate. */
   final case class Compare(op: String, left: Expr, right: Expr) extends Item
+  /** Scalar boolean filter — a composed `and`/`or`/`not`/`if-then-else`
+    * condition over bound variables (the full `<BOOLEAN>` grammar,
+    * `Kernel/Drafts/draft:104-112`). Boolean combinations over relation
+    * ATOMS never reach this node: the parser lowers them to disjunctive
+    * normal form on the rule's `;`-union path. */
+  final case class Filter(cond: Expr) extends Item
+  /** `ensure X` — throws if any row fails X (`Kernel/Drafts/draft:111`
+    * "ensure X throws if not X"); rows that pass flow through unchanged. */
+  final case class Ensure(cond: Expr) extends Item
   /** `@partition(student)` (`Kernel/README.md:176-185`). */
   final case class Partition(vars: Seq[String]) extends Item
   /** `order <- @order_by_desc(score)` / `@order_by(...)`
@@ -123,6 +132,15 @@ object Ast {
   /** `Circle{ r = expr, ... }` — union-variant construction
     * (`Kernel/Drafts/draft_type:227` `DisgintuishedType{ name = ... }`). */
   final case class EConstruct(variant: String, fields: Seq[(String, Expr)]) extends Expr
+  /** Boolean-valued expressions (`<BOOLEAN>` grammar,
+    * `Kernel/Drafts/draft:104-112`): comparison, connectives, and the
+    * boolean `if <B> then <B> [else <B>]` (no `else` = implication —
+    * the construct "returns true" when the condition fails). */
+  final case class ECmp(op: String, l: Expr, r: Expr) extends Expr
+  final case class EAnd(l: Expr, r: Expr) extends Expr
+  final case class EOr(l: Expr, r: Expr) extends Expr
+  final case class ENot(e: Expr) extends Expr
+  final case class EIf(cond: Expr, thenB: Expr, elseB: Option[Expr]) extends Expr
 
   sealed trait Lit
   final case class LInt(v: Long) extends Lit

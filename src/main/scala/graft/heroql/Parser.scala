@@ -84,6 +84,19 @@ object Parser {
 
   // ------------------------------------------------------------ parser
 
+  /** Parse-time boolean tree (`<BOOLEAN>` grammar,
+    * `Kernel/Drafts/draft:104-112`) — normalized into classic Items (or
+    * DNF alternatives) before it leaves the parser. */
+  private sealed trait B
+  private final case class BAtomT(a: Ast.Atom) extends B
+  private final case class BScal(e: Ast.Expr) extends B
+  private final case class BAnd(l: B, r: B) extends B
+  private final case class BOr(l: B, r: B) extends B
+  private final case class BNot(x: B) extends B
+  private final case class BExists(x: B) extends B
+  private final case class BEnsure(x: B) extends B
+  private final case class BIf(c: B, t: B, e: Option[B]) extends B
+
   final class P(toks: Vector[Tok]) {
     var pos = 0
     def peek: Option[Tok] = toks.lift(pos)
@@ -220,17 +233,34 @@ object Parser {
 
     def body(): Body = {
       val alts = Seq.newBuilder[Conj]
-      alts += conj()
-      while (eat(";")) alts += conj()
+      alts ++= conjAlts()
+      while (eat(";")) alts ++= conjAlts()
       Body(alts.result())
     }
 
-    def conj(): Conj = {
-      val items = Seq.newBuilder[Item]
-      items += item()
-      // ',' separates items; stop on ';' '.' or ')'
-      while (eat(",")) items += item()
-      Conj(items.result())
+    /** One `,`-conjunction (`<BOOLEAN> ::= <OR> {"," <OR>}` — the comma
+      * binds LOOSER than `or`, which binds looser than `and`,
+      * `Kernel/Drafts/draft:104-107`). `or` branches containing relation
+      * atoms expand to disjunctive normal form — a cross product of
+      * branch choices — so they ride the rule's existing `;`-union
+      * planning (J2) instead of needing union-mid-conjunction plans. */
+    def conjAlts(): Seq[Conj] = {
+      var alts: Seq[Vector[Item]] = Seq(Vector.empty)
+      var first = true
+      while (first || eat(",")) {
+        first = false
+        val elem = element()
+        alts = for { a <- alts; e <- elem } yield a ++ e
+      }
+      alts.map(items => Conj(items))
+    }
+
+    /** Single-alternative conjunction — contexts where DNF expansion has
+      * nowhere to go (func-case guards, collection_query bodies). */
+    def conj(): Conj = conjAlts() match {
+      case Seq(c) => c
+      case _ => throw ParseError(
+        "'or' over relation atoms is not supported in this context", pos)
     }
 
     // ------------------------------------------- collection_query form
@@ -298,44 +328,171 @@ object Parser {
       CollectionQuery(head.result(), bodyConj, pb, gb, having, ob, rb)
     }
 
-    def item(): Item = peek match {
-      case Some(TSym("(")) => subQuery()
+    /** One comma-element of a conjunction → its DNF alternatives (each a
+      * sequence of Items; usually exactly one alternative). */
+    private def element(): Seq[Vector[Item]] = peek match {
+      case Some(TSym("(")) if subQueryAhead() => Seq(Vector(subQuery()))
       case Some(TId("where")) =>
         pos += 1
-        comparison()
-      case Some(TId("not")) =>
-        pos += 1
-        if (!atId("exists")) throw ParseError("expected 'exists' after 'not'", pos)
-        pos += 1
-        Negation(atomItem())
-      case Some(TId("exists")) =>
-        pos += 1
-        Existence(atomItem())
-      case Some(TId(id)) if id.startsWith("@") => pipelineCommand()
-      case _ =>
-        // Atom | binding | comparison — decide by lookahead
-        val save = pos
+        normB(orTree())
+      case Some(TId(id)) if id.startsWith("@") => Seq(Vector(pipelineCommand()))
+      case Some(TId(name)) if !name.startsWith("@") &&
+          toks.lift(pos + 1).contains(TSym("<-")) =>
+        pos += 2
         peek match {
-          case Some(TId(name)) if !name.startsWith("@") =>
+          case Some(TId(cmd)) if cmd.startsWith("@") =>
             pos += 1
-            if (at("(")) { pos = save; atomItem() }
-            else if (at("<-")) {
-              pos += 1
-              peek match {
-                case Some(TId(cmd)) if cmd.startsWith("@") =>
-                  pos += 1
-                  val desc = cmd == "@order_by_desc"
-                  if (cmd != "@order_by" && cmd != "@order_by_desc")
-                    throw ParseError(s"unknown command $cmd in binding", pos)
-                  expectSym("(")
-                  val key = exprP()
-                  expectSym(")")
-                  RankBinding(name, key, desc)
-                case _ => Binding(name, exprP())
-              }
-            } else { pos = save; comparison() }
-          case _ => comparison()
+            val desc = cmd == "@order_by_desc"
+            if (cmd != "@order_by" && cmd != "@order_by_desc")
+              throw ParseError(s"unknown command $cmd in binding", pos)
+            expectSym("(")
+            val key = exprP()
+            expectSym(")")
+            Seq(Vector(RankBinding(name, key, desc)))
+          case _ => Seq(Vector(Binding(name, exprP())))
         }
+      case _ => normB(orTree())
+    }
+
+    /** Lookahead: `(` id {"," id} `)` `:-` is a sub-rule head, anything
+      * else starting with `(` is a parenthesized boolean. */
+    private def subQueryAhead(): Boolean = {
+      var j = pos + 1
+      var wellFormed = true
+      while (wellFormed && !toks.lift(j).contains(TSym(")"))) {
+        toks.lift(j) match {
+          case Some(TId(_)) | Some(TSym(",")) => j += 1
+          case _ => wellFormed = false
+        }
+      }
+      wellFormed && toks.lift(j + 1).contains(TSym(":-"))
+    }
+
+    /** Legacy single-item entry (func guards etc.): an element that must
+      * lower to exactly one Item. */
+    def item(): Item = element() match {
+      case Seq(Vector(i)) => i
+      case _ => throw ParseError("expected a single body item here", pos)
+    }
+
+    // ---------------- boolean grammar (`Kernel/Drafts/draft:104-112`)
+    //
+    // <OR>           ::= <AND> {"or" <AND>}
+    // <AND>          ::= <BOOLEAN-PRIM> {"and" <BOOLEAN-PRIM>}
+    // <BOOLEAN-PRIM> ::= atom | comparison
+    //                  | "if" <B> "then" <B> ["else" <B>]
+    //                  | ("not" | "exists" | "ensure") <BOOLEAN-PRIM>
+    //                  | "(" <BOOLEAN> ")"
+
+    private def orTree(): B = {
+      var e = andTree()
+      while (atId("or")) { pos += 1; e = BOr(e, andTree()) }
+      e
+    }
+    private def andTree(): B = {
+      var e = boolPrim()
+      while (atId("and")) { pos += 1; e = BAnd(e, boolPrim()) }
+      e
+    }
+    /** Inside parens the comma-conjunction is unambiguous — parse it. */
+    private def commaTree(): B = {
+      var e = orTree()
+      while (eat(",")) e = BAnd(e, orTree())
+      e
+    }
+    private def boolPrim(): B = peek match {
+      case Some(TId("not")) => pos += 1; BNot(boolPrim())
+      case Some(TId("exists")) => pos += 1; BExists(boolPrim())
+      case Some(TId("ensure")) => pos += 1; BEnsure(boolPrim())
+      case Some(TId("if")) =>
+        pos += 1
+        // divergence from the sketch: branches parse at <OR> level (the
+        // draft's comma-greedy <BOOLEAN> would swallow the enclosing
+        // conjunction's commas); parenthesize to conjoin inside a branch
+        val c = orTree()
+        if (!atId("then")) throw ParseError("expected 'then'", pos)
+        pos += 1
+        val t = orTree()
+        val e = if (atId("else")) { pos += 1; Some(orTree()) } else None
+        BIf(c, t, e)
+      case Some(TSym("(")) =>
+        // `(a+b) > 3` is a comparison whose left side parenthesizes an
+        // arithmetic expression; `(A(x) or p > 1)` is a grouped boolean.
+        // Try the comparison first, backtrack to the boolean on failure.
+        val save = pos
+        try BScal(comparisonExpr())
+        catch {
+          case _: ParseError =>
+            pos = save
+            expectSym("(")
+            val b = commaTree()
+            expectSym(")")
+            b
+        }
+      case Some(TId(name)) if !name.startsWith("@") && name != "true" &&
+          name != "false" && toks.lift(pos + 1).contains(TSym("(")) =>
+        BAtomT(atomItem())
+      case _ => BScal(comparisonExpr())
+    }
+
+    private def comparisonExpr(): Expr = {
+      val l = exprP()
+      val op = next() match {
+        case TSym(o) if Seq("<", "<=", ">", ">=", "==", "!=", "=").contains(o) => o
+        case t => throw ParseError(s"expected comparison operator, got $t", pos - 1)
+      }
+      ECmp(if (op == "=") "==" else op, l, exprP())
+    }
+
+    /** Pure-scalar subtree → one boolean Expr (None when atoms occur). */
+    private def scalarOf(b: B): Option[Expr] = b match {
+      case BScal(e) => Some(e)
+      case BAnd(l, r) => for { a <- scalarOf(l); c <- scalarOf(r) } yield EAnd(a, c)
+      case BOr(l, r) => for { a <- scalarOf(l); c <- scalarOf(r) } yield EOr(a, c)
+      case BNot(x) => scalarOf(x).map(ENot)
+      case BExists(x) => scalarOf(x) // exists over a scalar adds nothing
+      case BIf(c, t, e) =>
+        for {
+          cc <- scalarOf(c)
+          tc <- scalarOf(t)
+          ec <- e match {
+            case None => Some(None)
+            case Some(x) => scalarOf(x).map(Some(_))
+          }
+        } yield EIf(cc, tc, ec)
+      case _ => None
+    }
+
+    /** Lower a boolean tree to DNF alternatives of classic Items. */
+    private def normB(b: B): Seq[Vector[Item]] = scalarOf(b) match {
+      case Some(ECmp(op, l, r)) => Seq(Vector(Compare(op, l, r)))
+      case Some(e) => Seq(Vector(Filter(e)))
+      case None => b match {
+        case BAtomT(a) => Seq(Vector(a))
+        case BAnd(l, r) => for { x <- normB(l); y <- normB(r) } yield x ++ y
+        case BOr(l, r) => normB(l) ++ normB(r)
+        case BNot(BExists(BAtomT(a))) => Seq(Vector(Negation(a)))
+        case BNot(BAtomT(a)) => Seq(Vector(Negation(a)))
+        case BExists(BAtomT(a)) => Seq(Vector(Existence(a)))
+        case BEnsure(x) => scalarOf(x) match {
+          case Some(e) => Seq(Vector(Ensure(e)))
+          case None => throw ParseError(
+            "ensure requires a scalar condition (no relation atoms)", pos)
+        }
+        case BIf(c, t, e) => scalarOf(c) match {
+          case Some(ce) =>
+            // atoms in a branch: (C and T) ; (not C [and E]) on the union path
+            val thenAlts = normB(t).map(Filter(ce) +: _)
+            val elseAlts = e match {
+              case Some(eb) => normB(eb).map(Filter(ENot(ce)) +: _)
+              case None => Seq(Vector(Filter(ENot(ce)): Item))
+            }
+            thenAlts ++ elseAlts
+          case None => throw ParseError(
+            "if-condition must be scalar (no relation atoms)", pos)
+        }
+        case other => throw ParseError(s"unsupported boolean form $other", pos)
+      }
     }
 
     private def pipelineCommand(): Item = {

@@ -107,15 +107,17 @@ final class Planner(decls: Map[String, DataDecl],
         st = st.copy(df = Some(st.df.get.withColumn(out, row_number().over(w))),
           bound = st.bound + out)
       case Compare(op, l, r) =>
-        val c = op match {
-          case "==" => exprCol(l) === exprCol(r)
-          case "!=" => exprCol(l) =!= exprCol(r)
-          case "<" => exprCol(l) < exprCol(r)
-          case "<=" => exprCol(l) <= exprCol(r)
-          case ">" => exprCol(l) > exprCol(r)
-          case ">=" => exprCol(l) >= exprCol(r)
-        }
-        st = st.copy(df = Some(st.df.get.filter(c)))
+        st = st.copy(df = Some(st.df.get.filter(cmpCol(op, exprCol(l), exprCol(r)))))
+      case Filter(e) =>
+        st = st.copy(df = Some(st.df.get.filter(exprCol(e))))
+      case Ensure(e) =>
+        // `ensure X` throws if not X (draft:111). assert_true raises on
+        // the first failing row and returns NULL on success; keeping it
+        // inside a filter (always-true) stops Catalyst from pruning the
+        // check away while letting every row flow through.
+        val ok = coalesce(exprCol(e), lit(false))
+        st = st.copy(df = Some(st.df.get.filter(
+          assert_true(ok, lit("ensure failed: rule-body constraint violated")).isNull)))
       case Mutation(kind, _) =>
         throw Analyzer.AnalysisError(
           s"@$kind queries execute via HeroQL.executeMutation, not plan()")
@@ -187,15 +189,7 @@ final class Planner(decls: Map[String, DataDecl],
     }
 
     cq.having.foreach { case Compare(op, l, r) =>
-      val c = op match {
-        case "==" => exprCol(l) === exprCol(r)
-        case "!=" => exprCol(l) =!= exprCol(r)
-        case "<" => exprCol(l) < exprCol(r)
-        case "<=" => exprCol(l) <= exprCol(r)
-        case ">" => exprCol(l) > exprCol(r)
-        case ">=" => exprCol(l) >= exprCol(r)
-      }
-      df = df.filter(c)
+      df = df.filter(cmpCol(op, exprCol(l), exprCol(r)))
     }
 
     cq.orderBy.foreach { case (e, desc) =>
@@ -360,6 +354,17 @@ final class Planner(decls: Map[String, DataDecl],
           case ("*", _, _) => num(a) * num(b)
           case (o, _, _) => throw Analyzer.AnalysisError(s"unknown operator $o")
         }
+      case ECmp(op, l, r) => cmp(op, evalExpr(l, env), evalExpr(r, env))
+      case EAnd(l, r) => bool(evalExpr(l, env)) && bool(evalExpr(r, env))
+      case EOr(l, r) => bool(evalExpr(l, env)) || bool(evalExpr(r, env))
+      case ENot(x) => !bool(evalExpr(x, env))
+      case EIf(c, t, e) =>
+        if (bool(evalExpr(c, env))) evalExpr(t, env)
+        else e.map(evalExpr(_, env)).getOrElse(true)
+    }
+    def bool(v: Any): Boolean = v match {
+      case b: Boolean => b
+      case o => throw Analyzer.AnalysisError(s"${f.name}: non-boolean condition $o")
     }
     def cmp(op: String, a: Any, b: Any): Boolean = {
       val c = (a, b) match {
@@ -406,6 +411,7 @@ final class Planner(decls: Map[String, DataDecl],
           var env = env0
           f.cases(k).guards.forall {
             case Compare(op, l, r) => cmp(op, evalExpr(l, env), evalExpr(r, env))
+            case Filter(e) => evalExpr(e, env) == true
             case Binding(out, value) =>
               // lets over statically-bound vars extend the selection env;
               // ones referencing self-call results are resolution-time only
@@ -528,15 +534,9 @@ final class Planner(decls: Map[String, DataDecl],
           }
           selfCalls += ((deps, dv))
         case Compare(op, l, r) =>
-          val (lc, rc) = (exprColEnv(l, env), exprColEnv(r, env))
-          conds :+= (op match {
-            case "==" => lc === rc
-            case "!=" => lc =!= rc
-            case "<" => lc < rc
-            case "<=" => lc <= rc
-            case ">" => lc > rc
-            case ">=" => lc >= rc
-          })
+          conds :+= cmpCol(op, exprColEnv(l, env), exprColEnv(r, env))
+        case Filter(e) =>
+          conds :+= exprColEnv(e, env)
         case _: Binding => () // evaluated at resolution time
         case other => throw Analyzer.AnalysisError(
           s"${f.name}: unsupported guard $other in recursive func")
@@ -695,15 +695,9 @@ final class Planner(decls: Map[String, DataDecl],
       }
       c.guards.foreach {
         case Compare(op, l, r) =>
-          val (lc, rc) = (exprColEnv(l, env), exprColEnv(r, env))
-          conds :+= (op match {
-            case "==" => lc === rc
-            case "!=" => lc =!= rc
-            case "<" => lc < rc
-            case "<=" => lc <= rc
-            case ">" => lc > rc
-            case ">=" => lc >= rc
-          })
+          conds :+= cmpCol(op, exprColEnv(l, env), exprColEnv(r, env))
+        case Filter(e) =>
+          conds :+= exprColEnv(e, env)
         case Binding(out, value) =>
           val vc = exprColEnv(value, env)
           if (caseOutVar.contains(out)) outExprFromGuard = Some(vc)
@@ -785,6 +779,25 @@ final class Planner(decls: Map[String, DataDecl],
         case "/" => lc / rc
         case other => throw Analyzer.AnalysisError(s"unknown operator $other")
       }
+    case ECmp(op, l, r) => cmpCol(op, exprColEnv(l, env), exprColEnv(r, env))
+    case EAnd(l, r) => exprColEnv(l, env) && exprColEnv(r, env)
+    case EOr(l, r) => exprColEnv(l, env) || exprColEnv(r, env)
+    case ENot(x) => !exprColEnv(x, env)
+    // boolean `if c then t [else e]`: with no else the construct
+    // "returns true" when the condition fails (draft:108) — implication
+    case EIf(c, t, e) =>
+      when(exprColEnv(c, env), exprColEnv(t, env))
+        .otherwise(e.map(exprColEnv(_, env)).getOrElse(lit(true)))
+  }
+
+  private def cmpCol(op: String, lc: Column, rc: Column): Column = op match {
+    case "==" => lc === rc
+    case "!=" => lc =!= rc
+    case "<" => lc < rc
+    case "<=" => lc <= rc
+    case ">" => lc > rc
+    case ">=" => lc >= rc
+    case other => throw Analyzer.AnalysisError(s"unknown comparison $other")
   }
 
   private def joinIn(st: State, right: DataFrame, rightVars: Seq[String]): State = {

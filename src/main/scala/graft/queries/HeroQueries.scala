@@ -137,6 +137,22 @@ query ChooseOf(pk: int64) -> (n: int64, k: int64, c: int64)
 :-  Pairs(pk, n, k),
     Comb(n, k, c)
 .
+
+query BoolSieve(student: string, score: int)
+:-  Exams(student, score),
+    (score > 150000 or score < 50000) and not score == 100000,
+    if score > 150000 then score > 160000 else score < 40000
+.
+
+query EitherParent(parent: int64, child: int64)
+:-  (Father(parent, child) or Mother(parent, child)) and child > 100
+.
+
+query EnsuredScores(student: string, score: int)
+:-  Exams(student, score),
+    ensure (score >= 0 and score < 10000000),
+    score > 100000
+.
 """
 
   private def catalog(s: SparkSession, d: String): Map[String, DataFrame] = {
@@ -195,6 +211,9 @@ query ChooseOf(pk: int64) -> (n: int64, k: int64, c: int64)
     "hq11_recursive_func" -> (run("FibOf") _),
     "hq12_recursive_multiarg" -> (run("ChooseOf") _),
     "hq13_union_construct" -> (run("BoxedAreas") _),
+    "hq14_bool_grammar" -> (run("BoolSieve") _),
+    "hq14b_bool_dnf" -> (run("EitherParent") _),
+    "hq15_ensure" -> (run("EnsuredScores") _),
   )
 
   private val examsSql =
@@ -284,5 +303,21 @@ query ChooseOf(pk: int64) -> (n: int64, k: int64, c: int64)
                       factorial(CAST(p_partkey % 18 - (p_partkey // 7) % (p_partkey % 18 + 1) AS INTEGER)))
                      AS BIGINT) AS c
          FROM part""",
+    // full <BOOLEAN> grammar (draft:104-112): and/or/not + the boolean
+    // if-then-else, lowered to one scalar filter
+    "hq14_bool_grammar" ->
+      s"""SELECT student, score FROM ($examsSql)
+         WHERE (score > 150000 OR score < 50000) AND NOT (score = 100000)
+           AND (CASE WHEN score > 150000 THEN score > 160000
+                     ELSE score < 40000 END)""",
+    // `or` over relation atoms: DNF-expanded onto the `;` union path
+    "hq14b_bool_dnf" ->
+      s"""SELECT parent, child FROM (
+           SELECT father AS parent, child FROM ($fatherSql) WHERE child > 100
+           UNION ALL
+           SELECT mother AS parent, child FROM ($motherSql) WHERE child > 100)""",
+    // ensure holds for every row, so it passes rows through unchanged
+    "hq15_ensure" ->
+      s"""SELECT student, score FROM ($examsSql) WHERE score > 100000""",
   )
 }

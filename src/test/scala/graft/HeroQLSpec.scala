@@ -45,12 +45,13 @@ class HeroQLParserSpec extends AnyFunSuite {
       Conj(Seq(Atom("Mother", Seq(TVar("parent"), TVar("child")))))))
   }
 
-  test("golden: the full HeroQueries program parses (13 queries + 4 funcs + 1 union)") {
+  test("golden: the full HeroQueries program parses (16 queries + 4 funcs + 1 union)") {
     val p = Parser.parse(HeroQueries.program)
     assert(p.datas.size == 8)
     assert(p.queries.map(_.name) == Seq("Top10", "Top3PerStudent", "AvgTop3",
       "Parents", "GrandParents", "GrandParentsSub", "Quad", "Childless", "Graded",
-      "ShapeAreas", "BoxedAreas", "FibOf", "ChooseOf"))
+      "ShapeAreas", "BoxedAreas", "FibOf", "ChooseOf",
+      "BoolSieve", "EitherParent", "EnsuredScores"))
     assert(p.funcs.map(_.name) == Seq("Grade", "Area", "Fib", "Comb"))
     assert(p.funcs.head.cases.size == 3)
     assert(p.unions.map(_.name) == Seq("Shape"))
@@ -73,6 +74,64 @@ class HeroQLParserSpec extends AnyFunSuite {
       Binding("o", EBinary("*", EVar("a.x"), ELit(LInt(2))))))
     assert(f.cases(1).guards.head ==
       Atom("F", Seq(TExpr(EBinary("-", EVar("b.y"), ELit(LInt(1)))), TVar("r"))))
+  }
+
+  test("boolean grammar: and binds tighter than or, comma loosest (draft:104-107)") {
+    val p = Parser.parse(
+      """data T(x: int, y: int).
+        |query Q(x: int, y: int)
+        |:- T(x, y), x > 1 or x < 0 and y > 2
+        |.""".stripMargin)
+    // x > 1 or (x < 0 and y > 2): one scalar filter, no DNF expansion
+    val items = p.queries.head.body.alts match {
+      case Seq(Conj(is)) => is
+      case other => fail(s"expected one alternative, got $other")
+    }
+    assert(items == Seq(
+      Atom("T", Seq(TVar("x"), TVar("y"))),
+      Filter(EOr(ECmp(">", EVar("x"), ELit(LInt(1))),
+        EAnd(ECmp("<", EVar("x"), ELit(LInt(0))),
+          ECmp(">", EVar("y"), ELit(LInt(2))))))))
+  }
+
+  test("boolean grammar: or over relation atoms expands to DNF union alternatives") {
+    val p = Parser.parse(
+      """data A(x: int).
+        |data B(x: int).
+        |query Q(x: int)
+        |:- (A(x) or B(x)) and x > 1
+        |.""".stripMargin)
+    assert(p.queries.head.body.alts == Seq(
+      Conj(Seq(Atom("A", Seq(TVar("x"))), Compare(">", EVar("x"), ELit(LInt(1))))),
+      Conj(Seq(Atom("B", Seq(TVar("x"))), Compare(">", EVar("x"), ELit(LInt(1)))))))
+  }
+
+  test("boolean grammar: if-then-else and ensure parse to their AST forms") {
+    val p = Parser.parse(
+      """data T(x: int).
+        |query Q(x: int)
+        |:- T(x), if x > 5 then x > 7, ensure x >= 0, not x == 3
+        |.""".stripMargin)
+    val items = p.queries.head.body.alts.head.items
+    assert(items(1) == Filter(EIf(ECmp(">", EVar("x"), ELit(LInt(5))),
+      ECmp(">", EVar("x"), ELit(LInt(7))), None)))
+    assert(items(2) == Ensure(ECmp(">=", EVar("x"), ELit(LInt(0)))))
+    assert(items(3) == Filter(ENot(ECmp("==", EVar("x"), ELit(LInt(3))))))
+  }
+
+  test("boolean grammar: if with relation atoms in branches expands on the union path") {
+    val p = Parser.parse(
+      """data A(x: int).
+        |data B(x: int).
+        |data T(x: int).
+        |query Q(x: int)
+        |:- T(x), if x > 5 then A(x) else B(x)
+        |.""".stripMargin)
+    assert(p.queries.head.body.alts == Seq(
+      Conj(Seq(Atom("T", Seq(TVar("x"))),
+        Filter(ECmp(">", EVar("x"), ELit(LInt(5)))), Atom("A", Seq(TVar("x"))))),
+      Conj(Seq(Atom("T", Seq(TVar("x"))),
+        Filter(ENot(ECmp(">", EVar("x"), ELit(LInt(5))))), Atom("B", Seq(TVar("x")))))))
   }
 
   test("mode analysis rejects running a binding backward") {
@@ -183,6 +242,43 @@ class HeroQLRuntimeSpec extends SparkSpec {
       graft.heroql.Planner.localMemoThreshold = 0 // force distributed
       assert(got() == want)
     } finally graft.heroql.Planner.localMemoThreshold = saved
+  }
+
+  test("ensure passes rows through when it holds, aborts the job when violated") {
+    import spark.implicits._
+    val nums = Seq((1L, 5L), (2L, 9L), (3L, -2L)).toDF("pk", "n")
+    val ok = HeroQL.compile(
+      """data Nums(pk: int64, n: int64).
+        |query Q(pk: int64, n: int64)
+        |:- Nums(pk, n), ensure (n > -10 and n < 10), n > 0
+        |.""".stripMargin, "Q", Map("Nums" -> nums))
+    assert(ok.collect().length == 2) // ensure holds for all 3, filter keeps 2
+    val bad = HeroQL.compile(
+      """data Nums(pk: int64, n: int64).
+        |query Q(pk: int64, n: int64)
+        |:- Nums(pk, n), ensure n >= 0
+        |.""".stripMargin, "Q", Map("Nums" -> nums))
+    val ex = intercept[Exception] { bad.collect() }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(ex).exists(_.contains("ensure failed")),
+      s"expected ensure abort, got: ${chain(ex).mkString(" | ")}")
+  }
+
+  test("boolean if/then/else dispatches inside func guards") {
+    import spark.implicits._
+    val nums = Seq((1L, 5L), (2L, 15L), (3L, 25L)).toDF("pk", "n")
+    val got = HeroQL.compile(
+      """data Nums(pk: int64, n: int64).
+        |func Band(in n, out b);
+        |case Band(n, b) :- n < 10 or n > 20, b <- "edge";
+        |case Band(n, b) :- b <- "mid";
+        |query Q(pk: int64) -> (b: string)
+        |:- Nums(pk, n), Band(n, b)
+        |.""".stripMargin, "Q", Map("Nums" -> nums))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "edge", 2L -> "mid", 3L -> "edge"))
   }
 
   test("recursive func without a base case is rejected") {
