@@ -952,32 +952,37 @@ object HeroQL {
         val constCond = item.atom.args.zip(fields).collect {
           case (TConst(l), f) => col(f) === litOf(l)
         }.reduceOption(_ && _)
-        val cur = store.read(table)
+        val schema = store.read(table).schema
         val keys = args
-          .select(keyPairs.map { case (v, f) => col(v).cast(cur.schema(f).dataType).as(f) }: _*)
+          .select(keyPairs.map { case (v, f) => col(v).cast(schema(f).dataType).as(f) }: _*)
           .distinct()
         val keyFields = keyPairs.map(_._2)
-        val next = constCond match {
-          case None => cur.join(keys, keyFields, "left_anti")
-          case Some(c) =>
-            val hit = coalesce(c, lit(false))
-            cur.filter(not(hit)).unionByName(cur.filter(hit).join(keys, keyFields, "left_anti"))
-        }
-        store.create(table, next)
+        // file-level COW: only data dirs holding a doomed row are rewritten
+        val hit = constCond.map(c => coalesce(c, lit(false)))
+        store.transaction(_.rewriteMatched(table,
+          hits = df => hit.map(df.filter).getOrElse(df)
+            .join(keys, keyFields, "left_semi"),
+          rewrite = df => hit match {
+            case None => df.join(keys, keyFields, "left_anti")
+            case Some(h) =>
+              df.filter(not(h)).unionByName(df.filter(h).join(keys, keyFields, "left_anti"))
+          }))
       case "update" =>
         val matchPairs = item.atom.args.zip(fields).collect { case (TVar(v), f) => (v, f) }
         val setPairs = item.atom.args.zip(fields).collect { case (TAtVar(v), f) => (v, f) }
-        val cur = store.read(table)
+        val schema = store.read(table).schema
         val updates = args.select(
-          matchPairs.map { case (v, f) => col(v).cast(cur.schema(f).dataType).as(f) } ++
-            setPairs.map { case (v, f) => col(v).cast(cur.schema(f).dataType).as(s"__set_$f") }: _*)
+          matchPairs.map { case (v, f) => col(v).cast(schema(f).dataType).as(f) } ++
+            setPairs.map { case (v, f) => col(v).cast(schema(f).dataType).as(s"__set_$f") }: _*)
           .distinct()
         val setFields = setPairs.map(_._2).toSet
-        val merged = cur.join(updates, matchPairs.map(_._2), "left")
-          .select(fields.map { f =>
-            if (setFields(f)) coalesce(col(s"__set_$f"), col(f)).as(f) else col(f)
-          }: _*)
-        store.create(table, merged)
+        store.transaction(_.rewriteMatched(table,
+          hits = _.join(updates.select(matchPairs.map { case (_, f) => col(f) }: _*),
+            matchPairs.map(_._2), "left_semi"),
+          rewrite = _.join(updates, matchPairs.map(_._2), "left")
+            .select(fields.map { f =>
+              if (setFields(f)) coalesce(col(s"__set_$f"), col(f)).as(f) else col(f)
+            }: _*)))
       case other => throw Analyzer.AnalysisError(s"unknown mutation @$other")
     }
   }

@@ -156,6 +156,14 @@ final class TableStore(val spark: SparkSession, val root: String) {
       Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
   }
 
+  /** A table's current data-dir manifest entries (observability: specs
+    * assert which dirs a mutation carried by reference vs rewrote). */
+  def dataDirs(name: String): Seq[String] = {
+    val m = currentTables().getOrElse(name,
+      throw new IllegalArgumentException(s"no such table: $name"))
+    readTableManifest(name, m)
+  }
+
   /** Per-table committed-manifest count — the commit-log length for the
     * table (observability of the WAL analogue). */
   def versionCount(name: String): Int =
@@ -195,20 +203,76 @@ final class Txn(store: TableStore) {
       dirs :+ store.writeData(name, rows))
   }
 
-  def upsert(name: String, rows: DataFrame, keys: Seq[String]): Unit =
-    create(name, read(name).join(rows.select(keys.map(col): _*), keys, "left_anti")
-      .unionByName(rows))
-
-  def update(name: String, assignments: Map[String, Column], cond: Column): Unit = {
-    val cur = read(name)
-    create(name, assignments.foldLeft(cur) { case (df, (c, e)) =>
-      df.withColumn(c, when(cond, e).otherwise(col(c)))
-    })
+  /** FILE-LEVEL copy-on-write — the primitive behind update/delete/
+    * upsert. A whole-table rewrite (`create`) makes a one-row update of a
+    * 100 TB table rewrite 100 TB; instead:
+    *
+    *  1. one probe pass finds the data dirs that actually contain
+    *     matched rows (`_metadata.file_path`, predicate pushed into the
+    *     scan — metadata-scale output);
+    *  2. only those dirs are re-materialized through `rewrite`;
+    *  3. every untouched dir is carried into the new manifest BY
+    *     REFERENCE — zero bytes moved;
+    *  4. `appended` rows (upsert inserts) land in their own new dir.
+    *
+    * Cost is proportional to the touched fraction plus one pushed-down
+    * probe scan, never to table size.
+    *
+    * @param hits     matched-row selector; input carries a `__dir`
+    *                 column naming each row's data dir (keep it in the
+    *                 output)
+    * @param rewrite  new content for the touched dirs' rows (no `__dir`)
+    */
+  private[graft] def rewriteMatched(name: String,
+      hits: DataFrame => DataFrame,
+      rewrite: DataFrame => DataFrame,
+      appended: Option[DataFrame] = None): Unit = {
+    val dirs = manifestOf(name) match {
+      case Some(m) => store.readTableManifest(name, m)
+      case None => throw new IllegalArgumentException(s"no such table: $name")
+    }
+    // probe carries the raw file path; dir names are derived driver-side
+    // from the (metadata-scale) distinct file set, so the scan does no
+    // per-row string work
+    val withDir = store.readDirs(name, dirs)
+      .withColumn("__dir", col("_metadata.file_path"))
+    val touchedPaths = hits(withDir).select("__dir").distinct()
+      .collect().map(r => r.getString(0).replaceFirst("/[^/]+$", "")).toSet
+    def suffixOf(d: String) = if (d.contains("/")) s"/$d" else s"/$name/$d"
+    val touched = dirs.filter(d => touchedPaths.exists(_.endsWith(suffixOf(d))))
+    val untouched = dirs.filterNot(touched.toSet)
+    // rewritten rows and appended rows land in ONE new dir — same bytes,
+    // one write job
+    val newContent = (touched.nonEmpty, appended) match {
+      case (true, Some(rows)) => Some(rewrite(store.readDirs(name, touched)).unionByName(rows))
+      case (true, None) => Some(rewrite(store.readDirs(name, touched)))
+      case (false, Some(rows)) => Some(rows)
+      case (false, None) => None
+    }
+    pending += name -> store.writeTableManifest(name,
+      untouched ++ newContent.map(store.writeData(name, _)).toSeq)
   }
+
+  def upsert(name: String, rows: DataFrame, keys: Seq[String]): Unit = {
+    val keyRows = rows.select(keys.map(col): _*)
+    rewriteMatched(name,
+      hits = _.join(keyRows, keys, "left_semi"),
+      rewrite = _.join(keyRows, keys, "left_anti"),
+      appended = Some(rows))
+  }
+
+  def update(name: String, assignments: Map[String, Column], cond: Column): Unit =
+    rewriteMatched(name,
+      hits = _.filter(coalesce(cond, lit(false))),
+      rewrite = df => assignments.foldLeft(df) { case (d, (c, e)) =>
+        d.withColumn(c, when(cond, e).otherwise(col(c)))
+      })
 
   /** SQL DELETE semantics: only rows where cond is TRUE are removed; NULL keeps the row. */
   def delete(name: String, cond: Column): Unit =
-    create(name, read(name).filter(not(coalesce(cond, lit(false)))))
+    rewriteMatched(name,
+      hits = _.filter(coalesce(cond, lit(false))),
+      rewrite = _.filter(not(coalesce(cond, lit(false)))))
 
   def truncate(name: String): Unit =
     create(name, read(name).filter(lit(false)))

@@ -47,6 +47,51 @@ class StoreSpec extends SparkSpec {
     assert(m == Map("a" -> 10.0, "b" -> 21.0, "c" -> 30.0))
   }
 
+  test("file-level COW: mutations carry untouched data dirs by reference") {
+    import spark.implicits._
+    val st = freshStore()
+    // three commits = three data dirs, disjoint id ranges
+    st.create("t", Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "tag", "v"))
+    st.insert("t", Seq((10L, "x", 1.0), (11L, "y", 2.0)).toDF("id", "tag", "v"))
+    st.insert("t", Seq((20L, "p", 5.0)).toDF("id", "tag", "v"))
+    val before = st.dataDirs("t")
+    assert(before.size == 3)
+
+    // update matches only the middle dir's rows
+    st.update("t", Map("v" -> (col("v") * 100.0)), col("id") === 10L)
+    val afterUpdate = st.dataDirs("t")
+    assert(afterUpdate.toSet.intersect(before.toSet) == Set(before(0), before(2)),
+      s"untouched dirs must be carried by reference: $before -> $afterUpdate")
+    assert(st.read("t").filter(col("id") === 10L).head.getDouble(2) == 100.0)
+    assert(st.read("t").count() == 5)
+
+    // delete matches only the last original dir
+    st.delete("t", col("id") === 20L)
+    val afterDelete = st.dataDirs("t")
+    assert(afterDelete.contains(before(0)), "first dir untouched by delete")
+    assert(!afterDelete.contains(before(2)), "deleted dir must be rewritten out")
+    assert(st.read("t").count() == 4)
+
+    // upsert touching only dir 1: dir 0's files never rewritten across
+    // all three mutations
+    st.upsert("t", Seq((11L, "Y", 9.0), (30L, "n", 3.0)).toDF("id", "tag", "v"), Seq("id"))
+    assert(st.dataDirs("t").contains(before(0)),
+      "first dir survived update+delete+upsert untouched")
+    val m = st.read("t").collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(m == Map(1L -> 10.0, 2L -> 20.0, 10L -> 100.0, 11L -> 9.0, 30L -> 3.0))
+  }
+
+  test("pure-insert upsert rewrites nothing") {
+    import spark.implicits._
+    val st = freshStore()
+    st.create("t", seedDf)
+    val before = st.dataDirs("t")
+    st.upsert("t", Seq((9L, "z", 9.0)).toDF("id", "tag", "v"), Seq("id"))
+    assert(st.dataDirs("t").containsSlice(before),
+      "no keys matched: every existing dir must be carried by reference")
+    assert(st.read("t").count() == 4)
+  }
+
   test("delete, truncate and drop") {
     val st = freshStore()
     st.create("t", seedDf)
