@@ -23,6 +23,8 @@ object Analyzer {
     case EBinary(_, l, r) => exprVars(l) | exprVars(r)
     case EConstruct(_, fields) => fields.map(_._2).flatMap(exprVars).toSet
     case ECmp(_, l, r) => exprVars(l) | exprVars(r)
+    case EInterp(parts) => parts.collect { case Right(e) => exprVars(e) }
+      .foldLeft(Set.empty[String])(_ | _)
     case EAnd(l, r) => exprVars(l) | exprVars(r)
     case EOr(l, r) => exprVars(l) | exprVars(r)
     case ENot(x) => exprVars(x)

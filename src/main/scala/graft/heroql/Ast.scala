@@ -12,16 +12,43 @@ object Ast {
   final case class DataDecl(name: String, fields: Seq[(String, String)])
 
   /** `query Name(in: t, ...) -> (out: t, ...) :- body .`
-    * (`Kernel/README.md:162-205`); result columns are inArgs ++ outArgs. */
+    * (`Kernel/README.md:162-205`); result columns are inArgs ++ outArgs.
+    * An empty type string means "untyped" (the anonymous-query arg form
+    * `query (arg1, arg2)`, `Kernel/Drafts/draft:92-96`; also `let` —
+    * no head cast is applied). */
   /** `cached` marks the reference's materialized-query form
     * (`Kernel/README.md:142-161`): first evaluation memoizes into the
-    * store, later calls serve the committed snapshot. */
+    * store, later calls serve the committed snapshot. `isPublic` is the
+    * `public query` package-visibility marker (`Kernel/README.md:263`). */
   final case class QueryDecl(
       name: String,
       inArgs: Seq[(String, String)],
       outArgs: Seq[(String, String)],
       body: Body,
-      cached: Boolean = false)
+      cached: Boolean = false,
+      isPublic: Boolean = false)
+
+  /** `transaction query Name(args) :- items, @insert ..., @remove ... .`
+    * (`Kernel/README.md:251-254`; `Rewrite.md:4-16` "queue updates
+    * parallelly, apply single-threaded"): non-mutation prefix items bind
+    * variables, the mutation items apply IN ORDER inside one atomic
+    * multi-table commit. */
+  final case class TransactionDecl(
+      name: String,
+      inArgs: Seq[(String, String)],
+      items: Seq[Item],
+      isPublic: Boolean = false)
+
+  /** `for query(vars) :- body ( set T(...); ... )` —
+    * `Kernel/Drafts/draft:138-142`: iterate a query, mutate per row;
+    * lowered to ONE bulk merge per action over the derived row set,
+    * never row-at-a-time. */
+  final case class ForQuery(vars: Seq[String], body: Body, actions: Seq[Mutation])
+
+  /** `package NAME using P1, P2 ...;` header (`Kernel/README.md:256-264`)
+    * — the rest of the program text is the package's declaration body,
+    * `public` queries are its cross-package surface. */
+  final case class PackageHeader(name: String, using: Seq[String])
 
   /** `union Shape = Circle(r: double) | Rect(w: double, h: double).` —
     * a tagged-union (ADT) declaration; variant order fixes the runtime
@@ -39,7 +66,10 @@ object Ast {
 
   final case class Program(datas: Seq[DataDecl], queries: Seq[QueryDecl],
       funcs: Seq[FuncDecl] = Seq.empty,
-      unions: Seq[UnionDecl] = Seq.empty)
+      unions: Seq[UnionDecl] = Seq.empty,
+      transactions: Seq[TransactionDecl] = Seq.empty,
+      fors: Seq[ForQuery] = Seq.empty,
+      pkg: Option[PackageHeader] = None)
 
   /** `func Name(in a, out b); case Name(0, 1); case Name(a, b) :- ... ;`
     * (`Kernel/Drafts/draft:75-89`): multi-clause moded function with
@@ -136,6 +166,10 @@ object Ast {
     * `Kernel/Drafts/draft:104-112`): comparison, connectives, and the
     * boolean `if <B> then <B> [else <B>]` (no `else` = implication —
     * the construct "returns true" when the condition fails). */
+  /** `$"... $(x) ..."` string interpolation
+    * (`Kernel/Drafts/draft_type:225,237`): literal chunks and spliced
+    * expressions, compiled to one concat. */
+  final case class EInterp(parts: Seq[Either[String, Expr]]) extends Expr
   final case class ECmp(op: String, l: Expr, r: Expr) extends Expr
   final case class EAnd(l: Expr, r: Expr) extends Expr
   final case class EOr(l: Expr, r: Expr) extends Expr

@@ -26,6 +26,7 @@ object Parser {
   final case class TId(s: String) extends Tok      // identifier or @command
   final case class TNum(s: String) extends Tok
   final case class TStr(s: String) extends Tok
+  final case class TIStr(s: String) extends Tok    // $"... $(x) ..." raw body
   final case class TSym(s: String) extends Tok
 
   private val symbols = Seq(":-", "->", "<-", "<=", ">=", "==", "!=",
@@ -62,6 +63,17 @@ object Parser {
           // is the rule terminator)
           !(src(i) == '.' && (i + 1 >= n || !src(i + 1).isDigit))) i += 1
         out += TNum(src.substring(start, i))
+      } else if (c == '$' && i + 1 < n && src(i + 1) == '"') {
+        // `$"... $(x) ..."` interpolated string: capture the raw body,
+        // splice parsing happens in the expression parser
+        val sb = new StringBuilder
+        i += 2
+        while (i < n && src(i) != '"') {
+          if (src(i) == '\\' && i + 1 < n) { sb += src(i + 1); i += 2 }
+          else { sb += src(i); i += 1 }
+        }
+        i += 1
+        out += TIStr(sb.toString)
       } else if (c == '"' || c == '\'') {
         val quote = c
         val sb = new StringBuilder
@@ -117,12 +129,36 @@ object Parser {
       val datas = Seq.newBuilder[DataDecl]
       val queries = Seq.newBuilder[QueryDecl]
       val unions = Seq.newBuilder[UnionDecl]
+      val transactions = Seq.newBuilder[TransactionDecl]
+      val fors = Seq.newBuilder[ForQuery]
       val funcs = scala.collection.mutable.LinkedHashMap.empty[String, FuncDecl]
+      // `package NAME using P1, P2;` header — the rest of the text is the
+      // package body (`Kernel/README.md:256-264`)
+      val pkg = if (atId("package")) {
+        pos += 1
+        val name = expectId()
+        val uses = Seq.newBuilder[String]
+        if (atId("using")) {
+          pos += 1
+          uses += expectId()
+          while (eat(",")) uses += expectId()
+        }
+        expectSym(";")
+        Some(PackageHeader(name, uses.result()))
+      } else None
       while (peek.isDefined) {
+        // `public` marks the next query/transaction as package-visible
+        val pub = atId("public")
+        if (pub) pos += 1
         peek match {
           case Some(TId("data")) => datas += dataDecl()
           case Some(TId("union")) => unions += unionDecl()
-          case Some(TId("query")) | Some(TId("cached")) => queries += queryDecl()
+          case Some(TId("query")) | Some(TId("cached")) =>
+            queries += queryDecl().copy(isPublic = pub)
+          case Some(TId("let")) => queries += letDecl()
+          case Some(TId("transaction")) =>
+            transactions += transactionDecl().copy(isPublic = pub)
+          case Some(TId("for")) => fors += forQuery()
           case Some(TId("func")) =>
             val f = funcDecl()
             funcs(f.name) = f
@@ -131,11 +167,101 @@ object Parser {
             val f = funcs.getOrElse(name,
               throw ParseError(s"case for undeclared func $name", pos))
             funcs(name) = f.copy(cases = f.cases :+ c)
-          case t => throw ParseError(s"expected 'data', 'query', 'func' or 'case', got $t", pos)
+          case t => throw ParseError(
+            s"expected 'data', 'query', 'let', 'transaction', 'for', 'func' or 'case', got $t", pos)
         }
       }
       Program(datas.result(), queries.result(), funcs.values.toSeq,
-        unions.result())
+        unions.result(), transactions.result(), fors.result(), pkg)
+    }
+
+    /** `let Name = query (arg1, arg2) :- body .`
+      * (`Kernel/Drafts/draft:144`) — a named query whose args take the
+      * anonymous untyped form (`draft:92-96`); equivalent to a `query`
+      * declaration with inferred head types. */
+    def letDecl(): QueryDecl = {
+      expectId() // let
+      val name = expectId()
+      expectSym("=")
+      if (!atId("query")) throw ParseError("expected 'query' after 'let NAME ='", pos)
+      pos += 1
+      expectSym("(")
+      val args = looseArgList()
+      expectSym(")")
+      expectSym(":-")
+      val b = body()
+      expectSym(".")
+      QueryDecl(name, args, Seq.empty, b)
+    }
+
+    /** `transaction query Name(args) :- prefix items, @mutations .`
+      * (`Kernel/README.md:251-254`). */
+    def transactionDecl(): TransactionDecl = {
+      expectId() // transaction
+      if (!atId("query")) throw ParseError("expected 'query' after 'transaction'", pos)
+      pos += 1
+      val name = expectId()
+      expectSym("(")
+      val args = looseArgList()
+      expectSym(")")
+      expectSym(":-")
+      val items = conj().items
+      expectSym(".")
+      if (!items.exists(_.isInstanceOf[Mutation]))
+        throw ParseError(s"transaction query $name has no mutation statements", pos)
+      TransactionDecl(name, args, items)
+    }
+
+    /** `for query(vars) :- body ( set T(...); remove T(...); ... )`
+      * (`Kernel/Drafts/draft:138-142`). */
+    def forQuery(): ForQuery = {
+      expectId() // for
+      if (!atId("query")) throw ParseError("expected 'query' after 'for'", pos)
+      pos += 1
+      expectSym("(")
+      val vars = Seq.newBuilder[String]
+      var first = true
+      while (!at(")")) {
+        if (!first) expectSym(",")
+        first = false
+        vars += expectId()
+      }
+      expectSym(")")
+      expectSym(":-")
+      val b = body()
+      expectSym("(")
+      val actions = Seq.newBuilder[Mutation]
+      var more = true
+      while (more && !at(")")) {
+        val kw = expectId()
+        val kind = kw match {
+          case "set" => "insert"
+          case "remove" => "remove"
+          case "update" => "update"
+          case other => throw ParseError(s"unknown for-body action $other", pos)
+        }
+        actions += Mutation(kind, atomItem())
+        more = eat(";")
+      }
+      expectSym(")")
+      // terminator optional: the draft's sample (`draft:138-142`) ends at
+      // the closing paren
+      if (!eat(";")) { eat("."); () }
+      ForQuery(vars.result(), b, actions.result())
+    }
+
+    /** Arg list accepting both typed `n : T` and untyped `n` entries
+      * (untyped = the anonymous-query form; empty type string). */
+    private def looseArgList(): Seq[(String, String)] = {
+      val out = Seq.newBuilder[(String, String)]
+      var first = true
+      while (!at(")")) {
+        if (!first) expectSym(",")
+        first = false
+        val n = expectId()
+        if (eat(":")) out += (n -> expectId()) else out += (n -> "")
+      }
+      out.result()
     }
 
     /** `union Shape = Circle(r: double) | Rect(w: double, h: double) | Point.` */
@@ -627,7 +753,38 @@ object Parser {
       case TId(v) => EVar(v)
       case TNum(s) => ELit(numLit(s))
       case TStr(s) => ELit(LString(s))
+      case TIStr(raw) => parseInterp(raw)
       case t => throw ParseError(s"bad expression token $t", pos - 1)
+    }
+
+    /** Split an interpolated string body into literal chunks and
+      * `$( expr )` splices, each splice parsed with the full expression
+      * grammar. */
+    private def parseInterp(raw: String): Expr = {
+      val parts = Seq.newBuilder[Either[String, Expr]]
+      var i = 0
+      val sb = new StringBuilder
+      while (i < raw.length) {
+        if (raw.startsWith("$(", i)) {
+          if (sb.nonEmpty) { parts += Left(sb.toString); sb.clear() }
+          var depth = 1
+          var j = i + 2
+          while (j < raw.length && depth > 0) {
+            if (raw(j) == '(') depth += 1
+            else if (raw(j) == ')') depth -= 1
+            if (depth > 0) j += 1
+          }
+          if (depth != 0) throw ParseError(s"unterminated splice in $$\"$raw\"", pos)
+          val inner = new P(lex(raw.substring(i + 2, j)))
+          val e = inner.exprP()
+          if (inner.peek.isDefined)
+            throw ParseError(s"trailing tokens in splice: ${raw.substring(i + 2, j)}", pos)
+          parts += Right(e)
+          i = j + 1
+        } else { sb += raw(i); i += 1 }
+      }
+      if (sb.nonEmpty) parts += Left(sb.toString)
+      EInterp(parts.result())
     }
 
     private def numLit(s: String): Lit =

@@ -39,19 +39,7 @@ final class Planner(decls: Map[String, DataDecl],
     * through [[graft.operators.Fixpoint]] instead. */
   private val planning = scala.collection.mutable.Set.empty[String]
 
-  private def sparkType(t: String): String = t match {
-    case "int" | "int32" => "int"
-    case "int64" | "long" => "bigint"
-    case "int8" => "tinyint"
-    case "int16" => "smallint"
-    case "uint8" | "uint16" => "int"
-    case "uint32" | "uint64" => "bigint"
-    case "double" | "float64" => "double"
-    case "float" | "float32" => "float"
-    case "string" | "char" => "string"
-    case "bool" => "boolean"
-    case other => other
-  }
+  private def sparkType(t: String): String = Planner.sparkType(t)
 
   def plan(q: QueryDecl): DataFrame = {
     if (planning.contains(q.name))
@@ -62,7 +50,10 @@ final class Planner(decls: Map[String, DataDecl],
       val head = q.inArgs ++ q.outArgs
       val alts = q.body.alts.map { conj =>
         val df = planConj(conj)
-        df.select(head.map { case (n, t) => col(n).cast(sparkType(t)).as(n) }: _*)
+        df.select(head.map {
+          case (n, "") => col(n) // untyped (anonymous/`let` form): no cast
+          case (n, t) => col(n).cast(sparkType(t)).as(n)
+        }: _*)
       }
       alts.reduce(_ union _)
     } finally planning -= q.name
@@ -72,6 +63,13 @@ final class Planner(decls: Map[String, DataDecl],
     * `outVars` columns. */
   private def planBody(body: Body, outVars: Seq[String]): DataFrame =
     body.alts.map(planConj(_).select(outVars.map(col): _*)).reduce(_ union _)
+
+  /** Plan a bare item sequence (the binding prefix of a `transaction
+    * query` / a `for query` body). */
+  private[heroql] def planItems(items: Seq[Item]): DataFrame = planConj(Conj(items))
+
+  /** Expression compiler exposed for statement-form mutation arguments. */
+  private[heroql] def exprColPublic(e: Expr): Column = exprCol(e)
 
   private final case class State(
       df: Option[DataFrame],
@@ -779,6 +777,13 @@ final class Planner(decls: Map[String, DataDecl],
         case "/" => lc / rc
         case other => throw Analyzer.AnalysisError(s"unknown operator $other")
       }
+    // `$"... $(x) ..."` → one concat; splices cast to string so the
+    // whole expression stays codegen-friendly
+    case EInterp(parts) =>
+      concat(parts.map {
+        case Left(s) => lit(s)
+        case Right(e) => exprColEnv(e, env).cast("string")
+      }: _*)
     case ECmp(op, l, r) => cmpCol(op, exprColEnv(l, env), exprColEnv(r, env))
     case EAnd(l, r) => exprColEnv(l, env) && exprColEnv(r, env)
     case EOr(l, r) => exprColEnv(l, env) || exprColEnv(r, env)
@@ -859,6 +864,21 @@ object Planner {
     * driver-side (see [[Planner.funcMemo]]) — the broadcast-small-side
     * judgement call. Mutable so specs can force the distributed path. */
   private[graft] var localMemoThreshold: Int = 100000
+
+  /** HeroQL type name → Spark SQL type name (SURVEY §1.2 mapping). */
+  private[heroql] def sparkType(t: String): String = t match {
+    case "int" | "int32" => "int"
+    case "int64" | "long" => "bigint"
+    case "int8" => "tinyint"
+    case "int16" => "smallint"
+    case "uint8" | "uint16" => "int"
+    case "uint32" | "uint64" => "bigint"
+    case "double" | "float64" => "double"
+    case "float" | "float32" => "float"
+    case "string" | "char" => "string"
+    case "bool" => "boolean"
+    case other => other
+  }
 }
 
 /** Facade: parse + analyze + plan one named query of a HeroQL program
@@ -919,7 +939,6 @@ object HeroQL {
     * row-at-a-time). */
   def executeMutation(program: String, queryName: String,
       args: DataFrame, store: graft.store.TableStore): Unit = {
-    import org.apache.spark.sql.functions.{coalesce, lit, not}
     val ast = Parser.parse(program)
     val decls = ast.datas.map(d => d.name -> d).toMap
     val queryDecls = ast.queries.map(q => q.name -> q).toMap
@@ -931,7 +950,24 @@ object HeroQL {
       case _ => throw Analyzer.AnalysisError(
         s"$queryName: mutation queries must have exactly one @-statement body")
     }
-    val fields = decls(item.atom.rel).fields.map(_._1)
+    store.transaction(applyMutation(_, decls, item, args))
+  }
+
+  /** One mutation item applied through the transaction's file-level COW
+    * primitives; `args` supplies one mutation per row (bulk, never
+    * row-at-a-time). Shared by [[executeMutation]],
+    * [[executeTransaction]] and [[executeFor]]. */
+  private def applyMutation(tx: graft.store.Txn,
+      decls: Map[String, DataDecl], item: Mutation, args: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val decl = decls.getOrElse(item.atom.rel, throw Analyzer.AnalysisError(
+      s"@${item.kind} targets undeclared relation ${item.atom.rel}"))
+    val fields = decl.fields.map(_._1)
+    // casts come from the DECLARED field types, so inserts into a
+    // not-yet-materialized table are well-typed
+    val fieldType = decl.fields.map { case (f, t) =>
+      f -> Planner.sparkType(t)
+    }.toMap
     val table = item.atom.rel
     def litOf(l: Lit) = l match {
       case LInt(v) => lit(v)
@@ -942,48 +978,146 @@ object HeroQL {
     item.kind match {
       case "insert" =>
         val cols = item.atom.args.zip(fields).map {
-          case (TVar(v), f) => col(v).cast(store.read(table).schema(f).dataType).as(f)
-          case (TConst(l), f) => litOf(l).as(f)
+          case (TVar(v), f) => col(v).cast(fieldType(f)).as(f)
+          case (TConst(l), f) => litOf(l).cast(fieldType(f)).as(f)
+          // computed argument (`set Bonus(student, score + 1000)`)
+          case (TExpr(e), f) =>
+            new Planner(decls, Map.empty, Map.empty)
+              .exprColPublic(e).cast(fieldType(f)).as(f)
           case (t, f) => throw Analyzer.AnalysisError(s"bad @insert term $t for $f")
         }
-        store.insert(table, args.select(cols: _*))
+        tx.insert(table, args.select(cols: _*))
       case "remove" =>
         val keyPairs = item.atom.args.zip(fields).collect { case (TVar(v), f) => (v, f) }
         val constCond = item.atom.args.zip(fields).collect {
           case (TConst(l), f) => col(f) === litOf(l)
         }.reduceOption(_ && _)
-        val schema = store.read(table).schema
         val keys = args
-          .select(keyPairs.map { case (v, f) => col(v).cast(schema(f).dataType).as(f) }: _*)
+          .select(keyPairs.map { case (v, f) => col(v).cast(fieldType(f)).as(f) }: _*)
           .distinct()
         val keyFields = keyPairs.map(_._2)
         // file-level COW: only data dirs holding a doomed row are rewritten
         val hit = constCond.map(c => coalesce(c, lit(false)))
-        store.transaction(_.rewriteMatched(table,
+        tx.rewriteMatched(table,
           hits = df => hit.map(df.filter).getOrElse(df)
             .join(keys, keyFields, "left_semi"),
           rewrite = df => hit match {
             case None => df.join(keys, keyFields, "left_anti")
             case Some(h) =>
               df.filter(not(h)).unionByName(df.filter(h).join(keys, keyFields, "left_anti"))
-          }))
+          })
       case "update" =>
         val matchPairs = item.atom.args.zip(fields).collect { case (TVar(v), f) => (v, f) }
         val setPairs = item.atom.args.zip(fields).collect { case (TAtVar(v), f) => (v, f) }
-        val schema = store.read(table).schema
         val updates = args.select(
-          matchPairs.map { case (v, f) => col(v).cast(schema(f).dataType).as(f) } ++
-            setPairs.map { case (v, f) => col(v).cast(schema(f).dataType).as(s"__set_$f") }: _*)
+          matchPairs.map { case (v, f) => col(v).cast(fieldType(f)).as(f) } ++
+            setPairs.map { case (v, f) => col(v).cast(fieldType(f)).as(s"__set_$f") }: _*)
           .distinct()
         val setFields = setPairs.map(_._2).toSet
-        store.transaction(_.rewriteMatched(table,
+        tx.rewriteMatched(table,
           hits = _.join(updates.select(matchPairs.map { case (_, f) => col(f) }: _*),
             matchPairs.map(_._2), "left_semi"),
           rewrite = _.join(updates, matchPairs.map(_._2), "left")
             .select(fields.map { f =>
               if (setFields(f)) coalesce(col(s"__set_$f"), col(f)).as(f) else col(f)
-            }: _*)))
+            }: _*))
       case other => throw Analyzer.AnalysisError(s"unknown mutation @$other")
     }
+  }
+
+  /** `transaction query` text form (`Kernel/README.md:251-254`): the
+    * declaration's non-mutation prefix binds variables (reading the
+    * transaction-start snapshot — the optimistic "queue updates
+    * parallelly" of `Rewrite.md:4-16`), then the mutation items apply IN
+    * ORDER with read-your-writes, and everything becomes visible in ONE
+    * atomic store-manifest swap ("apply single-threaded"). An exception
+    * anywhere publishes nothing. */
+  def executeTransaction(program: String, name: String,
+      catalog: Map[String, DataFrame], store: graft.store.TableStore): Unit = {
+    val ast = Parser.parse(program)
+    val decls = ast.datas.map(d => d.name -> d).toMap
+    val queryDecls = ast.queries.map(q => q.name -> q).toMap
+    val funcs = ast.funcs.map(f => f.name -> f).toMap
+    val td = ast.transactions.find(_.name == name)
+      .getOrElse(throw Analyzer.AnalysisError(s"no transaction query named $name"))
+    Analyzer.analyzeConj(decls, queryDecls, Conj(td.items),
+      td.inArgs.map(_._1).toSet, funcs)
+    store.transaction { tx =>
+      val storeTables = decls.keys.filter(t => !catalog.contains(t) && store.exists(t))
+        .map(t => t -> tx.read(t)).toMap
+      val planner = new Planner(decls, queryDecls, catalog ++ storeTables, funcs,
+        ast.unions.map(u => u.name -> u).toMap)
+      val (prefix, rest) = td.items.span(!_.isInstanceOf[Mutation])
+      val bindings =
+        if (prefix.isEmpty) store.spark.range(1).toDF("__unit")
+        else planner.planItems(prefix)
+      rest.foreach {
+        case m: Mutation => applyMutation(tx, decls, m, bindings)
+        case other => throw Analyzer.AnalysisError(
+          s"transaction $name: items after the first mutation must be mutations, got $other")
+      }
+    }
+  }
+
+  /** `for query(vars) :- body ( set/remove/update ... )` text form
+    * (`Kernel/Drafts/draft:138-142`): the body derives the row set ONCE,
+    * each action applies as a single bulk merge over it, all actions in
+    * one atomic commit. */
+  def executeFor(program: String, catalog: Map[String, DataFrame],
+      store: graft.store.TableStore): Unit = {
+    val ast = Parser.parse(program)
+    val decls = ast.datas.map(d => d.name -> d).toMap
+    val queryDecls = ast.queries.map(q => q.name -> q).toMap
+    val funcs = ast.funcs.map(f => f.name -> f).toMap
+    if (ast.fors.isEmpty)
+      throw Analyzer.AnalysisError("program has no 'for query' statement")
+    ast.fors.foreach { fq =>
+      fq.body.alts.foreach(Analyzer.analyzeConj(decls, queryDecls, _, Set.empty, funcs))
+      store.transaction { tx =>
+        val storeTables = decls.keys.filter(t => !catalog.contains(t) && store.exists(t))
+          .map(t => t -> tx.read(t)).toMap
+        val planner = new Planner(decls, queryDecls, catalog ++ storeTables, funcs,
+          ast.unions.map(u => u.name -> u).toMap)
+        val rows = fq.body.alts.map(c => planner.planItems(c.items)
+          .select(fq.vars.map(col): _*)).reduce(_ union _)
+        fq.actions.foreach(applyMutation(tx, decls, _, rows))
+      }
+    }
+  }
+
+  /** `package NAME using ...; [public] query ...` declaration text
+    * (`Kernel/README.md:256-264`) registered with a [[graft.store
+    * .PackageManager]]: tables = the program's `data` declarations,
+    * public surface = its `public` queries/transactions. Returns the
+    * parsed program for later query compilation. */
+  def definePackage(program: String, pm: graft.store.PackageManager): Program = {
+    val ast = Parser.parse(program)
+    val header = ast.pkg.getOrElse(
+      throw Analyzer.AnalysisError("program has no 'package' header"))
+    pm.define(graft.store.PackageDef(
+      header.name,
+      tables = ast.datas.map(_.name),
+      publicQueries = (ast.queries.filter(_.isPublic).map(_.name) ++
+        ast.transactions.filter(_.isPublic).map(_.name)).toSet,
+      using = header.using))
+    ast
+  }
+
+  /** Compile a query of a defined package against one of its instances,
+    * enforcing cross-package visibility: callers in `fromPkg` may only
+    * reach `public` queries of the declaring package
+    * (`Kernel/README.md:263` "public QUERY | TRANSACTION"). */
+  def compilePackaged(program: String, queryName: String, fromPkg: String,
+      pm: graft.store.PackageManager)(inst: pm.Instance): DataFrame = {
+    val ast = Parser.parse(program)
+    val header = ast.pkg.getOrElse(
+      throw Analyzer.AnalysisError("program has no 'package' header"))
+    if (!pm.visible(fromPkg, header.name, queryName))
+      throw Analyzer.AnalysisError(
+        s"query $queryName of package ${header.name} is not visible from $fromPkg")
+    val catalog = ast.datas.map(_.name)
+      .filter(t => pm.store.exists(inst.table(t)))
+      .map(t => t -> pm.read(inst, t)).toMap
+    compile(program, queryName, catalog)
   }
 }

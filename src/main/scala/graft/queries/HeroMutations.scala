@@ -74,10 +74,56 @@ query RemoveExam(student: string)
     st.read("Exams")
   }
 
+  /** The reference's STATEMENT surface (`Kernel/Drafts/draft:130-144` +
+    * `Kernel/README.md:251-254`): `let <name> = query ...` names a
+    * derived relation, `transaction query` applies multiple mutations in
+    * one atomic commit, `for query (...) ( set ... )` iterates a query
+    * into a bulk mutation. */
+  private val scriptProgram = """
+data Exams(student: string, score: int).
+data Honors(student: string, score: int).
+data Bonus(student: string, amount: int).
+
+let HighExams = query (student, score)
+:-  Exams(student, score), score > 300000
+.
+
+transaction query Promote()
+:-  HighExams(student, score),
+    @insert Honors(student, score),
+    @remove Exams(student, score)
+.
+
+for query(student, score) :-
+    HighExams(student, score)
+(
+    set Bonus(student, score + 1000)
+)
+"""
+
+  /** hm4 — `let` + `transaction query` text forms: move high scores from
+    * Exams to Honors in ONE atomic commit; result shows both effects. */
+  private def hm4(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s, d)
+    HeroQL.executeTransaction(scriptProgram, "Promote", Map.empty, st)
+    st.read("Exams").withColumn("bucket", lit("live"))
+      .unionByName(st.read("Honors").withColumn("bucket", lit("honors")))
+  }
+
+  /** hm5 — `for query (...) ( set ... )` lowered to one bulk merge: the
+    * body derives the row set once, the action inserts per row. */
+  private def hm5(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s, d)
+    HeroQL.executeFor(scriptProgram, Map.empty, st)
+    st.read("Bonus")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hm1_hql_insert" -> (hm1 _),
     "hm2_hql_update" -> (hm2 _),
     "hm3_hql_remove" -> (hm3 _),
+    "hm4_transaction_let" -> (hm4 _),
+    "hm5_for_set" -> (hm5 _),
   )
 
   private val seedSql =
@@ -104,5 +150,18 @@ query RemoveExam(student: string)
          WHERE student NOT IN (
            SELECT DISTINCT CAST(o_custkey AS VARCHAR)
            FROM orders WHERE o_orderkey % 10 = 0 AND o_orderpriority = '5-LOW')""",
+    // rows with score > 300000 move from Exams to Honors atomically; a
+    // live row is exactly a seed row that is not high (removal keys are
+    // (student, score) pairs, and any seed row equal to a high pair is
+    // itself high)
+    "hm4_transaction_let" ->
+      s"""SELECT student, score, 'live' AS bucket FROM ($seedSql)
+         WHERE NOT score > 300000
+         UNION ALL
+         SELECT student, score, 'honors' AS bucket FROM ($seedSql)
+         WHERE score > 300000""",
+    "hm5_for_set" ->
+      s"""SELECT student, score + 1000 AS amount FROM ($seedSql)
+         WHERE score > 300000""",
   )
 }

@@ -153,6 +153,11 @@ query EnsuredScores(student: string, score: int)
     ensure (score >= 0 and score < 10000000),
     score > 100000
 .
+
+query Described(student: string, score: int) -> (msg: string)
+:-  Exams(student, score),
+    msg <- $"student $(student) scored $(score + 1) points"
+.
 """
 
   private def catalog(s: SparkSession, d: String): Map[String, DataFrame] = {
@@ -214,6 +219,7 @@ query EnsuredScores(student: string, score: int)
     "hq14_bool_grammar" -> (run("BoolSieve") _),
     "hq14b_bool_dnf" -> (run("EitherParent") _),
     "hq15_ensure" -> (run("EnsuredScores") _),
+    "hq16_interpolation" -> (run("Described") _),
   )
 
   private val examsSql =
@@ -319,5 +325,11 @@ query EnsuredScores(student: string, score: int)
     // ensure holds for every row, so it passes rows through unchanged
     "hq15_ensure" ->
       s"""SELECT student, score FROM ($examsSql) WHERE score > 100000""",
+    // $"... $(x) ..." interpolation → concat with string casts
+    "hq16_interpolation" ->
+      s"""SELECT student, score,
+                'student ' || student || ' scored ' ||
+                CAST(score + 1 AS VARCHAR) || ' points' AS msg
+         FROM ($examsSql)""",
   )
 }

@@ -62,9 +62,50 @@ object PackageQueries extends QueryPack {
       .unionByName(pm.read(b, "customer").withColumn("tenant", lit("tenant_b")))
   }
 
+  /** The `package NAME using ...; public query` DECLARATION text
+    * (`Kernel/README.md:256-264`), parsed and registered through
+    * [[graft.heroql.HeroQL.definePackage]]. `BigSpenders` is the public
+    * surface; `Ledger` stays package-private (PackagesSpec proves the
+    * visibility wall). */
+  private val crmPackage = """
+package crm;
+
+data Customers(ck: int64, name: string, nation: int64, bal: double).
+
+public query BigSpenders(ck: int64, name: string) -> (bal: double)
+:-  Customers(ck, name, nation, bal),
+    bal > 5000.0
+.
+
+query Ledger(ck: int64) -> (bal: double)
+:-  Customers(ck, _, _, bal)
+.
+"""
+
+  private val reportsPackage = """
+package reports using crm;
+data Empty(x: int64).
+"""
+
+  /** pk3 — package + public query declared in HeroQL TEXT: define crm
+    * and a `using` consumer, instantiate crm with seed data, and compile
+    * the public query from the consumer package (visibility enforced by
+    * the manager). */
+  private def pk3(s: SparkSession, d: String): DataFrame = {
+    val pm = mgr(s)
+    graft.heroql.HeroQL.definePackage(crmPackage, pm)
+    graft.heroql.HeroQL.definePackage(reportsPackage, pm)
+    val seed = seedDf(s, d).select(
+      col("c_custkey").as("ck"), col("c_name").as("name"),
+      col("c_nationkey").as("nation"), col("c_acctbal").as("bal"))
+    val inst = pm.instantiate("crm", "prod", Map("Customers" -> seed))
+    graft.heroql.HeroQL.compilePackaged(crmPackage, "BigSpenders", "reports", pm)(inst)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pk1_package_inherit_merge" -> (pk1 _),
     "pk2_package_isolation" -> (pk2 _),
+    "pk3_package_decl" -> (pk3 _),
   )
 
   private val seedSql =
@@ -84,5 +125,8 @@ object PackageQueries extends QueryPack {
           UNION ALL
           SELECT c_custkey, c_name, c_nationkey, c_acctbal,
                  'tenant_b' AS tenant FROM ($seedSql)""",
+    "pk3_package_decl" ->
+      s"""SELECT c_custkey AS ck, c_name AS name, c_acctbal AS bal
+          FROM ($seedSql) WHERE c_acctbal > 5000.0""",
   )
 }

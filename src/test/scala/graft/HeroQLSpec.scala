@@ -45,13 +45,13 @@ class HeroQLParserSpec extends AnyFunSuite {
       Conj(Seq(Atom("Mother", Seq(TVar("parent"), TVar("child")))))))
   }
 
-  test("golden: the full HeroQueries program parses (16 queries + 4 funcs + 1 union)") {
+  test("golden: the full HeroQueries program parses (17 queries + 4 funcs + 1 union)") {
     val p = Parser.parse(HeroQueries.program)
     assert(p.datas.size == 8)
     assert(p.queries.map(_.name) == Seq("Top10", "Top3PerStudent", "AvgTop3",
       "Parents", "GrandParents", "GrandParentsSub", "Quad", "Childless", "Graded",
       "ShapeAreas", "BoxedAreas", "FibOf", "ChooseOf",
-      "BoolSieve", "EitherParent", "EnsuredScores"))
+      "BoolSieve", "EitherParent", "EnsuredScores", "Described"))
     assert(p.funcs.map(_.name) == Seq("Grade", "Area", "Fib", "Comb"))
     assert(p.funcs.head.cases.size == 3)
     assert(p.unions.map(_.name) == Seq("Shape"))
@@ -132,6 +132,31 @@ class HeroQLParserSpec extends AnyFunSuite {
         Filter(ECmp(">", EVar("x"), ELit(LInt(5)))), Atom("A", Seq(TVar("x"))))),
       Conj(Seq(Atom("T", Seq(TVar("x"))),
         Filter(ENot(ECmp(">", EVar("x"), ELit(LInt(5))))), Atom("B", Seq(TVar("x")))))))
+  }
+
+  test("statement forms parse: let, transaction query, for query, package, interpolation") {
+    val p = Parser.parse(
+      """package billing using base;
+        |data T(x: int64, y: int64).
+        |let Hot = query (x, y) :- T(x, y), y > 3.
+        |public transaction query Move()
+        |:- Hot(x, y), @insert T(x, y), @remove T(x, _).
+        |for query(x, y) :- Hot(x, y) ( set T(x, y + 1); remove T(x, _) ).
+        |query Msg(x: int64) -> (m: string) :- T(x, _), m <- $"x is $(x)!".
+        |""".stripMargin)
+    assert(p.pkg.contains(PackageHeader("billing", Seq("base"))))
+    val let = p.queries.find(_.name == "Hot").get
+    assert(let.inArgs == Seq("x" -> "", "y" -> "") && let.outArgs.isEmpty)
+    val tx = p.transactions.head
+    assert(tx.name == "Move" && tx.isPublic)
+    assert(tx.items.count(_.isInstanceOf[Mutation]) == 2)
+    val fq = p.fors.head
+    assert(fq.vars == Seq("x", "y"))
+    assert(fq.actions.map(_.kind) == Seq("insert", "remove"))
+    assert(fq.actions.head.atom.args(1) == TExpr(EBinary("+", EVar("y"), ELit(LInt(1)))))
+    val msg = p.queries.find(_.name == "Msg").get
+    assert(msg.body.alts.head.items(1) == Binding("m",
+      EInterp(Seq(Left("x is "), Right(EVar("x")), Left("!")))))
   }
 
   test("mode analysis rejects running a binding backward") {
@@ -279,6 +304,44 @@ class HeroQLRuntimeSpec extends SparkSpec {
         |.""".stripMargin, "Q", Map("Nums" -> nums))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "edge", 2L -> "mid", 3L -> "edge"))
+  }
+
+  test("transaction query: failure mid-transaction publishes nothing") {
+    import spark.implicits._
+    val store = new graft.store.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-txn-spec-").toString)
+    store.create("T", Seq((1L, 5L), (2L, 9L)).toDF("x", "y"))
+    val commits = store.commitCount()
+    val src =
+      """data T(x: int64, y: int64).
+        |data U(x: int64, y: int64).
+        |transaction query Bad()
+        |:- T(x, y), ensure y < 0, @insert U(x, y), @remove T(x, _)
+        |.""".stripMargin
+    intercept[Exception] {
+      HeroQL.executeTransaction(src, "Bad", Map.empty, store)
+    }
+    assert(store.commitCount() == commits, "failed transaction must not commit")
+    assert(store.read("T").count() == 2, "failed transaction must not mutate")
+    assert(!store.exists("U"))
+  }
+
+  test("transaction query: multi-table move commits atomically with read-at-start bindings") {
+    import spark.implicits._
+    val store = new graft.store.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-txn-spec-").toString)
+    store.create("T", Seq((1L, 5L), (2L, 9L), (3L, 1L)).toDF("x", "y"))
+    val commits = store.commitCount()
+    val src =
+      """data T(x: int64, y: int64).
+        |data U(x: int64, y: int64).
+        |transaction query Move()
+        |:- T(x, y), y > 3, @insert U(x, y), @remove T(x, y)
+        |.""".stripMargin
+    HeroQL.executeTransaction(src, "Move", Map.empty, store)
+    assert(store.commitCount() == commits + 1, "one atomic commit for both tables")
+    assert(store.read("T").collect().map(_.getLong(0)).toSet == Set(3L))
+    assert(store.read("U").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
   }
 
   test("recursive func without a base case is rejected") {

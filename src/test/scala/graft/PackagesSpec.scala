@@ -93,4 +93,30 @@ class PackagesSpec extends SparkSpec {
     assert(pm.visible("core", "core", "Internal"),
       "declaring package sees its own private queries")
   }
+
+  test("package declared in HeroQL text: public query compiles cross-package, private is walled") {
+    import spark.implicits._
+    val pm = freshMgr()
+    val src =
+      """package core;
+        |data T(x: int64, y: int64).
+        |public query Exported(x: int64) -> (y: int64) :- T(x, y), y > 1.
+        |query Internal(x: int64) :- T(x, _).
+        |""".stripMargin
+    graft.heroql.HeroQL.definePackage(src, pm)
+    graft.heroql.HeroQL.definePackage("package app using core;\ndata U(x: int64).", pm)
+    assert(pm.packageOf("core").publicQueries == Set("Exported"))
+    val inst = pm.instantiate("core", "prod",
+      Map("T" -> Seq((1L, 5L), (2L, 0L)).toDF("x", "y")))
+    val rows = graft.heroql.HeroQL.compilePackaged(src, "Exported", "app", pm)(inst)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((1L, 5L)))
+    val e = intercept[graft.heroql.Analyzer.AnalysisError] {
+      graft.heroql.HeroQL.compilePackaged(src, "Internal", "app", pm)(inst)
+    }
+    assert(e.getMessage.contains("not visible"))
+    // the declaring package itself reaches its private query
+    assert(graft.heroql.HeroQL.compilePackaged(src, "Internal", "core", pm)(inst)
+      .count() == 2)
+  }
 }
