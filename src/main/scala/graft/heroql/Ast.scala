@@ -50,6 +50,11 @@ object Ast {
     * `public` queries are its cross-package surface. */
   final case class PackageHeader(name: String, using: Seq[String])
 
+  /** `index Name { Hash(col) Ordered(col) ... }`
+    * (`Kernel/README.md:62-74`; on a cached query it keys the memo —
+    * `Kernel/README.md:142-157`). One entry per kind clause. */
+  final case class IndexDecl(target: String, specs: Seq[(String, Seq[String])])
+
   /** `union Shape = Circle(r: double) | Rect(w: double, h: double).` —
     * a tagged-union (ADT) declaration; variant order fixes the runtime
     * tag (`Kernel/README.md:36-39` union types; ADTs as unions of
@@ -69,7 +74,8 @@ object Ast {
       unions: Seq[UnionDecl] = Seq.empty,
       transactions: Seq[TransactionDecl] = Seq.empty,
       fors: Seq[ForQuery] = Seq.empty,
-      pkg: Option[PackageHeader] = None)
+      pkg: Option[PackageHeader] = None,
+      indexes: Seq[IndexDecl] = Seq.empty)
 
   /** `func Name(in a, out b); case Name(0, 1); case Name(a, b) :- ... ;`
     * (`Kernel/Drafts/draft:75-89`): multi-clause moded function with

@@ -131,6 +131,7 @@ object Parser {
       val unions = Seq.newBuilder[UnionDecl]
       val transactions = Seq.newBuilder[TransactionDecl]
       val fors = Seq.newBuilder[ForQuery]
+      val indexes = Seq.newBuilder[IndexDecl]
       val funcs = scala.collection.mutable.LinkedHashMap.empty[String, FuncDecl]
       // `package NAME using P1, P2;` header — the rest of the text is the
       // package body (`Kernel/README.md:256-264`)
@@ -156,6 +157,7 @@ object Parser {
           case Some(TId("query")) | Some(TId("cached")) =>
             queries += queryDecl().copy(isPublic = pub)
           case Some(TId("let")) => queries += letDecl()
+          case Some(TId("index")) => indexes += indexDecl()
           case Some(TId("transaction")) =>
             transactions += transactionDecl().copy(isPublic = pub)
           case Some(TId("for")) => fors += forQuery()
@@ -172,7 +174,33 @@ object Parser {
         }
       }
       Program(datas.result(), queries.result(), funcs.values.toSeq,
-        unions.result(), transactions.result(), fors.result(), pkg)
+        unions.result(), transactions.result(), fors.result(), pkg,
+        indexes.result())
+    }
+
+    /** `index Name { Hash(col) Ordered(col, col2) ... }`
+      * (`Kernel/README.md:62-74,142-157`). */
+    def indexDecl(): IndexDecl = {
+      expectId() // index
+      val target = expectId()
+      expectSym("{")
+      val specs = Seq.newBuilder[(String, Seq[String])]
+      while (!at("}")) {
+        val kind = expectId()
+        expectSym("(")
+        val cols = Seq.newBuilder[String]
+        var first = true
+        while (!at(")")) {
+          if (!first) expectSym(",")
+          first = false
+          cols += expectId()
+        }
+        expectSym(")")
+        specs += (kind -> cols.result())
+      }
+      expectSym("}")
+      if (!eat(";")) { eat("."); () }
+      IndexDecl(target, specs.result())
     }
 
     /** `let Name = query (arg1, arg2) :- body .`

@@ -288,9 +288,12 @@ final class Planner(decls: Map[String, DataDecl],
   private def funcMemo(f: FuncDecl, inIdxs: Seq[Int], outIdx: Int,
       inputs: DataFrame): DataFrame = {
     val spark = inputs.sparkSession
-    val threshold = Planner.localMemoThreshold
-    val sample = inputs.limit(threshold + 1).collect()
     val nIn = inIdxs.size
+    // the row cap is BYTE-derived: wider demand tuples lower it, so the
+    // driver-side memo is bounded in heap, not just in rows
+    val rowCap = (Planner.localMemoMaxBytes / ((nIn + 1L) * 8L)).toInt
+    val threshold = math.min(Planner.localMemoThreshold, rowCap)
+    val sample = inputs.limit(threshold + 1).collect()
     if (sample.length <= threshold) {
       val keys = sample.map(r => (0 until nIn).map(r.getLong).toList)
       val memo = funcMemoLocal(f, inIdxs, outIdx, keys)
@@ -865,6 +868,13 @@ object Planner {
     * judgement call. Mutable so specs can force the distributed path. */
   private[graft] var localMemoThreshold: Int = 100000
 
+  /** Heap budget for the driver-side memo: the effective row cap is
+    * `maxBytes / tupleBytes`, so multi-argument funcs (wider demand
+    * tuples) flip to the distributed fixpoint sooner. 16 MB ≈ 100k
+    * three-long tuples — the same ceiling as the row threshold at
+    * hq12's shape. */
+  private[graft] var localMemoMaxBytes: Long = 16L << 20
+
   /** HeroQL type name → Spark SQL type name (SURVEY §1.2 mapping). */
   private[heroql] def sparkType(t: String): String = t match {
     case "int" | "int32" => "int"
@@ -915,6 +925,28 @@ object HeroQL {
     * next `cached query` evaluation recomputes. */
   def executeUncache(statement: String, cache: QueryCache): Unit =
     cache.uncache(Parser.parseUncache(statement))
+
+  /** Point lookup on a `cached query` with an `index` declaration
+    * (`Kernel/README.md:142-157`): `provided` binds in-argument values;
+    * when they cover a declared index the memo serves/extends per index
+    * value (see [[QueryCache.cachedIndexed]] for the cover analysis).
+    * The demanded constants are filters on the compiled plan, so a miss
+    * computes only its slice (pushed into the scan by Catalyst). */
+  def compileCachedLookup(program: String, queryName: String,
+      catalog: Map[String, DataFrame], cache: QueryCache,
+      provided: Map[String, Any]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val ast = Parser.parse(program)
+    val decl = ast.queries.find(_.name == queryName)
+      .getOrElse(throw Analyzer.AnalysisError(s"no query named $queryName"))
+    def slice(bound: Map[String, Any]): DataFrame = {
+      val df = compile(program, queryName, catalog)
+      bound.foldLeft(df) { case (d, (c, v)) => d.filter(col(c) === lit(v)) }
+    }
+    val indexes = ast.indexes.filter(_.target == queryName).flatMap(_.specs.map(_._2))
+    if (!decl.cached || indexes.isEmpty) slice(provided)
+    else cache.cachedIndexed(queryName, indexes, provided)(slice)
+  }
 
   /** Compile a standalone `collection_query ... ;` against the data
     * declarations of `program` and a catalog of table bindings. */

@@ -306,6 +306,29 @@ class HeroQLRuntimeSpec extends SparkSpec {
     assert(got == Map(1L -> "edge", 2L -> "mid", 3L -> "edge"))
   }
 
+  test("byte-budgeted driver memo: a tiny budget flips to the distributed path with identical results") {
+    import spark.implicits._
+    val src =
+      """data Nums(pk: int64, n: int64).
+        |func Fib(in i, out o);
+        |case Fib(0, 1);
+        |case Fib(1, 1);
+        |case Fib(i, o) :- Fib(i-1, x1), Fib(i-2, x2), o <- x1 + x2;
+        |query FibOf(pk: int64) -> (n: int64, fib: int64)
+        |:- Nums(pk, n), Fib(n, fib)
+        |.""".stripMargin
+    val nums = Seq((1L, 8L), (2L, 11L)).toDF("pk", "n")
+    def got() = HeroQL.compile(src, "FibOf", Map("Nums" -> nums))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val want = Map(8L -> 34L, 11L -> 144L)
+    assert(got() == want)
+    val saved = graft.heroql.Planner.localMemoMaxBytes
+    try {
+      graft.heroql.Planner.localMemoMaxBytes = 0L // heap budget exhausted
+      assert(got() == want, "distributed path must agree under a zero byte budget")
+    } finally graft.heroql.Planner.localMemoMaxBytes = saved
+  }
+
   test("transaction query: failure mid-transaction publishes nothing") {
     import spark.implicits._
     val store = new graft.store.TableStore(spark,
