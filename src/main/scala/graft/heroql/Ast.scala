@@ -75,7 +75,8 @@ object Ast {
       transactions: Seq[TransactionDecl] = Seq.empty,
       fors: Seq[ForQuery] = Seq.empty,
       pkg: Option[PackageHeader] = None,
-      indexes: Seq[IndexDecl] = Seq.empty)
+      indexes: Seq[IndexDecl] = Seq.empty,
+      globals: Seq[(String, Lit)] = Seq.empty)
 
   /** `func Name(in a, out b); case Name(0, 1); case Name(a, b) :- ... ;`
     * (`Kernel/Drafts/draft:75-89`): multi-clause moded function with

@@ -29,7 +29,7 @@ object Parser {
   final case class TIStr(s: String) extends Tok    // $"... $(x) ..." raw body
   final case class TSym(s: String) extends Tok
 
-  private val symbols = Seq(":-", "->", "<-", "<=", ">=", "==", "!=",
+  private val symbols = Seq(":-", "->", "<-", "<=", ">=", "==", "!=", "::",
     "(", ")", "{", "}", ",", ";", ".", ":", "<", ">", "=", "+", "-", "*", "/",
     "_", "|")
 
@@ -121,9 +121,21 @@ object Parser {
       case TId(s) => s
       case t => throw ParseError(s"expected identifier, got $t", pos - 1)
     }
+    /** `Nodes::Node`-style qualified reference (`Kernel/Drafts/draft:185`). */
+    def qualifiedId(): String = {
+      var n = expectId()
+      while (at("::")) { pos += 1; n = n + "::" + expectId() }
+      n
+    }
     def at(s: String): Boolean = peek.contains(TSym(s))
     def atId(s: String): Boolean = peek.contains(TId(s))
     def eat(s: String): Boolean = { val b = at(s); if (b) pos += 1; b }
+
+    /** Namespace each top-level name was declared in (name → ns, "" for
+      * the root); feeds reference resolution. */
+    val declNs = scala.collection.mutable.Map.empty[String, String]
+    /** `using namespace N;` directives (`Kernel/Drafts/draft:168-197`). */
+    val usings = scala.collection.mutable.ListBuffer.empty[String]
 
     def program(): Program = {
       val datas = Seq.newBuilder[DataDecl]
@@ -132,6 +144,7 @@ object Parser {
       val transactions = Seq.newBuilder[TransactionDecl]
       val fors = Seq.newBuilder[ForQuery]
       val indexes = Seq.newBuilder[IndexDecl]
+      val globals = Seq.newBuilder[(String, Lit)]
       val funcs = scala.collection.mutable.LinkedHashMap.empty[String, FuncDecl]
       // `package NAME using P1, P2;` header — the rest of the text is the
       // package body (`Kernel/README.md:256-264`)
@@ -147,36 +160,109 @@ object Parser {
         expectSym(";")
         Some(PackageHeader(name, uses.result()))
       } else None
-      while (peek.isDefined) {
+      def qual(ns: String, n: String) = if (ns.isEmpty) n else s"$ns::$n"
+      /** One declaration at namespace `ns`; `namespace N { ... }` nests
+        * (`Kernel/Drafts/draft:168-170` "namespace can be nested"). */
+      def decl(ns: String): Unit = {
         // `public` marks the next query/transaction as package-visible
         val pub = atId("public")
         if (pub) pos += 1
+        def reg(n: String): String = { declNs(n) = ns; n }
         peek match {
-          case Some(TId("data")) => datas += dataDecl()
-          case Some(TId("union")) => unions += unionDecl()
+          case Some(TId("namespace")) =>
+            pos += 1
+            val inner = qual(ns, expectId())
+            expectSym("{")
+            while (!at("}")) decl(inner)
+            expectSym("}")
+          case Some(TId("using")) =>
+            pos += 1
+            if (!atId("namespace")) throw ParseError("expected 'namespace' after 'using'", pos)
+            pos += 1
+            usings += qualifiedId()
+            if (!eat(";")) expectSym(".")
+          case Some(TId("data")) =>
+            val d = dataDecl()
+            datas += d.copy(name = reg(qual(ns, d.name)))
+          case Some(TId("union")) =>
+            val u = unionDecl()
+            unions += u.copy(name = reg(qual(ns, u.name)))
           case Some(TId("query")) | Some(TId("cached")) =>
-            queries += queryDecl().copy(isPublic = pub)
-          case Some(TId("let")) => queries += letDecl()
-          case Some(TId("index")) => indexes += indexDecl()
+            val q = queryDecl().copy(isPublic = pub)
+            queries += q.copy(name = reg(qual(ns, q.name)))
+          case Some(TId("let")) =>
+            val q = letDecl()
+            queries += q.copy(name = reg(qual(ns, q.name)))
+          case Some(TId("index")) =>
+            val ix = indexDecl()
+            // target resolves like any reference from this namespace
+            indexes += ix.copy(target = qual(ns, ix.target))
           case Some(TId("transaction")) =>
-            transactions += transactionDecl().copy(isPublic = pub)
+            val t = transactionDecl().copy(isPublic = pub)
+            transactions += t.copy(name = reg(qual(ns, t.name)))
           case Some(TId("for")) => fors += forQuery()
           case Some(TId("func")) =>
             val f = funcDecl()
-            funcs(f.name) = f
+            val qn = reg(qual(ns, f.name))
+            funcs(qn) = f.copy(name = qn)
           case Some(TId("case")) =>
             val (name, c) = funcCase()
-            val f = funcs.getOrElse(name,
+            // the clause attaches to the func resolved from this namespace
+            val qn = Seq(qual(ns, name), name).find(funcs.contains).getOrElse(
               throw ParseError(s"case for undeclared func $name", pos))
-            funcs(name) = f.copy(cases = f.cases :+ c)
+            funcs(qn) = funcs(qn).copy(cases = funcs(qn).cases :+ c)
+          // global readonly value: `Zero <- 0.` (`Kernel/README.md:247-249`)
+          case Some(TId(n)) if !n.startsWith("@") &&
+              toks.lift(pos + 1).contains(TSym("<-")) =>
+            pos += 2
+            val e = exprP()
+            if (!eat(";")) expectSym(".")
+            globals += (reg(qual(ns, n)) -> foldConst(e))
           case t => throw ParseError(
-            s"expected 'data', 'query', 'let', 'transaction', 'for', 'func' or 'case', got $t", pos)
+            s"expected a declaration ('data', 'query', 'let', 'transaction', 'for', 'func', 'case', 'namespace', ...), got $t", pos)
         }
       }
+      while (peek.isDefined) decl("")
       Program(datas.result(), queries.result(), funcs.values.toSeq,
         unions.result(), transactions.result(), fors.result(), pkg,
-        indexes.result())
+        indexes.result(), globals.result())
     }
+
+    /** Global readonly values are CONSTANTS (`Kernel/README.md:248`
+      * "`Zero <- 0.`: Constants") — fold the right-hand side now. */
+    private def foldConst(e: Expr): Lit = e match {
+      case ELit(l) => l
+      case EUnary("-", x) => foldConst(x) match {
+        case LInt(v) => LInt(-v)
+        case LDouble(v) => LDouble(-v)
+        case other => throw ParseError(s"cannot negate $other in a global value", pos)
+      }
+      case EBinary(op, l, r) =>
+        (op, foldConst(l), foldConst(r)) match {
+          case ("+", LInt(a), LInt(b)) => LInt(a + b)
+          case ("-", LInt(a), LInt(b)) => LInt(a - b)
+          case ("*", LInt(a), LInt(b)) => LInt(a * b)
+          case ("+", LString(a), LString(b)) => LString(a + b)
+          case (o, a, b) =>
+            def num(x: Lit): Double = x match {
+              case LInt(v) => v.toDouble
+              case LDouble(v) => v
+              case other => throw ParseError(s"non-numeric global operand $other", pos)
+            }
+            o match {
+              case "+" => LDouble(num(a) + num(b))
+              case "-" => LDouble(num(a) - num(b))
+              case "*" => LDouble(num(a) * num(b))
+              case "/" => LDouble(num(a) / num(b))
+              case other => throw ParseError(s"unknown operator $other in global value", pos)
+            }
+        }
+      case other => throw ParseError(
+        s"global readonly values must be constants, got $other", pos)
+    }
+
+    private[heroql] def namespaceContext: (Map[String, String], Seq[String]) =
+      (declNs.toMap, usings.toList)
 
     /** `index Name { Hash(col) Ordered(col, col2) ... }`
       * (`Kernel/README.md:62-74,142-157`). */
@@ -584,7 +670,8 @@ object Parser {
             b
         }
       case Some(TId(name)) if !name.startsWith("@") && name != "true" &&
-          name != "false" && toks.lift(pos + 1).contains(TSym("(")) =>
+          name != "false" && (toks.lift(pos + 1).contains(TSym("(")) ||
+            toks.lift(pos + 1).contains(TSym("::"))) =>
         BAtomT(atomItem())
       case _ => BScal(comparisonExpr())
     }
@@ -694,7 +781,7 @@ object Parser {
     }
 
     private def atomItem(): Atom = {
-      val rel = expectId()
+      val rel = qualifiedId()
       expectSym("(")
       val args = Seq.newBuilder[Term]
       var first = true
@@ -765,20 +852,23 @@ object Parser {
       case TSym("(") => val e = exprP(); expectSym(")"); e
       case TId("true") => ELit(LBool(true))
       case TId("false") => ELit(LBool(false))
-      case TId(v) if at("{") => // `Variant{ field = expr, ... }`
-        expectSym("{")
-        val fields = Seq.newBuilder[(String, Expr)]
-        var first = true
-        while (!at("}")) {
-          if (!first) expectSym(",")
-          first = false
-          val fn = expectId()
-          expectSym("=")
-          fields += fn -> exprP()
-        }
-        expectSym("}")
-        EConstruct(v, fields.result())
-      case TId(v) => EVar(v)
+      case TId(v0) =>
+        var v = v0
+        while (at("::")) { pos += 1; v = v + "::" + expectId() } // Ns::Name
+        if (at("{")) { // `Variant{ field = expr, ... }`
+          expectSym("{")
+          val fields = Seq.newBuilder[(String, Expr)]
+          var first = true
+          while (!at("}")) {
+            if (!first) expectSym(",")
+            first = false
+            val fn = expectId()
+            expectSym("=")
+            fields += fn -> exprP()
+          }
+          expectSym("}")
+          EConstruct(v, fields.result())
+        } else EVar(v)
       case TNum(s) => ELit(numLit(s))
       case TStr(s) => ELit(LString(s))
       case TIStr(raw) => parseInterp(raw)
@@ -824,7 +914,149 @@ object Parser {
     }
   }
 
-  def parse(src: String): Program = new P(lex(src)).program()
+  def parse(src: String): Program = {
+    val p = new P(lex(src))
+    val prog = p.program()
+    val (declNs, usings) = p.namespaceContext
+    postProcess(prog, declNs, usings)
+  }
+
+  /** Post-parse name resolution (`Kernel/Drafts/draft:168-197`): rewrite
+    * every relation/func reference to its declared qualified name —
+    * resolution order is the declaring namespace chain innermost-out,
+    * then exact, then `using namespace` directives — and substitute
+    * global readonly values (`Kernel/README.md:247-249`) as constants
+    * wherever the name is not locally bound. */
+  private def postProcess(prog: Program, declNs: Map[String, String],
+      usings: Seq[String]): Program = {
+    val relNames: Set[String] = (prog.datas.map(_.name) ++
+      prog.queries.map(_.name) ++ prog.funcs.map(_.name)).toSet
+    val globalLit: Map[String, Lit] = prog.globals.toMap
+    if (relNames.forall(!_.contains("::")) && globalLit.isEmpty &&
+      usings.isEmpty) return prog // fast path: no namespaces, no globals
+
+    def chain(ns: String): Seq[String] =
+      if (ns.isEmpty) Seq("")
+      else {
+        val parts = ns.split("::").toSeq
+        parts.indices.reverse.map(i => parts.take(i + 1).mkString("::")) :+ ""
+      }
+    def candidates(ns: String, ref: String): Seq[String] =
+      chain(ns).map(c => if (c.isEmpty) ref else s"$c::$ref") ++
+        usings.map(u => s"$u::$ref")
+    def resolveRel(ns: String, ref: String): String =
+      candidates(ns, ref).find(relNames.contains).getOrElse(ref)
+    def resolveGlobal(ns: String, ref: String): Option[Lit] =
+      candidates(ns, ref).collectFirst {
+        case c if globalLit.contains(c) => globalLit(c)
+      }
+
+    val funcByName = prog.funcs.map(f => f.name -> f).toMap
+
+    /** Names EXPLICITLY bound by an item sequence — these shadow
+      * globals. A bare TVar occurrence in a data-atom pattern is NOT a
+      * shadow: when the name is a global, that occurrence reads as the
+      * constant (globals are readonly — a pattern cannot rebind one). */
+    def boundOf(items: Seq[Item]): Set[String] = items.flatMap {
+      case Atom(rel, args) => funcByName.get(rel) match {
+        case Some(f) => f.params.zip(args).collect {
+          case (("out", _), TVar(v)) => v
+        }
+        case None => args.collect { case TTyped(v, _) => v }
+      }
+      case Binding(out, _) => Seq(out)
+      case RankBinding(out, _, _) => Seq(out)
+      case SubQuery(outVars, _) => outVars
+      case _ => Seq.empty
+    }.toSet
+
+    def mapExpr(ns: String, bound: Set[String])(e: Expr): Expr = {
+      val m = mapExpr(ns, bound) _
+      e match {
+        case EVar(n) if !bound.contains(n.takeWhile(_ != '.')) =>
+          resolveGlobal(ns, n).map(ELit.apply).getOrElse(e)
+        case EVar(_) | ELit(_) => e
+        case EUnary(op, x) => EUnary(op, m(x))
+        case EBinary(op, l, r) => EBinary(op, m(l), m(r))
+        case EConstruct(v, fields) =>
+          EConstruct(v, fields.map { case (f, x) => f -> m(x) })
+        case EInterp(parts) => EInterp(parts.map {
+          case Right(x) => Right(m(x))
+          case l => l
+        })
+        case ECmp(op, l, r) => ECmp(op, m(l), m(r))
+        case EAnd(l, r) => EAnd(m(l), m(r))
+        case EOr(l, r) => EOr(m(l), m(r))
+        case ENot(x) => ENot(m(x))
+        case EIf(c, t, el) => EIf(m(c), m(t), el.map(m))
+      }
+    }
+
+    def mapAtom(ns: String, bound: Set[String])(a: Atom): Atom =
+      Atom(resolveRel(ns, a.rel), a.args.map {
+        case TVar(v) if !bound.contains(v) =>
+          resolveGlobal(ns, v).map(TConst.apply).getOrElse(TVar(v))
+        case TExpr(e) => TExpr(mapExpr(ns, bound)(e))
+        case t => t
+      })
+
+    def mapItems(ns: String, items: Seq[Item],
+        extraBound: Set[String] = Set.empty): Seq[Item] = {
+      // resolve rels FIRST so func-out detection sees qualified names
+      val resolved = items.map {
+        case a: Atom => a.copy(rel = resolveRel(ns, a.rel))
+        case Negation(a) => Negation(a.copy(rel = resolveRel(ns, a.rel)))
+        case Existence(a) => Existence(a.copy(rel = resolveRel(ns, a.rel)))
+        case Mutation(k, a) => Mutation(k, a.copy(rel = resolveRel(ns, a.rel)))
+        case other => other
+      }
+      val bound = boundOf(resolved) ++ extraBound
+      val me = mapExpr(ns, bound) _
+      resolved.map {
+        case a: Atom => mapAtom(ns, bound)(a)
+        case Negation(a) => Negation(mapAtom(ns, bound)(a))
+        case Existence(a) => Existence(mapAtom(ns, bound)(a))
+        case Mutation(k, a) => Mutation(k, mapAtom(ns, bound)(a))
+        case Binding(out, v) => Binding(out, me(v))
+        case RankBinding(out, k, d) => RankBinding(out, me(k), d)
+        case Compare(op, l, r) => Compare(op, me(l), me(r))
+        case Filter(c) => Filter(me(c))
+        case Ensure(c) => Ensure(me(c))
+        case SubQuery(outVars, body) => SubQuery(outVars, mapBody(ns, body))
+        case other => other
+      }
+    }
+    def mapBody(ns: String, b: Body, extraBound: Set[String] = Set.empty): Body =
+      Body(b.alts.map(c => Conj(mapItems(ns, c.items, extraBound))))
+
+    def nsOf(n: String) = declNs.getOrElse(n, "")
+    prog.copy(
+      queries = prog.queries.map(q => q.copy(body = mapBody(nsOf(q.name), q.body,
+        (q.inArgs ++ q.outArgs).map(_._1).toSet))),
+      funcs = prog.funcs.map { f =>
+        val ns = nsOf(f.name)
+        f.copy(cases = f.cases.map { c =>
+          // case-arg pattern vars shadow globals inside the guards
+          val caseBound = c.args.collect {
+            case TVar(v) => v
+            case TTyped(v, _) => v
+          }.toSet
+          FuncCase(c.args, mapItems(ns, c.guards, caseBound))
+        })
+      },
+      transactions = prog.transactions.map(t =>
+        t.copy(items = mapItems(nsOf(t.name), t.items, t.inArgs.map(_._1).toSet))),
+      fors = prog.fors.map(fq => ForQuery(fq.vars, mapBody("", fq.body, fq.vars.toSet),
+        mapItems("", fq.actions, fq.vars.toSet).collect { case m: Mutation => m })),
+      indexes = prog.indexes.map { ix =>
+        // recover (ns, raw) from the parse-time qualification
+        val (tns, raw) = ix.target.lastIndexOf("::") match {
+          case -1 => ("", ix.target)
+          case i => (ix.target.take(i), ix.target.drop(i + 2))
+        }
+        ix.copy(target = resolveRel(tns, raw))
+      })
+  }
 
   /** Parse a standalone `uncache Name.` statement
     * (`Kernel/Drafts/draft:135-136` M4) — returns the cache key. */

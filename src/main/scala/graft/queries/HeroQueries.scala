@@ -202,6 +202,37 @@ query Described(student: string, score: int) -> (msg: string)
   private def run(name: String)(s: SparkSession, d: String): DataFrame =
     HeroQL.compile(program, name, catalog(s, d))
 
+  /** Namespaces, `using namespace`, qualified references and a global
+    * readonly value (`Kernel/Drafts/draft:168-197`,
+    * `Kernel/README.md:247-249`) — declarations live in `Sales`, the
+    * root query reaches them via `using`, and the threshold is a global
+    * constant resolved from inside the namespace. */
+  private val nsProgram = """
+Threshold <- 150000.0.
+
+namespace Sales
+{
+    data Orders(k: int64, price: double).
+
+    query Big(k: int64) -> (price: double)
+    :-  Orders(k, price), price > Threshold
+    .
+}
+
+using namespace Sales;
+
+query Report(k: int64) -> (price: double, tag: string)
+:-  Big(k, price),
+    tag <- $"big $(k)"
+.
+"""
+
+  private def runNs(s: SparkSession, d: String): DataFrame = {
+    val orders = t(s, d, "orders").select(
+      col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+    HeroQL.compile(nsProgram, "Report", Map("Sales::Orders" -> orders))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hq1_top10_global" -> (run("Top10") _),
     "hq2_top3_per_partition" -> (run("Top3PerStudent") _),
@@ -220,6 +251,7 @@ query Described(student: string, score: int) -> (msg: string)
     "hq14b_bool_dnf" -> (run("EitherParent") _),
     "hq15_ensure" -> (run("EnsuredScores") _),
     "hq16_interpolation" -> (run("Described") _),
+    "hq17_namespaces" -> (runNs _),
   )
 
   private val examsSql =
@@ -331,5 +363,10 @@ query Described(student: string, score: int) -> (msg: string)
                 'student ' || student || ' scored ' ||
                 CAST(score + 1 AS VARCHAR) || ' points' AS msg
          FROM ($examsSql)""",
+    // namespaced query + using-directive + global constant threshold
+    "hq17_namespaces" ->
+      """SELECT o_orderkey AS k, o_totalprice AS price,
+                'big ' || CAST(o_orderkey AS VARCHAR) AS tag
+         FROM orders WHERE o_totalprice > 150000.0""",
   )
 }

@@ -159,6 +159,52 @@ class HeroQLParserSpec extends AnyFunSuite {
       EInterp(Seq(Left("x is "), Right(EVar("x")), Left("!")))))
   }
 
+  test("namespaces: nesting, qualified references, using-directive resolution") {
+    val p = Parser.parse(
+      """namespace A
+        |{
+        |    data T(x: int64).
+        |    namespace B
+        |    {
+        |        data U(y: int64).
+        |        query Q(y: int64) :- U(y), T(y).
+        |    }
+        |}
+        |using namespace A::B;
+        |query R(y: int64) :- U(y), A::T(y).
+        |""".stripMargin)
+    assert(p.datas.map(_.name) == Seq("A::T", "A::B::U"))
+    val q = p.queries.find(_.name == "A::B::Q").get
+    // U resolves in B, T walks out to A
+    assert(q.body.alts.head.items.collect { case Atom(r, _) => r } ==
+      Seq("A::B::U", "A::T"))
+    val r = p.queries.find(_.name == "R").get
+    // bare U via the using-directive, A::T explicitly qualified
+    assert(r.body.alts.head.items.collect { case Atom(r2, _) => r2 } ==
+      Seq("A::B::U", "A::T"))
+  }
+
+  test("global readonly values substitute as constants unless locally shadowed") {
+    val p = Parser.parse(
+      """Zero <- 0.
+        |Limit <- 2 + 3.
+        |data T(x: int64, y: int64).
+        |query Q(x: int64) :- T(x, Zero), x < Limit.
+        |query Shadow(x: int64) -> (Limit: int64) :- T(x, _), Limit <- x + 1, x < Limit.
+        |""".stripMargin)
+    assert(p.globals.toMap == Map("Zero" -> LInt(0), "Limit" -> LInt(5)))
+    val q = p.queries.find(_.name == "Q").get
+    // Zero in an atom argument becomes a pushed constant filter
+    assert(q.body.alts.head.items.head ==
+      Atom("T", Seq(TVar("x"), TConst(LInt(0)))))
+    assert(q.body.alts.head.items(1) == Compare("<", EVar("x"), ELit(LInt(5))))
+    // a local binding shadows the global
+    val s = p.queries.find(_.name == "Shadow").get
+    assert(s.body.alts.head.items(1) == Binding("Limit",
+      EBinary("+", EVar("x"), ELit(LInt(1)))))
+    assert(s.body.alts.head.items(2) == Compare("<", EVar("x"), EVar("Limit")))
+  }
+
   test("mode analysis rejects running a binding backward") {
     val p = Parser.parse(
       """data T(x: int).
