@@ -254,11 +254,16 @@ final class Txn(store: TableStore) {
   }
 
   def upsert(name: String, rows: DataFrame, keys: Seq[String]): Unit = {
-    val keyRows = rows.select(keys.map(col): _*)
+    // the batch feeds three plans (probe semi-join, rewrite anti-join,
+    // append) — materialize it once instead of recomputing its lineage
+    // three times; an upsert batch is bounded by the caller (spillable
+    // MEMORY_AND_DISK blocks, never the table side)
+    val batch = rows.localCheckpoint()
+    val keyRows = batch.select(keys.map(col): _*)
     rewriteMatched(name,
       hits = _.join(keyRows, keys, "left_semi"),
       rewrite = _.join(keyRows, keys, "left_anti"),
-      appended = Some(rows))
+      appended = Some(batch))
   }
 
   def update(name: String, assignments: Map[String, Column], cond: Column): Unit =
