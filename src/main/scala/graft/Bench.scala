@@ -41,6 +41,14 @@ object Bench {
     spark.range(100).selectExpr("id % 5 AS k", "id AS v")
       .selectExpr("k", "row_number() OVER (PARTITION BY k ORDER BY v) AS rn")
       .filter("rn <= 2").count() // window/group-limit codegen path
+    // store-mutation path: localCheckpoint block manager, _metadata
+    // file-path probe, semi/anti-join codegen — ~1.7s of first-use class
+    // loading that otherwise lands on whichever COW mutation runs first
+    val wdf = spark.read.parquet(warm)
+      .selectExpr("*", "_metadata.file_path AS __dir")
+    val wkeys = spark.range(50).toDF("id").localCheckpoint()
+    wdf.join(wkeys, Seq("id"), "left_semi").select("__dir").distinct().collect()
+    wdf.join(wkeys, Seq("id"), "left_anti").count()
     val all = SparkEntry.queries
     val selected =
       if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) all

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.operators.MinHashLSH
+
+object DD3Prof {
+  def main(args: Array[String]): Unit = {
+    val d = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def phase[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"PHASE $name%-22s ${(System.nanoTime()-t0)/1e9}%.3f s"); r
+    }
+    // replicate dd3 query prep (from Dedup.scala)
+    def shingled = {
+      val docs = t(spark, d, "documents")
+      docs.select(col("doc_id"),
+        graft.operators.TextFns.shingles("text", 5).as("sh"))
+    }
+    (1 to 2).foreach { round =>
+      println(s"--- round $round ---")
+      val docs = shingled.repartition(32)
+      val (as, bs) = MinHashLSH.coeffs(63)
+      graft.functions.VectorFns.register(spark, as, bs)
+      val hashed = phase("hash+sig+checkpoint") {
+        docs.select(col("doc_id"),
+          sort_array(expr("transform(sh, x -> xxhash64(x))")).as("h"))
+          .withColumn("_mh", expr("graft_minhash_sig_long(h)"))
+          .localCheckpoint()
+      }
+      val banded = hashed.select(col("doc_id"), explode(expr(
+        """transform(sequence(0, 20),
+             bi -> struct(bi AS band, xxhash64(slice(_mh, bi * 3 + 1, 3)) AS sig))""")).as("b"))
+        .select(col("doc_id"), col("b.band"), col("b.sig"))
+      val x = banded.select(col("doc_id").as("a_id"), col("band"), col("sig"))
+      val y = banded.select(col("doc_id").as("b_id"), col("band"), col("sig"))
+      val cand = phase("candidates+distinct") {
+        val c = x.join(y, Seq("band", "sig")).filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id").distinct().localCheckpoint()
+        println(s"  candidates: ${c.count()}")
+        c
+      }
+      phase("verify") {
+        val saa = hashed.select(col("doc_id").as("a_id"), col("h").as("sa"))
+        val sbb = hashed.select(col("doc_id").as("b_id"), col("h").as("sb"))
+        val n = cand.join(broadcast(saa), "a_id").join(broadcast(sbb), "b_id")
+          .withColumn("inter", expr("graft_sorted_intersect_long(sa, sb)"))
+          .withColumn("jaccard", expr("CAST(inter AS DOUBLE) / CAST(size(sa) + size(sb) - inter AS DOUBLE)"))
+          .filter(col("jaccard") >= 0.25).count()
+        println(s"  verified pairs: $n")
+      }
+    }
+    spark.stop()
+  }
+}

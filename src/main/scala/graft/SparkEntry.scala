@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{CollectionQueries, Dedup, GraphQueries, HeroMutations, HeroQueries, MultimodalQueries, Mutations, PackageQueries, QueryPack, Relational, Similarity, SourceQueries, Streaming, TextAnalysis}
+import graft.queries.{AdminQueries, CollectionQueries, Dedup, GraphQueries, HeroMutations, HeroQueries, MultimodalQueries, Mutations, PackageQueries, QueryPack, Relational, Similarity, SourceQueries, Streaming, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,6 +21,7 @@ object SparkEntry {
     GraphQueries,
     Streaming,
     Mutations,
+    AdminQueries,
     HeroQueries,
     HeroMutations,
     CollectionQueries,

@@ -124,15 +124,17 @@ object MinHashLSH {
     val (as, bs) = coeffs(bands * rowsPerBand)
     graft.functions.VectorFns.register(docs.sparkSession, as, bs)
     // ONE materialization of the shingle set per document, as sorted
-    // 64-bit hashes: the signature derives its bases from these hashes
-    // (graft_minhash_sig_long) and the verification merge-scans the same
-    // array — the string shingles are computed and hashed exactly once
-    // (measured ~2× on dd3 at sf0.1 vs hashing in both stages).
+    // 64-bit hashes PLUS the minhash signature: the verification
+    // merge-scans `h`, and both sides of the candidate self-join derive
+    // their band keys from `_mh` — without checkpointing the signature
+    // the x and y branches would each recompute the k affine-min passes
+    // over every shingle (the string shingles themselves are computed
+    // and hashed exactly once too; measured ~2× on dd3 at sf0.1).
     val hashed = docs.select(col(idCol),
       sort_array(expr(s"transform($shinglesCol, x -> xxhash64(x))")).as("h"))
+      .withColumn("_mh", expr("graft_minhash_sig_long(h)"))
       .localCheckpoint()
     val banded = hashed
-      .withColumn("_mh", expr("graft_minhash_sig_long(h)"))
       .select(col(idCol), explode(expr(
         s"""transform(sequence(0, ${bands - 1}),
               bi -> struct(bi AS band, xxhash64(slice(_mh, bi * $rowsPerBand + 1, $rowsPerBand)) AS sig))"""))

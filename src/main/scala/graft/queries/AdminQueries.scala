@@ -1,0 +1,99 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.store.TableStore
+
+/** Schema administration operations (SURVEY §2.10 tail; the reference's
+  * "UPDATE SCHEMA … upload a new data package definition with data
+  * moving procedures", `Kernel/README.md:275-282`), oracle-checked the
+  * same way as [[Mutations]]: seed a scratch store, evolve the schema
+  * through metadata-only manifest commits, and compare the final
+  * committed table to the equivalent relational statement in DuckDB.
+  *
+  * Every alter (add/rename/drop/cast) is a manifest line — zero data
+  * bytes touched, so the same operations cost the same on a 100 TB
+  * table; `migrate` is the explicit opt-in data-moving rewrite.
+  */
+object AdminQueries extends QueryPack {
+
+  private val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderpriority")
+
+  private def scratch(s: SparkSession): TableStore =
+    new TableStore(s, Files.createTempDirectory("graft-store-").toString)
+
+  private def evolve(st: TableStore, s: SparkSession, d: String): Unit = {
+    st.create("orders", t(s, d, "orders")
+      .filter(col("o_orderkey") % 10 === 0).select(cols.map(col): _*))
+    // four metadata-only commits: backfill expression ("data moving
+    // procedure") evaluates lazily at read until migrate
+    st.addColumn("orders", "o_discounted", "DOUBLE",
+      Some("o_totalprice * 0.9"))
+    st.renameColumn("orders", "o_orderpriority", "priority")
+    st.dropColumn("orders", "o_orderstatus")
+    st.castColumn("orders", "o_custkey", "DOUBLE")
+    // a post-alter insert arrives in the NEW logical schema and lands
+    // after the op lines — never re-transformed on read
+    st.insert("orders", t(s, d, "orders")
+      .filter(col("o_orderkey") % 10 === 1)
+      .select(col("o_orderkey"), col("o_custkey").cast("double"),
+        col("o_totalprice"),
+        (col("o_totalprice") + 500.0).as("o_discounted"),
+        col("o_orderpriority").as("priority")))
+  }
+
+  /** adm1 — lazy evolution: all four alters pending in the manifest
+    * log, result computed through the read-time fold. */
+  private def adm1(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s)
+    evolve(st, s, d)
+    st.read("orders")
+  }
+
+  /** adm2 — the full administration lifecycle: evolve, mutate THROUGH
+    * the pending ops (copy-on-write update conditioned on a renamed +
+    * backfilled column), then `migrate` to materialize. Must equal the
+    * same relational statement — proving lazy and materialized schemas
+    * are observationally identical. */
+  private def adm2(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s)
+    evolve(st, s, d)
+    st.update("orders",
+      Map("o_totalprice" -> (col("o_totalprice") + col("o_discounted"))),
+      col("priority") === "1-URGENT")
+    st.migrate("orders")
+    st.read("orders")
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "adm1_schema_evolution" -> (adm1 _),
+    "adm2_schema_migrate" -> (adm2 _),
+  )
+
+  private val evolvedSql =
+    """SELECT o_orderkey, CAST(o_custkey AS DOUBLE) AS o_custkey,
+              o_totalprice, o_totalprice * 0.9 AS o_discounted,
+              o_orderpriority AS priority
+       FROM orders WHERE o_orderkey % 10 = 0
+       UNION ALL
+       SELECT o_orderkey, CAST(o_custkey AS DOUBLE) AS o_custkey,
+              o_totalprice, o_totalprice + 500.0 AS o_discounted,
+              o_orderpriority AS priority
+       FROM orders WHERE o_orderkey % 10 = 1"""
+
+  override val oracles: Map[String, String] = Map(
+    "adm1_schema_evolution" -> evolvedSql,
+    "adm2_schema_migrate" ->
+      s"""WITH evolved AS ($evolvedSql)
+         SELECT o_orderkey, o_custkey,
+                CASE WHEN priority = '1-URGENT'
+                     THEN o_totalprice + o_discounted
+                     ELSE o_totalprice END AS o_totalprice,
+                o_discounted, priority
+         FROM evolved""",
+  )
+}

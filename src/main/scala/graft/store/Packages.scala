@@ -111,7 +111,7 @@ final class PackageManager(val store: TableStore) {
     store.transaction { tx =>
       pkg.tables.foreach { logical =>
         val pt = parent.table(logical)
-        if (store.exists(pt)) tx.link(child.table(logical), store.dirsAsRefs(pt))
+        if (store.exists(pt)) tx.link(child.table(logical), store.entriesAsRefs(pt))
       }
     }
     instances += instName -> child
@@ -130,7 +130,7 @@ final class PackageManager(val store: TableStore) {
     store.transaction { tx =>
       pkg.tables.foreach { logical =>
         val ct = child.table(logical)
-        if (store.exists(ct)) tx.link(parent.table(logical), store.dirsAsRefs(ct))
+        if (store.exists(ct)) tx.link(parent.table(logical), store.entriesAsRefs(ct))
       }
     }
   }

@@ -1,0 +1,83 @@
+package graft.store
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Schema-evolution operations (the reference's "UPDATE SCHEMA …
+  * upload a new data package definition with data moving procedures",
+  * `Kernel/README.md:275-282`), re-based on the immutable-manifest
+  * store.
+  *
+  * A table manifest is an ordered LOG of data dirs and schema ops; an
+  * op applies — at read time — only to the dirs logged BEFORE it.
+  * Files written after the op already carry the new logical schema, so
+  * every alter is a METADATA-ONLY commit: at 100 TB, `addColumn` with a
+  * backfill expression touches zero data bytes. The expression (which
+  * may reference other columns — the "data moving procedure") runs
+  * inside the scan's whole-stage codegen on every read until
+  * [[TableStore.migrate]] materializes it physically.
+  */
+sealed trait SchemaOp {
+  /** Apply to a frame read from dirs that predate this op. */
+  def apply(df: DataFrame): DataFrame
+  /** One manifest line (tab-separated, `@`-prefixed). */
+  def encode: String
+}
+
+/** Add `name` typed `sqlType`; rows from pre-op files read
+  * `defaultExpr` (SQL, may reference other columns); absent default =
+  * NULL. Files written after the op carry the column physically. */
+final case class AddCol(name: String, sqlType: String,
+    defaultExpr: Option[String]) extends SchemaOp {
+  def apply(df: DataFrame): DataFrame =
+    df.withColumn(name,
+      defaultExpr.map(expr).getOrElse(lit(null)).cast(sqlType))
+  def encode: String =
+    s"@addcol\t$name\t$sqlType\t${defaultExpr.getOrElse("")}"
+}
+
+final case class DropCol(name: String) extends SchemaOp {
+  def apply(df: DataFrame): DataFrame = df.drop(name)
+  def encode: String = s"@dropcol\t$name"
+}
+
+final case class RenameCol(from: String, to: String) extends SchemaOp {
+  def apply(df: DataFrame): DataFrame = df.withColumnRenamed(from, to)
+  def encode: String = s"@rename\t$from\t$to"
+}
+
+/** Type change (widen/narrow) via SQL cast semantics. */
+final case class CastCol(name: String, sqlType: String) extends SchemaOp {
+  def apply(df: DataFrame): DataFrame =
+    df.withColumn(name, col(name).cast(sqlType))
+  def encode: String = s"@cast\t$name\t$sqlType"
+}
+
+object SchemaOp {
+  def decode(line: String): SchemaOp = {
+    val parts = line.split("\t", -1)
+    parts(0) match {
+      case "@addcol" => AddCol(parts(1), parts(2),
+        Option(parts(3)).filter(_.nonEmpty))
+      case "@dropcol" => DropCol(parts(1))
+      case "@rename" => RenameCol(parts(1), parts(2))
+      case "@cast" => CastCol(parts(1), parts(2))
+      case other => throw new IllegalArgumentException(
+        s"unknown schema-op line: $other")
+    }
+  }
+}
+
+/** One parsed manifest line: a data dir or a schema op. */
+private[store] sealed trait ManifestEntry
+private[store] final case class DataDir(dir: String) extends ManifestEntry
+private[store] final case class OpEntry(op: SchemaOp) extends ManifestEntry
+
+private[store] object ManifestEntry {
+  def parse(line: String): ManifestEntry =
+    if (line.startsWith("@")) OpEntry(SchemaOp.decode(line)) else DataDir(line)
+  def encode(e: ManifestEntry): String = e match {
+    case DataDir(d) => d
+    case OpEntry(op) => op.encode
+  }
+}

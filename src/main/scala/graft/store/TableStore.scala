@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
   * {{{
   *   root/_CURRENT                 -> current store-manifest filename
   *   root/store-<uuid>             : lines "table<TAB>tableManifest"
-  *   root/<table>/manifest-<uuid>  : lines of data sub-dirs
+  *   root/<table>/manifest-<uuid>  : ordered log of data sub-dirs and
+  *                                   `@`-prefixed schema ops
   *   root/<table>/data-<uuid>/     : parquet files
   * }}}
   *
@@ -29,6 +30,11 @@ import org.apache.spark.sql.functions._
   *    [[transaction]]: buffer any number of table mutations, publish ONE
   *    store manifest with ONE atomic pointer swap — multi-table atomic
   *    commit, single-writer last-committer-wins.
+  *  - Schema administration (`Kernel/README.md:275-282`) →
+  *    [[alterTable]]/[[migrate]]: a table manifest is an ordered log of
+  *    data dirs AND [[SchemaOp]] lines; an op applies at read time to
+  *    the dirs logged before it, so alters are metadata-only commits
+  *    and `migrate` is the explicit data-moving procedure.
   *  - Page reuse/locks (`Buffer.cpp`, `Lock.cpp`) → not ported: files
   *    are immutable, readers get snapshot isolation from the manifest
   *    they resolved (SURVEY §3 E3).
@@ -65,17 +71,25 @@ final class TableStore(val spark: SparkSession, val root: String) {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  private[store] def writeTableManifest(table: String, dataDirs: Seq[String]): String = {
+  private[store] def writeTableManifest(table: String,
+      entries: Seq[ManifestEntry]): String = {
     val dir = rootPath.resolve(table)
     Files.createDirectories(dir)
     val name = s"manifest-${UUID.randomUUID().toString.take(12)}"
-    Files.write(dir.resolve(name), dataDirs.mkString("\n").getBytes("UTF-8"))
+    Files.write(dir.resolve(name),
+      entries.map(ManifestEntry.encode).mkString("\n").getBytes("UTF-8"))
     name
   }
 
-  private[store] def readTableManifest(table: String, manifest: String): Seq[String] =
+  private[store] def readEntries(table: String, manifest: String): Seq[ManifestEntry] =
     Files.readAllLines(rootPath.resolve(table).resolve(manifest)).asScala
-      .toSeq.filter(_.nonEmpty)
+      .toSeq.filter(_.nonEmpty).map(ManifestEntry.parse)
+
+  private[store] def currentEntries(table: String): Seq[ManifestEntry] = {
+    val m = currentTables().getOrElse(table,
+      throw new IllegalArgumentException(s"no such table: $table"))
+    readEntries(table, m)
+  }
 
   private[store] def writeData(table: String, df: DataFrame): String = {
     val sub = s"data-${UUID.randomUUID().toString.take(12)}"
@@ -93,17 +107,44 @@ final class TableStore(val spark: SparkSession, val root: String) {
     if (dir.contains("/")) rootPath.resolve(dir)
     else rootPath.resolve(table).resolve(dir)
 
-  /** A table's current data dirs, rewritten as root-relative refs usable
-    * from another table's manifest. */
-  private[store] def dirsAsRefs(table: String): Seq[String] = {
-    val m = currentTables().getOrElse(table,
-      throw new IllegalArgumentException(s"no such table: $table"))
-    readTableManifest(table, m).map(d =>
-      if (d.contains("/")) d else s"$table/$d")
-  }
+  /** A table's current manifest entries, data dirs rewritten as
+    * root-relative refs usable from another table's manifest; schema-op
+    * lines carry over verbatim (the ref'd files predate them too). */
+  private[graft] def entriesAsRefs(table: String): Seq[ManifestEntry] =
+    currentEntries(table).map {
+      case DataDir(d) if !d.contains("/") => DataDir(s"$table/$d")
+      case e => e
+    }
 
   private[store] def readDirs(table: String, dirs: Seq[String]): DataFrame =
     spark.read.parquet(dirs.map(d => resolveDir(table, d).toString): _*)
+
+  /** Fold the manifest log into one frame: each maximal run of data
+    * dirs is ONE parquet read (those dirs share a schema vintage), each
+    * subsequent op transforms everything accumulated so far, and later
+    * runs — written after the op, already in the new logical schema —
+    * union in untransformed. `decorate` runs right after each raw read
+    * (before any op) so callers can capture physical metadata like
+    * `_metadata.file_path`. For the common no-ops manifest this is
+    * exactly one `spark.read.parquet` call, same as before schema ops
+    * existed. */
+  private[store] def readLog(table: String, entries: Seq[ManifestEntry],
+      decorate: DataFrame => DataFrame = identity): DataFrame = {
+    var acc: Option[DataFrame] = None
+    var run = Vector.empty[String]
+    def flushRun(): Unit = if (run.nonEmpty) {
+      val batch = decorate(readDirs(table, run))
+      acc = Some(acc.fold(batch)(_.unionByName(batch)))
+      run = Vector.empty
+    }
+    entries.foreach {
+      case DataDir(d) => run :+= d
+      case OpEntry(op) => flushRun(); acc = acc.map(op.apply)
+    }
+    flushRun()
+    acc.getOrElse(throw new IllegalArgumentException(
+      s"table $table has no data dirs"))
+  }
 
   // ----------------------------------------------------------- public API
 
@@ -119,12 +160,7 @@ final class TableStore(val spark: SparkSession, val root: String) {
   }
 
   def create(name: String, df: DataFrame): Unit = transaction(_.create(name, df))
-  def read(name: String): DataFrame = {
-    val tables = currentTables()
-    val m = tables.getOrElse(name,
-      throw new IllegalArgumentException(s"no such table: $name"))
-    readDirs(name, readTableManifest(name, m))
-  }
+  def read(name: String): DataFrame = readLog(name, currentEntries(name))
   def insert(name: String, rows: DataFrame): Unit = transaction(_.insert(name, rows))
   def upsert(name: String, rows: DataFrame, keys: Seq[String]): Unit =
     transaction(_.upsert(name, rows, keys))
@@ -132,6 +168,37 @@ final class TableStore(val spark: SparkSession, val root: String) {
     transaction(_.update(name, assignments, cond))
   def delete(name: String, cond: Column): Unit = transaction(_.delete(name, cond))
   def truncate(name: String): Unit = transaction(_.truncate(name))
+
+  // ------------------------------------------- schema administration ops
+
+  /** Append schema ops to the table's manifest log — METADATA-ONLY: no
+    * data file is read or written, so an alter of a 100 TB table is one
+    * manifest commit. Backfill expressions evaluate lazily on read
+    * until [[migrate]]. */
+  def alterTable(name: String, ops: SchemaOp*): Unit =
+    transaction(_.alterTable(name, ops: _*))
+
+  def addColumn(name: String, column: String, sqlType: String,
+      defaultExpr: Option[String] = None): Unit =
+    alterTable(name, AddCol(column, sqlType, defaultExpr))
+  def dropColumn(name: String, column: String): Unit =
+    alterTable(name, DropCol(column))
+  def renameColumn(name: String, from: String, to: String): Unit =
+    alterTable(name, RenameCol(from, to))
+  def castColumn(name: String, column: String, sqlType: String): Unit =
+    alterTable(name, CastCol(column, sqlType))
+
+  /** The explicit DATA-MOVING procedure: materialize the logical schema
+    * physically (one rewrite), leaving a clean single-vintage manifest
+    * with no pending ops. Opt-in compaction — the only schema operation
+    * whose cost is proportional to table size. */
+  def migrate(name: String): Unit = transaction { tx =>
+    tx.create(name, tx.read(name))
+  }
+
+  /** Pending (unmaterialized) schema ops, oldest first. */
+  def pendingOps(name: String): Seq[SchemaOp] =
+    currentEntries(name).collect { case OpEntry(op) => op }
 
   /** S7 backup/export: write a self-contained snapshot of the table's
     * CURRENT committed state to `destDir` (plain parquet, no manifest —
@@ -158,11 +225,8 @@ final class TableStore(val spark: SparkSession, val root: String) {
 
   /** A table's current data-dir manifest entries (observability: specs
     * assert which dirs a mutation carried by reference vs rewrote). */
-  def dataDirs(name: String): Seq[String] = {
-    val m = currentTables().getOrElse(name,
-      throw new IllegalArgumentException(s"no such table: $name"))
-    readTableManifest(name, m)
-  }
+  def dataDirs(name: String): Seq[String] =
+    currentEntries(name).collect { case DataDir(d) => d }
 
   /** Per-table committed-manifest count — the commit-log length for the
     * table (observability of the WAL analogue). */
@@ -185,22 +249,51 @@ final class Txn(store: TableStore) {
   private def manifestOf(name: String): Option[String] =
     pending.get(name).orElse(store.currentTables().get(name))
 
-  def read(name: String): DataFrame = {
-    val m = manifestOf(name).getOrElse(
-      throw new IllegalArgumentException(s"no such table: $name"))
-    store.readDirs(name, store.readTableManifest(name, m))
-  }
+  private def entriesOf(name: String): Seq[ManifestEntry] =
+    manifestOf(name) match {
+      case Some(m) => store.readEntries(name, m)
+      case None => throw new IllegalArgumentException(s"no such table: $name")
+    }
+
+  def read(name: String): DataFrame = store.readLog(name, entriesOf(name))
 
   def create(name: String, df: DataFrame): Unit =
-    pending += name -> store.writeTableManifest(name, Seq(store.writeData(name, df)))
+    pending += name -> store.writeTableManifest(name,
+      Seq(DataDir(store.writeData(name, df))))
 
   def insert(name: String, rows: DataFrame): Unit = {
-    val dirs = manifestOf(name) match {
-      case Some(m) => store.readTableManifest(name, m)
+    val entries = manifestOf(name) match {
+      case Some(m) => store.readEntries(name, m)
       case None => Seq.empty
     }
+    // appended AFTER every op line: the new files carry the current
+    // logical schema, so no op ever re-applies to them on read
     pending += name -> store.writeTableManifest(name,
-      dirs :+ store.writeData(name, rows))
+      entries :+ DataDir(store.writeData(name, rows)))
+  }
+
+  /** Metadata-only alter: append op lines to the log. Validated against
+    * the current logical schema so a bad op fails at commit, not at the
+    * next read. */
+  def alterTable(name: String, ops: SchemaOp*): Unit = {
+    val entries = entriesOf(name)
+    val cols = store.readLog(name, entries).columns.toSet
+    ops.foldLeft(cols) { (cs, op) =>
+      op match {
+        case AddCol(c, _, _) =>
+          require(!cs(c), s"column $c already exists in $name"); cs + c
+        case DropCol(c) =>
+          require(cs(c), s"no column $c in $name"); cs - c
+        case RenameCol(from, to) =>
+          require(cs(from), s"no column $from in $name")
+          require(!cs(to), s"column $to already exists in $name")
+          cs - from + to
+        case CastCol(c, _) =>
+          require(cs(c), s"no column $c in $name"); cs
+      }
+    }
+    pending += name -> store.writeTableManifest(name,
+      entries ++ ops.map(OpEntry(_)))
   }
 
   /** FILE-LEVEL copy-on-write — the primitive behind update/delete/
@@ -212,7 +305,8 @@ final class Txn(store: TableStore) {
     *     scan — metadata-scale output);
     *  2. only those dirs are re-materialized through `rewrite`;
     *  3. every untouched dir is carried into the new manifest BY
-    *     REFERENCE — zero bytes moved;
+    *     REFERENCE — zero bytes moved, keeping its position in the log
+    *     relative to any schema-op lines;
     *  4. `appended` rows (upsert inserts) land in their own new dir.
     *
     * Cost is proportional to the touched fraction plus one pushed-down
@@ -227,30 +321,41 @@ final class Txn(store: TableStore) {
       hits: DataFrame => DataFrame,
       rewrite: DataFrame => DataFrame,
       appended: Option[DataFrame] = None): Unit = {
-    val dirs = manifestOf(name) match {
-      case Some(m) => store.readTableManifest(name, m)
-      case None => throw new IllegalArgumentException(s"no such table: $name")
-    }
-    // probe carries the raw file path; dir names are derived driver-side
-    // from the (metadata-scale) distinct file set, so the scan does no
-    // per-row string work
-    val withDir = store.readDirs(name, dirs)
-      .withColumn("__dir", col("_metadata.file_path"))
+    val entries = entriesOf(name)
+    val dirs = entries.collect { case DataDir(d) => d }
+    // probe carries the raw file path; dir names are derived driver-
+    // side from the (metadata-scale) distinct file set, so the scan
+    // does no per-row string work. `decorate` stamps __dir before
+    // any schema op runs, so hits() sees the LOGICAL schema.
+    val withDir = store.readLog(name, entries,
+      decorate = _.withColumn("__dir", col("_metadata.file_path")))
     val touchedPaths = hits(withDir).select("__dir").distinct()
       .collect().map(r => r.getString(0).replaceFirst("/[^/]+$", "")).toSet
     def suffixOf(d: String) = if (d.contains("/")) s"/$d" else s"/$name/$d"
-    val touched = dirs.filter(d => touchedPaths.exists(_.endsWith(suffixOf(d))))
-    val untouched = dirs.filterNot(touched.toSet)
+    val touched: Set[String] =
+      dirs.filter(d => touchedPaths.exists(_.endsWith(suffixOf(d)))).toSet
+    // the touched rows in LOGICAL schema: drop untouched dirs from the
+    // log and fold — ops before a touched dir still apply to it
+    val touchedLog = entries.filter {
+      case DataDir(d) => touched(d)
+      case _ => true
+    }
     // rewritten rows and appended rows land in ONE new dir — same bytes,
     // one write job
     val newContent = (touched.nonEmpty, appended) match {
-      case (true, Some(rows)) => Some(rewrite(store.readDirs(name, touched)).unionByName(rows))
-      case (true, None) => Some(rewrite(store.readDirs(name, touched)))
+      case (true, Some(rows)) =>
+        Some(rewrite(store.readLog(name, touchedLog)).unionByName(rows))
+      case (true, None) => Some(rewrite(store.readLog(name, touchedLog)))
       case (false, Some(rows)) => Some(rows)
       case (false, None) => None
     }
+    // untouched entries keep their log positions; the new dir appends
+    // after every op line (it is already in the logical schema)
     pending += name -> store.writeTableManifest(name,
-      untouched ++ newContent.map(store.writeData(name, _)).toSeq)
+      entries.filter {
+        case DataDir(d) => !touched(d)
+        case _ => true
+      } ++ newContent.map(c => DataDir(store.writeData(name, c))).toSeq)
   }
 
   def upsert(name: String, rows: DataFrame, keys: Seq[String]): Unit = {
@@ -283,11 +388,11 @@ final class Txn(store: TableStore) {
     create(name, read(name).filter(lit(false)))
 
   /** Pointer-only publish: point `name` at existing data dirs (root-
-    * relative refs from [[TableStore.dirsAsRefs]]) — no data written.
+    * relative refs from [[TableStore.entriesAsRefs]]) — no data written.
     * The copy-on-write primitive behind package-instance inheritance
     * and merge. */
-  private[store] def link(name: String, refDirs: Seq[String]): Unit =
-    pending += name -> store.writeTableManifest(name, refDirs)
+  private[graft] def link(name: String, refEntries: Seq[ManifestEntry]): Unit =
+    pending += name -> store.writeTableManifest(name, refEntries)
 
   private[store] def publishAll(): Unit =
     if (pending.nonEmpty) store.publish(store.currentTables() ++ pending)
