@@ -47,7 +47,9 @@ object Bench {
     val wdf = spark.read.parquet(warm)
       .selectExpr("*", "_metadata.file_path AS __dir")
     val wkeys = spark.range(50).toDF("id").localCheckpoint()
-    wdf.join(wkeys, Seq("id"), "left_semi").select("__dir").distinct().collect()
+    wdf.join(wkeys, Seq("id"), "left_semi")
+      .selectExpr("regexp_replace(__dir, '/[^/]+$', '') AS __dir")
+      .distinct().collect() // dir-count rows, mirroring Txn.rewriteMatched's probe
     wdf.join(wkeys, Seq("id"), "left_anti").count()
     val all = SparkEntry.queries
     val selected =

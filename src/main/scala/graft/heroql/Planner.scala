@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.SizeGate
+
 import Ast._
 
 /** HeroQL AST → DataFrame plans (the designed query path,
@@ -263,11 +265,16 @@ final class Planner(decls: Map[String, DataDecl],
     val inputs = base.select(callerCols.zipWithIndex.map { case (c, j) =>
       c.cast("bigint").as(s"__fin$j")
     }: _*).distinct()
-    val memo = funcMemo(f, inIdxs, outIdx, inputs)
+    val (memo, memoRows) = funcMemo(f, inIdxs, outIdx, inputs)
     val joinCond = callerCols.zipWithIndex.map { case (c, j) =>
       c.cast("bigint") === memo(s"__fin$j")
     }.reduce(_ && _)
-    val joined = base.join(broadcast(memo), joinCond, "left")
+    // the memo is broadcast-joined back to the caller only when its
+    // MEASURED size fits one executor — the distributed path exists
+    // precisely because the demand set outgrew the driver, so forcing
+    // a broadcast there would OOM every executor at scale
+    val joined = base.join(
+        SizeGate.maybeBroadcast(memo, memoRows, 4000000L), joinCond, "left")
       .withColumn(outVar, col("__fout"))
       .drop(inIdxs.indices.map(j => s"__fin$j") :+ "__fout": _*)
     State(Some(joined), st.bound + outVar, st.partition)
@@ -284,9 +291,12 @@ final class Planner(decls: Map[String, DataDecl],
     *    (~1s each locally). This is the same judgement call as
     *    broadcasting a small join side.
     *  - else: fully distributed dual fixpoint ([[funcMemoDistributed]]),
-    *    correct for demand sets that don't fit one node. */
+    *    correct for demand sets that don't fit one node.
+    *
+    * Returns the memo plus its measured row count so the caller can
+    * size-gate the join-back broadcast. */
   private def funcMemo(f: FuncDecl, inIdxs: Seq[Int], outIdx: Int,
-      inputs: DataFrame): DataFrame = {
+      inputs: DataFrame): (DataFrame, Long) = {
     val spark = inputs.sparkSession
     val nIn = inIdxs.size
     // the row cap is BYTE-derived: wider demand tuples lower it, so the
@@ -309,12 +319,19 @@ final class Planner(decls: Map[String, DataDecl],
           spark.sparkContext.parallelize(rows, 1),
           StructType(keyFields :+ StructField("__fout", valueType)))
       }
-      if (memo.forall(_._2.isInstanceOf[Long])) df(LongType, identity)
-      else if (memo.forall(v => v._2.isInstanceOf[Double] || v._2.isInstanceOf[Long]))
-        df(DoubleType, { case d: Double => d; case l: Long => l.toDouble
-          case o => throw Analyzer.AnalysisError(s"${f.name}: non-numeric memo value $o") })
-      else df(StringType, String.valueOf)
-    } else funcMemoDistributed(f, inIdxs, outIdx, inputs)
+      val built =
+        if (memo.forall(_._2.isInstanceOf[Long])) df(LongType, identity)
+        else if (memo.forall(v => v._2.isInstanceOf[Double] || v._2.isInstanceOf[Long]))
+          df(DoubleType, { case d: Double => d; case l: Long => l.toDouble
+            case o => throw Analyzer.AnalysisError(s"${f.name}: non-numeric memo value $o") })
+        else df(StringType, String.valueOf)
+      (built, memo.size.toLong)
+    } else {
+      // the result is localCheckpoint'ed by the fixpoint, so this count
+      // reads materialized blocks — no recomputation
+      val distributed = funcMemoDistributed(f, inIdxs, outIdx, inputs)
+      (distributed, distributed.count())
+    }
   }
 
   /** Driver-side recursive evaluation over the HeroQL expression AST:

@@ -151,12 +151,51 @@ final class TableStore(val spark: SparkSession, val root: String) {
   def exists(name: String): Boolean = currentTables().contains(name)
 
   /** Multi-table atomic transaction: all mutations in `f` become visible
-    * in one pointer swap, or none do (an exception publishes nothing). */
+    * in one pointer swap, or none do (an exception publishes nothing).
+    *
+    * Optimistic concurrency (`Rewrite.md:6-15` "queue transactions
+    * parallelly … cancel on conflicting writes", the designed heir of
+    * the kernel lock manager `Kernel/Source/Utility/Lock.cpp:586-943`):
+    * the txn snapshots the store manifest at open; at publish a CAS-style
+    * validate-and-swap compares each WRITTEN table's current manifest to
+    * the snapshot. Unchanged → commit (concurrent commits to OTHER
+    * tables merge in — disjoint writers never conflict); changed →
+    * [[WriteConflictException]], nothing published, no lost update. */
   def transaction[T](f: Txn => T): T = {
     val tx = new Txn(this)
     val result = f(tx)
     tx.publishAll()
     result
+  }
+
+  /** [[transaction]] with automatic retry on write-write conflict: `f`
+    * re-runs against a fresh snapshot (it must be idempotent — pure
+    * read-compute-mutate against its Txn). */
+  def transactionRetry[T](f: Txn => T, maxAttempts: Int = 8): T = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return transaction(f)
+      catch {
+        case _: WriteConflictException if attempt < maxAttempts => ()
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** Serializes validate+publish for this store's writers (the designed
+    * "apply single-threaded" stage; one driver JVM owns a store root). */
+  private val commitLock = new Object
+
+  /** Validate-and-swap: commit `pending` iff none of those tables'
+    * manifests moved since `snapshot`. Concurrent commits to other
+    * tables are merged, not clobbered. */
+  private[store] def commitAtomically(snapshot: Map[String, String],
+      pending: Map[String, String]): Unit = commitLock.synchronized {
+    val now = currentTables()
+    val conflicts = pending.keys.filter(t => now.get(t) != snapshot.get(t)).toSeq.sorted
+    if (conflicts.nonEmpty) throw new WriteConflictException(conflicts)
+    publish(now ++ pending)
   }
 
   def create(name: String, df: DataFrame): Unit = transaction(_.create(name, df))
@@ -241,13 +280,24 @@ final class TableStore(val spark: SparkSession, val root: String) {
       .count(_.getFileName.toString.startsWith("store-"))
 }
 
-/** Buffered mutations with read-your-writes; published atomically by
+/** A write-write conflict detected at publish: another transaction
+  * committed to one of this txn's written tables after it opened. */
+final class WriteConflictException(val tables: Seq[String])
+  extends RuntimeException(
+    s"write-write conflict on table(s): ${tables.mkString(", ")}")
+
+/** Buffered mutations with read-your-writes over a manifest SNAPSHOT
+  * taken at open (repeatable reads — concurrent commits are invisible);
+  * published atomically, with write-set validation, by
   * [[TableStore.transaction]]. */
 final class Txn(store: TableStore) {
+  /** Store manifest as of txn open — both the read view and the CAS
+    * expected-value at publish. */
+  private val snapshot: Map[String, String] = store.currentTables()
   private var pending: Map[String, String] = Map.empty // table -> manifest
 
   private def manifestOf(name: String): Option[String] =
-    pending.get(name).orElse(store.currentTables().get(name))
+    pending.get(name).orElse(snapshot.get(name))
 
   private def entriesOf(name: String): Seq[ManifestEntry] =
     manifestOf(name) match {
@@ -323,14 +373,17 @@ final class Txn(store: TableStore) {
       appended: Option[DataFrame] = None): Unit = {
     val entries = entriesOf(name)
     val dirs = entries.collect { case DataDir(d) => d }
-    // probe carries the raw file path; dir names are derived driver-
-    // side from the (metadata-scale) distinct file set, so the scan
-    // does no per-row string work. `decorate` stamps __dir before
-    // any schema op runs, so hits() sees the LOGICAL schema.
+    // probe carries the raw file path; the filename is stripped INSIDE
+    // the query, before distinct, so the collect is DIR-count rows (the
+    // set the driver needs) — not file-count: a broad update of a
+    // million-file table must not ship a million path strings to the
+    // driver. `decorate` stamps __dir before any schema op runs, so
+    // hits() sees the LOGICAL schema.
     val withDir = store.readLog(name, entries,
       decorate = _.withColumn("__dir", col("_metadata.file_path")))
-    val touchedPaths = hits(withDir).select("__dir").distinct()
-      .collect().map(r => r.getString(0).replaceFirst("/[^/]+$", "")).toSet
+    val touchedPaths = hits(withDir)
+      .select(regexp_replace(col("__dir"), "/[^/]+$", "").as("__dir"))
+      .distinct().collect().map(_.getString(0)).toSet
     def suffixOf(d: String) = if (d.contains("/")) s"/$d" else s"/$name/$d"
     val touched: Set[String] =
       dirs.filter(d => touchedPaths.exists(_.endsWith(suffixOf(d)))).toSet
@@ -395,5 +448,5 @@ final class Txn(store: TableStore) {
     pending += name -> store.writeTableManifest(name, refEntries)
 
   private[store] def publishAll(): Unit =
-    if (pending.nonEmpty) store.publish(store.currentTables() ++ pending)
+    if (pending.nonEmpty) store.commitAtomically(snapshot, pending)
 }

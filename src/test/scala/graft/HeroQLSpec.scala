@@ -291,6 +291,41 @@ class HeroQLRuntimeSpec extends SparkSpec {
     } finally graft.heroql.Planner.localMemoThreshold = saved
   }
 
+  test("distributed memo join-back honors the broadcast size gate") {
+    // the distributed path is chosen when demand outgrows one node, so the
+    // memo join-back must be able to run WITHOUT a broadcast: force the
+    // gate shut and every broadcast heuristic off, and require the same
+    // rows from a pure shuffle join
+    import spark.implicits._
+    val src =
+      """data Nums(pk: int64, n: int64).
+        |func Fib(in i, out o);
+        |case Fib(0, 1);
+        |case Fib(1, 1);
+        |case Fib(i, o) :- Fib(i-1, x1), Fib(i-2, x2), o <- x1 + x2;
+        |query FibOf(pk: int64) -> (n: int64, fib: int64)
+        |:- Nums(pk, n), Fib(n, fib)
+        |.""".stripMargin
+    val nums = Seq((1L, 6L), (2L, 9L), (3L, 12L)).toDF("pk", "n")
+    val saved = graft.heroql.Planner.localMemoThreshold
+    val savedThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      graft.heroql.Planner.localMemoThreshold = 0
+      spark.conf.set(graft.operators.SizeGate.MaxRowsConf, "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = HeroQL.compile(src, "FibOf", Map("Nums" -> nums))
+      val plan = df.queryExecution.sparkPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"memo join-back still broadcasts with the gate forced shut:\n$plan")
+      val got = df.collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+      assert(got == Map(6L -> 13L, 9L -> 55L, 12L -> 233L))
+    } finally {
+      graft.heroql.Planner.localMemoThreshold = saved
+      spark.conf.unset(graft.operators.SizeGate.MaxRowsConf)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThresh)
+    }
+  }
+
   test("multi-arg recursion: Pascal C(n,k) on both evaluation paths") {
     import spark.implicits._
     val src =

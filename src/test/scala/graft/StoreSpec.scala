@@ -151,4 +151,71 @@ class StoreSpec extends SparkSpec {
     assert(before.count() == 3, "pre-commit snapshot changed under the reader")
     assert(st.read("t").count() == 4)
   }
+
+  test("optimistic CC: overlapping writers — one commits, one aborts, no lost update") {
+    import spark.implicits._
+    import graft.store.WriteConflictException
+    val st = freshStore()
+    st.create("t", seedDf)
+    // interleave two transactions on the same table: t1 opens first,
+    // t2 opens+commits while t1 is still buffering, t1's publish must
+    // CAS-fail instead of silently clobbering t2's insert
+    val ex = intercept[WriteConflictException] {
+      st.transaction { t1 =>
+        t1.insert("t", Seq((10L, "x", 1.0)).toDF("id", "tag", "v"))
+        st.insert("t", Seq((20L, "y", 2.0)).toDF("id", "tag", "v")) // t2
+      }
+    }
+    assert(ex.tables == Seq("t"))
+    val ids = st.read("t").select("id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 3L, 20L), "t2's commit must survive, t1's must not appear")
+  }
+
+  test("optimistic CC: disjoint writers merge — neither commit is lost") {
+    import spark.implicits._
+    val st = freshStore()
+    st.create("a", seedDf)
+    st.create("b", seedDf)
+    st.transaction { t1 =>
+      t1.insert("a", Seq((10L, "x", 1.0)).toDF("id", "tag", "v"))
+      st.insert("b", Seq((20L, "y", 2.0)).toDF("id", "tag", "v")) // concurrent, other table
+    }
+    assert(st.read("a").count() == 4, "t1's write committed")
+    assert(st.read("b").count() == 4, "concurrent disjoint commit merged, not clobbered")
+  }
+
+  test("optimistic CC: transactionRetry re-runs the conflicting txn to success") {
+    import spark.implicits._
+    val st = freshStore()
+    st.create("t", seedDf.select(col("id"), col("tag"), col("v")))
+    var injected = false
+    // increment-style read-modify-write; first attempt gets a conflicting
+    // commit injected mid-flight, retry must observe it and still land
+    st.transactionRetry { tx =>
+      val n = tx.read("t").count()
+      if (!injected) {
+        injected = true
+        st.insert("t", Seq((50L, "z", 5.0)).toDF("id", "tag", "v"))
+      }
+      tx.insert("t", Seq((100L + n, "r", 9.0)).toDF("id", "tag", "v"))
+    }
+    val ids = st.read("t").select("id").as[Long].collect().toSet
+    assert(ids(50L), "injected concurrent commit survived")
+    assert(ids(104L), "retry observed the concurrent insert (count was 4 on attempt 2)")
+    assert(!ids(103L), "first attempt's write must not leak")
+  }
+
+  test("txn reads are repeatable: the open-time snapshot is the read view") {
+    import spark.implicits._
+    val st = freshStore()
+    st.create("t", seedDf)
+    st.transaction { tx =>
+      assert(tx.read("t").count() == 3)
+      st.insert("t", Seq((4L, "d", 40.0)).toDF("id", "tag", "v"))
+      assert(tx.read("t").count() == 3,
+        "a concurrent commit must not bleed into an open txn's reads")
+      () // no writes buffered → publish is a no-op, no conflict
+    }
+    assert(st.read("t").count() == 4)
+  }
 }
