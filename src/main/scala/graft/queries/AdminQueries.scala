@@ -69,9 +69,46 @@ object AdminQueries extends QueryPack {
     st.read("orders")
   }
 
+  /** adm3 — GC lifecycle: copy-on-write mutations strand dirs, `vacuum`
+    * reclaims them, and the post-GC read must still equal the relational
+    * statement — proving the reachability sweep deletes ONLY dead files.
+    * (StoreSpec asserts the disk-level reclamation; this query gives the
+    * external oracle the read-after-GC correctness.) */
+  private def adm3(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s)
+    st.create("orders", t(s, d, "orders")
+      .filter(col("o_orderkey") % 10 === 0).select(cols.map(col): _*))
+    st.update("orders",
+      Map("o_totalprice" -> (col("o_totalprice") * 2.0)),
+      col("o_orderpriority") === "1-URGENT")
+    st.delete("orders",
+      col("o_orderstatus") === "F" && col("o_custkey") % 3 === 0)
+    st.vacuum()
+    st.read("orders")
+  }
+
+  /** adm4 — backup ring (`README.md:5`): three exports through a
+    * 2-slot ring; the third wraps onto slot 0, which must then hold the
+    * NEWEST full snapshot as plain parquet readable without the store. */
+  private def adm4(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s)
+    def part(r: Int) = t(s, d, "orders")
+      .filter(col("o_orderkey") % 10 === r).select(cols.map(col): _*)
+    val ring = Files.createTempDirectory("graft-ring-").toString
+    st.create("orders", part(0))
+    st.exportRing("orders", ring, slots = 2) // slot 0: v1
+    st.insert("orders", part(1))
+    st.exportRing("orders", ring, slots = 2) // slot 1: v1+v2
+    st.insert("orders", part(2))
+    st.exportRing("orders", ring, slots = 2) // wraps: slot 0 rewritten, v1+v2+v3
+    s.read.parquet(s"$ring/slot-0")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "adm1_schema_evolution" -> (adm1 _),
     "adm2_schema_migrate" -> (adm2 _),
+    "adm3_vacuum_gc" -> (adm3 _),
+    "adm4_backup_ring" -> (adm4 _),
   )
 
   private val evolvedSql =
@@ -95,5 +132,18 @@ object AdminQueries extends QueryPack {
                      ELSE o_totalprice END AS o_totalprice,
                 o_discounted, priority
          FROM evolved""",
+    "adm3_vacuum_gc" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+                CASE WHEN o_orderpriority = '1-URGENT'
+                     THEN o_totalprice * 2.0
+                     ELSE o_totalprice END AS o_totalprice,
+                o_orderpriority
+         FROM orders
+         WHERE o_orderkey % 10 = 0
+           AND NOT (o_orderstatus = 'F' AND o_custkey % 3 = 0)""",
+    "adm4_backup_ring" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderpriority
+         FROM orders WHERE o_orderkey % 10 IN (0, 1, 2)""",
   )
 }

@@ -48,15 +48,16 @@ final class TableStore(val spark: SparkSession, val root: String) {
   private def rootPath: Path = Paths.get(root)
   private def currentPtr: Path = rootPath.resolve("_CURRENT")
 
+  private def readStoreManifest(name: String): Map[String, String] =
+    Files.readAllLines(rootPath.resolve(name)).asScala
+      .filter(_.nonEmpty)
+      .map { line => val Array(t, m) = line.split("\t", 2); t -> m }
+      .toMap
+
   private[store] def currentTables(): Map[String, String] =
     if (!Files.exists(currentPtr)) Map.empty
-    else {
-      val mf = new String(Files.readAllBytes(currentPtr), "UTF-8").trim
-      Files.readAllLines(rootPath.resolve(mf)).asScala
-        .filter(_.nonEmpty)
-        .map { line => val Array(t, m) = line.split("\t", 2); t -> m }
-        .toMap
-    }
+    else readStoreManifest(
+      new String(Files.readAllBytes(currentPtr), "UTF-8").trim)
 
   /** Atomically publish a new table→manifest mapping. */
   private[store] def publish(tables: Map[String, String]): Unit = {
@@ -262,6 +263,103 @@ final class TableStore(val spark: SparkSession, val root: String) {
       Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
   }
 
+  /** S7 "auto backup to a file group ring" (`README.md:5`): rotate the
+    * table's snapshot through `slots` export directories under
+    * `destDir` (`slot-0` … `slot-<slots-1>`, each an independently
+    * readable plain-parquet snapshot via [[exportTable]]). The `_RING`
+    * pointer advances only AFTER a successful export, so a crash
+    * mid-export re-targets the same (half-written) slot on the next
+    * call and never corrupts an older good slot. Returns the slot
+    * written. */
+  def exportRing(name: String, destDir: String, slots: Int): Int = {
+    require(slots >= 1, "ring needs at least one slot")
+    val dir = Paths.get(destDir)
+    Files.createDirectories(dir)
+    val ptr = dir.resolve("_RING")
+    val next =
+      if (Files.exists(ptr))
+        new String(Files.readAllBytes(ptr), "UTF-8").trim.toInt
+      else 0
+    val slot = next % slots
+    exportTable(name, dir.resolve(s"slot-$slot").toString)
+    val tmp = dir.resolve(s"_RING.tmp.${UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, String.valueOf(next + 1).getBytes("UTF-8"))
+    Files.move(tmp, ptr, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    slot
+  }
+
+  /** Store GC — the heir of the kernel's free-page list
+    * (`Kernel/Source/Utility/FileBuffer.cpp:293-419`, the mechanism
+    * that reclaims dead pages): copy-on-write mutations and
+    * [[unpublish]] strand data dirs and manifests no commit can reach;
+    * at 100 TB with frequent upserts storage would otherwise grow
+    * without bound.
+    *
+    * Reachability roots are the `retainVersions` most recent store
+    * manifests (the current one always included — older retained
+    * versions give snapshot readers / time travel a grace window, the
+    * same trade as any MVCC store's vacuum). Everything reachable —
+    * table manifests, their data dirs, INCLUDING cross-table refs
+    * (`otherTable/data-x`, the package-inheritance pointer-share) — is
+    * kept; all other `data-*` dirs, `manifest-*` files, and `store-*`
+    * manifests are deleted. Runs under the commit lock, so a
+    * concurrent commit can't publish a new root mid-sweep; DataFrames
+    * resolved before the sweep from still-retained versions stay
+    * readable. */
+  def vacuum(retainVersions: Int = 1): VacuumStats = commitLock.synchronized {
+    require(retainVersions >= 1, "must retain at least the current version")
+    if (!Files.exists(currentPtr)) return VacuumStats(0, 0, 0)
+    val currentName = new String(Files.readAllBytes(currentPtr), "UTF-8").trim
+    val allStores = Files.list(rootPath).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("store-")).toVector
+    val othersNewestFirst = allStores
+      .filterNot(_.getFileName.toString == currentName)
+      .sortBy(p => Files.getLastModifiedTime(p).toMillis).reverse
+      .map(_.getFileName.toString)
+    val retained = (currentName +: othersNewestFirst).take(retainVersions)
+    // reachable (table, manifest) pairs and root-relative data dirs
+    val liveManifests = scala.collection.mutable.Set.empty[(String, String)]
+    val liveDirs = scala.collection.mutable.Set.empty[String]
+    retained.foreach { sn =>
+      readStoreManifest(sn).foreach { case (t, m) =>
+        liveManifests += ((t, m))
+        readEntries(t, m).foreach {
+          case DataDir(d) =>
+            liveDirs += (if (d.contains("/")) d else s"$t/$d")
+          case _ => ()
+        }
+      }
+    }
+    var dirsDeleted, manifestsDeleted, storesDeleted = 0
+    allStores.filterNot(p => retained.contains(p.getFileName.toString))
+      .foreach { p => Files.delete(p); storesDeleted += 1 }
+    Files.list(rootPath).iterator().asScala.filter(Files.isDirectory(_))
+      .toVector.foreach { tdir =>
+        val t = tdir.getFileName.toString
+        Files.list(tdir).iterator().asScala.toVector.foreach { child =>
+          val n = child.getFileName.toString
+          if (n.startsWith("manifest-") && !liveManifests((t, n))) {
+            Files.delete(child); manifestsDeleted += 1
+          } else if (n.startsWith("data-") && !liveDirs(s"$t/$n")) {
+            Files.walk(child).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+            dirsDeleted += 1
+          }
+        }
+        if (!Files.list(tdir).iterator().hasNext) Files.delete(tdir)
+      }
+    VacuumStats(dirsDeleted, manifestsDeleted, storesDeleted)
+  }
+
+  /** On-disk `data-*` dirs for a table (observability for GC specs —
+    * [[dataDirs]] is the manifest view, this is the filesystem view). */
+  def dataDirsOnDisk(name: String): Seq[String] = {
+    val dir = rootPath.resolve(name)
+    if (!Files.exists(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("data-")).toSeq.sorted
+  }
+
   /** A table's current data-dir manifest entries (observability: specs
     * assert which dirs a mutation carried by reference vs rewrote). */
   def dataDirs(name: String): Seq[String] =
@@ -279,6 +377,10 @@ final class TableStore(val spark: SparkSession, val root: String) {
     else Files.list(rootPath).iterator().asScala
       .count(_.getFileName.toString.startsWith("store-"))
 }
+
+/** What a [[TableStore.vacuum]] sweep reclaimed. */
+final case class VacuumStats(dataDirsDeleted: Int, manifestsDeleted: Int,
+  storeManifestsDeleted: Int)
 
 /** A write-write conflict detected at publish: another transaction
   * committed to one of this txn's written tables after it opened. */
@@ -311,6 +413,23 @@ final class Txn(store: TableStore) {
     pending += name -> store.writeTableManifest(name,
       Seq(DataDir(store.writeData(name, df))))
 
+  /** Read cost of a manifest log is one parquet scan per maximal RUN of
+    * data dirs (dirs split by an op line can't share a scan — they're in
+    * different schema vintages). Alternating insert/alter would grow
+    * runs, and scans, without bound. */
+  private def dataRuns(entries: Seq[ManifestEntry]): Int = {
+    var runs = 0; var inRun = false
+    entries.foreach {
+      case DataDir(_) => if (!inRun) { runs += 1; inRun = true }
+      case OpEntry(_) => inRun = false
+    }
+    runs
+  }
+
+  private def maxVintageRuns: Int =
+    store.spark.conf.getOption(Txn.MaxVintageRunsConf)
+      .map(_.toInt).getOrElse(Txn.DefaultMaxVintageRuns)
+
   def insert(name: String, rows: DataFrame): Unit = {
     val entries = manifestOf(name) match {
       case Some(m) => store.readEntries(name, m)
@@ -318,8 +437,19 @@ final class Txn(store: TableStore) {
     }
     // appended AFTER every op line: the new files carry the current
     // logical schema, so no op ever re-applies to them on read
-    pending += name -> store.writeTableManifest(name,
-      entries :+ DataDir(store.writeData(name, rows)))
+    val newDir = DataDir(store.writeData(name, rows))
+    val appended = entries :+ newDir
+    pending += name -> (
+      if (dataRuns(appended) > maxVintageRuns) {
+        // vintage-compaction guard: fold the PRE-EXISTING log into one
+        // materialized dir (an opportunistic migrate — LSM-style
+        // amortization, paid once every maxVintageRuns alternations,
+        // keeping every read's scan count bounded); the fresh insert's
+        // dir appends after it, written once either way
+        val folded = store.readLog(name, entries)
+        store.writeTableManifest(name,
+          Seq(DataDir(store.writeData(name, folded)), newDir))
+      } else store.writeTableManifest(name, appended))
   }
 
   /** Metadata-only alter: append op lines to the log. Validated against
@@ -449,4 +579,14 @@ final class Txn(store: TableStore) {
 
   private[store] def publishAll(): Unit =
     if (pending.nonEmpty) store.commitAtomically(snapshot, pending)
+}
+
+object Txn {
+  /** Session override for the vintage-compaction threshold: the max
+    * data-dir runs a table manifest may reach before an insert folds
+    * the older log into one dir. Raise it where compaction rewrites
+    * should be rarer (bigger tables, fewer alters); every read then
+    * scans proportionally more vintages. */
+  val MaxVintageRunsConf = "spark.graft.store.maxVintageRuns"
+  val DefaultMaxVintageRuns = 8
 }

@@ -114,6 +114,29 @@ class SchemaEvolutionSpec extends SparkSpec {
       "op lines must carry through cross-table refs")
   }
 
+  test("vintage-compaction guard bounds scan count under alternating insert/alter") {
+    import spark.implicits._
+    val st = freshStore()
+    st.create("t", seedDf)
+    // 30 alternating alter/insert cycles: every op line splits the data
+    // dirs into another run, and each run costs one scan per read —
+    // unguarded, this manifest would fold 31 parquet reads + 30 unions
+    (1 to 30).foreach { i =>
+      st.castColumn("t", "v", "DOUBLE") // metadata-only op line
+      st.insert("t", Seq((100L + i, s"n$i", i.toDouble)).toDF("id", "tag", "v"))
+    }
+    val maxRuns = graft.store.Txn.DefaultMaxVintageRuns
+    val df = st.read("t")
+    val scans = df.queryExecution.optimizedPlan.collectLeaves().size
+    assert(scans <= maxRuns + 1,
+      s"read plan must stay bounded at ~$maxRuns scans, got $scans")
+    assert(st.pendingOps("t").size <= maxRuns,
+      "compaction folds old op lines away")
+    assert(df.count() == 33, "compaction must lose no rows")
+    assert(df.columns.toSeq == Seq("id", "tag", "v"))
+    assert(df.filter(col("id") === 115L).head.getDouble(2) == 15.0)
+  }
+
   test("atomic multi-op alter with backfill referencing other columns") {
     val st = freshStore()
     st.create("t", seedDf)

@@ -205,6 +205,76 @@ class StoreSpec extends SparkSpec {
     assert(!ids(103L), "first attempt's write must not leak")
   }
 
+  test("vacuum reclaims orphaned data dirs, manifests and store manifests") {
+    import spark.implicits._
+    val st = freshStore()
+    st.create("t", seedDf)
+    st.insert("t", Seq((4L, "d", 40.0)).toDF("id", "tag", "v"))
+    st.update("t", Map("v" -> (col("v") * 2.0)), col("id") === 4L) // strands the insert dir
+    st.delete("t", col("id") === 1L) // strands the update's rewrite dir
+    val live = st.dataDirs("t").toSet
+    assert(st.dataDirsOnDisk("t").toSet != live,
+      "copy-on-write mutations must have stranded dirs for GC to reclaim")
+    val stats = st.vacuum()
+    assert(stats.dataDirsDeleted > 0, "stranded data dirs reclaimed")
+    assert(stats.manifestsDeleted > 0, "superseded table manifests reclaimed")
+    assert(stats.storeManifestsDeleted > 0, "old store manifests reclaimed")
+    assert(st.dataDirsOnDisk("t").toSet == live,
+      "disk view must equal the manifest view after vacuum")
+    assert(st.commitCount() == 1, "only the current store manifest survives")
+    val m = st.read("t").collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(m == Map(2L -> 20.0, 3L -> 30.0, 4L -> 80.0), "reads unchanged by GC")
+    assert(st.vacuum() == graft.store.VacuumStats(0, 0, 0), "second sweep finds nothing")
+  }
+
+  test("vacuum keeps cross-table refs alive; reclaims unpublished tables") {
+    val st = freshStore()
+    st.create("src", seedDf)
+    st.create("solo", seedDf)
+    // pointer-share src's data into pkg (the package-inheritance path)
+    st.transaction(tx => tx.link("pkg", st.entriesAsRefs("src")))
+    st.unpublish(Seq("src", "solo"))
+    st.vacuum()
+    assert(st.dataDirsOnDisk("src").nonEmpty,
+      "src's data dir is reachable through pkg's manifest — must survive")
+    assert(st.versionCount("src") == 0, "src's own manifests are unreachable")
+    assert(st.dataDirsOnDisk("solo").isEmpty, "nothing references solo — fully reclaimed")
+    assert(st.read("pkg").count() == 3, "shared data still readable through the ref")
+  }
+
+  test("vacuum retainVersions keeps older roots readable for snapshot grace") {
+    import spark.implicits._
+    val st = freshStore()
+    st.create("t", seedDf)
+    val before = st.read("t") // resolves against the first root
+    st.create("t", Seq((9L, "z", 9.0)).toDF("id", "tag", "v")) // full rewrite: old dir orphaned from HEAD
+    val stats = st.vacuum(retainVersions = 2)
+    assert(stats.dataDirsDeleted == 0, "previous root still retains the old dir")
+    assert(before.count() == 3, "pre-vacuum snapshot reader survives a retain-2 sweep")
+    st.vacuum() // retain only HEAD
+    assert(st.dataDirsOnDisk("t").size == 1, "old vintage reclaimed once out of retention")
+    assert(st.read("t").count() == 1)
+  }
+
+  test("exportRing rotates slots, reuses the oldest, each independently readable") {
+    import spark.implicits._
+    val st = freshStore()
+    st.create("t", seedDf)
+    val ring = Files.createTempDirectory("graft-ring-").toString
+    val s0 = st.exportRing("t", ring, slots = 3)
+    st.insert("t", Seq((4L, "d", 40.0)).toDF("id", "tag", "v"))
+    val s1 = st.exportRing("t", ring, slots = 3)
+    st.insert("t", Seq((5L, "e", 50.0)).toDF("id", "tag", "v"))
+    val s2 = st.exportRing("t", ring, slots = 3)
+    st.insert("t", Seq((6L, "f", 60.0)).toDF("id", "tag", "v"))
+    val s3 = st.exportRing("t", ring, slots = 3)
+    assert(Seq(s0, s1, s2, s3) == Seq(0, 1, 2, 0), "slot index must rotate through the ring")
+    assert(spark.read.parquet(s"$ring/slot-0").count() == 6,
+      "oldest slot overwritten with the newest snapshot")
+    assert(spark.read.parquet(s"$ring/slot-1").count() == 4)
+    assert(spark.read.parquet(s"$ring/slot-2").count() == 5)
+  }
+
   test("txn reads are repeatable: the open-time snapshot is the read view") {
     import spark.implicits._
     val st = freshStore()
