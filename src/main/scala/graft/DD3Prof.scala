@@ -21,20 +21,15 @@ object DD3Prof {
       val t0 = System.nanoTime(); val r = f
       println(f"PHASE $name%-22s ${(System.nanoTime()-t0)/1e9}%.3f s"); r
     }
-    // replicate dd3 query prep (from Dedup.scala)
-    def shingled = {
-      val docs = t(spark, d, "documents")
-      docs.select(col("doc_id"),
-        graft.operators.TextFns.shingles("text", 5).as("sh"))
-    }
+    // replicate dd3 query prep (from MinHashLSH.nearDuplicates)
     (1 to 2).foreach { round =>
       println(s"--- round $round ---")
-      val docs = shingled.repartition(32)
+      val docs = t(spark, d, "documents").select("doc_id", "text").repartition(32)
       val (as, bs) = MinHashLSH.coeffs(63)
       graft.functions.VectorFns.register(spark, as, bs)
       val hashed = phase("hash+sig+checkpoint") {
         docs.select(col("doc_id"),
-          sort_array(expr("transform(sh, x -> xxhash64(x))")).as("h"))
+          expr("graft_shingle_hashes(text, 5)").as("h"))
           .withColumn("_mh", expr("graft_minhash_sig_long(h)"))
           .localCheckpoint()
       }
@@ -44,19 +39,20 @@ object DD3Prof {
         .select(col("doc_id"), col("b.band"), col("b.sig"))
       val x = banded.select(col("doc_id").as("a_id"), col("band"), col("sig"))
       val y = banded.select(col("doc_id").as("b_id"), col("band"), col("sig"))
-      val cand = phase("candidates+distinct") {
+      val cand = phase("raw-candidates") {
         val c = x.join(y, Seq("band", "sig")).filter(col("a_id") < col("b_id"))
-          .select("a_id", "b_id").distinct().localCheckpoint()
-        println(s"  candidates: ${c.count()}")
+          .select("a_id", "b_id").localCheckpoint()
+        println(s"  raw pairs: ${c.count()}")
         c
       }
-      phase("verify") {
+      phase("verify+dedup") {
         val saa = hashed.select(col("doc_id").as("a_id"), col("h").as("sa"))
         val sbb = hashed.select(col("doc_id").as("b_id"), col("h").as("sb"))
         val n = cand.join(broadcast(saa), "a_id").join(broadcast(sbb), "b_id")
-          .withColumn("inter", expr("graft_sorted_intersect_long(sa, sb)"))
+          .withColumn("inter", expr("graft_sorted_intersect_bounded(sa, sb, 0.25D)"))
           .withColumn("jaccard", expr("CAST(inter AS DOUBLE) / CAST(size(sa) + size(sb) - inter AS DOUBLE)"))
-          .filter(col("jaccard") >= 0.25).count()
+          .filter(col("jaccard") >= 0.25)
+          .dropDuplicates("a_id", "b_id").count()
         println(s"  verified pairs: $n")
       }
     }

@@ -76,16 +76,19 @@ object MinHashLSH {
     * the exact shingle intersect, estimate Jaccard as the fraction of
     * agreeing signature components (the textbook unbiased MinHash
     * estimator) — k comparisons per candidate instead of |shingles|
-    * hashes, for when verification dominates (§9 scale probe). */
-  def nearDuplicatesEstimated(docsIn: DataFrame, idCol: String, shinglesCol: String,
-      bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    * hashes, for when verification dominates (§9 scale probe).
+    * `textCol`/`shingleLen`: raw text — shingling, hashing, and dedup
+    * run in the native [[graft.functions.VectorFns.ShingleHashesSorted]]
+    * pass. */
+  def nearDuplicatesEstimated(docsIn: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     val k = bands * rowsPerBand
     val docs = docsIn.repartition(docsIn.sparkSession.sparkContext.defaultParallelism)
     val (as, bs) = coeffs(k)
     graft.functions.VectorFns.register(docs.sparkSession, as, bs)
     val sigs = docs
       .withColumn("_mh", expr(
-        s"graft_minhash_sig_long(transform($shinglesCol, x -> xxhash64(x)))"))
+        s"graft_minhash_sig_long(graft_shingle_hashes($textCol, $shingleLen))"))
       .select(col(idCol), col("_mh")).localCheckpoint()
     val banded = sigs.select(col(idCol), explode(expr(
       s"""transform(sequence(0, ${bands - 1}),
@@ -94,9 +97,11 @@ object MinHashLSH {
       .select(col(idCol), col("b.band"), col("b.sig"))
     val x = banded.select(col(idCol).as("a_id"), col("band"), col("sig"))
     val y = banded.select(col(idCol).as("b_id"), col("band"), col("sig"))
+    // raw candidate stream — dedup happens after the estimator filter,
+    // on the far smaller surviving set (see nearDuplicates)
     val cand = x.join(y, Seq("band", "sig"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+      .select("a_id", "b_id")
     // signatures (k longs per doc) are the small side vs the candidate
     // stream — broadcast, same reasoning as the exact-verify path; gated
     // on corpus size (sigs is checkpointed, the count is a cache scan)
@@ -109,14 +114,18 @@ object MinHashLSH {
       .withColumn("jaccard_est", expr(
         s"CAST(size(filter(zip_with(ma, mb, (x, y) -> x = y), v -> v)) AS DOUBLE) / $k"))
       .filter(col("jaccard_est") >= threshold)
+      .dropDuplicates("a_id", "b_id")
       .select("a_id", "b_id", "jaccard_est")
   }
 
   /** Candidate pairs via the banded self-join, then exact-Jaccard
-    * verification against `threshold`. `docs` must carry `idCol` and a
-    * distinct-shingle array `shinglesCol`. */
-  def nearDuplicates(docsIn: DataFrame, idCol: String, shinglesCol: String,
-      bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    * verification against `threshold`. `docs` must carry `idCol` and the
+    * raw text in `textCol` — shingling, hashing, dedup, and sort run in
+    * ONE native zero-allocation pass per row
+    * ([[graft.functions.VectorFns.ShingleHashesSorted]]; the interpreted
+    * HOF chain it replaces was the bench's single hottest span). */
+  def nearDuplicates(docsIn: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     // CPU-heavy over byte-small input: a single parquet split (and AQE's
     // small-shuffle coalescing) would serialize the whole pipeline onto
     // one core — spread rows across the cluster first.
@@ -127,11 +136,11 @@ object MinHashLSH {
     // 64-bit hashes PLUS the minhash signature: the verification
     // merge-scans `h`, and both sides of the candidate self-join derive
     // their band keys from `_mh` — without checkpointing the signature
-    // the x and y branches would each recompute the k affine-min passes
-    // over every shingle (the string shingles themselves are computed
-    // and hashed exactly once too; measured ~2× on dd3 at sf0.1).
+    // the x and y branches would each recompute the shingle-hash pass
+    // and the k affine-min passes over every shingle (measured ~2× on
+    // dd3 at sf0.1).
     val hashed = docs.select(col(idCol),
-      sort_array(expr(s"transform($shinglesCol, x -> xxhash64(x))")).as("h"))
+      expr(s"graft_shingle_hashes($textCol, $shingleLen)").as("h"))
       .withColumn("_mh", expr("graft_minhash_sig_long(h)"))
       .localCheckpoint()
     val banded = hashed
@@ -142,9 +151,17 @@ object MinHashLSH {
       .select(col(idCol), col("b.band"), col("b.sig"))
     val x = banded.select(col(idCol).as("a_id"), col("band"), col("sig"))
     val y = banded.select(col(idCol).as("b_id"), col("band"), col("sig"))
+    // NO pre-verify distinct: a pair colliding in k of the bands appears
+    // k times, but the measured duplication factor is ~1.09 (pairs that
+    // agree on one 3-row band usually agree on few others below the
+    // threshold region) — verifying the raw stream costs ~9% more
+    // intersects while skipping a full shuffle of every candidate pair;
+    // the dedup moves AFTER the jaccard filter, onto the ~20× smaller
+    // verified set (identical final pairs; jaccard is deterministic
+    // per pair, so which duplicate survives is immaterial)
     val cand = x.join(y, Seq("band", "sig"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+      .select("a_id", "b_id")
     // verification: merge-scan intersect over the sorted hash arrays
     // (set sizes are preserved — a collision would need two of a doc's
     // ~10³ shingles to land on one of 2⁶⁴ values). Long compares beat
@@ -159,11 +176,17 @@ object MinHashLSH {
     val sa = hashed.select(col(idCol).as("a_id"), col("h").as("sa"))
     val sb = hashed.select(col(idCol).as("b_id"), col("h").as("sb"))
     // ~10³ shingle hashes ≈ 8 KB/doc → 250k docs ≈ 2 GB broadcast ceiling
+    // intersect with a threshold early-exit: the scan returns -1 the
+    // moment the remaining elements can't reach Jaccard ≥ threshold
+    // (-1 makes the jaccard negative, so the filter keeps EXACTLY the
+    // pairs the unbounded scan would — ~95% of candidates are
+    // non-duplicates and exit early)
     cand.join(SizeGate.maybeBroadcast(sa, corpusRows, 250000L), "a_id")
       .join(SizeGate.maybeBroadcast(sb, corpusRows, 250000L), "b_id")
-      .withColumn("inter", expr("graft_sorted_intersect_long(sa, sb)"))
+      .withColumn("inter", expr(s"graft_sorted_intersect_bounded(sa, sb, ${threshold}D)"))
       .withColumn("jaccard", TextFns.jaccardFromIntersect("inter", "size(sa)", "size(sb)"))
       .filter(col("jaccard") >= threshold)
+      .dropDuplicates("a_id", "b_id")
       .select("a_id", "b_id", "jaccard")
   }
 }

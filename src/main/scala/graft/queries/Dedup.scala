@@ -57,23 +57,19 @@ object Dedup extends QueryPack {
     * exact-Jaccard verified ≥ 0.25). Approximate candidate recall → no
     * SQL oracle; the driver records a rows-only check, and the ScalaTest
     * spec checks containment against dd2's exact pairs. */
-  private def dd3(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents")
-      .select(col("doc_id"), TextFns.shingles("text", 5).as("sh"))
-    MinHashLSH.nearDuplicates(docs, "doc_id", "sh",
-      bands = 21, rowsPerBand = 3, threshold = 0.25)
-  }
+  private def dd3(s: SparkSession, d: String): DataFrame =
+    MinHashLSH.nearDuplicates(
+      t(s, d, "documents").select("doc_id", "text"), "doc_id", "text",
+      shingleLen = 5, bands = 21, rowsPerBand = 3, threshold = 0.25)
 
   /** dd3b — MinHash with signature-estimated verification (no shingle
     * re-intersect; the unbiased k-component estimator). Approximate →
     * rows-only; DedupSpec bounds the estimator error against exact
     * Jaccard. */
-  private def dd3b(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents")
-      .select(col("doc_id"), TextFns.shingles("text", 5).as("sh"))
-    MinHashLSH.nearDuplicatesEstimated(docs, "doc_id", "sh",
-      bands = 21, rowsPerBand = 3, threshold = 0.25)
-  }
+  private def dd3b(s: SparkSession, d: String): DataFrame =
+    MinHashLSH.nearDuplicatesEstimated(
+      t(s, d, "documents").select("doc_id", "text"), "doc_id", "text",
+      shingleLen = 5, bands = 21, rowsPerBand = 3, threshold = 0.25)
 
   /** dd4 — 31-bit SimHash fingerprint per document: native token-hash
     * + sign-fold expressions (identical results to the HOF forms in

@@ -45,8 +45,8 @@ class DedupSpec extends SparkSpec {
       concat(col("text"), lit(s" variant$i")).as("text")))
       .reduce(_ union _)
     val docs = reps.select(col("doc_id"), TextFns.shingles("text", 5).as("sh"))
-    val pairs = MinHashLSH.nearDuplicates(docs, "doc_id", "sh",
-      bands = 9, rowsPerBand = 7, threshold = 0.7)
+    val pairs = MinHashLSH.nearDuplicates(reps, "doc_id", "text",
+      shingleLen = 5, bands = 9, rowsPerBand = 7, threshold = 0.7)
       .select("a_id", "b_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.nonEmpty)
@@ -72,11 +72,11 @@ class DedupSpec extends SparkSpec {
 
   test("dd3 verify joins degrade to shuffle when the corpus exceeds the broadcast gate") {
     val docs = Tables.t(spark, sf, "documents").limit(60)
-      .select(col("doc_id"), TextFns.shingles("text", 5).as("sh"))
+      .select(col("doc_id"), col("text"))
     def pairs(df: org.apache.spark.sql.DataFrame) = df
       .select("a_id", "b_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val viaBroadcast = MinHashLSH.nearDuplicates(docs, "doc_id", "sh", 16, 4, 0.25)
+    val viaBroadcast = MinHashLSH.nearDuplicates(docs, "doc_id", "text", 5, 16, 4, 0.25)
     assert(viaBroadcast.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
       "under the gate the verify join must be hinted broadcast")
     val expected = pairs(viaBroadcast)
@@ -85,7 +85,7 @@ class DedupSpec extends SparkSpec {
     spark.conf.set(graft.operators.SizeGate.MaxRowsConf, "0")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val viaShuffle = MinHashLSH.nearDuplicates(docs, "doc_id", "sh", 16, 4, 0.25)
+      val viaShuffle = MinHashLSH.nearDuplicates(docs, "doc_id", "text", 5, 16, 4, 0.25)
       assert(!viaShuffle.queryExecution.sparkPlan.toString.contains("Broadcast"),
         "gate failed to suppress the verify broadcast")
       assert(pairs(viaShuffle) == expected,
@@ -108,6 +108,43 @@ class DedupSpec extends SparkSpec {
       .select(avg(abs(col("jaccard_est") - col("exact"))).as("mae"))
       .head.getDouble(0)
     assert(joined < 0.12, s"minhash estimator MAE too high: $joined")
+  }
+
+  test("native shingle-hash pass equals the HOF chain (corpus + unicode + edge cases)") {
+    import spark.implicits._
+    graft.functions.VectorFns.register(spark)
+    val edge = Seq((9001L, "ab"), (9002L, ""), (9003L, "exact"),
+      (9004L, "héllo wörld ünïcode ∆∆∆ text"), (9005L, "aaaaaaaaaa"))
+      .toDF("doc_id", "text")
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "text")
+      .unionByName(edge)
+    val chain = sort_array(expr(
+      s"transform(${TextFns.shinglesSql("text", 5)}, x -> xxhash64(x))"))
+    val mismatches = docs
+      .withColumn("native", expr("graft_shingle_hashes(text, 5)"))
+      .withColumn("hof", chain)
+      .filter(not(col("native") <=> col("hof")))
+      .count()
+    assert(mismatches == 0, "native shingle hashes must be identical to the SQL chain")
+  }
+
+  test("bounded intersect keeps exactly the unbounded scan's survivors") {
+    graft.functions.VectorFns.register(spark)
+    val sh = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), expr("graft_shingle_hashes(text, 5)").as("h"))
+    val a = sh.select(col("doc_id").as("a_id"), col("h").as("sa"))
+    val b = sh.select(col("doc_id").as("b_id"), col("h").as("sb"))
+    val pairs = a.join(b, col("a_id") < col("b_id") - 15) // arbitrary slice
+      .withColumn("full", expr("graft_sorted_intersect_long(sa, sb)"))
+      .withColumn("bounded", expr("graft_sorted_intersect_bounded(sa, sb, 0.25D)"))
+    val disagree = pairs.filter(
+      // bounded must equal full whenever it didn't bail, and a bail (-1)
+      // is only legal when full's jaccard is below the threshold
+      (col("bounded") =!= -1 && col("bounded") =!= col("full")) ||
+      (col("bounded") === -1 &&
+        col("full") / (size(col("sa")) + size(col("sb")) - col("full")) >= 0.25))
+      .count()
+    assert(disagree == 0, "bounded intersect diverged from the exact scan")
   }
 
   test("exact dedup keeps every distinct text exactly once") {
