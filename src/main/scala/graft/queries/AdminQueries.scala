@@ -83,7 +83,7 @@ object AdminQueries extends QueryPack {
       col("o_orderpriority") === "1-URGENT")
     st.delete("orders",
       col("o_orderstatus") === "F" && col("o_custkey") % 3 === 0)
-    st.vacuum()
+    st.vacuum(graceMillis = 0)
     st.read("orders")
   }
 

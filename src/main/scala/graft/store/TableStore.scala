@@ -48,6 +48,18 @@ final class TableStore(val spark: SparkSession, val root: String) {
   private def rootPath: Path = Paths.get(root)
   private def currentPtr: Path = rootPath.resolve("_CURRENT")
 
+  /** `Files.list`/`Files.walk` hold an open directory handle until the
+    * stream is closed — drain eagerly and close, or a periodic vacuum
+    * over many tables leaks one fd per directory visited. */
+  private def listDir(p: Path): Vector[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toVector finally s.close()
+  }
+  private def walkAll(p: Path): Vector[Path] = {
+    val s = Files.walk(p)
+    try s.iterator().asScala.toVector finally s.close()
+  }
+
   private def readStoreManifest(name: String): Map[String, String] =
     Files.readAllLines(rootPath.resolve(name)).asScala
       .filter(_.nonEmpty)
@@ -59,10 +71,23 @@ final class TableStore(val spark: SparkSession, val root: String) {
     else readStoreManifest(
       new String(Files.readAllBytes(currentPtr), "UTF-8").trim)
 
-  /** Atomically publish a new table→manifest mapping. */
-  private[store] def publish(tables: Map[String, String]): Unit = {
+  /** Store-manifest names carry a monotonic commit sequence
+    * (`store-<seq>-<uuid>`): vacuum's "N newest versions" must be the
+    * true commit order, and filesystem mtime ties (back-to-back commits
+    * in one mtime granule) would make the retained set nondeterministic. */
+  private[store] def storeSeq(name: String): Long = {
+    val parts = name.split("-")
+    if (parts.length >= 3 && parts(1).forall(_.isDigit)) parts(1).toLong else -1L
+  }
+
+  /** Atomically publish a new table→manifest mapping. Serialized on the
+    * commit lock so two direct publishes (unpublish/drop) can't race the
+    * sequence counter or each other's read-modify-write. */
+  private[store] def publish(tables: Map[String, String]): Unit = commitLock.synchronized {
     Files.createDirectories(rootPath)
-    val name = s"store-${UUID.randomUUID().toString.take(12)}"
+    val next = listDir(rootPath).map(_.getFileName.toString)
+      .filter(_.startsWith("store-")).map(storeSeq).foldLeft(-1L)(math.max) + 1
+    val name = f"store-$next%012d-${UUID.randomUUID().toString.take(8)}"
     Files.write(rootPath.resolve(name),
       tables.toSeq.sorted.map { case (t, m) => s"$t\t$m" }
         .mkString("\n").getBytes("UTF-8"))
@@ -164,9 +189,12 @@ final class TableStore(val spark: SparkSession, val root: String) {
     * [[WriteConflictException]], nothing published, no lost update. */
   def transaction[T](f: Txn => T): T = {
     val tx = new Txn(this)
-    val result = f(tx)
-    tx.publishAll()
-    result
+    openTxns.add(tx)
+    try {
+      val result = f(tx)
+      tx.publishAll()
+      result
+    } finally openTxns.remove(tx)
   }
 
   /** [[transaction]] with automatic retry on write-write conflict: `f`
@@ -187,6 +215,13 @@ final class TableStore(val spark: SparkSession, val root: String) {
   /** Serializes validate+publish for this store's writers (the designed
     * "apply single-threaded" stage; one driver JVM owns a store root). */
   private val commitLock = new Object
+
+  /** Transactions currently between open and publish/abort. [[vacuum]]
+    * treats their snapshot AND buffered manifests as reachability roots:
+    * a txn writes data dirs and table manifests eagerly, before
+    * publishing, and a concurrent sweep must not reclaim them. */
+  private val openTxns = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[Txn, java.lang.Boolean]())
 
   /** Validate-and-swap: commit `pending` iff none of those tables'
     * manifests moved since `snapshot`. Concurrent commits to other
@@ -259,8 +294,7 @@ final class TableStore(val spark: SparkSession, val root: String) {
   def drop(name: String): Unit = {
     publish(currentTables() - name)
     val dir = rootPath.resolve(name)
-    if (Files.exists(dir))
-      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    if (Files.exists(dir)) walkAll(dir).reverse.foreach(Files.delete)
   }
 
   /** S7 "auto backup to a file group ring" (`README.md:5`): rotate the
@@ -271,7 +305,10 @@ final class TableStore(val spark: SparkSession, val root: String) {
     * mid-export re-targets the same (half-written) slot on the next
     * call and never corrupts an older good slot. Returns the slot
     * written. */
-  def exportRing(name: String, destDir: String, slots: Int): Int = {
+  def exportRing(name: String, destDir: String, slots: Int): Int = commitLock.synchronized {
+    // under the commit lock: the read-export-advance of _RING is a
+    // read-modify-write — two unsynchronized exports would pick the same
+    // slot (interleaved overwrite) and lose one increment
     require(slots >= 1, "ring needs at least one slot")
     val dir = Paths.get(destDir)
     Files.createDirectories(dir)
@@ -297,57 +334,76 @@ final class TableStore(val spark: SparkSession, val root: String) {
     * without bound.
     *
     * Reachability roots are the `retainVersions` most recent store
-    * manifests (the current one always included — older retained
-    * versions give snapshot readers / time travel a grace window, the
-    * same trade as any MVCC store's vacuum). Everything reachable —
-    * table manifests, their data dirs, INCLUDING cross-table refs
+    * manifests (current always included — ordered by the commit
+    * sequence in the manifest NAME, not mtime, so back-to-back commits
+    * in one mtime granule can't make the retained set nondeterministic;
+    * older retained versions give snapshot readers / time travel a
+    * grace window, the same trade as any MVCC store's vacuum), PLUS
+    * every open transaction's snapshot and buffered manifests (a txn
+    * writes data eagerly before publish — sweeping those would let it
+    * commit pointers to deleted files). Everything reachable — table
+    * manifests, their data dirs, INCLUDING cross-table refs
     * (`otherTable/data-x`, the package-inheritance pointer-share) — is
     * kept; all other `data-*` dirs, `manifest-*` files, and `store-*`
-    * manifests are deleted. Runs under the commit lock, so a
-    * concurrent commit can't publish a new root mid-sweep; DataFrames
-    * resolved before the sweep from still-retained versions stay
-    * readable. */
-  def vacuum(retainVersions: Int = 1): VacuumStats = commitLock.synchronized {
+    * manifests older than `graceMillis` are deleted. The age threshold
+    * (Delta-vacuum-style, conf `spark.graft.store.vacuumGraceMs`)
+    * additionally protects writers this JVM can't see — another
+    * driver's in-flight txn, or a file written between a txn's eager
+    * write and its registration — so the in-JVM txn registry and the
+    * grace window cover each other's blind spots. Runs under the commit
+    * lock, so a concurrent commit can't publish a new root mid-sweep;
+    * DataFrames resolved before the sweep from still-retained versions
+    * stay readable. */
+  def vacuum(retainVersions: Int = 1,
+      graceMillis: Long = -1L): VacuumStats = commitLock.synchronized {
     require(retainVersions >= 1, "must retain at least the current version")
     if (!Files.exists(currentPtr)) return VacuumStats(0, 0, 0)
+    val grace =
+      if (graceMillis >= 0) graceMillis
+      else spark.conf.getOption(TableStore.VacuumGraceMsConf)
+        .map(_.toLong).getOrElse(TableStore.DefaultVacuumGraceMs)
+    val cutoff = System.currentTimeMillis() - grace
+    def oldEnough(p: Path): Boolean =
+      Files.getLastModifiedTime(p).toMillis < cutoff
     val currentName = new String(Files.readAllBytes(currentPtr), "UTF-8").trim
-    val allStores = Files.list(rootPath).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("store-")).toVector
+    val allStores = listDir(rootPath)
+      .filter(_.getFileName.toString.startsWith("store-"))
     val othersNewestFirst = allStores
-      .filterNot(_.getFileName.toString == currentName)
-      .sortBy(p => Files.getLastModifiedTime(p).toMillis).reverse
-      .map(_.getFileName.toString)
+      .map(_.getFileName.toString).filterNot(_ == currentName)
+      .sortBy(storeSeq).reverse
     val retained = (currentName +: othersNewestFirst).take(retainVersions)
-    // reachable (table, manifest) pairs and root-relative data dirs
+    // reachable (table, manifest) pairs and root-relative data dirs:
+    // the retained published versions plus every open txn's view
     val liveManifests = scala.collection.mutable.Set.empty[(String, String)]
     val liveDirs = scala.collection.mutable.Set.empty[String]
-    retained.foreach { sn =>
-      readStoreManifest(sn).foreach { case (t, m) =>
-        liveManifests += ((t, m))
-        readEntries(t, m).foreach {
-          case DataDir(d) =>
-            liveDirs += (if (d.contains("/")) d else s"$t/$d")
-          case _ => ()
-        }
+    def markLive(t: String, m: String): Unit = {
+      liveManifests += ((t, m))
+      val mPath = rootPath.resolve(t).resolve(m)
+      if (Files.exists(mPath)) readEntries(t, m).foreach {
+        case DataDir(d) =>
+          liveDirs += (if (d.contains("/")) d else s"$t/$d")
+        case _ => ()
       }
     }
+    retained.foreach(sn => readStoreManifest(sn).foreach((markLive _).tupled))
+    openTxns.asScala.foreach(_.liveRefs.foreach((markLive _).tupled))
     var dirsDeleted, manifestsDeleted, storesDeleted = 0
     allStores.filterNot(p => retained.contains(p.getFileName.toString))
+      .filter(oldEnough)
       .foreach { p => Files.delete(p); storesDeleted += 1 }
-    Files.list(rootPath).iterator().asScala.filter(Files.isDirectory(_))
-      .toVector.foreach { tdir =>
-        val t = tdir.getFileName.toString
-        Files.list(tdir).iterator().asScala.toVector.foreach { child =>
-          val n = child.getFileName.toString
-          if (n.startsWith("manifest-") && !liveManifests((t, n))) {
-            Files.delete(child); manifestsDeleted += 1
-          } else if (n.startsWith("data-") && !liveDirs(s"$t/$n")) {
-            Files.walk(child).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-            dirsDeleted += 1
-          }
+    listDir(rootPath).filter(Files.isDirectory(_)).foreach { tdir =>
+      val t = tdir.getFileName.toString
+      listDir(tdir).foreach { child =>
+        val n = child.getFileName.toString
+        if (n.startsWith("manifest-") && !liveManifests((t, n)) && oldEnough(child)) {
+          Files.delete(child); manifestsDeleted += 1
+        } else if (n.startsWith("data-") && !liveDirs(s"$t/$n") && oldEnough(child)) {
+          walkAll(child).reverse.foreach(Files.delete)
+          dirsDeleted += 1
         }
-        if (!Files.list(tdir).iterator().hasNext) Files.delete(tdir)
       }
+      if (listDir(tdir).isEmpty) Files.delete(tdir)
+    }
     VacuumStats(dirsDeleted, manifestsDeleted, storesDeleted)
   }
 
@@ -356,8 +412,8 @@ final class TableStore(val spark: SparkSession, val root: String) {
   def dataDirsOnDisk(name: String): Seq[String] = {
     val dir = rootPath.resolve(name)
     if (!Files.exists(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString).filter(_.startsWith("data-")).toSeq.sorted
+    else listDir(dir)
+      .map(_.getFileName.toString).filter(_.startsWith("data-")).sorted
   }
 
   /** A table's current data-dir manifest entries (observability: specs
@@ -368,14 +424,13 @@ final class TableStore(val spark: SparkSession, val root: String) {
   /** Per-table committed-manifest count — the commit-log length for the
     * table (observability of the WAL analogue). */
   def versionCount(name: String): Int =
-    Files.list(rootPath.resolve(name)).iterator().asScala
+    listDir(rootPath.resolve(name))
       .count(_.getFileName.toString.startsWith("manifest-"))
 
   /** Store-level commit count (one per published transaction). */
   def commitCount(): Int =
     if (!Files.exists(rootPath)) 0
-    else Files.list(rootPath).iterator().asScala
-      .count(_.getFileName.toString.startsWith("store-"))
+    else listDir(rootPath).count(_.getFileName.toString.startsWith("store-"))
 }
 
 /** What a [[TableStore.vacuum]] sweep reclaimed. */
@@ -577,8 +632,20 @@ final class Txn(store: TableStore) {
   private[graft] def link(name: String, refEntries: Seq[ManifestEntry]): Unit =
     pending += name -> store.writeTableManifest(name, refEntries)
 
+  /** Every (table, manifest) this txn can reach: its read snapshot plus
+    * buffered writes — [[TableStore.vacuum]]'s in-flight roots. */
+  private[store] def liveRefs: Map[String, String] = snapshot ++ pending
+
   private[store] def publishAll(): Unit =
     if (pending.nonEmpty) store.commitAtomically(snapshot, pending)
+}
+
+object TableStore {
+  /** Session override for [[TableStore.vacuum]]'s age threshold: files
+    * younger than this are never reclaimed, protecting in-flight writes
+    * the sweeping JVM can't observe (another driver's open txn). */
+  val VacuumGraceMsConf = "spark.graft.store.vacuumGraceMs"
+  val DefaultVacuumGraceMs: Long = 10 * 60 * 1000L
 }
 
 object Txn {

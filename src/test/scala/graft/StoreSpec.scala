@@ -215,7 +215,7 @@ class StoreSpec extends SparkSpec {
     val live = st.dataDirs("t").toSet
     assert(st.dataDirsOnDisk("t").toSet != live,
       "copy-on-write mutations must have stranded dirs for GC to reclaim")
-    val stats = st.vacuum()
+    val stats = st.vacuum(graceMillis = 0)
     assert(stats.dataDirsDeleted > 0, "stranded data dirs reclaimed")
     assert(stats.manifestsDeleted > 0, "superseded table manifests reclaimed")
     assert(stats.storeManifestsDeleted > 0, "old store manifests reclaimed")
@@ -224,7 +224,7 @@ class StoreSpec extends SparkSpec {
     assert(st.commitCount() == 1, "only the current store manifest survives")
     val m = st.read("t").collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(m == Map(2L -> 20.0, 3L -> 30.0, 4L -> 80.0), "reads unchanged by GC")
-    assert(st.vacuum() == graft.store.VacuumStats(0, 0, 0), "second sweep finds nothing")
+    assert(st.vacuum(graceMillis = 0) == graft.store.VacuumStats(0, 0, 0), "second sweep finds nothing")
   }
 
   test("vacuum keeps cross-table refs alive; reclaims unpublished tables") {
@@ -234,7 +234,7 @@ class StoreSpec extends SparkSpec {
     // pointer-share src's data into pkg (the package-inheritance path)
     st.transaction(tx => tx.link("pkg", st.entriesAsRefs("src")))
     st.unpublish(Seq("src", "solo"))
-    st.vacuum()
+    st.vacuum(graceMillis = 0)
     assert(st.dataDirsOnDisk("src").nonEmpty,
       "src's data dir is reachable through pkg's manifest — must survive")
     assert(st.versionCount("src") == 0, "src's own manifests are unreachable")
@@ -248,12 +248,55 @@ class StoreSpec extends SparkSpec {
     st.create("t", seedDf)
     val before = st.read("t") // resolves against the first root
     st.create("t", Seq((9L, "z", 9.0)).toDF("id", "tag", "v")) // full rewrite: old dir orphaned from HEAD
-    val stats = st.vacuum(retainVersions = 2)
+    val stats = st.vacuum(retainVersions = 2, graceMillis = 0)
     assert(stats.dataDirsDeleted == 0, "previous root still retains the old dir")
     assert(before.count() == 3, "pre-vacuum snapshot reader survives a retain-2 sweep")
-    st.vacuum() // retain only HEAD
+    st.vacuum(graceMillis = 0) // retain only HEAD
     assert(st.dataDirsOnDisk("t").size == 1, "old vintage reclaimed once out of retention")
     assert(st.read("t").count() == 1)
+  }
+
+  test("vacuum never reclaims an open transaction's eager writes") {
+    import spark.implicits._
+    val st = freshStore()
+    st.create("t", seedDf)
+    st.transaction { tx =>
+      tx.insert("t", Seq((4L, "d", 40.0)).toDF("id", "tag", "v"))
+      // sweep while the txn is open, zero grace: its buffered manifest
+      // and data dir (written eagerly, pre-publish) must be roots —
+      // otherwise the txn would commit pointers to deleted files
+      st.vacuum(graceMillis = 0)
+    }
+    val ids = st.read("t").select("id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 3L, 4L),
+      "txn's writes survive a concurrent vacuum and then commit intact")
+  }
+
+  test("vacuum grace age protects young orphans (writers this JVM can't see)") {
+    import spark.implicits._
+    val st = freshStore()
+    st.create("t", seedDf)
+    st.create("t", Seq((9L, "z", 9.0)).toDF("id", "tag", "v")) // orphans the first dir
+    assert(st.vacuum() == graft.store.VacuumStats(0, 0, 0),
+      "default grace: freshly written files are too young to reclaim")
+    val stats = st.vacuum(graceMillis = 0)
+    assert(stats.dataDirsDeleted == 1, "past the grace age the orphan is reclaimed")
+  }
+
+  test("rapid commits: retention follows true commit order (seq-named manifests)") {
+    import spark.implicits._
+    val st = freshStore()
+    st.create("t", seedDf)
+    // back-to-back commits land in the same mtime granule; the commit
+    // sequence in the manifest name, not mtime, must order retention
+    for (i <- 0 until 5)
+      st.create("t", Seq((i.toLong, "x", 1.0)).toDF("id", "tag", "v"))
+    val prev = st.read("t") // snapshot reader on what is about to be version N-1
+    st.create("t", Seq((99L, "z", 9.0)).toDF("id", "tag", "v"))
+    st.vacuum(retainVersions = 2, graceMillis = 0)
+    assert(prev.collect().map(_.getLong(0)).toSet == Set(4L),
+      "true previous version retained despite same-mtime commits")
+    assert(st.commitCount() == 2, "exactly the two newest versions survive")
   }
 
   test("exportRing rotates slots, reuses the oldest, each independently readable") {
