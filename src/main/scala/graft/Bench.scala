@@ -52,18 +52,32 @@ object Bench {
       .distinct().collect() // dir-count rows, mirroring Txn.rewriteMatched's probe
     wdf.join(wkeys, Seq("id"), "left_anti").count()
     val all = SparkEntry.queries
-    val selected =
-      if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) all
-      else headline.flatMap(n => all.get(n).map(n -> _)).toMap
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val order =
+      if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) all.keys.toSeq.sorted
+      else headline.filter(all.contains)
+    // min of N runs per query (steady state): a single sample conflates
+    // the operator's cost with whatever the machine was doing that
+    // second, and round-over-round comparisons need the former
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(2)
+    val results = order.map { name =>
+      val fn = all(name)
+      val best = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // release what the query pinned — localCheckpoint blocks and
+        // caches otherwise accumulate in the block manager and tax every
+        // LATER query's measurement with their memory pressure
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        spark.catalog.clearCache()
+        dt
+      }.min
+      name -> best
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}""")
     spark.stop()
   }
 }
