@@ -118,6 +118,60 @@ object MinHashLSH {
       .select("a_id", "b_id", "jaccard_est")
   }
 
+  /** INCREMENTAL near-dup: candidate pairs between a NEW BATCH and an
+    * existing CORPUS only — the production dedup shape: a training
+    * pipeline dedups each incoming batch against everything already
+    * ingested, never re-pairing the corpus with itself. The batch is
+    * small by construction, so its banded keys and shingle sets ride
+    * size-gated broadcasts; the corpus is scanned twice (band keys,
+    * verification) and NEVER shuffled — cost is two corpus scans plus
+    * collisions, independent of the corpus's own pair count. At 10⁹
+    * corpus docs the gates flip the joins to co-located shuffles, the
+    * only shape that survives there. Returns (corpus_id, new_id,
+    * jaccard ≥ threshold); corpus and batch id spaces must be disjoint. */
+  def nearDuplicatesAgainst(corpusIn: DataFrame, batchIn: DataFrame,
+      idCol: String, textCol: String, shingleLen: Int,
+      bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val sess = corpusIn.sparkSession
+    val (as, bs) = coeffs(bands * rowsPerBand)
+    graft.functions.VectorFns.register(sess, as, bs)
+    def hashedOf(df: DataFrame) = df.select(col(idCol),
+      expr(s"graft_shingle_hashes($textCol, $shingleLen)").as("h"))
+      .withColumn("_mh", expr("graft_minhash_sig_long(h)"))
+    def bandedOf(df: DataFrame, idAs: String) = df
+      .select(col(idCol).as(idAs), explode(expr(
+        s"""transform(sequence(0, ${bands - 1}),
+              bi -> struct(bi AS band, xxhash64(slice(_mh, bi * $rowsPerBand + 1, $rowsPerBand)) AS sig))"""))
+        .as("b"))
+      .select(col(idAs), col("b.band"), col("b.sig"))
+    // the batch is materialized ONCE (its bands and shingle sets both
+    // reuse it); the corpus is recomputed per scan instead — at corpus
+    // scale a checkpoint is exactly the materialization you can't afford
+    val batchHashed = hashedOf(batchIn).localCheckpoint()
+    val batchRows = batchHashed.count()
+    val corpus = corpusIn.repartition(sess.sparkContext.defaultParallelism)
+    // scan 1: corpus band keys × broadcast batch band keys → candidates
+    // (collision-bounded, batch-scale — checkpointed so scan 2 gets a
+    // measured count to gate on instead of a guess)
+    val cand = bandedOf(hashedOf(corpus), "corpus_id")
+      .join(SizeGate.maybeBroadcast(bandedOf(batchHashed, "new_id"),
+        batchRows * bands, 5000000L), Seq("band", "sig"))
+      .select("corpus_id", "new_id").localCheckpoint()
+    val candRows = cand.count()
+    // scan 2: exact verification — candidates broadcast INTO the corpus
+    // side (never the reverse), batch shingle sets broadcast, merge-scan
+    // intersect with the threshold early-exit (see nearDuplicates)
+    val sa = hashedOf(corpus).select(col(idCol).as("corpus_id"), col("h").as("sa"))
+    val sb = batchHashed.select(col(idCol).as("new_id"), col("h").as("sb"))
+    sa.join(SizeGate.maybeBroadcast(cand, candRows, 5000000L), "corpus_id")
+      .join(SizeGate.maybeBroadcast(sb, batchRows, 250000L), "new_id")
+      .withColumn("inter", expr(s"graft_sorted_intersect_bounded(sa, sb, ${threshold}D)"))
+      .withColumn("jaccard", TextFns.jaccardFromIntersect("inter", "size(sa)", "size(sb)"))
+      .filter(col("jaccard") >= threshold)
+      .dropDuplicates("corpus_id", "new_id")
+      .select("corpus_id", "new_id", "jaccard")
+  }
+
   /** Candidate pairs via the banded self-join, then exact-Jaccard
     * verification against `threshold`. `docs` must carry `idCol` and the
     * raw text in `textCol` — shingling, hashing, dedup, and sort run in

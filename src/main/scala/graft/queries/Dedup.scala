@@ -122,6 +122,36 @@ object Dedup extends QueryPack {
       .select("a_id", "b_id", "cos_sim")
   }
 
+  /** dd6 — INCREMENTAL exact dedup: the batch (doc_id % 5 = 0) checked
+    * against the already-ingested corpus (the rest) — each new doc that
+    * exactly duplicates corpus text, with its keeper. The batch side
+    * broadcasts; the corpus streams through once, unshuffled — the
+    * per-ingest shape of a training pipeline (dd1 is the one-shot
+    * whole-corpus form). */
+  private def dd6(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id").as("keeper_id"), col("text"))
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("new_id"), col("text"))
+    corpus.join(broadcast(batch), Seq("text"))
+      .groupBy(col("new_id"))
+      .agg(min(col("keeper_id")).as("keeper_id"), count(lit(1)).as("n_matches"))
+      .select("new_id", "keeper_id", "n_matches")
+  }
+
+  /** dd6b — incremental MinHash near-dup: the same batch/corpus split,
+    * LSH candidates batch-vs-corpus only (never corpus×corpus), exact
+    * verified. Approximate recall → rows-only; DedupSpec checks
+    * containment in the exact cross-pair set and replica recall. */
+  private def dd6b(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select("doc_id", "text")
+    MinHashLSH.nearDuplicatesAgainst(
+      docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0),
+      "doc_id", "text", shingleLen = 5, bands = 21, rowsPerBand = 3,
+      threshold = 0.25)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd1_exact_dedup" -> (dd1 _),
     "dd2_ngram_jaccard" -> (dd2 _),
@@ -130,6 +160,8 @@ object Dedup extends QueryPack {
     "dd4_simhash" -> (dd4 _),
     "dd4b_simhash_pairs" -> (dd4b _),
     "dd5_embedding_neardup" -> (dd5 _),
+    "dd6_incremental_dedup" -> (dd6 _),
+    "dd6b_incremental_minhash" -> (dd6b _),
   )
 
   private val shingleSql =
@@ -150,6 +182,13 @@ object Dedup extends QueryPack {
     "dd1_exact_dedup" ->
       """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
          FROM documents GROUP BY text""",
+    "dd6_incremental_dedup" ->
+      """SELECT b.doc_id AS new_id, min(c.doc_id) AS keeper_id,
+                count(*) AS n_matches
+         FROM documents b JOIN documents c
+           ON b.text = c.text AND c.doc_id % 5 != 0
+         WHERE b.doc_id % 5 = 0
+         GROUP BY b.doc_id""",
     "dd2_ngram_jaccard" ->
       s"""WITH sh AS (
            SELECT doc_id, $shingleSql AS s

@@ -70,6 +70,54 @@ class DedupSpec extends SparkSpec {
     assert(falsePos.isEmpty, s"pairs below exact threshold: $falsePos")
   }
 
+  test("incremental minhash: only corpus×batch pairs, all above the exact threshold") {
+    val res = Dedup.queries("dd6b_incremental_minhash")(spark, sf)
+      .select("corpus_id", "new_id")
+    val rows = res.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty, "incremental LSH found nothing at sf0.001")
+    assert(rows.forall { case (c, n) => c % 5 != 0 && n % 5 == 0 },
+      "every pair must be corpus-side × batch-side — never corpus×corpus")
+    // containment: every reported pair clears the exact cross-side jaccard
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), TextFns.shingles("text", 5).as("s"))
+    val c = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id").as("corpus_id"), col("s").as("sa"))
+    val n = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("new_id"), col("s").as("sb"))
+    val exact = c.join(n, lit(true))
+      .withColumn("j", TextFns.jaccard("sa", "sb"))
+      .filter(col("j") >= 0.25)
+      .select("corpus_id", "new_id")
+    assert(res.except(exact).count() == 0,
+      "incremental LSH emitted a pair below the verify threshold")
+  }
+
+  test("incremental minhash: full replica recall, and shuffle fallback matches") {
+    import spark.implicits._
+    val base = Tables.t(spark, sf, "documents").limit(40)
+      .select(col("doc_id"), col("text"))
+    val batch = base.select((col("doc_id") + 100000).as("doc_id"),
+      concat(col("text"), lit(" v2")).as("text"))
+    val ids = base.select("doc_id").as[Long].collect()
+    def run() = MinHashLSH.nearDuplicatesAgainst(base, batch, "doc_id", "text",
+      shingleLen = 5, bands = 9, rowsPerBand = 7, threshold = 0.7)
+      .select("corpus_id", "new_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairs = run()
+    val expected = ids.map(i => (i, i + 100000L)).toSet
+    assert((expected -- pairs).isEmpty,
+      s"near-copy batch docs missed against the corpus: ${expected -- pairs}")
+    // the gated-off path (corpus too big to broadcast) must agree
+    spark.conf.set(graft.operators.SizeGate.MaxRowsConf, "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try assert(run() == pairs,
+      "incremental pairs differ between broadcast and shuffle paths")
+    finally {
+      spark.conf.unset(graft.operators.SizeGate.MaxRowsConf)
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("dd3 verify joins degrade to shuffle when the corpus exceeds the broadcast gate") {
     val docs = Tables.t(spark, sf, "documents").limit(60)
       .select(col("doc_id"), col("text"))
