@@ -104,11 +104,28 @@ object AdminQueries extends QueryPack {
     s.read.parquet(s"$ring/slot-0")
   }
 
+  /** adm5 — time travel: three commits (create, update, delete), then
+    * read ONE VERSION BACK — the update must be visible, the delete not
+    * yet. Proves version resolution follows true commit order (the
+    * seq-named manifests) and that an old version is just an old
+    * pointer over immutable files. */
+  private def adm5(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s)
+    st.create("orders", t(s, d, "orders")
+      .filter(col("o_orderkey") % 10 === 0).select(cols.map(col): _*))
+    st.update("orders",
+      Map("o_totalprice" -> (col("o_totalprice") * 2.0)),
+      col("o_orderpriority") === "1-URGENT")
+    st.delete("orders", col("o_orderstatus") === "F")
+    st.readVersion("orders", 1)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "adm1_schema_evolution" -> (adm1 _),
     "adm2_schema_migrate" -> (adm2 _),
     "adm3_vacuum_gc" -> (adm3 _),
     "adm4_backup_ring" -> (adm4 _),
+    "adm5_time_travel" -> (adm5 _),
   )
 
   private val evolvedSql =
@@ -145,5 +162,13 @@ object AdminQueries extends QueryPack {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                 o_orderpriority
          FROM orders WHERE o_orderkey % 10 IN (0, 1, 2)""",
+    // one version back: the update is visible, the delete is not
+    "adm5_time_travel" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+                CASE WHEN o_orderpriority = '1-URGENT'
+                     THEN o_totalprice * 2.0
+                     ELSE o_totalprice END AS o_totalprice,
+                o_orderpriority
+         FROM orders WHERE o_orderkey % 10 = 0""",
   )
 }

@@ -275,6 +275,32 @@ final class TableStore(val spark: SparkSession, val root: String) {
   def pendingOps(name: String): Seq[SchemaOp] =
     currentEntries(name).collect { case OpEntry(op) => op }
 
+  // ----------------------------------------------------------- time travel
+
+  /** Published store versions, newest first — commit-sequence order
+    * (from the manifest names), not mtime. Older entries exist only as
+    * far back as [[vacuum]]'s `retainVersions` kept them. */
+  def versions(): Seq[String] =
+    if (!Files.exists(rootPath)) Seq.empty
+    else listDir(rootPath).map(_.getFileName.toString)
+      .filter(_.startsWith("store-")).sortBy(storeSeq).reverse
+
+  /** Read `name` as of `versionsBack` commits before HEAD (0 = HEAD) —
+    * snapshot isolation for free: manifests and data files are
+    * immutable, so an old version is just an old pointer. Readable as
+    * long as the version survives [[vacuum]] (`retainVersions >
+    * versionsBack` keeps it). */
+  def readVersion(name: String, versionsBack: Int): DataFrame = {
+    require(versionsBack >= 0, "versionsBack must be >= 0")
+    val vs = versions()
+    require(versionsBack < vs.size,
+      s"store has ${vs.size} retained version(s); cannot go back $versionsBack")
+    val tables = readStoreManifest(vs(versionsBack))
+    val m = tables.getOrElse(name, throw new IllegalArgumentException(
+      s"table $name does not exist at version -$versionsBack"))
+    readLog(name, readEntries(name, m))
+  }
+
   /** S7 backup/export: write a self-contained snapshot of the table's
     * CURRENT committed state to `destDir` (plain parquet, no manifest —
     * readable by anything). The source files are immutable, so the

@@ -299,6 +299,23 @@ class StoreSpec extends SparkSpec {
     assert(st.commitCount() == 2, "exactly the two newest versions survive")
   }
 
+  test("time travel: readVersion resolves prior commits, survives retained vacuum") {
+    import spark.implicits._
+    val st = freshStore()
+    st.create("t", seedDf)                                        // -2
+    st.update("t", Map("v" -> (col("v") * 10)), col("id") === 1L) // -1
+    st.delete("t", col("id") === 2L)                              // HEAD
+    assert(st.readVersion("t", 0).count() == 2, "version 0 is HEAD")
+    assert(st.readVersion("t", 1).select(sum("v")).as[Double].head() == 150.0,
+      "one back: update applied, delete not yet")
+    assert(st.readVersion("t", 2).select(sum("v")).as[Double].head() == 60.0,
+      "two back: the original create")
+    st.vacuum(retainVersions = 2, graceMillis = 0)
+    assert(st.readVersion("t", 1).select(sum("v")).as[Double].head() == 150.0,
+      "retained previous version still readable after the sweep")
+    assertThrows[IllegalArgumentException](st.readVersion("t", 2))
+  }
+
   test("exportRing rotates slots, reuses the oldest, each independently readable") {
     import spark.implicits._
     val st = freshStore()
