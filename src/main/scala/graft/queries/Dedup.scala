@@ -122,18 +122,18 @@ object Dedup extends QueryPack {
       .select("a_id", "b_id", "cos_sim")
   }
 
-  /** dd6 — INCREMENTAL exact dedup: the batch (doc_id % 5 = 0) checked
-    * against the already-ingested corpus (the rest) — each new doc that
+  /** dd6 — INCREMENTAL exact dedup, the re-crawl scenario: a new batch
+    * (docs with doc_id % 5 = 0, re-ingested under fresh ids) checked
+    * against the full already-ingested corpus — each new doc that
     * exactly duplicates corpus text, with its keeper. The batch side
     * broadcasts; the corpus streams through once, unshuffled — the
     * per-ingest shape of a training pipeline (dd1 is the one-shot
     * whole-corpus form). */
   private def dd6(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
-    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
-      .select(col("doc_id").as("keeper_id"), col("text"))
+    val corpus = docs.select(col("doc_id").as("keeper_id"), col("text"))
     val batch = docs.filter(col("doc_id") % 5 === 0)
-      .select(col("doc_id").as("new_id"), col("text"))
+      .select((col("doc_id") + 1000000L).as("new_id"), col("text"))
     corpus.join(broadcast(batch), Seq("text"))
       .groupBy(col("new_id"))
       .agg(min(col("keeper_id")).as("keeper_id"), count(lit(1)).as("n_matches"))
@@ -183,10 +183,9 @@ object Dedup extends QueryPack {
       """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
          FROM documents GROUP BY text""",
     "dd6_incremental_dedup" ->
-      """SELECT b.doc_id AS new_id, min(c.doc_id) AS keeper_id,
+      """SELECT b.doc_id + 1000000 AS new_id, min(c.doc_id) AS keeper_id,
                 count(*) AS n_matches
-         FROM documents b JOIN documents c
-           ON b.text = c.text AND c.doc_id % 5 != 0
+         FROM documents b JOIN documents c ON b.text = c.text
          WHERE b.doc_id % 5 = 0
          GROUP BY b.doc_id""",
     "dd2_ngram_jaccard" ->

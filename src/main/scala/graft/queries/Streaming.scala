@@ -38,11 +38,27 @@ object Streaming extends QueryPack {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
   }
 
+  /** st5 — streaming INCREMENTAL dedup through the store (streaming
+    * form of dd6): documents arrive in doc_id-ordered micro-batches;
+    * each batch is anti-joined against the already-committed corpus and
+    * only novel texts land. The emitted per-lang aggregate over the
+    * committed corpus equals the batch "keep min doc_id per text"
+    * statement — the oracle proves the stream kept exactly the right
+    * rows. */
+  private def st5(s: SparkSession, d: String): DataFrame = {
+    val store = new graft.store.TableStore(s,
+      java.nio.file.Files.createTempDirectory("graft-dedup-sink-").toString)
+    graft.streaming.DocStreams.dedupSinkToStore(s, d, store, "docs_dedup")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_tumbling_window" -> (st1 _),
     "st2_sliding_window" -> (st2 _),
     "st3_session_window" -> (st3 _),
     "st4_store_sink" -> (st4 _),
+    "st5_stream_dedup" -> (st5 _),
   )
 
   override val oracles: Map[String, String] = Map(
@@ -63,6 +79,14 @@ object Streaming extends QueryPack {
     "st4_store_sink" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY event_type""",
+    // first-arrived = min doc_id (doc_id-ordered staged chunks), so the
+    // streamed corpus equals the batch keep-min-per-text statement
+    "st5_stream_dedup" ->
+      """WITH keep AS (
+           SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text)
+         SELECT d.lang, count(*) AS n_docs, sum(d.n_chars) AS sum_chars
+         FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+         GROUP BY d.lang""",
     "st3_session_window" ->
       """WITH o AS (
            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,

@@ -74,6 +74,26 @@ class StreamingSpec extends SparkSpec {
     assert(windowed == 2 * n)
   }
 
+  test("streaming incremental dedup drops re-ingested texts across micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-st5-").toString
+    val docs = Tables.t(spark, sf, "documents")
+    // a later re-crawl: same texts under fresh ids — lands in later
+    // doc_id-range chunks, so the dup arrives in a LATER micro-batch
+    // and must be dropped by the anti-join against the committed corpus
+    val reingest = docs.withColumn("doc_id", col("doc_id") + 1000000L)
+    docs.unionByName(reingest).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val store = new graft.store.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-st5-store-").toString)
+    val kept = graft.streaming.DocStreams.dedupSinkToStore(spark, dir, store, "docs")
+    val nDistinct = docs.select("text").distinct().count()
+    assert(kept.count() == nDistinct, "exactly one kept row per distinct text")
+    assert(kept.filter(col("doc_id") >= 1000000L).count() == 0,
+      "the first-arrived (original) copy must win every time")
+    assert(store.versionCount("docs") >= 2,
+      "multiple micro-batch commits — the dedup really ran incrementally")
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val sdf = EventStreams.streamStreamSignupJoin(spark, sf)
     val q = sdf.writeStream
