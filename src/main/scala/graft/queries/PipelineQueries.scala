@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** The composed end-to-end training-data preparation pipeline — the
+  * stages every LLM data pipeline runs, chained from this engine's own
+  * operators (each also verified standalone: tx2, dd1, a2):
+  *
+  *   1. quality-score every document (map-only —
+  *      [[TextAnalysis.qualityScored]])
+  *   2. keep documents above the quality bar (a filter Catalyst pushes
+  *      below everything that follows)
+  *   3. exact-dedup the survivors (keeper = min doc_id per text — ONE
+  *      shuffle, on the high-cardinality text key)
+  *   4. per-language corpus stats over the kept set (second shuffle, on
+  *      the 5-value lang key — partial aggregation makes it map-side)
+  *
+  * Scale: stages 1-2 add zero exchanges; the whole pipeline is two
+  * shuffles at any input size. At 100 TB the dedup key would be tx4's
+  * 8-byte fingerprint instead of the raw text (same keeper semantics,
+  * ~60 bytes → 8 through the exchange).
+  */
+object PipelineQueries extends QueryPack {
+
+  private def pipe1(s: SparkSession, d: String): DataFrame = {
+    val kept = TextAnalysis.qualityScored(t(s, d, "documents"))
+      .filter(col("quality") >= 0.54)
+    val keepers = kept.groupBy(col("text")).agg(
+      min(col("doc_id")).as("doc_id"),
+      expr("min_by(lang, doc_id)").as("lang"),
+      expr("min_by(n_tok, doc_id)").as("n_tok"),
+      expr("min_by(quality, doc_id)").as("quality"))
+    keepers.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tok").as("sum_tokens"),
+      round(avg("quality"), 6).as("avg_quality"))
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe1_training_pipeline" -> (pipe1 _),
+  )
+
+  override val oracles: Map[String, String] = Map(
+    // stage-for-stage mirror of the Spark pipeline: score, filter,
+    // keep min-doc_id per text, aggregate per language
+    "pipe1_training_pipeline" ->
+      """WITH c AS (
+           SELECT doc_id, lang, text,
+             CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+             CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS alpha,
+             CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS punct,
+             CAST(length(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper,
+             CAST(length(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS BIGINT) AS stop
+           FROM documents),
+         q AS (
+           SELECT doc_id, lang, text, n_tok,
+             0.35 * least(CAST(stop AS DOUBLE) / greatest(n_tok, 1) * 3.0, 1.0)
+               + 0.25 * (1.0 - least(CAST(punct AS DOUBLE) / greatest(length(text), 1) * 10.0, 1.0))
+               + 0.25 * least(CAST(alpha AS DOUBLE) / greatest(n_tok, 1) / 8.0, 1.0)
+               + 0.15 * (1.0 - CAST(n_upper AS DOUBLE) / greatest(alpha, 1)) AS quality
+           FROM c),
+         f AS (SELECT * FROM q WHERE quality >= 0.54),
+         k AS (
+           SELECT text, min(doc_id) AS doc_id,
+                  min_by(lang, doc_id) AS lang,
+                  min_by(n_tok, doc_id) AS n_tok,
+                  min_by(quality, doc_id) AS quality
+           FROM f GROUP BY text)
+         SELECT lang, count(*) AS n_docs, sum(n_tok) AS sum_tokens,
+                round(avg(quality), 6) AS avg_quality
+         FROM k GROUP BY lang""",
+  )
+}

@@ -45,10 +45,13 @@ object TextAnalysis extends QueryPack {
       .withColumn("chars", expr("CAST(length(text) AS BIGINT)"))
       .select("doc_id", "ws_tokens", "bpe_tokens", "chars")
 
-  /** tx2 — quality scoring from length / punctuation / stopword /
-    * casing ratios (the usual pre-training heuristic filters). */
-  private def tx2(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents")
+  /** Per-document quality scoring (length / punctuation / stopword /
+    * casing ratios — the usual pre-training heuristic filters), as a
+    * reusable map-only stage: input columns are preserved, score
+    * columns appended. Shared by tx2 and the composed pipeline
+    * ([[PipelineQueries]]). */
+  private[queries] def qualityScored(docs: DataFrame): DataFrame =
+    docs
       .withColumn("n_tok", expr("CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)"))
       .withColumn("alpha", TextFns.countMatches("text", "[A-Za-z]"))
       .withColumn("punct", TextFns.countMatches("text", "[.,;:!?]"))
@@ -66,6 +69,10 @@ object TextAnalysis extends QueryPack {
            + 0.25 * (1.0 - least(punct_ratio * 10.0, 1.0))
            + 0.25 * least(avg_tok_len / 8.0, 1.0)
            + 0.15 * (1.0 - CAST(n_upper AS DOUBLE) / greatest(alpha, 1))"""))
+
+  /** tx2 — the per-document quality scores. */
+  private def tx2(s: SparkSession, d: String): DataFrame =
+    qualityScored(t(s, d, "documents"))
       .select("doc_id", "n_tok", "stop_ratio", "punct_ratio", "avg_tok_len", "quality")
 
   /** tx3 — language identification: argmax of per-language function-word
