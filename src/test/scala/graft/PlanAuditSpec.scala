@@ -77,6 +77,24 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.unset(graft.operators.SizeGate.MaxRowsConf)
   }
 
+  test("pipe1 composed pipeline is exactly two shuffles at any input size") {
+    val p = plan(graft.queries.PipelineQueries, "pipe1_training_pipeline")
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 2,
+      s"expected dedup + final agg as the ONLY shuffles, found $shuffles:\n$p")
+    assert(p.contains("partial_"),
+      "final aggregate must have a map-side partial phase")
+  }
+
+  test("dd6 incremental dedup broadcasts the batch, corpus side unshuffled pre-join") {
+    val p = plan(graft.queries.Dedup, "dd6_incremental_dedup")
+    assert(p.contains("BroadcastHashJoin"),
+      s"batch side must broadcast against the streamed corpus:\n$p")
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 1,
+      s"only the keeper aggregation may shuffle, found $shuffles:\n$p")
+  }
+
   test("scan projection prunes to the read schema on the documents table") {
     val p = plan(graft.queries.TextAnalysis, "tx4_fingerprint")
     // fingerprint reads doc_id + text only; the scan must not read lang/source
