@@ -408,46 +408,53 @@ object VectorFns {
       copy(left = l, right = r)
   }
 
+  // literal-arg helpers: the shingle length / threshold arrive as SQL
+  // literals and are baked into the expression (they shape the loop,
+  // not the data)
+  private def litInt(e: Expression): Int = e.eval(null) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(s"expected int literal, got $other")
+  }
+  private def litDouble(e: Expression): Double = e.eval(null) match {
+    case d: Double => d
+    case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+    case i: Int => i.toDouble
+    case l: Long => l.toDouble
+    case other => throw new IllegalArgumentException(s"expected numeric literal, got $other")
+  }
+
+  /** Name → expression builder for every native function, shared by the
+    * per-session registry path ([[register]]) and the
+    * `spark.sql.extensions` plug-in path ([[graft.GraftExtensions]]).
+    * Minhash builders appear only when coefficients are supplied. */
+  def builders(as: Seq[Long] = Nil, bs: Seq[Long] = Nil): Seq[(String, Seq[Expression] => Expression)] = {
+    val base = Seq[(String, Seq[Expression] => Expression)](
+      "graft_dot_f" -> (exprs => DotProductF(exprs(0), exprs(1))),
+      "graft_sorted_intersect" -> (exprs => SortedIntersectCount(exprs(0), exprs(1))),
+      "graft_sorted_intersect_long" -> (exprs => SortedIntersectCountLong(exprs(0), exprs(1))),
+      "graft_simhash31" -> (exprs => SimHash31(exprs.head)),
+      "graft_token_polyhash" -> (exprs => TokenPolyHash(exprs.head, 7L, 2147483647L)),
+      "graft_shingle_hashes" -> (exprs => ShingleHashesSorted(exprs(0), litInt(exprs(1)), 42L)),
+      "graft_sorted_intersect_bounded" ->
+        (exprs => SortedIntersectBounded(exprs(0), exprs(1), litDouble(exprs(2)))),
+    )
+    val mh =
+      if (as.isEmpty) Nil
+      else Seq[(String, Seq[Expression] => Expression)](
+        "graft_minhash_sig" -> (exprs => MinHashSig(exprs.head, as, bs)),
+        "graft_minhash_sig_long" -> (exprs => MinHashSigLong(exprs.head, as, bs)))
+    base ++ mh
+  }
+
   /** Idempotent per-session registration (the guide-sanctioned route to
     * use custom expressions from the Column API without internal
     * constructors). The minhash coefficients are fixed by the session's
     * registered builder — register(spark, as, bs) before use. */
   def register(spark: SparkSession, as: Seq[Long] = Nil, bs: Seq[Long] = Nil): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_dot_f",
-      exprs => DotProductF(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_sorted_intersect",
-      exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_sorted_intersect_long",
-      exprs => SortedIntersectCountLong(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_simhash31",
-      exprs => SimHash31(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_token_polyhash",
-      exprs => TokenPolyHash(exprs.head, 7L, 2147483647L), "built-in")
-    // literal-arg helpers: the shingle length / threshold arrive as SQL
-    // literals and are baked into the expression (they shape the loop,
-    // not the data)
-    def litInt(e: Expression): Int = e.eval(null) match {
-      case i: Int => i
-      case l: Long => l.toInt
-      case other => throw new IllegalArgumentException(s"expected int literal, got $other")
-    }
-    def litDouble(e: Expression): Double = e.eval(null) match {
-      case d: Double => d
-      case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
-      case i: Int => i.toDouble
-      case l: Long => l.toDouble
-      case other => throw new IllegalArgumentException(s"expected numeric literal, got $other")
-    }
-    reg.createOrReplaceTempFunction("graft_shingle_hashes",
-      exprs => ShingleHashesSorted(exprs(0), litInt(exprs(1)), 42L), "built-in")
-    reg.createOrReplaceTempFunction("graft_sorted_intersect_bounded",
-      exprs => SortedIntersectBounded(exprs(0), exprs(1), litDouble(exprs(2))), "built-in")
-    if (as.nonEmpty) {
-      reg.createOrReplaceTempFunction("graft_minhash_sig",
-        exprs => MinHashSig(exprs.head, as, bs), "built-in")
-      reg.createOrReplaceTempFunction("graft_minhash_sig_long",
-        exprs => MinHashSigLong(exprs.head, as, bs), "built-in")
+    builders(as, bs).foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
     }
   }
 
