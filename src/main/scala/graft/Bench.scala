@@ -63,12 +63,25 @@ object Bench {
       val fn = all(name)
       val best = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            // a swallowed failure would read as a suspiciously FAST
+            // query — keep the JSON line clean but flag it on stderr
+            System.err.println(s"BENCH QUERY FAILED: $name — ${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
         val dt = (System.nanoTime() - t0) / 1e9
-        // release what the query pinned — localCheckpoint blocks and
-        // caches otherwise accumulate in the block manager and tax every
-        // LATER query's measurement with their memory pressure
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        // release what the query pinned — caches and persisted graphs
+        // otherwise accumulate in the block manager and tax every LATER
+        // query's measurement with their memory pressure. Locally
+        // checkpointed RDDs are SKIPPED: their lineage is truncated, so
+        // unpersisting makes them unrecomputable — if any live plan
+        // (e.g. a cached HeroQL query) still referenced one, a later
+        // reuse would throw and silently poison that measurement. Their
+        // blocks are MEMORY_AND_DISK and spill rather than evict others.
+        spark.sparkContext.getPersistentRDDs.values.foreach { r =>
+          val locallyCheckpointed = r.isCheckpointed && r.getCheckpointFile.isEmpty
+          if (!locallyCheckpointed) r.unpersist(true)
+        }
         spark.catalog.clearCache()
         dt
       }.min

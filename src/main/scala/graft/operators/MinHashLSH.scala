@@ -124,8 +124,14 @@ object MinHashLSH {
     * ingested, never re-pairing the corpus with itself. The batch is
     * small by construction, so its banded keys and shingle sets ride
     * size-gated broadcasts; the corpus is scanned twice (band keys,
-    * verification) and NEVER shuffled — cost is two corpus scans plus
-    * collisions, independent of the corpus's own pair count. At 10⁹
+    * verification) and — whenever its input already arrives in at least
+    * cluster-parallelism splits, i.e. at any real scale — NEVER
+    * shuffled: cost is two corpus scans plus collisions, independent of
+    * the corpus's own pair count. Only a corpus arriving in FEWER splits
+    * than the cluster has cores (the small-input case, where the
+    * CPU-heavy hash scans would serialize onto a handful of cores and
+    * the shuffle is byte-cheap by the same token) is spread by an
+    * explicit repartition, which then executes once per scan. At 10⁹
     * corpus docs the gates flip the joins to co-located shuffles, the
     * only shape that survives there. Returns (corpus_id, new_id,
     * jaccard ≥ threshold); corpus and batch id spaces must be disjoint. */
@@ -149,7 +155,13 @@ object MinHashLSH {
     // scale a checkpoint is exactly the materialization you can't afford
     val batchHashed = hashedOf(batchIn).localCheckpoint()
     val batchRows = batchHashed.count()
-    val corpus = corpusIn.repartition(sess.sparkContext.defaultParallelism)
+    // spread ONLY an under-split corpus (see doc contract above): the
+    // partition probe is plan-time driver work, no job runs; a corpus
+    // already at cluster parallelism passes through with zero Exchange
+    val par = sess.sparkContext.defaultParallelism
+    val corpus =
+      if (corpusIn.rdd.getNumPartitions < par) corpusIn.repartition(par)
+      else corpusIn
     // scan 1: corpus band keys × broadcast batch band keys → candidates
     // (collision-bounded, batch-scale — checkpointed so scan 2 gets a
     // measured count to gate on instead of a guess)

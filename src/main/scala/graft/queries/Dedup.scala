@@ -126,15 +126,21 @@ object Dedup extends QueryPack {
     * (docs with doc_id % 5 = 0, re-ingested under fresh ids) checked
     * against the full already-ingested corpus — each new doc that
     * exactly duplicates corpus text, with its keeper. The batch side
-    * broadcasts; the corpus streams through once, unshuffled — the
-    * per-ingest shape of a training pipeline (dd1 is the one-shot
-    * whole-corpus form). */
+    * broadcasts WHEN ITS MEASURED COUNT FITS (a production re-crawl
+    * batch is unbounded — a day's crawl is TBs — so the hint is gated
+    * like every other broadcast in the repo); past the gate the join
+    * falls back to a co-located shuffle on the text key, the only shape
+    * that survives an oversized batch. The corpus streams through once,
+    * unshuffled on the broadcast path — the per-ingest shape of a
+    * training pipeline (dd1 is the one-shot whole-corpus form). */
   private def dd6(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
     val corpus = docs.select(col("doc_id").as("keeper_id"), col("text"))
     val batch = docs.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 1000000L).as("new_id"), col("text"))
-    corpus.join(broadcast(batch), Seq("text"))
+    // ~1 KB of raw text per row → 1M rows ≈ 1 GB, the broadcast ceiling
+    val batchRows = batch.count()
+    corpus.join(graft.operators.SizeGate.maybeBroadcast(batch, batchRows, 1000000L), Seq("text"))
       .groupBy(col("new_id"))
       .agg(min(col("keeper_id")).as("keeper_id"), count(lit(1)).as("n_matches"))
       .select("new_id", "keeper_id", "n_matches")

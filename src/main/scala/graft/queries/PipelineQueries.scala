@@ -68,7 +68,7 @@ object PipelineQueries extends QueryPack {
                   min_by(n_tok, doc_id) AS n_tok,
                   min_by(quality, doc_id) AS quality
            FROM f GROUP BY text)
-         SELECT lang, count(*) AS n_docs, sum(n_tok) AS sum_tokens,
+         SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
                 round(avg(quality), 6) AS avg_quality
          FROM k GROUP BY lang""",
   )

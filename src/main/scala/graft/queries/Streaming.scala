@@ -84,7 +84,7 @@ object Streaming extends QueryPack {
     "st5_stream_dedup" ->
       """WITH keep AS (
            SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text)
-         SELECT d.lang, count(*) AS n_docs, sum(d.n_chars) AS sum_chars
+         SELECT d.lang, count(*) AS n_docs, CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
          FROM documents d JOIN keep k ON d.doc_id = k.doc_id
          GROUP BY d.lang""",
     "st3_session_window" ->

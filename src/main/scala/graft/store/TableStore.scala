@@ -313,12 +313,19 @@ final class TableStore(val spark: SparkSession, val root: String) {
     * package instances, whose data dirs may be pointer-shared with an
     * inheriting or merged-into instance (GC is a separate concern, like
     * any snapshot store's vacuum). */
-  def unpublish(names: Seq[String]): Unit =
+  def unpublish(names: Seq[String]): Unit = commitLock.synchronized {
+    // read-modify-write of the published map — under the commit lock
+    // (publish reenters it), else a drop racing a concurrent commit
+    // publishes a stale map and silently loses the other writer
     publish(currentTables() -- names)
+  }
 
   /** M4 `uncache Table`: unpublish and remove the materialization. */
   def drop(name: String): Unit = {
-    publish(currentTables() - name)
+    commitLock.synchronized { publish(currentTables() - name) }
+    // file deletion stays OUTSIDE the lock: the dir is unreachable from
+    // any published manifest once the publish lands, and deleting can
+    // be slow on a big table — no reason to stall concurrent commits
     val dir = rootPath.resolve(name)
     if (Files.exists(dir)) walkAll(dir).reverse.foreach(Files.delete)
   }

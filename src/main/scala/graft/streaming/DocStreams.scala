@@ -35,14 +35,19 @@ object DocStreams {
       val part = docs.filter(col("doc_id") >= k * step && col("doc_id") < (k + 1) * step)
       val tmp = Files.createTempDirectory("graft-docstream-part-")
       part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val written = Files.list(tmp).iterator()
+      // Files.list holds a directory fd until the stream is closed —
+      // drain under try/finally (same contract as TableStore.listDir)
       val parquetFile = {
-        var found: java.nio.file.Path = null
-        while (written.hasNext) {
-          val p = written.next()
-          if (p.getFileName.toString.endsWith(".parquet")) found = p
-        }
-        found
+        val written = Files.list(tmp)
+        try {
+          var found: java.nio.file.Path = null
+          val it = written.iterator()
+          while (it.hasNext) {
+            val p = it.next()
+            if (p.getFileName.toString.endsWith(".parquet")) found = p
+          }
+          found
+        } finally written.close()
       }
       val dest = stage.resolve(f"chunk-$k%04d.parquet")
       Files.move(parquetFile, dest)

@@ -92,6 +92,23 @@ class DedupSpec extends SparkSpec {
       "incremental LSH emitted a pair below the verify threshold")
   }
 
+  test("incremental exact dedup: shuffle fallback (gate off) matches the broadcast path") {
+    def run() = Dedup.queries("dd6_incremental_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaBroadcast = run()
+    assert(viaBroadcast.nonEmpty, "incremental exact dedup found nothing at sf0.001")
+    // an oversized re-crawl batch flips the gate: the join must fall
+    // back to a co-located shuffle on text and derive the same keepers
+    spark.conf.set(graft.operators.SizeGate.MaxRowsConf, "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try assert(run() == viaBroadcast,
+      "incremental exact matches differ between broadcast and shuffle paths")
+    finally {
+      spark.conf.unset(graft.operators.SizeGate.MaxRowsConf)
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("incremental minhash: full replica recall, and shuffle fallback matches") {
     import spark.implicits._
     val base = Tables.t(spark, sf, "documents").limit(40)
