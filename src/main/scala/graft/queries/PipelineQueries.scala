@@ -38,8 +38,30 @@ object PipelineQueries extends QueryPack {
       round(avg("quality"), 6).as("avg_quality"))
   }
 
+  /** pipe2 — pipe1 with the dedup stage keyed on tx4's 8-byte rolling
+    * fingerprint instead of the raw text: the 100 TB shape (the
+    * keeper exchange carries one long per row instead of ~KB of text —
+    * the fingerprint is computed map-side, so the swap costs zero extra
+    * stages). Same two-shuffle plan; PlanAuditSpec asserts the dedup
+    * exchange partitions on `fp`. */
+  private def pipe2(s: SparkSession, d: String): DataFrame = {
+    val kept = TextAnalysis.qualityScored(t(s, d, "documents"))
+      .filter(col("quality") >= 0.54)
+      .withColumn("fp", graft.operators.TextFns.fingerprint("text"))
+    val keepers = kept.groupBy(col("fp")).agg(
+      min(col("doc_id")).as("doc_id"),
+      expr("min_by(lang, doc_id)").as("lang"),
+      expr("min_by(n_tok, doc_id)").as("n_tok"),
+      expr("min_by(quality, doc_id)").as("quality"))
+    keepers.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tok").as("sum_tokens"),
+      round(avg("quality"), 6).as("avg_quality"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe1_training_pipeline" -> (pipe1 _),
+    "pipe2_fingerprint_pipeline" -> (pipe2 _),
   )
 
   override val oracles: Map[String, String] = Map(
@@ -68,6 +90,39 @@ object PipelineQueries extends QueryPack {
                   min_by(n_tok, doc_id) AS n_tok,
                   min_by(quality, doc_id) AS quality
            FROM f GROUP BY text)
+         SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+                round(avg(quality), 6) AS avg_quality
+         FROM k GROUP BY lang""",
+    // pipe2: identical chain, but the keeper stage groups on the tx4
+    // rolling fingerprint (same expression as the tx4 oracle)
+    "pipe2_fingerprint_pipeline" ->
+      """WITH c AS (
+           SELECT doc_id, lang, text,
+             CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+             CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS alpha,
+             CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS punct,
+             CAST(length(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper,
+             CAST(length(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS BIGINT) AS stop
+           FROM documents),
+         q AS (
+           SELECT doc_id, lang, text, n_tok,
+             0.35 * least(CAST(stop AS DOUBLE) / greatest(n_tok, 1) * 3.0, 1.0)
+               + 0.25 * (1.0 - least(CAST(punct AS DOUBLE) / greatest(length(text), 1) * 10.0, 1.0))
+               + 0.25 * least(CAST(alpha AS DOUBLE) / greatest(n_tok, 1) / 8.0, 1.0)
+               + 0.15 * (1.0 - CAST(n_upper AS DOUBLE) / greatest(alpha, 1)) AS quality
+           FROM c),
+         f AS (SELECT *,
+             list_reduce(
+               list_concat([CAST(0 AS BIGINT)],
+                 [CAST(unicode(substr(text, x, 1)) AS BIGINT) for x in range(1, length(text) + 1)]),
+               (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+           FROM q WHERE quality >= 0.54),
+         k AS (
+           SELECT fp, min(doc_id) AS doc_id,
+                  min_by(lang, doc_id) AS lang,
+                  min_by(n_tok, doc_id) AS n_tok,
+                  min_by(quality, doc_id) AS quality
+           FROM f GROUP BY fp)
          SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
                 round(avg(quality), 6) AS avg_quality
          FROM k GROUP BY lang""",

@@ -53,12 +53,25 @@ object Streaming extends QueryPack {
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
   }
 
+  /** st5b — st5 with the dedup key narrowed to tx4's 8-byte rolling
+    * fingerprint (stored alongside the kept rows, so the corpus is
+    * hashed once on ingest and every later batch anti-joins a single
+    * long column — the shape that survives a 100 TB corpus). */
+  private def st5b(s: SparkSession, d: String): DataFrame = {
+    val store = new graft.store.TableStore(s,
+      java.nio.file.Files.createTempDirectory("graft-dedup-fp-sink-").toString)
+    graft.streaming.DocStreams.dedupSinkToStoreByFp(s, d, store, "docs_dedup_fp")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_tumbling_window" -> (st1 _),
     "st2_sliding_window" -> (st2 _),
     "st3_session_window" -> (st3 _),
     "st4_store_sink" -> (st4 _),
     "st5_stream_dedup" -> (st5 _),
+    "st5b_stream_dedup_fp" -> (st5b _),
   )
 
   override val oracles: Map[String, String] = Map(
@@ -86,6 +99,20 @@ object Streaming extends QueryPack {
            SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text)
          SELECT d.lang, count(*) AS n_docs, CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
          FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+         GROUP BY d.lang""",
+    // st5b: first-arrived = min doc_id per FINGERPRINT (tx4's rolling
+    // hash, same expression as the tx4 oracle)
+    "st5b_stream_dedup_fp" ->
+      """WITH fps AS (
+           SELECT doc_id, lang, n_chars,
+             list_reduce(
+               list_concat([CAST(0 AS BIGINT)],
+                 [CAST(unicode(substr(text, x, 1)) AS BIGINT) for x in range(1, length(text) + 1)]),
+               (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+           FROM documents),
+         keep AS (SELECT fp, min(doc_id) AS doc_id FROM fps GROUP BY fp)
+         SELECT d.lang, count(*) AS n_docs, CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+         FROM fps d JOIN keep k ON d.doc_id = k.doc_id
          GROUP BY d.lang""",
     "st3_session_window" ->
       """WITH o AS (

@@ -91,4 +91,42 @@ object DocStreams {
     q.awaitTermination()
     store.read(table)
   }
+
+  /** Fingerprint-keyed streaming incremental dedup — the 100 TB shape
+    * of [[dedupSinkToStore]]: each batch fingerprints its texts map-side
+    * (tx4's rolling hash), keeps min doc_id per fingerprint within the
+    * batch, and anti-joins the COMMITTED CORPUS'S STORED `fp` COLUMN —
+    * 8 bytes per corpus row through the scan and the join instead of
+    * ~KB of raw text, and the corpus is never re-hashed (its
+    * fingerprints were computed once, on ingest). */
+  def dedupSinkToStoreByFp(spark: SparkSession, dir: String,
+      store: graft.store.TableStore, table: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val staged = stageOrderedDocs(spark, dir, nFiles = 4)
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
+    val q = src.select("doc_id", "text", "lang", "n_chars")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val firstPerFp = batch
+          .withColumn("fp", graft.operators.TextFns.fingerprint("text"))
+          .groupBy("fp").agg(
+            min("doc_id").as("doc_id"),
+            expr("min_by(lang, doc_id)").as("lang"),
+            expr("min_by(n_chars, doc_id)").as("n_chars"))
+          .select("doc_id", "fp", "lang", "n_chars")
+        val novel =
+          if (store.exists(table))
+            firstPerFp.join(store.read(table).select("fp"), Seq("fp"), "left_anti")
+          else firstPerFp
+        if (store.exists(table)) store.insert(table, novel)
+        else store.create(table, novel)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-dedup-fp-ckpt-").toString)
+      .start()
+    q.awaitTermination()
+    store.read(table)
+  }
 }

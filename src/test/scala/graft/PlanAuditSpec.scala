@@ -86,6 +86,16 @@ class PlanAuditSpec extends SparkSpec {
       "final aggregate must have a map-side partial phase")
   }
 
+  test("pipe2 dedup exchange partitions on the 8-byte fingerprint, still two shuffles") {
+    val p = plan(graft.queries.PipelineQueries, "pipe2_fingerprint_pipeline")
+    val shuffles = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(shuffles.size == 2,
+      s"expected dedup + final agg as the ONLY shuffles, found ${shuffles.size}:\n$p")
+    // the keeper exchange must carry the long fingerprint, not raw text
+    assert(shuffles.exists(_.contains("hashpartitioning(fp")),
+      s"dedup exchange does not partition on fp:\n${shuffles.mkString("\n")}")
+  }
+
   test("dd6 incremental dedup broadcasts the batch, corpus side unshuffled pre-join") {
     val p = plan(graft.queries.Dedup, "dd6_incremental_dedup")
     assert(p.contains("BroadcastHashJoin"),
