@@ -77,10 +77,23 @@ object DocStreams {
           expr("min_by(lang, doc_id)").as("lang"),
           expr("min_by(n_chars, doc_id)").as("n_chars"))
           .select("doc_id", "text", "lang", "n_chars")
+        // FLIPPED membership probe: a plain batch-anti-corpus join puts
+        // the CORPUS on the build/right side — broadcast-impossible and
+        // shuffle-prohibitive at 10⁹ rows. Instead the corpus SCANS once
+        // and probes the broadcast batch keys (left_semi, matched ≤
+        // batch), then the batch anti-joins the matched set — the corpus
+        // is never shuffled and never broadcast, at any corpus size.
+        val first = firstPerText.localCheckpoint()
+        val batchRows = first.count()
         val novel =
-          if (store.exists(table))
-            firstPerText.join(store.read(table).select("text"), Seq("text"), "left_anti")
-          else firstPerText
+          if (store.exists(table)) {
+            val matched = store.read(table).select("text").join(
+              graft.operators.SizeGate.maybeBroadcast(
+                first.select("text"), batchRows, 5000000L),
+              Seq("text"), "left_semi")
+            first.join(graft.operators.SizeGate.maybeBroadcast(
+              matched, batchRows, 5000000L), Seq("text"), "left_anti")
+          } else first
         if (store.exists(table)) store.insert(table, novel)
         else store.create(table, novel)
       }
@@ -95,16 +108,46 @@ object DocStreams {
   /** Fingerprint-keyed streaming incremental dedup — the 100 TB shape
     * of [[dedupSinkToStore]]: each batch fingerprints its texts map-side
     * (tx4's rolling hash), keeps min doc_id per fingerprint within the
-    * batch, and anti-joins the COMMITTED CORPUS'S STORED `fp` COLUMN —
-    * 8 bytes per corpus row through the scan and the join instead of
-    * ~KB of raw text, and the corpus is never re-hashed (its
-    * fingerprints were computed once, on ingest). */
+    * batch, and membership-probes the COMMITTED CORPUS'S STORED `fp`
+    * COLUMN — 8 bytes per corpus row through the scan and the join
+    * instead of ~KB of raw text, and the corpus is never re-hashed (its
+    * fingerprints were computed once, on ingest).
+    *
+    * Two scale mechanisms on top of [[dedupSinkToStore]]'s flipped
+    * probe (corpus scans, batch broadcasts — never the reverse):
+    *
+    *  - A DRIVER-HELD BLOOM FILTER over every committed fingerprint
+    *    pre-splits each batch: bloom-negative rows are DEFINITELY novel
+    *    (no false negatives) and skip the corpus probe entirely; only
+    *    bloom-positive candidates — true dups plus ~fpp of the novel —
+    *    reach the corpus scan, and a batch with zero candidates skips
+    *    the scan outright. The bloom is built once from the corpus on
+    *    start and grown with each commit's novel fps (a driver put-loop
+    *    bounded by batch size — the same bounded-collect class as the
+    *    store's dir-scale metadata). Size it via
+    *    `spark.graft.dedup.bloomExpectedItems` (default 4M ≈ 5 MB at 1%
+    *    fpp; 10⁹ fps ≈ 1.2 GB — past driver budget, turn it off via
+    *    `spark.graft.dedup.bloomEnabled=false` and the flipped probe
+    *    alone still never shuffles the corpus).
+    *  - The bloom membership test is a scala UDF — acceptable here and
+    *    only here because it runs over the BATCH side (micro-batch
+    *    scale), never the corpus scan; the corpus-side probe stays
+    *    whole-stage-codegen native. */
   def dedupSinkToStoreByFp(spark: SparkSession, dir: String,
       store: graft.store.TableStore, table: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     val staged = stageOrderedDocs(spark, dir, nFiles = 4)
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(staged)
+    val bloomEnabled = spark.conf.getOption("spark.graft.dedup.bloomEnabled")
+      .forall(_.toBoolean)
+    val expectedItems = spark.conf.getOption("spark.graft.dedup.bloomExpectedItems")
+      .map(_.toLong).getOrElse(4000000L)
+    var bloom: org.apache.spark.util.sketch.BloomFilter =
+      if (!bloomEnabled) null
+      else if (store.exists(table)) // one distributed aggregate, once
+        store.read(table).stat.bloomFilter("fp", expectedItems, 0.01)
+      else org.apache.spark.util.sketch.BloomFilter.create(expectedItems, 0.01)
     val q = src.select("doc_id", "text", "lang", "n_chars")
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -115,12 +158,36 @@ object DocStreams {
             expr("min_by(lang, doc_id)").as("lang"),
             expr("min_by(n_chars, doc_id)").as("n_chars"))
           .select("doc_id", "fp", "lang", "n_chars")
+        val first = firstPerFp.localCheckpoint()
+        val batchRows = first.count()
         val novel =
-          if (store.exists(table))
-            firstPerFp.join(store.read(table).select("fp"), Seq("fp"), "left_anti")
-          else firstPerFp
-        if (store.exists(table)) store.insert(table, novel)
-        else store.create(table, novel)
+          if (!store.exists(table)) first
+          else {
+            val candFps =
+              if (bloom == null) first.select("fp")
+              else {
+                val b = spark.sparkContext.broadcast(bloom)
+                val mightContain = udf((fp: Long) => b.value.mightContainLong(fp))
+                first.select("fp").filter(mightContain(col("fp")))
+              }
+            val candRows = if (bloom == null) batchRows else candFps.count()
+            // bloom said no batch key can be in the corpus → the whole
+            // batch is novel, don't even open the corpus
+            val matched =
+              if (candRows == 0) first.select("fp").limit(0)
+              else store.read(table).select("fp").join(
+                graft.operators.SizeGate.maybeBroadcast(candFps, candRows, 5000000L),
+                Seq("fp"), "left_semi")
+            first.join(graft.operators.SizeGate.maybeBroadcast(
+              matched, candRows, 5000000L), Seq("fp"), "left_anti")
+          }
+        // materialize once: the commit write and the bloom-grow collect
+        // would otherwise each re-run the plan (two corpus scans)
+        val novelM = if (bloom != null) novel.localCheckpoint() else novel
+        if (store.exists(table)) store.insert(table, novelM)
+        else store.create(table, novelM)
+        if (bloom != null) // grow with this commit's novel fps (≤ batch)
+          novelM.select("fp").collect().foreach(r => bloom.putLong(r.getLong(0)))
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation",

@@ -94,6 +94,34 @@ class StreamingSpec extends SparkSpec {
       "multiple micro-batch commits — the dedup really ran incrementally")
   }
 
+  test("fp-keyed streaming dedup: bloom and bloom-off paths keep identical corpora") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-st5b-").toString
+    val docs = Tables.t(spark, sf, "documents")
+    val reingest = docs.withColumn("doc_id", col("doc_id") + 1000000L)
+    docs.unionByName(reingest).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    def run(bloomOn: Boolean) = {
+      spark.conf.set("spark.graft.dedup.bloomEnabled", bloomOn.toString)
+      val store = new graft.store.TableStore(spark,
+        java.nio.file.Files.createTempDirectory("graft-st5b-store-").toString)
+      graft.streaming.DocStreams.dedupSinkToStoreByFp(spark, dir, store, "docs")
+        .select("doc_id", "fp").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    try {
+      val withBloom = run(bloomOn = true)
+      val without = run(bloomOn = false)
+      assert(withBloom == without,
+        "bloom pre-split changed which rows were kept")
+      assert(withBloom.nonEmpty, "fp dedup kept nothing")
+      assert(withBloom.forall(_._1 < 1000000L),
+        "the first-arrived (original) copy must win every time")
+      val nDistinctFp = Tables.t(spark, sf, "documents")
+        .select(graft.operators.TextFns.fingerprint("text")).distinct().count()
+      assert(withBloom.size == nDistinctFp, "exactly one kept row per fingerprint")
+    } finally spark.conf.unset("spark.graft.dedup.bloomEnabled")
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val sdf = EventStreams.streamStreamSignupJoin(spark, sf)
     val q = sdf.writeStream
