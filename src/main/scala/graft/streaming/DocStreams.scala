@@ -83,19 +83,24 @@ object DocStreams {
         // and probes the broadcast batch keys (left_semi, matched ≤
         // batch), then the batch anti-joins the matched set — the corpus
         // is never shuffled and never broadcast, at any corpus size.
-        val first = firstPerText.localCheckpoint()
-        val batchRows = first.count()
-        val novel =
-          if (store.exists(table)) {
-            val matched = store.read(table).select("text").join(
-              graft.operators.SizeGate.maybeBroadcast(
-                first.select("text"), batchRows, 5000000L),
-              Seq("text"), "left_semi")
-            first.join(graft.operators.SizeGate.maybeBroadcast(
-              matched, batchRows, 5000000L), Seq("text"), "left_anti")
-          } else first
-        if (store.exists(table)) store.insert(table, novel)
-        else store.create(table, novel)
+        // persist (not localCheckpoint): freed at batch end — a stream
+        // runs unbounded micro-batches and per-batch blocks must not
+        // accumulate in the block manager for the stream's lifetime.
+        val first = firstPerText.persist()
+        try {
+          val batchRows = first.count()
+          val novel =
+            if (store.exists(table)) {
+              val matched = store.read(table).select("text").join(
+                graft.operators.SizeGate.maybeBroadcast(
+                  first.select("text"), batchRows, 5000000L),
+                Seq("text"), "left_semi")
+              first.join(graft.operators.SizeGate.maybeBroadcast(
+                matched, batchRows, 5000000L), Seq("text"), "left_anti")
+            } else first
+          if (store.exists(table)) store.insert(table, novel)
+          else store.create(table, novel)
+        } finally first.unpersist(false)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation",
@@ -158,36 +163,50 @@ object DocStreams {
             expr("min_by(lang, doc_id)").as("lang"),
             expr("min_by(n_chars, doc_id)").as("n_chars"))
           .select("doc_id", "fp", "lang", "n_chars")
-        val first = firstPerFp.localCheckpoint()
-        val batchRows = first.count()
-        val novel =
-          if (!store.exists(table)) first
-          else {
-            val candFps =
-              if (bloom == null) first.select("fp")
-              else {
-                val b = spark.sparkContext.broadcast(bloom)
-                val mightContain = udf((fp: Long) => b.value.mightContainLong(fp))
-                first.select("fp").filter(mightContain(col("fp")))
-              }
-            val candRows = if (bloom == null) batchRows else candFps.count()
-            // bloom said no batch key can be in the corpus → the whole
-            // batch is novel, don't even open the corpus
-            val matched =
-              if (candRows == 0) first.select("fp").limit(0)
-              else store.read(table).select("fp").join(
-                graft.operators.SizeGate.maybeBroadcast(candFps, candRows, 5000000L),
-                Seq("fp"), "left_semi")
-            first.join(graft.operators.SizeGate.maybeBroadcast(
-              matched, candRows, 5000000L), Seq("fp"), "left_anti")
-          }
-        // materialize once: the commit write and the bloom-grow collect
-        // would otherwise each re-run the plan (two corpus scans)
-        val novelM = if (bloom != null) novel.localCheckpoint() else novel
-        if (store.exists(table)) store.insert(table, novelM)
-        else store.create(table, novelM)
-        if (bloom != null) // grow with this commit's novel fps (≤ batch)
-          novelM.select("fp").collect().foreach(r => bloom.putLong(r.getLong(0)))
+        // persist (not localCheckpoint) + unpersist at batch end: an
+        // unbounded stream must not accumulate per-batch blocks; the
+        // per-batch bloom broadcast is likewise destroyed once the
+        // commit is durable, not left to leak for the stream's lifetime
+        val first = firstPerFp.persist()
+        var bloomBc: org.apache.spark.broadcast.Broadcast[
+          org.apache.spark.util.sketch.BloomFilter] = null
+        try {
+          val batchRows = first.count()
+          val novel =
+            if (!store.exists(table)) first
+            else {
+              val candFps =
+                if (bloom == null) first.select("fp")
+                else {
+                  bloomBc = spark.sparkContext.broadcast(bloom)
+                  val b = bloomBc
+                  val mightContain = udf((fp: Long) => b.value.mightContainLong(fp))
+                  first.select("fp").filter(mightContain(col("fp")))
+                }
+              val candRows = if (bloom == null) batchRows else candFps.count()
+              // bloom said no batch key can be in the corpus → the whole
+              // batch is novel, don't even open the corpus
+              val matched =
+                if (candRows == 0) first.select("fp").limit(0)
+                else store.read(table).select("fp").join(
+                  graft.operators.SizeGate.maybeBroadcast(candFps, candRows, 5000000L),
+                  Seq("fp"), "left_semi")
+              first.join(graft.operators.SizeGate.maybeBroadcast(
+                matched, candRows, 5000000L), Seq("fp"), "left_anti")
+            }
+          // materialize once: the commit write and the bloom-grow collect
+          // would otherwise each re-run the plan (two corpus scans)
+          val novelM = if (bloom != null) novel.persist() else novel
+          try {
+            if (store.exists(table)) store.insert(table, novelM)
+            else store.create(table, novelM)
+            if (bloom != null) // grow with this commit's novel fps (≤ batch)
+              novelM.select("fp").collect().foreach(r => bloom.putLong(r.getLong(0)))
+          } finally if (bloom != null) novelM.unpersist(false)
+        } finally {
+          first.unpersist(false)
+          if (bloomBc != null) bloomBc.destroy()
+        }
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation",
