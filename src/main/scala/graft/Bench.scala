@@ -61,36 +61,46 @@ object Bench {
     val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(2)
     val results = order.map { name =>
       val fn = all(name)
+      var failed = false
       val best = (1 to runs).map { _ =>
+        // snapshot of what was persisted BEFORE this run: only blocks
+        // this run creates get released afterwards, so pre-existing
+        // state (warm-up checkpoints, a cached HeroQL plan from an
+        // earlier query) can never be made unrecomputable under a
+        // plan that still references it
+        val pre = spark.sparkContext.getPersistentRDDs.keySet
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
             // a swallowed failure would read as a suspiciously FAST
-            // query — keep the JSON line clean but flag it on stderr
+            // query — flag it in the JSON line (below) AND on stderr
+            failed = true
             System.err.println(s"BENCH QUERY FAILED: $name — ${e.getClass.getSimpleName}: ${e.getMessage}")
         }
         val dt = (System.nanoTime() - t0) / 1e9
-        // release what the query pinned — caches and persisted graphs
-        // otherwise accumulate in the block manager and tax every LATER
-        // query's measurement with their memory pressure. Locally
-        // checkpointed RDDs are SKIPPED: their lineage is truncated, so
-        // unpersisting makes them unrecomputable — if any live plan
-        // (e.g. a cached HeroQL query) still referenced one, a later
-        // reuse would throw and silently poison that measurement. Their
-        // blocks are MEMORY_AND_DISK and spill rather than evict others.
-        spark.sparkContext.getPersistentRDDs.values.foreach { r =>
-          val locallyCheckpointed = r.isCheckpointed && r.getCheckpointFile.isEmpty
-          if (!locallyCheckpointed) r.unpersist(true)
+        // release what THIS RUN pinned — caches, persisted graphs, and
+        // its own localCheckpoints. Blocks left behind otherwise
+        // accumulate in the block manager and tax every LATER query's
+        // measurement (the round-7 regression: never-released
+        // checkpoint blocks from g1/dd3 inflated dd3/ann1 by ~4s).
+        // Unpersisting a run's OWN localCheckpoints is safe: each
+        // sample rebuilds the whole plan from fn(spark, sfDir), so no
+        // later plan can reference them — only pre-existing ids (the
+        // `pre` snapshot) must survive.
+        spark.sparkContext.getPersistentRDDs.foreach { case (id, r) =>
+          if (!pre.contains(id)) r.unpersist(true)
         }
         spark.catalog.clearCache()
         dt
       }.min
-      name -> best
+      (name, best, failed)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failedList = results.collect { case (k, _, true) => s"\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedList,"sf":"$sfDir","runs":$runs}""")
     spark.stop()
   }
 }
