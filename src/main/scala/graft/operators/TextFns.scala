@@ -39,9 +39,43 @@ object TextFns {
           i -> CAST(ascii(substr($strSql, i, 1)) AS BIGINT)),
         CAST($seed AS BIGINT), (acc, x) -> (acc * 31 + x) % $mod)"""
 
-  /** Rolling-hash document fingerprint (`doc fingerprinting` op). */
-  def fingerprint(textCol: String): Column =
-    expr(polyHashSql(textCol, seed = 0L, mod = 1000000007L))
+  /** Rolling-hash document fingerprint (`doc fingerprinting` op).
+    *
+    * Two independent-modulus polynomial hashes combined by CRT:
+    * `h1 * p2 + h2` with p1 = 1000000007, p2 = 998244353 uniquely
+    * encodes the text's polynomial value mod p1·p2 ≈ 9.98e17 — a
+    * ~60-bit key space that fits signed BIGINT (max ≈ 9.99e17 <
+    * 2^63-1). A single 31-bit modulus is NOT enough for a dedup key:
+    * at 10^9 documents the birthday load factor on 10^9 slots is ~1
+    * and distinct documents silently collapse. At ~60 bits the
+    * expected number of colliding PAIRS across 10^9 documents is
+    * n²/(2·p1·p2) ≈ 0.5 — fingerprint-keyed dedup loses at most a
+    * handful of documents at the full advertised scale, and exact
+    * parity holds against the same two-fold expression in DuckDB. */
+  def fingerprint(textCol: String): Column = fingerprintOf(col(textCol))
+
+  /** [[fingerprint]] over an arbitrary Column (the HeroQL builtin plans
+    * through this form) — same fold, Column-API composed. */
+  def fingerprintOf(text: Column): Column = {
+    def poly(mod: Long): Column = aggregate(
+      transform(sequence(lit(1), length(text)),
+        i => ascii(text.substr(i, lit(1))).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * lit(31L) + x) % lit(mod))
+    poly(1000000007L) * lit(998244353L) + poly(998244353L)
+  }
+
+  /** The DuckDB-dialect mirror of [[fingerprint]] — kept adjacent so
+    * the two folds can never drift apart. Used verbatim by the tx4 /
+    * pipe2 / st5b oracles. */
+  def fingerprintDuckSql(textExpr: String): String = {
+    def fold(mod: Long): String =
+      s"""list_reduce(
+           list_concat([CAST(0 AS BIGINT)],
+             [CAST(unicode(substr($textExpr, x, 1)) AS BIGINT) for x in range(1, length($textExpr) + 1)]),
+           (acc, x) -> (acc * 31 + x) % $mod)"""
+    s"CAST(${fold(1000000007L)} * 998244353 + ${fold(998244353L)} AS BIGINT)"
+  }
 
   /** Per-token polynomial hashes of whitespace tokens (precompute this
     * once per row — the bit loop in [[simhashOfHashes]] folds over it 31

@@ -103,17 +103,14 @@ object Streaming extends QueryPack {
     // st5b: first-arrived = min doc_id per FINGERPRINT (tx4's rolling
     // hash, same expression as the tx4 oracle)
     "st5b_stream_dedup_fp" ->
-      """WITH fps AS (
+      ("""WITH fps AS (
            SELECT doc_id, lang, n_chars,
-             list_reduce(
-               list_concat([CAST(0 AS BIGINT)],
-                 [CAST(unicode(substr(text, x, 1)) AS BIGINT) for x in range(1, length(text) + 1)]),
-               (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+             """ + graft.operators.TextFns.fingerprintDuckSql("text") + """ AS fp
            FROM documents),
          keep AS (SELECT fp, min(doc_id) AS doc_id FROM fps GROUP BY fp)
          SELECT d.lang, count(*) AS n_docs, CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
          FROM fps d JOIN keep k ON d.doc_id = k.doc_id
-         GROUP BY d.lang""",
+         GROUP BY d.lang"""),
     "st3_session_window" ->
       """WITH o AS (
            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,

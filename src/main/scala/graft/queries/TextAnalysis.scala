@@ -93,7 +93,9 @@ object TextAnalysis extends QueryPack {
   }
 
   /** tx4 — document fingerprinting: deterministic polynomial rolling
-    * hash of the full text (exact-dup key; map-only at scale). */
+    * hash of the full text (exact-dup key; map-only at scale; ~60-bit
+    * two-prime CRT key — see [[TextFns.fingerprint]] for the collision
+    * budget at 10^9 documents). */
   private def tx4(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
       .withColumn("fp", TextFns.fingerprint("text"))
@@ -156,11 +158,7 @@ object TextAnalysis extends QueryPack {
                 ELSE 'unk' END = lang) AS is_correct
          FROM sc""",
     "tx4_fingerprint" ->
-      """SELECT doc_id,
-         list_reduce(
-           list_concat([CAST(0 AS BIGINT)],
-             [CAST(unicode(substr(text, x, 1)) AS BIGINT) for x in range(1, length(text) + 1)]),
-           (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+      s"""SELECT doc_id, ${TextFns.fingerprintDuckSql("text")} AS fp
          FROM documents""",
   )
 }

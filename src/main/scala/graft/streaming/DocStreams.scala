@@ -62,7 +62,14 @@ object DocStreams {
     * table — reading ONLY the text column, so the scan prunes to one
     * column at any width), and appends the novel rows in one atomic
     * commit. `availableNow` drains the staged chunks, then the committed
-    * deduplicated corpus is returned. */
+    * deduplicated corpus is returned.
+    *
+    * PRECONDITION: null-text rows are dropped at ingest. A null key
+    * never matches an equi-join, so a null-text row would be
+    * re-admitted as "novel" on EVERY micro-batch — unbounded duplicate
+    * accumulation in the store. A null document is also worthless as
+    * training data, so the contract is filter-at-ingest, not
+    * null-keyed dedup. Same guard on [[dedupSinkToStoreByFp]]. */
   def dedupSinkToStore(spark: SparkSession, dir: String,
       store: graft.store.TableStore, table: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
@@ -70,6 +77,7 @@ object DocStreams {
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(staged)
     val q = src.select("doc_id", "text", "lang", "n_chars")
+      .filter(col("text").isNotNull)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val firstPerText = batch.groupBy("text").agg(
@@ -127,9 +135,10 @@ object DocStreams {
     *    bloom-positive candidates — true dups plus ~fpp of the novel —
     *    reach the corpus scan, and a batch with zero candidates skips
     *    the scan outright. The bloom is built once from the corpus on
-    *    start and grown with each commit's novel fps (a driver put-loop
-    *    bounded by batch size — the same bounded-collect class as the
-    *    store's dir-scale metadata). Size it via
+    *    start and grown with each commit's novel fps — both via
+    *    `stat.bloomFilter` (a distributed treeAggregate) with the delta
+    *    merged into the driver-held filter, so no per-row collect ever
+    *    runs on this path. Size it via
     *    `spark.graft.dedup.bloomExpectedItems` (default 4M ≈ 5 MB at 1%
     *    fpp; 10⁹ fps ≈ 1.2 GB — past driver budget, turn it off via
     *    `spark.graft.dedup.bloomEnabled=false` and the flipped probe
@@ -153,7 +162,11 @@ object DocStreams {
       else if (store.exists(table)) // one distributed aggregate, once
         store.read(table).stat.bloomFilter("fp", expectedItems, 0.01)
       else org.apache.spark.util.sketch.BloomFilter.create(expectedItems, 0.01)
+    // null-text guard: see dedupSinkToStore's precondition — a null fp
+    // would also silently vanish from the primitive-Long bloom UDF's
+    // candidate set, making the re-admission loop invisible to the probe
     val q = src.select("doc_id", "text", "lang", "n_chars")
+      .filter(col("text").isNotNull)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val firstPerFp = batch
@@ -194,14 +207,25 @@ object DocStreams {
               first.join(graft.operators.SizeGate.maybeBroadcast(
                 matched, candRows, 5000000L), Seq("fp"), "left_anti")
             }
-          // materialize once: the commit write and the bloom-grow collect
-          // would otherwise each re-run the plan (two corpus scans)
+          // materialize once: the commit write and the bloom-grow
+          // aggregate would otherwise each re-run the plan (two corpus
+          // scans)
           val novelM = if (bloom != null) novel.persist() else novel
           try {
             if (store.exists(table)) store.insert(table, novelM)
             else store.create(table, novelM)
-            if (bloom != null) // grow with this commit's novel fps (≤ batch)
-              novelM.select("fp").collect().foreach(r => bloom.putLong(r.getLong(0)))
+            // grow with this commit's novel fps — built DISTRIBUTED
+            // (stat.bloomFilter is a treeAggregate, the same API that
+            // seeds the bloom at stream start) and merged into the
+            // driver-held filter: no per-row collect, no driver loop.
+            // Same (n, fpp) as the seed filter: mergeInPlace requires
+            // compatible bit arrays. An all-dup batch is skipped —
+            // bloomFilter over zero rows yields a null buffer.
+            if (bloom != null && !novelM.isEmpty) {
+              val delta = novelM.stat.bloomFilter("fp", expectedItems, 0.01)
+              bloom.mergeInPlace(delta)
+              ()
+            }
           } finally if (bloom != null) novelM.unpersist(false)
         } finally {
           first.unpersist(false)

@@ -122,6 +122,30 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.dedup.bloomEnabled")
   }
 
+  test("null-text rows are dropped at ingest, not re-admitted every micro-batch") {
+    // a null text never matches an equi-join, so without the ingest
+    // guard each null row would look "novel" in EVERY batch and
+    // accumulate duplicates in the store — the corpus must instead
+    // contain zero null rows and exactly one keeper per real text
+    val dir = java.nio.file.Files.createTempDirectory("graft-st5null-").toString
+    val docs = Tables.t(spark, sf, "documents").limit(200)
+    val nulled = docs.withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("text", lit(null).cast("string"))
+    docs.unionByName(nulled).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val nDistinct = docs.select("text").distinct().count()
+    val storeA = new graft.store.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-st5null-a-").toString)
+    val keptText = graft.streaming.DocStreams.dedupSinkToStore(spark, dir, storeA, "docs")
+    assert(keptText.filter(col("text").isNull).count() == 0, "null text landed in the corpus")
+    assert(keptText.count() == nDistinct, "one keeper per non-null text")
+    val storeB = new graft.store.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-st5null-b-").toString)
+    val keptFp = graft.streaming.DocStreams.dedupSinkToStoreByFp(spark, dir, storeB, "docs")
+    assert(keptFp.filter(col("fp").isNull).count() == 0, "null fp landed in the corpus")
+    assert(keptFp.count() == nDistinct, "one keeper per non-null fingerprint")
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val sdf = EventStreams.streamStreamSignupJoin(spark, sf)
     val q = sdf.writeStream
