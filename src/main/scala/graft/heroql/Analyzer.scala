@@ -22,6 +22,7 @@ object Analyzer {
     case EUnary(_, x) => exprVars(x)
     case EBinary(_, l, r) => exprVars(l) | exprVars(r)
     case EConstruct(_, fields) => fields.map(_._2).flatMap(exprVars).toSet
+    case ECall(_, args) => args.flatMap(exprVars).toSet
     case ECmp(_, l, r) => exprVars(l) | exprVars(r)
     case EInterp(parts) => parts.collect { case Right(e) => exprVars(e) }
       .foldLeft(Set.empty[String])(_ | _)

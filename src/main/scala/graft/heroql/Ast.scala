@@ -177,6 +177,11 @@ object Ast {
     * (`Kernel/Drafts/draft_type:225,237`): literal chunks and spliced
     * expressions, compiled to one concat. */
   final case class EInterp(parts: Seq[Either[String, Expr]]) extends Expr
+  /** `fingerprint(text)` — a builtin scalar-function call. Builtin
+    * names are reserved words of the expression grammar (see
+    * [[Builtins]]); user-defined computation stays on the moded-`func`
+    * path, which dispatches relationally. */
+  final case class ECall(fn: String, args: Seq[Expr]) extends Expr
   final case class ECmp(op: String, l: Expr, r: Expr) extends Expr
   final case class EAnd(l: Expr, r: Expr) extends Expr
   final case class EOr(l: Expr, r: Expr) extends Expr

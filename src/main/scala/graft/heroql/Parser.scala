@@ -670,7 +670,8 @@ object Parser {
             b
         }
       case Some(TId(name)) if !name.startsWith("@") && name != "true" &&
-          name != "false" && (toks.lift(pos + 1).contains(TSym("(")) ||
+          name != "false" && !Builtins.scalar(name) &&
+          (toks.lift(pos + 1).contains(TSym("(")) ||
             toks.lift(pos + 1).contains(TSym("::"))) =>
         BAtomT(atomItem())
       case _ => BScal(comparisonExpr())
@@ -855,7 +856,18 @@ object Parser {
       case TId(v0) =>
         var v = v0
         while (at("::")) { pos += 1; v = v + "::" + expectId() } // Ns::Name
-        if (at("{")) { // `Variant{ field = expr, ... }`
+        if (Builtins.scalar(v) && at("(")) { // builtin scalar call
+          expectSym("(")
+          val args = Seq.newBuilder[Expr]
+          var first = true
+          while (!at(")")) {
+            if (!first) expectSym(",")
+            first = false
+            args += exprP()
+          }
+          expectSym(")")
+          ECall(v, args.result())
+        } else if (at("{")) { // `Variant{ field = expr, ... }`
           expectSym("{")
           val fields = Seq.newBuilder[(String, Expr)]
           var first = true
@@ -980,6 +992,7 @@ object Parser {
         case EBinary(op, l, r) => EBinary(op, m(l), m(r))
         case EConstruct(v, fields) =>
           EConstruct(v, fields.map { case (f, x) => f -> m(x) })
+        case ECall(fn, args) => ECall(fn, args.map(m))
         case EInterp(parts) => EInterp(parts.map {
           case Right(x) => Right(m(x))
           case l => l

@@ -355,6 +355,8 @@ final class Planner(decls: Map[String, DataDecl],
       case EUnary(op, _) => throw Analyzer.AnalysisError(s"unknown unary $op")
       case _: EConstruct => throw Analyzer.AnalysisError(
         s"${f.name}: union constructors are not supported inside recursive funcs")
+      case _: ECall => throw Analyzer.AnalysisError(
+        s"${f.name}: builtin calls are not supported inside recursive funcs")
       case EBinary(op, l, r) =>
         val (a, b) = (evalExpr(l, env), evalExpr(r, env))
         def num(x: Any): Double = x match {
@@ -804,6 +806,7 @@ final class Planner(decls: Map[String, DataDecl],
         case Left(s) => lit(s)
         case Right(e) => exprColEnv(e, env).cast("string")
       }: _*)
+    case ECall(fn, args) => Builtins.plan(fn, args.map(exprColEnv(_, env)))
     case ECmp(op, l, r) => cmpCol(op, exprColEnv(l, env), exprColEnv(r, env))
     case EAnd(l, r) => exprColEnv(l, env) && exprColEnv(r, env)
     case EOr(l, r) => exprColEnv(l, env) || exprColEnv(r, env)

@@ -233,6 +233,26 @@ query Report(k: int64) -> (price: double, tag: string)
     HeroQL.compile(nsProgram, "Report", Map("Sales::Orders" -> orders))
   }
 
+  /** hq18 — the 100 TB dedup shape (pipe2/st5b's fingerprint key)
+    * reachable from the LANGUAGE surface: the `fingerprint` builtin
+    * computes the ~60-bit key map-side inside a parsed HeroQL
+    * collection query, and the group_by keeper aggregation shuffles
+    * 8-byte longs, never raw text — the same one-exchange plan the
+    * Scala API produces. */
+  private val dedupProgram = """
+data Docs(id: int64, text: string).
+"""
+
+  private def runDedup(s: SparkSession, d: String): DataFrame =
+    HeroQL.compileCollection(dedupProgram,
+      """collection_query(id, text) :-
+           Docs(id, text),
+           fp <- fingerprint(text)
+         group_by fp(fp, keeper = Min(id), copies = Count(id))
+         ;""",
+      Map("Docs" -> t(s, d, "documents").select(
+        col("doc_id").as("id"), col("text"))))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hq1_top10_global" -> (run("Top10") _),
     "hq2_top3_per_partition" -> (run("Top3PerStudent") _),
@@ -252,6 +272,7 @@ query Report(k: int64) -> (price: double, tag: string)
     "hq15_ensure" -> (run("EnsuredScores") _),
     "hq16_interpolation" -> (run("Described") _),
     "hq17_namespaces" -> (runNs _),
+    "hq18_fingerprint_dedup" -> (runDedup _),
   )
 
   private val examsSql =
@@ -368,5 +389,11 @@ query Report(k: int64) -> (price: double, tag: string)
       """SELECT o_orderkey AS k, o_totalprice AS price,
                 'big ' || CAST(o_orderkey AS VARCHAR) AS tag
          FROM orders WHERE o_totalprice > 150000.0""",
+    // fingerprint builtin through the parsed language — same two-fold
+    // CRT expression as the tx4 oracle, keeper = min id per fp
+    "hq18_fingerprint_dedup" ->
+      ("""SELECT """ + graft.operators.TextFns.fingerprintDuckSql("text") +
+        """ AS fp, min(doc_id) AS keeper, count(*) AS copies
+         FROM documents GROUP BY 1"""),
   )
 }

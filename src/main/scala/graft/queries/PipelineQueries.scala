@@ -24,15 +24,40 @@ import graft.Tables.t
   */
 object PipelineQueries extends QueryPack {
 
-  private def pipe1(s: SparkSession, d: String): DataFrame = {
-    val kept = TextAnalysis.qualityScored(t(s, d, "documents"))
-      .filter(col("quality") >= 0.54)
-    val keepers = kept.groupBy(col("text")).agg(
+  /** Keeper aggregation per dedup key — min doc_id wins, its lang /
+    * n_tok / quality ride along via min_by.
+    *
+    * Spark's partial (map-side) aggregation already collapses a hot key
+    * to one partial row per input partition, so ordinary skew never
+    * reaches a reducer. The residual case at 100 TB is a key so hot
+    * (viral boilerplate text) that even the per-mapper partial rows
+    * concentrate on one reducer while the map-side hash table is
+    * thrashed by surrounding high-cardinality keys. For that corpus set
+    * `spark.graft.dedup.saltBuckets = n`: the keeper agg becomes
+    * two-level — partial per (key, salt(doc_id) mod n), then final per
+    * key — spreading the hot key across n reduce groups. Deterministic
+    * salt (hash of doc_id, not rand()) keeps task retries idempotent.
+    * Off by default: the extra exchange only pays for itself on a
+    * genuinely pathological corpus (SaltedAggSpec proves parity and
+    * the n-way spread). */
+  private[graft] def keeperAgg(s: SparkSession, kept: DataFrame, keyCol: String): DataFrame = {
+    def aggs = Seq(
       min(col("doc_id")).as("doc_id"),
       expr("min_by(lang, doc_id)").as("lang"),
       expr("min_by(n_tok, doc_id)").as("n_tok"),
       expr("min_by(quality, doc_id)").as("quality"))
-    keepers.groupBy("lang").agg(
+    val n = s.conf.getOption("spark.graft.dedup.saltBuckets").map(_.toInt).getOrElse(0)
+    if (n <= 0) kept.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+    else kept
+      .withColumn("__salt", pmod(xxhash64(col("doc_id")), lit(n)))
+      .groupBy(col(keyCol), col("__salt")).agg(aggs.head, aggs.tail: _*)
+      .groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def pipe1(s: SparkSession, d: String): DataFrame = {
+    val kept = TextAnalysis.qualityScored(t(s, d, "documents"))
+      .filter(col("quality") >= 0.54)
+    keeperAgg(s, kept, "text").groupBy("lang").agg(
       count(lit(1)).as("n_docs"),
       sum("n_tok").as("sum_tokens"),
       round(avg("quality"), 6).as("avg_quality"))
@@ -48,12 +73,7 @@ object PipelineQueries extends QueryPack {
     val kept = TextAnalysis.qualityScored(t(s, d, "documents"))
       .filter(col("quality") >= 0.54)
       .withColumn("fp", graft.operators.TextFns.fingerprint("text"))
-    val keepers = kept.groupBy(col("fp")).agg(
-      min(col("doc_id")).as("doc_id"),
-      expr("min_by(lang, doc_id)").as("lang"),
-      expr("min_by(n_tok, doc_id)").as("n_tok"),
-      expr("min_by(quality, doc_id)").as("quality"))
-    keepers.groupBy("lang").agg(
+    keeperAgg(s, kept, "fp").groupBy("lang").agg(
       count(lit(1)).as("n_docs"),
       sum("n_tok").as("sum_tokens"),
       round(avg("quality"), 6).as("avg_quality"))
@@ -96,7 +116,7 @@ object PipelineQueries extends QueryPack {
     // pipe2: identical chain, but the keeper stage groups on the tx4
     // rolling fingerprint (same expression as the tx4 oracle)
     "pipe2_fingerprint_pipeline" ->
-      """WITH c AS (
+      ("""WITH c AS (
            SELECT doc_id, lang, text,
              CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
              CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS alpha,
@@ -112,10 +132,7 @@ object PipelineQueries extends QueryPack {
                + 0.15 * (1.0 - CAST(n_upper AS DOUBLE) / greatest(alpha, 1)) AS quality
            FROM c),
          f AS (SELECT *,
-             list_reduce(
-               list_concat([CAST(0 AS BIGINT)],
-                 [CAST(unicode(substr(text, x, 1)) AS BIGINT) for x in range(1, length(text) + 1)]),
-               (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+             """ + graft.operators.TextFns.fingerprintDuckSql("text") + """ AS fp
            FROM q WHERE quality >= 0.54),
          k AS (
            SELECT fp, min(doc_id) AS doc_id,
@@ -125,6 +142,6 @@ object PipelineQueries extends QueryPack {
            FROM f GROUP BY fp)
          SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
                 round(avg(quality), 6) AS avg_quality
-         FROM k GROUP BY lang""",
+         FROM k GROUP BY lang"""),
   )
 }

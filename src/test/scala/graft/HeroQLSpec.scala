@@ -31,6 +31,28 @@ class HeroQLParserSpec extends AnyFunSuite {
       Compare("<", EVar("order"), ELit(LInt(10)))))
   }
 
+  test("builtin scalar call parses as ECall; non-builtin name(...) stays an atom") {
+    val p = Parser.parse(
+      """data Docs(id: int64, text: string).
+        |query Fp(id: int64) -> (fp: int64)
+        |:- Docs(id, text),
+        |   fp <- fingerprint(text)
+        |.""".stripMargin)
+    assert(p.queries.head.body.alts.head.items == Seq(
+      Atom("Docs", Seq(TVar("id"), TVar("text"))),
+      Binding("fp", ECall("fingerprint", Seq(EVar("text"))))))
+    // a non-builtin name followed by ( in boolean position is still a
+    // relation atom — builtins are reserved words, nothing else changes
+    val q = Parser.parse(
+      """data Docs(id: int64, text: string).
+        |data Kept(id: int64).
+        |query K(id: int64)
+        |:- Docs(id, text), Kept(id)
+        |.""".stripMargin)
+    assert(q.queries.head.body.alts.head.items.last ==
+      Atom("Kept", Seq(TVar("id"))))
+  }
+
   test("golden: disjunction rule parses as two alternatives") {
     val p = Parser.parse(
       """data Father(father: int64, child: int64).
