@@ -188,6 +188,31 @@ object VectorFns {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** ~60-bit two-prime CRT document fingerprint (native form of
+    * TextFns.fingerprintHof — both folds in ONE codepoint walk instead
+    * of two interpreted aggregate() chains of per-character lambdas;
+    * same codepoint order, so results are bit-identical and the DuckDB
+    * oracle pair in TextFns.fingerprintDuckSql keeps matching). */
+  case class Fingerprint64(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      var h1 = 0L
+      var h2 = 0L
+      var j = 0
+      while (j < s.length) {
+        val cp = s.codePointAt(j)
+        h1 = (h1 * 31 + cp) % 1000000007L
+        h2 = (h2 * 31 + cp) % 998244353L
+        j += Character.charCount(cp)
+      }
+      h1 * 998244353L + h2
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** 31-bit SimHash from a precomputed token-hash array (same formula
     * as TextFns.simhashOfHashes — sign-of-sum per bit — in one native
     * pass instead of 31 interpreted aggregate() lambdas). */
@@ -434,6 +459,7 @@ object VectorFns {
       "graft_sorted_intersect" -> (exprs => SortedIntersectCount(exprs(0), exprs(1))),
       "graft_sorted_intersect_long" -> (exprs => SortedIntersectCountLong(exprs(0), exprs(1))),
       "graft_simhash31" -> (exprs => SimHash31(exprs.head)),
+      "graft_fingerprint64" -> (exprs => Fingerprint64(exprs.head)),
       "graft_token_polyhash" -> (exprs => TokenPolyHash(exprs.head, 7L, 2147483647L)),
       "graft_shingle_hashes" -> (exprs => ShingleHashesSorted(exprs(0), litInt(exprs(1)), 42L)),
       "graft_sorted_intersect_bounded" ->

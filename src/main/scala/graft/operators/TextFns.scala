@@ -55,8 +55,22 @@ object TextFns {
   def fingerprint(textCol: String): Column = fingerprintOf(col(textCol))
 
   /** [[fingerprint]] over an arbitrary Column (the HeroQL builtin plans
-    * through this form) — same fold, Column-API composed. */
+    * through this form) — the NATIVE expression
+    * ([[graft.functions.VectorFns.Fingerprint64]]): both folds in one
+    * codepoint walk. The composed-HOF folds evaluate one interpreted
+    * lambda per character per modulus — a 1 KB document costs ~2000
+    * closure dispatches per row, which dominated the census bench once
+    * the key widened to two folds. */
   def fingerprintOf(text: Column): Column = {
+    graft.functions.VectorFns.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_fingerprint64", text)
+  }
+
+  /** The composed higher-order-function form of [[fingerprintOf]] —
+    * kept as the readable reference implementation (bit-identical; the
+    * parity spec pins the native expression to it). */
+  def fingerprintHof(text: Column): Column = {
     def poly(mod: Long): Column = aggregate(
       transform(sequence(lit(1), length(text)),
         i => ascii(text.substr(i, lit(1))).cast("long")),

@@ -17,6 +17,17 @@ class DedupSpec extends SparkSpec {
       .select("a_id", "b_id")
   }
 
+  test("native fingerprint64 equals the composed-HOF reference fold") {
+    // one codepoint walk vs two interpreted aggregate() chains — must be
+    // bit-identical on the real corpus (incl. CJK rows: codepoint order,
+    // not UTF-16 units, is the shared contract with DuckDB unicode())
+    val bad = Tables.t(spark, sf, "documents")
+      .select(TextFns.fingerprint("text").as("a"),
+        TextFns.fingerprintHof(col("text")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(bad == 0, "native fingerprint diverges from the HOF reference")
+  }
+
   test("minhash-LSH pairs are a subset of the exact-jaccard pairs") {
     val lsh = Dedup.queries("dd3_minhash_lsh")(spark, sf).select("a_id", "b_id")
     val exact = exactPairs(0.25)
