@@ -214,15 +214,23 @@ object DocStreams {
           try {
             if (store.exists(table)) store.insert(table, novelM)
             else store.create(table, novelM)
-            // grow with this commit's novel fps — built DISTRIBUTED
-            // (stat.bloomFilter is a treeAggregate, the same API that
-            // seeds the bloom at stream start) and merged into the
-            // driver-held filter: no per-row collect, no driver loop.
-            // Same (n, fpp) as the seed filter: mergeInPlace requires
-            // compatible bit arrays. An all-dup batch is skipped —
+            // grow with this commit's novel fps — built via
+            // stat.bloomFilter (the same API that seeds the bloom at
+            // stream start) and merged into the driver-held filter: no
+            // per-row collect, no driver loop. Same (n, fpp) as the
+            // seed filter: mergeInPlace requires compatible bit arrays
+            // — which also means every delta task must allocate and
+            // ship the FULL expectedItems-sized buffer (~5 MB at the
+            // 4M default) regardless of content. coalesce(1) keeps
+            // that to ONE buffer per batch instead of one per shuffle
+            // partition (profiled at ~5s/run across 4 micro-batches
+            // otherwise — tools/ProfileSt5b); the delta input is ≤ one
+            // micro-batch of 8-byte fps, so single-task is the right
+            // size by construction. An all-dup batch is skipped —
             // bloomFilter over zero rows yields a null buffer.
             if (bloom != null && !novelM.isEmpty) {
-              val delta = novelM.stat.bloomFilter("fp", expectedItems, 0.01)
+              val delta = novelM.select("fp").coalesce(1)
+                .stat.bloomFilter("fp", expectedItems, 0.01)
               bloom.mergeInPlace(delta)
               ()
             }
