@@ -241,7 +241,22 @@ query Report(k: int64) -> (price: double, tag: string)
     * Scala API produces. */
   private val dedupProgram = """
 data Docs(id: int64, text: string).
+
+query DocStats(id: int64) -> (toks: int64, chars: int64)
+:-  Docs(id, text),
+    toks <- token_count(text),
+    chars <- char_count(text)
+.
 """
+
+  private def docsCatalog(s: SparkSession, d: String): Map[String, DataFrame] =
+    Map("Docs" -> t(s, d, "documents").select(
+      col("doc_id").as("id"), col("text")))
+
+  /** hq19 — the remaining builtins (token_count / char_count) through a
+    * classic rule body: ECall in binding position, map-only plan. */
+  private def runDocStats(s: SparkSession, d: String): DataFrame =
+    HeroQL.compile(dedupProgram, "DocStats", docsCatalog(s, d))
 
   private def runDedup(s: SparkSession, d: String): DataFrame =
     HeroQL.compileCollection(dedupProgram,
@@ -250,8 +265,7 @@ data Docs(id: int64, text: string).
            fp <- fingerprint(text)
          group_by fp(fp, keeper = Min(id), copies = Count(id))
          ;""",
-      Map("Docs" -> t(s, d, "documents").select(
-        col("doc_id").as("id"), col("text"))))
+      docsCatalog(s, d))
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hq1_top10_global" -> (run("Top10") _),
@@ -273,6 +287,7 @@ data Docs(id: int64, text: string).
     "hq16_interpolation" -> (run("Described") _),
     "hq17_namespaces" -> (runNs _),
     "hq18_fingerprint_dedup" -> (runDedup _),
+    "hq19_builtin_textstats" -> (runDocStats _),
   )
 
   private val examsSql =
@@ -395,5 +410,11 @@ data Docs(id: int64, text: string).
       ("""SELECT """ + graft.operators.TextFns.fingerprintDuckSql("text") +
         """ AS fp, min(doc_id) AS keeper, count(*) AS copies
          FROM documents GROUP BY 1"""),
+    // builtin token/char counters — same formulas as the tx1 oracle
+    "hq19_builtin_textstats" ->
+      """SELECT doc_id AS id,
+         CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS toks,
+         CAST(length(text) AS BIGINT) AS chars
+         FROM documents""",
   )
 }
