@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{AdminQueries, CollectionQueries, Dedup, GraphQueries, HeroMutations, HeroQueries, MultimodalQueries, Mutations, PackageQueries, PipelineQueries, QueryPack, Relational, Similarity, SourceQueries, Streaming, TextAnalysis}
+import graft.queries.{AdminQueries, CollectionQueries, Dedup, GraphQueries, HeroMutations, HeroQueries, MultimodalQueries, Mutations, PackageQueries, PipelineQueries, QueryPack, Relational, Similarity, SourceQueries, Streaming, TextAnalysis, TrainingSetQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -29,6 +29,7 @@ object SparkEntry {
     PackageQueries,
     SourceQueries,
     PipelineQueries,
+    TrainingSetQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

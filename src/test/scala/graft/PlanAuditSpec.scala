@@ -30,6 +30,19 @@ class PlanAuditSpec extends SparkSpec {
       s"probe side must broadcast:\n$p")
   }
 
+  test("samp1 stratified sample is map-only: no exchange anywhere in the plan") {
+    val p = plan(graft.queries.TrainingSetQueries, "samp1_stratified_sample")
+    assert(!p.contains("Exchange"),
+      s"hash-keyed sampling must not shuffle:\n$p")
+  }
+
+  test("dc1 decontamination joins on the gram fingerprint, never all-pairs") {
+    val p = plan(graft.queries.TrainingSetQueries, "dc1_decontamination")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"contamination check must be an equi-join on the gram hash:\n$p")
+    assert(p.contains("gram_fp"), s"join key must be the 8-byte fingerprint:\n$p")
+  }
+
   test("salted skew join shuffles on (key, salt), not the key alone") {
     val p = plan(graft.queries.Relational, "j11_salted_skew_join")
     assert(p.contains("__salt"), s"salt missing from exchange:\n$p")
