@@ -30,6 +30,14 @@ class PlanAuditSpec extends SparkSpec {
       s"probe side must broadcast:\n$p")
   }
 
+  test("hq18 language-surface dedup shuffles the 8-byte fingerprint, not text") {
+    val p = plan(graft.queries.HeroQueries, "hq18_fingerprint_dedup")
+    assert(p.contains("hashpartitioning(fp"),
+      s"keeper exchange must partition on fp:\n$p")
+    assert(!p.contains("hashpartitioning(text"),
+      s"raw text must not cross an exchange:\n$p")
+  }
+
   test("samp1 stratified sample is map-only: no exchange anywhere in the plan") {
     val p = plan(graft.queries.TrainingSetQueries, "samp1_stratified_sample")
     assert(!p.contains("Exchange"),
