@@ -28,6 +28,17 @@ class DedupSpec extends SparkSpec {
     assert(bad == 0, "native fingerprint diverges from the HOF reference")
   }
 
+  test("fingerprint edge cases: empty, CJK, and supplementary-plane text agree native-vs-HOF") {
+    import spark.implicits._
+    val rows = Seq("", "a", "日本語テキスト", "mixed 日本 text",
+      "emoji 😀 pair", "  spaces  ").toDF("text")
+    val bad = rows
+      .select(TextFns.fingerprint("text").as("a"),
+        TextFns.fingerprintHof(col("text")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(bad == 0, "edge-case fingerprints diverge between native and HOF forms")
+  }
+
   test("minhash-LSH pairs are a subset of the exact-jaccard pairs") {
     val lsh = Dedup.queries("dd3_minhash_lsh")(spark, sf).select("a_id", "b_id")
     val exact = exactPairs(0.25)
