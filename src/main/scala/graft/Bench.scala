@@ -62,19 +62,20 @@ object Bench {
     val results = order.map { name =>
       val fn = all(name)
       var failed = false
-      val best = (1 to runs).map { _ =>
+      val samples = (1 to runs).map { _ =>
         // snapshot of what was persisted BEFORE this run: only blocks
         // this run creates get released afterwards, so pre-existing
         // state (warm-up checkpoints, a cached HeroQL plan from an
         // earlier query) can never be made unrecomputable under a
         // plan that still references it
         val pre = spark.sparkContext.getPersistentRDDs.keySet
+        var ok = true
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
             // a swallowed failure would read as a suspiciously FAST
             // query — flag it in the JSON line (below) AND on stderr
-            failed = true
+            failed = true; ok = false
             System.err.println(s"BENCH QUERY FAILED: $name — ${e.getClass.getSimpleName}: ${e.getMessage}")
         }
         val dt = (System.nanoTime() - t0) / 1e9
@@ -91,15 +92,24 @@ object Bench {
           if (!pre.contains(id)) r.unpersist(true)
         }
         spark.catalog.clearCache()
-        dt
-      }.min
+        (dt, ok)
+      }
+      // a failed run's time is its TIME-TO-FAILURE, not a measurement —
+      // the min (and the headline total) take successful samples only;
+      // a query whose every run failed reports null and its flag in
+      // `failed` is the signal
+      val best = samples.collect { case (dt, true) => dt } match {
+        case ss if ss.nonEmpty => Some(ss.min)
+        case _ => None
+      }
       (name, best, failed)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _) =>
+      s"\"" + k + "\":" + v.map(_.toString).getOrElse("null")
+    }.mkString("{", ",", "}")
     val failedList = results.collect { case (k, _, true) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    val total = results.flatMap(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedList,"sf":"$sfDir","runs":$runs}""")
     spark.stop()
   }

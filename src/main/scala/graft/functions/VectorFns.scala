@@ -473,15 +473,37 @@ object VectorFns {
     base ++ mh
   }
 
+  /** What each session already has registered: present = base functions
+    * are in, value = the minhash coefficients its builders were built
+    * with (empty until a coefficient-bearing register call). Weak keys:
+    * a stopped session must not be pinned by the guard. */
+  private val registered = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, (Seq[Long], Seq[Long])]())
+
   /** Idempotent per-session registration (the guide-sanctioned route to
     * use custom expressions from the Column API without internal
     * constructors). The minhash coefficients are fixed by the session's
-    * registered builder — register(spark, as, bs) before use. */
+    * registered builder — register(spark, as, bs) before use.
+    *
+    * Guarded so repeated calls (every plan build routes through
+    * [[graft.operators.TextFns.fingerprintOf]]) are no-ops: an
+    * unconditional createOrReplaceTempFunction logs a "replaced a
+    * previously registered function" WARN per function per call, which
+    * polluted every driver artifact tail. Only a genuine change — first
+    * registration, or new minhash coefficients — touches the registry. */
   def register(spark: SparkSession, as: Seq[Long] = Nil, bs: Seq[Long] = Nil): Unit = {
+    val prev = registered.get(spark)
+    val coeffsChanged = as.nonEmpty && (prev == null || prev != ((as, bs)))
+    if (prev != null && !coeffsChanged) return
     val reg = spark.sessionState.functionRegistry
-    builders(as, bs).foreach { case (name, b) =>
+    val toAdd =
+      if (prev == null) builders(as, bs)
+      else builders(as, bs).filter(_._1.startsWith("graft_minhash"))
+    toAdd.foreach { case (name, b) =>
       reg.createOrReplaceTempFunction(name, b, "built-in")
     }
+    registered.put(spark,
+      if (as.nonEmpty) (as, bs) else if (prev != null) prev else (Nil, Nil))
   }
 
   def dotF(spark: SparkSession, aSql: String, bSql: String): Column = {

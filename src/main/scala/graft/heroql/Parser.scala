@@ -382,9 +382,11 @@ object Parser {
     def unionDecl(): UnionDecl = {
       expectId() // union
       val name = expectId()
+      rejectReservedName("union type", name)
       expectSym("=")
       def variant(): UnionVariant = {
         val vn = expectId()
+        rejectReservedName("union variant", vn)
         val fields = if (eat("(")) { val f = argList(); expectSym(")"); f }
         else Seq.empty
         UnionVariant(vn, fields)
@@ -398,9 +400,20 @@ object Parser {
 
     /** `func Name(in a, out b);` — modes default to `in`
       * (`Kernel/Drafts/draft:75-79`). */
+    /** Builtin scalar names are reserved words of the expression grammar
+      * (`fingerprint(x)` parses as a call wherever it appears) — a
+      * declaration reusing one would silently change the meaning of its
+      * own atoms and fail later with a confusing arity/type error, so
+      * reject it here with the real diagnosis. */
+    private def rejectReservedName(kind: String, name: String): Unit =
+      if (Builtins.scalar(name)) throw ParseError(
+        s"'$name' is a reserved builtin scalar function name and cannot " +
+          s"be declared as a $kind", pos - 1)
+
     def funcDecl(): FuncDecl = {
       expectId() // func
       val name = expectId()
+      rejectReservedName("func", name)
       expectSym("(")
       val params = Seq.newBuilder[(String, String)]
       var first = true
@@ -434,6 +447,7 @@ object Parser {
     def dataDecl(): DataDecl = {
       expectId() // data
       val name = expectId()
+      rejectReservedName("data relation", name)
       expectSym("(")
       val fields = argList()
       expectSym(")")
@@ -459,6 +473,7 @@ object Parser {
       if (cached) { next(); () } // `cached query ...`
       expectId() // query
       val name = expectId()
+      rejectReservedName("query", name)
       expectSym("(")
       val inArgs = argList()
       expectSym(")")

@@ -106,9 +106,14 @@ object Relational extends QueryPack {
   }
 
   /** J4 — `not exists Body` → left-anti join
-    * (`Kernel/Drafts/draft_type:190,279`). */
+    * (`Kernel/Drafts/draft_type:190,279`). The anti-join runs against a
+    * RESTRICTED orders subset (urgent orders) so the gate result is
+    * non-empty at every SF — every customer has *some* order in the
+    * fixture, and an all-customers anti-join would pass vacuously at 0
+    * rows even if the operator broke (round-8 verdict item 4). */
   private def j4(s: SparkSession, d: String): DataFrame = {
-    val c = t(s, d, "customer"); val o = t(s, d, "orders")
+    val c = t(s, d, "customer")
+    val o = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
   }
@@ -301,10 +306,15 @@ object Relational extends QueryPack {
     c.union(sup).distinct()
   }
 
-  /** U2 — difference via `not exists` (`Kernel/Drafts/draft_type:190`). */
+  /** U2 — difference via `not exists` (`Kernel/Drafts/draft_type:190`).
+    * The subtrahend is restricted to low nation keys so the two sides
+    * have asymmetric domains and the difference is non-empty — both
+    * fixture tables cover all 25 nations, so the unrestricted EXCEPT
+    * passed vacuously at 0 rows (round-8 verdict item 4). */
   private def u2(s: SparkSession, d: String): DataFrame = {
     val c = t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
-    val sup = t(s, d, "supplier").select(col("s_nationkey").as("nationkey"))
+    val sup = t(s, d, "supplier").filter(col("s_nationkey") < 13)
+      .select(col("s_nationkey").as("nationkey"))
     c.except(sup)
   }
 
@@ -592,7 +602,9 @@ object Relational extends QueryPack {
          WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
     "j4_not_exists_anti" ->
       """SELECT c_custkey, c_name FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderpriority = '1-URGENT')""",
     "j5_theta_join" ->
       """SELECT n1.n_nationkey AS k1, n1.n_name AS name1,
                 n2.n_nationkey AS k2, n2.n_name AS name2
@@ -681,7 +693,8 @@ object Relational extends QueryPack {
          UNION SELECT s_nationkey AS nationkey FROM supplier""",
     "u2_except" ->
       """SELECT c_nationkey AS nationkey FROM customer
-         EXCEPT SELECT s_nationkey AS nationkey FROM supplier""",
+         EXCEPT SELECT s_nationkey AS nationkey FROM supplier
+                WHERE s_nationkey < 13""",
     "u3_intersect" ->
       """SELECT c_nationkey AS nationkey FROM customer
          INTERSECT SELECT s_nationkey AS nationkey FROM supplier""",

@@ -114,16 +114,24 @@ object TextAnalysis extends QueryPack {
   private def tx5(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
       .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
+      // 1-token guard: an unguarded sequence(1, size-1) DESCENDS to
+      // [1, 0] and element_at(·, 0) throws; a 1-token doc has no
+      // 2-grams, and its repetition ratio is defined as 0.0 below
+      // (nothing repeats in one token) — both mirrored in the oracle
       .withColumn("grams2", expr(
-        """transform(sequence(1, size(toks) - 1),
-             i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""))
+        """CASE WHEN size(toks) >= 2
+           THEN transform(sequence(1, size(toks) - 1),
+                  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
+           ELSE array() END"""))
       .withColumn("n_tok", expr("CAST(size(toks) AS BIGINT)"))
       .withColumn("n_distinct_tok", expr("CAST(size(array_distinct(toks)) AS BIGINT)"))
       .withColumn("n_distinct_2gram", expr("CAST(size(array_distinct(grams2)) AS BIGINT)"))
       .withColumn("tok_rep_ratio",
         expr("1.0 - CAST(n_distinct_tok AS DOUBLE) / n_tok"))
-      .withColumn("gram2_rep_ratio",
-        expr("1.0 - CAST(n_distinct_2gram AS DOUBLE) / (n_tok - 1)"))
+      .withColumn("gram2_rep_ratio", expr(
+        """CASE WHEN n_tok >= 2
+           THEN 1.0 - CAST(n_distinct_2gram AS DOUBLE) / (n_tok - 1)
+           ELSE 0.0 END"""))
       .withColumn("keep", expr("tok_rep_ratio <= 0.7 AND gram2_rep_ratio <= 0.1"))
       .select("doc_id", "n_tok", "n_distinct_tok", "n_distinct_2gram",
         "tok_rep_ratio", "gram2_rep_ratio", "keep")
@@ -189,7 +197,7 @@ object TextAnalysis extends QueryPack {
       s"""SELECT doc_id, ${TextFns.fingerprintDuckSql("text")} AS fp
          FROM documents""",
     // same operand order as the Spark expressions so the double
-    // divisions are bit-equal
+    // divisions are bit-equal; same 1-token guard (ratio defined 0.0)
     "tx5_repetition_filter" ->
       """WITH tk AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
@@ -197,15 +205,20 @@ object TextAnalysis extends QueryPack {
          g AS (
            SELECT doc_id, toks,
              [toks[x] || ' ' || toks[x + 1] for x in range(1, len(toks))] AS grams2
-           FROM tk)
-         SELECT doc_id,
-           CAST(len(toks) AS BIGINT) AS n_tok,
-           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tok,
-           CAST(len(list_distinct(grams2)) AS BIGINT) AS n_distinct_2gram,
-           1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS tok_rep_ratio,
-           1.0 - CAST(len(list_distinct(grams2)) AS DOUBLE) / (len(toks) - 1) AS gram2_rep_ratio,
-           ((1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) <= 0.7
-            AND (1.0 - CAST(len(list_distinct(grams2)) AS DOUBLE) / (len(toks) - 1)) <= 0.1) AS keep
-         FROM g""",
+           FROM tk),
+         r AS (
+           SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tok,
+             CAST(len(list_distinct(grams2)) AS BIGINT) AS n_distinct_2gram,
+             1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS tok_rep_ratio,
+             CASE WHEN len(toks) >= 2
+               THEN 1.0 - CAST(len(list_distinct(grams2)) AS DOUBLE) / (len(toks) - 1)
+               ELSE 0.0 END AS gram2_rep_ratio
+           FROM g)
+         SELECT doc_id, n_tok, n_distinct_tok, n_distinct_2gram,
+           tok_rep_ratio, gram2_rep_ratio,
+           (tok_rep_ratio <= 0.7 AND gram2_rep_ratio <= 0.1) AS keep
+         FROM r""",
   )
 }

@@ -50,13 +50,20 @@ object TrainingSetQueries extends QueryPack {
       sum(when(col("h") < col("rate_pct"), 1L).otherwise(0L)).as("n_sampled"),
       min(col("rate_pct")).as("target_pct"))
 
-  /** Distinct token-8-gram fingerprints per document. */
+  /** Distinct token-8-gram fingerprints per document. Documents shorter
+    * than 8 tokens contribute no grams (guarded: an unguarded
+    * `sequence(1, size - 7)` DESCENDS for short docs and `slice` then
+    * throws at runtime, while DuckDB's `range()` yields empty — real
+    * corpora are full of short documents even though the fixture isn't;
+    * same guard shape as [[TextFns.shinglesSql]]). */
   private def gramFps(docs: DataFrame): DataFrame =
     docs
       .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
       .withColumn("gram", explode(expr(
-        """array_distinct(transform(sequence(1, size(toks) - 7),
-             i -> concat_ws(' ', slice(toks, i, 8))))""")))
+        """CASE WHEN size(toks) >= 8
+           THEN array_distinct(transform(sequence(1, size(toks) - 7),
+                  i -> concat_ws(' ', slice(toks, i, 8))))
+           ELSE array() END""")))
       .withColumn("gram_fp", TextFns.fingerprintOf(col("gram")))
 
   /** dc1 — contaminated training documents: docs outside the held-out
