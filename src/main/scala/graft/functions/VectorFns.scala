@@ -188,27 +188,43 @@ object VectorFns {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** The fingerprint fold itself, shared VERBATIM by the interpreted
+    * eval and the generated code (the codegen emits a call to this via
+    * the object's static forwarder) — one implementation, zero drift
+    * between the two execution paths. FpEdgeCheck pins it to DuckDB
+    * golden values including supplementary-plane codepoints. */
+  def fp64(s: String): Long = {
+    var h1 = 0L
+    var h2 = 0L
+    var j = 0
+    while (j < s.length) {
+      val cp = s.codePointAt(j)
+      h1 = (h1 * 31 + cp) % 1000000007L
+      h2 = (h2 * 31 + cp) % 998244353L
+      j += Character.charCount(cp)
+    }
+    h1 * 998244353L + h2
+  }
+
   /** ~60-bit two-prime CRT document fingerprint (native form of
     * TextFns.fingerprintHof — both folds in ONE codepoint walk instead
     * of two interpreted aggregate() chains of per-character lambdas;
     * same codepoint order, so results are bit-identical and the DuckDB
-    * oracle pair in TextFns.fingerprintDuckSql keeps matching). */
-  case class Fingerprint64(child: Expression) extends UnaryExpression with CodegenFallback {
+    * oracle pair in TextFns.fingerprintDuckSql keeps matching).
+    *
+    * Participates in whole-stage codegen: this is the hot dedup key
+    * (pipe2 / st5b / hq18), and a CodegenFallback here would eval
+    * interpreted with per-row boxing inside the generated stage
+    * (round-8 verdict item 3). */
+  case class Fingerprint64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
 
-    override def nullSafeEval(input: Any): Any = {
-      val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
-      var h1 = 0L
-      var h2 = 0L
-      var j = 0
-      while (j < s.length) {
-        val cp = s.codePointAt(j)
-        h1 = (h1 * 31 + cp) % 1000000007L
-        h2 = (h2 * 31 + cp) % 998244353L
-        j += Character.charCount(cp)
-      }
-      h1 * 998244353L + h2
-    }
+    override def nullSafeEval(input: Any): Any =
+      fp64(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.VectorFns.fp64($c.toString())")
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }

