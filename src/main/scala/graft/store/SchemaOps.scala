@@ -68,16 +68,31 @@ object SchemaOp {
   }
 }
 
-/** One parsed manifest line: a data dir or a schema op. */
+/** One parsed manifest line: a data dir, a schema op, or the table's
+  * partition-column property. */
 private[store] sealed trait ManifestEntry
 private[store] final case class DataDir(dir: String) extends ManifestEntry
 private[store] final case class OpEntry(op: SchemaOp) extends ManifestEntry
 
+/** Table property (not a log op): data dirs of this table are written
+  * `partitionBy(cols)`, so their files live under `col=value/`
+  * subdirectories and an equality/IN filter on a partition column
+  * prunes whole directories at planning time — the store-level heir of
+  * the reference's `Hash(col)` index design (`Kernel/README.md:62-74`),
+  * and the mechanism that lets the streaming-dedup probe open only the
+  * buckets a micro-batch's candidate fingerprints can live in. Carried
+  * as the first manifest line; inserts and COW rewrites preserve it. */
+private[store] final case class PartColsEntry(cols: Seq[String]) extends ManifestEntry
+
 private[store] object ManifestEntry {
   def parse(line: String): ManifestEntry =
-    if (line.startsWith("@")) OpEntry(SchemaOp.decode(line)) else DataDir(line)
+    if (line.startsWith("@partcols\t"))
+      PartColsEntry(line.split("\t", 2)(1).split(",").toSeq.filter(_.nonEmpty))
+    else if (line.startsWith("@")) OpEntry(SchemaOp.decode(line))
+    else DataDir(line)
   def encode(e: ManifestEntry): String = e match {
     case DataDir(d) => d
     case OpEntry(op) => op.encode
+    case PartColsEntry(cs) => s"@partcols\t${cs.mkString(",")}"
   }
 }

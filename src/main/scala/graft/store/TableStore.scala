@@ -117,9 +117,19 @@ final class TableStore(val spark: SparkSession, val root: String) {
     readEntries(table, m)
   }
 
-  private[store] def writeData(table: String, df: DataFrame): String = {
+  private[store] def writeData(table: String, df: DataFrame,
+      partCols: Seq[String] = Nil): String = {
     val sub = s"data-${UUID.randomUUID().toString.take(12)}"
-    df.write.mode("overwrite").parquet(rootPath.resolve(table).resolve(sub).toString)
+    // cluster rows by partition value before a partitioned write: the
+    // dynamic partition writer otherwise emits one file PER TASK PER
+    // VALUE — task-count × bucket-count small files per commit, the
+    // classic small-file explosion; clustered, each bucket is one file
+    // per commit and reads open exactly files ∝ buckets touched
+    val out = if (partCols.isEmpty) df
+      else df.repartition(partCols.map(col): _*)
+    val w = out.write.mode("overwrite")
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+      .parquet(rootPath.resolve(table).resolve(sub).toString)
     sub
   }
 
@@ -142,8 +152,42 @@ final class TableStore(val spark: SparkSession, val root: String) {
       case e => e
     }
 
-  private[store] def readDirs(table: String, dirs: Seq[String]): DataFrame =
-    spark.read.parquet(dirs.map(d => resolveDir(table, d).toString): _*)
+  /** True iff any parquet file exists under `p` (a partitioned write of
+    * an empty frame leaves a fileless dir — readable only by skipping). */
+  private def hasParquet(p: Path): Boolean = {
+    if (!Files.exists(p)) return false
+    val s = Files.walk(p)
+    try s.anyMatch(f => f.getFileName.toString.endsWith(".parquet"))
+    finally s.close()
+  }
+
+  /** One frame over a run of data dirs. Unpartitioned tables read all
+    * dirs in ONE scan. Partitioned dirs carry `col=value/` subdirs, and
+    * Spark's partition discovery rejects multiple sibling roots
+    * ("conflicting directory structures") — so each dir becomes its own
+    * discovery root and the run unions; a filter on the partition
+    * column pushes through the union into every scan, so bucket
+    * pruning holds per dir. `decorate` runs directly above each raw
+    * scan (NOT above the union: `_metadata` columns only resolve
+    * against a file source relation). */
+  private[store] def readDirs(table: String, dirs: Seq[String],
+      partitioned: Boolean = false,
+      decorate: DataFrame => DataFrame = identity): DataFrame =
+    if (!partitioned)
+      decorate(spark.read.parquet(dirs.map(d => resolveDir(table, d).toString): _*))
+    else {
+      val paths = dirs.map(d => resolveDir(table, d))
+      val nonEmpty = paths.filter(hasParquet)
+      val use = if (nonEmpty.nonEmpty) nonEmpty else paths
+      // infer the schema from the first root only: every dir of a run
+      // shares a schema vintage, and per-leg inference would re-read
+      // footers once per dir per plan build (a streaming probe builds
+      // plans every micro-batch)
+      val head = spark.read.parquet(use.head.toString)
+      val rest = use.tail.map(p =>
+        spark.read.schema(head.schema).parquet(p.toString))
+      (head +: rest).map(decorate).reduce(_.unionByName(_))
+    }
 
   /** Fold the manifest log into one frame: each maximal run of data
     * dirs is ONE parquet read (those dirs share a schema vintage), each
@@ -156,16 +200,22 @@ final class TableStore(val spark: SparkSession, val root: String) {
     * existed. */
   private[store] def readLog(table: String, entries: Seq[ManifestEntry],
       decorate: DataFrame => DataFrame = identity): DataFrame = {
+    val partitioned = entries.exists(_.isInstanceOf[PartColsEntry])
     var acc: Option[DataFrame] = None
     var run = Vector.empty[String]
     def flushRun(): Unit = if (run.nonEmpty) {
-      val batch = decorate(readDirs(table, run))
+      val batch = readDirs(table, run, partitioned, decorate)
       acc = Some(acc.fold(batch)(_.unionByName(batch)))
       run = Vector.empty
     }
     entries.foreach {
       case DataDir(d) => run :+= d
       case OpEntry(op) => flushRun(); acc = acc.map(op.apply)
+      // a table property, not a log op: dirs around it stay one run.
+      // Reading partitioned dirs needs no special handling — each dir
+      // is its own discovery root, so `col=value/` subdirs surface the
+      // partition column in every run's scan
+      case PartColsEntry(_) => ()
     }
     flushRun()
     acc.getOrElse(throw new IllegalArgumentException(
@@ -235,6 +285,23 @@ final class TableStore(val spark: SparkSession, val root: String) {
   }
 
   def create(name: String, df: DataFrame): Unit = transaction(_.create(name, df))
+
+  /** Create `name` hash/value-partitioned on `cols`: every data dir is
+    * written `partitionBy(cols)` (inserts and COW rewrites preserve
+    * this), so a reader filtering on a partition column — e.g. the
+    * dedup probe's `fp_bucket IN (candidate buckets)` — opens only the
+    * matching `col=value/` subdirectories instead of scanning every
+    * file of a 10⁹-row corpus. The store-level port of the reference's
+    * `Hash(col)` index (`Kernel/README.md:62-74`); static-table
+    * bucketing (BucketingSpec) covers warehouse tables, this covers
+    * store-managed ones. */
+  def createPartitioned(name: String, df: DataFrame, cols: Seq[String]): Unit =
+    transaction(_.createPartitioned(name, df, cols))
+
+  /** The partition columns `name` was created with (empty = unpartitioned). */
+  def partitionColumns(name: String): Seq[String] =
+    currentEntries(name).collectFirst { case PartColsEntry(cs) => cs }.getOrElse(Nil)
+
   def read(name: String): DataFrame = readLog(name, currentEntries(name))
   def insert(name: String, rows: DataFrame): Unit = transaction(_.insert(name, rows))
   def upsert(name: String, rows: DataFrame, keys: Seq[String]): Unit =
@@ -497,9 +564,30 @@ final class Txn(store: TableStore) {
 
   def read(name: String): DataFrame = store.readLog(name, entriesOf(name))
 
-  def create(name: String, df: DataFrame): Unit =
+  /** The table's partition-column property (empty when absent or the
+    * table doesn't exist yet) — every write path consults it so a
+    * partitioned table can never silently gain unpartitioned dirs. */
+  private def partColsOf(name: String): Seq[String] =
+    manifestOf(name).map(m => store.readEntries(name, m)).getOrElse(Seq.empty)
+      .collectFirst { case PartColsEntry(cs) => cs }.getOrElse(Nil)
+
+  private def withPartLine(cols: Seq[String], entries: Seq[ManifestEntry]): Seq[ManifestEntry] =
+    if (cols.isEmpty) entries else PartColsEntry(cols) +: entries
+
+  /** Full replace. An existing table KEEPS its partition property — a
+    * rewrite ([[TableStore.migrate]], truncate, vintage compaction)
+    * must not silently flatten a partitioned corpus. */
+  def create(name: String, df: DataFrame): Unit = {
+    val cols = partColsOf(name)
     pending += name -> store.writeTableManifest(name,
-      Seq(DataDir(store.writeData(name, df))))
+      withPartLine(cols, Seq(DataDir(store.writeData(name, df, cols)))))
+  }
+
+  def createPartitioned(name: String, df: DataFrame, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "createPartitioned needs at least one column")
+    pending += name -> store.writeTableManifest(name,
+      withPartLine(cols, Seq(DataDir(store.writeData(name, df, cols)))))
+  }
 
   /** Read cost of a manifest log is one parquet scan per maximal RUN of
     * data dirs (dirs split by an op line can't share a scan — they're in
@@ -510,6 +598,7 @@ final class Txn(store: TableStore) {
     entries.foreach {
       case DataDir(_) => if (!inRun) { runs += 1; inRun = true }
       case OpEntry(_) => inRun = false
+      case PartColsEntry(_) => () // property line — doesn't split a run
     }
     runs
   }
@@ -523,9 +612,10 @@ final class Txn(store: TableStore) {
       case Some(m) => store.readEntries(name, m)
       case None => Seq.empty
     }
+    val cols = entries.collectFirst { case PartColsEntry(cs) => cs }.getOrElse(Nil)
     // appended AFTER every op line: the new files carry the current
     // logical schema, so no op ever re-applies to them on read
-    val newDir = DataDir(store.writeData(name, rows))
+    val newDir = DataDir(store.writeData(name, rows, cols))
     val appended = entries :+ newDir
     pending += name -> (
       if (dataRuns(appended) > maxVintageRuns) {
@@ -535,8 +625,8 @@ final class Txn(store: TableStore) {
         // keeping every read's scan count bounded); the fresh insert's
         // dir appends after it, written once either way
         val folded = store.readLog(name, entries)
-        store.writeTableManifest(name,
-          Seq(DataDir(store.writeData(name, folded)), newDir))
+        store.writeTableManifest(name, withPartLine(cols,
+          Seq(DataDir(store.writeData(name, folded, cols)), newDir)))
       } else store.writeTableManifest(name, appended))
   }
 
@@ -603,8 +693,14 @@ final class Txn(store: TableStore) {
       .select(regexp_replace(col("__dir"), "/[^/]+$", "").as("__dir"))
       .distinct().collect().map(_.getString(0)).toSet
     def suffixOf(d: String) = if (d.contains("/")) s"/$d" else s"/$name/$d"
+    // a partitioned table's file paths carry `col=value/` segments BELOW
+    // the data dir, so the stripped parent is the partition subdir — the
+    // data dir is then an inner segment, not the path's suffix
     val touched: Set[String] =
-      dirs.filter(d => touchedPaths.exists(_.endsWith(suffixOf(d)))).toSet
+      dirs.filter { d =>
+        val sfx = suffixOf(d)
+        touchedPaths.exists(p => p.endsWith(sfx) || p.contains(sfx + "/"))
+      }.toSet
     // the touched rows in LOGICAL schema: drop untouched dirs from the
     // log and fold — ops before a touched dir still apply to it
     val touchedLog = entries.filter {
@@ -622,11 +718,12 @@ final class Txn(store: TableStore) {
     }
     // untouched entries keep their log positions; the new dir appends
     // after every op line (it is already in the logical schema)
+    val cols = entries.collectFirst { case PartColsEntry(cs) => cs }.getOrElse(Nil)
     pending += name -> store.writeTableManifest(name,
       entries.filter {
         case DataDir(d) => !touched(d)
         case _ => true
-      } ++ newContent.map(c => DataDir(store.writeData(name, c))).toSeq)
+      } ++ newContent.map(c => DataDir(store.writeData(name, c, cols))).toSeq)
   }
 
   def upsert(name: String, rows: DataFrame, keys: Seq[String]): Unit = {

@@ -14,10 +14,11 @@ import org.apache.spark.sql.functions._
   * Dedup state lives in the TABLE STORE, not the streaming state store:
   * the corpus of kept texts IS the state, so it survives restarts, is
   * unbounded (no watermark eviction — a dup is a dup forever), and is
-  * readable mid-stream by any other query. At 100 TB the per-batch
-  * anti-join would run against a bucketed fingerprint column (or a
-  * bloom-filter pushdown) instead of raw text — the join shape is the
-  * same.
+  * readable mid-stream by any other query. The 100 TB shape is
+  * [[dedupSinkToStoreByFp]]: the corpus stores 8-byte fingerprints
+  * hash-partitioned into `fp_bucket` directories, a driver-held bloom
+  * pre-splits each batch, and the probe prunes to the candidate
+  * buckets — the per-batch cost tracks the batch, not the corpus.
   */
 object DocStreams {
 
@@ -126,6 +127,18 @@ object DocStreams {
     * instead of ~KB of raw text, and the corpus is never re-hashed (its
     * fingerprints were computed once, on ingest).
     *
+    * The corpus table is HASH-PARTITIONED on `fp_bucket = pmod(fp, N)`
+    * (`spark.graft.dedup.fpBuckets`, default 8 — raise it with corpus
+    * size; buckets cost files per commit, so size N to the cluster's
+    * file-handle budget, not the row count): a bloom-positive
+    * batch first reduces its candidate fps to their bucket set (≤ N
+    * values, one tiny distinct over batch-scale data), and the corpus
+    * probe filters `fp_bucket IN (buckets)` — partition pruning opens
+    * ONLY those `fp_bucket=k/` directories, so the per-batch probe
+    * reads the candidate slice of the corpus, not the whole fp column
+    * (at 10⁹ corpus rows, a 3-candidate batch opens ≤ 3 of N buckets).
+    * StoreBucketPruningSpec pins files-read < files-total.
+    *
     * Two scale mechanisms on top of [[dedupSinkToStore]]'s flipped
     * probe (corpus scans, batch broadcasts — never the reverse):
     *
@@ -157,6 +170,8 @@ object DocStreams {
       .forall(_.toBoolean)
     val expectedItems = spark.conf.getOption("spark.graft.dedup.bloomExpectedItems")
       .map(_.toLong).getOrElse(4000000L)
+    val fpBuckets = spark.conf.getOption("spark.graft.dedup.fpBuckets")
+      .map(_.toInt).getOrElse(8)
     var bloom: org.apache.spark.util.sketch.BloomFilter =
       if (!bloomEnabled) null
       else if (store.exists(table)) // one distributed aggregate, once
@@ -176,6 +191,10 @@ object DocStreams {
             expr("min_by(lang, doc_id)").as("lang"),
             expr("min_by(n_chars, doc_id)").as("n_chars"))
           .select("doc_id", "fp", "lang", "n_chars")
+          // the corpus partition key: rows land in their fp bucket so
+          // later probes prune to the buckets a batch can hit
+          .withColumn("fp_bucket",
+            pmod(col("fp"), lit(fpBuckets.toLong)).cast("int"))
         // persist (not localCheckpoint) + unpersist at batch end: an
         // unbounded stream must not accumulate per-batch blocks; the
         // per-batch bloom broadcast is likewise destroyed once the
@@ -184,7 +203,10 @@ object DocStreams {
         var bloomBc: org.apache.spark.broadcast.Broadcast[
           org.apache.spark.util.sketch.BloomFilter] = null
         try {
-          val batchRows = first.count()
+          // no eager count: the candidate-stats aggregate below is the
+          // first action and materializes the persisted batch — an
+          // explicit count() here would be one pure-overhead job per
+          // micro-batch (its row count is not needed on this path)
           val novel =
             if (!store.exists(table)) first
             else {
@@ -196,14 +218,33 @@ object DocStreams {
                   val mightContain = udf((fp: Long) => b.value.mightContainLong(fp))
                   first.select("fp").filter(mightContain(col("fp")))
                 }
-              val candRows = if (bloom == null) batchRows else candFps.count()
+              // ONE aggregate job yields both the candidate count (the
+              // broadcast size gate) and the candidate BUCKET SET (≤
+              // min(candRows, fpBuckets) ints, driver-bounded by
+              // construction) — same per-batch job count as a plain
+              // count, and the bucket set drives partition pruning
+              val candStats = candFps.agg(
+                count(lit(1)).as("n"),
+                collect_set(pmod(col("fp"), lit(fpBuckets.toLong)).cast("int")).as("bs"))
+                .head()
+              val candRows = candStats.getLong(0)
+              val candBuckets = candStats.getSeq[Int](1)
               // bloom said no batch key can be in the corpus → the whole
               // batch is novel, don't even open the corpus
               val matched =
                 if (candRows == 0) first.select("fp").limit(0)
-                else store.read(table).select("fp").join(
-                  graft.operators.SizeGate.maybeBroadcast(candFps, candRows, 5000000L),
-                  Seq("fp"), "left_semi")
+                else {
+                  // bucket pruning: the IN filter on the partition
+                  // column prunes the corpus scan to the candidate
+                  // `fp_bucket=k/` directories at planning time (the
+                  // round-8 shape full-column-scanned the corpus fp
+                  // column every bloom-positive batch)
+                  store.read(table)
+                    .filter(col("fp_bucket").isin(candBuckets: _*))
+                    .select("fp").join(
+                      graft.operators.SizeGate.maybeBroadcast(candFps, candRows, 5000000L),
+                      Seq("fp"), "left_semi")
+                }
               first.join(graft.operators.SizeGate.maybeBroadcast(
                 matched, candRows, 5000000L), Seq("fp"), "left_anti")
             }
@@ -213,7 +254,7 @@ object DocStreams {
           val novelM = if (bloom != null) novel.persist() else novel
           try {
             if (store.exists(table)) store.insert(table, novelM)
-            else store.create(table, novelM)
+            else store.createPartitioned(table, novelM, Seq("fp_bucket"))
             // grow with this commit's novel fps — built via
             // stat.bloomFilter (the same API that seeds the bloom at
             // stream start) and merged into the driver-held filter: no
