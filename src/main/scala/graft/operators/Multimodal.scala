@@ -1,5 +1,9 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -7,15 +11,23 @@ import org.apache.spark.sql.functions._
   * typed metadata (builder-prompt scope; the reference has no media
   * surface).
   *
-  * The Spark-side plumbing is real — schema, partitioning, batched
-  * per-partition processing, frame-sample explosion; the actual codec
-  * work is STUBBED with a deterministic fake (this container has no
-  * image/audio libraries): `decodeStub` derives "pixels" from the bytes
-  * with a rolling hash so tests are reproducible. At deployment the stub
-  * body is the only thing to replace (swap `fakeDecode` for a JNI/
-  * library call); everything around it — `mapPartitions` batching so the
-  * codec is initialized once per partition, not once per row, binary
-  * columns staying off the shuffle until after filtering — stays.
+  * The image path is a REAL codec round-trip, pure JVM: [[imageTable]]
+  * renders deterministic grayscale rasters and encodes them to actual
+  * PNG bytes with `javax.imageio`; [[decodeImages]] and [[resizeImages]]
+  * decode those bytes back and do genuine pixel work (checksum over the
+  * decoded raster, nearest-neighbor resample). PNG is lossless, so the
+  * decoded pixels equal the generation function and the DuckDB oracle
+  * can recompute every checksum exactly — the gate checks a real
+  * encode→decode→pixel-math pipeline, not a simulated one.
+  *
+  * All per-row codec work runs in `mapPartitions` so codec setup
+  * happens once per partition, not once per row; the stages are narrow
+  * (no shuffle), scaling with input splits at 100 TB. Binary payloads
+  * stay out of every exchange.
+  *
+  * Audio/video remain metadata + synthetic payloads ([[mediaTable]],
+  * [[sampleFrames]]): this container has no AV codecs, and the
+  * image path already exercises the decode plumbing end-to-end.
   */
 object Multimodal {
 
@@ -28,15 +40,119 @@ object Multimodal {
 
   final case class MediaRow(media_id: Long, meta: MediaMeta, payload: Array[Byte])
 
-  final case class DecodedFeatures(
-      media_id: Long,
-      n_bytes: Long,
-      checksum: Long,
-      feature: Array[Float])
+  /** One encoded image: `payload` is a complete PNG byte stream. */
+  final case class ImageRow(media_id: Long, payload: Array[Byte])
+
+  final case class DecodedImage(
+      media_id: Long, width: Int, height: Int, n_px: Long, checksum: Long)
+
+  final case class ResizedImage(
+      media_id: Long, w: Int, h: Int, new_w: Int, new_h: Int,
+      resized_checksum: Long)
+
+  /** Deterministic grayscale value at (x, y) for image `id` — the
+    * generation function, mirrored verbatim in the DuckDB oracles (PNG
+    * is lossless, so decode returns exactly these values). */
+  def pixel(id: Long, x: Int, y: Int): Int =
+    ((id * 7 + x * 31L + y * 13L) % 256L).toInt
+
+  /** Image dimensions for `id` (small on purpose: the fixture has
+    * thousands of rows and the oracle recomputes every pixel). */
+  def dims(id: Long): (Int, Int) = ((id % 16 + 8).toInt, (id % 12 + 6).toInt)
+
+  /** Render + PNG-encode one image per document: REAL image bytes,
+    * written by the JDK's PNG encoder inside `mapPartitions` (encoder
+    * buffer allocated once per partition). */
+  def imageTable(spark: SparkSession, dir: String): Dataset[ImageRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").as[Long]
+      .mapPartitions { ids =>
+        // codec init once per partition: shared output buffer, no
+        // ImageIO disk cache
+        ImageIO.setUseCache(false)
+        val buf = new ByteArrayOutputStream()
+        ids.map { id =>
+          val (w, h) = dims(id)
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { raster.setSample(x, y, 0, pixel(id, x, y)); x += 1 }
+            y += 1
+          }
+          buf.reset()
+          ImageIO.write(img, "png", buf)
+          ImageRow(id, buf.toByteArray)
+        }
+      }
+  }
+
+  /** Batched per-partition REAL decode: `javax.imageio` parses the PNG
+    * payload back to a raster; width/height come from the decoded
+    * image (not carried metadata) and the checksum folds every decoded
+    * pixel in row-major order — same fold as the document fingerprint
+    * family, so the oracle mirrors it with one list_reduce. */
+  def decodeImages(images: Dataset[ImageRow]): Dataset[DecodedImage] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions { rows =>
+      ImageIO.setUseCache(false) // codec init once per partition
+      rows.map { r =>
+        val img = ImageIO.read(new ByteArrayInputStream(r.payload))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        var cs = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            cs = (cs * 31 + raster.getSample(x, y, 0)) % 1000000007L
+            x += 1
+          }
+          y += 1
+        }
+        DecodedImage(r.media_id, w, h, w.toLong * h, cs)
+      }
+    }
+  }
+
+  /** Decode + nearest-neighbor downscale into a `maxW`×`maxH` bounding
+    * box preserving aspect (uniform floored scale), checksumming the
+    * RESAMPLED pixels — real pixel work on really-decoded data. Source
+    * indexing is integer (`x*w/new_w`), mirrored exactly in SQL. */
+  def resizeImages(images: Dataset[ImageRow], maxW: Int, maxH: Int): Dataset[ResizedImage] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions { rows =>
+      ImageIO.setUseCache(false)
+      rows.map { r =>
+        val img = ImageIO.read(new ByteArrayInputStream(r.payload))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        val scale = math.min(math.min(maxW.toDouble / w, maxH.toDouble / h), 1.0)
+        val nw = math.floor(w * scale).toInt
+        val nh = math.floor(h * scale).toInt
+        var cs = 0L
+        var y = 0
+        while (y < nh) {
+          var x = 0
+          while (x < nw) {
+            cs = (cs * 31 + raster.getSample(x * w / nw, y * h / nh, 0)) % 1000000007L
+            x += 1
+          }
+          y += 1
+        }
+        ResizedImage(r.media_id, w, h, nw, nh, cs)
+      }
+    }
+  }
 
   /** Build a media table from the documents fixture: payload = UTF-8
     * bytes of the text, metadata derived deterministically. Stands in
-    * for `spark.read.format("binaryFile")` at test scale. */
+    * for `spark.read.format("binaryFile")` at test scale; the audio/
+    * video rows carry synthetic payloads (no AV codec in this
+    * container), the image DECODE path is [[imageTable]] +
+    * [[decodeImages]]. */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     spark.read.parquet(s"$dir/documents.parquet")
@@ -51,38 +167,10 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** ===== STUB ===== deterministic fake decode: real deployments swap
-    * this body for the codec call. Derives an 8-dim "embedding" and a
-    * checksum from the payload bytes. */
-  private def fakeDecode(payload: Array[Byte]): (Long, Array[Float]) = {
-    var h = 0L
-    val feat = new Array[Float](8)
-    var i = 0
-    while (i < payload.length) {
-      h = (h * 31 + (payload(i) & 0xff)) % 1000000007L
-      feat(i % 8) += (payload(i) & 0xff) / 255.0f
-      i += 1
-    }
-    (h, feat)
-  }
-
-  /** Batched per-partition decode/feature-extract: `mapPartitions` so a
-    * real codec would init once per partition. Narrow (no shuffle); at
-    * 100 TB this scales with input splits. */
-  def decodeFeatures(media: Dataset[MediaRow]): Dataset[DecodedFeatures] = {
-    import media.sparkSession.implicits._
-    media.mapPartitions { rows =>
-      // codec init would happen HERE, once per partition
-      rows.map { r =>
-        val (checksum, feat) = fakeDecode(r.payload)
-        DecodedFeatures(r.media_id, r.payload.length.toLong, checksum, feat)
-      }
-    }
-  }
-
   /** Frame sampling for video rows: one output row per sampled frame
-    * offset (every `stepMs`), via a generator column — the frame decode
-    * itself is the same stub. */
+    * offset (every `stepMs`), via a generator column; the per-frame
+    * fingerprint hashes (payload, offset) — the AV payloads are
+    * synthetic, the generator/explode plumbing is the real shape. */
   def sampleFrames(media: Dataset[MediaRow], stepMs: Long): DataFrame = {
     val df = media.toDF()
     df.filter(col("meta.mediaType") === "video")
@@ -91,16 +179,4 @@ object Multimodal {
       .select(col("media_id"), col("frame_ms"),
         xxhash64(col("payload"), col("frame_ms")).as("frame_fingerprint"))
   }
-
-  /** Resize metadata transform (pure metadata op — no pixel work until
-    * the stub is replaced): clamps to a bounding box preserving aspect. */
-  def resizeMeta(media: Dataset[MediaRow], maxW: Int, maxH: Int): DataFrame =
-    media.toDF().select(
-      col("media_id"),
-      col("meta.width").as("w"), col("meta.height").as("h"))
-      .withColumn("scale",
-        least(lit(maxW) / col("w"), lit(maxH) / col("h"), lit(1.0)))
-      .withColumn("new_w", floor(col("w") * col("scale")).cast("int"))
-      .withColumn("new_h", floor(col("h") * col("scale")).cast("int"))
-      .select("media_id", "w", "h", "new_w", "new_h")
 }

@@ -4,11 +4,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.Multimodal
 
-/** Driver-checkable slices of the multimodal plumbing
-  * ([[graft.operators.Multimodal]]): everything except the stubbed codec
-  * itself is oracle-checkable — metadata derivation, byte lengths,
-  * checksums (same rolling hash as tx4), frame-offset generation and
-  * resize arithmetic. */
+/** Driver-checkable slices of the multimodal operators
+  * ([[graft.operators.Multimodal]]). mm2/mm4 run a REAL codec round
+  * trip — PNG bytes encoded and decoded by `javax.imageio`, checksums
+  * over the decoded raster — and stay oracle-exact because the
+  * generation function is deterministic and PNG is lossless: DuckDB
+  * recomputes each pixel from (doc_id, x, y) and folds the same
+  * checksum, so a decoder that returned wrong dimensions or wrong
+  * pixels would hash-mismatch. */
 object MultimodalQueries extends QueryPack {
 
   /** mm1 — binary column + typed metadata projection. */
@@ -20,21 +23,20 @@ object MultimodalQueries extends QueryPack {
       length(col("payload")).cast("long").as("n_bytes"),
       base64(expr("substring(payload, 1, 16)")).as("head_b64"))
 
-  /** mm2 — batched per-partition decode (stubbed codec): byte count +
-    * rolling-hash checksum. */
+  /** mm2 — real PNG decode: encode → decode → checksum every decoded
+    * pixel. Width/height come from the DECODER, not carried metadata. */
   private def mm2(s: SparkSession, d: String): DataFrame =
-    Multimodal.decodeFeatures(Multimodal.mediaTable(s, d))
-      .toDF().select("media_id", "n_bytes", "checksum")
+    Multimodal.decodeImages(Multimodal.imageTable(s, d)).toDF()
 
   /** mm3 — video frame sampling: one row per 500ms offset. */
   private def mm3(s: SparkSession, d: String): DataFrame =
     Multimodal.sampleFrames(Multimodal.mediaTable(s, d), stepMs = 500L)
       .select("media_id", "frame_ms")
 
-  /** mm4 — resize-to-bounding-box arithmetic (metadata-only until the
-    * codec stub is replaced). */
+  /** mm4 — real decode + nearest-neighbor resample into a 12×9 box,
+    * checksum over the RESIZED pixels. */
   private def mm4(s: SparkSession, d: String): DataFrame =
-    Multimodal.resizeMeta(Multimodal.mediaTable(s, d), maxW = 128, maxH = 96)
+    Multimodal.resizeImages(Multimodal.imageTable(s, d), maxW = 12, maxH = 9).toDF()
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_media_metadata" -> (mm1 _),
@@ -53,29 +55,53 @@ object MultimodalQueries extends QueryPack {
               text
        FROM documents"""
 
+  /** The image dimensions mirror [[Multimodal.dims]]. */
+  private val dimsSql =
+    """SELECT doc_id,
+              CAST(doc_id % 16 + 8 AS INTEGER) AS w,
+              CAST(doc_id % 12 + 6 AS INTEGER) AS h
+       FROM documents"""
+
+  /** `(acc*31 + pixel) % p` folded over `n` pixels, where the pixel at
+    * flat index x is computed by `grayExpr` (mirrors
+    * [[Multimodal.pixel]] through whatever source-index arithmetic the
+    * caller needs). */
+  private def checksumSql(n: String, grayExpr: String): String =
+    s"""list_reduce(
+          list_concat([CAST(0 AS BIGINT)],
+            [CAST($grayExpr AS BIGINT) for x in range(0, $n)]),
+          (acc, v) -> (acc * 31 + v) % 1000000007)"""
+
   override val oracles: Map[String, String] = Map(
     "mm1_media_metadata" ->
       s"""SELECT media_id, media_type, w, h, duration_ms,
             CAST(length(text) AS BIGINT) AS n_bytes,
             base64(CAST(substr(text, 1, 16) AS BLOB)) AS head_b64
          FROM ($metaSql)""",
+    // the decoded raster equals the generation function (PNG lossless):
+    // pixel(id, x, y) = (id*7 + x*31 + y*13) % 256, row-major fold
     "mm2_decode_checksum" ->
-      """SELECT doc_id AS media_id,
-            CAST(length(text) AS BIGINT) AS n_bytes,
-            list_reduce(
-              list_concat([CAST(0 AS BIGINT)],
-                [CAST(unicode(substr(text, x, 1)) AS BIGINT)
-                 for x in range(1, length(text) + 1)]),
-              (acc, x) -> (acc * 31 + x) % 1000000007) AS checksum
-         FROM documents""",
+      s"""SELECT doc_id AS media_id, w AS width, h AS height,
+            CAST(w AS BIGINT) * h AS n_px,
+            ${checksumSql("w * h",
+              "(doc_id * 7 + (x % w) * 31 + (x // w) * 13) % 256")} AS checksum
+         FROM ($dimsSql)""",
     "mm3_frame_sampling" ->
       """SELECT doc_id AS media_id,
             unnest(range(0, n_chars * 10, 500)) AS frame_ms
          FROM documents WHERE doc_id % 3 = 2""",
+    // nearest-neighbor source index: sx = (x % new_w) * w // new_w,
+    // sy = (x // new_w) * h // new_h — integer math, same as the JVM
     "mm4_resize_meta" ->
-      s"""SELECT media_id, w, h,
-            CAST(floor(w * least(128.0 / w, 96.0 / h, 1.0)) AS INTEGER) AS new_w,
-            CAST(floor(h * least(128.0 / w, 96.0 / h, 1.0)) AS INTEGER) AS new_h
-         FROM ($metaSql)""",
+      s"""WITH nd AS (
+            SELECT doc_id, w, h,
+              CAST(floor(w * least(12.0 / w, 9.0 / h, 1.0)) AS INTEGER) AS new_w,
+              CAST(floor(h * least(12.0 / w, 9.0 / h, 1.0)) AS INTEGER) AS new_h
+            FROM ($dimsSql))
+          SELECT doc_id AS media_id, w, h, new_w, new_h,
+            ${checksumSql("new_w * new_h",
+              """(doc_id * 7 + (((x % new_w) * w) // new_w) * 31
+                 + (((x // new_w) * h) // new_h) * 13) % 256""")} AS resized_checksum
+          FROM nd""",
   )
 }

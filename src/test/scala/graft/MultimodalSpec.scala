@@ -12,13 +12,49 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(row.payload, "UTF-8").nonEmpty)
   }
 
-  test("decode stub is deterministic and batch-shaped per partition") {
-    val feats = Multimodal.decodeFeatures(Multimodal.mediaTable(spark, sf))
-    val a = feats.collect().map(f => f.media_id -> f.checksum).toMap
-    val b = Multimodal.decodeFeatures(Multimodal.mediaTable(spark, sf))
-      .collect().map(f => f.media_id -> f.checksum).toMap
-    assert(a == b, "stub decode must be deterministic")
-    assert(feats.head().feature.length == 8)
+  test("imageTable emits real PNG byte streams") {
+    val img = Multimodal.imageTable(spark, sf).head()
+    val magic = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    assert(img.payload.take(8).sameElements(magic),
+      "payload does not start with the PNG signature")
+  }
+
+  test("decode round-trip recovers the generated dimensions and pixels") {
+    val decoded = Multimodal.decodeImages(Multimodal.imageTable(spark, sf))
+      .collect().map(d => d.media_id -> d).toMap
+    decoded.foreach { case (id, d) =>
+      val (w, h) = Multimodal.dims(id)
+      assert(d.width == w && d.height == h,
+        s"image $id decoded ${d.width}x${d.height}, generated ${w}x$h")
+    }
+    // recompute one checksum from the generation function directly: the
+    // decoder must return EXACTLY the written raster (PNG lossless)
+    val id = decoded.keys.min
+    val (w, h) = Multimodal.dims(id)
+    var cs = 0L
+    for (y <- 0 until h; x <- 0 until w)
+      cs = (cs * 31 + Multimodal.pixel(id, x, y)) % 1000000007L
+    assert(decoded(id).checksum == cs, "decoded pixels differ from generated")
+    // and it is deterministic across runs
+    val again = Multimodal.decodeImages(Multimodal.imageTable(spark, sf))
+      .collect().map(d => d.media_id -> d.checksum).toMap
+    assert(again == decoded.view.mapValues(_.checksum).toMap)
+  }
+
+  test("resize stays in the bounding box with floor-of-uniform-scale semantics") {
+    val r = Multimodal.resizeImages(Multimodal.imageTable(spark, sf), 12, 9).toDF()
+    assert(r.filter(col("new_w") > 12 || col("new_h") > 9).count() == 0)
+    val bad = r
+      .withColumn("scale", least(lit(12.0) / col("w"), lit(9.0) / col("h"), lit(1.0)))
+      .filter(col("new_w") =!= floor(col("w") * col("scale")).cast("int") ||
+        col("new_h") =!= floor(col("h") * col("scale")).cast("int"))
+    assert(bad.count() == 0, "resize is not a uniform floored scale")
+    // an un-scaled image (scale = 1) resamples to itself: checksums match
+    val both = Multimodal.decodeImages(Multimodal.imageTable(spark, sf)).toDF()
+      .join(r, "media_id")
+      .filter(col("new_w") === col("w") && col("new_h") === col("h"))
+      .filter(col("resized_checksum") =!= col("checksum"))
+    assert(both.count() == 0, "identity resize changed pixels")
   }
 
   test("frame sampling yields ceil(duration/step) frames per video") {
@@ -31,16 +67,5 @@ class MultimodalSpec extends SparkSpec {
     val joined = counts.join(expected, "media_id")
       .filter(col("count") =!= col("n")).count()
     assert(joined == 0)
-  }
-
-  test("resize stays in the bounding box with floor-of-uniform-scale semantics") {
-    val r = Multimodal.resizeMeta(Multimodal.mediaTable(spark, sf), 128, 96)
-    assert(r.filter(col("new_w") > 128 || col("new_h") > 96).count() == 0)
-    // both dims shrink by the SAME scale factor (floored): recompute and compare
-    val bad = r
-      .withColumn("scale", least(lit(128.0) / col("w"), lit(96.0) / col("h"), lit(1.0)))
-      .filter(col("new_w") =!= floor(col("w") * col("scale")).cast("int") ||
-        col("new_h") =!= floor(col("h") * col("scale")).cast("int"))
-    assert(bad.count() == 0, "resize is not a uniform floored scale")
   }
 }
