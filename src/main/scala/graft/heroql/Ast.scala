@@ -193,4 +193,18 @@ object Ast {
   final case class LDouble(v: Double) extends Lit
   final case class LString(v: String) extends Lit
   final case class LBool(v: Boolean) extends Lit
+
+  /** `stream dedup Rel(id, payload…) by fingerprint(var) into Table;`
+    * — the statement form of the fp-keyed streaming dedup sink
+    * ([[graft.streaming.DocStreams.dedupSinkToStoreByFp]]): rows of
+    * `Rel` arrive as micro-batches, the builtin key deduplicates them
+    * incrementally against the committed corpus (first arrival = min
+    * id wins), and novel rows land in store table `Table`. The first
+    * variable is the id; `keyArg` names the keyed payload variable;
+    * the rest are carried by min-id. Engine extension (the reference's
+    * serialized-apply design `Rewrite.md:11-15` is the hook: updates
+    * queue in arrival order and apply serially — here per micro-batch
+    * commit). */
+  final case class StreamDedup(rel: String, vars: Seq[String],
+    keyFn: String, keyArg: String, table: String)
 }

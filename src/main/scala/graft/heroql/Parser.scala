@@ -1103,4 +1103,46 @@ object Parser {
     * (`Kernel/Drafts/draft:148-156`). */
   def parseCollection(src: String): CollectionQuery =
     new P(lex(src)).collectionQuery()
+
+  /** Parse a `stream dedup Rel(id, payload…) by builtin(var) into
+    * Table;` statement (see [[Ast.StreamDedup]]). The key function must
+    * be a reserved builtin scalar and its argument a declared variable
+    * other than the id — both rejected here with the real diagnosis
+    * rather than failing downstream. */
+  def parseStream(src: String): Ast.StreamDedup = {
+    val p = new P(lex(src))
+    def kw(w: String): Unit = p.expectId() match {
+      case `w` => ()
+      case t => throw ParseError(s"expected '$w', got $t", 0)
+    }
+    kw("stream"); kw("dedup")
+    val rel = p.expectId()
+    p.expectSym("(")
+    val vars = Seq.newBuilder[String]
+    var first = true
+    while (!p.at(")")) {
+      if (!first) p.expectSym(",")
+      first = false
+      vars += p.expectId()
+    }
+    p.expectSym(")")
+    val vs = vars.result()
+    if (vs.size < 2) throw ParseError(
+      "stream dedup needs an id variable and at least one payload variable", 0)
+    kw("by")
+    val fn = p.expectId()
+    if (!Builtins.scalar(fn)) throw ParseError(
+      s"stream dedup key must be a builtin scalar function, got '$fn'", 0)
+    p.expectSym("(")
+    val arg = p.expectId()
+    p.expectSym(")")
+    kw("into")
+    val table = p.expectId()
+    if (!p.eat(";")) p.expectSym(".")
+    if (!vs.contains(arg)) throw ParseError(
+      s"stream dedup key argument '$arg' is not a declared variable of $rel", 0)
+    if (arg == vs.head) throw ParseError(
+      s"stream dedup key argument '$arg' is the id variable; key a payload variable", 0)
+    Ast.StreamDedup(rel, vs, fn, arg, table)
+  }
 }

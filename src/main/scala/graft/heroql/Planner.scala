@@ -1172,4 +1172,32 @@ object HeroQL {
       .map(t => t -> pm.read(inst, t)).toMap
     compile(program, queryName, catalog)
   }
+
+  /** Execute a `stream dedup Rel(id, payload…) by fingerprint(var) into
+    * Table;` statement ([[Ast.StreamDedup]]): routes the parsed form to
+    * the fp-keyed streaming dedup sink — micro-batch ingest, bloom
+    * pre-split, bucket-pruned corpus probe, atomic store commits — so
+    * the full 100 TB streaming shape is language-reachable the way
+    * `hq18` made the batch shape reachable. `sources` binds relation
+    * names to warehouse dirs (the statement's variables name that
+    * table's physical columns: first = arrival id, key arg = the
+    * deduplicated payload, rest carried by min-id). Returns the
+    * committed deduplicated corpus. */
+  def executeStream(statement: String,
+      spark: org.apache.spark.sql.SparkSession,
+      sources: Map[String, String],
+      store: graft.store.TableStore): DataFrame = {
+    val st = Parser.parseStream(statement)
+    val dir = sources.getOrElse(st.rel, throw Analyzer.AnalysisError(
+      s"no source bound for relation ${st.rel}"))
+    // the grammar admits any builtin as key; the sink dedups on the
+    // document fingerprint specifically (a count key would be a
+    // different operator, not a dedup)
+    if (st.keyFn != "fingerprint") throw Analyzer.AnalysisError(
+      s"stream dedup is keyed by fingerprint(…); got ${st.keyFn}")
+    graft.streaming.DocStreams.dedupSinkToStoreByFp(
+      spark, dir, store, st.table,
+      idCol = st.vars.head, textCol = st.keyArg,
+      carryCols = st.vars.tail.filterNot(_ == st.keyArg))
+  }
 }

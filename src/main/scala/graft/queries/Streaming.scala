@@ -65,6 +65,22 @@ object Streaming extends QueryPack {
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
   }
 
+  /** st6 — the full streaming-dedup shape driven from PARSED HeroQL
+    * text (`stream dedup … by fingerprint(…) into …`): same sink, same
+    * bloom + bucket-pruned probe, reached from the language surface the
+    * way hq18 reaches the batch shape. Oracle identical to st5b — a
+    * statement that mis-mapped its variables would keep the wrong rows
+    * and hash-mismatch. */
+  private def st6(s: SparkSession, d: String): DataFrame = {
+    val store = new graft.store.TableStore(s,
+      java.nio.file.Files.createTempDirectory("graft-dedup-hql-sink-").toString)
+    graft.heroql.HeroQL.executeStream(
+      "stream dedup Docs(doc_id, text, lang, n_chars) by fingerprint(text) into docs_dedup_hql;",
+      s, Map("Docs" -> d), store)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_tumbling_window" -> (st1 _),
     "st2_sliding_window" -> (st2 _),
@@ -72,6 +88,7 @@ object Streaming extends QueryPack {
     "st4_store_sink" -> (st4 _),
     "st5_stream_dedup" -> (st5 _),
     "st5b_stream_dedup_fp" -> (st5b _),
+    "st6_stream_dedup_hql" -> (st6 _),
   )
 
   override val oracles: Map[String, String] = Map(
@@ -103,6 +120,16 @@ object Streaming extends QueryPack {
     // st5b: first-arrived = min doc_id per FINGERPRINT (tx4's rolling
     // hash, same expression as the tx4 oracle)
     "st5b_stream_dedup_fp" ->
+      ("""WITH fps AS (
+           SELECT doc_id, lang, n_chars,
+             """ + graft.operators.TextFns.fingerprintDuckSql("text") + """ AS fp
+           FROM documents),
+         keep AS (SELECT fp, min(doc_id) AS doc_id FROM fps GROUP BY fp)
+         SELECT d.lang, count(*) AS n_docs, CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+         FROM fps d JOIN keep k ON d.doc_id = k.doc_id
+         GROUP BY d.lang"""),
+    // st6: the statement form routes to the same sink — same oracle
+    "st6_stream_dedup_hql" ->
       ("""WITH fps AS (
            SELECT doc_id, lang, n_chars,
              """ + graft.operators.TextFns.fingerprintDuckSql("text") + """ AS fp

@@ -27,13 +27,14 @@ object DocStreams {
     * processes oldest-first, so arrival order is doc_id order — which
     * makes "first arrival wins" equal "min doc_id wins", the property
     * the deterministic oracle needs. */
-  private def stageOrderedDocs(spark: SparkSession, dir: String, nFiles: Int): String = {
+  private def stageOrderedDocs(spark: SparkSession, dir: String, nFiles: Int,
+      idCol: String = "doc_id"): String = {
     val stage = Files.createTempDirectory("graft-docstream-")
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val maxId = docs.agg(max("doc_id")).head.getLong(0)
+    val maxId = docs.agg(max(idCol)).head.getLong(0)
     val step = maxId / nFiles + 1
     (0 until nFiles).foreach { k =>
-      val part = docs.filter(col("doc_id") >= k * step && col("doc_id") < (k + 1) * step)
+      val part = docs.filter(col(idCol) >= k * step && col(idCol) < (k + 1) * step)
       val tmp = Files.createTempDirectory("graft-docstream-part-")
       part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       // Files.list holds a directory fd until the stream is closed —
@@ -161,9 +162,11 @@ object DocStreams {
     *    scale), never the corpus scan; the corpus-side probe stays
     *    whole-stage-codegen native. */
   def dedupSinkToStoreByFp(spark: SparkSession, dir: String,
-      store: graft.store.TableStore, table: String): DataFrame = {
+      store: graft.store.TableStore, table: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      carryCols: Seq[String] = Seq("lang", "n_chars")): DataFrame = {
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
-    val staged = stageOrderedDocs(spark, dir, nFiles = 4)
+    val staged = stageOrderedDocs(spark, dir, nFiles = 4, idCol)
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(staged)
     val bloomEnabled = spark.conf.getOption("spark.graft.dedup.bloomEnabled")
@@ -180,17 +183,16 @@ object DocStreams {
     // null-text guard: see dedupSinkToStore's precondition — a null fp
     // would also silently vanish from the primitive-Long bloom UDF's
     // candidate set, making the re-admission loop invisible to the probe
-    val q = src.select("doc_id", "text", "lang", "n_chars")
-      .filter(col("text").isNotNull)
+    val q = src.select(idCol, (textCol +: carryCols): _*)
+      .filter(col(textCol).isNotNull)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val firstPerFp = batch
-          .withColumn("fp", graft.operators.TextFns.fingerprint("text"))
+          .withColumn("fp", graft.operators.TextFns.fingerprintOf(col(textCol)))
           .groupBy("fp").agg(
-            min("doc_id").as("doc_id"),
-            expr("min_by(lang, doc_id)").as("lang"),
-            expr("min_by(n_chars, doc_id)").as("n_chars"))
-          .select("doc_id", "fp", "lang", "n_chars")
+            min(idCol).as(idCol),
+            carryCols.map(c => expr(s"min_by($c, $idCol)").as(c)): _*)
+          .select(idCol, ("fp" +: carryCols): _*)
           // the corpus partition key: rows land in their fp bucket so
           // later probes prune to the buckets a batch can hit
           .withColumn("fp_bucket",

@@ -267,6 +267,31 @@ class HeroQLParserSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("calculating"))
   }
+
+  test("stream dedup statement parses to its golden AST") {
+    val st = Parser.parseStream(
+      "stream dedup Docs(doc_id, text, lang, n_chars) by fingerprint(text) into corpus;")
+    assert(st == Ast.StreamDedup("Docs",
+      Seq("doc_id", "text", "lang", "n_chars"), "fingerprint", "text", "corpus"))
+  }
+
+  test("stream dedup statement rejects bad keys with the real diagnosis") {
+    // non-builtin key function
+    val e1 = intercept[Parser.ParseError] {
+      Parser.parseStream("stream dedup Docs(id, text) by md5(text) into c;")
+    }
+    assert(e1.msg.contains("builtin scalar"))
+    // key argument not among the declared variables
+    val e2 = intercept[Parser.ParseError] {
+      Parser.parseStream("stream dedup Docs(id, text) by fingerprint(body) into c;")
+    }
+    assert(e2.msg.contains("not a declared variable"))
+    // keying the id deduplicates nothing
+    val e3 = intercept[Parser.ParseError] {
+      Parser.parseStream("stream dedup Docs(id, text) by fingerprint(id) into c;")
+    }
+    assert(e3.msg.contains("id variable"))
+  }
 }
 
 /** Runtime semantics of the round-2 language features: runtime-type
