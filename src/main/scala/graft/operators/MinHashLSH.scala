@@ -184,6 +184,36 @@ object MinHashLSH {
       .select("corpus_id", "new_id", "jaccard")
   }
 
+  /** Session override enabling SALTED band-join candidate generation:
+    * `n > 1` splits each (band, sig) collision group across n reduce
+    * slots. Off by default — the fixture corpus is skew-free and the
+    * salt's y-side replication costs n× band rows; turn it on where one
+    * viral near-dup cluster (one hot band signature carrying 10⁶
+    * members) would otherwise pin the whole stage on a single task.
+    * Pair-exact: a pair (a, b) matches exactly once, in a's salt slot.
+    * Same trade and same conf family as the salted keeper aggregation
+    * (`spark.graft.dedup.saltBuckets`, PipelineQueries). */
+  val BandSaltConf = "spark.graft.dedup.bandSaltBuckets"
+
+  /** Self-join of band keys, optionally salted ([[BandSaltConf]]): the
+    * left side salts DETERMINISTICALLY on hash(a_id) (retry-idempotent,
+    * like every dedup key decision in this engine), the right side
+    * replicates to all n slots, and the equi-join adds `__salt` to the
+    * shuffle key — a hot (band, sig) group spreads over n tasks while
+    * producing byte-identical pairs (SaltedBandJoinSpec). */
+  private def saltedBandSelfJoin(x: DataFrame, y: DataFrame): DataFrame = {
+    val n = x.sparkSession.conf.getOption(BandSaltConf).map(_.toInt).getOrElse(0)
+    if (n <= 1) x.join(y, Seq("band", "sig"))
+    else {
+      val xs = x.withColumn("__salt",
+        pmod(xxhash64(col("a_id")), lit(n.toLong)).cast("int"))
+      // sequence over int literals yields array<int> — no cast, and a
+      // generator cannot nest inside one anyway
+      val ys = y.withColumn("__salt", explode(expr(s"sequence(0, ${n - 1})")))
+      xs.join(ys, Seq("band", "sig", "__salt")).drop("__salt")
+    }
+  }
+
   /** Candidate pairs via the banded self-join, then exact-Jaccard
     * verification against `threshold`. `docs` must carry `idCol` and the
     * raw text in `textCol` — shingling, hashing, dedup, and sort run in
@@ -225,7 +255,7 @@ object MinHashLSH {
     // the dedup moves AFTER the jaccard filter, onto the ~20× smaller
     // verified set (identical final pairs; jaccard is deterministic
     // per pair, so which duplicate survives is immaterial)
-    val cand = x.join(y, Seq("band", "sig"))
+    val cand = saltedBandSelfJoin(x, y)
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
     // verification: merge-scan intersect over the sorted hash arrays

@@ -46,9 +46,16 @@ class RelationalSpec extends SparkSpec {
   }
 
   test("semi and anti joins partition the customers exactly") {
-    val c = Tables.t(spark, sf, "customer").count()
-    val semi = Relational.queries("j3_exists_semi")(spark, sf).count()
+    // j4 anti-joins against the URGENT orders subset (non-vacuous gate
+    // rows — round-9); its complement is the semi-join on the SAME
+    // subset, and together they partition the customers
+    val cust = Tables.t(spark, sf, "customer")
+    val urgent = Tables.t(spark, sf, "orders")
+      .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+    val semiUrgent = cust.join(urgent,
+      cust("c_custkey") === urgent("o_custkey"), "left_semi").count()
     val anti = Relational.queries("j4_not_exists_anti")(spark, sf).count()
-    assert(semi + anti == c)
+    assert(semiUrgent + anti == cust.count())
+    assert(anti > 0, "j4 must be non-vacuous at every fixture SF")
   }
 }
