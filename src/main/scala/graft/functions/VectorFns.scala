@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{XXH64, XxHash64Function}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.expr
@@ -14,10 +14,13 @@ import org.apache.spark.sql.types._
   * are correct but evaluate their lambdas interpreted, one closure call
   * per element; these expressions do the same arithmetic — in the same
   * element order, so results are bit-identical and the DuckDB oracles
-  * keep matching — as a single tight loop. [[DotProductF]] participates
-  * in whole-stage codegen via doGenCode; [[MinHashSig]] is a fast
-  * interpreted eval (CodegenFallback) that replaces ~60 interpreted
-  * lambda passes per row with one.
+  * keep matching — as a single tight loop. EVERY expression here
+  * participates in whole-stage codegen (r9): each loop body lives in
+  * ONE public static helper shared verbatim by the interpreted eval and
+  * the generated code (the codegen emits a call through the object's
+  * static forwarder; per-instance state like minhash coefficients ships
+  * as codegen reference objects), so the two execution paths cannot
+  * drift and nothing boxes per-row inside a generated stage.
   */
 object VectorFns {
 
@@ -69,48 +72,82 @@ object VectorFns {
       copy(left = l, right = r)
   }
 
+  // prime JUST ABOVE the 31-bit base-hash domain: with a large prime
+  // (2^61-1) the affine maps never wrap, every "permutation" becomes
+  // order-isomorphic to the identity, and all signature components
+  // collapse to the same information (caught by the estimator-error
+  // spec). a*x+b < 2^62 still fits in a long before the mod.
+  private val MinHashP = 2147483659L
+
+  /** The per-coefficient affine-min fold over 31-bit bases — shared
+    * VERBATIM by the interpreted evals and the generated code of both
+    * minhash expressions (called through the object's static
+    * forwarder, with the coefficient arrays shipped as codegen
+    * reference objects). */
+  def minhashOfBases(bases: Array[Long], as: Array[Long], bs: Array[Long]): ArrayData = {
+    val n = bases.length
+    val k = as.length
+    val out = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      val a = as(j); val b = bs(j)
+      var mn = Long.MaxValue
+      var x = 0
+      while (x < n) {
+        val v = (a * bases(x) + b) % MinHashP
+        if (v < mn) mn = v
+        x += 1
+      }
+      out(j) = mn
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def minhashSigStrings(arr: ArrayData, as: Array[Long], bs: Array[Long]): ArrayData = {
+    val n = arr.numElements()
+    val bases = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      bases(i) = ((h % 2147483648L) + 2147483648L) % 2147483648L
+      i += 1
+    }
+    minhashOfBases(bases, as, bs)
+  }
+
+  def minhashSigLongs(arr: ArrayData, as: Array[Long], bs: Array[Long]): ArrayData = {
+    val n = arr.numElements()
+    val bases = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      bases(i) = ((h % 2147483648L) + 2147483648L) % 2147483648L
+      i += 1
+    }
+    minhashOfBases(bases, as, bs)
+  }
+
   /** MinHash signature over a distinct-shingle string array: for each
     * (a, b) coefficient pair, min over shingles of (a·h + b) mod p with
     * h = xxhash64(shingle) folded into 31 bits (same scheme as
     * [[graft.operators.MinHashLSH]]'s HOF form). One native pass instead
-    * of numHashes interpreted aggregate() lambdas. */
+    * of numHashes interpreted aggregate() lambdas; participates in
+    * whole-stage codegen via the shared static fold. */
   case class MinHashSig(child: Expression, as: Seq[Long], bs: Seq[Long])
-      extends UnaryExpression with CodegenFallback {
-    // prime JUST ABOVE the 31-bit base-hash domain: with a large prime
-    // (2^61-1) the affine maps never wrap, every "permutation" becomes
-    // order-isomorphic to the identity, and all signature components
-    // collapse to the same information (caught by the estimator-error
-    // spec). a*x+b < 2^62 still fits in a long before the mod.
-    private val P = 2147483659L
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    private lazy val asArr = as.toArray
+    private lazy val bsArr = bs.toArray
 
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val k = as.length
-      val bases = new Array[Long](n)
-      var i = 0
-      while (i < n) {
-        val s = arr.getUTF8String(i)
-        val h = XxHash64Function.hash(s, StringType, 42L)
-        bases(i) = ((h % 2147483648L) + 2147483648L) % 2147483648L
-        i += 1
-      }
-      val out = new Array[Long](k)
-      var j = 0
-      while (j < k) {
-        val a = as(j); val b = bs(j)
-        var mn = Long.MaxValue
-        var x = 0
-        while (x < n) {
-          val v = (a * bases(x) + b) % P
-          if (v < mn) mn = v
-          x += 1
-        }
-        out(j) = mn
-        j += 1
-      }
-      new GenericArrayData(out)
+    override def nullSafeEval(input: Any): Any =
+      minhashSigStrings(input.asInstanceOf[ArrayData], asArr, bsArr)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val asRef = ctx.addReferenceObj("mhAs", asArr, "long[]")
+      val bsRef = ctx.addReferenceObj("mhBs", bsArr, "long[]")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.VectorFns.minhashSigStrings($c, $asRef, $bsRef)")
     }
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -120,70 +157,62 @@ object VectorFns {
     * xxhash64 values — the same array the verification stage merge-
     * scans, so the shingle set is materialized and hashed exactly once
     * per document): bases are the hashes folded into 31 bits, then the
-    * usual per-coefficient min of (a·base + b) mod p. */
+    * usual per-coefficient min of (a·base + b) mod p. Codegen via the
+    * same shared fold. */
   case class MinHashSigLong(child: Expression, as: Seq[Long], bs: Seq[Long])
-      extends UnaryExpression with CodegenFallback {
-    private val P = 2147483659L
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    private lazy val asArr = as.toArray
+    private lazy val bsArr = bs.toArray
 
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val k = as.length
-      val bases = new Array[Long](n)
-      var i = 0
-      while (i < n) {
-        val h = arr.getLong(i)
-        bases(i) = ((h % 2147483648L) + 2147483648L) % 2147483648L
-        i += 1
-      }
-      val out = new Array[Long](k)
-      var j = 0
-      while (j < k) {
-        val a = as(j); val b = bs(j)
-        var mn = Long.MaxValue
-        var x = 0
-        while (x < n) {
-          val v = (a * bases(x) + b) % P
-          if (v < mn) mn = v
-          x += 1
-        }
-        out(j) = mn
-        j += 1
-      }
-      new GenericArrayData(out)
+    override def nullSafeEval(input: Any): Any =
+      minhashSigLongs(input.asInstanceOf[ArrayData], asArr, bsArr)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val asRef = ctx.addReferenceObj("mhAs", asArr, "long[]")
+      val bsRef = ctx.addReferenceObj("mhBs", bsArr, "long[]")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.VectorFns.minhashSigLongs($c, $asRef, $bsRef)")
     }
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** The per-token codepoint fold — shared by [[TokenPolyHash]]'s
+    * interpreted and generated paths. */
+  def tokenPolyHashes(arr: ArrayData, seed: Long, mod: Long): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i).toString
+      var h = seed
+      var j = 0
+      while (j < s.length) {
+        val cp = s.codePointAt(j)
+        h = (h * 31 + cp) % mod
+        j += Character.charCount(cp)
+      }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Per-element polynomial hash of a string array (fold
     * (acc·31 + codepoint) mod m, seeded) — native form of
     * TextFns.polyHashSql applied per token; identical results on BMP
-    * text (the fixture corpus is ASCII). */
+    * text (the fixture corpus is ASCII). Codegen via the shared fold. */
   case class TokenPolyHash(child: Expression, seed: Long, mod: Long)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val out = new Array[Long](n)
-      var i = 0
-      while (i < n) {
-        val s = arr.getUTF8String(i).toString
-        var h = seed
-        var j = 0
-        while (j < s.length) {
-          val cp = s.codePointAt(j)
-          h = (h * 31 + cp) % mod
-          j += Character.charCount(cp)
-        }
-        out(i) = h
-        i += 1
-      }
-      new GenericArrayData(out)
-    }
+    override def nullSafeEval(input: Any): Any =
+      tokenPolyHashes(input.asInstanceOf[ArrayData], seed, mod)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.VectorFns.tokenPolyHashes($c, ${seed}L, ${mod}L)")
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
@@ -229,36 +258,58 @@ object VectorFns {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
-  /** 31-bit SimHash from a precomputed token-hash array (same formula
-    * as TextFns.simhashOfHashes — sign-of-sum per bit — in one native
-    * pass instead of 31 interpreted aggregate() lambdas). */
-  case class SimHash31(child: Expression) extends UnaryExpression with CodegenFallback {
-    override def dataType: DataType = LongType
-
-    override def nullSafeEval(input: Any): Any = {
-      val hs = input.asInstanceOf[ArrayData]
-      val n = hs.numElements()
-      val sums = new Array[Int](31)
-      var i = 0
-      while (i < n) {
-        val h = hs.getLong(i)
-        var b = 0
-        while (b < 31) {
-          if (((h >> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
-          b += 1
-        }
-        i += 1
-      }
-      var out = 0L
+  /** The sign-of-sum bit fold — shared by [[SimHash31]]'s interpreted
+    * and generated paths. */
+  def simhash31(hs: ArrayData): Long = {
+    val n = hs.numElements()
+    val sums = new Array[Int](31)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
       var b = 0
       while (b < 31) {
-        if (sums(b) > 0) out |= (1L << b)
+        if (((h >> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
         b += 1
       }
-      out
+      i += 1
     }
+    var out = 0L
+    var b = 0
+    while (b < 31) {
+      if (sums(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** 31-bit SimHash from a precomputed token-hash array (same formula
+    * as TextFns.simhashOfHashes — sign-of-sum per bit — in one native
+    * pass instead of 31 interpreted aggregate() lambdas). Codegen via
+    * the shared fold. */
+  case class SimHash31(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+
+    override def nullSafeEval(input: Any): Any =
+      simhash31(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.VectorFns.simhash31($c)")
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** The string-array merge intersect — shared by
+    * [[SortedIntersectCount]]'s interpreted and generated paths. */
+  def sortedIntersectStrings(a: ArrayData, b: ArrayData): Int = {
+    val (na, nb) = (a.numElements(), b.numElements())
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
   }
 
   /** Intersection count of two SORTED string arrays via a single merge
@@ -267,22 +318,15 @@ object VectorFns {
     * Equal to size(array_intersect(a, b)) for distinct-element inputs,
     * so Jaccard built on it keeps matching the DuckDB oracle. */
   case class SortedIntersectCount(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = IntegerType
 
-    override def nullSafeEval(l: Any, r: Any): Any = {
-      val a = l.asInstanceOf[ArrayData]
-      val b = r.asInstanceOf[ArrayData]
-      val (na, nb) = (a.numElements(), b.numElements())
-      var i = 0; var j = 0; var c = 0
-      while (i < na && j < nb) {
-        val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
-        if (cmp == 0) { c += 1; i += 1; j += 1 }
-        else if (cmp < 0) i += 1
-        else j += 1
-      }
-      c
-    }
+    override def nullSafeEval(l: Any, r: Any): Any =
+      sortedIntersectStrings(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.VectorFns.sortedIntersectStrings($a, $b)")
 
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
@@ -346,46 +390,73 @@ object VectorFns {
     * collisions; equality spec-checked on the corpus). Null or
     * shorter-than-`n` text yields an empty array, mirroring the SQL
     * form's CASE. Measured ~3× on dd3's signature phase at sf0.1. */
+  /** Shared empty result for [[ShingleHashesSorted]]'s null/short
+    * inputs (also called from its generated code). */
+  def emptyLongArrayData(): ArrayData = EmptyLongs
+  private val EmptyLongs = new GenericArrayData(Array.emptyLongArray)
+
+  /** The shingle-hash pass itself — shared by the interpreted eval and
+    * the generated code. */
+  def shingleHashesSorted(s: org.apache.spark.unsafe.types.UTF8String,
+      n: Int, seed: Long): ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nb = s.numBytes
+    // char-start byte offsets (substr is codepoint-based; ASCII fast
+    // path is the same loop with every step = 1 byte)
+    val starts = new Array[Int](nb + 1)
+    var i = 0; var chars = 0
+    while (i < nb) {
+      starts(chars) = i
+      i += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(
+        org.apache.spark.unsafe.Platform.getByte(base, off + i))
+      chars += 1
+    }
+    starts(chars) = nb
+    if (chars < n) return EmptyLongs
+    val windows = chars - n + 1
+    val hs = new Array[Long](windows)
+    var w = 0
+    while (w < windows) {
+      hs(w) = XXH64.hashUnsafeBytes(
+        base, off + starts(w), starts(w + n) - starts(w), seed)
+      w += 1
+    }
+    java.util.Arrays.sort(hs)
+    var uniq = 0; var r = 0
+    while (r < windows) { // in-place dedup of the sorted run
+      if (r == 0 || hs(r) != hs(r - 1)) { hs(uniq) = hs(r); uniq += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, uniq))
+  }
+
   case class ShingleHashesSorted(child: Expression, n: Int, seed: Long)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = false
-    private val empty = new GenericArrayData(Array.emptyLongArray)
 
     override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
       val v = child.eval(input)
-      if (v == null) return empty
-      val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-      val base = s.getBaseObject
-      val off = s.getBaseOffset
-      val nb = s.numBytes
-      // char-start byte offsets (substr is codepoint-based; ASCII fast
-      // path is the same loop with every step = 1 byte)
-      val starts = new Array[Int](nb + 1)
-      var i = 0; var chars = 0
-      while (i < nb) {
-        starts(chars) = i
-        i += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(
-          org.apache.spark.unsafe.Platform.getByte(base, off + i))
-        chars += 1
-      }
-      starts(chars) = nb
-      if (chars < n) return empty
-      val windows = chars - n + 1
-      val hs = new Array[Long](windows)
-      var w = 0
-      while (w < windows) {
-        hs(w) = XXH64.hashUnsafeBytes(
-          base, off + starts(w), starts(w + n) - starts(w), seed)
-        w += 1
-      }
-      java.util.Arrays.sort(hs)
-      var uniq = 0; var r = 0
-      while (r < windows) { // in-place dedup of the sorted run
-        if (r == 0 || hs(r) != hs(r - 1)) { hs(uniq) = hs(r); uniq += 1 }
-        r += 1
-      }
-      new GenericArrayData(java.util.Arrays.copyOf(hs, uniq))
+      if (v == null) EmptyLongs
+      else shingleHashesSorted(
+        v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, seed)
+    }
+
+    /** Hand-rolled (not defineCodeGen): null input yields the EMPTY
+      * ARRAY, not null — mirroring the SQL CASE form — so the result
+      * slot is never-null regardless of the child. */
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      val c = child.genCode(ctx)
+      ev.copy(
+        code = code"""
+          |${c.code}
+          |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = ${c.isNull}
+          |  ? graft.functions.VectorFns.emptyLongArrayData()
+          |  : graft.functions.VectorFns.shingleHashesSorted(${c.value}, $n, ${seed}L);
+        """.stripMargin,
+        isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
     }
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
