@@ -122,6 +122,38 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.dedup.bloomEnabled")
   }
 
+  test("fp sink restart resumes against the committed partitioned corpus") {
+    // second invocation against the SAME store table: the bloom must
+    // seed from the committed corpus (a partitioned multi-dir read),
+    // dups from the first run must be dropped, novel rows admitted,
+    // and the bucket layout preserved across the restart boundary
+    val docs = Tables.t(spark, sf, "documents")
+    val store = new graft.store.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-st5b-restart-").toString)
+    val dir1 = java.nio.file.Files.createTempDirectory("graft-st5b-r1-").toString
+    docs.limit(120).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir1/documents.parquet")
+    val first = graft.streaming.DocStreams
+      .dedupSinkToStoreByFp(spark, dir1, store, "docs").count()
+    // run 2: the first 120 docs again under fresh ids (all dups) plus
+    // genuinely new texts under higher ids
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-st5b-r2-").toString
+    val redo = docs.limit(120).withColumn("doc_id", col("doc_id") + 1000000L)
+    val novel = docs.orderBy(col("doc_id").desc).limit(40)
+    redo.unionByName(novel).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir2/documents.parquet")
+    val after = graft.streaming.DocStreams
+      .dedupSinkToStoreByFp(spark, dir2, store, "docs")
+    val expected = docs.limit(120).unionByName(novel)
+      .select(graft.operators.TextFns.fingerprint("text")).distinct().count()
+    assert(after.count() == expected,
+      "restart must drop first-run dups and admit only novel fingerprints")
+    assert(after.filter(col("doc_id") >= 1000000L).count() == 0,
+      "a re-ingested duplicate must never displace the committed keeper")
+    assert(store.partitionColumns("docs") == Seq("fp_bucket"),
+      "the partition property must survive the restart")
+  }
+
   test("null-text rows are dropped at ingest, not re-admitted every micro-batch") {
     // a null text never matches an equi-join, so without the ingest
     // guard each null row would look "novel" in EVERY batch and
