@@ -128,8 +128,16 @@ final class TableStore(val spark: SparkSession, val root: String) {
     val out = if (partCols.isEmpty) df
       else df.repartition(partCols.map(col): _*)
     val w = out.write.mode("overwrite")
+    val dest = rootPath.resolve(table).resolve(sub)
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
-      .parquet(rootPath.resolve(table).resolve(sub).toString)
+      .parquet(dest.toString)
+    // an EMPTY partitioned write emits zero files (the dynamic writer
+    // only creates col=value dirs for values it sees) — a truncated
+    // table would then fail schema inference on read. Leave a zero-row
+    // marker carrying the full schema (partition cols as physical
+    // columns; unionByName aligns it with inferred reads).
+    if (partCols.nonEmpty && !hasParquet(dest))
+      df.limit(0).coalesce(1).write.mode("overwrite").parquet(dest.toString)
     sub
   }
 

@@ -66,6 +66,27 @@ class StoreBucketPruningSpec extends SparkSpec {
     assert(got == (0L until 800L).filter(i => i % 8 == 1 || i % 8 == 3).toSet)
   }
 
+  test("truncate of a partitioned table stays readable and re-insertable") {
+    val root = Files.createTempDirectory("graft-buckettrunc-").toString
+    val store = new TableStore(spark, root)
+    val slice = mkCorpus(800)
+    store.createPartitioned("corpus", slice(0, 400), Seq("fp_bucket"))
+    store.truncate("corpus")
+    // an empty partitioned write leaves no col=value dirs — the marker
+    // file must still give readers a schema
+    assert(store.read("corpus").count() == 0)
+    assert(store.read("corpus").columns.contains("fp_bucket"))
+    store.insert("corpus", slice(400, 800))
+    assert(store.read("corpus").count() == 400)
+    assert(store.partitionColumns("corpus") == Seq("fp_bucket"),
+      "partition property must survive truncate")
+    val (nFiles, nRows) = filesRead(
+      store.read("corpus").filter(col("fp_bucket") === 2).select("fp"))
+    assert(nRows == 50)
+    assert(nFiles < parquetFilesOnDisk(root, "corpus"),
+      "re-inserted table no longer prunes")
+  }
+
   test("inserts and COW rewrites keep the partition layout") {
     val root = Files.createTempDirectory("graft-bucketcow-").toString
     val store = new TableStore(spark, root)
