@@ -87,6 +87,28 @@ class StoreBucketPruningSpec extends SparkSpec {
       "re-inserted table no longer prunes")
   }
 
+  test("vacuum reclaims stranded partitioned dirs, nested bucket files included") {
+    val root = Files.createTempDirectory("graft-bucketvac-").toString
+    val store = new TableStore(spark, root)
+    spark.conf.set(TableStore.VacuumGraceMsConf, "0")
+    try {
+      val slice = mkCorpus(800)
+      store.createPartitioned("corpus", slice(0, 400), Seq("fp_bucket"))
+      // COW delete strands the original partitioned dir
+      store.delete("corpus", col("fp") < 100L)
+      val before = store.dataDirsOnDisk("corpus").size
+      val stats = store.vacuum(retainVersions = 1)
+      assert(stats.dataDirsDeleted >= 1,
+        s"expected the pre-delete dir reclaimed, stats=$stats")
+      assert(store.dataDirsOnDisk("corpus").size < before)
+      // the surviving table still reads, prunes, and holds the right rows
+      val left = store.read("corpus")
+      assert(left.count() == 300)
+      val (nFiles, _) = filesRead(left.filter(col("fp_bucket") === 3).select("fp"))
+      assert(nFiles < parquetFilesOnDisk(root, "corpus"))
+    } finally spark.conf.unset(TableStore.VacuumGraceMsConf)
+  }
+
   test("inserts and COW rewrites keep the partition layout") {
     val root = Files.createTempDirectory("graft-bucketcow-").toString
     val store = new TableStore(spark, root)
