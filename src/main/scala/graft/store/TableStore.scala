@@ -378,11 +378,19 @@ final class TableStore(val spark: SparkSession, val root: String) {
 
   /** S7 backup/export: write a self-contained snapshot of the table's
     * CURRENT committed state to `destDir` (plain parquet, no manifest —
-    * readable by anything). The source files are immutable, so the
-    * export is consistent without blocking writers: it reads the
-    * manifest-resolved file set, concurrent commits don't perturb it. */
-  def exportTable(name: String, destDir: String): Unit =
-    read(name).write.mode("overwrite").parquet(destDir)
+    * readable by anything; a bucketed table exports with its
+    * `col=value/` layout, standard hive-partitioned parquet, so the
+    * snapshot keeps pruning in whatever engine reads it). The source
+    * files are immutable, so the export is consistent without blocking
+    * writers: it reads the manifest-resolved file set, concurrent
+    * commits don't perturb it. */
+  def exportTable(name: String, destDir: String): Unit = {
+    val cols = partitionColumns(name)
+    val out = read(name)
+    val clustered = if (cols.isEmpty) out else out.repartition(cols.map(col): _*)
+    val w = clustered.write.mode("overwrite")
+    (if (cols.nonEmpty) w.partitionBy(cols: _*) else w).parquet(destDir)
+  }
 
   /** Unpublish tables WITHOUT deleting files — the safe removal for
     * package instances, whose data dirs may be pointer-shared with an

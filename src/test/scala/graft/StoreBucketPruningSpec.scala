@@ -109,6 +109,28 @@ class StoreBucketPruningSpec extends SparkSpec {
     } finally spark.conf.unset(TableStore.VacuumGraceMsConf)
   }
 
+  test("export of a bucketed table keeps the hive-partitioned layout") {
+    val root = Files.createTempDirectory("graft-bucketexp-").toString
+    val store = new TableStore(spark, root)
+    store.createPartitioned("corpus", mkCorpus(800)(0, 400), Seq("fp_bucket"))
+    val dest = Files.createTempDirectory("graft-bucketexp-out-").toString
+    store.exportTable("corpus", dest)
+    // the snapshot is standard hive-partitioned parquet: col=value dirs
+    val kids = {
+      val s = Files.list(java.nio.file.Paths.get(dest))
+      try {
+        val it = s.iterator(); val b = Seq.newBuilder[String]
+        while (it.hasNext) b += it.next().getFileName.toString
+        b.result()
+      } finally s.close()
+    }
+    assert(kids.count(_.startsWith("fp_bucket=")) == 8, s"layout: $kids")
+    // readable by any engine with identical content
+    val back = spark.read.parquet(dest)
+    assert(back.count() == 400)
+    assert(back.columns.toSet == Set("fp", "fp_bucket"))
+  }
+
   test("inserts and COW rewrites keep the partition layout") {
     val root = Files.createTempDirectory("graft-bucketcow-").toString
     val store = new TableStore(spark, root)
