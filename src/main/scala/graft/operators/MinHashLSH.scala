@@ -98,8 +98,9 @@ object MinHashLSH {
     val x = banded.select(col(idCol).as("a_id"), col("band"), col("sig"))
     val y = banded.select(col(idCol).as("b_id"), col("band"), col("sig"))
     // raw candidate stream — dedup happens after the estimator filter,
-    // on the far smaller surviving set (see nearDuplicates)
-    val cand = x.join(y, Seq("band", "sig"))
+    // on the far smaller surviving set (see nearDuplicates); same
+    // salted-join escape hatch as the exact-verify path
+    val cand = saltedBandSelfJoin(x, y)
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
     // signatures (k longs per doc) are the small side vs the candidate

@@ -29,14 +29,24 @@ class SaltedBandJoinSpec extends SparkSpec {
     shingleLen = 5, bands = 7, rowsPerBand = 3, threshold = 0.5)
     .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  private def estPairs() = MinHashLSH.nearDuplicatesEstimated(
+    corpus, "doc_id", "text",
+    shingleLen = 5, bands = 7, rowsPerBand = 3, threshold = 0.5)
+    .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
   test("salted band join yields byte-identical pairs on a 40x hot signature") {
     val plain = pairs()
+    val plainEst = estPairs()
     // every replica pair must be found regardless of path
     assert(plain.size >= 40 * 39 / 2, s"expected all replica pairs, got ${plain.size}")
     spark.conf.set(MinHashLSH.BandSaltConf, "8")
-    try assert(pairs() == plain,
-      "salted candidate generation diverges from the unsalted result")
-    finally spark.conf.unset(MinHashLSH.BandSaltConf)
+    try {
+      assert(pairs() == plain,
+        "salted candidate generation diverges from the unsalted result")
+      // the estimator variant routes through the same salted join
+      assert(estPairs() == plainEst,
+        "salted estimator-verify candidates diverge from the unsalted result")
+    } finally spark.conf.unset(MinHashLSH.BandSaltConf)
   }
 
   test("the salt reaches the join key and is off by default") {
