@@ -2,8 +2,9 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables.t
-import graft.operators.{MinHashLSH, TextFns}
+import graft.operators.{GraphOps, MinHashLSH, TextFns}
 
 /** Deduplication operators over the `documents` / `embeddings` tables
   * (training-data pipeline scope; graded alongside SURVEY §2).
@@ -28,10 +29,11 @@ object Dedup extends QueryPack {
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
       .select("keeper_id", "n_copies")
 
-  /** dd2 — exact character-5-gram Jaccard near-dup pairs, on the mod-4
-    * sampled id space (deterministic sample; the full-space scale path
-    * is dd3). */
-  private def dd2(s: SparkSession, d: String): DataFrame = {
+  /** Exact character-5-gram Jaccard near-dup pairs on the mod-4 sampled
+    * id space (deterministic sample; the full-space scale path is dd3).
+    * Shared by dd2 (the pairs themselves) and dd7 (cluster resolution
+    * over the pairs). */
+  private def exactPairs(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFns.register(s)
     // intersects run on sorted 64-bit shingle hashes (set sizes
     // preserved — see dd3's verification note) — long compares beat
@@ -52,6 +54,9 @@ object Dedup extends QueryPack {
       .filter(col("jaccard") >= 0.25)
       .select("a_id", "b_id", "jaccard")
   }
+
+  /** dd2 — the exact near-dup pairs (see [[exactPairs]]). */
+  private def dd2(s: SparkSession, d: String): DataFrame = exactPairs(s, d)
 
   /** dd3 — MinHash + banded LSH near-dup pairs (21 bands × 3 rows,
     * exact-Jaccard verified ≥ 0.25). Approximate candidate recall → no
@@ -158,6 +163,71 @@ object Dedup extends QueryPack {
       threshold = 0.25)
   }
 
+  /** dd7 — duplicate-CLUSTER resolution: near-dup PAIRS are not yet a
+    * dedup decision — "keep one per pair" over-deletes when duplicates
+    * chain (a~b, b~c but a≁c must still keep exactly one of {a,b,c}).
+    * The published pipelines (SlimPajama, BigCode/StarCoder dedup)
+    * resolve pairs into connected components and keep one document per
+    * component. Here: exact pairs (dd2's definition, so the oracle stays
+    * exact) → GraphX connectedComponents (Pregel min-id propagation —
+    * the component label IS the keeper id; rounds = cluster diameter,
+    * which is small for duplicate clusters) → every sampled doc labeled
+    * with its keeper and cluster size. At 100 TB the same composition
+    * runs over dd3's LSH pairs — candidate edges ∝ collisions, never
+    * all-pairs. */
+  private def dd7(s: SparkSession, d: String): DataFrame = {
+    val edges = exactPairs(s, d)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    val cc = GraphOps.connectedComponents(s, edges)
+    val nodes = t(s, d, "documents")
+      .filter(col("doc_id") % 4 === 0).select("doc_id")
+    // singleton docs (no near-dup pair) never enter the graph: they keep
+    // themselves
+    val labeled = nodes.join(cc, nodes("doc_id") === cc("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("keeper_id"))
+    labeled.withColumn("cluster_size",
+      count(lit(1)).over(Window.partitionBy("keeper_id")))
+  }
+
+  /** Aligned-chunk token length: chunks are full ChunkTok except a
+    * document's last. */
+  private val ChunkTok = 16
+
+  /** dd8 — chunk-level exact dedup (the CCNet/RefinedWeb span-dedup
+    * family): documents are split into aligned 16-token chunks, each
+    * chunk keyed by its ~60-bit fingerprint, and only the first
+    * occurrence corpus-wide (min (doc_id, pos)) of each chunk survives.
+    * Emits per-document retention stats — the quantity a pipeline
+    * actually thresholds on ("drop docs that lost >X% of their spans").
+    *
+    * Scale: the chunk strings are dropped BEFORE the exchange — the
+    * dedup shuffle carries (doc_id, pos, fp, tok_count), ~28 bytes per
+    * chunk, not text; first-occurrence choice is a row_number over the
+    * fp key (one shuffle), per-doc rollup is the second. */
+  private def dd8(s: SparkSession, d: String): DataFrame = {
+    val chunks = t(s, d, "documents")
+      .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .select(col("doc_id"), col("n_tok"),
+        posexplode(expr(
+          s"""transform(sequence(1, CAST(ceil(n_tok / ${ChunkTok}.0) AS INT)),
+              i -> concat_ws(' ', slice(toks, 1 + $ChunkTok * (i - 1), $ChunkTok)))""")))
+      .withColumn("chunk_fp", TextFns.fingerprintOf(col("col")))
+      .withColumn("chunk_tok",
+        least(lit(ChunkTok.toLong), col("n_tok") - lit(ChunkTok.toLong) * col("pos")))
+      // project the raw chunk away before the fp-keyed exchange
+      .select("doc_id", "n_tok", "pos", "chunk_fp", "chunk_tok")
+    chunks
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("chunk_fp").orderBy("doc_id", "pos")))
+      .groupBy("doc_id")
+      .agg(max(col("n_tok")).as("n_tok"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("rk") === 1, 0L).otherwise(1L)).as("n_chunks_dropped"),
+        sum(when(col("rk") === 1, col("chunk_tok")).otherwise(0L)).as("n_tokens_kept"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd1_exact_dedup" -> (dd1 _),
     "dd2_ngram_jaccard" -> (dd2 _),
@@ -168,6 +238,8 @@ object Dedup extends QueryPack {
     "dd5_embedding_neardup" -> (dd5 _),
     "dd6_incremental_dedup" -> (dd6 _),
     "dd6b_incremental_minhash" -> (dd6b _),
+    "dd7_duplicate_clusters" -> (dd7 _),
+    "dd8_chunk_dedup" -> (dd8 _),
   )
 
   private val shingleSql =
@@ -220,6 +292,51 @@ object Dedup extends QueryPack {
            CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 10""",
+    // min-label reachability: min reachable id == connected-component
+    // min == the keeper GraphX's Pregel converges to
+    "dd7_duplicate_clusters" ->
+      s"""WITH RECURSIVE sh AS (
+           SELECT doc_id, $shingleSql AS s
+           FROM documents WHERE doc_id % 4 = 0),
+         pairs AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                 CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.25),
+         edges AS (
+           SELECT a_id AS u, b_id AS v FROM pairs
+           UNION ALL SELECT b_id, a_id FROM pairs),
+         reach(u, r) AS (
+           SELECT doc_id, doc_id FROM documents WHERE doc_id % 4 = 0
+           UNION
+           SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+         lab AS (SELECT u AS doc_id, min(r) AS keeper_id FROM reach GROUP BY u)
+         SELECT doc_id, keeper_id,
+                count(*) OVER (PARTITION BY keeper_id) AS cluster_size
+         FROM lab""",
+    "dd8_chunk_dedup" ->
+      (s"""WITH tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+           FROM documents),
+         ck AS (
+           SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+             unnest(range(1, CAST(ceil(len(toks) / 16.0) AS BIGINT) + 1)) - 1 AS pos,
+             unnest([array_to_string(toks[1 + 16*(x-1) : 16*x], ' ')
+                     for x in range(1, CAST(ceil(len(toks) / 16.0) AS BIGINT) + 1)]) AS chunk
+           FROM tk),
+         f AS (
+           SELECT doc_id, n_tok, pos, """
+        + TextFns.fingerprintDuckSql("chunk") + """ AS chunk_fp,
+             least(16, n_tok - 16 * pos) AS chunk_tok
+           FROM ck),
+         rk AS (
+           SELECT *, row_number() OVER (PARTITION BY chunk_fp
+                       ORDER BY doc_id, pos) AS rk FROM f)
+         SELECT doc_id, CAST(max(n_tok) AS BIGINT) AS n_tok,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN rk = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_chunks_dropped,
+           CAST(sum(CASE WHEN rk = 1 THEN chunk_tok ELSE 0 END) AS BIGINT) AS n_tokens_kept
+         FROM rk GROUP BY doc_id"""),
     // double-precision cosine, same formula as the Spark side
     // (list_cosine_similarity on FLOAT[] accumulates in float)
     "dd5_embedding_neardup" ->

@@ -82,14 +82,91 @@ object TrainingSetQueries extends QueryPack {
       .agg(count(lit(1)).as("n_shared_grams")) // gram_fps distinct per doc
   }
 
+  /** samp3 — temperature (α = 0.5) mixture sampling: per-language keep
+    * rate ∝ n^(α−1) = 1/√n, so the realized mix is ∝ √n — the
+    * low-resource-upweighting mix rule (multilingual-pretraining
+    * standard practice, e.g. XLM-R's temperature sampling). The rate is
+    * a pure per-language function (no cross-group float reduction — a
+    * summed normalizer would make the threshold depend on Spark's
+    * nondeterministic agg order at the last ulp), and the keep decision
+    * is the same retry-stable fingerprint test samp1 uses.
+    *
+    * Scale: pass 1 is a tiny per-language count (5 rows — broadcast
+    * back), pass 2 is map-only over the corpus. */
+  private def samp3(s: SparkSession, d: String): DataFrame = {
+    val withKey = t(s, d, "documents")
+      .withColumn("h10k", pmod(TextFns.fingerprintOf(
+        concat(col("lang"), lit(":"), col("doc_id").cast("string"))), lit(10000)))
+    val rates = withKey.groupBy("lang").agg(count(lit(1)).as("n_total"))
+      .withColumn("keep_lim",
+        least(lit(10000L), floor(lit(10000.0) * lit(5.0) / sqrt(col("n_total")))))
+    withKey.join(broadcast(rates), "lang")
+      .groupBy("lang")
+      .agg(max(col("n_total")).as("n_total"),
+        max(col("keep_lim")).as("keep_lim"),
+        sum(when(col("h10k") < col("keep_lim"), 1L).otherwise(0L)).as("n_kept"))
+  }
+
+  private val PackShards = 8
+  private val PackBudget = 512L
+
+  /** Deterministically keyed + sharded docs with token counts — shared
+    * by pack1/pack2. At 100 TB the shard count scales with the cluster
+    * and each shard's window is independent.
+    *
+    * The shard key is the fingerprint's FIRST CRT fold (`fp DIV
+    * 998244353` recovers it exactly, since fp = f1·998244353 + f2 with
+    * f2 < 998244353), not `fp % shards`: the combined fingerprint is
+    * locally LINEAR in the hashed value with step 998244354 ≡ 2 (mod 8),
+    * so its low bits only reach half the residues over any narrow key
+    * band — `fp % 8` left 4 of 8 shards empty on this very table. The
+    * single fold steps by 1 and spreads uniformly (measured 60-65 per
+    * shard here). Same reason BucketingSpec buckets on a proper hash:
+    * never shard on the low bits of a structured key. */
+  private def packed(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    t(s, d, "documents")
+      .withColumn("n_tok",
+        size(expr("split(trim(text), '\\\\s+')")).cast("long"))
+      .withColumn("fp", TextFns.fingerprintOf(col("doc_id").cast("string")))
+      .withColumn("shard", pmod(expr("fp DIV 998244353"), lit(PackShards.toLong)))
+      .withColumn("cum", sum(col("n_tok")).over(
+        Window.partitionBy("shard").orderBy("fp", "doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("seq_id", expr(s"(cum - 1) DIV $PackBudget + 1"))
+  }
+
+  /** pack1 — sequence assembly for training: documents are laid out in a
+    * deterministic pseudo-random order (the fingerprint — a reproducible
+    * global shuffle, no rand()) and packed contiguously into ~512-token
+    * training sequences per shard (next-fit chunking: a document belongs
+    * to the sequence its last token lands in). One window per shard —
+    * a single shuffle on the shard key; sequence ids need no global
+    * coordination. */
+  private def pack1(s: SparkSession, d: String): DataFrame =
+    packed(s, d).select("doc_id", "shard", "seq_id", "n_tok")
+
+  /** pack2 — realized packing efficiency: per-sequence document and
+    * token totals (what you'd audit before training: fill ratio vs the
+    * token budget). */
+  private def pack2(s: SparkSession, d: String): DataFrame =
+    packed(s, d).groupBy("shard", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "samp1_stratified_sample" -> (samp1 _),
     "samp2_mix_stats" -> (samp2 _),
+    "samp3_temperature_mix" -> (samp3 _),
     "dc1_decontamination" -> (dc1 _),
+    "pack1_sequence_packing" -> (pack1 _),
+    "pack2_packing_stats" -> (pack2 _),
   )
 
   private val keyFpSql =
     TextFns.fingerprintDuckSql("lang || ':' || CAST(doc_id AS VARCHAR)")
+
+  private val docFpSql =
+    TextFns.fingerprintDuckSql("CAST(doc_id AS VARCHAR)")
 
   override val oracles: Map[String, String] = Map(
     "samp1_stratified_sample" ->
@@ -101,6 +178,40 @@ object TrainingSetQueries extends QueryPack {
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
            CAST(min($ratePctSql) AS INTEGER) AS target_pct
          FROM documents GROUP BY lang""",
+    "samp3_temperature_mix" ->
+      s"""WITH n AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY lang),
+         r AS (SELECT lang AS rlang, n_total,
+                 least(10000, CAST(floor(10000.0 * 5.0 / sqrt(n_total)) AS BIGINT)) AS keep_lim
+               FROM n)
+         SELECT lang, max(n_total) AS n_total, max(keep_lim) AS keep_lim,
+           CAST(sum(CASE WHEN $keyFpSql % 10000 < keep_lim
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         FROM documents d JOIN r ON d.lang = r.rlang
+         GROUP BY lang""",
+    "pack1_sequence_packing" ->
+      s"""WITH d AS (
+           SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+             $docFpSql AS fp
+           FROM documents),
+         s AS (SELECT doc_id, n_tok, fp, (fp // 998244353) % 8 AS shard FROM d),
+         c AS (SELECT *, sum(n_tok) OVER (PARTITION BY shard ORDER BY fp, doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum FROM s)
+         SELECT doc_id, shard, CAST((cum - 1) // 512 + 1 AS BIGINT) AS seq_id, n_tok
+         FROM c""",
+    "pack2_packing_stats" ->
+      s"""WITH d AS (
+           SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+             $docFpSql AS fp
+           FROM documents),
+         s AS (SELECT doc_id, n_tok, fp, (fp // 998244353) % 8 AS shard FROM d),
+         c AS (SELECT *, sum(n_tok) OVER (PARTITION BY shard ORDER BY fp, doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum FROM s),
+         b AS (SELECT shard, CAST((cum - 1) // 512 + 1 AS BIGINT) AS seq_id, n_tok FROM c)
+         SELECT shard, seq_id, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         FROM b GROUP BY shard, seq_id""",
     "dc1_decontamination" ->
       ("""WITH tk AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks

@@ -126,6 +126,25 @@ class PlanAuditSpec extends SparkSpec {
       s"only the keeper aggregation may shuffle, found $shuffles:\n$p")
   }
 
+  test("dd8 chunk dedup shuffles fingerprints, never the chunk strings") {
+    val p = plan(graft.queries.Dedup, "dd8_chunk_dedup")
+    assert(p.contains("hashpartitioning(chunk_fp"),
+      s"span dedup must partition on the chunk fingerprint:\n$p")
+    assert(!p.contains("hashpartitioning(col"),
+      s"raw chunk strings must not cross an exchange:\n$p")
+  }
+
+  test("pack1 sequence packing is one shard-keyed exchange, no global sort") {
+    val p = plan(graft.queries.TrainingSetQueries, "pack1_sequence_packing")
+    val shuffles = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(shuffles.size == 1,
+      s"expected only the per-shard window exchange, found ${shuffles.size}:\n$p")
+    assert(shuffles.head.contains("hashpartitioning(shard"),
+      s"window must partition on shard:\n${shuffles.head}")
+    assert(!p.contains("rangepartitioning"),
+      s"packing must not globally sort:\n$p")
+  }
+
   test("scan projection prunes to the read schema on the documents table") {
     val p = plan(graft.queries.TextAnalysis, "tx4_fingerprint")
     // fingerprint reads doc_id + text only; the scan must not read lang/source
