@@ -38,11 +38,25 @@ object MultimodalQueries extends QueryPack {
   private def mm4(s: SparkSession, d: String): DataFrame =
     Multimodal.resizeImages(Multimodal.imageTable(s, d), maxW = 12, maxH = 9).toDF()
 
+  /** mm5 — real WAV decode: hand-encoded RIFF/PCM clips parsed back by
+    * walking the chunk sequence; peak + checksum over the decoded int16
+    * samples. PCM is lossless, so the oracle recomputes every sample. */
+  private def mm5(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeAudio(Multimodal.audioTable(s, d)).toDF()
+
+  /** mm6 — real video frame extraction: every 2nd frame of each
+    * multi-frame GIF positioned-decoded, checksum over the decoded
+    * frame's pixels. */
+  private def mm6(s: SparkSession, d: String): DataFrame =
+    Multimodal.sampleFramesDecoded(Multimodal.videoTable(s, d), step = 2).toDF()
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_media_metadata" -> (mm1 _),
     "mm2_decode_checksum" -> (mm2 _),
     "mm3_frame_sampling" -> (mm3 _),
     "mm4_resize_meta" -> (mm4 _),
+    "mm5_audio_decode" -> (mm5 _),
+    "mm6_video_frames" -> (mm6 _),
   )
 
   private val metaSql =
@@ -90,6 +104,31 @@ object MultimodalQueries extends QueryPack {
       """SELECT doc_id AS media_id,
             unnest(range(0, n_chars * 10, 500)) AS frame_ms
          FROM documents WHERE doc_id % 3 = 2""",
+    // the decoded samples equal the generation function (PCM lossless):
+    // sample(id, i) = ((id*31 + i*17) % 65536) - 32768, fold over i with
+    // the sample shifted to unsigned
+    "mm5_audio_decode" ->
+      s"""WITH a AS (
+            SELECT doc_id AS media_id, CAST(doc_id % 500 + 100 AS BIGINT) AS n
+            FROM documents WHERE doc_id % 3 = 1)
+          SELECT media_id, 8000 AS sample_rate, n AS n_samples,
+            n * 1000 // 8000 AS duration_ms,
+            CAST(list_max(
+              [abs((media_id * 31 + x * 17) % 65536 - 32768)
+               for x in range(0, n)]) AS INTEGER) AS peak,
+            ${checksumSql("n", "(media_id * 31 + x * 17) % 65536")} AS checksum
+          FROM a""",
+    // frame pixels equal the generation function (GIF lossless for an
+    // 8-bit grayscale palette): framePixel(id, f, x, y) =
+    // ((id + 997*f)*7 + x*31 + y*13) % 256, frames sampled by 2
+    "mm6_video_frames" ->
+      s"""WITH v AS (
+            SELECT doc_id, w, h, unnest(range(0, doc_id % 4 + 2, 2)) AS f
+            FROM ($dimsSql) WHERE doc_id % 3 = 2)
+          SELECT doc_id AS media_id, f AS frame_idx, w AS width, h AS height,
+            ${checksumSql("w * h",
+              "((doc_id + 997 * f) * 7 + (x % w) * 31 + (x // w) * 13) % 256")} AS checksum
+          FROM v""",
     // nearest-neighbor source index: sx = (x % new_w) * w // new_w,
     // sy = (x // new_w) * h // new_h — integer math, same as the JVM
     "mm4_resize_meta" ->
