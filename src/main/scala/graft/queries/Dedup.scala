@@ -202,13 +202,21 @@ object Dedup extends QueryPack {
     * actually thresholds on ("drop docs that lost >X% of their spans").
     *
     * Scale: the chunk strings are dropped BEFORE the exchange — the
-    * dedup shuffle carries (doc_id, pos, fp, tok_count), ~28 bytes per
-    * chunk, not text; first-occurrence choice is a row_number over the
-    * fp key (one shuffle), per-doc rollup is the second. */
+    * dedup shuffle carries (fp, doc_id, pos, tok_count), ~28 bytes per
+    * chunk, not text. First-occurrence choice is `min(struct(doc_id,
+    * pos))` per fingerprint, NOT a `row_number` window: boilerplate
+    * spans are viral keys (the same navigation chrome appears in
+    * millions of pages), a window sorts every occurrence of a hot fp in
+    * one task, while min() partial-aggregates map-side so the reduce
+    * side sees at most one candidate per fp per map task. Per-doc
+    * totals need no shuffle beyond the doc rollup: total chunks per doc
+    * is ceil(n_tok/16) map-side, and the survivors aggregate by their
+    * owning doc. */
   private def dd8(s: SparkSession, d: String): DataFrame = {
-    val chunks = t(s, d, "documents")
+    val docs = t(s, d, "documents")
       .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
       .withColumn("n_tok", size(col("toks")).cast("long"))
+    val chunks = docs
       .select(col("doc_id"), col("n_tok"),
         posexplode(expr(
           s"""transform(sequence(1, CAST(ceil(n_tok / ${ChunkTok}.0) AS INT)),
@@ -217,15 +225,21 @@ object Dedup extends QueryPack {
       .withColumn("chunk_tok",
         least(lit(ChunkTok.toLong), col("n_tok") - lit(ChunkTok.toLong) * col("pos")))
       // project the raw chunk away before the fp-keyed exchange
-      .select("doc_id", "n_tok", "pos", "chunk_fp", "chunk_tok")
-    chunks
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("chunk_fp").orderBy("doc_id", "pos")))
-      .groupBy("doc_id")
-      .agg(max(col("n_tok")).as("n_tok"),
-        count(lit(1)).as("n_chunks"),
-        sum(when(col("rk") === 1, 0L).otherwise(1L)).as("n_chunks_dropped"),
-        sum(when(col("rk") === 1, col("chunk_tok")).otherwise(0L)).as("n_tokens_kept"))
+      .select("doc_id", "pos", "chunk_fp", "chunk_tok")
+    // (doc_id, pos) is unique, so the struct min IS the first occurrence;
+    // chunk_tok rides along to avoid a join back to the chunk stream
+    val survivors = chunks
+      .groupBy("chunk_fp")
+      .agg(min(struct(col("doc_id"), col("pos"), col("chunk_tok"))).as("k"))
+      .groupBy(col("k.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("k.chunk_tok")).as("n_tokens_kept"))
+    docs
+      .select(col("doc_id"), col("n_tok"),
+        expr(s"CAST(ceil(n_tok / ${ChunkTok}.0) AS BIGINT)").as("n_chunks"))
+      .join(survivors, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"), col("n_chunks"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_chunks_dropped"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"))
   }
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

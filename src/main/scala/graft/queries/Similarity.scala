@@ -138,10 +138,45 @@ object Similarity extends QueryPack {
       .select("probe_id", "neighbor_id", "cos_sim", "rank")
   }
 
+  /** emb1 — int8 scalar quantization of the embedding column: per-vector
+    * symmetric scale (max-abs / 127), nearest-integer codes clamped to
+    * [-127, 127], with per-vector reconstruction RMS and a fold checksum
+    * over the codes. The 4× (float32→int8) compression is what makes a
+    * 10⁹-vector corpus fit executor memory for ANN — this is the storage
+    * leg of the ann2/ann3 scale path. Map-only: one narrow pass, no
+    * shuffle, codes never materialize as arrays in the output (the
+    * checksum pins them).
+    *
+    * Determinism note: every step is IEEE double arithmetic with a
+    * left-to-right fold — no cross-row float reduction — so Spark and
+    * DuckDB produce bit-identical doubles and the 6-decimal rounding
+    * cannot straddle engines. Nearest-integer is floor(x + 0.5) (exact),
+    * not round() (whose half-way rule differs across engines). */
+  private def emb1(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .withColumn("xd", expr("transform(embedding, v -> CAST(v AS DOUBLE))"))
+      .withColumn("mx", expr(
+        "aggregate(xd, CAST(0.0 AS DOUBLE), (a, v) -> greatest(a, abs(v)))"))
+      // zero-vector guard: scale floors at 1e-12 so q = 0 instead of NaN
+      .withColumn("scale", expr("greatest(mx, CAST(1e-12 AS DOUBLE)) / 127.0"))
+      .withColumn("q", expr(
+        """transform(xd, v -> CAST(greatest(-127.0, least(127.0,
+           floor(v / scale + 0.5))) AS BIGINT))"""))
+      .withColumn("err2", expr(
+        """aggregate(zip_with(xd, q, (v, c) -> (v - c * scale) * (v - c * scale)),
+           CAST(0.0 AS DOUBLE), (a, v) -> a + v)"""))
+      .select(col("vec_id"),
+        size(col("q")).cast("long").as("n_dims"),
+        round(col("scale"), 6).as("scale_r"),
+        round(sqrt(col("err2") / size(col("q"))), 6).as("rms_err"),
+        expr("aggregate(q, CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + (c + 128)) % 1000000007)")
+          .as("code_checksum"))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann1_bruteforce_topk" -> (ann1 _),
     "ann2_lsh_topk" -> (ann2 _),
     "ann3_ivf_topk" -> (ann3 _),
+    "emb1_quantization" -> (emb1 _),
   )
 
   override val oracles: Map[String, String] = Map(
@@ -161,5 +196,30 @@ object Similarity extends QueryPack {
              FROM embeddings p JOIN embeddings n ON p.vec_id != n.vec_id
              WHERE p.vec_id < $NPROBES))
          WHERE rank <= $K""",
+    // same fold orders as the Spark side: list ops evaluate left-to-right,
+    // so the doubles are bit-identical before the 6-decimal rounding
+    "emb1_quantization" ->
+      """WITH q AS (
+           SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS xd,
+             greatest(list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+                 list_transform(CAST(embedding AS DOUBLE[]), v -> abs(v))),
+               (a, v) -> greatest(a, v)), 1e-12) / 127.0 AS scale
+           FROM embeddings),
+         c AS (
+           SELECT vec_id, xd, scale,
+             list_transform(xd, v -> CAST(greatest(-127.0, least(127.0,
+               floor(v / scale + 0.5))) AS BIGINT)) AS codes
+           FROM q)
+         SELECT vec_id,
+           CAST(len(codes) AS BIGINT) AS n_dims,
+           round(scale, 6) AS scale_r,
+           round(sqrt(list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+               list_transform(list_zip(xd, codes),
+                 z -> (z[1] - z[2] * scale) * (z[1] - z[2] * scale))),
+             (a, v) -> a + v) / len(codes)), 6) AS rms_err,
+           list_reduce(list_concat([CAST(0 AS BIGINT)], codes),
+             (acc, c) -> (acc * 31 + (c + 128)) % 1000000007) AS code_checksum
+         FROM c""",
   )
 }

@@ -126,12 +126,18 @@ class PlanAuditSpec extends SparkSpec {
       s"only the keeper aggregation may shuffle, found $shuffles:\n$p")
   }
 
-  test("dd8 chunk dedup shuffles fingerprints, never the chunk strings") {
+  test("dd8 chunk dedup shuffles fingerprints, never chunk strings, and partial-aggregates") {
     val p = plan(graft.queries.Dedup, "dd8_chunk_dedup")
     assert(p.contains("hashpartitioning(chunk_fp"),
       s"span dedup must partition on the chunk fingerprint:\n$p")
     assert(!p.contains("hashpartitioning(col"),
       s"raw chunk strings must not cross an exchange:\n$p")
+    // viral spans (boilerplate) make fp a skewed key: the first-occurrence
+    // choice must be a map-side-combined min, not a window sort that
+    // funnels every occurrence of a hot fp into one task
+    assert(p.contains("partial_min"),
+      s"first-occurrence min must have a map-side partial phase:\n$p")
+    assert(!p.contains("Window"), s"span dedup must not use a window sort:\n$p")
   }
 
   test("pack1 sequence packing is one shard-keyed exchange, no global sort") {

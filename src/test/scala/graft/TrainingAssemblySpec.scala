@@ -87,6 +87,20 @@ class TrainingAssemblySpec extends SparkSpec {
     }
   }
 
+  test("emb1: quantization error is bounded by half a code step") {
+    val q = graft.queries.Similarity.queries("emb1_quantization")(spark, sf)
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (scale, rms) = (r.getDouble(2), r.getDouble(3))
+      // nearest-integer codes are within scale/2 per dimension unless
+      // clamped, and max-abs/127 scaling means nothing clamps
+      assert(rms <= scale / 2 + 1e-9,
+        s"vec ${r.getLong(0)}: rms $rms exceeds half step ${scale / 2}")
+      assert(rms > 0 || scale <= 1e-10, "zero error on a nonzero vector")
+    }
+  }
+
   test("pack1/pack2: shards spread uniformly, sequences contiguous and budget-bounded") {
     val docs = q(TrainingSetQueries, "pack1_sequence_packing").cache()
     try {
