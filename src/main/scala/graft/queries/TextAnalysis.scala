@@ -92,6 +92,30 @@ object TextAnalysis extends QueryPack {
       .select("doc_id", "s_en", "s_de", "s_fr", "s_es", "s_zh", "pred", "is_correct")
   }
 
+  /** tx6 — quantile-thresholded quality filter (the Gopher-style
+    * "filter on data-derived thresholds" step that tx2's raw score
+    * feeds): drop the bottom quartile of documents per language by
+    * quality score. The cut is a percent_rank over (quality, doc_id) —
+    * the doc_id tiebreak makes the kept set a pure function of the
+    * data, and the per-row score is bit-identical across engines (pure
+    * map-side IEEE arithmetic, no cross-row float reduction), so the
+    * rank comparison cannot straddle engines.
+    *
+    * Scale: exact per-group quantiles cost one sort per language group
+    * — the honest price of exactness, same trade as dd2-exact vs
+    * dd3-LSH. When a group outgrows a task's sort budget, production
+    * swaps the window for approx_percentile thresholds (one agg +
+    * broadcast + map filter, the samp3 shape) at the cost of an
+    * approximate cut. */
+  private def tx6(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy(col("quality"), col("doc_id"))
+    qualityScored(t(s, d, "documents"))
+      .withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") >= 0.25)
+      .select(col("doc_id"), col("lang"), col("quality"))
+  }
+
   /** tx4 — document fingerprinting: deterministic polynomial rolling
     * hash of the full text (exact-dup key; map-only at scale; ~60-bit
     * two-prime CRT key — see [[TextFns.fingerprint]] for the collision
@@ -142,6 +166,7 @@ object TextAnalysis extends QueryPack {
     "tx3_language_id" -> (tx3 _),
     "tx4_fingerprint" -> (tx4 _),
     "tx5_repetition_filter" -> (tx5 _),
+    "tx6_quality_quantile_filter" -> (tx6 _),
   )
 
   private val langScoreSql = langMarkersSql
@@ -174,6 +199,28 @@ object TextAnalysis extends QueryPack {
              + 0.25 * least(CAST(alpha AS DOUBLE) / greatest(n_tok, 1) / 8.0, 1.0)
              + 0.15 * (1.0 - CAST(n_upper AS DOUBLE) / greatest(alpha, 1)) AS quality
          FROM c""",
+    "tx6_quality_quantile_filter" ->
+      """WITH c AS (
+           SELECT doc_id, lang,
+             CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+             CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS alpha,
+             CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS punct,
+             CAST(length(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper,
+             CAST(length(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS BIGINT) AS stop,
+             length(text) AS n_chars_t
+           FROM documents),
+         s AS (
+           SELECT doc_id, lang,
+             0.35 * least(CAST(stop AS DOUBLE) / greatest(n_tok, 1) * 3.0, 1.0)
+               + 0.25 * (1.0 - least(CAST(punct AS DOUBLE) / greatest(n_chars_t, 1) * 10.0, 1.0))
+               + 0.25 * least(CAST(alpha AS DOUBLE) / greatest(n_tok, 1) / 8.0, 1.0)
+               + 0.15 * (1.0 - CAST(n_upper AS DOUBLE) / greatest(alpha, 1)) AS quality
+           FROM c),
+         r AS (
+           SELECT doc_id, lang, quality,
+             percent_rank() OVER (PARTITION BY lang ORDER BY quality, doc_id) AS pr
+           FROM s)
+         SELECT doc_id, lang, quality FROM r WHERE pr >= 0.25""",
     "tx3_language_id" ->
       s"""WITH sc AS (
            SELECT doc_id, lang,

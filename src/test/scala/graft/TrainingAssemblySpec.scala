@@ -87,6 +87,30 @@ class TrainingAssemblySpec extends SparkSpec {
     }
   }
 
+  test("tx6: per-language cut keeps the top ~75% and never inverts the score order") {
+    val kept = graft.queries.TextAnalysis
+      .queries("tx6_quality_quantile_filter")(spark, sf)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getDouble(2)))
+    val all = graft.queries.TextAnalysis.queries("tx2_quality_score")(spark, sf)
+      .select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val langOf = Tables.t(spark, sf, "documents").select("doc_id", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    kept.groupBy(_._1).foreach { case (lang, ks) =>
+      val total = langOf.count(_._2 == lang)
+      val frac = ks.length.toDouble / total
+      assert(frac > 0.70 && frac <= 0.80, s"$lang kept $frac of $total")
+      // no dropped doc outscores a kept doc (ties broken by doc_id)
+      val keptIds = ks.map(_._2).toSet
+      val (wq, wid) = ks.map(k => (k._3, k._2)).minBy(k => (k._1, k._2))
+      langOf.filter { case (id, l) => l == lang && !keptIds.contains(id) }
+        .foreach { case (id, _) =>
+          assert(all(id) < wq || (all(id) == wq && id < wid),
+            s"dropped doc $id outranks a kept doc")
+        }
+    }
+  }
+
   test("emb1: quantization error is bounded by half a code step") {
     val q = graft.queries.Similarity.queries("emb1_quantization")(spark, sf)
     val rows = q.collect()
