@@ -2,7 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.Tables.t
 import graft.operators.{GraphOps, MinHashLSH, TextFns}
 
@@ -186,8 +185,15 @@ object Dedup extends QueryPack {
     val labeled = nodes.join(cc, nodes("doc_id") === cc("node"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("keeper_id"))
-    labeled.withColumn("cluster_size",
-      count(lit(1)).over(Window.partitionBy("keeper_id")))
+    // cluster sizes via partial-aggregated groupBy + co-located join, not
+    // a window: a viral duplicate (the same boilerplate mirrored across
+    // millions of docs) is one giant keeper group, and WindowExec would
+    // sort all of it in a single task while the partial count collapses
+    // it map-side (dd8's argument)
+    val sizes = labeled.groupBy("keeper_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "keeper_id")
+      .select("doc_id", "keeper_id", "cluster_size")
   }
 
   /** Aligned-chunk token length: chunks are full ChunkTok except a
