@@ -248,6 +248,65 @@ object Dedup extends QueryPack {
         coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"))
   }
 
+  private val Dd9Cents = 16
+  private val Dd9Tau = 0.4
+
+  /** dd9 — SEMANTIC dedup (the SemDeDup recipe — Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with a coarse
+    * quantizer, then search for near-duplicate pairs ONLY within a
+    * cluster. Pair cost drops from O(n²) to Σ|cluster|² — the reason
+    * the method exists — while catching the paraphrase/re-render
+    * duplicates that exact and MinHash dedup (dd1/dd3) cannot see.
+    * A vector is redundant when a LOWER-ID vector in its cluster has
+    * cosine ≥ τ; emitted per redundant vector: its cluster, the
+    * smallest such earlier id (`dup_of`), and its best within-cluster
+    * similarity.
+    *
+    * Scale shape, stage by stage:
+    *  - centroids: a deterministic Forgy pick (residue class, ordered
+    *    limit — ann3's rule), C rows broadcast.
+    *  - assignment: broadcast cross join, then argmax-by-cosine as a
+    *    `max(struct(csim, -cid, …))` partial aggregate — all C
+    *    candidate rows of a vector sit in its map partition, so the
+    *    argmax collapses MAP-SIDE and the exchange carries ONE row per
+    *    vector (a row_number window would shuffle all C). The vector
+    *    and its norm ride in the struct (compared only on the
+    *    all-but-never-equal leading csim), saving a join back.
+    *  - pair search: self-join on cluster_id — one shuffle each side,
+    *    cluster-local pairs, cost ∝ Σ|cluster|². C scales with corpus
+    *    size at 100 TB (FAISS-style √n rule) to bound cluster width;
+    *    a skewed giant cluster is the operator's known failure mode
+    *    and C is the knob that splits it.
+    *  - verdict: groupBy the higher id — partial-aggregated min/max,
+    *    no window. */
+  private def dd9(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFns.register(s)
+    val e = t(s, d, "embeddings")
+    val cents = e.filter(col("vec_id") % 13 === 5).orderBy("vec_id").limit(Dd9Cents)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        expr("sqrt(graft_dot_f(embedding, embedding))").as("cn"))
+    val assigned = e.repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding").as("v"),
+        expr("sqrt(graft_dot_f(embedding, embedding))").as("nrm"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", expr("graft_dot_f(v, cv) / (nrm * cn)"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("csim"), (-col("cid")).as("ncid"),
+        col("v"), col("nrm"))).as("k"))
+      .select(col("vec_id"), (-col("k.ncid")).as("cluster_id"),
+        col("k.v").as("v"), col("k.nrm").as("nrm"))
+    val a = assigned.select(col("cluster_id"), col("vec_id").as("a_id"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cluster_id").as("bc"), col("vec_id").as("b_id"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("cluster_id") === col("bc") && col("a_id") < col("b_id"))
+      .withColumn("cos_sim", expr("graft_dot_f(va, vb) / (na * nb)"))
+      .filter(col("cos_sim") >= Dd9Tau)
+      .groupBy(col("b_id").as("vec_id"), col("cluster_id"))
+      .agg(min(col("a_id")).as("dup_of"),
+        round(max(col("cos_sim")), 6).as("max_cos"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd1_exact_dedup" -> (dd1 _),
     "dd2_ngram_jaccard" -> (dd2 _),
@@ -260,6 +319,7 @@ object Dedup extends QueryPack {
     "dd6b_incremental_minhash" -> (dd6b _),
     "dd7_duplicate_clusters" -> (dd7 _),
     "dd8_chunk_dedup" -> (dd8 _),
+    "dd9_semantic_dedup" -> (dd9 _),
   )
 
   private val shingleSql =
@@ -357,6 +417,29 @@ object Dedup extends QueryPack {
            CAST(sum(CASE WHEN rk = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_chunks_dropped,
            CAST(sum(CASE WHEN rk = 1 THEN chunk_tok ELSE 0 END) AS BIGINT) AS n_tokens_kept
          FROM rk GROUP BY doc_id"""),
+    // same argmax tie-break as the Spark max(struct(csim, -cid)):
+    // csim DESC then cid ASC; double cosine in both engines (dd5's
+    // precedent), emitted value rounded to 6 decimals
+    "dd9_semantic_dedup" ->
+      s"""WITH e AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+           FROM embeddings),
+         cents AS (
+           SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e
+           WHERE vec_id % 13 = 5 ORDER BY vec_id LIMIT $Dd9Cents),
+         asg AS (
+           SELECT vec_id, v, nrm, cid FROM (
+             SELECT e.vec_id, e.v, e.nrm, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cn) DESC,
+                          c.cid ASC) AS rn
+             FROM e CROSS JOIN cents c) WHERE rn = 1)
+         SELECT b.vec_id, b.cid AS cluster_id, min(a.vec_id) AS dup_of,
+           round(max(list_dot_product(a.v, b.v) / (a.nrm * b.nrm)), 6) AS max_cos
+         FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $Dd9Tau
+         GROUP BY b.vec_id, b.cid""",
     // double-precision cosine, same formula as the Spark side
     // (list_cosine_similarity on FLOAT[] accumulates in float)
     "dd5_embedding_neardup" ->

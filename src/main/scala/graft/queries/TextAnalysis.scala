@@ -160,6 +160,50 @@ object TextAnalysis extends QueryPack {
       .select("doc_id", "n_tok", "n_distinct_tok", "n_distinct_2gram",
         "tok_rep_ratio", "gram2_rep_ratio", "keep")
 
+  // PII patterns — shared syntax subset of java.util.regex (Spark) and
+  // RE2 (DuckDB): character classes, bounded repeats, no lookaround.
+  // Raw (non-SQL-escaped) forms, used via the functions API / lit().
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ipRe = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+  private val phoneRe = "\\+1-555-\\d{4}"
+
+  /** Deterministic PII augmentation: the synthetic corpus contains no
+    * contact strings, so the fixture plants one per residue class —
+    * the redaction under test then has real positives to find. Same
+    * expression runs in the oracle. */
+  private val augSql =
+    """concat(text, CASE CAST(doc_id % 7 AS INT)
+       WHEN 0 THEN concat(' contact user', CAST(doc_id AS STRING), '@example.com now')
+       WHEN 1 THEN concat(' host 10.0.', CAST(doc_id % 256 AS STRING), '.',
+                          CAST(doc_id % 100 AS STRING), ' up')
+       WHEN 2 THEN concat(' call +1-555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), ' today')
+       ELSE '' END)"""
+
+  /** tx7 — PII detection + redaction (the pre-release scrubbing pass
+    * every published pipeline runs — C4 strips lines with braces/PII,
+    * BigScience/ROOTS and the StarCoder pipeline regex-redact emails,
+    * IPs and phone numbers). Map-only: three pattern counts and a
+    * three-stage `regexp_replace` chain per document, zero shuffle at
+    * any scale; the redacted text never leaves the stage — the emitted
+    * columns are counts plus the redacted text's ~60-bit fingerprint
+    * (which pins every byte of the replacement output without shipping
+    * it). The patterns deliberately avoid lookaround and `\b` so the
+    * Java-regex and RE2 engines match identically. */
+  private def tx7(s: SparkSession, d: String): DataFrame = {
+    val red = regexp_replace(regexp_replace(regexp_replace(col("aug"),
+      emailRe, "<EMAIL>"), ipRe, "<IP>"), phoneRe, "<PHONE>")
+    t(s, d, "documents")
+      .withColumn("aug", expr(augSql))
+      .withColumn("n_emails",
+        size(regexp_extract_all(col("aug"), lit(emailRe), lit(0))).cast("long"))
+      .withColumn("n_ips",
+        size(regexp_extract_all(col("aug"), lit(ipRe), lit(0))).cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col("aug"), lit(phoneRe), lit(0))).cast("long"))
+      .withColumn("redacted_fp", TextFns.fingerprintOf(red))
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "redacted_fp")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx1_token_count" -> (tx1 _),
     "tx2_quality_score" -> (tx2 _),
@@ -167,7 +211,17 @@ object TextAnalysis extends QueryPack {
     "tx4_fingerprint" -> (tx4 _),
     "tx5_repetition_filter" -> (tx5 _),
     "tx6_quality_quantile_filter" -> (tx6 _),
+    "tx7_pii_redaction" -> (tx7 _),
   )
+
+  /** The DuckDB mirror of [[augSql]] (|| concatenation, VARCHAR casts). */
+  private val augDuckSql =
+    """text || CASE doc_id % 7
+       WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+       WHEN 1 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+                   CAST(doc_id % 100 AS VARCHAR) || ' up'
+       WHEN 2 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+       ELSE '' END"""
 
   private val langScoreSql = langMarkersSql
     .map { case (c, p) => s"CAST(length(regexp_extract_all(lower(text), '$p')) AS BIGINT) AS s_$c" }
@@ -243,6 +297,22 @@ object TextAnalysis extends QueryPack {
     "tx4_fingerprint" ->
       s"""SELECT doc_id, ${TextFns.fingerprintDuckSql("text")} AS fp
          FROM documents""",
+    // DuckDB regexp_replace needs the explicit 'g' flag (Spark replaces
+    // all matches by default); patterns are the same RE2/Java-common
+    // subset, redaction order email → ip → phone matches the Spark chain
+    "tx7_pii_redaction" ->
+      (s"""WITH a AS (SELECT doc_id, $augDuckSql AS aug FROM documents),
+         r AS (
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(aug, '$emailRe')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(aug, '$ipRe')) AS BIGINT) AS n_ips,
+             CAST(len(regexp_extract_all(aug, '$phoneRe')) AS BIGINT) AS n_phones,
+             regexp_replace(regexp_replace(regexp_replace(aug,
+               '$emailRe', '<EMAIL>', 'g'), '$ipRe', '<IP>', 'g'),
+               '$phoneRe', '<PHONE>', 'g') AS red
+           FROM a)
+         SELECT doc_id, n_emails, n_ips, n_phones, """
+        + TextFns.fingerprintDuckSql("red") + """ AS redacted_fp FROM r"""),
     // same operand order as the Spark expressions so the double
     // divisions are bit-equal; same 1-token guard (ratio defined 0.0)
     "tx5_repetition_filter" ->

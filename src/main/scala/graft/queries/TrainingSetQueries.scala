@@ -107,6 +107,107 @@ object TrainingSetQueries extends QueryPack {
         sum(when(col("h10k") < col("keep_lim"), 1L).otherwise(0L)).as("n_kept"))
   }
 
+  /** dc2 — contamination SPANS (dc1 tells you *whether* a training doc
+    * overlaps the eval set; dc2 tells you *where and how much*, the
+    * inputs to a surgical span-removal or doc-drop decision). The eval
+    * side is excerpt-based — two 25-token windows per held-out doc, the
+    * realistic shape of benchmark data quoting fragments of a source —
+    * so a training document can be hit in several disjoint regions.
+    * Hit positions are merged into maximal contaminated spans (two
+    * 8-gram hits belong to one span when their ranges overlap or
+    * touch, i.e. position gap ≤ 8) and per-document span stats emitted.
+    *
+    * Scale: gram streams carry 8-byte fingerprints with a position int
+    * — never gram text — through the equi-join; the span merge windows
+    * are partitioned PER TRAINING DOCUMENT, bounded by document length,
+    * never a viral key. Eval grams broadcast at real scale (fixed-size
+    * eval sets vs a growing corpus — dc1's argument). */
+  private def dc2(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, d, "documents").select("doc_id", "text")
+    val evalFps = docs.filter(col("doc_id") % 7 === 0)
+      .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
+      .select(explode(array(
+        expr("slice(toks, 1, 25)"), expr("slice(toks, 51, 25)"))).as("ftoks"))
+      .select(explode(expr(
+        """CASE WHEN size(ftoks) >= 8
+           THEN array_distinct(transform(sequence(1, size(ftoks) - 7),
+                  i -> concat_ws(' ', slice(ftoks, i, 8))))
+           ELSE array() END""")).as("gram"))
+      .select(TextFns.fingerprintOf(col("gram")).as("gram_fp")).distinct()
+    val hits = docs.filter(col("doc_id") % 7 =!= 0)
+      .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
+      .select(col("doc_id"), posexplode(expr(
+        """CASE WHEN size(toks) >= 8
+           THEN transform(sequence(1, size(toks) - 7),
+                  i -> concat_ws(' ', slice(toks, i, 8)))
+           ELSE array() END""")))
+      .select(col("doc_id").as("train_id"),
+        (col("pos") + 1).cast("long").as("pos"),
+        TextFns.fingerprintOf(col("col")).as("gram_fp"))
+      .join(evalFps, Seq("gram_fp"))
+      .select("train_id", "pos")
+    val w = Window.partitionBy("train_id").orderBy("pos")
+    val spans = hits
+      .withColumn("new_span",
+        when(col("pos") - lag("pos", 1).over(w) <= 8, 0L).otherwise(1L))
+      .withColumn("span_id", sum("new_span").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("train_id", "span_id")
+      .agg(min("pos").as("p0"), (max("pos") + 7).as("p1"),
+        count(lit(1)).as("n_grams"))
+    spans.groupBy("train_id")
+      .agg(sum("n_grams").as("n_hit_grams"),
+        count(lit(1)).as("n_spans"),
+        max(col("p1") - col("p0") + 1).as("max_span_tok"),
+        sum(col("p1") - col("p0") + 1).as("n_contam_tok"))
+  }
+
+  private val DsirBuckets = 256
+  private val dsirTargetSql = "source IN ('src0', 'src1', 'src2')"
+
+  /** samp4 — DSIR importance weighting (Xie et al. 2023,
+    * arXiv:2302.03169): score each candidate document by how much more
+    * likely its tokens are under a hashed unigram model of the TARGET
+    * domain than of the candidate pool — the published recipe for
+    * selecting pretraining data that "looks like" a trusted corpus.
+    * Token features hash into [[DsirBuckets]] buckets (the paper's
+    * hashed n-gram trick: model size is fixed regardless of vocabulary)
+    * and per-bucket log-likelihood ratios use add-1 smoothing.
+    *
+    * Determinism at scale: per-bucket weights are converted to
+    * fixed-point micros (`floor(lw · 1e6)`) BEFORE the per-document
+    * sum, so the aggregation is exact integer arithmetic — immune to
+    * Spark's nondeterministic float-sum ordering under retries and
+    * bit-equal across engines (the repo-wide rule: no cross-row float
+    * reduction feeds an emitted value).
+    *
+    * Scale shape: two count aggregates over the token stream (partial
+    * agg map-side, key space = [[DsirBuckets]]), a 256-row weight
+    * table broadcast, and one map-side join + integer sum per doc —
+    * the corpus is never shuffled on a wide key. */
+  private def samp4(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFns.register(s)
+    val toks = t(s, d, "documents")
+      .withColumn("b", explode(expr(
+        s"transform(graft_token_polyhash(split(trim(text), '\\\\s+')), h -> h % $DsirBuckets)")))
+      .select(col("doc_id"), col("source"), col("b"))
+    val tgt = toks.filter(expr(dsirTargetSql)).groupBy("b").agg(count(lit(1)).as("tn"))
+    val src = toks.filter(not(expr(dsirTargetSql))).groupBy("b").agg(count(lit(1)).as("sn"))
+    val wt = s.range(DsirBuckets).toDF("b")
+      .join(tgt, Seq("b"), "left").join(src, Seq("b"), "left")
+      .crossJoin(tgt.agg(sum("tn").as("tt")))
+      .crossJoin(src.agg(sum("sn").as("st")))
+      .withColumn("lw_micro", expr(
+        s"""CAST(floor((ln((coalesce(tn, 0) + 1.0) / (tt + $DsirBuckets)) -
+                        ln((coalesce(sn, 0) + 1.0) / (st + $DsirBuckets))) * 1000000) AS BIGINT)"""))
+      .select("b", "lw_micro")
+    toks.filter(not(expr(dsirTargetSql)))
+      .join(broadcast(wt), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum("lw_micro").as("score_micro"))
+  }
+
   private val PackShards = 8
   private val PackBudget = 512L
 
@@ -158,6 +259,8 @@ object TrainingSetQueries extends QueryPack {
     "samp2_mix_stats" -> (samp2 _),
     "samp3_temperature_mix" -> (samp3 _),
     "dc1_decontamination" -> (dc1 _),
+    "dc2_contamination_spans" -> (dc2 _),
+    "samp4_dsir_importance" -> (samp4 _),
     "pack1_sequence_packing" -> (pack1 _),
     "pack2_packing_stats" -> (pack2 _),
   )
@@ -212,6 +315,79 @@ object TrainingSetQueries extends QueryPack {
          SELECT shard, seq_id, count(*) AS n_docs,
            CAST(sum(n_tok) AS BIGINT) AS n_tokens
          FROM b GROUP BY shard, seq_id""",
+    "dc2_contamination_spans" ->
+      (s"""WITH tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+           FROM documents),
+         evtk AS (
+           SELECT unnest([toks[1:25], toks[51:75]]) AS ftoks
+           FROM tk WHERE doc_id % 7 = 0),
+         evg AS (
+           SELECT unnest([array_to_string(ftoks[x : x + 7], ' ')
+                   for x in range(1, greatest(len(ftoks) - 7, 0) + 1)]) AS gram
+           FROM evtk),
+         ev AS (SELECT DISTINCT """
+        + TextFns.fingerprintDuckSql("gram") + s""" AS gram_fp FROM evg),
+         g AS (
+           SELECT doc_id,
+             CAST(unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS BIGINT) AS pos,
+             unnest([array_to_string(toks[x : x + 7], ' ')
+                     for x in range(1, greatest(len(toks) - 7, 0) + 1)]) AS gram
+           FROM tk WHERE doc_id % 7 <> 0),
+         gf AS (SELECT doc_id, pos, """
+        + TextFns.fingerprintDuckSql("gram") + """ AS gram_fp FROM g),
+         hits AS (SELECT gf.doc_id AS train_id, gf.pos
+                  FROM gf JOIN ev USING (gram_fp)),
+         flg AS (
+           SELECT train_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY train_id ORDER BY pos) <= 8
+                  THEN 0 ELSE 1 END AS new_span
+           FROM hits),
+         sp AS (
+           SELECT train_id, pos,
+             sum(new_span) OVER (PARTITION BY train_id ORDER BY pos
+               ROWS UNBOUNDED PRECEDING) AS span_id
+           FROM flg),
+         spans AS (
+           SELECT train_id, span_id, min(pos) AS p0, max(pos) + 7 AS p1,
+                  count(*) AS n_grams
+           FROM sp GROUP BY train_id, span_id)
+         SELECT train_id, CAST(sum(n_grams) AS BIGINT) AS n_hit_grams,
+           count(*) AS n_spans,
+           CAST(max(p1 - p0 + 1) AS BIGINT) AS max_span_tok,
+           CAST(sum(p1 - p0 + 1) AS BIGINT) AS n_contam_tok
+         FROM spans GROUP BY train_id"""),
+    // same token hash (seed 7, mod 2^31-1), same add-1 smoothing, and
+    // the same fixed-point floor BEFORE the per-doc sum — the emitted
+    // score is an exact integer in both engines
+    "samp4_dsir_importance" ->
+      s"""WITH tk AS (
+           SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS toks
+           FROM documents),
+         tok AS (
+           SELECT doc_id, source,
+             unnest([list_reduce(
+               list_concat([CAST(7 AS BIGINT)],
+                 [CAST(unicode(substr(tk, x, 1)) AS BIGINT)
+                  for x in range(1, length(tk) + 1)]),
+               (acc, x) -> (acc * 31 + x) % 2147483647) for tk in toks])
+             % $DsirBuckets AS b
+           FROM tk),
+         tc AS (SELECT b, count(*) AS n FROM tok WHERE $dsirTargetSql GROUP BY b),
+         sc AS (SELECT b, count(*) AS n FROM tok WHERE NOT ($dsirTargetSql) GROUP BY b),
+         tot AS (SELECT (SELECT sum(n) FROM tc) AS tt, (SELECT sum(n) FROM sc) AS st),
+         wt AS (
+           SELECT r.b,
+             CAST(floor((ln((coalesce(tc.n, 0) + 1.0) / (tot.tt + $DsirBuckets)) -
+                         ln((coalesce(sc.n, 0) + 1.0) / (tot.st + $DsirBuckets))) * 1000000) AS BIGINT) AS lw_micro
+           FROM (SELECT unnest(range($DsirBuckets)) AS b) r
+           CROSS JOIN tot
+           LEFT JOIN tc ON tc.b = r.b LEFT JOIN sc ON sc.b = r.b)
+         SELECT t.doc_id, count(*) AS n_tok,
+           CAST(sum(wt.lw_micro) AS BIGINT) AS score_micro
+         FROM tok t JOIN wt ON t.b = wt.b
+         WHERE NOT (t.$dsirTargetSql)
+         GROUP BY t.doc_id""",
     "dc1_decontamination" ->
       ("""WITH tk AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
