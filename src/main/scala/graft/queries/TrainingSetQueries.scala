@@ -182,22 +182,28 @@ object TrainingSetQueries extends QueryPack {
     * bit-equal across engines (the repo-wide rule: no cross-row float
     * reduction feeds an emitted value).
     *
-    * Scale shape: two count aggregates over the token stream (partial
-    * agg map-side, key space = [[DsirBuckets]]), a 256-row weight
-    * table broadcast, and one map-side join + integer sum per doc —
-    * the corpus is never shuffled on a wide key. */
+    * Scale shape: BOTH unigram models build in a single pass over the
+    * token stream (conditional partial aggregates — the stream is the
+    * 100 TB object here, so pass count is the cost that matters),
+    * collapsing map-side to ≤ [[DsirBuckets]] rows per task; the
+    * resulting ≤256-row model is checkpointed (its totals re-derive
+    * from it, not from a second stream pass), broadcast as the weight
+    * table, and scoring is one map-side join + integer sum per doc —
+    * the corpus is read exactly twice and never shuffled on a wide
+    * key. */
   private def samp4(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFns.register(s)
     val toks = t(s, d, "documents")
       .withColumn("b", explode(expr(
         s"transform(graft_token_polyhash(split(trim(text), '\\\\s+')), h -> h % $DsirBuckets)")))
       .select(col("doc_id"), col("source"), col("b"))
-    val tgt = toks.filter(expr(dsirTargetSql)).groupBy("b").agg(count(lit(1)).as("tn"))
-    val src = toks.filter(not(expr(dsirTargetSql))).groupBy("b").agg(count(lit(1)).as("sn"))
+    val counts = toks.groupBy("b").agg(
+      sum(when(expr(dsirTargetSql), 1L).otherwise(0L)).as("tn"),
+      sum(when(expr(dsirTargetSql), 0L).otherwise(1L)).as("sn"))
+      .localCheckpoint()
     val wt = s.range(DsirBuckets).toDF("b")
-      .join(tgt, Seq("b"), "left").join(src, Seq("b"), "left")
-      .crossJoin(tgt.agg(sum("tn").as("tt")))
-      .crossJoin(src.agg(sum("sn").as("st")))
+      .join(counts, Seq("b"), "left")
+      .crossJoin(counts.agg(sum("tn").as("tt"), sum("sn").as("st")))
       .withColumn("lw_micro", expr(
         s"""CAST(floor((ln((coalesce(tn, 0) + 1.0) / (tt + $DsirBuckets)) -
                         ln((coalesce(sn, 0) + 1.0) / (st + $DsirBuckets))) * 1000000) AS BIGINT)"""))
