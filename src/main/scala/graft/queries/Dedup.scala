@@ -307,6 +307,58 @@ object Dedup extends QueryPack {
         round(max(col("cos_sim")), 6).as("max_cos"))
   }
 
+  /** dd10 gram width — 16 tokens, the dd8 chunk length, but at EVERY
+    * position rather than aligned offsets. */
+  private val DupG = 16
+
+  /** dd10 — UNALIGNED duplicated-span detection (the distributed
+    * analogue of Lee et al. 2022 "Deduplicating Training Data Makes
+    * Language Models Better" ExactSubstr: their suffix-array finds
+    * substrings duplicated anywhere in the corpus; here a rolling
+    * 16-token gram at every position, keyed by its ~60-bit
+    * fingerprint, finds the same spans without a global suffix sort —
+    * the suffix array is inherently sequential, the gram join is one
+    * fp-keyed shuffle). dd8 catches duplicated ALIGNED chunks; dd10
+    * catches duplication at any offset — boilerplate spliced
+    * mid-document, self-repetition included (n_occ counts every
+    * occurrence corpus-wide, same-document repeats too, exactly as
+    * ExactSubstr does).
+    *
+    * Pipeline: gram fps with positions (map) → occurrence counts per
+    * fp (groupBy, partial-agg — a viral span collapses map-side) →
+    * positions of duplicated grams (fp-keyed equi-join, 8-byte key) →
+    * per-document span merge (dc2's islands shape; window bounded by
+    * document length) → per-document duplicated-span stats. */
+  private def dd10(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = t(s, d, "documents")
+      .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""CASE WHEN size(toks) >= $DupG
+            THEN transform(sequence(1, size(toks) - ${DupG - 1}),
+                   i -> concat_ws(' ', slice(toks, i, $DupG)))
+            ELSE array() END""")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        TextFns.fingerprintOf(col("col")).as("gram_fp"))
+    val dupFps = grams.groupBy("gram_fp")
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+      .select("gram_fp")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = grams.join(dupFps, Seq("gram_fp"))
+      .select("doc_id", "pos")
+      .withColumn("new_span",
+        when(col("pos") - lag("pos", 1).over(w) <= DupG, 0L).otherwise(1L))
+      .withColumn("span_id", sum("new_span").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "span_id")
+      .agg(min("pos").as("p0"), (max("pos") + DupG - 1).as("p1"))
+    spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_spans"),
+        max(col("p1") - col("p0") + 1).as("max_span_tok"),
+        sum(col("p1") - col("p0") + 1).as("n_dup_tok"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd1_exact_dedup" -> (dd1 _),
     "dd2_ngram_jaccard" -> (dd2 _),
@@ -320,6 +372,7 @@ object Dedup extends QueryPack {
     "dd7_duplicate_clusters" -> (dd7 _),
     "dd8_chunk_dedup" -> (dd8 _),
     "dd9_semantic_dedup" -> (dd9 _),
+    "dd10_duplicate_spans" -> (dd10 _),
   )
 
   private val shingleSql =
@@ -417,6 +470,39 @@ object Dedup extends QueryPack {
            CAST(sum(CASE WHEN rk = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_chunks_dropped,
            CAST(sum(CASE WHEN rk = 1 THEN chunk_tok ELSE 0 END) AS BIGINT) AS n_tokens_kept
          FROM rk GROUP BY doc_id"""),
+    // rolling grams at every position; occurrence counts over the
+    // whole corpus (self-repeats included); dc2's islands merge
+    "dd10_duplicate_spans" ->
+      (s"""WITH tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+             CAST(unnest(range(1, greatest(len(toks) - ${DupG - 1}, 0) + 1)) AS BIGINT) AS pos,
+             unnest([array_to_string(toks[x : x + ${DupG - 1}], ' ')
+                     for x in range(1, greatest(len(toks) - ${DupG - 1}, 0) + 1)]) AS gram
+           FROM tk),
+         gf AS (SELECT doc_id, pos, """
+        + TextFns.fingerprintDuckSql("gram") + s""" AS gram_fp FROM g),
+         dup AS (SELECT gram_fp FROM gf GROUP BY gram_fp HAVING count(*) >= 2),
+         hits AS (SELECT gf.doc_id, gf.pos FROM gf JOIN dup USING (gram_fp)),
+         flg AS (
+           SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $DupG
+                  THEN 0 ELSE 1 END AS new_span
+           FROM hits),
+         sp AS (
+           SELECT doc_id, pos,
+             sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS UNBOUNDED PRECEDING) AS span_id
+           FROM flg),
+         spans AS (
+           SELECT doc_id, span_id, min(pos) AS p0, max(pos) + ${DupG - 1} AS p1
+           FROM sp GROUP BY doc_id, span_id)
+         SELECT doc_id, count(*) AS n_dup_spans,
+           CAST(max(p1 - p0 + 1) AS BIGINT) AS max_span_tok,
+           CAST(sum(p1 - p0 + 1) AS BIGINT) AS n_dup_tok
+         FROM spans GROUP BY doc_id"""),
     // same argmax tie-break as the Spark max(struct(csim, -cid)):
     // csim DESC then cid ASC; double cosine in both engines (dd5's
     // precedent), emitted value rounded to 6 decimals

@@ -79,9 +79,42 @@ object PipelineQueries extends QueryPack {
       round(avg("quality"), 6).as("avg_quality"))
   }
 
+  /** pipe3 — redaction-then-dedup (the normalize-before-dedup rule
+    * every published pipeline applies: near-identical documents that
+    * differ only in embedded contact strings — mirrored pages with
+    * different webmaster emails — are NOT duplicates under raw-text
+    * dedup, but collapse once PII is scrubbed; dedup therefore runs on
+    * the REDACTED text's fingerprint). The corpus is documents plus a
+    * dd6-style re-crawl of the doc_id % 5 = 0 slice under fresh ids;
+    * the id shift is ≡ 0 (mod 7), so each copy plants the SAME PII
+    * class as its original with DIFFERENT values — the pairs that
+    * collapse only because redaction normalized them, the case this
+    * pipeline exists for. Chain: plant+redact PII (tx7's map-only
+    * stage) → fingerprint the redacted text (map) → keeper per fp
+    * with copy counts (one 8-byte-keyed shuffle) → per-language dedup
+    * yield (second shuffle, 5-value key, partial-agg). Same
+    * two-shuffle plan as pipe2 at any input size. */
+  private def pipe3(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars", "text")
+    val recrawl = docs.filter(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + 7000000L)
+    val red = TextAnalysis.redacted(docs.unionAll(recrawl))
+      .withColumn("fp", graft.operators.TextFns.fingerprintOf(col("red")))
+    red.groupBy("fp")
+      .agg(min("doc_id").as("doc_id"),
+        expr("min_by(lang, doc_id)").as("lang"),
+        expr("min_by(n_chars, doc_id)").as("n_chars"),
+        count(lit(1)).as("n_copies"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_keepers"),
+        sum(col("n_copies") - 1).as("n_removed"),
+        sum("n_chars").as("sum_chars"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe1_training_pipeline" -> (pipe1 _),
     "pipe2_fingerprint_pipeline" -> (pipe2 _),
+    "pipe3_redacted_dedup" -> (pipe3 _),
   )
 
   override val oracles: Map[String, String] = Map(
@@ -142,6 +175,31 @@ object PipelineQueries extends QueryPack {
            FROM f GROUP BY fp)
          SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
                 round(avg(quality), 6) AS avg_quality
+         FROM k GROUP BY lang"""),
+    // tx7's plant+redact chain, then pipe2's keeper shape on the
+    // redacted text's fingerprint
+    "pipe3_redacted_dedup" ->
+      (s"""WITH u AS (
+           SELECT doc_id, lang, n_chars, text FROM documents
+           UNION ALL
+           SELECT doc_id + 7000000, lang, n_chars, text FROM documents
+           WHERE doc_id % 5 = 0),
+         a AS (
+           SELECT doc_id, lang, n_chars, ${TextAnalysis.augDuckSql} AS aug
+           FROM u),
+         r AS (SELECT doc_id, lang, n_chars,
+                 ${TextAnalysis.redactDuckSql("aug")} AS red FROM a),
+         f AS (SELECT doc_id, lang, n_chars, """
+        + graft.operators.TextFns.fingerprintDuckSql("red") + """ AS fp FROM r),
+         k AS (
+           SELECT fp, min(doc_id) AS doc_id,
+                  min_by(lang, doc_id) AS lang,
+                  min_by(n_chars, doc_id) AS n_chars,
+                  count(*) AS n_copies
+           FROM f GROUP BY fp)
+         SELECT lang, count(*) AS n_keepers,
+           CAST(sum(n_copies - 1) AS BIGINT) AS n_removed,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM k GROUP BY lang"""),
   )
 }

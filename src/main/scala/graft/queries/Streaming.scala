@@ -25,6 +25,34 @@ object Streaming extends QueryPack {
   private def st3(s: SparkSession, d: String): DataFrame =
     EventStreams.userSessions(EventStreams.normalizeTs(t(s, d, "events")))
 
+  /** ev1 — BATCH sessionization with per-user session ordinals: the
+    * gap-based islands analysis (30-minute inactivity closes a
+    * session, st3's rule) that the streaming `session_window` form
+    * cannot express — ordinals need the user's full ordered history.
+    * Works on the RAW nanosecond longs (no timestamp narrowing): gap
+    * comparison, bounds, and duration are exact integer arithmetic in
+    * both engines. The lag/running-sum windows partition per user —
+    * bounded by one user's event count, never a viral key; the single
+    * exchange carries (user_id, ts, value, event_id). */
+  private def ev1(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("tns", "event_id")
+    t(s, d, "events")
+      .select(col("user_id"), col("ts").as("tns"), col("value"), col("event_id"))
+      .withColumn("new_sess",
+        when(col("tns") - lag("tns", 1).over(w) > 1800000000000L, 1L).otherwise(0L))
+      .withColumn("session_id", lit(1L) + sum("new_sess").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        // integer div, never `/`: epoch nanos exceed double's 53-bit
+        // mantissa, a float division would corrupt the low digits
+        expr("min(tns) div 1000").as("start_us"),
+        expr("max(tns) div 1000").as("end_us"),
+        expr("(max(tns) - min(tns)) div 1000000").as("duration_ms"),
+        round(sum("value"), 6).as("sum_value"))
+  }
+
   /** st4 — streaming ingest through the store sink: a REAL streaming
     * query (availableNow) appends micro-batches into a scratch
     * [[graft.store.TableStore]] via foreachBatch atomic commits; the
@@ -89,9 +117,31 @@ object Streaming extends QueryPack {
     "st5_stream_dedup" -> (st5 _),
     "st5b_stream_dedup_fp" -> (st5b _),
     "st6_stream_dedup_hql" -> (st6 _),
+    "ev1_sessionization" -> (ev1 _),
   )
 
   override val oracles: Map[String, String] = Map(
+    // epoch_ns keeps the whole computation in exact BIGINT nanos —
+    // mirrors the Spark side's raw-long arithmetic (`//` = `div`)
+    "ev1_sessionization" ->
+      """WITH e AS (
+           SELECT user_id, epoch_ns(ts) AS tns, value, event_id FROM events),
+         f AS (
+           SELECT *, CASE WHEN tns - lag(tns) OVER
+               (PARTITION BY user_id ORDER BY tns, event_id) > 1800000000000
+             THEN 1 ELSE 0 END AS new_sess
+           FROM e),
+         s AS (
+           SELECT *, 1 + sum(new_sess) OVER (PARTITION BY user_id
+             ORDER BY tns, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM f)
+         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           CAST(min(tns) // 1000 AS BIGINT) AS start_us,
+           CAST(max(tns) // 1000 AS BIGINT) AS end_us,
+           CAST((max(tns) - min(tns)) // 1000000 AS BIGINT) AS duration_ms,
+           round(sum(value), 6) AS sum_value
+         FROM s GROUP BY user_id, session_id""",
     "st1_tumbling_window" ->
       """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS win_start, event_type,
                 count(*) AS n_events, sum(value) AS sum_value

@@ -163,9 +163,10 @@ object TextAnalysis extends QueryPack {
   // PII patterns — shared syntax subset of java.util.regex (Spark) and
   // RE2 (DuckDB): character classes, bounded repeats, no lookaround.
   // Raw (non-SQL-escaped) forms, used via the functions API / lit().
-  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val ipRe = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
-  private val phoneRe = "\\+1-555-\\d{4}"
+  // private[queries]: pipe3 composes the same redaction chain.
+  private[queries] val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[queries] val ipRe = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+  private[queries] val phoneRe = "\\+1-555-\\d{4}"
 
   /** Deterministic PII augmentation: the synthetic corpus contains no
     * contact strings, so the fixture plants one per residue class —
@@ -189,20 +190,25 @@ object TextAnalysis extends QueryPack {
     * (which pins every byte of the replacement output without shipping
     * it). The patterns deliberately avoid lookaround and `\b` so the
     * Java-regex and RE2 engines match identically. */
-  private def tx7(s: SparkSession, d: String): DataFrame = {
-    val red = regexp_replace(regexp_replace(regexp_replace(col("aug"),
-      emailRe, "<EMAIL>"), ipRe, "<IP>"), phoneRe, "<PHONE>")
-    t(s, d, "documents")
+  /** PII-augment + redact as a reusable map-only stage: input columns
+    * preserved, `aug` (planted-PII text) and `red` (redacted text)
+    * appended. Shared by tx7 and [[PipelineQueries]] pipe3. */
+  private[queries] def redacted(docs: DataFrame): DataFrame =
+    docs
       .withColumn("aug", expr(augSql))
+      .withColumn("red", regexp_replace(regexp_replace(regexp_replace(col("aug"),
+        emailRe, "<EMAIL>"), ipRe, "<IP>"), phoneRe, "<PHONE>"))
+
+  private def tx7(s: SparkSession, d: String): DataFrame =
+    redacted(t(s, d, "documents"))
       .withColumn("n_emails",
         size(regexp_extract_all(col("aug"), lit(emailRe), lit(0))).cast("long"))
       .withColumn("n_ips",
         size(regexp_extract_all(col("aug"), lit(ipRe), lit(0))).cast("long"))
       .withColumn("n_phones",
         size(regexp_extract_all(col("aug"), lit(phoneRe), lit(0))).cast("long"))
-      .withColumn("redacted_fp", TextFns.fingerprintOf(red))
+      .withColumn("redacted_fp", TextFns.fingerprintOf(col("red")))
       .select("doc_id", "n_emails", "n_ips", "n_phones", "redacted_fp")
-  }
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx1_token_count" -> (tx1 _),
@@ -214,14 +220,22 @@ object TextAnalysis extends QueryPack {
     "tx7_pii_redaction" -> (tx7 _),
   )
 
-  /** The DuckDB mirror of [[augSql]] (|| concatenation, VARCHAR casts). */
-  private val augDuckSql =
+  /** The DuckDB mirror of [[augSql]] (|| concatenation, VARCHAR casts).
+    * private[queries]: pipe3's oracle rebuilds the same redaction. */
+  private[queries] val augDuckSql =
     """text || CASE doc_id % 7
        WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
        WHEN 1 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
                    CAST(doc_id % 100 AS VARCHAR) || ' up'
        WHEN 2 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
        ELSE '' END"""
+
+  /** DuckDB redaction chain over an expression (explicit 'g' flag —
+    * Spark replaces all matches by default). */
+  private[queries] def redactDuckSql(e: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace($e,
+        '$emailRe', '<EMAIL>', 'g'), '$ipRe', '<IP>', 'g'),
+        '$phoneRe', '<PHONE>', 'g')"""
 
   private val langScoreSql = langMarkersSql
     .map { case (c, p) => s"CAST(length(regexp_extract_all(lower(text), '$p')) AS BIGINT) AS s_$c" }
@@ -307,9 +321,7 @@ object TextAnalysis extends QueryPack {
              CAST(len(regexp_extract_all(aug, '$emailRe')) AS BIGINT) AS n_emails,
              CAST(len(regexp_extract_all(aug, '$ipRe')) AS BIGINT) AS n_ips,
              CAST(len(regexp_extract_all(aug, '$phoneRe')) AS BIGINT) AS n_phones,
-             regexp_replace(regexp_replace(regexp_replace(aug,
-               '$emailRe', '<EMAIL>', 'g'), '$ipRe', '<IP>', 'g'),
-               '$phoneRe', '<PHONE>', 'g') AS red
+             ${redactDuckSql("aug")} AS red
            FROM a)
          SELECT doc_id, n_emails, n_ips, n_phones, """
         + TextFns.fingerprintDuckSql("red") + """ AS redacted_fp FROM r"""),

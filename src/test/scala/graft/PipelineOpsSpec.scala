@@ -150,4 +150,88 @@ class PipelineOpsSpec extends SparkSpec {
     val p = q(TextAnalysis, "tx7_pii_redaction", sf).queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"PII scrub must not shuffle:\n$p")
   }
+
+  test("dd10: duplicated spans match a brute-force recomputation at sf0.001") {
+    val docs = Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq).toMap
+    // every 16-gram occurrence corpus-wide, then per-doc islands (gap <= 16)
+    val occ = scala.collection.mutable.Map.empty[Seq[String], Int]
+    docs.values.foreach { toks =>
+      toks.sliding(16).filter(_.length == 16).foreach(g => occ(g) = occ.getOrElse(g, 0) + 1)
+    }
+    val expected = docs.flatMap { case (id, toks) =>
+      val hits = toks.sliding(16).zipWithIndex
+        .collect { case (g, i) if g.length == 16 && occ(g) >= 2 => (i + 1).toLong }
+        .toSeq
+      if (hits.isEmpty) None
+      else {
+        val spans = hits.foldLeft(List.empty[(Long, Long)]) {
+          case ((s0, e0) :: rest, p) if p - (e0 - 15) <= 16 => (s0, p + 15) :: rest
+          case (acc, p) => (p, p + 15) :: acc
+        }.map { case (s0, e0) => e0 - s0 + 1 }
+        Some(id -> (spans.size.toLong, spans.max, spans.sum))
+      }
+    }
+    val got = q(graft.queries.Dedup, "dd10_duplicate_spans", sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected, s"dd10 mismatch:\n got=$got\n exp=$expected")
+    assert(expected.nonEmpty, "no duplicated spans at sf0.001 — vacuous fixture")
+  }
+
+  test("dd10 shuffles gram fingerprints, never gram text") {
+    val p = q(graft.queries.Dedup, "dd10_duplicate_spans", sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(gram_fp"),
+      s"occurrence count must shuffle on the 8-byte fingerprint:\n$p")
+    assert(!p.contains("hashpartitioning(col") && !p.contains("hashpartitioning(gram,"),
+      s"raw gram strings must not cross an exchange:\n$p")
+  }
+
+  test("ev1: sessions partition each user's events and respect the 30-minute gap") {
+    val out = q(graft.queries.Streaming, "ev1_sessionization", sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val events = Tables.t(spark, sf, "events")
+      .select("user_id", "ts").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).sorted }
+    // per user: session event counts sum to the user's event count
+    val perUser = out.groupBy(_._1)
+    assert(perUser.keySet == events.keySet, "user sets differ")
+    perUser.foreach { case (u, sess) =>
+      assert(sess.map(_._3).sum == events(u).size.toLong,
+        s"user $u sessions do not partition its events")
+      // brute-force the session count from the sorted timestamps
+      val gaps = events(u).sliding(2).count {
+        case Array(a, b) => b - a > 1800000000000L
+        case _ => false
+      }
+      assert(sess.size == gaps + 1,
+        s"user $u expected ${gaps + 1} sessions, got ${sess.size}")
+      // sessions are ordered and non-overlapping in time
+      val ordered = sess.sortBy(_._2)
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5 < b._4, s"user $u sessions ${a._2} and ${b._2} overlap")
+        case _ =>
+      }
+    }
+  }
+
+  test("pipe3: every re-crawled copy collapses onto its original after redaction") {
+    val out = q(graft.queries.PipelineQueries, "pipe3_redacted_dedup").collect()
+    val removed = out.map(_.getLong(2)).sum
+    val recrawl = Tables.t(spark, sf01, "documents")
+      .filter(col("doc_id") % 5 === 0).count()
+    assert(removed == recrawl,
+      s"$removed removed vs $recrawl re-crawled copies — redaction failed to normalize")
+    // two-shuffle plan, fp-keyed dedup exchange — pipe2's shape
+    val p = q(graft.queries.PipelineQueries, "pipe3_redacted_dedup", sf)
+      .queryExecution.executedPlan.toString
+    val shuffles = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(shuffles.size == 2,
+      s"expected dedup + lang agg as the ONLY shuffles, found ${shuffles.size}:\n$p")
+    assert(shuffles.exists(_.contains("hashpartitioning(fp")),
+      s"dedup exchange must carry the 8-byte fingerprint:\n${shuffles.mkString("\n")}")
+  }
 }
