@@ -23,7 +23,8 @@ object Builtins {
 
   /** Reserved builtin names — checked by the parser before an
     * `ident(`-shaped token run is read as a relation atom. */
-  val scalar: Set[String] = Set("fingerprint", "token_count", "char_count")
+  val scalar: Set[String] =
+    Set("fingerprint", "token_count", "char_count", "simhash", "redact")
 
   /** Plan a builtin call over already-planned argument columns. */
   def plan(fn: String, args: Seq[Column]): Column = (fn, args) match {
@@ -34,6 +35,10 @@ object Builtins {
     case ("token_count", Seq(text)) =>
       size(split(trim(text), "\\s+")).cast("long")
     case ("char_count", Seq(text)) => length(text).cast("long")
+    // dd4's 31-bit near-dup signature (native token-hash + sign-fold)
+    case ("simhash", Seq(text)) => graft.operators.TextFns.simhashOf(text)
+    // tx7's three-stage PII scrub (email → IP → phone)
+    case ("redact", Seq(text)) => graft.operators.TextFns.redactPii(text)
     case (name, as) => throw Analyzer.AnalysisError(
       s"builtin $name does not take ${as.length} argument(s)")
   }

@@ -115,6 +115,59 @@ object TextFns {
   def countMatches(colSql: String, pattern: String): Column =
     expr(s"CAST(size(regexp_extract_all($colSql, '$pattern', 0)) AS BIGINT)")
 
+  // PII patterns — shared syntax subset of java.util.regex (Spark) and
+  // RE2 (DuckDB): character classes, bounded repeats, no lookaround.
+  // Raw (non-SQL-escaped) forms for the functions API / lit().
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipRe = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+  val phoneRe = "\\+1-555-\\d{4}"
+
+  /** Three-stage PII redaction chain (email → IP → phone) — the tx7 /
+    * pipe3 scrub and the `redact` HeroQL builtin. Map-only composed
+    * expression; order matters and is mirrored by [[redactPiiDuckSql]]. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      emailRe, "<EMAIL>"), ipRe, "<IP>"), phoneRe, "<PHONE>")
+
+  /** DuckDB mirror of [[redactPii]] (explicit 'g' flag — Spark replaces
+    * all matches by default). */
+  def redactPiiDuckSql(e: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace($e,
+        '$emailRe', '<EMAIL>', 'g'), '$ipRe', '<IP>', 'g'),
+        '$phoneRe', '<PHONE>', 'g')"""
+
+  /** 31-bit SimHash of whitespace tokens via the native expressions
+    * (token polyhash + sign-fold — dd4's shape), registered on the
+    * active session like [[fingerprintOf]]. */
+  def simhashOf(text: Column): Column = {
+    graft.functions.VectorFns.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_simhash31",
+      call_function("graft_token_polyhash", split(trim(text), "\\s+")))
+  }
+
+  /** DuckDB mirror of the per-token polynomial hash (seed 7,
+    * mod 2^31-1) over a token expression `tk` — kept adjacent to
+    * [[tokenHashes]] so the folds can't drift. */
+  def tokenHashDuckSql(tk: String): String =
+    s"""list_reduce(
+         list_concat([CAST(7 AS BIGINT)],
+           [CAST(unicode(substr($tk, x, 1)) AS BIGINT) for x in range(1, length($tk) + 1)]),
+         (acc, x) -> (acc * 31 + x) % 2147483647)"""
+
+  /** DuckDB mirror of [[simhashOfHashes]] over a BIGINT-list expression
+    * `hs`: sign-of-sum per bit position, 31 bits. */
+  def simhashOfHashesDuckSql(hs: String): String =
+    s"""CAST(list_sum([CASE WHEN list_sum(
+           [CASE WHEN (h // (1 << b)) % 2 = 1 THEN 1 ELSE -1 END for h in $hs]) > 0
+         THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END for b in range(31)]) AS BIGINT)"""
+
+  /** DuckDB mirror of [[simhashOf]] over a text expression: token
+    * hashes then the 31-bit sign-fold. */
+  def simhashDuckSql(textExpr: String): String =
+    simhashOfHashesDuckSql(
+      s"[${tokenHashDuckSql("tk")} for tk in regexp_split_to_array(trim($textExpr), '\\s+')]")
+
   /** Dot product of two float-array columns, accumulated in double in
     * element order. */
   def dotSql(x: String, y: String): String =

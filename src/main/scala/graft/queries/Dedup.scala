@@ -378,16 +378,10 @@ object Dedup extends QueryPack {
   private val shingleSql =
     "list_distinct([substr(text, x, 5) for x in range(1, greatest(length(text) - 4, 0) + 1)])"
 
-  private val tokHashSql =
-    """list_reduce(
-         list_concat([CAST(7 AS BIGINT)],
-           [CAST(unicode(substr(tk, x, 1)) AS BIGINT) for x in range(1, length(tk) + 1)]),
-         (acc, x) -> (acc * 31 + x) % 2147483647)"""
-
-  private val simhashSql =
-    s"""CAST(list_sum([CASE WHEN list_sum(
-           [CASE WHEN (h // (1 << b)) % 2 = 1 THEN 1 ELSE -1 END for h in hs]) > 0
-         THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END for b in range(31)]) AS BIGINT)"""
+  // simhash oracle fragments — TextFns's mirrors (shared with the
+  // `simhash` HeroQL builtin's oracle, so the folds can't drift)
+  private val tokHashSql = TextFns.tokenHashDuckSql("tk")
+  private val simhashSql = TextFns.simhashOfHashesDuckSql("hs")
 
   override val oracles: Map[String, String] = Map(
     "dd1_exact_dedup" ->

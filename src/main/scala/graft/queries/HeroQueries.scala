@@ -258,6 +258,29 @@ query DocStats(id: int64) -> (toks: int64, chars: int64)
   private def runDocStats(s: SparkSession, d: String): DataFrame =
     HeroQL.compile(dedupProgram, "DocStats", docsCatalog(s, d))
 
+  private val scrubProgram = """
+data Docs(id: int64, text: string).
+
+query Scrubbed(id: int64) -> (sh: int64, rfp: int64)
+:-  Docs(id, text),
+    sh <- simhash(text),
+    red <- redact(text),
+    rfp <- fingerprint(red)
+.
+"""
+
+  /** hq20 — the r9 scrub builtins from parsed text: `simhash` (dd4's
+    * near-dup signature) and `redact` (tx7's PII chain) compose with
+    * `fingerprint` in one map-only rule body — the
+    * redact-then-fingerprint chain IS pipe3's dedup key, reached from
+    * the language. The catalog feeds the planted-PII text (tx7's
+    * fixture augmentation) so the redaction has real positives. */
+  private def runScrubbed(s: SparkSession, d: String): DataFrame =
+    HeroQL.compile(scrubProgram, "Scrubbed",
+      Map("Docs" -> graft.queries.TextAnalysis
+        .redacted(t(s, d, "documents"))
+        .select(col("doc_id").as("id"), col("aug").as("text"))))
+
   private def runDedup(s: SparkSession, d: String): DataFrame =
     HeroQL.compileCollection(dedupProgram,
       """collection_query(id, text) :-
@@ -288,6 +311,7 @@ query DocStats(id: int64) -> (toks: int64, chars: int64)
     "hq17_namespaces" -> (runNs _),
     "hq18_fingerprint_dedup" -> (runDedup _),
     "hq19_builtin_textstats" -> (runDocStats _),
+    "hq20_builtin_scrub" -> (runScrubbed _),
   )
 
   private val examsSql =
@@ -416,5 +440,21 @@ query DocStats(id: int64) -> (toks: int64, chars: int64)
          CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS toks,
          CAST(length(text) AS BIGINT) AS chars
          FROM documents""",
+    // the scrub builtins — tx7's augmentation, dd4's simhash folds,
+    // the redaction chain, and the fingerprint mirror, all shared
+    // fragments so none can drift from their operator-form oracles
+    "hq20_builtin_scrub" ->
+      (s"""WITH a AS (
+           SELECT doc_id AS id, ${graft.queries.TextAnalysis.augDuckSql} AS text
+           FROM documents),
+         s AS (
+           SELECT id, text,
+             [${graft.operators.TextFns.tokenHashDuckSql("tk")}
+              for tk in regexp_split_to_array(trim(text), '\\s+')] AS hs,
+             ${graft.operators.TextFns.redactPiiDuckSql("text")} AS red
+           FROM a)
+         SELECT id, ${graft.operators.TextFns.simhashOfHashesDuckSql("hs")} AS sh, """
+        + graft.operators.TextFns.fingerprintDuckSql("red") + """ AS rfp
+         FROM s"""),
   )
 }

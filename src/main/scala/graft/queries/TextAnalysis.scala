@@ -160,13 +160,11 @@ object TextAnalysis extends QueryPack {
       .select("doc_id", "n_tok", "n_distinct_tok", "n_distinct_2gram",
         "tok_rep_ratio", "gram2_rep_ratio", "keep")
 
-  // PII patterns — shared syntax subset of java.util.regex (Spark) and
-  // RE2 (DuckDB): character classes, bounded repeats, no lookaround.
-  // Raw (non-SQL-escaped) forms, used via the functions API / lit().
-  // private[queries]: pipe3 composes the same redaction chain.
-  private[queries] val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private[queries] val ipRe = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
-  private[queries] val phoneRe = "\\+1-555-\\d{4}"
+  // PII patterns + redaction chain live in TextFns (the `redact`
+  // HeroQL builtin compiles through the same expressions).
+  private val emailRe = TextFns.emailRe
+  private val ipRe = TextFns.ipRe
+  private val phoneRe = TextFns.phoneRe
 
   /** Deterministic PII augmentation: the synthetic corpus contains no
     * contact strings, so the fixture plants one per residue class —
@@ -196,8 +194,7 @@ object TextAnalysis extends QueryPack {
   private[queries] def redacted(docs: DataFrame): DataFrame =
     docs
       .withColumn("aug", expr(augSql))
-      .withColumn("red", regexp_replace(regexp_replace(regexp_replace(col("aug"),
-        emailRe, "<EMAIL>"), ipRe, "<IP>"), phoneRe, "<PHONE>"))
+      .withColumn("red", TextFns.redactPii(col("aug")))
 
   private def tx7(s: SparkSession, d: String): DataFrame =
     redacted(t(s, d, "documents"))
@@ -230,12 +227,9 @@ object TextAnalysis extends QueryPack {
        WHEN 2 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
        ELSE '' END"""
 
-  /** DuckDB redaction chain over an expression (explicit 'g' flag —
-    * Spark replaces all matches by default). */
+  /** DuckDB redaction chain over an expression — [[TextFns]]'s mirror. */
   private[queries] def redactDuckSql(e: String): String =
-    s"""regexp_replace(regexp_replace(regexp_replace($e,
-        '$emailRe', '<EMAIL>', 'g'), '$ipRe', '<IP>', 'g'),
-        '$phoneRe', '<PHONE>', 'g')"""
+    TextFns.redactPiiDuckSql(e)
 
   private val langScoreSql = langMarkersSql
     .map { case (c, p) => s"CAST(length(regexp_extract_all(lower(text), '$p')) AS BIGINT) AS s_$c" }

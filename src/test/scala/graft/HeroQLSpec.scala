@@ -53,6 +53,27 @@ class HeroQLParserSpec extends AnyFunSuite {
       Atom("Kept", Seq(TVar("id"))))
   }
 
+  test("r9 scrub builtins: reserved, composable, and value-correct end-to-end") {
+    // simhash / redact parse as ECall and chain through a binding
+    val p = Parser.parse(
+      """data Docs(id: int64, text: string).
+        |query S(id: int64) -> (sh: int64, rfp: int64)
+        |:- Docs(id, text),
+        |   sh <- simhash(text),
+        |   red <- redact(text),
+        |   rfp <- fingerprint(red)
+        |.""".stripMargin)
+    assert(p.queries.head.body.alts.head.items.drop(1) == Seq(
+      Binding("sh", ECall("simhash", Seq(EVar("text")))),
+      Binding("red", ECall("redact", Seq(EVar("text")))),
+      Binding("rfp", ECall("fingerprint", Seq(EVar("red"))))))
+    // declaring either name is the explicit reserved-name error
+    val e = intercept[Parser.ParseError] {
+      Parser.parse("data redact(id: int64).")
+    }
+    assert(e.msg.contains("reserved builtin"))
+  }
+
   test("golden: disjunction rule parses as two alternatives") {
     val p = Parser.parse(
       """data Father(father: int64, child: int64).
@@ -298,6 +319,36 @@ class HeroQLParserSpec extends AnyFunSuite {
   * dispatch over union tags (`Kernel/Drafts/draft_type:218-311`) and
   * demand-driven recursive funcs (`Kernel/Drafts/draft:75-89`). */
 class HeroQLRuntimeSpec extends SparkSpec {
+
+  test("r9 scrub builtins compile to the operator-form expressions, redaction effective") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "mail me at bob@example.org today"),
+      (2L, "plain words only here"),
+    ).toDF("id", "text")
+    val got = graft.heroql.HeroQL.compile(
+      """data Docs(id: int64, text: string).
+        |query S(id: int64) -> (sh: int64, rfp: int64)
+        |:- Docs(id, text),
+        |   sh <- simhash(text),
+        |   red <- redact(text),
+        |   rfp <- fingerprint(red)
+        |.""".stripMargin, "S", Map("Docs" -> docs))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val want = docs
+      .select(col("id"),
+        graft.operators.TextFns.simhashOf(col("text")).as("sh"),
+        graft.operators.TextFns.fingerprintOf(
+          graft.operators.TextFns.redactPii(col("text"))).as("rfp"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want)
+    // the email was actually redacted: fp differs from the raw text's
+    val rawFp = docs.filter(col("id") === 1L)
+      .select(graft.operators.TextFns.fingerprintOf(col("text")))
+      .head().getLong(0)
+    assert(got(1L)._2 != rawFp, "redact(text) left the email in place")
+  }
 
   test("recursive Fib: demand-driven memo matches the closed sequence") {
     import spark.implicits._
