@@ -80,6 +80,51 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: PII redaction is idempotent and match-free (20 cases)") {
+    import spark.implicits._
+    import graft.operators.TextFns
+    // random words with PII fragments spliced at random offsets
+    def word() = Seq.fill(rnd.nextInt(6) + 1)(('a' + rnd.nextInt(26)).toChar).mkString
+    def piis() = rnd.nextInt(3) match {
+      case 0 => s"${word()}@${word()}.com"
+      case 1 => s"${rnd.nextInt(256)}.${rnd.nextInt(256)}.${rnd.nextInt(256)}.${rnd.nextInt(256)}"
+      case _ => f"+1-555-${rnd.nextInt(10000)}%04d"
+    }
+    val texts = (1 to 20).map { i =>
+      (i.toLong, (1 to rnd.nextInt(8) + 2).map(_ =>
+        if (rnd.nextBoolean()) word() else piis()).mkString(" "))
+    }.toDF("id", "text")
+    val once = TextFns.redactPii(col("text"))
+    val out = texts.select(
+      once.as("r1"),
+      TextFns.redactPii(once).as("r2")).collect()
+    out.foreach { r =>
+      // idempotent: the replacement tokens never re-match any pattern
+      assert(r.getString(0) == r.getString(1),
+        s"redact not idempotent: '${r.getString(0)}' vs '${r.getString(1)}'")
+      assert(!r.getString(0).contains("@"), s"email residue: ${r.getString(0)}")
+    }
+  }
+
+  test("property: SimHash is invariant under token order (10 cases)") {
+    import spark.implicits._
+    import graft.operators.TextFns
+    // the sign-fold sums PER-TOKEN hashes — a bag property, so any
+    // permutation of the tokens must produce the identical signature
+    val rows = (1 to 10).map { i =>
+      val toks = Seq.fill(rnd.nextInt(20) + 3)(
+        Seq.fill(rnd.nextInt(5) + 1)(('a' + rnd.nextInt(26)).toChar).mkString)
+      (i.toLong, toks.mkString(" "), rnd.shuffle(toks).mkString(" "))
+    }.toDF("id", "fwd", "shuf")
+    rows.select(
+      TextFns.simhashOf(col("fwd")).as("a"),
+      TextFns.simhashOf(col("shuf")).as("b")).collect()
+      .foreach { r =>
+        assert(r.getLong(0) == r.getLong(1),
+          "simhash changed under token permutation")
+      }
+  }
+
   test("property: functional pointer-doubling closure agrees on forests (5 cases)") {
     import spark.implicits._
     (1 to 5).foreach { _ =>

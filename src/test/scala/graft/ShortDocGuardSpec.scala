@@ -54,6 +54,39 @@ class ShortDocGuardSpec extends SparkSpec {
     assert(out == Map(8L -> 1L))
   }
 
+  test("dc2 handles sub-8-token documents: no grams, no throw") {
+    // same corpus: train doc 8 shares its 8-gram with eval doc 7's
+    // first-25-token excerpt; everything shorter contributes nothing
+    val out = graft.queries.TrainingSetQueries
+      .queries("dc2_contamination_spans")(spark, shortDir)
+      .collect().map(r => r.getAs[Long]("train_id") ->
+        (r.getAs[Long]("n_hit_grams"), r.getAs[Long]("n_spans")))
+      .toMap
+    assert(out == Map(8L -> ((1L, 1L))))
+  }
+
+  test("dd10 handles sub-16-token documents: no grams, no throw, empty result") {
+    // every scratch doc is under the 16-token gram width — the guarded
+    // sequence yields no positions anywhere and the result is empty
+    // (an unguarded form would descend and throw on the 1-token doc)
+    val out = graft.queries.Dedup
+      .queries("dd10_duplicate_spans")(spark, shortDir).collect()
+    assert(out.isEmpty)
+  }
+
+  test("tx7 and pipe3 handle short documents: redaction chain total on any text") {
+    val tx = graft.queries.TextAnalysis
+      .queries("tx7_pii_redaction")(spark, shortDir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 1 (% 7 = 1) gets a planted IP, doc 2 a phone, doc 7/14 emails
+    assert(tx(1L).getAs[Long]("n_ips") == 1L)
+    assert(tx(2L).getAs[Long]("n_phones") == 1L)
+    assert(tx(7L).getAs[Long]("n_emails") == 1L)
+    val pipe = graft.queries.PipelineQueries
+      .queries("pipe3_redacted_dedup")(spark, shortDir).collect()
+    assert(pipe.nonEmpty)
+  }
+
   test("declaring a builtin scalar name is rejected with a clear error") {
     val err = intercept[Parser.ParseError] {
       Parser.parse("data fingerprint(id: int64, text: string).")
