@@ -120,12 +120,31 @@ object AdminQueries extends QueryPack {
     st.readVersion("orders", 1)
   }
 
+  /** adm6 — log compaction: a create plus five single-slice inserts
+    * (the streaming-sink commit pattern — one small dir per commit),
+    * compacted into one materialized dir, then one MORE insert on top —
+    * the read must equal the plain relational union, proving compaction
+    * is a pure physical reorganization (CompactionSpec asserts the
+    * file-count collapse, the size-aware partial fold, and vacuum
+    * reclamation of the superseded dirs). */
+  private def adm6(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s)
+    def part(r: Int) = t(s, d, "orders")
+      .filter(col("o_orderkey") % 10 === r).select(cols.map(col): _*)
+    st.create("orders", part(0))
+    (1 to 5).foreach(r => st.insert("orders", part(r)))
+    st.compact("orders")
+    st.insert("orders", part(6))
+    st.read("orders")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "adm1_schema_evolution" -> (adm1 _),
     "adm2_schema_migrate" -> (adm2 _),
     "adm3_vacuum_gc" -> (adm3 _),
     "adm4_backup_ring" -> (adm4 _),
     "adm5_time_travel" -> (adm5 _),
+    "adm6_compaction" -> (adm6 _),
   )
 
   private val evolvedSql =
@@ -162,6 +181,11 @@ object AdminQueries extends QueryPack {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                 o_orderpriority
          FROM orders WHERE o_orderkey % 10 IN (0, 1, 2)""",
+    // compaction is physical only: the content is the plain union
+    "adm6_compaction" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderpriority
+         FROM orders WHERE o_orderkey % 10 <= 6""",
     // one version back: the update is visible, the delete is not
     "adm5_time_travel" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,

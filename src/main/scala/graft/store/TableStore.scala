@@ -350,6 +350,18 @@ final class TableStore(val spark: SparkSession, val root: String) {
   def pendingOps(name: String): Seq[SchemaOp] =
     currentEntries(name).collect { case OpEntry(op) => op }
 
+  /** Size-aware tail compaction — see [[Txn.compact]]. */
+  def compact(name: String, smallBytes: Long = Long.MaxValue): CompactStats =
+    transaction(_.compact(name, smallBytes))
+
+  /** On-disk bytes of one data dir (driver-side filesystem metadata —
+    * vacuum's scale class: proportional to file count, never data). */
+  private[store] def dirBytes(table: String, dir: String): Long = {
+    val p = resolveDir(table, dir)
+    if (!Files.exists(p)) 0L
+    else walkAll(p).filter(Files.isRegularFile(_)).map(Files.size(_)).sum
+  }
+
   // ----------------------------------------------------------- time travel
 
   /** Published store versions, newest first — commit-sequence order
@@ -550,6 +562,10 @@ final class TableStore(val spark: SparkSession, val root: String) {
 }
 
 /** What a [[TableStore.vacuum]] sweep reclaimed. */
+/** What [[TableStore.compact]] did: dirs folded into the new one vs
+  * tail dirs carried by reference (0 folded = nothing worth folding). */
+final case class CompactStats(dirsFolded: Int, dirsKept: Int)
+
 final case class VacuumStats(dataDirsDeleted: Int, manifestsDeleted: Int,
   storeManifestsDeleted: Int)
 
@@ -644,6 +660,40 @@ final class Txn(store: TableStore) {
         store.writeTableManifest(name, withPartLine(cols,
           Seq(DataDir(store.writeData(name, folded, cols)), newDir)))
       } else store.writeTableManifest(name, appended))
+  }
+
+  /** SIZE-AWARE tail compaction — the streaming-sink countermeasure:
+    * every micro-batch commit appends a small data dir, and a month of
+    * 30-second batches is ~90k dirs even when the table fits in a
+    * handful of files. [[TableStore.migrate]] folds the WHOLE log
+    * (cost ∝ table size — unaffordable as maintenance on a 100 TB
+    * table); compact folds only the current-vintage tail dirs at or
+    * below `smallBytes` on disk, carrying every other entry BY
+    * REFERENCE — cost ∝ the small-file fraction. Folding never
+    * crosses an op line: an op applies to the dirs logged before it,
+    * so moving a dir from one side of the line to the other would
+    * change which rows the op transforms on read. Partition layout is
+    * preserved (the fold re-clusters through `writeData`'s
+    * partition-aware path). Old manifests stay time-travelable; the
+    * superseded small dirs become unreferenced and [[TableStore.vacuum]]
+    * reclaims them by retention. */
+  def compact(name: String, smallBytes: Long = Long.MaxValue): CompactStats = {
+    val entries = entriesOf(name)
+    val cols = partColsOf(name)
+    val lastOp = entries.lastIndexWhere(_.isInstanceOf[OpEntry])
+    val (prefix, tail) = entries.splitAt(lastOp + 1)
+    val tailDirs = tail.collect { case e: DataDir => e }
+    val (small, big) = tailDirs.partition(e =>
+      store.dirBytes(name, e.dir) <= smallBytes)
+    if (small.size < 2) CompactStats(0, tailDirs.size)
+    else {
+      val folded = store.readDirs(name, small.map(_.dir), cols.nonEmpty)
+      val newDir = DataDir(store.writeData(name, folded, cols))
+      val keepNonData = tail.filterNot(_.isInstanceOf[DataDir])
+      pending += name -> store.writeTableManifest(name,
+        prefix ++ keepNonData ++ big :+ newDir)
+      CompactStats(small.size, big.size)
+    }
   }
 
   /** Metadata-only alter: append op lines to the log. Validated against
