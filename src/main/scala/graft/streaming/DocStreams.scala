@@ -175,6 +175,17 @@ object DocStreams {
       .map(_.toLong).getOrElse(4000000L)
     val fpBuckets = spark.conf.getOption("spark.graft.dedup.fpBuckets")
       .map(_.toInt).getOrElse(8)
+    // periodic log compaction: the sink commits one small dir per
+    // micro-batch — exactly the accumulation TableStore.compact exists
+    // for. Every N commits, fold the current-vintage small dirs (big
+    // dirs ride by reference, so steady-state maintenance cost tracks
+    // the small-file fraction). Off by default: compaction cadence is
+    // a deployment decision, and 0 keeps the gate artifacts byte-stable.
+    val compactEvery = spark.conf.getOption("spark.graft.dedup.compactEvery")
+      .map(_.toInt).getOrElse(0)
+    val compactSmallBytes = spark.conf.getOption("spark.graft.dedup.compactSmallBytes")
+      .map(_.toLong).getOrElse(64L * 1024 * 1024)
+    var commits = 0L
     var bloom: org.apache.spark.util.sketch.BloomFilter =
       if (!bloomEnabled) null
       else if (store.exists(table)) // one distributed aggregate, once
@@ -275,6 +286,14 @@ object DocStreams {
               val delta = novelM.select("fp").coalesce(1)
                 .stat.bloomFilter("fp", expectedItems, 0.01)
               bloom.mergeInPlace(delta)
+              ()
+            }
+            commits += 1
+            // content-neutral (the oracle can't see it): folds only this
+            // table's small tail dirs; partition layout — and therefore
+            // the probe's bucket pruning — is preserved through the fold
+            if (compactEvery > 0 && commits % compactEvery == 0) {
+              store.compact(table, compactSmallBytes)
               ()
             }
           } finally if (bloom != null) novelM.unpersist(false)

@@ -85,6 +85,33 @@ class CompactionSpec extends SparkSpec {
       "backfill expression no longer applies to the right rows")
   }
 
+  test("fp streaming sink with compactEvery folds its own micro-batch dirs, same content") {
+    def run(compactEvery: Int): (Set[(Long, Long)], Int, TableStore) = {
+      if (compactEvery > 0) {
+        spark.conf.set("spark.graft.dedup.compactEvery", compactEvery.toString)
+        spark.conf.set("spark.graft.dedup.compactSmallBytes", Long.MaxValue.toString)
+      }
+      try {
+        val st = scratch()
+        val out = graft.streaming.DocStreams
+          .dedupSinkToStoreByFp(spark, sf, st, "corpus")
+          .select("doc_id", "fp").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        (out, st.dataDirs("corpus").size, st)
+      } finally {
+        spark.conf.unset("spark.graft.dedup.compactEvery")
+        spark.conf.unset("spark.graft.dedup.compactSmallBytes")
+      }
+    }
+    val (plain, plainDirs, _) = run(0)
+    val (compacted, compactedDirs, st) = run(2)
+    assert(compacted == plain, "compaction changed the committed content")
+    assert(compactedDirs < plainDirs,
+      s"compactEvery=2 left $compactedDirs dirs vs $plainDirs without")
+    // the folded corpus keeps its fp_bucket layout — probes still prune
+    assert(st.partitionColumns("corpus") == Seq("fp_bucket"))
+  }
+
   test("partitioned tables keep their layout through the fold") {
     val st = scratch()
     import spark.implicits._
