@@ -92,16 +92,30 @@ object Fixpoint {
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
+      // the round's two materializations are INDEPENDENT jobs — submit
+      // them from two threads so the cluster overlaps them (Spark's
+      // scheduler is thread-safe for concurrent actions; each round's
+      // wall clock is one job latency, not two, and per-round driver
+      // latency is what dominates a log-depth loop)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
       // ancestors at distance 2^k + [1, 2^k] = [2^k+1, 2^{k+1}]
-      val stretched = gated(jump)
-        .join(acc.select(col("child").as("__m"), col("anc")), col("up") === col("__m"))
-        .select(col("node").as("child"), col("anc"))
-        .localCheckpoint()
+      val stretchedF = scala.concurrent.Future {
+        gated(jump)
+          .join(acc.select(col("child").as("__m"), col("anc")), col("up") === col("__m"))
+          .select(col("node").as("child"), col("anc"))
+          .localCheckpoint()
+      }
       // the 2^{k+1} jump: follow two 2^k jumps
-      val nextJump = jump.select(col("node"), col("up").as("__m"))
-        .join(gated(jump.select(col("node").as("__m"), col("up"))), "__m")
-        .select(col("node"), col("up"))
-        .localCheckpoint()
+      val nextJumpF = scala.concurrent.Future {
+        jump.select(col("node"), col("up").as("__m"))
+          .join(gated(jump.select(col("node").as("__m"), col("up"))), "__m")
+          .select(col("node"), col("up"))
+          .localCheckpoint()
+      }
+      import scala.concurrent.duration.Duration
+      val stretched = scala.concurrent.Await.result(stretchedF, Duration.Inf)
+      val nextJump = scala.concurrent.Await.result(nextJumpF, Duration.Inf)
       val grew = stretched.take(1).nonEmpty
       if (grew) acc = acc.union(stretched).localCheckpoint()
       if (!grew || nextJump.take(1).isEmpty) done = true
