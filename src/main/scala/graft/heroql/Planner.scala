@@ -36,29 +36,171 @@ final class Planner(decls: Map[String, DataDecl],
     variantInfo.map { case (v, (t, _)) => v -> t }
 
   /** Planning stack — a rule atom naming a query already being planned
-    * is recursion, which the reference errors on via its "calculating"
-    * cache sentinel (`Kernel/README.md:158-161`); recursive rules go
-    * through [[graft.operators.Fixpoint]] instead. */
+    * is recursion. SELF-recursion (a rule whose own body references it,
+    * directly or through sub-rules) compiles to a semi-naïve fixpoint
+    * ([[planFixpoint]]) — the designed recursion semantics
+    * (`Kernel/README.md:158-161` guards re-entry; the engine evaluates
+    * instead of erroring, like the recursive-func path). MUTUAL
+    * recursion (a cycle through another named query) still errors with
+    * the reference's "calculating" sentinel. */
   private val planning = scala.collection.mutable.Set.empty[String]
+
+  /** While a recursive alternative of query Q is being planned, Q's
+    * self-atom resolves here (the previous round's delta for linear
+    * rules, the full accumulator otherwise) instead of re-entering
+    * [[plan]]. */
+  private var recursionBinding: Map[String, DataFrame] = Map.empty
+
+  /** For the duration of a fixpoint loop, the data relations its
+    * recursive alternatives touch resolve to a one-time materialization
+    * instead of re-running their source plan (scan + projections) every
+    * round — the loop multiplies any source cost by the recursion depth
+    * (GraphX materializes the edge RDD for the same reason). 16-byte-ish
+    * rows, MEMORY_AND_DISK, so it spills rather than OOMs. */
+  private var edbCache: Map[String, DataFrame] = Map.empty
+
+  /** Data relations referenced by a body, transitively through sub-rules
+    * and inlined named queries — the set a fixpoint loop should
+    * materialize once. */
+  private def dataRels(b: Body, seen: Set[String]): Set[String] =
+    b.alts.flatMap(_.items.flatMap {
+      case a: Atom if decls.contains(a.rel) => Set(a.rel)
+      case a: Atom if queryDecls.contains(a.rel) && !seen.contains(a.rel) =>
+        dataRels(queryDecls(a.rel).body, seen + a.rel)
+      case Negation(a) if decls.contains(a.rel) => Set(a.rel)
+      case Existence(a) if decls.contains(a.rel) => Set(a.rel)
+      case SubQuery(_, body) => dataRels(body, seen)
+      case _ => Set.empty[String]
+    }).toSet
 
   private def sparkType(t: String): String = Planner.sparkType(t)
 
   def plan(q: QueryDecl): DataFrame = {
     if (planning.contains(q.name))
       throw Analyzer.AnalysisError(
-        s"recursive query ${q.name}: already calculating (use the fixpoint evaluator)")
+        s"recursive query ${q.name}: already calculating (mutual recursion is not supported; self-recursive rules evaluate via the fixpoint)")
+    if (selfRefCount(q.body, q.name, through = false) > 0) return planFixpoint(q)
     planning += q.name
     try {
-      val head = q.inArgs ++ q.outArgs
-      val alts = q.body.alts.map { conj =>
-        val df = planConj(conj)
-        df.select(head.map {
-          case (n, "") => col(n) // untyped (anonymous/`let` form): no cast
-          case (n, t) => col(n).cast(sparkType(t)).as(n)
-        }: _*)
-      }
+      val alts = q.body.alts.map(conj => headed(q, planConj(conj)))
       alts.reduce(_ union _)
     } finally planning -= q.name
+  }
+
+  /** Project/cast a planned conjunction onto the query head. */
+  private def headed(q: QueryDecl, df: DataFrame): DataFrame =
+    df.select((q.inArgs ++ q.outArgs).map {
+      case (n, "") => col(n) // untyped (anonymous/`let` form): no cast
+      case (n, t) => col(n).cast(sparkType(t)).as(n)
+    }: _*)
+
+  /** Positive references to `name` in a body: top-level atoms and
+    * sub-rule bodies. With `through` set, also the bodies of other
+    * named queries the body inlines — used ONLY for the linearity
+    * decision inside the fixpoint; routing and base/recursive
+    * partitioning count DIRECT references, so a cycle through another
+    * query (mutual recursion) still reaches the planning-stack
+    * sentinel rather than being misread as a base case.
+    * Self-reference under `not exists` / `exists` is rejected — not
+    * stratified, no least fixpoint. */
+  private def selfRefCount(b: Body, name: String, through: Boolean,
+      seen: Set[String] = Set.empty): Int =
+    b.alts.map(conjRefCount(_, name, through, seen)).sum
+
+  private def conjRefCount(c: Conj, name: String, through: Boolean,
+      seen: Set[String] = Set.empty): Int =
+    c.items.map {
+      case a: Atom if a.rel == name => 1
+      case a: Atom if through && !funcs.contains(a.rel) &&
+          !decls.contains(a.rel) && queryDecls.contains(a.rel) &&
+          !seen.contains(a.rel) =>
+        selfRefCount(queryDecls(a.rel).body, name, through, seen + a.rel)
+      case Negation(a) if a.rel == name =>
+        throw Analyzer.AnalysisError(
+          s"recursive query $name: self-reference under 'not exists' is not stratified")
+      case Existence(a) if a.rel == name =>
+        throw Analyzer.AnalysisError(
+          s"recursive query $name: self-reference under 'exists' is not stratified")
+      case SubQuery(_, body) => selfRefCount(body, name, through, seen)
+      case _ => 0
+    }.sum
+
+  /** Self-recursive rule → semi-naïve fixpoint (SURVEY §2.3 J7 from the
+    * language surface; evaluation mirrors [[graft.operators.Fixpoint]]):
+    * base alternatives seed the accumulator, each round plans only the
+    * recursive alternatives with the self-atom bound to the last
+    * round's delta (linear rules — any derivation not using a
+    * new-last-round tuple was already derived, so delta suffices) or to
+    * the full accumulator (non-linear / indirect self-reference —
+    * naïve, always sound), and `except` both dedups to set semantics
+    * (the WITH RECURSIVE UNION the oracle runs) and detects
+    * convergence. `localCheckpoint` truncates lineage per round; AQE is
+    * parked for the loop's small stable shapes like the Scala fixpoint
+    * driver does. The specialized pointer-doubling paths stay the perf
+    * route for functional edges — this is the general evaluator. */
+  private def planFixpoint(q: QueryDecl, maxIter: Int = 64): DataFrame = {
+    planning += q.name
+    val spark = catalog.headOption.map(_._2.sparkSession).getOrElse(
+      org.apache.spark.sql.SparkSession.active)
+    val conf = spark.conf
+    val aqeWas = conf.get("spark.sql.adaptive.enabled", "true")
+    val shufWas = conf.get("spark.sql.shuffle.partitions", "32")
+    try {
+      val (recAlts, baseAlts) =
+        q.body.alts.partition(conjRefCount(_, q.name, through = false) > 0)
+      if (baseAlts.isEmpty)
+        throw Analyzer.AnalysisError(
+          s"recursive query ${q.name} has no base case")
+      // aggregation over the recursion state has no least fixpoint
+      // (non-stratified — each round would re-aggregate a growing set)
+      recAlts.foreach(_.items.foreach {
+        case _: Aggregate | _: Partition | _: RankBinding =>
+          throw Analyzer.AnalysisError(
+            s"recursive query ${q.name}: aggregation/ranking inside a recursive alternative is not stratified")
+        case _ => ()
+      })
+      conf.set("spark.sql.adaptive.enabled", "false")
+      conf.set("spark.sql.shuffle.partitions", math.max(8,
+        spark.sparkContext.defaultParallelism / 4).toString)
+      edbCache = dataRels(Body(recAlts), Set(q.name))
+        .flatMap(r => catalog.get(r).map(r -> _.localCheckpoint())).toMap
+      val base = baseAlts.map(c => headed(q, planConj(c))).reduce(_ union _)
+        .distinct().localCheckpoint()
+      // accumulator = union of checkpointed per-round deltas: each round
+      // materializes only its OWN fresh tuples (re-checkpointing the
+      // growing accumulator would be O(|result|·depth) total writes);
+      // the union plan is ≤ maxIter scans of already-materialized RDDs
+      var deltas = List(base)
+      def acc: DataFrame = deltas.reduce(_ union _)
+      var delta = base
+      var iter = 0
+      var done = false
+      while (!done && iter < maxIter) {
+        val derived = recAlts.map { c =>
+          val linear = conjRefCount(c, q.name, through = true) == 1 &&
+            c.items.count { case a: Atom => a.rel == q.name; case _ => false } == 1
+          recursionBinding += (q.name -> (if (linear) delta else acc))
+          try headed(q, planConj(c))
+          finally recursionBinding -= q.name
+        }.reduce(_ union _)
+        val fresh = derived.except(acc).localCheckpoint()
+        if (fresh.take(1).isEmpty) done = true
+        else {
+          deltas ::= fresh
+          delta = fresh
+        }
+        iter += 1
+      }
+      if (!done)
+        throw Analyzer.AnalysisError(
+          s"recursive query ${q.name}: did not converge within $maxIter rounds")
+      acc
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqeWas)
+      conf.set("spark.sql.shuffle.partitions", shufWas)
+      edbCache = Map.empty
+      planning -= q.name
+    }
   }
 
   /** Plan a body used as a derived relation (sub-rule): bag of rows with
@@ -849,12 +991,15 @@ final class Planner(decls: Map[String, DataDecl],
   private def atomDf(a: Atom): DataFrame = {
     val (fields, base) = decls.get(a.rel) match {
       case Some(d) =>
-        (d.fields.map(_._1), catalog.getOrElse(a.rel,
-          throw Analyzer.AnalysisError(s"relation ${a.rel} not bound in catalog")))
+        (d.fields.map(_._1), edbCache.getOrElse(a.rel, catalog.getOrElse(a.rel,
+          throw Analyzer.AnalysisError(s"relation ${a.rel} not bound in catalog"))))
       case None =>
         val q = queryDecls.getOrElse(a.rel,
           throw Analyzer.AnalysisError(s"unknown relation ${a.rel}"))
-        ((q.inArgs ++ q.outArgs).map(_._1), plan(q))
+        // inside a recursive alternative, the self-atom is the loop
+        // state (delta/accumulator), never a plan() re-entry
+        ((q.inArgs ++ q.outArgs).map(_._1),
+          recursionBinding.getOrElse(a.rel, plan(q)))
     }
     var df = base
     val firstFieldOfVar = scala.collection.mutable.Map.empty[String, String]

@@ -125,6 +125,79 @@ object Fixpoint {
     acc
   }
 
+  /** Single-source shortest hop-distances — the recursive-AGGREGATE rule
+    * flavor (stratified Datalog `min`), which plain closure can't
+    * express:
+    *   dist(s, 0).
+    *   dist(c, min(d+1)) :- edges(c, p), dist(p, d).
+    * BFS layering IS the min: a node's first frontier is its minimum
+    * distance, so no per-round min() re-aggregation of the accumulated
+    * state is ever needed — each round joins edges against the frontier
+    * only (semi-naïve), anti-joins out already-reached nodes, and the
+    * accumulator is append-only. Works on cyclic graphs (a cycle never
+    * re-admits a reached node). Rounds = graph eccentricity; each round
+    * is one join keyed on the recursion variable + one anti-join, both
+    * on the shrinking frontier, never the full distance table.
+    * Input columns `child`/`parent`; distance measured from `source`
+    * walking parent→child. */
+  def bfsDistances(edges: DataFrame, source: Long, maxIter: Int = 40): DataFrame = {
+    val conf = edges.sparkSession.conf
+    val aqeWas = conf.get("spark.sql.adaptive.enabled", "true")
+    val shufWas = conf.get("spark.sql.shuffle.partitions", "32")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    val roundParts = math.max(8,
+      edges.sparkSession.sparkContext.defaultParallelism / 4)
+    conf.set("spark.sql.shuffle.partitions", roundParts.toString)
+    try {
+      // materialize the edge relation once — the loop probes it every
+      // round, and re-running its source plan (scan + projections) per
+      // round multiplies the scan cost by the eccentricity (GraphX
+      // materializes the edge RDD for iterative algorithms for the same
+      // reason); 16-byte rows, MEMORY_AND_DISK so it spills, never OOMs
+      val e = edges.select(col("child"), col("parent")).localCheckpoint()
+      val seed = edges.sparkSession.range(source, source + 1)
+        .select(col("id").as("node"), lit(0).as("dist"))
+        .localCheckpoint()
+      // accumulator = union of checkpointed per-level frontiers: each
+      // round materializes only its own level (re-checkpointing the
+      // growing accumulator would be O(|V|·ecc) total writes)
+      var levels = List(seed)
+      def acc: DataFrame = levels.reduce(_ union _)
+      var frontier = seed
+      var frontierRows = 1L
+      var iter = 0
+      var done = false
+      while (!done && iter < maxIter) {
+        // frontier is one BFS level (12-byte rows) — when its measured
+        // count fits, broadcast it so the edge relation never shuffles
+        // (the scan stays map-side every round); past the gate the round
+        // degrades to a plain co-located join, never a forced OOM
+        val reached = e
+          .join(SizeGate.maybeBroadcast(
+            frontier.select(col("node").as("parent"), col("dist")),
+            frontierRows, 20000000L), "parent")
+          .select(col("child").as("node"), (col("dist") + lit(1)).as("dist"))
+        // anti-join first (shrinks to genuinely-new nodes), then dedup —
+        // a node reached from two frontier nodes gets the same dist, so
+        // distinct() within the round is the only min() ever needed
+        val fresh = reached.join(acc, Seq("node"), "left_anti")
+          .distinct().localCheckpoint()
+        val n = fresh.count()
+        if (n == 0) done = true
+        else {
+          levels ::= fresh
+          frontier = fresh
+          frontierRows = n
+        }
+        iter += 1
+      }
+      acc
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqeWas)
+      conf.set("spark.sql.shuffle.partitions", shufWas)
+    }
+  }
+
   /** Transitive closure anc(child, anc) of edges(child, parent):
     * anc(c, p) :- edges(c, p).
     * anc(c, a) :- edges(c, p), anc(p, a).

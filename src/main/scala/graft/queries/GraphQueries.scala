@@ -80,6 +80,42 @@ object GraphQueries extends QueryPack {
         c.groupBy("c_custkey").count().filter(col("count") > 1)))
   }
 
+  /** g6 — single-source shortest hop-distances over a multi-path DAG:
+    * the part hierarchy's tree edges (k → k div 2) PLUS skip edges
+    * (k → k div 4), so most nodes have a strictly shorter path than
+    * their tree depth and the min-aggregate semantics are non-vacuous.
+    * The recursive-aggregate rule (stratified Datalog `min`,
+    * `Kernel/README.md:107-121` rules + aggregate partitioning) that
+    * plain transitive closure can't express — evaluated by BFS layering
+    * (`Fixpoint.bfsDistances`), oracled by a recursive CTE + MIN. */
+  private def g6(s: SparkSession, d: String): DataFrame = {
+    val p = t(s, d, "part")
+    val tree = p.select(col("p_partkey").as("child"), expr("p_partkey div 2").as("parent"))
+      .filter(col("parent") >= 1)
+    val skip = p.select(col("p_partkey").as("child"), expr("p_partkey div 4").as("parent"))
+      .filter(col("p_partkey") >= 4 && col("parent") >= 1)
+    Fixpoint.bfsDistances(tree.union(skip), source = 1L)
+      .select(col("node"), col("dist").cast("long").as("dist"))
+  }
+
+  /** g7 — per-vertex triangle counts on the nation co-region graph (5
+    * region cliques → C(4,2)=6 triangles per vertex of a 5-clique). The
+    * canonical distributed enumeration: edges kept in one orientation
+    * (src < dst — in general, degree order), triangles found by two
+    * equi-joins, so work is Σ deg(u)·deg(v) over edges, never an
+    * all-pairs product; each triangle counted exactly once then
+    * exploded to its three corners for the per-vertex tally. */
+  private def g7(s: SparkSession, d: String): DataFrame = {
+    val e = nationEdges(s, d)
+    val ab = e.select(col("src").as("a"), col("dst").as("b"))
+    val bc = e.select(col("src").as("b"), col("dst").as("c"))
+    val ac = e.select(col("src").as("a"), col("dst").as("c"))
+    ab.join(bc, "b").join(ac, Seq("a", "c"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("n_nationkey"))
+      .groupBy("n_nationkey")
+      .agg(count(lit(1)).cast("long").as("n_triangles"))
+  }
+
   /** rel1 — bidirectional relationship field with n..1 cardinality
     * (`Kernel/Drafts/draft:36-38`, `draft_students:23-24`): link the
     * part hierarchy through the enforcing store, emit the BACKWARD
@@ -101,6 +137,8 @@ object GraphQueries extends QueryPack {
     "g3_pagerank" -> (g3 _),
     "g4_multihop_counts" -> (g4 _),
     "g5_cardinality_checks" -> (g5 _),
+    "g6_shortest_paths" -> (g6 _),
+    "g7_triangle_count" -> (g7 _),
   )
 
   private val edgesSql =
@@ -156,6 +194,33 @@ object GraphQueries extends QueryPack {
            SELECT ed.dst AS node, CAST(sum(coalesce(c2.n_children, 0)) AS BIGINT) AS n
            FROM ed LEFT JOIN c c2 ON ed.src = c2.node
            GROUP BY ed.dst) g ON c.node = g.node""",
+    "g6_shortest_paths" ->
+      s"""WITH RECURSIVE e AS (
+           SELECT p_partkey AS child, p_partkey // 2 AS parent FROM part
+           WHERE p_partkey // 2 >= 1
+           UNION ALL
+           SELECT p_partkey, p_partkey // 4 FROM part
+           WHERE p_partkey >= 4 AND p_partkey // 4 >= 1),
+         walk AS (
+           SELECT CAST(1 AS BIGINT) AS node, 0 AS dist
+           UNION
+           SELECT e.child, w.dist + 1 FROM e JOIN walk w ON e.parent = w.node)
+         SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM walk GROUP BY node""",
+    "g7_triangle_count" ->
+      """WITH e AS (
+           SELECT n1.n_nationkey AS src, n2.n_nationkey AS dst
+           FROM nation n1 JOIN nation n2
+             ON n1.n_regionkey = n2.n_regionkey
+            AND n1.n_nationkey < n2.n_nationkey),
+         tri AS (
+           SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+           FROM e ab JOIN e bc ON ab.dst = bc.src
+                     JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst)
+         SELECT n_nationkey, count(*) AS n_triangles
+         FROM (SELECT a AS n_nationkey FROM tri
+               UNION ALL SELECT b FROM tri
+               UNION ALL SELECT c FROM tri)
+         GROUP BY n_nationkey""",
     "g5_cardinality_checks" ->
       """SELECT 'fk_orders_customer' AS constraint_name,
                 count(*) AS n_violations

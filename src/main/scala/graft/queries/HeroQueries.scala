@@ -71,6 +71,11 @@ query GrandParentsSub(grandParent: int64, grandChild: int64)
     Parents(grandParent, parent)
 .
 
+query Anc(child: int64, anc: int64)
+:-  Parents(anc, child)
+;   Parents(mid, child), Anc(mid, anc)
+.
+
 query Quad(pk: int64) -> (delta: double, x1: double, x2: double)
 :-  Coef(pk, a, b, c),
     delta <- b*b - 4*a*c,
@@ -312,6 +317,7 @@ query Scrubbed(id: int64) -> (sh: int64, rfp: int64)
     "hq18_fingerprint_dedup" -> (runDedup _),
     "hq19_builtin_textstats" -> (runDocStats _),
     "hq20_builtin_scrub" -> (runScrubbed _),
+    "hq21_recursive_rule" -> (run("Anc") _),
   )
 
   private val examsSql =
@@ -456,5 +462,15 @@ query Scrubbed(id: int64) -> (sh: int64, rfp: int64)
          SELECT id, ${graft.operators.TextFns.simhashOfHashesDuckSql("hs")} AS sh, """
         + graft.operators.TextFns.fingerprintDuckSql("red") + """ AS rfp
          FROM s"""),
+    // recursive rule from parsed text (J7 on the language surface):
+    // same WITH RECURSIVE + UNION (set semantics) shape the planner's
+    // semi-naïve fixpoint converges to
+    "hq21_recursive_rule" ->
+      s"""WITH RECURSIVE anc AS (
+           SELECT child, parent AS anc FROM ($parentsSql)
+           UNION
+           SELECT p.child, a.anc
+           FROM ($parentsSql) p JOIN anc a ON p.parent = a.child)
+         SELECT child, anc FROM anc""",
   )
 }

@@ -88,11 +88,11 @@ class HeroQLParserSpec extends AnyFunSuite {
       Conj(Seq(Atom("Mother", Seq(TVar("parent"), TVar("child")))))))
   }
 
-  test("golden: the full HeroQueries program parses (17 queries + 4 funcs + 1 union)") {
+  test("golden: the full HeroQueries program parses (18 queries + 4 funcs + 1 union)") {
     val p = Parser.parse(HeroQueries.program)
     assert(p.datas.size == 8)
     assert(p.queries.map(_.name) == Seq("Top10", "Top3PerStudent", "AvgTop3",
-      "Parents", "GrandParents", "GrandParentsSub", "Quad", "Childless", "Graded",
+      "Parents", "GrandParents", "GrandParentsSub", "Anc", "Quad", "Childless", "Graded",
       "ShapeAreas", "BoxedAreas", "FibOf", "ChooseOf",
       "BoolSieve", "EitherParent", "EnsuredScores", "Described"))
     assert(p.funcs.map(_.name) == Seq("Grade", "Area", "Fib", "Comb"))
@@ -272,21 +272,96 @@ class HeroQLParserSpec extends AnyFunSuite {
     assert(e.getMessage.contains("cannot run backward"))
   }
 
-  test("planner rejects recursive rules with the calculating guard") {
+  private def chainEdges = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    // 1→2→3→4→5 plus a side edge 2→10
+    Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 10L)).toDF("a", "b")
+  }
+
+  test("self-recursive rule evaluates via the semi-naive fixpoint (linear)") {
     val src =
       """data E(a: int64, b: int64).
         |query Reach(a: int64, b: int64)
         |:- E(a, b)
         |;  E(a, m), Reach(m, b)
         |.""".stripMargin
-    val spark = org.apache.spark.sql.SparkSession.builder()
-      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
-    import spark.implicits._
+    val got = HeroQL.compile(src, "Reach", Map("E" -> chainEdges))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Set((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 10L),
+      (1L, 3L), (1L, 4L), (1L, 5L), (1L, 10L),
+      (2L, 4L), (2L, 5L), (3L, 5L))
+    assert(got == want, s"extra=${got -- want} missing=${want -- got}")
+  }
+
+  test("doubly-recursive rule evaluates via the naive binding (non-linear)") {
+    val src =
+      """data E(a: int64, b: int64).
+        |query Conn(a: int64, b: int64)
+        |:- E(a, b)
+        |;  Conn(a, m), Conn(m, b)
+        |.""".stripMargin
+    val got = HeroQL.compile(src, "Conn", Map("E" -> chainEdges))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Set((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 10L),
+      (1L, 3L), (1L, 4L), (1L, 5L), (1L, 10L),
+      (2L, 4L), (2L, 5L), (3L, 5L))
+    assert(got == want, s"extra=${got -- want} missing=${want -- got}")
+  }
+
+  test("mutual recursion still errors with the calculating sentinel") {
+    val src =
+      """data E(a: int64, b: int64).
+        |query Even(a: int64, b: int64)
+        |:- E(a, b)
+        |;  E(a, m), Odd(m, b)
+        |.
+        |query Odd(a: int64, b: int64)
+        |:- E(a, m), Even(m, b)
+        |.""".stripMargin
     val e = intercept[Analyzer.AnalysisError] {
-      HeroQL.compile(src, "Reach",
-        Map("E" -> Seq((1L, 2L)).toDF("a", "b"))).collect()
+      HeroQL.compile(src, "Even", Map("E" -> chainEdges)).collect()
     }
     assert(e.getMessage.contains("calculating"))
+  }
+
+  test("recursive rule without a base case is rejected") {
+    val src =
+      """data E(a: int64, b: int64).
+        |query Loop(a: int64, b: int64)
+        |:- E(a, m), Loop(m, b)
+        |.""".stripMargin
+    val e = intercept[Analyzer.AnalysisError] {
+      HeroQL.compile(src, "Loop", Map("E" -> chainEdges)).collect()
+    }
+    assert(e.getMessage.contains("no base case"))
+  }
+
+  test("aggregation inside a recursive alternative is rejected as non-stratified") {
+    val src =
+      """data E(a: int64, b: int64).
+        |query Agg(a: int64) -> (t: int64)
+        |:- E(a, t)
+        |;  Agg(a, s), @partition(a), @aggregate(average(s)), t <- s
+        |.""".stripMargin
+    val e = intercept[Analyzer.AnalysisError] {
+      HeroQL.compile(src, "Agg", Map("E" -> chainEdges)).collect()
+    }
+    assert(e.getMessage.contains("not stratified"))
+  }
+
+  test("self-reference under negation is rejected as non-stratified") {
+    val src =
+      """data E(a: int64, b: int64).
+        |query Bad(a: int64, b: int64)
+        |:- E(a, b)
+        |;  E(a, b), not exists Bad(b, _)
+        |.""".stripMargin
+    val e = intercept[Analyzer.AnalysisError] {
+      HeroQL.compile(src, "Bad", Map("E" -> chainEdges)).collect()
+    }
+    assert(e.getMessage.contains("not stratified"))
   }
 
   test("stream dedup statement parses to its golden AST") {

@@ -125,6 +125,34 @@ class PropertySpec extends SparkSpec {
       }
   }
 
+  test("property: BFS distances equal driver-side Dijkstra on random cyclic graphs (5 cases)") {
+    import spark.implicits._
+    (1 to 5).foreach { _ =>
+      // cycles allowed: edges in both directions over a small node set,
+      // so the anti-join re-admission guard is exercised, and unit
+      // weights make BFS layering the min-dist semantics
+      val edges = (0 until (rnd.nextInt(40) + 15)).map { _ =>
+        (rnd.nextInt(14).toLong, rnd.nextInt(14).toLong)
+      }.filter(e => e._1 != e._2).distinct
+      val df = edges.toDF("child", "parent")
+      val got = Fixpoint.bfsDistances(df, source = 0L)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      // reference: BFS from 0 following parent -> child
+      val adj = edges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+      var dist = Map(0L -> 0)
+      var frontier = List(0L)
+      var d = 0
+      while (frontier.nonEmpty) {
+        d += 1
+        val next = frontier.flatMap(n => adj.getOrElse(n, Nil))
+          .filterNot(dist.contains).distinct
+        dist ++= next.map(_ -> d)
+        frontier = next
+      }
+      assert(got == dist, s"extra=${got.toSet -- dist.toSet} missing=${dist.toSet -- got.toSet}")
+    }
+  }
+
   test("property: functional pointer-doubling closure agrees on forests (5 cases)") {
     import spark.implicits._
     (1 to 5).foreach { _ =>
