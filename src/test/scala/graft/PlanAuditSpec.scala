@@ -151,6 +151,26 @@ class PlanAuditSpec extends SparkSpec {
       s"packing must not globally sort:\n$p")
   }
 
+  test("planner fixpoint result scans only materialized deltas, never re-runs a source plan") {
+    import spark.implicits._
+    // the accumulator a fixpoint returns must be a union of per-round
+    // checkpointed deltas (ExistingRDD scans): at depth d the plan is d
+    // cheap scans of already-written blocks — if a source plan leaked
+    // into it, every downstream action would recompute the whole loop
+    val src =
+      """data E(child: int64, parent: int64).
+        |query Reach(child: int64, anc: int64)
+        |:- E(child, anc)
+        |;  E(child, mid), Reach(mid, anc)
+        |.""".stripMargin
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("child", "parent")
+    val df = graft.heroql.HeroQL.compile(src, "Reach", Map("E" -> edges))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Scan ExistingRDD"), s"no materialized delta scan:\n$p")
+    assert(!p.contains("Join") && !p.contains("Exchange"),
+      s"fixpoint result must not re-derive (joins belong to the finished loop):\n$p")
+  }
+
   test("scan projection prunes to the read schema on the documents table") {
     val p = plan(graft.queries.TextAnalysis, "tx4_fingerprint")
     // fingerprint reads doc_id + text only; the scan must not read lang/source

@@ -153,6 +153,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: planner semi-naive fixpoint equals the Scala closure on random cyclic graphs (5 cases)") {
+    import spark.implicits._
+    // the language-surface evaluator (hq21's path) must agree with the
+    // dedicated Fixpoint operator on arbitrary graphs — cycles included,
+    // so the except()-based convergence test is what terminates the loop
+    val src =
+      """data E(child: int64, parent: int64).
+        |query Reach(child: int64, anc: int64)
+        |:- E(child, anc)
+        |;  E(child, mid), Reach(mid, anc)
+        |.""".stripMargin
+    (1 to 5).foreach { _ =>
+      val edges = (0 until (rnd.nextInt(35) + 10)).map { _ =>
+        (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong)
+      }.filter(e => e._1 != e._2).distinct.toDF("child", "parent")
+      val a = graft.heroql.HeroQL.compile(src, "Reach", Map("E" -> edges))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val b = Fixpoint.transitiveClosure(edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(a == b, s"extra=${a -- b} missing=${b -- a}")
+    }
+  }
+
   test("property: functional pointer-doubling closure agrees on forests (5 cases)") {
     import spark.implicits._
     (1 to 5).foreach { _ =>
