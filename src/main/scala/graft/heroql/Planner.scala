@@ -55,8 +55,13 @@ final class Planner(decls: Map[String, DataDecl],
     * recursive alternatives touch resolve to a one-time materialization
     * instead of re-running their source plan (scan + projections) every
     * round — the loop multiplies any source cost by the recursion depth
-    * (GraphX materializes the edge RDD for the same reason). 16-byte-ish
-    * rows, MEMORY_AND_DISK, so it spills rather than OOMs. */
+    * (GraphX materializes the edge RDD for the same reason).
+    * MEMORY_AND_DISK, so it spills rather than OOMs — but only relations
+    * under [[Planner.edbCacheMaxBytes]] (Catalyst's zero-cost size
+    * estimate) are taken: past the gate, writing a copy of a huge input
+    * to executor storage costs more than the per-round parquet re-scan
+    * it saves (the scan keeps pushdown/pruning; the loop's join probes
+    * it lazily each round). */
   private var edbCache: Map[String, DataFrame] = Map.empty
 
   /** Data relations referenced by a body, transitively through sub-rules
@@ -163,7 +168,10 @@ final class Planner(decls: Map[String, DataDecl],
       conf.set("spark.sql.shuffle.partitions", math.max(8,
         spark.sparkContext.defaultParallelism / 4).toString)
       edbCache = dataRels(Body(recAlts), Set(q.name))
-        .flatMap(r => catalog.get(r).map(r -> _.localCheckpoint())).toMap
+        .flatMap(r => catalog.get(r).collect {
+          case df if df.queryExecution.optimizedPlan.stats.sizeInBytes
+              <= Planner.edbCacheMaxBytes => r -> df.localCheckpoint()
+        }).toMap
       val base = baseAlts.map(c => headed(q, planConj(c))).reduce(_ union _)
         .distinct().localCheckpoint()
       // accumulator = union of checkpointed per-round deltas: each round
@@ -1039,6 +1047,16 @@ object Planner {
     * three-long tuples — the same ceiling as the row threshold at
     * hq12's shape. */
   private[graft] var localMemoMaxBytes: Long = 16L << 20
+
+  /** EDB relations at most this big (Catalyst plan-stats estimate, no
+    * scan) are materialized once for a fixpoint loop; bigger ones stay
+    * lazy and re-scan their source per round — at 100 TB, copying an
+    * input table to executor storage costs more than the pushdown-
+    * pruned parquet re-scans it would save. 2 GiB ≈ the working-set
+    * size where a cluster-wide MEMORY_AND_DISK copy is still clearly
+    * cheaper than depth× re-scans. Mutable so specs can force the
+    * lazy path. */
+  private[graft] var edbCacheMaxBytes: Long = 2L << 30
 
   /** HeroQL type name → Spark SQL type name (SURVEY §1.2 mapping). */
   private[heroql] def sparkType(t: String): String = t match {

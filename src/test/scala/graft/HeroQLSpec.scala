@@ -1,6 +1,6 @@
 package graft
 
-import graft.heroql.{Analyzer, Ast, HeroQL, Parser}
+import graft.heroql.{Analyzer, Ast, HeroQL, Parser, Planner}
 import graft.queries.HeroQueries
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -308,6 +308,27 @@ class HeroQLParserSpec extends AnyFunSuite {
       (1L, 3L), (1L, 4L), (1L, 5L), (1L, 10L),
       (2L, 4L), (2L, 5L), (3L, 5L))
     assert(got == want, s"extra=${got -- want} missing=${want -- got}")
+  }
+
+  test("fixpoint over-gate EDB stays lazy and derives the same closure") {
+    // past the size gate the loop re-scans the source plan per round
+    // instead of materializing a copy — same rows either way
+    val src =
+      """data E(a: int64, b: int64).
+        |query Reach(a: int64, b: int64)
+        |:- E(a, b)
+        |;  E(a, m), Reach(m, b)
+        |.""".stripMargin
+    val was = Planner.edbCacheMaxBytes
+    Planner.edbCacheMaxBytes = 0L // every relation is "too big"
+    try {
+      val got = HeroQL.compile(src, "Reach", Map("E" -> chainEdges))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = Set((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 10L),
+        (1L, 3L), (1L, 4L), (1L, 5L), (1L, 10L),
+        (2L, 4L), (2L, 5L), (3L, 5L))
+      assert(got == want, s"extra=${got -- want} missing=${want -- got}")
+    } finally Planner.edbCacheMaxBytes = was
   }
 
   test("mutual recursion still errors with the calculating sentinel") {
