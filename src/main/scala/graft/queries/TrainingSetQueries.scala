@@ -260,6 +260,36 @@ object TrainingSetQueries extends QueryPack {
     packed(s, d).groupBy("shard", "seq_id")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
 
+  /** The epoch pack3's gate query pins (specs vary it). */
+  private[graft] val ShuffleEpoch = 2L
+
+  /** Epoch-seeded order: key = fingerprint("E&lt;epoch&gt;:" ++ doc_id), a
+    * pure function of (epoch, doc_id) — so each epoch's permutation is
+    * different yet bit-reproducible across runs, task retries, and
+    * engines. Shard on the key's first CRT fold (see [[packed]] for why
+    * the combined key's low bits don't spread). */
+  private[graft] def epochShuffle(s: SparkSession, d: String, epoch: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    t(s, d, "documents")
+      .withColumn("k", TextFns.fingerprintOf(
+        concat(lit(s"E$epoch:"), col("doc_id").cast("string"))))
+      .withColumn("shard", pmod(expr("k DIV 998244353"), lit(PackShards.toLong)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy("k", "doc_id")).cast("long"))
+      .select("doc_id", "shard", "pos")
+  }
+
+  /** pack3 — per-epoch reproducible global shuffle: multi-epoch training
+    * wants a DIFFERENT document order every epoch (re-presenting data in
+    * one fixed order biases optimization), but rand()-style shuffles are
+    * nondeterministic under retry — wrong for training lineage. pack1's
+    * fingerprint order is the seedless special case; here the epoch
+    * seeds the key. One exchange on the shard key, the position window
+    * is shard-local — the 100 TB shuffle with no global sort and no
+    * coordination across shards. */
+  private def pack3(s: SparkSession, d: String): DataFrame =
+    epochShuffle(s, d, ShuffleEpoch)
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "samp1_stratified_sample" -> (samp1 _),
     "samp2_mix_stats" -> (samp2 _),
@@ -269,6 +299,7 @@ object TrainingSetQueries extends QueryPack {
     "samp4_dsir_importance" -> (samp4 _),
     "pack1_sequence_packing" -> (pack1 _),
     "pack2_packing_stats" -> (pack2 _),
+    "pack3_epoch_shuffle" -> (pack3 _),
   )
 
   private val keyFpSql =
@@ -321,6 +352,15 @@ object TrainingSetQueries extends QueryPack {
          SELECT shard, seq_id, count(*) AS n_docs,
            CAST(sum(n_tok) AS BIGINT) AS n_tokens
          FROM b GROUP BY shard, seq_id""",
+    "pack3_epoch_shuffle" ->
+      s"""WITH d AS (
+           SELECT doc_id,
+             ${TextFns.fingerprintDuckSql("'E2:' || CAST(doc_id AS VARCHAR)")} AS k
+           FROM documents),
+         s AS (SELECT doc_id, k, (k // 998244353) % 8 AS shard FROM d)
+         SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS BIGINT) AS pos
+         FROM s""",
     "dc2_contamination_spans" ->
       (s"""WITH tk AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks

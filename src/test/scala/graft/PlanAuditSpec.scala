@@ -151,6 +151,17 @@ class PlanAuditSpec extends SparkSpec {
       s"packing must not globally sort:\n$p")
   }
 
+  test("pack3 epoch shuffle is one shard-keyed exchange, no global sort") {
+    val p = plan(graft.queries.TrainingSetQueries, "pack3_epoch_shuffle")
+    val shuffles = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(shuffles.size == 1,
+      s"expected only the per-shard window exchange, found ${shuffles.size}:\n$p")
+    assert(shuffles.head.contains("hashpartitioning(shard"),
+      s"window must partition on shard:\n${shuffles.head}")
+    assert(!p.contains("rangepartitioning"),
+      s"epoch shuffle must not globally sort:\n$p")
+  }
+
   test("planner fixpoint result scans only materialized deltas, never re-runs a source plan") {
     import spark.implicits._
     // the accumulator a fixpoint returns must be a union of per-round

@@ -152,4 +152,29 @@ class TrainingAssemblySpec extends SparkSpec {
       }
     } finally docs.unpersist()
   }
+
+  test("pack3: epoch shuffles are bijective, reproducible, and differ across epochs") {
+    def perm(epoch: Long): Map[Long, (Long, Long)] =
+      TrainingSetQueries.epochShuffle(spark, sf, epoch).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val e2 = perm(2L)
+    // bijection: every document appears once, and each shard's positions
+    // are exactly 1..n (a dropped or duplicated row breaks training
+    // accounting silently otherwise)
+    val nDocs = q(TrainingSetQueries, "pack1_sequence_packing").count()
+    assert(e2.size.toLong == nDocs, s"${e2.size} placed of $nDocs docs")
+    e2.values.groupBy(_._1).foreach { case (shard, vs) =>
+      val ps = vs.map(_._2).toSeq.sorted
+      assert(ps == (1L to ps.length.toLong),
+        s"shard $shard positions not contiguous from 1")
+    }
+    // reproducible: the permutation is a pure function of (epoch, id)
+    assert(perm(2L) == e2, "same epoch produced a different permutation")
+    // epoch-sensitive: a different epoch reorders (the whole point —
+    // equality here would mean the seed never reached the key)
+    val e3 = perm(3L)
+    assert(e3.keySet == e2.keySet, "epoch changed the document set")
+    assert(e2.count { case (id, sp) => e3(id) != sp } > e2.size / 2,
+      "epoch 3 left most placements unchanged — seed not mixing")
+  }
 }
