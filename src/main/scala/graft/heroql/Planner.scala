@@ -143,7 +143,7 @@ final class Planner(decls: Map[String, DataDecl],
     * parked for the loop's small stable shapes like the Scala fixpoint
     * driver does. The specialized pointer-doubling paths stay the perf
     * route for functional edges — this is the general evaluator. */
-  private def planFixpoint(q: QueryDecl, maxIter: Int = 64): DataFrame = {
+  private def planFixpoint(q: QueryDecl, maxIter: Int = Planner.fixpointMaxIter): DataFrame = {
     planning += q.name
     val spark = catalog.headOption.map(_._2.sparkSession).getOrElse(
       org.apache.spark.sql.SparkSession.active)
@@ -1057,6 +1057,14 @@ object Planner {
     * cheaper than depth× re-scans. Mutable so specs can force the
     * lazy path. */
   private[graft] var edbCacheMaxBytes: Long = 2L << 30
+
+  /** Round cap for the rule fixpoint — a diagnostic backstop against
+    * value-generating recursion (x <- y + 1 derives a fresh tuple every
+    * round forever: the domain is infinite, there is no least fixpoint
+    * to reach), which must surface as a clear error rather than a
+    * silent partial result. 64 covers any realistic hierarchy depth
+    * (2^64 ids); mutable so specs can trip it fast. */
+  private[graft] var fixpointMaxIter: Int = 64
 
   /** HeroQL type name → Spark SQL type name (SURVEY §1.2 mapping). */
   private[heroql] def sparkType(t: String): String = t match {

@@ -331,6 +331,28 @@ class HeroQLParserSpec extends AnyFunSuite {
     } finally Planner.edbCacheMaxBytes = was
   }
 
+  test("value-generating recursion errors as non-convergent, never a silent partial result") {
+    // x <- y + 1 mints a fresh tuple every round — infinite domain, no
+    // least fixpoint; the round cap must turn that into a diagnostic
+    val src =
+      """data Z(z: int64).
+        |query N() -> (x: int64)
+        |:- Z(z), x <- z
+        |;  N(y), x <- y + 1
+        |.""".stripMargin
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    val was = Planner.fixpointMaxIter
+    Planner.fixpointMaxIter = 3
+    try {
+      val e = intercept[Analyzer.AnalysisError] {
+        HeroQL.compile(src, "N", Map("Z" -> Seq(1L).toDF("z"))).collect()
+      }
+      assert(e.getMessage.contains("did not converge"))
+    } finally Planner.fixpointMaxIter = was
+  }
+
   test("mutual recursion still errors with the calculating sentinel") {
     val src =
       """data E(a: int64, b: int64).
