@@ -76,6 +76,13 @@ query Anc(child: int64, anc: int64)
 ;   Parents(mid, child), Anc(mid, anc)
 .
 
+query AncCount(child: int64) -> (n_anc: int64)
+:-  Anc(child, anc),
+    @partition(child),
+    @aggregate(count(anc)),
+    n_anc <- anc
+.
+
 query Quad(pk: int64) -> (delta: double, x1: double, x2: double)
 :-  Coef(pk, a, b, c),
     delta <- b*b - 4*a*c,
@@ -318,6 +325,7 @@ query Scrubbed(id: int64) -> (sh: int64, rfp: int64)
     "hq19_builtin_textstats" -> (runDocStats _),
     "hq20_builtin_scrub" -> (runScrubbed _),
     "hq21_recursive_rule" -> (run("Anc") _),
+    "hq22_recursive_aggregate" -> (run("AncCount") _),
   )
 
   private val examsSql =
@@ -472,5 +480,16 @@ query Scrubbed(id: int64) -> (sh: int64, rfp: int64)
            SELECT p.child, a.anc
            FROM ($parentsSql) p JOIN anc a ON p.parent = a.child)
          SELECT child, anc FROM anc""",
+    // stratification's POSITIVE case: aggregation over a recursion's
+    // RESULT is well-defined (the loop converges first, the aggregate
+    // runs once on the fixed point) — only aggregation INSIDE a
+    // recursive alternative is rejected
+    "hq22_recursive_aggregate" ->
+      s"""WITH RECURSIVE anc AS (
+           SELECT child, parent AS anc FROM ($parentsSql)
+           UNION
+           SELECT p.child, a.anc
+           FROM ($parentsSql) p JOIN anc a ON p.parent = a.child)
+         SELECT child, count(anc) AS n_anc FROM anc GROUP BY child""",
   )
 }

@@ -88,11 +88,12 @@ class HeroQLParserSpec extends AnyFunSuite {
       Conj(Seq(Atom("Mother", Seq(TVar("parent"), TVar("child")))))))
   }
 
-  test("golden: the full HeroQueries program parses (18 queries + 4 funcs + 1 union)") {
+  test("golden: the full HeroQueries program parses (19 queries + 4 funcs + 1 union)") {
     val p = Parser.parse(HeroQueries.program)
     assert(p.datas.size == 8)
     assert(p.queries.map(_.name) == Seq("Top10", "Top3PerStudent", "AvgTop3",
-      "Parents", "GrandParents", "GrandParentsSub", "Anc", "Quad", "Childless", "Graded",
+      "Parents", "GrandParents", "GrandParentsSub", "Anc", "AncCount",
+      "Quad", "Childless", "Graded",
       "ShapeAreas", "BoxedAreas", "FibOf", "ChooseOf",
       "BoolSieve", "EitherParent", "EnsuredScores", "Described"))
     assert(p.funcs.map(_.name) == Seq("Grade", "Area", "Fib", "Comb"))
