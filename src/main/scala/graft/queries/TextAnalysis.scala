@@ -116,6 +116,36 @@ object TextAnalysis extends QueryPack {
       .select(col("doc_id"), col("lang"), col("quality"))
   }
 
+  /** tx6b — the quantile cut at the scale where tx6's exact per-group
+    * sort stops fitting: quantize the score to fixed-point (floor(q ·
+    * 10⁴) — deterministic, unlike approx_percentile sketches whose cut
+    * depends on merge order), build the per-language value histogram by
+    * aggregation, take the 25th-percentile BUCKET from the histogram's
+    * cumulative sum, and broadcast the cuts back. The corpus crosses
+    * one exchange as (lang, bucket) partial-agg pairs — at most 10⁴
+    * distinct buckets per language survive map-side combine no matter
+    * how many documents there are — the windows run over the tiny
+    * histogram only, and the corpus itself is never sorted or
+    * shuffled. Exact over the quantized score (every tie at the cut
+    * bucket keeps — a set property, reproducible), oracled exactly;
+    * the only approximation vs tx6 is the 10⁻⁴ bucket width. */
+  private def tx6b(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = qualityScored(t(s, d, "documents"))
+      .withColumn("q", expr("CAST(floor(quality * 10000) AS BIGINT)"))
+    val hist = scored.groupBy("lang", "q").agg(count(lit(1)).as("n"))
+    val thr = hist
+      .withColumn("c", sum("n").over(
+        Window.partitionBy("lang").orderBy("q")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("nt", sum("n").over(Window.partitionBy("lang")))
+      .filter(col("c") >= ceil(lit(0.25) * col("nt")).cast("long"))
+      .groupBy("lang").agg(min("q").as("qcut"))
+    scored.join(broadcast(thr), Seq("lang"))
+      .filter(col("q") >= col("qcut"))
+      .select(col("doc_id"), col("lang"), col("quality"))
+  }
+
   /** tx4 — document fingerprinting: deterministic polynomial rolling
     * hash of the full text (exact-dup key; map-only at scale; ~60-bit
     * two-prime CRT key — see [[TextFns.fingerprint]] for the collision
@@ -214,6 +244,7 @@ object TextAnalysis extends QueryPack {
     "tx4_fingerprint" -> (tx4 _),
     "tx5_repetition_filter" -> (tx5 _),
     "tx6_quality_quantile_filter" -> (tx6 _),
+    "tx6b_quantile_histogram" -> (tx6b _),
     "tx7_pii_redaction" -> (tx7 _),
   )
 
@@ -283,6 +314,36 @@ object TextAnalysis extends QueryPack {
              percent_rank() OVER (PARTITION BY lang ORDER BY quality, doc_id) AS pr
            FROM s)
          SELECT doc_id, lang, quality FROM r WHERE pr >= 0.25""",
+    "tx6b_quantile_histogram" ->
+      """WITH c AS (
+           SELECT doc_id, lang,
+             CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+             CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS alpha,
+             CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS punct,
+             CAST(length(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper,
+             CAST(length(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS BIGINT) AS stop,
+             length(text) AS n_chars_t
+           FROM documents),
+         s AS (
+           SELECT doc_id, lang,
+             0.35 * least(CAST(stop AS DOUBLE) / greatest(n_tok, 1) * 3.0, 1.0)
+               + 0.25 * (1.0 - least(CAST(punct AS DOUBLE) / greatest(n_chars_t, 1) * 10.0, 1.0))
+               + 0.25 * least(CAST(alpha AS DOUBLE) / greatest(n_tok, 1) / 8.0, 1.0)
+               + 0.15 * (1.0 - CAST(n_upper AS DOUBLE) / greatest(alpha, 1)) AS quality
+           FROM c),
+         sq AS (SELECT doc_id, lang, quality,
+                  CAST(floor(quality * 10000) AS BIGINT) AS q FROM s),
+         h AS (SELECT lang, q, count(*) AS n FROM sq GROUP BY lang, q),
+         cum AS (
+           SELECT lang, q,
+             sum(n) OVER (PARTITION BY lang ORDER BY q ROWS UNBOUNDED PRECEDING) AS c,
+             sum(n) OVER (PARTITION BY lang) AS nt
+           FROM h),
+         thr AS (SELECT lang, min(q) AS qcut FROM cum
+                 WHERE c >= CAST(ceil(0.25 * nt) AS BIGINT) GROUP BY lang)
+         SELECT sq.doc_id, sq.lang, sq.quality
+         FROM sq JOIN thr ON sq.lang = thr.lang
+         WHERE sq.q >= thr.qcut""",
     "tx3_language_id" ->
       s"""WITH sc AS (
            SELECT doc_id, lang,

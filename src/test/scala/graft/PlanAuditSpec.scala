@@ -151,6 +151,14 @@ class PlanAuditSpec extends SparkSpec {
       s"packing must not globally sort:\n$p")
   }
 
+  test("tx6b histogram cut broadcasts thresholds; the corpus is never sorted") {
+    val p = plan(graft.queries.TextAnalysis, "tx6b_quantile_histogram")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-language cuts must come back as a broadcast:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"the corpus must not be globally sorted for a histogram quantile:\n$p")
+  }
+
   test("pack3 epoch shuffle is one shard-keyed exchange, no global sort") {
     val p = plan(graft.queries.TrainingSetQueries, "pack3_epoch_shuffle")
     val shuffles = p.linesIterator.filter(_.contains("Exchange")).toSeq

@@ -111,6 +111,43 @@ class TrainingAssemblySpec extends SparkSpec {
     }
   }
 
+  test("tx6b: histogram cut agrees with the exact sort cut up to the bucket width") {
+    val exact = q(graft.queries.TextAnalysis, "tx6_quality_quantile_filter")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val hist = q(graft.queries.TextAnalysis, "tx6b_quantile_histogram").cache()
+    try {
+      val kept = hist.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      val keptIds = kept.map(_._1).toSet
+      // the two cut definitions may only disagree about docs whose
+      // quantized score sits exactly at a cut bucket — a 1e-4 band;
+      // everything clearly above or below must classify identically
+      val qualOf = q(graft.queries.TextAnalysis, "tx2_quality_score")
+        .select("doc_id", "quality").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val disagree = (exact diff keptIds) ++ (keptIds diff exact)
+      assert(disagree.size < qualOf.size / 50,
+        s"${disagree.size} of ${qualOf.size} docs classified differently")
+      // kept fraction lands on the same ~75% target per language
+      val langTotals = Tables.t(spark, sf, "documents").groupBy("lang").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      kept.groupBy(_._2).foreach { case (lang, ks) =>
+        val frac = ks.length.toDouble / langTotals(lang)
+        assert(frac > 0.70 && frac <= 0.82, s"$lang kept $frac")
+      }
+      // threshold property of the bucket cut: no kept doc's bucket is
+      // below any dropped doc's bucket within a language
+      val keptMin = kept.groupBy(_._2).map { case (l, ks) =>
+        l -> ks.map(k => math.floor(k._3 * 10000).toLong).min }
+      Tables.t(spark, sf, "documents").select("doc_id", "lang").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+        .filterNot(d => keptIds.contains(d._1))
+        .foreach { case (id, lang) =>
+          assert(math.floor(qualOf(id) * 10000).toLong < keptMin(lang),
+            s"dropped doc $id sits at/above $lang's kept bucket floor")
+        }
+    } finally hist.unpersist()
+  }
+
   test("emb1: quantization error is bounded by half a code step") {
     val q = graft.queries.Similarity.queries("emb1_quantization")(spark, sf)
     val rows = q.collect()
