@@ -130,6 +130,35 @@ final class Planner(decls: Map[String, DataDecl],
       case _ => 0
     }.sum
 
+  /** Head positions the recursion passes through UNCHANGED: position i
+    * is invariant iff every self-atom of every recursive alternative
+    * carries exactly the head's variable for position i (one variable =
+    * one value inside a conjunction, and the head emits that variable,
+    * so a derived tuple's value at i always equals its self-atom input
+    * tuple's value at i). A constant demanded at an invariant position
+    * therefore selects a CLOSED slice of the fixpoint — every
+    * derivation of a slice tuple uses only slice tuples, down to base
+    * tuples with the same constant — so the loop can be seeded with
+    * the constant: demand-driven evaluation without full magic sets.
+    * Alternatives hiding self-references inside sub-rules defeat the
+    * analysis → no position is invariant (safe fallback: full
+    * evaluation). */
+  private def invariantPositions(q: QueryDecl): Set[Int] = {
+    val head = (q.inArgs ++ q.outArgs).map(_._1)
+    val recAlts = q.body.alts.filter(conjRefCount(_, q.name, through = false) > 0)
+    val opaque = recAlts.exists(_.items.exists {
+      case SubQuery(_, body) => selfRefCount(body, q.name, through = false) > 0
+      case _ => false
+    })
+    if (opaque) Set.empty
+    else head.indices.filter { i =>
+      recAlts.forall(_.items.forall {
+        case a: Atom if a.rel == q.name => a.args.lift(i).contains(TVar(head(i)))
+        case _ => true
+      })
+    }.toSet
+  }
+
   /** Self-recursive rule → semi-naïve fixpoint (SURVEY §2.3 J7 from the
     * language surface; evaluation mirrors [[graft.operators.Fixpoint]]):
     * base alternatives seed the accumulator, each round plans only the
@@ -142,8 +171,21 @@ final class Planner(decls: Map[String, DataDecl],
     * convergence. `localCheckpoint` truncates lineage per round; AQE is
     * parked for the loop's small stable shapes like the Scala fixpoint
     * driver does. The specialized pointer-doubling paths stay the perf
-    * route for functional edges — this is the general evaluator. */
-  private def planFixpoint(q: QueryDecl, maxIter: Int = Planner.fixpointMaxIter): DataFrame = {
+    * route for functional edges — this is the general evaluator.
+    *
+    * `demand` (field name → constant) restricts the loop to a slice of
+    * the fixpoint: sound ONLY for invariant positions (see
+    * [[invariantPositions]]) — the caller guarantees that. The base
+    * alternatives are filtered to the constants and, because the
+    * recursion passes those positions through unchanged, every round
+    * stays inside the slice: work ∝ the demanded slice, not the full
+    * closure. */
+  private def planFixpoint(q: QueryDecl, demand: Seq[(String, Lit)] = Nil,
+      maxIter: Int = Planner.fixpointMaxIter): DataFrame = {
+    if (planning.contains(q.name))
+      throw Analyzer.AnalysisError(
+        s"recursive query ${q.name}: already calculating (mutual recursion is not supported; self-recursive rules evaluate via the fixpoint)")
+    Planner.lastFixpointDemand = demand.map(_._1)
     planning += q.name
     val spark = catalog.headOption.map(_._2.sparkSession).getOrElse(
       org.apache.spark.sql.SparkSession.active)
@@ -172,7 +214,10 @@ final class Planner(decls: Map[String, DataDecl],
           case df if df.queryExecution.optimizedPlan.stats.sizeInBytes
               <= Planner.edbCacheMaxBytes => r -> df.localCheckpoint()
         }).toMap
-      val base = baseAlts.map(c => headed(q, planConj(c))).reduce(_ union _)
+      val base = baseAlts.map { c =>
+          val df = headed(q, planConj(c))
+          demand.foldLeft(df) { case (d, (f, l)) => d.filter(col(f) === litOf(l)) }
+        }.reduce(_ union _)
         .distinct().localCheckpoint()
       // accumulator = union of checkpointed per-round deltas: each round
       // materializes only its OWN fresh tuples (re-checkpointing the
@@ -1004,10 +1049,24 @@ final class Planner(decls: Map[String, DataDecl],
       case None =>
         val q = queryDecls.getOrElse(a.rel,
           throw Analyzer.AnalysisError(s"unknown relation ${a.rel}"))
+        val fs = (q.inArgs ++ q.outArgs).map(_._1)
         // inside a recursive alternative, the self-atom is the loop
         // state (delta/accumulator), never a plan() re-entry
-        ((q.inArgs ++ q.outArgs).map(_._1),
-          recursionBinding.getOrElse(a.rel, plan(q)))
+        val df = recursionBinding.getOrElse(a.rel, {
+          // demand-seeded recursion: a constant at an invariant position
+          // evaluates only the demanded slice of the fixpoint (the
+          // constant filters below then no-op on the already-restricted
+          // result); non-invariant demand falls back to the full loop
+          val demand =
+            if (selfRefCount(q.body, q.name, through = false) > 0) {
+              val inv = invariantPositions(q)
+              a.args.zipWithIndex.collect {
+                case (TConst(l), i) if inv(i) => fs(i) -> l
+              }
+            } else Nil
+          if (demand.nonEmpty) planFixpoint(q, demand) else plan(q)
+        })
+        (fs, df)
     }
     var df = base
     val firstFieldOfVar = scala.collection.mutable.Map.empty[String, String]
@@ -1057,6 +1116,11 @@ object Planner {
     * cheaper than depth× re-scans. Mutable so specs can force the
     * lazy path. */
   private[graft] var edbCacheMaxBytes: Long = 2L << 30
+
+  /** Field names of the demand constants the most recent fixpoint was
+    * seeded with (empty = full evaluation) — observability for specs
+    * asserting the seeded path actually engaged vs fell back. */
+  private[graft] var lastFixpointDemand: Seq[String] = Nil
 
   /** Round cap for the rule fixpoint — a diagnostic backstop against
     * value-generating recursion (x <- y + 1 derives a fresh tuple every

@@ -83,6 +83,10 @@ query AncCount(child: int64) -> (n_anc: int64)
     n_anc <- anc
 .
 
+query DescOf(d: int64)
+:-  Anc(d, 5)
+.
+
 query Quad(pk: int64) -> (delta: double, x1: double, x2: double)
 :-  Coef(pk, a, b, c),
     delta <- b*b - 4*a*c,
@@ -326,6 +330,7 @@ query Scrubbed(id: int64) -> (sh: int64, rfp: int64)
     "hq20_builtin_scrub" -> (runScrubbed _),
     "hq21_recursive_rule" -> (run("Anc") _),
     "hq22_recursive_aggregate" -> (run("AncCount") _),
+    "hq23_demand_recursion" -> (run("DescOf") _),
   )
 
   private val examsSql =
@@ -491,5 +496,16 @@ query Scrubbed(id: int64) -> (sh: int64, rfp: int64)
            SELECT p.child, a.anc
            FROM ($parentsSql) p JOIN anc a ON p.parent = a.child)
          SELECT child, count(anc) AS n_anc FROM anc GROUP BY child""",
+    // demand-seeded recursion: Anc invoked with a constant at its
+    // invariant position evaluates only the descendants-of-5 slice
+    // (Planner.invariantPositions); the oracle computes the same slice
+    // from the full closure — results must coincide exactly
+    "hq23_demand_recursion" ->
+      s"""WITH RECURSIVE anc AS (
+           SELECT child, parent AS anc FROM ($parentsSql)
+           UNION
+           SELECT p.child, a.anc
+           FROM ($parentsSql) p JOIN anc a ON p.parent = a.child)
+         SELECT child AS d FROM anc WHERE anc = 5""",
   )
 }

@@ -88,11 +88,11 @@ class HeroQLParserSpec extends AnyFunSuite {
       Conj(Seq(Atom("Mother", Seq(TVar("parent"), TVar("child")))))))
   }
 
-  test("golden: the full HeroQueries program parses (19 queries + 4 funcs + 1 union)") {
+  test("golden: the full HeroQueries program parses (20 queries + 4 funcs + 1 union)") {
     val p = Parser.parse(HeroQueries.program)
     assert(p.datas.size == 8)
     assert(p.queries.map(_.name) == Seq("Top10", "Top3PerStudent", "AvgTop3",
-      "Parents", "GrandParents", "GrandParentsSub", "Anc", "AncCount",
+      "Parents", "GrandParents", "GrandParentsSub", "Anc", "AncCount", "DescOf",
       "Quad", "Childless", "Graded",
       "ShapeAreas", "BoxedAreas", "FibOf", "ChooseOf",
       "BoolSieve", "EitherParent", "EnsuredScores", "Described"))
@@ -330,6 +330,34 @@ class HeroQLParserSpec extends AnyFunSuite {
         (2L, 4L), (2L, 5L), (3L, 5L))
       assert(got == want, s"extra=${got -- want} missing=${want -- got}")
     } finally Planner.edbCacheMaxBytes = was
+  }
+
+  test("demand at an invariant position seeds the fixpoint; non-invariant demand falls back") {
+    // Reach(a, b) :- E(a, b) ; E(a, m), Reach(m, b).
+    // position 1 (b) is invariant (the self-atom carries the head's b);
+    // position 0 (a) is not (the self-atom carries m)
+    val src =
+      """data E(a: int64, b: int64).
+        |query Reach(a: int64, b: int64)
+        |:- E(a, b)
+        |;  E(a, m), Reach(m, b)
+        |.
+        |query Into(a: int64)
+        |:- Reach(a, 5)
+        |.
+        |query From(b: int64)
+        |:- Reach(1, b)
+        |.""".stripMargin
+    val into = HeroQL.compile(src, "Into", Map("E" -> chainEdges))
+      .collect().map(_.getLong(0)).toSet
+    assert(Planner.lastFixpointDemand == Seq("b"),
+      s"invariant-position demand did not seed: ${Planner.lastFixpointDemand}")
+    assert(into == Set(1L, 2L, 3L, 4L), s"got $into")
+    val from = HeroQL.compile(src, "From", Map("E" -> chainEdges))
+      .collect().map(_.getLong(0)).toSet
+    assert(Planner.lastFixpointDemand.isEmpty,
+      "non-invariant demand must fall back to the full fixpoint")
+    assert(from == Set(2L, 3L, 4L, 5L, 10L), s"got $from")
   }
 
   test("value-generating recursion errors as non-convergent, never a silent partial result") {

@@ -176,6 +176,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: demand-seeded fixpoint equals full-closure-then-filter on random cyclic graphs (5 cases)") {
+    import spark.implicits._
+    // the seeded slice must be exactly the full closure restricted to
+    // the demanded constant — on arbitrary graphs, cycles included
+    val src =
+      """data E(a: int64, b: int64).
+        |query Reach(a: int64, b: int64)
+        |:- E(a, b)
+        |;  E(a, m), Reach(m, b)
+        |.
+        |query Into(a: int64)
+        |:- Reach(a, 5)
+        |.""".stripMargin
+    (1 to 5).foreach { _ =>
+      val edges = (0 until (rnd.nextInt(35) + 10)).map { _ =>
+        (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong)
+      }.filter(e => e._1 != e._2).distinct.toDF("child", "parent")
+      val e = edges.select(col("child").as("a"), col("parent").as("b"))
+      val seeded = graft.heroql.HeroQL.compile(src, "Into", Map("E" -> e))
+        .collect().map(_.getLong(0)).toSet
+      assert(graft.heroql.Planner.lastFixpointDemand.nonEmpty, "seed did not engage")
+      val full = graft.heroql.HeroQL.compile(src, "Reach", Map("E" -> e))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = full.collect { case (a, b) if b == 5L => a }
+      assert(seeded == want, s"extra=${seeded -- want} missing=${want -- seeded}")
+    }
+  }
+
   test("property: functional pointer-doubling closure agrees on forests (5 cases)") {
     import spark.implicits._
     (1 to 5).foreach { _ =>
