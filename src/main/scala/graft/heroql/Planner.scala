@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.SizeGate
+import graft.operators.{Fixpoint, SizeGate}
 
 import Ast._
 
@@ -189,27 +189,44 @@ final class Planner(decls: Map[String, DataDecl],
     planning += q.name
     val spark = catalog.headOption.map(_._2.sparkSession).getOrElse(
       org.apache.spark.sql.SparkSession.active)
-    val conf = spark.conf
-    val aqeWas = conf.get("spark.sql.adaptive.enabled", "true")
-    val shufWas = conf.get("spark.sql.shuffle.partitions", "32")
-    try {
+    // a NESTED fixpoint (a recursive alternative referencing another
+    // self-recursive query) must not clobber the outer loop's EDB
+    // materializations — save/restore, like recursionBinding
+    val edbCacheWas = edbCache
+    try Fixpoint.withIterativeConf(spark) {
       val (recAlts, baseAlts) =
         q.body.alts.partition(conjRefCount(_, q.name, through = false) > 0)
       if (baseAlts.isEmpty)
         throw Analyzer.AnalysisError(
           s"recursive query ${q.name} has no base case")
       // aggregation over the recursion state has no least fixpoint
-      // (non-stratified — each round would re-aggregate a growing set)
-      recAlts.foreach(_.items.foreach {
-        case _: Aggregate | _: Partition | _: RankBinding =>
+      // (non-stratified — each round would re-aggregate a growing set);
+      // the same is true of aggregation inside a SUB-RULE of a
+      // recursive alternative when that sub-rule touches the recursion,
+      // and of negation/existence whose target reaches the recursion
+      // through another query (its plan would resolve the self-atom to
+      // the in-flight delta — a partial set — and silently admit tuples
+      // the completed relation would exclude)
+      def checkStratified(c: Conj, inSelfScope: Boolean): Unit = c.items.foreach {
+        case _: Aggregate | _: Partition | _: RankBinding if inSelfScope =>
           throw Analyzer.AnalysisError(
             s"recursive query ${q.name}: aggregation/ranking inside a recursive alternative is not stratified")
+        case SubQuery(_, body) =>
+          body.alts.foreach(sc => checkStratified(sc,
+            inSelfScope && selfRefCount(body, q.name, through = true) > 0))
+        case Negation(a) if a.rel != q.name && queryDecls.contains(a.rel) &&
+            selfRefCount(queryDecls(a.rel).body, q.name, through = true) > 0 =>
+          throw Analyzer.AnalysisError(
+            s"recursive query ${q.name}: negation over '${a.rel}', which references the recursion, is not stratified")
+        case Existence(a) if a.rel != q.name && queryDecls.contains(a.rel) &&
+            selfRefCount(queryDecls(a.rel).body, q.name, through = true) > 0 =>
+          throw Analyzer.AnalysisError(
+            s"recursive query ${q.name}: 'exists ${a.rel}', which references the recursion, is not stratified")
         case _ => ()
-      })
-      conf.set("spark.sql.adaptive.enabled", "false")
-      conf.set("spark.sql.shuffle.partitions", math.max(8,
-        spark.sparkContext.defaultParallelism / 4).toString)
-      edbCache = dataRels(Body(recAlts), Set(q.name))
+      }
+      recAlts.foreach(checkStratified(_, inSelfScope = true))
+      edbCache = edbCacheWas ++ dataRels(Body(recAlts), Set(q.name))
+        .filterNot(edbCacheWas.contains)
         .flatMap(r => catalog.get(r).collect {
           case df if df.queryExecution.optimizedPlan.stats.sizeInBytes
               <= Planner.edbCacheMaxBytes => r -> df.localCheckpoint()
@@ -249,9 +266,7 @@ final class Planner(decls: Map[String, DataDecl],
           s"recursive query ${q.name}: did not converge within $maxIter rounds")
       acc
     } finally {
-      conf.set("spark.sql.adaptive.enabled", aqeWas)
-      conf.set("spark.sql.shuffle.partitions", shufWas)
-      edbCache = Map.empty
+      edbCache = edbCacheWas
       planning -= q.name
     }
   }
@@ -1126,9 +1141,13 @@ object Planner {
     * value-generating recursion (x <- y + 1 derives a fresh tuple every
     * round forever: the domain is infinite, there is no least fixpoint
     * to reach), which must surface as a clear error rather than a
-    * silent partial result. 64 covers any realistic hierarchy depth
-    * (2^64 ids); mutable so specs can trip it fast. */
-  private[graft] var fixpointMaxIter: Int = 64
+    * silent partial result. The semi-naïve loop advances ONE derivation
+    * step per round (not doubling), so the cap bounds recursion DEPTH:
+    * 512 covers any hierarchy/org-chart/BOM-shaped data by orders of
+    * magnitude while still failing a divergent query in bounded time;
+    * a legitimate deeper chain can raise it (mutable; specs lower it
+    * to trip the diagnostic fast). */
+  private[graft] var fixpointMaxIter: Int = 512
 
   /** HeroQL type name → Spark SQL type name (SURVEY §1.2 mapping). */
   private[heroql] def sparkType(t: String): String = t match {

@@ -20,28 +20,39 @@ import org.apache.spark.sql.functions._
   */
 object Fixpoint {
 
+  /** Loop-tuning conf policy every iterative driver here (and the
+    * planner's rule fixpoint) shares, in ONE place so it can't drift:
+    * AQE off — it re-plans every round's tiny join from runtime stats,
+    * a fixed ~1s/round of scheduling latency that dwarfs the actual
+    * work on iterative state (SURVEY §9); the loop's shapes are known
+    * and stable, so plan them statically. Shuffle partitions derived
+    * from the actual parallelism (a pinned constant tuned on local[32]
+    * would underpartition a 1000-core cluster) but floored low — the
+    * per-round frames are small, and scheduling a full partition fan
+    * of empty tasks per shuffle is pure overhead. Settings restored on
+    * every exit path. */
+  def withIterativeConf[A](spark: org.apache.spark.sql.SparkSession)(f: => A): A = {
+    val conf = spark.conf
+    val aqeWas = conf.get("spark.sql.adaptive.enabled", "true")
+    val shufWas = conf.get("spark.sql.shuffle.partitions", "32")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.shuffle.partitions",
+      math.max(8, spark.sparkContext.defaultParallelism / 4).toString)
+    try f
+    finally {
+      conf.set("spark.sql.adaptive.enabled", aqeWas)
+      conf.set("spark.sql.shuffle.partitions", shufWas)
+    }
+  }
+
   /** Transitive closure by path doubling: each round composes the
     * relation with itself (paths of length ≤ 2^k after k rounds), so a
     * depth-d hierarchy converges in ⌈log₂ d⌉ rounds instead of d —
     * fewer driver round-trips and checkpoints at the cost of a larger
     * per-round join. Preferable when depth dominates (measured ~2×
     * on the part hierarchy at sf0.1 vs semi-naïve). */
-  def transitiveClosureDoubling(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    // AQE re-plans every round's tiny join from its runtime stats — a
-    // fixed ~1s/round of scheduling latency that dwarfs the actual work
-    // on iterative state (SURVEY §9). The loop's shapes are known and
-    // stable, so plan them statically and restore the setting after.
-    val conf = edges.sparkSession.conf
-    val aqeWas = conf.get("spark.sql.adaptive.enabled", "true")
-    val shufWas = conf.get("spark.sql.shuffle.partitions", "32")
-    conf.set("spark.sql.adaptive.enabled", "false")
-    // iterative state is small relative to the cluster — but derive the
-    // round partitioning from the actual parallelism (a pinned constant
-    // tuned on local[32] would underpartition a 1000-core cluster)
-    val roundParts = math.max(8,
-      edges.sparkSession.sparkContext.defaultParallelism / 4)
-    conf.set("spark.sql.shuffle.partitions", roundParts.toString)
-    try {
+  def transitiveClosureDoubling(edges: DataFrame, maxIter: Int = 20): DataFrame =
+    withIterativeConf(edges.sparkSession) {
       var acc = edges.select(col("child"), col("parent").as("anc"))
         .distinct().localCheckpoint()
       var size = acc.count()
@@ -58,11 +69,7 @@ object Fixpoint {
         iter += 1
       }
       acc
-    } finally {
-      conf.set("spark.sql.adaptive.enabled", aqeWas)
-      conf.set("spark.sql.shuffle.partitions", shufWas)
     }
-  }
 
   /** Transitive closure of a FUNCTIONAL edge relation (each child has at
     * most one parent — the reference's `n..1` relationship cardinality,
@@ -139,16 +146,11 @@ object Fixpoint {
     * is one join keyed on the recursion variable + one anti-join, both
     * on the shrinking frontier, never the full distance table.
     * Input columns `child`/`parent`; distance measured from `source`
-    * walking parent→child. */
-  def bfsDistances(edges: DataFrame, source: Long, maxIter: Int = 40): DataFrame = {
-    val conf = edges.sparkSession.conf
-    val aqeWas = conf.get("spark.sql.adaptive.enabled", "true")
-    val shufWas = conf.get("spark.sql.shuffle.partitions", "32")
-    conf.set("spark.sql.adaptive.enabled", "false")
-    val roundParts = math.max(8,
-      edges.sparkSession.sparkContext.defaultParallelism / 4)
-    conf.set("spark.sql.shuffle.partitions", roundParts.toString)
-    try {
+    * walking parent→child. A graph whose eccentricity from the source
+    * exceeds `maxIter` is an ERROR, never a silent partial result
+    * (missing far nodes would read as unreachable). */
+  def bfsDistances(edges: DataFrame, source: Long, maxIter: Int = 512): DataFrame =
+    withIterativeConf(edges.sparkSession) {
       // materialize the edge relation once — the loop probes it every
       // round, and re-running its source plan (scan + projections) per
       // round multiplies the scan cost by the eccentricity (GraphX
@@ -191,12 +193,13 @@ object Fixpoint {
         }
         iter += 1
       }
+      if (!done)
+        throw new IllegalStateException(
+          s"bfsDistances: frontier still growing after $maxIter rounds " +
+            "(graph eccentricity exceeds the cap) — raise maxIter; " +
+            "a silent partial result would misreport far nodes as unreachable")
       acc
-    } finally {
-      conf.set("spark.sql.adaptive.enabled", aqeWas)
-      conf.set("spark.sql.shuffle.partitions", shufWas)
     }
-  }
 
   /** Transitive closure anc(child, anc) of edges(child, parent):
     * anc(c, p) :- edges(c, p).

@@ -423,6 +423,49 @@ class HeroQLParserSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not stratified"))
   }
 
+  test("negation over ANOTHER query that reaches the recursion is rejected as non-stratified") {
+    // Bad references Reach; negating Bad inside Reach's recursive
+    // alternative would anti-join against a PARTIAL (in-flight) Reach —
+    // must be a diagnostic, never a silent wrong result
+    val src =
+      """data E(a: int64, b: int64).
+        |data Block(x: int64).
+        |query Bad(x: int64)
+        |:- Reach(x, y), Block(y)
+        |.
+        |query Reach(a: int64, b: int64)
+        |:- E(a, b)
+        |;  E(a, m), Reach(m, b), not exists Bad(b)
+        |.""".stripMargin
+    val e = intercept[Analyzer.AnalysisError] {
+      HeroQL.compile(src, "Reach",
+        Map("E" -> chainEdges,
+          "Block" -> {
+            val spark = org.apache.spark.sql.SparkSession.active
+            import spark.implicits._
+            Seq(4L).toDF("x")
+          })).collect()
+    }
+    assert(e.getMessage.contains("not stratified"), e.getMessage)
+  }
+
+  test("aggregation hidden in a sub-rule of a recursive alternative is rejected") {
+    // the sub-rule touches the recursion AND aggregates — each round
+    // would re-aggregate the growing accumulator
+    val src =
+      """data E(a: int64, b: int64).
+        |query R(a: int64) -> (t: int64)
+        |:- E(a, t)
+        |;  (m, s)
+        |   :- R(m, v), @partition(m), @aggregate(sum(v)), s <- v
+        |   ., E(a, m), t <- s
+        |.""".stripMargin
+    val e = intercept[Analyzer.AnalysisError] {
+      HeroQL.compile(src, "R", Map("E" -> chainEdges)).collect()
+    }
+    assert(e.getMessage.contains("not stratified"), e.getMessage)
+  }
+
   test("self-reference under negation is rejected as non-stratified") {
     val src =
       """data E(a: int64, b: int64).
