@@ -1449,9 +1449,14 @@ object HeroQL {
     // different operator, not a dedup)
     if (st.keyFn != "fingerprint") throw Analyzer.AnalysisError(
       s"stream dedup is keyed by fingerprint(…); got ${st.keyFn}")
+    // the statement's relation names the physical table under the
+    // bound warehouse dir ($dir/<rel, lowercased>.parquet) — a
+    // hard-coded file name here would silently ignore the relation
+    // and stream the wrong table
     graft.streaming.DocStreams.dedupSinkToStoreByFp(
       spark, dir, store, st.table,
       idCol = st.vars.head, textCol = st.keyArg,
-      carryCols = st.vars.tail.filterNot(_ == st.keyArg))
+      carryCols = st.vars.tail.filterNot(_ == st.keyArg),
+      sourceTable = st.rel.toLowerCase)
   }
 }

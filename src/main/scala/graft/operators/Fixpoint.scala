@@ -121,8 +121,13 @@ object Fixpoint {
           .localCheckpoint()
       }
       import scala.concurrent.duration.Duration
-      val stretched = scala.concurrent.Await.result(stretchedF, Duration.Inf)
-      val nextJump = scala.concurrent.Await.result(nextJumpF, Duration.Inf)
+      // await BOTH to completion before any rethrow: failing fast on
+      // the first would unwind while the sibling's job (and its eager
+      // localCheckpoint blocks) keeps running unobserved — a retry loop
+      // around the fixpoint would pile up orphaned concurrent jobs
+      val results = Seq(stretchedF, nextJumpF).map(f =>
+        scala.concurrent.Await.ready(f, Duration.Inf).value.get)
+      val Seq(stretched, nextJump) = results.map(_.get)
       val grew = stretched.take(1).nonEmpty
       if (grew) acc = acc.union(stretched).localCheckpoint()
       if (!grew || nextJump.take(1).isEmpty) done = true

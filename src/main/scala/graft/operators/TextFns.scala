@@ -194,4 +194,48 @@ object TextFns {
   /** Jaccard from a precomputed `|a ∩ b|` count plus the two set sizes. */
   def jaccardFromIntersect(interCol: String, sizeA: String, sizeB: String): Column =
     expr(s"CAST($interCol AS DOUBLE) / CAST($sizeA + $sizeB - $interCol AS DOUBLE)")
+
+  /** Merge per-document gram-hit positions into maximal spans (the
+    * islands shape): positions at most `gramLen` apart coalesce — a
+    * hit at pos p covers tokens [p, p+gramLen-1], so the NEXT
+    * overlapping-or-adjacent hit starts within gramLen — via lag →
+    * new-span flag → running-sum span id; each span covers
+    * [min pos, max pos + gramLen - 1]. ONE definition shared by dd10
+    * (duplicate spans) and dc2 (contamination spans), mirrored by
+    * [[mergeSpansDuckSql]], so the merge rule can't drift between the
+    * operator family and its oracles. Input needs (`idCol`, `pos`);
+    * output: (`idCol`, span_id, p0, p1, n_grams). The window is
+    * per-document (bounded by document length), never corpus-wide. */
+  def mergeSpans(hits: org.apache.spark.sql.DataFrame, idCol: String,
+      gramLen: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    hits
+      .withColumn("new_span",
+        when(col("pos") - lag("pos", 1).over(w) <= gramLen, 0L).otherwise(1L))
+      .withColumn("span_id", sum("new_span").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(idCol, "span_id")
+      .agg(min("pos").as("p0"), (max("pos") + gramLen - 1).as("p1"),
+        count(lit(1)).as("n_grams"))
+  }
+
+  /** DuckDB mirror of [[mergeSpans]]: CTE fragment `flg, sp, spans`
+    * over an existing `hits(idCol, pos)` relation — splice after it
+    * with a leading comma. */
+  def mergeSpansDuckSql(hitsRel: String, idCol: String, gramLen: Int): String =
+    s"""flg AS (
+         SELECT $idCol, pos,
+           CASE WHEN pos - lag(pos) OVER (PARTITION BY $idCol ORDER BY pos) <= $gramLen
+                THEN 0 ELSE 1 END AS new_span
+         FROM $hitsRel),
+       sp AS (
+         SELECT $idCol, pos,
+           sum(new_span) OVER (PARTITION BY $idCol ORDER BY pos
+             ROWS UNBOUNDED PRECEDING) AS span_id
+         FROM flg),
+       spans AS (
+         SELECT $idCol, span_id, min(pos) AS p0, max(pos) + ${gramLen - 1} AS p1,
+                count(*) AS n_grams
+         FROM sp GROUP BY $idCol, span_id)"""
 }

@@ -344,15 +344,9 @@ object Dedup extends QueryPack {
       .agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2)
       .select("gram_fp")
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val spans = grams.join(dupFps, Seq("gram_fp"))
-      .select("doc_id", "pos")
-      .withColumn("new_span",
-        when(col("pos") - lag("pos", 1).over(w) <= DupG, 0L).otherwise(1L))
-      .withColumn("span_id", sum("new_span").over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy("doc_id", "span_id")
-      .agg(min("pos").as("p0"), (max("pos") + DupG - 1).as("p1"))
+    val spans = TextFns.mergeSpans(
+      grams.join(dupFps, Seq("gram_fp")).select("doc_id", "pos"),
+      "doc_id", DupG)
     spans.groupBy("doc_id")
       .agg(count(lit(1)).as("n_dup_spans"),
         max(col("p1") - col("p0") + 1).as("max_span_tok"),
@@ -480,19 +474,7 @@ object Dedup extends QueryPack {
         + TextFns.fingerprintDuckSql("gram") + s""" AS gram_fp FROM g),
          dup AS (SELECT gram_fp FROM gf GROUP BY gram_fp HAVING count(*) >= 2),
          hits AS (SELECT gf.doc_id, gf.pos FROM gf JOIN dup USING (gram_fp)),
-         flg AS (
-           SELECT doc_id, pos,
-             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $DupG
-                  THEN 0 ELSE 1 END AS new_span
-           FROM hits),
-         sp AS (
-           SELECT doc_id, pos,
-             sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
-               ROWS UNBOUNDED PRECEDING) AS span_id
-           FROM flg),
-         spans AS (
-           SELECT doc_id, span_id, min(pos) AS p0, max(pos) + ${DupG - 1} AS p1
-           FROM sp GROUP BY doc_id, span_id)
+         ${TextFns.mergeSpansDuckSql("hits", "doc_id", DupG)}
          SELECT doc_id, count(*) AS n_dup_spans,
            CAST(max(p1 - p0 + 1) AS BIGINT) AS max_span_tok,
            CAST(sum(p1 - p0 + 1) AS BIGINT) AS n_dup_tok

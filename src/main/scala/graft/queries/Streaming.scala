@@ -103,8 +103,8 @@ object Streaming extends QueryPack {
     val store = new graft.store.TableStore(s,
       java.nio.file.Files.createTempDirectory("graft-dedup-hql-sink-").toString)
     graft.heroql.HeroQL.executeStream(
-      "stream dedup Docs(doc_id, text, lang, n_chars) by fingerprint(text) into docs_dedup_hql;",
-      s, Map("Docs" -> d), store)
+      "stream dedup Documents(doc_id, text, lang, n_chars) by fingerprint(text) into docs_dedup_hql;",
+      s, Map("Documents" -> d), store)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
   }

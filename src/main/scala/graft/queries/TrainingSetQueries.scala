@@ -147,15 +147,7 @@ object TrainingSetQueries extends QueryPack {
         TextFns.fingerprintOf(col("col")).as("gram_fp"))
       .join(evalFps, Seq("gram_fp"))
       .select("train_id", "pos")
-    val w = Window.partitionBy("train_id").orderBy("pos")
-    val spans = hits
-      .withColumn("new_span",
-        when(col("pos") - lag("pos", 1).over(w) <= 8, 0L).otherwise(1L))
-      .withColumn("span_id", sum("new_span").over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy("train_id", "span_id")
-      .agg(min("pos").as("p0"), (max("pos") + 7).as("p1"),
-        count(lit(1)).as("n_grams"))
+    val spans = TextFns.mergeSpans(hits, "train_id", gramLen = 8)
     spans.groupBy("train_id")
       .agg(sum("n_grams").as("n_hit_grams"),
         count(lit(1)).as("n_spans"),
@@ -384,20 +376,7 @@ object TrainingSetQueries extends QueryPack {
         + TextFns.fingerprintDuckSql("gram") + """ AS gram_fp FROM g),
          hits AS (SELECT gf.doc_id AS train_id, gf.pos
                   FROM gf JOIN ev USING (gram_fp)),
-         flg AS (
-           SELECT train_id, pos,
-             CASE WHEN pos - lag(pos) OVER (PARTITION BY train_id ORDER BY pos) <= 8
-                  THEN 0 ELSE 1 END AS new_span
-           FROM hits),
-         sp AS (
-           SELECT train_id, pos,
-             sum(new_span) OVER (PARTITION BY train_id ORDER BY pos
-               ROWS UNBOUNDED PRECEDING) AS span_id
-           FROM flg),
-         spans AS (
-           SELECT train_id, span_id, min(pos) AS p0, max(pos) + 7 AS p1,
-                  count(*) AS n_grams
-           FROM sp GROUP BY train_id, span_id)
+         """ + TextFns.mergeSpansDuckSql("hits", "train_id", 8) + """
          SELECT train_id, CAST(sum(n_grams) AS BIGINT) AS n_hit_grams,
            count(*) AS n_spans,
            CAST(max(p1 - p0 + 1) AS BIGINT) AS max_span_tok,

@@ -84,15 +84,31 @@ private[store] final case class OpEntry(op: SchemaOp) extends ManifestEntry
   * as the first manifest line; inserts and COW rewrites preserve it. */
 private[store] final case class PartColsEntry(cols: Seq[String]) extends ManifestEntry
 
+/** Table properties pinned at creation (the Delta/Iceberg
+  * table-property analogue): layout parameters the DATA bakes in and
+  * every later session must read back from the table rather than from
+  * its own conf — e.g. the fingerprint bucket modulus of a
+  * hash-partitioned dedup corpus (`fpBuckets`), where a restart with a
+  * different session conf would probe `fp mod N'` against dirs labeled
+  * `fp mod N` and silently re-admit duplicates. Carried as a property
+  * line like [[PartColsEntry]]; COW rewrites, compaction, and inserts
+  * preserve it. Keys and values must not contain tabs or newlines. */
+private[store] final case class PropsEntry(props: Map[String, String]) extends ManifestEntry
+
 private[store] object ManifestEntry {
   def parse(line: String): ManifestEntry =
     if (line.startsWith("@partcols\t"))
       PartColsEntry(line.split("\t", 2)(1).split(",").toSeq.filter(_.nonEmpty))
+    else if (line.startsWith("@props\t"))
+      PropsEntry(line.split("\t").drop(1).filter(_.nonEmpty)
+        .map { kv => val i = kv.indexOf('='); kv.take(i) -> kv.drop(i + 1) }.toMap)
     else if (line.startsWith("@")) OpEntry(SchemaOp.decode(line))
     else DataDir(line)
   def encode(e: ManifestEntry): String = e match {
     case DataDir(d) => d
     case OpEntry(op) => op.encode
     case PartColsEntry(cs) => s"@partcols\t${cs.mkString(",")}"
+    case PropsEntry(ps) =>
+      "@props\t" + ps.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("\t")
   }
 }

@@ -169,6 +169,19 @@ final class TableStore(val spark: SparkSession, val root: String) {
     finally s.close()
   }
 
+  /** Read-path memo for [[hasParquet]]: a data dir is immutable once
+    * its manifest commits (writeData finishes — including the zero-row
+    * marker — BEFORE the commit publishes it), so its emptiness never
+    * changes after it becomes readable. Without the memo the streaming
+    * probe, which builds a read plan every micro-batch, re-walks every
+    * dir the table has ever committed — O(total files) driver work per
+    * batch with compaction off. writeData keeps the RAW walk: it checks
+    * the dir it is mid-writing. */
+  private val dirHasParquet =
+    new java.util.concurrent.ConcurrentHashMap[Path, java.lang.Boolean]()
+  private def hasParquetCached(p: Path): Boolean =
+    dirHasParquet.computeIfAbsent(p, q => hasParquet(q))
+
   /** One frame over a run of data dirs. Unpartitioned tables read all
     * dirs in ONE scan. Partitioned dirs carry `col=value/` subdirs, and
     * Spark's partition discovery rejects multiple sibling roots
@@ -185,7 +198,7 @@ final class TableStore(val spark: SparkSession, val root: String) {
       decorate(spark.read.parquet(dirs.map(d => resolveDir(table, d).toString): _*))
     else {
       val paths = dirs.map(d => resolveDir(table, d))
-      val nonEmpty = paths.filter(hasParquet)
+      val nonEmpty = paths.filter(hasParquetCached)
       val use = if (nonEmpty.nonEmpty) nonEmpty else paths
       // infer the schema from the first root only: every dir of a run
       // shares a schema vintage, and per-leg inference would re-read
@@ -224,6 +237,7 @@ final class TableStore(val spark: SparkSession, val root: String) {
       // is its own discovery root, so `col=value/` subdirs surface the
       // partition column in every run's scan
       case PartColsEntry(_) => ()
+      case PropsEntry(_) => ()
     }
     flushRun()
     acc.getOrElse(throw new IllegalArgumentException(
@@ -303,12 +317,18 @@ final class TableStore(val spark: SparkSession, val root: String) {
     * `Hash(col)` index (`Kernel/README.md:62-74`); static-table
     * bucketing (BucketingSpec) covers warehouse tables, this covers
     * store-managed ones. */
-  def createPartitioned(name: String, df: DataFrame, cols: Seq[String]): Unit =
-    transaction(_.createPartitioned(name, df, cols))
+  def createPartitioned(name: String, df: DataFrame, cols: Seq[String],
+      props: Map[String, String] = Map.empty): Unit =
+    transaction(_.createPartitioned(name, df, cols, props))
 
   /** The partition columns `name` was created with (empty = unpartitioned). */
   def partitionColumns(name: String): Seq[String] =
     currentEntries(name).collectFirst { case PartColsEntry(cs) => cs }.getOrElse(Nil)
+
+  /** Table properties pinned at creation (layout parameters the data
+    * bakes in — see [[PropsEntry]]); empty when none were recorded. */
+  def tableProps(name: String): Map[String, String] =
+    currentEntries(name).collectFirst { case PropsEntry(ps) => ps }.getOrElse(Map.empty)
 
   def read(name: String): DataFrame = readLog(name, currentEntries(name))
   def insert(name: String, rows: DataFrame): Unit = transaction(_.insert(name, rows))
@@ -402,6 +422,12 @@ final class TableStore(val spark: SparkSession, val root: String) {
     val clustered = if (cols.isEmpty) out else out.repartition(cols.map(col): _*)
     val w = clustered.write.mode("overwrite")
     (if (cols.nonEmpty) w.partitionBy(cols: _*) else w).parquet(destDir)
+    // same hazard writeData guards: an EMPTY partitioned write emits
+    // zero parquet files (only _SUCCESS), so the exported snapshot
+    // would fail schema inference in any engine. Leave the zero-row
+    // schema marker (partition cols as physical columns).
+    if (cols.nonEmpty && !hasParquet(Paths.get(destDir)))
+      out.limit(0).coalesce(1).write.mode("overwrite").parquet(destDir)
   }
 
   /** Unpublish tables WITHOUT deleting files — the safe removal for
@@ -603,22 +629,31 @@ final class Txn(store: TableStore) {
     manifestOf(name).map(m => store.readEntries(name, m)).getOrElse(Seq.empty)
       .collectFirst { case PartColsEntry(cs) => cs }.getOrElse(Nil)
 
-  private def withPartLine(cols: Seq[String], entries: Seq[ManifestEntry]): Seq[ManifestEntry] =
-    if (cols.isEmpty) entries else PartColsEntry(cols) +: entries
+  private def propsOf(name: String): Map[String, String] =
+    manifestOf(name).map(m => store.readEntries(name, m)).getOrElse(Seq.empty)
+      .collectFirst { case PropsEntry(ps) => ps }.getOrElse(Map.empty)
 
-  /** Full replace. An existing table KEEPS its partition property — a
-    * rewrite ([[TableStore.migrate]], truncate, vintage compaction)
-    * must not silently flatten a partitioned corpus. */
+  private def withPartLine(cols: Seq[String], entries: Seq[ManifestEntry],
+      props: Map[String, String] = Map.empty): Seq[ManifestEntry] = {
+    val withProps = if (props.isEmpty) entries else PropsEntry(props) +: entries
+    if (cols.isEmpty) withProps else PartColsEntry(cols) +: withProps
+  }
+
+  /** Full replace. An existing table KEEPS its partition property and
+    * its creation-pinned props — a rewrite ([[TableStore.migrate]],
+    * truncate, vintage compaction) must not silently flatten a
+    * partitioned corpus or drop its layout parameters. */
   def create(name: String, df: DataFrame): Unit = {
     val cols = partColsOf(name)
     pending += name -> store.writeTableManifest(name,
-      withPartLine(cols, Seq(DataDir(store.writeData(name, df, cols)))))
+      withPartLine(cols, Seq(DataDir(store.writeData(name, df, cols))), propsOf(name)))
   }
 
-  def createPartitioned(name: String, df: DataFrame, cols: Seq[String]): Unit = {
+  def createPartitioned(name: String, df: DataFrame, cols: Seq[String],
+      props: Map[String, String] = Map.empty): Unit = {
     require(cols.nonEmpty, "createPartitioned needs at least one column")
     pending += name -> store.writeTableManifest(name,
-      withPartLine(cols, Seq(DataDir(store.writeData(name, df, cols)))))
+      withPartLine(cols, Seq(DataDir(store.writeData(name, df, cols))), props))
   }
 
   /** Read cost of a manifest log is one parquet scan per maximal RUN of
@@ -630,7 +665,7 @@ final class Txn(store: TableStore) {
     entries.foreach {
       case DataDir(_) => if (!inRun) { runs += 1; inRun = true }
       case OpEntry(_) => inRun = false
-      case PartColsEntry(_) => () // property line — doesn't split a run
+      case PartColsEntry(_) | PropsEntry(_) => () // property lines — don't split a run
     }
     runs
   }
@@ -658,7 +693,8 @@ final class Txn(store: TableStore) {
         // dir appends after it, written once either way
         val folded = store.readLog(name, entries)
         store.writeTableManifest(name, withPartLine(cols,
-          Seq(DataDir(store.writeData(name, folded, cols)), newDir)))
+          Seq(DataDir(store.writeData(name, folded, cols)), newDir),
+          entries.collectFirst { case PropsEntry(ps) => ps }.getOrElse(Map.empty)))
       } else store.writeTableManifest(name, appended))
   }
 

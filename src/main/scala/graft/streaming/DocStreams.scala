@@ -28,9 +28,9 @@ object DocStreams {
     * makes "first arrival wins" equal "min doc_id wins", the property
     * the deterministic oracle needs. */
   private def stageOrderedDocs(spark: SparkSession, dir: String, nFiles: Int,
-      idCol: String = "doc_id"): String = {
+      idCol: String = "doc_id", sourceTable: String = "documents"): String = {
     val stage = Files.createTempDirectory("graft-docstream-")
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val docs = spark.read.parquet(s"$dir/$sourceTable.parquet")
     val maxId = docs.agg(max(idCol)).head.getLong(0)
     val step = maxId / nFiles + 1
     (0 until nFiles).foreach { k =>
@@ -164,17 +164,27 @@ object DocStreams {
   def dedupSinkToStoreByFp(spark: SparkSession, dir: String,
       store: graft.store.TableStore, table: String,
       idCol: String = "doc_id", textCol: String = "text",
-      carryCols: Seq[String] = Seq("lang", "n_chars")): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
-    val staged = stageOrderedDocs(spark, dir, nFiles = 4, idCol)
+      carryCols: Seq[String] = Seq("lang", "n_chars"),
+      sourceTable: String = "documents"): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/$sourceTable.parquet").schema
+    val staged = stageOrderedDocs(spark, dir, nFiles = 4, idCol, sourceTable)
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(staged)
     val bloomEnabled = spark.conf.getOption("spark.graft.dedup.bloomEnabled")
       .forall(_.toBoolean)
     val expectedItems = spark.conf.getOption("spark.graft.dedup.bloomExpectedItems")
       .map(_.toLong).getOrElse(4000000L)
-    val fpBuckets = spark.conf.getOption("spark.graft.dedup.fpBuckets")
-      .map(_.toInt).getOrElse(8)
+    // the bucket modulus is a LAYOUT parameter the corpus data bakes in
+    // (dirs are labeled fp_bucket = fp mod N): an existing table's
+    // pinned property wins over the session conf — a restart with a
+    // different conf would otherwise probe fp mod N' against dirs
+    // labeled fp mod N, prune away the dir holding the match, and
+    // silently re-admit duplicates. The conf only sizes NEW corpora
+    // (legacy tables without the prop fall back to it unchanged).
+    val fpBuckets = (if (store.exists(table))
+        store.tableProps(table).get("fpBuckets").map(_.toInt) else None)
+      .orElse(spark.conf.getOption("spark.graft.dedup.fpBuckets").map(_.toInt))
+      .getOrElse(8)
     // periodic log compaction: the sink commits one small dir per
     // micro-batch — exactly the accumulation TableStore.compact exists
     // for. Every N commits, fold the current-vintage small dirs (big
@@ -267,7 +277,8 @@ object DocStreams {
           val novelM = if (bloom != null) novel.persist() else novel
           try {
             if (store.exists(table)) store.insert(table, novelM)
-            else store.createPartitioned(table, novelM, Seq("fp_bucket"))
+            else store.createPartitioned(table, novelM, Seq("fp_bucket"),
+              Map("fpBuckets" -> fpBuckets.toString))
             // grow with this commit's novel fps — built via
             // stat.bloomFilter (the same API that seeds the bloom at
             // stream start) and merged into the driver-held filter: no

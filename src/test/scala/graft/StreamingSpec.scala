@@ -142,8 +142,14 @@ class StreamingSpec extends SparkSpec {
     val novel = docs.orderBy(col("doc_id").desc).limit(40)
     redo.unionByName(novel).coalesce(1).write.mode("overwrite")
       .parquet(s"$dir2/documents.parquet")
-    val after = graft.streaming.DocStreams
-      .dedupSinkToStoreByFp(spark, dir2, store, "docs")
+    // the restart runs under a DIFFERENT session bucket conf: the
+    // corpus's creation-pinned modulus must win, or the probe would
+    // compute fp mod 3 against dirs labeled fp mod 8, prune away the
+    // dir holding the match, and silently re-admit every duplicate
+    spark.conf.set("spark.graft.dedup.fpBuckets", "3")
+    val after = try graft.streaming.DocStreams
+        .dedupSinkToStoreByFp(spark, dir2, store, "docs")
+      finally spark.conf.unset("spark.graft.dedup.fpBuckets")
     val expected = docs.limit(120).unionByName(novel)
       .select(graft.operators.TextFns.fingerprint("text")).distinct().count()
     assert(after.count() == expected,
@@ -152,6 +158,8 @@ class StreamingSpec extends SparkSpec {
       "a re-ingested duplicate must never displace the committed keeper")
     assert(store.partitionColumns("docs") == Seq("fp_bucket"),
       "the partition property must survive the restart")
+    assert(store.tableProps("docs") == Map("fpBuckets" -> "8"),
+      "the bucket modulus must be pinned at creation and survive commits")
   }
 
   test("null-text rows are dropped at ingest, not re-admitted every micro-batch") {
