@@ -97,8 +97,20 @@ final class TableStore(val spark: SparkSession, val root: String) {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Legal table names: word chars, dots, dashes; must not collide with
+    * the store's own layout files (`store-*` manifests, `_CURRENT`) or
+    * escape the root (`/`). An unchecked `store-x` table would be swept
+    * up by vacuum's manifest listing and crash the sweep; a name with
+    * `/` would silently write outside the table's directory. */
+  private[store] def requireValidTableName(table: String): Unit =
+    require(table.matches("[A-Za-z0-9][A-Za-z0-9_.:-]*") &&
+        !table.startsWith("store-"),
+      s"illegal table name '$table': use [A-Za-z0-9_.:-], not starting " +
+        "with '_' or 'store-'")
+
   private[store] def writeTableManifest(table: String,
       entries: Seq[ManifestEntry]): String = {
+    requireValidTableName(table)
     val dir = rootPath.resolve(table)
     Files.createDirectories(dir)
     val name = s"manifest-${UUID.randomUUID().toString.take(12)}"
@@ -117,9 +129,27 @@ final class TableStore(val spark: SparkSession, val root: String) {
     readEntries(table, m)
   }
 
+  /** Data dirs with a Spark write job IN FLIGHT — vacuum must treat
+    * them as live. The mtime grace window does NOT cover this: task
+    * output lands under `_temporary/` and the top-level dir's mtime
+    * stays at job start, so a write outlasting the grace (a large COW
+    * rewrite) would look both unreferenced (liveRefs registers only
+    * after writeData returns) and old enough, and vacuum would delete
+    * the tree out from under the running job. */
+  private val writesInFlight =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private[store] def writeData(table: String, df: DataFrame,
       partCols: Seq[String] = Nil): String = {
+    requireValidTableName(table) // before any bytes land under a bad path
     val sub = s"data-${UUID.randomUUID().toString.take(12)}"
+    writesInFlight.add(s"$table/$sub")
+    try writeDataTo(table, sub, df, partCols)
+    finally writesInFlight.remove(s"$table/$sub")
+  }
+
+  private def writeDataTo(table: String, sub: String, df: DataFrame,
+      partCols: Seq[String]): String = {
     // cluster rows by partition value before a partitioned write: the
     // dynamic partition writer otherwise emits one file PER TASK PER
     // VALUE — task-count × bucket-count small files per commit, the
@@ -387,10 +417,21 @@ final class TableStore(val spark: SparkSession, val root: String) {
   /** Published store versions, newest first — commit-sequence order
     * (from the manifest names), not mtime. Older entries exist only as
     * far back as [[vacuum]]'s `retainVersions` kept them. */
+  /** Published store manifests, newest first — ANCHORED at `_CURRENT`:
+    * publish() writes the manifest file BEFORE the atomic pointer swap,
+    * so a crash in between leaves an orphaned higher-sequence manifest
+    * on disk that was never published. Indexing raw `store-*` listings
+    * would make version 0 that aborted commit (showing its eagerly
+    * written data dirs) and shift every versionsBack. */
   def versions(): Seq[String] =
-    if (!Files.exists(rootPath)) Seq.empty
-    else listDir(rootPath).map(_.getFileName.toString)
-      .filter(_.startsWith("store-")).sortBy(storeSeq).reverse
+    if (!Files.exists(rootPath) || !Files.exists(currentPtr)) Seq.empty
+    else {
+      val head = storeSeq(
+        new String(Files.readAllBytes(currentPtr), "UTF-8").trim)
+      listDir(rootPath).map(_.getFileName.toString)
+        .filter(n => n.startsWith("store-") && storeSeq(n) <= head)
+        .sortBy(storeSeq).reverse
+    }
 
   /** Read `name` as of `versionsBack` commits before HEAD (0 = HEAD) —
     * snapshot isolation for free: manifests and data files are
@@ -424,9 +465,11 @@ final class TableStore(val spark: SparkSession, val root: String) {
     (if (cols.nonEmpty) w.partitionBy(cols: _*) else w).parquet(destDir)
     // same hazard writeData guards: an EMPTY partitioned write emits
     // zero parquet files (only _SUCCESS), so the exported snapshot
-    // would fail schema inference in any engine. Leave the zero-row
-    // schema marker (partition cols as physical columns).
-    if (cols.nonEmpty && !hasParquet(Paths.get(destDir)))
+    // would fail schema inference in any engine. Decide from the DATA
+    // (one limit-1 probe), NOT a filesystem walk — destDir may be a
+    // non-local URI (s3a://, hdfs://) where a java.nio probe always
+    // reads "empty" and the marker overwrite would wipe the snapshot.
+    if (cols.nonEmpty && out.isEmpty)
       out.limit(0).coalesce(1).write.mode("overwrite").parquet(destDir)
   }
 
@@ -459,10 +502,18 @@ final class TableStore(val spark: SparkSession, val root: String) {
     * mid-export re-targets the same (half-written) slot on the next
     * call and never corrupts an older good slot. Returns the slot
     * written. */
-  def exportRing(name: String, destDir: String, slots: Int): Int = commitLock.synchronized {
-    // under the commit lock: the read-export-advance of _RING is a
-    // read-modify-write — two unsynchronized exports would pick the same
-    // slot (interleaved overwrite) and lose one increment
+  /** One lock PER RING, not the commit lock: the read-export-advance of
+    * `_RING` is a read-modify-write (two unsynchronized exports would
+    * pick the same slot and lose an increment), but the export itself
+    * reads immutable committed files — holding `commitLock` for a
+    * multi-minute full-table export would stall every concurrent
+    * commit, publish, and vacuum (`drop()` keeps slow file I/O outside
+    * that lock for the same reason). */
+  private val ringLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  def exportRing(name: String, destDir: String, slots: Int): Int =
+    ringLocks.computeIfAbsent(destDir, _ => new Object).synchronized {
     require(slots >= 1, "ring needs at least one slot")
     val dir = Paths.get(destDir)
     Files.createDirectories(dir)
@@ -541,6 +592,9 @@ final class TableStore(val spark: SparkSession, val root: String) {
     }
     retained.foreach(sn => readStoreManifest(sn).foreach((markLive _).tupled))
     openTxns.asScala.foreach(_.liveRefs.foreach((markLive _).tupled))
+    // dirs with a write job in flight: mtime grace does NOT cover them
+    // (see writesInFlight) — a long COW rewrite must never be reclaimed
+    writesInFlight.asScala.foreach(liveDirs += _)
     var dirsDeleted, manifestsDeleted, storesDeleted = 0
     allStores.filterNot(p => retained.contains(p.getFileName.toString))
       .filter(oldEnough)
@@ -578,7 +632,8 @@ final class TableStore(val spark: SparkSession, val root: String) {
   /** Per-table committed-manifest count — the commit-log length for the
     * table (observability of the WAL analogue). */
   def versionCount(name: String): Int =
-    listDir(rootPath.resolve(name))
+    if (!Files.exists(rootPath.resolve(name))) 0 // dropped / never created
+    else listDir(rootPath.resolve(name))
       .count(_.getFileName.toString.startsWith("manifest-"))
 
   /** Store-level commit count (one per published transaction). */
@@ -587,11 +642,11 @@ final class TableStore(val spark: SparkSession, val root: String) {
     else listDir(rootPath).count(_.getFileName.toString.startsWith("store-"))
 }
 
-/** What a [[TableStore.vacuum]] sweep reclaimed. */
 /** What [[TableStore.compact]] did: dirs folded into the new one vs
   * tail dirs carried by reference (0 folded = nothing worth folding). */
 final case class CompactStats(dirsFolded: Int, dirsKept: Int)
 
+/** What a [[TableStore.vacuum]] sweep reclaimed. */
 final case class VacuumStats(dataDirsDeleted: Int, manifestsDeleted: Int,
   storeManifestsDeleted: Int)
 
@@ -738,6 +793,21 @@ final class Txn(store: TableStore) {
   def alterTable(name: String, ops: SchemaOp*): Unit = {
     val entries = entriesOf(name)
     val cols = store.readLog(name, entries).columns.toSet
+    // partition columns are baked into the physical layout (col=value/
+    // dirs) and every write path's partitionBy — renaming, dropping, or
+    // casting one would commit fine and then wedge every subsequent
+    // write (writeData repartitions by the stale PartColsEntry name)
+    val partCols = entries.collectFirst { case PartColsEntry(cs) => cs }
+      .getOrElse(Nil).toSet
+    ops.foreach {
+      case DropCol(c) if partCols(c) => throw new IllegalArgumentException(
+        s"cannot drop partition column $c of $name (layout-defining)")
+      case RenameCol(from, _) if partCols(from) => throw new IllegalArgumentException(
+        s"cannot rename partition column $from of $name (layout-defining)")
+      case CastCol(c, _) if partCols(c) => throw new IllegalArgumentException(
+        s"cannot cast partition column $c of $name (layout-defining)")
+      case _ => ()
+    }
     ops.foldLeft(cols) { (cs, op) =>
       op match {
         case AddCol(c, _, _) =>
@@ -834,19 +904,32 @@ final class Txn(store: TableStore) {
     // three times; an upsert batch is bounded by the caller (spillable
     // MEMORY_AND_DISK blocks, never the table side)
     val batch = rows.localCheckpoint()
-    val keyRows = batch.select(keys.map(col): _*)
-    rewriteMatched(name,
-      hits = _.join(keyRows, keys, "left_semi"),
-      rewrite = _.join(keyRows, keys, "left_anti"),
-      appended = Some(batch))
+    try {
+      val keyRows = batch.select(keys.map(col): _*)
+      rewriteMatched(name,
+        hits = _.join(keyRows, keys, "left_semi"),
+        rewrite = _.join(keyRows, keys, "left_anti"),
+        appended = Some(batch))
+      // rewriteMatched has WRITTEN the rewrite by now (writeData is
+      // eager) — the blocks would otherwise outlive the upsert for the
+      // driver's lifetime, accumulating dead batches on a streaming path
+    } finally batch.unpersist()
   }
 
+  /** SQL UPDATE semantics: the condition and EVERY right-hand side see
+    * pre-update values — all assignments are applied in ONE select
+    * against the original frame. A per-assignment `withColumn` fold
+    * would re-evaluate the condition (and any cross-referenced column)
+    * against already-updated values: `a=1, b=2 WHERE a=0` would skip
+    * b on the rows it just updated, and `a=b, b=a` would not swap. */
   def update(name: String, assignments: Map[String, Column], cond: Column): Unit =
     rewriteMatched(name,
       hits = _.filter(coalesce(cond, lit(false))),
-      rewrite = df => assignments.foldLeft(df) { case (d, (c, e)) =>
-        d.withColumn(c, when(cond, e).otherwise(col(c)))
-      })
+      rewrite = df => df.select(df.columns.map { c =>
+        assignments.get(c)
+          .map(e => when(cond, e).otherwise(col(c)).as(c))
+          .getOrElse(col(c))
+      }.toSeq: _*))
 
   /** SQL DELETE semantics: only rows where cond is TRUE are removed; NULL keeps the row. */
   def delete(name: String, cond: Column): Unit =

@@ -101,6 +101,21 @@ class SchemaEvolutionSpec extends SparkSpec {
       "failed alters must publish nothing")
   }
 
+  test("schema ops on a partition column are rejected (layout-defining)") {
+    import spark.implicits._
+    val st = freshStore()
+    st.createPartitioned("p",
+      Seq((1L, 0), (2L, 1)).toDF("id", "bucket"), Seq("bucket"))
+    // committing any of these would wedge every later write: writeData
+    // repartitions by the stale PartColsEntry name
+    intercept[IllegalArgumentException](st.renameColumn("p", "bucket", "b"))
+    intercept[IllegalArgumentException](st.dropColumn("p", "bucket"))
+    intercept[IllegalArgumentException](st.castColumn("p", "bucket", "BIGINT"))
+    st.renameColumn("p", "id", "pk") // non-partition columns still evolve
+    st.insert("p", Seq((3L, 0)).toDF("pk", "bucket"))
+    assert(st.read("p").count() == 3)
+  }
+
   test("schema ops survive package-instance pointer inheritance") {
     import spark.implicits._
     val st = freshStore()

@@ -335,6 +335,47 @@ class StoreSpec extends SparkSpec {
     assert(spark.read.parquet(s"$ring/slot-2").count() == 5)
   }
 
+  test("update: condition and every RHS see pre-update values (SQL UPDATE semantics)") {
+    import spark.implicits._
+    val st = freshStore()
+    st.create("t", Seq((1L, 0L, 7L), (2L, 5L, 9L)).toDF("id", "a", "b"))
+    // multi-assignment guarded by a column IT updates: both columns
+    // must change on the matched row — a per-assignment fold would
+    // re-evaluate a=0 after setting a=1 and skip b
+    st.update("t", Map("a" -> lit(1L), "b" -> lit(2L)), col("a") === 0L)
+    val r1 = st.read("t").orderBy("id").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(r1.toSeq == Seq((1L, 2L), (5L, 9L)), s"got ${r1.toSeq}")
+    // cross-referencing assignments must SWAP, not copy-then-overwrite
+    st.update("t", Map("a" -> col("b"), "b" -> col("a")), col("id") === 2L)
+    val r2 = st.read("t").orderBy("id").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(r2.toSeq == Seq((1L, 2L), (9L, 5L)), s"got ${r2.toSeq}")
+  }
+
+  test("versions anchor at _CURRENT: an orphaned higher-seq manifest is not a version") {
+    val st = freshStore()
+    st.create("t", seedDf)
+    st.insert("t", seedDf)
+    val before = st.versions()
+    // simulate a crash between store-manifest write and the pointer
+    // swap: a higher-sequence manifest exists on disk, never published
+    val orphan = s"store-${"9" * 12}-deadbeef"
+    Files.write(java.nio.file.Paths.get(st.root).resolve(orphan),
+      "t\tmanifest-nonexistent".getBytes("UTF-8"))
+    assert(st.versions() == before,
+      "an unpublished manifest must not appear in the version history")
+    assert(st.readVersion("t", 0).count() == st.read("t").count(),
+      "version 0 must be the PUBLISHED head, not the aborted commit")
+  }
+
+  test("table names colliding with store layout files are rejected") {
+    val st = freshStore()
+    intercept[IllegalArgumentException] { st.create("store-1-x", seedDf) }
+    intercept[IllegalArgumentException] { st.create("_CURRENT", seedDf) }
+    intercept[IllegalArgumentException] { st.create("a/b", seedDf) }
+    st.create("ok.name-2", seedDf) // dots/dashes stay legal
+    assert(st.read("ok.name-2").count() == 3)
+  }
+
   test("txn reads are repeatable: the open-time snapshot is the read view") {
     import spark.implicits._
     val st = freshStore()
