@@ -51,6 +51,20 @@ final class Planner(decls: Map[String, DataDecl],
     * [[plan]]. */
   private var recursionBinding: Map[String, DataFrame] = Map.empty
 
+  /** Per-compile memo for evaluated fixpoints, keyed by (query, demand):
+    * the loop runs EAGERLY at plan time (depth-many Spark jobs), so two
+    * atom occurrences of the same recursive query must not run it
+    * twice — the result is a union of immutable checkpointed deltas,
+    * safe to share. NOT consulted while any recursionBinding is live: a
+    * nested query planned inside a loop reads the round's in-flight
+    * state, and freezing its round-1 result would be wrong. */
+  private val fixpointMemo =
+    scala.collection.mutable.Map.empty[(String, Seq[(String, Lit)]), DataFrame]
+
+  private def fixpointFor(q: QueryDecl, demand: Seq[(String, Lit)]): DataFrame =
+    if (recursionBinding.nonEmpty) planFixpoint(q, demand)
+    else fixpointMemo.getOrElseUpdate((q.name, demand), planFixpoint(q, demand))
+
   /** For the duration of a fixpoint loop, the data relations its
     * recursive alternatives touch resolve to a one-time materialization
     * instead of re-running their source plan (scan + projections) every
@@ -84,7 +98,7 @@ final class Planner(decls: Map[String, DataDecl],
     if (planning.contains(q.name))
       throw Analyzer.AnalysisError(
         s"recursive query ${q.name}: already calculating (mutual recursion is not supported; self-recursive rules evaluate via the fixpoint)")
-    if (selfRefCount(q.body, q.name, through = false) > 0) return planFixpoint(q)
+    if (selfRefCount(q.body, q.name, through = false) > 0) return fixpointFor(q, Nil)
     planning += q.name
     try {
       val alts = q.body.alts.map(conj => headed(q, planConj(conj)))
@@ -140,16 +154,25 @@ final class Planner(decls: Map[String, DataDecl],
     * derivation of a slice tuple uses only slice tuples, down to base
     * tuples with the same constant — so the loop can be seeded with
     * the constant: demand-driven evaluation without full magic sets.
-    * Alternatives hiding self-references inside sub-rules defeat the
+    * Alternatives hiding self-references inside sub-rules, or reaching
+    * the recursion INDIRECTLY through another named query (that query's
+    * inlined plan resolves its self-atoms to the sliced loop state, but
+    * its derivations may need tuples OUTSIDE the slice), defeat the
     * analysis → no position is invariant (safe fallback: full
     * evaluation). */
   private def invariantPositions(q: QueryDecl): Set[Int] = {
     val head = (q.inArgs ++ q.outArgs).map(_._1)
     val recAlts = q.body.alts.filter(conjRefCount(_, q.name, through = false) > 0)
-    val opaque = recAlts.exists(_.items.exists {
-      case SubQuery(_, body) => selfRefCount(body, q.name, through = false) > 0
-      case _ => false
-    })
+    val opaque = recAlts.exists { c =>
+      // through != direct ⇔ some self-reference flows through another
+      // named query — its atoms are not visible to the position check
+      conjRefCount(c, q.name, through = true) !=
+        conjRefCount(c, q.name, through = false) ||
+      c.items.exists {
+        case SubQuery(_, body) => selfRefCount(body, q.name, through = false) > 0
+        case _ => false
+      }
+    }
     if (opaque) Set.empty
     else head.indices.filter { i =>
       recAlts.forall(_.items.forall {
@@ -207,24 +230,37 @@ final class Planner(decls: Map[String, DataDecl],
       // through another query (its plan would resolve the self-atom to
       // the in-flight delta — a partial set — and silently admit tuples
       // the completed relation would exclude)
-      def checkStratified(c: Conj, inSelfScope: Boolean): Unit = c.items.foreach {
-        case _: Aggregate | _: Partition | _: RankBinding if inSelfScope =>
-          throw Analyzer.AnalysisError(
-            s"recursive query ${q.name}: aggregation/ranking inside a recursive alternative is not stratified")
-        case SubQuery(_, body) =>
-          body.alts.foreach(sc => checkStratified(sc,
-            inSelfScope && selfRefCount(body, q.name, through = true) > 0))
-        case Negation(a) if a.rel != q.name && queryDecls.contains(a.rel) &&
-            selfRefCount(queryDecls(a.rel).body, q.name, through = true) > 0 =>
-          throw Analyzer.AnalysisError(
-            s"recursive query ${q.name}: negation over '${a.rel}', which references the recursion, is not stratified")
-        case Existence(a) if a.rel != q.name && queryDecls.contains(a.rel) &&
-            selfRefCount(queryDecls(a.rel).body, q.name, through = true) > 0 =>
-          throw Analyzer.AnalysisError(
-            s"recursive query ${q.name}: 'exists ${a.rel}', which references the recursion, is not stratified")
-        case _ => ()
-      }
-      recAlts.foreach(checkStratified(_, inSelfScope = true))
+      def reachesSelf(rel: String): Boolean =
+        rel != q.name && !decls.contains(rel) && queryDecls.contains(rel) &&
+          selfRefCount(queryDecls(rel).body, q.name, through = true) > 0
+      def checkStratified(c: Conj, inSelfScope: Boolean, seen: Set[String]): Unit =
+        c.items.foreach {
+          case _: Aggregate | _: Partition | _: RankBinding if inSelfScope =>
+            throw Analyzer.AnalysisError(
+              s"recursive query ${q.name}: aggregation/ranking inside a recursive alternative is not stratified")
+          case SubQuery(_, body) =>
+            // per ALTERNATIVE: a sub-rule alternative aggregating purely
+            // over base data is stratified even if a sibling alternative
+            // touches the recursion
+            body.alts.foreach(sc => checkStratified(sc,
+              inSelfScope && selfRefCount(Body(Seq(sc)), q.name, through = true) > 0,
+              seen))
+          case a: Atom if reachesSelf(a.rel) && !seen.contains(a.rel) =>
+            // the inlined plan of a recursion-reaching query evaluates
+            // with the loop state live — its aggregates and negations
+            // face the same in-flight partial set, one level removed
+            queryDecls(a.rel).body.alts.foreach(sc => checkStratified(sc,
+              inSelfScope = selfRefCount(Body(Seq(sc)), q.name, through = true) > 0,
+              seen + a.rel))
+          case Negation(a) if reachesSelf(a.rel) =>
+            throw Analyzer.AnalysisError(
+              s"recursive query ${q.name}: negation over '${a.rel}', which references the recursion, is not stratified")
+          case Existence(a) if reachesSelf(a.rel) =>
+            throw Analyzer.AnalysisError(
+              s"recursive query ${q.name}: 'exists ${a.rel}', which references the recursion, is not stratified")
+          case _ => ()
+        }
+      recAlts.foreach(checkStratified(_, inSelfScope = true, Set(q.name)))
       edbCache = edbCacheWas ++ dataRels(Body(recAlts), Set(q.name))
         .filterNot(edbCacheWas.contains)
         .flatMap(r => catalog.get(r).collect {
@@ -472,9 +508,16 @@ final class Planner(decls: Map[String, DataDecl],
       case _ => true
     }))
       throw Analyzer.AnalysisError(s"${f.name}: recursive func has no base case")
+    // null demand rows are excluded, not crashed on: a null argument
+    // never matches the join-back key, so the caller row simply keeps a
+    // null result — the same semantics every equi-join gives null keys.
+    // The bigint cast is SQL CAST semantics: a fractional caller value
+    // truncates on BOTH the demand and the join-back key (consistently
+    // — row x=2.7 gets f(2)); funcs are declared over integer domains
+    // and the memo keys follow the declaration.
     val inputs = base.select(callerCols.zipWithIndex.map { case (c, j) =>
       c.cast("bigint").as(s"__fin$j")
-    }: _*).distinct()
+    }: _*).na.drop().distinct()
     val (memo, memoRows) = funcMemo(f, inIdxs, outIdx, inputs)
     val joinCond = callerCols.zipWithIndex.map { case (c, j) =>
       c.cast("bigint") === memo(s"__fin$j")
@@ -666,20 +709,37 @@ final class Planner(decls: Map[String, DataDecl],
           if (k < 0) throw Analyzer.AnalysisError(
             s"${f.name}: no case matches argument $v")
           var env = patEnv(k, v).get
-          def depKey(a: Atom): List[Long] = inIdxs.map(i => a.args(i) match {
-            case TExpr(e) => evalExpr(e, env) match {
-              case l: Long => l
-              case d2: Double => d2.toLong
-              case o => throw Analyzer.AnalysisError(s"${f.name}: non-integer self-call argument $o")
+          def asKey(o: Any): Long = o match {
+            case l: Long => l
+            case d2: Double if d2.isWhole => d2.toLong // exact only —
+            // silent truncation would memoize f(2) for a 2.7 demand
+            case o2 => throw Analyzer.AnalysisError(
+              s"${f.name}: non-integer self-call argument $o2")
+          }
+          def depKeyWith(a: Atom, e: Map[String, Any]): List[Long] =
+            inIdxs.map(i => a.args(i) match {
+              case TExpr(ex) => asKey(evalExpr(ex, e))
+              case TVar(n) => asKey(e.getOrElse(n,
+                throw Analyzer.AnalysisError(
+                  s"${f.name}: self-call argument '$n' is not derivable from the inputs (bind it before the call)")))
+              case TConst(l) => litVal(l).asInstanceOf[Long]
+              case t => throw Analyzer.AnalysisError(s"${f.name}: bad self-call argument $t")
+            }).toList
+          // walk guards IN ORDER so a let bound before a self-call is in
+          // scope for its key (a let needing a call RESULT fails its
+          // trial evaluation harmlessly — the resolution phase below
+          // re-runs bindings with dependency results bound)
+          val deps = {
+            var e = env
+            val ks = Seq.newBuilder[List[Long]]
+            f.cases(k).guards.foreach {
+              case Binding(out, value) =>
+                scala.util.Try(evalExpr(value, e)).foreach(r => e += out -> r)
+              case a: Atom if a.rel == f.name => ks += depKeyWith(a, e)
+              case _ => ()
             }
-            case TVar(n) => env(n) match {
-              case l: Long => l
-              case o => throw Analyzer.AnalysisError(s"${f.name}: non-integer self-call argument $o")
-            }
-            case TConst(l) => litVal(l).asInstanceOf[Long]
-            case t => throw Analyzer.AnalysisError(s"${f.name}: bad self-call argument $t")
-          }).toList
-          val deps = selfCallsOf(k).map(depKey)
+            ks.result()
+          }
           val missing = deps.filterNot(memo.contains)
           if (missing.nonEmpty && !depsPushed) {
             if (!inProgress.add(v)) throw Analyzer.AnalysisError(
@@ -767,7 +827,15 @@ final class Planner(decls: Map[String, DataDecl],
           conds :+= cmpCol(op, exprColEnv(l, env), exprColEnv(r, env))
         case Filter(e) =>
           conds :+= exprColEnv(e, env)
-        case _: Binding => () // evaluated at resolution time
+        case Binding(out, value) =>
+          // fold lets into the env IN ORDER (the local path's caseFor
+          // does the same): a later guard or self-call argument may
+          // reference the let — skipping it here compiled `m > 0` to an
+          // unresolvable col("m") on the distributed path only, so a
+          // func worked under 100k demand and broke above it.
+          // (outOf re-evaluates bindings with dependency results in
+          // scope, overwriting these dep-less values before use.)
+          env += out -> exprColEnv(value, env)
         case other => throw Analyzer.AnalysisError(
           s"${f.name}: unsupported guard $other in recursive func")
       }
@@ -1079,7 +1147,7 @@ final class Planner(decls: Map[String, DataDecl],
                 case (TConst(l), i) if inv(i) => fs(i) -> l
               }
             } else Nil
-          if (demand.nonEmpty) planFixpoint(q, demand) else plan(q)
+          if (demand.nonEmpty) fixpointFor(q, demand) else plan(q)
         })
         (fs, df)
     }
@@ -1093,6 +1161,9 @@ final class Planner(decls: Map[String, DataDecl],
           case None => firstFieldOfVar(v) = f
         }
       case (TWildcard, _) => ()
+      case (t, f) => throw Analyzer.AnalysisError(
+        s"relation atom ${a.rel}: unsupported argument $t for field $f — " +
+          "bind the value to a variable first (v <- expr), then use the variable")
     }
     df.select(firstFieldOfVar.toSeq.map { case (v, f) => col(f).as(v) }: _*)
   }
@@ -1315,18 +1386,48 @@ object HeroQL {
       case "update" =>
         val matchPairs = item.atom.args.zip(fields).collect { case (TVar(v), f) => (v, f) }
         val setPairs = item.atom.args.zip(fields).collect { case (TAtVar(v), f) => (v, f) }
+        // constants in match position restrict the matched rows (the
+        // @remove branch's constCond — same semantics): dropping them
+        // would update every row sharing the variable key, e.g.
+        // `@update Exams(student, "math", @score)` touching all subjects
+        val constCond = item.atom.args.zip(fields).collect {
+          case (TConst(l), f) => col(f) === litOf(l)
+        }.reduceOption(_ && _)
+        val hit = constCond.map(c => coalesce(c, lit(false)))
         val updates = args.select(
           matchPairs.map { case (v, f) => col(v).cast(fieldType(f)).as(f) } ++
             setPairs.map { case (v, f) => col(v).cast(fieldType(f)).as(s"__set_$f") }: _*)
           .distinct()
         val setFields = setPairs.map(_._2).toSet
-        tx.rewriteMatched(table,
-          hits = _.join(updates.select(matchPairs.map { case (_, f) => col(f) }: _*),
-            matchPairs.map(_._2), "left_semi"),
-          rewrite = _.join(updates, matchPairs.map(_._2), "left")
-            .select(fields.map { f =>
-              if (setFields(f)) coalesce(col(s"__set_$f"), col(f)).as(f) else col(f)
-            }: _*))
+        // all-constant match: no join key — the single set-value row
+        // applies to every const-matched row; 0 rows = nothing bound
+        // (no-op), >1 distinct set rows = ambiguous, refuse
+        val allConst = matchPairs.isEmpty
+        val nUpd = if (allConst) updates.limit(2).count() else -1L
+        if (allConst && nUpd > 1) throw Analyzer.AnalysisError(
+          s"@update ${item.atom.rel}: all-constant match with multiple distinct set-value rows is ambiguous")
+        if (!allConst || nUpd == 1) {
+          def setExpr(f: String): Column = {
+            val set = coalesce(col(s"__set_$f"), col(f))
+            hit.map(h => when(h, set).otherwise(col(f))).getOrElse(set)
+          }
+          tx.rewriteMatched(table,
+            hits = df => {
+              val base = hit.map(df.filter).getOrElse(df)
+              if (allConst) base
+              else base.join(
+                updates.select(matchPairs.map { case (_, f) => col(f) }: _*),
+                matchPairs.map(_._2), "left_semi")
+            },
+            rewrite = df => {
+              val joined =
+                if (allConst) df.crossJoin(updates) // exactly one row
+                else df.join(updates, matchPairs.map(_._2), "left")
+              joined.select(fields.map { f =>
+                if (setFields(f)) setExpr(f).as(f) else col(f)
+              }: _*)
+            })
+        }
       case other => throw Analyzer.AnalysisError(s"unknown mutation @$other")
     }
   }

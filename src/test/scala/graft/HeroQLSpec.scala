@@ -718,6 +718,109 @@ class HeroQLRuntimeSpec extends SparkSpec {
     assert(!store.exists("U"))
   }
 
+  test("@update: a constant in match position restricts the matched rows") {
+    import spark.implicits._
+    val store = new graft.store.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-txn-spec-").toString)
+    store.create("Exams",
+      Seq(("bob", "math", 50L), ("bob", "art", 60L), ("amy", "math", 70L))
+        .toDF("student", "subject", "score"))
+    val src =
+      """data Exams(student: string, subject: string, score: int64).
+        |data Regrade(student: string, newScore: int64).
+        |transaction query Fix()
+        |:- Regrade(student, newScore),
+        |   @update Exams(student, "math", @newScore)
+        |.""".stripMargin
+    HeroQL.executeTransaction(src, "Fix",
+      Map("Regrade" -> Seq(("bob", 90L)).toDF("student", "newScore")), store)
+    val got = store.read("Exams").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // only bob's MATH row changes — dropping the constant would also
+    // rewrite bob's art score, and an all-pairs degenerate join could
+    // touch amy
+    assert(got == Map(("bob", "math") -> 90L, ("bob", "art") -> 60L,
+      ("amy", "math") -> 70L), s"got $got")
+  }
+
+  private def chainEdges = {
+    import spark.implicits._
+    Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 10L)).toDF("a", "b")
+  }
+
+  test("demand at an invariant position is refused when the recursion is reached indirectly") {
+    // D reaches Reach through its own body: the sliced loop state would
+    // starve D's derivations — the planner must fall back to the full
+    // fixpoint (and still produce the right rows)
+    val src =
+      """data E(a: int64, b: int64).
+        |query Reach(a: int64, b: int64)
+        |:- E(a, b)
+        |;  Step(a, m), Reach(m, b)
+        |.
+        |query Step(a: int64, m: int64)
+        |:- E(a, m), Reach(m, _)
+        |.
+        |query Into(a: int64)
+        |:- Reach(a, 5)
+        |.""".stripMargin
+    // Step reaches Reach positively → through-count ≠ direct-count →
+    // no position is invariant → the demand must NOT seed (a sliced
+    // loop state would starve Step's derivations); full evaluation
+    // with the naive accumulator binding is the correct route
+    val got = HeroQL.compile(src, "Into", Map("E" -> chainEdges))
+      .collect().map(_.getLong(0)).toSet
+    assert(Planner.lastFixpointDemand.isEmpty,
+      "indirect self-reference must refuse the seeded slice")
+    val full = HeroQL.compile(src, "Reach", Map("E" -> chainEdges))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = full.collect { case (a, b) if b == 5L => a }
+    assert(got == want, s"extra=${got -- want} missing=${want -- got}")
+  }
+
+  test("aggregation in an INLINED query of a recursive alternative is rejected") {
+    val src =
+      """data E(a: int64, b: int64).
+        |query Agg(a: int64) -> (t: int64)
+        |:- R(a, s), @partition(a), @aggregate(sum(s)), t <- s
+        |.
+        |query R(a: int64, b: int64)
+        |:- E(a, b)
+        |;  E(a, m), R(m, b), Agg2(b, _)
+        |.
+        |query Agg2(b: int64, t: int64)
+        |:- R(b, s), @partition(b), @aggregate(count(s)), t <- s
+        |.""".stripMargin
+    val e = intercept[Analyzer.AnalysisError] {
+      HeroQL.compile(src, "R", Map("E" -> chainEdges)).collect()
+    }
+    assert(e.getMessage.contains("not stratified") ||
+      e.getMessage.contains("calculating"), e.getMessage)
+  }
+
+  test("recursive func: a let bound before the self-call is in scope for its key") {
+    import spark.implicits._
+    val src =
+      """data Nums(pk: int64, n: int64).
+        |func Tri(in i, out o);
+        |case Tri(i, o) :- i <= 0, o <- 0;
+        |case Tri(i, o) :- m <- i - 1, Tri(m, a), o <- a + i;
+        |query T(pk: int64) -> (o: int64) :- Nums(pk, n), Tri(n, o)
+        |.""".stripMargin
+    val nums = Seq((1L, 4L), (2L, 10L)).toDF("pk", "n")
+    def got() = HeroQL.compile(src, "T", Map("Nums" -> nums))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 10L, 2L -> 55L)
+    assert(got() == want, s"got ${got()}")
+    // the distributed path must agree — pre-fix it compiled the let's
+    // variable to an unresolvable column above the demand threshold
+    val saved = graft.heroql.Planner.localMemoMaxBytes
+    try {
+      graft.heroql.Planner.localMemoMaxBytes = 0L
+      assert(got() == want, "distributed path must resolve let-bound self-call args")
+    } finally graft.heroql.Planner.localMemoMaxBytes = saved
+  }
+
   test("transaction query: multi-table move commits atomically with read-at-start bindings") {
     import spark.implicits._
     val store = new graft.store.TableStore(spark,
