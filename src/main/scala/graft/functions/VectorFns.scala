@@ -40,10 +40,16 @@ object VectorFns {
         s"dot_f needs two array<float> args, got ${left.dataType} / ${right.dataType}")
     }
 
+    // mismatched lengths → NULL, matching the HOF form it replaces
+    // (zip_with pads with null, poisoning the aggregate): a truncated
+    // or wrong-dimension embedding must surface as a detectable null,
+    // never a plausible-looking partial dot product
+    override def nullable: Boolean = true
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
       val b = r.asInstanceOf[ArrayData]
-      val n = math.min(a.numElements(), b.numElements())
+      val n = a.numElements()
+      if (b.numElements() != n) return null
       var acc = 0.0
       var i = 0
       while (i < n) {
@@ -59,12 +65,16 @@ object VectorFns {
         val n = ctx.freshName("n")
         val acc = ctx.freshName("acc")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double $acc = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+           |int $n = $a.numElements();
+           |if ($b.numElements() != $n) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double $acc = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+           |  }
+           |  ${ev.value} = $acc;
            |}
-           |${ev.value} = $acc;
          """.stripMargin
       })
 
@@ -578,20 +588,26 @@ object VectorFns {
     * previously registered function" WARN per function per call, which
     * polluted every driver artifact tail. Only a genuine change — first
     * registration, or new minhash coefficients — touches the registry. */
-  def register(spark: SparkSession, as: Seq[Long] = Nil, bs: Seq[Long] = Nil): Unit = {
-    val prev = registered.get(spark)
-    val coeffsChanged = as.nonEmpty && (prev == null || prev != ((as, bs)))
-    if (prev != null && !coeffsChanged) return
-    val reg = spark.sessionState.functionRegistry
-    val toAdd =
-      if (prev == null) builders(as, bs)
-      else builders(as, bs).filter(_._1.startsWith("graft_minhash"))
-    toAdd.foreach { case (name, b) =>
-      reg.createOrReplaceTempFunction(name, b, "built-in")
+  def register(spark: SparkSession, as: Seq[Long] = Nil, bs: Seq[Long] = Nil): Unit =
+    // one atomic check-act: an unsynchronized interleaving of two
+    // coefficient-bearing calls could leave the registry built with one
+    // coefficient set while the guard records the other — a later
+    // matching call would then no-op and signatures would silently use
+    // the wrong permutations
+    registered.synchronized {
+      val prev = registered.get(spark)
+      val coeffsChanged = as.nonEmpty && (prev == null || prev != ((as, bs)))
+      if (prev != null && !coeffsChanged) return
+      val reg = spark.sessionState.functionRegistry
+      val toAdd =
+        if (prev == null) builders(as, bs)
+        else builders(as, bs).filter(_._1.startsWith("graft_minhash"))
+      toAdd.foreach { case (name, b) =>
+        reg.createOrReplaceTempFunction(name, b, "built-in")
+      }
+      registered.put(spark,
+        if (as.nonEmpty) (as, bs) else if (prev != null) prev else (Nil, Nil))
     }
-    registered.put(spark,
-      if (as.nonEmpty) (as, bs) else if (prev != null) prev else (Nil, Nil))
-  }
 
   def dotF(spark: SparkSession, aSql: String, bSql: String): Column = {
     register(spark)

@@ -64,7 +64,14 @@ object MinHashLSH {
       bands: Int, rowsPerBand: Int): DataFrame = {
     val (as, bs) = coeffs(bands * rowsPerBand)
     graft.functions.VectorFns.register(df.sparkSession, as, bs)
-    df.withColumn("_mh", expr(s"graft_minhash_sig($shinglesCol)"))
+    // a shingle-less document (shorter than the shingle length) has an
+    // all-sentinel degenerate signature: every such doc would share
+    // every band bucket with every other, a quadratic candidate blowup
+    // on real corpora full of short docs — and Jaccard over empty sets
+    // is undefined anyway, so they can never verify as near-dups. Drop
+    // them from banding entirely.
+    df.filter(size(col(shinglesCol)) > 0)
+      .withColumn("_mh", expr(s"graft_minhash_sig($shinglesCol)"))
       .select(col(idCol), explode(expr(
         s"""transform(sequence(0, ${bands - 1}),
               bi -> struct(bi AS band, xxhash64(slice(_mh, bi * $rowsPerBand + 1, $rowsPerBand)) AS sig))"""))

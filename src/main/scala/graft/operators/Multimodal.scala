@@ -106,6 +106,10 @@ object Multimodal {
       ImageIO.setUseCache(false) // codec init once per partition
       rows.map { r =>
         val img = ImageIO.read(new ByteArrayInputStream(r.payload))
+        // ImageIO.read returns null (it does NOT throw) for bytes no
+        // registered reader accepts — same diagnosable-error contract
+        // as decodeAudio's RIFF guards, not a contextless task NPE
+        require(img != null, s"media ${r.media_id}: undecodable image payload")
         val (w, h) = (img.getWidth, img.getHeight)
         val raster = img.getRaster
         var cs = 0L
@@ -133,6 +137,7 @@ object Multimodal {
       ImageIO.setUseCache(false)
       rows.map { r =>
         val img = ImageIO.read(new ByteArrayInputStream(r.payload))
+        require(img != null, s"media ${r.media_id}: undecodable image payload")
         val (w, h) = (img.getWidth, img.getHeight)
         val raster = img.getRaster
         val scale = math.min(math.min(maxW.toDouble / w, maxH.toDouble / h), 1.0)
@@ -301,23 +306,33 @@ object Multimodal {
           val (w, h) = dims(id)
           val buf = new ByteArrayOutputStream()
           val ios = ImageIO.createImageOutputStream(buf)
-          writer.setOutput(ios)
-          writer.prepareWriteSequence(null)
-          var f = 0
-          while (f < clipFrames(id)) {
-            val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
-            val raster = img.getRaster
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) { raster.setSample(x, y, 0, framePixel(id, f, x, y)); x += 1 }
-              y += 1
+          // the writer is SHARED across the partition's rows: a throw
+          // mid-sequence would leave it in an open-sequence state and
+          // the stream handle leaked, so the NEXT row's
+          // prepareWriteSequence fails too — confine a bad row's damage
+          // to itself
+          try {
+            writer.setOutput(ios)
+            writer.prepareWriteSequence(null)
+            var f = 0
+            while (f < clipFrames(id)) {
+              val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+              val raster = img.getRaster
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) { raster.setSample(x, y, 0, framePixel(id, f, x, y)); x += 1 }
+                y += 1
+              }
+              writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+              f += 1
             }
-            writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
-            f += 1
-          }
-          writer.endWriteSequence()
-          ios.close()
+            writer.endWriteSequence()
+          } catch {
+            case e: Throwable =>
+              writer.reset() // clears the open sequence for the next row
+              throw e
+          } finally ios.close()
           VideoRow(id, buf.toByteArray)
         }
       }
@@ -385,8 +400,15 @@ object Multimodal {
   def sampleFrames(media: Dataset[MediaRow], stepMs: Long): DataFrame = {
     val df = media.toDF()
     df.filter(col("meta.mediaType") === "video")
+      // zero-duration media has no frames: an unguarded sequence(0, -1,
+      // step) throws 'Illegal sequence boundaries' at runtime while the
+      // oracle's range() yields empty — same guard class as the
+      // short-document gram fixes
       .withColumn("frame_ms",
-        explode(expr(s"sequence(0L, meta.durationMs - 1, ${stepMs}L)")))
+        explode(expr(
+          s"""CASE WHEN meta.durationMs > 0
+              THEN sequence(0L, meta.durationMs - 1, ${stepMs}L)
+              ELSE array() END""")))
       .select(col("media_id"), col("frame_ms"),
         xxhash64(col("payload"), col("frame_ms")).as("frame_fingerprint"))
   }
