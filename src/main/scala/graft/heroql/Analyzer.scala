@@ -48,6 +48,30 @@ object Analyzer {
       if (missing.nonEmpty)
         throw AnalysisError(
           s"${q.name}: head variables not bound by body: ${missing.mkString(", ")}")
+      // pre-binding makes the check above vacuous for IN-args — but the
+      // planner's head projection selects them from the body's frame
+      // (callers bind by joining on the result), so a body that never
+      // produces one must be a diagnostic here, not an unresolved-column
+      // Spark error later. MUTATION queries are exempt: their in-args
+      // are caller-bound (executeMutation supplies the args frame) and
+      // consumed by the mutation atoms, never projected as a head.
+      val isMutation = conj.items.exists(_.isInstanceOf[Mutation])
+      val produced = if (isMutation) Set.empty[String] else conj.items.collect {
+        case a: Atom if funcs.contains(a.rel) =>
+          funcs(a.rel).params.zip(a.args).collect {
+            case (("out", _), TVar(v)) => v
+          }.toSet
+        case a: Atom => atomVars(a)
+        case SubQuery(outVars, _) => outVars.toSet
+        case Binding(out, _) => Set(out)
+        case RankBinding(out, _, _) => Set(out)
+      }.foldLeft(Set.empty[String])(_ | _)
+      val phantom =
+        if (isMutation) Nil
+        else q.inArgs.map(_._1).filterNot(produced.contains)
+      if (phantom.nonEmpty)
+        throw AnalysisError(
+          s"${q.name}: head variables not bound by body: ${phantom.mkString(", ")}")
     }
   }
 
@@ -74,7 +98,13 @@ object Analyzer {
       case Mutation(kind, a) =>
         checkArity(decls, queries, a)
         val atVars = a.args.collect { case TAtVar(v) => v }
-        val unbound = (atomVars(a) ++ atVars) -- bound
+        // computed args (`@insert Bonus(s, x + 1)`) must also be fully
+        // bound — an unchecked TExpr surfaces later as an unresolved
+        // column at transaction time, or silently resolves against an
+        // unrelated same-named column
+        val exprRefs = a.args.collect { case TExpr(e) => exprVars(e) }
+          .foldLeft(Set.empty[String])(_ | _)
+        val unbound = (atomVars(a) ++ atVars ++ exprRefs) -- bound
         if (unbound.nonEmpty)
           throw AnalysisError(
             s"@$kind ${a.rel}: unbound variable(s) ${unbound.mkString(", ")}")
@@ -87,7 +117,10 @@ object Analyzer {
         bound |= atomVars(a)
       case SubQuery(outVars, body) =>
         body.alts.foreach { alt =>
-          val b = analyzeConj(decls, queries, alt)
+          // funcs pass through: the planner supports func atoms inside
+          // sub-rule bodies, so the analyzer must not reject them as
+          // unknown relations
+          val b = analyzeConj(decls, queries, alt, funcs = funcs)
           val missing = outVars.filterNot(b.contains)
           if (missing.nonEmpty)
             throw AnalysisError(s"sub-rule head not bound: ${missing.mkString(", ")}")
@@ -95,11 +128,15 @@ object Analyzer {
         bound |= outVars.toSet
       case Negation(a) =>
         checkArity(decls, queries, a)
-        if ((atomVars(a) & bound).isEmpty)
+        // GROUND atoms (constants/wildcards only) are safe: a constant
+        // emptiness test over the whole conjunction. Atoms with FREE
+        // variables stay rejected — unsafe negation has no finite
+        // semantics
+        if (atomVars(a).nonEmpty && (atomVars(a) & bound).isEmpty)
           throw AnalysisError(s"'not exists ${a.rel}' shares no bound variable")
       case Existence(a) =>
         checkArity(decls, queries, a)
-        if ((atomVars(a) & bound).isEmpty)
+        if (atomVars(a).nonEmpty && (atomVars(a) & bound).isEmpty)
           throw AnalysisError(s"'exists ${a.rel}' shares no bound variable")
       case Binding(out, value) =>
         requireBound(exprVars(value), bound, s"binding of $out")

@@ -72,6 +72,7 @@ object Parser {
           if (src(i) == '\\' && i + 1 < n) { sb += src(i + 1); i += 2 }
           else { sb += src(i); i += 1 }
         }
+        if (i >= n) throw ParseError("unterminated interpolated string literal", i)
         i += 1
         out += TIStr(sb.toString)
       } else if (c == '"' || c == '\'') {
@@ -82,6 +83,7 @@ object Parser {
           if (src(i) == '\\' && i + 1 < n) { sb += src(i + 1); i += 2 }
           else { sb += src(i); i += 1 }
         }
+        if (i >= n) throw ParseError("unterminated string literal", i)
         i += 1
         out += TStr(sb.toString)
       } else {
@@ -835,13 +837,11 @@ object Parser {
       case t => throw ParseError(s"bad term $t", pos - 1)
     }
 
-    private def comparison(): Item = {
-      val l = exprP()
-      val op = next() match {
-        case TSym(o) if Seq("<", "<=", ">", ">=", "==", "!=", "=").contains(o) => o
-        case t => throw ParseError(s"expected comparison operator, got $t", pos - 1)
-      }
-      Compare(if (op == "=") "==" else op, l, exprP())
+    // one operator list (comparisonExpr's); a new operator can't drift
+    // between the Item and Expr forms
+    private def comparison(): Item = comparisonExpr() match {
+      case ECmp(op, l, r) => Compare(op, l, r)
+      case other => throw ParseError(s"expected comparison, got $other", pos - 1)
     }
 
     // expression grammar: addSub ::= mulDiv (('+'|'-') mulDiv)*
@@ -933,7 +933,13 @@ object Parser {
     }
 
     private def numLit(s: String): Lit =
-      if (s.contains('.')) LDouble(s.toDouble) else LInt(s.toLong)
+      // a raw NumberFormatException (multi-dot '1.2.3', overflowing
+      // 20-digit integer) has no position and escapes boolPrim's
+      // ParseError-only backtracking — surface it as a ParseError
+      try if (s.contains('.')) LDouble(s.toDouble) else LInt(s.toLong)
+      catch { case _: NumberFormatException =>
+        throw ParseError(s"malformed numeric literal '$s'", pos)
+      }
     private def negate(l: Lit): Lit = l match {
       case LInt(v) => LInt(-v)
       case LDouble(v) => LDouble(-v)

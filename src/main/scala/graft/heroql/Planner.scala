@@ -336,11 +336,21 @@ final class Planner(decls: Map[String, DataDecl],
       case Negation(a) =>
         val av = atomVarSeq(a)
         val shared = av.filter(st.bound.contains)
-        st = st.copy(df = Some(st.df.get.join(atomDf(a), shared, "left_anti")))
+        // GROUND negation (all constants/wildcards — no shared vars):
+        // a constant condition over the whole conjunction. An anti join
+        // on a literally-true condition keeps every row iff the probed
+        // relation is empty — lazy, and the probe side is one row max
+        st = st.copy(df = Some(
+          if (shared.isEmpty)
+            st.df.get.join(broadcast(atomDf(a).limit(1)), lit(true), "left_anti")
+          else st.df.get.join(atomDf(a), shared, "left_anti")))
       case Existence(a) =>
         val av = atomVarSeq(a)
         val shared = av.filter(st.bound.contains)
-        st = st.copy(df = Some(st.df.get.join(atomDf(a), shared, "left_semi")))
+        st = st.copy(df = Some(
+          if (shared.isEmpty)
+            st.df.get.join(broadcast(atomDf(a).limit(1)), lit(true), "left_semi")
+          else st.df.get.join(atomDf(a), shared, "left_semi")))
       case Binding(out, value) =>
         st = st.copy(df = Some(st.df.get.withColumn(out, exprCol(value))),
           bound = st.bound + out)

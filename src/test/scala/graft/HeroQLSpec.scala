@@ -281,6 +281,64 @@ class HeroQLParserSpec extends AnyFunSuite {
     Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 10L)).toDF("a", "b")
   }
 
+  test("front-end diagnostics: unterminated strings, phantom in-args, unbound mutation exprs") {
+    // unterminated literal: a positioned ParseError, not a swallowed tail
+    val e1 = intercept[Parser.ParseError] {
+      Parser.parse("""data T(x: string). query Q(x: string) :- T(x), x == "abc.""")
+    }
+    assert(e1.msg.contains("unterminated"), e1.msg)
+    // an in-arg the body never produces: the analyzer's diagnostic, not
+    // an unresolved-column Spark error from the head projection
+    def analyzeOf(src: String, name: String): Unit = {
+      val ast = Parser.parse(src)
+      Analyzer.analyze(ast.datas.map(d => d.name -> d).toMap,
+        ast.queries.map(q => q.name -> q).toMap,
+        ast.queries.find(_.name == name).get)
+    }
+    val e2 = intercept[Analyzer.AnalysisError] {
+      analyzeOf(
+        """data E(y: int64, z: int64).
+          |query Q(x: int64) :- E(y, z), y < z
+          |.""".stripMargin, "Q")
+    }
+    assert(e2.getMessage.contains("not bound by body"), e2.getMessage)
+    // a computed mutation argument referencing an unbound variable
+    val ast3 = Parser.parse(
+      """data S(s: int64). data Bonus(s: int64, b: int64).
+        |transaction query M() :- S(s), @insert Bonus(s, x + 1)
+        |.""".stripMargin)
+    val e3 = intercept[Analyzer.AnalysisError] {
+      Analyzer.analyzeConj(ast3.datas.map(d => d.name -> d).toMap, Map.empty,
+        Ast.Conj(ast3.transactions.head.items))
+    }
+    assert(e3.getMessage.contains("unbound"), e3.getMessage)
+  }
+
+  test("ground negation/existence: all-constant atoms are constant emptiness tests") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    val t = Seq(1L, 2L, 3L).toDF("x")
+    val flag = Seq(7L).toDF("f")
+    val src =
+      """data T(x: int64).
+        |data Flag(f: int64).
+        |query KeepIfNo9(x: int64) :- T(x), not exists Flag(9)
+        |.
+        |query KeepIf7(x: int64) :- T(x), exists Flag(7)
+        |.""".stripMargin
+    val no9 = HeroQL.compile(src, "KeepIfNo9", Map("T" -> t, "Flag" -> flag))
+      .collect().map(_.getLong(0)).toSet
+    assert(no9 == Set(1L, 2L, 3L), "Flag(9) absent: negation keeps all rows")
+    val has7 = HeroQL.compile(src, "KeepIf7", Map("T" -> t, "Flag" -> flag))
+      .collect().map(_.getLong(0)).toSet
+    assert(has7 == Set(1L, 2L, 3L), "Flag(7) present: existence keeps all rows")
+    val no7 = HeroQL.compile(src, "KeepIfNo9",
+      Map("T" -> t, "Flag" -> Seq(9L).toDF("f")))
+      .collect().map(_.getLong(0)).toSet
+    assert(no7 == Set.empty[Long], "Flag(9) present: ground negation drops all rows")
+  }
+
   test("self-recursive rule evaluates via the semi-naive fixpoint (linear)") {
     val src =
       """data E(a: int64, b: int64).
