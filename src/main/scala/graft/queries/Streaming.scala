@@ -10,9 +10,11 @@ import graft.streaming.EventStreams
   * `StreamingSpec` — Structured Streaming's unified API is the point:
   * one declarative definition, two execution modes.
   *
-  * Oracle caveat: `events.ts` is nanosecond-precision parquet; Spark
-  * timestamps are microsecond, so every oracle casts ts down to
-  * microseconds before bucketing.
+  * Oracle caveat: `events.ts` has shipped as both nanosecond INT64 and
+  * `timestamp[us]` parquet across driver rounds; the Spark side adapts
+  * via [[graft.streaming.EventStreams]]'s typed adapters and every
+  * oracle casts ts to a microsecond TIMESTAMP before bucketing (a
+  * no-op on the new schema, a truncation on the old).
   */
 object Streaming extends QueryPack {
 
@@ -29,16 +31,17 @@ object Streaming extends QueryPack {
     * gap-based islands analysis (30-minute inactivity closes a
     * session, st3's rule) that the streaming `session_window` form
     * cannot express — ordinals need the user's full ordered history.
-    * Works on the RAW nanosecond longs (no timestamp narrowing): gap
-    * comparison, bounds, and duration are exact integer arithmetic in
-    * both engines. The lag/running-sum windows partition per user —
-    * bounded by one user's event count, never a viral key; the single
-    * exchange carries (user_id, ts, value, event_id). */
+    * Works on exact BIGINT nanos from [[EventStreams.tsNanos]] (either
+    * physical ts schema): gap comparison, bounds, and duration are
+    * exact integer arithmetic in both engines. The lag/running-sum
+    * windows partition per user — bounded by one user's event count,
+    * never a viral key; the single exchange carries
+    * (user_id, tns, value, event_id). */
   private def ev1(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("tns", "event_id")
-    t(s, d, "events")
-      .select(col("user_id"), col("ts").as("tns"), col("value"), col("event_id"))
+    EventStreams.tsNanos(t(s, d, "events"), "tns")
+      .select(col("user_id"), col("tns"), col("value"), col("event_id"))
       .withColumn("new_sess",
         when(col("tns") - lag("tns", 1).over(w) > 1800000000000L, 1L).otherwise(0L))
       .withColumn("session_id", lit(1L) + sum("new_sess").over(

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Streaming analytics over the `events` table.
   *
@@ -22,14 +23,58 @@ import org.apache.spark.sql.functions._
   */
 object EventStreams {
 
-  /** `events.ts` is nanosecond-precision parquet, which Spark's reader
-    * rejects; sessions set `spark.sql.legacy.parquet.nanosAsLong=true`
-    * so it arrives as a long, and this converts (truncates) it to a
-    * microsecond TIMESTAMP_NTZ — the same truncation the DuckDB oracles
-    * apply with `CAST(ts AS TIMESTAMP)`. */
+  /** The driver has shipped `events.ts` under two physical parquet
+    * schemas across rounds: INT64 epoch-nanoseconds (arriving as a
+    * LongType under `spark.sql.legacy.parquet.nanosAsLong=true`) and
+    * plain `timestamp[us]` (arriving as TIMESTAMP_NTZ, or TIMESTAMP if
+    * the file is flagged adjusted-to-UTC). Every events consumer goes
+    * through one of the three adapters below, keyed on the column's
+    * actual `DataType`, so either physical schema produces identical
+    * logical values (sessions run with timezone pinned to UTC, making
+    * NTZ↔instant casts value-preserving).
+    */
+
+  /** Normalize `ts` to a microsecond TIMESTAMP_NTZ — the same
+    * truncation the DuckDB oracles apply with `CAST(ts AS TIMESTAMP)`. */
   def normalizeTs(events: DataFrame): DataFrame =
-    events.withColumn("ts",
-      expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+    events.schema("ts").dataType match {
+      case LongType => // legacy INT64 epoch-nanos
+        events.withColumn("ts",
+          expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+      case TimestampNTZType => events
+      case TimestampType =>
+        events.withColumn("ts", col("ts").cast(TimestampNTZType))
+      case other =>
+        throw new IllegalArgumentException(s"unsupported events.ts type: $other")
+    }
+
+  /** Derive an exact BIGINT epoch-nanoseconds column `out` from `ts`.
+    * Long input passes through untouched (full nano precision);
+    * timestamp input is microsecond physical, so `unix_micros * 1000`
+    * is exact — the integer arithmetic consumers (ev1's gap islands)
+    * stay in BIGINT either way, never a double. */
+  def tsNanos(events: DataFrame, out: String = "tns"): DataFrame =
+    events.schema("ts").dataType match {
+      case LongType => events.withColumn(out, col("ts"))
+      case TimestampNTZType | TimestampType =>
+        events.withColumn(out,
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000L"))
+      case other =>
+        throw new IllegalArgumentException(s"unsupported events.ts type: $other")
+    }
+
+  /** Normalize `ts` to an instant TIMESTAMP (streaming watermarks
+    * require TimestampType, not NTZ). */
+  def tsInstant(events: DataFrame): DataFrame =
+    events.schema("ts").dataType match {
+      case LongType =>
+        events.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        events.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => events
+      case other =>
+        throw new IllegalArgumentException(s"unsupported events.ts type: $other")
+    }
 
   /** Tumbling 1-day window per event_type: count + sum(value). */
   def tumblingDaily(events: DataFrame): DataFrame =
@@ -95,8 +140,7 @@ object EventStreams {
   def streamStreamSignupJoin(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val staged = stageDir(dir)
-    def src() = spark.readStream.schema(schema).parquet(staged)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    def src() = tsInstant(spark.readStream.schema(schema).parquet(staged))
     val signups = src().filter(col("event_type") === "signup")
       .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
         col("ts").as("ts0"))
@@ -142,8 +186,7 @@ object EventStreams {
   def streamed(spark: SparkSession, dir: String,
       transform: DataFrame => DataFrame, watermark: String = "1 hour"): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val src = spark.readStream.schema(schema).parquet(stageDir(dir))
-    val tsInstant = src.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    transform(tsInstant.withWatermark("ts", watermark))
+    val src = tsInstant(spark.readStream.schema(schema).parquet(stageDir(dir)))
+    transform(src.withWatermark("ts", watermark))
   }
 }

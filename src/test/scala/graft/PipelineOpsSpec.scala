@@ -191,8 +191,9 @@ class PipelineOpsSpec extends SparkSpec {
   test("ev1: sessions partition each user's events and respect the 30-minute gap") {
     val out = q(graft.queries.Streaming, "ev1_sessionization", sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
-    val events = Tables.t(spark, sf, "events")
-      .select("user_id", "ts").collect()
+    val events = graft.streaming.EventStreams
+      .tsNanos(Tables.t(spark, sf, "events"), "tns")
+      .select("user_id", "tns").collect()
       .map(r => r.getLong(0) -> r.getLong(1))
       .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).sorted }
     // per user: session event counts sum to the user's event count
