@@ -182,6 +182,131 @@ final class Planner(decls: Map[String, DataDecl],
     }.toSet
   }
 
+  /** Magic-sets demand restriction (sideways information passing) for
+    * constants demanded at NON-invariant head positions — the general
+    * form of the reference's serve-a-query-from-the-provided-value
+    * index-cover design (`Kernel/README.md:142-157`), where
+    * [[invariantPositions]] only covers the pass-through case.
+    *
+    * Adornment: the demanded fields B are "bound". Per recursive
+    * alternative, a binding-propagation pass over the non-self items
+    * finds which are evaluable from B alone (an atom joinable on a
+    * bound variable binds its variables; a binding whose expression is
+    * bound binds its output; bound filters restrict). The alternative
+    * is magic-eligible iff every self-atom argument at a B position is
+    * a constant or a bound variable — then the magic rule
+    * `magic(selfArgs|B) ← magic(head|B) ⋈ includedItems` enumerates a
+    * SUPERSET of the recursive calls any demanded derivation makes
+    * (included ⊆ body constraints, so every real derivation passes the
+    * join). The magic set is the least fixpoint of those rules from the
+    * demanded constants; restricting every round of the main loop to
+    * tuples whose B-projection ∈ magic is then complete for the demand:
+    * each kept tuple's derivations consume only kept tuples.
+    *
+    * Returns None (→ full evaluation, always sound) when any
+    * alternative is opaque (self-reference through a sub-rule or
+    * another query), has an unbindable or wildcard self-atom B
+    * argument, or the magic closure fails to converge. Work at scale:
+    * the magic loop touches only the demanded slice's ancestry — for a
+    * point query on a hierarchy, O(depth · fan-in) tuples instead of
+    * the full transitive closure. */
+  private def magicRestriction(q: QueryDecl,
+      demand: Seq[(String, Lit)]): Option[DataFrame] = {
+    val head = (q.inArgs ++ q.outArgs).map(_._1)
+    val types = (q.inArgs ++ q.outArgs).map(_._2)
+    val boundFields = demand.map(_._1)
+    val boundIdx = boundFields.map(head.indexOf)
+    val recAlts = q.body.alts.filter(conjRefCount(_, q.name, through = false) > 0)
+    val opaque = recAlts.exists { c =>
+      conjRefCount(c, q.name, through = true) !=
+        conjRefCount(c, q.name, through = false) ||
+      c.items.exists {
+        case SubQuery(_, body) => selfRefCount(body, q.name, through = false) > 0
+        case _ => false
+      }
+    }
+    if (opaque) return None
+    def reachesRec(rel: String): Boolean =
+      rel != q.name && !decls.contains(rel) && queryDecls.contains(rel) &&
+        selfRefCount(queryDecls(rel).body, q.name, through = true) > 0
+    // per recursive alternative: (sideways items in body order, self atoms)
+    val rules = recAlts.map { c =>
+      val selfIdx = c.items.zipWithIndex.collect {
+        case (a: Atom, i) if a.rel == q.name => i
+      }.toSet
+      val selfAtoms = c.items.zipWithIndex.collect {
+        case (a: Atom, i) if selfIdx(i) => a
+      }
+      var bound = boundFields.toSet
+      val included = scala.collection.mutable.LinkedHashSet.empty[Int]
+      var changed = true
+      while (changed) {
+        changed = false
+        c.items.zipWithIndex.foreach {
+          case (_, i) if selfIdx(i) || included(i) => ()
+          case (a: Atom, i) if !funcs.contains(a.rel) && !reachesRec(a.rel) &&
+              a.args.forall { case _: TExpr | _: TTyped => false; case _ => true } &&
+              atomVarSeq(a).exists(bound) =>
+            included += i; bound ++= atomVarSeq(a); changed = true
+          case (Binding(out, e), i) if Analyzer.exprVars(e).subsetOf(bound) =>
+            included += i; bound += out; changed = true
+          case (Compare(_, l, r), i)
+              if (Analyzer.exprVars(l) ++ Analyzer.exprVars(r)).subsetOf(bound) =>
+            included += i; changed = true
+          case (Filter(e), i) if Analyzer.exprVars(e).subsetOf(bound) =>
+            included += i; changed = true
+          case _ => ()
+        }
+      }
+      val eligible = selfAtoms.forall { a =>
+        boundIdx.forall(i => a.args.lift(i).exists {
+          case TVar(v) => bound(v)
+          case _: TConst => true
+          case _ => false
+        })
+      }
+      if (!eligible) return None
+      (c.items.zipWithIndex.collect { case (it, i) if included(i) => it },
+        selfAtoms)
+    }
+    val spark = catalog.headOption.map(_._2.sparkSession).getOrElse(
+      org.apache.spark.sql.SparkSession.active)
+    def castTo(cCol: Column, i: Int): Column =
+      if (types(i).isEmpty) cCol.as(head(i))
+      else cCol.cast(sparkType(types(i))).as(head(i))
+    val seed = spark.range(1).select(boundIdx.zip(demand).map {
+      case (i, (_, l)) => castTo(litOf(l), i)
+    }: _*).localCheckpoint()
+    var deltas = List(seed)
+    def acc: DataFrame = deltas.reduce(_ union _)
+    var delta = seed
+    var iter = 0
+    var done = false
+    while (!done && iter < Planner.fixpointMaxIter) {
+      val derived = rules.flatMap { case (items, selfAtoms) =>
+        val ctx =
+          if (items.isEmpty) delta
+          else planConj(Conj(items), State(Some(delta), boundFields.toSet, Seq.empty))
+        selfAtoms.map { a =>
+          ctx.select(boundIdx.map { i =>
+            a.args(i) match {
+              case TVar(v) => castTo(col(v), i)
+              case TConst(l) => castTo(litOf(l), i)
+              case t => throw Analyzer.AnalysisError(
+                s"magic projection: unexpected term $t") // excluded above
+            }
+          }: _*)
+        }
+      }.reduce(_ union _)
+      val fresh = derived.except(acc).localCheckpoint()
+      if (fresh.take(1).isEmpty) done = true
+      else { deltas ::= fresh; delta = fresh }
+      iter += 1
+    }
+    if (!done) None // magic closure itself diverged — full eval is sound
+    else Some(acc.localCheckpoint())
+  }
+
   /** Self-recursive rule → semi-naïve fixpoint (SURVEY §2.3 J7 from the
     * language surface; evaluation mirrors [[graft.operators.Fixpoint]]):
     * base alternatives seed the accumulator, each round plans only the
@@ -197,18 +322,20 @@ final class Planner(decls: Map[String, DataDecl],
     * route for functional edges — this is the general evaluator.
     *
     * `demand` (field name → constant) restricts the loop to a slice of
-    * the fixpoint: sound ONLY for invariant positions (see
-    * [[invariantPositions]]) — the caller guarantees that. The base
-    * alternatives are filtered to the constants and, because the
-    * recursion passes those positions through unchanged, every round
-    * stays inside the slice: work ∝ the demanded slice, not the full
-    * closure. */
+    * the fixpoint. A constant at an INVARIANT position (see
+    * [[invariantPositions]]) filters the base alternatives and the
+    * recursion keeps every round inside the slice. A constant at a
+    * non-invariant position routes through [[magicRestriction]]: the
+    * magic set of relevant B-projections is computed first, and every
+    * round's fresh tuples are semi-joined against it. Either way work ∝
+    * the demanded slice, not the full closure; ineligible demand
+    * degrades to full evaluation (always sound — the calling atom
+    * re-applies the constants as filters). */
   private def planFixpoint(q: QueryDecl, demand: Seq[(String, Lit)] = Nil,
       maxIter: Int = Planner.fixpointMaxIter): DataFrame = {
     if (planning.contains(q.name))
       throw Analyzer.AnalysisError(
         s"recursive query ${q.name}: already calculating (mutual recursion is not supported; self-recursive rules evaluate via the fixpoint)")
-    Planner.lastFixpointDemand = demand.map(_._1)
     planning += q.name
     val spark = catalog.headOption.map(_._2.sparkSession).getOrElse(
       org.apache.spark.sql.SparkSession.active)
@@ -267,10 +394,22 @@ final class Planner(decls: Map[String, DataDecl],
           case df if df.queryExecution.optimizedPlan.stats.sizeInBytes
               <= Planner.edbCacheMaxBytes => r -> df.localCheckpoint()
         }).toMap
-      val base = baseAlts.map { c =>
+      val headFields = (q.inArgs ++ q.outArgs).map(_._1)
+      val inv = if (demand.isEmpty) Set.empty[Int] else invariantPositions(q)
+      val (invDemand, magicDemand) =
+        demand.partition { case (f, _) => inv(headFields.indexOf(f)) }
+      val magicSet =
+        if (magicDemand.isEmpty) None else magicRestriction(q, magicDemand)
+      Planner.lastFixpointDemand = invDemand.map(_._1) ++
+        (if (magicSet.isDefined) magicDemand.map(_._1) else Nil)
+      def restrict(df: DataFrame): DataFrame = magicSet match {
+        case Some(m) => df.join(m, magicDemand.map(_._1), "left_semi")
+        case None => df
+      }
+      val base = restrict(baseAlts.map { c =>
           val df = headed(q, planConj(c))
-          demand.foldLeft(df) { case (d, (f, l)) => d.filter(col(f) === litOf(l)) }
-        }.reduce(_ union _)
+          invDemand.foldLeft(df) { case (d, (f, l)) => d.filter(col(f) === litOf(l)) }
+        }.reduce(_ union _))
         .distinct().localCheckpoint()
       // accumulator = union of checkpointed per-round deltas: each round
       // materializes only its OWN fresh tuples (re-checkpointing the
@@ -289,7 +428,7 @@ final class Planner(decls: Map[String, DataDecl],
           try headed(q, planConj(c))
           finally recursionBinding -= q.name
         }.reduce(_ union _)
-        val fresh = derived.except(acc).localCheckpoint()
+        val fresh = restrict(derived).except(acc).localCheckpoint()
         if (fresh.take(1).isEmpty) done = true
         else {
           deltas ::= fresh
@@ -297,6 +436,7 @@ final class Planner(decls: Map[String, DataDecl],
         }
         iter += 1
       }
+      Planner.lastFixpointAccRows = deltas.map(_.count()).sum
       if (!done)
         throw Analyzer.AnalysisError(
           s"recursive query ${q.name}: did not converge within $maxIter rounds")
@@ -324,8 +464,9 @@ final class Planner(decls: Map[String, DataDecl],
       bound: Set[String],
       partition: Seq[String])
 
-  private def planConj(conj: Conj): DataFrame = {
-    var st = State(None, Set.empty, Seq.empty)
+  private def planConj(conj: Conj,
+      init: State = State(None, Set.empty, Seq.empty)): DataFrame = {
+    var st = init
     conj.items.foreach {
       case a: Atom if funcs.contains(a.rel) =>
         st = funcAtom(st, funcs(a.rel), a)
@@ -1146,17 +1287,18 @@ final class Planner(decls: Map[String, DataDecl],
         // inside a recursive alternative, the self-atom is the loop
         // state (delta/accumulator), never a plan() re-entry
         val df = recursionBinding.getOrElse(a.rel, {
-          // demand-seeded recursion: a constant at an invariant position
-          // evaluates only the demanded slice of the fixpoint (the
+          // demand-driven recursion: every constant argument becomes a
+          // demand — planFixpoint seeds invariant positions directly
+          // and routes the rest through the magic-sets restriction
+          // (falling back to the full loop when ineligible); the
           // constant filters below then no-op on the already-restricted
-          // result); non-invariant demand falls back to the full loop
+          // result (or apply the final slice after a fallback)
           val demand =
-            if (selfRefCount(q.body, q.name, through = false) > 0) {
-              val inv = invariantPositions(q)
+            if (selfRefCount(q.body, q.name, through = false) > 0)
               a.args.zipWithIndex.collect {
-                case (TConst(l), i) if inv(i) => fs(i) -> l
+                case (TConst(l), i) => fs(i) -> l
               }
-            } else Nil
+            else Nil
           if (demand.nonEmpty) fixpointFor(q, demand) else plan(q)
         })
         (fs, df)
@@ -1217,6 +1359,11 @@ object Planner {
     * seeded with (empty = full evaluation) — observability for specs
     * asserting the seeded path actually engaged vs fell back. */
   private[graft] var lastFixpointDemand: Seq[String] = Nil
+
+  /** Total accumulated (delta-union) rows of the most recent fixpoint —
+    * observability for specs asserting a demand restriction actually
+    * shrank the evaluated set, not just the projected result. */
+  private[graft] var lastFixpointAccRows: Long = -1L
 
   /** Round cap for the rule fixpoint — a diagnostic backstop against
     * value-generating recursion (x <- y + 1 derives a fresh tuple every

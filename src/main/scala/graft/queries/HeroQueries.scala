@@ -87,6 +87,10 @@ query DescOf(d: int64)
 :-  Anc(d, 5)
 .
 
+query AncestorsOf(a: int64)
+:-  Anc(150, a)
+.
+
 query Quad(pk: int64) -> (delta: double, x1: double, x2: double)
 :-  Coef(pk, a, b, c),
     delta <- b*b - 4*a*c,
@@ -331,6 +335,7 @@ query Scrubbed(id: int64) -> (sh: int64, rfp: int64)
     "hq21_recursive_rule" -> (run("Anc") _),
     "hq22_recursive_aggregate" -> (run("AncCount") _),
     "hq23_demand_recursion" -> (run("DescOf") _),
+    "hq24_magic_sets" -> (run("AncestorsOf") _),
   )
 
   private val examsSql =
@@ -507,5 +512,17 @@ query Scrubbed(id: int64) -> (sh: int64, rfp: int64)
            SELECT p.child, a.anc
            FROM ($parentsSql) p JOIN anc a ON p.parent = a.child)
          SELECT child AS d FROM anc WHERE anc = 5""",
+    // magic-sets demand: Anc invoked with a constant at its
+    // NON-invariant position (the child) — the magic restriction
+    // evaluates only node 150's ancestor chain (O(depth²) tuples, vs
+    // the 17,954-row full closure); the oracle computes the same rows
+    // from the full closure — results must coincide exactly
+    "hq24_magic_sets" ->
+      s"""WITH RECURSIVE anc AS (
+           SELECT child, parent AS anc FROM ($parentsSql)
+           UNION
+           SELECT p.child, a.anc
+           FROM ($parentsSql) p JOIN anc a ON p.parent = a.child)
+         SELECT anc AS a FROM anc WHERE child = 150""",
   )
 }

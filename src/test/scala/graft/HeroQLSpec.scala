@@ -88,12 +88,12 @@ class HeroQLParserSpec extends AnyFunSuite {
       Conj(Seq(Atom("Mother", Seq(TVar("parent"), TVar("child")))))))
   }
 
-  test("golden: the full HeroQueries program parses (20 queries + 4 funcs + 1 union)") {
+  test("golden: the full HeroQueries program parses (21 queries + 4 funcs + 1 union)") {
     val p = Parser.parse(HeroQueries.program)
     assert(p.datas.size == 8)
     assert(p.queries.map(_.name) == Seq("Top10", "Top3PerStudent", "AvgTop3",
       "Parents", "GrandParents", "GrandParentsSub", "Anc", "AncCount", "DescOf",
-      "Quad", "Childless", "Graded",
+      "AncestorsOf", "Quad", "Childless", "Graded",
       "ShapeAreas", "BoxedAreas", "FibOf", "ChooseOf",
       "BoolSieve", "EitherParent", "EnsuredScores", "Described"))
     assert(p.funcs.map(_.name) == Seq("Grade", "Area", "Fib", "Comb"))
@@ -413,8 +413,8 @@ class HeroQLParserSpec extends AnyFunSuite {
     assert(into == Set(1L, 2L, 3L, 4L), s"got $into")
     val from = HeroQL.compile(src, "From", Map("E" -> chainEdges))
       .collect().map(_.getLong(0)).toSet
-    assert(Planner.lastFixpointDemand.isEmpty,
-      "non-invariant demand must fall back to the full fixpoint")
+    assert(Planner.lastFixpointDemand == Seq("a"),
+      s"non-invariant demand must engage the magic-sets restriction: ${Planner.lastFixpointDemand}")
     assert(from == Set(2L, 3L, 4L, 5L, 10L), s"got $from")
   }
 
@@ -596,6 +596,24 @@ class HeroQLRuntimeSpec extends SparkSpec {
       .select(graft.operators.TextFns.fingerprintOf(col("text")))
       .head().getLong(0)
     assert(got(1L)._2 != rawFp, "redact(text) left the email in place")
+  }
+
+  test("hq24 magic sets: the restricted fixpoint evaluates a small fraction of the closure") {
+    // the gate's real point: Anc(150, a) must NOT materialize the full
+    // ancestor closure — the magic restriction keeps the accumulated
+    // rows to node 150's ancestor chain (O(depth²)), and the result
+    // still matches the full-closure slice
+    val full = graft.queries.HeroQueries.queries("hq21_recursive_rule")(spark, sf)
+      .count()
+    val got = graft.queries.HeroQueries.queries("hq24_magic_sets")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(graft.heroql.Planner.lastFixpointDemand == Seq("child"),
+      s"magic restriction did not engage: ${graft.heroql.Planner.lastFixpointDemand}")
+    val acc = graft.heroql.Planner.lastFixpointAccRows
+    assert(acc > 0 && acc < full / 10,
+      s"restricted fixpoint accumulated $acc rows vs $full full-closure rows")
+    // ancestors of 150 under parent = child // 2: 75, 37, 18, 9, 4, 2, 1
+    assert(got == Set(75L, 37L, 18L, 9L, 4L, 2L, 1L), s"got $got")
   }
 
   test("recursive Fib: demand-driven memo matches the closed sequence") {

@@ -204,6 +204,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: magic-sets fixpoint equals full-closure-then-filter on random cyclic graphs (5 cases)") {
+    import spark.implicits._
+    // demand at the NON-invariant position (the self-atom carries m,
+    // not the head's a) routes through the magic-sets restriction —
+    // the restricted loop must still produce exactly the full closure's
+    // demanded slice, on arbitrary graphs, cycles included
+    val src =
+      """data E(a: int64, b: int64).
+        |query Reach(a: int64, b: int64)
+        |:- E(a, b)
+        |;  E(a, m), Reach(m, b)
+        |.
+        |query From(b: int64)
+        |:- Reach(3, b)
+        |.""".stripMargin
+    (1 to 5).foreach { _ =>
+      val edges = (0 until (rnd.nextInt(35) + 10)).map { _ =>
+        (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong)
+      }.filter(e => e._1 != e._2).distinct.toDF("child", "parent")
+      val e = edges.select(col("child").as("a"), col("parent").as("b"))
+      val restricted = graft.heroql.HeroQL.compile(src, "From", Map("E" -> e))
+        .collect().map(_.getLong(0)).toSet
+      assert(graft.heroql.Planner.lastFixpointDemand == Seq("a"),
+        s"magic restriction did not engage: ${graft.heroql.Planner.lastFixpointDemand}")
+      val full = graft.heroql.HeroQL.compile(src, "Reach", Map("E" -> e))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = full.collect { case (a, b) if a == 3L => b }
+      assert(restricted == want,
+        s"extra=${restricted -- want} missing=${want -- restricted}")
+    }
+  }
+
   test("property: functional pointer-doubling closure agrees on forests (5 cases)") {
     import spark.implicits._
     (1 to 5).foreach { _ =>
