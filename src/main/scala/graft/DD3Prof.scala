@@ -55,6 +55,38 @@ object DD3Prof {
           .dropDuplicates("a_id", "b_id").count()
         println(s"  verified pairs: $n")
       }
+      phase("verify-mapPartitions") {
+        import spark.implicits._
+        val arrs = hashed.select(col("doc_id"), col("h"))
+          .as[(Long, Array[Long])].collect()
+        val bmap = spark.sparkContext.broadcast(arrs.toMap)
+        val thr = 0.25
+        val n = cand.as[(Long, Long)].mapPartitions { it =>
+          val m = bmap.value
+          it.flatMap { case (aId, bId) =>
+            val sa = m(aId); val sb = m(bId)
+            val needed = math.ceil(thr / (1.0 + thr) * (sa.length + sb.length) - 1e-9).toInt
+            var i = 0; var j = 0; var c = 0; var dead = false
+            while (!dead && i < sa.length && j < sb.length) {
+              val ra = sa.length - i; val rb = sb.length - j
+              if (c + math.min(ra, rb) < needed) dead = true
+              else {
+                val x = sa(i); val y = sb(j)
+                if (x == y) { c += 1; i += 1; j += 1 }
+                else if (x < y) i += 1 else j += 1
+              }
+            }
+            if (dead) None
+            else {
+              val jac = c.toDouble / (sa.length + sb.length - c)
+              if (jac >= thr) Some((aId, bId, jac)) else None
+            }
+          }
+        }.toDF("a_id", "b_id", "jaccard")
+          .dropDuplicates("a_id", "b_id").count()
+        println(s"  verified pairs: $n")
+        bmap.destroy()
+      }
     }
     spark.stop()
   }

@@ -342,6 +342,45 @@ object VectorFns {
       copy(left = l, right = r)
   }
 
+  /** Positionwise agreement count of two equal-length long arrays — the
+    * MinHash Jaccard estimator's numerator (agreeing signature
+    * components / k). One tight loop inside whole-stage codegen; the
+    * interpreted `zip_with … filter` HOF chain it replaces allocated an
+    * intermediate boolean array per pair. */
+  case class SigAgreeCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var i = 0; var c = 0
+      while (i < n) {
+        if (a.getLong(i) == b.getLong(i)) c += 1
+        i += 1
+      }
+      c
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i"); val c = ctx.freshName("c")
+        val n = ctx.freshName("n")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |int $c = 0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.getLong($i) == $b.getLong($i)) $c++;
+           |}
+           |${ev.value} = $c;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** Intersection count of two SORTED long arrays (hashed shingles) via
     * a single merge scan, inside whole-stage codegen. Long compares beat
     * the UTF8String variant ~3× and the 8-byte elements shrink the
@@ -555,6 +594,7 @@ object VectorFns {
       "graft_dot_f" -> (exprs => DotProductF(exprs(0), exprs(1))),
       "graft_sorted_intersect" -> (exprs => SortedIntersectCount(exprs(0), exprs(1))),
       "graft_sorted_intersect_long" -> (exprs => SortedIntersectCountLong(exprs(0), exprs(1))),
+      "graft_sig_agree" -> (exprs => SigAgreeCount(exprs(0), exprs(1))),
       "graft_simhash31" -> (exprs => SimHash31(exprs.head)),
       "graft_fingerprint64" -> (exprs => Fingerprint64(exprs.head)),
       "graft_token_polyhash" -> (exprs => TokenPolyHash(exprs.head, 7L, 2147483647L)),

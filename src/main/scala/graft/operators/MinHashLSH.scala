@@ -269,28 +269,77 @@ object MinHashLSH {
     // verification: merge-scan intersect over the sorted hash arrays
     // (set sizes are preserved — a collision would need two of a doc's
     // ~10³ shingles to land on one of 2⁶⁴ values). Long compares beat
-    // UTF8String compares ~3× and the payload is ~2.5× smaller. The doc
-    // sides broadcast WHEN THEY FIT: the corpus representation (one array
-    // per doc) is orders smaller than the candidate-pair stream it joins,
-    // so shipping arrays through two shuffles — the measured bottleneck
-    // at sf0.1, ~10 GB for ~1M pairs — disappears. Past the gate the
-    // joins fall back to shuffles on doc id (co-located equi-joins),
-    // which is the only shape that survives a corpus of 10⁹ docs.
+    // UTF8String compares ~3× and the payload is ~2.5× smaller.
+    //
+    // Under the size gate (same 250k-doc × ~8 KB ≈ 2 GB ceiling a
+    // broadcast hash join would observe), verification runs as ONE
+    // mapPartitions pass over the candidate stream against a shared
+    // broadcast id→hashes map: a broadcast JOIN materializes the same
+    // map driver-side anyway, but then COPIES both ~8 KB arrays into
+    // every joined pair row — ~29 GB of memcpy for 1.8M candidates at
+    // sf0.1, the verify stage's measured dominant cost (DD3Prof:
+    // join-verify 1.18 s vs map-verify 0.81 s warm, identical pairs).
+    // The map lookup reads the arrays in place; this is the genuine
+    // per-partition-imperative case, not an expressible expression.
+    // Past the gate the joins fall back to shuffles on doc id
+    // (co-located equi-joins), the only shape that survives 10⁹ docs.
     val corpusRows = hashed.count() // hashed is checkpointed — cache scan
-    val sa = hashed.select(col(idCol).as("a_id"), col("h").as("sa"))
-    val sb = hashed.select(col(idCol).as("b_id"), col("h").as("sb"))
-    // ~10³ shingle hashes ≈ 8 KB/doc → 250k docs ≈ 2 GB broadcast ceiling
-    // intersect with a threshold early-exit: the scan returns -1 the
-    // moment the remaining elements can't reach Jaccard ≥ threshold
-    // (-1 makes the jaccard negative, so the filter keeps EXACTLY the
-    // pairs the unbounded scan would — ~95% of candidates are
-    // non-duplicates and exit early)
-    cand.join(SizeGate.maybeBroadcast(sa, corpusRows, 250000L), "a_id")
-      .join(SizeGate.maybeBroadcast(sb, corpusRows, 250000L), "b_id")
-      .withColumn("inter", expr(s"graft_sorted_intersect_bounded(sa, sb, ${threshold}D)"))
-      .withColumn("jaccard", TextFns.jaccardFromIntersect("inter", "size(sa)", "size(sb)"))
-      .filter(col("jaccard") >= threshold)
-      .dropDuplicates("a_id", "b_id")
-      .select("a_id", "b_id", "jaccard")
+    val spark = docs.sparkSession
+    val cap = spark.conf.getOption(SizeGate.MaxRowsConf)
+      .map(_.toLong).getOrElse(250000L)
+    if (corpusRows <= cap) {
+      import spark.implicits._
+      val bmap = spark.sparkContext.broadcast(
+        hashed.select(col(idCol).cast("long"), col("h"))
+          .as[(Long, Array[Long])].collect().toMap)
+      val thr = threshold
+      cand.select(col("a_id").cast("long"), col("b_id").cast("long"))
+        .as[(Long, Long)]
+        .mapPartitions { it =>
+          val m = bmap.value
+          it.flatMap { case (aId, bId) =>
+            val jac = boundedJaccard(m(aId), m(bId), thr)
+            if (jac >= thr) Some((aId, bId, jac)) else None
+          }
+        }
+        .toDF("a_id", "b_id", "jaccard")
+        .dropDuplicates("a_id", "b_id")
+    } else {
+      // intersect with a threshold early-exit: the scan returns -1 the
+      // moment the remaining elements can't reach Jaccard ≥ threshold
+      // (-1 makes the jaccard negative, so the filter keeps EXACTLY the
+      // pairs the unbounded scan would — ~95% of candidates are
+      // non-duplicates and exit early)
+      val sa = hashed.select(col(idCol).as("a_id"), col("h").as("sa"))
+      val sb = hashed.select(col(idCol).as("b_id"), col("h").as("sb"))
+      cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn("inter", expr(s"graft_sorted_intersect_bounded(sa, sb, ${threshold}D)"))
+        .withColumn("jaccard", TextFns.jaccardFromIntersect("inter", "size(sa)", "size(sb)"))
+        .filter(col("jaccard") >= threshold)
+        .dropDuplicates("a_id", "b_id")
+        .select("a_id", "b_id", "jaccard")
+    }
+  }
+
+  /** Bounded-intersect exact Jaccard of two sorted long arrays — the
+    * Scala twin of [[graft.functions.VectorFns.SortedIntersectBounded]]
+    * (same early-exit, same -1-when-dead contract folded into a
+    * negative return, so filters keep exactly the unbounded scan's
+    * pairs). */
+  private def boundedJaccard(sa: Array[Long], sb: Array[Long],
+      threshold: Double): Double = {
+    val needed = math.ceil(
+      threshold / (1.0 + threshold) * (sa.length + sb.length) - 1e-9).toInt
+    var i = 0; var j = 0; var c = 0
+    while (i < sa.length && j < sb.length) {
+      val ra = sa.length - i; val rb = sb.length - j
+      if (c + (if (ra < rb) ra else rb) < needed) return -1.0
+      val x = sa(i); val y = sb(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c.toDouble / (sa.length + sb.length - c)
   }
 }

@@ -164,8 +164,8 @@ class DedupSpec extends SparkSpec {
       .select("a_id", "b_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val viaBroadcast = MinHashLSH.nearDuplicates(docs, "doc_id", "text", 5, 16, 4, 0.25)
-    assert(viaBroadcast.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
-      "under the gate the verify join must be hinted broadcast")
+    assert(viaBroadcast.queryExecution.sparkPlan.toString.contains("MapPartitions"),
+      "under the gate verification must run as the broadcast-map mapPartitions pass")
     val expected = pairs(viaBroadcast)
     // corpus "too big": gate forced shut, auto-broadcast off — the plan
     // must hold with shuffle joins only, and produce identical pairs
