@@ -194,6 +194,12 @@ object Ast {
   final case class LString(v: String) extends Lit
   final case class LBool(v: Boolean) extends Lit
 
+  /** A `stream …` statement (engine extension; the reference's
+    * serialized-apply design `Rewrite.md:11-15` is the hook: updates
+    * queue in arrival order and apply serially — here per micro-batch
+    * commit). */
+  sealed trait StreamStmt
+
   /** `stream dedup Rel(id, payload…) by fingerprint(var) into Table;`
     * — the statement form of the fp-keyed streaming dedup sink
     * ([[graft.streaming.DocStreams.dedupSinkToStoreByFp]]): rows of
@@ -201,10 +207,18 @@ object Ast {
     * incrementally against the committed corpus (first arrival = min
     * id wins), and novel rows land in store table `Table`. The first
     * variable is the id; `keyArg` names the keyed payload variable;
-    * the rest are carried by min-id. Engine extension (the reference's
-    * serialized-apply design `Rewrite.md:11-15` is the hook: updates
-    * queue in arrival order and apply serially — here per micro-batch
-    * commit). */
+    * the rest are carried by min-id. */
   final case class StreamDedup(rel: String, vars: Seq[String],
-    keyFn: String, keyArg: String, table: String)
+    keyFn: String, keyArg: String, table: String) extends StreamStmt
+
+  /** `stream sessionize Rel(user, ts, value, id) gap 30 minutes into
+    * Table;` — the statement form of the gap-based sessionization
+    * (ev1's islands analysis): rows of `Rel` arrive as micro-batches
+    * and land through atomic store commits; sessions (per-user
+    * ordinals, bounds, duration, value sum) are derived over the
+    * committed corpus and published into store table `Table`.
+    * Variables are positional: partition key, event time, summed
+    * value, tie-break id. */
+  final case class StreamSessionize(rel: String, vars: Seq[String],
+    gapSeconds: Long, table: String) extends StreamStmt
 }

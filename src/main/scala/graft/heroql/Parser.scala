@@ -1115,40 +1115,72 @@ object Parser {
     * be a reserved builtin scalar and its argument a declared variable
     * other than the id — both rejected here with the real diagnosis
     * rather than failing downstream. */
-  def parseStream(src: String): Ast.StreamDedup = {
+  def parseStream(src: String): Ast.StreamStmt = {
     val p = new P(lex(src))
     def kw(w: String): Unit = p.expectId() match {
       case `w` => ()
       case t => throw ParseError(s"expected '$w', got $t", 0)
     }
-    kw("stream"); kw("dedup")
-    val rel = p.expectId()
-    p.expectSym("(")
-    val vars = Seq.newBuilder[String]
-    var first = true
-    while (!p.at(")")) {
-      if (!first) p.expectSym(",")
-      first = false
-      vars += p.expectId()
+    def relVars(): (String, Seq[String]) = {
+      val rel = p.expectId()
+      p.expectSym("(")
+      val vars = Seq.newBuilder[String]
+      var first = true
+      while (!p.at(")")) {
+        if (!first) p.expectSym(",")
+        first = false
+        vars += p.expectId()
+      }
+      p.expectSym(")")
+      (rel, vars.result())
     }
-    p.expectSym(")")
-    val vs = vars.result()
-    if (vs.size < 2) throw ParseError(
-      "stream dedup needs an id variable and at least one payload variable", 0)
-    kw("by")
-    val fn = p.expectId()
-    if (!Builtins.scalar(fn)) throw ParseError(
-      s"stream dedup key must be a builtin scalar function, got '$fn'", 0)
-    p.expectSym("(")
-    val arg = p.expectId()
-    p.expectSym(")")
-    kw("into")
-    val table = p.expectId()
-    if (!p.eat(";")) p.expectSym(".")
-    if (!vs.contains(arg)) throw ParseError(
-      s"stream dedup key argument '$arg' is not a declared variable of $rel", 0)
-    if (arg == vs.head) throw ParseError(
-      s"stream dedup key argument '$arg' is the id variable; key a payload variable", 0)
-    Ast.StreamDedup(rel, vs, fn, arg, table)
+    def intoTable(): String = {
+      kw("into")
+      val table = p.expectId()
+      if (!p.eat(";")) p.expectSym(".")
+      table
+    }
+    kw("stream")
+    p.expectId() match {
+      case "dedup" =>
+        val (rel, vs) = relVars()
+        if (vs.size < 2) throw ParseError(
+          "stream dedup needs an id variable and at least one payload variable", 0)
+        kw("by")
+        val fn = p.expectId()
+        if (!Builtins.scalar(fn)) throw ParseError(
+          s"stream dedup key must be a builtin scalar function, got '$fn'", 0)
+        p.expectSym("(")
+        val arg = p.expectId()
+        p.expectSym(")")
+        val table = intoTable()
+        if (!vs.contains(arg)) throw ParseError(
+          s"stream dedup key argument '$arg' is not a declared variable of $rel", 0)
+        if (arg == vs.head) throw ParseError(
+          s"stream dedup key argument '$arg' is the id variable; key a payload variable", 0)
+        Ast.StreamDedup(rel, vs, fn, arg, table)
+      case "sessionize" =>
+        val (rel, vs) = relVars()
+        if (vs.size != 4) throw ParseError(
+          s"stream sessionize needs exactly (user, ts, value, id) variables, got ${vs.size}", 0)
+        kw("gap")
+        val n = p.next() match {
+          case TNum(s) => s.toLong
+          case t => throw ParseError(s"stream sessionize gap needs a number, got $t", 0)
+        }
+        if (n <= 0) throw ParseError(
+          s"stream sessionize gap must be positive, got $n", 0)
+        val unit = p.expectId() match {
+          case "s" | "sec" | "second" | "seconds" => 1L
+          case "m" | "min" | "minute" | "minutes" => 60L
+          case "h" | "hour" | "hours" => 3600L
+          case u => throw ParseError(
+            s"stream sessionize gap unit must be seconds/minutes/hours, got '$u'", 0)
+        }
+        val table = intoTable()
+        Ast.StreamSessionize(rel, vs, n * unit, table)
+      case other => throw ParseError(
+        s"unknown stream statement 'stream $other' (expected dedup or sessionize)", 0)
+    }
   }
 }

@@ -1698,23 +1698,30 @@ object HeroQL {
   def executeStream(statement: String,
       spark: org.apache.spark.sql.SparkSession,
       sources: Map[String, String],
-      store: graft.store.TableStore): DataFrame = {
-    val st = Parser.parseStream(statement)
-    val dir = sources.getOrElse(st.rel, throw Analyzer.AnalysisError(
-      s"no source bound for relation ${st.rel}"))
-    // the grammar admits any builtin as key; the sink dedups on the
-    // document fingerprint specifically (a count key would be a
-    // different operator, not a dedup)
-    if (st.keyFn != "fingerprint") throw Analyzer.AnalysisError(
-      s"stream dedup is keyed by fingerprint(…); got ${st.keyFn}")
-    // the statement's relation names the physical table under the
-    // bound warehouse dir ($dir/<rel, lowercased>.parquet) — a
-    // hard-coded file name here would silently ignore the relation
-    // and stream the wrong table
-    graft.streaming.DocStreams.dedupSinkToStoreByFp(
-      spark, dir, store, st.table,
-      idCol = st.vars.head, textCol = st.keyArg,
-      carryCols = st.vars.tail.filterNot(_ == st.keyArg),
-      sourceTable = st.rel.toLowerCase)
-  }
+      store: graft.store.TableStore): DataFrame =
+    Parser.parseStream(statement) match {
+      case st: StreamDedup =>
+        val dir = sources.getOrElse(st.rel, throw Analyzer.AnalysisError(
+          s"no source bound for relation ${st.rel}"))
+        // the grammar admits any builtin as key; the sink dedups on the
+        // document fingerprint specifically (a count key would be a
+        // different operator, not a dedup)
+        if (st.keyFn != "fingerprint") throw Analyzer.AnalysisError(
+          s"stream dedup is keyed by fingerprint(…); got ${st.keyFn}")
+        // the statement's relation names the physical table under the
+        // bound warehouse dir ($dir/<rel, lowercased>.parquet) — a
+        // hard-coded file name here would silently ignore the relation
+        // and stream the wrong table
+        graft.streaming.DocStreams.dedupSinkToStoreByFp(
+          spark, dir, store, st.table,
+          idCol = st.vars.head, textCol = st.keyArg,
+          carryCols = st.vars.tail.filterNot(_ == st.keyArg),
+          sourceTable = st.rel.toLowerCase)
+      case st: StreamSessionize =>
+        val dir = sources.getOrElse(st.rel, throw Analyzer.AnalysisError(
+          s"no source bound for relation ${st.rel}"))
+        graft.streaming.EventStreams.sessionizeSinkToStore(
+          spark, dir, store, st.table, st.gapSeconds, st.vars,
+          sourceTable = st.rel.toLowerCase)
+    }
 }

@@ -37,23 +37,21 @@ object Streaming extends QueryPack {
     * windows partition per user — bounded by one user's event count,
     * never a viral key; the single exchange carries
     * (user_id, tns, value, event_id). */
-  private def ev1(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("user_id").orderBy("tns", "event_id")
-    EventStreams.tsNanos(t(s, d, "events"), "tns")
-      .select(col("user_id"), col("tns"), col("value"), col("event_id"))
-      .withColumn("new_sess",
-        when(col("tns") - lag("tns", 1).over(w) > 1800000000000L, 1L).otherwise(0L))
-      .withColumn("session_id", lit(1L) + sum("new_sess").over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy("user_id", "session_id")
-      .agg(count(lit(1)).as("n_events"),
-        // integer div, never `/`: epoch nanos exceed double's 53-bit
-        // mantissa, a float division would corrupt the low digits
-        expr("min(tns) div 1000").as("start_us"),
-        expr("max(tns) div 1000").as("end_us"),
-        expr("(max(tns) - min(tns)) div 1000000").as("duration_ms"),
-        round(sum("value"), 6).as("sum_value"))
+  private def ev1(s: SparkSession, d: String): DataFrame =
+    EventStreams.sessionize(t(s, d, "events"), gapNanos = 1800000000000L)
+
+  /** st7 — `stream sessionize` statement form: the same islands
+    * analysis reached from PARSED HeroQL text through the streaming
+    * ingest sink (micro-batch atomic commits, then one session-table
+    * publish). Oracle identical to ev1 — a statement that mis-mapped
+    * its positional variables or its gap would sessionize wrongly and
+    * hash-mismatch. */
+  private def st7(s: SparkSession, d: String): DataFrame = {
+    val store = new graft.store.TableStore(s,
+      java.nio.file.Files.createTempDirectory("graft-sess-sink-").toString)
+    graft.heroql.HeroQL.executeStream(
+      "stream sessionize Events(user_id, ts, value, event_id) gap 30 minutes into sessions_hql;",
+      s, Map("Events" -> d), store)
   }
 
   /** st4 — streaming ingest through the store sink: a REAL streaming
@@ -96,6 +94,19 @@ object Streaming extends QueryPack {
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
   }
 
+  /** st5c — st5b's committed corpus emitted ROW-LEVEL: every surviving
+    * (doc_id, lang, n_chars) row, oracled exactly against the batch
+    * keep-min-doc_id-per-fingerprint statement. The per-lang census
+    * (st5b) can hash-match even if the stream kept a wrong-but-
+    * equinumerous row set within a language; this gate pins the exact
+    * survivor rows. */
+  private def st5c(s: SparkSession, d: String): DataFrame = {
+    val store = new graft.store.TableStore(s,
+      java.nio.file.Files.createTempDirectory("graft-dedup-rows-sink-").toString)
+    graft.streaming.DocStreams.dedupSinkToStoreByFp(s, d, store, "docs_dedup_rows")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
   /** st6 — the full streaming-dedup shape driven from PARSED HeroQL
     * text (`stream dedup … by fingerprint(…) into …`): same sink, same
     * bloom + bucket-pruned probe, reached from the language surface the
@@ -119,32 +130,39 @@ object Streaming extends QueryPack {
     "st4_store_sink" -> (st4 _),
     "st5_stream_dedup" -> (st5 _),
     "st5b_stream_dedup_fp" -> (st5b _),
+    "st5c_stream_dedup_rows" -> (st5c _),
     "st6_stream_dedup_hql" -> (st6 _),
+    "st7_stream_sessionize_hql" -> (st7 _),
     "ev1_sessionization" -> (ev1 _),
   )
 
+  // epoch_ns keeps the whole computation in exact BIGINT nanos —
+  // mirrors the Spark side's raw-long arithmetic (`//` = `div`);
+  // shared by ev1 (batch form) and st7 (statement form): same islands
+  // semantics, reached through different surfaces
+  private val sessionizeSql =
+    """WITH e AS (
+         SELECT user_id, epoch_ns(ts) AS tns, value, event_id FROM events),
+       f AS (
+         SELECT *, CASE WHEN tns - lag(tns) OVER
+             (PARTITION BY user_id ORDER BY tns, event_id) > 1800000000000
+           THEN 1 ELSE 0 END AS new_sess
+         FROM e),
+       s AS (
+         SELECT *, 1 + sum(new_sess) OVER (PARTITION BY user_id
+           ORDER BY tns, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+         FROM f)
+       SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+         count(*) AS n_events,
+         CAST(min(tns) // 1000 AS BIGINT) AS start_us,
+         CAST(max(tns) // 1000 AS BIGINT) AS end_us,
+         CAST((max(tns) - min(tns)) // 1000000 AS BIGINT) AS duration_ms,
+         round(sum(value), 6) AS sum_value
+       FROM s GROUP BY user_id, session_id"""
+
   override val oracles: Map[String, String] = Map(
-    // epoch_ns keeps the whole computation in exact BIGINT nanos —
-    // mirrors the Spark side's raw-long arithmetic (`//` = `div`)
-    "ev1_sessionization" ->
-      """WITH e AS (
-           SELECT user_id, epoch_ns(ts) AS tns, value, event_id FROM events),
-         f AS (
-           SELECT *, CASE WHEN tns - lag(tns) OVER
-               (PARTITION BY user_id ORDER BY tns, event_id) > 1800000000000
-             THEN 1 ELSE 0 END AS new_sess
-           FROM e),
-         s AS (
-           SELECT *, 1 + sum(new_sess) OVER (PARTITION BY user_id
-             ORDER BY tns, event_id ROWS UNBOUNDED PRECEDING) AS session_id
-           FROM f)
-         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-           count(*) AS n_events,
-           CAST(min(tns) // 1000 AS BIGINT) AS start_us,
-           CAST(max(tns) // 1000 AS BIGINT) AS end_us,
-           CAST((max(tns) - min(tns)) // 1000000 AS BIGINT) AS duration_ms,
-           round(sum(value), 6) AS sum_value
-         FROM s GROUP BY user_id, session_id""",
+    "st7_stream_sessionize_hql" -> sessionizeSql,
+    "ev1_sessionization" -> sessionizeSql,
     "st1_tumbling_window" ->
       """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS win_start, event_type,
                 count(*) AS n_events, sum(value) AS sum_value
@@ -181,6 +199,16 @@ object Streaming extends QueryPack {
          SELECT d.lang, count(*) AS n_docs, CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
          FROM fps d JOIN keep k ON d.doc_id = k.doc_id
          GROUP BY d.lang"""),
+    // st5c: the row-level form of st5b's oracle — the exact survivor
+    // set, not its census
+    "st5c_stream_dedup_rows" ->
+      ("""WITH fps AS (
+           SELECT doc_id, lang, n_chars,
+             """ + graft.operators.TextFns.fingerprintDuckSql("text") + """ AS fp
+           FROM documents),
+         keep AS (SELECT fp, min(doc_id) AS doc_id FROM fps GROUP BY fp)
+         SELECT d.doc_id, d.lang, d.n_chars
+         FROM fps d JOIN keep k ON d.doc_id = k.doc_id"""),
     // st6: the statement form routes to the same sink — same oracle
     "st6_stream_dedup_hql" ->
       ("""WITH fps AS (

@@ -131,6 +131,105 @@ object EventStreams {
     stage.toString
   }
 
+  /** Gap-based sessionization with per-user session ordinals (the ev1
+    * islands analysis; the form `session_window` cannot express —
+    * ordinals need the user's full ordered history). All arithmetic in
+    * exact BIGINT nanos from [[tsNanos]]; integer div, never `/` —
+    * epoch nanos exceed double's 53-bit mantissa. The lag/running-sum
+    * windows partition per user: bounded by one user's event count,
+    * never a viral key; one exchange carrying (user, tns, value, id). */
+  def sessionize(events: DataFrame, gapNanos: Long,
+      userCol: String = "user_id", valueCol: String = "value",
+      idCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("tns", "event_id")
+    tsNanos(events, "tns")
+      .select(col(userCol).as("user_id"), col("tns"),
+        col(valueCol).as("value"), col(idCol).as("event_id"))
+      .withColumn("new_sess",
+        when(col("tns") - lag("tns", 1).over(w) > gapNanos, 1L).otherwise(0L))
+      .withColumn("session_id", lit(1L) + sum("new_sess").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        expr("min(tns) div 1000").as("start_us"),
+        expr("max(tns) div 1000").as("end_us"),
+        expr("(max(tns) - min(tns)) div 1000000").as("duration_ms"),
+        round(sum("value"), 6).as("sum_value"))
+  }
+
+  /** `stream sessionize` sink ([[graft.heroql.Ast.StreamSessionize]]):
+    * events arrive as micro-batches and land raw through the store's
+    * atomic commits (the ingest shape: one commit per batch, readers
+    * always see a consistent snapshot); the session table is then
+    * derived over the committed corpus with [[sessionize]] and
+    * published as `table` in ONE commit. Sessions carry per-user
+    * ordinals over full history, so the publish step recomputes from
+    * the corpus — at scale that is the same single-exchange windowed
+    * plan as the batch form, incremental only in ingest. `vars` are
+    * the statement's positional (user, ts, value, id) names mapped to
+    * the source table's physical columns. */
+  def sessionizeSinkToStore(spark: SparkSession, dir: String,
+      store: graft.store.TableStore, table: String, gapSeconds: Long,
+      vars: Seq[String], sourceTable: String = "events"): DataFrame = {
+    val Seq(userV, tsV, valueV, idV) = vars
+    val schema = spark.read.parquet(s"$dir/$sourceTable.parquet").schema
+    require(Seq(userV, tsV, valueV, idV).forall(schema.fieldNames.contains),
+      s"stream sessionize variables must name physical columns of $sourceTable")
+    val ingest = table + "__ingest"
+    // id-range chunked staging → one micro-batch per chunk: the ingest
+    // really is incremental (multiple commits), not one giant batch
+    val staged = stageEventChunks(spark, dir, nFiles = 4, idV, sourceTable)
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
+    val q = src.select(col(userV), col(tsV), col(valueV), col(idV))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (store.exists(ingest)) store.insert(ingest, batch)
+        else store.create(ingest, batch)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-sess-ckpt-").toString)
+      .start()
+    q.awaitTermination()
+    val sessions = sessionize(
+      store.read(ingest).withColumnRenamed(tsV, "ts"),
+      gapNanos = gapSeconds * 1000000000L,
+      userCol = userV, valueCol = valueV, idCol = idV)
+    if (store.exists(table)) { store.truncate(table); store.insert(table, sessions) }
+    else store.create(table, sessions)
+    store.read(table)
+  }
+
+  /** Split the source table into `nFiles` id-range parquet chunks in a
+    * staging dir (the file stream source delivers one per trigger). */
+  private def stageEventChunks(spark: SparkSession, dir: String,
+      nFiles: Int, idCol: String, sourceTable: String): String = {
+    val stage = java.nio.file.Files.createTempDirectory("graft-evstream-")
+    val rows = spark.read.parquet(s"$dir/$sourceTable.parquet")
+    val maxId = rows.agg(max(idCol)).head.getLong(0)
+    val step = maxId / nFiles + 1
+    (0 until nFiles).foreach { k =>
+      val part = rows.filter(col(idCol) >= k * step && col(idCol) < (k + 1) * step)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-evstream-part-")
+      part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val written = java.nio.file.Files.list(tmp)
+      val parquetFile =
+        try {
+          var found: java.nio.file.Path = null
+          val it = written.iterator()
+          while (it.hasNext) {
+            val p = it.next()
+            if (p.getFileName.toString.endsWith(".parquet")) found = p
+          }
+          found
+        } finally written.close()
+      java.nio.file.Files.move(parquetFile, stage.resolve(f"chunk-$k%04d.parquet"))
+    }
+    stage.toString
+  }
+
   /** Stream-stream interval join (the streaming form of the J10
     * interval join): signups joined to the same user's events within 7
     * days. Both sides carry watermarks and the join condition is

@@ -561,6 +561,40 @@ class HeroQLParserSpec extends AnyFunSuite {
     }
     assert(e3.msg.contains("id variable"))
   }
+
+  test("stream sessionize statement parses to its golden AST") {
+    val st = Parser.parseStream(
+      "stream sessionize Events(user_id, ts, value, event_id) gap 30 minutes into sessions;")
+    assert(st == Ast.StreamSessionize("Events",
+      Seq("user_id", "ts", "value", "event_id"), 1800L, "sessions"))
+    // unit variants normalize to seconds
+    val h = Parser.parseStream(
+      "stream sessionize E(u, t, v, i) gap 2 h into s;")
+    assert(h == Ast.StreamSessionize("E", Seq("u", "t", "v", "i"), 7200L, "s"))
+  }
+
+  test("stream sessionize statement rejects bad forms with the real diagnosis") {
+    // wrong arity: the variables are positional (user, ts, value, id)
+    val e1 = intercept[Parser.ParseError] {
+      Parser.parseStream("stream sessionize E(u, t, v) gap 30 minutes into s;")
+    }
+    assert(e1.msg.contains("(user, ts, value, id)"))
+    // unknown gap unit
+    val e2 = intercept[Parser.ParseError] {
+      Parser.parseStream("stream sessionize E(u, t, v, i) gap 30 fortnights into s;")
+    }
+    assert(e2.msg.contains("seconds/minutes/hours"))
+    // non-positive gap merges nothing
+    val e3 = intercept[Parser.ParseError] {
+      Parser.parseStream("stream sessionize E(u, t, v, i) gap 0 minutes into s;")
+    }
+    assert(e3.msg.contains("positive"))
+    // unknown stream verb
+    val e4 = intercept[Parser.ParseError] {
+      Parser.parseStream("stream compactify E(u) into s;")
+    }
+    assert(e4.msg.contains("dedup or sessionize"))
+  }
 }
 
 /** Runtime semantics of the round-2 language features: runtime-type
