@@ -266,8 +266,10 @@ final class Planner(decls: Map[String, DataDecl],
         })
       }
       if (!eligible) return None
-      (c.items.zipWithIndex.collect { case (it, i) if included(i) => it },
-        selfAtoms)
+      // INCLUSION order, not body order: a binding that became evaluable
+      // only after a later atom bound its dependency must plan after
+      // that atom (LinkedHashSet records exactly that order)
+      (included.toSeq.map(c.items), selfAtoms)
     }
     val spark = catalog.headOption.map(_._2.sparkSession).getOrElse(
       org.apache.spark.sql.SparkSession.active)
