@@ -58,7 +58,7 @@ object Bench {
     // min of N runs per query (steady state): a single sample conflates
     // the operator's cost with whatever the machine was doing that
     // second, and round-over-round comparisons need the former
-    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(2)
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
     val results = order.map { name =>
       val fn = all(name)
       var failed = false
