@@ -140,6 +140,15 @@ object EventStreams {
     * never a viral key; one exchange carrying (user, tns, value, id). */
   def sessionize(events: DataFrame, gapNanos: Long,
       userCol: String = "user_id", valueCol: String = "value",
+      idCol: String = "event_id"): DataFrame =
+    publishSessions(sessionizeExact(events, gapNanos, userCol, valueCol, idCol))
+
+  /** [[sessionize]] with EXACT nano bounds kept (min_tns/max_tns, raw
+    * sum) — the representation the incremental maintenance needs: the
+    * merge decision compares nanos, and rounding must happen once at
+    * publish, not per partial. */
+  private[graft] def sessionizeExact(events: DataFrame, gapNanos: Long,
+      userCol: String = "user_id", valueCol: String = "value",
       idCol: String = "event_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("tns", "event_id")
@@ -152,23 +161,35 @@ object EventStreams {
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("user_id", "session_id")
       .agg(count(lit(1)).as("n_events"),
-        expr("min(tns) div 1000").as("start_us"),
-        expr("max(tns) div 1000").as("end_us"),
-        expr("(max(tns) - min(tns)) div 1000000").as("duration_ms"),
-        round(sum("value"), 6).as("sum_value"))
+        min("tns").as("min_tns"), max("tns").as("max_tns"),
+        sum("value").as("sum_value"))
   }
 
-  /** `stream sessionize` sink ([[graft.heroql.Ast.StreamSessionize]]):
-    * events arrive as micro-batches and land raw through the store's
-    * atomic commits (the ingest shape: one commit per batch, readers
-    * always see a consistent snapshot); the session table is then
-    * derived over the committed corpus with [[sessionize]] and
-    * published as `table` in ONE commit. Sessions carry per-user
-    * ordinals over full history, so the publish step recomputes from
-    * the corpus — at scale that is the same single-exchange windowed
-    * plan as the batch form, incremental only in ingest. `vars` are
-    * the statement's positional (user, ts, value, id) names mapped to
-    * the source table's physical columns. */
+  /** Exact session rows → the published schema (microsecond bounds,
+    * millisecond duration — integer div, never `/`: epoch nanos exceed
+    * double's 53-bit mantissa; value rounded ONCE here). */
+  private[graft] def publishSessions(exact: DataFrame): DataFrame =
+    exact.select(col("user_id"), col("session_id"), col("n_events"),
+      expr("min_tns div 1000").as("start_us"),
+      expr("max_tns div 1000").as("end_us"),
+      expr("(max_tns - min_tns) div 1000000").as("duration_ms"),
+      round(col("sum_value"), 6).as("sum_value"))
+
+  /** `stream sessionize` sink ([[graft.heroql.Ast.StreamSessionize]]),
+    * INCREMENTAL: events arrive in event-time-ordered micro-batches;
+    * each batch is sessionized batch-locally ([[sessionizeExact]], cost
+    * ∝ batch), then merged against the per-user OPEN-session state —
+    * a batch's first session extends the open one when the gap allows,
+    * ordinals shift by the user's running count, finished sessions
+    * append to a closed log, and the new per-user opens replace the
+    * state. Per batch: one append commit + one state rewrite; state is
+    * ONE row per active user (the `mapGroupsWithState` bound, held in
+    * the store so the maintenance survives restarts) and the closed log
+    * is append-only — the only shape whose per-batch cost does not grow
+    * with stream length. The final publish unions closed + still-open
+    * into `table` (microsecond bounds derived, value rounded once).
+    * `vars` are the statement's positional (user, ts, value, id) names
+    * mapped to the source table's physical columns. */
   def sessionizeSinkToStore(spark: SparkSession, dir: String,
       store: graft.store.TableStore, table: String, gapSeconds: Long,
       vars: Seq[String], sourceTable: String = "events"): DataFrame = {
@@ -176,42 +197,111 @@ object EventStreams {
     val schema = spark.read.parquet(s"$dir/$sourceTable.parquet").schema
     require(Seq(userV, tsV, valueV, idV).forall(schema.fieldNames.contains),
       s"stream sessionize variables must name physical columns of $sourceTable")
-    val ingest = table + "__ingest"
-    // id-range chunked staging → one micro-batch per chunk: the ingest
-    // really is incremental (multiple commits), not one giant batch
-    val staged = stageEventChunks(spark, dir, nFiles = 4, idV, sourceTable)
+    val gapNanos = gapSeconds * 1000000000L
+    val closedT = table + "__closed"
+    val stateT = table + "__state"
+    // event-TIME-ordered chunked staging: batch k+1's events all start
+    // at or after batch k's — the contract a real time-ordered stream
+    // provides, and what makes open-session merging correct
+    val staged = stageEventChunks(spark, dir, nFiles = 4, tsV, sourceTable,
+      orderByTs = true)
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(staged)
     val q = src.select(col(userV), col(tsV), col(valueV), col(idV))
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (store.exists(ingest)) store.insert(ingest, batch)
-        else store.create(ingest, batch)
+        val bs = sessionizeExact(batch.withColumnRenamed(tsV, "ts"),
+          gapNanos, userCol = userV, valueCol = valueV, idCol = idV)
+          .localCheckpoint()
+        if (bs.take(1).nonEmpty) {
+          val state = if (store.exists(stateT)) store.read(stateT)
+            else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              bs.schema)
+          // per-user merge decision: does the batch's FIRST session
+          // continue the open one? offset renumbers every batch ordinal
+          val first = bs.filter(col("session_id") === 1L)
+            .select(col("user_id"), col("min_tns").as("first_tns"))
+          val o = state.select(col("user_id"), col("session_id").as("o_ord"),
+            col("n_events").as("o_n"), col("min_tns").as("o_min"),
+            col("max_tns").as("o_max"), col("sum_value").as("o_sum"))
+          val decide = first.join(o, Seq("user_id"), "left")
+            .withColumn("merged",
+              col("o_max").isNotNull && col("first_tns") - col("o_max") <= gapNanos)
+            .withColumn("offset",
+              when(col("merged"), col("o_ord") - 1L)
+                .otherwise(coalesce(col("o_ord"), lit(0L))))
+            .select("user_id", "merged", "offset", "o_n", "o_min", "o_sum")
+          val renum = bs.join(decide, Seq("user_id"))
+            .withColumn("session_id", col("session_id") + col("offset"))
+            .withColumn("isMergeRow",
+              col("merged") && col("session_id") === col("offset") + 1L)
+            .select(col("user_id"), col("session_id"),
+              when(col("isMergeRow"), col("n_events") + col("o_n"))
+                .otherwise(col("n_events")).as("n_events"),
+              when(col("isMergeRow"), col("o_min"))
+                .otherwise(col("min_tns")).as("min_tns"),
+              col("max_tns"),
+              when(col("isMergeRow"), col("sum_value") + col("o_sum"))
+                .otherwise(col("sum_value")).as("sum_value"))
+            .localCheckpoint()
+          // the user's LAST batch session stays open; everything before
+          // it closes, as does an open session the batch did NOT extend
+          import org.apache.spark.sql.expressions.Window
+          val wu = Window.partitionBy("user_id")
+          val flagged = renum
+            .withColumn("isOpen", col("session_id") === max("session_id").over(wu))
+          val closedNow = flagged.filter(!col("isOpen")).drop("isOpen")
+            .unionByName(state.join(
+              decide.filter(!col("merged")).select("user_id"),
+              Seq("user_id"), "left_semi"))
+          val newState = state
+            .join(decide.select("user_id"), Seq("user_id"), "left_anti")
+            .unionByName(flagged.filter(col("isOpen")).drop("isOpen"))
+          if (closedNow.take(1).nonEmpty) {
+            if (store.exists(closedT)) store.insert(closedT, closedNow)
+            else store.create(closedT, closedNow)
+          }
+          if (store.exists(stateT)) { store.truncate(stateT); store.insert(stateT, newState) }
+          else store.create(stateT, newState)
+        }
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("graft-sess-ckpt-").toString)
       .start()
     q.awaitTermination()
-    val sessions = sessionize(
-      store.read(ingest).withColumnRenamed(tsV, "ts"),
-      gapNanos = gapSeconds * 1000000000L,
-      userCol = userV, valueCol = valueV, idCol = idV)
+    val closed = if (store.exists(closedT)) store.read(closedT)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        store.read(stateT).schema)
+    val sessions = publishSessions(closed.unionByName(store.read(stateT)))
     if (store.exists(table)) { store.truncate(table); store.insert(table, sessions) }
     else store.create(table, sessions)
     store.read(table)
   }
 
-  /** Split the source table into `nFiles` id-range parquet chunks in a
-    * staging dir (the file stream source delivers one per trigger). */
+  /** Split the source table into `nFiles` parquet chunks in a staging
+    * dir (the file stream source delivers one per trigger) — by id
+    * range, or by event-time quantile (`orderByTs`: chunk k+1 starts at
+    * or after chunk k ends, the arrival contract of a time-ordered
+    * stream; the global ntile is STAGING-only code for the local gate —
+    * a real stream arrives already ordered). */
   private def stageEventChunks(spark: SparkSession, dir: String,
-      nFiles: Int, idCol: String, sourceTable: String): String = {
+      nFiles: Int, chunkCol: String, sourceTable: String,
+      orderByTs: Boolean = false): String = {
     val stage = java.nio.file.Files.createTempDirectory("graft-evstream-")
-    val rows = spark.read.parquet(s"$dir/$sourceTable.parquet")
-    val maxId = rows.agg(max(idCol)).head.getLong(0)
-    val step = maxId / nFiles + 1
+    val rows0 = spark.read.parquet(s"$dir/$sourceTable.parquet")
+    val rows =
+      if (orderByTs) {
+        import org.apache.spark.sql.expressions.Window
+        rows0.withColumn("__chunk",
+          ntile(nFiles).over(Window.orderBy(col(chunkCol))) - 1)
+      } else {
+        val maxId = rows0.agg(max(chunkCol)).head.getLong(0)
+        val step = maxId / nFiles + 1
+        rows0.withColumn("__chunk", (col(chunkCol).cast("long") / step).cast("int"))
+      }
     (0 until nFiles).foreach { k =>
-      val part = rows.filter(col(idCol) >= k * step && col(idCol) < (k + 1) * step)
+      val part = rows.filter(col("__chunk") === k).drop("__chunk")
       val tmp = java.nio.file.Files.createTempDirectory("graft-evstream-part-")
       part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val written = java.nio.file.Files.list(tmp)

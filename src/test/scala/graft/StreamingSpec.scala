@@ -208,4 +208,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() == batch.count())
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
+
+  test("incremental sessionize: per-batch maintenance, bounded state, batch parity") {
+    val store = new graft.store.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-sess-inc-").toString)
+    val out = EventStreams.sessionizeSinkToStore(spark, sf, store, "sessions",
+      gapSeconds = 1800L, vars = Seq("user_id", "ts", "value", "event_id"))
+    // parity: the incrementally maintained table equals the one-shot
+    // batch sessionization, row for row
+    val batch = EventStreams.sessionize(
+      Tables.t(spark, sf, "events"), gapNanos = 1800L * 1000000000L)
+    assert(out.count() == batch.count())
+    assert(out.except(batch).isEmpty && batch.except(out).isEmpty,
+      "incremental sessions diverge from the batch islands analysis")
+    // the closed log really accreted across micro-batches (append-only
+    // commits), and sessions were NOT produced by one final recompute
+    assert(store.versionCount("sessions__closed") >= 2,
+      "closed-session log must accrete per micro-batch")
+    // state is bounded by one OPEN session per active user
+    val stateRows = store.read("sessions__state").count()
+    val users = Tables.t(spark, sf, "events")
+      .select("user_id").distinct().count()
+    assert(stateRows <= users, s"state $stateRows exceeds active users $users")
+    // every user's open session is their LAST one: max ordinal per user
+    val lastByState = store.read("sessions__state")
+      .select(col("user_id"), col("session_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lastByBatch = batch.groupBy("user_id")
+      .agg(max("session_id").as("m")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lastByState == lastByBatch, "open-session ordinals drifted")
+  }
 }
