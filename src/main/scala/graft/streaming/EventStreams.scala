@@ -351,8 +351,11 @@ object EventStreams {
   def sinkToStore(spark: SparkSession, dir: String,
       store: graft.store.TableStore, table: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // id-range chunked staging → one commit per micro-batch: the sink
+    // gate exercises REAL multi-batch ingest, not one giant batch
     val src = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(stageDir(dir))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageEventChunks(spark, dir, nFiles = 4, "event_id", "events"))
     val q = src.select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
