@@ -189,7 +189,14 @@ object EventStreams {
     * with stream length. The final publish unions closed + still-open
     * into `table` (microsecond bounds derived, value rounded once).
     * `vars` are the statement's positional (user, ts, value, id) names
-    * mapped to the source table's physical columns. */
+    * mapped to the source table's physical columns.
+    *
+    * Exactly-once across restarts: each batch's closed-log append,
+    * state replace, and batch-id mark land in ONE atomic multi-table
+    * store commit ([[mergeSessionBatch]]) — a replayed batch (its id
+    * at or below the committed mark) is skipped, and a crash mid-batch
+    * leaves the previous consistent snapshot, so the replay recomputes
+    * from identical inputs. */
   def sessionizeSinkToStore(spark: SparkSession, dir: String,
       store: graft.store.TableStore, table: String, gapSeconds: Long,
       vars: Seq[String], sourceTable: String = "events"): DataFrame = {
@@ -198,8 +205,6 @@ object EventStreams {
     require(Seq(userV, tsV, valueV, idV).forall(schema.fieldNames.contains),
       s"stream sessionize variables must name physical columns of $sourceTable")
     val gapNanos = gapSeconds * 1000000000L
-    val closedT = table + "__closed"
-    val stateT = table + "__state"
     // event-TIME-ordered chunked staging: batch k+1's events all start
     // at or after batch k's — the contract a real time-ordered stream
     // provides, and what makes open-session merging correct
@@ -209,67 +214,18 @@ object EventStreams {
       .option("maxFilesPerTrigger", "1").parquet(staged)
     val q = src.select(col(userV), col(tsV), col(valueV), col(idV))
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val bs = sessionizeExact(batch.withColumnRenamed(tsV, "ts"),
           gapNanos, userCol = userV, valueCol = valueV, idCol = idV)
-          .localCheckpoint()
-        if (bs.take(1).nonEmpty) {
-          val state = if (store.exists(stateT)) store.read(stateT)
-            else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              bs.schema)
-          // per-user merge decision: does the batch's FIRST session
-          // continue the open one? offset renumbers every batch ordinal
-          val first = bs.filter(col("session_id") === 1L)
-            .select(col("user_id"), col("min_tns").as("first_tns"))
-          val o = state.select(col("user_id"), col("session_id").as("o_ord"),
-            col("n_events").as("o_n"), col("min_tns").as("o_min"),
-            col("max_tns").as("o_max"), col("sum_value").as("o_sum"))
-          val decide = first.join(o, Seq("user_id"), "left")
-            .withColumn("merged",
-              col("o_max").isNotNull && col("first_tns") - col("o_max") <= gapNanos)
-            .withColumn("offset",
-              when(col("merged"), col("o_ord") - 1L)
-                .otherwise(coalesce(col("o_ord"), lit(0L))))
-            .select("user_id", "merged", "offset", "o_n", "o_min", "o_sum")
-          val renum = bs.join(decide, Seq("user_id"))
-            .withColumn("session_id", col("session_id") + col("offset"))
-            .withColumn("isMergeRow",
-              col("merged") && col("session_id") === col("offset") + 1L)
-            .select(col("user_id"), col("session_id"),
-              when(col("isMergeRow"), col("n_events") + col("o_n"))
-                .otherwise(col("n_events")).as("n_events"),
-              when(col("isMergeRow"), col("o_min"))
-                .otherwise(col("min_tns")).as("min_tns"),
-              col("max_tns"),
-              when(col("isMergeRow"), col("sum_value") + col("o_sum"))
-                .otherwise(col("sum_value")).as("sum_value"))
-            .localCheckpoint()
-          // the user's LAST batch session stays open; everything before
-          // it closes, as does an open session the batch did NOT extend
-          import org.apache.spark.sql.expressions.Window
-          val wu = Window.partitionBy("user_id")
-          val flagged = renum
-            .withColumn("isOpen", col("session_id") === max("session_id").over(wu))
-          val closedNow = flagged.filter(!col("isOpen")).drop("isOpen")
-            .unionByName(state.join(
-              decide.filter(!col("merged")).select("user_id"),
-              Seq("user_id"), "left_semi"))
-          val newState = state
-            .join(decide.select("user_id"), Seq("user_id"), "left_anti")
-            .unionByName(flagged.filter(col("isOpen")).drop("isOpen"))
-          if (closedNow.take(1).nonEmpty) {
-            if (store.exists(closedT)) store.insert(closedT, closedNow)
-            else store.create(closedT, closedNow)
-          }
-          if (store.exists(stateT)) { store.truncate(stateT); store.insert(stateT, newState) }
-          else store.create(stateT, newState)
-        }
+        mergeSessionBatch(store, table, gapNanos, bs, batchId)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("graft-sess-ckpt-").toString)
       .start()
     q.awaitTermination()
+    val closedT = table + "__closed"
+    val stateT = table + "__state"
     val closed = if (store.exists(closedT)) store.read(closedT)
       else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         store.read(stateT).schema)
@@ -277,6 +233,83 @@ object EventStreams {
     if (store.exists(table)) { store.truncate(table); store.insert(table, sessions) }
     else store.create(table, sessions)
     store.read(table)
+  }
+
+  /** One micro-batch of incremental session maintenance, committed as
+    * ONE atomic multi-table transaction (closed-log append + state
+    * replace + batch-id mark): a replayed batch — its id at or below
+    * the committed mark — is skipped whole, so restarts are
+    * exactly-once. `batchExact` is the batch-local [[sessionizeExact]]
+    * result; state holds one OPEN session row per active user. */
+  private[graft] def mergeSessionBatch(store: graft.store.TableStore,
+      table: String, gapNanos: Long, batchExact: DataFrame,
+      batchId: Long): Unit = {
+    val spark = batchExact.sparkSession
+    val closedT = table + "__closed"
+    val stateT = table + "__state"
+    val markT = table + "__mark"
+    if (store.exists(markT) &&
+        store.read(markT).head().getLong(0) >= batchId) return // replay
+    val bs = batchExact.localCheckpoint()
+    if (bs.take(1).isEmpty) return
+    val state = if (store.exists(stateT)) store.read(stateT)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        bs.schema)
+    // per-user merge decision: does the batch's FIRST session continue
+    // the open one? offset renumbers every batch ordinal
+    val first = bs.filter(col("session_id") === 1L)
+      .select(col("user_id"), col("min_tns").as("first_tns"))
+    val o = state.select(col("user_id"), col("session_id").as("o_ord"),
+      col("n_events").as("o_n"), col("min_tns").as("o_min"),
+      col("max_tns").as("o_max"), col("sum_value").as("o_sum"))
+    val decide = first.join(o, Seq("user_id"), "left")
+      .withColumn("merged",
+        col("o_max").isNotNull && col("first_tns") - col("o_max") <= gapNanos)
+      .withColumn("offset",
+        when(col("merged"), col("o_ord") - 1L)
+          .otherwise(coalesce(col("o_ord"), lit(0L))))
+      .select("user_id", "merged", "offset", "o_n", "o_min", "o_sum")
+    val renum = bs.join(decide, Seq("user_id"))
+      .withColumn("session_id", col("session_id") + col("offset"))
+      .withColumn("isMergeRow",
+        col("merged") && col("session_id") === col("offset") + 1L)
+      .select(col("user_id"), col("session_id"),
+        when(col("isMergeRow"), col("n_events") + col("o_n"))
+          .otherwise(col("n_events")).as("n_events"),
+        when(col("isMergeRow"), col("o_min"))
+          .otherwise(col("min_tns")).as("min_tns"),
+        col("max_tns"),
+        when(col("isMergeRow"), col("sum_value") + col("o_sum"))
+          .otherwise(col("sum_value")).as("sum_value"))
+      .localCheckpoint()
+    // the user's LAST batch session stays open; everything before it
+    // closes, as does an open session the batch did NOT extend
+    import org.apache.spark.sql.expressions.Window
+    val wu = Window.partitionBy("user_id")
+    val flagged = renum
+      .withColumn("isOpen", col("session_id") === max("session_id").over(wu))
+    val closedNow = flagged.filter(!col("isOpen")).drop("isOpen")
+      .unionByName(state.join(
+        decide.filter(!col("merged")).select("user_id"),
+        Seq("user_id"), "left_semi"))
+      .localCheckpoint()
+    val newState = state
+      .join(decide.select("user_id"), Seq("user_id"), "left_anti")
+      .unionByName(flagged.filter(col("isOpen")).drop("isOpen"))
+    val mark = spark.range(1).select(lit(batchId).as("batch_id"))
+    val closedExisted = store.exists(closedT)
+    val stateExisted = store.exists(stateT)
+    val markExisted = store.exists(markT)
+    store.transaction { tx =>
+      if (closedNow.take(1).nonEmpty) {
+        if (closedExisted) tx.insert(closedT, closedNow)
+        else tx.create(closedT, closedNow)
+      }
+      if (stateExisted) { tx.truncate(stateT); tx.insert(stateT, newState) }
+      else tx.create(stateT, newState)
+      if (markExisted) { tx.truncate(markT); tx.insert(markT, mark) }
+      else tx.create(markT, mark)
+    }
   }
 
   /** Split the source table into `nFiles` parquet chunks in a staging

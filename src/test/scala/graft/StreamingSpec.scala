@@ -239,4 +239,33 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(lastByState == lastByBatch, "open-session ordinals drifted")
   }
+
+  test("incremental sessionize: a replayed micro-batch is exactly-once") {
+    val store = new graft.store.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-sess-replay-").toString)
+    val ev = Tables.t(spark, sf, "events").limit(500)
+    val gap = 1800L * 1000000000L
+    // drive the merge directly: batch 0, then REPLAY batch 0 (a restart
+    // re-delivers it), then batch 1
+    val b0 = EventStreams.sessionizeExact(
+      ev.filter(col("event_id") % 2 === 0), gap)
+    val b1 = EventStreams.sessionizeExact(
+      ev.filter(col("event_id") % 2 === 1), gap)
+    def snapshot(): (Long, Long, Long) = (
+      if (store.exists("s__closed")) store.read("s__closed").count() else 0L,
+      store.read("s__state").count(),
+      store.read("s__mark").head().getLong(0))
+    EventStreams.mergeSessionBatch(store, "s", gap, b0, batchId = 0L)
+    val afterFirst = snapshot()
+    EventStreams.mergeSessionBatch(store, "s", gap, b0, batchId = 0L) // replay
+    assert(snapshot() == afterFirst,
+      "replaying a committed micro-batch must change nothing")
+    EventStreams.mergeSessionBatch(store, "s", gap, b1, batchId = 1L)
+    assert(snapshot()._3 == 1L, "mark must advance with the next batch")
+    // the mark write is part of the SAME commit as the data: two
+    // applied batches (and one replay no-op) = exactly two published
+    // store transactions
+    assert(store.commitCount() == 2,
+      "each batch must be one atomic multi-table commit")
+  }
 }
