@@ -1165,7 +1165,10 @@ object Parser {
           s"stream sessionize needs exactly (user, ts, value, id) variables, got ${vs.size}", 0)
         kw("gap")
         val n = p.next() match {
-          case TNum(s) => s.toLong
+          case TNum(s) => try s.toLong catch {
+            case _: NumberFormatException => throw ParseError(
+              s"stream sessionize gap needs a whole number of units, got '$s'", 0)
+          }
           case t => throw ParseError(s"stream sessionize gap needs a number, got $t", 0)
         }
         if (n <= 0) throw ParseError(

@@ -61,9 +61,29 @@ final class Planner(decls: Map[String, DataDecl],
   private val fixpointMemo =
     scala.collection.mutable.Map.empty[(String, Seq[(String, Lit)]), DataFrame]
 
-  private def fixpointFor(q: QueryDecl, demand: Seq[(String, Lit)]): DataFrame =
+  private def fixpointFor(q: QueryDecl, demand0: Seq[(String, Lit)]): DataFrame = {
+    // drop demand constants no restriction strategy can use BEFORE the
+    // memo lookup: an ineligible magic demand would otherwise key a
+    // FULL fixpoint evaluation per distinct constant instead of sharing
+    // the one (name, Nil) evaluation (the calling atom re-applies the
+    // constants as filters either way)
+    val demand = effectiveDemand(q, demand0)
     if (recursionBinding.nonEmpty) planFixpoint(q, demand)
     else fixpointMemo.getOrElseUpdate((q.name, demand), planFixpoint(q, demand))
+  }
+
+  /** The sub-sequence of `demand` some restriction strategy can
+    * actually use: invariant-position constants (base-filter seeding)
+    * plus non-invariant ones IFF the magic-sets analysis accepts them. */
+  private def effectiveDemand(q: QueryDecl,
+      demand: Seq[(String, Lit)]): Seq[(String, Lit)] =
+    if (demand.isEmpty) demand
+    else {
+      val head = (q.inArgs ++ q.outArgs).map(_._1)
+      val inv = invariantPositions(q)
+      val (invD, magD) = demand.partition { case (f, _) => inv(head.indexOf(f)) }
+      invD ++ (if (magD.nonEmpty && magicRules(q, magD).isDefined) magD else Nil)
+    }
 
   /** For the duration of a fixpoint loop, the data relations its
     * recursive alternatives touch resolve to a one-time materialization
@@ -160,12 +180,14 @@ final class Planner(decls: Map[String, DataDecl],
     * its derivations may need tuples OUTSIDE the slice), defeat the
     * analysis → no position is invariant (safe fallback: full
     * evaluation). */
-  private def invariantPositions(q: QueryDecl): Set[Int] = {
-    val head = (q.inArgs ++ q.outArgs).map(_._1)
-    val recAlts = q.body.alts.filter(conjRefCount(_, q.name, through = false) > 0)
-    val opaque = recAlts.exists { c =>
-      // through != direct ⇔ some self-reference flows through another
-      // named query — its atoms are not visible to the position check
+  /** Some self-reference flows through another named query or a
+    * sub-rule — its atoms are invisible to positional analyses
+    * (through-count ≠ direct-count, or a SubQuery hides a self-atom);
+    * shared precondition of [[invariantPositions]] and the magic-sets
+    * analysis: both must refuse, or one would treat a rule as
+    * transparent that the other treats as opaque. */
+  private def opaqueRecursion(q: QueryDecl, recAlts: Seq[Conj]): Boolean =
+    recAlts.exists { c =>
       conjRefCount(c, q.name, through = true) !=
         conjRefCount(c, q.name, through = false) ||
       c.items.exists {
@@ -173,7 +195,11 @@ final class Planner(decls: Map[String, DataDecl],
         case _ => false
       }
     }
-    if (opaque) Set.empty
+
+  private def invariantPositions(q: QueryDecl): Set[Int] = {
+    val head = (q.inArgs ++ q.outArgs).map(_._1)
+    val recAlts = q.body.alts.filter(conjRefCount(_, q.name, through = false) > 0)
+    if (opaqueRecursion(q, recAlts)) Set.empty
     else head.indices.filter { i =>
       recAlts.forall(_.items.forall {
         case a: Atom if a.rel == q.name => a.args.lift(i).contains(TVar(head(i)))
@@ -210,27 +236,22 @@ final class Planner(decls: Map[String, DataDecl],
     * the magic loop touches only the demanded slice's ancestry — for a
     * point query on a hierarchy, O(depth · fan-in) tuples instead of
     * the full transitive closure. */
-  private def magicRestriction(q: QueryDecl,
-      demand: Seq[(String, Lit)]): Option[DataFrame] = {
+  /** The magic-sets ANALYSIS half: per recursive alternative, the
+    * sideways items (in inclusion order) and the self atoms — or None
+    * when any alternative is opaque or has an unbindable/wildcard
+    * self-atom argument at a demanded position. Pure AST work, cheap
+    * enough for [[effectiveDemand]] to run per atom occurrence. */
+  private def magicRules(q: QueryDecl,
+      demand: Seq[(String, Lit)]): Option[Seq[(Seq[Item], Seq[Atom])]] = {
     val head = (q.inArgs ++ q.outArgs).map(_._1)
-    val types = (q.inArgs ++ q.outArgs).map(_._2)
     val boundFields = demand.map(_._1)
     val boundIdx = boundFields.map(head.indexOf)
     val recAlts = q.body.alts.filter(conjRefCount(_, q.name, through = false) > 0)
-    val opaque = recAlts.exists { c =>
-      conjRefCount(c, q.name, through = true) !=
-        conjRefCount(c, q.name, through = false) ||
-      c.items.exists {
-        case SubQuery(_, body) => selfRefCount(body, q.name, through = false) > 0
-        case _ => false
-      }
-    }
-    if (opaque) return None
+    if (opaqueRecursion(q, recAlts)) return None
     def reachesRec(rel: String): Boolean =
       rel != q.name && !decls.contains(rel) && queryDecls.contains(rel) &&
         selfRefCount(queryDecls(rel).body, q.name, through = true) > 0
-    // per recursive alternative: (sideways items in body order, self atoms)
-    val rules = recAlts.map { c =>
+    Some(recAlts.map { c =>
       val selfIdx = c.items.zipWithIndex.collect {
         case (a: Atom, i) if a.rel == q.name => i
       }.toSet
@@ -270,6 +291,18 @@ final class Planner(decls: Map[String, DataDecl],
       // only after a later atom bound its dependency must plan after
       // that atom (LinkedHashSet records exactly that order)
       (included.toSeq.map(c.items), selfAtoms)
+    })
+  }
+
+  private def magicRestriction(q: QueryDecl,
+      demand: Seq[(String, Lit)]): Option[DataFrame] = {
+    val head = (q.inArgs ++ q.outArgs).map(_._1)
+    val types = (q.inArgs ++ q.outArgs).map(_._2)
+    val boundFields = demand.map(_._1)
+    val boundIdx = boundFields.map(head.indexOf)
+    val rules = magicRules(q, demand) match {
+      case None => return None
+      case Some(rs) => rs
     }
     val spark = catalog.headOption.map(_._2.sparkSession).getOrElse(
       org.apache.spark.sql.SparkSession.active)
@@ -438,7 +471,8 @@ final class Planner(decls: Map[String, DataDecl],
         }
         iter += 1
       }
-      Planner.lastFixpointAccRows = deltas.map(_.count()).sum
+      if (Planner.fixpointStatsEnabled)
+        Planner.lastFixpointAccRows = deltas.map(_.count()).sum
       if (!done)
         throw Analyzer.AnalysisError(
           s"recursive query ${q.name}: did not converge within $maxIter rounds")
@@ -1364,7 +1398,11 @@ object Planner {
 
   /** Total accumulated (delta-union) rows of the most recent fixpoint —
     * observability for specs asserting a demand restriction actually
-    * shrank the evaluated set, not just the projected result. */
+    * shrank the evaluated set, not just the projected result. Gated:
+    * the per-delta counts are cheap (checkpointed blocks) but still one
+    * Spark job each — production fixpoints must not pay rounds-many
+    * extra jobs for a spec-only counter. */
+  private[graft] var fixpointStatsEnabled: Boolean = false
   private[graft] var lastFixpointAccRows: Long = -1L
 
   /** Round cap for the rule fixpoint — a diagnostic backstop against

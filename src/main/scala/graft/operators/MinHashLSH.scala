@@ -119,8 +119,10 @@ object MinHashLSH {
     // k longs ≈ 0.5 KB/doc → 4M docs ≈ 2 GB broadcast, the sane ceiling
     cand.join(SizeGate.maybeBroadcast(sa, corpusRows, 4000000L), "a_id")
       .join(SizeGate.maybeBroadcast(sb, corpusRows, 4000000L), "b_id")
+      // agreement count via the codegen'd expression — the interpreted
+      // zip_with/filter HOF chain allocated a boolean array per pair
       .withColumn("jaccard_est", expr(
-        s"CAST(size(filter(zip_with(ma, mb, (x, y) -> x = y), v -> v)) AS DOUBLE) / $k"))
+        s"CAST(graft_sig_agree(ma, mb) AS DOUBLE) / $k"))
       .filter(col("jaccard_est") >= threshold)
       .dropDuplicates("a_id", "b_id")
       .select("a_id", "b_id", "jaccard_est")
@@ -285,15 +287,18 @@ object MinHashLSH {
     // (co-located equi-joins), the only shape that survives 10⁹ docs.
     val corpusRows = hashed.count() // hashed is checkpointed — cache scan
     val spark = docs.sparkSession
-    val cap = spark.conf.getOption(SizeGate.MaxRowsConf)
-      .map(_.toLong).getOrElse(250000L)
-    if (corpusRows <= cap) {
+    // the map path keys a Long map — only sound when ids ARE longs; any
+    // other id type (string ids, ints whose output type would silently
+    // widen) takes the join path, which is id-type-generic
+    val longIds = hashed.schema(idCol).dataType ==
+      org.apache.spark.sql.types.LongType
+    if (longIds && corpusRows <= SizeGate.rowCap(spark, 250000L)) {
       import spark.implicits._
       val bmap = spark.sparkContext.broadcast(
-        hashed.select(col(idCol).cast("long"), col("h"))
+        hashed.select(col(idCol), col("h"))
           .as[(Long, Array[Long])].collect().toMap)
       val thr = threshold
-      cand.select(col("a_id").cast("long"), col("b_id").cast("long"))
+      cand.select(col("a_id"), col("b_id"))
         .as[(Long, Long)]
         .mapPartitions { it =>
           val m = bmap.value

@@ -23,9 +23,13 @@ object SizeGate {
   /** Hint `df` for broadcast only when `rows` (a measured count, not a
     * guess) is within the cap. `defaultMaxRows` is the call site's cap,
     * chosen from its per-row payload size; [[MaxRowsConf]] overrides. */
-  def maybeBroadcast(df: DataFrame, rows: Long, defaultMaxRows: Long): DataFrame = {
-    val cap = df.sparkSession.conf.getOption(MaxRowsConf)
-      .map(_.toLong).getOrElse(defaultMaxRows)
-    if (rows <= cap) broadcast(df) else df
-  }
+  def maybeBroadcast(df: DataFrame, rows: Long, defaultMaxRows: Long): DataFrame =
+    if (rows <= rowCap(df.sparkSession, defaultMaxRows)) broadcast(df) else df
+
+  /** The effective row cap at a call site — its default unless the
+    * session override is set. Shared by the hint above and operators
+    * that gate non-join broadcast strategies on the same knob. */
+  def rowCap(spark: org.apache.spark.sql.SparkSession,
+      defaultMaxRows: Long): Long =
+    spark.conf.getOption(MaxRowsConf).map(_.toLong).getOrElse(defaultMaxRows)
 }

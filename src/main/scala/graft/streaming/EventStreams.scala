@@ -191,12 +191,17 @@ object EventStreams {
     * `vars` are the statement's positional (user, ts, value, id) names
     * mapped to the source table's physical columns.
     *
-    * Exactly-once across restarts: each batch's closed-log append,
-    * state replace, and batch-id mark land in ONE atomic multi-table
-    * store commit ([[mergeSessionBatch]]) — a replayed batch (its id
-    * at or below the committed mark) is skipped, and a crash mid-batch
-    * leaves the previous consistent snapshot, so the replay recomputes
-    * from identical inputs. */
+    * Exactly-once within a run: each batch's closed-log append, state
+    * replace, and batch-id mark land in ONE atomic multi-table store
+    * commit ([[mergeSessionBatch]]) — a batch Structured Streaming
+    * re-delivers (its id at or below the committed mark) is skipped,
+    * and a crash mid-batch leaves the previous consistent snapshot, so
+    * the replay recomputes from identical inputs. Batch ids are
+    * meaningful only within one streaming query, so the mark RESETS at
+    * run start; re-invoking against the same store table therefore
+    * appends the new source's sessions on top of the carried state —
+    * valid when the prior run completed (the streaming checkpoint, not
+    * the mark, is what would dedup a partially-processed source). */
   def sessionizeSinkToStore(spark: SparkSession, dir: String,
       store: graft.store.TableStore, table: String, gapSeconds: Long,
       vars: Seq[String], sourceTable: String = "events"): DataFrame = {
@@ -205,6 +210,12 @@ object EventStreams {
     require(Seq(userV, tsV, valueV, idV).forall(schema.fieldNames.contains),
       s"stream sessionize variables must name physical columns of $sourceTable")
     val gapNanos = gapSeconds * 1000000000L
+    // a NEW streaming query numbers batches from 0 again — reset the
+    // replay mark so this run's batches aren't mistaken for replays of
+    // the previous run's
+    val markT = table + "__mark"
+    if (store.exists(markT))
+      store.create(markT, spark.range(1).select(lit(-1L).as("batch_id")))
     // event-TIME-ordered chunked staging: batch k+1's events all start
     // at or after batch k's — the contract a real time-ordered stream
     // provides, and what makes open-session merging correct
@@ -226,12 +237,21 @@ object EventStreams {
     q.awaitTermination()
     val closedT = table + "__closed"
     val stateT = table + "__state"
-    val closed = if (store.exists(closedT)) store.read(closedT)
-      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        store.read(stateT).schema)
-    val sessions = publishSessions(closed.unionByName(store.read(stateT)))
-    if (store.exists(table)) { store.truncate(table); store.insert(table, sessions) }
-    else store.create(table, sessions)
+    // an empty source delivers no batch — publish an empty session
+    // table rather than failing on the never-created state table
+    val sessions =
+      if (!store.exists(stateT))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "user_id BIGINT, session_id BIGINT, n_events BIGINT, " +
+              "start_us BIGINT, end_us BIGINT, duration_ms BIGINT, sum_value DOUBLE"))
+      else {
+        val closed = if (store.exists(closedT)) store.read(closedT)
+          else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            store.read(stateT).schema)
+        publishSessions(closed.unionByName(store.read(stateT)))
+      }
+    store.create(table, sessions) // full replace, ONE commit, props kept
     store.read(table)
   }
 
@@ -298,17 +318,13 @@ object EventStreams {
       .unionByName(flagged.filter(col("isOpen")).drop("isOpen"))
     val mark = spark.range(1).select(lit(batchId).as("batch_id"))
     val closedExisted = store.exists(closedT)
-    val stateExisted = store.exists(stateT)
-    val markExisted = store.exists(markT)
     store.transaction { tx =>
       if (closedNow.take(1).nonEmpty) {
         if (closedExisted) tx.insert(closedT, closedNow)
         else tx.create(closedT, closedNow)
       }
-      if (stateExisted) { tx.truncate(stateT); tx.insert(stateT, newState) }
-      else tx.create(stateT, newState)
-      if (markExisted) { tx.truncate(markT); tx.insert(markT, mark) }
-      else tx.create(markT, mark)
+      tx.create(stateT, newState) // full replace (create works either way)
+      tx.create(markT, mark)
     }
   }
 

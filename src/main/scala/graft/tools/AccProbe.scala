@@ -13,6 +13,7 @@ object AccProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.heroql.Planner.fixpointStatsEnabled = true
     val n24 = graft.queries.HeroQueries.queries("hq24_magic_sets")(spark, d).count()
     val acc24 = graft.heroql.Planner.lastFixpointAccRows
     val full = graft.queries.HeroQueries.queries("hq21_recursive_rule")(spark, d).count()

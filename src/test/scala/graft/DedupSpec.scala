@@ -39,6 +39,32 @@ class DedupSpec extends SparkSpec {
     assert(bad == 0, "edge-case fingerprints diverge between native and HOF forms")
   }
 
+  test("graft_sig_agree equals the HOF agreement count") {
+    import spark.implicits._
+    graft.functions.VectorFns.register(spark)
+    val bad = Seq(
+      (Array(1L, 2L, 3L, 4L), Array(1L, 9L, 3L, 8L)),
+      (Array.empty[Long], Array.empty[Long]),
+      (Array(5L), Array(5L)),
+    ).toDF("a", "b")
+      .withColumn("nat", expr("graft_sig_agree(a, b)"))
+      .withColumn("hof", expr("size(filter(zip_with(a, b, (x, y) -> x = y), v -> v))"))
+      .filter(col("nat") =!= col("hof")).count()
+    assert(bad == 0, "native agreement count diverges from the HOF form")
+  }
+
+  test("non-long doc ids take the generic join verify path and still work") {
+    import spark.implicits._
+    val docs = Tables.t(spark, sf, "documents").limit(60)
+      .select(concat(lit("doc-"), col("doc_id")).as("doc_id"), col("text"))
+    val pairs = MinHashLSH.nearDuplicates(docs, "doc_id", "text", 5, 16, 4, 0.25)
+    assert(!pairs.queryExecution.sparkPlan.toString.contains("MapPartitions"),
+      "string ids must not take the Long-keyed map path")
+    val got = pairs.select("a_id", "b_id").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(got.forall { case (a, b) => a.startsWith("doc-") && b.startsWith("doc-") })
+  }
+
   test("minhash-LSH pairs are a subset of the exact-jaccard pairs") {
     val lsh = Dedup.queries("dd3_minhash_lsh")(spark, sf).select("a_id", "b_id")
     val exact = exactPairs(0.25)

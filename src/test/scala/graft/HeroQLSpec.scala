@@ -589,6 +589,11 @@ class HeroQLParserSpec extends AnyFunSuite {
       Parser.parseStream("stream sessionize E(u, t, v, i) gap 0 minutes into s;")
     }
     assert(e3.msg.contains("positive"))
+    // fractional gap must be the diagnostic, not a NumberFormatException
+    val e3b = intercept[Parser.ParseError] {
+      Parser.parseStream("stream sessionize E(u, t, v, i) gap 1.5 hours into s;")
+    }
+    assert(e3b.msg.contains("whole number"))
     // unknown stream verb
     val e4 = intercept[Parser.ParseError] {
       Parser.parseStream("stream compactify E(u) into s;")
@@ -637,6 +642,7 @@ class HeroQLRuntimeSpec extends SparkSpec {
     // ancestor closure — the magic restriction keeps the accumulated
     // rows to node 150's ancestor chain (O(depth²)), and the result
     // still matches the full-closure slice
+    graft.heroql.Planner.fixpointStatsEnabled = true
     val full = graft.queries.HeroQueries.queries("hq21_recursive_rule")(spark, sf)
       .count()
     val got = graft.queries.HeroQueries.queries("hq24_magic_sets")(spark, sf)

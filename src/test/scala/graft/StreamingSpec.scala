@@ -268,4 +268,17 @@ class StreamingSpec extends SparkSpec {
     assert(store.commitCount() == 2,
       "each batch must be one atomic multi-table commit")
   }
+
+  test("incremental sessionize: an empty source publishes an empty session table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess-empty-").toString
+    Tables.t(spark, sf, "events").limit(0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val store = new graft.store.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-sess-empty-store-").toString)
+    val out = EventStreams.sessionizeSinkToStore(spark, dir, store, "sessions",
+      gapSeconds = 1800L, vars = Seq("user_id", "ts", "value", "event_id"))
+    assert(out.count() == 0, "empty source must yield an empty session table")
+    assert(out.columns.toSeq == Seq("user_id", "session_id", "n_events",
+      "start_us", "end_us", "duration_ms", "sum_value"))
+  }
 }
