@@ -269,6 +269,37 @@ class StreamingSpec extends SparkSpec {
       "each batch must be one atomic multi-table commit")
   }
 
+  test("incremental sessionize: a second run extends the carried state, not replays it") {
+    import org.apache.spark.sql.DataFrame
+    // two source dirs split by event time; running the sink twice
+    // against the SAME store table must equal one batch sessionization
+    // over the union — the carried open-session state bridges runs and
+    // the reset replay mark must not drop the second run's batches
+    val ev = Tables.t(spark, sf, "events")
+      .select("user_id", "ts", "value", "event_id")
+    val cut = ev.selectExpr("percentile(CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS DOUBLE), 0.5)")
+      .head().getDouble(0)
+    def stage(df: DataFrame): String = {
+      val d = java.nio.file.Files.createTempDirectory("graft-sess-run-").toString
+      df.coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+      d
+    }
+    val isLate = expr(s"CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS DOUBLE) > $cut")
+    val d1 = stage(ev.filter(!isLate))
+    val d2 = stage(ev.filter(isLate))
+    val store = new graft.store.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-sess-tworuns-").toString)
+    EventStreams.sessionizeSinkToStore(spark, d1, store, "sessions",
+      gapSeconds = 1800L, vars = Seq("user_id", "ts", "value", "event_id"))
+    val out = EventStreams.sessionizeSinkToStore(spark, d2, store, "sessions",
+      gapSeconds = 1800L, vars = Seq("user_id", "ts", "value", "event_id"))
+    val batch = EventStreams.sessionize(ev, gapNanos = 1800L * 1000000000L)
+    assert(out.count() == batch.count(),
+      s"two-run session count ${out.count()} != one-shot ${batch.count()}")
+    assert(out.except(batch).isEmpty && batch.except(out).isEmpty,
+      "two-run sessions diverge from the one-shot batch analysis")
+  }
+
   test("incremental sessionize: an empty source publishes an empty session table") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sess-empty-").toString
     Tables.t(spark, sf, "events").limit(0).coalesce(1)
