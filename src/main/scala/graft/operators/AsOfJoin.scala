@@ -49,4 +49,68 @@ object AsOfJoin {
       .filter(col("__side") === "L")
       .drop("__side", "__rv")
   }
+
+  /** Generalized as-of: either direction, optional tolerance, and the
+    * matched right timestamp emitted alongside the value (`asof_ts` +
+    * `asof_<valueCol>`; both null when no match, or when the nearest
+    * match falls outside `tolerance`).
+    *
+    * - `forward = false` (default): latest right row with
+    *   `rightTs <= leftTs` — [[asOf]]'s direction.
+    * - `forward = true`: EARLIEST right row with `rightTs >= leftTs`
+    *   (the "next reading after" lookup) — same one-shuffle window
+    *   plan, frame reversed to (currentRow, unboundedFollowing).
+    * - `tolerance`: an upper bound on `|leftTs - matchedTs|` (an
+    *   INTERVAL column for timestamps); the nearest match is found
+    *   first, then nulled if it is too far — DuckDB/pandas
+    *   `merge_asof(tolerance=...)` semantics, NOT "nearest within
+    *   window" (a closer-but-wrong-side row never substitutes).
+    *
+    * The matched (ts, value) travel as ONE struct, so both outputs
+    * come from the same right row even if its value is null — row
+    * semantics, matching SQL ASOF JOIN (unlike [[asOf]], whose bare
+    * `last(value) IGNORE NULLS` skips null-valued rows).
+    *
+    * Scale: identical shape to [[asOf]] — one hash exchange on the key
+    * and one per-partition sort; direction and tolerance change only
+    * the window frame and a post-filter, never the shuffle. */
+  def asOfMatch(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, valueCol: String,
+      forward: Boolean = false, tolerance: Option[Column] = None): DataFrame = {
+    val r = right.groupBy(col(keyCol), col(tsCol))
+      .agg(max(col(valueCol)).as("__rv"))
+      .withColumn("__side", lit("R"))
+    val l = left.withColumn("__side", lit("L"))
+    val leftCols = left.columns
+    val matchStruct = struct(col(tsCol).as("ts"), col("__rv").as("v"))
+    val lU = l.select(leftCols.map(col) :+ col("__side") :+
+      lit(null).cast(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ts", left.schema(tsCol).dataType),
+        org.apache.spark.sql.types.StructField("v", right.schema(valueCol).dataType))))
+        .as("__m"): _*)
+    val rU = r.select(leftCols.map(c =>
+      if (c == keyCol || c == tsCol) col(c)
+      else lit(null).cast(left.schema(c).dataType).as(c))
+      :+ col("__side") :+ matchStruct.as("__m"): _*)
+    val base = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    val (w, pick) =
+      if (forward)
+        (base.rangeBetween(Window.currentRow, Window.unboundedFollowing),
+          (c: Column) => first(c, ignoreNulls = true))
+      else
+        (base.rangeBetween(Window.unboundedPreceding, Window.currentRow),
+          (c: Column) => last(c, ignoreNulls = true))
+    val gap = if (forward) col("__pick.ts") - col(tsCol)
+      else col(tsCol) - col("__pick.ts")
+    val ok = tolerance match {
+      case Some(tol) => col("__pick").isNotNull && gap <= tol
+      case None => col("__pick").isNotNull
+    }
+    lU.unionByName(rU)
+      .withColumn("__pick", pick(col("__m")).over(w))
+      .filter(col("__side") === "L")
+      .withColumn("asof_ts", when(ok, col("__pick.ts")))
+      .withColumn(s"asof_$valueCol", when(ok, col("__pick.v")))
+      .drop("__side", "__m", "__pick")
+  }
 }

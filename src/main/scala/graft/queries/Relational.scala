@@ -391,6 +391,26 @@ object Relational extends QueryPack {
       .select(col("event_id"), col("user_id"), col("ts"), col("asof_value"))
   }
 
+  /** J9b — as-of join VARIANTS (forward direction + tolerance): each
+    * click gets the next purchase by the same user within 3 days, with
+    * the matched timestamp emitted — [[graft.operators.AsOfJoin
+    * .asOfMatch]]'s generalized surface, same one-shuffle window plan
+    * as j9 with the frame reversed. Checked against DuckDB's forward
+    * `ASOF LEFT JOIN` (`ON c.ts <= p.ts`) with the tolerance applied
+    * as a post-filter on the matched row, the pandas
+    * `merge_asof(direction='forward', tolerance=...)` semantics. */
+  private def j9b(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.streaming.EventStreams.normalizeTs(t(s, d, "events"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "value")
+    graft.operators.AsOfJoin.asOfMatch(clicks, purchases, "user_id", "ts", "value",
+      forward = true, tolerance = Some(expr("INTERVAL 3 DAYS")))
+      .select(col("event_id"), col("user_id"), col("ts"), col("asof_ts"),
+        round(col("asof_value"), 6).as("asof_value"))
+  }
+
   /** J10 — interval/range join: events within 7 days of each signup for
     * the same user (equi-join on the key + range predicate — shuffles on
     * user_id only, never enumerates cross pairs). */
@@ -478,6 +498,7 @@ object Relational extends QueryPack {
     "f9_json_functions" -> (f9 _),
     "f10_map_functions" -> (f10 _),
     "j9_asof_join" -> (j9 _),
+    "j9b_asof_variants" -> (j9b _),
     "j10_interval_join" -> (j10 _),
     "a12_stats_aggregates" -> (a12 _),
     "a13_percentiles" -> (a13 _),
@@ -540,6 +561,18 @@ object Relational extends QueryPack {
          ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
                FROM events WHERE event_type = 'purchase') r
            ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    // forward + tolerance variant; the right side pre-collapses dup
+    // (user, ts) rows to max(value), mirroring asOfMatch (ASOF JOIN's
+    // pick among exact-ts duplicates is otherwise unspecified)
+    "j9b_asof_variants" ->
+      """WITH c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events WHERE event_type = 'click'),
+              p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS value
+                    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+         SELECT c.event_id, c.user_id, c.ts,
+           CASE WHEN p.ts - c.ts <= INTERVAL 3 DAY THEN p.ts END AS asof_ts,
+           CASE WHEN p.ts - c.ts <= INTERVAL 3 DAY THEN round(p.value, 6) END AS asof_value
+         FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts""",
     "a12_stats_aggregates" ->
       """SELECT l_returnflag,
                 round(stddev_samp(l_quantity), 6) AS sd_qty,

@@ -107,6 +107,33 @@ object Streaming extends QueryPack {
       .select(col("doc_id"), col("lang"), col("n_chars"))
   }
 
+  /** st8 — STREAM-STREAM interval join through a real streaming query
+    * (the two-unbounded-sides shape st1–st7 don't cover): signups and
+    * events both arrive as streams, watermarked on both sides with the
+    * join time-bounded on BOTH ends, so the state store evicts rows as
+    * the watermark advances — bounded state at any stream length. The
+    * memory-sink result is aggregated per signup and checked against
+    * the batch interval join (same truth as j10, reached through the
+    * streaming engine — inner stream-stream joins are append-only, so
+    * once the source drains the result equals the batch join). */
+  private def st8(s: SparkSession, d: String): DataFrame = {
+    val name = "st8_ssjoin_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = EventStreams.streamStreamSignupJoin(s, d)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+      .groupBy("signup_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").cast(org.apache.spark.sql.types.TimestampNTZType).as("first_ts"),
+        max("ts").cast(org.apache.spark.sql.types.TimestampNTZType).as("last_ts"))
+  }
+
   /** st6 — the full streaming-dedup shape driven from PARSED HeroQL
     * text (`stream dedup … by fingerprint(…) into …`): same sink, same
     * bloom + bucket-pruned probe, reached from the language surface the
@@ -133,6 +160,7 @@ object Streaming extends QueryPack {
     "st5c_stream_dedup_rows" -> (st5c _),
     "st6_stream_dedup_hql" -> (st6 _),
     "st7_stream_sessionize_hql" -> (st7 _),
+    "st8_stream_stream_join" -> (st8 _),
     "ev1_sessionization" -> (ev1 _),
   )
 
@@ -161,6 +189,18 @@ object Streaming extends QueryPack {
        FROM s GROUP BY user_id, session_id"""
 
   override val oracles: Map[String, String] = Map(
+    // st8: the BATCH interval join the drained stream-stream join must
+    // equal (inner joins are append-only; availableNow drains fully)
+    "st8_stream_stream_join" ->
+      """WITH s AS (SELECT event_id AS signup_id, user_id,
+                    CAST(ts AS TIMESTAMP) AS ts0
+                    FROM events WHERE event_type = 'signup'),
+              e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+         SELECT s.signup_id, count(*) AS n_events,
+                min(e.ts) AS first_ts, max(e.ts) AS last_ts
+         FROM s JOIN e ON s.user_id = e.user_id
+           AND e.ts >= s.ts0 AND e.ts < s.ts0 + INTERVAL 7 DAY
+         GROUP BY s.signup_id""",
     "st7_stream_sessionize_hql" -> sessionizeSql,
     "ev1_sessionization" -> sessionizeSql,
     "st1_tumbling_window" ->
