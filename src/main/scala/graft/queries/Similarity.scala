@@ -138,6 +138,136 @@ object Similarity extends QueryPack {
       .select("probe_id", "neighbor_id", "cos_sim", "rank")
   }
 
+  /** ann4 — product-quantization ADC top-k (Jégou et al. 2011 "Product
+    * Quantization for Nearest Neighbor Search"): the 64-dim space is
+    * split into M=8 subspaces of 16 dims; each subspace gets KC=16
+    * Forgy centroids (deterministic residue-class corpus picks, the
+    * dd9/ann3 convention), and every corpus vector is ENCODED map-only
+    * to 8 one-byte codes — 8 bytes per vector instead of 256, the
+    * compression that fits a 10⁹-vector corpus in executor memory.
+    * Probes precompute a lookup table (LUT[j][c] = dot of the probe's
+    * j-th subvector with centroid c) and the scan scores each corpus
+    * row with 8 LUT lookups instead of a 64-mult dot (asymmetric
+    * distance computation); approximate top-CAND then exact re-rank to
+    * top-K. Cosine via unit-normalizing both sides first, so approx
+    * score sums subspace dots of normalized vectors.
+    *
+    * Plan shape: centroids are a 16-row driver collect (8 KB, the
+    * size-bounded small-set pattern of the fp bucket collect) turned
+    * into one `typedLit` — encode and LUT are then pure map-side
+    * expressions, zero join; the candidate scan broadcasts the probe
+    * LUTs against the CODES column only (never the raw vectors); the
+    * exact re-rank joins the ~probes×CAND candidate ids back to the
+    * corpus — at any scale the full-precision vectors are touched for
+    * candidates only. Approximate recall → rows-only driver check;
+    * recall@K vs ann1 is spec-measured (SimilaritySpec). */
+  private def ann4(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFns.register(s)
+    val M = 8; val SUB = 8; val KC = 16; val CAND = 50 // M*SUB = the 64-dim space
+    val e = t(s, d, "embeddings")
+    // Codebook training on a deterministic bounded driver sample (the
+    // FAISS convention — k-means trains on a sample, never the corpus):
+    // 256 residue-class picks in id order, Forgy init, 8 Lloyd rounds
+    // per subspace with left-to-right mean folds — bit-deterministic,
+    // and a fixed ~64 KB collect at any corpus size.
+    val TRAIN = 256
+    val sample: Array[Array[Double]] = e
+      .filter(col("vec_id") >= NPROBES && col("vec_id") % 3 === 1)
+      .orderBy("vec_id").limit(TRAIN)
+      .select(col("embedding")).collect()
+      .map { r =>
+        val v = r.getSeq[Float](0).map(_.toDouble).toArray
+        val n = math.sqrt(v.map(x => x * x).sum) max 1e-12
+        v.map(_ / n)
+      }
+    def lloyd(sub: Array[Array[Double]]): Seq[Seq[Double]] = {
+      var cents = (0 until KC).map(c => sub(c * (sub.length / KC)).clone).toArray
+      def d2(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+        s
+      }
+      (0 until 8).foreach { _ =>
+        val assign = sub.map(v => cents.indices.minBy(c => d2(v, cents(c))))
+        cents = cents.indices.map { c =>
+          val mine = sub.indices.filter(assign(_) == c)
+          if (mine.isEmpty) cents(c)
+          else {
+            val m = new Array[Double](SUB)
+            mine.foreach { i => var dI = 0
+              while (dI < SUB) { m(dI) += sub(i)(dI); dI += 1 } }
+            m.map(_ / mine.length)
+          }
+        }.toArray
+      }
+      cents.map(_.toSeq).toSeq
+    }
+    // cents(j)(c) = centroid c of subspace j, trained in the
+    // unit-normalized space the corpus/probes are encoded in
+    val cents: Seq[Seq[Seq[Double]]] = (0 until M).map { j =>
+      lloyd(sample.map(_.slice(j * SUB, (j + 1) * SUB)))
+    }
+    val unit = expr(
+      """transform(embedding, x -> CAST(x AS DOUBLE) /
+         greatest(sqrt(graft_dot_f(embedding, embedding)), CAST(1e-12 AS DOUBLE)))""")
+    // scores-for-subspace SQL fragment (duplicated under array_min /
+    // array_position: Spark SQL has no let-binding; both evaluate the
+    // same deterministic doubles)
+    def scoresSql(v: String) =
+      s"""transform(element_at(__cents, CAST(j + 1 AS INT)), c ->
+            aggregate(zip_with(slice($v, j * $SUB + 1, $SUB), c,
+              (x, y) -> (x - y) * (x - y)),
+            CAST(0.0 AS DOUBLE), (a, z) -> a + z))"""
+    val corpus = e.repartition(s.sparkContext.defaultParallelism)
+      .withColumn("__cents", typedLit(cents))
+      .withColumn("vu", unit)
+      .withColumn("codes", expr(
+        s"""transform(sequence(0, ${M - 1}), j ->
+              CAST(array_position(${scoresSql("vu")},
+                array_min(${scoresSql("vu")})) AS INT))"""))
+      .select(col("vec_id").as("neighbor_id"), col("codes"))
+    // probe LUT[j][c] = dot(sub_j(probe_unit), cent_{j,c})
+    val probes = e.filter(col("vec_id") < NPROBES)
+      .withColumn("__cents", typedLit(cents))
+      .withColumn("pu", unit)
+      .withColumn("lut", expr(
+        s"""transform(sequence(0, ${M - 1}), j ->
+              transform(element_at(__cents, CAST(j + 1 AS INT)), c ->
+                aggregate(zip_with(slice(pu, j * $SUB + 1, $SUB), c,
+                  (x, y) -> x * y),
+                CAST(0.0 AS DOUBLE), (a, z) -> a + z)))"""))
+      .select(col("vec_id").as("probe_id"), col("lut"))
+    val wApprox = Window.partitionBy(col("probe_id"))
+      .orderBy(col("approx_sim").desc, col("neighbor_id").asc)
+    val candidates = broadcast(probes)
+      .join(corpus, col("probe_id") =!= col("neighbor_id"))
+      .withColumn("approx_sim", expr(
+        s"""aggregate(sequence(0, ${M - 1}),
+              CAST(0.0 AS DOUBLE), (a, j) -> a +
+                element_at(element_at(lut, CAST(j + 1 AS INT)),
+                  CAST(element_at(codes, CAST(j + 1 AS INT)) AS INT)))"""))
+      .withColumn("crank", row_number().over(wApprox))
+      .filter(col("crank") <= CAND)
+      .select("probe_id", "neighbor_id")
+    // exact re-rank of the small candidate set against full vectors
+    val full = e.select(col("vec_id"), col("embedding"),
+      expr("sqrt(graft_dot_f(embedding, embedding))").as("nrm"))
+    val wExact = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    val withProbeVec = candidates.join(
+      broadcast(full.filter(col("vec_id") < NPROBES)
+        .select(col("vec_id").as("probe_id"),
+          col("embedding").as("vp"), col("nrm").as("np"))), Seq("probe_id"))
+    broadcast(withProbeVec)
+      .join(full.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("vn"), col("nrm").as("nn")), Seq("neighbor_id"))
+      .withColumn("cos_sim", expr("graft_dot_f(vp, vn) / (np * nn)"))
+      .withColumn("rank", row_number().over(wExact).cast("long"))
+      .filter(col("rank") <= K)
+      .withColumn("cos_sim", round(col("cos_sim"), 6))
+      .select("probe_id", "neighbor_id", "cos_sim", "rank")
+  }
+
   /** emb1 — int8 scalar quantization of the embedding column: per-vector
     * symmetric scale (max-abs / 127), nearest-integer codes clamped to
     * [-127, 127], with per-vector reconstruction RMS and a fold checksum
@@ -176,6 +306,7 @@ object Similarity extends QueryPack {
     "ann1_bruteforce_topk" -> (ann1 _),
     "ann2_lsh_topk" -> (ann2 _),
     "ann3_ivf_topk" -> (ann3 _),
+    "ann4_pq_adc_topk" -> (ann4 _),
     "emb1_quantization" -> (emb1 _),
   )
 

@@ -312,4 +312,21 @@ class DedupSpec extends SparkSpec {
     // 8 of ~32 lists probed — recall floor reflects the 25% scan budget
     assert(hit.toDouble / total >= 0.3, s"IVF recall $hit/$total below floor")
   }
+
+  test("ann4 PQ-ADC recall@5 against exact ann1, exact re-ranked cosines") {
+    val exact = Similarity.queries("ann1_bruteforce_topk")(spark, sf)
+      .select("probe_id", "neighbor_id")
+    val r = Similarity.queries("ann4_pq_adc_topk")(spark, sf)
+    val rows = r.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(x => x.getAs[Long]("probe_id") != x.getAs[Long]("neighbor_id")))
+    assert(rows.forall(x => x.getAs[Long]("rank") <= 5))
+    assert(rows.forall(x => math.abs(x.getAs[Double]("cos_sim")) <= 1.0 + 1e-9))
+    val approx = r.select("probe_id", "neighbor_id")
+    val total = exact.count()
+    val hit = exact.intersect(approx).count()
+    // full codes scan + 4x-candidate exact re-rank: the 8-byte code's
+    // quantization error is the only loss — floor well above LSH/IVF
+    assert(hit.toDouble / total >= 0.5, s"PQ-ADC recall $hit/$total below floor")
+  }
 }

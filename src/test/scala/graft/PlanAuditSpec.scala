@@ -30,6 +30,17 @@ class PlanAuditSpec extends SparkSpec {
       s"probe side must broadcast:\n$p")
   }
 
+  test("ann4 ADC scan broadcasts probe LUTs against codes; full vectors only for candidates") {
+    val p = plan(graft.queries.Similarity, "ann4_pq_adc_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probe LUTs must broadcast against the code scan:\n$p")
+    // the approximate scan's window ranks (probe, code) pairs — the
+    // unit-normalized full vectors must not flow into that exchange
+    val approxRegion = p.substring(0, p.indexOf("approx_sim") max 0)
+    assert(!approxRegion.contains("vu#"),
+      s"full vectors leaked into the ADC scan:\n$p")
+  }
+
   test("hq18 language-surface dedup shuffles the 8-byte fingerprint, not text") {
     val p = plan(graft.queries.HeroQueries, "hq18_fingerprint_dedup")
     assert(p.contains("hashpartitioning(fp"),
