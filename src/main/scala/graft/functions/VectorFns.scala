@@ -577,6 +577,186 @@ object VectorFns {
     case l: Long => l.toInt
     case other => throw new IllegalArgumentException(s"expected int literal, got $other")
   }
+  /** PQ encode loop, shared by [[PqEncode]]'s interpreted and generated
+    * paths. `vec` is array<float> (raw embedding), `cents` the codebook
+    * array<array<array<double>>> [subspace][centroid][dim], trained in
+    * the unit-normalized space — the vector is normalized here
+    * (`max(norm, 1e-12)`, the emb1/ann convention) so encode is one
+    * pass over the raw column. Returns 0-based nearest-centroid codes
+    * (first-min on ties — deterministic), or null when the codebook's
+    * total dims disagree with the vector's. */
+  /** Per-thread last-codebook cache: the codebook arrives as the SAME
+    * immutable `GenericArrayData` literal instance on every row, but
+    * reading it element-wise unboxes a java.lang.Double per access —
+    * ~200M unboxings per 200k-row encode scan. Convert once per thread
+    * and reuse by reference identity. Only GenericArrayData is cached:
+    * an UnsafeArrayData can be a REUSED buffer whose identity outlives
+    * its contents, so those convert fresh every call. */
+  private val pqCbCache = new ThreadLocal[(ArrayData, Array[Array[Array[Double]]])]()
+
+  private def pqCodebook(cents: ArrayData): Array[Array[Array[Double]]] = {
+    val cached = pqCbCache.get()
+    if (cached != null && (cached._1 eq cents)) return cached._2
+    val m = cents.numElements()
+    val out = new Array[Array[Array[Double]]](m)
+    var j = 0
+    while (j < m) {
+      val cb = cents.getArray(j)
+      val row = new Array[Array[Double]](cb.numElements())
+      var c = 0
+      while (c < row.length) { row(c) = cb.getArray(c).toDoubleArray(); c += 1 }
+      out(j) = row
+      j += 1
+    }
+    if (cents.isInstanceOf[GenericArrayData]) pqCbCache.set((cents, out))
+    out
+  }
+
+  def pqEncode(vec: ArrayData, cents: ArrayData): ArrayData = {
+    val cb = pqCodebook(cents)
+    val m = cb.length
+    if (m == 0) return null
+    val d = vec.numElements()
+    var norm2 = 0.0
+    var i = 0
+    while (i < d) { val x = vec.getFloat(i).toDouble; norm2 += x * x; i += 1 }
+    val norm = math.max(math.sqrt(norm2), 1e-12)
+    val codes = new Array[Int](m)
+    val vn = new Array[Double](d) // normalize once: d divisions, not m*kc*d
+    i = 0
+    while (i < d) { vn(i) = vec.getFloat(i).toDouble / norm; i += 1 }
+    var off = 0
+    var j = 0
+    while (j < m) {
+      val row = cb(j)
+      val kc = row.length
+      if (kc == 0) return null
+      val sub = row(0).length
+      if (off + sub > d) return null
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < kc) {
+        val cent = row(c)
+        if (cent.length != sub) return null
+        var s = 0.0
+        var t = 0
+        while (t < sub) {
+          val diff = vn(off + t) - cent(t)
+          s += diff * diff
+          t += 1
+        }
+        if (s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      codes(j) = best
+      off += sub
+      j += 1
+    }
+    if (off != d) return null
+    new GenericArrayData(codes)
+  }
+
+  /** PQ asymmetric-distance lookup, shared by [[PqAdcScore]]'s paths:
+    * score = Σ_j lut[j][codes[j]] — 8 array lookups per candidate pair
+    * instead of a 64-mult dot product; the compressed-domain scan.
+    * Null (never a wrong partial sum) on rank mismatch or an
+    * out-of-range code. Boxed Double so codegen's null branch types. */
+  def pqAdc(lut: ArrayData, codes: ArrayData): java.lang.Double = {
+    val m = lut.numElements()
+    if (codes.numElements() != m) return null
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      val row = lut.getArray(j)
+      val c = codes.getInt(j)
+      if (c < 0 || c >= row.numElements()) return null
+      s += row.getDouble(c)
+      j += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
+  /** Nearest-centroid product-quantization codes (see [[pqEncode]]).
+    * One tight whole-stage-codegen loop per row; replaces a nested
+    * transform/aggregate HOF chain whose per-element interpreted
+    * closures dominated the encode at corpus scale. */
+  case class PqEncode(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = true
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val okVec = left.dataType match {
+        case ArrayType(FloatType, _) => true
+        case _ => false
+      }
+      val okCents = right.dataType match {
+        case ArrayType(ArrayType(ArrayType(DoubleType, _), _), _) => true
+        case _ => false
+      }
+      if (okVec && okCents)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pq_encode needs (array<float>, array<array<array<double>>>), got ${left.dataType} / ${right.dataType}")
+    }
+
+    override def nullSafeEval(l: Any, r: Any): Any =
+      pqEncode(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        s"""
+           |${ev.value} = graft.functions.VectorFns.pqEncode($a, $b);
+           |if (${ev.value} == null) { ${ev.isNull} = true; }
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** PQ ADC score (see [[pqAdc]]): the candidate-scan hot path — must
+    * stay inside whole-stage codegen; the HOF
+    * `aggregate(sequence, element_at(element_at))` chain it replaces
+    * ran interpreted per pair and was slower than the exact dot. */
+  case class PqAdcScore(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val okLut = left.dataType match {
+        case ArrayType(ArrayType(DoubleType, _), _) => true
+        case _ => false
+      }
+      val okCodes = right.dataType match {
+        case ArrayType(IntegerType, _) => true
+        case _ => false
+      }
+      if (okLut && okCodes)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pq_adc needs (array<array<double>>, array<int>), got ${left.dataType} / ${right.dataType}")
+    }
+
+    override def nullSafeEval(l: Any, r: Any): Any =
+      pqAdc(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val boxed = ctx.freshName("boxed")
+        s"""
+           |java.lang.Double $boxed = graft.functions.VectorFns.pqAdc($a, $b);
+           |if ($boxed == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $boxed.doubleValue(); }
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   private def litDouble(e: Expression): Double = e.eval(null) match {
     case d: Double => d
     case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
@@ -601,6 +781,8 @@ object VectorFns {
       "graft_shingle_hashes" -> (exprs => ShingleHashesSorted(exprs(0), litInt(exprs(1)), 42L)),
       "graft_sorted_intersect_bounded" ->
         (exprs => SortedIntersectBounded(exprs(0), exprs(1), litDouble(exprs(2)))),
+      "graft_pq_encode" -> (exprs => PqEncode(exprs(0), exprs(1))),
+      "graft_pq_adc" -> (exprs => PqAdcScore(exprs(0), exprs(1))),
     )
     val mh =
       if (as.isEmpty) Nil

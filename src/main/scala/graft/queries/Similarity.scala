@@ -207,26 +207,20 @@ object Similarity extends QueryPack {
     val cents: Seq[Seq[Seq[Double]]] = (0 until M).map { j =>
       lloyd(sample.map(_.slice(j * SUB, (j + 1) * SUB)))
     }
+    // corpus encode + candidate scoring are the per-row / per-pair hot
+    // paths: both run as native codegen'd expressions (VectorFns
+    // PqEncode / PqAdcScore) — the HOF transform/aggregate forms
+    // evaluated interpreted closures per element and were SLOWER than
+    // the exact dot at 200k vectors (measured; see SURVEY §10)
+    val corpus = e.repartition(s.sparkContext.defaultParallelism)
+      .withColumn("__cents", typedLit(cents))
+      .withColumn("codes", expr("graft_pq_encode(embedding, __cents)"))
+      .select(col("vec_id").as("neighbor_id"), col("codes"))
+    // probe LUT[j][c] = dot(sub_j(probe_unit), cent_{j,c}) — tiny side
+    // (NPROBES rows), the HOF form is fine here
     val unit = expr(
       """transform(embedding, x -> CAST(x AS DOUBLE) /
          greatest(sqrt(graft_dot_f(embedding, embedding)), CAST(1e-12 AS DOUBLE)))""")
-    // scores-for-subspace SQL fragment (duplicated under array_min /
-    // array_position: Spark SQL has no let-binding; both evaluate the
-    // same deterministic doubles)
-    def scoresSql(v: String) =
-      s"""transform(element_at(__cents, CAST(j + 1 AS INT)), c ->
-            aggregate(zip_with(slice($v, j * $SUB + 1, $SUB), c,
-              (x, y) -> (x - y) * (x - y)),
-            CAST(0.0 AS DOUBLE), (a, z) -> a + z))"""
-    val corpus = e.repartition(s.sparkContext.defaultParallelism)
-      .withColumn("__cents", typedLit(cents))
-      .withColumn("vu", unit)
-      .withColumn("codes", expr(
-        s"""transform(sequence(0, ${M - 1}), j ->
-              CAST(array_position(${scoresSql("vu")},
-                array_min(${scoresSql("vu")})) AS INT))"""))
-      .select(col("vec_id").as("neighbor_id"), col("codes"))
-    // probe LUT[j][c] = dot(sub_j(probe_unit), cent_{j,c})
     val probes = e.filter(col("vec_id") < NPROBES)
       .withColumn("__cents", typedLit(cents))
       .withColumn("pu", unit)
@@ -241,27 +235,29 @@ object Similarity extends QueryPack {
       .orderBy(col("approx_sim").desc, col("neighbor_id").asc)
     val candidates = broadcast(probes)
       .join(corpus, col("probe_id") =!= col("neighbor_id"))
-      .withColumn("approx_sim", expr(
-        s"""aggregate(sequence(0, ${M - 1}),
-              CAST(0.0 AS DOUBLE), (a, j) -> a +
-                element_at(element_at(lut, CAST(j + 1 AS INT)),
-                  CAST(element_at(codes, CAST(j + 1 AS INT)) AS INT)))"""))
+      // project down to 16 bytes + score BEFORE the ranking exchange:
+      // the 1 KB LUT / codes columns must never cross the shuffle
+      .select(col("probe_id"), col("neighbor_id"),
+        expr("graft_pq_adc(lut, codes)").as("approx_sim"))
       .withColumn("crank", row_number().over(wApprox))
       .filter(col("crank") <= CAND)
       .select("probe_id", "neighbor_id")
-    // exact re-rank of the small candidate set against full vectors
-    val full = e.select(col("vec_id"), col("embedding"),
-      expr("sqrt(graft_dot_f(embedding, embedding))").as("nrm"))
+    // exact re-rank of the small candidate set against full vectors —
+    // norms/dots computed AFTER the joins, so only ~probes×CAND rows
+    // ever pay full-precision arithmetic (the corpus side contributes
+    // a bare (vec_id, embedding) projection to the hash probe)
     val wExact = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     val withProbeVec = candidates.join(
-      broadcast(full.filter(col("vec_id") < NPROBES)
-        .select(col("vec_id").as("probe_id"),
-          col("embedding").as("vp"), col("nrm").as("np"))), Seq("probe_id"))
+      broadcast(e.filter(col("vec_id") < NPROBES)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("vp"))),
+      Seq("probe_id"))
     broadcast(withProbeVec)
-      .join(full.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("vn"), col("nrm").as("nn")), Seq("neighbor_id"))
-      .withColumn("cos_sim", expr("graft_dot_f(vp, vn) / (np * nn)"))
+      .join(e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("vn")), Seq("neighbor_id"))
+      .withColumn("cos_sim", expr(
+        """graft_dot_f(vp, vn) /
+           (sqrt(graft_dot_f(vp, vp)) * sqrt(graft_dot_f(vn, vn)))"""))
       .withColumn("rank", row_number().over(wExact).cast("long"))
       .filter(col("rank") <= K)
       .withColumn("cos_sim", round(col("cos_sim"), 6))

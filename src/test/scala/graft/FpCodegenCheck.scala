@@ -28,4 +28,31 @@ class FpCodegenCheck extends SparkSpec {
     assert(one.select(TextFns.fingerprintOf(col("text"))).head.getLong(0)
       == 163956695839649769L)
   }
+
+  test("PQ encode + ADC score are codegen'd into their stages, not fallbacks") {
+    graft.functions.VectorFns.register(spark)
+    val cents: Seq[Seq[Seq[Double]]] =
+      (0 until 8).map(j => (0 until 4).map(c =>
+        (0 until 8).map(d => (j + c + d) / 10.0)))
+    val enc = graft.Tables.t(spark, sf, "embeddings")
+      .withColumn("__cents", typedLit(cents))
+      .select(expr("graft_pq_encode(embedding, __cents)").as("codes"))
+    val encPlan = enc.queryExecution.executedPlan
+    val encSrc = encPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.map(_.doCodeGen()._2.body)
+    assert(encSrc.exists(_.contains("graft.functions.VectorFns.pqEncode")),
+      s"pqEncode not inlined:\n$encPlan")
+    assert(enc.head.getSeq[Int](0).length == 8)
+    val adc = enc
+      .withColumn("lut", typedLit((0 until 8).map(j =>
+        (0 until 4).map(c => (j * 4 + c) / 10.0))))
+      .select(expr("graft_pq_adc(lut, codes)").as("s"))
+    val adcSrc = adc.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.map(_.doCodeGen()._2.body)
+    assert(adcSrc.exists(_.contains("graft.functions.VectorFns.pqAdc")),
+      "pqAdc not inlined")
+    assert(!adc.head.isNullAt(0))
+  }
 }
