@@ -80,6 +80,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: asOfMatch equals a driver-side reference on random series (10 cases)") {
+    import spark.implicits._
+    (1 to 10).foreach { _ =>
+      val left = Seq.tabulate(rnd.nextInt(25) + 5)(i =>
+        (i.toLong, rnd.nextInt(4).toLong, rnd.nextInt(50).toLong))
+      val right = Seq.fill(rnd.nextInt(25) + 5)(
+        (rnd.nextInt(4).toLong, rnd.nextInt(50).toLong, rnd.nextInt(100).toDouble))
+      val forward = rnd.nextBoolean()
+      val tol = if (rnd.nextBoolean()) Some(rnd.nextInt(20).toLong) else None
+      // reference: collapse dup (key, ts) to max(value), then pick the
+      // nearest at-or-before / at-or-after row, nulled outside tolerance
+      val collapsed = right.groupBy(r => (r._1, r._2))
+        .map { case ((k, t), rs) => (k, t, rs.map(_._3).max) }.toSeq
+      val want = left.map { case (id, k, t) =>
+        val side = collapsed.filter(r => r._1 == k &&
+          (if (forward) r._2 >= t else r._2 <= t))
+        val m = if (side.isEmpty) None
+          else Some(if (forward) side.minBy(_._2) else side.maxBy(_._2))
+        val ok = m.exists(r => tol.forall(tl =>
+          (if (forward) r._2 - t else t - r._2) <= tl))
+        id -> (if (ok) Some((m.get._2, m.get._3)) else None)
+      }.toMap
+      val got = graft.operators.AsOfJoin.asOfMatch(
+        left.toDF("id", "key", "t"), right.toDF("key", "t", "v"),
+        "key", "t", "v", forward = forward, tolerance = tol.map(lit(_)))
+        .collect().map { r =>
+          r.getAs[Long]("id") ->
+            (if (r.isNullAt(r.fieldIndex("asof_ts"))) None
+             else Some((r.getAs[Long]("asof_ts"), r.getAs[Double]("asof_v"))))
+        }.toMap
+      assert(got == want, s"forward=$forward tol=$tol:\n got=$got\nwant=$want")
+    }
+  }
+
   test("property: PII redaction is idempotent and match-free (20 cases)") {
     import spark.implicits._
     import graft.operators.TextFns
