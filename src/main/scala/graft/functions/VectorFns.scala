@@ -24,20 +24,31 @@ import org.apache.spark.sql.types._
   */
 object VectorFns {
 
-  /** Dot product of two float arrays, accumulated in double in element
-    * order (bit-identical to the HOF form it replaces). */
+  /** Dot product of two float-or-double arrays, accumulated in double
+    * in element order (bit-identical to the HOF form it replaces on
+    * float input). Element-type-ADAPTIVE per side — the r10 lesson
+    * (events.ts changed physical type under unchanged code and six
+    * gates vanished) generalized to the embedding column: a driver
+    * round that regenerates `embeddings.parquet` with `double[]`
+    * elements must degrade to full-double arithmetic, not fail
+    * analysis. The element getter is picked once at plan time from the
+    * child's static type; generated code stays branch-free per row. */
   case class DotProductF(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    private def floatElems(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
       def ok(dt: DataType) = dt match {
-        case ArrayType(FloatType, _) => true
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
         case _ => false
       }
       if (ok(left.dataType) && ok(right.dataType))
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"dot_f needs two array<float> args, got ${left.dataType} / ${right.dataType}")
+        s"dot_f needs two array<float|double> args, got ${left.dataType} / ${right.dataType}")
     }
 
     // mismatched lengths → NULL, matching the HOF form it replaces
@@ -50,10 +61,14 @@ object VectorFns {
       val b = r.asInstanceOf[ArrayData]
       val n = a.numElements()
       if (b.numElements() != n) return null
+      val fa = floatElems(left.dataType)
+      val fb = floatElems(right.dataType)
       var acc = 0.0
       var i = 0
       while (i < n) {
-        acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+        val x = if (fa) a.getFloat(i).toDouble else a.getDouble(i)
+        val y = if (fb) b.getFloat(i).toDouble else b.getDouble(i)
+        acc += x * y
         i += 1
       }
       acc
@@ -64,6 +79,10 @@ object VectorFns {
         val i = ctx.freshName("i")
         val n = ctx.freshName("n")
         val acc = ctx.freshName("acc")
+        val getA = if (floatElems(left.dataType)) s"(double) $a.getFloat($i)"
+          else s"$a.getDouble($i)"
+        val getB = if (floatElems(right.dataType)) s"(double) $b.getFloat($i)"
+          else s"$b.getDouble($i)"
         s"""
            |int $n = $a.numElements();
            |if ($b.numElements() != $n) {
@@ -71,7 +90,7 @@ object VectorFns {
            |} else {
            |  double $acc = 0.0;
            |  for (int $i = 0; $i < $n; $i++) {
-           |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+           |    $acc += $getA * $getB;
            |  }
            |  ${ev.value} = $acc;
            |}
@@ -612,19 +631,25 @@ object VectorFns {
     out
   }
 
-  def pqEncode(vec: ArrayData, cents: ArrayData): ArrayData = {
+  def pqEncode(vec: ArrayData, cents: ArrayData, vecIsFloat: Boolean): ArrayData = {
     val cb = pqCodebook(cents)
     val m = cb.length
     if (m == 0) return null
     val d = vec.numElements()
     var norm2 = 0.0
     var i = 0
-    while (i < d) { val x = vec.getFloat(i).toDouble; norm2 += x * x; i += 1 }
+    while (i < d) {
+      val x = if (vecIsFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      norm2 += x * x; i += 1
+    }
     val norm = math.max(math.sqrt(norm2), 1e-12)
     val codes = new Array[Int](m)
     val vn = new Array[Double](d) // normalize once: d divisions, not m*kc*d
     i = 0
-    while (i < d) { vn(i) = vec.getFloat(i).toDouble / norm; i += 1 }
+    while (i < d) {
+      val x = if (vecIsFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      vn(i) = x / norm; i += 1
+    }
     var off = 0
     var j = 0
     while (j < m) {
@@ -686,9 +711,16 @@ object VectorFns {
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def nullable: Boolean = true
 
+    private def vecIsFloat: Boolean = left.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      // vector side float-or-double adaptive, like DotProductF: a
+      // regenerated double[] embeddings parquet must keep planning
       val okVec = left.dataType match {
-        case ArrayType(FloatType, _) => true
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
         case _ => false
       }
       val okCents = right.dataType match {
@@ -698,16 +730,16 @@ object VectorFns {
       if (okVec && okCents)
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"pq_encode needs (array<float>, array<array<array<double>>>), got ${left.dataType} / ${right.dataType}")
+        s"pq_encode needs (array<float|double>, array<array<array<double>>>), got ${left.dataType} / ${right.dataType}")
     }
 
     override def nullSafeEval(l: Any, r: Any): Any =
-      pqEncode(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+      pqEncode(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], vecIsFloat)
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) => {
         s"""
-           |${ev.value} = graft.functions.VectorFns.pqEncode($a, $b);
+           |${ev.value} = graft.functions.VectorFns.pqEncode($a, $b, $vecIsFloat);
            |if (${ev.value} == null) { ${ev.isNull} = true; }
          """.stripMargin
       })

@@ -176,7 +176,14 @@ object Similarity extends QueryPack {
       .orderBy("vec_id").limit(TRAIN)
       .select(col("embedding")).collect()
       .map { r =>
-        val v = r.getSeq[Float](0).map(_.toDouble).toArray
+        // element-type-agnostic (float[] today, double[] if the
+        // warehouse regenerates — the r10 lesson)
+        val v = r.getSeq[Any](0).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+          case other => throw new IllegalArgumentException(
+            s"embedding element: $other")
+        }.toArray
         val n = math.sqrt(v.map(x => x * x).sum) max 1e-12
         v.map(_ / n)
       }
