@@ -134,6 +134,33 @@ object Streaming extends QueryPack {
         max("ts").cast(org.apache.spark.sql.types.TimestampNTZType).as("last_ts"))
   }
 
+  /** st9 — CUSTOM-STATE streaming (`mapGroupsWithState`) driver-gated:
+    * per-user running (count, sum) state updated across four real
+    * micro-batches (id-range chunks, one per trigger; state = one
+    * small tuple per active user at any scale). Update mode emits one
+    * row per user per batch it appears in; counts grow monotonically,
+    * so the final accumulated totals are the per-user max-count row —
+    * which the oracle checks against the plain batch aggregate. A
+    * state bug (lost batch, double-applied batch, key mixup) shifts
+    * counts or sums and hash-mismatches. */
+  private def st9(s: SparkSession, d: String): DataFrame = {
+    val name = "st9_state_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = EventStreams.runningUserTotals(s, d)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("sum_value"))).as("m"))
+      .select(col("user_id"), col("m.n_events").as("n_events"),
+        round(col("m.sum_value"), 2).as("sum_value"))
+  }
+
   /** st6 — the full streaming-dedup shape driven from PARSED HeroQL
     * text (`stream dedup … by fingerprint(…) into …`): same sink, same
     * bloom + bucket-pruned probe, reached from the language surface the
@@ -161,6 +188,7 @@ object Streaming extends QueryPack {
     "st6_stream_dedup_hql" -> (st6 _),
     "st7_stream_sessionize_hql" -> (st7 _),
     "st8_stream_stream_join" -> (st8 _),
+    "st9_stateful_totals" -> (st9 _),
     "ev1_sessionization" -> (ev1 _),
   )
 
@@ -201,6 +229,12 @@ object Streaming extends QueryPack {
          FROM s JOIN e ON s.user_id = e.user_id
            AND e.ts >= s.ts0 AND e.ts < s.ts0 + INTERVAL 7 DAY
          GROUP BY s.signup_id""",
+    // st9: the stateful stream's final per-user totals must equal the
+    // plain batch aggregate once the source drains
+    "st9_stateful_totals" ->
+      """SELECT user_id, count(*) AS n_events,
+                round(sum(value), 2) AS sum_value
+         FROM events GROUP BY user_id""",
     "st7_stream_sessionize_hql" -> sessionizeSql,
     "ev1_sessionization" -> sessionizeSql,
     "st1_tumbling_window" ->

@@ -107,7 +107,11 @@ object EventStreams {
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val src = spark.readStream.schema(schema).parquet(stageDir(dir))
+    // id-range chunks, one per trigger: the state genuinely
+    // accumulates across micro-batches instead of one giant batch
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageEventChunks(spark, dir, nFiles = 4, "event_id", "events"))
     src.selectExpr("user_id", "value").as[(Long, Double)]
       .groupByKey(_._1)
       .mapGroupsWithState[(Long, Double), (Long, Long, Double)](
