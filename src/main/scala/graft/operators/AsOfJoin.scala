@@ -59,7 +59,7 @@ object AsOfJoin {
     *   `rightTs <= leftTs` — [[asOf]]'s direction.
     * - `forward = true`: EARLIEST right row with `rightTs >= leftTs`
     *   (the "next reading after" lookup) — same one-shuffle window
-    *   plan, frame reversed to (currentRow, unboundedFollowing).
+    *   plan, sorted descending so the incremental frame applies.
     * - `tolerance`: an upper bound on `|leftTs - matchedTs|` (an
     *   INTERVAL column for timestamps); the nearest match is found
     *   first, then nulled if it is too far — DuckDB/pandas
@@ -77,7 +77,11 @@ object AsOfJoin {
   def asOfMatch(left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String, valueCol: String,
       forward: Boolean = false, tolerance: Option[Column] = None): DataFrame = {
-    val r = right.groupBy(col(keyCol), col(tsCol))
+    // a null-ts right row can never be a valid match (it would sort to
+    // a frame edge and become a phantom pick); null-ts LEFT rows are
+    // defined unmatched via the `ok` guard below
+    val r = right.filter(col(tsCol).isNotNull)
+      .groupBy(col(keyCol), col(tsCol))
       .agg(max(col(valueCol)).as("__rv"))
       .withColumn("__side", lit("R"))
     val l = left.withColumn("__side", lit("L"))
@@ -92,19 +96,24 @@ object AsOfJoin {
       if (c == keyCol || c == tsCol) col(c)
       else lit(null).cast(left.schema(c).dataType).as(c))
       :+ col("__side") :+ matchStruct.as("__m"): _*)
-    val base = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
-    val (w, pick) =
-      if (forward)
-        (base.rangeBetween(Window.currentRow, Window.unboundedFollowing),
-          (c: Column) => first(c, ignoreNulls = true))
-      else
-        (base.rangeBetween(Window.unboundedPreceding, Window.currentRow),
-          (c: Column) => last(c, ignoreNulls = true))
+    // BOTH directions use the incremental (unboundedPreceding,
+    // currentRow) RANGE frame — forward simply sorts DESCENDING, so
+    // "rows at or after me" are the frame's preceding rows. The naive
+    // (currentRow, unboundedFollowing) frame looks equivalent but Spark
+    // evaluates it with UnboundedFollowingWindowFunctionFrame, which
+    // recomputes the aggregate from each frame start to the partition
+    // end — O(n²) per key; this form keeps the running-frame O(n) pass
+    // in either direction.
+    val order = if (forward) col(tsCol).desc else col(tsCol).asc
+    val w = Window.partitionBy(col(keyCol)).orderBy(order)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val pick = (c: Column) => last(c, ignoreNulls = true)
     val gap = if (forward) col("__pick.ts") - col(tsCol)
       else col(tsCol) - col("__pick.ts")
+    val matched = col("__pick").isNotNull && col(tsCol).isNotNull
     val ok = tolerance match {
-      case Some(tol) => col("__pick").isNotNull && gap <= tol
-      case None => col("__pick").isNotNull
+      case Some(tol) => matched && gap <= tol
+      case None => matched
     }
     lU.unionByName(rU)
       .withColumn("__pick", pick(col("__m")).over(w))

@@ -395,7 +395,8 @@ object Relational extends QueryPack {
     * click gets the next purchase by the same user within 3 days, with
     * the matched timestamp emitted — [[graft.operators.AsOfJoin
     * .asOfMatch]]'s generalized surface, same one-shuffle window plan
-    * as j9 with the frame reversed. Checked against DuckDB's forward
+    * as j9, sorted descending so the incremental running frame applies
+    * in the forward direction too. Checked against DuckDB's forward
     * `ASOF LEFT JOIN` (`ON c.ts <= p.ts`) with the tolerance applied
     * as a post-filter on the matched row, the pandas
     * `merge_asof(direction='forward', tolerance=...)` semantics. */

@@ -140,10 +140,11 @@ object Similarity extends QueryPack {
 
   /** ann4 — product-quantization ADC top-k (Jégou et al. 2011 "Product
     * Quantization for Nearest Neighbor Search"): the 64-dim space is
-    * split into M=8 subspaces of 16 dims; each subspace gets KC=16
-    * Forgy centroids (deterministic residue-class corpus picks, the
-    * dd9/ann3 convention), and every corpus vector is ENCODED map-only
-    * to 8 one-byte codes — 8 bytes per vector instead of 256, the
+    * split into M=8 subspaces of SUB=8 dims; each subspace gets KC=16
+    * centroids trained by deterministic sample k-means (Forgy init
+    * from residue-class picks, the dd9/ann3 convention, then 8 Lloyd
+    * rounds), and every corpus vector is ENCODED map-only to 8
+    * one-byte codes — 8 bytes per vector instead of 256, the
     * compression that fits a 10⁹-vector corpus in executor memory.
     * Probes precompute a lookup table (LUT[j][c] = dot of the probe's
     * j-th subvector with centroid c) and the scan scores each corpus
@@ -152,8 +153,9 @@ object Similarity extends QueryPack {
     * top-K. Cosine via unit-normalizing both sides first, so approx
     * score sums subspace dots of normalized vectors.
     *
-    * Plan shape: centroids are a 16-row driver collect (8 KB, the
-    * size-bounded small-set pattern of the fp bucket collect) turned
+    * Plan shape: the codebook trains on a ≤TRAIN-row driver collect
+    * (≤64 KB, the size-bounded small-set pattern of the fp bucket
+    * collect; the sf0.001 fixture yields 160 sample rows) turned
     * into one `typedLit` — encode and LUT are then pure map-side
     * expressions, zero join; the candidate scan broadcasts the probe
     * LUTs against the CODES column only (never the raw vectors); the
@@ -219,10 +221,15 @@ object Similarity extends QueryPack {
     // PqEncode / PqAdcScore) — the HOF transform/aggregate forms
     // evaluated interpreted closures per element and were SLOWER than
     // the exact dot at 200k vectors (measured; see SURVEY §10)
-    val corpus = e.repartition(s.sparkContext.defaultParallelism)
+    // encode BEFORE the spreading repartition: the exchange then moves
+    // 8-byte codes, never the 256-byte raw vectors (the plan audit
+    // pins this — at 10⁹ vectors that exchange is the difference
+    // between shipping 8 GB and 256 GB)
+    val corpus = e
       .withColumn("__cents", typedLit(cents))
       .withColumn("codes", expr("graft_pq_encode(embedding, __cents)"))
       .select(col("vec_id").as("neighbor_id"), col("codes"))
+      .repartition(s.sparkContext.defaultParallelism)
     // probe LUT[j][c] = dot(sub_j(probe_unit), cent_{j,c}) — tiny side
     // (NPROBES rows), the HOF form is fine here
     val unit = expr(

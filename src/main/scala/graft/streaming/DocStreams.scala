@@ -31,7 +31,9 @@ object DocStreams {
       idCol: String = "doc_id", sourceTable: String = "documents"): String = {
     val stage = Files.createTempDirectory("graft-docstream-")
     val docs = spark.read.parquet(s"$dir/$sourceTable.parquet")
-    val maxId = docs.agg(max(idCol)).head.getLong(0)
+    // cast before the collect: an int32-regenerated id column must not
+    // ClassCastException the staging (schema-drift hardening)
+    val maxId = docs.agg(max(col(idCol).cast("long"))).head.getLong(0)
     val step = maxId / nFiles + 1
     (0 until nFiles).foreach { k =>
       val part = docs.filter(col(idCol) >= k * step && col(idCol) < (k + 1) * step)

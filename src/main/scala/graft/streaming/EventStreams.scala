@@ -349,7 +349,9 @@ object EventStreams {
         rows0.withColumn("__chunk",
           ntile(nFiles).over(Window.orderBy(col(chunkCol))) - 1)
       } else {
-        val maxId = rows0.agg(max(chunkCol)).head.getLong(0)
+        // cast before the collect: an int32-regenerated id column must
+        // not ClassCastException the staging (schema-drift hardening)
+        val maxId = rows0.agg(max(col(chunkCol).cast("long"))).head.getLong(0)
         val step = maxId / nFiles + 1
         rows0.withColumn("__chunk", (col(chunkCol).cast("long") / step).cast("int"))
       }

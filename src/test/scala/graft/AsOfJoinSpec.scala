@@ -89,6 +89,24 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got(1L) == (Some(20L), None))
   }
 
+  test("null timestamps: a null-ts right row is never a match; a null-ts left row is unmatched") {
+    import spark.implicits._
+    val r2 = Seq(("a", Some(5L), 9.0), ("a", None: Option[Long], 99.0))
+      .toDF("key", "t", "v")
+    val l2 = Seq((1L, "a", Some(10L)), (2L, "a", None: Option[Long]))
+      .toDF("id", "key", "t")
+    Seq(false, true).foreach { fwd =>
+      val got = rows(AsOfJoin.asOfMatch(l2, r2, "key", "t", "v", forward = fwd))
+      // the null-ts right row (value 99.0) must never surface
+      assert(!got.values.exists(_._2.contains(99.0)), s"fwd=$fwd: $got")
+      // the null-ts left row matches nothing in either direction
+      assert(got(2L) == (None, None), s"fwd=$fwd: $got")
+      // the real rows still match normally
+      assert(got(1L) == (if (fwd) (None, None) else (Some(5L), Some(9.0))),
+        s"fwd=$fwd: $got")
+    }
+  }
+
   test("asOfMatch plans one exchange on the key (direction does not add a shuffle)") {
     Seq(false, true).foreach { fwd =>
       val p = AsOfJoin.asOfMatch(left, right, "key", "t", "v", forward = fwd)

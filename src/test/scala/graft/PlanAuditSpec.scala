@@ -34,11 +34,24 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(graft.queries.Similarity, "ann4_pq_adc_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"probe LUTs must broadcast against the code scan:\n$p")
-    // the approximate scan's window ranks (probe, code) pairs — the
-    // unit-normalized full vectors must not flow into that exchange
-    val approxRegion = p.substring(0, p.indexOf("approx_sim") max 0)
-    assert(!approxRegion.contains("vu#"),
-      s"full vectors leaked into the ADC scan:\n$p")
+    // every SHUFFLE exchange must carry narrow rows: the formatted plan
+    // lists each node's Input columns — no shuffle may move the LUT,
+    // the codes, or any full vector (embedding/vp/vn/pu). Broadcast
+    // exchanges are exempt (the ~probes×CAND candidate set legitimately
+    // broadcasts with probe vectors attached).
+    val fmt = graft.queries.Similarity.queries("ann4_pq_adc_topk")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val shuffles = raw"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]".r
+      .findAllMatchIn(fmt).map(_.group(1)).toSeq
+    assert(shuffles.nonEmpty, s"no shuffle exchange found:\n$fmt")
+    // codes ARE allowed across a shuffle — moving the 8-byte compressed
+    // representation instead of the 256-byte vector is the point
+    val wide = Seq("lut#", "embedding#", "vp#", "vn#", "pu#")
+    shuffles.foreach { cols =>
+      wide.foreach(w => assert(!cols.contains(w),
+        s"wide column $w crosses a shuffle exchange: [$cols]"))
+    }
   }
 
   test("hq18 language-surface dedup shuffles the 8-byte fingerprint, not text") {

@@ -53,10 +53,15 @@ class StreamingSpec extends SparkSpec {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination(120000)
-    // Update mode may emit once per micro-batch — keep the last emit per user
+    // Update mode emits once per micro-batch the user appears in —
+    // keep the FINAL emission per user, keyed by the monotone count
+    // (independent max("sum_value") would pick an intermediate batch's
+    // sum if any value were negative)
     val latest = spark.table("running_mem")
       .groupBy("user_id")
-      .agg(max("n_events").as("n_events"), max("sum_value").as("sum_value"))
+      .agg(max(struct(col("n_events"), col("sum_value"))).as("m"))
+      .select(col("user_id"), col("m.n_events").as("n_events"),
+        col("m.sum_value").as("sum_value"))
     val batch = Tables.t(spark, sf, "events")
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
