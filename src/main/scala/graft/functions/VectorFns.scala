@@ -611,11 +611,23 @@ object VectorFns {
     * and reuse by reference identity. Only GenericArrayData is cached:
     * an UnsafeArrayData can be a REUSED buffer whose identity outlives
     * its contents, so those convert fresh every call. */
-  private val pqCbCache = new ThreadLocal[(ArrayData, Array[Array[Array[Double]]])]()
+  private val pqCbCache =
+    new ThreadLocal[Array[(ArrayData, Array[Array[Array[Double]]])]]() {
+      // four slots: a plan that interleaves MULTIPLE codebooks per row
+      // (ann5 encodes against the coarse AND the PQ codebook) must not
+      // thrash a single-entry cache back into per-row conversions
+      override def initialValue() =
+        new Array[(ArrayData, Array[Array[Array[Double]]])](4)
+    }
 
   private def pqCodebook(cents: ArrayData): Array[Array[Array[Double]]] = {
-    val cached = pqCbCache.get()
-    if (cached != null && (cached._1 eq cents)) return cached._2
+    val slots = pqCbCache.get()
+    var s = 0
+    while (s < slots.length) {
+      val hit = slots(s)
+      if (hit != null && (hit._1 eq cents)) return hit._2
+      s += 1
+    }
     val m = cents.numElements()
     val out = new Array[Array[Array[Double]]](m)
     var j = 0
@@ -627,7 +639,12 @@ object VectorFns {
       out(j) = row
       j += 1
     }
-    if (cents.isInstanceOf[GenericArrayData]) pqCbCache.set((cents, out))
+    if (cents.isInstanceOf[GenericArrayData]) {
+      // shift-in at the front; evict the oldest
+      var k = slots.length - 1
+      while (k > 0) { slots(k) = slots(k - 1); k -= 1 }
+      slots(0) = (cents, out)
+    }
     out
   }
 

@@ -163,79 +163,73 @@ object Similarity extends QueryPack {
     * corpus — at any scale the full-precision vectors are touched for
     * candidates only. Approximate recall → rows-only driver check;
     * recall@K vs ann1 is spec-measured (SimilaritySpec). */
-  private def ann4(s: SparkSession, d: String): DataFrame = {
-    graft.functions.VectorFns.register(s)
-    val M = 8; val SUB = 8; val KC = 16; val CAND = 50 // M*SUB = the 64-dim space
-    val e = t(s, d, "embeddings")
-    // Codebook training on a deterministic bounded driver sample (the
-    // FAISS convention — k-means trains on a sample, never the corpus):
-    // 256 residue-class picks in id order, Forgy init, 8 Lloyd rounds
-    // per subspace with left-to-right mean folds — bit-deterministic,
-    // and a fixed ~64 KB collect at any corpus size.
-    val TRAIN = 256
-    val sample: Array[Array[Double]] = e
-      .filter(col("vec_id") >= NPROBES && col("vec_id") % 3 === 1)
-      .orderBy("vec_id").limit(TRAIN)
-      .select(col("embedding")).collect()
-      .map { r =>
-        // element-type-agnostic (float[] today, double[] if the
-        // warehouse regenerates — the r10 lesson)
-        val v = r.getSeq[Any](0).map {
-          case f: Float => f.toDouble
-          case d: Double => d
-          case other => throw new IllegalArgumentException(
-            s"embedding element: $other")
-        }.toArray
-        val n = math.sqrt(v.map(x => x * x).sum) max 1e-12
-        v.map(_ / n)
-      }
-    def lloyd(sub: Array[Array[Double]]): Seq[Seq[Double]] = {
-      var cents = (0 until KC).map(c => sub(c * (sub.length / KC)).clone).toArray
-      def d2(a: Array[Double], b: Array[Double]): Double = {
-        var s = 0.0; var i = 0
-        while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
-        s
-      }
-      (0 until 8).foreach { _ =>
-        val assign = sub.map(v => cents.indices.minBy(c => d2(v, cents(c))))
-        cents = cents.indices.map { c =>
-          val mine = sub.indices.filter(assign(_) == c)
-          if (mine.isEmpty) cents(c)
-          else {
-            val m = new Array[Double](SUB)
-            mine.foreach { i => var dI = 0
-              while (dI < SUB) { m(dI) += sub(i)(dI); dI += 1 } }
-            m.map(_ / mine.length)
-          }
-        }.toArray
-      }
-      cents.map(_.toSeq).toSeq
+  /** Deterministic bounded driver sample for codebook training (the
+    * FAISS convention — k-means trains on a sample, never the corpus):
+    * ≤256 residue-class picks in id order, unit-normalized,
+    * element-type-agnostic (float[] today, double[] if the warehouse
+    * regenerates — the r10 lesson). A fixed ≤64 KB collect at any
+    * corpus size. */
+  private def unitSample(e: DataFrame): Array[Array[Double]] = e
+    .filter(col("vec_id") >= NPROBES && col("vec_id") % 3 === 1)
+    .orderBy("vec_id").limit(256)
+    .select(col("embedding")).collect()
+    .map { r =>
+      val v = r.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case other => throw new IllegalArgumentException(
+          s"embedding element: $other")
+      }.toArray
+      val n = math.sqrt(v.map(x => x * x).sum) max 1e-12
+      v.map(_ / n)
     }
-    // cents(j)(c) = centroid c of subspace j, trained in the
-    // unit-normalized space the corpus/probes are encoded in
-    val cents: Seq[Seq[Seq[Double]]] = (0 until M).map { j =>
-      lloyd(sample.map(_.slice(j * SUB, (j + 1) * SUB)))
+
+  /** Driver-side k-means: Forgy init from evenly-spaced sample rows,
+    * 8 Lloyd rounds with left-to-right mean folds — bit-deterministic.
+    * Empty clusters keep their previous centroid. */
+  private def lloyd(sub: Array[Array[Double]], k: Int): Seq[Seq[Double]] = {
+    val dim = sub(0).length
+    var cents = (0 until k).map(c => sub(c * (sub.length / k)).clone).toArray
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
     }
-    // corpus encode + candidate scoring are the per-row / per-pair hot
-    // paths: both run as native codegen'd expressions (VectorFns
-    // PqEncode / PqAdcScore) — the HOF transform/aggregate forms
-    // evaluated interpreted closures per element and were SLOWER than
-    // the exact dot at 200k vectors (measured; see SURVEY §10)
-    // encode BEFORE the spreading repartition: the exchange then moves
-    // 8-byte codes, never the 256-byte raw vectors (the plan audit
-    // pins this — at 10⁹ vectors that exchange is the difference
-    // between shipping 8 GB and 256 GB)
-    val corpus = e
-      .withColumn("__cents", typedLit(cents))
-      .withColumn("codes", expr("graft_pq_encode(embedding, __cents)"))
-      .select(col("vec_id").as("neighbor_id"), col("codes"))
-      .repartition(s.sparkContext.defaultParallelism)
-    // probe LUT[j][c] = dot(sub_j(probe_unit), cent_{j,c}) — tiny side
-    // (NPROBES rows), the HOF form is fine here
-    val unit = expr(
-      """transform(embedding, x -> CAST(x AS DOUBLE) /
-         greatest(sqrt(graft_dot_f(embedding, embedding)), CAST(1e-12 AS DOUBLE)))""")
-    val probes = e.filter(col("vec_id") < NPROBES)
+    (0 until 8).foreach { _ =>
+      val assign = sub.map(v => cents.indices.minBy(c => d2(v, cents(c))))
+      cents = cents.indices.map { c =>
+        val mine = sub.indices.filter(assign(_) == c)
+        if (mine.isEmpty) cents(c)
+        else {
+          val m = new Array[Double](dim)
+          mine.foreach { i => var dI = 0
+            while (dI < dim) { m(dI) += sub(i)(dI); dI += 1 } }
+          m.map(_ / mine.length)
+        }
+      }.toArray
+    }
+    cents.map(_.toSeq).toSeq
+  }
+
+  private val M = 8; private val SUB = 8; private val KC = 16 // M*SUB = 64 dims
+
+  /** cents(j)(c) = PQ centroid c of subspace j, trained in the
+    * unit-normalized space the corpus/probes are encoded in. */
+  private def pqCodebook(sample: Array[Array[Double]]): Seq[Seq[Seq[Double]]] =
+    (0 until M).map { j =>
+      lloyd(sample.map(_.slice(j * SUB, (j + 1) * SUB)), KC)
+    }
+
+  /** Unit-normalized double vector from the embedding column (element
+    * type adaptive via the CAST). */
+  private val unit = expr(
+    """transform(embedding, x -> CAST(x AS DOUBLE) /
+       greatest(sqrt(graft_dot_f(embedding, embedding)), CAST(1e-12 AS DOUBLE)))""")
+
+  /** Probe-side ADC lookup table: LUT[j][c] = dot(sub_j(probe_unit),
+    * cent_{j,c}) — tiny side (NPROBES rows), the HOF form is fine. */
+  private def probeLuts(e: DataFrame, cents: Seq[Seq[Seq[Double]]]): DataFrame =
+    e.filter(col("vec_id") < NPROBES)
       .withColumn("__cents", typedLit(cents))
       .withColumn("pu", unit)
       .withColumn("lut", expr(
@@ -244,22 +238,13 @@ object Similarity extends QueryPack {
                 aggregate(zip_with(slice(pu, j * $SUB + 1, $SUB), c,
                   (x, y) -> x * y),
                 CAST(0.0 AS DOUBLE), (a, z) -> a + z)))"""))
-      .select(col("vec_id").as("probe_id"), col("lut"))
-    val wApprox = Window.partitionBy(col("probe_id"))
-      .orderBy(col("approx_sim").desc, col("neighbor_id").asc)
-    val candidates = broadcast(probes)
-      .join(corpus, col("probe_id") =!= col("neighbor_id"))
-      // project down to 16 bytes + score BEFORE the ranking exchange:
-      // the 1 KB LUT / codes columns must never cross the shuffle
-      .select(col("probe_id"), col("neighbor_id"),
-        expr("graft_pq_adc(lut, codes)").as("approx_sim"))
-      .withColumn("crank", row_number().over(wApprox))
-      .filter(col("crank") <= CAND)
-      .select("probe_id", "neighbor_id")
-    // exact re-rank of the small candidate set against full vectors —
-    // norms/dots computed AFTER the joins, so only ~probes×CAND rows
-    // ever pay full-precision arithmetic (the corpus side contributes
-    // a bare (vec_id, embedding) projection to the hash probe)
+
+  /** Exact re-rank of a small (probe_id, neighbor_id) candidate set to
+    * top-K by full-precision cosine — norms/dots computed AFTER the
+    * joins, so only the candidate rows ever pay full arithmetic (the
+    * corpus side contributes a bare (vec_id, embedding) projection to
+    * the hash probe). */
+  private def exactRerank(candidates: DataFrame, e: DataFrame): DataFrame = {
     val wExact = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     val withProbeVec = candidates.join(
@@ -276,6 +261,98 @@ object Similarity extends QueryPack {
       .filter(col("rank") <= K)
       .withColumn("cos_sim", round(col("cos_sim"), 6))
       .select("probe_id", "neighbor_id", "cos_sim", "rank")
+  }
+
+  private def ann4(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFns.register(s)
+    val CAND = 50
+    val e = t(s, d, "embeddings")
+    val cents = pqCodebook(unitSample(e))
+    // corpus encode + candidate scoring are the per-row / per-pair hot
+    // paths: both run as native codegen'd expressions (VectorFns
+    // PqEncode / PqAdcScore) — the HOF transform/aggregate forms
+    // evaluated interpreted closures per element and were SLOWER than
+    // the exact dot at 200k vectors (measured; see SURVEY §10)
+    // encode BEFORE the spreading repartition: the exchange then moves
+    // 8-byte codes, never the 256-byte raw vectors (the plan audit
+    // pins this — at 10⁹ vectors that exchange is the difference
+    // between shipping 8 GB and 256 GB)
+    val corpus = e
+      .withColumn("__cents", typedLit(cents))
+      .withColumn("codes", expr("graft_pq_encode(embedding, __cents)"))
+      .select(col("vec_id").as("neighbor_id"), col("codes"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val probes = probeLuts(e, cents).select(col("vec_id").as("probe_id"), col("lut"))
+    val wApprox = Window.partitionBy(col("probe_id"))
+      .orderBy(col("approx_sim").desc, col("neighbor_id").asc)
+    val candidates = broadcast(probes)
+      .join(corpus, col("probe_id") =!= col("neighbor_id"))
+      // project down to 16 bytes + score BEFORE the ranking exchange:
+      // the 1 KB LUT / codes columns must never cross the shuffle
+      .select(col("probe_id"), col("neighbor_id"),
+        expr("graft_pq_adc(lut, codes)").as("approx_sim"))
+      .withColumn("crank", row_number().over(wApprox))
+      .filter(col("crank") <= CAND)
+      .select("probe_id", "neighbor_id")
+    exactRerank(candidates, e)
+  }
+
+  /** ann5 — IVF + PQ composed (the FAISS IVFADC shape, non-residual
+    * variant: one GLOBAL PQ codebook over unit vectors rather than
+    * per-list residual codebooks — a documented simplification that
+    * keeps encode a single map-only expression): the coarse quantizer
+    * is just [[graft.functions.VectorFns.PqEncode]] with an M=1
+    * codebook of C full-width centroids (map-only list assignment,
+    * argmin L2 ≡ argmax cosine on unit vectors), PQ codes as in ann4,
+    * and each probe EQUI-JOINS its NL nearest lists — a broadcast hash
+    * join on the list id, so a corpus row is scored only for probes
+    * that probed its list (expected NL/C of the pairs the full ADC
+    * scan would enumerate; the sublinearity ann4 lacks) — then ADC
+    * top-CAND and exact re-rank. Both fan-outs compose: coarse lists
+    * bound the scan, codes compress it. Approximate → rows-only gate;
+    * recall@K vs ann1 spec-measured. */
+  private def ann5(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFns.register(s)
+    val C = 32; val NL = 8; val CAND = 50
+    val e = t(s, d, "embeddings")
+    val sample = unitSample(e)
+    val cents = pqCodebook(sample)
+    // coarse codebook = one subspace of C unit-space centroids
+    val coarse: Seq[Seq[Seq[Double]]] = Seq(lloyd(sample, C))
+    val corpus = e
+      .withColumn("__cents", typedLit(cents))
+      .withColumn("__coarse", typedLit(coarse))
+      .withColumn("list", expr("element_at(graft_pq_encode(embedding, __coarse), 1)"))
+      .withColumn("codes", expr("graft_pq_encode(embedding, __cents)"))
+      .select(col("vec_id").as("neighbor_id"), col("list"), col("codes"))
+      // spread AFTER encode (the exchange moves 12-byte rows, never
+      // vectors) — a single-file local corpus would otherwise encode
+      // and scan in one task
+      .repartition(s.sparkContext.defaultParallelism)
+    // probe side: LUT + the NL nearest lists by coarse cosine (top by
+    // struct sort — deterministic; cid tie-break by the struct order)
+    val coarseSim =
+      s"""transform(sequence(0, ${C - 1}), c ->
+            struct(aggregate(zip_with(pu, element_at(element_at(__coarse, 1), CAST(c + 1 AS INT)),
+                (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, z) -> a + z) AS s,
+              c AS cid))"""
+    val probes = probeLuts(e, cents)
+      .withColumn("__coarse", typedLit(coarse))
+      .withColumn("pick", explode(expr(
+        s"slice(reverse(array_sort($coarseSim)), 1, $NL)")))
+      .select(col("vec_id").as("probe_id"), col("lut"),
+        col("pick.cid").as("list"))
+    val wApprox = Window.partitionBy(col("probe_id"))
+      .orderBy(col("approx_sim").desc, col("neighbor_id").asc)
+    val candidates = broadcast(probes)
+      .join(corpus, Seq("list"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        expr("graft_pq_adc(lut, codes)").as("approx_sim"))
+      .withColumn("crank", row_number().over(wApprox))
+      .filter(col("crank") <= CAND)
+      .select("probe_id", "neighbor_id")
+    exactRerank(candidates, e)
   }
 
   /** emb1 — int8 scalar quantization of the embedding column: per-vector
@@ -317,6 +394,7 @@ object Similarity extends QueryPack {
     "ann2_lsh_topk" -> (ann2 _),
     "ann3_ivf_topk" -> (ann3 _),
     "ann4_pq_adc_topk" -> (ann4 _),
+    "ann5_ivfpq_topk" -> (ann5 _),
     "emb1_quantization" -> (emb1 _),
   )
 

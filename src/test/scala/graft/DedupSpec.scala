@@ -329,4 +329,20 @@ class DedupSpec extends SparkSpec {
     // quantization error is the only loss — floor well above LSH/IVF
     assert(hit.toDouble / total >= 0.5, s"PQ-ADC recall $hit/$total below floor")
   }
+
+  test("ann5 IVF+PQ recall@5 against exact ann1") {
+    val exact = Similarity.queries("ann1_bruteforce_topk")(spark, sf)
+      .select("probe_id", "neighbor_id")
+    val r = Similarity.queries("ann5_ivfpq_topk")(spark, sf)
+    val rows = r.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(x => x.getAs[Long]("probe_id") != x.getAs[Long]("neighbor_id")))
+    assert(rows.forall(x => x.getAs[Long]("rank") <= 5))
+    val approx = r.select("probe_id", "neighbor_id")
+    val total = exact.count()
+    val hit = exact.intersect(approx).count()
+    // 8-of-32 lists probed (ann3's scan budget) COMPOUNDED with PQ
+    // quantization — same floor as the IVF-alone path
+    assert(hit.toDouble / total >= 0.3, s"IVF+PQ recall $hit/$total below floor")
+  }
 }

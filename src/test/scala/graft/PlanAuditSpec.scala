@@ -54,6 +54,24 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("ann5 IVF+PQ scans via a broadcast HASH join on the list id; no vector crosses a shuffle") {
+    val df = graft.queries.Similarity.queries("ann5_ivfpq_topk")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the sublinearity claim: candidate generation must be an equi-join
+    // on the coarse list id, never a nested-loop pair enumeration
+    assert(p.contains("BroadcastHashJoin [list"),
+      s"ADC scan must equi-join on the list id:\n$p")
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val shuffles = raw"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]".r
+      .findAllMatchIn(fmt).map(_.group(1)).toSeq
+    val wide = Seq("lut#", "embedding#", "vp#", "vn#", "pu#")
+    shuffles.foreach { cols =>
+      wide.foreach(w => assert(!cols.contains(w),
+        s"wide column $w crosses a shuffle exchange: [$cols]"))
+    }
+  }
+
   test("hq18 language-surface dedup shuffles the 8-byte fingerprint, not text") {
     val p = plan(graft.queries.HeroQueries, "hq18_fingerprint_dedup")
     assert(p.contains("hashpartitioning(fp"),
