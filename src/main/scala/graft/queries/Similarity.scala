@@ -228,8 +228,9 @@ object Similarity extends QueryPack {
 
   /** Probe-side ADC lookup table: LUT[j][c] = dot(sub_j(probe_unit),
     * cent_{j,c}) — tiny side (NPROBES rows), the HOF form is fine. */
-  private def probeLuts(e: DataFrame, cents: Seq[Seq[Seq[Double]]]): DataFrame =
-    e.filter(col("vec_id") < NPROBES)
+  private def probeLuts(e: DataFrame, cents: Seq[Seq[Seq[Double]]],
+      nProbes: Int = NPROBES): DataFrame =
+    e.filter(col("vec_id") < nProbes)
       .withColumn("__cents", typedLit(cents))
       .withColumn("pu", unit)
       .withColumn("lut", expr(
@@ -311,48 +312,102 @@ object Similarity extends QueryPack {
     * top-CAND and exact re-rank. Both fan-outs compose: coarse lists
     * bound the scan, codes compress it. Approximate → rows-only gate;
     * recall@K vs ann1 spec-measured. */
-  private def ann5(s: SparkSession, d: String): DataFrame = {
-    graft.functions.VectorFns.register(s)
-    val C = 32; val NL = 8; val CAND = 50
-    val e = t(s, d, "embeddings")
-    val sample = unitSample(e)
-    val cents = pqCodebook(sample)
-    // coarse codebook = one subspace of C unit-space centroids
-    val coarse: Seq[Seq[Seq[Double]]] = Seq(lloyd(sample, C))
-    val corpus = e
-      .withColumn("__cents", typedLit(cents))
+  private val IVF_C = 32; private val IVF_NL = 8
+
+  /** (neighbor_id, list, codes) — the IVF-PQ index rows: coarse list
+    * assignment + PQ codes, both map-only native expressions. */
+  private def ivfPqIndexRows(e: DataFrame, cents: Seq[Seq[Seq[Double]]],
+      coarse: Seq[Seq[Seq[Double]]]): DataFrame =
+    e.withColumn("__cents", typedLit(cents))
       .withColumn("__coarse", typedLit(coarse))
       .withColumn("list", expr("element_at(graft_pq_encode(embedding, __coarse), 1)"))
       .withColumn("codes", expr("graft_pq_encode(embedding, __cents)"))
       .select(col("vec_id").as("neighbor_id"), col("list"), col("codes"))
-      // spread AFTER encode (the exchange moves 12-byte rows, never
-      // vectors) — a single-file local corpus would otherwise encode
-      // and scan in one task
-      .repartition(s.sparkContext.defaultParallelism)
-    // probe side: LUT + the NL nearest lists by coarse cosine (top by
-    // struct sort — deterministic; cid tie-break by the struct order)
+
+  /** Probe rows exploded per probed list: (probe_id, lut, list) — the
+    * NL nearest lists by coarse cosine (top by struct sort —
+    * deterministic; cid tie-break by the struct order). */
+  private def ivfPqProbes(e: DataFrame, cents: Seq[Seq[Seq[Double]]],
+      coarse: Seq[Seq[Seq[Double]]], nProbes: Int = NPROBES): DataFrame = {
     val coarseSim =
-      s"""transform(sequence(0, ${C - 1}), c ->
+      s"""transform(sequence(0, ${IVF_C - 1}), c ->
             struct(aggregate(zip_with(pu, element_at(element_at(__coarse, 1), CAST(c + 1 AS INT)),
                 (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, z) -> a + z) AS s,
               c AS cid))"""
-    val probes = probeLuts(e, cents)
+    probeLuts(e, cents, nProbes)
       .withColumn("__coarse", typedLit(coarse))
       .withColumn("pick", explode(expr(
-        s"slice(reverse(array_sort($coarseSim)), 1, $NL)")))
+        s"slice(reverse(array_sort($coarseSim)), 1, $IVF_NL)")))
       .select(col("vec_id").as("probe_id"), col("lut"),
         col("pick.cid").as("list"))
+  }
+
+  /** List-equi-join ADC candidate generation + top-CAND per probe. */
+  private def adcCandidates(probes: DataFrame, indexRows: DataFrame,
+      cand: Int): DataFrame = {
     val wApprox = Window.partitionBy(col("probe_id"))
       .orderBy(col("approx_sim").desc, col("neighbor_id").asc)
-    val candidates = broadcast(probes)
-      .join(corpus, Seq("list"))
+    broadcast(probes)
+      .join(indexRows, Seq("list"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
         expr("graft_pq_adc(lut, codes)").as("approx_sim"))
       .withColumn("crank", row_number().over(wApprox))
-      .filter(col("crank") <= CAND)
+      .filter(col("crank") <= cand)
       .select("probe_id", "neighbor_id")
-    exactRerank(candidates, e)
+  }
+
+  private def ann5(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFns.register(s)
+    val e = t(s, d, "embeddings")
+    val sample = unitSample(e)
+    val cents = pqCodebook(sample)
+    // coarse codebook = one subspace of C unit-space centroids
+    val coarse: Seq[Seq[Seq[Double]]] = Seq(lloyd(sample, IVF_C))
+    val corpus = ivfPqIndexRows(e, cents, coarse)
+      // spread AFTER encode (the exchange moves 12-byte rows, never
+      // vectors) — a single-file local corpus would otherwise encode
+      // and scan in one task
+      .repartition(s.sparkContext.defaultParallelism)
+    exactRerank(adcCandidates(ivfPqProbes(e, cents, coarse), corpus, 50), e)
+  }
+
+  /** ann6 — ann5's index MATERIALIZED in the table store, partitioned
+    * by list (the production IVF-PQ shape: the index is BUILT once —
+    * one map-only encode job + one partitioned store commit — and
+    * queries touch only their probed lists). The store lays each list
+    * out as its own partition directory, the probed-list set (a
+    * bounded ≤NPROBES×NL collect, the fp-bucket-set pattern) prunes
+    * the read statically, and the scan opens only those directories —
+    * files-read < files-on-disk is spec-pinned, the same
+    * bucket-pruning contract as the streaming dedup corpus. Query
+    * cost is therefore the probed lists' codes + the re-rank, with
+    * NO per-query encode of the corpus — what ann5's inline gate
+    * cannot show. Results are row-identical to ann5 (same codebooks,
+    * same arithmetic; spec-pinned). */
+  private[graft] def storedIvfPqTopK(s: SparkSession, d: String,
+      store: graft.store.TableStore, table: String,
+      nProbes: Int = NPROBES): DataFrame = {
+    graft.functions.VectorFns.register(s)
+    val e = t(s, d, "embeddings")
+    val sample = unitSample(e)
+    val cents = pqCodebook(sample)
+    val coarse: Seq[Seq[Seq[Double]]] = Seq(lloyd(sample, IVF_C))
+    if (!store.exists(table))
+      store.createPartitioned(table, ivfPqIndexRows(e, cents, coarse), Seq("list"))
+    val probes = ivfPqProbes(e, cents, coarse, nProbes)
+    // bounded probed-list collect → static partition pruning on the
+    // store read (≤ NPROBES×NL ints, the fp-bucket-set precedent)
+    val probed = probes.select("list").distinct().collect()
+      .map(r => Int.box(r.getInt(0))).toSeq
+    val idx = store.read(table).filter(col("list").isin(probed: _*))
+    exactRerank(adcCandidates(probes, idx, 50), e)
+  }
+
+  private def ann6(s: SparkSession, d: String): DataFrame = {
+    val store = new graft.store.TableStore(s,
+      java.nio.file.Files.createTempDirectory("graft-annidx-").toString)
+    storedIvfPqTopK(s, d, store, "ann_index")
   }
 
   /** emb1 — int8 scalar quantization of the embedding column: per-vector
@@ -395,6 +450,7 @@ object Similarity extends QueryPack {
     "ann3_ivf_topk" -> (ann3 _),
     "ann4_pq_adc_topk" -> (ann4 _),
     "ann5_ivfpq_topk" -> (ann5 _),
+    "ann6_stored_index_topk" -> (ann6 _),
     "emb1_quantization" -> (emb1 _),
   )
 

@@ -345,4 +345,42 @@ class DedupSpec extends SparkSpec {
     // quantization — same floor as the IVF-alone path
     assert(hit.toDouble / total >= 0.3, s"IVF+PQ recall $hit/$total below floor")
   }
+
+  test("ann6 stored IVF-PQ index: row-identical to ann5, probe opens only probed partitions") {
+    val inline = Similarity.queries("ann5_ivfpq_topk")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val root = java.nio.file.Files.createTempDirectory("graft-annidx-spec-")
+    val store = new graft.store.TableStore(spark, root.toString)
+    val full = Similarity.storedIvfPqTopK(spark, sf, store, "ann_index")
+    assert(full.collect().map(_.toSeq).toSet == inline,
+      "stored-index results diverge from the inline IVF+PQ path")
+    // pruning shows with a NARROW probe set (2 probes × 8 lists < 32
+    // partitions); the full 20-probe set legitimately touches them all
+    val df = Similarity.storedIvfPqTopK(spark, sf, store, "ann_index", nProbes = 2)
+    df.collect() // execute so the scan metrics populate
+    // the store read must be partition-pruned: the index-table scan
+    // opens strictly fewer parquet files than the table has on disk
+    def scans(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case r: org.apache.spark.sql.execution.ReusedSubqueryExec =>
+        scans(r.child)
+      case other => other.children.flatMap(scans)
+    }
+    val idxScans = scans(df.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("ann_index")))
+    assert(idxScans.nonEmpty, s"no index scan:\n${df.queryExecution.executedPlan}")
+    val read = idxScans.map(_.metrics("numFiles").value).sum
+    val onDisk = {
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(p => p.getFileName.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+    assert(read > 0 && read < onDisk,
+      s"index probe must open a strict subset of partitions: read $read of $onDisk")
+  }
 }
