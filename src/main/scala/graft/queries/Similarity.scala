@@ -186,10 +186,16 @@ object Similarity extends QueryPack {
 
   /** Driver-side k-means: Forgy init from evenly-spaced sample rows,
     * 8 Lloyd rounds with left-to-right mean folds — bit-deterministic.
-    * Empty clusters keep their previous centroid. */
+    * Empty clusters keep their previous centroid. Guarded for samples
+    * smaller than k (stride floors at 1; duplicate seeds then converge
+    * to duplicate centroids, which argmin tie-breaks deterministically)
+    * and fails loudly on an empty sample. */
   private def lloyd(sub: Array[Array[Double]], k: Int): Seq[Seq[Double]] = {
+    require(sub.nonEmpty, "codebook training sample is empty")
     val dim = sub(0).length
-    var cents = (0 until k).map(c => sub(c * (sub.length / k)).clone).toArray
+    val stride = math.max(1, sub.length / k)
+    var cents = (0 until k)
+      .map(c => sub(math.min(c * stride, sub.length - 1)).clone).toArray
     def d2(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
@@ -245,11 +251,12 @@ object Similarity extends QueryPack {
     * joins, so only the candidate rows ever pay full arithmetic (the
     * corpus side contributes a bare (vec_id, embedding) projection to
     * the hash probe). */
-  private def exactRerank(candidates: DataFrame, e: DataFrame): DataFrame = {
+  private def exactRerank(candidates: DataFrame, e: DataFrame,
+      nProbes: Int = NPROBES): DataFrame = {
     val wExact = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     val withProbeVec = candidates.join(
-      broadcast(e.filter(col("vec_id") < NPROBES)
+      broadcast(e.filter(col("vec_id") < nProbes)
         .select(col("vec_id").as("probe_id"), col("embedding").as("vp"))),
       Seq("probe_id"))
     broadcast(withProbeVec)
@@ -314,6 +321,19 @@ object Similarity extends QueryPack {
     * recall@K vs ann1 spec-measured. */
   private val IVF_C = 32; private val IVF_NL = 8
 
+  /** Coarse codebook for IVF: SPHERICAL k-means — Lloyd means projected
+    * back to the unit sphere each time, so argmin L2 against these
+    * centroids is EXACTLY argmax dot for unit query vectors. This keeps
+    * the corpus-side list assignment (PqEncode, L2) and the probe-side
+    * list ranking (dot) the same metric; with raw (non-unit) Lloyd
+    * means they diverge by the ||c||²/2 term and a true neighbor's list
+    * can be unreachable regardless of PQ accuracy. */
+  private def coarseCodebook(sample: Array[Array[Double]]): Seq[Seq[Seq[Double]]] =
+    Seq(lloyd(sample, IVF_C).map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum) max 1e-12
+      c.map(_ / n)
+    })
+
   /** (neighbor_id, list, codes) — the IVF-PQ index rows: coarse list
     * assignment + PQ codes, both map-only native expressions. */
   private def ivfPqIndexRows(e: DataFrame, cents: Seq[Seq[Seq[Double]]],
@@ -362,8 +382,7 @@ object Similarity extends QueryPack {
     val e = t(s, d, "embeddings")
     val sample = unitSample(e)
     val cents = pqCodebook(sample)
-    // coarse codebook = one subspace of C unit-space centroids
-    val coarse: Seq[Seq[Seq[Double]]] = Seq(lloyd(sample, IVF_C))
+    val coarse = coarseCodebook(sample)
     val corpus = ivfPqIndexRows(e, cents, coarse)
       // spread AFTER encode (the exchange moves 12-byte rows, never
       // vectors) — a single-file local corpus would otherwise encode
@@ -392,16 +411,32 @@ object Similarity extends QueryPack {
     val e = t(s, d, "embeddings")
     val sample = unitSample(e)
     val cents = pqCodebook(sample)
-    val coarse: Seq[Seq[Seq[Double]]] = Seq(lloyd(sample, IVF_C))
-    if (!store.exists(table))
-      store.createPartitioned(table, ivfPqIndexRows(e, cents, coarse), Seq("list"))
-    val probes = ivfPqProbes(e, cents, coarse, nProbes)
+    val coarse = coarseCodebook(sample)
+    // codebook fingerprint pinned in table props: reusing an index
+    // built from DIFFERENT codebooks (another dataset, a regenerated
+    // corpus) would score fresh LUTs against stale codes — silently
+    // wrong; a mismatch rebuilds instead
+    val fp = {
+      var h = 1469598103934665603L
+      (cents.flatten.flatten ++ coarse.flatten.flatten).foreach { x =>
+        h = (h ^ java.lang.Double.doubleToLongBits(x)) * 1099511628211L
+      }
+      java.lang.Long.toHexString(h)
+    }
+    if (!store.exists(table) ||
+        !store.tableProps(table).get("codebook_fp").contains(fp))
+      store.createPartitioned(table, ivfPqIndexRows(e, cents, coarse),
+        Seq("list"), Map("codebook_fp" -> fp))
+    // localCheckpoint: the probe plan (scan + LUT + coarse top-NL) is
+    // consumed twice — the probed-list collect and the ADC join; it is
+    // ≤ nProbes×NL tiny rows, so pin it instead of recomputing
+    val probes = ivfPqProbes(e, cents, coarse, nProbes).localCheckpoint()
     // bounded probed-list collect → static partition pruning on the
-    // store read (≤ NPROBES×NL ints, the fp-bucket-set precedent)
+    // store read (≤ nProbes×NL ints, the fp-bucket-set precedent)
     val probed = probes.select("list").distinct().collect()
       .map(r => Int.box(r.getInt(0))).toSeq
     val idx = store.read(table).filter(col("list").isin(probed: _*))
-    exactRerank(adcCandidates(probes, idx, 50), e)
+    exactRerank(adcCandidates(probes, idx, 50), e, nProbes)
   }
 
   private def ann6(s: SparkSession, d: String): DataFrame = {

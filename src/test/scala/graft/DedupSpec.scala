@@ -380,7 +380,19 @@ class DedupSpec extends SparkSpec {
       try s.filter(p => p.getFileName.toString.endsWith(".parquet")).count()
       finally s.close()
     }
-    assert(read > 0 && read < onDisk,
-      s"index probe must open a strict subset of partitions: read $read of $onDisk")
+    // strict subset only when the corpus populated more partitions
+    // than the narrow probe can touch (2 probes × 8 lists = 16); a
+    // degenerate clustering that lands everything in few lists would
+    // otherwise fail spuriously
+    val partDirs = {
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("list=")).count()
+      finally s.close()
+    }
+    assert(read > 0, "index probe read no files")
+    if (partDirs > 16)
+      assert(read < onDisk,
+        s"index probe must open a strict subset: read $read of $onDisk ($partDirs partitions)")
   }
 }
