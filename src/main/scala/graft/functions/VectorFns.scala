@@ -648,10 +648,9 @@ object VectorFns {
     out
   }
 
-  def pqEncode(vec: ArrayData, cents: ArrayData, vecIsFloat: Boolean): ArrayData = {
-    val cb = pqCodebook(cents)
-    val m = cb.length
-    if (m == 0) return null
+  /** Unit-normalized double copy of the raw vector column (one pass,
+    * d divisions — not m*kc*d). */
+  private def unitVec(vec: ArrayData, vecIsFloat: Boolean): Array[Double] = {
     val d = vec.numElements()
     var norm2 = 0.0
     var i = 0
@@ -660,13 +659,25 @@ object VectorFns {
       norm2 += x * x; i += 1
     }
     val norm = math.max(math.sqrt(norm2), 1e-12)
-    val codes = new Array[Int](m)
-    val vn = new Array[Double](d) // normalize once: d divisions, not m*kc*d
+    val vn = new Array[Double](d)
     i = 0
     while (i < d) {
       val x = if (vecIsFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
       vn(i) = x / norm; i += 1
     }
+    vn
+  }
+
+  /** Nearest-centroid codes of an ALREADY-prepared double vector —
+    * shared by [[pqEncode]] (unit vectors) and [[ivfPqEncode]]
+    * (residuals, which must NOT be re-normalized). Null on a
+    * codebook/vector dims mismatch; first-min tie-break. */
+  private def encodeCodes(vn: Array[Double],
+      cb: Array[Array[Array[Double]]]): Array[Int] = {
+    val m = cb.length
+    if (m == 0) return null
+    val d = vn.length
+    val codes = new Array[Int](m)
     var off = 0
     var j = 0
     while (j < m) {
@@ -696,7 +707,51 @@ object VectorFns {
       j += 1
     }
     if (off != d) return null
-    new GenericArrayData(codes)
+    codes
+  }
+
+  def pqEncode(vec: ArrayData, cents: ArrayData, vecIsFloat: Boolean): ArrayData = {
+    val cb = pqCodebook(cents)
+    if (cb.length == 0) return null
+    val codes = encodeCodes(unitVec(vec, vecIsFloat), cb)
+    if (codes == null) null else new GenericArrayData(codes)
+  }
+
+  /** Residual IVF-PQ encode (FAISS IVFADC): unit-normalize the vector,
+    * assign it to its nearest coarse centroid (argmin L2 over the
+    * full-width M=1 `coarse` codebook), subtract that centroid, and
+    * PQ-encode the RESIDUAL (no re-normalization — the residual's
+    * magnitude is the signal the residual codebook is trained on) with
+    * `cents`. One fused pass per row returning
+    * struct<list:int, codes:array<int>>, so the index build reads the
+    * raw vector exactly once. Null on any dims mismatch. */
+  def ivfPqEncode(vec: ArrayData, coarse: ArrayData, cents: ArrayData,
+      vecIsFloat: Boolean): org.apache.spark.sql.catalyst.InternalRow = {
+    val cc = pqCodebook(coarse)
+    if (cc.length != 1 || cc(0).length == 0) return null
+    val vn = unitVec(vec, vecIsFloat)
+    val d = vn.length
+    val lists = cc(0)
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < lists.length) {
+      val cent = lists(c)
+      if (cent.length != d) return null
+      var s = 0.0
+      var i = 0
+      while (i < d) { val t = vn(i) - cent(i); s += t * t; i += 1 }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    val chosen = lists(best)
+    val r = new Array[Double](d)
+    var i = 0
+    while (i < d) { r(i) = vn(i) - chosen(i); i += 1 }
+    val codes = encodeCodes(r, pqCodebook(cents))
+    if (codes == null) return null
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](best, new GenericArrayData(codes)))
   }
 
   /** PQ asymmetric-distance lookup, shared by [[PqAdcScore]]'s paths:
@@ -763,6 +818,56 @@ object VectorFns {
 
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
+  }
+
+  /** Fused residual IVF-PQ encode (see [[ivfPqEncode]]): coarse list
+    * assignment + residual PQ codes in one codegen'd pass over the raw
+    * vector — the index-build expression for the residual IVFADC path.
+    * Ternary: (vec, coarseCodebook, residualCodebook). */
+  case class IvfPqEncodeExpr(first: Expression, second: Expression,
+      third: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("list", IntegerType, nullable = false),
+      StructField("codes", ArrayType(IntegerType, containsNull = false),
+        nullable = false)))
+    override def nullable: Boolean = true
+
+    private def vecIsFloat: Boolean = first.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val okVec = first.dataType match {
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+        case _ => false
+      }
+      def okCb(dt: DataType) = dt match {
+        case ArrayType(ArrayType(ArrayType(DoubleType, _), _), _) => true
+        case _ => false
+      }
+      if (okVec && okCb(second.dataType) && okCb(third.dataType))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"ivfpq_encode needs (array<float|double>, codebook, codebook), got " +
+          s"${first.dataType} / ${second.dataType} / ${third.dataType}")
+    }
+
+    override def nullSafeEval(v: Any, co: Any, ce: Any): Any =
+      ivfPqEncode(v.asInstanceOf[ArrayData], co.asInstanceOf[ArrayData],
+        ce.asInstanceOf[ArrayData], vecIsFloat)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b, c) => {
+        s"""
+           |${ev.value} = graft.functions.VectorFns.ivfPqEncode($a, $b, $c, $vecIsFloat);
+           |if (${ev.value} == null) { ${ev.isNull} = true; }
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(f: Expression, s: Expression,
+        t: Expression): Expression = copy(first = f, second = s, third = t)
   }
 
   /** PQ ADC score (see [[pqAdc]]): the candidate-scan hot path — must
@@ -832,6 +937,7 @@ object VectorFns {
         (exprs => SortedIntersectBounded(exprs(0), exprs(1), litDouble(exprs(2)))),
       "graft_pq_encode" -> (exprs => PqEncode(exprs(0), exprs(1))),
       "graft_pq_adc" -> (exprs => PqAdcScore(exprs(0), exprs(1))),
+      "graft_ivfpq_encode" -> (exprs => IvfPqEncodeExpr(exprs(0), exprs(1), exprs(2))),
     )
     val mh =
       if (as.isEmpty) Nil

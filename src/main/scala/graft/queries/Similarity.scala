@@ -344,9 +344,12 @@ object Similarity extends QueryPack {
       .withColumn("codes", expr("graft_pq_encode(embedding, __cents)"))
       .select(col("vec_id").as("neighbor_id"), col("list"), col("codes"))
 
-  /** Probe rows exploded per probed list: (probe_id, lut, list) — the
-    * NL nearest lists by coarse cosine (top by struct sort —
-    * deterministic; cid tie-break by the struct order). */
+  /** Probe rows exploded per probed list: (probe_id, lut, list,
+    * coarse_dot) — the NL nearest lists by coarse cosine (top by
+    * struct sort — deterministic; cid tie-break by the struct order).
+    * `coarse_dot` = dot(probe_unit, c_list) is carried so the residual
+    * path (ann7) can reconstitute dot(q, c+r) = coarse_dot + adc; the
+    * non-residual path ignores it. */
   private def ivfPqProbes(e: DataFrame, cents: Seq[Seq[Seq[Double]]],
       coarse: Seq[Seq[Seq[Double]]], nProbes: Int = NPROBES): DataFrame = {
     val coarseSim =
@@ -359,19 +362,21 @@ object Similarity extends QueryPack {
       .withColumn("pick", explode(expr(
         s"slice(reverse(array_sort($coarseSim)), 1, $IVF_NL)")))
       .select(col("vec_id").as("probe_id"), col("lut"),
-        col("pick.cid").as("list"))
+        col("pick.cid").as("list"), col("pick.s").as("coarse_dot"))
   }
 
-  /** List-equi-join ADC candidate generation + top-CAND per probe. */
+  /** List-equi-join ADC candidate generation + top-CAND per probe.
+    * `approxSim` defaults to the plain ADC lookup sum; the residual
+    * path adds the per-(probe, list) coarse term. */
   private def adcCandidates(probes: DataFrame, indexRows: DataFrame,
-      cand: Int): DataFrame = {
+      cand: Int, approxSim: Column = expr("graft_pq_adc(lut, codes)")): DataFrame = {
     val wApprox = Window.partitionBy(col("probe_id"))
       .orderBy(col("approx_sim").desc, col("neighbor_id").asc)
     broadcast(probes)
       .join(indexRows, Seq("list"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
-        expr("graft_pq_adc(lut, codes)").as("approx_sim"))
+        approxSim.as("approx_sim"))
       .withColumn("crank", row_number().over(wApprox))
       .filter(col("crank") <= cand)
       .select("probe_id", "neighbor_id")
@@ -445,6 +450,68 @@ object Similarity extends QueryPack {
     storedIvfPqTopK(s, d, store, "ann_index")
   }
 
+  /** Driver-side residual sample for the residual codebook: each unit
+    * sample vector minus its nearest coarse centroid — the distribution
+    * the PQ codebook must quantize under residual encoding (same argmin
+    * L2 + first-min tie-break as the corpus-side [[graft.functions
+    * .VectorFns.ivfPqEncode]], so training and encoding see the same
+    * assignment). */
+  private def residualSample(sample: Array[Array[Double]],
+      coarse: Seq[Seq[Seq[Double]]]): Array[Array[Double]] = {
+    val cents = coarse.head.map(_.toArray).toArray
+    sample.map { v =>
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        var s = 0.0; var i = 0
+        while (i < v.length) { val t = v(i) - cents(c)(i); s += t * t; i += 1 }
+        if (s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      val r = new Array[Double](v.length)
+      var i = 0
+      while (i < v.length) { r(i) = v(i) - cents(best)(i); i += 1 }
+      r
+    }
+  }
+
+  /** ann7 — RESIDUAL IVF-PQ (the full FAISS IVFADC, closing ann5's
+    * documented non-residual simplification): the PQ codebook is
+    * trained on COARSE RESIDUALS (x_unit − c_list) — a distribution
+    * with far less variance than the raw unit vectors, so the same 8×16
+    * code budget quantizes much finer — and the corpus encodes with the
+    * fused [[graft.functions.VectorFns.IvfPqEncodeExpr]] (one codegen'd
+    * pass per row: list assignment + residual subtraction + residual
+    * codes; the raw vector is read exactly once). The probe side needs
+    * NO per-list LUTs even though encoding is per-list relative: on the
+    * dot/cosine metric the score decomposes linearly —
+    * dot(q, c + r) = dot(q, c_list) + dot(q, r) — so one GLOBAL LUT
+    * over the residual codebook plus the per-(probe, list) coarse dot
+    * (already computed for list ranking) reconstitutes the full
+    * asymmetric score. (L2-metric IVFADC would need per-list tables;
+    * the linear decomposition is what cosine buys.) Same plan shape as
+    * ann5 — broadcast list-equi-join, codes-only exchange — with
+    * strictly better quantization; recall@K vs ann1 spec-measured
+    * against ann5's on the same fixture. */
+  private def ann7(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFns.register(s)
+    val e = t(s, d, "embeddings")
+    val sample = unitSample(e)
+    val coarse = coarseCodebook(sample)
+    val residCb = pqCodebook(residualSample(sample, coarse))
+    val corpus = e
+      .withColumn("__coarse", typedLit(coarse))
+      .withColumn("__cents", typedLit(residCb))
+      .withColumn("enc", expr("graft_ivfpq_encode(embedding, __coarse, __cents)"))
+      .select(col("vec_id").as("neighbor_id"),
+        col("enc.list").as("list"), col("enc.codes").as("codes"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val probes = ivfPqProbes(e, residCb, coarse)
+    val cands = adcCandidates(probes, corpus, 50,
+      approxSim = col("coarse_dot") + expr("graft_pq_adc(lut, codes)"))
+    exactRerank(cands, e)
+  }
+
   /** emb1 — int8 scalar quantization of the embedding column: per-vector
     * symmetric scale (max-abs / 127), nearest-integer codes clamped to
     * [-127, 127], with per-vector reconstruction RMS and a fold checksum
@@ -486,6 +553,7 @@ object Similarity extends QueryPack {
     "ann4_pq_adc_topk" -> (ann4 _),
     "ann5_ivfpq_topk" -> (ann5 _),
     "ann6_stored_index_topk" -> (ann6 _),
+    "ann7_ivfpq_residual_topk" -> (ann7 _),
     "emb1_quantization" -> (emb1 _),
   )
 

@@ -346,6 +346,29 @@ class DedupSpec extends SparkSpec {
     assert(hit.toDouble / total >= 0.3, s"IVF+PQ recall $hit/$total below floor")
   }
 
+  test("ann7 residual IVF-PQ recall@5: at least ann5's floor, and not worse than ann5") {
+    val exact = Similarity.queries("ann1_bruteforce_topk")(spark, sf)
+      .select("probe_id", "neighbor_id")
+    val r = Similarity.queries("ann7_ivfpq_residual_topk")(spark, sf)
+    val rows = r.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(x => x.getAs[Long]("probe_id") != x.getAs[Long]("neighbor_id")))
+    assert(rows.forall(x => x.getAs[Long]("rank") <= 5))
+    val total = exact.count()
+    val hit = exact.intersect(r.select("probe_id", "neighbor_id")).count()
+    assert(hit.toDouble / total >= 0.3,
+      s"residual IVF+PQ recall $hit/$total below floor")
+    // same coarse codebook, same probed lists, same candidate budget —
+    // the ONLY change vs ann5 is finer ADC precision from residual
+    // quantization, so candidate ranking can only improve (allow one
+    // borderline-pair slack: equal ADC scores tie-break on id)
+    val hit5 = exact.intersect(
+      Similarity.queries("ann5_ivfpq_topk")(spark, sf)
+        .select("probe_id", "neighbor_id")).count()
+    assert(hit + 5 >= hit5,
+      s"residual path recall $hit fell below non-residual $hit5")
+  }
+
   test("ann6 stored IVF-PQ index: row-identical to ann5, probe opens only probed partitions") {
     val inline = Similarity.queries("ann5_ivfpq_topk")(spark, sf)
       .collect().map(_.toSeq).toSet

@@ -72,6 +72,27 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("ann7 residual IVF-PQ keeps ann5's plan shape: list equi-join, codes-only exchange") {
+    val df = graft.queries.Similarity.queries("ann7_ivfpq_residual_topk")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin [list"),
+      s"residual ADC scan must equi-join on the list id:\n$p")
+    // the fused encode must appear ONCE per corpus row (struct of list
+    // + codes), never a second full-vector pass
+    assert(p.contains("ivfpqencodeexpr") || p.contains("graft_ivfpq_encode") ||
+      p.toLowerCase.contains("ivfpqencode"),
+      s"fused residual encode missing from the plan:\n$p")
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val shuffles = raw"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]".r
+      .findAllMatchIn(fmt).map(_.group(1)).toSeq
+    val wide = Seq("lut#", "embedding#", "vp#", "vn#", "pu#")
+    shuffles.foreach { cols =>
+      wide.foreach(w => assert(!cols.contains(w),
+        s"wide column $w crosses a shuffle exchange: [$cols]"))
+    }
+  }
+
   test("hq18 language-surface dedup shuffles the 8-byte fingerprint, not text") {
     val p = plan(graft.queries.HeroQueries, "hq18_fingerprint_dedup")
     assert(p.contains("hashpartitioning(fp"),
