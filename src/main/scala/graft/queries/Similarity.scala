@@ -87,6 +87,10 @@ object Similarity extends QueryPack {
       .withColumn("cos_sim", expr("graft_dot_f(vp, vn) / (np * nn)"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= K)
+      // rank from the raw double, emit rounded (the ann1 convention) —
+      // with fixed literal hyperplanes the whole query is deterministic,
+      // so it carries a FULL DuckDB oracle, not just a rows-only check
+      .withColumn("cos_sim", round(col("cos_sim"), 6))
       .select("probe_id", "neighbor_id", "cos_sim", "rank")
   }
 
@@ -557,7 +561,88 @@ object Similarity extends QueryPack {
     "emb1_quantization" -> (emb1 _),
   )
 
+  /** ann2's DuckDB oracle — possible because the LSH is fully
+    * deterministic: the hyperplanes are LITERALS (seeded Gaussian,
+    * embedded below with the same shortest-repr doubles the Spark
+    * expression parses — both engines' parsers round-trip them to the
+    * identical IEEE values), the bucket is sign-bit arithmetic, and the
+    * re-rank is the ann1-precedent double cosine. list_dot_product on
+    * DOUBLE[] ≡ graft_dot_f (left-to-right double folds, proven
+    * bit-identical by the ann1 gate since r9). */
+  private def ann2OracleSql: String = {
+    val ps = planes(6, 64)
+    val bucketSql = ps.zipWithIndex.map { case (p, j) =>
+      s"(CASE WHEN list_dot_product(xd, [${p.mkString(", ")}]) > 0.0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString("\n             + ")
+    s"""WITH b AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS xd,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm,
+           $bucketSql AS bucket
+         FROM embeddings),
+       probes AS (
+         SELECT vec_id AS probe_id, xd AS vp, nrm AS np, bucket AS pbucket
+         FROM b WHERE vec_id < $NPROBES),
+       pb AS (
+         SELECT probe_id, vp, np, u.bucket FROM probes,
+           UNNEST([xor(pbucket, 1), xor(pbucket, 2), xor(pbucket, 4),
+                   xor(pbucket, 8), xor(pbucket, 16), xor(pbucket, 32),
+                   pbucket]) AS u(bucket)),
+       cand AS (
+         SELECT probe_id, b.vec_id AS neighbor_id,
+           list_dot_product(vp, b.xd) / (np * b.nrm) AS cos_sim
+         FROM pb JOIN b ON pb.bucket = b.bucket
+         WHERE probe_id != b.vec_id)
+       SELECT probe_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rank FROM (
+         SELECT probe_id, neighbor_id, cos_sim,
+           row_number() OVER (PARTITION BY probe_id
+             ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+         FROM cand)
+       WHERE rank <= $K"""
+  }
+
+  /** ann3's DuckDB oracle — the Forgy "centroids" are ACTUAL corpus
+    * rows picked by a residue class (no Lloyd iterations), so the whole
+    * IVF pipeline — centroid pick, argmax-cosine list assignment with
+    * (sim DESC, cid ASC) tie-break, 8-list probe, exact re-rank — is
+    * plain SQL over the same double arithmetic. */
+  private def ann3OracleSql: String =
+    s"""WITH e AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS xd,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+         FROM embeddings),
+       cents AS (
+         SELECT vec_id AS cid, xd AS cv, nrm AS cn FROM e
+         WHERE vec_id >= $NPROBES AND vec_id % 13 = 5
+         ORDER BY vec_id LIMIT 32),
+       corpus_assign AS (
+         SELECT neighbor_id, vn, nn, cid FROM (
+           SELECT e.vec_id AS neighbor_id, e.xd AS vn, e.nrm AS nn, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.xd, c.cv) / (e.nrm * c.cn) DESC, c.cid ASC) AS cr
+           FROM e CROSS JOIN cents c)
+         WHERE cr = 1),
+       probe_lists AS (
+         SELECT probe_id, vp, np, cid FROM (
+           SELECT e.vec_id AS probe_id, e.xd AS vp, e.nrm AS np, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.xd, c.cv) / (e.nrm * c.cn) DESC, c.cid ASC) AS cr
+           FROM e CROSS JOIN cents c WHERE e.vec_id < $NPROBES)
+         WHERE cr <= 8),
+       cand AS (
+         SELECT probe_id, neighbor_id,
+           list_dot_product(vp, vn) / (np * nn) AS cos_sim
+         FROM probe_lists p JOIN corpus_assign a USING (cid)
+         WHERE probe_id != neighbor_id)
+       SELECT probe_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rank FROM (
+         SELECT probe_id, neighbor_id, cos_sim,
+           row_number() OVER (PARTITION BY probe_id
+             ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+         FROM cand)
+       WHERE rank <= $K"""
+
   override val oracles: Map[String, String] = Map(
+    "ann2_lsh_topk" -> ann2OracleSql,
+    "ann3_ivf_topk" -> ann3OracleSql,
     // explicit double-precision cosine (list_cosine_similarity on FLOAT[]
     // accumulates in float — ~1e-6 relative error vs our double loop),
     // same dot/(sqrt·sqrt) formula as the Spark side, rounded identically
