@@ -237,6 +237,47 @@ object TextAnalysis extends QueryPack {
       .withColumn("redacted_fp", TextFns.fingerprintOf(col("red")))
       .select("doc_id", "n_emails", "n_ips", "n_phones", "redacted_fp")
 
+  /** tx8 — unigram language-model surprisal scoring: the CCNet/KenLM
+    * perplexity-filter shape reduced to a unigram LM the engine trains
+    * IN-QUERY. The corpus's own token frequencies become the model
+    * (top-[[LmVocab]] tokens by count, add-one smoothing over vocab +
+    * one OOV class), and each document scores its average negative
+    * log-likelihood — high surprisal = unnatural text, the classic
+    * pretraining quality signal.
+    *
+    * Determinism (the samp4 DSIR precedent): `ln` agrees across
+    * engines at the micro fixed-point level, so each TOKEN's surprisal
+    * is truncated to an integer (`floor(-ln(p) * 1e6) AS BIGINT`)
+    * BEFORE any cross-row sum — integer sums are
+    * accumulation-order-free, so retries and partition order cannot
+    * move the hash. The per-doc average is integer division.
+    *
+    * Scale: two exchanges — the token-count groupBy (linear in corpus
+    * tokens, partial-aggregated) and the per-doc regroup (partial sums
+    * map-side). The LM itself is BOUNDED (top-V rows) and broadcast;
+    * OOV is a constant. The counts table is consumed twice (total +
+    * top-V), so it is pinned with localCheckpoint — vocab-sized, not
+    * corpus-sized. This is exactly the production perplexity-filter
+    * plan: train bounded LM once, broadcast, score map-side. */
+  private val LmVocab = 1024
+  private def tx8(s: SparkSession, d: String): DataFrame = {
+    val toks = t(s, d, "documents").select(col("doc_id"),
+      explode(expr("split(trim(lower(text)), '\\\\s+')")).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val total = counts.agg(sum("cnt").as("total"))
+    val topv = counts.orderBy(col("cnt").desc, col("tok").asc).limit(LmVocab)
+    toks.join(broadcast(topv), Seq("tok"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("m", expr(
+        s"""CAST(floor(-ln((coalesce(cnt, 0) + 1.0) /
+            (total + $LmVocab + 1.0)) * 1000000) AS BIGINT)"""))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum("m").as("nll_micro"))
+      .withColumn("avg_nll_micro", expr("nll_micro div n_tok"))
+      .select("doc_id", "n_tok", "nll_micro", "avg_nll_micro")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx1_token_count" -> (tx1 _),
     "tx2_quality_score" -> (tx2 _),
@@ -246,6 +287,7 @@ object TextAnalysis extends QueryPack {
     "tx6_quality_quantile_filter" -> (tx6 _),
     "tx6b_quantile_histogram" -> (tx6b _),
     "tx7_pii_redaction" -> (tx7 _),
+    "tx8_unigram_logprob" -> (tx8 _),
   )
 
   /** The DuckDB mirror of [[augSql]] (|| concatenation, VARCHAR casts).
@@ -380,6 +422,27 @@ object TextAnalysis extends QueryPack {
            FROM a)
          SELECT doc_id, n_emails, n_ips, n_phones, """
         + TextFns.fingerprintDuckSql("red") + """ AS redacted_fp FROM r"""),
+    // per-token surprisal is fixed-pointed to micro BIGINTs BEFORE the
+    // per-doc sum (the samp4 ln precedent: integer sums are
+    // accumulation-order-free); same smoothing operand order as Spark
+    "tx8_unigram_logprob" ->
+      s"""WITH toks AS (
+           SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+           FROM documents),
+         cnts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cnts),
+         topv AS (SELECT tok, cnt FROM cnts
+                  ORDER BY cnt DESC, tok ASC LIMIT $LmVocab),
+         m AS (
+           SELECT t.doc_id,
+             CAST(floor(-ln((coalesce(v.cnt, 0) + 1.0) /
+               (tot.total + $LmVocab + 1.0)) * 1000000) AS BIGINT) AS m
+           FROM toks t LEFT JOIN topv v ON t.tok = v.tok CROSS JOIN tot)
+         SELECT doc_id, count(*) AS n_tok,
+           CAST(sum(m) AS BIGINT) AS nll_micro,
+           CAST(sum(m) AS BIGINT) // count(*) AS avg_nll_micro
+         FROM m GROUP BY doc_id""",
     // same operand order as the Spark expressions so the double
     // divisions are bit-equal; same 1-token guard (ratio defined 0.0)
     "tx5_repetition_filter" ->

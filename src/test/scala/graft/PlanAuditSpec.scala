@@ -93,6 +93,23 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("tx8 unigram LM: bounded model broadcast, raw text never crosses an exchange") {
+    val df = graft.queries.TextAnalysis.queries("tx8_unigram_logprob")(spark, sf)
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the top-V model and the 1-row total must reach the scoring scan
+    // as broadcasts, not shuffled joins
+    assert(fmt.contains("BroadcastHashJoin") || fmt.contains("BroadcastNestedLoopJoin"),
+      s"LM must broadcast to the scoring side:\n$fmt")
+    val shuffles = raw"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]".r
+      .findAllMatchIn(fmt).map(_.group(1)).toSeq
+    assert(shuffles.nonEmpty, "expected the token-count exchange")
+    shuffles.foreach { cols =>
+      assert(!cols.contains("text#"),
+        s"raw text crosses a shuffle exchange: [$cols]")
+    }
+  }
+
   test("hq18 language-surface dedup shuffles the 8-byte fingerprint, not text") {
     val p = plan(graft.queries.HeroQueries, "hq18_fingerprint_dedup")
     assert(p.contains("hashpartitioning(fp"),
