@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** End-to-end physical-schema drift safety net — the r10 lesson
+  * (events.ts changed physical type under unchanged code and six gates
+  * vanished at ANALYSIS time) generalized beyond the two columns that
+  * already have dedicated adapters (events.ts: TsAdapterSpec;
+  * embeddings element type: VecAdapterSpec). A driver round can
+  * regenerate ANY table with narrower integer ids (int64 → int32) the
+  * way pandas/pyarrow naturally emit them; every query must keep
+  * planning and executing against that warehouse — Spark widens
+  * int32 in arithmetic and joins, so the failure mode to guard is a
+  * hard-coded physical-type assumption (a cast-free getLong, a
+  * type-keyed expression), which dies loudly here instead of in six
+  * driver gates.
+  *
+  * Values are NOT compared against the float warehouse — a drifted
+  * warehouse legitimately changes value precision; the contract is
+  * "plans build, jobs run, rows come back". */
+class WarehouseDriftSpec extends SparkSpec {
+
+  /** The sf0.001 warehouse re-written with every BIGINT column narrowed
+    * to INT (ids, counts — everything pandas would emit as int32 when
+    * the values fit) and the embedding elements widened to double. */
+  private lazy val driftDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift-wh-").toString
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    tables.foreach { t =>
+      var df = spark.read.parquet(s"$sf/$t.parquet")
+      df.schema.fields.foreach { f =>
+        if (f.dataType == LongType)
+          df = df.withColumn(f.name, col(f.name).cast(IntegerType))
+      }
+      if (t == "embeddings")
+        df = df.withColumn("embedding", col("embedding").cast("array<double>"))
+      df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  /** One representative non-mutating query per family: scans,
+    * predicates, joins (hash/broadcast/as-of/interval), aggregation,
+    * windows, ordering, set ops, functions, graph, recursion-from-text,
+    * dedup (exact, gram, simhash, embedding), text analysis (incl. the
+    * unigram LM), sampling, packing, decontamination, ANN (exact + LSH
+    * + IVF + PQ + residual), quantization, multimodal metadata. The
+    * slow streaming/mutation gates are excluded — they exercise store
+    * machinery, not warehouse column types (events ingestion itself is
+    * covered by j9/j10/st1/ev1 below). */
+  private val slice = Seq(
+    "s1_scan_filter", "p3_filter_comparisons", "j1_conjunctive_join",
+    "j8_broadcast_join", "j9_asof_join", "j10_interval_join",
+    "a2_group_multi_agg", "a6_topk_per_group", "w5_frames_lead_lag",
+    "o1_orderby_limit", "u1_union_distinct", "f1_arithmetic",
+    "f8_date_functions", "g2_connected_components", "hq21_recursive_rule",
+    "st1_tumbling_window", "ev1_sessionization",
+    "dd1_exact_dedup", "dd2_ngram_jaccard", "dd4_simhash",
+    "dd5_embedding_neardup", "tx1_token_count", "tx8_unigram_logprob",
+    "samp1_stratified_sample", "pack1_sequence_packing",
+    "dc1_decontamination", "ann1_bruteforce_topk", "ann2_lsh_topk",
+    "ann3_ivf_topk", "ann4_pq_adc_topk", "ann7_ivfpq_residual_topk",
+    "emb1_quantization", "mm1_media_metadata", "cq2_where_groupby_count")
+
+  test("representative queries plan and execute against an int32/double-drifted warehouse") {
+    val failures = slice.flatMap { name =>
+      try {
+        val n = SparkEntry.queries(name)(spark, driftDir).count()
+        if (n > 0) None else Some(s"$name: 0 rows")
+      } catch {
+        case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName} ${
+          Option(e.getMessage).getOrElse("").linesIterator.take(2).mkString(" ")}")
+      }
+    }
+    assert(failures.isEmpty, s"drifted-warehouse failures:\n${failures.mkString("\n")}")
+  }
+}
