@@ -710,12 +710,56 @@ object VectorFns {
     codes
   }
 
+  /** Dims mismatch → empty codes, never null (see [[ivfPqSentinel]]'s
+    * rationale): `element_at(codes, 1)` on the sentinel yields a null
+    * list that matches no probe, `pq_adc` on it yields a null score —
+    * consumers behave exactly as with the old null, but the expression
+    * stays null-intolerant and the join-inferred isnotnull constraint
+    * stops dragging a second encode below the projection. */
+  private val pqSentinel: ArrayData = new GenericArrayData(Array.empty[Int])
+
   def pqEncode(vec: ArrayData, cents: ArrayData, vecIsFloat: Boolean): ArrayData = {
     val cb = pqCodebook(cents)
-    if (cb.length == 0) return null
+    if (cb.length == 0) return pqSentinel
     val codes = encodeCodes(unitVec(vec, vecIsFloat), cb)
-    if (codes == null) null else new GenericArrayData(codes)
+    if (codes == null) pqSentinel else new GenericArrayData(codes)
   }
+
+  /** First-min argmin-L2 centroid index over full-width centroids —
+    * the SINGLE metric + tie-break definition shared by codebook
+    * training and residual sampling (driver side,
+    * [[graft.queries.Similarity]]) and the corpus encode (executor
+    * side, [[ivfPqEncode]]). The train/encode agreement the residual
+    * codebook depends on lives here and nowhere else. Returns -1 on a
+    * dims mismatch. */
+  def nearestIdx(v: Array[Double], cents: Array[Array[Double]]): Int = {
+    val d = v.length
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      if (cent.length != d) return -1
+      var s = 0.0
+      var i = 0
+      while (i < d) { val t = v(i) - cent(i); s += t * t; i += 1 }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Sentinel (list = -1, codes = []) — returned on a dims mismatch
+    * instead of null. -1 matches no real inverted list (lists are
+    * 0-based codebook indexes) and empty codes null out any ADC score,
+    * so mismatched rows drop from every consumer exactly as null rows
+    * did — but the expression stays NULL-INTOLERANT, which keeps the
+    * join-inferred `isnotnull` constraint from dragging a second
+    * full-vector encode below the index projection (see
+    * [[IvfPqEncodeExpr.nullIntolerant]]). */
+  private val ivfPqSentinel: org.apache.spark.sql.catalyst.InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](-1, new GenericArrayData(Array.empty[Int])))
 
   /** Residual IVF-PQ encode (FAISS IVFADC): unit-normalize the vector,
     * assign it to its nearest coarse centroid (argmin L2 over the
@@ -724,32 +768,23 @@ object VectorFns {
     * magnitude is the signal the residual codebook is trained on) with
     * `cents`. One fused pass per row returning
     * struct<list:int, codes:array<int>>, so the index build reads the
-    * raw vector exactly once. Null on any dims mismatch. */
+    * raw vector exactly once. Dims mismatch → [[ivfPqSentinel]], never
+    * null (the expression is null-intolerant). */
   def ivfPqEncode(vec: ArrayData, coarse: ArrayData, cents: ArrayData,
       vecIsFloat: Boolean): org.apache.spark.sql.catalyst.InternalRow = {
     val cc = pqCodebook(coarse)
-    if (cc.length != 1 || cc(0).length == 0) return null
+    if (cc.length != 1 || cc(0).length == 0) return ivfPqSentinel
     val vn = unitVec(vec, vecIsFloat)
-    val d = vn.length
     val lists = cc(0)
-    var best = 0
-    var bestD = Double.MaxValue
-    var c = 0
-    while (c < lists.length) {
-      val cent = lists(c)
-      if (cent.length != d) return null
-      var s = 0.0
-      var i = 0
-      while (i < d) { val t = vn(i) - cent(i); s += t * t; i += 1 }
-      if (s < bestD) { bestD = s; best = c }
-      c += 1
-    }
+    val best = nearestIdx(vn, lists)
+    if (best < 0) return ivfPqSentinel
     val chosen = lists(best)
+    val d = vn.length
     val r = new Array[Double](d)
     var i = 0
     while (i < d) { r(i) = vn(i) - chosen(i); i += 1 }
     val codes = encodeCodes(r, pqCodebook(cents))
-    if (codes == null) return null
+    if (codes == null) return ivfPqSentinel
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](best, new GenericArrayData(codes)))
   }
@@ -781,7 +816,11 @@ object VectorFns {
   case class PqEncode(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-    override def nullable: Boolean = true
+    override def nullable: Boolean = children.exists(_.nullable)
+    // mismatch → empty-array sentinel, never null for non-null inputs
+    // (see pqSentinel): keeps the ann5 list-join's inferred isnotnull
+    // from forcing a second encode pass below the index projection
+    override def nullIntolerant: Boolean = true
 
     private def vecIsFloat: Boolean = left.dataType match {
       case ArrayType(FloatType, _) => true
@@ -808,13 +847,11 @@ object VectorFns {
     override def nullSafeEval(l: Any, r: Any): Any =
       pqEncode(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], vecIsFloat)
 
+    // the helper never returns null (sentinel on mismatch) — no null
+    // branch, which also keeps this valid if a child is non-nullable
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, (a, b) => {
-        s"""
-           |${ev.value} = graft.functions.VectorFns.pqEncode($a, $b, $vecIsFloat);
-           |if (${ev.value} == null) { ${ev.isNull} = true; }
-         """.stripMargin
-      })
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.VectorFns.pqEncode($a, $b, $vecIsFloat);")
 
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
@@ -831,7 +868,13 @@ object VectorFns {
       StructField("list", IntegerType, nullable = false),
       StructField("codes", ArrayType(IntegerType, containsNull = false),
         nullable = false)))
-    override def nullable: Boolean = true
+    override def nullable: Boolean = children.exists(_.nullable)
+    // NEVER null for non-null inputs (mismatch → sentinel): declaring
+    // null-intolerance lets the optimizer turn the join-inferred
+    // `isnotnull(enc.list)` into `isnotnull(embedding)` instead of
+    // pushing a SECOND full-vector encode below the index projection
+    // (codegen does not eliminate subexpressions across Filter/Project)
+    override def nullIntolerant: Boolean = true
 
     private def vecIsFloat: Boolean = first.dataType match {
       case ArrayType(FloatType, _) => true
@@ -858,13 +901,11 @@ object VectorFns {
       ivfPqEncode(v.asInstanceOf[ArrayData], co.asInstanceOf[ArrayData],
         ce.asInstanceOf[ArrayData], vecIsFloat)
 
+    // the helper never returns null (sentinel on mismatch) — no null
+    // branch, which also keeps this valid if a child is non-nullable
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, (a, b, c) => {
-        s"""
-           |${ev.value} = graft.functions.VectorFns.ivfPqEncode($a, $b, $c, $vecIsFloat);
-           |if (${ev.value} == null) { ${ev.isNull} = true; }
-         """.stripMargin
-      })
+      nullSafeCodeGen(ctx, ev, (a, b, c) =>
+        s"${ev.value} = graft.functions.VectorFns.ivfPqEncode($a, $b, $c, $vecIsFloat);")
 
     override protected def withNewChildrenInternal(f: Expression, s: Expression,
         t: Expression): Expression = copy(first = f, second = s, third = t)

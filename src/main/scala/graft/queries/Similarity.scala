@@ -200,13 +200,9 @@ object Similarity extends QueryPack {
     val stride = math.max(1, sub.length / k)
     var cents = (0 until k)
       .map(c => sub(math.min(c * stride, sub.length - 1)).clone).toArray
-    def d2(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
-      s
-    }
     (0 until 8).foreach { _ =>
-      val assign = sub.map(v => cents.indices.minBy(c => d2(v, cents(c))))
+      // same first-min argmin-L2 as the executor-side encode
+      val assign = sub.map(v => graft.functions.VectorFns.nearestIdx(v, cents))
       cents = cents.indices.map { c =>
         val mine = sub.indices.filter(assign(_) == c)
         if (mine.isEmpty) cents(c)
@@ -339,13 +335,25 @@ object Similarity extends QueryPack {
     })
 
   /** (neighbor_id, list, codes) — the IVF-PQ index rows: coarse list
-    * assignment + PQ codes, both map-only native expressions. */
+    * assignment + PQ codes, both map-only native expressions. The
+    * vector is `coalesce`d to a non-null (empty ⇒ sentinel codes)
+    * array so the encode output is NON-NULLABLE: otherwise the probe
+    * join's inferred `isnotnull(list)` constraint pushes a SECOND
+    * full-vector encode below this projection as a Filter — codegen
+    * does not eliminate subexpressions across Filter/Project, so the
+    * corpus would pay the encode twice per row (caught by the ann7
+    * plan audit; same shape applies here). */
   private def ivfPqIndexRows(e: DataFrame, cents: Seq[Seq[Seq[Double]]],
       coarse: Seq[Seq[Seq[Double]]]): DataFrame =
     e.withColumn("__cents", typedLit(cents))
       .withColumn("__coarse", typedLit(coarse))
-      .withColumn("list", expr("element_at(graft_pq_encode(embedding, __coarse), 1)"))
-      .withColumn("codes", expr("graft_pq_encode(embedding, __cents)"))
+      // the outer coalesce(-1) makes `list` non-nullable too —
+      // element_at cannot prove its index in bounds, and a nullable
+      // list re-triggers the constraint this comment block describes;
+      // -1 matches no probe list, the exact null-drop semantics
+      .withColumn("list", expr(
+        "coalesce(element_at(graft_pq_encode(coalesce(embedding, array()), __coarse), 1), -1)"))
+      .withColumn("codes", expr("graft_pq_encode(coalesce(embedding, array()), __cents)"))
       .select(col("vec_id").as("neighbor_id"), col("list"), col("codes"))
 
   /** Probe rows exploded per probed list: (probe_id, lut, list,
@@ -464,14 +472,10 @@ object Similarity extends QueryPack {
       coarse: Seq[Seq[Seq[Double]]]): Array[Array[Double]] = {
     val cents = coarse.head.map(_.toArray).toArray
     sample.map { v =>
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < cents.length) {
-        var s = 0.0; var i = 0
-        while (i < v.length) { val t = v(i) - cents(c)(i); s += t * t; i += 1 }
-        if (s < bestD) { bestD = s; best = c }
-        c += 1
-      }
+      // the ONE argmin-L2 definition (VectorFns.nearestIdx) — training
+      // must see the identical assignment the executor-side encode makes
+      val best = graft.functions.VectorFns.nearestIdx(v, cents)
+      require(best >= 0, "coarse codebook dims disagree with the sample")
       val r = new Array[Double](v.length)
       var i = 0
       while (i < v.length) { r(i) = v(i) - cents(best)(i); i += 1 }
@@ -503,10 +507,16 @@ object Similarity extends QueryPack {
     val sample = unitSample(e)
     val coarse = coarseCodebook(sample)
     val residCb = pqCodebook(residualSample(sample, coarse))
+    // coalesce: non-null vector input ⇒ NON-NULLABLE enc ⇒ the probe
+    // join's isnotnull(list) constraint never materializes, so the
+    // corpus pays exactly ONE encode pass (the plan audit pins this;
+    // a nullable enc pushed a second full-vector encode below this
+    // projection as a Filter)
     val corpus = e
       .withColumn("__coarse", typedLit(coarse))
       .withColumn("__cents", typedLit(residCb))
-      .withColumn("enc", expr("graft_ivfpq_encode(embedding, __coarse, __cents)"))
+      .withColumn("enc", expr(
+        "graft_ivfpq_encode(coalesce(embedding, array()), __coarse, __cents)"))
       .select(col("vec_id").as("neighbor_id"),
         col("enc.list").as("list"), col("enc.codes").as("codes"))
       .repartition(s.sparkContext.defaultParallelism)

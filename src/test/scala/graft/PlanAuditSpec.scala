@@ -70,6 +70,25 @@ class PlanAuditSpec extends SparkSpec {
       wide.foreach(w => assert(!cols.contains(w),
         s"wide column $w crosses a shuffle exchange: [$cols]"))
     }
+    // the index projection must be the ONLY node carrying corpus-side
+    // PqEncode calls — a nullable list once dragged the encode into a
+    // pushed isnotnull Filter, doubling the per-row encode cost
+    def nodes(n: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = n match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        nodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: nodes(q.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    val carrying = nodes(df.queryExecution.executedPlan).filter(n =>
+      n.expressions.exists(_.collectFirst {
+        case e: graft.functions.VectorFns.PqEncode => e
+      }.nonEmpty))
+    // exactly the corpus index projection (the probe side uses the HOF
+    // LUT, not PqEncode)
+    assert(carrying.size == 1,
+      s"PqEncode must appear in exactly one plan node, found ${carrying.size}")
   }
 
   test("ann7 residual IVF-PQ keeps ann5's plan shape: list equi-join, codes-only exchange") {
@@ -77,11 +96,27 @@ class PlanAuditSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin [list"),
       s"residual ADC scan must equi-join on the list id:\n$p")
-    // the fused encode must appear ONCE per corpus row (struct of list
-    // + codes), never a second full-vector pass
-    assert(p.contains("ivfpqencodeexpr") || p.contains("graft_ivfpq_encode") ||
-      p.toLowerCase.contains("ivfpqencode"),
-      s"fused residual encode missing from the plan:\n$p")
+    // the fused encode must live in exactly ONE plan node (the corpus
+    // projection) — a second node carrying it would be a second
+    // full-vector pass over the corpus. Within that projection the
+    // expression may be REFERENCED once per extracted struct field;
+    // whole-stage codegen's subexpression elimination evaluates equal
+    // instances once per row, so node-count is the honest contract.
+    def nodes(n: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = n match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        nodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: nodes(q.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    val carrying = nodes(df.queryExecution.executedPlan).filter(n =>
+      n.expressions.exists(_.collectFirst {
+        case e: graft.functions.VectorFns.IvfPqEncodeExpr => e
+      }.nonEmpty))
+    assert(carrying.size == 1,
+      s"fused residual encode must appear in exactly one plan node, " +
+        s"found ${carrying.size}:\n${carrying.mkString("\n---\n")}")
     val fmt = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     val shuffles = raw"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]".r

@@ -31,8 +31,18 @@ class WarehouseDriftSpec extends SparkSpec {
     tables.foreach { t =>
       var df = spark.read.parquet(s"$sf/$t.parquet")
       df.schema.fields.foreach { f =>
-        if (f.dataType == LongType)
+        if (f.dataType == LongType) {
+          // premise check: the narrowing must be value-preserving (the
+          // drift being modeled is "pandas emitted int32 because the
+          // values fit") — a column outside int32 range would silently
+          // WRAP under non-ANSI cast and the spec would green-light a
+          // garbage warehouse
+          val mm = df.agg(min(col(f.name)), max(col(f.name))).head
+          val ok = (mm.isNullAt(0) ||
+            (mm.getLong(0) >= Int.MinValue && mm.getLong(1) <= Int.MaxValue))
+          assert(ok, s"$t.${f.name} exceeds int32 — drift premise broken")
           df = df.withColumn(f.name, col(f.name).cast(IntegerType))
+        }
       }
       if (t == "embeddings")
         df = df.withColumn("embedding", col("embedding").cast("array<double>"))
