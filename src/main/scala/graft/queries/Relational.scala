@@ -152,28 +152,52 @@ object Relational extends QueryPack {
   // ----------------------------------------------------------- aggregation
 
   /** A1 — `@partition(student)` + `@aggregate(average(score))`
-    * (`Kernel/README.md:188-205`). */
+    * (`Kernel/README.md:188-205`).
+    *
+    * Money averages run on exact CENTS: each price fixed-points to a
+    * BIGINT per row (`floor(x*100 + 0.5)` — the emb1 half-up, exact on
+    * 2-decimal money), the cross-row sum is integer (accumulation-
+    * order-FREE — a raw double sum's last ulp depends on partition
+    * merge order, and a7's strict gate caught exactly that drifting
+    * between engines at sf0.001), and ONE double division at the end
+    * is bit-deterministic. The samp4/tx8 fixed-point convention
+    * applied to the money aggregates. */
   private def a1(s: SparkSession, d: String): DataFrame =
     t(s, d, "orders").groupBy(col("o_custkey"))
-      .agg(avg(col("o_totalprice")).as("avg_price"))
+      .agg(count(lit(1)).as("__n"),
+        sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).as("__c"))
+      .select(col("o_custkey"),
+        expr("CAST(__c AS DOUBLE) / __n / 100.0").as("avg_price"))
 
   /** A2/A3/A4 — `group_by key(...)` with Average/Count and friends
     * (`Kernel/Drafts/draft:149-156`): the TPC-H Q1 shape; partial
-    * aggregation (map-side combine) keeps the shuffle tiny at scale. */
+    * aggregation (map-side combine) keeps the shuffle tiny at scale.
+    * Quantities are integer-valued doubles (sums exact in any order);
+    * money/discount columns go through the exact-cents fixed point
+    * (see [[a1]]) — the disc_price product has 4 decimal digits, so
+    * its fixed point is 1e4. */
   private def a2(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
       .filter(col("l_shipdate") <= lit("1998-09-02"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
-        sum(col("l_extendedprice")).as("sum_base_price"),
-        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")).as("__bp"),
+        sum(expr(
+          "CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5) AS BIGINT)"))
+          .as("__dp"),
         avg(col("l_quantity")).as("avg_qty"),
-        avg(col("l_extendedprice")).as("avg_price"),
-        avg(col("l_discount")).as("avg_disc"),
+        sum(expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)")).as("__dc"),
         count(lit(1)).as("count_order"),
         min(col("l_quantity")).as("min_qty"),
         max(col("l_quantity")).as("max_qty"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+        expr("CAST(__bp AS DOUBLE) / 100.0").as("sum_base_price"),
+        expr("CAST(__dp AS DOUBLE) / 10000.0").as("sum_disc_price"),
+        col("avg_qty"),
+        expr("CAST(__bp AS DOUBLE) / count_order / 100.0").as("avg_price"),
+        expr("CAST(__dc AS DOUBLE) / count_order / 100.0").as("avg_disc"),
+        col("count_order"), col("min_qty"), col("max_qty"))
 
   /** A5 — `Collect` aggregation (`Kernel/Drafts/draft:160`); the list is
     * sorted to make bag order deterministic. */
@@ -202,9 +226,15 @@ object Relational extends QueryPack {
     * (`group_by student.class`, `Kernel/Drafts/draft_students:49-52`). */
   private def a7(s: SparkSession, d: String): DataFrame = {
     val c = t(s, d, "customer"); val n = t(s, d, "nation")
+    // exact-cents average (see [[a1]]) — the raw avg(double)'s last
+    // ulp flipped with accumulation order and failed the strict hash
+    // at sf0.001 (spark 2857.6899999999996 vs duckdb 2857.69)
     c.join(n, c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(count(lit(1)).as("n_customers"), avg(col("c_acctbal")).as("avg_bal"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)")).as("__c"))
+      .select(col("n_name"), col("n_customers"),
+        expr("CAST(__c AS DOUBLE) / n_customers / 100.0").as("avg_bal"))
   }
 
   /** A8 — post-aggregation filter / HAVING
@@ -653,16 +683,27 @@ object Relational extends QueryPack {
       """SELECT s_name, sum(l_quantity) AS sum_qty, count(*) AS n_lines
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          GROUP BY s_name""",
+    // money aggregates on exact cents (per-row fixed point, integer
+    // sum, one final division) — mirrors the Spark side exactly; a raw
+    // double sum's last ulp depends on accumulation order and flipped
+    // between engines (caught strict at sf0.001 on a7)
     "a1_partition_aggregate" ->
-      "SELECT o_custkey, avg(o_totalprice) AS avg_price FROM orders GROUP BY o_custkey",
+      """SELECT o_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+           / count(*) / 100.0 AS avg_price
+         FROM orders GROUP BY o_custkey""",
     "a2_group_multi_agg" ->
       """SELECT l_returnflag, l_linestatus,
          sum(l_quantity) AS sum_qty,
-         sum(l_extendedprice) AS sum_base_price,
-         sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 100.0 AS sum_base_price,
+         CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 10000.0 AS sum_disc_price,
          avg(l_quantity) AS avg_qty,
-         avg(l_extendedprice) AS avg_price,
-         avg(l_discount) AS avg_disc,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+           / count(*) / 100.0 AS avg_price,
+         CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+           / count(*) / 100.0 AS avg_disc,
          count(*) AS count_order,
          min(l_quantity) AS min_qty,
          max(l_quantity) AS max_qty
@@ -681,7 +722,9 @@ object Relational extends QueryPack {
                ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn
            FROM lineitem) WHERE rn <= 3""",
     "a7_groupby_derived_key" ->
-      """SELECT n_name, count(*) AS n_customers, avg(c_acctbal) AS avg_bal
+      """SELECT n_name, count(*) AS n_customers,
+         CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+           / count(*) / 100.0 AS avg_bal
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name""",
     "a8_having" ->
