@@ -213,7 +213,8 @@ object Streaming extends QueryPack {
          CAST(min(tns) // 1000 AS BIGINT) AS start_us,
          CAST(max(tns) // 1000 AS BIGINT) AS end_us,
          CAST((max(tns) - min(tns)) // 1000000 AS BIGINT) AS duration_ms,
-         round(sum(value), 6) AS sum_value
+         CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS DOUBLE)
+           / 1000000.0 AS sum_value
        FROM s GROUP BY user_id, session_id"""
 
   override val oracles: Map[String, String] = Map(
@@ -237,9 +238,13 @@ object Streaming extends QueryPack {
          FROM events GROUP BY user_id""",
     "st7_stream_sessionize_hql" -> sessionizeSql,
     "ev1_sessionization" -> sessionizeSql,
+    // micro fixed-point value sum (accumulation-order-free integer
+    // arithmetic; the a7 strict-failure class) — mirrors tumblingDaily
     "st1_tumbling_window" ->
       """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS win_start, event_type,
-                count(*) AS n_events, sum(value) AS sum_value
+                count(*) AS n_events,
+                CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS DOUBLE)
+                  / 1000000.0 AS sum_value
          FROM events GROUP BY 1, 2""",
     "st2_sliding_window" ->
       """WITH x AS (

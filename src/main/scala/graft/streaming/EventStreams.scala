@@ -76,13 +76,20 @@ object EventStreams {
         throw new IllegalArgumentException(s"unsupported events.ts type: $other")
     }
 
-  /** Tumbling 1-day window per event_type: count + sum(value). */
+  /** Tumbling 1-day window per event_type: count + sum(value). The
+    * value sum runs on per-row micro fixed-point BIGINTs (floor(v*1e6)
+    * — deterministic on identical doubles in both engines) so the
+    * cross-row sum is accumulation-order-FREE; a raw double sum's last
+    * ulp depends on partition merge order and can diverge from the
+    * oracle's row order (the a7 strict failure class). One double
+    * division at publish. */
   def tumblingDaily(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(floor(value * 1000000) AS BIGINT)")).as("__v"))
       .select(col("w.start").as("win_start"), col("event_type"),
-        col("n_events"), col("sum_value"))
+        col("n_events"), expr("CAST(__v AS DOUBLE) / 1000000.0").as("sum_value"))
 
   /** Sliding 1-day window, 12-hour slide, per event_type. */
   def slidingDaily(events: DataFrame): DataFrame =
@@ -147,10 +154,14 @@ object EventStreams {
       idCol: String = "event_id"): DataFrame =
     publishSessions(sessionizeExact(events, gapNanos, userCol, valueCol, idCol))
 
-  /** [[sessionize]] with EXACT nano bounds kept (min_tns/max_tns, raw
-    * sum) — the representation the incremental maintenance needs: the
-    * merge decision compares nanos, and rounding must happen once at
-    * publish, not per partial. */
+  /** [[sessionize]] with EXACT nano bounds kept (min_tns/max_tns) and
+    * the value sum in EXACT MICROS (per-row `floor(v*1e6)` BIGINT —
+    * integer sums are accumulation-order-free, so batch merges,
+    * retries, and the DuckDB oracle cannot drift by an ulp the way a
+    * raw double sum can; the a7 strict-failure class) — the
+    * representation the incremental maintenance needs: the merge
+    * decision compares nanos, partials add exactly, and the single
+    * lossy step (the 1e6 division) happens once at publish. */
   private[graft] def sessionizeExact(events: DataFrame, gapNanos: Long,
       userCol: String = "user_id", valueCol: String = "value",
       idCol: String = "event_id"): DataFrame = {
@@ -158,7 +169,8 @@ object EventStreams {
     val w = Window.partitionBy("user_id").orderBy("tns", "event_id")
     tsNanos(events, "tns")
       .select(col(userCol).as("user_id"), col("tns"),
-        col(valueCol).as("value"), col(idCol).as("event_id"))
+        expr(s"CAST(floor(`$valueCol` * 1000000) AS BIGINT)").as("value"),
+        col(idCol).as("event_id"))
       .withColumn("new_sess",
         when(col("tns") - lag("tns", 1).over(w) > gapNanos, 1L).otherwise(0L))
       .withColumn("session_id", lit(1L) + sum("new_sess").over(
@@ -171,13 +183,14 @@ object EventStreams {
 
   /** Exact session rows → the published schema (microsecond bounds,
     * millisecond duration — integer div, never `/`: epoch nanos exceed
-    * double's 53-bit mantissa; value rounded ONCE here). */
+    * double's 53-bit mantissa; the exact micro value sum becomes a
+    * double in ONE division here). */
   private[graft] def publishSessions(exact: DataFrame): DataFrame =
     exact.select(col("user_id"), col("session_id"), col("n_events"),
       expr("min_tns div 1000").as("start_us"),
       expr("max_tns div 1000").as("end_us"),
       expr("(max_tns - min_tns) div 1000000").as("duration_ms"),
-      round(col("sum_value"), 6).as("sum_value"))
+      expr("CAST(sum_value AS DOUBLE) / 1000000.0").as("sum_value"))
 
   /** `stream sessionize` sink ([[graft.heroql.Ast.StreamSessionize]]),
     * INCREMENTAL: events arrive in event-time-ordered micro-batches;
