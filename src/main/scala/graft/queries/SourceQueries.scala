@@ -64,10 +64,34 @@ object SourceQueries extends QueryPack {
       .agg(count(lit(1)).as("n_f_orders"), round(sum("o_totalprice"), 2).as("spend"))
   }
 
+  /** src4 — ORC round-trip (the second columnar format Spark ships
+    * in-box): write lineitem as ORC, read back with a predicate that
+    * must reach the ORC reader as a pushed filter (`PushedFilters` in
+    * the scan — asserted in SourceSpec; ORC carries min/max stripe
+    * statistics, so at scale the pushed predicate skips whole stripes
+    * the way parquet row-groups are skipped). The aggregate runs on
+    * exact cents (order-free integer sum), so ANY precision loss in
+    * the write→read cycle — not just losses above a rounding bucket —
+    * fails the hash. */
+  private def src4(s: SparkSession, d: String): DataFrame = {
+    val dir = tmp("graft-orc-") + "/lineitem"
+    t(s, d, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+      .write.mode("overwrite").orc(dir)
+    s.read.orc(dir)
+      .filter(col("l_quantity") > 25.0)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")).as("__c"))
+      .select(col("l_returnflag"), col("n"),
+        expr("CAST(__c AS DOUBLE) / 100.0").as("sum_price"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src1_csv_roundtrip" -> (src1 _),
     "src2_json_roundtrip" -> (src2 _),
     "src3_partitioned_parquet" -> (src3 _),
+    "src4_orc_roundtrip" -> (src4 _),
   )
 
   override val oracles: Map[String, String] = Map(
@@ -80,5 +104,10 @@ object SourceQueries extends QueryPack {
     "src3_partitioned_parquet" ->
       """SELECT o_custkey, count(*) AS n_f_orders, round(sum(o_totalprice), 2) AS spend
          FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey""",
+    "src4_orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 100.0 AS sum_price
+         FROM lineitem WHERE l_quantity > 25.0 GROUP BY l_returnflag""",
   )
 }

@@ -29,6 +29,27 @@ class SourceSpec extends SparkSpec {
     assert(q.count() == statuses("F"))
   }
 
+  test("ORC round-trip pushes the row-level predicate into the ORC scan") {
+    val dir = Files.createTempDirectory("graft-orc-spec-").toString + "/lineitem"
+    graft.Tables.t(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").orc(dir)
+    val q = spark.read.orc(dir).filter(col("l_quantity") > 25.0)
+    val scans = q.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    // the predicate must reach the ORC reader (stripe-skipping at
+    // scale), not evaluate only post-scan
+    assert(scans.head.metadata.get("PushedFilters")
+      .exists(f => f.contains("GreaterThan(l_quantity")),
+      s"predicate not pushed to ORC: ${scans.head.metadata.get("PushedFilters")}")
+    // and the round-trip is lossless
+    val want = graft.Tables.t(spark, sf, "lineitem")
+      .filter(col("l_quantity") > 25.0).count()
+    assert(q.count() == want)
+  }
+
   test("streaming store sink commits per micro-batch and lands every row") {
     val store = new graft.store.TableStore(spark,
       Files.createTempDirectory("graft-sink-spec-").toString)
