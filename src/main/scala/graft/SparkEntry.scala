@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{AdminQueries, CollectionQueries, Dedup, GraphQueries, HeroMutations, HeroQueries, MultimodalQueries, Mutations, PackageQueries, PipelineQueries, QueryPack, Relational, Similarity, SourceQueries, Streaming, TextAnalysis, TrainingSetQueries}
+import graft.queries.{AdminQueries, CollectionQueries, Dedup, GraphQueries, HeroMutations, HeroQueries, MatViewQueries, MultimodalQueries, Mutations, PackageQueries, PipelineQueries, QueryPack, Relational, Similarity, SourceQueries, Streaming, TextAnalysis, TrainingSetQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,6 +21,7 @@ object SparkEntry {
     GraphQueries,
     Streaming,
     Mutations,
+    MatViewQueries,
     AdminQueries,
     HeroQueries,
     HeroMutations,

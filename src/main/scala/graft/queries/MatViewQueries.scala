@@ -1,0 +1,98 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.store.{MaterializedView, TableStore}
+import graft.store.MaterializedView.MvSpec
+
+/** Incremental materialized-view gates ([[graft.store.MaterializedView]]
+  * — the reference's cached-query design, `Kernel/README.md:142-161`,
+  * maintained under mutation instead of invalidated by it).
+  *
+  * Both gates drive the MV through a real batch schedule — build from a
+  * base slice, then several insert/delete refreshes — and publish the
+  * final MV; the DuckDB oracle states the view's DEFINITION over the
+  * final base content in one aggregate. Equality therefore proves the
+  * maintenance converged on exactly what a full recompute would say,
+  * while the Spark side never re-touched the base after the build (the
+  * refresh API takes only the delta — MatViewSpec deletes the base
+  * files between build and refresh to prove there is no hidden rescan).
+  */
+object MatViewQueries extends QueryPack {
+
+  private def scratch(s: SparkSession): TableStore =
+    new TableStore(s, Files.createTempDirectory("graft-store-").toString)
+
+  /** Exact per-row partials (the repo's accumulation-order-free
+    * convention): quantities are integral doubles → BIGINT; money →
+    * half-up cents. One lossy division at publish. */
+  private val spec = MvSpec(
+    keys = Seq("l_returnflag", "l_linestatus"),
+    sums = Seq(
+      "__qty" -> expr("CAST(l_quantity AS BIGINT)"),
+      "__cents" -> expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")))
+
+  private def publish(mv: DataFrame): DataFrame =
+    mv.select(col("l_returnflag"), col("l_linestatus"), col("n_rows"),
+      expr("CAST(__qty AS DOUBLE)").as("sum_qty"),
+      expr("CAST(__cents AS DOUBLE) / 100.0").as("sum_price"))
+
+  /** mv1 — insert maintenance: build over 3/4 of lineitem, then apply
+    * the remaining quarter as three insert batches (split by
+    * l_linenumber residue); each refresh aggregates only its batch and
+    * merges with the #groups-sized MV. Final MV ≡ the view over ALL of
+    * lineitem. */
+  private def mv1(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s)
+    val li = t(s, d, "lineitem")
+    MaterializedView.build(st, "mv", li.filter(col("l_orderkey") % 4 =!= 3), spec)
+    (0 until 3).foreach { r =>
+      val batch = li.filter(col("l_orderkey") % 4 === 3 &&
+        col("l_linenumber") % 3 === r)
+      MaterializedView.refreshInsert(st, "mv", batch, spec)
+    }
+    publish(st.read("mv"))
+  }
+
+  /** mv2 — delete maintenance (the counting algorithm's hard half):
+    * per-ORDER view over full lineitem, then every row of orders with
+    * `o_orderkey % 7 = 0` is deleted in two batches — those ORDER
+    * groups reach n_rows = 0 and leave the view entirely, which only
+    * exact counts can decide. Final MV ≡ the view over the surviving
+    * rows. */
+  private def mv2(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s)
+    val li = t(s, d, "lineitem")
+    val spec2 = MvSpec(Seq("l_orderkey"),
+      Seq("__qty" -> expr("CAST(l_quantity AS BIGINT)")))
+    MaterializedView.build(st, "mv", li, spec2)
+    (0 until 2).foreach { r =>
+      val gone = li.filter(col("l_orderkey") % 7 === 0 &&
+        col("l_linenumber") % 2 === r)
+      MaterializedView.refreshDelete(st, "mv", gone, spec2)
+    }
+    st.read("mv").select(col("l_orderkey"), col("n_rows"),
+      expr("CAST(__qty AS DOUBLE)").as("sum_qty"))
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mv1_incremental_agg" -> (mv1 _),
+    "mv2_incremental_delete" -> (mv2 _),
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "mv1_incremental_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,
+                CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                  / 100.0 AS sum_price
+         FROM lineitem GROUP BY 1, 2""",
+    "mv2_incremental_delete" ->
+      """SELECT l_orderkey, count(*) AS n_rows,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty
+         FROM lineitem WHERE l_orderkey % 7 <> 0 GROUP BY 1""",
+  )
+}

@@ -1,0 +1,92 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental materialized-view maintenance over [[TableStore]] tables
+  * — the counting algorithm of the IVM literature (Gupta/Mumick,
+  * "Maintenance of Materialized Views: Problems, Techniques, and
+  * Applications", IEEE DE Bulletin 1995) applied to distributive
+  * aggregates, which is the reference's cached-query design
+  * (`Kernel/README.md:142-161`: a query result materialized and kept
+  * consistent under updates) taken to its incremental conclusion: the
+  * memo is not just cached, it is MAINTAINED under inserts and deletes
+  * without ever re-reading the base relation.
+  *
+  * The view is `SELECT keys, count(*), SUM(e_i) GROUP BY keys` where
+  * every `e_i` is an exact BIGINT expression (counts, integral
+  * quantities, fixed-point cents — the repo's accumulation-order-free
+  * convention). Exactness is what makes incremental maintenance SOUND:
+  * integer partials merge associatively and deletes subtract exactly,
+  * so any interleaving of build/refresh batches lands on the identical
+  * fixed point a full recompute produces — a float sum would drift by
+  * merge order and the MV would diverge from its definition one ulp at
+  * a time.
+  *
+  * Scale shape (the whole point at 100 TB): `build` scans the base
+  * once; every `refresh` aggregates ONLY its delta batch (cost ∝ batch,
+  * partial aggregation applies) and merges with the MV, whose size is
+  * the number of GROUPS, not rows. The base relation is not an input to
+  * `refresh` at all — the API makes a base rescan impossible, not just
+  * avoided (MatViewSpec proves it by deleting the base files between
+  * build and refresh). Each refresh lands as one atomic store commit, so
+  * readers always see a consistent MV version and time travel across
+  * refreshes works like any other table.
+  */
+object MaterializedView {
+
+  /** View definition: group keys + named exact-BIGINT sum expressions.
+    * The MV schema is `keys ++ (n_rows BIGINT) ++ sums.map(_._1)`. */
+  final case class MvSpec(keys: Seq[String], sums: Seq[(String, Column)])
+
+  /** The view's aggregate applied to any slice of the base relation —
+    * the ONE definition build, refresh, and the spec's recompute all
+    * share (a second copy could drift from the maintained one). */
+  def aggregate(rows: DataFrame, spec: MvSpec): DataFrame =
+    rows.groupBy(spec.keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        spec.sums.map { case (n, e) => sum(e).as(n) }: _*)
+
+  /** One-time full build: the only scan of the base this MV ever does. */
+  def build(store: TableStore, table: String, base: DataFrame,
+      spec: MvSpec): Unit =
+    store.create(table, aggregate(base, spec))
+
+  /** Apply an INSERT delta: aggregate the batch (cost ∝ batch), then
+    * merge group-wise with the MV — a groupBy over (#groups + #batch
+    * groups) rows, never the base. New groups appear with their batch
+    * totals; existing groups add exactly. One atomic commit. */
+  def refreshInsert(store: TableStore, table: String, delta: DataFrame,
+      spec: MvSpec): Unit =
+    merge(store, table, aggregate(delta, spec), spec)
+
+  /** Apply a DELETE delta (the rows REMOVED from the base): the same
+    * merge with every partial negated — counts and exact sums subtract
+    * — and groups whose count reaches zero leave the view (the counting
+    * algorithm's group-liveness rule; a float sum could not do this —
+    * "reaches zero" would be "reaches epsilon"). The caller contract is
+    * the usual IVM one: the delta is exactly the multiset of removed
+    * rows. */
+  def refreshDelete(store: TableStore, table: String, delta: DataFrame,
+      spec: MvSpec): Unit = {
+    val neg = aggregate(delta, spec)
+      .withColumn("n_rows", -col("n_rows"))
+    val negSums = spec.sums.foldLeft(neg) { case (df, (n, _)) =>
+      df.withColumn(n, -col(n))
+    }
+    merge(store, table, negSums, spec)
+  }
+
+  private def merge(store: TableStore, table: String, deltaAgg: DataFrame,
+      spec: MvSpec): Unit = {
+    val merged = store.read(table).unionByName(deltaAgg)
+      .groupBy(spec.keys.map(col): _*)
+      .agg(sum("n_rows").as("n_rows"),
+        spec.sums.map { case (n, _) => sum(col(n)).as(n) }: _*)
+      .filter(col("n_rows") > 0)
+    // localCheckpoint before the commit: the merged plan reads the MV
+    // table's CURRENT files, and create() replaces them — materialize
+    // the result first so the write never races its own input
+    store.create(table, merged.localCheckpoint())
+  }
+}

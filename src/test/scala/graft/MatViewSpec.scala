@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.util.Comparator
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.store.{MaterializedView, TableStore}
+import graft.store.MaterializedView.MvSpec
+
+/** Incremental materialized-view maintenance ([[graft.store
+  * .MaterializedView]]): parity with full recompute after every batch,
+  * group-liveness under deletes, and the no-rescan guarantee proved the
+  * strong way — the base files are DELETED between build and refresh,
+  * so any hidden re-read of the base would throw, not just be slow. */
+class MatViewSpec extends SparkSpec {
+
+  private def scratch(): TableStore =
+    new TableStore(spark, Files.createTempDirectory("graft-mv-spec-").toString)
+
+  private val mvSpec = MvSpec(Seq("l_returnflag", "l_linestatus"),
+    Seq("__qty" -> expr("CAST(l_quantity AS BIGINT)"),
+      "__cents" -> expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")))
+
+  private def li: DataFrame = spark.read.parquet(s"$sf/lineitem.parquet")
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+
+  test("insert refresh converges on the full recompute after every batch") {
+    val st = scratch()
+    val base = li.filter(col("l_orderkey") % 4 =!= 3)
+    MaterializedView.build(st, "mv", base, mvSpec)
+    var applied = base
+    (0 until 3).foreach { r =>
+      val batch = li.filter(col("l_orderkey") % 4 === 3 &&
+        col("l_linenumber") % 3 === r)
+      MaterializedView.refreshInsert(st, "mv", batch, mvSpec)
+      applied = applied.unionByName(batch)
+      assert(sortedRows(st.read("mv")) ===
+        sortedRows(MaterializedView.aggregate(applied, mvSpec)),
+        s"diverged from recompute after insert batch $r")
+    }
+  }
+
+  test("delete refresh subtracts exactly and drops emptied groups") {
+    val st = scratch()
+    val spec2 = MvSpec(Seq("l_orderkey"),
+      Seq("__qty" -> expr("CAST(l_quantity AS BIGINT)")))
+    MaterializedView.build(st, "mv", li, spec2)
+    val doomed = li.filter(col("l_orderkey") % 7 === 0)
+    assert(doomed.count() > 0, "fixture premise: some orders are deleted")
+    MaterializedView.refreshDelete(st, "mv", doomed, spec2)
+    val survivors = li.filter(col("l_orderkey") % 7 =!= 0)
+    assert(sortedRows(st.read("mv")) ===
+      sortedRows(MaterializedView.aggregate(survivors, spec2)))
+    // group liveness: every %7 == 0 order left the view entirely
+    assert(st.read("mv").filter(col("l_orderkey") % 7 === 0).count() === 0)
+  }
+
+  test("refresh never re-reads the base: base files deleted after build") {
+    // stage a private copy of the base so deleting it is safe
+    val stage = Files.createTempDirectory("graft-mv-base-")
+    li.filter(col("l_orderkey") % 4 =!= 3)
+      .write.mode("overwrite").parquet(stage.toString)
+    val st = scratch()
+    MaterializedView.build(st, "mv",
+      spark.read.parquet(stage.toString), mvSpec)
+    // burn the base — a refresh that rescans it now throws
+    Files.walk(stage).sorted(Comparator.reverseOrder[Path]())
+      .forEach(p => Files.delete(p))
+    val batch = li.filter(col("l_orderkey") % 4 === 3).localCheckpoint()
+    MaterializedView.refreshInsert(st, "mv", batch, mvSpec)
+    assert(sortedRows(st.read("mv")) ===
+      sortedRows(MaterializedView.aggregate(li, mvSpec)))
+  }
+
+  test("mixed schedule lands on the view definition over the net content") {
+    val st = scratch()
+    val spec2 = MvSpec(Seq("l_linestatus"),
+      Seq("__qty" -> expr("CAST(l_quantity AS BIGINT)")))
+    val base = li.filter(col("l_orderkey") % 2 === 0)
+    MaterializedView.build(st, "mv", base, spec2)
+    val ins = li.filter(col("l_orderkey") % 2 === 1)
+    MaterializedView.refreshInsert(st, "mv", ins, spec2)
+    val del = li.filter(col("l_orderkey") % 3 === 0)
+    MaterializedView.refreshDelete(st, "mv", del, spec2)
+    val net = li.filter(col("l_orderkey") % 3 =!= 0)
+    assert(sortedRows(st.read("mv")) ===
+      sortedRows(MaterializedView.aggregate(net, spec2)))
+  }
+}
