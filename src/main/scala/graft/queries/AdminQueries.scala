@@ -138,6 +138,26 @@ object AdminQueries extends QueryPack {
     st.read("orders")
   }
 
+  /** adm7 — z-order clustered layout ([[graft.store.ZOrder]]): orders
+    * written Morton-bucketed on (custkey, floor(totalprice)), then a
+    * 2-D range query through the pruned read — only the buckets whose
+    * cells intersect the box are opened (ZOrderSpec pins files-read <
+    * files-on-disk for 2-D, x-only, AND y-only probes; a custkey-only
+    * layout answers the price-range probe with a full scan). The exact
+    * predicate re-applies after the prune, so the oracle is the plain
+    * rectangle select — equality proves the conservative bucket math
+    * dropped nothing. */
+  private def adm7(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s)
+    val rows = t(s, d, "orders").select(cols.map(col): _*)
+      .withColumn("o_price_i", expr("CAST(floor(o_totalprice) AS BIGINT)"))
+    graft.store.ZOrder.createZOrdered(st, "orders_z", rows,
+      "o_custkey", "o_price_i", bits = 3)
+    graft.store.ZOrder.rangeQuery(st, "orders_z",
+      Some((20L, 80L)), Some((50000L, 200000L)))
+      .select(cols.map(col): _*)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "adm1_schema_evolution" -> (adm1 _),
     "adm2_schema_migrate" -> (adm2 _),
@@ -145,6 +165,7 @@ object AdminQueries extends QueryPack {
     "adm4_backup_ring" -> (adm4 _),
     "adm5_time_travel" -> (adm5 _),
     "adm6_compaction" -> (adm6 _),
+    "adm7_zorder_layout" -> (adm7 _),
   )
 
   private val evolvedSql =
@@ -186,6 +207,12 @@ object AdminQueries extends QueryPack {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                 o_orderpriority
          FROM orders WHERE o_orderkey % 10 <= 6""",
+    "adm7_zorder_layout" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderpriority
+         FROM orders
+         WHERE o_custkey BETWEEN 20 AND 80
+           AND CAST(floor(o_totalprice) AS BIGINT) BETWEEN 50000 AND 200000""",
     // one version back: the update is visible, the delete is not
     "adm5_time_travel" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
