@@ -190,6 +190,84 @@ object TextAnalysis extends QueryPack {
       .select("doc_id", "n_tok", "n_distinct_tok", "n_distinct_2gram",
         "tok_rep_ratio", "gram2_rep_ratio", "keep")
 
+  /** Deterministic repetition augmentation for tx9 (the tx7 planting
+    * precedent): the synthetic corpus has no newlines and little block
+    * repetition, so every fifth document gets its first 10 tokens
+    * PREPENDED twice — two identical 10-token lines under the fixed
+    * re-wrap below, giving the line-level filters real positives. Same
+    * expression runs in the oracle. */
+  private val augRepSql =
+    """CASE WHEN doc_id % 5 = 0 THEN
+         concat(array_join(slice(split(trim(text), '\\s+'), 1, 10), ' '), ' ',
+                array_join(slice(split(trim(text), '\\s+'), 1, 10), ' '), ' ',
+                trim(text))
+       ELSE trim(text) END"""
+
+  /** tx9 — line/paragraph-level repetition filters (the OTHER half of
+    * the Gopher repetition family tx5 does not cover: Rae et al. 2021
+    * measure duplicate LINE fraction, duplicate line CHARACTER
+    * fraction, and the character share of the single most frequent
+    * word-2-gram). Documents are re-wrapped into fixed 10-token lines
+    * (the corpus is single-line; the wrap is the deterministic stand-in
+    * for real line structure), then per document: the fraction of
+    * repeated lines, the character mass inside repeated lines, and the
+    * most frequent 2-gram's character share — ties on gram count break
+    * to the lexicographically smallest gram so both engines pick the
+    * same one. All counts are exact integers; each ratio is ONE
+    * int→double division, so the doubles are bit-equal cross-engine.
+    * Map-only like the rest of the tx family — per-document array HOFs,
+    * zero exchange at any corpus size (the per-doc work is quadratic in
+    * the ~60-token doc length, a constant; PlanAuditSpec pins the
+    * no-Exchange plan). Thresholds are fixture-calibrated outlier flags
+    * (planted docs sit at dup_line_frac ≥ 0.167, natural docs at 0);
+    * Gopher's published production cuts are 0.30 / 0.20 / 0.20. */
+  private def tx9(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("t", expr(augRepSql))
+      .withColumn("toks", expr("split(t, '\\\\s+')"))
+      .withColumn("n_lines", expr("CAST((size(toks) + 9) div 10 AS BIGINT)"))
+      .withColumn("lines", expr(
+        """transform(sequence(1, CAST(n_lines AS INT)),
+             i -> array_join(slice(toks, (i - 1) * 10 + 1, 10), ' '))"""))
+      .withColumn("grams2", expr(
+        """CASE WHEN size(toks) >= 2
+           THEN transform(sequence(1, size(toks) - 1),
+                  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
+           ELSE array() END"""))
+      .withColumn("n_distinct_lines",
+        expr("CAST(size(array_distinct(lines)) AS BIGINT)"))
+      .withColumn("dup_line_chars", expr(
+        """aggregate(array_distinct(lines), 0L, (acc, l) ->
+             acc + CASE WHEN size(filter(lines, x -> x = l)) > 1
+                   THEN CAST(size(filter(lines, x -> x = l)) * length(l) AS BIGINT)
+                   ELSE 0L END)"""))
+      .withColumn("line_chars", expr(
+        "aggregate(lines, 0L, (acc, l) -> acc + CAST(length(l) AS BIGINT))"))
+      .withColumn("max_gram_n", expr(
+        """CASE WHEN size(grams2) > 0
+           THEN aggregate(array_distinct(grams2), 0L, (acc, g) ->
+                  greatest(acc, CAST(size(filter(grams2, x -> x = g)) AS BIGINT)))
+           ELSE 0L END"""))
+      .withColumn("top_gram", expr(
+        """CASE WHEN max_gram_n > 0
+           THEN array_min(filter(array_distinct(grams2),
+                  g -> CAST(size(filter(grams2, x -> x = g)) AS BIGINT) = max_gram_n))
+           ELSE '' END"""))
+      .withColumn("n_chars_aug", expr("CAST(length(t) AS BIGINT)"))
+      .withColumn("dup_line_frac",
+        expr("1.0 - CAST(n_distinct_lines AS DOUBLE) / n_lines"))
+      .withColumn("dup_line_char_frac",
+        expr("CAST(dup_line_chars AS DOUBLE) / line_chars"))
+      .withColumn("top2gram_char_frac", expr(
+        """CASE WHEN max_gram_n > 0
+           THEN CAST(max_gram_n * length(top_gram) AS DOUBLE) / n_chars_aug
+           ELSE 0.0 END"""))
+      .withColumn("keep",
+        expr("dup_line_frac <= 0.1 AND top2gram_char_frac <= 0.2"))
+      .select("doc_id", "n_lines", "n_distinct_lines", "dup_line_frac",
+        "dup_line_char_frac", "max_gram_n", "top_gram",
+        "top2gram_char_frac", "keep")
+
   // PII patterns + redaction chain live in TextFns (the `redact`
   // HeroQL builtin compiles through the same expressions).
   private val emailRe = TextFns.emailRe
@@ -288,6 +366,7 @@ object TextAnalysis extends QueryPack {
     "tx6b_quantile_histogram" -> (tx6b _),
     "tx7_pii_redaction" -> (tx7 _),
     "tx8_unigram_logprob" -> (tx8 _),
+    "tx9_gopher_lines" -> (tx9 _),
   )
 
   /** The DuckDB mirror of [[augSql]] (|| concatenation, VARCHAR casts).
@@ -443,6 +522,65 @@ object TextAnalysis extends QueryPack {
            CAST(sum(m) AS BIGINT) AS nll_micro,
            CAST(sum(m) AS BIGINT) // count(*) AS avg_nll_micro
          FROM m GROUP BY doc_id""",
+    // same planting expression, same integer counts, same single
+    // int→double division per ratio — bit-equal cross-engine; the
+    // max-gram count is a separate CTE so the tie-breaking min-gram
+    // comprehension references it instead of recomputing it per gram
+    "tx9_gopher_lines" ->
+      """WITH aug AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN
+               array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), 1, 10), ' ')
+                 || ' ' ||
+               array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), 1, 10), ' ')
+                 || ' ' || trim(text)
+             ELSE trim(text) END AS t
+           FROM documents),
+         tk AS (
+           SELECT doc_id, t, regexp_split_to_array(t, '\s+') AS toks FROM aug),
+         ln AS (
+           SELECT doc_id, t, toks,
+             CAST((len(toks) + 9) // 10 AS BIGINT) AS n_lines,
+             [array_to_string(list_slice(toks, (i-1)*10 + 1, i*10), ' ')
+                for i in range(1, CAST((len(toks) + 9) // 10 AS BIGINT) + 1)] AS lines,
+             CASE WHEN len(toks) >= 2
+               THEN [toks[x] || ' ' || toks[x + 1] for x in range(1, len(toks))]
+               ELSE [] END AS grams2
+           FROM tk),
+         mg AS (
+           SELECT doc_id, t, n_lines, lines, grams2,
+             CASE WHEN len(grams2) > 0
+               THEN list_max([CAST(len(list_filter(grams2, x -> x = g)) AS BIGINT)
+                              for g in list_distinct(grams2)])
+               ELSE 0 END AS max_gram_n
+           FROM ln),
+         st AS (
+           SELECT doc_id, n_lines, max_gram_n,
+             CAST(len(list_distinct(lines)) AS BIGINT) AS n_distinct_lines,
+             list_sum([CASE WHEN len(list_filter(lines, x -> x = l)) > 1
+                            THEN CAST(len(list_filter(lines, x -> x = l)) * length(l) AS BIGINT)
+                            ELSE 0 END
+                       for l in list_distinct(lines)]) AS dup_line_chars,
+             list_sum([CAST(length(l) AS BIGINT) for l in lines]) AS line_chars,
+             CASE WHEN max_gram_n > 0
+               THEN list_min([g for g in list_distinct(grams2)
+                              if CAST(len(list_filter(grams2, x -> x = g)) AS BIGINT) = max_gram_n])
+               ELSE '' END AS top_gram,
+             CAST(length(t) AS BIGINT) AS n_chars_aug
+           FROM mg),
+         r AS (
+           SELECT doc_id, n_lines, n_distinct_lines,
+             1.0 - CAST(n_distinct_lines AS DOUBLE) / n_lines AS dup_line_frac,
+             CAST(dup_line_chars AS DOUBLE) / line_chars AS dup_line_char_frac,
+             max_gram_n, top_gram,
+             CASE WHEN max_gram_n > 0
+               THEN CAST(max_gram_n * length(top_gram) AS DOUBLE) / n_chars_aug
+               ELSE 0.0 END AS top2gram_char_frac
+           FROM st)
+         SELECT doc_id, n_lines, n_distinct_lines, dup_line_frac,
+           dup_line_char_frac, max_gram_n, top_gram, top2gram_char_frac,
+           (dup_line_frac <= 0.1 AND top2gram_char_frac <= 0.2) AS keep
+         FROM r""",
     // same operand order as the Spark expressions so the double
     // divisions are bit-equal; same 1-token guard (ratio defined 0.0)
     "tx5_repetition_filter" ->

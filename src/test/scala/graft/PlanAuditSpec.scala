@@ -153,6 +153,12 @@ class PlanAuditSpec extends SparkSpec {
       s"raw text must not cross an exchange:\n$p")
   }
 
+  test("tx9 line-repetition filters are map-only: no exchange anywhere") {
+    val p = plan(graft.queries.TextAnalysis, "tx9_gopher_lines")
+    assert(!p.contains("Exchange"),
+      s"per-document line/gram stats must not shuffle:\n$p")
+  }
+
   test("samp1 stratified sample is map-only: no exchange anywhere in the plan") {
     val p = plan(graft.queries.TrainingSetQueries, "samp1_stratified_sample")
     assert(!p.contains("Exchange"),
