@@ -473,6 +473,25 @@ object Relational extends QueryPack {
       .agg(count(lit(1)).as("n"), sum(col("l_linenumber").cast("long")).as("sum_line"))
   }
 
+  /** J12 — KEYLESS interval join via time-banding
+    * ([[graft.operators.BandedRangeJoin]]): every signup counted
+    * against ALL events (any user) within the following hour. Without
+    * an equi-key Catalyst's only native plan is a broadcast-nested-loop
+    * over every (signup, event) pair; the band rewrite quantizes exact
+    * BIGINT nanos into window-width bands, explodes each probe interval
+    * to its ≤2 distinct bands, and equi-joins on the band id — one
+    * 8-byte-keyed shuffle per side, pair work bounded by band occupancy
+    * (PlanAuditSpec pins the no-BNLJ/no-cartesian plan). */
+  private def j12(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.streaming.EventStreams.tsNanos(t(s, d, "events"), "tns")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("tns").as("t0"))
+    val all = ev.select(col("tns"))
+    graft.operators.BandedRangeJoin.bandJoin(signups, all,
+      "t0", "tns", windowNanos = 3600L * 1000000000L)
+      .groupBy(col("signup_id")).agg(count(lit(1)).as("n_events"))
+  }
+
   /** A12 — statistical aggregates (added scope): sample stddev/variance,
     * correlation and covariance — identical closed-form definitions in
     * Spark and DuckDB. */
@@ -534,6 +553,7 @@ object Relational extends QueryPack {
     "a12_stats_aggregates" -> (a12 _),
     "a13_percentiles" -> (a13 _),
     "j11_salted_skew_join" -> (j11 _),
+    "j12_banded_range_join" -> (j12 _),
     "s1_scan_filter" -> (s1 _),
     "s3_inline_values" -> (s3 _),
     "p1_projection" -> (p1 _),
@@ -622,6 +642,13 @@ object Relational extends QueryPack {
       """SELECT 'Q' || CAST(CAST(l_quantity AS INT) AS VARCHAR) AS q_label,
                 count(*) AS n, CAST(sum(l_linenumber) AS BIGINT) AS sum_line
          FROM lineitem GROUP BY 1""",
+    "j12_banded_range_join" ->
+      """SELECT s.signup_id, count(*) AS n_events
+         FROM (SELECT event_id AS signup_id, CAST(ts AS TIMESTAMP) AS t0
+               FROM events WHERE event_type = 'signup') s
+         JOIN (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events) ev
+           ON ev.ts >= s.t0 AND ev.ts < s.t0 + INTERVAL 1 HOUR
+         GROUP BY 1""",
     "j10_interval_join" ->
       """SELECT l.event_id AS signup_id, count(*) AS n_events
          FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts0

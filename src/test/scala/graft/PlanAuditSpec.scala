@@ -153,6 +153,13 @@ class PlanAuditSpec extends SparkSpec {
       s"raw text must not cross an exchange:\n$p")
   }
 
+  test("j12 keyless range join bands into an equi-join, never a nested loop") {
+    val p = plan(graft.queries.Relational, "j12_banded_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"keyless interval join must band to an equi-join:\n$p")
+    assert(p.contains("__band"), s"band key missing from the join plan:\n$p")
+  }
+
   test("tx9 line-repetition filters are map-only: no exchange anywhere") {
     val p = plan(graft.queries.TextAnalysis, "tx9_gopher_lines")
     assert(!p.contains("Exchange"),
