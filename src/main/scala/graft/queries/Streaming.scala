@@ -177,6 +177,28 @@ object Streaming extends QueryPack {
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
   }
 
+  /** st10 — STREAMING materialized-view maintenance: four real
+    * micro-batches fold into a store-held per-event-type aggregate
+    * through the marked [[graft.store.MaterializedView.refreshInsert]]
+    * — per batch ONE atomic commit carrying the #groups-sized MV
+    * replace plus the batch-id mark (exactly-once; MatViewSpec replays
+    * a batch to prove it). The value sum rides exact micro fixed-point
+    * BIGINTs through every merge (the ev1 convention) with the single
+    * lossy division at publish. Oracle: the view definition over ALL
+    * events — equality proves four batch merges land on exactly the
+    * one-shot aggregate. */
+  private def st10(s: SparkSession, d: String): DataFrame = {
+    val store = new graft.store.TableStore(s,
+      java.nio.file.Files.createTempDirectory("graft-mv-sink-").toString)
+    val spec = graft.store.MaterializedView.MvSpec(
+      keys = Seq("event_type"),
+      sums = Seq("__vmicros" ->
+        expr("CAST(floor(value * 1000000) AS BIGINT)")))
+    EventStreams.matViewSinkToStore(s, d, store, "ev_mv", spec)
+      .select(col("event_type"), col("n_rows"),
+        expr("CAST(__vmicros AS DOUBLE) / 1000000.0").as("sum_value"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_tumbling_window" -> (st1 _),
     "st2_sliding_window" -> (st2 _),
@@ -189,6 +211,7 @@ object Streaming extends QueryPack {
     "st7_stream_sessionize_hql" -> (st7 _),
     "st8_stream_stream_join" -> (st8 _),
     "st9_stateful_totals" -> (st9 _),
+    "st10_stream_matview" -> (st10 _),
     "ev1_sessionization" -> (ev1 _),
   )
 
@@ -218,6 +241,11 @@ object Streaming extends QueryPack {
        FROM s GROUP BY user_id, session_id"""
 
   override val oracles: Map[String, String] = Map(
+    "st10_stream_matview" ->
+      """SELECT event_type, count(*) AS n_rows,
+                CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS DOUBLE)
+                  / 1000000.0 AS sum_value
+         FROM events GROUP BY 1""",
     // st8: the BATCH interval join the drained stream-stream join must
     // equal (inner joins are append-only; availableNow drains fully)
     "st8_stream_stream_join" ->

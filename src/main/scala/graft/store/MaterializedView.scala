@@ -55,10 +55,17 @@ object MaterializedView {
   /** Apply an INSERT delta: aggregate the batch (cost ∝ batch), then
     * merge group-wise with the MV — a groupBy over (#groups + #batch
     * groups) rows, never the base. New groups appear with their batch
-    * totals; existing groups add exactly. One atomic commit. */
+    * totals; existing groups add exactly. One atomic commit.
+    *
+    * `batchId` makes the refresh EXACTLY-ONCE for streaming callers
+    * (the st7 mark protocol): the MV replace and the batch-id mark
+    * land in ONE store commit, and a replayed batch — its id at or
+    * below the committed mark — is skipped whole. A refresh is
+    * additive, so replaying it unmarked would double-count; the mark
+    * is what lets `foreachBatch` drive MV maintenance safely. */
   def refreshInsert(store: TableStore, table: String, delta: DataFrame,
-      spec: MvSpec): Unit =
-    merge(store, table, aggregate(delta, spec), spec)
+      spec: MvSpec, batchId: Option[Long] = None): Unit =
+    merge(store, table, aggregate(delta, spec), spec, batchId)
 
   /** Apply a DELETE delta (the rows REMOVED from the base): the same
     * merge with every partial negated — counts and exact sums subtract
@@ -78,8 +85,22 @@ object MaterializedView {
   }
 
   private def merge(store: TableStore, table: String, deltaAgg: DataFrame,
-      spec: MvSpec): Unit = {
-    val merged = store.read(table).unionByName(deltaAgg)
+      spec: MvSpec, batchId: Option[Long] = None): Unit = {
+    val markT = table + "__mark"
+    val replayed = batchId.exists(b =>
+      store.exists(markT) && store.read(markT).head().getLong(0) >= b)
+    if (replayed) return // already folded into the committed MV
+    // a refresh against a not-yet-built MV folds into an empty one —
+    // what lets streaming callers mark their FIRST batch too (a
+    // markless build followed by a batch-0 replay would double-count)
+    val cur =
+      if (store.exists(table)) store.read(table)
+      else {
+        val spark = deltaAgg.sparkSession
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], deltaAgg.schema)
+      }
+    val merged = cur.unionByName(deltaAgg)
       .groupBy(spec.keys.map(col): _*)
       .agg(sum("n_rows").as("n_rows"),
         spec.sums.map { case (n, _) => sum(col(n)).as(n) }: _*)
@@ -87,6 +108,18 @@ object MaterializedView {
     // localCheckpoint before the commit: the merged plan reads the MV
     // table's CURRENT files, and create() replaces them — materialize
     // the result first so the write never races its own input
-    store.create(table, merged.localCheckpoint())
+    val pinned = merged.localCheckpoint()
+    batchId match {
+      case None => store.create(table, pinned)
+      case Some(b) =>
+        val spark = pinned.sparkSession
+        val mark = spark.range(1).select(lit(b).as("batch_id"))
+        // MV replace + mark in ONE atomic commit: a crash between the
+        // two would otherwise let a replay double-apply the batch
+        store.transaction { tx =>
+          tx.create(table, pinned)
+          tx.create(markT, mark)
+        }
+    }
   }
 }

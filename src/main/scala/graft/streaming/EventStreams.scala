@@ -388,6 +388,39 @@ object EventStreams {
     stage.toString
   }
 
+  /** Streaming materialized-view maintenance: readStream over the
+    * staged events, `foreachBatch` folding each micro-batch into a
+    * store-held grouped aggregate through
+    * [[graft.store.MaterializedView.refreshInsert]] with the batch-id
+    * mark — MV replace + mark in one atomic commit per batch, so a
+    * replayed batch is skipped whole (exactly-once, the st7 protocol).
+    * This is the streaming-warehouse shape at 100 TB: per-batch cost is
+    * the batch aggregate plus a #groups-sized merge; the accumulated
+    * base is NEVER rescanned — contrast a naive implementation that
+    * re-aggregates the whole sink table every trigger. */
+  def matViewSinkToStore(spark: SparkSession, dir: String,
+      store: graft.store.TableStore, table: String,
+      spec: graft.store.MaterializedView.MvSpec): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageEventChunks(spark, dir, nFiles = 4, "event_id", "events"))
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // every batch — including the first — goes through the MARKED
+        // refresh (it folds into an empty MV when the table is new), so
+        // replays of any batch id are skipped whole
+        graft.store.MaterializedView.refreshInsert(store, table, batch,
+          spec, Some(batchId))
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-mv-ckpt-").toString)
+      .start()
+    q.awaitTermination()
+    store.read(table)
+  }
+
   /** Stream-stream interval join (the streaming form of the J10
     * interval join): signups joined to the same user's events within 7
     * days. Both sides carry watermarks and the join condition is

@@ -75,6 +75,26 @@ class MatViewSpec extends SparkSpec {
       sortedRows(MaterializedView.aggregate(li, mvSpec)))
   }
 
+  test("marked refresh is exactly-once: a replayed batch changes nothing") {
+    val st = scratch()
+    val b0 = li.filter(col("l_orderkey") % 2 === 0)
+    val b1 = li.filter(col("l_orderkey") % 2 === 1)
+    // both batches through the MARKED path (batch 0 folds into an
+    // empty MV — the streaming caller's shape)
+    MaterializedView.refreshInsert(st, "mv", b0, mvSpec, Some(0L))
+    MaterializedView.refreshInsert(st, "mv", b1, mvSpec, Some(1L))
+    val after = sortedRows(st.read("mv"))
+    val commits = st.commitCount()
+    // replay both batch ids — a restart re-delivering committed work
+    MaterializedView.refreshInsert(st, "mv", b0, mvSpec, Some(0L))
+    MaterializedView.refreshInsert(st, "mv", b1, mvSpec, Some(1L))
+    assert(sortedRows(st.read("mv")) === after,
+      "replayed batches must not double-count")
+    assert(st.commitCount() === commits,
+      "a replayed batch must not commit anything")
+    assert(after === sortedRows(MaterializedView.aggregate(li, mvSpec)))
+  }
+
   test("mixed schedule lands on the view definition over the net content") {
     val st = scratch()
     val spec2 = MvSpec(Seq("l_linestatus"),
