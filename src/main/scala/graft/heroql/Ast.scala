@@ -221,4 +221,15 @@ object Ast {
     * value, tie-break id. */
   final case class StreamSessionize(rel: String, vars: Seq[String],
     gapSeconds: Long, table: String) extends StreamStmt
+
+  /** `stream aggregate Rel(key, value, id) into Table;` — the statement
+    * form of streaming materialized-view maintenance
+    * ([[graft.store.MaterializedView]] driven per micro-batch): rows of
+    * `Rel` arrive as micro-batches and fold into a store-held
+    * `GROUP BY key → (count, exact-sum(value))` view, one atomic
+    * marked commit per batch (exactly-once under replay). Variables
+    * are positional: group key, summed value, arrival id (the staging
+    * order). */
+  final case class StreamAggregate(rel: String, vars: Seq[String],
+    table: String) extends StreamStmt
 }

@@ -1182,8 +1182,16 @@ object Parser {
         }
         val table = intoTable()
         Ast.StreamSessionize(rel, vs, n * unit, table)
+      case "aggregate" =>
+        val (rel, vs) = relVars()
+        if (vs.size != 3) throw ParseError(
+          s"stream aggregate needs exactly (key, value, id) variables, got ${vs.size}", 0)
+        if (vs.distinct.size != vs.size) throw ParseError(
+          s"stream aggregate variables must be distinct, got ${vs.mkString(", ")}", 0)
+        val table = intoTable()
+        Ast.StreamAggregate(rel, vs, table)
       case other => throw ParseError(
-        s"unknown stream statement 'stream $other' (expected dedup or sessionize)", 0)
+        s"unknown stream statement 'stream $other' (expected dedup, sessionize or aggregate)", 0)
     }
   }
 }

@@ -1763,5 +1763,34 @@ object HeroQL {
         graft.streaming.EventStreams.sessionizeSinkToStore(
           spark, dir, store, st.table, st.gapSeconds, st.vars,
           sourceTable = st.rel.toLowerCase)
+      case st: StreamAggregate =>
+        val dir = sources.getOrElse(st.rel, throw Analyzer.AnalysisError(
+          s"no source bound for relation ${st.rel}"))
+        val Seq(keyV, valueV, idV) = st.vars
+        val physical = spark.read.parquet(
+          s"$dir/${st.rel.toLowerCase}.parquet").schema.fieldNames.toSet
+        st.vars.filterNot(physical.contains) match {
+          case missing if missing.nonEmpty => throw Analyzer.AnalysisError(
+            s"stream aggregate variables must name physical columns of " +
+              s"${st.rel}; missing: ${missing.mkString(", ")}")
+          case _ => ()
+        }
+        // value sums ride exact micro fixed-point BIGINTs through every
+        // batch merge (the ev1/st7 convention): integer partials are
+        // accumulation-order-free, so four batch merges land on
+        // exactly the one-shot aggregate; the single lossy division
+        // happens at publish below
+        val spec = graft.store.MaterializedView.MvSpec(
+          keys = Seq(keyV),
+          sums = Seq("__vmicros" ->
+            org.apache.spark.sql.functions.expr(
+              s"CAST(floor(`$valueV` * 1000000) AS BIGINT)")))
+        graft.streaming.EventStreams.matViewSinkToStore(
+          spark, dir, store, st.table, spec,
+          sourceTable = st.rel.toLowerCase, chunkCol = idV)
+          .select(org.apache.spark.sql.functions.col(keyV),
+            org.apache.spark.sql.functions.col("n_rows"),
+            org.apache.spark.sql.functions.expr(
+              "CAST(__vmicros AS DOUBLE) / 1000000.0").as(s"sum_$valueV"))
     }
 }

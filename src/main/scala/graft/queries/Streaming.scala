@@ -199,6 +199,21 @@ object Streaming extends QueryPack {
         expr("CAST(__vmicros AS DOUBLE) / 1000000.0").as("sum_value"))
   }
 
+  /** st11 — `stream aggregate` STATEMENT form of st10: the same marked
+    * exactly-once MV maintenance reached from parsed HeroQL text
+    * (`stream aggregate Events(event_type, value, event_id) into
+    * ev_mv;`), the way st6/st7 made the dedup and sessionize sinks
+    * language-reachable. Oracle identical to st10 — a statement that
+    * mis-mapped its positional (key, value, id) variables would group
+    * or sum the wrong columns and hash-mismatch. */
+  private def st11(s: SparkSession, d: String): DataFrame = {
+    val store = new graft.store.TableStore(s,
+      java.nio.file.Files.createTempDirectory("graft-mv-hql-sink-").toString)
+    graft.heroql.HeroQL.executeStream(
+      "stream aggregate Events(event_type, value, event_id) into ev_mv;",
+      s, Map("Events" -> d), store)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_tumbling_window" -> (st1 _),
     "st2_sliding_window" -> (st2 _),
@@ -212,6 +227,7 @@ object Streaming extends QueryPack {
     "st8_stream_stream_join" -> (st8 _),
     "st9_stateful_totals" -> (st9 _),
     "st10_stream_matview" -> (st10 _),
+    "st11_stream_agg_hql" -> (st11 _),
     "ev1_sessionization" -> (ev1 _),
   )
 
@@ -241,6 +257,11 @@ object Streaming extends QueryPack {
        FROM s GROUP BY user_id, session_id"""
 
   override val oracles: Map[String, String] = Map(
+    "st11_stream_agg_hql" ->
+      """SELECT event_type, count(*) AS n_rows,
+                CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS DOUBLE)
+                  / 1000000.0 AS sum_value
+         FROM events GROUP BY 1""",
     "st10_stream_matview" ->
       """SELECT event_type, count(*) AS n_rows,
                 CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS DOUBLE)

@@ -400,11 +400,12 @@ object EventStreams {
     * re-aggregates the whole sink table every trigger. */
   def matViewSinkToStore(spark: SparkSession, dir: String,
       store: graft.store.TableStore, table: String,
-      spec: graft.store.MaterializedView.MvSpec): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+      spec: graft.store.MaterializedView.MvSpec,
+      sourceTable: String = "events", chunkCol: String = "event_id"): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/$sourceTable.parquet").schema
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(stageEventChunks(spark, dir, nFiles = 4, "event_id", "events"))
+      .parquet(stageEventChunks(spark, dir, nFiles = 4, chunkCol, sourceTable))
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // every batch — including the first — goes through the MARKED

@@ -598,7 +598,27 @@ class HeroQLParserSpec extends AnyFunSuite {
     val e4 = intercept[Parser.ParseError] {
       Parser.parseStream("stream compactify E(u) into s;")
     }
-    assert(e4.msg.contains("dedup or sessionize"))
+    assert(e4.msg.contains("dedup, sessionize or aggregate"))
+  }
+
+  test("stream aggregate statement parses to its golden AST") {
+    val st = Parser.parseStream(
+      "stream aggregate Events(event_type, value, event_id) into ev_mv;")
+    assert(st == Ast.StreamAggregate("Events",
+      Seq("event_type", "value", "event_id"), "ev_mv"))
+  }
+
+  test("stream aggregate statement rejects bad forms with the real diagnosis") {
+    // wrong arity: the variables are positional (key, value, id)
+    val e1 = intercept[Parser.ParseError] {
+      Parser.parseStream("stream aggregate E(k, v) into t;")
+    }
+    assert(e1.msg.contains("(key, value, id)"))
+    // repeated variables would silently alias two roles to one column
+    val e2 = intercept[Parser.ParseError] {
+      Parser.parseStream("stream aggregate E(k, k, i) into t;")
+    }
+    assert(e2.msg.contains("distinct"))
   }
 }
 
