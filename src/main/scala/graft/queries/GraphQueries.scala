@@ -130,6 +130,41 @@ object GraphQueries extends QueryPack {
     rs.backward("parent_of")
   }
 
+  /** g8 — community detection by SYNCHRONOUS label propagation
+    * (Raghavan et al. 2007) over the symmetrized part hierarchy, made
+    * fully deterministic so it can carry an exact oracle: every vertex
+    * starts labeled with its own id; each round every vertex adopts the
+    * most frequent label among its neighbors, ties broken to the
+    * SMALLEST label (the async/random tie-breaks of textbook LPA and
+    * GraphX's implementation are what make them unreproducible — the
+    * sync+min rule is the same fixed point family without the dice).
+    * Three rounds, unrolled identically in the DuckDB oracle.
+    *
+    * Scale shape: per round ONE edge⋈labels equi-join (shuffle keyed on
+    * the 8-byte vertex id) + a (vertex, label) count + a max-struct
+    * argmax — linear in |E| per round, the textbook distributed-LPA
+    * cost; labels are checkpointed per round so the plan never deepens
+    * with round count (the Fixpoint convention). */
+  private def g8(s: SparkSession, d: String): DataFrame = {
+    val e = partEdges(s, d)
+    val sym = e.select(col("child").as("u"), col("parent").as("nbr"))
+      .unionByName(e.select(col("parent").as("u"), col("child").as("nbr")))
+      .localCheckpoint() // probed every round; never recompute the scan
+    var labels = t(s, d, "part")
+      .select(col("p_partkey").as("v"), col("p_partkey").as("lbl"))
+    (1 to 3).foreach { _ =>
+      labels = sym.join(labels, sym("nbr") === labels("v"))
+        .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
+        // argmax by count, tie to the smallest label: max over
+        // (count, -label) structs compares lexicographically
+        .groupBy(col("u"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("u").as("v"), (-col("m.nl")).as("lbl"))
+        .localCheckpoint()
+    }
+    labels.select(col("v").as("part_id"), col("lbl").as("community"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_transitive_closure" -> (g1 _),
     "rel1_bidirectional" -> (rel1 _),
@@ -139,6 +174,7 @@ object GraphQueries extends QueryPack {
     "g5_cardinality_checks" -> (g5 _),
     "g6_shortest_paths" -> (g6 _),
     "g7_triangle_count" -> (g7 _),
+    "g8_label_propagation" -> (g8 _),
   )
 
   private val edgesSql =
@@ -221,6 +257,31 @@ object GraphQueries extends QueryPack {
                UNION ALL SELECT b FROM tri
                UNION ALL SELECT c FROM tri)
          GROUP BY n_nationkey""",
+    "g8_label_propagation" ->
+      """WITH e0 AS (SELECT p_partkey AS child, p_partkey // 2 AS parent
+                     FROM part WHERE p_partkey // 2 >= 1),
+         edges AS (SELECT child AS u, parent AS nbr FROM e0
+                   UNION ALL SELECT parent, child FROM e0),
+         l0 AS (SELECT p_partkey AS v, p_partkey AS lbl FROM part),
+         c1 AS (SELECT e.u, l.lbl, count(*) AS c FROM edges e
+                JOIN l0 l ON l.v = e.nbr GROUP BY 1, 2),
+         l1 AS (SELECT u AS v, lbl FROM (
+                  SELECT u, lbl, row_number() OVER (
+                    PARTITION BY u ORDER BY c DESC, lbl ASC) AS rn FROM c1)
+                WHERE rn = 1),
+         c2 AS (SELECT e.u, l.lbl, count(*) AS c FROM edges e
+                JOIN l1 l ON l.v = e.nbr GROUP BY 1, 2),
+         l2 AS (SELECT u AS v, lbl FROM (
+                  SELECT u, lbl, row_number() OVER (
+                    PARTITION BY u ORDER BY c DESC, lbl ASC) AS rn FROM c2)
+                WHERE rn = 1),
+         c3 AS (SELECT e.u, l.lbl, count(*) AS c FROM edges e
+                JOIN l2 l ON l.v = e.nbr GROUP BY 1, 2),
+         l3 AS (SELECT u AS v, lbl FROM (
+                  SELECT u, lbl, row_number() OVER (
+                    PARTITION BY u ORDER BY c DESC, lbl ASC) AS rn FROM c3)
+                WHERE rn = 1)
+         SELECT v AS part_id, lbl AS community FROM l3""",
     "g5_cardinality_checks" ->
       """SELECT 'fk_orders_customer' AS constraint_name,
                 count(*) AS n_violations
