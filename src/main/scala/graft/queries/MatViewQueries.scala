@@ -78,9 +78,34 @@ object MatViewQueries extends QueryPack {
       expr("CAST(__qty AS DOUBLE)").as("sum_qty"))
   }
 
+  /** mv3 — TRANSACTIONAL write-through maintenance: the view is
+    * REGISTERED against its base in the store's view registry, and
+    * every [[MaterializedView.insertInto]] commits base append + view
+    * refresh atomically — no reader can observe the two out of sync,
+    * and base version k time-travels alongside view version k
+    * (MatViewSpec pins both). Same final truth as mv1, reached through
+    * the registry path instead of explicit refresh calls. */
+  private def mv3(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s)
+    val li = t(s, d, "lineitem").select("l_orderkey", "l_linenumber",
+      "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
+    st.create("li_base", li.filter(col("l_orderkey") % 4 =!= 3))
+    MaterializedView.register(st, "mv", "li_base",
+      MaterializedView.MvDef(
+        Seq("l_returnflag", "l_linestatus"),
+        Seq("__qty" -> "CAST(l_quantity AS BIGINT)",
+          "__cents" -> "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")))
+    (0 until 3).foreach { r =>
+      MaterializedView.insertInto(st, "li_base",
+        li.filter(col("l_orderkey") % 4 === 3 && col("l_linenumber") % 3 === r))
+    }
+    publish(st.read("mv"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mv1_incremental_agg" -> (mv1 _),
     "mv2_incremental_delete" -> (mv2 _),
+    "mv3_transactional_refresh" -> (mv3 _),
   )
 
   override val oracles: Map[String, String] = Map(
@@ -94,5 +119,13 @@ object MatViewQueries extends QueryPack {
       """SELECT l_orderkey, count(*) AS n_rows,
                 CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty
          FROM lineitem WHERE l_orderkey % 7 <> 0 GROUP BY 1""",
+    // the registry path lands on the same truth as mv1: the view's
+    // definition over the full final base
+    "mv3_transactional_refresh" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,
+                CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                  / 100.0 AS sum_price
+         FROM lineitem GROUP BY 1, 2""",
   )
 }

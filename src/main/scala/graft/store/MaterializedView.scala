@@ -39,6 +39,15 @@ object MaterializedView {
     * The MV schema is `keys ++ (n_rows BIGINT) ++ sums.map(_._1)`. */
   final case class MvSpec(keys: Seq[String], sums: Seq[(String, Column)])
 
+  /** A REGISTERABLE view definition: sums as SQL text so the
+    * definition can live in the store's registry table and be
+    * replanned by any later session ([[register]]/[[insertInto]]). */
+  final case class MvDef(keys: Seq[String], sums: Seq[(String, String)]) {
+    require((keys ++ sums.flatMap(s => Seq(s._1, s._2)))
+      .forall(!_.contains("\t")), "mv definition fields must not contain tabs")
+    def spec: MvSpec = MvSpec(keys, sums.map { case (n, e) => (n, expr(e)) })
+  }
+
   /** The view's aggregate applied to any slice of the base relation —
     * the ONE definition build, refresh, and the spec's recompute all
     * share (a second copy could drift from the maintained one). */
@@ -82,6 +91,60 @@ object MaterializedView {
       df.withColumn(n, -col(n))
     }
     merge(store, table, negSums, spec)
+  }
+
+  /** The store's view registry: one row per registered MV (view table,
+    * base table, tab-joined keys / sum names / sum SQL). A plain store
+    * table, so registration is itself a versioned commit. */
+  private val RegistryT = "mv.registry"
+
+  /** Register `mvTable` as a maintained view over `baseTable` and build
+    * it — view build + registry row in ONE commit. From then on,
+    * [[insertInto]] on the base keeps the view consistent. */
+  def register(store: TableStore, mvTable: String, baseTable: String,
+      dfn: MvDef): Unit = store.transaction { tx =>
+    val spark = store.spark
+    import spark.implicits._
+    tx.create(mvTable, aggregate(tx.read(baseTable), dfn.spec))
+    val row = Seq((mvTable, baseTable, dfn.keys.mkString("\t"),
+      dfn.sums.map(_._1).mkString("\t"), dfn.sums.map(_._2).mkString("\t")))
+      .toDF("mv_table", "base_table", "keys", "sum_names", "sum_exprs")
+    if (tx.exists(RegistryT)) tx.insert(RegistryT, row)
+    else tx.create(RegistryT, row)
+  }
+
+  /** The registered views over `baseTable` — a driver-side collect
+    * bounded by the number of REGISTERED VIEWS, never by data. */
+  private def registered(read: String => DataFrame,
+      exists: String => Boolean, baseTable: String): Seq[(String, MvDef)] =
+    if (!exists(RegistryT)) Seq.empty
+    else read(RegistryT).filter(col("base_table") === baseTable).collect()
+      .map { r =>
+        (r.getAs[String]("mv_table"), MvDef(
+          r.getAs[String]("keys").split('\t').toSeq,
+          r.getAs[String]("sum_names").split('\t').toSeq
+            .zip(r.getAs[String]("sum_exprs").split('\t').toSeq)))
+      }.toSeq
+
+  /** Insert into a base table WITH its registered views maintained —
+    * base append plus every view's incremental refresh in ONE atomic
+    * commit, so no reader ever observes the base and a view out of
+    * sync, and time travel pairs base version k with view version k
+    * (MatViewSpec pins both). Per view the added cost is the batch
+    * aggregate + a #groups merge — the base history is never
+    * re-aggregated. */
+  def insertInto(store: TableStore, baseTable: String,
+      rows: DataFrame): Unit = store.transaction { tx =>
+    tx.insert(baseTable, rows)
+    registered(tx.read, tx.exists, baseTable).foreach { case (mv, dfn) =>
+      val spec = dfn.spec
+      val merged = tx.read(mv).unionByName(aggregate(rows, spec))
+        .groupBy(spec.keys.map(col): _*)
+        .agg(sum("n_rows").as("n_rows"),
+          spec.sums.map { case (n, _) => sum(col(n)).as(n) }: _*)
+        .filter(col("n_rows") > 0)
+      tx.create(mv, merged.localCheckpoint())
+    }
   }
 
   private def merge(store: TableStore, table: String, deltaAgg: DataFrame,

@@ -677,6 +677,10 @@ final class Txn(store: TableStore) {
 
   def read(name: String): DataFrame = store.readLog(name, entriesOf(name))
 
+  /** Table visibility under the txn's read-your-writes view: pending
+    * creates count, concurrent commits don't (snapshot isolation). */
+  def exists(name: String): Boolean = manifestOf(name).isDefined
+
   /** The table's partition-column property (empty when absent or the
     * table doesn't exist yet) — every write path consults it so a
     * partitioned table can never silently gain unpartitioned dirs. */

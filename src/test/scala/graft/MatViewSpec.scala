@@ -95,6 +95,32 @@ class MatViewSpec extends SparkSpec {
     assert(after === sortedRows(MaterializedView.aggregate(li, mvSpec)))
   }
 
+  test("write-through insert commits base and view atomically, versions pair") {
+    val st = scratch()
+    val base = li.filter(col("l_orderkey") % 4 =!= 3)
+    st.create("li_base", base)
+    MaterializedView.register(st, "mv", "li_base",
+      MaterializedView.MvDef(Seq("l_returnflag", "l_linestatus"),
+        Seq("__qty" -> "CAST(l_quantity AS BIGINT)",
+          "__cents" -> "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")))
+    val batches = (0 until 3).map(r => li.filter(
+      col("l_orderkey") % 4 === 3 && col("l_linenumber") % 3 === r))
+    batches.foreach { b =>
+      val commits = st.commitCount()
+      MaterializedView.insertInto(st, "li_base", b)
+      // base append + view refresh = ONE commit, not two
+      assert(st.commitCount() === commits + 1,
+        "write-through must commit base and view together")
+      // consistency invariant: the view IS its definition over the base
+      assert(sortedRows(st.read("mv")) ===
+        sortedRows(MaterializedView.aggregate(st.read("li_base"), mvSpec)))
+    }
+    // time travel pairs version k of the base with version k of the
+    // view: one step back, both exclude exactly the last batch
+    assert(sortedRows(st.readVersion("mv", 1)) ===
+      sortedRows(MaterializedView.aggregate(st.readVersion("li_base", 1), mvSpec)))
+  }
+
   test("mixed schedule lands on the view definition over the net content") {
     val st = scratch()
     val spec2 = MvSpec(Seq("l_linestatus"),
