@@ -158,6 +158,34 @@ object AdminQueries extends QueryPack {
       .select(cols.map(col): _*)
   }
 
+  /** adm8 — CHECK constraints at the write path
+    * ([[graft.store.CheckConstraints]]): declare two predicates on a
+    * seeded orders table, admit a conforming batch, then attempt a
+    * violating batch (negated prices) — rejected WHOLE before any
+    * commit, so the final table is seed + valid batch exactly. The
+    * oracle states that final content; a broken rejection (partial
+    * commit, wrong predicate, unchecked batch) shifts the rows and
+    * hash-mismatches. */
+  private def adm8(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s)
+    st.create("orders", seedMod(s, d, 0))
+    graft.store.CheckConstraints.declare(st, "orders",
+      "price_nonneg", "o_totalprice >= 0.0")
+    graft.store.CheckConstraints.declare(st, "orders",
+      "status_enum", "o_orderstatus IN ('O', 'F', 'P')")
+    graft.store.CheckConstraints.insert(st, "orders", seedMod(s, d, 1))
+    val bad = seedMod(s, d, 2).withColumn("o_totalprice", -col("o_totalprice"))
+    try {
+      graft.store.CheckConstraints.insert(st, "orders", bad)
+      throw new IllegalStateException("violating batch must be rejected")
+    } catch { case _: graft.store.CheckConstraints.CheckViolation => () }
+    st.read("orders")
+  }
+
+  private def seedMod(s: SparkSession, d: String, m: Int): DataFrame =
+    t(s, d, "orders").filter(col("o_orderkey") % 10 === m)
+      .select(cols.map(col): _*)
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "adm1_schema_evolution" -> (adm1 _),
     "adm2_schema_migrate" -> (adm2 _),
@@ -166,6 +194,7 @@ object AdminQueries extends QueryPack {
     "adm5_time_travel" -> (adm5 _),
     "adm6_compaction" -> (adm6 _),
     "adm7_zorder_layout" -> (adm7 _),
+    "adm8_check_constraints" -> (adm8 _),
   )
 
   private val evolvedSql =
@@ -207,12 +236,22 @@ object AdminQueries extends QueryPack {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                 o_orderpriority
          FROM orders WHERE o_orderkey % 10 <= 6""",
+    "adm8_check_constraints" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderpriority
+         FROM orders WHERE o_orderkey % 10 IN (0, 1)""",
     "adm7_zorder_layout" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                 o_orderpriority
          FROM orders
          WHERE o_custkey BETWEEN 20 AND 80
            AND CAST(floor(o_totalprice) AS BIGINT) BETWEEN 50000 AND 200000""",
+    // seed (%10 = 0) + the admitted batch (%10 = 1); the rejected
+    // batch (%10 = 2, negated prices) must leave no trace
+    "adm8_check_constraints" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderpriority
+         FROM orders WHERE o_orderkey % 10 IN (0, 1)""",
     // one version back: the update is visible, the delete is not
     "adm5_time_travel" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,

@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.store.{CheckConstraints, TableStore}
+
+/** Write-path CHECK constraints ([[graft.store.CheckConstraints]]):
+  * batch admission, whole-batch rejection with nothing committed, and
+  * declaration-time validation of existing rows. */
+class CheckConstraintsSpec extends SparkSpec {
+
+  private def seeded(): TableStore = {
+    val st = new TableStore(spark,
+      Files.createTempDirectory("graft-check-spec-").toString)
+    st.create("orders", spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderkey") % 10 === 0)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus"))
+    st
+  }
+
+  test("a conforming batch is admitted, a violating one rejected whole") {
+    val st = seeded()
+    CheckConstraints.declare(st, "orders", "price_nonneg", "o_totalprice >= 0.0")
+    val good = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderkey") % 10 === 1)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    CheckConstraints.insert(st, "orders", good)
+    val after = st.read("orders").count()
+    val commits = st.commitCount()
+    // one violating row poisons the WHOLE batch
+    val mixed = good.withColumn("o_totalprice",
+      when(col("o_orderkey") % 3 === 0, -col("o_totalprice"))
+        .otherwise(col("o_totalprice")))
+    val e = intercept[CheckConstraints.CheckViolation] {
+      CheckConstraints.insert(st, "orders", mixed)
+    }
+    assert(e.constraint === "price_nonneg" && e.violations > 0)
+    assert(st.read("orders").count() === after,
+      "a rejected batch must leave the table untouched")
+    assert(st.commitCount() === commits,
+      "a rejected batch must not commit anything")
+  }
+
+  test("declaration validates the existing rows") {
+    val st = seeded()
+    val e = intercept[CheckConstraints.CheckViolation] {
+      CheckConstraints.declare(st, "orders", "impossible", "o_totalprice < 0.0")
+    }
+    assert(e.violations > 0)
+    // the failed declaration must not register: a batch that violates
+    // the undeclared predicate still inserts
+    CheckConstraints.insert(st, "orders",
+      spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_orderkey") % 10 === 1)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus"))
+  }
+
+  test("multiple constraints all gate the same insert") {
+    val st = seeded()
+    CheckConstraints.declare(st, "orders", "price_nonneg", "o_totalprice >= 0.0")
+    CheckConstraints.declare(st, "orders", "status_enum",
+      "o_orderstatus IN ('O', 'F', 'P')")
+    val badStatus = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderkey") % 10 === 1)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .withColumn("o_orderstatus", lit("X"))
+    val e = intercept[CheckConstraints.CheckViolation] {
+      CheckConstraints.insert(st, "orders", badStatus)
+    }
+    assert(e.constraint === "status_enum")
+  }
+}
