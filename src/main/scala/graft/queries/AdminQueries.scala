@@ -186,6 +186,32 @@ object AdminQueries extends QueryPack {
     t(s, d, "orders").filter(col("o_orderkey") % 10 === m)
       .select(cols.map(col): _*)
 
+  /** adm9 — UNIQUE + FOREIGN-KEY constraints at the write path (the
+    * reference's `Unique` index kind and enforced relationship
+    * endpoints): orders keyed unique on o_orderkey with o_custkey
+    * referencing a customer table. A batch that repeats committed keys
+    * and a batch with orphan custkeys are each rejected whole; the
+    * admitted batch lands. Final table = seed + valid batch exactly. */
+  private def adm9(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s)
+    st.create("customers", t(s, d, "customer").select("c_custkey"))
+    st.create("orders", seedMod(s, d, 3))
+    graft.store.CheckConstraints.declareUnique(st, "orders",
+      "orderkey_unique", Seq("o_orderkey"))
+    graft.store.CheckConstraints.declareForeignKey(st, "orders",
+      "custkey_fk", Seq("o_custkey"), "customers", Seq("c_custkey"))
+    graft.store.CheckConstraints.insert(st, "orders", seedMod(s, d, 4))
+    def mustReject(batch: DataFrame): Unit =
+      try {
+        graft.store.CheckConstraints.insert(st, "orders", batch)
+        throw new IllegalStateException("violating batch must be rejected")
+      } catch { case _: graft.store.CheckConstraints.CheckViolation => () }
+    mustReject(seedMod(s, d, 4)) // repeats committed keys
+    mustReject(seedMod(s, d, 5)
+      .withColumn("o_custkey", -col("o_custkey"))) // orphan custkeys
+    st.read("orders")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "adm1_schema_evolution" -> (adm1 _),
     "adm2_schema_migrate" -> (adm2 _),
@@ -195,6 +221,7 @@ object AdminQueries extends QueryPack {
     "adm6_compaction" -> (adm6 _),
     "adm7_zorder_layout" -> (adm7 _),
     "adm8_check_constraints" -> (adm8 _),
+    "adm9_key_constraints" -> (adm9 _),
   )
 
   private val evolvedSql =
@@ -246,6 +273,12 @@ object AdminQueries extends QueryPack {
          FROM orders
          WHERE o_custkey BETWEEN 20 AND 80
            AND CAST(floor(o_totalprice) AS BIGINT) BETWEEN 50000 AND 200000""",
+    // seed (%10 = 3) + the admitted batch (%10 = 4); the duplicate-key
+    // and orphan-fk batches must leave no trace
+    "adm9_key_constraints" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderpriority
+         FROM orders WHERE o_orderkey % 10 IN (3, 4)""",
     // seed (%10 = 0) + the admitted batch (%10 = 1); the rejected
     // batch (%10 = 2, negated prices) must leave no trace
     "adm8_check_constraints" ->

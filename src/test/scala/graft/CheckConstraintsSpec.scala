@@ -56,6 +56,63 @@ class CheckConstraintsSpec extends SparkSpec {
         .select("o_orderkey", "o_totalprice", "o_orderstatus"))
   }
 
+  test("unique key rejects batch-internal dups and committed-key clashes") {
+    val st = seeded()
+    CheckConstraints.declareUnique(st, "orders", "pk", Seq("o_orderkey"))
+    val fresh = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderkey") % 10 === 1)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    CheckConstraints.insert(st, "orders", fresh)
+    // batch-internal duplicate
+    val e1 = intercept[CheckConstraints.CheckViolation] {
+      CheckConstraints.insert(st, "orders",
+        fresh.limit(5).unionAll(fresh.limit(5)))
+    }
+    assert(e1.constraint === "pk")
+    // clash with already-committed keys
+    val e2 = intercept[CheckConstraints.CheckViolation] {
+      CheckConstraints.insert(st, "orders", fresh.limit(3))
+    }
+    assert(e2.constraint === "pk")
+    // declaration over an already-duplicated table rejects
+    val st2 = seeded()
+    st2.insert("orders", st2.read("orders").limit(4))
+    intercept[CheckConstraints.CheckViolation] {
+      CheckConstraints.declareUnique(st2, "orders", "pk", Seq("o_orderkey"))
+    }
+  }
+
+  test("foreign key rejects orphans at insert and at declaration") {
+    val st = seeded()
+    st.create("customers", spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey"))
+    // re-seed orders WITH custkey for the fk
+    st.create("orders", spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderkey") % 10 === 0)
+      .select("o_orderkey", "o_custkey", "o_totalprice"))
+    CheckConstraints.declareForeignKey(st, "orders", "fk",
+      Seq("o_custkey"), "customers", Seq("c_custkey"))
+    val fresh = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderkey") % 10 === 1)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    CheckConstraints.insert(st, "orders", fresh)
+    val e = intercept[CheckConstraints.CheckViolation] {
+      CheckConstraints.insert(st, "orders",
+        fresh.withColumn("o_custkey", -col("o_custkey")))
+    }
+    assert(e.constraint === "fk" && e.violations > 0)
+    // declaring over existing orphans rejects
+    val st2 = seeded()
+    st2.create("customers", spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey").filter(col("c_custkey") % 2 === 0))
+    st2.create("orders", spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey").limit(200))
+    intercept[CheckConstraints.CheckViolation] {
+      CheckConstraints.declareForeignKey(st2, "orders", "fk",
+        Seq("o_custkey"), "customers", Seq("c_custkey"))
+    }
+  }
+
   test("multiple constraints all gate the same insert") {
     val st = seeded()
     CheckConstraints.declare(st, "orders", "price_nonneg", "o_totalprice >= 0.0")
