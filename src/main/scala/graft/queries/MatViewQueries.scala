@@ -102,10 +102,36 @@ object MatViewQueries extends QueryPack {
     publish(st.read("mv"))
   }
 
+  /** mv4 — MIN/MAX maintenance under an insert-only schedule: extrema
+    * fold exactly through batch merges (`min(a ∪ b) = min(min a,
+    * min b)` — a pick, not an accumulation, so no float-order hazard),
+    * which is precisely as far as min/max self-maintainability goes:
+    * under deletes they would need a group rescan, and
+    * [[MaterializedView.refreshDelete]] rejects such a spec loudly
+    * (spec-pinned) instead of corrupting the view. */
+  private def mv4(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s)
+    val li = t(s, d, "lineitem")
+    val spec4 = MvSpec(Seq("l_returnflag", "l_linestatus"),
+      sums = Seq("__qty" -> expr("CAST(l_quantity AS BIGINT)")),
+      mins = Seq("min_price" -> col("l_extendedprice")),
+      maxs = Seq("max_price" -> col("l_extendedprice")))
+    MaterializedView.build(st, "mv", li.filter(col("l_orderkey") % 4 =!= 3), spec4)
+    (0 until 3).foreach { r =>
+      MaterializedView.refreshInsert(st, "mv",
+        li.filter(col("l_orderkey") % 4 === 3 && col("l_linenumber") % 3 === r),
+        spec4)
+    }
+    st.read("mv").select(col("l_returnflag"), col("l_linestatus"),
+      col("n_rows"), expr("CAST(__qty AS DOUBLE)").as("sum_qty"),
+      col("min_price"), col("max_price"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mv1_incremental_agg" -> (mv1 _),
     "mv2_incremental_delete" -> (mv2 _),
     "mv3_transactional_refresh" -> (mv3 _),
+    "mv4_minmax_insert_only" -> (mv4 _),
   )
 
   override val oracles: Map[String, String] = Map(
@@ -119,6 +145,12 @@ object MatViewQueries extends QueryPack {
       """SELECT l_orderkey, count(*) AS n_rows,
                 CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty
          FROM lineitem WHERE l_orderkey % 7 <> 0 GROUP BY 1""",
+    "mv4_minmax_insert_only" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,
+                min(l_extendedprice) AS min_price,
+                max(l_extendedprice) AS max_price
+         FROM lineitem GROUP BY 1, 2""",
     // the registry path lands on the same truth as mv1: the view's
     // definition over the full final base
     "mv3_transactional_refresh" ->

@@ -35,9 +35,20 @@ import org.apache.spark.sql.functions._
   */
 object MaterializedView {
 
-  /** View definition: group keys + named exact-BIGINT sum expressions.
-    * The MV schema is `keys ++ (n_rows BIGINT) ++ sums.map(_._1)`. */
-  final case class MvSpec(keys: Seq[String], sums: Seq[(String, Column)])
+  /** View definition: group keys + named exact-BIGINT sum expressions,
+    * plus optional MIN/MAX expressions. The MV schema is
+    * `keys ++ (n_rows BIGINT) ++ sums ++ mins ++ maxs` by name.
+    *
+    * Sums and counts are SELF-MAINTAINABLE under both inserts and
+    * deletes (they form a group under addition). Min/max are
+    * maintainable under INSERTS only — `min(a ∪ b) = min(min a, min b)`
+    * — but not under deletes: removing the current minimum requires
+    * rescanning the group's remaining rows to find the runner-up, the
+    * textbook non-self-maintainability result (Gupta/Mumick 1995).
+    * [[refreshDelete]] therefore REJECTS a spec with min/max columns
+    * loudly instead of silently corrupting the view. */
+  final case class MvSpec(keys: Seq[String], sums: Seq[(String, Column)],
+      mins: Seq[(String, Column)] = Nil, maxs: Seq[(String, Column)] = Nil)
 
   /** A REGISTERABLE view definition: sums as SQL text so the
     * definition can live in the store's registry table and be
@@ -54,7 +65,20 @@ object MaterializedView {
   def aggregate(rows: DataFrame, spec: MvSpec): DataFrame =
     rows.groupBy(spec.keys.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
-        spec.sums.map { case (n, e) => sum(e).as(n) }: _*)
+        (spec.sums.map { case (n, e) => sum(e).as(n) } ++
+          spec.mins.map { case (n, e) => min(e).as(n) } ++
+          spec.maxs.map { case (n, e) => max(e).as(n) }): _*)
+
+  /** Group-wise fold of MV rows with delta-aggregate rows — the ONE
+    * merge all refresh paths share: sums/counts add, mins/maxs fold
+    * through their own operation, emptied groups leave. */
+  private def remerge(unioned: DataFrame, spec: MvSpec): DataFrame =
+    unioned.groupBy(spec.keys.map(col): _*)
+      .agg(sum("n_rows").as("n_rows"),
+        (spec.sums.map { case (n, _) => sum(col(n)).as(n) } ++
+          spec.mins.map { case (n, _) => min(col(n)).as(n) } ++
+          spec.maxs.map { case (n, _) => max(col(n)).as(n) }): _*)
+      .filter(col("n_rows") > 0)
 
   /** One-time full build: the only scan of the base this MV ever does. */
   def build(store: TableStore, table: String, base: DataFrame,
@@ -85,6 +109,10 @@ object MaterializedView {
     * rows. */
   def refreshDelete(store: TableStore, table: String, delta: DataFrame,
       spec: MvSpec): Unit = {
+    require(spec.mins.isEmpty && spec.maxs.isEmpty,
+      "min/max are not self-maintainable under deletes (removing the " +
+        "extremum needs a group rescan) — rebuild the view or drop the " +
+        "min/max columns from the spec")
     val neg = aggregate(delta, spec)
       .withColumn("n_rows", -col("n_rows"))
     val negSums = spec.sums.foldLeft(neg) { case (df, (n, _)) =>
@@ -138,11 +166,8 @@ object MaterializedView {
     tx.insert(baseTable, rows)
     registered(tx.read, tx.exists, baseTable).foreach { case (mv, dfn) =>
       val spec = dfn.spec
-      val merged = tx.read(mv).unionByName(aggregate(rows, spec))
-        .groupBy(spec.keys.map(col): _*)
-        .agg(sum("n_rows").as("n_rows"),
-          spec.sums.map { case (n, _) => sum(col(n)).as(n) }: _*)
-        .filter(col("n_rows") > 0)
+      val merged = remerge(
+        tx.read(mv).unionByName(aggregate(rows, spec)), spec)
       tx.create(mv, merged.localCheckpoint())
     }
   }
@@ -163,11 +188,7 @@ object MaterializedView {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], deltaAgg.schema)
       }
-    val merged = cur.unionByName(deltaAgg)
-      .groupBy(spec.keys.map(col): _*)
-      .agg(sum("n_rows").as("n_rows"),
-        spec.sums.map { case (n, _) => sum(col(n)).as(n) }: _*)
-      .filter(col("n_rows") > 0)
+    val merged = remerge(cur.unionByName(deltaAgg), spec)
     // localCheckpoint before the commit: the merged plan reads the MV
     // table's CURRENT files, and create() replaces them — materialize
     // the result first so the write never races its own input

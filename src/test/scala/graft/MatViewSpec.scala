@@ -121,6 +121,25 @@ class MatViewSpec extends SparkSpec {
       sortedRows(MaterializedView.aggregate(st.readVersion("li_base", 1), mvSpec)))
   }
 
+  test("min/max fold through insert merges; delete with extrema rejects") {
+    val st = scratch()
+    val spec4 = MvSpec(Seq("l_linestatus"),
+      sums = Seq("__qty" -> expr("CAST(l_quantity AS BIGINT)")),
+      mins = Seq("min_price" -> col("l_extendedprice")),
+      maxs = Seq("max_price" -> col("l_extendedprice")))
+    MaterializedView.build(st, "mv", li.filter(col("l_orderkey") % 2 === 0), spec4)
+    MaterializedView.refreshInsert(st, "mv",
+      li.filter(col("l_orderkey") % 2 === 1), spec4)
+    assert(sortedRows(st.read("mv")) ===
+      sortedRows(MaterializedView.aggregate(li, spec4)))
+    // deletes with extrema declared must reject loudly, not corrupt
+    val e = intercept[IllegalArgumentException] {
+      MaterializedView.refreshDelete(st, "mv",
+        li.filter(col("l_orderkey") % 3 === 0), spec4)
+    }
+    assert(e.getMessage.contains("not self-maintainable"))
+  }
+
   test("mixed schedule lands on the view definition over the net content") {
     val st = scratch()
     val spec2 = MvSpec(Seq("l_linestatus"),
