@@ -1524,7 +1524,21 @@ object HeroQL {
       case _ => throw Analyzer.AnalysisError(
         s"$queryName: mutation queries must have exactly one @-statement body")
     }
-    store.transaction(applyMutation(_, decls, item, args))
+    store.transaction(applyMutation(_, decls, item, args, uniqueIndexes(ast)))
+  }
+
+  /** `index T { Unique(cols…) }` declarations targeting DATA relations
+    * — the reference's Unique index kind (`Kernel/README.md:64-74`),
+    * enforced at @insert as admission control (the
+    * [[graft.store.CheckConstraints]] semantics reached from the
+    * language surface). */
+  private def uniqueIndexes(ast: Program): Map[String, Seq[Seq[String]]] = {
+    val dataNames = ast.datas.map(_.name).toSet
+    ast.indexes.filter(ix => dataNames.contains(ix.target))
+      .flatMap(ix => ix.specs.collect {
+        case ("Unique", cols) => ix.target -> cols
+      })
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
   }
 
   /** One mutation item applied through the transaction's file-level COW
@@ -1532,7 +1546,8 @@ object HeroQL {
     * row-at-a-time). Shared by [[executeMutation]],
     * [[executeTransaction]] and [[executeFor]]. */
   private def applyMutation(tx: graft.store.Txn,
-      decls: Map[String, DataDecl], item: Mutation, args: DataFrame): Unit = {
+      decls: Map[String, DataDecl], item: Mutation, args: DataFrame,
+      uniques: Map[String, Seq[Seq[String]]] = Map.empty): Unit = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
     val decl = decls.getOrElse(item.atom.rel, throw Analyzer.AnalysisError(
       s"@${item.kind} targets undeclared relation ${item.atom.rel}"))
@@ -1560,7 +1575,33 @@ object HeroQL {
               .exprColPublic(e).cast(fieldType(f)).as(f)
           case (t, f) => throw Analyzer.AnalysisError(s"bad @insert term $t for $f")
         }
-        tx.insert(table, args.select(cols: _*))
+        val incoming = args.select(cols: _*)
+        val keyed = uniques.getOrElse(table, Seq.empty)
+        if (keyed.isEmpty) tx.insert(table, incoming)
+        else {
+          // a declared Unique index gates the insert: batch-internal
+          // duplicates and clashes with committed keys both reject the
+          // WHOLE batch before anything lands (admission control, not
+          // after-the-fact validation). Batch pinned once — validated
+          // rows are the written rows.
+          val pinned = incoming.localCheckpoint()
+          keyed.foreach { keyCols =>
+            val dupIn = pinned.groupBy(keyCols.map(col): _*)
+              .count().filter(col("count") > 1).count()
+            if (dupIn > 0) throw Analyzer.AnalysisError(
+              s"Unique(${keyCols.mkString(", ")}) on $table: " +
+                s"$dupIn duplicated key(s) within the inserted batch")
+            if (tx.exists(table)) {
+              val clash = pinned.join(
+                tx.read(table).select(keyCols.map(col): _*),
+                keyCols, "left_semi").count()
+              if (clash > 0) throw Analyzer.AnalysisError(
+                s"Unique(${keyCols.mkString(", ")}) on $table: " +
+                  s"$clash inserted key(s) already present")
+            }
+          }
+          tx.insert(table, pinned)
+        }
       case "remove" =>
         val keyPairs = item.atom.args.zip(fields).collect { case (TVar(v), f) => (v, f) }
         val constCond = item.atom.args.zip(fields).collect {

@@ -118,12 +118,50 @@ for query(student, score) :-
     st.read("Bonus")
   }
 
+  private val uniqueProgram = """
+data Roster(student: string, score: int).
+
+query Enroll(student: string, score: int)
+:-  @insert Roster(student, score)
+.
+
+index Roster { Unique(student) }
+"""
+
+  /** hm6 — the reference's `Unique` index kind
+    * (`Kernel/README.md:64-74`) ENFORCED from the language surface: a
+    * program declaring `index Roster { Unique(student) }` gates every
+    * `@insert` — a batch repeating committed students (and one
+    * duplicating a key within itself) is rejected whole with the real
+    * diagnosis, the conforming batch lands. Final table = seed + valid
+    * batch; customer keys are unique, so the fixture satisfies the
+    * index by construction. */
+  private def hm6(s: SparkSession, d: String): DataFrame = {
+    val st = new TableStore(s,
+      Files.createTempDirectory("graft-hql-uniq-").toString)
+    def batch(m: Int) = t(s, d, "customer")
+      .filter(col("c_custkey") % 10 === m)
+      .select(col("c_custkey").cast("string").as("student"),
+        expr("CAST(floor(c_acctbal) AS INT)").as("score"))
+    st.create("Roster", batch(0))
+    HeroQL.executeMutation(uniqueProgram, "Enroll", batch(1), st)
+    def mustReject(rows: DataFrame): Unit =
+      try {
+        HeroQL.executeMutation(uniqueProgram, "Enroll", rows, st)
+        throw new IllegalStateException("unique violation must reject")
+      } catch { case _: graft.heroql.Analyzer.AnalysisError => () }
+    mustReject(batch(1)) // repeats committed students
+    mustReject(batch(2).unionAll(batch(2))) // batch-internal duplicate
+    st.read("Roster")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hm1_hql_insert" -> (hm1 _),
     "hm2_hql_update" -> (hm2 _),
     "hm3_hql_remove" -> (hm3 _),
     "hm4_transaction_let" -> (hm4 _),
     "hm5_for_set" -> (hm5 _),
+    "hm6_unique_index" -> (hm6 _),
   )
 
   private val seedSql =
@@ -163,5 +201,11 @@ for query(student, score) :-
     "hm5_for_set" ->
       s"""SELECT student, score + 1000 AS amount FROM ($seedSql)
          WHERE score > 300000""",
+    // seed (%10 = 0) + the admitted batch (%10 = 1); both rejected
+    // batches must leave no trace
+    "hm6_unique_index" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS student,
+                CAST(floor(c_acctbal) AS INTEGER) AS score
+         FROM customer WHERE c_custkey % 10 IN (0, 1)""",
   )
 }

@@ -1010,4 +1010,36 @@ class HeroQLRuntimeSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(got == Map(0L -> 2.0, 1L -> 3.0, 2L -> 6.0, 3L -> 9.0))
   }
+
+  test("a declared Unique index gates @insert with the real diagnosis") {
+    import org.apache.spark.sql.functions._
+    val prog = """
+data Roster(student: string, score: int).
+query Enroll(student: string, score: int)
+:-  @insert Roster(student, score)
+.
+index Roster { Unique(student) }
+"""
+    val st = new graft.store.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-uniq-rt-").toString)
+    val rows = spark.range(5).select(
+      concat(lit("s"), col("id")).as("student"), col("id").cast("int").as("score"))
+    graft.heroql.HeroQL.executeMutation(prog, "Enroll", rows, st)
+    assert(st.read("Roster").count() === 5)
+    // committed-key clash names the index columns and the count
+    val e = intercept[graft.heroql.Analyzer.AnalysisError] {
+      graft.heroql.HeroQL.executeMutation(prog, "Enroll", rows.limit(2), st)
+    }
+    assert(e.getMessage.contains("Unique(student)") &&
+      e.getMessage.contains("already present"))
+    assert(st.read("Roster").count() === 5, "rejected batch must not land")
+    // batch-internal duplicate
+    val e2 = intercept[graft.heroql.Analyzer.AnalysisError] {
+      graft.heroql.HeroQL.executeMutation(prog, "Enroll",
+        spark.range(2).select(lit("dup").as("student"),
+          col("id").cast("int").as("score")), st)
+    }
+    assert(e2.getMessage.contains("within the inserted batch"))
+  }
+
 }
