@@ -72,7 +72,14 @@ class WarehouseDriftSpec extends SparkSpec {
     "samp1_stratified_sample", "pack1_sequence_packing",
     "dc1_decontamination", "ann1_bruteforce_topk", "ann2_lsh_topk",
     "ann3_ivf_topk", "ann4_pq_adc_topk", "ann7_ivfpq_residual_topk",
-    "emb1_quantization", "mm1_media_metadata", "cq2_where_groupby_count")
+    "emb1_quantization", "mm1_media_metadata", "cq2_where_groupby_count",
+    // round-11 continuation families: keyless banded range join (exact
+    // nano arithmetic over a drifted ts), incremental + min/max MV
+    // (BIGINT partials over int32 inputs), z-order layout (quantization
+    // over int32 keys), line-level repetition filters, sync LPA
+    "j12_banded_range_join", "mv1_incremental_agg",
+    "mv4_minmax_insert_only", "adm7_zorder_layout", "tx9_gopher_lines",
+    "g8_label_propagation")
 
   test("representative queries plan and execute against an int32/double-drifted warehouse") {
     val failures = slice.flatMap { name =>
