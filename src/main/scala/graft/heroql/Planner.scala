@@ -1577,8 +1577,13 @@ object HeroQL {
         }
         val incoming = args.select(cols: _*)
         val keyed = uniques.getOrElse(table, Seq.empty)
-        if (keyed.isEmpty) tx.insert(table, incoming)
-        else {
+        if (keyed.isEmpty) {
+          tx.insert(table, incoming)
+          // registered materialized views over this relation refresh in
+          // the SAME commit — the language's @insert composes with the
+          // store's view registry exactly like the API write-through
+          graft.store.MaterializedView.refreshRegistered(tx, table, incoming)
+        } else {
           // a declared Unique index gates the insert: batch-internal
           // duplicates and clashes with committed keys both reject the
           // WHOLE batch before anything lands (admission control, not
@@ -1601,6 +1606,7 @@ object HeroQL {
             }
           }
           tx.insert(table, pinned)
+          graft.store.MaterializedView.refreshRegistered(tx, table, pinned)
         }
       case "remove" =>
         val keyPairs = item.atom.args.zip(fields).collect { case (TVar(v), f) => (v, f) }

@@ -127,11 +127,42 @@ object MatViewQueries extends QueryPack {
       col("min_price"), col("max_price"))
   }
 
+  /** mv5 — the language's `@insert` composes with the view registry:
+    * a view registered over `Exams` stays consistent when rows arrive
+    * through PARSED HeroQL (`query AddExam :- @insert Exams(...)`),
+    * refreshed in the same atomic mutation commit. Oracle: the view
+    * definition over seed + inserted batch — a language path that
+    * bypassed the registry would leave the view at seed-only totals
+    * and hash-mismatch. */
+  private def mv5(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s)
+    val seed = t(s, d, "orders").filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_custkey").cast("string").as("student"),
+        expr("CAST(floor(o_totalprice) AS INT)").as("score"))
+    st.create("Exams", seed)
+    MaterializedView.register(st, "mv", "Exams",
+      MaterializedView.MvDef(Seq("student"),
+        Seq("__score" -> "CAST(score AS BIGINT)")))
+    val program = """
+data Exams(student: string, score: int).
+query AddExam(student: string, score: int)
+:-  @insert Exams(student, score)
+.
+"""
+    val batch = t(s, d, "orders").filter(col("o_orderkey") % 10 === 1)
+      .select(col("o_custkey").cast("string").as("student"),
+        expr("CAST(floor(o_totalprice) AS INT) + 7").as("score"))
+    graft.heroql.HeroQL.executeMutation(program, "AddExam", batch, st)
+    st.read("mv").select(col("student"), col("n_rows"),
+      col("__score").as("sum_score"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mv1_incremental_agg" -> (mv1 _),
     "mv2_incremental_delete" -> (mv2 _),
     "mv3_transactional_refresh" -> (mv3 _),
     "mv4_minmax_insert_only" -> (mv4 _),
+    "mv5_hql_write_through" -> (mv5 _),
   )
 
   override val oracles: Map[String, String] = Map(
@@ -151,6 +182,18 @@ object MatViewQueries extends QueryPack {
                 min(l_extendedprice) AS min_price,
                 max(l_extendedprice) AS max_price
          FROM lineitem GROUP BY 1, 2""",
+    "mv5_hql_write_through" ->
+      """WITH rows AS (
+           SELECT CAST(o_custkey AS VARCHAR) AS student,
+                  CAST(floor(o_totalprice) AS INTEGER) AS score
+           FROM orders WHERE o_orderkey % 10 = 0
+           UNION ALL
+           SELECT CAST(o_custkey AS VARCHAR) AS student,
+                  CAST(floor(o_totalprice) AS INTEGER) + 7 AS score
+           FROM orders WHERE o_orderkey % 10 = 1)
+         SELECT student, count(*) AS n_rows,
+                CAST(sum(score) AS BIGINT) AS sum_score
+         FROM rows GROUP BY 1""",
     // the registry path lands on the same truth as mv1: the view's
     // definition over the full final base
     "mv3_transactional_refresh" ->

@@ -164,13 +164,22 @@ object MaterializedView {
   def insertInto(store: TableStore, baseTable: String,
       rows: DataFrame): Unit = store.transaction { tx =>
     tx.insert(baseTable, rows)
+    refreshRegistered(tx, baseTable, rows)
+  }
+
+  /** Fold `rows` (an insert batch already applied to `baseTable` in
+    * this txn) into every view registered over it — the txn-level
+    * primitive [[insertInto]] and the HeroQL `@insert` path share, so
+    * ANY insert route keeps registered views consistent in the same
+    * atomic commit. */
+  def refreshRegistered(tx: Txn, baseTable: String,
+      rows: DataFrame): Unit =
     registered(tx.read, tx.exists, baseTable).foreach { case (mv, dfn) =>
       val spec = dfn.spec
       val merged = remerge(
         tx.read(mv).unionByName(aggregate(rows, spec)), spec)
       tx.create(mv, merged.localCheckpoint())
     }
-  }
 
   private def merge(store: TableStore, table: String, deltaAgg: DataFrame,
       spec: MvSpec, batchId: Option[Long] = None): Unit = {

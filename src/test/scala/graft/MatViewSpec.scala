@@ -121,6 +121,36 @@ class MatViewSpec extends SparkSpec {
       sortedRows(MaterializedView.aggregate(st.readVersion("li_base", 1), mvSpec)))
   }
 
+  test("language @insert refreshes registered views in the same commit") {
+    import graft.store.TableStore
+    val st = new TableStore(spark,
+      Files.createTempDirectory("graft-mv-hql-spec-").toString)
+    val seed = spark.range(10).select(
+      concat(lit("s"), (col("id") % 3)).as("student"),
+      col("id").cast("int").as("score"))
+    st.create("Exams", seed)
+    MaterializedView.register(st, "mv", "Exams",
+      MaterializedView.MvDef(Seq("student"),
+        Seq("__score" -> "CAST(score AS BIGINT)")))
+    val program = """
+data Exams(student: string, score: int).
+query AddExam(student: string, score: int)
+:-  @insert Exams(student, score)
+.
+"""
+    val batch = spark.range(5).select(
+      concat(lit("s"), (col("id") % 4)).as("student"),
+      (col("id") + 100).cast("int").as("score"))
+    val commits = st.commitCount()
+    graft.heroql.HeroQL.executeMutation(program, "AddExam", batch, st)
+    assert(st.commitCount() === commits + 1,
+      "base insert + view refresh must be one commit")
+    val spec5 = MvSpec(Seq("student"),
+      Seq("__score" -> expr("CAST(score AS BIGINT)")))
+    assert(sortedRows(st.read("mv")) ===
+      sortedRows(MaterializedView.aggregate(st.read("Exams"), spec5)))
+  }
+
   test("min/max fold through insert merges; delete with extrema rejects") {
     val st = scratch()
     val spec4 = MvSpec(Seq("l_linestatus"),
