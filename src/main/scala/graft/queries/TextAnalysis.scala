@@ -268,6 +268,69 @@ object TextAnalysis extends QueryPack {
         "dup_line_char_frac", "max_gram_n", "top_gram",
         "top2gram_char_frac", "keep")
 
+  /** tx10's fixed query workload: three two-term queries over the
+    * corpus vocabulary, mixing common terms with the rare 'dup' (26
+    * docs at sf0.01) so the IDF weighting is non-vacuous. */
+  private val bm25Queries: Seq[(String, Seq[String])] = Seq(
+    "q1" -> Seq("table", "scan"),
+    "q2" -> Seq("hash", "join"),
+    "q3" -> Seq("dup", "line"))
+
+  /** tx10 — BM25 top-k lexical retrieval (Robertson/Spärck Jones; the
+    * SPARSE half of the retrieval stack — the ANN family covers dense).
+    * Okapi BM25 with k1=1.2, b=0.75: corpus stats (N, Σdl, per-term
+    * document frequencies) come from ONE aggregate scan collected
+    * driver-side (a handful of longs — the fp-bucket-set precedent);
+    * IDFs fix-point to micros (the tx8 ln convention — JVM and DuckDB
+    * `ln` may differ in the last ulp, the floor to 1e-6 absorbs it)
+    * and re-enter as exact shared doubles; scoring is then MAP-ONLY
+    * (per-term tf via array filters, identical operand order in both
+    * engines), stacked to (query, doc) rows, ranked by the integer
+    * micro score with doc_id tie-break — so the emitted ranking never
+    * depends on a float comparison. Top-10 per query via row_number ≤
+    * 10 → Catalyst's WindowGroupLimit prunes map-side (the a6 plan),
+    * and the only exchange carries #queries × top-k candidates. */
+  private def tx10(s: SparkSession, d: String): DataFrame = {
+    val terms = bm25Queries.flatMap(_._2).distinct
+    val docs = t(s, d, "documents")
+      .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
+      .withColumn("dl", expr("CAST(size(toks) AS BIGINT)"))
+    val statAggs = Seq(count(lit(1)).as("N"), sum(col("dl")).as("sumdl")) ++
+      terms.map(tm => sum(expr(s"CAST(array_contains(toks, '$tm') AS INT)"))
+        .cast("long").as(s"df_$tm"))
+    val st = docs.agg(statAggs.head, statAggs.tail: _*).head
+    val n = st.getAs[Long]("N")
+    val sumdl = st.getAs[Long]("sumdl")
+    def idf(tm: String): Double = {
+      val df = st.getAs[Long](s"df_$tm")
+      math.floor(math.log(1.0 + (n - df + 0.5) / (df + 0.5)) * 1e6) / 1e6
+    }
+    // one tf column per distinct term, then one score column per query
+    // — identical parenthesization in the oracle SQL, so every float
+    // op sequence is bit-equal
+    val withTf = terms.foldLeft(docs) { (df, tm) =>
+      df.withColumn(s"tf_$tm",
+        expr(s"CAST(size(filter(toks, x -> x = '$tm')) AS BIGINT)"))
+    }
+    def termScore(tm: String): String =
+      s"(${idf(tm)} * ((tf_$tm * 2.2) / (tf_$tm + 1.2 * (0.25 + " +
+        s"0.75 * (CAST(dl AS DOUBLE) / (CAST(${sumdl}L AS DOUBLE) / ${n}L))))))"
+    val scored = bm25Queries.foldLeft(withTf) { case (df, (qid, qTerms)) =>
+      df.withColumn(s"s_$qid", expr(
+        s"CAST(floor((${qTerms.map(termScore).mkString(" + ")}) * 1000000) AS BIGINT)"))
+    }
+    val stackArgs = bm25Queries.map { case (qid, _) => s"'$qid', s_$qid" }
+      .mkString(", ")
+    scored
+      .selectExpr("doc_id",
+        s"stack(${bm25Queries.size}, $stackArgs) AS (query_id, score_micro)")
+      .withColumn("rank", expr(
+        """CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY score_micro DESC, doc_id ASC) AS BIGINT)"""))
+      .filter(col("rank") <= 10)
+      .select("query_id", "rank", "doc_id", "score_micro")
+  }
+
   // PII patterns + redaction chain live in TextFns (the `redact`
   // HeroQL builtin compiles through the same expressions).
   private val emailRe = TextFns.emailRe
@@ -367,6 +430,7 @@ object TextAnalysis extends QueryPack {
     "tx7_pii_redaction" -> (tx7 _),
     "tx8_unigram_logprob" -> (tx8 _),
     "tx9_gopher_lines" -> (tx9 _),
+    "tx10_bm25_topk" -> (tx10 _),
   )
 
   /** The DuckDB mirror of [[augSql]] (|| concatenation, VARCHAR casts).
@@ -522,6 +586,68 @@ object TextAnalysis extends QueryPack {
            CAST(sum(m) AS BIGINT) AS nll_micro,
            CAST(sum(m) AS BIGINT) // count(*) AS avg_nll_micro
          FROM m GROUP BY doc_id""",
+    // identical operand order to the Spark expressions; idf fix-points
+    // to micros (absorbing the JVM-vs-DuckDB ln last-ulp) then re-enters
+    // as the same exact double; the ranking orders by the INTEGER micro
+    // score so no float comparison decides it
+    "tx10_bm25_topk" ->
+      """WITH d AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+                  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS dl
+           FROM documents),
+         s AS (
+           SELECT CAST(count(*) AS BIGINT) AS N, CAST(sum(dl) AS BIGINT) AS sumdl,
+             CAST(sum(CASE WHEN list_contains(toks, 'table') THEN 1 ELSE 0 END) AS BIGINT) AS df_table,
+             CAST(sum(CASE WHEN list_contains(toks, 'scan') THEN 1 ELSE 0 END) AS BIGINT) AS df_scan,
+             CAST(sum(CASE WHEN list_contains(toks, 'hash') THEN 1 ELSE 0 END) AS BIGINT) AS df_hash,
+             CAST(sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS BIGINT) AS df_join,
+             CAST(sum(CASE WHEN list_contains(toks, 'dup') THEN 1 ELSE 0 END) AS BIGINT) AS df_dup,
+             CAST(sum(CASE WHEN list_contains(toks, 'line') THEN 1 ELSE 0 END) AS BIGINT) AS df_line
+           FROM d),
+         i AS (
+           SELECT *,
+             floor(ln(1 + (N - df_table + 0.5) / (df_table + 0.5)) * 1000000) / 1000000.0 AS idf_table,
+             floor(ln(1 + (N - df_scan + 0.5) / (df_scan + 0.5)) * 1000000) / 1000000.0 AS idf_scan,
+             floor(ln(1 + (N - df_hash + 0.5) / (df_hash + 0.5)) * 1000000) / 1000000.0 AS idf_hash,
+             floor(ln(1 + (N - df_join + 0.5) / (df_join + 0.5)) * 1000000) / 1000000.0 AS idf_join,
+             floor(ln(1 + (N - df_dup + 0.5) / (df_dup + 0.5)) * 1000000) / 1000000.0 AS idf_dup,
+             floor(ln(1 + (N - df_line + 0.5) / (df_line + 0.5)) * 1000000) / 1000000.0 AS idf_line
+           FROM s),
+         tf AS (
+           SELECT doc_id, dl,
+             CAST(len(list_filter(toks, x -> x = 'table')) AS BIGINT) AS tf_table,
+             CAST(len(list_filter(toks, x -> x = 'scan')) AS BIGINT) AS tf_scan,
+             CAST(len(list_filter(toks, x -> x = 'hash')) AS BIGINT) AS tf_hash,
+             CAST(len(list_filter(toks, x -> x = 'join')) AS BIGINT) AS tf_join,
+             CAST(len(list_filter(toks, x -> x = 'dup')) AS BIGINT) AS tf_dup,
+             CAST(len(list_filter(toks, x -> x = 'line')) AS BIGINT) AS tf_line
+           FROM d),
+         sc AS (
+           SELECT doc_id,
+             CAST(floor(((idf_table * ((tf_table * 2.2) / (tf_table + 1.2 * (0.25 +
+                    0.75 * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / N))))))
+               + (idf_scan * ((tf_scan * 2.2) / (tf_scan + 1.2 * (0.25 +
+                    0.75 * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / N))))))) * 1000000) AS BIGINT) AS s_q1,
+             CAST(floor(((idf_hash * ((tf_hash * 2.2) / (tf_hash + 1.2 * (0.25 +
+                    0.75 * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / N))))))
+               + (idf_join * ((tf_join * 2.2) / (tf_join + 1.2 * (0.25 +
+                    0.75 * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / N))))))) * 1000000) AS BIGINT) AS s_q2,
+             CAST(floor(((idf_dup * ((tf_dup * 2.2) / (tf_dup + 1.2 * (0.25 +
+                    0.75 * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / N))))))
+               + (idf_line * ((tf_line * 2.2) / (tf_line + 1.2 * (0.25 +
+                    0.75 * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / N))))))) * 1000000) AS BIGINT) AS s_q3
+           FROM tf CROSS JOIN i),
+         stacked AS (
+           SELECT doc_id, 'q1' AS query_id, s_q1 AS score_micro FROM sc
+           UNION ALL SELECT doc_id, 'q2', s_q2 FROM sc
+           UNION ALL SELECT doc_id, 'q3', s_q3 FROM sc),
+         ranked AS (
+           SELECT query_id, doc_id, score_micro,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rank
+           FROM stacked)
+         SELECT query_id, rank, doc_id, score_micro
+         FROM ranked WHERE rank <= 10""",
     // same planting expression, same integer counts, same single
     // int→double division per ratio — bit-equal cross-engine; the
     // max-gram count is a separate CTE so the tie-breaking min-gram

@@ -160,6 +160,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("__band"), s"band key missing from the join plan:\n$p")
   }
 
+  test("tx10 BM25 scores map-only; the only exchange feeds the top-k window") {
+    val df = graft.queries.TextAnalysis.queries("tx10_bm25_topk")(spark, sf)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val shuffles = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    // ONE exchange in the scoring plan: the per-query window partition
+    // (the stats scan is a separate collected job)
+    assert(shuffles <= 1, s"BM25 scoring must not shuffle documents:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-k per query should prune map-side:\n$p")
+  }
+
   test("tx9 line-repetition filters are map-only: no exchange anywhere") {
     val p = plan(graft.queries.TextAnalysis, "tx9_gopher_lines")
     assert(!p.contains("Exchange"),
