@@ -560,7 +560,64 @@ object Similarity extends QueryPack {
         expr("aggregate(q, CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + (c + 128)) % 1000000007)")
           .as("code_checksum"))
 
+  /** ann8 — HYBRID retrieval by reciprocal-rank fusion (Cormack et al.
+    * 2009, the production RAG stack's dense+sparse combiner): every
+    * document carries a SPARSE rank (BM25 against tx10's query
+    * workload, [[TextAnalysis.bm25Scored]]) and a DENSE rank (cosine to
+    * the query's ANCHOR embedding — the min doc_id containing all the
+    * query's terms; vec k ↔ doc k is the fixture correspondence), and
+    * RRF = 1/(60+r_sparse) + 1/(60+r_dense) picks the top-10.
+    * Determinism end to end: both input ranks order by integer/
+    * proven-bit-equal keys with doc_id tie-breaks, the RRF terms are
+    * divisions of int-derived doubles in fixed order, and the final
+    * ordering ties break on doc_id — so the emitted fusion is exactly
+    * replicable in SQL. Scale shape: sparse side is tx10's map-only
+    * scoring; dense side broadcasts #queries anchor vectors over one
+    * corpus pass; fusion joins two (query, doc)-keyed rankings — one
+    * co-keyed exchange; top-k prunes via the window group limit. */
+  private def ann8(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFns.register(s)
+    val docs = graft.Tables.t(s, d, "documents")
+      .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
+    // one anchor per query: min doc containing ALL query terms (a
+    // #queries-row collect)
+    val anchors = TextAnalysis.bm25Queries.map { case (qid, terms) =>
+      val cond = terms.map(tm => s"array_contains(toks, '$tm')").mkString(" AND ")
+      val a = docs.filter(expr(cond)).agg(min(col("doc_id"))).head.getLong(0)
+      (qid, a)
+    }
+    val e = t(s, d, "embeddings")
+    import s.implicits._
+    val anchorDf = anchors.toDF("query_id", "anchor_id")
+    val anchorVecs = broadcast(anchorDf.join(e,
+      anchorDf("anchor_id") === e("vec_id"))
+      .select(col("query_id"), col("embedding").as("va"),
+        expr("sqrt(graft_dot_f(embedding, embedding))").as("na")))
+    val dense = anchorVecs.crossJoin(
+      e.select(col("vec_id").as("doc_id"), col("embedding").as("vn"),
+        expr("sqrt(graft_dot_f(embedding, embedding))").as("nn")))
+      .withColumn("cos_sim", expr("graft_dot_f(va, vn) / (na * nn)"))
+      .withColumn("r_dense", expr(
+        """CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY cos_sim DESC, doc_id ASC) AS BIGINT)"""))
+      .select("query_id", "doc_id", "r_dense")
+    val sparse = TextAnalysis.bm25Scored(s, d)
+      .withColumn("r_sparse", expr(
+        """CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY score_micro DESC, doc_id ASC) AS BIGINT)"""))
+      .select("query_id", "doc_id", "r_sparse")
+    sparse.join(dense, Seq("query_id", "doc_id"))
+      .withColumn("rrf_nano", expr(
+        "CAST(floor((1.0 / (60 + r_sparse) + 1.0 / (60 + r_dense)) * 1000000000) AS BIGINT)"))
+      .withColumn("rank", expr(
+        """CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY rrf_nano DESC, doc_id ASC) AS BIGINT)"""))
+      .filter(col("rank") <= 10)
+      .select("query_id", "rank", "doc_id", "r_sparse", "r_dense", "rrf_nano")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann8_hybrid_rrf" -> (ann8 _),
     "ann1_bruteforce_topk" -> (ann1 _),
     "ann2_lsh_topk" -> (ann2 _),
     "ann3_ivf_topk" -> (ann3 _),
@@ -656,6 +713,96 @@ object Similarity extends QueryPack {
     // explicit double-precision cosine (list_cosine_similarity on FLOAT[]
     // accumulates in float — ~1e-6 relative error vs our double loop),
     // same dot/(sqrt·sqrt) formula as the Spark side, rounded identically
+    "ann8_hybrid_rrf" ->
+      """WITH d AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+                  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS dl
+           FROM documents),
+         s AS (
+           SELECT CAST(count(*) AS BIGINT) AS N, CAST(sum(dl) AS BIGINT) AS sumdl,
+             CAST(sum(CASE WHEN list_contains(toks, 'table') THEN 1 ELSE 0 END) AS BIGINT) AS df_table,
+             CAST(sum(CASE WHEN list_contains(toks, 'scan') THEN 1 ELSE 0 END) AS BIGINT) AS df_scan,
+             CAST(sum(CASE WHEN list_contains(toks, 'hash') THEN 1 ELSE 0 END) AS BIGINT) AS df_hash,
+             CAST(sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS BIGINT) AS df_join,
+             CAST(sum(CASE WHEN list_contains(toks, 'dup') THEN 1 ELSE 0 END) AS BIGINT) AS df_dup,
+             CAST(sum(CASE WHEN list_contains(toks, 'line') THEN 1 ELSE 0 END) AS BIGINT) AS df_line
+           FROM d),
+         i AS (
+           SELECT *,
+             floor(ln(1 + (N - df_table + 0.5) / (df_table + 0.5)) * 1000000) / 1000000.0 AS idf_table,
+             floor(ln(1 + (N - df_scan + 0.5) / (df_scan + 0.5)) * 1000000) / 1000000.0 AS idf_scan,
+             floor(ln(1 + (N - df_hash + 0.5) / (df_hash + 0.5)) * 1000000) / 1000000.0 AS idf_hash,
+             floor(ln(1 + (N - df_join + 0.5) / (df_join + 0.5)) * 1000000) / 1000000.0 AS idf_join,
+             floor(ln(1 + (N - df_dup + 0.5) / (df_dup + 0.5)) * 1000000) / 1000000.0 AS idf_dup,
+             floor(ln(1 + (N - df_line + 0.5) / (df_line + 0.5)) * 1000000) / 1000000.0 AS idf_line
+           FROM s),
+         tf AS (
+           SELECT doc_id, dl,
+             CAST(len(list_filter(toks, x -> x = 'table')) AS BIGINT) AS tf_table,
+             CAST(len(list_filter(toks, x -> x = 'scan')) AS BIGINT) AS tf_scan,
+             CAST(len(list_filter(toks, x -> x = 'hash')) AS BIGINT) AS tf_hash,
+             CAST(len(list_filter(toks, x -> x = 'join')) AS BIGINT) AS tf_join,
+             CAST(len(list_filter(toks, x -> x = 'dup')) AS BIGINT) AS tf_dup,
+             CAST(len(list_filter(toks, x -> x = 'line')) AS BIGINT) AS tf_line
+           FROM d),
+         sc AS (
+           SELECT doc_id,
+             CAST(floor(((idf_table * ((tf_table * 2.2) / (tf_table + 1.2 * (0.25 +
+                    0.75 * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / N))))))
+               + (idf_scan * ((tf_scan * 2.2) / (tf_scan + 1.2 * (0.25 +
+                    0.75 * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / N))))))) * 1000000) AS BIGINT) AS s_q1,
+             CAST(floor(((idf_hash * ((tf_hash * 2.2) / (tf_hash + 1.2 * (0.25 +
+                    0.75 * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / N))))))
+               + (idf_join * ((tf_join * 2.2) / (tf_join + 1.2 * (0.25 +
+                    0.75 * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / N))))))) * 1000000) AS BIGINT) AS s_q2,
+             CAST(floor(((idf_dup * ((tf_dup * 2.2) / (tf_dup + 1.2 * (0.25 +
+                    0.75 * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / N))))))
+               + (idf_line * ((tf_line * 2.2) / (tf_line + 1.2 * (0.25 +
+                    0.75 * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / N))))))) * 1000000) AS BIGINT) AS s_q3
+           FROM tf CROSS JOIN i),
+         stacked AS (
+           SELECT doc_id, 'q1' AS query_id, s_q1 AS score_micro FROM sc
+           UNION ALL SELECT doc_id, 'q2', s_q2 FROM sc
+           UNION ALL SELECT doc_id, 'q3', s_q3 FROM sc),
+         sr AS (
+           SELECT query_id, doc_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS r_sparse
+           FROM stacked),
+         a AS (
+           SELECT 'q1' AS query_id, min(doc_id) AS anchor_id FROM d
+           WHERE list_contains(toks, 'table') AND list_contains(toks, 'scan')
+           UNION ALL
+           SELECT 'q2', min(doc_id) FROM d
+           WHERE list_contains(toks, 'hash') AND list_contains(toks, 'join')
+           UNION ALL
+           SELECT 'q3', min(doc_id) FROM d
+           WHERE list_contains(toks, 'dup') AND list_contains(toks, 'line')),
+         av AS (
+           SELECT a.query_id, CAST(e.embedding AS DOUBLE[]) AS va,
+             sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                   CAST(e.embedding AS DOUBLE[]))) AS na
+           FROM a JOIN embeddings e ON e.vec_id = a.anchor_id),
+         dense AS (
+           SELECT av.query_id, n.vec_id AS doc_id,
+             list_dot_product(av.va, CAST(n.embedding AS DOUBLE[])) /
+               (av.na * sqrt(list_dot_product(CAST(n.embedding AS DOUBLE[]),
+                                              CAST(n.embedding AS DOUBLE[])))) AS cos_sim
+           FROM av CROSS JOIN embeddings n),
+         dr AS (
+           SELECT query_id, doc_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cos_sim DESC, doc_id ASC) AS BIGINT) AS r_dense
+           FROM dense),
+         f AS (
+           SELECT sr.query_id, sr.doc_id, sr.r_sparse, dr.r_dense,
+             CAST(floor((1.0 / (60 + sr.r_sparse) + 1.0 / (60 + dr.r_dense))
+               * 1000000000) AS BIGINT) AS rrf_nano
+           FROM sr JOIN dr ON sr.query_id = dr.query_id AND sr.doc_id = dr.doc_id)
+         SELECT query_id, rank, doc_id, r_sparse, r_dense, rrf_nano FROM (
+           SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY rrf_nano DESC, doc_id ASC) AS BIGINT) AS rank FROM f)
+         WHERE rank <= 10""",
     "ann1_bruteforce_topk" ->
       s"""SELECT probe_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rank FROM (
            SELECT probe_id, neighbor_id, cos_sim,

@@ -271,7 +271,7 @@ object TextAnalysis extends QueryPack {
   /** tx10's fixed query workload: three two-term queries over the
     * corpus vocabulary, mixing common terms with the rare 'dup' (26
     * docs at sf0.01) so the IDF weighting is non-vacuous. */
-  private val bm25Queries: Seq[(String, Seq[String])] = Seq(
+  private[queries] val bm25Queries: Seq[(String, Seq[String])] = Seq(
     "q1" -> Seq("table", "scan"),
     "q2" -> Seq("hash", "join"),
     "q3" -> Seq("dup", "line"))
@@ -290,7 +290,10 @@ object TextAnalysis extends QueryPack {
     * depends on a float comparison. Top-10 per query via row_number ≤
     * 10 → Catalyst's WindowGroupLimit prunes map-side (the a6 plan),
     * and the only exchange carries #queries × top-k candidates. */
-  private def tx10(s: SparkSession, d: String): DataFrame = {
+  /** Every document BM25-scored against every [[bm25Queries]] entry —
+    * (query_id, doc_id, score_micro), the shared core of tx10 (which
+    * top-ks it) and the hybrid fusion gate (which ranks ALL docs). */
+  private[queries] def bm25Scored(s: SparkSession, d: String): DataFrame = {
     val terms = bm25Queries.flatMap(_._2).distinct
     val docs = t(s, d, "documents")
       .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
@@ -321,15 +324,17 @@ object TextAnalysis extends QueryPack {
     }
     val stackArgs = bm25Queries.map { case (qid, _) => s"'$qid', s_$qid" }
       .mkString(", ")
-    scored
-      .selectExpr("doc_id",
-        s"stack(${bm25Queries.size}, $stackArgs) AS (query_id, score_micro)")
+    scored.selectExpr("doc_id",
+      s"stack(${bm25Queries.size}, $stackArgs) AS (query_id, score_micro)")
+  }
+
+  private def tx10(s: SparkSession, d: String): DataFrame =
+    bm25Scored(s, d)
       .withColumn("rank", expr(
         """CAST(row_number() OVER (PARTITION BY query_id
            ORDER BY score_micro DESC, doc_id ASC) AS BIGINT)"""))
       .filter(col("rank") <= 10)
       .select("query_id", "rank", "doc_id", "score_micro")
-  }
 
   // PII patterns + redaction chain live in TextFns (the `redact`
   // HeroQL builtin compiles through the same expressions).
