@@ -40,6 +40,35 @@ object Streaming extends QueryPack {
   private def ev1(s: SparkSession, d: String): DataFrame =
     EventStreams.sessionize(t(s, d, "events"), gapNanos = 1800000000000L)
 
+  /** ev2 — time-series RESAMPLING with forward fill (the gap-filling
+    * every metrics pipeline runs): each user's event stream re-sampled
+    * onto an hourly grid spanning their activity, each grid point
+    * carrying the value of the user's latest event at or before it
+    * (null before the first event — the DuckDB ASOF LEFT semantics).
+    * Composition, not a new operator: per-user bounds (one aggregate),
+    * `sequence` + explode for the grid (rows ∝ Σ user activity spans,
+    * never #users × global range), then [[graft.operators.AsOfJoin]]'s
+    * one-shuffle window form. Duplicate (user, ts) points collapse to
+    * max(value) on BOTH sides — ASOF tie-pick order is the one
+    * nondeterminism this surface has, and the pre-aggregate removes
+    * it. Values are picked, never accumulated, so the gate is
+    * strict-hashable with no fixed-point machinery. */
+  private def ev2(s: SparkSession, d: String): DataFrame = {
+    val pts = EventStreams.normalizeTs(t(s, d, "events"))
+      .groupBy(col("user_id"), col("ts")).agg(max("value").as("value"))
+    val grid = pts.groupBy("user_id")
+      .agg(date_trunc("hour", min("ts")).as("h0"),
+        date_trunc("hour", max("ts")).as("h1"))
+      .select(col("user_id"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("ts"))
+    graft.operators.AsOfJoin.asOf(grid, pts, "user_id", "ts", "value")
+      // date_trunc/sequence promote NTZ to an instant under the UTC
+      // session — value-identical; emit NTZ to match the oracle's type
+      .select(col("user_id"),
+        col("ts").cast(org.apache.spark.sql.types.TimestampNTZType).as("ts"),
+        col("asof_value"))
+  }
+
   /** st7 — `stream sessionize` statement form: the same islands
     * analysis reached from PARSED HeroQL text through the streaming
     * ingest sink (micro-batch atomic commits, then one session-table
@@ -229,6 +258,7 @@ object Streaming extends QueryPack {
     "st10_stream_matview" -> (st10 _),
     "st11_stream_agg_hql" -> (st11 _),
     "ev1_sessionization" -> (ev1 _),
+    "ev2_resample_ffill" -> (ev2 _),
   )
 
   // epoch_ns keeps the whole computation in exact BIGINT nanos —
@@ -257,6 +287,22 @@ object Streaming extends QueryPack {
        FROM s GROUP BY user_id, session_id"""
 
   override val oracles: Map[String, String] = Map(
+    "ev2_resample_ffill" ->
+      """WITH pts AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS value
+           FROM events GROUP BY 1, 2),
+         bounds AS (
+           SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+                  date_trunc('hour', max(ts)) AS h1
+           FROM pts GROUP BY 1),
+         grid AS (
+           SELECT user_id,
+                  unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS ts
+           FROM bounds)
+         SELECT g.user_id, g.ts, p.value AS asof_value
+         FROM grid g
+         ASOF LEFT JOIN pts p
+           ON p.user_id = g.user_id AND p.ts <= g.ts""",
     "st11_stream_agg_hql" ->
       """SELECT event_type, count(*) AS n_rows,
                 CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS DOUBLE)
