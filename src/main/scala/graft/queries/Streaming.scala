@@ -69,6 +69,45 @@ object Streaming extends QueryPack {
         col("asof_value"))
   }
 
+  /** ev3 — resampling by LINEAR INTERPOLATION (ev2's forward-fill
+    * upgraded to the metrics-pipeline lerp): each hourly grid point
+    * takes v0 + (v1 − v0)·(t − t0)/(t1 − t0) between the user's
+    * surrounding events — backward and forward [[graft.operators
+    * .AsOfJoin.asOfMatch]] passes supply (t0, v0) and (t1, v1), edges
+    * fall back to the nearest value, an exact-point hit (t0 = t1)
+    * short-circuits the zero division. Time deltas run in exact
+    * integer micros; the single fraction and the lerp are the same
+    * three float ops in the same order in both engines. Two
+    * one-shuffle window joins — same scale shape as ev2. */
+  private def ev3(s: SparkSession, d: String): DataFrame = {
+    val pts = EventStreams.normalizeTs(t(s, d, "events"))
+      .groupBy(col("user_id"), col("ts")).agg(max("value").as("value"))
+    val grid = pts.groupBy("user_id")
+      .agg(date_trunc("hour", min("ts")).as("h0"),
+        date_trunc("hour", max("ts")).as("h1"))
+      .select(col("user_id"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("ts"))
+    val back = graft.operators.AsOfJoin
+      .asOfMatch(grid, pts, "user_id", "ts", "value")
+      .withColumnRenamed("asof_ts", "t0").withColumnRenamed("asof_value", "v0")
+    val both = graft.operators.AsOfJoin
+      .asOfMatch(back, pts, "user_id", "ts", "value", forward = true)
+      .withColumnRenamed("asof_ts", "t1").withColumnRenamed("asof_value", "v1")
+    both.select(col("user_id"),
+      col("ts").cast(org.apache.spark.sql.types.TimestampNTZType).as("ts"),
+      expr(
+        """CASE WHEN t0 IS NULL AND t1 IS NULL THEN NULL
+                WHEN t0 IS NULL THEN v1
+                WHEN t1 IS NULL THEN v0
+                WHEN t1 = t0 THEN v0
+                ELSE v0 + (v1 - v0) *
+                  (CAST(unix_micros(CAST(ts AS TIMESTAMP))
+                        - unix_micros(CAST(t0 AS TIMESTAMP)) AS DOUBLE)
+                   / (unix_micros(CAST(t1 AS TIMESTAMP))
+                      - unix_micros(CAST(t0 AS TIMESTAMP))))
+           END""").as("lerp_value"))
+  }
+
   /** st7 — `stream sessionize` statement form: the same islands
     * analysis reached from PARSED HeroQL text through the streaming
     * ingest sink (micro-batch atomic commits, then one session-table
@@ -259,6 +298,7 @@ object Streaming extends QueryPack {
     "st11_stream_agg_hql" -> (st11 _),
     "ev1_sessionization" -> (ev1 _),
     "ev2_resample_ffill" -> (ev2 _),
+    "ev3_resample_lerp" -> (ev3 _),
   )
 
   // epoch_ns keeps the whole computation in exact BIGINT nanos —
@@ -287,6 +327,36 @@ object Streaming extends QueryPack {
        FROM s GROUP BY user_id, session_id"""
 
   override val oracles: Map[String, String] = Map(
+    "ev3_resample_lerp" ->
+      """WITH pts AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS value
+           FROM events GROUP BY 1, 2),
+         bounds AS (
+           SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+                  date_trunc('hour', max(ts)) AS h1
+           FROM pts GROUP BY 1),
+         grid AS (
+           SELECT user_id,
+                  unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS ts
+           FROM bounds),
+         b AS (
+           SELECT g.user_id, g.ts, p.ts AS t0, p.value AS v0
+           FROM grid g
+           ASOF LEFT JOIN pts p ON p.user_id = g.user_id AND p.ts <= g.ts),
+         f AS (
+           SELECT b.user_id, b.ts, b.t0, b.v0, p2.ts AS t1, p2.value AS v1
+           FROM b
+           ASOF LEFT JOIN pts p2 ON p2.user_id = b.user_id AND b.ts <= p2.ts)
+         SELECT user_id, ts,
+           CASE WHEN t0 IS NULL AND t1 IS NULL THEN NULL
+                WHEN t0 IS NULL THEN v1
+                WHEN t1 IS NULL THEN v0
+                WHEN t1 = t0 THEN v0
+                ELSE v0 + (v1 - v0) *
+                  (CAST(epoch_us(ts) - epoch_us(t0) AS DOUBLE)
+                   / (epoch_us(t1) - epoch_us(t0)))
+           END AS lerp_value
+         FROM f""",
     "ev2_resample_ffill" ->
       """WITH pts AS (
            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS value
