@@ -583,7 +583,10 @@ object Similarity extends QueryPack {
     // #queries-row collect)
     val anchors = TextAnalysis.bm25Queries.map { case (qid, terms) =>
       val cond = terms.map(tm => s"array_contains(toks, '$tm')").mkString(" AND ")
-      val a = docs.filter(expr(cond)).agg(min(col("doc_id"))).head.getLong(0)
+      // cast before the collect: an int32-regenerated doc_id must not
+      // ClassCastException the anchor pick (the drift-spec lesson)
+      val a = docs.filter(expr(cond))
+        .agg(min(col("doc_id")).cast("long")).head.getLong(0)
       (qid, a)
     }
     val e = t(s, d, "embeddings")

@@ -79,7 +79,8 @@ class WarehouseDriftSpec extends SparkSpec {
     // over int32 keys), line-level repetition filters, sync LPA
     "j12_banded_range_join", "mv1_incremental_agg",
     "mv4_minmax_insert_only", "adm7_zorder_layout", "tx9_gopher_lines",
-    "g8_label_propagation")
+    "g8_label_propagation", "tx10_bm25_topk", "ann8_hybrid_rrf",
+    "ev2_resample_ffill", "ev3_resample_lerp")
 
   test("representative queries plan and execute against an int32/double-drifted warehouse") {
     val failures = slice.flatMap { name =>
