@@ -492,6 +492,21 @@ object Relational extends QueryPack {
       .groupBy(col("signup_id")).agg(count(lit(1)).as("n_events"))
   }
 
+  /** J13 — keyless 2-D box join via grid-cell banding
+    * ([[graft.operators.GridSpatialJoin]], the ε-grid spatial join):
+    * every pair of embeddings whose first two dimensions fall within
+    * an open 0.05-box — the "nearby in projection space" self-join a
+    * nested loop would cost n² pairs to answer. Cell-keyed equi-join,
+    * pair work bounded by spatial density; the oracle is the plain
+    * theta join, so equality proves the 3x3 enumeration drops nothing
+    * and double-counts nothing. */
+  private def j13(s: SparkSession, d: String): DataFrame = {
+    val pts = t(s, d, "embeddings").select(col("vec_id").as("pid"),
+      expr("CAST(element_at(embedding, 1) AS DOUBLE)").as("px"),
+      expr("CAST(element_at(embedding, 2) AS DOUBLE)").as("py"))
+    graft.operators.GridSpatialJoin.selfBoxJoin(pts, "pid", "px", "py", 0.05)
+  }
+
   /** A12 — statistical aggregates (added scope): sample stddev/variance,
     * correlation and covariance — identical closed-form definitions in
     * Spark and DuckDB. */
@@ -554,6 +569,7 @@ object Relational extends QueryPack {
     "a13_percentiles" -> (a13 _),
     "j11_salted_skew_join" -> (j11 _),
     "j12_banded_range_join" -> (j12 _),
+    "j13_grid_spatial_join" -> (j13 _),
     "s1_scan_filter" -> (s1 _),
     "s3_inline_values" -> (s3 _),
     "p1_projection" -> (p1 _),
@@ -642,6 +658,14 @@ object Relational extends QueryPack {
       """SELECT 'Q' || CAST(CAST(l_quantity AS INT) AS VARCHAR) AS q_label,
                 count(*) AS n, CAST(sum(l_linenumber) AS BIGINT) AS sum_line
          FROM lineitem GROUP BY 1""",
+    "j13_grid_spatial_join" ->
+      """SELECT p.vec_id AS a, q.vec_id AS b
+         FROM (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+                      CAST(embedding[2] AS DOUBLE) AS y FROM embeddings) p
+         JOIN (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x2,
+                      CAST(embedding[2] AS DOUBLE) AS y2 FROM embeddings) q
+           ON p.vec_id < q.vec_id
+          AND abs(p.x - q.x2) < 0.05 AND abs(p.y - q.y2) < 0.05""",
     "j12_banded_range_join" ->
       """SELECT s.signup_id, count(*) AS n_events
          FROM (SELECT event_id AS signup_id, CAST(ts AS TIMESTAMP) AS t0

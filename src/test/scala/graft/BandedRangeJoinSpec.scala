@@ -43,6 +43,24 @@ class BandedRangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("grid spatial join emits exactly the naive box join's pairs") {
+    val pts = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("pid"),
+        expr("CAST(element_at(embedding, 1) AS DOUBLE)").as("px"),
+        expr("CAST(element_at(embedding, 2) AS DOUBLE)").as("py"))
+    val eps = 0.05
+    val banded = graft.operators.GridSpatialJoin
+      .selfBoxJoin(pts, "pid", "px", "py", eps)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q = pts.select(col("pid").as("b"), col("px").as("qx"), col("py").as("qy"))
+    val naive = pts.join(q, col("pid") < col("b") &&
+      abs(col("px") - col("qx")) < eps && abs(col("py") - col("qy")) < eps)
+      .select("pid", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive.nonEmpty, "fixture premise: the box matches pairs")
+    assert(banded === naive)
+  }
+
   test("a band narrower than the window is rejected, not silently wrong") {
     val (probe, build) = sides()
     intercept[IllegalArgumentException] {

@@ -172,6 +172,14 @@ class PlanAuditSpec extends SparkSpec {
       s"top-k per query should prune map-side:\n$p")
   }
 
+  test("j13 spatial join bands into a cell-keyed equi-join, never a nested loop") {
+    val p = plan(graft.queries.Relational, "j13_grid_spatial_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"keyless box join must band to a cell equi-join:\n$p")
+    assert(p.contains("cx") && p.contains("cy"),
+      s"cell keys missing from the join plan:\n$p")
+  }
+
   test("tx9 line-repetition filters are map-only: no exchange anywhere") {
     val p = plan(graft.queries.TextAnalysis, "tx9_gopher_lines")
     assert(!p.contains("Exchange"),
