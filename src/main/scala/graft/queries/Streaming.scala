@@ -108,6 +108,36 @@ object Streaming extends QueryPack {
            END""").as("lerp_value"))
   }
 
+  /** ev4 — TIME-WEIGHTED average per user (the metrics integral: the
+    * mean of the forward-filled step function over the user's active
+    * span, ∫v dt / ∫dt — what a plain avg gets wrong whenever sampling
+    * is irregular). Exact end to end: each inter-event segment
+    * contributes value_MILLIS × dt_micros as a BIGINT product — millis,
+    * not micros, because the worst segment (v ≈ 490, gap ≈ 4 days ≈
+    * 3.6e11 µs) must stay under 2^63: v·1e3 × dt ≤ 1.8e17 and the
+    * per-user total ≤ max(v)·1e3 × month-span ≈ 1.3e18, both safe,
+    * where micros would overflow at 1.8e20 (fixture values carry two
+    * decimals, so millis lose nothing). Integer sums are
+    * accumulation-order-FREE across any partitioning; the single
+    * division happens once at publish. One lag window per user (the
+    * ev1 exchange shape) + one aggregate. */
+  private def ev4(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    EventStreams.normalizeTs(t(s, d, "events"))
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tus"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("vmillis"))
+      .withColumn("next_tus", lead("tus", 1).over(w))
+      .filter(col("next_tus").isNotNull) // the last event opens no segment
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(expr("vmillis * (next_tus - tus)")).as("__area"),
+        sum(expr("next_tus - tus")).as("__span"))
+      .select(col("user_id"), col("n_segments"),
+        expr("CAST(__area AS DOUBLE) / __span / 1000.0").as("twa_value"))
+  }
+
   /** st7 — `stream sessionize` statement form: the same islands
     * analysis reached from PARSED HeroQL text through the streaming
     * ingest sink (micro-batch atomic commits, then one session-table
@@ -299,6 +329,7 @@ object Streaming extends QueryPack {
     "ev1_sessionization" -> (ev1 _),
     "ev2_resample_ffill" -> (ev2 _),
     "ev3_resample_lerp" -> (ev3 _),
+    "ev4_time_weighted_avg" -> (ev4 _),
   )
 
   // epoch_ns keeps the whole computation in exact BIGINT nanos —
@@ -327,6 +358,22 @@ object Streaming extends QueryPack {
        FROM s GROUP BY user_id, session_id"""
 
   override val oracles: Map[String, String] = Map(
+    "ev4_time_weighted_avg" ->
+      """WITH e AS (
+           SELECT user_id, event_id,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+                  CAST(floor(value * 1000) AS BIGINT) AS vmillis
+           FROM events),
+         seg AS (
+           SELECT user_id, vmillis, tus,
+                  lead(tus) OVER (PARTITION BY user_id
+                    ORDER BY tus, event_id) AS next_tus
+           FROM e)
+         SELECT user_id, count(*) AS n_segments,
+                CAST(sum(vmillis * (next_tus - tus)) AS DOUBLE)
+                  / sum(next_tus - tus) / 1000.0 AS twa_value
+         FROM seg WHERE next_tus IS NOT NULL
+         GROUP BY 1""",
     "ev3_resample_lerp" ->
       """WITH pts AS (
            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS value
