@@ -307,6 +307,31 @@ object Relational extends QueryPack {
       .select("o_orderpriority", "o_orderkey", "dr", "pr", "quartile")
   }
 
+  /** W7 — time-RANGE window frames (the VALUE-range frame family W5's
+    * ROWS frames don't cover): per event, the count and exact value sum
+    * of the SAME USER's events in the trailing hour — the frame is
+    * bounded by the ORDER value (micros), not a row count, so peers at
+    * the same timestamp are in or out together (deterministic by
+    * definition, unlike a ROWS frame over ties). Value sums ride exact
+    * millis BIGINTs (the ev4 overflow-safe fixed point); one exchange
+    * per user key, frame evaluation is the standard running
+    * two-pointer. */
+  private def w7(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus")).rangeBetween(-3600000000L, 0L)
+    graft.streaming.EventStreams.normalizeTs(t(s, d, "events"))
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tus"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("vmillis"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h", expr(
+        """CAST(sum(vmillis) OVER (
+             PARTITION BY user_id ORDER BY tus
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+           AS DOUBLE) / 1000.0"""))
+      .select("event_id", "user_id", "n_1h", "sum_1h")
+  }
+
   // --------------------------------------------------------- sorts / slices
 
   /** O1/W2-global — `order_by_desc` + top-10 (`Kernel/README.md:162-174`):
@@ -570,6 +595,7 @@ object Relational extends QueryPack {
     "j11_salted_skew_join" -> (j11 _),
     "j12_banded_range_join" -> (j12 _),
     "j13_grid_spatial_join" -> (j13 _),
+    "w7_time_range_frame" -> (w7 _),
     "s1_scan_filter" -> (s1 _),
     "s3_inline_values" -> (s3 _),
     "p1_projection" -> (p1 _),
@@ -658,6 +684,19 @@ object Relational extends QueryPack {
       """SELECT 'Q' || CAST(CAST(l_quantity AS INT) AS VARCHAR) AS q_label,
                 count(*) AS n, CAST(sum(l_linenumber) AS BIGINT) AS sum_line
          FROM lineitem GROUP BY 1""",
+    "w7_time_range_frame" ->
+      """WITH e AS (
+           SELECT event_id, user_id,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+                  CAST(floor(value * 1000) AS BIGINT) AS vmillis
+           FROM events)
+         SELECT event_id, user_id,
+           count(*) OVER (PARTITION BY user_id ORDER BY tus
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_1h,
+           CAST(sum(vmillis) OVER (PARTITION BY user_id ORDER BY tus
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / 1000.0 AS sum_1h
+         FROM e""",
     "j13_grid_spatial_join" ->
       """SELECT p.vec_id AS a, q.vec_id AS b
          FROM (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
