@@ -1578,11 +1578,11 @@ object HeroQL {
         val incoming = args.select(cols: _*)
         val keyed = uniques.getOrElse(table, Seq.empty)
         if (keyed.isEmpty) {
-          tx.insert(table, incoming)
-          // registered materialized views over this relation refresh in
-          // the SAME commit — the language's @insert composes with the
-          // store's view registry exactly like the API write-through
-          graft.store.MaterializedView.refreshRegistered(tx, table, incoming)
+          // the unified write path: declared store constraints gate the
+          // batch and registered materialized views refresh in the SAME
+          // commit — the language's @insert composes with the store's
+          // registries exactly like the API write-through
+          graft.store.WritePath.insert(tx, table, incoming)
         } else {
           // a declared Unique index gates the insert: batch-internal
           // duplicates and clashes with committed keys both reject the
@@ -1605,8 +1605,7 @@ object HeroQL {
                   s"$clash inserted key(s) already present")
             }
           }
-          tx.insert(table, pinned)
-          graft.store.MaterializedView.refreshRegistered(tx, table, pinned)
+          graft.store.WritePath.insert(tx, table, pinned, alreadyPinned = true)
         }
       case "remove" =>
         val keyPairs = item.atom.args.zip(fields).collect { case (TVar(v), f) => (v, f) }
@@ -1619,14 +1618,26 @@ object HeroQL {
         val keyFields = keyPairs.map(_._2)
         // file-level COW: only data dirs holding a doomed row are rewritten
         val hit = constCond.map(c => coalesce(c, lit(false)))
+        def doomed(df: DataFrame): DataFrame =
+          hit.map(df.filter).getOrElse(df).join(keys, keyFields, "left_semi")
+        // registered views maintain through the delete: capture the
+        // exact removed multiset from the PRE-state (old files persist
+        // until vacuum, so the lazy plan stays valid), fold its negated
+        // partials in the same commit. Zero extra plans when no view is
+        // registered.
+        val removed =
+          if (graft.store.MaterializedView.hasRegistered(tx, table))
+            Some(doomed(tx.read(table)).localCheckpoint())
+          else None
         tx.rewriteMatched(table,
-          hits = df => hit.map(df.filter).getOrElse(df)
-            .join(keys, keyFields, "left_semi"),
+          hits = doomed,
           rewrite = df => hit match {
             case None => df.join(keys, keyFields, "left_anti")
             case Some(h) =>
               df.filter(not(h)).unionByName(df.filter(h).join(keys, keyFields, "left_anti"))
           })
+        removed.foreach(
+          graft.store.MaterializedView.refreshRegisteredDelete(tx, table, _))
       case "update" =>
         val matchPairs = item.atom.args.zip(fields).collect { case (TVar(v), f) => (v, f) }
         val setPairs = item.atom.args.zip(fields).collect { case (TAtVar(v), f) => (v, f) }
@@ -1655,22 +1666,34 @@ object HeroQL {
             val set = coalesce(col(s"__set_$f"), col(f))
             hit.map(h => when(h, set).otherwise(col(f))).getOrElse(set)
           }
-          tx.rewriteMatched(table,
-            hits = df => {
-              val base = hit.map(df.filter).getOrElse(df)
-              if (allConst) base
-              else base.join(
-                updates.select(matchPairs.map { case (_, f) => col(f) }: _*),
-                matchPairs.map(_._2), "left_semi")
-            },
-            rewrite = df => {
-              val joined =
-                if (allConst) df.crossJoin(updates) // exactly one row
-                else df.join(updates, matchPairs.map(_._2), "left")
-              joined.select(fields.map { f =>
-                if (setFields(f)) setExpr(f).as(f) else col(f)
-              }: _*)
-            })
+          def matched(df: DataFrame): DataFrame = {
+            val base = hit.map(df.filter).getOrElse(df)
+            if (allConst) base
+            else base.join(
+              updates.select(matchPairs.map { case (_, f) => col(f) }: _*),
+              matchPairs.map(_._2), "left_semi")
+          }
+          def applied(df: DataFrame): DataFrame = {
+            val joined =
+              if (allConst) df.crossJoin(updates) // exactly one row
+              else df.join(updates, matchPairs.map(_._2), "left")
+            joined.select(fields.map { f =>
+              if (setFields(f)) setExpr(f).as(f) else col(f)
+            }: _*)
+          }
+          // registered views see an update as delete(old) + insert(new):
+          // the matched pre-state rows leave (negated partials), their
+          // rewritten versions enter — both folds in the same commit,
+          // so the view never observes a half-applied update
+          val oldRows =
+            if (graft.store.MaterializedView.hasRegistered(tx, table))
+              Some(matched(tx.read(table)).localCheckpoint())
+            else None
+          tx.rewriteMatched(table, hits = matched, rewrite = applied)
+          oldRows.foreach { old =>
+            graft.store.MaterializedView.refreshRegisteredDelete(tx, table, old)
+            graft.store.MaterializedView.refreshRegistered(tx, table, applied(old))
+          }
         }
       case other => throw Analyzer.AnalysisError(s"unknown mutation @$other")
     }
@@ -1702,8 +1725,9 @@ object HeroQL {
       val bindings =
         if (prefix.isEmpty) store.spark.range(1).toDF("__unit")
         else planner.planItems(prefix)
+      val uniques = uniqueIndexes(ast)
       rest.foreach {
-        case m: Mutation => applyMutation(tx, decls, m, bindings)
+        case m: Mutation => applyMutation(tx, decls, m, bindings, uniques)
         case other => throw Analyzer.AnalysisError(
           s"transaction $name: items after the first mutation must be mutations, got $other")
       }
@@ -1722,6 +1746,7 @@ object HeroQL {
     val funcs = ast.funcs.map(f => f.name -> f).toMap
     if (ast.fors.isEmpty)
       throw Analyzer.AnalysisError("program has no 'for query' statement")
+    val uniques = uniqueIndexes(ast)
     ast.fors.foreach { fq =>
       fq.body.alts.foreach(Analyzer.analyzeConj(decls, queryDecls, _, Set.empty, funcs))
       store.transaction { tx =>
@@ -1731,7 +1756,7 @@ object HeroQL {
           ast.unions.map(u => u.name -> u).toMap)
         val rows = fq.body.alts.map(c => planner.planItems(c.items)
           .select(fq.vars.map(col): _*)).reduce(_ union _)
-        fq.actions.foreach(applyMutation(tx, decls, _, rows))
+        fq.actions.foreach(applyMutation(tx, decls, _, rows, uniques))
       }
     }
   }

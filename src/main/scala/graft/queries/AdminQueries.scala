@@ -263,10 +263,6 @@ object AdminQueries extends QueryPack {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                 o_orderpriority
          FROM orders WHERE o_orderkey % 10 <= 6""",
-    "adm8_check_constraints" ->
-      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-                o_orderpriority
-         FROM orders WHERE o_orderkey % 10 IN (0, 1)""",
     "adm7_zorder_layout" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                 o_orderpriority

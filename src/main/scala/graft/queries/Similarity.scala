@@ -585,9 +585,12 @@ object Similarity extends QueryPack {
       val cond = terms.map(tm => s"array_contains(toks, '$tm')").mkString(" AND ")
       // cast before the collect: an int32-regenerated doc_id must not
       // ClassCastException the anchor pick (the drift-spec lesson)
-      val a = docs.filter(expr(cond))
-        .agg(min(col("doc_id")).cast("long")).head.getLong(0)
-      (qid, a)
+      val row = docs.filter(expr(cond))
+        .agg(min(col("doc_id")).cast("long")).head
+      if (row.isNullAt(0)) throw new IllegalStateException(
+        s"ann8: no document contains all terms of query '$qid' " +
+          s"(${terms.mkString(", ")}) — corpus fixture premise violated")
+      (qid, row.getLong(0))
     }
     val e = t(s, d, "embeddings")
     import s.implicits._

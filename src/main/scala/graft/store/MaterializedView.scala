@@ -113,12 +113,15 @@ object MaterializedView {
       "min/max are not self-maintainable under deletes (removing the " +
         "extremum needs a group rescan) — rebuild the view or drop the " +
         "min/max columns from the spec")
-    val neg = aggregate(delta, spec)
-      .withColumn("n_rows", -col("n_rows"))
-    val negSums = spec.sums.foldLeft(neg) { case (df, (n, _)) =>
-      df.withColumn(n, -col(n))
-    }
-    merge(store, table, negSums, spec)
+    merge(store, table, negatedAggregate(delta, spec), spec)
+  }
+
+  /** The delta aggregate with every partial negated — counts and exact
+    * sums subtract (the counting algorithm's delete side; sound ONLY
+    * because registered partials are exact BIGINTs). */
+  private def negatedAggregate(delta: DataFrame, spec: MvSpec): DataFrame = {
+    val neg = aggregate(delta, spec).withColumn("n_rows", -col("n_rows"))
+    spec.sums.foldLeft(neg) { case (df, (n, _)) => df.withColumn(n, -col(n)) }
   }
 
   /** The store's view registry: one row per registered MV (view table,
@@ -160,12 +163,11 @@ object MaterializedView {
     * sync, and time travel pairs base version k with view version k
     * (MatViewSpec pins both). Per view the added cost is the batch
     * aggregate + a #groups merge — the base history is never
-    * re-aggregated. */
+    * re-aggregated. Routed through [[WritePath.insert]], so declared
+    * CHECK/UNIQUE/FK constraints also gate the batch. */
   def insertInto(store: TableStore, baseTable: String,
-      rows: DataFrame): Unit = store.transaction { tx =>
-    tx.insert(baseTable, rows)
-    refreshRegistered(tx, baseTable, rows)
-  }
+      rows: DataFrame): Unit =
+    store.transaction(WritePath.insert(_, baseTable, rows))
 
   /** Fold `rows` (an insert batch already applied to `baseTable` in
     * this txn) into every view registered over it — the txn-level
@@ -178,6 +180,28 @@ object MaterializedView {
       val spec = dfn.spec
       val merged = remerge(
         tx.read(mv).unionByName(aggregate(rows, spec)), spec)
+      tx.create(mv, merged.localCheckpoint())
+    }
+
+  /** Whether any view is registered over `baseTable` — what lets the
+    * delete/update mutation paths skip the removed-row capture (an
+    * extra matched-set plan) entirely when no view needs it. */
+  def hasRegistered(tx: Txn, baseTable: String): Boolean =
+    registered(tx.read, tx.exists, baseTable).nonEmpty
+
+  /** Fold a DELETE delta (the exact multiset of rows REMOVED from
+    * `baseTable` in this txn) into every registered view — negated
+    * partials, emptied groups leave (group liveness via `n_rows`).
+    * Registered [[MvDef]]s are sums-only by construction, so delete
+    * maintenance is always sound here (no min/max rescan hazard) —
+    * what makes the HeroQL `@remove`/`@update` paths maintainable
+    * instead of silently staling the view. */
+  def refreshRegisteredDelete(tx: Txn, baseTable: String,
+      removed: DataFrame): Unit =
+    registered(tx.read, tx.exists, baseTable).foreach { case (mv, dfn) =>
+      val spec = dfn.spec
+      val merged = remerge(
+        tx.read(mv).unionByName(negatedAggregate(removed, spec)), spec)
       tx.create(mv, merged.localCheckpoint())
     }
 

@@ -1042,4 +1042,47 @@ index Roster { Unique(student) }
     assert(e2.getMessage.contains("within the inserted batch"))
   }
 
+  test("Unique index gates @insert inside transaction and for blocks too") {
+    import org.apache.spark.sql.functions._
+    val prog = """
+data Roster(student: string, score: int).
+data Incoming(student: string, score: int).
+index Roster { Unique(student) }
+transaction query Enroll() :- Incoming(student, score), @insert Roster(student, score).
+for query(student, score) :- Incoming(student, score)
+( set Roster(student, score) )
+"""
+    def freshStore(dups: Boolean) = {
+      val st = new graft.store.TableStore(spark,
+        java.nio.file.Files.createTempDirectory("graft-uniq-tx-").toString)
+      st.create("Roster", spark.range(3).select(
+        concat(lit("s"), col("id")).as("student"), col("id").cast("int").as("score")))
+      val inc =
+        if (dups) spark.range(2).select(lit("s1").as("student"),
+          col("id").cast("int").as("score"))
+        else spark.range(2).select(concat(lit("n"), col("id")).as("student"),
+          col("id").cast("int").as("score"))
+      st.create("Incoming", inc)
+      st
+    }
+    // clean batch commits through both entry points
+    val okT = freshStore(dups = false)
+    graft.heroql.HeroQL.executeTransaction(prog, "Enroll", Map.empty, okT)
+    assert(okT.read("Roster").count() === 5)
+    // a clashing batch rejects through executeTransaction...
+    val badT = freshStore(dups = true)
+    val e = intercept[graft.heroql.Analyzer.AnalysisError] {
+      graft.heroql.HeroQL.executeTransaction(prog, "Enroll", Map.empty, badT)
+    }
+    assert(e.getMessage.contains("Unique(student)"))
+    assert(badT.read("Roster").count() === 3, "rejected txn must not land")
+    // ...and through executeFor's set action
+    val badF = freshStore(dups = true)
+    val e2 = intercept[graft.heroql.Analyzer.AnalysisError] {
+      graft.heroql.HeroQL.executeFor(prog, Map.empty, badF)
+    }
+    assert(e2.getMessage.contains("Unique(student)"))
+    assert(badF.read("Roster").count() === 3)
+  }
+
 }

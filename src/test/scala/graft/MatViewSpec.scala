@@ -151,6 +151,80 @@ query AddExam(student: string, score: int)
       sortedRows(MaterializedView.aggregate(st.read("Exams"), spec5)))
   }
 
+  test("language @remove and @update maintain registered views") {
+    import graft.store.TableStore
+    val st = new TableStore(spark,
+      Files.createTempDirectory("graft-mv-del-spec-").toString)
+    val seed = spark.range(12).select(
+      concat(lit("s"), (col("id") % 3)).as("student"),
+      col("id").cast("int").as("score"))
+    st.create("Exams", seed)
+    MaterializedView.register(st, "mv", "Exams",
+      MaterializedView.MvDef(Seq("student"),
+        Seq("__score" -> "CAST(score AS BIGINT)")))
+    val spec5 = MvSpec(Seq("student"),
+      Seq("__score" -> expr("CAST(score AS BIGINT)")))
+    val program = """
+data Exams(student: string, score: int).
+query Drop(student: string) :- @remove Exams(student, _).
+query Boost(student: string, score: int) :- @update Exams(student, @score)
+.
+"""
+    // @remove s2 entirely: its group must LEAVE the view (liveness)
+    import spark.implicits._
+    val commits = st.commitCount()
+    graft.heroql.HeroQL.executeMutation(program, "Drop",
+      Seq("s2").toDF("student"), st)
+    assert(st.commitCount() === commits + 1,
+      "base delete + view maintenance must be one commit")
+    assert(sortedRows(st.read("mv")) ===
+      sortedRows(MaterializedView.aggregate(st.read("Exams"), spec5)))
+    assert(st.read("mv").filter(col("student") === "s2").count() === 0,
+      "emptied group must leave the registered view")
+    // @update s0's scores: view folds delete(old)+insert(new) exactly
+    val commits2 = st.commitCount()
+    graft.heroql.HeroQL.executeMutation(program, "Boost",
+      Seq(("s0", 1000)).toDF("student", "score"), st)
+    assert(st.commitCount() === commits2 + 1)
+    assert(sortedRows(st.read("mv")) ===
+      sortedRows(MaterializedView.aggregate(st.read("Exams"), spec5)))
+  }
+
+  test("every insert front door runs constraints AND view maintenance") {
+    import graft.store.{CheckConstraints, TableStore}
+    val st = new TableStore(spark,
+      Files.createTempDirectory("graft-mv-wp-spec-").toString)
+    val seed = spark.range(6).select(
+      concat(lit("s"), (col("id") % 2)).as("student"),
+      col("id").cast("int").as("score"))
+    st.create("Exams", seed)
+    CheckConstraints.declare(st, "Exams", "nonneg", "score >= 0")
+    MaterializedView.register(st, "mv", "Exams",
+      MaterializedView.MvDef(Seq("student"),
+        Seq("__score" -> "CAST(score AS BIGINT)")))
+    val spec5 = MvSpec(Seq("student"),
+      Seq("__score" -> expr("CAST(score AS BIGINT)")))
+    // front door 1: the constraint-checked insert refreshes the view
+    val ok = spark.range(3).select(
+      concat(lit("s"), (col("id") % 2)).as("student"),
+      (col("id") + 50).cast("int").as("score"))
+    CheckConstraints.insert(st, "Exams", ok)
+    assert(sortedRows(st.read("mv")) ===
+      sortedRows(MaterializedView.aggregate(st.read("Exams"), spec5)),
+      "CheckConstraints.insert must maintain registered views")
+    // front door 2: insertInto enforces declared constraints
+    val bad = spark.range(2).select(
+      lit("s9").as("student"), lit(-1).cast("int").as("score"))
+    val commits = st.commitCount()
+    intercept[CheckConstraints.CheckViolation] {
+      MaterializedView.insertInto(st, "Exams", bad)
+    }
+    assert(st.commitCount() === commits,
+      "rejected batch must commit nothing on any front door")
+    assert(sortedRows(st.read("mv")) ===
+      sortedRows(MaterializedView.aggregate(st.read("Exams"), spec5)))
+  }
+
   test("min/max fold through insert merges; delete with extrema rejects") {
     val st = scratch()
     val spec4 = MvSpec(Seq("l_linestatus"),
