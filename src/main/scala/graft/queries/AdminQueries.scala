@@ -212,7 +212,31 @@ object AdminQueries extends QueryPack {
     st.read("orders")
   }
 
+  /** adm10 — INCREMENTAL backup ring (`Kernel/README.md:6` "diff
+    * bitmaps ... backup incrementally"): three exports to the same
+    * destination, each moving only the dirs new since the last (the
+    * first ships the seed, the second ships one insert's dir with the
+    * seed carried by reference, the third ships the update's COW
+    * rewrites), then restore by OPENING THE BACKUP AS A STORE — the
+    * result must equal the live table's relational statement.
+    * BackupRingSpec pins the ∝-delta byte claim and ring retention;
+    * this gate gives the external oracle the restore correctness. */
+  private def adm10(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s)
+    val dest = Files.createTempDirectory("graft-incr-").toString
+    st.create("orders", seedMod(s, d, 0))
+    st.exportIncremental("orders", dest, retainSlots = 2)
+    st.insert("orders", seedMod(s, d, 1))
+    st.exportIncremental("orders", dest, retainSlots = 2)
+    st.update("orders",
+      Map("o_totalprice" -> (col("o_totalprice") * 2.0)),
+      col("o_orderpriority") === "1-URGENT")
+    st.exportIncremental("orders", dest, retainSlots = 2)
+    new TableStore(s, dest).read("orders")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "adm10_incremental_backup" -> (adm10 _),
     "adm1_schema_evolution" -> (adm1 _),
     "adm2_schema_migrate" -> (adm2 _),
     "adm3_vacuum_gc" -> (adm3 _),
@@ -258,6 +282,15 @@ object AdminQueries extends QueryPack {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                 o_orderpriority
          FROM orders WHERE o_orderkey % 10 IN (0, 1, 2)""",
+    // seed (%10 = 0) + second export's insert (%10 = 1), urgent prices
+    // doubled by the pre-third-export update — restored from backup
+    "adm10_incremental_backup" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+                CASE WHEN o_orderpriority = '1-URGENT'
+                     THEN o_totalprice * 2.0
+                     ELSE o_totalprice END AS o_totalprice,
+                o_orderpriority
+         FROM orders WHERE o_orderkey % 10 IN (0, 1)""",
     // compaction is physical only: the content is the plain union
     "adm6_compaction" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
