@@ -31,13 +31,18 @@ object Fixpoint {
     * per-round frames are small, and scheduling a full partition fan
     * of empty tasks per shuffle is pure overhead. Settings restored on
     * every exit path. */
-  def withIterativeConf[A](spark: org.apache.spark.sql.SparkSession)(f: => A): A = {
+  def withIterativeConf[A](spark: org.apache.spark.sql.SparkSession,
+      shufflePartitions: Option[Int] = None)(f: => A): A = {
     val conf = spark.conf
     val aqeWas = conf.get("spark.sql.adaptive.enabled", "true")
     val shufWas = conf.get("spark.sql.shuffle.partitions", "32")
     conf.set("spark.sql.adaptive.enabled", "false")
-    conf.set("spark.sql.shuffle.partitions",
-      math.max(8, spark.sparkContext.defaultParallelism / 4).toString)
+    // default fan suits SMALL per-round state (recursive-rule deltas);
+    // a loop whose rounds shuffle the whole input (CC over an edge
+    // corpus) passes the full parallelism instead — 8 tasks sorting
+    // 2M-row partitions on 32 idle cores was a measured 2× loss
+    conf.set("spark.sql.shuffle.partitions", shufflePartitions.getOrElse(
+      math.max(8, spark.sparkContext.defaultParallelism / 4)).toString)
     try f
     finally {
       conf.set("spark.sql.adaptive.enabled", aqeWas)

@@ -27,12 +27,113 @@ object GraphOps {
       vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
   }
 
-  /** Connected components → DataFrame(node, component). */
+  /** Connected components → DataFrame(node, component) — GraphX Pregel
+    * min-id propagation. Kept as the parity reference for
+    * [[connectedComponentsDF]] (GraphOpsParitySpec compares them on
+    * every shared input); the DataFrame form is the production path. */
   def connectedComponents(spark: SparkSession, edges: DataFrame): DataFrame = {
     import spark.implicits._
     fromEdges(edges).connectedComponents()
       .vertices.map { case (v, c) => (v, c) }
       .toDF("node", "component")
+  }
+
+  /** Connected components WITHOUT GraphX: the alternating
+    * large-star / small-star algorithm (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", ACM SoCC 2014) expressed as
+    * DataFrame aggregates and co-keyed joins. Produces the identical
+    * min-id component labels (GraphOpsParitySpec pins it against
+    * Pregel on every graph shape), converges in O(log n) rounds, all
+    * in Tungsten.
+    *
+    * MEASURED REGIME NOTE (the r12 writeup; numbers from
+    * [[graft.tools.CCScaleProbe]] at local[32]): this form wins on
+    * ONE-SHOT, MODEST pair graphs — dd7's duplicate clusters dropped
+    * 17.4s → ~11-13s cold because Pregel's vertex/edge build constant
+    * is gone — but LOSES to GraphX on large graphs (2M edges: 18.5s
+    * vs 14.9s; 8M: ~55s vs ~17s). The reason is structural, not a
+    * tuning miss (shuffled-hash joins, partition fan, and a
+    * half-volume large-star variant were each tried and measured
+    * flat): star-contraction REWRITES the full edge set every round
+    * (~7.4M star edges shuffled 5× per round at 8M input, plus one
+    * confirming round), while Pregel CC ships only the shrinking
+    * active frontier. Use THIS for dedup-cluster resolution (one-shot
+    * cold, pairs ∝ collisions) and [[connectedComponents]] (GraphX)
+    * for standing large-graph analytics.
+    *
+    * Round shape: large-star is one groupBy(src) and one src-keyed
+    * join over the symmetrized pairs, small-star the same over the
+    * larger→smaller oriented output, then the pair-keyed dedup.
+    * Convergence is a one-row (count, xor-of-pair-hashes) fingerprint
+    * — the driver never materializes an edge list. Lineage truncates
+    * per round via localCheckpoint, the [[Fixpoint.withIterativeConf]]
+    * loop policy.
+    */
+  def connectedComponentsDF(spark: SparkSession, edges: DataFrame,
+      maxIter: Int = 50): DataFrame = Fixpoint.withIterativeConf(spark) {
+    // pin the input ONCE: nodes and the canonical pair set both derive
+    // from it, and the caller's edge plan may be expensive (dd7 feeds
+    // the O(n²)-verified pair join) — deriving each lazily would
+    // evaluate that plan twice
+    val raw = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).localCheckpoint()
+    // nodes BEFORE the self-loop drop: a node whose only edge is a
+    // self-loop is still a (singleton) vertex, exactly as in GraphX
+    val nodes = raw.select(col("src").as("node"))
+      .unionByName(raw.select(col("dst").as("node"))).distinct()
+    // canonical larger→smaller pairs; both phases keep that orientation
+    var e = raw.filter(col("src") =!= col("dst"))
+      .select(greatest("src", "dst").as("src"),
+        least("src", "dst").as("dst")).distinct().localCheckpoint()
+    // xor never overflows (sum would, under ANSI) and pairs are
+    // distinct, so the (count, xor) pair is a sound set fingerprint
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(src, dst))")).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var fp = fingerprint(e)
+    var iter = 0
+    var done = fp._1 == 0L // no edges: nothing to converge
+    while (!done && iter < maxIter) {
+      // large-star: every strictly-larger neighbor of u re-links to
+      // m(u) = min(Γ(u) ∪ {u}); connectivity-preserving (Kiveris
+      // Lemma 1). Measured note: a dst-keyed no-symmetrize variant
+      // (m(u) from u's smaller neighbors only) shuffles half the rows
+      // but benched ~15% SLOWER at 2M edges (outer-join sort cost eats
+      // the saving), so the symmetrize-then-group form stays.
+      val sym = e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst")))
+      val lsMin = sym.groupBy("src")
+        .agg(least(min("dst"), col("src")).as("m"))
+      // no dedup on ls: duplicates are bounded (≤ one per symmetric
+      // edge), min-agg and the final pair dedup absorb them — an extra
+      // distinct here was a measured per-round shuffle for nothing
+      val ls = sym.join(lsMin, "src").filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+      // small-star: u's smaller neighbors (and u itself) re-link to
+      // the smallest of them
+      val ssMin = ls.groupBy("src").agg(min("dst").as("m"))
+      val ss = ls.join(ssMin, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .unionByName(ssMin.select(col("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct()
+      val t0 = System.nanoTime()
+      val next = ss.localCheckpoint()
+      val t1 = System.nanoTime()
+      val nfp = fingerprint(next)
+      if (spark.conf.getOption("spark.graft.cc.debug").contains("true"))
+        println(f"[cc] round $iter%d n=${nfp._1}%d " +
+          f"ckpt=${(t1 - t0) / 1e9}%.2f fp=${(System.nanoTime() - t1) / 1e9}%.2f")
+      if (nfp == fp) done = true
+      e = next; fp = nfp
+      iter += 1
+    }
+    require(done, s"connectedComponentsDF did not converge in $maxIter rounds")
+    val roots = e.groupBy("src").agg(min("dst").as("component"))
+    nodes.join(roots, nodes("node") === roots("src"), "left")
+      .select(col("node"),
+        coalesce(col("component"), col("node")).as("component"))
   }
 
   /** Static PageRank (fixed iterations) → DataFrame(node, rank). */

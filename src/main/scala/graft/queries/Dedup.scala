@@ -168,16 +168,17 @@ object Dedup extends QueryPack {
     * The published pipelines (SlimPajama, BigCode/StarCoder dedup)
     * resolve pairs into connected components and keep one document per
     * component. Here: exact pairs (dd2's definition, so the oracle stays
-    * exact) → GraphX connectedComponents (Pregel min-id propagation —
-    * the component label IS the keeper id; rounds = cluster diameter,
-    * which is small for duplicate clusters) → every sampled doc labeled
-    * with its keeper and cluster size. At 100 TB the same composition
-    * runs over dd3's LSH pairs — candidate edges ∝ collisions, never
-    * all-pairs. */
+    * exact) → alternating large-star/small-star components
+    * ([[GraphOps.connectedComponentsDF]] — min-id labels identical to
+    * Pregel's, but all-DataFrame: codegen'd rounds, no GraphX
+    * materialization constant; GraphOpsParitySpec pins the parity) →
+    * every sampled doc labeled with its keeper and cluster size. At
+    * 100 TB the same composition runs over dd3's LSH pairs — candidate
+    * edges ∝ collisions, never all-pairs. */
   private def dd7(s: SparkSession, d: String): DataFrame = {
     val edges = exactPairs(s, d)
       .select(col("a_id").as("src"), col("b_id").as("dst"))
-    val cc = GraphOps.connectedComponents(s, edges)
+    val cc = GraphOps.connectedComponentsDF(s, edges)
     val nodes = t(s, d, "documents")
       .filter(col("doc_id") % 4 === 0).select("doc_id")
     // singleton docs (no near-dup pair) never enter the graph: they keep

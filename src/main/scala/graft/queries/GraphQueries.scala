@@ -38,10 +38,12 @@ object GraphQueries extends QueryPack {
     // FUNCTION — each closure pair produced exactly once, no dedup
     Fixpoint.transitiveClosureFunctional(partEdges(s, d))
 
-  /** g2 — connected components (GraphX) on the nation co-region graph;
-    * components are exactly the regions. */
+  /** g2 — connected components on the nation co-region graph
+    * (components are exactly the regions), through the all-DataFrame
+    * large-star/small-star resolver — the production CC path
+    * (GraphX parity pinned by GraphOpsParitySpec). */
   private def g2(s: SparkSession, d: String): DataFrame =
-    GraphOps.connectedComponents(s, nationEdges(s, d))
+    GraphOps.connectedComponentsDF(s, nationEdges(s, d))
 
   /** g3 — static PageRank, 3 iterations, on the part hierarchy
     * (child→parent edges; mirrors GraphX's exact update
