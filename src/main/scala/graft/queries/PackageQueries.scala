@@ -102,10 +102,51 @@ data Empty(x: int64).
     graft.heroql.HeroQL.compilePackaged(crmPackage, "BigSpenders", "reports", pm)(inst)
   }
 
+  /** pk4 — cascade-delete ordering (`Kernel/README.md:14` "deleted as
+    * a whole operation, which require all other packages that depend
+    * on it are deleted"): with `reports using crm` and a live
+    * crm instance chain (prod ← staging), every out-of-order delete
+    * must refuse — undefine(crm) while reports exists, undefine after
+    * reports leaves while instances live, discard(prod) while staging
+    * inherits — and deleteCascade must then take everything down in
+    * dependency order. The emitted frame is the archive instance's
+    * table, proving the cascade touched ONLY the crm world: its
+    * content is the staging fork's final mutated state, merged out
+    * before the delete. */
+  private def pk4(s: SparkSession, d: String): DataFrame = {
+    val pm = mgr(s)
+    pm.define(PackageDef("crm", tables = Seq("customer")))
+    pm.define(PackageDef("reports", tables = Seq("archive"), using = Seq("crm")))
+    val prod = pm.instantiate("crm", "prod", Map("customer" -> seedDf(s, d)))
+    val staging = pm.instantiateInheriting(prod, "staging")
+    pm.store.update(staging.table("customer"),
+      Map("c_acctbal" -> (col("c_acctbal") + 100.0)), col("c_nationkey") < 10)
+    val rep = pm.instantiate("reports", "rep",
+      Map("archive" -> pm.read(staging, "customer")))
+    // pin the archive BEFORE the deletes: the emitted frame must be the
+    // pre-cascade snapshot, independent of what unpublish does next
+    val archive = pm.read(rep, "archive").localCheckpoint()
+    def mustRefuse(what: String)(f: => Unit): Unit =
+      try { f; throw new IllegalArgumentException(s"$what must refuse") }
+      catch { case _: IllegalStateException => () }
+    mustRefuse("undefine(crm) with dependent reports")(pm.undefine("crm"))
+    mustRefuse("discard(prod) with inheriting staging")(pm.discard(prod))
+    pm.deleteCascade("reports") // rep instance + definition leave
+    mustRefuse("undefine(crm) with live instances")(pm.undefine("crm"))
+    pm.deleteCascade("crm") // staging before prod, then the definition
+    require(pm.dependentsOf("crm").isEmpty)
+    require(!pm.store.exists(prod.table("customer")) &&
+      !pm.store.exists(staging.table("customer")) &&
+      !pm.store.exists(rep.table("archive")),
+      "cascade must unpublish the whole dependent world")
+    archive
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pk1_package_inherit_merge" -> (pk1 _),
     "pk2_package_isolation" -> (pk2 _),
     "pk3_package_decl" -> (pk3 _),
+    "pk4_package_cascade_delete" -> (pk4 _),
   )
 
   private val seedSql =
@@ -128,5 +169,12 @@ data Empty(x: int64).
     "pk3_package_decl" ->
       s"""SELECT c_custkey AS ck, c_name AS name, c_acctbal AS bal
           FROM ($seedSql) WHERE c_acctbal > 5000.0""",
+    // the staging fork's mutated state, archived into reports before
+    // the ordered cascade deletes both packages
+    "pk4_package_cascade_delete" ->
+      s"""SELECT c_custkey, c_name, c_nationkey,
+                 CASE WHEN c_nationkey < 10 THEN c_acctbal + 100.0
+                      ELSE c_acctbal END AS c_acctbal
+          FROM ($seedSql)""",
   )
 }

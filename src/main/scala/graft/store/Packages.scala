@@ -136,11 +136,69 @@ final class PackageManager(val store: TableStore) {
   }
 
   /** Discard an instance: unpublish its namespace in one commit. Files
-    * stay on disk — they may be pointer-shared with other instances. */
+    * stay on disk — they may be pointer-shared with other instances.
+    * REFUSES while inheriting child instances exist (the reference's
+    * delete-ordering rule, `Kernel/README.md:14`: a whole can only go
+    * once everything depending on it has gone) — discard the children
+    * first, or use [[discardCascade]]. */
   def discard(inst: Instance): Unit = {
+    val children = instances.values.filter(_.parent.contains(inst.name))
+    if (children.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot discard instance ${inst.name}: inheriting instance(s) " +
+          s"${children.map(_.name).mkString(", ")} depend on it — " +
+          "discard them first (or discardCascade)")
     val pkg = packages(inst.pkg)
     store.unpublish(pkg.tables.map(inst.table))
     instances -= inst.name
+  }
+
+  /** Discard an instance AND every instance inheriting from it,
+    * children before parents — the ordered whole-operation delete the
+    * reference specifies (`Kernel/README.md:14`). */
+  def discardCascade(inst: Instance): Unit = {
+    instances.values.filter(_.parent.contains(inst.name))
+      .toSeq.sortBy(_.name).foreach(discardCascade)
+    discard(inst)
+  }
+
+  /** Packages that `using`-depend on `pkgName` (direct dependents). */
+  def dependentsOf(pkgName: String): Seq[String] =
+    packages.values.filter(_.using.contains(pkgName)).map(_.name).toSeq.sorted
+
+  /** Delete a package DEFINITION. Refuses while any package depends on
+    * it or any of its instances is still live — "a data package can be
+    * deleted as a whole operation, which require all other packages
+    * that depend on it are deleted" (`Kernel/README.md:14`). */
+  def undefine(pkgName: String): Unit = {
+    require(packages.contains(pkgName), s"unknown package $pkgName")
+    val deps = dependentsOf(pkgName)
+    if (deps.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot delete package $pkgName: package(s) " +
+          s"${deps.mkString(", ")} depend on it — delete them first " +
+          "(or deleteCascade)")
+    val live = instances.values.filter(_.pkg == pkgName).map(_.name).toSeq.sorted
+    if (live.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot delete package $pkgName: live instance(s) " +
+          s"${live.mkString(", ")} — discard them first (or deleteCascade)")
+    packages -= pkgName
+  }
+
+  /** Whole-package cascade delete in reverse dependency order:
+    * dependent packages go first (recursively), each package's
+    * instances discard children-before-parents, then the definition
+    * leaves. After this, nothing in the module references `pkgName`. */
+  def deleteCascade(pkgName: String): Unit = {
+    require(packages.contains(pkgName), s"unknown package $pkgName")
+    dependentsOf(pkgName).foreach(deleteCascade)
+    instances.values.filter(_.pkg == pkgName).toSeq
+      .filter(_.parent.isEmpty).sortBy(_.name).foreach(discardCascade)
+    // orphans whose parents were discarded earlier in this cascade
+    instances.values.filter(_.pkg == pkgName).toSeq
+      .sortBy(_.name).foreach(discardCascade)
+    undefine(pkgName)
   }
 
   def read(inst: Instance, logical: String): DataFrame =

@@ -68,10 +68,19 @@ class PackagesSpec extends SparkSpec {
     pm.define(PackageDef("p", tables = Seq("t")))
     val base = pm.instantiate("p", "base", Map("t" -> seedDf))
     val fork = pm.instantiateInheriting(base, "fork")
-    pm.discard(base)
-    assert(!pm.store.exists("base::t"))
-    // fork's manifest still points at the (undeleted) parent data files
-    assert(pm.read(fork, "t").count() == 3)
+    // ordering rule (Kernel/README.md:14): the inheriting child goes
+    // first; its manifest pointed at the parent's files, and the
+    // unpublish must not have deleted them out from under the parent
+    pm.discard(fork)
+    assert(!pm.store.exists("fork::t"))
+    assert(pm.read(base, "t").count() == 3)
+    // and a reader holding the child's snapshot across the discard
+    // stays serviceable — unpublish removes names, never files
+    val refork = pm.instantiateInheriting(base, "refork")
+    val pinned = pm.read(refork, "t")
+    pm.discardCascade(base) // refork then base, dependency order
+    assert(!pm.store.exists("base::t") && !pm.store.exists("refork::t"))
+    assert(pinned.count() == 3)
   }
 
   test("module rules: duplicate instance name and unknown dependency rejected") {
@@ -118,5 +127,39 @@ class PackagesSpec extends SparkSpec {
     // the declaring package itself reaches its private query
     assert(graft.heroql.HeroQL.compilePackaged(src, "Internal", "core", pm)(inst)
       .count() == 2)
+  }
+
+  test("cascade delete: refusals in every out-of-order case, then ordered teardown") {
+    import spark.implicits._
+    val pm = freshMgr()
+    pm.define(PackageDef("base", tables = Seq("T")))
+    pm.define(PackageDef("mid", tables = Seq("U"), using = Seq("base")))
+    pm.define(PackageDef("top", tables = Seq("V"), using = Seq("mid")))
+    val prod = pm.instantiate("base", "prod",
+      Map("T" -> Seq((1L, 2L)).toDF("a", "b")))
+    val fork = pm.instantiateInheriting(prod, "fork")
+    val grand = pm.instantiateInheriting(fork, "grand")
+    pm.instantiate("mid", "m1", Map("U" -> Seq(1L).toDF("u")))
+    // refusal 1: a package with dependents cannot be undefined
+    val e1 = intercept[IllegalStateException](pm.undefine("base"))
+    assert(e1.getMessage.contains("mid"))
+    // refusal 2: transitive — mid still has top depending on it
+    val e2 = intercept[IllegalStateException](pm.undefine("mid"))
+    assert(e2.getMessage.contains("top"))
+    // refusal 3: an instance with inheriting children cannot discard
+    val e3 = intercept[IllegalStateException](pm.discard(prod))
+    assert(e3.getMessage.contains("fork"))
+    val e3b = intercept[IllegalStateException](pm.discard(fork))
+    assert(e3b.getMessage.contains("grand"))
+    // refusal 4: dependents gone but instances still live
+    pm.deleteCascade("top")
+    pm.deleteCascade("mid")
+    val e4 = intercept[IllegalStateException](pm.undefine("base"))
+    assert(e4.getMessage.contains("prod") || e4.getMessage.contains("instance"))
+    // the ordered whole-operation delete: grand → fork → prod → defn
+    pm.deleteCascade("base")
+    assert(!pm.store.exists(prod.table("T")) &&
+      !pm.store.exists(fork.table("T")) && !pm.store.exists(grand.table("T")))
+    intercept[IllegalArgumentException](pm.undefine("base")) // already gone
   }
 }
