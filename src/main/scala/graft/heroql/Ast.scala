@@ -39,6 +39,21 @@ object Ast {
       items: Seq[Item],
       isPublic: Boolean = false)
 
+  /** `procedure Name(arg: type, ...) { stmt; stmt; ... }` — a named,
+    * stored, parameterized multi-statement body. The reference
+    * reserves the keyword and includes procedures in a package's
+    * content ("a data package includes schema, data, procedures",
+    * `Kernel/README.md:9`; `PROCEDURE` in the content grammar,
+    * `Kernel/README.md:20`) but never defines the statement grammar;
+    * this is the minimal faithful form: each statement is a
+    * transaction-shaped conjunction (binding prefix, then mutations in
+    * order), statements run sequentially WITH read-your-writes, and
+    * the whole body publishes as ONE atomic commit. Parameters
+    * substitute as readonly constants at call time (the global-value
+    * rule, `Kernel/README.md:247-249`, applied per invocation). */
+  final case class ProcedureDecl(name: String, inArgs: Seq[(String, String)],
+      stmts: Seq[Conj], isPublic: Boolean = false)
+
   /** `for query(vars) :- body ( set T(...); ... )` —
     * `Kernel/Drafts/draft:138-142`: iterate a query, mutate per row;
     * lowered to ONE bulk merge per action over the derived row set,
@@ -76,7 +91,8 @@ object Ast {
       fors: Seq[ForQuery] = Seq.empty,
       pkg: Option[PackageHeader] = None,
       indexes: Seq[IndexDecl] = Seq.empty,
-      globals: Seq[(String, Lit)] = Seq.empty)
+      globals: Seq[(String, Lit)] = Seq.empty,
+      procedures: Seq[ProcedureDecl] = Seq.empty)
 
   /** `func Name(in a, out b); case Name(0, 1); case Name(a, b) :- ... ;`
     * (`Kernel/Drafts/draft:75-89`): multi-clause moded function with

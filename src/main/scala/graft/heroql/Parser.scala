@@ -147,6 +147,7 @@ object Parser {
       val fors = Seq.newBuilder[ForQuery]
       val indexes = Seq.newBuilder[IndexDecl]
       val globals = Seq.newBuilder[(String, Lit)]
+      val procedures = Seq.newBuilder[ProcedureDecl]
       val funcs = scala.collection.mutable.LinkedHashMap.empty[String, FuncDecl]
       // `package NAME using P1, P2;` header — the rest of the text is the
       // package body (`Kernel/README.md:256-264`)
@@ -202,6 +203,9 @@ object Parser {
           case Some(TId("transaction")) =>
             val t = transactionDecl().copy(isPublic = pub)
             transactions += t.copy(name = reg(qual(ns, t.name)))
+          case Some(TId("procedure")) =>
+            val p = procedureDecl().copy(isPublic = pub)
+            procedures += p.copy(name = reg(qual(ns, p.name)))
           case Some(TId("for")) => fors += forQuery()
           case Some(TId("func")) =>
             val f = funcDecl()
@@ -227,7 +231,7 @@ object Parser {
       while (peek.isDefined) decl("")
       Program(datas.result(), queries.result(), funcs.values.toSeq,
         unions.result(), transactions.result(), fors.result(), pkg,
-        indexes.result(), globals.result())
+        indexes.result(), globals.result(), procedures.result())
     }
 
     /** Global readonly values are CONSTANTS (`Kernel/README.md:248`
@@ -326,6 +330,36 @@ object Parser {
       if (!items.exists(_.isInstanceOf[Mutation]))
         throw ParseError(s"transaction query $name has no mutation statements", pos)
       TransactionDecl(name, args, items)
+    }
+
+    /** `procedure Name(arg: type, ...) { stmt; stmt; ... }` — the
+      * reference's reserved-but-unspecified procedure form
+      * (`Kernel/README.md:9,20`; see [[Ast.ProcedureDecl]]). Each
+      * statement is a transaction-shaped conjunction terminated by
+      * `;`; at least one statement must mutate (a procedure that only
+      * reads would be a query). */
+    def procedureDecl(): ProcedureDecl = {
+      expectId() // procedure
+      val name = expectId()
+      rejectReservedName("procedure", name)
+      expectSym("(")
+      val args = looseArgList()
+      expectSym(")")
+      expectSym("{")
+      val stmts = Seq.newBuilder[Conj]
+      while (!at("}")) {
+        val items = conj().items
+        expectSym(";")
+        stmts += Conj(items)
+      }
+      expectSym("}")
+      val result = stmts.result()
+      if (result.isEmpty)
+        throw ParseError(s"procedure $name has an empty body", pos)
+      if (!result.exists(_.items.exists(_.isInstanceOf[Mutation])))
+        throw ParseError(
+          s"procedure $name has no mutation statements — use 'query' for reads", pos)
+      ProcedureDecl(name, args, result)
     }
 
     /** `for query(vars) :- body ( set T(...); remove T(...); ... )`
@@ -1080,6 +1114,11 @@ object Parser {
       },
       transactions = prog.transactions.map(t =>
         t.copy(items = mapItems(nsOf(t.name), t.items, t.inArgs.map(_._1).toSet))),
+      procedures = prog.procedures.map { p =>
+        val paramBound = p.inArgs.map(_._1).toSet
+        p.copy(stmts = p.stmts.map(c =>
+          Conj(mapItems(nsOf(p.name), c.items, paramBound))))
+      },
       fors = prog.fors.map(fq => ForQuery(fq.vars, mapBody("", fq.body, fq.vars.toSet),
         mapItems("", fq.actions, fq.vars.toSet).collect { case m: Mutation => m })),
       indexes = prog.indexes.map { ix =>

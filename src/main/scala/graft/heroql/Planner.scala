@@ -1761,6 +1761,106 @@ object HeroQL {
     }
   }
 
+  /** Execute a `procedure Name(args) { stmt; stmt; }` declaration
+    * ([[Ast.ProcedureDecl]]; `Kernel/README.md:9,20` reserve the form)
+    * against a store: parameters substitute as readonly constants (the
+    * per-invocation analogue of global values), each statement's
+    * non-mutation prefix binds rows and its mutations apply in order,
+    * statements see earlier statements' writes (read-your-writes
+    * through the txn view), and the WHOLE body publishes as one atomic
+    * commit — an exception in any statement publishes nothing. */
+  def executeProcedure(program: String, name: String,
+      params: Map[String, Any], store: graft.store.TableStore,
+      catalog: Map[String, DataFrame] = Map.empty): Unit = {
+    val ast = Parser.parse(program)
+    val decls = ast.datas.map(d => d.name -> d).toMap
+    val queryDecls = ast.queries.map(q => q.name -> q).toMap
+    val funcs = ast.funcs.map(f => f.name -> f).toMap
+    val pd = ast.procedures.find(_.name == name)
+      .getOrElse(throw Analyzer.AnalysisError(s"no procedure named $name"))
+    val declared = pd.inArgs.map(_._1)
+    if (declared.toSet != params.keySet)
+      throw Analyzer.AnalysisError(
+        s"procedure $name expects (${declared.mkString(", ")}), " +
+          s"got (${params.keys.toSeq.sorted.mkString(", ")})")
+    val lits: Map[String, Lit] = params.map { case (k, v) =>
+      k -> (v match {
+        case i: Int => LInt(i.toLong)
+        case l: Long => LInt(l)
+        case d: Double => LDouble(d)
+        case s: String => LString(s)
+        case b: Boolean => LBool(b)
+        case other => throw Analyzer.AnalysisError(
+          s"procedure $name: unsupported parameter value $other for $k")
+      })
+    }
+    val uniques = uniqueIndexes(ast)
+    store.transaction { tx =>
+      pd.stmts.foreach { stmt =>
+        val items = substParams(stmt.items, lits)
+        Analyzer.analyzeConj(decls, queryDecls, Conj(items), Set.empty, funcs)
+        // re-resolve store tables PER STATEMENT: statement N must read
+        // statement N-1's buffered writes, not the txn-open snapshot
+        val storeTables = decls.keys
+          .filter(t => !catalog.contains(t) && tx.exists(t))
+          .map(t => t -> tx.read(t)).toMap
+        val planner = new Planner(decls, queryDecls, catalog ++ storeTables,
+          funcs, ast.unions.map(u => u.name -> u).toMap)
+        val (prefix, rest) = items.span(!_.isInstanceOf[Mutation])
+        val bindings =
+          if (prefix.isEmpty) store.spark.range(1).toDF("__unit")
+          else planner.planItems(prefix)
+        rest.foreach {
+          case m: Mutation => applyMutation(tx, decls, m, bindings, uniques)
+          case other => throw Analyzer.AnalysisError(
+            s"procedure $name: items after the first mutation in a " +
+              s"statement must be mutations, got $other")
+        }
+      }
+    }
+  }
+
+  /** Substitute procedure parameters as literal constants through a
+    * statement's items — parameters are READONLY (the global-value
+    * rule): a data-atom pattern occurrence reads as the constant, it
+    * never rebinds. */
+  private def substParams(items: Seq[Item], params: Map[String, Lit]): Seq[Item] = {
+    def mE(e: Expr): Expr = e match {
+      case EVar(n) if !n.contains('.') && params.contains(n) => ELit(params(n))
+      case _: EVar | _: ELit => e
+      case EUnary(op, x) => EUnary(op, mE(x))
+      case EBinary(op, l, r) => EBinary(op, mE(l), mE(r))
+      case ECall(f, as) => ECall(f, as.map(mE))
+      case ECmp(op, l, r) => ECmp(op, mE(l), mE(r))
+      case EAnd(l, r) => EAnd(mE(l), mE(r))
+      case EOr(l, r) => EOr(mE(l), mE(r))
+      case ENot(x) => ENot(mE(x))
+      case EIf(c, t, el) => EIf(mE(c), mE(t), el.map(mE))
+      case EInterp(parts) => EInterp(parts.map(_.map(mE)))
+      case EConstruct(v, fs) => EConstruct(v, fs.map { case (k, x) => (k, mE(x)) })
+    }
+    def mT(t: Term): Term = t match {
+      case TVar(n) if params.contains(n) => TConst(params(n))
+      case TExpr(e) => TExpr(mE(e))
+      case other => other
+    }
+    def mA(a: Atom): Atom = a.copy(args = a.args.map(mT))
+    items.map {
+      case a: Atom => mA(a)
+      case Negation(a) => Negation(mA(a))
+      case Existence(a) => Existence(mA(a))
+      case Mutation(k, a) => Mutation(k, mA(a))
+      case Binding(o, v) => Binding(o, mE(v))
+      case RankBinding(o, k, d) => RankBinding(o, mE(k), d)
+      case Compare(op, l, r) => Compare(op, mE(l), mE(r))
+      case Filter(c) => Filter(mE(c))
+      case Ensure(c) => Ensure(mE(c))
+      case SubQuery(ov, b) =>
+        SubQuery(ov, Body(b.alts.map(c => Conj(substParams(c.items, params)))))
+      case other => other
+    }
+  }
+
   /** `package NAME using ...; [public] query ...` declaration text
     * (`Kernel/README.md:256-264`) registered with a [[graft.store
     * .PackageManager]]: tables = the program's `data` declarations,

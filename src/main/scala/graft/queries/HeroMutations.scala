@@ -155,7 +155,39 @@ index Roster { Unique(student) }
     st.read("Roster")
   }
 
+  private val procedureProgram = """
+data Exams(student: string, score: int).
+data Honors(student: string, score: int).
+data Bonus(student: string, amount: int).
+
+procedure Graduate(cutoff: int64, bonus: int64) {
+    Exams(student, score), score > cutoff, @insert Honors(student, score);
+    Honors(student, score), b <- score + bonus, @insert Bonus(student, b);
+    Exams(student, score), score > cutoff, @remove Exams(student, score);
+}
+"""
+
+  /** hm7 — `procedure Name(args) { stmt; stmt; }` (the reference's
+    * reserved procedure form, `Kernel/README.md:9,20`): three
+    * statements with read-your-writes — statement 2 derives Bonus from
+    * the Honors rows statement 1 JUST inserted (an empty Bonus proves
+    * RYW broke), statement 3 removes the promoted Exams rows — all in
+    * ONE atomic commit, parameters substituted as readonly constants.
+    * Result = all three tables tagged; the oracle states the same
+    * three-way split relationally. */
+  private def hm7(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s, d)
+    HeroQL.executeProcedure(procedureProgram, "Graduate",
+      Map("cutoff" -> 300000L, "bonus" -> 1000L), st)
+    st.read("Exams").withColumn("bucket", lit("live"))
+      .unionByName(st.read("Honors").withColumn("bucket", lit("honors")))
+      .unionByName(st.read("Bonus")
+        .select(col("student"), col("amount").as("score"))
+        .withColumn("bucket", lit("bonus")))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hm7_procedure" -> (hm7 _),
     "hm1_hql_insert" -> (hm1 _),
     "hm2_hql_update" -> (hm2 _),
     "hm3_hql_remove" -> (hm3 _),
@@ -201,6 +233,17 @@ index Roster { Unique(student) }
     "hm5_for_set" ->
       s"""SELECT student, score + 1000 AS amount FROM ($seedSql)
          WHERE score > 300000""",
+    // high rows move to honors (with a bonus row each), the rest stay
+    // live — the b <- score + bonus binding lands as amount
+    "hm7_procedure" ->
+      s"""SELECT student, score, 'live' AS bucket FROM ($seedSql)
+         WHERE NOT score > 300000
+         UNION ALL
+         SELECT student, score, 'honors' AS bucket FROM ($seedSql)
+         WHERE score > 300000
+         UNION ALL
+         SELECT student, score + 1000 AS score, 'bonus' AS bucket
+         FROM ($seedSql) WHERE score > 300000""",
     // seed (%10 = 0) + the admitted batch (%10 = 1); both rejected
     // batches must leave no trace
     "hm6_unique_index" ->

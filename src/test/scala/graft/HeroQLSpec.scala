@@ -31,6 +31,34 @@ class HeroQLParserSpec extends AnyFunSuite {
       Compare("<", EVar("order"), ELit(LInt(10)))))
   }
 
+  test("golden: procedure declaration parses to the expected AST") {
+    val p = Parser.parse(
+      """data Exams(student: string, score: int).
+        |data Honors(student: string, score: int).
+        |procedure Graduate(cutoff: int64) {
+        |    Exams(student, score), score > cutoff, @insert Honors(student, score);
+        |    Exams(student, score), score > cutoff, @remove Exams(student, score);
+        |}
+        |""".stripMargin)
+    assert(p.procedures.size == 1)
+    val pd = p.procedures.head
+    assert(pd.name == "Graduate" && !pd.isPublic)
+    assert(pd.inArgs == Seq("cutoff" -> "int64"))
+    assert(pd.stmts.size == 2)
+    assert(pd.stmts.head.items == Seq(
+      Atom("Exams", Seq(TVar("student"), TVar("score"))),
+      Compare(">", EVar("score"), EVar("cutoff")),
+      Mutation("insert", Atom("Honors", Seq(TVar("student"), TVar("score"))))))
+    assert(pd.stmts(1).items.last ==
+      Mutation("remove", Atom("Exams", Seq(TVar("student"), TVar("score")))))
+    // a read-only body is a query, not a procedure
+    val e = intercept[Parser.ParseError](Parser.parse(
+      """data T(x: int64).
+        |procedure Nop(k: int64) { T(x), x > k; }
+        |""".stripMargin))
+    assert(e.getMessage.contains("no mutation statements"))
+  }
+
   test("builtin scalar call parses as ECall; non-builtin name(...) stays an atom") {
     val p = Parser.parse(
       """data Docs(id: int64, text: string).
@@ -1040,6 +1068,51 @@ index Roster { Unique(student) }
           col("id").cast("int").as("score")), st)
     }
     assert(e2.getMessage.contains("within the inserted batch"))
+  }
+
+  test("procedure: read-your-writes across statements, atomic failure, param checks") {
+    import org.apache.spark.sql.functions._
+    val prog = """
+data T(x: int64).
+data U(x: int64).
+data V(x: int64).
+procedure Chain(k: int64) {
+    T(x), x > k, @insert U(x);
+    U(x), y <- x * 10, @insert V(y);
+}
+procedure Bad(k: int64) {
+    T(x), @insert U(x);
+    T(x), ensure x < k, @insert V(x);
+}
+"""
+    def fresh() = {
+      val st = new graft.store.TableStore(spark,
+        java.nio.file.Files.createTempDirectory("graft-proc-").toString)
+      st.create("T", spark.range(1, 6).select(col("id").as("x")))
+      st
+    }
+    // statement 2 reads the U rows statement 1 just inserted (RYW)
+    val st = fresh()
+    graft.heroql.HeroQL.executeProcedure(prog, "Chain", Map("k" -> 3L), st)
+    assert(st.read("U").collect().map(_.getLong(0)).sorted.toSeq === Seq(4L, 5L))
+    assert(st.read("V").collect().map(_.getLong(0)).sorted.toSeq === Seq(40L, 50L))
+    // a failure in statement 2 publishes NOTHING — not even statement 1
+    val st2 = fresh()
+    val commits = st2.commitCount()
+    intercept[Exception] {
+      graft.heroql.HeroQL.executeProcedure(prog, "Bad", Map("k" -> 3L), st2)
+    }
+    assert(st2.commitCount() === commits, "failed procedure must not commit")
+    assert(!st2.exists("U") && !st2.exists("V"))
+    // parameter names are checked against the declaration
+    val e = intercept[graft.heroql.Analyzer.AnalysisError] {
+      graft.heroql.HeroQL.executeProcedure(prog, "Chain", Map("wrong" -> 1L), st2)
+    }
+    assert(e.getMessage.contains("expects (k)"))
+    val e2 = intercept[graft.heroql.Analyzer.AnalysisError] {
+      graft.heroql.HeroQL.executeProcedure(prog, "Nope", Map.empty, st2)
+    }
+    assert(e2.getMessage.contains("no procedure named"))
   }
 
   test("Unique index gates @insert inside transaction and for blocks too") {
