@@ -455,21 +455,58 @@ final class Planner(decls: Map[String, DataDecl],
       var delta = base
       var iter = 0
       var done = false
-      while (!done && iter < maxIter) {
-        val derived = recAlts.map { c =>
+      // one logical derivation step, LAZY: the step's delta/acc bindings
+      // are whatever frames the caller passes (materialized RDDs for the
+      // round's first step, in-flight lazy plans for batched follow-ons)
+      def step(stepDelta: DataFrame, stepAcc: DataFrame): DataFrame =
+        restrict(recAlts.map { c =>
           val linear = conjRefCount(c, q.name, through = true) == 1 &&
             c.items.count { case a: Atom => a.rel == q.name; case _ => false } == 1
-          recursionBinding += (q.name -> (if (linear) delta else acc))
+          recursionBinding += (q.name -> (if (linear) stepDelta else stepAcc))
           try headed(q, planConj(c))
           finally recursionBinding -= q.name
-        }.reduce(_ union _)
-        val fresh = restrict(derived).except(acc).localCheckpoint()
+        }.reduce(_ union _))
+      while (!done && iter < maxIter) {
+        val t0 = System.nanoTime()
+        // batch fixpointBatchRounds logical steps into ONE materialized
+        // round: profiling (round 12) pinned the per-round cost to the
+        // except+checkpoint JOB itself (~0.55s at sf0.1 — scheduling +
+        // re-shuffling the accumulated set per round), with plan-build
+        // and the take(1) probe both under 50ms. Chaining B steps
+        // lazily before the single except divides the number of those
+        // jobs by B. Semantics are unchanged: step k+1 consumes step
+        // k's RESTRICTED lazy output (exactly what the next round would
+        // have been handed post-dedup, plus possibly already-known
+        // tuples that the closing except removes — multiplicity never
+        // matters because aggregation inside recursion is rejected as
+        // non-stratified above), and non-linear alternatives bind the
+        // accumulator extended with the in-flight step outputs.
+        var stepIn = delta
+        var stepAcc = acc
+        val outs = Seq.newBuilder[DataFrame]
+        var b = 0
+        while (b < Planner.fixpointBatchRounds && iter + b < maxIter) {
+          val d = step(stepIn, stepAcc)
+          outs += d
+          stepAcc = stepAcc.union(d)
+          stepIn = d
+          b += 1
+        }
+        val t1 = System.nanoTime()
+        val fresh = outs.result().reduce(_ union _).except(acc).localCheckpoint()
+        val t2 = System.nanoTime()
         if (fresh.take(1).isEmpty) done = true
         else {
           deltas ::= fresh
           delta = fresh
         }
-        iter += 1
+        val t3 = System.nanoTime()
+        if (Planner.fixpointTraceEnabled)
+          // format: round, driver plan-build ms, except+checkpoint job
+          // ms, convergence-probe ms — the three candidate costs behind
+          // the measured ~0.35s/round constant (SURVEY §9)
+          println(f"fixpoint-trace ${q.name} round=$iter steps=$b plan=${(t1 - t0) / 1e6}%.0fms job=${(t2 - t1) / 1e6}%.0fms probe=${(t3 - t2) / 1e6}%.0fms")
+        iter += b
       }
       if (Planner.fixpointStatsEnabled)
         Planner.lastFixpointAccRows = deltas.map(_.count()).sum
@@ -1404,6 +1441,25 @@ object Planner {
     * extra jobs for a spec-only counter. */
   private[graft] var fixpointStatsEnabled: Boolean = false
   private[graft] var lastFixpointAccRows: Long = -1L
+
+  /** Per-round phase timing to stdout (plan-build / job / probe) for
+    * profiling the fixpoint's fixed per-round overhead. Env-gated so
+    * production runs pay nothing. */
+  private[graft] val fixpointTraceEnabled: Boolean =
+    sys.env.contains("GRAFT_FIXPOINT_TRACE")
+
+  /** Logical derivation steps chained lazily per materialized fixpoint
+    * round. Profiling showed the per-round except+checkpoint job is the
+    * fixed cost (~0.55s at sf0.1, vs <50ms of planning); batching B
+    * steps per job divides the job count by B for depth-bound
+    * recursions. Bounded small: each chained step inlines the previous
+    * step's plan, so B also multiplies the closing job's plan depth —
+    * measured on hq21 warm at sf0.01: B=1 3.9s, B=2 3.0s, B=3 2.6s,
+    * B=4 3.2s (the deeper plan's Catalyst cost eats the scheduling
+    * savings past 3). Mutable so specs can pin 1 (the classic
+    * one-step semi-naïve) and assert result parity. */
+  private[graft] var fixpointBatchRounds: Int =
+    sys.env.get("GRAFT_FIXPOINT_BATCH").map(_.toInt).getOrElse(3)
 
   /** Round cap for the rule fixpoint — a diagnostic backstop against
     * value-generating recursion (x <- y + 1 derives a fresh tuple every

@@ -36,7 +36,15 @@ object Fixpoint {
     val conf = spark.conf
     val aqeWas = conf.get("spark.sql.adaptive.enabled", "true")
     val shufWas = conf.get("spark.sql.shuffle.partitions", "32")
+    val codegenWas = conf.get("spark.sql.codegen.wholeStage", "true")
     conf.set("spark.sql.adaptive.enabled", "false")
+    // every fixpoint round's plan is UNIQUE (fresh checkpoint RDD ids,
+    // a growing delta union), so whole-stage codegen recompiles every
+    // stage every round — Janino time, not data time. Interpreted
+    // execution of the small per-round frames is strictly cheaper
+    // (measured: hq21 per-step job 0.45s → see SURVEY §12 round-12).
+    conf.set("spark.sql.codegen.wholeStage",
+      sys.env.getOrElse("GRAFT_FIXPOINT_CODEGEN", "false"))
     // default fan suits SMALL per-round state (recursive-rule deltas);
     // a loop whose rounds shuffle the whole input (CC over an edge
     // corpus) passes the full parallelism instead — 8 tasks sorting
@@ -47,6 +55,7 @@ object Fixpoint {
     finally {
       conf.set("spark.sql.adaptive.enabled", aqeWas)
       conf.set("spark.sql.shuffle.partitions", shufWas)
+      conf.set("spark.sql.codegen.wholeStage", codegenWas)
     }
   }
 

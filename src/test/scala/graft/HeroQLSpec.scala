@@ -418,6 +418,48 @@ class HeroQLParserSpec extends AnyFunSuite {
     } finally Planner.edbCacheMaxBytes = was
   }
 
+  test("fixpoint round batching is result-invariant (linear, non-linear, demanded)") {
+    // batching chains B logical steps per except+checkpoint job; the
+    // result set must be byte-identical to classic one-step semi-naïve
+    // for every rule shape the loop accepts
+    val linearSrc =
+      """data E(a: int64, b: int64).
+        |query Reach(a: int64, b: int64)
+        |:- E(a, b)
+        |;  E(a, m), Reach(m, b)
+        |.""".stripMargin
+    val nonLinearSrc =
+      """data E(a: int64, b: int64).
+        |query Conn(a: int64, b: int64)
+        |:- E(a, b)
+        |;  Conn(a, m), Conn(m, b)
+        |.""".stripMargin
+    val demandedSrc =
+      """data E(a: int64, b: int64).
+        |query Reach(a: int64, b: int64)
+        |:- E(a, b)
+        |;  E(a, m), Reach(m, b)
+        |.
+        |query From2(b: int64)
+        |:- Reach(2, b)
+        |.""".stripMargin
+    def run(src: String, name: String): Set[Seq[Long]] =
+      HeroQL.compile(src, name, Map("E" -> chainEdges))
+        .collect().map(r => (0 until r.length).map(r.getLong)).toSet
+    val was = Planner.fixpointBatchRounds
+    try {
+      for ((src, name) <- Seq(linearSrc -> "Reach", nonLinearSrc -> "Conn",
+          demandedSrc -> "From2")) {
+        Planner.fixpointBatchRounds = 1
+        val oneStep = run(src, name)
+        Planner.fixpointBatchRounds = 3
+        val batched = run(src, name)
+        assert(batched == oneStep,
+          s"$name: extra=${batched -- oneStep} missing=${oneStep -- batched}")
+      }
+    } finally Planner.fixpointBatchRounds = was
+  }
+
   test("demand at an invariant position seeds the fixpoint; non-invariant demand falls back") {
     // Reach(a, b) :- E(a, b) ; E(a, m), Reach(m, b).
     // position 1 (b) is invariant (the self-atom carries the head's b);
