@@ -1,0 +1,219 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.heroql.{Analyzer, HeroQL, Parser}
+import graft.store.TableStore
+
+/** Interactive HeroQL shell over a warehouse directory — the human
+  * front door to the engine (the reference's `StartWithDB` REPL loop
+  * role; its kernel is driven by tests only, the designed surface
+  * assumes an interactive host).
+  *
+  * Usage: `runMain graft.Repl <dataDir> [storeDir]`
+  *
+  * `dataDir` — a directory of `<name>.parquet` tables (e.g. the driver
+  * warehouses under /root/testdata/sf*); each binds a `data <name>(…)`
+  * declaration, fields selected by name. `storeDir` — optional
+  * [[TableStore]] root for mutating statements (`:exec`, `:for`,
+  * `:call`); its tables also join the read catalog.
+  *
+  * The session accumulates declaration text; lines starting with `:`
+  * are commands (`:help` lists them). Declarations parse eagerly on
+  * every block so syntax errors surface at entry, not at `:run`.
+  */
+object Repl {
+
+  private val helpText =
+    """HeroQL declarations (data/query/func/union/index/transaction/for/
+      |procedure …) accumulate; terminate each with '.'. Commands:
+      |  :tables           list bound tables (parquet + store)
+      |  :schema <table>   show a bound table's schema
+      |  :run <Query> [n]  evaluate a declared query, print first n rows (20)
+      |  :check            parse the accumulated program, report errors
+      |  :program          show the accumulated program text
+      |  :reset            clear the accumulated program
+      |  :exec <Txn>       run a declared 'transaction query' against the store
+      |  :for              run the program's 'for query' statements against the store
+      |  :call <P>(k=v,…)  run a declared procedure (int/double/"str"/bool params)
+      |  :help             this text
+      |  :quit             exit""".stripMargin
+
+  /** One REPL session over explicit I/O — the `main` wires stdin/stdout;
+    * ReplSpec drives a scripted iterator. Returns the number of
+    * successfully executed commands (smoke-spec observability). */
+  def session(input: Iterator[String], out: String => Unit,
+      spark: SparkSession, dataDir: String,
+      storeDir: Option[String]): Int = {
+    val store = storeDir.map(new TableStore(spark, _))
+    val parquetTables: Map[String, Path] = {
+      val p = Paths.get(dataDir)
+      if (!Files.isDirectory(p)) Map.empty
+      else Files.list(p).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(f => f.getFileName.toString.stripSuffix(".parquet") -> f)
+        .toMap
+    }
+    // mutating statements get ONLY the file tables: the store's tables
+    // must resolve through the transaction view (read-your-writes
+    // between a procedure's statements), which executeTransaction /
+    // executeFor / executeProcedure only do for relations the passed
+    // catalog does NOT already bind
+    def fileCatalog(): Map[String, DataFrame] =
+      parquetTables.map { case (n, f) => n -> spark.read.parquet(f.toString) }
+    def catalog(): Map[String, DataFrame] = {
+      val stored = store.toSeq.flatMap(s =>
+        s.tables.map(n => n -> s.read(n))).toMap
+      fileCatalog() ++ stored // a store table shadows a same-named file
+    }
+    var program = new StringBuilder
+    var ok = 0
+    var done = false
+
+    def render(df: DataFrame, n: Int): String = {
+      val names = df.schema.fieldNames
+      val rows = df.limit(n + 1).collect()
+      val shown = rows.take(n).map(_.toSeq.map {
+        case null => "null"
+        case v => v.toString
+      })
+      val widths = names.indices.map(i =>
+        (names(i).length +: shown.map(_(i).length)).max)
+      def line(cells: Seq[String]) = cells.zip(widths)
+        .map { case (c, w) => c.padTo(w, ' ') }.mkString("| ", " | ", " |")
+      val header = line(names.toSeq)
+      val body = shown.map(line)
+      val more = if (rows.length > n) s"… (more than $n rows)" else s"${shown.length} row(s)"
+      (header +: "-" * header.length +: body :+ more).mkString("\n")
+    }
+
+    def attempt(label: String)(f: => Unit): Unit =
+      try { f; ok += 1 }
+      catch {
+        case e: Analyzer.AnalysisError => out(s"$label: ${e.getMessage}")
+        case e: Parser.ParseError => out(s"$label: ${e.getMessage}")
+        case e: Exception => out(s"$label: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+
+    def requireStore(): TableStore = store.getOrElse(
+      throw Analyzer.AnalysisError(
+        "no store bound — start the REPL with a second <storeDir> argument"))
+
+    // :call parameter literals: int / double / "string" / true / false
+    def parseParams(s: String): Map[String, Any] =
+      if (s.trim.isEmpty) Map.empty
+      else s.split(",").map { kv =>
+        val Array(k, v) = kv.split("=", 2).map(_.trim)
+        val value: Any =
+          if (v == "true") true
+          else if (v == "false") false
+          else if (v.startsWith("\"") && v.endsWith("\"")) v.substring(1, v.length - 1)
+          else if (v.matches("-?\\d+")) v.toLong
+          else if (v.matches("-?\\d*\\.\\d+")) v.toDouble
+          else throw Analyzer.AnalysisError(s"unsupported parameter literal: $v")
+        k -> value
+      }.toMap
+
+    while (!done && input.hasNext) {
+      val lineRaw = input.next()
+      val line = lineRaw.trim
+      if (line.startsWith(":")) {
+        val (cmd, rest) = line.indexOf(' ') match {
+          case -1 => (line, "")
+          case i => (line.substring(0, i), line.substring(i + 1).trim)
+        }
+        cmd match {
+          case ":quit" => done = true; ok += 1
+          case ":help" => out(helpText); ok += 1
+          case ":tables" =>
+            val names = catalog().keys.toSeq.sorted
+            out(if (names.isEmpty) "(no tables)" else names.mkString(" "))
+            ok += 1
+          case ":schema" => attempt(":schema") {
+            val c = catalog()
+            val df = c.getOrElse(rest, throw Analyzer.AnalysisError(
+              s"no table named $rest (have: ${c.keys.toSeq.sorted.mkString(", ")})"))
+            out(df.schema.fields.map(f =>
+              s"${f.name}: ${f.dataType.simpleString}").mkString("\n"))
+          }
+          case ":program" =>
+            out(if (program.isEmpty) "(empty)" else program.toString.trim); ok += 1
+          case ":reset" => program = new StringBuilder; ok += 1
+          case ":check" => attempt(":check") {
+            Parser.parse(program.toString)
+            out("ok")
+          }
+          case ":run" => attempt(":run") {
+            val parts = rest.split("\\s+").filter(_.nonEmpty)
+            if (parts.isEmpty)
+              throw Analyzer.AnalysisError(":run needs a query name")
+            val n = if (parts.length > 1) parts(1).toInt else 20
+            out(render(HeroQL.compile(program.toString, parts(0), catalog()), n))
+          }
+          case ":exec" => attempt(":exec") {
+            HeroQL.executeTransaction(program.toString, rest, fileCatalog(), requireStore())
+            out(s"transaction $rest committed")
+          }
+          case ":for" => attempt(":for") {
+            HeroQL.executeFor(program.toString, fileCatalog(), requireStore())
+            out("for-query actions committed")
+          }
+          case ":call" => attempt(":call") {
+            val m = "^(\\w+)\\((.*)\\)$".r.findFirstMatchIn(rest).getOrElse(
+              throw Analyzer.AnalysisError(":call syntax: :call Name(k=v, …)"))
+            HeroQL.executeProcedure(program.toString, m.group(1),
+              parseParams(m.group(2)), requireStore(), fileCatalog())
+            out(s"procedure ${m.group(1)} committed")
+          }
+          case other => out(s"unknown command $other — :help lists commands")
+        }
+      } else if (line.nonEmpty) {
+        // declaration text: append, then parse eagerly so errors surface
+        // at entry; on failure the block is dropped (the buffer keeps
+        // only programs that parse)
+        val before = program.toString
+        program.append(lineRaw).append('\n')
+        try { Parser.parse(program.toString); ok += 1 }
+        catch {
+          case _: Parser.ParseError
+              if !lineRaw.trim.endsWith(".") && !lineRaw.trim.endsWith(";") =>
+            // likely an unterminated multi-line declaration — keep
+            // accumulating; :check reports the state on demand
+            ok += 1
+          case e: Parser.ParseError =>
+            out(s"parse error: ${e.getMessage} (block dropped)")
+            program = new StringBuilder(before)
+        }
+      }
+    }
+    ok
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: graft.Repl <dataDir> [storeDir]")
+      sys.exit(2)
+    }
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
+      .appName("graft-repl")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    println(s"graft REPL — data: ${args(0)}" +
+      args.lift(1).map(s => s", store: $s").getOrElse("") + "  (:help for commands)")
+    val in = Iterator.continually {
+      print("graft> "); Console.flush()
+      scala.io.StdIn.readLine()
+    }.takeWhile(_ != null)
+    session(in, println(_), spark, args(0), args.lift(1))
+    spark.stop()
+  }
+}

@@ -278,6 +278,10 @@ final class TableStore(val spark: SparkSession, val root: String) {
 
   def exists(name: String): Boolean = currentTables().contains(name)
 
+  /** Names of all committed tables in the current snapshot (REPL /
+    * host-tool discovery surface). */
+  def tables: Seq[String] = currentTables().keys.toSeq.sorted
+
   /** Multi-table atomic transaction: all mutations in `f` become visible
     * in one pointer swap, or none do (an exception publishes nothing).
     *

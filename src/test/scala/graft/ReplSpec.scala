@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+
+/** Scripted smoke test of the interactive shell: the REPL is the human
+  * front door to the whole 186-gate surface, so a session covering
+  * declaration accumulation, query evaluation, the store-backed
+  * procedure path, and error recovery must drive end-to-end. */
+class ReplSpec extends SparkSpec {
+
+  test("scripted session: declare, run, call a procedure, read back, recover from errors") {
+    val storeDir = Files.createTempDirectory("graft-repl-store").toString
+    val out = collection.mutable.Buffer[String]()
+    val script = Iterator(
+      ":tables",
+      // a declaration block accumulating over multiple submissions
+      "data region(r_regionkey: int32, r_name: string).",
+      "query Names(r_name: string) :- region(_, r_name).",
+      ":check",
+      ":run Names 10",
+      // a procedure reading a file table and inserting into the store
+      "data T(k: int64, v: string).",
+      """procedure Promote(cutoff: int64) {
+        |    region(k, name), k >= cutoff, @insert T(k, name);
+        |}""".stripMargin,
+      ":call Promote(cutoff=2)",
+      "query Stored(k: int64, v: string) :- T(k, v).",
+      ":run Stored",
+      // an invalid block is reported and DROPPED — the session continues
+      "query Broken(x: int64) :- nonsense(((.",
+      ":run Names 2",
+      ":quit")
+    val n = Repl.session(script, out += _, spark, sf, Some(storeDir))
+    val text = out.mkString("\n")
+    assert(text.contains("region"), s"tables listing missing region:\n$text")
+    assert(text.contains("ok"), s":check did not pass:\n$text")
+    assert(text.contains("5 row(s)"), s":run Names expected all 5 regions:\n$text")
+    assert(text.contains("procedure Promote committed"), s"procedure failed:\n$text")
+    // regions 2,3,4 meet the cutoff
+    assert(text.contains("3 row(s)"), s"store read-back expected 3 rows:\n$text")
+    assert(text.contains("parse error"), s"bad block must be reported:\n$text")
+    assert(text.contains("more than 2 rows"), s"post-error :run must still work:\n$text")
+    assert(n >= 10, s"expected >=10 successful inputs, got $n")
+  }
+
+  test("mutation commands without a store fail with a clear message") {
+    val out = collection.mutable.Buffer[String]()
+    val script = Iterator(
+      "data T(k: int64).",
+      "transaction query Seed() :- @insert T(1).",
+      ":exec Seed",
+      ":quit")
+    Repl.session(script, out += _, spark, sf, None)
+    assert(out.exists(_.contains("no store bound")), s"expected store error: $out")
+  }
+}
