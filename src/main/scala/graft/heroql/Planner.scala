@@ -317,11 +317,14 @@ final class Planner(decls: Map[String, DataDecl],
     var delta = seed
     var iter = 0
     var done = false
-    while (!done && iter < Planner.fixpointMaxIter) {
-      val derived = rules.flatMap { case (items, selfAtoms) =>
+    // one magic-propagation step, LAZY — delta-linear by construction
+    // (each rule consumes only the current demand delta), so steps
+    // chain for batching exactly like the main fixpoint's linear case
+    def step(stepDelta: DataFrame): DataFrame =
+      rules.flatMap { case (items, selfAtoms) =>
         val ctx =
-          if (items.isEmpty) delta
-          else planConj(Conj(items), State(Some(delta), boundFields.toSet, Seq.empty))
+          if (items.isEmpty) stepDelta
+          else planConj(Conj(items), State(Some(stepDelta), boundFields.toSet, Seq.empty))
         selfAtoms.map { a =>
           ctx.select(boundIdx.map { i =>
             a.args(i) match {
@@ -333,10 +336,23 @@ final class Planner(decls: Map[String, DataDecl],
           }: _*)
         }
       }.reduce(_ union _)
-      val fresh = derived.except(acc).localCheckpoint()
+    while (!done && iter < Planner.fixpointMaxIter) {
+      // batch B steps per except+checkpoint job (see planFixpoint —
+      // the job, dominated by single-use codegen + scheduling, is the
+      // per-round fixed cost; chaining divides the job count by B)
+      var stepIn = delta
+      val outs = Seq.newBuilder[DataFrame]
+      var b = 0
+      while (b < Planner.fixpointBatchRounds && iter + b < Planner.fixpointMaxIter) {
+        val d = step(stepIn)
+        outs += d
+        stepIn = d
+        b += 1
+      }
+      val fresh = outs.result().reduce(_ union _).except(acc).localCheckpoint()
       if (fresh.take(1).isEmpty) done = true
       else { deltas ::= fresh; delta = fresh }
-      iter += 1
+      iter += b
     }
     if (!done) None // magic closure itself diverged — full eval is sound
     else Some(acc.localCheckpoint())
