@@ -267,6 +267,47 @@ object Relational extends QueryPack {
     t(s, d, "orders").cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** A10e — explicit GROUPING SETS (the general form rollup/cube
+    * specialize; `group_by` family, SURVEY §2.4 A10): per-status and
+    * per-priority marginals plus the grand total in ONE pass — Spark
+    * expands to a single Expand + hash aggregate, so the input scans
+    * once however many sets are requested. */
+  private def a10e(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** A14 — pivot (columns from values): order counts per priority,
+    * one column per order status. The value list is EXPLICIT — at
+    * scale the implicit form adds a distinct-collect driver pass over
+    * the pivot column; pinning the values keeps the plan one
+    * aggregate. Empty cells are 0, matching the oracle's FILTER
+    * counts. */
+  private def a14(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
+  /** F11 — higher-order array functions over the embedding column
+    * (filter / aggregate / transform / sort+slice — the lambda surface
+    * a 100 TB vector pipeline leans on; all map-only, codegen'd, no
+    * UDF). The squared-norm aggregate runs on per-element micro
+    * fixed-point BIGINTs so the fold is accumulation-order-free (the
+    * a7/st1 convention). */
+  private def f11(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings").select(
+      col("vec_id"),
+      expr("CAST(size(filter(embedding, x -> x > 0)) AS BIGINT)").as("n_pos"),
+      expr("""aggregate(embedding, CAST(0 AS BIGINT),
+              (a, x) -> a + CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                * 1000000) AS BIGINT))""").as("l2sq_micro"),
+      expr("CAST(array_max(embedding) AS DOUBLE)").as("max_c"),
+      expr("slice(array_sort(embedding), 1, 3)").as("low3"))
+
   /** A10d — HLL approximate distinct (no oracle: sketch is
     * implementation-defined; driver records rows-only). */
   private def a10d(s: SparkSession, d: String): DataFrame =
@@ -621,6 +662,9 @@ object Relational extends QueryPack {
     "a10_distinct" -> (a10a _),
     "a10_rollup" -> (a10b _),
     "a10_cube" -> (a10c _),
+    "a10_grouping_sets" -> (a10e _),
+    "a14_pivot" -> (a14 _),
+    "f11_array_lambdas" -> (f11 _),
     "a10_approx_distinct" -> (a10d _),
     "w5_frames_lead_lag" -> (w5 _),
     "w6_ranking_functions" -> (w6 _),
@@ -831,6 +875,25 @@ object Relational extends QueryPack {
     "a10_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    "a10_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
+    "a14_pivot" ->
+      """SELECT o_orderpriority,
+                count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+                count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+                count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+         FROM orders GROUP BY o_orderpriority""",
+    "f11_array_lambdas" ->
+      """SELECT vec_id,
+                CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+                CAST(list_sum(list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                    * 1000000) AS BIGINT))) AS BIGINT) AS l2sq_micro,
+                CAST(list_max(embedding) AS DOUBLE) AS max_c,
+                list_sort(embedding)[1:3] AS low3
+         FROM embeddings""",
     "w5_frames_lead_lag" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
          sum(l_quantity) OVER w AS running_qty,

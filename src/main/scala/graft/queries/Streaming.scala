@@ -259,6 +259,59 @@ object Streaming extends QueryPack {
         round(col("m.sum_value"), 2).as("sum_value"))
   }
 
+  /** st12 — STREAM-STATIC enrichment join through a real streaming
+    * query: events stream in, the customer dimension joins as a
+    * broadcast static side re-resolved per micro-batch (the standard
+    * streaming-ETL enrich; state-free, append-exact). Drained result
+    * aggregates per market segment with the micro fixed-point value
+    * sum (accumulation-order-free) and is oracle-checked against the
+    * plain batch join. */
+  private def st12(s: SparkSession, d: String): DataFrame = {
+    val name = "st12_ssjoin_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = EventStreams.streamStaticSegmentJoin(s, d)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        expr("CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS DOUBLE)" +
+          " / 1000000.0").as("sum_value"))
+  }
+
+  /** st13 — watermark-bounded streaming dedup
+    * (`dropDuplicatesWithinWatermark`): every event doubled in-flight
+    * (same id + timestamp, so the duplicate is always inside the
+    * watermark), deduped across four real micro-batches with the
+    * watermark advancing (and evicting state) between them. The
+    * deduped stream must equal the ORIGINAL events — the aggregate is
+    * exact against the raw batch oracle; a dedup bug (lost state,
+    * key mixup, premature eviction) doubles counts and
+    * hash-mismatches. */
+  private def st13(s: SparkSession, d: String): DataFrame = {
+    val name = "st13_dedup_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = EventStreams.watermarkDedup(s, d)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        expr("CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS DOUBLE)" +
+          " / 1000000.0").as("sum_value"))
+  }
+
   /** st6 — the full streaming-dedup shape driven from PARSED HeroQL
     * text (`stream dedup … by fingerprint(…) into …`): same sink, same
     * bloom + bucket-pruned probe, reached from the language surface the
@@ -326,6 +379,8 @@ object Streaming extends QueryPack {
     "st9_stateful_totals" -> (st9 _),
     "st10_stream_matview" -> (st10 _),
     "st11_stream_agg_hql" -> (st11 _),
+    "st12_stream_static_join" -> (st12 _),
+    "st13_watermark_dedup" -> (st13 _),
     "ev1_sessionization" -> (ev1 _),
     "ev2_resample_ffill" -> (ev2 _),
     "ev3_resample_lerp" -> (ev3 _),
@@ -450,6 +505,21 @@ object Streaming extends QueryPack {
          FROM events GROUP BY user_id""",
     "st7_stream_sessionize_hql" -> sessionizeSql,
     "ev1_sessionization" -> sessionizeSql,
+    // st12: the drained stream-static enrich equals the batch join
+    "st12_stream_static_join" ->
+      """SELECT c_mktsegment, count(*) AS n_events,
+                CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS DOUBLE)
+                  / 1000000.0 AS sum_value
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY 1""",
+    // st13: in-flight doubled events deduped within the watermark must
+    // restore the ORIGINAL stream exactly
+    "st13_watermark_dedup" ->
+      """SELECT event_type, count(*) AS n_events,
+                count(DISTINCT user_id) AS n_users,
+                CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS DOUBLE)
+                  / 1000000.0 AS sum_value
+         FROM events GROUP BY 1""",
     // micro fixed-point value sum (accumulation-order-free integer
     // arithmetic; the a7 strict-failure class) — mirrors tumblingDaily
     "st1_tumbling_window" ->

@@ -132,6 +132,45 @@ object EventStreams {
       .toDF("user_id", "n_events", "sum_value")
   }
 
+  /** Stream-STATIC enrichment join (the third join shape next to
+    * st8's stream-stream and j10's batch-batch): the event stream
+    * joins a broadcast dimension snapshot per micro-batch — the
+    * standard streaming-ETL enrich step. The static side re-resolves
+    * each batch from its source, so at cluster scale the dimension can
+    * be swapped under the running query; state-free (inner equi-join
+    * against a static side needs no watermark, and append mode emits
+    * each enriched row exactly once). */
+  def streamStaticSegmentJoin(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val src = tsInstant(spark.readStream.schema(schema).parquet(stageDir(dir)))
+    val dim = org.apache.spark.sql.functions.broadcast(
+      spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_mktsegment")))
+    src.join(dim, col("user_id") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("event_id"), col("value"))
+  }
+
+  /** Watermark-bounded streaming dedup (`dropDuplicatesWithinWatermark`
+    * — the state-EVICTING flavor st5's store-backed dedup does not
+    * cover: state is bounded by the watermark horizon, not the corpus).
+    * Every event is doubled in-flight (explode to two copies with the
+    * same id and timestamp), so the duplicate always lands inside the
+    * watermark and the deduped stream must equal the original —
+    * an exact oracle, while still exercising eviction across the
+    * four id-chunked micro-batches. */
+  def watermarkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val src = tsInstant(spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageEventChunks(spark, dir, nFiles = 4, "event_id", "events")))
+    src.select(explode(expr("array(1, 2)")).as("__copy"),
+        col("event_id"), col("ts"), col("event_type"),
+        col("user_id"), col("value"))
+      .drop("__copy")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+  }
+
   /** Stage the single-file events table into a directory (the file
     * stream source requires one). */
   private def stageDir(dir: String): String = {
