@@ -424,6 +424,22 @@ object TextAnalysis extends QueryPack {
       .select("doc_id", "n_tok", "nll_micro", "avg_nll_micro")
   }
 
+  /** tx11 — corpus vocabulary by document frequency (the vocab-build /
+    * stopword-discovery pass tokenizer training starts from): distinct
+    * tokens per doc (`array_distinct` BEFORE the explode, so the
+    * exchange carries each (doc, token) once, not once per occurrence),
+    * one partial-aggregated count exchange on the token, top-100 via
+    * TakeOrdered with the token itself as the total-order tie-break.
+    * At 100 TB this is the only sane shape: nothing global sorts, the
+    * exchange rows are bounded by Σ per-doc distinct vocab. */
+  private def tx11(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(explode(expr(
+        "array_distinct(split(trim(lower(text)), '\\\\s+'))")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("tok").asc)
+      .limit(100)
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx1_token_count" -> (tx1 _),
     "tx2_quality_score" -> (tx2 _),
@@ -436,6 +452,7 @@ object TextAnalysis extends QueryPack {
     "tx8_unigram_logprob" -> (tx8 _),
     "tx9_gopher_lines" -> (tx9 _),
     "tx10_bm25_topk" -> (tx10 _),
+    "tx11_vocab_topk" -> (tx11 _),
   )
 
   /** The DuckDB mirror of [[augSql]] (|| concatenation, VARCHAR casts).
@@ -653,6 +670,15 @@ object TextAnalysis extends QueryPack {
            FROM stacked)
          SELECT query_id, rank, doc_id, score_micro
          FROM ranked WHERE rank <= 10""",
+    // doc frequency over per-doc DISTINCT tokens; the (doc_freq, tok)
+    // pair is a total order, so the LIMIT picks a deterministic set
+    "tx11_vocab_topk" ->
+      """SELECT tok, count(*) AS doc_freq FROM (
+           SELECT DISTINCT doc_id,
+                  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+           FROM documents)
+         GROUP BY tok
+         ORDER BY doc_freq DESC, tok ASC LIMIT 100""",
     // same planting expression, same integer counts, same single
     // int→double division per ratio — bit-equal cross-engine; the
     // max-gram count is a separate CTE so the tie-breaking min-gram

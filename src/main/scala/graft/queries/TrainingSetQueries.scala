@@ -206,6 +206,21 @@ object TrainingSetQueries extends QueryPack {
       .agg(count(lit(1)).as("n_tok"), sum("lw_micro").as("score_micro"))
   }
 
+  /** samp5 — deterministic content-hash train/val split (the
+    * reproducibility primitive every training pipeline needs: the
+    * same document lands in the same split on every run, on any
+    * cluster, regardless of partitioning — no RNG, no seed file).
+    * Split by the first byte of md5(text): >= 0xe6 → val (≈10.2%).
+    * The comparison is on the lowercase hex STRING, identical in both
+    * engines, so the oracle is exact per document — a doc-level
+    * result, not an aggregate, pins every single assignment. Map-only
+    * at any scale; splitting on content (not doc_id) also keeps exact
+    * duplicates in the same split, preventing train/val leakage. */
+  private def samp5(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(col("doc_id"),
+      when(substring(md5(col("text")), 1, 2) >= "e6", "val")
+        .otherwise("train").as("split"))
+
   private val PackShards = 8
   private val PackBudget = 512L
 
@@ -289,6 +304,7 @@ object TrainingSetQueries extends QueryPack {
     "dc1_decontamination" -> (dc1 _),
     "dc2_contamination_spans" -> (dc2 _),
     "samp4_dsir_importance" -> (samp4 _),
+    "samp5_hash_split" -> (samp5 _),
     "pack1_sequence_packing" -> (pack1 _),
     "pack2_packing_stats" -> (pack2 _),
     "pack3_epoch_shuffle" -> (pack3 _),
@@ -413,6 +429,12 @@ object TrainingSetQueries extends QueryPack {
          FROM tok t JOIN wt ON t.b = wt.b
          WHERE NOT (t.$dsirTargetSql)
          GROUP BY t.doc_id""",
+    // lowercase-hex md5 string comparison is identical in both engines
+    "samp5_hash_split" ->
+      """SELECT doc_id,
+                CASE WHEN substring(md5(text), 1, 2) >= 'e6'
+                     THEN 'val' ELSE 'train' END AS split
+         FROM documents""",
     "dc1_decontamination" ->
       ("""WITH tk AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
