@@ -80,7 +80,12 @@ class WarehouseDriftSpec extends SparkSpec {
     "j12_banded_range_join", "mv1_incremental_agg",
     "mv4_minmax_insert_only", "adm7_zorder_layout", "tx9_gopher_lines",
     "g8_label_propagation", "tx10_bm25_topk", "ann8_hybrid_rrf",
-    "ev2_resample_ffill", "ev3_resample_lerp")
+    "ev2_resample_ffill", "ev3_resample_lerp",
+    // round-12 families: grouping sets / pivot over int32 keys, array
+    // lambdas over double-drifted embeddings, md5 split + vocab over
+    // int32 doc ids, ev4's BIGINT segment products over drifted ts
+    "a10_grouping_sets", "a14_pivot", "f11_array_lambdas",
+    "samp5_hash_split", "tx11_vocab_topk", "ev4_time_weighted_avg")
 
   test("representative queries plan and execute against an int32/double-drifted warehouse") {
     val failures = slice.flatMap { name =>
