@@ -175,9 +175,21 @@ object EventStreams {
     * stream source requires one). */
   private def stageDir(dir: String): String = {
     val stage = java.nio.file.Files.createTempDirectory("graft-stream-")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      stage.resolve("events.parquet"))
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    if (java.nio.file.Files.isRegularFile(src))
+      java.nio.file.Files.copy(src, stage.resolve("events.parquet"))
+    else {
+      // a Spark-written table is a DIRECTORY of part files — a plain
+      // Files.copy stages an empty dir and the file stream silently
+      // reads zero rows (caught by the 10× synth probe); stage every
+      // part file instead
+      val it = java.nio.file.Files.list(src).iterator()
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getFileName.toString.endsWith(".parquet"))
+          java.nio.file.Files.copy(f, stage.resolve(f.getFileName.toString))
+      }
+    }
     stage.toString
   }
 
