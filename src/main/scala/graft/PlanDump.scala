@@ -29,7 +29,12 @@ object PlanDump {
     sb.append("# Physical plans (explain formatted), headline queries\n\n")
     sb.append(s"Generated from `$sfDir` — regenerate with " +
       "`sbt \"runMain graft.PlanDump <sfDir> PLANS.md\"`.\n")
-    Bench.headline.foreach { name =>
+    // headline + the batch-plan-reviewable round-12 additions (the
+    // streaming gates' plans live behind a drained memory sink — not
+    // meaningful to dump here)
+    val extras = Seq("a10_grouping_sets", "a14_pivot", "f11_array_lambdas",
+      "samp5_hash_split", "tx11_vocab_topk")
+    (Bench.headline ++ extras).foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       sb.append(s"\n## $name\n\n```\n$plan```\n")
