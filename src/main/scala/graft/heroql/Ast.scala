@@ -248,4 +248,16 @@ object Ast {
     * order). */
   final case class StreamAggregate(rel: String, vars: Seq[String],
     table: String) extends StreamStmt
+
+  /** `stream enrich Rel(vars…) with Dim(dimVars…) on leftKey = rightKey
+    * into Table;` — the statement form of the stream-static enrichment
+    * join (st12's shape): rows of `Rel` arrive as micro-batches, the
+    * static dimension `Dim` joins as a broadcast snapshot re-resolved
+    * per batch, and enriched rows append into store table `Table`
+    * through one atomic commit per batch. `leftKey` must be a declared
+    * variable of `Rel`, `rightKey` of `Dim`; the join is inner
+    * equi-key (state-free — no watermark needed). */
+  final case class StreamEnrich(rel: String, vars: Seq[String],
+    dimRel: String, dimVars: Seq[String], leftKey: String,
+    rightKey: String, table: String) extends StreamStmt
 }

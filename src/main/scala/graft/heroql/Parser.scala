@@ -1229,8 +1229,26 @@ object Parser {
           s"stream aggregate variables must be distinct, got ${vs.mkString(", ")}", 0)
         val table = intoTable()
         Ast.StreamAggregate(rel, vs, table)
+      case "enrich" =>
+        val (rel, vs) = relVars()
+        if (vs.isEmpty) throw ParseError(
+          "stream enrich needs at least one stream variable", 0)
+        kw("with")
+        val (dimRel, dvs) = relVars()
+        if (dvs.isEmpty) throw ParseError(
+          "stream enrich needs at least one dimension variable", 0)
+        kw("on")
+        val leftKey = p.expectId()
+        p.expectSym("=")
+        val rightKey = p.expectId()
+        val table = intoTable()
+        if (!vs.contains(leftKey)) throw ParseError(
+          s"stream enrich join key '$leftKey' is not a declared variable of $rel", 0)
+        if (!dvs.contains(rightKey)) throw ParseError(
+          s"stream enrich join key '$rightKey' is not a declared variable of $dimRel", 0)
+        Ast.StreamEnrich(rel, vs, dimRel, dvs, leftKey, rightKey, table)
       case other => throw ParseError(
-        s"unknown stream statement 'stream $other' (expected dedup, sessionize or aggregate)", 0)
+        s"unknown stream statement 'stream $other' (expected dedup, sessionize, aggregate or enrich)", 0)
     }
   }
 }

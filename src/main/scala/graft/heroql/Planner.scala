@@ -2036,5 +2036,17 @@ object HeroQL {
             org.apache.spark.sql.functions.col("n_rows"),
             org.apache.spark.sql.functions.expr(
               "CAST(__vmicros AS DOUBLE) / 1000000.0").as(s"sum_$valueV"))
+      case st: StreamEnrich =>
+        val dir = sources.getOrElse(st.rel, throw Analyzer.AnalysisError(
+          s"no source bound for relation ${st.rel}"))
+        // the dimension resolves under the SAME bound warehouse dir
+        // unless separately bound — both physical table names derive
+        // from the statement's relation names, never hard-coded
+        val dimDir = sources.getOrElse(st.dimRel, dir)
+        graft.streaming.EventStreams.enrichSinkToStore(
+          spark, dir, store, st.table, st.vars,
+          dimPath = s"$dimDir/${st.dimRel.toLowerCase}.parquet",
+          dimVars = st.dimVars, leftKey = st.leftKey, rightKey = st.rightKey,
+          sourceTable = st.rel.toLowerCase)
     }
 }

@@ -312,6 +312,27 @@ object Streaming extends QueryPack {
           " / 1000000.0").as("sum_value"))
   }
 
+  /** st14 — the stream-static enrich driven from PARSED HeroQL text
+    * (`stream enrich … with … on … into …`), st12's shape reached from
+    * the language surface the way st6/st7/st11 reach theirs: four real
+    * micro-batches, broadcast dimension re-resolved per batch, one
+    * atomic store commit per batch. Oracle identical to st12 — a
+    * statement that mis-mapped its variables or keys would enrich
+    * against the wrong column and hash-mismatch. */
+  private def st14(s: SparkSession, d: String): DataFrame = {
+    val store = new graft.store.TableStore(s,
+      java.nio.file.Files.createTempDirectory("graft-enrich-sink-").toString)
+    graft.heroql.HeroQL.executeStream(
+      "stream enrich Events(event_id, user_id, value) " +
+        "with Customer(c_custkey, c_mktsegment) " +
+        "on user_id = c_custkey into enriched;",
+      s, Map("Events" -> d, "Customer" -> d), store)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        expr("CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS DOUBLE)" +
+          " / 1000000.0").as("sum_value"))
+  }
+
   /** st6 — the full streaming-dedup shape driven from PARSED HeroQL
     * text (`stream dedup … by fingerprint(…) into …`): same sink, same
     * bloom + bucket-pruned probe, reached from the language surface the
@@ -381,6 +402,7 @@ object Streaming extends QueryPack {
     "st11_stream_agg_hql" -> (st11 _),
     "st12_stream_static_join" -> (st12 _),
     "st13_watermark_dedup" -> (st13 _),
+    "st14_stream_enrich_hql" -> (st14 _),
     "ev1_sessionization" -> (ev1 _),
     "ev2_resample_ffill" -> (ev2 _),
     "ev3_resample_lerp" -> (ev3 _),
@@ -507,6 +529,14 @@ object Streaming extends QueryPack {
     "ev1_sessionization" -> sessionizeSql,
     // st12: the drained stream-static enrich equals the batch join
     "st12_stream_static_join" ->
+      """SELECT c_mktsegment, count(*) AS n_events,
+                CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS DOUBLE)
+                  / 1000000.0 AS sum_value
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY 1""",
+    // st14: the language-level enrich equals the batch join (st12's
+    // oracle verbatim)
+    "st14_stream_enrich_hql" ->
       """SELECT c_mktsegment, count(*) AS n_events,
                 CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS DOUBLE)
                   / 1000000.0 AS sum_value

@@ -132,6 +132,46 @@ object EventStreams {
       .toDF("user_id", "n_events", "sum_value")
   }
 
+  /** Statement-form stream-static enrich sink (`stream enrich Rel(…)
+    * with Dim(…) on l = r into T;`): the stream's rows arrive in four
+    * id-chunked micro-batches, the dimension is a BROADCAST static
+    * side whose source plan re-executes per batch (so a dimension
+    * swapped under the running query is picked up), and each enriched
+    * batch appends through one atomic store commit. The first stream
+    * variable is the arrival id (the staging order), matching the
+    * `stream dedup` convention. */
+  def enrichSinkToStore(spark: SparkSession, dir: String,
+      store: graft.store.TableStore, table: String, vars: Seq[String],
+      dimPath: String, dimVars: Seq[String], leftKey: String,
+      rightKey: String, sourceTable: String = "events"): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/$sourceTable.parquet").schema
+    require(vars.forall(schema.fieldNames.contains),
+      s"stream enrich variables must name physical columns of $sourceTable")
+    val dim = spark.read.parquet(dimPath)
+    require(dimVars.forall(dim.schema.fieldNames.contains),
+      s"stream enrich dimension variables must name physical columns of $dimPath")
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageEventChunks(spark, dir, nFiles = 4, vars.head, sourceTable))
+      .select(vars.map(col): _*)
+    val bdim = org.apache.spark.sql.functions.broadcast(
+      dim.select(dimVars.map(col): _*))
+    val joined =
+      if (leftKey == rightKey) src.join(bdim, Seq(leftKey))
+      else src.join(bdim, col(leftKey) === col(rightKey))
+    val q = joined.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (store.exists(table)) store.insert(table, batch)
+        else store.create(table, batch)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-enrich-ckpt-").toString)
+      .start()
+    q.awaitTermination()
+    store.read(table)
+  }
+
   /** Stream-STATIC enrichment join (the third join shape next to
     * st8's stream-stream and j10's batch-batch): the event stream
     * joins a broadcast dimension snapshot per micro-batch — the

@@ -632,6 +632,30 @@ class HeroQLParserSpec extends AnyFunSuite {
     assert(e3.msg.contains("id variable"))
   }
 
+  test("stream enrich statement parses to its golden AST") {
+    val st = Parser.parseStream(
+      "stream enrich Events(event_id, user_id, value) " +
+        "with Customer(c_custkey, c_mktsegment) " +
+        "on user_id = c_custkey into enriched;")
+    assert(st == Ast.StreamEnrich("Events",
+      Seq("event_id", "user_id", "value"),
+      "Customer", Seq("c_custkey", "c_mktsegment"),
+      "user_id", "c_custkey", "enriched"))
+  }
+
+  test("stream enrich statement rejects undeclared join keys with the real diagnosis") {
+    val e1 = intercept[Parser.ParseError] {
+      Parser.parseStream(
+        "stream enrich E(id, u) with D(k, v) on other = k into t;")
+    }
+    assert(e1.msg.contains("not a declared variable of E"))
+    val e2 = intercept[Parser.ParseError] {
+      Parser.parseStream(
+        "stream enrich E(id, u) with D(k, v) on u = missing into t;")
+    }
+    assert(e2.msg.contains("not a declared variable of D"))
+  }
+
   test("stream sessionize statement parses to its golden AST") {
     val st = Parser.parseStream(
       "stream sessionize Events(user_id, ts, value, event_id) gap 30 minutes into sessions;")
@@ -668,7 +692,7 @@ class HeroQLParserSpec extends AnyFunSuite {
     val e4 = intercept[Parser.ParseError] {
       Parser.parseStream("stream compactify E(u) into s;")
     }
-    assert(e4.msg.contains("dedup, sessionize or aggregate"))
+    assert(e4.msg.contains("dedup, sessionize, aggregate or enrich"))
   }
 
   test("stream aggregate statement parses to its golden AST") {
