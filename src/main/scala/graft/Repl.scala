@@ -39,6 +39,7 @@ object Repl {
       |  :exec <Txn>       run a declared 'transaction query' against the store
       |  :for              run the program's 'for query' statements against the store
       |  :call <P>(k=v,…)  run a declared procedure (int/double/"str"/bool params)
+      |  :stream <stmt>    run a stream statement (dedup/sessionize/aggregate/enrich)
       |  :help             this text
       |  :quit             exit""".stripMargin
 
@@ -167,6 +168,17 @@ object Repl {
             HeroQL.executeProcedure(program.toString, m.group(1),
               parseParams(m.group(2)), requireStore(), fileCatalog())
             out(s"procedure ${m.group(1)} committed")
+          }
+          case ":stream" => attempt(":stream") {
+            // `:stream dedup Docs(…) by fingerprint(text) into corpus;`
+            // — every relation name binds to the data directory; the
+            // sink lands in the store, which :run can then read
+            val stmt = if (rest.startsWith("stream")) rest else s"stream $rest"
+            val rels = "(?:stream\\s+\\w+\\s+|with\\s+)(\\w+)\\s*\\(".r
+              .findAllMatchIn(stmt).map(_.group(1)).toSeq
+            val result = HeroQL.executeStream(stmt, spark,
+              rels.map(_ -> dataDir).toMap, requireStore())
+            out(render(result, 20))
           }
           case other => out(s"unknown command $other — :help lists commands")
         }

@@ -43,6 +43,20 @@ class ReplSpec extends SparkSpec {
     assert(n >= 10, s"expected >=10 successful inputs, got $n")
   }
 
+  test(":stream runs a statement against the data dir and store") {
+    val storeDir = Files.createTempDirectory("graft-repl-stream").toString
+    val out = collection.mutable.Buffer[String]()
+    val script = Iterator(
+      ":stream enrich Events(event_id, user_id, value) " +
+        "with Customer(c_custkey, c_mktsegment) " +
+        "on user_id = c_custkey into enr;",
+      ":quit")
+    Repl.session(script, out += _, spark, sf, Some(storeDir))
+    val text = out.mkString("\n")
+    assert(text.contains("c_mktsegment"), s"enriched header missing:\n$text")
+    assert(text.contains("more than 20 rows"), s"expected enriched rows:\n$text")
+  }
+
   test("mutation commands without a store fail with a clear message") {
     val out = collection.mutable.Buffer[String]()
     val script = Iterator(
