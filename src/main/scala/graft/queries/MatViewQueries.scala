@@ -157,12 +157,56 @@ query AddExam(student: string, score: int)
       col("__score").as("sum_score"))
   }
 
+  /** mv6 — TRANSPARENT rewrite ([[graft.plans.MvRewrite]]): the gate
+    * queries the BASE table with a plain groupBy (a key SUBSET — the
+    * rollup case), and the installed optimizer rule redirects the
+    * whole aggregate to the registered, write-maintained view. The
+    * gate REFUSES to answer from the base: it asserts the optimized
+    * plan reads only the view's files before materializing, so a
+    * silently-disengaged rule fails loudly instead of passing on the
+    * base scan. Inserts after registration arrive through the
+    * maintained write path, so the rewritten answer must equal the
+    * oracle's full-base aggregate. */
+  private def mv6(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s)
+    val li = t(s, d, "lineitem").select(
+      col("l_returnflag"), col("l_linestatus"),
+      expr("CAST(l_quantity AS BIGINT)").as("qty"),
+      expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("cents"))
+    st.create("facts", li.filter(col("qty") % 4 =!= 3))
+    MaterializedView.register(st, "facts_view", "facts",
+      MaterializedView.MvDef(Seq("l_returnflag", "l_linestatus"),
+        Seq("sum_qty" -> "qty", "sum_cents" -> "cents")))
+    MaterializedView.insertInto(st, "facts", li.filter(col("qty") % 4 === 3))
+    val rule = graft.plans.MvRewrite.install(s, st)
+    try {
+      val agg = st.read("facts").groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          expr("sum(qty)").as("__q"), expr("sum(cents)").as("__c"))
+      val scans = agg.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.rootPaths.map(_.toUri.getPath)
+      }.flatten
+      require(scans.nonEmpty && scans.forall(_.contains("/facts_view/")),
+        s"mv6: rewrite did not engage — plan reads ${scans.mkString(", ")}")
+      // materialize WHILE the rule is installed; the returned frame is
+      // the already-rewritten result, not a plan to re-optimize later
+      agg.select(col("l_returnflag"), col("n_rows"),
+        expr("CAST(__q AS DOUBLE)").as("sum_qty"),
+        expr("CAST(__c AS DOUBLE) / 100.0").as("sum_price"))
+        .localCheckpoint()
+    } finally graft.plans.MvRewrite.uninstall(s, rule)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mv1_incremental_agg" -> (mv1 _),
     "mv2_incremental_delete" -> (mv2 _),
     "mv3_transactional_refresh" -> (mv3 _),
     "mv4_minmax_insert_only" -> (mv4 _),
     "mv5_hql_write_through" -> (mv5 _),
+    "mv6_transparent_rewrite" -> (mv6 _),
   )
 
   override val oracles: Map[String, String] = Map(
@@ -194,6 +238,14 @@ query AddExam(student: string, score: int)
          SELECT student, count(*) AS n_rows,
                 CAST(sum(score) AS BIGINT) AS sum_score
          FROM rows GROUP BY 1""",
+    // mv6 answers FROM THE VIEW (the gate asserts the plan reads only
+    // view files); the oracle states the same truth over the base
+    "mv6_transparent_rewrite" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,
+                CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                  / 100.0 AS sum_price
+         FROM lineitem GROUP BY 1""",
     // the registry path lands on the same truth as mv1: the view's
     // definition over the full final base
     "mv3_transactional_refresh" ->

@@ -150,12 +150,20 @@ object MaterializedView {
       exists: String => Boolean, baseTable: String): Seq[(String, MvDef)] =
     if (!exists(RegistryT)) Seq.empty
     else read(RegistryT).filter(col("base_table") === baseTable).collect()
-      .map { r =>
-        (r.getAs[String]("mv_table"), MvDef(
-          r.getAs[String]("keys").split('\t').toSeq,
-          r.getAs[String]("sum_names").split('\t').toSeq
-            .zip(r.getAs[String]("sum_exprs").split('\t').toSeq)))
-      }.toSeq
+      .map(r => (r.getAs[String]("mv_table"), rowDef(r))).toSeq
+
+  private def rowDef(r: org.apache.spark.sql.Row): MvDef = MvDef(
+    r.getAs[String]("keys").split('\t').toSeq,
+    r.getAs[String]("sum_names").split('\t').toSeq
+      .zip(r.getAs[String]("sum_exprs").split('\t').toSeq))
+
+  /** Every registration in the store — (view table, base table,
+    * definition); the matching surface of [[graft.plans.MvRewrite]]. */
+  def registrations(store: TableStore): Seq[(String, String, MvDef)] =
+    if (!store.exists(RegistryT)) Seq.empty
+    else store.read(RegistryT).collect().map(r =>
+      (r.getAs[String]("mv_table"), r.getAs[String]("base_table"),
+        rowDef(r))).toSeq
 
   /** Insert into a base table WITH its registered views maintained —
     * base append plus every view's incremental refresh in ONE atomic

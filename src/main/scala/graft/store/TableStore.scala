@@ -282,6 +282,16 @@ final class TableStore(val spark: SparkSession, val root: String) {
     * host-tool discovery surface). */
   def tables: Seq[String] = currentTables().keys.toSeq.sorted
 
+  /** Absolute data directories backing `table`'s current snapshot —
+    * the plan-identification surface for [[graft.plans.MvRewrite]]: a
+    * parquet scan whose root paths equal this set IS a full read of
+    * this table (a strict subset would be a pruned read, which must
+    * NOT be treated as the whole relation). */
+  def dataDirPaths(table: String): Set[String] =
+    currentEntries(table).collect { case DataDir(dir) =>
+      resolveDir(table, dir).toAbsolutePath.normalize.toString
+    }.toSet
+
   /** Multi-table atomic transaction: all mutations in `f` become visible
     * in one pointer swap, or none do (an exception publishes nothing).
     *

@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.MvRewrite
+import graft.store.{MaterializedView, TableStore}
+import graft.store.MaterializedView.MvDef
+
+/** Transparent MV rewrite: engagement (the optimized plan reads the
+  * view's files, not the base's), answer parity with the rule off,
+  * rollup from a key subset, freshness through maintained writes, and
+  * the negative space (filters, unregistered sums, distinct, pruned
+  * scans must NOT rewrite). */
+class MvRewriteSpec extends SparkSpec {
+
+  private def freshStore(): TableStore =
+    new TableStore(spark, Files.createTempDirectory("graft-mvrw-").toString)
+
+  private def seed(st: TableStore): Unit = {
+    val base = spark.read.parquet(s"$sf/lineitem.parquet").select(
+      col("l_returnflag"), col("l_linestatus"),
+      expr("CAST(l_quantity AS BIGINT)").as("qty"),
+      expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("cents"))
+    st.create("facts", base)
+    MaterializedView.register(st, "facts_view", "facts",
+      MvDef(keys = Seq("l_returnflag", "l_linestatus"),
+        sums = Seq("sum_qty" -> "qty", "sum_cents" -> "cents")))
+  }
+
+  private def usesView(df: org.apache.spark.sql.DataFrame,
+      st: TableStore): Boolean = {
+    val files = df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.rootPaths.map(_.toUri.getPath)
+    }.flatten
+    files.nonEmpty && files.forall(_.contains("/facts_view/")) &&
+      !files.exists(p => p.contains("/facts/"))
+  }
+
+  test("full-key and subset-key aggregates rewrite to the view and answer exactly") {
+    val st = freshStore()
+    seed(st)
+    val rule = MvRewrite.install(spark, st)
+    try {
+      val full = st.read("facts").groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("qty").as("sq"))
+      val sub = st.read("facts").groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("qty").as("sq"), sum("cents").as("sc"))
+      assert(usesView(full, st), "full-key aggregate did not engage:\n" +
+        full.queryExecution.optimizedPlan.treeString)
+      assert(usesView(sub, st), "subset rollup did not engage:\n" +
+        sub.queryExecution.optimizedPlan.treeString)
+      val got = sub.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      MvRewrite.uninstall(spark, rule)
+      val want = st.read("facts").groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("qty").as("sq"), sum("cents").as("sc"))
+        .collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == want, s"rewritten answer diverged: ${got -- want} vs ${want -- got}")
+    } finally MvRewrite.uninstall(spark, rule)
+  }
+
+  test("freshness: maintained inserts are visible through the rewrite") {
+    val st = freshStore()
+    seed(st)
+    val rule = MvRewrite.install(spark, st)
+    try {
+      def total(): Long = st.read("facts").groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n")).agg(sum("n")).head.getLong(0)
+      val before = total()
+      import spark.implicits._
+      MaterializedView.insertInto(st, "facts",
+        Seq(("Z", "Z", 1L, 100L), ("Z", "Z", 2L, 200L))
+          .toDF("l_returnflag", "l_linestatus", "qty", "cents"))
+      assert(total() == before + 2,
+        "rewrite served a stale view after a maintained insert")
+    } finally MvRewrite.uninstall(spark, rule)
+  }
+
+  test("negative space: filters, unregistered sums, distinct, pruned scans stay on the base") {
+    val st = freshStore()
+    seed(st)
+    val rule = MvRewrite.install(spark, st)
+    try {
+      val filtered = st.read("facts").filter(col("qty") > 10)
+        .groupBy("l_returnflag").agg(sum("qty").as("s"))
+      assert(!usesView(filtered, st), "a filtered aggregate must not rewrite")
+      val unregistered = st.read("facts").groupBy("l_returnflag")
+        .agg(sum(col("qty") * 2).as("s"))
+      assert(!usesView(unregistered, st), "an unregistered sum must not rewrite")
+      val distinct = st.read("facts").groupBy("l_returnflag")
+        .agg(countDistinct("l_linestatus").as("d"))
+      assert(!usesView(distinct, st), "a distinct aggregate must not rewrite")
+      // rule disabled by conf: even an eligible aggregate stays put
+      spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+      try {
+        val eligible = st.read("facts").groupBy("l_returnflag")
+          .agg(sum("qty").as("s"))
+        assert(!usesView(eligible, st), "the kill switch must stop rewrites")
+      } finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+    } finally MvRewrite.uninstall(spark, rule)
+  }
+}
