@@ -82,6 +82,32 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvRewrite.uninstall(spark, rule)
   }
 
+  test("a HeroQL group_by over the store table engages the rewrite") {
+    // the rule is plan-level, so queries compiled from LANGUAGE text
+    // benefit with zero wiring — variables shadowing the physical
+    // column names keep the scan projection attribute-only
+    val st = freshStore()
+    seed(st)
+    val rule = MvRewrite.install(spark, st)
+    try {
+      val df = graft.heroql.HeroQL.compileCollection(
+        "data facts(l_returnflag: string, l_linestatus: string, " +
+          "qty: int64, cents: int64).",
+        """collection_query(l_returnflag, total) :-
+             facts(l_returnflag, _, qty, _)
+           group_by l_returnflag(l_returnflag, total = Sum(qty))
+           ;""",
+        Map("facts" -> st.read("facts")))
+      assert(usesView(df, st), "HeroQL aggregate did not engage:\n" +
+        df.queryExecution.optimizedPlan.treeString)
+      val got = df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      MvRewrite.uninstall(spark, rule)
+      val want = st.read("facts").groupBy("l_returnflag")
+        .agg(sum("qty")).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == want, s"language-path rewrite diverged: $got vs $want")
+    } finally MvRewrite.uninstall(spark, rule)
+  }
+
   test("negative space: filters, unregistered sums, distinct, pruned scans stay on the base") {
     val st = freshStore()
     seed(st)
