@@ -30,5 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((new FunctionIdentifier(name),
         new ExpressionInfo(VectorFns.getClass.getName, name), builder))
     }
+    // transparent MV rewrite against the warehouse named by
+    // spark.graft.store.root (a no-op until the conf key is set) —
+    // the one-conf-key cluster deployment of graft.plans.MvRewrite
+    ext.injectOptimizerRule(new graft.plans.ConfiguredMvRewrite(_))
   }
 }

@@ -40,4 +40,49 @@ class ExtensionsSpec extends SparkSpec {
       SparkSession.setActiveSession(orig)
     }
   }
+
+  test("extensions inject the conf-driven MV rewrite (no-op until the root is set)") {
+    val orig = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val st = new graft.store.TableStore(s2,
+        java.nio.file.Files.createTempDirectory("graft-ext-mvrw-").toString)
+      import org.apache.spark.sql.functions._
+      val base = s2.read.parquet(s"$sf/lineitem.parquet").select(
+        col("l_returnflag"),
+        expr("CAST(l_quantity AS BIGINT)").as("qty"))
+      st.create("facts", base)
+      graft.store.MaterializedView.register(st, "facts_view", "facts",
+        graft.store.MaterializedView.MvDef(Seq("l_returnflag"),
+          Seq("sum_qty" -> "qty")))
+      def agg() = st.read("facts").groupBy("l_returnflag")
+        .agg(sum("qty").as("s"))
+      def scans(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation.asInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+              .location.rootPaths.map(_.toUri.getPath)
+        }.flatten
+      // conf unset → the injected rule is a no-op
+      assert(!scans(agg()).exists(_.contains("/facts_view/")),
+        "rewrite must stay off until spark.graft.store.root is set")
+      s2.conf.set("spark.graft.store.root", st.root)
+      try {
+        val rewritten = agg()
+        assert(scans(rewritten).forall(_.contains("/facts_view/")),
+          "conf-driven rewrite did not engage:\n" +
+            rewritten.queryExecution.optimizedPlan.treeString)
+        assert(rewritten.collect().map(_.getLong(1)).sum ==
+          base.agg(sum("qty")).head.getLong(0))
+      } finally s2.conf.unset("spark.graft.store.root")
+    } finally {
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
 }
