@@ -373,6 +373,29 @@ object Relational extends QueryPack {
       .select("event_id", "user_id", "n_1h", "sum_1h")
   }
 
+  /** W8 — IGNORE NULLS navigation (`last`/`first` with null skipping):
+    * the carry-forward idiom inside a frame — each event carries the
+    * user's most recent purchase value (null until the first purchase)
+    * and the user's first purchase value once one exists anywhere.
+    * Ordered on exact BIGINT nanos + event_id (a total order, so the
+    * carried value is deterministic under timestamp ties). Values are
+    * PICKED, never accumulated — strict-hashable with no fixed-point
+    * convention needed. One exchange on user_id; frames are per-user. */
+  private def w8(s: SparkSession, d: String): DataFrame = {
+    val run = Window.partitionBy(col("user_id"))
+      .orderBy(col("tns"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col("user_id"))
+      .orderBy(col("tns"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    graft.streaming.EventStreams.tsNanos(t(s, d, "events"))
+      .select(col("event_id"), col("user_id"), col("tns"),
+        when(col("event_type") === "purchase", col("value")).as("pv"))
+      .withColumn("last_purchase", last(col("pv"), ignoreNulls = true).over(run))
+      .withColumn("first_purchase", first(col("pv"), ignoreNulls = true).over(whole))
+      .select("event_id", "user_id", "last_purchase", "first_purchase")
+  }
+
   // --------------------------------------------------------- sorts / slices
 
   /** O1/W2-global — `order_by_desc` + top-10 (`Kernel/README.md:162-174`):
@@ -637,6 +660,7 @@ object Relational extends QueryPack {
     "j12_banded_range_join" -> (j12 _),
     "j13_grid_spatial_join" -> (j13 _),
     "w7_time_range_frame" -> (w7 _),
+    "w8_ignore_nulls_nav" -> (w8 _),
     "s1_scan_filter" -> (s1 _),
     "s3_inline_values" -> (s3 _),
     "p1_projection" -> (p1 _),
@@ -740,6 +764,22 @@ object Relational extends QueryPack {
            CAST(sum(vmillis) OVER (PARTITION BY user_id ORDER BY tus
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
              / 1000.0 AS sum_1h
+         FROM e""",
+    // nanos + event_id is a total order, so the carried values are
+    // deterministic under timestamp ties; values picked, not summed
+    "w8_ignore_nulls_nav" ->
+      """WITH e AS (
+           SELECT event_id, user_id,
+                  epoch_us(CAST(ts AS TIMESTAMP)) * 1000 AS tns,
+                  CASE WHEN event_type = 'purchase' THEN value END AS pv
+           FROM events)
+         SELECT event_id, user_id,
+           last_value(pv IGNORE NULLS) OVER (PARTITION BY user_id
+             ORDER BY tns, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase,
+           first_value(pv IGNORE NULLS) OVER (PARTITION BY user_id
+             ORDER BY tns, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_purchase
          FROM e""",
     "j13_grid_spatial_join" ->
       """SELECT p.vec_id AS a, q.vec_id AS b
