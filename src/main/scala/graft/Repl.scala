@@ -33,6 +33,7 @@ object Repl {
       |  :tables           list bound tables (parquet + store)
       |  :schema <table>   show a bound table's schema
       |  :run <Query> [n]  evaluate a declared query, print first n rows (20)
+      |  :explain <Query>  show a declared query's physical plan
       |  :check            parse the accumulated program, report errors
       |  :program          show the accumulated program text
       |  :reset            clear the accumulated program
@@ -153,6 +154,13 @@ object Repl {
               throw Analyzer.AnalysisError(":run needs a query name")
             val n = if (parts.length > 1) parts(1).toInt else 20
             out(render(HeroQL.compile(program.toString, parts(0), catalog()), n))
+          }
+          case ":explain" => attempt(":explain") {
+            if (rest.isEmpty)
+              throw Analyzer.AnalysisError(":explain needs a query name")
+            out(HeroQL.compile(program.toString, rest, catalog())
+              .queryExecution.explainString(
+                org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
           }
           case ":exec" => attempt(":exec") {
             HeroQL.executeTransaction(program.toString, rest, fileCatalog(), requireStore())

@@ -18,6 +18,7 @@ class ReplSpec extends SparkSpec {
       "query Names(r_name: string) :- region(_, r_name).",
       ":check",
       ":run Names 10",
+      ":explain Names",
       // a procedure reading a file table and inserting into the store
       "data T(k: int64, v: string).",
       """procedure Promote(cutoff: int64) {
@@ -35,6 +36,7 @@ class ReplSpec extends SparkSpec {
     assert(text.contains("region"), s"tables listing missing region:\n$text")
     assert(text.contains("ok"), s":check did not pass:\n$text")
     assert(text.contains("5 row(s)"), s":run Names expected all 5 regions:\n$text")
+    assert(text.contains("== Physical Plan =="), s":explain missing plan:\n$text")
     assert(text.contains("procedure Promote committed"), s"procedure failed:\n$text")
     // regions 2,3,4 meet the cutoff
     assert(text.contains("3 row(s)"), s"store read-back expected 3 rows:\n$text")
