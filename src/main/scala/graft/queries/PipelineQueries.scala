@@ -111,13 +111,88 @@ object PipelineQueries extends QueryPack {
         sum("n_chars").as("sum_chars"))
   }
 
+  /** pipe4 — LAYERED dedup, the production shape under heavy
+    * duplication: exact dedup FIRST (one exchange on the text key)
+    * collapses the duplication factor, near-dup pair work runs on the
+    * REPRESENTATIVES only, connected components resolve near-dup
+    * clusters, and every document maps through its representative to
+    * the final keeper. Motivated by measurement: on a 10×-replicated
+    * warehouse the pair-listing stage emits ~100× the pairs (every
+    * replica pairs with every replica — output-bound but wasteful),
+    * while this layering's pair stage runs on the SAME ~n_distinct
+    * representatives regardless of duplication factor. The pair
+    * source here is the exact-Jaccard join so the DuckDB oracle can
+    * state it; at corpus scale the same layer is dd3's banded LSH
+    * (identical downstream contract: pairs → CC → keeper). */
+  private def pipe4(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFns.register(s)
+    val docs = t(s, d, "documents").select("doc_id", "text")
+    // layer 1: exact — representative = min doc_id per text
+    val reps = docs.groupBy("text").agg(min("doc_id").as("rep_id"))
+    val docRep = docs.join(reps, "text").select("doc_id", "rep_id")
+    // layer 2: exact-Jaccard near-dup pairs among representatives only
+    val sh = reps.select(col("rep_id"), sort_array(
+      expr(s"transform(${graft.operators.TextFns.shinglesSql("text", 5)}, x -> xxhash64(x))"))
+      .as("s"))
+    val a = sh.repartition(s.sparkContext.defaultParallelism)
+      .select(col("rep_id").as("a_id"), col("s").as("sa"))
+    val b = sh.select(col("rep_id").as("b_id"), col("s").as("sb"))
+    val pairs = a.join(broadcast(b), col("a_id") < col("b_id"))
+      .withColumn("inter", expr("graft_sorted_intersect_long(sa, sb)"))
+      .withColumn("j", graft.operators.TextFns.jaccardFromIntersect(
+        "inter", "size(sa)", "size(sb)"))
+      .filter(col("j") >= 0.25)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    // layer 3: connected components over near-dup edges → keeper per rep
+    val cc = graft.operators.GraphOps.connectedComponentsDF(s, pairs)
+    val repKeeper = reps.select("rep_id")
+      .join(cc, col("rep_id") === col("node"), "left")
+      .select(col("rep_id"),
+        coalesce(col("component"), col("rep_id")).as("keeper_id"))
+    // layer 4: every doc maps through its representative; sizes via
+    // partial-aggregated groupBy, not a window (dd7's viral-key note)
+    val labeled = docRep.join(repKeeper, "rep_id").select("doc_id", "keeper_id")
+    val sizes = labeled.groupBy("keeper_id").agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "keeper_id").select("doc_id", "keeper_id", "cluster_size")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe1_training_pipeline" -> (pipe1 _),
     "pipe2_fingerprint_pipeline" -> (pipe2 _),
     "pipe3_redacted_dedup" -> (pipe3 _),
+    "pipe4_layered_dedup" -> (pipe4 _),
   )
 
   override val oracles: Map[String, String] = Map(
+    // stage-for-stage mirror: exact reps, Jaccard pairs among reps,
+    // recursive-CTE connected components, doc → rep → keeper
+    "pipe4_layered_dedup" ->
+      """WITH RECURSIVE reps AS (
+           SELECT text, min(doc_id) AS rep_id FROM documents GROUP BY text),
+         dr AS (
+           SELECT d.doc_id, r.rep_id FROM documents d JOIN reps r USING (text)),
+         sh AS (
+           SELECT rep_id,
+             list_distinct([substr(text, x, 5)
+               for x in range(1, greatest(length(text) - 4, 0) + 1)]) AS s
+           FROM reps),
+         pairs AS (
+           SELECT a.rep_id AS a_id, b.rep_id AS b_id
+           FROM sh a JOIN sh b ON a.rep_id < b.rep_id
+           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                 CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.25),
+         edges AS (
+           SELECT a_id AS u, b_id AS v FROM pairs
+           UNION ALL SELECT b_id, a_id FROM pairs),
+         reach(u, r) AS (
+           SELECT rep_id, rep_id FROM reps
+           UNION
+           SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+         lab AS (SELECT u AS rep_id, min(r) AS keeper_id FROM reach GROUP BY u),
+         dl AS (SELECT dr.doc_id, lab.keeper_id FROM dr JOIN lab USING (rep_id))
+         SELECT doc_id, keeper_id,
+                count(*) OVER (PARTITION BY keeper_id) AS cluster_size
+         FROM dl""",
     // stage-for-stage mirror of the Spark pipeline: score, filter,
     // keep min-doc_id per text, aggregate per language
     "pipe1_training_pipeline" ->
