@@ -440,6 +440,30 @@ object TextAnalysis extends QueryPack {
       .orderBy(col("doc_freq").desc, col("tok").asc)
       .limit(100)
 
+  /** tx12 — Unicode normalization (the pretraining text-cleanup step:
+    * composed and decomposed encodings of the SAME visible text defeat
+    * exact dedup, fingerprints and token counts unless normalized
+    * first). Each document is augmented with decomposed accents
+    * (e + U+0301 after every 'e' — the driver corpus is accent-free,
+    * so the augmentation is the only non-ASCII source and both engines
+    * see identical bytes), then run through the native codegen'd
+    * normalizer: NFC composes (code-point count drops), NFD + mark
+    * stripping yields the accent-free text. Map-only, no exchange. */
+  private def tx12(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFns.register(s)
+    val comb = "́"
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        expr(s"replace(substring(text, 1, 40), 'e', concat('e', '$comb'))").as("aug"))
+      .select(col("doc_id"),
+        length(col("aug")).cast("long").as("len_raw"),
+        expr("graft_unormalize(aug, 'NFC')").as("norm"),
+        regexp_replace(expr("graft_unormalize(aug, 'NFD')"), "\\p{M}", "")
+          .as("stripped"))
+      .withColumn("len_norm", length(col("norm")).cast("long"))
+      .select("doc_id", "len_raw", "norm", "len_norm", "stripped")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx1_token_count" -> (tx1 _),
     "tx2_quality_score" -> (tx2 _),
@@ -453,6 +477,7 @@ object TextAnalysis extends QueryPack {
     "tx9_gopher_lines" -> (tx9 _),
     "tx10_bm25_topk" -> (tx10 _),
     "tx11_vocab_topk" -> (tx11 _),
+    "tx12_unicode_normalize" -> (tx12 _),
   )
 
   /** The DuckDB mirror of [[augSql]] (|| concatenation, VARCHAR casts).
@@ -679,6 +704,19 @@ object TextAnalysis extends QueryPack {
            FROM documents)
          GROUP BY tok
          ORDER BY doc_freq DESC, tok ASC LIMIT 100""",
+    // chr(769) = U+0301 combining acute; nfc_normalize composes it,
+    // strip_accents removes it — byte-identical to the JVM normalizer
+    // on this controlled augmentation
+    "tx12_unicode_normalize" ->
+      """WITH a AS (
+           SELECT doc_id,
+                  replace(substr(text, 1, 40), 'e', 'e' || chr(769)) AS aug
+           FROM documents)
+         SELECT doc_id, CAST(length(aug) AS BIGINT) AS len_raw,
+                nfc_normalize(aug) AS norm,
+                CAST(length(nfc_normalize(aug)) AS BIGINT) AS len_norm,
+                strip_accents(nfc_normalize(aug)) AS stripped
+         FROM a""",
     // same planting expression, same integer counts, same single
     // int→double division per ratio — bit-equal cross-engine; the
     // max-gram count is a separate CTE so the tie-breaking min-gram
