@@ -235,8 +235,24 @@ object AdminQueries extends QueryPack {
     new TableStore(s, dest).read("orders")
   }
 
+  /** adm11 — change-data feed over the commit log: a seed commit plus
+    * two insert commits, then `changesSince(2)` — the rows ADDED in
+    * the last two commits, derived purely from the manifest diff
+    * (read cost ∝ added dirs, never table size — the downstream-sync
+    * primitive). The oracle states the two batches relationally; a
+    * feed that leaked seed rows or dropped a batch hash-mismatches.
+    * StoreSpec pins the refusal on rewrite-bearing intervals. */
+  private def adm11(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s)
+    st.create("orders", seedMod(s, d, 0))
+    st.insert("orders", seedMod(s, d, 1))
+    st.insert("orders", seedMod(s, d, 2))
+    st.changesSince("orders", 2)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "adm10_incremental_backup" -> (adm10 _),
+    "adm11_changefeed" -> (adm11 _),
     "adm1_schema_evolution" -> (adm1 _),
     "adm2_schema_migrate" -> (adm2 _),
     "adm3_vacuum_gc" -> (adm3 _),
@@ -291,6 +307,11 @@ object AdminQueries extends QueryPack {
                      ELSE o_totalprice END AS o_totalprice,
                 o_orderpriority
          FROM orders WHERE o_orderkey % 10 IN (0, 1)""",
+    // the feed = exactly the two inserted batches, never the seed
+    "adm11_changefeed" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderpriority
+         FROM orders WHERE o_orderkey % 10 IN (1, 2)""",
     // compaction is physical only: the content is the plain union
     "adm6_compaction" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

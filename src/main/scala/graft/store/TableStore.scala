@@ -463,6 +463,52 @@ final class TableStore(val spark: SparkSession, val root: String) {
     readLog(name, readEntries(name, m))
   }
 
+  /** Change-data feed over an APPEND-ONLY interval: the rows added to
+    * `name` between version `-versionsBack` and HEAD, derived purely
+    * from the manifest diff — data dirs are immutable and uniquely
+    * named, so the commit log IS the change log (the Delta-CDF shape
+    * on the store's own manifests). No data diffing; read cost ∝
+    * added dirs, never table size — the downstream-sync primitive at
+    * 100 TB. Schema-op lines stay in place, so dirs added after a
+    * mid-interval schema change read under the schema they were
+    * written with.
+    *
+    * An interval containing a REWRITE (update / delete / compaction /
+    * migrate folded or replaced dirs — an old dir absent from HEAD)
+    * cannot be expressed as additions; it refuses with the real
+    * diagnosis instead of returning a wrong delta. */
+  def changesSince(name: String, versionsBack: Int): DataFrame = {
+    require(versionsBack >= 0, "versionsBack must be >= 0")
+    val vs = versions()
+    require(versionsBack < vs.size,
+      s"store has ${vs.size} retained version(s); cannot go back $versionsBack")
+    val curM = readStoreManifest(vs(0)).getOrElse(name,
+      throw new IllegalArgumentException(s"table $name does not exist at HEAD"))
+    val cur = readEntries(name, curM)
+    // table born inside the interval → every dir is an addition
+    val oldDirs: Set[String] = readStoreManifest(vs(versionsBack)).get(name)
+      .map(m => readEntries(name, m).collect { case DataDir(d) => d }.toSet)
+      .getOrElse(Set.empty)
+    val curDirs = cur.collect { case DataDir(d) => d }
+    val rewritten = oldDirs -- curDirs.toSet
+    if (rewritten.nonEmpty) throw new IllegalArgumentException(
+      s"changesSince($name, $versionsBack): ${rewritten.size} data dir(s) " +
+        s"of the old version were rewritten or folded in the interval " +
+        s"(${rewritten.take(3).mkString(", ")}) — the history is not " +
+        "append-only over this window, so the delta cannot be expressed " +
+        "as added rows; read full versions (readVersion) and diff, or " +
+        "narrow the window")
+    val feedEntries = cur.filter {
+      case DataDir(d) => !oldDirs.contains(d)
+      case _ => true
+    }
+    // an empty interval (no commits touched the table) is a valid,
+    // EMPTY feed in the table's current schema, not an error
+    if (!feedEntries.exists(_.isInstanceOf[DataDir]))
+      readLog(name, cur).limit(0)
+    else readLog(name, feedEntries)
+  }
+
   /** S7 backup/export: write a self-contained snapshot of the table's
     * CURRENT committed state to `destDir` (plain parquet, no manifest —
     * readable by anything; a bucketed table exports with its

@@ -316,6 +316,27 @@ class StoreSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](st.readVersion("t", 2))
   }
 
+  test("changefeed: added rows only, all-new for born-in-interval, refusal on rewrites") {
+    import spark.implicits._
+    val st = freshStore()
+    st.create("t", seedDf)
+    st.insert("t", Seq((4L, "d", 40.0)).toDF("id", "tag", "v"))
+    st.insert("t", Seq((5L, "e", 50.0)).toDF("id", "tag", "v"))
+    // the feed over the two inserts carries exactly their rows
+    assert(st.changesSince("t", 2).select("id").as[Long].collect().toSet
+      == Set(4L, 5L), "feed must be exactly the two inserted batches")
+    // a window reaching before the table's creation: every dir is new
+    assert(st.changesSince("t", 0).count() == 0, "HEAD-to-HEAD is empty")
+    // a rewrite in the interval (delete COWs dirs) must refuse loudly
+    st.delete("t", col("id") === 1L)
+    val e = intercept[IllegalArgumentException](st.changesSince("t", 1))
+    assert(e.getMessage.contains("not append-only"), e.getMessage)
+    // a post-rewrite append-only window works again
+    st.insert("t", Seq((6L, "f", 60.0)).toDF("id", "tag", "v"))
+    assert(st.changesSince("t", 1).select("id").as[Long].collect().toSet
+      == Set(6L), "window after the rewrite is append-only again")
+  }
+
   test("exportRing rotates slots, reuses the oldest, each independently readable") {
     import spark.implicits._
     val st = freshStore()
