@@ -396,6 +396,25 @@ object Relational extends QueryPack {
       .select("event_id", "user_id", "last_purchase", "first_purchase")
   }
 
+  /** F13 — array set algebra (union / intersect / except over the
+    * tokenized text): the set-similarity building blocks (dd2's
+    * Jaccard is intersect/union cardinalities). Consecutive documents
+    * pair up (doc k with doc k+1 — an equi-join, no cross product);
+    * outputs are CARDINALITIES, so element order inside the arrays
+    * never matters. Map-only after one broadcast-sized self-join. */
+  private def f13(s: SparkSession, d: String): DataFrame = {
+    val tk = t(s, d, "documents")
+      .select(col("doc_id"), expr(
+        "array_distinct(split(trim(lower(text)), '\\\\s+'))").as("toks"))
+    val a = tk.select(col("doc_id").as("a_id"), col("toks").as("ta"))
+    val b = tk.select((col("doc_id") - 1).as("a_id"), col("toks").as("tb"))
+    a.join(b, "a_id")
+      .select(col("a_id"),
+        expr("CAST(size(array_union(ta, tb)) AS BIGINT)").as("n_union"),
+        expr("CAST(size(array_intersect(ta, tb)) AS BIGINT)").as("n_inter"),
+        expr("CAST(size(array_except(ta, tb)) AS BIGINT)").as("n_only_a"))
+  }
+
   // --------------------------------------------------------- sorts / slices
 
   /** O1/W2-global — `order_by_desc` + top-10 (`Kernel/README.md:162-174`):
@@ -661,6 +680,7 @@ object Relational extends QueryPack {
     "j13_grid_spatial_join" -> (j13 _),
     "w7_time_range_frame" -> (w7 _),
     "w8_ignore_nulls_nav" -> (w8 _),
+    "f13_array_setops" -> (f13 _),
     "s1_scan_filter" -> (s1 _),
     "s3_inline_values" -> (s3 _),
     "p1_projection" -> (p1 _),
@@ -765,6 +785,17 @@ object Relational extends QueryPack {
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
              / 1000.0 AS sum_1h
          FROM e""",
+    // cardinalities only — array-internal order never matters
+    "f13_array_setops" ->
+      """WITH tk AS (
+           SELECT doc_id,
+                  list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
+           FROM documents)
+         SELECT a.doc_id AS a_id,
+                CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS BIGINT) AS n_union,
+                CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_inter,
+                CAST(len(list_filter(a.toks, x -> NOT list_contains(b.toks, x))) AS BIGINT) AS n_only_a
+         FROM tk a JOIN tk b ON b.doc_id = a.doc_id + 1""",
     // nanos + event_id is a total order, so the carried values are
     // deterministic under timestamp ties; values picked, not summed
     "w8_ignore_nulls_nav" ->

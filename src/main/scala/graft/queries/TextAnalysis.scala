@@ -464,6 +464,28 @@ object TextAnalysis extends QueryPack {
       .select("doc_id", "len_raw", "norm", "len_norm", "stripped")
   }
 
+  /** tx13 — edit-distance fuzzy matching (title/boilerplate near-match,
+    * the character-level complement to the token-level Jaccard
+    * family): Levenshtein distance between consecutive documents'
+    * 60-char prefixes, plus the normalized similarity ratio in exact
+    * integer micros (one division at publish — the order-free
+    * convention). Codegen'd built-in, no UDF; one equi-join, never a
+    * cross product (at corpus scale the pairing comes from a blocking
+    * key — LSH buckets, sorted neighborhoods — with the same
+    * per-pair scorer). */
+  private def tx13(s: SparkSession, d: String): DataFrame = {
+    val p = t(s, d, "documents")
+      .select(col("doc_id"), expr("substring(text, 1, 60)").as("pref"))
+    val a = p.select(col("doc_id").as("a_id"), col("pref").as("pa"))
+    val b = p.select((col("doc_id") - 1).as("a_id"), col("pref").as("pb"))
+    a.join(b, "a_id")
+      .select(col("a_id"),
+        levenshtein(col("pa"), col("pb")).cast("long").as("dist"),
+        expr("""CAST(floor((1.0 - CAST(levenshtein(pa, pb) AS DOUBLE) /
+                greatest(length(pa), length(pb))) * 1000000) AS BIGINT)""")
+          .as("sim_micro"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx1_token_count" -> (tx1 _),
     "tx2_quality_score" -> (tx2 _),
@@ -478,6 +500,7 @@ object TextAnalysis extends QueryPack {
     "tx10_bm25_topk" -> (tx10 _),
     "tx11_vocab_topk" -> (tx11 _),
     "tx12_unicode_normalize" -> (tx12 _),
+    "tx13_edit_distance" -> (tx13 _),
   )
 
   /** The DuckDB mirror of [[augSql]] (|| concatenation, VARCHAR casts).
@@ -704,6 +727,16 @@ object TextAnalysis extends QueryPack {
            FROM documents)
          GROUP BY tok
          ORDER BY doc_freq DESC, tok ASC LIMIT 100""",
+    // same integer distance, same single division, floored to micros
+    "tx13_edit_distance" ->
+      """WITH p AS (
+           SELECT doc_id, substr(text, 1, 60) AS pref FROM documents)
+         SELECT a.doc_id AS a_id,
+                CAST(levenshtein(a.pref, b.pref) AS BIGINT) AS dist,
+                CAST(floor((1.0 - CAST(levenshtein(a.pref, b.pref) AS DOUBLE) /
+                     greatest(length(a.pref), length(b.pref))) * 1000000) AS BIGINT)
+                  AS sim_micro
+         FROM p a JOIN p b ON b.doc_id = a.doc_id + 1""",
     // chr(769) = U+0301 combining acute; nfc_normalize composes it,
     // strip_accents removes it — byte-identical to the JVM normalizer
     // on this controlled augmentation
