@@ -33,7 +33,8 @@ object PlanDump {
     // streaming gates' plans live behind a drained memory sink — not
     // meaningful to dump here)
     val extras = Seq("a10_grouping_sets", "a14_pivot", "f11_array_lambdas",
-      "samp5_hash_split", "tx11_vocab_topk")
+      "samp5_hash_split", "tx11_vocab_topk", "tx12_unicode_normalize",
+      "tx13_edit_distance", "f13_array_setops")
     (Bench.headline ++ extras).foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
