@@ -54,10 +54,40 @@ data AttendExam(student: int64, exam: int64, score: int).
          ;""",
       catalog(s, d))
 
+  /** cq4 — the classic warehouse 3-way analytics join from LANGUAGE
+    * text (the TPC-H Q3 shape): segment-filtered customers ⋈ orders ⋈
+    * lineitem, revenue per order in half-up cents (exact — identical
+    * float expression both engines, integer sum), top-10 by revenue
+    * with the order key as tie-break. Compiles to two shuffle
+    * equi-joins + one partial-aggregated exchange + TakeOrdered —
+    * the same plan a hand-written DataFrame chain produces. */
+  private def cq4(s: SparkSession, d: String): DataFrame =
+    HeroQL.compileCollection(
+      """data Cust(c: int64).
+        |data Ord(o: int64, c: int64).
+        |data Li(o: int64, pc: int64).
+        |""".stripMargin,
+      """collection_query(o, revenue_c) :-
+           Cust(c), Ord(o, c), Li(o, pc)
+         group_by o(o, revenue_c = Sum(pc))
+         order_by_desc revenue_c
+         range_by 1..10
+         ;""",
+      Map(
+        "Cust" -> t(s, d, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("c")),
+        "Ord" -> t(s, d, "orders")
+          .select(col("o_orderkey").as("o"), col("o_custkey").as("c")),
+        "Li" -> t(s, d, "lineitem").select(col("l_orderkey").as("o"),
+          expr("CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT)")
+            .as("pc"))))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cq1_partition_topk" -> (cq1 _),
     "cq2_where_groupby_count" -> (cq2 _),
     "cq3_having_order_range" -> (cq3 _),
+    "cq4_tpch_q3_shape" -> (cq4 _),
   )
 
   private val aeSql =
@@ -65,6 +95,18 @@ data AttendExam(student: int64, exam: int64, score: int).
               CAST(floor(l_quantity) AS INTEGER) AS score FROM lineitem"""
 
   override val oracles: Map[String, String] = Map(
+    // identical float expression, integer sum, (revenue, key) total order
+    "cq4_tpch_q3_shape" ->
+      """SELECT o, revenue_c FROM (
+           SELECT o_orderkey AS o,
+                  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                    * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
+           FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+           WHERE c_mktsegment = 'BUILDING'
+           GROUP BY o_orderkey)
+         ORDER BY revenue_c DESC, o ASC LIMIT 10""",
     "cq1_partition_topk" ->
       s"""SELECT student, exam, score AS sample_score FROM (
            SELECT student, exam, score,
