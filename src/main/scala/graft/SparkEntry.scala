@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{AdminQueries, CollectionQueries, Dedup, GraphQueries, HeroMutations, HeroQueries, MatViewQueries, MultimodalQueries, Mutations, PackageQueries, PipelineQueries, QueryPack, Relational, Similarity, SourceQueries, Streaming, TextAnalysis, TrainingSetQueries}
+import graft.queries.{AdminQueries, CollectionQueries, Dedup, GraphQueries, HeroMutations, HeroQueries, MatViewQueries, MultimodalQueries, Mutations, PackageQueries, PipelineQueries, QueryPack, Relational, Similarity, SourceQueries, Streaming, TextAnalysis, TokenizerQueries, TrainingSetQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -31,6 +31,7 @@ object SparkEntry {
     SourceQueries,
     PipelineQueries,
     TrainingSetQueries,
+    TokenizerQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

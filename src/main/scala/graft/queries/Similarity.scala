@@ -602,6 +602,36 @@ object Similarity extends QueryPack {
         expr("aggregate(q, CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + (c + 128)) % 1000000007)")
           .as("code_checksum"))
 
+  /** emb2 — per-dimension corpus statistics of the embedding column (the
+    * feature-scaling / whitening-prep pass: means for centering, extrema
+    * for clipping, second moments for per-dimension variance — what a
+    * normalization layer or a PQ codebook trainer reads first). One
+    * `posexplode` then a single partial-aggregated exchange keyed by the
+    * 64 dimension ids — at 100 TB this is a map-side-combined tree
+    * reduce to a 64-row result; nothing broadcasts, nothing sorts.
+    *
+    * Determinism: each element fixes to integer micros BEFORE any
+    * cross-row sum (floor(x·1e6), floor(x²·1e6)) — integer sums are
+    * accumulation-order-free, so the 32-way partial aggregation cannot
+    * move the driver hash. (At true corpus scale the BIGINT sums would
+    * widen to DECIMAL(38,0); at every test SF they are ≤2^45.) The
+    * float→double widening is exact in both engines. */
+  private def emb2(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        expr("CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)").as("m"),
+        expr("CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000) AS BIGINT)").as("m2"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum("m").as("sum_micro"),
+        min("m").as("min_micro"),
+        max("m").as("max_micro"),
+        sum("m2").as("sumsq_micro"))
+      .withColumn("mean_micro", expr("sum_micro div n"))
+      .select("dim", "n", "sum_micro", "min_micro", "max_micro",
+        "sumsq_micro", "mean_micro")
+
   /** ann8 — HYBRID retrieval by reciprocal-rank fusion (Cormack et al.
     * 2009, the production RAG stack's dense+sparse combiner): every
     * document carries a SPARSE rank (BM25 against tx10's query
@@ -675,6 +705,7 @@ object Similarity extends QueryPack {
     "ann6_stored_index_topk" -> (ann6 _),
     "ann7_ivfpq_residual_topk" -> (ann7 _),
     "emb1_quantization" -> (emb1 _),
+    "emb2_dimension_stats" -> (emb2 _),
   )
 
   /** ann2's DuckDB oracle — possible because the LSH is fully
@@ -890,5 +921,23 @@ object Similarity extends QueryPack {
            list_reduce(list_concat([CAST(0 AS BIGINT)], codes),
              (acc, c) -> (acc * 31 + (c + 128)) % 1000000007) AS code_checksum
          FROM c""",
+    // per-element micro fix-point BEFORE the sums (order-free integers);
+    // dim is 0-based on both sides (posexplode pos ≡ range(0, len))
+    "emb2_dimension_stats" ->
+      """WITH x AS (
+           SELECT unnest(range(0, len(embedding))) AS dim,
+             unnest(CAST(embedding AS DOUBLE[])) AS x
+           FROM embeddings),
+         m AS (
+           SELECT dim,
+             CAST(floor(x * 1000000) AS BIGINT) AS m,
+             CAST(floor(x * x * 1000000) AS BIGINT) AS m2
+           FROM x)
+         SELECT dim, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(m) AS BIGINT) AS sum_micro,
+           min(m) AS min_micro, max(m) AS max_micro,
+           CAST(sum(m2) AS BIGINT) AS sumsq_micro,
+           CAST(sum(m) AS BIGINT) // count(*) AS mean_micro
+         FROM m GROUP BY dim""",
   )
 }

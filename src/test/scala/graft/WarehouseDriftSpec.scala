@@ -85,7 +85,11 @@ class WarehouseDriftSpec extends SparkSpec {
     // lambdas over double-drifted embeddings, md5 split + vocab over
     // int32 doc ids, ev4's BIGINT segment products over drifted ts
     "a10_grouping_sets", "a14_pivot", "f11_array_lambdas",
-    "samp5_hash_split", "tx11_vocab_topk", "ev4_time_weighted_avg")
+    "samp5_hash_split", "tx11_vocab_topk", "ev4_time_weighted_avg",
+    // tokenizer-induction family: dictionary pair counts over int32
+    // ids, bigram LM joins, per-dim moments over double-drifted vectors
+    "bpe1_pair_counts", "bpe2_second_merge", "tx14_bigram_logprob",
+    "emb2_dimension_stats")
 
   test("representative queries plan and execute against an int32/double-drifted warehouse") {
     val failures = slice.flatMap { name =>
