@@ -134,10 +134,57 @@ object TokenizerQueries extends QueryPack {
       .select("doc_id", "n_tok", "nll_micro", "avg_nll_micro")
   }
 
+  /** Count-min sketch geometry: K independent hash rows × W buckets.
+    * W is FIXTURE-CALIBRATED small (the driver corpus has ~31 distinct
+    * tokens — W=16 forces real bucket collisions so the gate exercises
+    * the estimate-vs-truth gap, not just exact pass-through); at corpus
+    * scale W grows to ~1/ε while the grid stays O(K·W) — e.g. 4×2²⁰
+    * BIGINTs = 32 MB for ε≈1e-6, still broadcastable. */
+  private val CmsK = 4
+  private val CmsW = 16
+
+  /** (j, bucket) pairs for every dictionary word under the K row
+    * hashes — the row seed is prefixed into the fingerprint input so
+    * the K hashes are independent (the dc1 gram-fingerprint function,
+    * mirrored exactly by [[graft.operators.TextFns.fingerprintDuckSql]]
+    * in the oracle). */
+  private def cmsEntries(dict: DataFrame): DataFrame =
+    dict.select(col("w"), col("wc"), explode(array((0 until CmsK).map(j =>
+      struct(lit(j).as("j"),
+        pmod(graft.operators.TextFns.fingerprintOf(
+          concat(lit(s"$j:"), col("w"))), lit(CmsW)).as("b"))): _*)).as("e"))
+      .select(col("w"), col("wc"), col("e.j").as("j"), col("e.b").as("b"))
+
+  /** cms1 — count-min sketch heavy-hitter estimation (Cormode &
+    * Muthukrishnan 2005): the corpus token-frequency table is folded
+    * into a K×W counter grid, then the top-20 true heavy hitters read
+    * their estimates back as min over their K buckets. Emits true
+    * count, estimate, and the (provably ≥0) overcount, so the gate
+    * pins BOTH the sketch arithmetic and the CMS guarantee.
+    *
+    * Scale stance: the sketch builds from the DICTIONARY (the one
+    * corpus-sized exchange already paid by bpe1/tx8 — increments are
+    * weighted by word count, equivalent to streaming every occurrence),
+    * and the grid is O(K·W) regardless of corpus size — THE structure
+    * to broadcast for frequency-aware downsampling of a 100 TB corpus
+    * where the exact dictionary no longer broadcasts. The estimate join
+    * is a broadcast hash join on (j, bucket) against the 2 K-row grid. */
+  private def cms1(s: SparkSession, d: String): DataFrame = {
+    val dict = dictionary(s, d).localCheckpoint()
+    val sketch = cmsEntries(dict).groupBy("j", "b").agg(sum("wc").as("cnt"))
+    val top = dict.orderBy(col("wc").desc, col("w").asc).limit(20)
+    cmsEntries(top)
+      .join(broadcast(sketch), Seq("j", "b"))
+      .groupBy("w").agg(max("wc").as("true_cnt"), min("cnt").as("est_cnt"))
+      .withColumn("over_cnt", col("est_cnt") - col("true_cnt"))
+      .select(col("w").as("tok"), col("true_cnt"), col("est_cnt"), col("over_cnt"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe1_pair_counts" -> (bpe1 _),
     "bpe2_second_merge" -> (bpe2 _),
     "tx14_bigram_logprob" -> (tx14 _),
+    "cms1_heavy_hitters" -> (cms1 _),
   )
 
   private val dictSql =
@@ -152,7 +199,27 @@ object TokenizerQueries extends QueryPack {
           FROM ($dictExpr) WHERE len($wCol) >= 2)
         GROUP BY pair"""
 
+  private val cmsEntriesSql: String = {
+    val fp = graft.operators.TextFns.fingerprintDuckSql(
+      "(CAST(j AS VARCHAR) || ':' || w)")
+    s"""SELECT w, wc, j, CAST($fp % $CmsW AS BIGINT) AS b
+        FROM dict CROSS JOIN (SELECT unnest(range(0, $CmsK)) AS j) ks"""
+  }
+
   override val oracles: Map[String, String] = Map(
+    "cms1_heavy_hitters" ->
+      s"""WITH dict AS ($dictSql),
+            entries AS ($cmsEntriesSql),
+            sketch AS (SELECT j, b, CAST(sum(wc) AS BIGINT) AS cnt
+                       FROM entries GROUP BY j, b),
+            top AS (SELECT w FROM dict ORDER BY wc DESC, w ASC LIMIT 20)
+          SELECT e.w AS tok,
+            CAST(max(e.wc) AS BIGINT) AS true_cnt,
+            CAST(min(s.cnt) AS BIGINT) AS est_cnt,
+            CAST(min(s.cnt) - max(e.wc) AS BIGINT) AS over_cnt
+          FROM entries e JOIN top USING (w)
+          JOIN sketch s ON e.j = s.j AND e.b = s.b
+          GROUP BY e.w""",
     "bpe1_pair_counts" ->
       s"""SELECT pair, weight FROM (${pairSql(dictSql, "w")})
           ORDER BY weight DESC, pair ASC LIMIT 50""",

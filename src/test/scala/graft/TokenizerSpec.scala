@@ -74,6 +74,38 @@ class TokenizerSpec extends SparkSpec {
       "expected the scalar N/V row to cross-join by broadcast")
   }
 
+  test("cms1 estimates dominate truth and equal the colliding-count sums") {
+    val rows = TokenizerQueries.queries("cms1_heavy_hitters")(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"${r.getString(0)}: CMS estimate below truth — impossible")
+      assert(r.getLong(3) == r.getLong(2) - r.getLong(1))
+    }
+    // independent reconstruction: with the tiny fixture vocab the exact
+    // dictionary fits in the test driver, so recompute each bucket sum
+    // directly and pin est = min_j Σ{wc | same (j, bucket)}
+    import graft.operators.TextFns
+    val dict = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(expr("split(trim(lower(text)), '\\\\s+')")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // all (j, word) buckets in ONE job, then pure driver arithmetic
+    import spark.implicits._
+    val buckets = (for { j <- 0 until 4; w <- dict.keys.toSeq } yield (j, w))
+      .toDF("j", "w")
+      .select(col("j"), col("w"), pmod(TextFns.fingerprintOf(
+        concat(col("j").cast("string"), lit(":"), col("w"))), lit(16)).as("b"))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    val top = rows.maxBy(_.getLong(1))
+    val expected = (0 until 4).map { j =>
+      val b = buckets((j, top.getString(0)))
+      dict.collect { case (w, wc) if buckets((j, w)) == b => wc }.sum
+    }.min
+    assert(top.getLong(2) == expected,
+      s"${top.getString(0)}: est ${top.getLong(2)} != reconstructed $expected")
+  }
+
   test("emb2 per-dimension stats: one partial-aggregated exchange, consistent moments") {
     val df = graft.queries.Similarity.queries("emb2_dimension_stats")(spark, sf)
     val rows = df.collect()

@@ -89,7 +89,7 @@ class WarehouseDriftSpec extends SparkSpec {
     // tokenizer-induction family: dictionary pair counts over int32
     // ids, bigram LM joins, per-dim moments over double-drifted vectors
     "bpe1_pair_counts", "bpe2_second_merge", "tx14_bigram_logprob",
-    "emb2_dimension_stats")
+    "emb2_dimension_stats", "cms1_heavy_hitters")
 
   test("representative queries plan and execute against an int32/double-drifted warehouse") {
     val failures = slice.flatMap { name =>
