@@ -342,8 +342,11 @@ final class Planner(decls: Map[String, DataDecl],
       // per-round fixed cost; chaining divides the job count by B)
       var stepIn = delta
       val outs = Seq.newBuilder[DataFrame]
+      // clamp defends the use site too: the var is spec-mutable, and a
+      // ≤0 value would run zero steps → empty `reduce` + infinite loop
+      val batchRounds = math.max(1, Planner.fixpointBatchRounds)
       var b = 0
-      while (b < Planner.fixpointBatchRounds && iter + b < Planner.fixpointMaxIter) {
+      while (b < batchRounds && iter + b < Planner.fixpointMaxIter) {
         val d = step(stepIn)
         outs += d
         stepIn = d
@@ -500,8 +503,9 @@ final class Planner(decls: Map[String, DataDecl],
         var stepIn = delta
         var stepAcc = acc
         val outs = Seq.newBuilder[DataFrame]
+        val batchRounds = math.max(1, Planner.fixpointBatchRounds)
         var b = 0
-        while (b < Planner.fixpointBatchRounds && iter + b < maxIter) {
+        while (b < batchRounds && iter + b < maxIter) {
           val d = step(stepIn, stepAcc)
           outs += d
           stepAcc = stepAcc.union(d)
@@ -1475,7 +1479,9 @@ object Planner {
     * savings past 3). Mutable so specs can pin 1 (the classic
     * one-step semi-naïve) and assert result parity. */
   private[graft] var fixpointBatchRounds: Int =
-    sys.env.get("GRAFT_FIXPOINT_BATCH").map(_.toInt).getOrElse(3)
+    // clamped ≥1: a zero/negative batch would run the inner step loop
+    // zero times and crash the round's `reduce` on an empty builder
+    math.max(1, sys.env.get("GRAFT_FIXPOINT_BATCH").map(_.toInt).getOrElse(3))
 
   /** Round cap for the rule fixpoint — a diagnostic backstop against
     * value-generating recursion (x <- y + 1 derives a fresh tuple every
@@ -1697,6 +1703,7 @@ object HeroQL {
         // until vacuum, so the lazy plan stays valid), fold its negated
         // partials in the same commit. Zero extra plans when no view is
         // registered.
+        val preManifest = tx.manifestName(table)
         val removed =
           if (graft.store.MaterializedView.hasRegistered(tx, table))
             Some(doomed(tx.read(table)).localCheckpoint())
@@ -1709,7 +1716,7 @@ object HeroQL {
               df.filter(not(h)).unionByName(df.filter(h).join(keys, keyFields, "left_anti"))
           })
         removed.foreach(
-          graft.store.MaterializedView.refreshRegisteredDelete(tx, table, _))
+          graft.store.MaterializedView.refreshRegisteredDelete(tx, table, _, preManifest))
       case "update" =>
         val matchPairs = item.atom.args.zip(fields).collect { case (TVar(v), f) => (v, f) }
         val setPairs = item.atom.args.zip(fields).collect { case (TAtVar(v), f) => (v, f) }
@@ -1757,15 +1764,15 @@ object HeroQL {
           // the matched pre-state rows leave (negated partials), their
           // rewritten versions enter — both folds in the same commit,
           // so the view never observes a half-applied update
+          val preManifest = tx.manifestName(table)
           val oldRows =
             if (graft.store.MaterializedView.hasRegistered(tx, table))
               Some(matched(tx.read(table)).localCheckpoint())
             else None
           tx.rewriteMatched(table, hits = matched, rewrite = applied)
-          oldRows.foreach { old =>
-            graft.store.MaterializedView.refreshRegisteredDelete(tx, table, old)
-            graft.store.MaterializedView.refreshRegistered(tx, table, applied(old))
-          }
+          oldRows.foreach(old =>
+            graft.store.MaterializedView.refreshRegisteredUpdate(
+              tx, table, old, applied(old), preManifest))
         }
       case other => throw Analyzer.AnalysisError(s"unknown mutation @$other")
     }

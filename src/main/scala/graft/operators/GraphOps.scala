@@ -17,6 +17,13 @@ import org.apache.spark.storage.StorageLevel
   */
 object GraphOps {
 
+  /** Canonical-pair count at which [[connectedComponentsDF]]'s loop
+    * runs at full parallelism instead of the iterative default's small
+    * fan — the contraction reshuffles the whole edge set every round,
+    * so past ~1M pairs the per-round sort dominates and wants every
+    * core (the measured 2× at 2M pairs on local[32]). */
+  val LargeEdgeFanThreshold: Long = 1000000L
+
   /** Build a GraphX graph from an edge DataFrame with long columns
     * `src`, `dst`. */
   def fromEdges(edges: DataFrame): Graph[Int, Int] = {
@@ -70,13 +77,23 @@ object GraphOps {
     * loop policy.
     */
   def connectedComponentsDF(spark: SparkSession, edges: DataFrame,
-      maxIter: Int = 50): DataFrame = Fixpoint.withIterativeConf(spark) {
-    // pin the input ONCE: nodes and the canonical pair set both derive
-    // from it, and the caller's edge plan may be expensive (dd7 feeds
-    // the O(n²)-verified pair join) — deriving each lazily would
-    // evaluate that plan twice
+      maxIter: Int = 50): DataFrame = {
+    // pin the input ONCE, outside the loop conf (map-only, no shuffle):
+    // nodes and the canonical pair set both derive from it, the
+    // caller's edge plan may be expensive (dd7 feeds the O(n²)-verified
+    // pair join), and the pinned count is the size probe that picks the
+    // loop's shuffle fan — star-contraction reshuffles the FULL edge
+    // set every round, so a large input needs the full parallelism
+    // (8-task sorts of 2M-row partitions on 32 idle cores were the
+    // measured 2× loss), while the default small fan suits the modest
+    // one-shot pair graphs this form is the production path for
     val raw = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).localCheckpoint()
+    val loopFan =
+      if (raw.count() >= GraphOps.LargeEdgeFanThreshold)
+        Some(spark.sparkContext.defaultParallelism)
+      else None
+    Fixpoint.withIterativeConf(spark, loopFan) {
     // nodes BEFORE the self-loop drop: a node whose only edge is a
     // self-loop is still a (singleton) vertex, exactly as in GraphX
     val nodes = raw.select(col("src").as("node"))
@@ -134,6 +151,7 @@ object GraphOps {
     nodes.join(roots, nodes("node") === roots("src"), "left")
       .select(col("node"),
         coalesce(col("component"), col("node")).as("component"))
+    }
   }
 
   /** Static PageRank (fixed iterations) → DataFrame(node, rank). */

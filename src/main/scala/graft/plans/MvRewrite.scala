@@ -3,7 +3,7 @@ package graft.plans
 import scala.util.control.NonFatal
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Coalesce, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -38,7 +38,11 @@ import graft.store.{MaterializedView, TableStore}
   * aggregates under the ORIGINAL exprIds, so parent operators are
   * untouched. At 100 TB this turns a full-corpus scan + shuffle into
   * a scan of #groups rows — the view is maintained incrementally on
-  * every write path (WritePath), so the answer is exact, not stale.
+  * every write front door (the TableStore mutation facade, WritePath,
+  * the HeroQL mutation routes), and a write that BYPASSES maintenance
+  * (a raw `transaction {{ tx => ... }}`, compaction, migrate) trips the
+  * base-manifest watermark fence ([[MaterializedView.BaseManifestProp]])
+  * so the rewrite stands down rather than serve a stale answer.
   *
   * Scale note: the view snapshot resolves at OPTIMIZATION time (the
   * store's current commit), matching the store's read-at-call
@@ -104,6 +108,13 @@ class MvRewrite(spark: SparkSession, store: TableStore)
     val base = MaterializedView.registrations(store).collectFirst {
       case (mv, baseT, dfn)
           if store.exists(baseT) && store.dataDirPaths(baseT) == paths &&
+            // staleness fence: the view records the base-manifest name
+            // it was last maintained against; ANY base write that
+            // bypassed maintenance (raw txn, compaction, migrate) moved
+            // the name, and a mismatched (or missing) watermark must
+            // fall back to the base scan — never a stale answer
+            store.tableProps(mv).get(MaterializedView.BaseManifestProp)
+              .exists(w => store.currentManifestName(baseT).contains(w)) &&
             groupNames.forall(dfn.keys.contains) &&
             outs.forall {
               case (_, SumOut(c)) => dfn.sums.exists(_._2.trim == c)
@@ -124,14 +135,19 @@ class MvRewrite(spark: SparkSession, store: TableStore)
       case (ne, GroupOut(n)) =>
         Alias(mvAttr(n), ne.name)(exprId = ne.exprId)
       case (ne, CountOut) =>
-        Alias(sumOf(mvAttr("n_rows")), ne.name)(exprId = ne.exprId)
+        // coalesce matches count's semantics AND nullability: a global
+        // (no-group) count over an emptied base is 0, not NULL — and
+        // non-nullable like the count it replaces
+        Alias(Coalesce(Seq(sumOf(mvAttr("n_rows")), Literal(0L))),
+          ne.name)(exprId = ne.exprId)
       case (ne, SumOut(c)) =>
         val sumName = dfn.sums.find(_._2.trim == c).get._1
         Alias(sumOf(mvAttr(sumName)), ne.name)(exprId = ne.exprId)
     }
     // type preservation: a sum-of-sum that widens (decimal) or a
-    // nullability flip must not silently replace the original
-    if (ae.zip(newAe).exists { case (o, n) => o.dataType != n.dataType })
+    // non-nullable→nullable flip must not silently replace the original
+    if (ae.zip(newAe).exists { case (o, n) =>
+        o.dataType != n.dataType || (!o.nullable && n.nullable) })
       return None
     Some(Aggregate(newGroup, newAe, mvPlan))
   }

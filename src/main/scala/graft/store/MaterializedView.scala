@@ -129,6 +129,42 @@ object MaterializedView {
     * table, so registration is itself a versioned commit. */
   private val RegistryT = "mv.registry"
 
+  /** View prop naming the BASE manifest the view was last maintained
+    * against — [[graft.plans.MvRewrite]]'s staleness fence. A table's
+    * manifest name moves on EVERY committed write, so any base write
+    * that bypassed maintenance (a raw `transaction { tx => ... }`,
+    * compaction, migrate) breaks the match and the rewrite degrades to
+    * the always-correct base scan instead of serving a stale view. */
+  val BaseManifestProp = "graft.mv.base.manifest"
+
+  /** Write (or rewrite) view `mv` stamped with the base's
+    * manifest-name watermark under this txn's read-your-writes view —
+    * called AFTER the base write in a maintenance txn, so the stamp
+    * names the manifest being committed alongside the view. */
+  private def writeView(tx: Txn, mv: String, baseTable: String,
+      df: DataFrame): Unit =
+    tx.createWithExtraProps(mv, df,
+      Map(BaseManifestProp -> tx.manifestName(baseTable).getOrElse("")))
+
+  /** Was `mv` maintained against exactly the base manifest the caller
+    * just wrote OVER (`syncedTo` = the base's pre-write manifest)? An
+    * incremental fold is sound only then — folding a delta into a view
+    * that already missed a bypassed write would stamp a fresh watermark
+    * onto wrong contents and re-arm the rewrite on a lie. */
+  private def viewInSync(tx: Txn, mv: String,
+      syncedTo: Option[String]): Boolean =
+    tx.props(mv).get(BaseManifestProp).exists(w => syncedTo.contains(w))
+
+  /** Self-heal a diverged view: one full re-aggregate of the
+    * POST-write base — the only sound state to restamp from. Costs a
+    * base scan, but only on the first maintained write after a
+    * bypassing one (raw txn, compaction, migrate); every later write
+    * folds incrementally again. */
+  private def rebuild(tx: Txn, mv: String, baseTable: String,
+      spec: MvSpec): Unit =
+    writeView(tx, mv, baseTable,
+      aggregate(tx.read(baseTable), spec).localCheckpoint())
+
   /** Register `mvTable` as a maintained view over `baseTable` and build
     * it — view build + registry row in ONE commit. From then on,
     * [[insertInto]] on the base keeps the view consistent. */
@@ -136,7 +172,7 @@ object MaterializedView {
       dfn: MvDef): Unit = store.transaction { tx =>
     val spark = store.spark
     import spark.implicits._
-    tx.create(mvTable, aggregate(tx.read(baseTable), dfn.spec))
+    writeView(tx, mvTable, baseTable, aggregate(tx.read(baseTable), dfn.spec))
     val row = Seq((mvTable, baseTable, dfn.keys.mkString("\t"),
       dfn.sums.map(_._1).mkString("\t"), dfn.sums.map(_._2).mkString("\t")))
       .toDF("mv_table", "base_table", "keys", "sum_names", "sum_exprs")
@@ -182,13 +218,15 @@ object MaterializedView {
     * primitive [[insertInto]] and the HeroQL `@insert` path share, so
     * ANY insert route keeps registered views consistent in the same
     * atomic commit. */
-  def refreshRegistered(tx: Txn, baseTable: String,
-      rows: DataFrame): Unit =
+  def refreshRegistered(tx: Txn, baseTable: String, rows: DataFrame,
+      syncedTo: Option[String]): Unit =
     registered(tx.read, tx.exists, baseTable).foreach { case (mv, dfn) =>
       val spec = dfn.spec
-      val merged = remerge(
-        tx.read(mv).unionByName(aggregate(rows, spec)), spec)
-      tx.create(mv, merged.localCheckpoint())
+      if (viewInSync(tx, mv, syncedTo)) {
+        val merged = remerge(
+          tx.read(mv).unionByName(aggregate(rows, spec)), spec)
+        writeView(tx, mv, baseTable, merged.localCheckpoint())
+      } else rebuild(tx, mv, baseTable, spec)
     }
 
   /** Whether any view is registered over `baseTable` — what lets the
@@ -205,12 +243,32 @@ object MaterializedView {
     * what makes the HeroQL `@remove`/`@update` paths maintainable
     * instead of silently staling the view. */
   def refreshRegisteredDelete(tx: Txn, baseTable: String,
-      removed: DataFrame): Unit =
+      removed: DataFrame, syncedTo: Option[String]): Unit =
     registered(tx.read, tx.exists, baseTable).foreach { case (mv, dfn) =>
       val spec = dfn.spec
-      val merged = remerge(
-        tx.read(mv).unionByName(negatedAggregate(removed, spec)), spec)
-      tx.create(mv, merged.localCheckpoint())
+      if (viewInSync(tx, mv, syncedTo)) {
+        val merged = remerge(
+          tx.read(mv).unionByName(negatedAggregate(removed, spec)), spec)
+        writeView(tx, mv, baseTable, merged.localCheckpoint())
+      } else rebuild(tx, mv, baseTable, spec)
+    }
+
+  /** UPDATE-shaped maintenance: the matched pre-state rows leave, their
+    * rewritten versions enter — ONE fold per view (a delete-fold then
+    * insert-fold pair could not self-heal correctly: a rebuild on the
+    * delete side would already include the added rows, and the second
+    * fold would double-count them). */
+  def refreshRegisteredUpdate(tx: Txn, baseTable: String,
+      removed: DataFrame, added: DataFrame,
+      syncedTo: Option[String]): Unit =
+    registered(tx.read, tx.exists, baseTable).foreach { case (mv, dfn) =>
+      val spec = dfn.spec
+      if (viewInSync(tx, mv, syncedTo)) {
+        val merged = remerge(tx.read(mv)
+          .unionByName(negatedAggregate(removed, spec))
+          .unionByName(aggregate(added, spec)), spec)
+        writeView(tx, mv, baseTable, merged.localCheckpoint())
+      } else rebuild(tx, mv, baseTable, spec)
     }
 
   private def merge(store: TableStore, table: String, deltaAgg: DataFrame,

@@ -375,13 +375,88 @@ final class TableStore(val spark: SparkSession, val root: String) {
     currentEntries(name).collectFirst { case PropsEntry(ps) => ps }.getOrElse(Map.empty)
 
   def read(name: String): DataFrame = readLog(name, currentEntries(name))
-  def insert(name: String, rows: DataFrame): Unit = transaction(_.insert(name, rows))
+
+  /** The table's current committed manifest file name — a fingerprint
+    * that moves on EVERY committed write to the table, whatever route
+    * it took ([[graft.plans.MvRewrite]]'s staleness-fence input). */
+  private[graft] def currentManifestName(name: String): Option[String] =
+    currentTables().get(name)
+
+  // The plain mutation facade maintains registered views too: every
+  // front door keeps base and views in ONE atomic commit (the one-WAL
+  // discipline — WritePath's doc). When no view is registered over the
+  // table the maintenance probe is a manifest-existence check and the
+  // txn degrades to the bare primitive (no pin, no extra plan). Writes
+  // issued through a RAW `transaction { tx => ... }` still bypass
+  // maintenance — MvRewrite's base-manifest watermark then stops the
+  // rewrite, so a bypassed view can go stale but never serve a stale
+  // ANSWER.
+  def insert(name: String, rows: DataFrame): Unit = transaction { tx =>
+    if (MaterializedView.hasRegistered(tx, name)) {
+      val pre = tx.manifestName(name)
+      val pinned = rows.localCheckpoint()
+      try {
+        tx.insert(name, pinned)
+        MaterializedView.refreshRegistered(tx, name, pinned, pre)
+      } finally pinned.unpersist()
+    } else tx.insert(name, rows)
+  }
+
+  /** Registered views see an upsert as delete(matched old rows) +
+    * insert(batch) — both folds in the same commit as the rewrite. */
   def upsert(name: String, rows: DataFrame, keys: Seq[String]): Unit =
-    transaction(_.upsert(name, rows, keys))
+    transaction { tx =>
+      if (MaterializedView.hasRegistered(tx, name)) {
+        val pre = tx.manifestName(name)
+        val pinned = rows.localCheckpoint()
+        val old = tx.read(name)
+          .join(pinned.select(keys.map(col): _*).distinct(), keys, "left_semi")
+          .localCheckpoint()
+        try {
+          tx.upsert(name, pinned, keys)
+          MaterializedView.refreshRegisteredUpdate(tx, name, old, pinned, pre)
+        } finally { pinned.unpersist(); old.unpersist() }
+      } else tx.upsert(name, rows, keys)
+    }
+
   def update(name: String, assignments: Map[String, Column], cond: Column): Unit =
-    transaction(_.update(name, assignments, cond))
-  def delete(name: String, cond: Column): Unit = transaction(_.delete(name, cond))
-  def truncate(name: String): Unit = transaction(_.truncate(name))
+    transaction { tx =>
+      if (MaterializedView.hasRegistered(tx, name)) {
+        // capture the matched PRE-state (old files persist until
+        // vacuum, the checkpoint pins the rows); the applied form is
+        // unconditional because `old` is already cond-filtered
+        val pre = tx.manifestName(name)
+        val old = tx.read(name).filter(coalesce(cond, lit(false))).localCheckpoint()
+        try {
+          tx.update(name, assignments, cond)
+          val applied = old.select(old.columns.map(c =>
+            assignments.get(c).map(_.as(c)).getOrElse(col(c))).toIndexedSeq: _*)
+          MaterializedView.refreshRegisteredUpdate(tx, name, old, applied, pre)
+        } finally old.unpersist()
+      } else tx.update(name, assignments, cond)
+    }
+
+  def delete(name: String, cond: Column): Unit = transaction { tx =>
+    if (MaterializedView.hasRegistered(tx, name)) {
+      val pre = tx.manifestName(name)
+      val removed = tx.read(name).filter(coalesce(cond, lit(false))).localCheckpoint()
+      try {
+        tx.delete(name, cond)
+        MaterializedView.refreshRegisteredDelete(tx, name, removed, pre)
+      } finally removed.unpersist()
+    } else tx.delete(name, cond)
+  }
+
+  def truncate(name: String): Unit = transaction { tx =>
+    if (MaterializedView.hasRegistered(tx, name)) {
+      val pre = tx.manifestName(name)
+      val removed = tx.read(name).localCheckpoint()
+      try {
+        tx.truncate(name)
+        MaterializedView.refreshRegisteredDelete(tx, name, removed, pre)
+      } finally removed.unpersist()
+    } else tx.truncate(name)
+  }
 
   // ------------------------------------------- schema administration ops
 
@@ -806,6 +881,13 @@ final class Txn(store: TableStore) {
   private def manifestOf(name: String): Option[String] =
     pending.get(name).orElse(snapshot.get(name))
 
+  /** The manifest name `name` resolves to under this txn's view —
+    * read-your-writes: a table this txn already wrote resolves to the
+    * PENDING manifest. What [[MaterializedView]] stamps into a view as
+    * its base-manifest watermark, and what the HeroQL mutation routes
+    * capture pre-write as the maintenance sync point. */
+  private[graft] def manifestName(name: String): Option[String] = manifestOf(name)
+
   private def entriesOf(name: String): Seq[ManifestEntry] =
     manifestOf(name) match {
       case Some(m) => store.readEntries(name, m)
@@ -829,6 +911,10 @@ final class Txn(store: TableStore) {
     manifestOf(name).map(m => store.readEntries(name, m)).getOrElse(Seq.empty)
       .collectFirst { case PropsEntry(ps) => ps }.getOrElse(Map.empty)
 
+  /** Creation-pinned props under this txn's read-your-writes view
+    * ([[MaterializedView]]'s watermark probe). */
+  private[store] def props(name: String): Map[String, String] = propsOf(name)
+
   private def withPartLine(cols: Seq[String], entries: Seq[ManifestEntry],
       props: Map[String, String] = Map.empty): Seq[ManifestEntry] = {
     val withProps = if (props.isEmpty) entries else PropsEntry(props) +: entries
@@ -843,6 +929,17 @@ final class Txn(store: TableStore) {
     val cols = partColsOf(name)
     pending += name -> store.writeTableManifest(name,
       withPartLine(cols, Seq(DataDir(store.writeData(name, df, cols))), propsOf(name)))
+  }
+
+  /** [[create]] with extra creation-pinned props merged over the kept
+    * ones (same-key extras win) — the MV maintenance path stamps its
+    * base-manifest watermark through this. */
+  private[store] def createWithExtraProps(name: String, df: DataFrame,
+      extra: Map[String, String]): Unit = {
+    val cols = partColsOf(name)
+    pending += name -> store.writeTableManifest(name,
+      withPartLine(cols, Seq(DataDir(store.writeData(name, df, cols))),
+        propsOf(name) ++ extra))
   }
 
   def createPartitioned(name: String, df: DataFrame, cols: Seq[String],

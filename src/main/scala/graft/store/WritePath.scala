@@ -28,10 +28,14 @@ object WritePath {
     *                      itself (skips a redundant second pin) */
   def insert(tx: Txn, table: String, rows: DataFrame,
       alreadyPinned: Boolean = false): DataFrame = {
+    // the base's PRE-write manifest: the sync point the registered
+    // views must have been maintained against for an incremental fold
+    // to be sound (else they self-heal with a rebuild)
+    val pre = tx.manifestName(table)
     val pinned = if (alreadyPinned) rows else rows.localCheckpoint()
     CheckConstraints.validate(tx, table, pinned)
     tx.insert(table, pinned)
-    MaterializedView.refreshRegistered(tx, table, pinned)
+    MaterializedView.refreshRegistered(tx, table, pinned, pre)
     pinned
   }
 }

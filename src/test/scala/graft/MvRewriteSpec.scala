@@ -108,6 +108,68 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvRewrite.uninstall(spark, rule)
   }
 
+  test("staleness fence: a raw-txn base write stands the rewrite down, answers stay fresh") {
+    val st = freshStore()
+    seed(st)
+    val rule = MvRewrite.install(spark, st)
+    try {
+      import spark.implicits._
+      def agg() = st.read("facts").groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"))
+      assert(usesView(agg(), st), "precondition: eligible aggregate should engage")
+      // a raw transaction bypasses view maintenance entirely — the
+      // base manifest moves, the view's watermark doesn't
+      st.transaction(_.insert("facts",
+        Seq(("Q", "Q", 3L, 300L)).toDF("l_returnflag", "l_linestatus", "qty", "cents")))
+      val after = agg()
+      assert(!usesView(after, st),
+        "rewrite must stand down once the base outran the view:\n" +
+          after.queryExecution.optimizedPlan.treeString)
+      assert(after.filter(col("l_returnflag") === "Q").head.getLong(1) == 1L,
+        "the fresh base row must be visible")
+      // the next MAINTAINED write detects the divergence (its pre-write
+      // manifest no longer matches the view's watermark), self-heals
+      // with a full rebuild, and re-arms the rewrite — now including
+      // the bypassed row
+      MaterializedView.insertInto(st, "facts",
+        Seq(("Q", "Q", 4L, 400L)).toDF("l_returnflag", "l_linestatus", "qty", "cents"))
+      val healed = agg()
+      assert(usesView(healed, st),
+        "a maintained write must self-heal the view and re-arm the rewrite")
+      assert(healed.filter(col("l_returnflag") === "Q").head.getLong(1) == 2L,
+        "the rebuilt view must include the previously bypassed row")
+    } finally MvRewrite.uninstall(spark, rule)
+  }
+
+  test("the plain mutation facade maintains registered views and keeps the rewrite armed") {
+    val st = freshStore()
+    seed(st)
+    val rule = MvRewrite.install(spark, st)
+    try {
+      import spark.implicits._
+      def agg() = st.read("facts").groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("qty").as("sq"))
+      def grab(flag: String) = agg().filter(col("l_returnflag") === flag)
+        .collect().toList.map(r => (r.getLong(1), r.getLong(2)))
+      st.insert("facts", Seq(("Y", "Y", 5L, 500L), ("Y", "Y", 7L, 700L))
+        .toDF("l_returnflag", "l_linestatus", "qty", "cents"))
+      assert(usesView(agg(), st), "facade insert must keep the rewrite armed")
+      assert(grab("Y") == List((2L, 12L)), s"insert not folded: ${grab("Y")}")
+      st.update("facts", Map("qty" -> (col("qty") + 1L)), col("l_returnflag") === "Y")
+      assert(usesView(agg(), st), "facade update must keep the rewrite armed")
+      assert(grab("Y") == List((2L, 14L)), s"update not folded: ${grab("Y")}")
+      st.delete("facts", col("l_returnflag") === "Y" && col("qty") === 6L)
+      assert(usesView(agg(), st), "facade delete must keep the rewrite armed")
+      assert(grab("Y") == List((1L, 8L)), s"delete not folded: ${grab("Y")}")
+      // global count over an emptied base answers 0 through the view
+      st.delete("facts", lit(true))
+      val global = st.read("facts").agg(count(lit(1)).as("n"))
+      assert(usesView(global, st), "global count must engage after full delete")
+      assert(global.head.getLong(0) == 0L,
+        "sum(n_rows) over an empty view must coalesce to 0, not NULL")
+    } finally MvRewrite.uninstall(spark, rule)
+  }
+
   test("negative space: filters, unregistered sums, distinct, pruned scans stay on the base") {
     val st = freshStore()
     seed(st)
