@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{AdminQueries, CollectionQueries, Dedup, GraphQueries, HeroMutations, HeroQueries, MatViewQueries, MultimodalQueries, Mutations, PackageQueries, PipelineQueries, QueryPack, Relational, Similarity, SourceQueries, Streaming, TextAnalysis, TokenizerQueries, TrainingSetQueries}
+import graft.queries.{AdminQueries, CollectionQueries, Dedup, EventAnalytics, GraphQueries, HeroMutations, HeroQueries, MatViewQueries, MultimodalQueries, Mutations, PackageQueries, PipelineQueries, QueryPack, Relational, Similarity, SourceQueries, Streaming, TextAnalysis, TokenizerQueries, TrainingSetQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,6 +20,7 @@ object SparkEntry {
     Similarity,
     GraphQueries,
     Streaming,
+    EventAnalytics,
     Mutations,
     MatViewQueries,
     AdminQueries,

@@ -250,7 +250,41 @@ object AdminQueries extends QueryPack {
     st.changesSince("orders", 2)
   }
 
+  /** j14 — dynamic partition pruning through a store-partitioned join:
+    * the fact side is a store table laid out `PARTITIONED BY
+    * (event_type)`, the dim side a tiny category map filtered AFTER
+    * the join key is bound — so the fact partitions that matter are
+    * only known at RUNTIME, from the dim's broadcast. Spark's DPP
+    * turns the dim broadcast into a partition filter on the fact scan
+    * (DppSpec pins the `dynamicpruning` subquery in the plan and that
+    * the scan reads strictly fewer partitions than the table holds).
+    * At 100 TB this is THE mechanism that keeps star-schema joins from
+    * scanning every partition of the fact table; it composes with the
+    * static pruning the store already proves (bucket probe, ann6
+    * `list=`). Values fix-point to micro BIGINTs before the sum. */
+  private def j14(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s)
+    st.createPartitioned("ev",
+      graft.streaming.EventStreams.normalizeTs(t(s, d, "events"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("CAST(floor(value * 1000000) AS BIGINT)").as("vmicro")),
+      Seq("event_type"))
+    import s.implicits._
+    // the dim is a STORE table, not an inline relation: DPP requires a
+    // visible selective predicate on the build side, and an inline
+    // local relation constant-folds its filter away before the
+    // pruning rule looks (DppSpec pins the fired plan)
+    st.create("dim", Seq(("view", "browse"), ("click", "browse"),
+      ("purchase", "buy"), ("signup", "acct"), ("error", "ops"))
+      .toDF("event_type", "category"))
+    st.read("ev")
+      .join(st.read("dim").filter(col("category") === "browse"), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("vmicro").as("sum_vmicro"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j14_dpp_partition_join" -> (j14 _),
     "adm10_incremental_backup" -> (adm10 _),
     "adm11_changefeed" -> (adm11 _),
     "adm1_schema_evolution" -> (adm1 _),
@@ -276,6 +310,15 @@ object AdminQueries extends QueryPack {
        FROM orders WHERE o_orderkey % 10 = 1"""
 
   override val oracles: Map[String, String] = Map(
+    "j14_dpp_partition_join" ->
+      """WITH dim(event_type, category) AS (VALUES
+           ('view', 'browse'), ('click', 'browse'), ('purchase', 'buy'),
+           ('signup', 'acct'), ('error', 'ops'))
+         SELECT e.event_type, count(*) AS n,
+                sum(CAST(floor(value * 1000000) AS BIGINT)) AS sum_vmicro
+         FROM events e JOIN dim ON e.event_type = dim.event_type
+         WHERE dim.category = 'browse'
+         GROUP BY e.event_type""",
     "adm1_schema_evolution" -> evolvedSql,
     "adm2_schema_migrate" ->
       s"""WITH evolved AS ($evolvedSql)

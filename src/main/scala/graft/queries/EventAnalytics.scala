@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.streaming.EventStreams
+
+/** Event-sequence analytics over `events` — the ordered-behavior
+  * queries (funnel, cohort retention, exponential decay) that complete
+  * the time-series family next to ev1–ev4's sessionize / resample /
+  * time-weighted forms. The reference designs ordered partition
+  * analysis (`Kernel/README.md:188-205` — rank within partition, then
+  * aggregate); these are that pattern instantiated on event ORDER
+  * rather than rank: each query's heart is "per user, in time order,
+  * what happened next".
+  *
+  * Determinism contract (the repo-wide gate convention): every
+  * time comparison runs on exact BIGINT nanos from
+  * [[EventStreams.tsNanos]], every value enters fixed-point micro
+  * BIGINTs before any cross-row combination, and every ordered fold
+  * totals its order with `event_id` so no two rows tie.
+  *
+  * Scale: all three queries shuffle once on `user_id` (the funnel's
+  * per-step joins are user-keyed and collapse under AQE to the same
+  * exchange); per-user state is one user's history, never corpus-
+  * bounded. A viral user (millions of events) bounds ev7's collected
+  * history — the streaming sessionize path (st7) is the unbounded-user
+  * form of this family.
+  */
+object EventAnalytics extends QueryPack {
+
+  /** Exact-nano event view shared by the pack. */
+  private def ev(s: SparkSession, d: String): DataFrame =
+    EventStreams.tsNanos(EventStreams.normalizeTs(t(s, d, "events")))
+
+  /** ev5 — ordered funnel (view → click → purchase): step N counts
+    * users whose earliest step-N event follows THEIR step-(N-1) time,
+    * with the whole funnel closing within 7 days of the first view.
+    * Min-ts chaining makes each step's anchor unique per user, so the
+    * counts are deterministic. Per-step plans are user-keyed
+    * aggregates + joins — one shuffle key throughout, no window over
+    * the full corpus. */
+  private def ev5(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d).select(col("user_id"), col("event_type"), col("tns"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("tns").as("v_tns"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("tns") > col("v_tns"))
+      .groupBy(col("user_id"), col("v_tns")).agg(min("tns").as("c_tns"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("tns") > col("c_tns") &&
+        col("tns") <= col("v_tns") + lit(604800000000000L))
+      .groupBy("user_id").agg(min("tns").as("p_tns"))
+    def stepRow(df: DataFrame, n: Long, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(n).as("step"), lit(name).as("step_name"), col("n_users"))
+    stepRow(v, 1L, "view")
+      .unionByName(stepRow(c, 2L, "click"))
+      .unionByName(stepRow(p, 3L, "purchase"))
+  }
+
+  /** ev6 — weekly cohort retention: cohort = the ISO week of a user's
+    * first event, cell (cohort, k) = distinct users of that cohort
+    * active in cohort-week + k. Both week stamps are Monday-truncated,
+    * so the offset is an exact integer division of whole days.
+    * Distinct-per-(user, week) FIRST bounds everything downstream by
+    * #users × #weeks, not event count — the property that keeps a
+    * retention matrix over a 100 TB event corpus small after one
+    * exchange. */
+  private def ev6(s: SparkSession, d: String): DataFrame = {
+    val wk = EventStreams.normalizeTs(t(s, d, "events"))
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    val cohort = wk.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    wk.join(cohort, "user_id")
+      .groupBy(date_format(col("cohort_wk"), "yyyy-MM-dd").as("cohort"),
+        expr("CAST(datediff(wk, cohort_wk) DIV 7 AS BIGINT)").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** ev7 — integer EWMA (α = 1/2) of each user's value stream: fold
+    * acc' = acc >> 1 + vmicro over the user's time-ordered events.
+    * Shift-right of a non-negative micro fixed-point accumulator is
+    * exact floor division, and the fold visits rows in the
+    * `(tns, event_id)` total order via an array sort — identical
+    * step-by-step to the oracle's `list_reduce` (whose first-element
+    * seeding equals the zero seed here because `0 >> 1 + x = x`).
+    * One user-keyed exchange; history is collected per user (see the
+    * pack doc's viral-user note). */
+  private def ev7(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .select(col("user_id"), col("tns"), col("event_id"),
+        expr("CAST(floor(value * 1000000) AS BIGINT)").as("vmicro"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        expr("""aggregate(
+            transform(array_sort(collect_list(struct(tns, event_id, vmicro))),
+              r -> r.vmicro),
+            CAST(0 AS BIGINT), (acc, x) -> shiftright(acc, 1) + x)""")
+          .as("ewma_micro"))
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev5_funnel" -> (ev5 _),
+    "ev6_retention" -> (ev6 _),
+    "ev7_ewma_decay" -> (ev7 _),
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "ev5_funnel" ->
+      """WITH e AS (
+           SELECT user_id, event_type,
+                  epoch_ns(CAST(ts AS TIMESTAMP)) AS tns
+           FROM events),
+         v AS (SELECT user_id, min(tns) AS v_tns FROM e
+               WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, v.v_tns, min(e.tns) AS c_tns
+               FROM e JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'click' AND e.tns > v.v_tns
+               GROUP BY e.user_id, v.v_tns),
+         p AS (SELECT e.user_id, min(e.tns) AS p_tns
+               FROM e JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase' AND e.tns > c.c_tns
+                 AND e.tns <= c.v_tns + 604800000000000
+               GROUP BY e.user_id)
+         SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+                count(*) AS n_users FROM v
+         UNION ALL SELECT CAST(2 AS BIGINT), 'click', count(*) FROM c
+         UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM p""",
+    "ev6_retention" ->
+      """WITH wk AS (
+           SELECT DISTINCT user_id,
+                  date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk
+           FROM events),
+         cohort AS (SELECT user_id, min(wk) AS cohort_wk
+                    FROM wk GROUP BY user_id)
+         SELECT strftime(c.cohort_wk, '%Y-%m-%d') AS cohort,
+                CAST(datediff('day', c.cohort_wk, w.wk) // 7 AS BIGINT)
+                  AS week_offset,
+                count(*) AS n_users
+         FROM wk w JOIN cohort c ON w.user_id = c.user_id
+         GROUP BY 1, 2""",
+    "ev7_ewma_decay" ->
+      """SELECT user_id, count(*) AS n_events,
+                list_reduce(
+                  list(CAST(floor(value * 1000000) AS BIGINT)
+                       ORDER BY epoch_ns(CAST(ts AS TIMESTAMP)), event_id),
+                  (acc, x) -> acc // 2 + x) AS ewma_micro
+         FROM events GROUP BY user_id""",
+  )
+}

@@ -292,6 +292,35 @@ object Relational extends QueryPack {
       .agg(count(lit(1)))
       .na.fill(0L)
 
+  /** A15 — unpivot / melt (the pivot's inverse, columns → rows): the
+    * four lineitem measures unfold into (metric, val) pairs per line.
+    * Map-only (`Expand` in the plan — each input row fans to 4 output
+    * rows with no exchange), so it scales as a projection; the modulo
+    * slice keeps the gate's output bounded without touching the
+    * operator's shape. Values are PICKED, never accumulated, so raw
+    * doubles are hash-stable (the w5 convention). */
+  private def a15(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(col("l_orderkey") % 97 === 0)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax")),
+        "metric", "val")
+
+  /** F14 — lateral array expansion with ordinality (posexplode): the
+    * first 8 coefficients of each embedding as (vec_id, pos, coef)
+    * rows — the explode surface every vector pipeline flattens
+    * through (emb2's per-dimension stats start exactly here).
+    * Generate is map-side (no exchange); the pos filter lands inside
+    * the generator's fan-out, not after a full 64× blow-up. */
+  private def f14(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "coef")))
+      .filter(col("pos") < 8)
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        col("coef").cast("double").as("coef"))
+
   /** F11 — higher-order array functions over the embedding column
     * (filter / aggregate / transform / sort+slice — the lambda surface
     * a 100 TB vector pipeline leans on; all map-only, codegen'd, no
@@ -306,7 +335,13 @@ object Relational extends QueryPack {
               (a, x) -> a + CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
                 * 1000000) AS BIGINT))""").as("l2sq_micro"),
       expr("CAST(array_max(embedding) AS DOUBLE)").as("max_c"),
-      expr("slice(array_sort(embedding), 1, 3)").as("low3"))
+      // Scalars, not a raw array: the harness hashes column values and
+      // cannot hash array cells, so the sort+slice surface is exposed as
+      // the three smallest coefficients widened to DOUBLE (emb1's
+      // checksum convention).
+      expr("CAST(element_at(array_sort(embedding), 1) AS DOUBLE)").as("low1"),
+      expr("CAST(element_at(array_sort(embedding), 2) AS DOUBLE)").as("low2"),
+      expr("CAST(element_at(array_sort(embedding), 3) AS DOUBLE)").as("low3"))
 
   /** A10d — HLL approximate distinct (no oracle: sketch is
     * implementation-defined; driver records rows-only). */
@@ -708,7 +743,9 @@ object Relational extends QueryPack {
     "a10_cube" -> (a10c _),
     "a10_grouping_sets" -> (a10e _),
     "a14_pivot" -> (a14 _),
+    "a15_unpivot" -> (a15 _),
     "f11_array_lambdas" -> (f11 _),
+    "f14_lateral_explode" -> (f14 _),
     "a10_approx_distinct" -> (a10d _),
     "w5_frames_lead_lag" -> (w5 _),
     "w6_ranking_functions" -> (w6 _),
@@ -956,6 +993,27 @@ object Relational extends QueryPack {
                 count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
                 count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
          FROM orders GROUP BY o_orderpriority""",
+    "a15_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+                CAST(l_quantity AS DOUBLE) AS val
+         FROM lineitem WHERE l_orderkey % 97 = 0
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+                CAST(l_extendedprice AS DOUBLE)
+         FROM lineitem WHERE l_orderkey % 97 = 0
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_discount',
+                CAST(l_discount AS DOUBLE)
+         FROM lineitem WHERE l_orderkey % 97 = 0
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_tax',
+                CAST(l_tax AS DOUBLE)
+         FROM lineitem WHERE l_orderkey % 97 = 0""",
+    "f14_lateral_explode" ->
+      """SELECT vec_id, CAST(r.i - 1 AS BIGINT) AS pos,
+                CAST(embedding[r.i] AS DOUBLE) AS coef
+         FROM embeddings, range(1, 9) r(i)
+         WHERE len(embedding) >= r.i""",
     "f11_array_lambdas" ->
       """SELECT vec_id,
                 CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
@@ -963,7 +1021,9 @@ object Relational extends QueryPack {
                   x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
                     * 1000000) AS BIGINT))) AS BIGINT) AS l2sq_micro,
                 CAST(list_max(embedding) AS DOUBLE) AS max_c,
-                list_sort(embedding)[1:3] AS low3
+                CAST(list_sort(embedding)[1] AS DOUBLE) AS low1,
+                CAST(list_sort(embedding)[2] AS DOUBLE) AS low2,
+                CAST(list_sort(embedding)[3] AS DOUBLE) AS low3
          FROM embeddings""",
     "w5_frames_lead_lag" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
