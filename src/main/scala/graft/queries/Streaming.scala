@@ -386,6 +386,31 @@ object Streaming extends QueryPack {
       s, Map("Events" -> d), store)
   }
 
+  /** st15 — stream-stream LEFT OUTER join drained through a real
+    * streaming query: unlike st8's append-only inner join, the outer
+    * rows (signups with NO purchase in their 7-day window) exist only
+    * because the watermark PROVED the window empty and the engine
+    * flushed the null-padded row from state — the eviction-correctness
+    * shape. Aggregated per signup (count ignores the null p_id, sum
+    * coalesces to 0) and checked against the batch left join. */
+  private def st15(s: SparkSession, d: String): DataFrame = {
+    val name = "st15_ssleft_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = EventStreams.streamStreamSignupLeftJoin(s, d)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+      .groupBy("signup_id")
+      .agg(count(col("p_id")).as("n_purchases"),
+        coalesce(sum(expr("CAST(floor(value * 1000000) AS BIGINT)")), lit(0L))
+          .as("sum_vmicro"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_tumbling_window" -> (st1 _),
     "st2_sliding_window" -> (st2 _),
@@ -403,6 +428,7 @@ object Streaming extends QueryPack {
     "st12_stream_static_join" -> (st12 _),
     "st13_watermark_dedup" -> (st13 _),
     "st14_stream_enrich_hql" -> (st14 _),
+    "st15_stream_stream_left_join" -> (st15 _),
     "ev1_sessionization" -> (ev1 _),
     "ev2_resample_ffill" -> (ev2 _),
     "ev3_resample_lerp" -> (ev3 _),
@@ -518,6 +544,25 @@ object Streaming extends QueryPack {
                 min(e.ts) AS first_ts, max(e.ts) AS last_ts
          FROM s JOIN e ON s.user_id = e.user_id
            AND e.ts >= s.ts0 AND e.ts < s.ts0 + INTERVAL 7 DAY
+         GROUP BY s.signup_id""",
+    // st15: the drained outer join equals the batch LEFT join over the
+    // closable-window signups (unmatched rows exist only because the
+    // watermark flushed them — see the gate doc)
+    "st15_stream_stream_left_join" ->
+      """WITH s AS (SELECT event_id AS signup_id, user_id,
+                    CAST(ts AS TIMESTAMP) AS ts0
+                    FROM events WHERE event_type = 'signup'
+                      AND epoch_us(CAST(ts AS TIMESTAMP)) <=
+                        (SELECT max(epoch_us(CAST(ts AS TIMESTAMP)))
+                         FROM events) - 612000000000),
+              p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                    event_id AS p_id, value
+                    FROM events WHERE event_type = 'purchase')
+         SELECT s.signup_id, count(p.p_id) AS n_purchases,
+                coalesce(sum(CAST(floor(p.value * 1000000) AS BIGINT)), 0)
+                  AS sum_vmicro
+         FROM s LEFT JOIN p ON s.user_id = p.user_id
+           AND p.ts >= s.ts0 AND p.ts < s.ts0 + INTERVAL 7 DAY
          GROUP BY s.signup_id""",
     // st9: the stateful stream's final per-user totals must equal the
     // plain batch aggregate once the source drains

@@ -534,6 +534,59 @@ object EventStreams {
       .select(col("signup_id"), col("event_id"), col("user_id"), col("ts"))
   }
 
+  /** Stream-stream LEFT OUTER join: signups against purchases within
+    * 7 days, both sides watermarked, the join time-bounded on BOTH
+    * ends — the state store evicts as the watermark advances AND emits
+    * the unmatched-signup NULL rows once a signup's window provably
+    * closed. Outer emission is watermark-driven, so the gate restricts
+    * the left side to signups whose window CLOSES before the final
+    * watermark (ts0 ≤ max event time − 7 days − 2×watermark slack,
+    * computed in exact micros from the data on both engines) — without
+    * the restriction, tail signups' unmatched rows would still be
+    * pending state at drain and the result could never equal the batch
+    * left join. */
+  def streamStreamSignupLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val staged = stageDir(dir)
+    val maxMicros = tsInstant(spark.read.schema(schema).parquet(staged))
+      .agg(max(expr("unix_micros(ts)"))).head.getLong(0)
+    val closableMicros = maxMicros - (7L * 24 + 2) * 3600L * 1000000L
+    // A watermark computed at the end of batch N applies in batch N+1 —
+    // with the whole corpus in one batch, no batch ever RUNS under the
+    // final watermark and the unmatched rows stay in state forever. So
+    // stage a trailing heartbeat file (one future-dated row, filtered
+    // out of both join sides below the watermark node): it becomes a
+    // final micro-batch under the post-corpus watermark, which is what
+    // flushes the closed-window NULL rows. At 100 TB this is exactly
+    // the production situation — an outer stream join only emits its
+    // unmatched rows when LATER data (or a no-data trigger) advances
+    // the clock past the window.
+    val one = spark.read.schema(schema).parquet(staged)
+      .orderBy(col("ts").desc).limit(1)
+    val hb = (schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        one.withColumn("ts", col("ts") + lit(30L * 86400L * 1000000000L))
+      case _ => one.withColumn("ts", col("ts") + expr("INTERVAL 30 DAYS"))
+    }).withColumn("event_type", lit("wm_heartbeat"))
+    hb.coalesce(1).write.mode("append").parquet(staged)
+    // the watermark sits ABOVE the type filters so the heartbeat (which
+    // neither side keeps) still advances the clock
+    def src() = tsInstant(spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged))
+      .withWatermark("ts", "1 hour")
+    val signups = src().filter(col("event_type") === "signup" &&
+        expr("unix_micros(ts)") <= lit(closableMicros))
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
+        col("ts").as("ts0"))
+    val purchases = src().filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"), col("value"))
+    signups.join(purchases, expr(
+      "s_user = user_id AND p_ts >= ts0 AND p_ts < ts0 + INTERVAL 7 DAYS"),
+      "leftOuter")
+      .select(col("signup_id"), col("s_user"), col("p_id"), col("value"))
+  }
+
   /** Streaming SINK into the table store: readStream over the staged
     * events, `foreachBatch` appending each micro-batch through the
     * store's atomic-commit insert (new files only — the streaming

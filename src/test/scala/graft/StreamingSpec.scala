@@ -214,6 +214,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("stream-stream LEFT OUTER join flushes unmatched rows and equals the batch left join") {
+    val sdf = EventStreams.streamStreamSignupLeftJoin(spark, sf)
+    val q = sdf.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("ssleft_mem")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(240000)
+    val streamed = spark.table("ssleft_mem")
+      .groupBy("signup_id").agg(count(col("p_id")).as("n_purchases"))
+    // the outer join's distinguishing output: signups whose window the
+    // WATERMARK proved empty — null-padded rows flushed from state by
+    // the trailing heartbeat batch, not append-as-matched
+    assert(streamed.filter(col("n_purchases") === 0).take(1).nonEmpty,
+      "no unmatched signups were flushed — outer emission did not happen")
+    val ev = EventStreams.normalizeTs(Tables.t(spark, sf, "events"))
+    val maxTs = ev.agg(max(expr("unix_micros(CAST(ts AS TIMESTAMP))"))).head.getLong(0)
+    val signups = ev.filter(col("event_type") === "signup" &&
+        expr("unix_micros(CAST(ts AS TIMESTAMP))") <=
+          lit(maxTs - (7L * 24 + 2) * 3600L * 1000000L))
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
+        col("ts").as("ts0"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+    val batch = signups.join(p,
+      col("s_user") === p("user_id") &&
+        col("p_ts") >= col("ts0") && col("p_ts") < col("ts0") + expr("INTERVAL 7 DAYS"),
+      "leftOuter")
+      .groupBy("signup_id").agg(count(col("p_id")).as("n_purchases"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
   test("incremental sessionize: per-batch maintenance, bounded state, batch parity") {
     val store = new graft.store.TableStore(spark,
       java.nio.file.Files.createTempDirectory("graft-sess-inc-").toString)
