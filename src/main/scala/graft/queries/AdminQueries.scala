@@ -283,8 +283,40 @@ object AdminQueries extends QueryPack {
       .agg(count(lit(1)).as("n"), sum("vmicro").as("sum_vmicro"))
   }
 
+  /** adm12 — manifest zone-map data skipping
+    * ([[graft.store.ZoneMaps]]): events ingested as six time-banded
+    * commits (the ordered-ingest shape — each commit's dir covers a
+    * narrow epoch-micro range, stamped min/max in the manifest), then
+    * a 5-day range probe reads only the overlapping commit
+    * (ZoneMapsSpec pins the kept-dir count and the conservative
+    * fallbacks). The exact predicate re-applies after the prune, so
+    * the oracle is the plain range select — equality proves the
+    * interval math dropped nothing. At 100 TB this prunes from the
+    * DRIVER, before a single file of the non-overlapping commits is
+    * listed or opened. */
+  private def adm12(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s)
+    val e = graft.streaming.EventStreams.normalizeTs(t(s, d, "events"))
+      .select(col("event_id"), col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tus"),
+        expr("CAST(floor(value * 1000000) AS BIGINT)").as("vmicro"))
+    val lo = e.agg(min("tus")).head.getLong(0)
+    val day = 86400000000L
+    graft.store.ZoneMaps.createTracked(st, "ev",
+      e.filter(col("tus") < lo + 5 * day), Seq("tus"))
+    (1 to 4).foreach(i => st.insert("ev",
+      e.filter(col("tus") >= lo + i * 5 * day &&
+        col("tus") < lo + (i + 1) * 5 * day)))
+    st.insert("ev", e.filter(col("tus") >= lo + 25 * day))
+    graft.store.ZoneMaps.readRange(st, "ev", "tus",
+      lo + 10 * day, lo + 15 * day - 1)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("vmicro").as("sum_vmicro"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j14_dpp_partition_join" -> (j14 _),
+    "adm12_zonemap_skipping" -> (adm12 _),
     "adm10_incremental_backup" -> (adm10 _),
     "adm11_changefeed" -> (adm11 _),
     "adm1_schema_evolution" -> (adm1 _),
@@ -310,6 +342,17 @@ object AdminQueries extends QueryPack {
        FROM orders WHERE o_orderkey % 10 = 1"""
 
   override val oracles: Map[String, String] = Map(
+    "adm12_zonemap_skipping" ->
+      """WITH e AS (SELECT event_type,
+                    epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+                    CAST(floor(value * 1000000) AS BIGINT) AS vmicro
+                    FROM events),
+              b AS (SELECT min(tus) AS lo FROM e)
+         SELECT event_type, count(*) AS n, sum(vmicro) AS sum_vmicro
+         FROM e, b
+         WHERE tus >= lo + 10 * 86400000000
+           AND tus <= lo + 15 * 86400000000 - 1
+         GROUP BY event_type""",
     "j14_dpp_partition_join" ->
       """WITH dim(event_type, category) AS (VALUES
            ('view', 'browse'), ('click', 'browse'), ('purchase', 'buy'),

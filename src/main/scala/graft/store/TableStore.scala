@@ -989,6 +989,37 @@ final class Txn(store: TableStore) {
           Seq(DataDir(store.writeData(name, folded, cols)), newDir),
           entries.collectFirst { case PropsEntry(ps) => ps }.getOrElse(Map.empty)))
       } else store.writeTableManifest(name, appended))
+    // zone-map-tracked tables stamp the fresh dir's min/max into the
+    // manifest in the same commit (no-op for untracked tables)
+    stampZoneStats(name)
+  }
+
+  /** Merge `extra` over the table's creation-pinned props and rewrite
+    * the pending manifest — the zone-map stamp primitive. */
+  private[store] def mergeProps(name: String, extra: Map[String, String]): Unit = {
+    val entries = entriesOf(name)
+    val merged = propsOf(name) ++ extra
+    pending += name -> store.writeTableManifest(name,
+      PropsEntry(merged) +: entries.filterNot(_.isInstanceOf[PropsEntry]))
+  }
+
+  /** Stamp zone-map stats ([[ZoneMaps.ColsProp]] columns) for every
+    * data dir of `name` missing them — the [[ZoneMaps.createTracked]]
+    * seed, the per-insert stamp, and the re-track hook after a
+    * rewrite. No-op for untracked tables; cost is one delta-sized
+    * aggregate per UNSTAMPED dir, never the table. */
+  private[store] def stampZoneStats(name: String): Unit = {
+    val props = propsOf(name)
+    props.get(ZoneMaps.ColsProp).foreach { cs =>
+      val cols = cs.split(',').toSeq.filter(_.nonEmpty)
+      val entries = entriesOf(name)
+      val partitioned = entries.exists(_.isInstanceOf[PartColsEntry])
+      val missing = entries.collect { case DataDir(d) => d }
+        .filter(d => !cols.forall(c => props.contains(ZoneMaps.statKey(d, c))))
+      val add = missing.flatMap(d =>
+        ZoneMaps.statsFor(store, name, d, cols, partitioned)).toMap
+      if (add.nonEmpty) mergeProps(name, add)
+    }
   }
 
   /** SIZE-AWARE tail compaction — the streaming-sink countermeasure:

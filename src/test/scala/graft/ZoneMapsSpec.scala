@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.store.{TableStore, ZoneMaps}
+
+/** Manifest-level zone maps: pruning effect (a range probe opens only
+  * the overlapping commits), parity with the unpruned filter across
+  * every store mutation, and the conservative fallbacks (untracked
+  * dirs kept, schema ops disable pruning). */
+class ZoneMapsSpec extends SparkSpec {
+
+  private def freshStore(): TableStore =
+    new TableStore(spark, Files.createTempDirectory("graft-zm-").toString)
+
+  /** Ordered ingest: k-sliced inserts so each commit's dir covers one
+    * narrow id band — the time-series shape the layer exists for. */
+  private def seed(st: TableStore, bands: Int = 6, perBand: Int = 100): Unit = {
+    def band(i: Int): DataFrame = spark.range(i * perBand, (i + 1) * perBand)
+      .select(col("id").as("k"), (col("id") % 7).as("v"))
+    ZoneMaps.createTracked(st, "t", band(0), Seq("k"))
+    (1 until bands).foreach(i => st.insert("t", band(i)))
+  }
+
+  test("a band probe keeps exactly the overlapping commits and answers exactly") {
+    val st = freshStore()
+    seed(st)
+    assert(st.read("t").count() == 600)
+    // probe inside band 2 plus the first row of band 3
+    val kept = ZoneMaps.keptDirs(st, "t", "k", 250, 300)
+    assert(kept.size == 2, s"expected 2 of 6 dirs kept, got ${kept.size}")
+    val pruned = ZoneMaps.readRange(st, "t", "k", 250, 300)
+    val full = st.read("t").filter(col("k").between(250, 300))
+    assert(pruned.count() == 51)
+    assert(pruned.except(full).isEmpty && full.except(pruned).isEmpty)
+    // an empty-intersection probe keeps nothing and answers empty
+    assert(ZoneMaps.keptDirs(st, "t", "k", 10000, 20000).isEmpty)
+    assert(ZoneMaps.readRange(st, "t", "k", 10000, 20000).count() == 0)
+  }
+
+  test("a copy-on-write rewrite loses its stats conservatively, answers stay exact") {
+    val st = freshStore()
+    seed(st)
+    // the update rewrites only the dirs holding matched rows (file-level
+    // COW); those NEW dirs carry no stats and must be kept by any probe
+    st.update("t", Map("v" -> lit(99L)), col("k") === 150L)
+    val keptAfter = ZoneMaps.keptDirs(st, "t", "k", 250, 300)
+    assert(keptAfter.size >= 2, "rewritten dirs must be kept conservatively")
+    val pruned = ZoneMaps.readRange(st, "t", "k", 100, 199)
+    val full = st.read("t").filter(col("k").between(100, 199))
+    assert(pruned.except(full).isEmpty && full.except(pruned).isEmpty)
+    assert(pruned.filter(col("k") === 150L).head.getLong(1) == 99L)
+    // re-track: one stamp restores pruning for the rewritten dirs
+    ZoneMaps.retrack(st, "t")
+    assert(ZoneMaps.keptDirs(st, "t", "k", 250, 300).size == 2,
+      "re-tracked table must prune like the original")
+  }
+
+  test("pending schema ops disable pruning, the fallback read stays exact") {
+    val st = freshStore()
+    seed(st)
+    st.addColumn("t", "v2", "BIGINT", Some("v * 2"))
+    val got = ZoneMaps.readRange(st, "t", "k", 250, 300)
+    val full = st.read("t").filter(col("k").between(250, 300))
+    assert(got.columns.contains("v2"), "fallback must read the evolved schema")
+    assert(got.except(full).isEmpty && full.except(got).isEmpty)
+  }
+
+  test("untracked tables are unaffected; stats survive unrelated inserts") {
+    val st = freshStore()
+    st.create("u", spark.range(0, 10).select(col("id").as("k")))
+    st.insert("u", spark.range(10, 20).select(col("id").as("k")))
+    assert(st.read("u").count() == 20) // no stamp path engaged, no props
+    assert(st.tableProps("u").isEmpty)
+    seed(st, bands = 2)
+    val statKeys = st.tableProps("t").keys.filter(_.startsWith("zm."))
+    assert(statKeys.size == 2, s"one stat per dir per col: $statKeys")
+  }
+}
