@@ -87,17 +87,75 @@ object Mutations extends QueryPack {
       .unionByName(st.read("archive").withColumn("bucket", lit("archived")))
   }
 
+  /** m7 — SCD type-2 dimension maintenance ([[graft.store.Scd2]]):
+    * three customer-segment snapshots (seed + two where a key slice
+    * changes segment) applied at effective times 1000/2000/3000; the
+    * final table must hold per key exactly the CHANGE sequence —
+    * versions with adjacent validity intervals, one open row per key,
+    * zero churn for unchanged keys. The oracle reconstructs the same
+    * history relationally (lag-compare over the three snapshots). */
+  private def m7(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s)
+    def snap(n: Int): DataFrame = {
+      val base = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      n match {
+        case 0 => base
+        case 1 => base.withColumn("c_mktsegment",
+          when(col("c_custkey") % 7 === 0, lit("SEG_B1"))
+            .otherwise(col("c_mktsegment")))
+        case 2 => base.withColumn("c_mktsegment",
+          when(col("c_custkey") % 5 === 0, lit("SEG_B2"))
+            .when(col("c_custkey") % 7 === 0, lit("SEG_B1"))
+            .otherwise(col("c_mktsegment")))
+      }
+    }
+    graft.store.Scd2.init(st, "dim_customer", snap(0), effMicros = 1000L)
+    graft.store.Scd2.applyBatch(st, "dim_customer", snap(1),
+      Seq("c_custkey"), effMicros = 2000L)
+    graft.store.Scd2.applyBatch(st, "dim_customer", snap(2),
+      Seq("c_custkey"), effMicros = 3000L)
+    st.read("dim_customer")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_insert" -> (m1 _),
     "m1b_upsert" -> (m1b _),
     "m2_update" -> (m2 _),
     "m3_remove" -> (m3 _),
     "m5_transaction" -> (m5 _),
+    "m7_scd2_dimension" -> (m7 _),
   )
 
   private val colsSql = cols.mkString(", ")
 
   override val oracles: Map[String, String] = Map(
+    "m7_scd2_dimension" ->
+      """WITH v AS (
+           SELECT c_custkey AS k, c_mktsegment AS seg, 1000 AS ts
+           FROM customer
+           UNION ALL
+           SELECT c_custkey,
+                  CASE WHEN c_custkey % 7 = 0 THEN 'SEG_B1'
+                       ELSE c_mktsegment END, 2000
+           FROM customer
+           UNION ALL
+           SELECT c_custkey,
+                  CASE WHEN c_custkey % 5 = 0 THEN 'SEG_B2'
+                       WHEN c_custkey % 7 = 0 THEN 'SEG_B1'
+                       ELSE c_mktsegment END, 3000
+           FROM customer),
+         d AS (SELECT *, lag(seg) OVER (PARTITION BY k ORDER BY ts) AS prev
+               FROM v),
+         c AS (SELECT k, seg, ts FROM d WHERE prev IS NULL OR seg <> prev),
+         f AS (SELECT k, seg, ts,
+                 lead(ts) OVER (PARTITION BY k ORDER BY ts) AS nxt
+               FROM c)
+         SELECT k AS c_custkey, seg AS c_mktsegment,
+                CAST(ts AS BIGINT) AS valid_from,
+                CAST(nxt AS BIGINT) AS valid_to,
+                nxt IS NULL AS is_current
+         FROM f""",
     "m1_insert" ->
       s"""SELECT $colsSql FROM orders WHERE o_orderkey % 10 = 0
          UNION ALL
