@@ -1717,6 +1717,7 @@ object HeroQL {
           })
         removed.foreach(
           graft.store.MaterializedView.refreshRegisteredDelete(tx, table, _, preManifest))
+        graft.store.JoinViews.rebuildRegistered(tx, table)
       case "update" =>
         val matchPairs = item.atom.args.zip(fields).collect { case (TVar(v), f) => (v, f) }
         val setPairs = item.atom.args.zip(fields).collect { case (TAtVar(v), f) => (v, f) }
@@ -1773,6 +1774,7 @@ object HeroQL {
           oldRows.foreach(old =>
             graft.store.MaterializedView.refreshRegisteredUpdate(
               tx, table, old, applied(old), preManifest))
+          graft.store.JoinViews.rebuildRegistered(tx, table)
         }
       case other => throw Analyzer.AnalysisError(s"unknown mutation @$other")
     }

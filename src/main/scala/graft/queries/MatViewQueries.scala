@@ -200,6 +200,42 @@ query AddExam(student: string, score: int)
     } finally graft.plans.MvRewrite.uninstall(s, rule)
   }
 
+  /** mv7 — incrementally-maintained JOIN view ([[graft.store.JoinViews]],
+    * the delta-rule IVM Δ(A⋈B) = ΔA⋈B ∪ A'⋈ΔB): register orders ⋈
+    * customer-dim on custkey, then grow BOTH sides — a fact batch, a
+    * dim batch, and a both-sides-in-one-transaction batch (the
+    * read-your-writes composition that makes the algebra exact). The
+    * view must equal the plain join of the FINAL relations; the Spark
+    * side only ever joined each batch against the other side's current
+    * content and appended (JoinViewsSpec pins the append-only dir
+    * growth and the one-txn schedule). */
+  private def mv7(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s)
+    val cust = t(s, d, "customer").select(
+      col("c_custkey").as("o_custkey"), col("c_mktsegment"),
+      col("c_nationkey"))
+    val ord = t(s, d, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("price_cents"))
+    st.create("dim_cust", cust.filter(col("o_custkey") % 3 === 0))
+    st.create("fact_ord", ord.filter(col("o_orderkey") % 4 === 0))
+    graft.store.JoinViews.register(st, "ord_cust", "fact_ord", "dim_cust",
+      Seq("o_custkey"))
+    // fact-side batch, then dim-side batch, each via the maintained door
+    st.insert("fact_ord", ord.filter(col("o_orderkey") % 4 === 1))
+    st.insert("dim_cust", cust.filter(col("o_custkey") % 3 === 1))
+    // both sides in ONE transaction through the txn-level front door
+    st.transaction { tx =>
+      graft.store.WritePath.insert(tx, "fact_ord",
+        ord.filter(col("o_orderkey") % 4 === 2))
+      graft.store.WritePath.insert(tx, "dim_cust",
+        cust.filter(col("o_custkey") % 3 === 2))
+    }
+    require(graft.store.JoinViews.isFresh(st, "ord_cust"),
+      "mv7: maintained view must report fresh")
+    st.read("ord_cust")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mv1_incremental_agg" -> (mv1 _),
     "mv2_incremental_delete" -> (mv2 _),
@@ -207,9 +243,20 @@ query AddExam(student: string, score: int)
     "mv4_minmax_insert_only" -> (mv4 _),
     "mv5_hql_write_through" -> (mv5 _),
     "mv6_transparent_rewrite" -> (mv6 _),
+    "mv7_join_view" -> (mv7 _),
   )
 
   override val oracles: Map[String, String] = Map(
+    "mv7_join_view" ->
+      """WITH c AS (SELECT c_custkey AS o_custkey, c_mktsegment, c_nationkey
+                    FROM customer WHERE c_custkey % 3 IN (0, 1, 2)),
+              o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                             AS price_cents
+                    FROM orders WHERE o_orderkey % 4 IN (0, 1, 2))
+         SELECT o.o_custkey, o.o_orderkey, o.o_orderstatus, o.price_cents,
+                c.c_mktsegment, c.c_nationkey
+         FROM o JOIN c ON o.o_custkey = c.o_custkey""",
     "mv1_incremental_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
                 CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,

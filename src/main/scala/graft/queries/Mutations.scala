@@ -118,7 +118,33 @@ object Mutations extends QueryPack {
     st.read("dim_customer")
   }
 
+  /** m8 — full three-branch MERGE ([[graft.store.TableStore.merge]],
+    * the reference's `set`-upsert `Kernel/Drafts/draft:130` generalized
+    * to SQL MERGE): one atomic commit where matched 5-LOW orders are
+    * DELETED, other matched orders are UPDATED from the source
+    * (`src_`-namespace expression reading the source's doubled price,
+    * target-namespace delete predicate), and unmatched source rows are
+    * INSERTED. The oracle states the same final table as a left join +
+    * anti-union. */
+  private def m8(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s)
+    st.create("orders", seed(s, d, 0))
+    val source = t(s, d, "orders")
+      .filter(col("o_orderkey") % 10 === 0 || col("o_orderkey") % 10 === 3)
+      .select(col("o_orderkey"), col("o_custkey"),
+        lit("M").as("o_orderstatus"),
+        (col("o_totalprice") * 2.0).as("o_totalprice"),
+        col("o_orderpriority"))
+    st.merge("orders", source, Seq("o_orderkey"),
+      updateSet = Map(
+        "o_orderstatus" -> lit("M"),
+        "o_totalprice" -> col("src_o_totalprice")),
+      deleteWhen = Some(col("o_orderpriority") === "5-LOW"))
+    st.read("orders")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m8_merge" -> (m8 _),
     "m1_insert" -> (m1 _),
     "m1b_upsert" -> (m1b _),
     "m2_update" -> (m2 _),
@@ -130,6 +156,26 @@ object Mutations extends QueryPack {
   private val colsSql = cols.mkString(", ")
 
   override val oracles: Map[String, String] = Map(
+    "m8_merge" ->
+      """WITH b AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                           o_totalprice, o_orderpriority
+                    FROM orders WHERE o_orderkey % 10 = 0),
+              s AS (SELECT o_orderkey, o_custkey, 'M' AS o_orderstatus,
+                           o_totalprice * 2.0 AS o_totalprice,
+                           o_orderpriority
+                    FROM orders WHERE o_orderkey % 10 IN (0, 3))
+         SELECT b.o_orderkey, b.o_custkey,
+                CASE WHEN s.o_orderkey IS NOT NULL THEN 'M'
+                     ELSE b.o_orderstatus END AS o_orderstatus,
+                CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+                     ELSE b.o_totalprice END AS o_totalprice,
+                b.o_orderpriority
+         FROM b LEFT JOIN s ON b.o_orderkey = s.o_orderkey
+         WHERE NOT (s.o_orderkey IS NOT NULL
+                    AND b.o_orderpriority = '5-LOW')
+         UNION ALL
+         SELECT s.* FROM s
+         WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM b)""",
     "m7_scd2_dimension" ->
       """WITH v AS (
            SELECT c_custkey AS k, c_mktsegment AS seg, 1000 AS ts

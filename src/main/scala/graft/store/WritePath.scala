@@ -36,6 +36,7 @@ object WritePath {
     CheckConstraints.validate(tx, table, pinned)
     tx.insert(table, pinned)
     MaterializedView.refreshRegistered(tx, table, pinned, pre)
+    JoinViews.refreshRegistered(tx, table, pinned)
     pinned
   }
 }
