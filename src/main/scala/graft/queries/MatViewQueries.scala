@@ -236,7 +236,36 @@ query AddExam(student: string, score: int)
     st.read("ord_cust")
   }
 
+  /** mv8 — CHAINED IVM: an aggregate view registered ON a join view
+    * ([[graft.store.JoinViews]] → [[graft.store.MaterializedView]]).
+    * One base insert flows base → join delta → aggregate fold inside a
+    * single atomic commit, each layer incremental (the agg layer folds
+    * the probe-sized join delta, never rescanning the view). Batches
+    * grow both sides; the final AGG VIEW must equal the SQL aggregate
+    * over the join of the final relations. JoinViewsSpec proves the
+    * fold is genuinely incremental (a poisoned agg row survives
+    * maintenance — a rebuild would heal it). */
+  private def mv8(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s)
+    val cust = t(s, d, "customer").select(
+      col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    val ord = t(s, d, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("price_cents"))
+    st.create("dim_c", cust.filter(col("o_custkey") % 3 === 0))
+    st.create("fact_o", ord.filter(col("o_orderkey") % 4 === 0))
+    graft.store.JoinViews.register(st, "oc_jv", "fact_o", "dim_c",
+      Seq("o_custkey"))
+    graft.store.MaterializedView.register(st, "oc_agg", "oc_jv",
+      graft.store.MaterializedView.MvDef(Seq("c_mktsegment"),
+        Seq("sum_cents" -> "price_cents")))
+    st.insert("fact_o", ord.filter(col("o_orderkey") % 4 === 1))
+    st.insert("dim_c", cust.filter(col("o_custkey") % 3 === 1))
+    st.read("oc_agg")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mv8_chained_view" -> (mv8 _),
     "mv1_incremental_agg" -> (mv1 _),
     "mv2_incremental_delete" -> (mv2 _),
     "mv3_transactional_refresh" -> (mv3 _),
@@ -247,6 +276,17 @@ query AddExam(student: string, score: int)
   )
 
   override val oracles: Map[String, String] = Map(
+    "mv8_chained_view" ->
+      """WITH c AS (SELECT c_custkey AS o_custkey, c_mktsegment
+                    FROM customer WHERE c_custkey % 3 IN (0, 1)),
+              o AS (SELECT o_orderkey, o_custkey,
+                           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                             AS price_cents
+                    FROM orders WHERE o_orderkey % 4 IN (0, 1))
+         SELECT c.c_mktsegment, count(*) AS n_rows,
+                CAST(sum(o.price_cents) AS BIGINT) AS sum_cents
+         FROM o JOIN c ON o.o_custkey = c.o_custkey
+         GROUP BY c.c_mktsegment""",
     "mv7_join_view" ->
       """WITH c AS (SELECT c_custkey AS o_custkey, c_mktsegment, c_nationkey
                     FROM customer WHERE c_custkey % 3 IN (0, 1, 2)),

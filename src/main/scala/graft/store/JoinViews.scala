@@ -96,10 +96,21 @@ object JoinViews {
       // align to the view's column order, then append + restamp in one
       // manifest (insert, then the props rewrite, both pending)
       val cols = tx.read(mv).columns.toIndexedSeq
-      tx.insert(mv, delta.select(cols.map(col): _*))
-      tx.mergeProps(mv, Map(
-        baseKey(d.left) -> tx.manifestName(d.left).getOrElse(""),
-        baseKey(d.right) -> tx.manifestName(d.right).getOrElse("")))
+      val aligned = delta.select(cols.map(col): _*).localCheckpoint()
+      try {
+        val preMv = tx.manifestName(mv)
+        tx.insert(mv, aligned)
+        tx.mergeProps(mv, Map(
+          baseKey(d.left) -> tx.manifestName(d.left).getOrElse(""),
+          baseKey(d.right) -> tx.manifestName(d.right).getOrElse("")))
+        // CHAINED IVM: aggregate views registered ON the join view fold
+        // the same delta, still inside this one commit — base insert →
+        // join delta → aggregate fold, each layer incremental. Runs
+        // AFTER the props restamp: the agg layer's watermark must name
+        // the join view's FINAL manifest of this txn, or the next fold
+        // would see it diverged and rebuild every batch.
+        MaterializedView.refreshRegistered(tx, mv, aligned, preMv)
+      } finally aligned.unpersist()
     }
 
   /** A base DELETE has no sound row-level delta (the other side may
@@ -109,6 +120,10 @@ object JoinViews {
     registered(tx, baseTable).foreach { case (mv, d) =>
       writeView(tx, mv, d.left, d.right,
         tx.read(d.left).join(tx.read(d.right), d.keys))
+      // the full rewrite invalidated any chained aggregate view's
+      // incremental state: a None watermark forces its self-heal
+      // rebuild in the same commit
+      MaterializedView.refreshRegistered(tx, mv, tx.read(mv).limit(0), None)
     }
 
   /** Do the view's stamped base watermarks match the bases' CURRENT

@@ -89,6 +89,44 @@ class JoinViewsSpec extends SparkSpec {
       "raw txn insert moved the base manifest; view must report stale")
   }
 
+  test("chained agg view folds the join delta incrementally in-commit") {
+    val st = scratch()
+    setUp(st)
+    graft.store.MaterializedView.register(st, "agg", "jv",
+      graft.store.MaterializedView.MvDef(Seq("c_mktsegment"),
+        Seq("n_nation" -> "c_nationkey")))
+    def recompute(): Seq[String] = sortedRows(
+      st.read("fact").join(st.read("dim"), Seq("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"), sum("c_nationkey").as("n_nation")))
+    st.insert("fact", ord.filter(col("o_orderkey") % 4 === 1))
+    assert(sortedRows(st.read("agg")) === recompute(),
+      "chained agg diverged after a fact batch")
+    st.insert("dim", cust.filter(col("o_custkey") % 3 === 1))
+    assert(sortedRows(st.read("agg")) === recompute(),
+      "chained agg diverged after a dim batch")
+
+    // incremental-fold proof: poison the agg view with a sentinel group
+    // through a raw txn (which does NOT move the join view's manifest,
+    // so the chain's watermark stays in sync). An incremental fold
+    // must carry the poison forward; a rebuild would heal it.
+    import spark.implicits._
+    st.transaction(_.insert("agg",
+      Seq(("__POISON__", 1L, 42L)).toDF("c_mktsegment", "n_rows", "n_nation")))
+    st.insert("fact", ord.filter(col("o_orderkey") % 4 === 2))
+    val seg = st.read("agg").filter(col("c_mktsegment") === "__POISON__")
+    assert(seg.count() === 1,
+      "maintenance rebuilt the agg view — the chained fold must be " +
+        "incremental (poison row should have survived)")
+    // ...and a full-rewrite path (delete → join-view rebuild) forces
+    // the chained agg rebuild, which heals the poison
+    st.delete("fact", col("o_orderkey") % 8 === 0)
+    assert(st.read("agg").filter(col("c_mktsegment") === "__POISON__")
+      .count() === 0, "join-view rebuild must rebuild the chained agg")
+    assert(sortedRows(st.read("agg")) === recompute(),
+      "chained agg diverged after the rebuild path")
+  }
+
   test("registration validates keys and non-key disjointness") {
     val st = scratch()
     st.create("dim", cust)
