@@ -100,13 +100,53 @@ object EventAnalytics extends QueryPack {
             CAST(0 AS BIGINT), (acc, x) -> shiftright(acc, 1) + x)""")
           .as("ewma_micro"))
 
+  /** ev8 — first-order Markov transition matrix over event types (the
+    * next-event behavior model behind "users who viewed then
+    * clicked…"): per user, each event pairs with its successor in the
+    * `(tns, event_id)` total order (one user-keyed window — the
+    * family's single shuffle key), transitions count into a
+    * #types²-bounded matrix, and each row's probability is an exact
+    * integer-division micro (`n·10⁶ div Σrow` — no float division, so
+    * both engines truncate identically). The per-from normalization
+    * windows over the TINY matrix, never the corpus. */
+  private def ev8(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("tns"), col("event_id"))
+    ev(s, d)
+      .select(col("user_id"), col("tns"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+      .withColumn("p_micro", expr(
+        """CAST((n_trans * 1000000L) DIV (sum(n_trans) OVER
+           (PARTITION BY from_type)) AS BIGINT)"""))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev5_funnel" -> (ev5 _),
     "ev6_retention" -> (ev6 _),
     "ev7_ewma_decay" -> (ev7 _),
+    "ev8_transition_matrix" -> (ev8 _),
   )
 
   override val oracles: Map[String, String] = Map(
+    "ev8_transition_matrix" ->
+      """WITH e AS (
+           SELECT user_id, event_type, event_id,
+                  epoch_ns(CAST(ts AS TIMESTAMP)) AS tns
+           FROM events),
+         tr AS (SELECT event_type AS from_type,
+                       lead(event_type) OVER (PARTITION BY user_id
+                         ORDER BY tns, event_id) AS to_type
+                FROM e),
+         c AS (SELECT from_type, to_type, count(*) AS n_trans
+               FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, n_trans,
+                CAST(n_trans * 1000000 //
+                  sum(n_trans) OVER (PARTITION BY from_type) AS BIGINT)
+                  AS p_micro
+         FROM c""",
     "ev5_funnel" ->
       """WITH e AS (
            SELECT user_id, event_type,

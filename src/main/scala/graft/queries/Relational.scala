@@ -650,6 +650,40 @@ object Relational extends QueryPack {
     graft.operators.GridSpatialJoin.selfBoxJoin(pts, "pid", "px", "py", 0.05)
   }
 
+  /** J15 — co-located bucketed join (O3 `Hash(col)` index kind,
+    * `Kernel/README.md:64-74`, materialized as Spark bucketing): both
+    * sides written `bucketBy(8, key).sortBy(key)`, so the join runs as
+    * a sort-merge with ZERO Exchange and ZERO per-query Sort — the
+    * shuffle was paid once at write time. The gate REFUSES to answer
+    * from a shuffling plan (the plan assertion is part of the
+    * contract, not just the spec): at 100 TB this is the difference
+    * between a fact-fact join that moves both tables every query and
+    * one that never moves either. */
+  private def j15(s: SparkSession, d: String): DataFrame = {
+    Seq("j15_orders", "j15_customer").foreach { tbl =>
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val dir = java.nio.file.Paths.get("spark-warehouse", tbl)
+      if (java.nio.file.Files.exists(dir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+          .reverse.foreach(java.nio.file.Files.delete)
+      }
+    }
+    t(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderstatus")
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("j15_orders")
+    t(s, d, "customer").select("c_custkey", "c_mktsegment")
+      .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("j15_customer")
+    val joined = s.table("j15_orders").join(s.table("j15_customer"),
+      col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_custkey", "c_mktsegment")
+    val plan = joined.queryExecution.executedPlan.toString
+    require(!plan.contains("Exchange hashpartitioning"),
+      s"j15 must join co-located buckets without a shuffle:\n$plan")
+    joined
+  }
+
   /** A12 — statistical aggregates (added scope): sample stddev/variance,
     * correlation and covariance — identical closed-form definitions in
     * Spark and DuckDB. */
@@ -730,6 +764,7 @@ object Relational extends QueryPack {
     "j5_theta_join" -> (j5 _),
     "j6_multihop_join" -> (j6 _),
     "j8_broadcast_join" -> (j8 _),
+    "j15_bucket_colocated_join" -> (j15 _),
     "a1_partition_aggregate" -> (a1 _),
     "a2_group_multi_agg" -> (a2 _),
     "a4_count_distinct" -> (a4 _),
@@ -925,6 +960,9 @@ object Relational extends QueryPack {
       """SELECT s_name, sum(l_quantity) AS sum_qty, count(*) AS n_lines
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          GROUP BY s_name""",
+    "j15_bucket_colocated_join" ->
+      """SELECT o_orderkey, o_custkey, c_mktsegment
+         FROM orders JOIN customer ON o_custkey = c_custkey""",
     // money aggregates on exact cents (per-row fixed point, integer
     // sum, one final division) — mirrors the Spark side exactly; a raw
     // double sum's last ulp depends on accumulation order and flipped

@@ -486,7 +486,36 @@ object TextAnalysis extends QueryPack {
           .as("sim_micro"))
   }
 
+  /** tx15 — TF-IDF keyword extraction, top-3 terms per document (the
+    * classic doc-representation / keyword-tagging pass; Salton &
+    * Buckley 1988): term frequency per (doc, token), document
+    * frequency from the DISTINCT (doc, token) pairs (same exchange
+    * shape as tx11), corpus size N broadcast as one scalar row, score
+    * = tf · ln(N/df) micro-fixed-pointed per TERM before ranking (both
+    * engines floor the same double product — the tx8 convention), and
+    * a per-doc row_number with the token as tie-break. At 100 TB: two
+    * token-keyed partial-agg exchanges + one doc-keyed window; nothing
+    * global, no sort of the corpus. */
+  private def tx15(s: SparkSession, d: String): DataFrame = {
+    val toks = t(s, d, "documents").select(col("doc_id"),
+      explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select("doc_id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "tok").crossJoin(broadcast(n))
+      .withColumn("score_micro", expr(
+        "CAST(floor(tf * ln(CAST(n_docs AS DOUBLE) / df) * 1000000) AS BIGINT)"))
+      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy("doc_id")
+        .orderBy(col("score_micro").desc, col("tok").asc)))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("tok"), col("score_micro"),
+        col("rk").cast("long").as("rk"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx15_tfidf_keywords" -> (tx15 _),
     "tx1_token_count" -> (tx1 _),
     "tx2_quality_score" -> (tx2 _),
     "tx3_language_id" -> (tx3 _),
@@ -522,6 +551,23 @@ object TextAnalysis extends QueryPack {
     .mkString(",\n           ")
 
   override val oracles: Map[String, String] = Map(
+    "tx15_tfidf_keywords" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+           FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dfq AS (SELECT tok, count(DISTINCT doc_id) AS df
+                 FROM toks GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         sc AS (SELECT tf.doc_id, tf.tok,
+                  CAST(floor(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfq.df)
+                    * 1000000) AS BIGINT) AS score_micro
+                FROM tf JOIN dfq USING (tok) CROSS JOIN n),
+         r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score_micro DESC, tok ASC) AS rk FROM sc)
+         SELECT doc_id, tok, score_micro, CAST(rk AS BIGINT) AS rk
+         FROM r WHERE rk <= 3""",
     "tx1_token_count" ->
       """SELECT doc_id,
          CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
