@@ -34,5 +34,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // spark.graft.store.root (a no-op until the conf key is set) —
     // the one-conf-key cluster deployment of graft.plans.MvRewrite
     ext.injectOptimizerRule(new graft.plans.ConfiguredMvRewrite(_))
+    ext.injectOptimizerRule(new graft.plans.ConfiguredJvRewrite(_))
   }
 }

@@ -264,7 +264,43 @@ query AddExam(student: string, score: int)
     st.read("oc_agg")
   }
 
+  /** mv9 — transparent JOIN rewrite ([[graft.plans.JvRewrite]], the
+    * join-side complement of mv6): a registered fact ⋈ dim view grown
+    * through maintained inserts, then a PLAIN `fact.join(dim, keys)`
+    * written with no knowledge of the view — the optimizer redirects
+    * it to the pre-joined result. The gate REFUSES to answer unless
+    * the optimized plan reads ONLY view files (fresh rows included —
+    * the maintained path keeps the watermark fence closed). At 100 TB
+    * this replaces the query-time fact-dim shuffle join with a scan of
+    * the incrementally-maintained join. */
+  private def mv9(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s)
+    val cust = t(s, d, "customer").select(
+      col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    val ord = t(s, d, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    st.create("dim9", cust)
+    st.create("fact9", ord.filter(col("o_orderkey") % 2 === 0))
+    graft.store.JoinViews.register(st, "jv9", "fact9", "dim9",
+      Seq("o_custkey"))
+    st.insert("fact9", ord.filter(col("o_orderkey") % 2 === 1))
+    val rule = graft.plans.JvRewrite.install(s, st)
+    try {
+      val joined = st.read("fact9").join(st.read("dim9"), Seq("o_custkey"))
+      val scans = joined.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.rootPaths.map(_.toUri.getPath)
+      }.flatten
+      require(scans.nonEmpty && scans.forall(_.contains("/jv9/")),
+        s"mv9: join rewrite did not engage — plan reads ${scans.mkString(", ")}")
+      joined.localCheckpoint()
+    } finally graft.plans.JvRewrite.uninstall(s, rule)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mv9_join_rewrite" -> (mv9 _),
     "mv8_chained_view" -> (mv8 _),
     "mv1_incremental_agg" -> (mv1 _),
     "mv2_incremental_delete" -> (mv2 _),
@@ -276,6 +312,11 @@ query AddExam(student: string, score: int)
   )
 
   override val oracles: Map[String, String] = Map(
+    "mv9_join_rewrite" ->
+      """SELECT o.o_custkey, o.o_orderkey, o.o_orderstatus, c.c_mktsegment
+         FROM orders o
+         JOIN (SELECT c_custkey AS o_custkey, c_mktsegment
+               FROM customer) c ON o.o_custkey = c.o_custkey""",
     "mv8_chained_view" ->
       """WITH c AS (SELECT c_custkey AS o_custkey, c_mktsegment
                     FROM customer WHERE c_custkey % 3 IN (0, 1)),

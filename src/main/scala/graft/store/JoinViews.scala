@@ -83,6 +83,15 @@ object JoinViews {
   def hasRegistered(tx: Txn, baseTable: String): Boolean =
     registered(tx, baseTable).nonEmpty
 
+  /** Every registered join view, committed-state (driver-side,
+    * registry-sized) — [[graft.plans.JvRewrite]]'s probe. */
+  def registrations(store: TableStore): Seq[(String, JoinDef)] =
+    if (!store.exists(RegistryT)) Seq.empty
+    else store.read(RegistryT).collect().map(r =>
+      (r.getAs[String]("mv_table"), JoinDef(
+        r.getAs[String]("left_table"), r.getAs[String]("right_table"),
+        r.getAs[String]("keys").split('\t').toSeq))).toSeq
+
   /** Fold an insert batch (already applied to `baseTable` in this txn)
     * into every registered join view: append `batch ⋈ other-side
     * current` — read-your-writes makes the multi-side algebra exact
