@@ -186,6 +186,29 @@ object AdminQueries extends QueryPack {
     t(s, d, "orders").filter(col("o_orderkey") % 10 === m)
       .select(cols.map(col): _*)
 
+  /** adm13 — changefeed-driven replica sync (adm11's feed consumed for
+    * real): a replica bootstraps from the source snapshot, then each
+    * sync cycle applies exactly `changesSince` over the interval since
+    * its last sync — cycle one folds TWO source commits in one feed
+    * read, cycle two folds one. The final replica must equal the
+    * source relationally, yet no cycle ever re-read the source table:
+    * the feed cost is ∝ the added dirs (the commit log IS the change
+    * log), which is the whole point of the primitive at 100 TB —
+    * downstream sync without downstream rescans. */
+  private def adm13(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s)
+    st.create("src", seedMod(s, d, 0))
+    st.create("replica", st.read("src"))
+    st.insert("src", seedMod(s, d, 1))
+    st.insert("src", seedMod(s, d, 2))
+    // two src commits since the replica's bootstrap commit
+    st.insert("replica", st.changesSince("src", 2))
+    st.insert("src", seedMod(s, d, 3))
+    // one src commit since the last sync commit
+    st.insert("replica", st.changesSince("src", 1))
+    st.read("replica")
+  }
+
   /** adm9 — UNIQUE + FOREIGN-KEY constraints at the write path (the
     * reference's `Unique` index kind and enforced relationship
     * endpoints): orders keyed unique on o_orderkey with o_custkey
@@ -319,6 +342,7 @@ object AdminQueries extends QueryPack {
     "adm12_zonemap_skipping" -> (adm12 _),
     "adm10_incremental_backup" -> (adm10 _),
     "adm11_changefeed" -> (adm11 _),
+    "adm13_changefeed_sync" -> (adm13 _),
     "adm1_schema_evolution" -> (adm1 _),
     "adm2_schema_migrate" -> (adm2 _),
     "adm3_vacuum_gc" -> (adm3 _),
@@ -398,6 +422,12 @@ object AdminQueries extends QueryPack {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                 o_orderpriority
          FROM orders WHERE o_orderkey % 10 IN (1, 2)""",
+    // the synced replica = the full source, without any cycle having
+    // re-read it
+    "adm13_changefeed_sync" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderpriority
+         FROM orders WHERE o_orderkey % 10 IN (0, 1, 2, 3)""",
     // compaction is physical only: the content is the plain union
     "adm6_compaction" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

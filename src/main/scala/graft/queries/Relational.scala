@@ -431,6 +431,24 @@ object Relational extends QueryPack {
       .select("event_id", "user_id", "last_purchase", "first_purchase")
   }
 
+  /** W9 — distribution window functions (percent_rank / cume_dist /
+    * ntile — the ranking family's relative-position half, completing
+    * w6's rank/dense_rank/row_number). Total order per partition is
+    * (exact cents, o_orderkey) so no two rows tie and both engines'
+    * (rank−1)/(n−1) and cume/n divisions are the SAME small-integer
+    * ratios — bit-deterministic doubles, strict-hashable with no
+    * rounding convention. One exchange on the partition key. */
+  private def w9(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("cents"), col("o_orderkey"))
+    t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .withColumn("bucket", ntile(7).over(w).cast("long"))
+  }
+
   /** F13 — array set algebra (union / intersect / except over the
     * tokenized text): the set-similarity building blocks (dd2's
     * Jaccard is intersect/union cardinalities). Consecutive documents
@@ -749,6 +767,7 @@ object Relational extends QueryPack {
     "j13_grid_spatial_join" -> (j13 _),
     "w7_time_range_frame" -> (w7 _),
     "w8_ignore_nulls_nav" -> (w8 _),
+    "w9_distribution_windows" -> (w9 _),
     "f13_array_setops" -> (f13 _),
     "s1_scan_filter" -> (s1 _),
     "s3_inline_values" -> (s3 _),
@@ -884,6 +903,19 @@ object Relational extends QueryPack {
              ORDER BY tns, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_purchase
          FROM e""",
+    "w9_distribution_windows" ->
+      """WITH o AS (
+           SELECT o_orderkey, o_orderpriority,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM orders)
+         SELECT o_orderkey, o_orderpriority, cents,
+           percent_rank() OVER (PARTITION BY o_orderpriority
+             ORDER BY cents, o_orderkey) AS pct_rank,
+           cume_dist() OVER (PARTITION BY o_orderpriority
+             ORDER BY cents, o_orderkey) AS cume,
+           CAST(ntile(7) OVER (PARTITION BY o_orderpriority
+             ORDER BY cents, o_orderkey) AS BIGINT) AS bucket
+         FROM o""",
     "j13_grid_spatial_join" ->
       """SELECT p.vec_id AS a, q.vec_id AS b
          FROM (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
