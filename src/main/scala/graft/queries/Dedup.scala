@@ -354,6 +354,47 @@ object Dedup extends QueryPack {
         sum(col("p1") - col("p0") + 1).as("n_dup_tok"))
   }
 
+  /** dd11 — CORPUS-LEVEL line deduplication (RefinedWeb/CCNet-style
+    * boilerplate removal: a line that recurs across documents is
+    * chrome — headers, footers, nav — and is struck from EVERY
+    * document, preserving the order of what survives). Lines are
+    * tx9's 10-token chunks (the fixture's texts carry no newlines).
+    *
+    * Scale shape: lines with positions (map) → distinct (doc, line-fp)
+    * → occurrence counts per fp (one partial-aggregated exchange on
+    * 8-byte keys) → the BOILERPLATE set (lines in ≥2 distinct docs) is
+    * tiny relative to the corpus, so the strike-out join is a left
+    * join against that small set (AQE broadcasts it; at 100 TB it is
+    * the only state that must be shared — counts for unique lines
+    * never leave their partial aggregate) → per-document reassembly is
+    * one groupBy(doc_id) with an array_sort on (pos, line) structs, no
+    * window, no global sort. Keyed by xxhash64 like dd8's gram joins
+    * (collision odds ~n²/2⁶⁴; the oracle counts raw line text —
+    * agreement at the fixture doubles as a collision audit). */
+  private def dd11(s: SparkSession, d: String): DataFrame = {
+    val lines = t(s, d, "documents")
+      .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(1, CAST((size(toks) + 9) div 10 AS INT)),
+             i -> array_join(slice(toks, (i - 1) * 10 + 1, 10), ' '))""")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("line"))
+      .withColumn("fp", xxhash64(col("line")))
+    val boilerplate = lines.select("fp", "doc_id").distinct()
+      .groupBy("fp").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("fp"), lit(1).as("is_dup"))
+    lines.join(boilerplate, Seq("fp"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        count(when(col("is_dup").isNull, 1)).as("n_kept"),
+        concat_ws(" ", expr(
+          """transform(
+               array_sort(collect_list(CASE WHEN is_dup IS NULL
+                 THEN struct(pos, line) END)),
+               x -> x.line)""")).as("new_text"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd1_exact_dedup" -> (dd1 _),
     "dd2_ngram_jaccard" -> (dd2 _),
@@ -368,6 +409,7 @@ object Dedup extends QueryPack {
     "dd8_chunk_dedup" -> (dd8 _),
     "dd9_semantic_dedup" -> (dd9 _),
     "dd10_duplicate_spans" -> (dd10 _),
+    "dd11_line_dedup" -> (dd11 _),
   )
 
   private val shingleSql =
@@ -379,6 +421,25 @@ object Dedup extends QueryPack {
   private val simhashSql = TextFns.simhashOfHashesDuckSql("hs")
 
   override val oracles: Map[String, String] = Map(
+    "dd11_line_dedup" ->
+      """WITH tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents),
+         ls AS (
+           SELECT doc_id,
+             [{'pos': CAST(i AS BIGINT),
+               'line': array_to_string(list_slice(toks, (i-1)*10 + 1, i*10), ' ')}
+              for i in range(1, CAST((len(toks) + 9) // 10 AS BIGINT) + 1)] AS l
+           FROM tk),
+         ln AS (SELECT doc_id, unnest(l, recursive := true) FROM ls),
+         c AS (SELECT line, count(DISTINCT doc_id) AS nd FROM ln GROUP BY 1),
+         j AS (SELECT ln.doc_id, ln.pos, ln.line, c.nd
+               FROM ln JOIN c USING (line))
+         SELECT doc_id, count(*) AS n_lines,
+           count(*) FILTER (nd = 1) AS n_kept,
+           coalesce(string_agg(line, ' ' ORDER BY pos) FILTER (nd = 1), '')
+             AS new_text
+         FROM j GROUP BY doc_id""",
     "dd1_exact_dedup" ->
       """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
          FROM documents GROUP BY text""",

@@ -221,6 +221,31 @@ object TrainingSetQueries extends QueryPack {
       when(substring(md5(col("text")), 1, 2) >= "e6", "val")
         .otherwise("train").as("split"))
 
+  /** samp6 per-source cap (RefinedWeb §3.1's per-domain quota: no
+    * single domain may dominate the mix). */
+  private val QuotaK = 10
+
+  /** samp6 — per-source quota sampling: keep at most [[QuotaK]] docs
+    * per source, chosen by deterministic content-hash rank (md5(text),
+    * doc_id tie-break) — a reproducible "random" K independent of run,
+    * partitioning, and arrival order, with no RNG state to manage.
+    *
+    * Scale shape: rank-filter windows compile to WindowGroupLimit —
+    * each map task keeps only its local top-K per source BEFORE the
+    * exchange (a6's audited plan), so the shuffle carries ≤ K rows per
+    * (source × task), not the corpus. At 100 TB with millions of
+    * domains this is one bounded exchange; the alternative
+    * (sample-and-count loops) needs a driver round per adjustment. */
+  private def samp6(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    t(s, d, "documents")
+      .withColumn("h", md5(col("text")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy("h", "doc_id")))
+      .filter(col("rk") <= QuotaK)
+      .select(col("source"), col("doc_id"), col("rk").cast("long").as("rk"))
+  }
+
   private val PackShards = 8
   private val PackBudget = 512L
 
@@ -305,6 +330,7 @@ object TrainingSetQueries extends QueryPack {
     "dc2_contamination_spans" -> (dc2 _),
     "samp4_dsir_importance" -> (samp4 _),
     "samp5_hash_split" -> (samp5 _),
+    "samp6_source_quota" -> (samp6 _),
     "pack1_sequence_packing" -> (pack1 _),
     "pack2_packing_stats" -> (pack2 _),
     "pack3_epoch_shuffle" -> (pack3 _),
@@ -435,6 +461,13 @@ object TrainingSetQueries extends QueryPack {
                 CASE WHEN substring(md5(text), 1, 2) >= 'e6'
                      THEN 'val' ELSE 'train' END AS split
          FROM documents""",
+    "samp6_source_quota" ->
+      s"""WITH r AS (
+           SELECT source, doc_id,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY md5(text), doc_id) AS BIGINT) AS rk
+           FROM documents)
+         SELECT source, doc_id, rk FROM r WHERE rk <= $QuotaK""",
     "dc1_decontamination" ->
       ("""WITH tk AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
