@@ -209,6 +209,27 @@ object AdminQueries extends QueryPack {
     st.read("replica")
   }
 
+  /** adm14 — zero-copy SHALLOW CLONE + divergence
+    * ([[TableStore.cloneTable]]): clone a two-commit base by manifest
+    * reference, then diverge the CLONE three ways (COW delete, COW
+    * update, fresh insert) while the BASE must not move — the gate
+    * returns both sides tagged, so a clone that shared mutable state
+    * with its base (either direction) hash-mismatches. CloneSpec pins
+    * the zero-copy claim itself (no parquet bytes under the clone's
+    * dir at clone time). */
+  private def adm14(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s)
+    st.create("orders", seedMod(s, d, 0))
+    st.insert("orders", seedMod(s, d, 1))
+    st.cloneTable("orders", "dev")
+    st.delete("dev", col("o_orderkey") % 20 === 0)
+    st.update("dev", Map("o_totalprice" -> (col("o_totalprice") * 2.0)),
+      col("o_orderpriority") === "1-URGENT")
+    st.insert("dev", seedMod(s, d, 2))
+    st.read("orders").withColumn("side", lit("base"))
+      .unionByName(st.read("dev").withColumn("side", lit("clone")))
+  }
+
   /** adm9 — UNIQUE + FOREIGN-KEY constraints at the write path (the
     * reference's `Unique` index kind and enforced relationship
     * endpoints): orders keyed unique on o_orderkey with o_custkey
@@ -352,6 +373,7 @@ object AdminQueries extends QueryPack {
     "adm7_zorder_layout" -> (adm7 _),
     "adm8_check_constraints" -> (adm8 _),
     "adm9_key_constraints" -> (adm9 _),
+    "adm14_shallow_clone" -> (adm14 _),
   )
 
   private val evolvedSql =
@@ -428,6 +450,24 @@ object AdminQueries extends QueryPack {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                 o_orderpriority
          FROM orders WHERE o_orderkey % 10 IN (0, 1, 2, 3)""",
+    // base = the two seed commits untouched; clone = the same rows
+    // minus the COW delete, urgent prices doubled, plus the third batch
+    "adm14_shallow_clone" ->
+      """WITH seed AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                  o_orderpriority
+           FROM orders WHERE o_orderkey % 10 IN (0, 1))
+         SELECT *, 'base' AS side FROM seed
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderpriority = '1-URGENT'
+                THEN o_totalprice * 2.0 ELSE o_totalprice END AS o_totalprice,
+           o_orderpriority, 'clone' AS side
+         FROM seed WHERE o_orderkey % 20 <> 0
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderpriority, 'clone' AS side
+         FROM orders WHERE o_orderkey % 10 = 2""",
     // compaction is physical only: the content is the plain union
     "adm6_compaction" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

@@ -490,6 +490,24 @@ final class TableStore(val spark: SparkSession, val root: String) {
     JoinViews.rebuildRegistered(tx, name)
   }
 
+  /** Zero-copy SHALLOW CLONE — the copy-on-write package-instance
+    * inheritance mechanism ([[entriesAsRefs]], the reference's
+    * "uploading data based on an existing data package"
+    * `Kernel/README.md:13`) surfaced as a user-facing table op (Delta
+    * `CREATE TABLE ... SHALLOW CLONE` semantics): `dst`'s manifest
+    * points at `src`'s immutable data dirs, zero data bytes copied —
+    * cloning a 100 TB table costs one manifest write. The sides then
+    * diverge safely: inserts land in `dst`'s own dirs, COW
+    * update/delete re-home only the clone's view, and `src` never
+    * observes any of it. Vacuum already treats cross-table refs as
+    * reachability roots (the package-inheritance invariant), so the
+    * base's files survive even if `src` itself is later rewritten.
+    * Registered constraints/views are NOT cloned — they bind to the
+    * table name, and a dev clone enforcing the prod table's FKs
+    * against prod's reference tables would be wrong both ways. */
+  def cloneTable(src: String, dst: String): Unit =
+    transaction(tx => tx.link(dst, entriesAsRefs(src)))
+
   // ------------------------------------------- schema administration ops
 
   /** Append schema ops to the table's manifest log — METADATA-ONLY: no
