@@ -167,6 +167,68 @@ object GraphQueries extends QueryPack {
     labels.select(col("v").as("part_id"), col("lbl").as("community"))
   }
 
+  /** g9 — k-core decomposition (k=2) by iterative peeling (Matula &
+    * Beck 1983; the standard graph-mining primitive next to CC/PR/LPA):
+    * repeatedly strip vertices of degree < k until a fixpoint; emit
+    * every vertex with the ROUND it was peeled in (0 = survives in the
+    * core), so the oracle pins the exact peel dynamics, not just core
+    * membership. Fixture: the part hierarchy (a tree — dissolves
+    * bottom-up, one leaf layer per round) unioned with the
+    * nation-region cliques on an offset id space (min degree 4 —
+    * the surviving 2-core).
+    *
+    * Scale shape: each round is one degree aggregation over the
+    * remaining edges (partial-agg exchange keyed by vertex) + an
+    * anti-join strike-out, under [[Fixpoint.withIterativeConf]] with
+    * localCheckpoint lineage truncation; rounds = peel depth (tree
+    * height here, small for real social/web graphs once k > 2). The
+    * peeled set per round is tiny relative to the corpus — AQE-free
+    * static plans keep the per-round driver cost flat. */
+  private def g9(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Fixpoint
+    val nat = t(s, d, "nation")
+      .select(col("n_nationkey").as("nk"), col("n_regionkey").as("rk"))
+    val cliq = nat.as("a").join(nat.as("b"),
+        col("a.rk") === col("b.rk") && col("a.nk") < col("b.nk"))
+      .select((col("a.nk") + 1000000L).as("u"), (col("b.nk") + 1000000L).as("v"))
+    val tree = partEdges(s, d)
+      .select(col("child").cast("long").as("u"), col("parent").cast("long").as("v"))
+    def vertsOf(e: DataFrame): DataFrame =
+      e.select(col("u").as("x")).unionByName(e.select(col("v").as("x"))).distinct()
+    Fixpoint.withIterativeConf(s) {
+      var edges = tree.unionByName(cliq).localCheckpoint()
+      var verts = vertsOf(edges).localCheckpoint()
+      val peeled = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      var round = 0L
+      var done = false
+      while (!done) {
+        val deg = edges.select(col("u").as("x"))
+          .unionByName(edges.select(col("v").as("x")))
+          .groupBy("x").agg(count(lit(1)).as("dg"))
+        val gone = deg.filter(col("dg") < 2).select("x").localCheckpoint()
+        if (gone.isEmpty) done = true
+        else {
+          round += 1
+          edges = edges
+            .join(gone.withColumnRenamed("x", "u"), Seq("u"), "left_anti")
+            .join(gone.withColumnRenamed("x", "v"), Seq("v"), "left_anti")
+            .localCheckpoint()
+          // a vertex is peeled the round its LAST edge leaves the set —
+          // whether it was below-degree itself or its neighbors were
+          // (collateral orphans peel in the same round, as in the
+          // snapshot semantics the oracle's recursion expresses)
+          val next = vertsOf(edges).localCheckpoint()
+          peeled += verts.join(next, Seq("x"), "left_anti")
+            .withColumn("peel_round", lit(round)).localCheckpoint()
+          verts = next
+        }
+      }
+      val core = verts.withColumn("peel_round", lit(0L))
+      (peeled :+ core).reduce(_ unionByName _)
+        .select(col("x").as("v"), col("peel_round"))
+    }
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_transitive_closure" -> (g1 _),
     "rel1_bidirectional" -> (rel1 _),
@@ -177,12 +239,50 @@ object GraphQueries extends QueryPack {
     "g6_shortest_paths" -> (g6 _),
     "g7_triangle_count" -> (g7 _),
     "g8_label_propagation" -> (g8 _),
+    "g9_kcore_peeling" -> (g9 _),
   )
 
   private val edgesSql =
     "SELECT p_partkey AS child, p_partkey // 2 AS parent FROM part WHERE p_partkey // 2 >= 1"
 
   override val oracles: Map[String, String] = Map(
+    // snapshot-round recursion: working table = last round's surviving
+    // edges; a round emits survivors only if something was peeled, so
+    // the recursion terminates at the 2-core; a vertex's peel round is
+    // one past the last snapshot it appears in (0 = in the core)
+    "g9_kcore_peeling" ->
+      s"""WITH RECURSIVE
+         e0 AS (
+           SELECT CAST(p_partkey AS BIGINT) AS u,
+                  CAST(p_partkey // 2 AS BIGINT) AS v
+           FROM part WHERE p_partkey // 2 >= 1
+           UNION ALL
+           SELECT CAST(a.n_nationkey + 1000000 AS BIGINT),
+                  CAST(b.n_nationkey + 1000000 AS BIGINT)
+           FROM nation a JOIN nation b
+             ON a.n_regionkey = b.n_regionkey
+            AND a.n_nationkey < b.n_nationkey),
+         peel(round, u, v) AS (
+           SELECT 0, u, v FROM e0
+           UNION ALL
+           SELECT round + 1, u, v FROM (
+             WITH w AS (SELECT * FROM peel),
+              sym AS (SELECT round, u AS x, v AS y FROM w
+                      UNION ALL SELECT round, v, u FROM w),
+              deg AS (SELECT round, x, count(*) AS d FROM sym GROUP BY 1, 2),
+              gone AS (SELECT round, x FROM deg WHERE d < 2)
+             SELECT w.round, w.u, w.v FROM w
+             WHERE NOT EXISTS (SELECT 1 FROM gone g
+                               WHERE g.round = w.round AND g.x IN (w.u, w.v))
+               AND EXISTS (SELECT 1 FROM gone g WHERE g.round = w.round))),
+         verts AS (SELECT u AS x, round FROM peel
+                   UNION ALL SELECT v, round FROM peel),
+         last AS (SELECT x, max(round) AS mr FROM verts GROUP BY 1),
+         mx AS (SELECT max(round) AS fin FROM peel)
+         SELECT CAST(x AS BIGINT) AS v,
+           CAST(CASE WHEN mr = fin THEN 0 ELSE mr + 1 END AS BIGINT)
+             AS peel_round
+         FROM last, mx""",
     "g1_transitive_closure" ->
       s"""WITH RECURSIVE edges AS ($edgesSql),
          anc AS (

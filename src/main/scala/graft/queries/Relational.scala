@@ -702,6 +702,52 @@ object Relational extends QueryPack {
     joined
   }
 
+  /** J16 — correlated SCALAR subquery (TPC-H Q17's shape; the
+    * reference's nested `exists`/bound-query forms generalized to a
+    * per-row aggregate lookup): lineitems above their part's average
+    * quantity. Written as SQL so Catalyst's decorrelation actually
+    * runs — `RewriteCorrelatedScalarSubquery` turns the per-row
+    * subquery into ONE aggregate over lineitem joined back on
+    * l_partkey; the naive reading (re-aggregate per outer row) would
+    * be O(n²) and is exactly what the rewrite exists to prevent at
+    * 100 TB. Float-safe: l_quantity is integer-valued, so avg is an
+    * exact integer sum and one division — bit-identical cross-engine,
+    * and the `>` decisions can't flip. */
+  private def j16(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "lineitem").createOrReplaceTempView("j16_lineitem")
+    s.sql(
+      """SELECT l1.l_partkey, count(*) AS n_above
+         FROM j16_lineitem l1
+         WHERE l1.l_quantity > (SELECT avg(l2.l_quantity)
+                                FROM j16_lineitem l2
+                                WHERE l2.l_partkey = l1.l_partkey)
+         GROUP BY l1.l_partkey""")
+  }
+
+  /** J17 — null-aware NOT IN (the classic three-valued-logic footgun,
+    * and a distinct PHYSICAL join: Spark's NullAwareAntiJoin, not the
+    * plain left-anti of J4): the same NOT IN evaluated against a clean
+    * key list and against one carrying a NULL — with a NULL in the
+    * list, `x NOT IN (...)` can never be TRUE, so the second count
+    * must be exactly 0. An engine that "optimized" NOT IN to a naive
+    * anti join would return a non-zero count and hash-mismatch. */
+  private def j17(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "orders").createOrReplaceTempView("j17_orders")
+    t(s, d, "customer").createOrReplaceTempView("j17_customer")
+    s.sql(
+      """SELECT 'no_null' AS variant, count(*) AS n
+         FROM j17_customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM j17_orders
+                                 WHERE o_orderkey % 3 = 0)
+         UNION ALL
+         SELECT 'with_null' AS variant, count(*) AS n
+         FROM j17_customer
+         WHERE c_custkey NOT IN (SELECT CASE WHEN o_orderkey % 97 = 0
+                                        THEN NULL ELSE o_custkey END
+                                 FROM j17_orders
+                                 WHERE o_orderkey % 3 = 0)""")
+  }
+
   /** A12 — statistical aggregates (added scope): sample stddev/variance,
     * correlation and covariance — identical closed-form definitions in
     * Spark and DuckDB. */
@@ -784,6 +830,8 @@ object Relational extends QueryPack {
     "j6_multihop_join" -> (j6 _),
     "j8_broadcast_join" -> (j8 _),
     "j15_bucket_colocated_join" -> (j15 _),
+    "j16_correlated_scalar" -> (j16 _),
+    "j17_null_aware_anti" -> (j17 _),
     "a1_partition_aggregate" -> (a1 _),
     "a2_group_multi_agg" -> (a2 _),
     "a4_count_distinct" -> (a4 _),
@@ -995,6 +1043,25 @@ object Relational extends QueryPack {
     "j15_bucket_colocated_join" ->
       """SELECT o_orderkey, o_custkey, c_mktsegment
          FROM orders JOIN customer ON o_custkey = c_custkey""",
+    "j16_correlated_scalar" ->
+      """SELECT l1.l_partkey, count(*) AS n_above
+         FROM lineitem l1
+         WHERE l1.l_quantity > (SELECT avg(l2.l_quantity)
+                                FROM lineitem l2
+                                WHERE l2.l_partkey = l1.l_partkey)
+         GROUP BY l1.l_partkey""",
+    "j17_null_aware_anti" ->
+      """SELECT 'no_null' AS variant, count(*) AS n
+         FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                 WHERE o_orderkey % 3 = 0)
+         UNION ALL
+         SELECT 'with_null' AS variant, count(*) AS n
+         FROM customer
+         WHERE c_custkey NOT IN (SELECT CASE WHEN o_orderkey % 97 = 0
+                                        THEN NULL ELSE o_custkey END
+                                 FROM orders
+                                 WHERE o_orderkey % 3 = 0)""",
     // money aggregates on exact cents (per-row fixed point, integer
     // sum, one final division) — mirrors the Spark side exactly; a raw
     // double sum's last ulp depends on accumulation order and flipped

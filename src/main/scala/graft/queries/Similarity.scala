@@ -694,7 +694,60 @@ object Similarity extends QueryPack {
       .select("query_id", "rank", "doc_id", "r_sparse", "r_dense", "rrf_nano")
   }
 
+  /** km1 iteration count / cluster count. Two full Lloyd rounds
+    * (assign → recompute → assign) are enough to prove the update
+    * rule; production runs just loop the same two stages. */
+  private val KmK = 8
+
+  /** km1 — deterministic Lloyd k-means over the embedding corpus, with
+    * a FULL DuckDB oracle (dd9's Lloyd codebook stayed rows-only; this
+    * pins the identical algorithm end-to-end): centroids seed from the
+    * first K vectors, one recompute round, final assignment emitted
+    * with its squared distance. Every cross-engine float hazard is
+    * closed the house way — squared distances are LEFT FOLDS in
+    * element order (Spark `aggregate`, DuckDB `list_reduce`, both
+    * strict left-to-right, bit-identical on identical inputs), argmin
+    * is min-of-(dist, cid) structs (ties to the smaller centroid id),
+    * and centroid means fix-point each element to micro BIGINTs before
+    * the cross-row sum, so accumulation order cannot move a bit.
+    *
+    * Scale shape: assignment is a broadcast of K centroid rows against
+    * the corpus (map-only per row, no exchange); the recompute is one
+    * partial-aggregated exchange keyed (cluster, dim) — K×64 rows out.
+    * This is exactly how Spark MLlib's k-means iterates, minus its
+    * RDD/runtime-random seeding; rounds add exchanges linearly. */
+  private def km1(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val distSql =
+      """aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),
+         CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"""
+    def assign(cents: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cents))
+        .withColumn("d2", expr(distSql))
+        .groupBy("vec_id")
+        .agg(min(struct(col("d2"), col("cid"))).as("m"),
+          first(col("v")).as("v"))
+        .select(col("vec_id"), col("m.cid").as("cluster"),
+          col("m.d2").as("d2"), col("v"))
+    val c1 = e.filter(col("vec_id") < KmK)
+      .select(col("vec_id").as("cid"), col("v").as("c"))
+    val a1 = assign(c1)
+    val c2 = a1
+      .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cluster", "pos")
+      .agg(sum(expr("CAST(floor(x * 1000000.0) AS BIGINT)")).as("sm"),
+        count(lit(1)).as("n"))
+      .withColumn("cx", expr("(CAST(sm AS DOUBLE) / 1000000.0) / n"))
+      .groupBy(col("cluster").as("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), s -> s.cx)")
+        .as("c"))
+    assign(c2).select(col("vec_id"), col("cluster"), round(col("d2"), 6).as("d2"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "km1_kmeans_assign" -> (km1 _),
     "ann8_hybrid_rrf" -> (ann8 _),
     "ann9_incremental_index" -> (ann9 _),
     "ann1_bruteforce_topk" -> (ann1 _),
@@ -788,6 +841,51 @@ object Similarity extends QueryPack {
        WHERE rank <= $K"""
 
   override val oracles: Map[String, String] = Map(
+    // the same two assignment passes, distances as list_reduce left
+    // folds over a 0.0-prepended term list (≡ Spark aggregate's seeded
+    // left fold), centroid means from micro-fixed BIGINT sums
+    "km1_kmeans_assign" ->
+      s"""WITH e AS (
+           SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+           FROM embeddings),
+         c1 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < $KmK),
+         d1 AS (
+           SELECT e.vec_id, e.v, c1.cid,
+             list_reduce(list_prepend(0.0,
+               [(e.v[i] - c1.c[i]) * (e.v[i] - c1.c[i])
+                for i in range(1, len(e.v) + 1)]),
+               (acc, z) -> acc + z) AS d2
+           FROM e, c1),
+         a1 AS (
+           SELECT vec_id, v, min({'d2': d2, 'cid': cid}) AS m
+           FROM d1 GROUP BY vec_id, v),
+         x1 AS (
+           SELECT m.cid AS cluster, v,
+             unnest(range(1, len(v) + 1)) AS pos
+           FROM a1),
+         s1 AS (
+           SELECT cluster, pos,
+             sum(CAST(floor(v[pos] * 1000000.0) AS BIGINT)) AS sm,
+             count(*) AS n
+           FROM x1 GROUP BY 1, 2),
+         c2 AS (
+           SELECT cluster AS cid,
+             list_transform(
+               list_sort(list({'pos': pos,
+                 'cx': (CAST(sm AS DOUBLE) / 1000000.0) / n})),
+               s -> s.cx) AS c
+           FROM s1 GROUP BY cluster),
+         d2s AS (
+           SELECT e.vec_id, c2.cid,
+             list_reduce(list_prepend(0.0,
+               [(e.v[i] - c2.c[i]) * (e.v[i] - c2.c[i])
+                for i in range(1, len(e.v) + 1)]),
+               (acc, z) -> acc + z) AS d2
+           FROM e, c2),
+         a2 AS (
+           SELECT vec_id, min({'d2': d2, 'cid': cid}) AS m
+           FROM d2s GROUP BY vec_id)
+         SELECT vec_id, m.cid AS cluster, round(m.d2, 6) AS d2 FROM a2""",
     "ann2_lsh_topk" -> ann2OracleSql,
     "ann3_ivf_topk" -> ann3OracleSql,
     // explicit double-precision cosine (list_cosine_similarity on FLOAT[]
