@@ -35,5 +35,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the one-conf-key cluster deployment of graft.plans.MvRewrite
     ext.injectOptimizerRule(new graft.plans.ConfiguredMvRewrite(_))
     ext.injectOptimizerRule(new graft.plans.ConfiguredJvRewrite(_))
+    ext.injectOptimizerRule(new graft.plans.ConfiguredFkJoinElim(_))
   }
 }

@@ -299,8 +299,52 @@ query AddExam(student: string, score: int)
     } finally graft.plans.JvRewrite.uninstall(s, rule)
   }
 
+  /** mv10 — FOREIGN-KEY join elimination ([[graft.plans.FkJoinElim]]):
+    * fact orders carry a declared FK to a UNIQUE-keyed customer dim;
+    * a query that joins them but uses the dim ONLY for its key is the
+    * identity on fact, and the rule drops the join and the dim scan
+    * outright — no view needed, the CONSTRAINTS are the metadata. The
+    * fixture grows fact through the checked front door so the validity
+    * watermark chain reaches the current manifests; the gate REFUSES
+    * to answer from a plan that still contains a Join, and the oracle
+    * states the JOINED query — so elimination correctness (FK ⇒ no
+    * row drops, UNIQUE ⇒ no duplication) is externally verified. */
+  private def mv10(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s)
+    val cust = t(s, d, "customer").select("c_custkey", "c_mktsegment")
+    val ord = t(s, d, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("price_cents"))
+    st.create("dim10", cust)
+    st.create("fact10", ord.filter(col("o_orderkey") % 3 === 0))
+    graft.store.CheckConstraints.declareUnique(st, "dim10",
+      "dim10_pk", Seq("c_custkey"))
+    graft.store.CheckConstraints.declareForeignKey(st, "fact10",
+      "fact10_cust_fk", Seq("o_custkey"), "dim10", Seq("c_custkey"))
+    // grow the fact through ADMISSION CONTROL: the watermark advances
+    graft.store.CheckConstraints.insert(st, "fact10",
+      ord.filter(col("o_orderkey") % 3 === 1))
+    val rule = graft.plans.FkJoinElim.install(s, st)
+    try {
+      val q = st.read("fact10")
+        .join(st.read("dim10"), col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("price_cents")).as("__c"))
+      val joins = q.queryExecution.optimizedPlan.collect {
+        case jn: org.apache.spark.sql.catalyst.plans.logical.Join => jn
+      }
+      require(joins.isEmpty,
+        s"mv10: FK join elimination did not engage:\n${q.queryExecution.optimizedPlan}")
+      q.select(col("o_orderstatus"), col("n_orders"),
+        expr("CAST(__c AS DOUBLE) / 100.0").as("sum_price"))
+        .localCheckpoint()
+    } finally graft.plans.FkJoinElim.uninstall(s, rule)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mv9_join_rewrite" -> (mv9 _),
+    "mv10_fk_join_elim" -> (mv10 _),
     "mv8_chained_view" -> (mv8 _),
     "mv1_incremental_agg" -> (mv1 _),
     "mv2_incremental_delete" -> (mv2 _),
@@ -317,6 +361,14 @@ query AddExam(student: string, score: int)
          FROM orders o
          JOIN (SELECT c_custkey AS o_custkey, c_mktsegment
                FROM customer) c ON o.o_custkey = c.o_custkey""",
+    // the JOINED statement — the eliminated plan must still equal it
+    "mv10_fk_join_elim" ->
+      """SELECT o.o_orderstatus, count(*) AS n_orders,
+           CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS sum_price
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         WHERE o.o_orderkey % 3 IN (0, 1)
+         GROUP BY o.o_orderstatus""",
     "mv8_chained_view" ->
       """WITH c AS (SELECT c_custkey AS o_custkey, c_mktsegment
                     FROM customer WHERE c_custkey % 3 IN (0, 1)),

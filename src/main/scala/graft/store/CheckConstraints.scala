@@ -29,6 +29,39 @@ object CheckConstraints {
 
   private val RegistryT = "check.registry"
 
+  /** Validity-watermark memo table: one row per constraint,
+    * (constraint_name, manifest, ref_manifest) — the base table's (and
+    * for FKs the referenced table's) manifest names the constraint was
+    * last PROVEN against. The chain invariant mirrors [[MaterializedView]]
+    * freshness: a watermark advances ONLY from a state it already
+    * covers, through a validated write in the same commit — so
+    * `memo == current manifest` certifies that every commit since the
+    * last full validation went through admission control. A write that
+    * bypasses validation (raw txn insert, compaction is fine — no rows
+    * change — but migrate/update are not advanced here) breaks the
+    * chain: the constraint still *exists*, but consumers that need a
+    * PROOF (the FK join-elimination rule) stand down until
+    * [[revalidate]] re-checks the whole table. */
+  private val ValidT = "check.validity"
+
+  private def memos(tx: Txn): Map[String, (String, String)] =
+    if (!tx.exists(ValidT)) Map.empty
+    else tx.read(ValidT).collect().map(r =>
+      r.getAs[String]("constraint_name") ->
+        ((r.getAs[String]("manifest"), r.getAs[String]("ref_manifest")))).toMap
+
+  private def writeMemos(tx: Txn,
+      m: Map[String, (String, String)]): Unit = {
+    val spark = tx.read(RegistryT).sparkSession
+    import spark.implicits._
+    tx.create(ValidT, m.toSeq.map { case (n, (a, b)) => (n, a, b) }
+      .toDF("constraint_name", "manifest", "ref_manifest"))
+  }
+
+  private def stamp(tx: Txn, name: String, manifest: String,
+      refManifest: String): Unit =
+    writeMemos(tx, memos(tx) + (name -> ((manifest, refManifest))))
+
   private def registerRow(tx: Txn, table: String, name: String,
       kind: String, detail: String): Unit = {
     val spark = tx.read(table).sparkSession
@@ -47,6 +80,7 @@ object CheckConstraints {
     val bad = tx.read(table).filter(not(expr(predicateSql))).count()
     if (bad > 0) throw new CheckViolation(table, name, bad)
     registerRow(tx, table, name, "check", predicateSql)
+    stamp(tx, name, tx.manifestName(table).getOrElse(""), "")
   }
 
   /** Declare a UNIQUE key over `keyCols` (the reference's `Unique`
@@ -59,6 +93,7 @@ object CheckConstraints {
       .count().filter(col("count") > 1).count()
     if (dup > 0) throw new CheckViolation(table, name, dup)
     registerRow(tx, table, name, "unique", keyCols.mkString("\t"))
+    stamp(tx, name, tx.manifestName(table).getOrElse(""), "")
   }
 
   /** Declare a FOREIGN KEY: every `keyCols` tuple must exist as a
@@ -73,6 +108,8 @@ object CheckConstraints {
       if (orphans > 0) throw new CheckViolation(table, name, orphans)
       registerRow(tx, table, name, "fk",
         (keyCols :+ refTable) .mkString("\t") + "\u0000" + refCols.mkString("\t"))
+      stamp(tx, name, tx.manifestName(table).getOrElse(""),
+        tx.manifestName(refTable).getOrElse(""))
     }
 
   private def fkOrphans(rows: DataFrame, ref: DataFrame,
@@ -132,4 +169,129 @@ object CheckConstraints {
         case (name, kind, _) => throw new IllegalStateException(
           s"unknown constraint kind '$kind' for '$name'")
       }
+
+  private def parseFk(detail: String): (Seq[String], String, Seq[String]) = {
+    val Array(left, right) = detail.split('\u0000')
+    val lp = left.split('\t').toSeq
+    (lp.init, lp.last, right.split('\t').toSeq)
+  }
+
+  /** Every declared FK store-wide: (name, factTable, fkCols, refTable,
+    * refCols). Driver collect bounded by declared constraints. */
+  private def fkRows(tx: Txn): Seq[(String, String, Seq[String], String, Seq[String])] =
+    if (!tx.exists(RegistryT)) Seq.empty
+    else tx.read(RegistryT).filter(col("kind") === "fk").collect().map { r =>
+      val (keys, refTable, refCols) = parseFk(r.getAs[String]("detail"))
+      (r.getAs[String]("constraint_name"), r.getAs[String]("base_table"),
+        keys, refTable, refCols)
+    }.toSeq
+
+  /** Advance validity watermarks after a VALIDATED insert into `table`
+    * (called by [[WritePath.insert]] after the rows land, same commit).
+    * A memo only moves from a state it already covers:
+    *  - constraints ON `table` advance `pre → post` (for FKs, only if
+    *    the referenced table ALSO still matches — the batch was checked
+    *    against that exact ref state);
+    *  - FKs REFERENCING `table` advance their ref watermark — adding
+    *    rows to the referenced side can never orphan a fact row.
+    * Anything that doesn't match stays put: the chain is broken and
+    * only [[revalidate]]'s full re-check can mend it. */
+  def advanceAfterInsert(tx: Txn, table: String, pre: Option[String]): Unit = {
+    if (!tx.exists(RegistryT)) return
+    val post = tx.manifestName(table).getOrElse("")
+    val preM = pre.getOrElse("")
+    val mem = memos(tx)
+    var next = mem
+    declared(tx, table).foreach { case (name, kind, detail) =>
+      mem.get(name).foreach { case (m, rm) =>
+        kind match {
+          case "fk" =>
+            val (_, refTable, _) = parseFk(detail)
+            if (m == preM && rm == tx.manifestName(refTable).getOrElse(""))
+              next += name -> ((post, rm))
+          case _ =>
+            if (m == preM) next += name -> ((post, rm))
+        }
+      }
+    }
+    fkRows(tx).foreach { case (name, factTable, _, refTable, _) =>
+      if (refTable == table) mem.get(name).foreach { case (m, rm) =>
+        if (rm == preM && m == tx.manifestName(factTable).getOrElse(""))
+          next += name -> ((m, post))
+      }
+    }
+    if (next != mem) writeMemos(tx, next)
+  }
+
+  /** Full re-check of one declared constraint against the CURRENT
+    * table state, re-stamping its watermark — the recovery path after
+    * a write bypassed admission control (cost ∝ the table, the price
+    * of having gone around the front door). Throws [[CheckViolation]]
+    * if the constraint no longer holds. */
+  def revalidate(store: TableStore, name: String): Unit = store.transaction { tx =>
+    val row = tx.read(RegistryT).filter(col("constraint_name") === name)
+      .collect().headOption.getOrElse(
+        throw new IllegalArgumentException(s"no such constraint: $name"))
+    val (table, kind, detail) =
+      (row.getAs[String]("base_table"), row.getAs[String]("kind"),
+        row.getAs[String]("detail"))
+    kind match {
+      case "check" =>
+        val bad = tx.read(table).filter(not(expr(detail))).count()
+        if (bad > 0) throw new CheckViolation(table, name, bad)
+        stamp(tx, name, tx.manifestName(table).getOrElse(""), "")
+      case "unique" =>
+        val keys = detail.split('\t').toSeq
+        val dup = tx.read(table).groupBy(keys.map(col): _*)
+          .count().filter(col("count") > 1).count()
+        if (dup > 0) throw new CheckViolation(table, name, dup)
+        stamp(tx, name, tx.manifestName(table).getOrElse(""), "")
+      case "fk" =>
+        val (keys, refTable, refCols) = parseFk(detail)
+        val orphans = fkOrphans(tx.read(table), tx.read(refTable), keys, refCols)
+        if (orphans > 0) throw new CheckViolation(table, name, orphans)
+        stamp(tx, name, tx.manifestName(table).getOrElse(""),
+          tx.manifestName(refTable).getOrElse(""))
+      case other => throw new IllegalStateException(
+        s"unknown constraint kind '$other' for '$name'")
+    }
+  }
+
+  /** True iff eliminating `fact ⋈ dim ON pairs` is PROVEN sound right
+    * now: a declared FK covers exactly `pairs` (fact fk → dim pk), a
+    * declared UNIQUE on dim covers exactly the pk columns, and both
+    * watermark chains reach the tables' CURRENT manifests (every
+    * commit since the last full validation went through admission
+    * control). Consulted by [[graft.plans.FkJoinElim]] per candidate
+    * join; cost is two driver-side reads of constraint-sized tables. */
+  def fkEliminationReady(store: TableStore, fact: String, dim: String,
+      pairs: Seq[(String, String)]): Boolean = {
+    if (!store.exists(RegistryT) || !store.exists(ValidT)) false
+    else (store.currentManifestName(fact), store.currentManifestName(dim)) match {
+      case (Some(factM), Some(dimM)) =>
+        val mem = store.read(ValidT).collect().map(r =>
+          r.getAs[String]("constraint_name") ->
+            ((r.getAs[String]("manifest"), r.getAs[String]("ref_manifest"))))
+          .toMap
+        val reg = store.read(RegistryT).collect()
+        val fkOk = reg.exists { r =>
+          r.getAs[String]("kind") == "fk" && {
+            val (keys, rt, refCols) = parseFk(r.getAs[String]("detail"))
+            r.getAs[String]("base_table") == fact && rt == dim &&
+              keys.zip(refCols).toSet == pairs.toSet &&
+              mem.get(r.getAs[String]("constraint_name"))
+                .contains((factM, dimM))
+          }
+        }
+        val pkCols = pairs.map(_._2).toSet
+        val uqOk = reg.exists { r =>
+          r.getAs[String]("kind") == "unique" &&
+            r.getAs[String]("base_table") == dim &&
+            r.getAs[String]("detail").split('\t').toSet == pkCols &&
+            mem.get(r.getAs[String]("constraint_name")).exists(_._1 == dimM)
+        }
+        fkOk && uqOk
+      case _ => false
+    }
+  }
 }

@@ -35,6 +35,9 @@ object WritePath {
     val pinned = if (alreadyPinned) rows else rows.localCheckpoint()
     CheckConstraints.validate(tx, table, pinned)
     tx.insert(table, pinned)
+    // the batch passed admission against exactly (pre, current refs):
+    // advance the constraint validity chain in the same commit
+    CheckConstraints.advanceAfterInsert(tx, table, pre)
     MaterializedView.refreshRegistered(tx, table, pinned, pre)
     JoinViews.refreshRegistered(tx, table, pinned)
     pinned

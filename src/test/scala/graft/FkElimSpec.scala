@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+import org.apache.spark.sql.functions._
+import graft.plans.FkJoinElim
+import graft.store.{CheckConstraints, TableStore}
+
+/** FK join elimination ([[graft.plans.FkJoinElim]]): the constraint
+  * machinery proves `fact ⋈ dim ON fk = pk` is the identity on fact
+  * when the dim contributes only its key — these specs pin engagement,
+  * result parity with the rule off, every refusal branch, and the
+  * validity-watermark chain (a write that bypasses admission control
+  * must stand the rewrite down until revalidation). */
+class FkElimSpec extends SparkSpec {
+
+  private def scratch(): TableStore =
+    new TableStore(spark, Files.createTempDirectory("graft-fkelim-").toString)
+
+  private def cust: DataFrame =
+    spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey", "c_mktsegment")
+
+  private def ord: DataFrame =
+    spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+
+  private def seeded(): TableStore = {
+    val st = scratch()
+    st.create("dim", cust)
+    st.create("fact", ord.filter(col("o_orderkey") % 3 === 0))
+    CheckConstraints.declareUnique(st, "dim", "dim_pk", Seq("c_custkey"))
+    CheckConstraints.declareForeignKey(st, "fact", "fact_fk",
+      Seq("o_custkey"), "dim", Seq("c_custkey"))
+    st
+  }
+
+  private def keyOnlyJoin(st: TableStore): DataFrame =
+    st.read("fact").join(st.read("dim"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+
+  private def joinCount(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect { case j: LJoin => j }.size
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+
+  test("eliminates the join and matches the rule-off result") {
+    val st = seeded()
+    val expected = rows(keyOnlyJoin(st)) // rule not installed
+    val rule = FkJoinElim.install(spark, st)
+    try {
+      val q = keyOnlyJoin(st)
+      assert(joinCount(q) === 0, q.queryExecution.optimizedPlan.toString)
+      assert(rows(q) === expected)
+    } finally FkJoinElim.uninstall(spark, rule)
+  }
+
+  test("checked inserts keep the chain alive; raw inserts break it; revalidate mends it") {
+    val st = seeded()
+    val rule = FkJoinElim.install(spark, st)
+    try {
+      // through admission control: still eliminated
+      CheckConstraints.insert(st, "fact", ord.filter(col("o_orderkey") % 3 === 1))
+      assert(joinCount(keyOnlyJoin(st)) === 0)
+      // around it: the chain is broken — rewrite must stand down,
+      // result must still be correct (now via the real join)
+      st.insert("fact", ord.filter(col("o_orderkey") % 3 === 2))
+      val q = keyOnlyJoin(st)
+      assert(joinCount(q) === 1, "stale constraint proof must not eliminate")
+      assert(rows(q) === rows(
+        ord.groupBy("o_orderstatus").agg(count(lit(1)).as("n"))))
+      // full re-check restores the proof
+      CheckConstraints.revalidate(st, "fact_fk")
+      assert(joinCount(keyOnlyJoin(st)) === 0)
+    } finally FkJoinElim.uninstall(spark, rule)
+  }
+
+  test("dim-side checked insert advances the ref watermark") {
+    val st = scratch()
+    st.create("dim", cust.filter(col("c_custkey") % 2 === 0))
+    st.create("fact", ord.filter(col("o_custkey") % 2 === 0 &&
+      col("o_orderkey") % 3 === 0))
+    CheckConstraints.declareUnique(st, "dim", "dim_pk", Seq("c_custkey"))
+    CheckConstraints.declareForeignKey(st, "fact", "fact_fk",
+      Seq("o_custkey"), "dim", Seq("c_custkey"))
+    // growing the REFERENCED side through admission control can never
+    // orphan a fact row — the FK's ref watermark advances with it
+    CheckConstraints.insert(st, "dim", cust.filter(col("c_custkey") % 2 === 1))
+    val rule = FkJoinElim.install(spark, st)
+    try assert(joinCount(keyOnlyJoin(st)) === 0)
+    finally FkJoinElim.uninstall(spark, rule)
+  }
+
+  test("refuses when dim columns beyond the key are used") {
+    val st = seeded()
+    val rule = FkJoinElim.install(spark, st)
+    try {
+      val q = st.read("fact").join(st.read("dim"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      assert(joinCount(q) === 1)
+    } finally FkJoinElim.uninstall(spark, rule)
+  }
+
+  test("refuses without the UNIQUE key proof") {
+    val st = scratch()
+    st.create("dim", cust)
+    st.create("fact", ord.filter(col("o_orderkey") % 3 === 0))
+    // FK alone: a duplicate-pk dim would duplicate fact rows
+    CheckConstraints.declareForeignKey(st, "fact", "fact_fk",
+      Seq("o_custkey"), "dim", Seq("c_custkey"))
+    val rule = FkJoinElim.install(spark, st)
+    try assert(joinCount(keyOnlyJoin(st)) === 1)
+    finally FkJoinElim.uninstall(spark, rule)
+  }
+
+  test("kill switch stands the rule down") {
+    val st = seeded()
+    val rule = FkJoinElim.install(spark, st)
+    try {
+      spark.conf.set("spark.graft.fkelim.enabled", "false")
+      try assert(joinCount(keyOnlyJoin(st)) === 1)
+      finally spark.conf.unset("spark.graft.fkelim.enabled")
+      assert(joinCount(keyOnlyJoin(st)) === 0)
+    } finally FkJoinElim.uninstall(spark, rule)
+  }
+}
