@@ -230,6 +230,37 @@ object AdminQueries extends QueryPack {
       .unionByName(st.read("dev").withColumn("side", lit("clone")))
   }
 
+  /** adm15 — referential RESTRICT on the delete path
+    * ([[graft.store.CheckConstraints.restrictDelete]], the complement
+    * of adm9's insert-side orphan check — together a declared FK is
+    * unbreakable through the checked front doors): the fact references
+    * only EVEN custkeys, so deleting any even-key slice of the dim must
+    * be refused whole (nothing commits), an odd-key slice sails
+    * through, and a fact-side delete is always safe. The gate returns
+    * both tables tagged — a store that let the referenced rows go, or
+    * leaked a partial delete from the refused attempt, mismatches. */
+  private def adm15(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s)
+    st.create("dim15", t(s, d, "customer").select("c_custkey", "c_mktsegment"))
+    st.create("fact15", t(s, d, "orders")
+      .filter(col("o_custkey") % 2 === 0 && col("o_orderkey") % 3 === 0)
+      .select("o_orderkey", "o_custkey", "o_orderstatus"))
+    graft.store.CheckConstraints.declareUnique(st, "dim15",
+      "dim15_pk", Seq("c_custkey"))
+    graft.store.CheckConstraints.declareForeignKey(st, "fact15",
+      "fact15_fk", Seq("o_custkey"), "dim15", Seq("c_custkey"))
+    try {
+      st.delete("dim15", col("c_custkey") % 2 === 0)
+      throw new IllegalStateException("deleting referenced keys must be refused")
+    } catch { case _: graft.store.CheckConstraints.CheckViolation => () }
+    st.delete("dim15", col("c_custkey") % 2 === 1 && col("c_custkey") % 3 === 0)
+    st.delete("fact15", col("o_orderkey") % 9 === 0)
+    st.read("dim15").select(col("c_custkey").as("k"),
+        col("c_mktsegment").as("v"), lit("dim").as("side"))
+      .unionByName(st.read("fact15").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("v"), lit("fact").as("side")))
+  }
+
   /** adm9 — UNIQUE + FOREIGN-KEY constraints at the write path (the
     * reference's `Unique` index kind and enforced relationship
     * endpoints): orders keyed unique on o_orderkey with o_custkey
@@ -374,6 +405,7 @@ object AdminQueries extends QueryPack {
     "adm8_check_constraints" -> (adm8 _),
     "adm9_key_constraints" -> (adm9 _),
     "adm14_shallow_clone" -> (adm14 _),
+    "adm15_restrict_delete" -> (adm15 _),
   )
 
   private val evolvedSql =
@@ -450,6 +482,19 @@ object AdminQueries extends QueryPack {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                 o_orderpriority
          FROM orders WHERE o_orderkey % 10 IN (0, 1, 2, 3)""",
+    // dim keeps every even key (refused delete leaked nothing) and
+    // every odd key outside the %3 slice; fact loses only its own slice
+    "adm15_restrict_delete" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS k, c_mktsegment AS v,
+                'dim' AS side
+         FROM customer
+         WHERE NOT (c_custkey % 2 = 1 AND c_custkey % 3 = 0)
+         UNION ALL
+         SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderstatus AS v,
+                'fact' AS side
+         FROM orders
+         WHERE o_custkey % 2 = 0 AND o_orderkey % 3 = 0
+           AND o_orderkey % 9 <> 0""",
     // base = the two seed commits untouched; clone = the same rows
     // minus the COW delete, urgent prices doubled, plus the third batch
     "adm14_shallow_clone" ->

@@ -223,6 +223,37 @@ object CheckConstraints {
     if (next != mem) writeMemos(tx, next)
   }
 
+  /** Referential RESTRICT for the delete path: refuse to remove rows
+    * from a table that other tables' declared FKs still reference.
+    * For each FK whose referenced side is `table`, the keys about to
+    * disappear are semi-joined against the referencing table — any hit
+    * rejects the whole delete (cost: one keyed semi-join per
+    * referencing FK, probe side = the removed keys). The complement of
+    * [[validate]]'s orphan check on inserts: together they make a
+    * declared FK unbreakable through the checked front doors. */
+  def restrictDelete(tx: Txn, table: String,
+      cond: org.apache.spark.sql.Column): Unit =
+    fkRows(tx).foreach { case (name, factTable, keys, refTable, refCols) =>
+      if (refTable == table && tx.exists(factTable)) {
+        val removedKeys = tx.read(table).filter(cond)
+          .select(refCols.map(col): _*).distinct()
+        val fact = tx.read(factTable)
+        val on = keys.zip(refCols).map { case (k, r) =>
+          fact(k) === removedKeys(r) }.reduce(_ && _)
+        val referenced = fact.join(removedKeys, on, "left_semi").count()
+        if (referenced > 0)
+          throw new CheckViolation(table, name, referenced)
+      }
+    }
+
+  /** Advance watermarks after a facade delete from `table` committed
+    * in the same txn: removing rows can never break a CHECK, UNIQUE,
+    * or the table's own outgoing FKs, and [[restrictDelete]] has
+    * already proven no incoming FK lost a referenced key — so every
+    * intact chain moves forward. */
+  def advanceAfterDelete(tx: Txn, table: String, pre: Option[String]): Unit =
+    advanceAfterInsert(tx, table, pre) // identical chain algebra (doc above)
+
   /** Full re-check of one declared constraint against the CURRENT
     * table state, re-stamping its watermark — the recovery path after
     * a write bypassed admission control (cost ∝ the table, the price

@@ -467,6 +467,11 @@ final class TableStore(val spark: SparkSession, val root: String) {
     }
 
   def delete(name: String, cond: Column): Unit = transaction { tx =>
+    // referential RESTRICT: refuse while incoming FKs still reference
+    // any removed key, then advance the constraint validity chain (a
+    // delete can't break CHECK/UNIQUE/outgoing-FK validity)
+    CheckConstraints.restrictDelete(tx, name, coalesce(cond, lit(false)))
+    val preCk = tx.manifestName(name)
     if (MaterializedView.hasRegistered(tx, name)) {
       val pre = tx.manifestName(name)
       val removed = tx.read(name).filter(coalesce(cond, lit(false))).localCheckpoint()
@@ -475,10 +480,13 @@ final class TableStore(val spark: SparkSession, val root: String) {
         MaterializedView.refreshRegisteredDelete(tx, name, removed, pre)
       } finally removed.unpersist()
     } else tx.delete(name, cond)
+    CheckConstraints.advanceAfterDelete(tx, name, preCk)
     JoinViews.rebuildRegistered(tx, name)
   }
 
   def truncate(name: String): Unit = transaction { tx =>
+    CheckConstraints.restrictDelete(tx, name, lit(true))
+    val preCk = tx.manifestName(name)
     if (MaterializedView.hasRegistered(tx, name)) {
       val pre = tx.manifestName(name)
       val removed = tx.read(name).localCheckpoint()
@@ -487,6 +495,7 @@ final class TableStore(val spark: SparkSession, val root: String) {
         MaterializedView.refreshRegisteredDelete(tx, name, removed, pre)
       } finally removed.unpersist()
     } else tx.truncate(name)
+    CheckConstraints.advanceAfterDelete(tx, name, preCk)
     JoinViews.rebuildRegistered(tx, name)
   }
 

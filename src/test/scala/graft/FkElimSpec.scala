@@ -95,6 +95,30 @@ class FkElimSpec extends SparkSpec {
     finally FkJoinElim.uninstall(spark, rule)
   }
 
+  test("RESTRICT-checked deletes advance the chain; referenced-key deletes refuse") {
+    val st = seeded()
+    val rule = FkJoinElim.install(spark, st)
+    try {
+      // fact-side delete can't break the FK: still eliminated
+      st.delete("fact", col("o_orderkey") % 9 === 0)
+      assert(joinCount(keyOnlyJoin(st)) === 0)
+      // dim-side delete of UNREFERENCED keys: restrictDelete proves it
+      // safe, the ref watermark advances, still eliminated
+      val referenced = st.read("fact").select(col("o_custkey").as("c_custkey"))
+      val unref = st.read("dim").join(referenced.distinct(), Seq("c_custkey"), "left_anti")
+        .select("c_custkey").collect().map(_.getLong(0)).take(5)
+      assume(unref.nonEmpty)
+      st.delete("dim", col("c_custkey").isin(unref.toIndexedSeq: _*))
+      assert(joinCount(keyOnlyJoin(st)) === 0)
+      // deleting a REFERENCED key refuses whole and changes nothing
+      val refd = st.read("fact").select("o_custkey").head.getLong(0)
+      intercept[CheckConstraints.CheckViolation] {
+        st.delete("dim", col("c_custkey") === refd)
+      }
+      assert(joinCount(keyOnlyJoin(st)) === 0)
+    } finally FkJoinElim.uninstall(spark, rule)
+  }
+
   test("refuses when dim columns beyond the key are used") {
     val st = seeded()
     val rule = FkJoinElim.install(spark, st)
