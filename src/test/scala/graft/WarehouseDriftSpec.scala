@@ -89,7 +89,19 @@ class WarehouseDriftSpec extends SparkSpec {
     // tokenizer-induction family: dictionary pair counts over int32
     // ids, bigram LM joins, per-dim moments over double-drifted vectors
     "bpe1_pair_counts", "bpe2_second_merge", "tx14_bigram_logprob",
-    "emb2_dimension_stats", "cms1_heavy_hitters")
+    "emb2_dimension_stats", "cms1_heavy_hitters",
+    // round-13 families: corpus line dedup (int32 doc ids through the
+    // fp join + reassembly), md5-ranked source quotas, k-core peeling
+    // over int32 part/nation keys, k-means over double-drifted
+    // embeddings, correlated scalar + null-aware NOT IN through
+    // Catalyst's subquery rewrites on int32 keys, event funnels /
+    // retention / EWMA / transitions on drifted ts and ids, TF-IDF
+    "dd11_line_dedup", "samp6_source_quota", "g9_kcore_peeling",
+    "km1_kmeans_assign", "j16_correlated_scalar", "j17_null_aware_anti",
+    "ev5_funnel", "ev6_retention", "ev7_ewma_decay",
+    "ev8_transition_matrix", "tx15_tfidf_keywords",
+    "w9_distribution_windows", "a15_unpivot", "f14_lateral_explode",
+    "f13_array_setops", "tx13_edit_distance", "tx12_unicode_normalize")
 
   test("representative queries plan and execute against an int32/double-drifted warehouse") {
     val failures = slice.flatMap { name =>
