@@ -34,7 +34,13 @@ object PlanDump {
     // meaningful to dump here)
     val extras = Seq("a10_grouping_sets", "a14_pivot", "f11_array_lambdas",
       "samp5_hash_split", "tx11_vocab_topk", "tx12_unicode_normalize",
-      "tx13_edit_distance", "f13_array_setops")
+      "tx13_edit_distance", "f13_array_setops",
+      // round-13: line dedup (fp-keyed boilerplate join), md5-ranked
+      // quotas (WindowGroupLimit), k-means (K-row broadcast assign),
+      // decorrelated scalar subquery, null-aware anti join, TF-IDF
+      "dd11_line_dedup", "samp6_source_quota", "km1_kmeans_assign",
+      "j16_correlated_scalar", "j17_null_aware_anti",
+      "tx15_tfidf_keywords", "w9_distribution_windows")
     (Bench.headline ++ extras).foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
