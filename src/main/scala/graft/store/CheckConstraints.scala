@@ -246,6 +246,78 @@ object CheckConstraints {
       }
     }
 
+  /** Admission control for the UPDATE path: validate the POST-image of
+    * the matched rows against every declared constraint BEFORE the COW
+    * rewrite commits, plus set-level referential RESTRICT when an
+    * update rewrites a referenced key column. Checks scale with the
+    * matched slice (check/fk) or a keyed join against the rest of the
+    * table (unique) — and skip entirely for constraints whose columns
+    * the assignment doesn't touch. Together with [[validate]] (insert)
+    * and [[restrictDelete]] (delete/truncate), every facade mutation
+    * route is now admission-controlled; `upsert`/`merge` remain
+    * chain-breaking (their delete+insert composition has no single
+    * post-image to validate incrementally — route critical tables'
+    * writes through insert/update/delete or revalidate after). */
+  def validateUpdate(tx: Txn, table: String,
+      assignments: Map[String, org.apache.spark.sql.Column],
+      cond: org.apache.spark.sql.Column): Unit = {
+    if (!tx.exists(RegistryT)) return
+    val cs = declared(tx, table)
+    val incoming = fkRows(tx).filter(_._4 == table)
+    if (cs.isEmpty && incoming.isEmpty) return
+    val assigned = assignments.keySet
+    val matched = tx.read(table).filter(coalesce(cond, lit(false)))
+    val others = tx.read(table).filter(not(coalesce(cond, lit(false))))
+    val applied = matched.select(matched.columns.map(c =>
+      assignments.get(c).map(_.as(c)).getOrElse(col(c))).toIndexedSeq: _*)
+    cs.foreach {
+      case (name, "check", pred) =>
+        val bad = applied.filter(not(expr(pred))).count()
+        if (bad > 0) throw new CheckViolation(table, name, bad)
+      case (name, "unique", detail) =>
+        val keys = detail.split('\t').toSeq
+        if (keys.exists(assigned)) {
+          val dupIn = applied.groupBy(keys.map(col): _*)
+            .count().filter(col("count") > 1).count()
+          if (dupIn > 0) throw new CheckViolation(table, name, dupIn)
+          val clash = applied.join(others.select(keys.map(col): _*),
+            keys, "left_semi").count()
+          if (clash > 0) throw new CheckViolation(table, name, clash)
+        }
+      case (name, "fk", detail) =>
+        val (keys, refTable, refCols) = parseFk(detail)
+        if (keys.exists(assigned)) {
+          val orphans = fkOrphans(applied, tx.read(refTable), keys, refCols)
+          if (orphans > 0) throw new CheckViolation(table, name, orphans)
+        }
+      case _ => ()
+    }
+    incoming.foreach { case (name, factTable, keys, _, refCols) =>
+      if (refCols.exists(assigned) && tx.exists(factTable)) {
+        // a referenced key is REMOVED iff it was present among the
+        // matched rows' old values and survives in neither the
+        // post-image nor the untouched rows — set-level semantics
+        val stillThere = applied.select(refCols.map(col): _*)
+          .unionByName(others.select(refCols.map(col): _*)).distinct()
+        val removed = matched.select(refCols.map(col): _*).distinct()
+          .join(stillThere, refCols, "left_anti")
+        val fact = tx.read(factTable)
+        val on = keys.zip(refCols).map { case (k, r) =>
+          fact(k) === removed(r) }.reduce(_ && _)
+        val referenced = fact.join(removed, on, "left_semi").count()
+        if (referenced > 0)
+          throw new CheckViolation(table, name, referenced)
+      }
+    }
+  }
+
+  /** Advance watermarks after a VALIDATED facade update committed in
+    * the same txn — [[validateUpdate]] proved the post-image satisfies
+    * every declared constraint and removed no referenced key, so the
+    * chain algebra is insert's. */
+  def advanceAfterUpdate(tx: Txn, table: String, pre: Option[String]): Unit =
+    advanceAfterInsert(tx, table, pre)
+
   /** Advance watermarks after a facade delete from `table` committed
     * in the same txn: removing rows can never break a CHECK, UNIQUE,
     * or the table's own outgoing FKs, and [[restrictDelete]] has

@@ -450,6 +450,11 @@ final class TableStore(val spark: SparkSession, val root: String) {
 
   def update(name: String, assignments: Map[String, Column], cond: Column): Unit =
     transaction { tx =>
+      // admission control on the post-image + set-level RESTRICT when
+      // a referenced key column is rewritten; then advance the
+      // constraint validity chain (the post-image is proven)
+      CheckConstraints.validateUpdate(tx, name, assignments, cond)
+      val preCk = tx.manifestName(name)
       if (MaterializedView.hasRegistered(tx, name)) {
         // capture the matched PRE-state (old files persist until
         // vacuum, the checkpoint pins the rows); the applied form is
@@ -463,6 +468,7 @@ final class TableStore(val spark: SparkSession, val root: String) {
           MaterializedView.refreshRegisteredUpdate(tx, name, old, applied, pre)
         } finally old.unpersist()
       } else tx.update(name, assignments, cond)
+      CheckConstraints.advanceAfterUpdate(tx, name, preCk)
       JoinViews.rebuildRegistered(tx, name)
     }
 

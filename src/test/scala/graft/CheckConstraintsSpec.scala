@@ -127,4 +127,60 @@ class CheckConstraintsSpec extends SparkSpec {
     }
     assert(e.constraint === "status_enum")
   }
+
+  test("update admission: post-image CHECK violations reject whole") {
+    val st = seeded()
+    CheckConstraints.declare(st, "orders", "price_nonneg", "o_totalprice >= 0.0")
+    val before = st.read("orders").collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    val e = intercept[CheckConstraints.CheckViolation] {
+      st.update("orders", Map("o_totalprice" -> (col("o_totalprice") - 1e9)),
+        col("o_orderkey") % 3 === 0)
+    }
+    assert(e.constraint === "price_nonneg" && e.violations > 0)
+    assert(st.read("orders").collect().map(_.toSeq.mkString("|")).sorted.toSeq
+      === before, "a rejected update must leave the table untouched")
+    // a conforming update sails through
+    st.update("orders", Map("o_totalprice" -> (col("o_totalprice") + 1.0)),
+      col("o_orderkey") % 3 === 0)
+  }
+
+  test("update admission: retargeting an FK to an orphan value rejects") {
+    val st = new TableStore(spark,
+      Files.createTempDirectory("graft-check-upd-").toString)
+    st.create("dim", spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey", "c_mktsegment"))
+    st.create("fact", spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderkey") % 5 === 0)
+      .select("o_orderkey", "o_custkey"))
+    CheckConstraints.declareForeignKey(st, "fact", "fk",
+      Seq("o_custkey"), "dim", Seq("c_custkey"))
+    intercept[CheckConstraints.CheckViolation] {
+      st.update("fact", Map("o_custkey" -> -col("o_custkey")),
+        col("o_orderkey") % 10 === 0)
+    }
+    // an update that keeps fk values inside the dim is admitted
+    // (nonzero: the RESTRICT probe below negates it, and -0 == 0)
+    val anyKey = st.read("dim").select("c_custkey")
+      .filter(col("c_custkey") > 0).head.getLong(0)
+    st.update("fact", Map("o_custkey" -> lit(anyKey)),
+      col("o_orderkey") % 10 === 0)
+    // rewriting a REFERENCED dim key refuses (set-level RESTRICT)
+    intercept[CheckConstraints.CheckViolation] {
+      st.update("dim", Map("c_custkey" -> -col("c_custkey")),
+        col("c_custkey") === anyKey)
+    }
+  }
+
+  test("update admission: unique-key collisions reject") {
+    val st = seeded()
+    CheckConstraints.declareUnique(st, "orders", "pk", Seq("o_orderkey"))
+    // mapping a slice onto keys the untouched rows still hold clashes
+    intercept[CheckConstraints.CheckViolation] {
+      st.update("orders", Map("o_orderkey" -> (col("o_orderkey") + 10L)),
+        col("o_orderkey") % 20 === 0)
+    }
+    // a collision-free rekey (disjoint target space) is admitted
+    st.update("orders", Map("o_orderkey" -> (col("o_orderkey") + 1L)),
+      col("o_orderkey") % 20 === 0)
+  }
 }

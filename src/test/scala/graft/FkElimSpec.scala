@@ -119,6 +119,22 @@ class FkElimSpec extends SparkSpec {
     } finally FkJoinElim.uninstall(spark, rule)
   }
 
+  test("validated updates advance the chain") {
+    val st = seeded()
+    val rule = FkJoinElim.install(spark, st)
+    try {
+      // a non-key update passes admission and keeps the proof alive
+      st.update("fact", Map("o_orderstatus" -> lit("X")),
+        col("o_orderkey") % 7 === 0)
+      assert(joinCount(keyOnlyJoin(st)) === 0)
+      // an fk retarget WITHIN the dim also stays proven
+      val anyKey = st.read("dim").select("c_custkey").head.getLong(0)
+      st.update("fact", Map("o_custkey" -> lit(anyKey)),
+        col("o_orderkey") % 11 === 0)
+      assert(joinCount(keyOnlyJoin(st)) === 0)
+    } finally FkJoinElim.uninstall(spark, rule)
+  }
+
   test("refuses when dim columns beyond the key are used") {
     val st = seeded()
     val rule = FkJoinElim.install(spark, st)
