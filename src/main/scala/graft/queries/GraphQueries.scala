@@ -229,6 +229,47 @@ object GraphQueries extends QueryPack {
     }
   }
 
+  /** g10 — WEIGHTED single-source shortest paths (distributed
+    * Bellman-Ford; g6's BFS treats every hop as 1 — here a direct
+    * skip-link (cost 5) competes with two tree hops (cost 6), so the
+    * optimum genuinely differs from hop count and min-cost relaxation
+    * is exercised, not just reachability). Each round relaxes every
+    * edge against the current distance frame: one keyed join + one
+    * min-aggregate exchange over INTEGER costs (exact, order-free),
+    * localCheckpoint per round, terminating when no distance improves
+    * — rounds = longest optimal path, never |V|. The oracle
+    * enumerates all root-to-node walks with a recursive CTE (the
+    * graph is a DAG away from the root, so the walk terminates) and
+    * takes the min — path-algebra ground truth vs the relaxation. */
+  private def g10(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Fixpoint
+    val p = t(s, d, "part")
+    val tree = p.select(col("p_partkey").as("child"),
+        expr("p_partkey div 2").as("parent"), lit(3L).as("w"))
+      .filter(col("parent") >= 1)
+    val skip = p.select(col("p_partkey").as("child"),
+        expr("p_partkey div 4").as("parent"), lit(5L).as("w"))
+      .filter(col("p_partkey") >= 4 && col("parent") >= 1)
+    Fixpoint.withIterativeConf(s) {
+      val e = tree.unionByName(skip).localCheckpoint()
+      var dist = s.range(1, 2)
+        .select(col("id").as("node"), lit(0L).as("cost")).localCheckpoint()
+      var changed = true
+      while (changed) {
+        val cand = e.join(dist.withColumnRenamed("node", "parent"), "parent")
+          .select(col("child").as("node"), (col("cost") + col("w")).as("cost"))
+        val next = dist.unionByName(cand)
+          .groupBy("node").agg(min(col("cost")).as("cost")).localCheckpoint()
+        val improved = next
+          .join(dist.withColumnRenamed("cost", "old"), Seq("node"), "left")
+          .filter(col("old").isNull || col("cost") < col("old")).count()
+        changed = improved > 0
+        dist = next
+      }
+      dist
+    }
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_transitive_closure" -> (g1 _),
     "rel1_bidirectional" -> (rel1 _),
@@ -240,12 +281,32 @@ object GraphQueries extends QueryPack {
     "g7_triangle_count" -> (g7 _),
     "g8_label_propagation" -> (g8 _),
     "g9_kcore_peeling" -> (g9 _),
+    "g10_weighted_paths" -> (g10 _),
   )
 
   private val edgesSql =
     "SELECT p_partkey AS child, p_partkey // 2 AS parent FROM part WHERE p_partkey // 2 >= 1"
 
   override val oracles: Map[String, String] = Map(
+    // all root-to-node walks (DAG away from the root => terminates),
+    // then min — path-algebra ground truth for the relaxation
+    "g10_weighted_paths" ->
+      """WITH RECURSIVE
+         e AS (
+           SELECT CAST(p_partkey AS BIGINT) AS child,
+                  CAST(p_partkey // 2 AS BIGINT) AS parent,
+                  CAST(3 AS BIGINT) AS w
+           FROM part WHERE p_partkey // 2 >= 1
+           UNION ALL
+           SELECT CAST(p_partkey AS BIGINT),
+                  CAST(p_partkey // 4 AS BIGINT), CAST(5 AS BIGINT)
+           FROM part WHERE p_partkey >= 4 AND p_partkey // 4 >= 1),
+         walk(node, cost) AS (
+           SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+           UNION ALL
+           SELECT e.child, w.cost + e.w
+           FROM walk w JOIN e ON e.parent = w.node)
+         SELECT node, min(cost) AS cost FROM walk GROUP BY node""",
     // snapshot-round recursion: working table = last round's surviving
     // edges; a round emits survivors only if something was peeled, so
     // the recursion terminates at the 2-core; a vertex's peel round is

@@ -517,6 +517,47 @@ object Relational extends QueryPack {
     c.intersect(sup)
   }
 
+  /** U4/U5 — MULTISET set algebra (`exceptAll`/`intersectAll`, SQL's
+    * EXCEPT ALL / INTERSECT ALL): u2/u3's distinct forms lose
+    * multiplicities; the bag forms preserve them (a row appearing 3×
+    * left and 1× right survives EXCEPT ALL twice). Both compile to one
+    * count-per-row aggregate + generate — a single keyed exchange, no
+    * join explosion. */
+  private def u4(s: SparkSession, d: String): DataFrame = {
+    val a = t(s, d, "orders").filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderpriority").as("pri"), col("o_orderstatus").as("st"))
+    val b = t(s, d, "orders").filter(col("o_orderkey") % 4 === 0)
+      .select(col("o_orderpriority").as("pri"), col("o_orderstatus").as("st"))
+    a.exceptAll(b)
+  }
+
+  private def u5(s: SparkSession, d: String): DataFrame = {
+    val a = t(s, d, "orders").filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderpriority").as("pri"), col("o_orderstatus").as("st"))
+    val b = t(s, d, "orders").filter(col("o_orderkey") % 4 === 0)
+      .select(col("o_orderpriority").as("pri"), col("o_orderstatus").as("st"))
+    a.intersectAll(b)
+  }
+
+  /** J18 — FULL OUTER join (the last join shape next to inner/semi/
+    * anti/theta/asof/interval: both unmatched sides survive null-
+    * padded). Customers restricted to half the key space against
+    * per-customer order aggregates — each side has rows the other
+    * lacks, so both null-padding paths are exercised; presence flags
+    * + coalesced key pin exactly which side produced each row. */
+  private def j18(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer").filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val o = t(s, d, "orders").groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_custkey").isNotNull.as("has_cust"),
+        col("o_custkey").isNotNull.as("has_orders"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+  }
+
   // ------------------------------------------------------- scalar functions
 
   /** F1/F2 — arithmetic + comparisons (`Kernel/README.md:236-238`,
@@ -856,6 +897,9 @@ object Relational extends QueryPack {
     "u1_union_distinct" -> (u1 _),
     "u2_except" -> (u2 _),
     "u3_intersect" -> (u3 _),
+    "u4_except_all" -> (u4 _),
+    "u5_intersect_all" -> (u5 _),
+    "j18_full_outer" -> (j18 _),
     "f1_arithmetic" -> (f1 _),
     "f3_string_functions" -> (f3 _),
     "f4_enum_case" -> (f4 _),
@@ -1193,6 +1237,28 @@ object Relational extends QueryPack {
       """SELECT c_nationkey AS nationkey FROM customer
          EXCEPT SELECT s_nationkey AS nationkey FROM supplier
                 WHERE s_nationkey < 13""",
+    "u4_except_all" ->
+      """SELECT o_orderpriority AS pri, o_orderstatus AS st
+         FROM orders WHERE o_orderkey % 3 = 0
+         EXCEPT ALL
+         SELECT o_orderpriority AS pri, o_orderstatus AS st
+         FROM orders WHERE o_orderkey % 4 = 0""",
+    "u5_intersect_all" ->
+      """SELECT o_orderpriority AS pri, o_orderstatus AS st
+         FROM orders WHERE o_orderkey % 3 = 0
+         INTERSECT ALL
+         SELECT o_orderpriority AS pri, o_orderstatus AS st
+         FROM orders WHERE o_orderkey % 4 = 0""",
+    "j18_full_outer" ->
+      """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+           c.c_custkey IS NOT NULL AS has_cust,
+           o.o_custkey IS NOT NULL AS has_orders,
+           coalesce(o.n_orders, 0) AS n_orders
+         FROM (SELECT c_custkey, c_mktsegment FROM customer
+               WHERE c_custkey % 2 = 0) c
+         FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders
+                          FROM orders GROUP BY o_custkey) o
+           ON c.c_custkey = o.o_custkey""",
     "u3_intersect" ->
       """SELECT c_nationkey AS nationkey FROM customer
          INTERSECT SELECT s_nationkey AS nationkey FROM supplier""",
