@@ -411,7 +411,52 @@ object Streaming extends QueryPack {
           .as("sum_vmicro"))
   }
 
+  /** st16 — streaming ingest through ADMISSION CONTROL
+    * ([[EventStreams.checkedSinkToStore]]): four real micro-batches of
+    * events land in a store table whose event_type carries a declared
+    * FK to a UNIQUE-keyed dimension — every batch is constraint-gated
+    * and advances the validity-watermark chain in its own commit. The
+    * gate then proves the chain survived streaming: with
+    * [[graft.plans.FkJoinElim]] installed, the key-only fact ⋈ dim
+    * aggregate must optimize to a JOIN-FREE plan (refused otherwise),
+    * and the oracle states the joined query — constraints enforced on
+    * a stream, and still strong enough to power the rewrite. */
+  private def st16(s: SparkSession, d: String): DataFrame = {
+    val store = new graft.store.TableStore(s,
+      java.nio.file.Files.createTempDirectory("graft-checked-sink-").toString)
+    val types = graft.Tables.t(s, d, "events")
+      .select(col("event_type")).distinct()
+      .withColumn("et_group", expr("substring(event_type, 1, 1)"))
+    store.create("et_dim", types)
+    val factSchema = graft.Tables.t(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("CAST(floor(value * 1000000) AS BIGINT)").as("vmicro"))
+      .limit(0)
+    store.create("ev_fact", factSchema)
+    graft.store.CheckConstraints.declareUnique(store, "et_dim",
+      "et_pk", Seq("event_type"))
+    graft.store.CheckConstraints.declareForeignKey(store, "ev_fact",
+      "ev_et_fk", Seq("event_type"), "et_dim", Seq("event_type"))
+    EventStreams.checkedSinkToStore(s, d, store, "ev_fact")
+    val rule = graft.plans.FkJoinElim.install(s, store)
+    try {
+      val q = store.read("ev_fact")
+        .join(store.read("et_dim").select("event_type"),
+          Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("vmicro")).as("sum_vmicro"))
+      val joins = q.queryExecution.optimizedPlan.collect {
+        case jn: org.apache.spark.sql.catalyst.plans.logical.Join => jn
+      }
+      require(joins.isEmpty,
+        s"st16: the constraint chain must survive streaming ingest:\n${
+          q.queryExecution.optimizedPlan}")
+      q.localCheckpoint()
+    } finally graft.plans.FkJoinElim.uninstall(s, rule)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st16_checked_stream_sink" -> (st16 _),
     "st1_tumbling_window" -> (st1 _),
     "st2_sliding_window" -> (st2 _),
     "st3_session_window" -> (st3 _),
@@ -548,6 +593,15 @@ object Streaming extends QueryPack {
     // st15: the drained outer join equals the batch LEFT join over the
     // closable-window signups (unmatched rows exist only because the
     // watermark flushed them — see the gate doc)
+    // the JOINED statement — the eliminated, stream-ingested plan must
+    // still equal it
+    "st16_checked_stream_sink" ->
+      """SELECT e.event_type, count(*) AS n,
+           sum(CAST(floor(e.value * 1000000) AS BIGINT)) AS sum_vmicro
+         FROM events e
+         JOIN (SELECT DISTINCT event_type FROM events) d
+           ON e.event_type = d.event_type
+         GROUP BY e.event_type""",
     "st15_stream_stream_left_join" ->
       """WITH s AS (SELECT event_id AS signup_id, user_id,
                     CAST(ts AS TIMESTAMP) AS ts0

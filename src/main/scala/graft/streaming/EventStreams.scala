@@ -616,6 +616,36 @@ object EventStreams {
     store.read(table)
   }
 
+  /** [[sinkToStore]] through ADMISSION CONTROL: every micro-batch
+    * lands via [[graft.store.CheckConstraints.insert]], so declared
+    * CHECK/UNIQUE/FK constraints gate the STREAM exactly as they gate
+    * batch writes — and each admitted batch advances the constraint
+    * validity-watermark chain in its own commit, keeping proof-carrying
+    * consumers ([[graft.plans.FkJoinElim]]) live across streaming
+    * ingest. The caller creates the table and declares constraints
+    * before streaming; a violating batch fails the query (exactly the
+    * poison-batch semantics a constrained sink should have — nothing
+    * from the bad batch commits). */
+  def checkedSinkToStore(spark: SparkSession, dir: String,
+      store: graft.store.TableStore, table: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageEventChunks(spark, dir, nFiles = 4, "event_id", "events"))
+    val q = src.select(col("event_id"), col("user_id"), col("event_type"),
+        expr("CAST(floor(value * 1000000) AS BIGINT)").as("vmicro"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.store.CheckConstraints.insert(store, table, batch)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-cksink-ckpt-").toString)
+      .start()
+    q.awaitTermination()
+    store.read(table)
+  }
+
   /** Streaming variant of a transform: reads the same parquet through
     * readStream with a watermark, for the spec harness. Watermarks
     * require TIMESTAMP (not NTZ), so the streaming path keeps ts as an
