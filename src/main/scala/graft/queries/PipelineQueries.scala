@@ -156,7 +156,52 @@ object PipelineQueries extends QueryPack {
     labeled.join(sizes, "keeper_id").select("doc_id", "keeper_id", "cluster_size")
   }
 
+  /** pipe5 — the RefinedWeb-shaped curation chain composed from this
+    * round's operators, each also verified standalone: corpus-level
+    * LINE dedup (dd11's boilerplate strike-out) → minimum-length
+    * quality bar on the CLEANED text → per-source quota (samp6's
+    * md5-rank cap, ranked on the cleaned text so boilerplate can't
+    * influence selection) → deterministic train/val split (samp5's
+    * rule, again on cleaned text so exact duplicates land in one
+    * split). Exchange budget: dd11's two (fp count + doc reassembly)
+    * + the quota's one WindowGroupLimit'd exchange — the length filter
+    * and split are free. The oracle restates the whole chain as
+    * nested CTEs. */
+  private def pipe5(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = t(s, d, "documents")
+      .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
+      .select(col("doc_id"), col("source"), posexplode(expr(
+        """transform(sequence(1, CAST((size(toks) + 9) div 10 AS INT)),
+             i -> array_join(slice(toks, (i - 1) * 10 + 1, 10), ' '))""")))
+      .select(col("doc_id"), col("source"), (col("pos") + 1).as("pos"),
+        col("col").as("line"))
+      .withColumn("fp", xxhash64(col("line")))
+    val boiler = lines.select("fp", "doc_id").distinct()
+      .groupBy("fp").agg(count(lit(1)).as("nd")).filter(col("nd") >= 2)
+      .select(col("fp"), lit(1).as("is_dup"))
+    val cleaned = lines.join(boiler, Seq("fp"), "left")
+      .groupBy("doc_id", "source")
+      .agg(concat_ws(" ", expr(
+        """transform(
+             array_sort(collect_list(CASE WHEN is_dup IS NULL
+               THEN struct(pos, line) END)),
+             x -> x.line)""")).as("clean_text"))
+      .withColumn("n_tok", when(col("clean_text") === "", 0L)
+        .otherwise(size(split(col("clean_text"), " ")).cast("long")))
+      .filter(col("n_tok") >= 20L)
+    cleaned
+      .withColumn("h", md5(col("clean_text")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy("h", "doc_id")))
+      .filter(col("rk") <= 10)
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        when(substring(col("h"), 1, 2) >= "e6", "val")
+          .otherwise("train").as("split"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe5_curation_chain" -> (pipe5 _),
     "pipe1_training_pipeline" -> (pipe1 _),
     "pipe2_fingerprint_pipeline" -> (pipe2 _),
     "pipe3_redacted_dedup" -> (pipe3 _),
@@ -164,6 +209,42 @@ object PipelineQueries extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // the chain restated: line dedup -> length bar -> md5 quota -> split
+    "pipe5_curation_chain" ->
+      """WITH tk AS (
+           SELECT doc_id, source,
+             regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents),
+         ls AS (
+           SELECT doc_id, source,
+             [{'pos': CAST(i AS BIGINT),
+               'line': array_to_string(list_slice(toks, (i-1)*10 + 1, i*10), ' ')}
+              for i in range(1, CAST((len(toks) + 9) // 10 AS BIGINT) + 1)] AS l
+           FROM tk),
+         ln AS (SELECT doc_id, source, unnest(l, recursive := true) FROM ls),
+         c AS (SELECT line, count(DISTINCT doc_id) AS nd FROM ln GROUP BY 1),
+         cl AS (
+           SELECT ln.doc_id, ln.source,
+             coalesce(string_agg(ln.line, ' ' ORDER BY ln.pos)
+               FILTER (c.nd = 1), '') AS clean_text
+           FROM ln JOIN c USING (line)
+           GROUP BY ln.doc_id, ln.source),
+         qual AS (
+           SELECT doc_id, source, clean_text,
+             CASE WHEN clean_text = '' THEN 0
+                  ELSE len(string_split(clean_text, ' ')) END AS n_tok
+           FROM cl
+           WHERE (CASE WHEN clean_text = '' THEN 0
+                       ELSE len(string_split(clean_text, ' ')) END) >= 20),
+         ranked AS (
+           SELECT doc_id, source, n_tok, md5(clean_text) AS h,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(clean_text), doc_id) AS rk
+           FROM qual)
+         SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+           CASE WHEN substring(h, 1, 2) >= 'e6' THEN 'val'
+                ELSE 'train' END AS split
+         FROM ranked WHERE rk <= 10""",
     // stage-for-stage mirror: exact reps, Jaccard pairs among reps,
     // recursive-CTE connected components, doc → rep → keeper
     "pipe4_layered_dedup" ->

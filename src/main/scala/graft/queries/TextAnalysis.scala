@@ -514,7 +514,33 @@ object TextAnalysis extends QueryPack {
         col("rk").cast("long").as("rk"))
   }
 
+  /** tx16 blocklist — deterministic stand-in for C4's badwords list
+    * (Raffel et al. 2020 filter out documents containing any
+    * blocklisted token); the list is a broadcast literal, the scan is
+    * map-only. */
+  private val Blocklist = Seq("dup", "retry", "spill")
+
+  /** tx16 — token-blocklist filtering (C4 §2.2's badword removal, the
+    * one text-quality axis tx2/tx9 don't cover: membership against a
+    * curated list rather than a computed statistic): exact-token hits
+    * counted per document, micro-fixed hit fraction, keep = zero hits.
+    * Map-only over the corpus — the blocklist is a literal in the
+    * expression (at scale: a broadcast set), so no exchange at all. */
+  private def tx16(s: SparkSession, d: String): DataFrame = {
+    val listSql = Blocklist.map(w => s"'$w'").mkString(", ")
+    t(s, d, "documents")
+      .withColumn("toks", expr("split(trim(lower(text)), '\\\\s+')"))
+      .select(col("doc_id"),
+        expr(s"CAST(size(filter(toks, t -> t IN ($listSql))) AS BIGINT)")
+          .as("n_hits"),
+        expr(s"""CAST(floor(CAST(size(filter(toks, t -> t IN ($listSql)))
+                 AS DOUBLE) / size(toks) * 1000000) AS BIGINT)""")
+          .as("hit_frac_micro"))
+      .withColumn("keep", col("n_hits") === 0L)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx16_blocklist_filter" -> (tx16 _),
     "tx15_tfidf_keywords" -> (tx15 _),
     "tx1_token_count" -> (tx1 _),
     "tx2_quality_score" -> (tx2 _),
@@ -551,6 +577,20 @@ object TextAnalysis extends QueryPack {
     .mkString(",\n           ")
 
   override val oracles: Map[String, String] = Map(
+    "tx16_blocklist_filter" ->
+      """WITH tk AS (
+           SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(list_filter(toks,
+             t -> t IN ('dup', 'retry', 'spill'))) AS BIGINT) AS n_hits,
+           CAST(floor(CAST(len(list_filter(toks,
+             t -> t IN ('dup', 'retry', 'spill'))) AS DOUBLE)
+             / len(toks) * 1000000) AS BIGINT) AS hit_frac_micro,
+           len(list_filter(toks, t -> t IN ('dup', 'retry', 'spill'))) = 0
+             AS keep
+         FROM tk""",
     "tx15_tfidf_keywords" ->
       """WITH toks AS (
            SELECT doc_id,
