@@ -487,6 +487,28 @@ object Relational extends QueryPack {
       .offset(10).limit(10)
       .select("o_orderkey", "o_totalprice")
 
+  /** O5 — explicit NULLS FIRST/LAST ordering (the cross-engine
+    * footgun this gate exists to pin: Spark's default ASC places nulls
+    * FIRST, DuckDB's places them LAST — unannotated ORDER BY silently
+    * disagrees between engines, so production code must always spell
+    * the placement). Nulls injected deterministically; the order is
+    * captured as row_numbers under both placements (the harness sorts
+    * rows, so ordering must be encoded in values). */
+  private def o5(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = t(s, d, "orders")
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, lit(null).cast("double"))
+          .otherwise(col("o_totalprice")).as("price"))
+    src
+      .withColumn("rk_last", row_number().over(Window.orderBy(
+        col("price").asc_nulls_last, col("o_orderkey").asc)).cast("long"))
+      .withColumn("rk_first", row_number().over(Window.orderBy(
+        col("price").desc_nulls_first, col("o_orderkey").asc)).cast("long"))
+      .filter(col("rk_last") <= 20 || col("rk_first") <= 20)
+      .select("o_orderkey", "price", "rk_last", "rk_first")
+  }
+
   // ---------------------------------------------------------------- set ops
 
   /** U1 — union with `Unique`-indexed head → set semantics
@@ -900,6 +922,7 @@ object Relational extends QueryPack {
     "u4_except_all" -> (u4 _),
     "u5_intersect_all" -> (u5 _),
     "j18_full_outer" -> (j18 _),
+    "o5_nulls_ordering" -> (o5 _),
     "f1_arithmetic" -> (f1 _),
     "f3_string_functions" -> (f3 _),
     "f4_enum_case" -> (f4 _),
@@ -1249,6 +1272,24 @@ object Relational extends QueryPack {
          INTERSECT ALL
          SELECT o_orderpriority AS pri, o_orderstatus AS st
          FROM orders WHERE o_orderkey % 4 = 0""",
+    // both engines forced to EXPLICIT nulls placement (their
+    // unannotated ASC defaults disagree: Spark nulls-first, DuckDB
+    // nulls-last — the reason the gate exists)
+    "o5_nulls_ordering" ->
+      """WITH src AS (
+           SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE o_totalprice END AS price
+           FROM orders),
+         r AS (
+           SELECT o_orderkey, price,
+             CAST(row_number() OVER (ORDER BY price ASC NULLS LAST,
+               o_orderkey ASC) AS BIGINT) AS rk_last,
+             CAST(row_number() OVER (ORDER BY price DESC NULLS FIRST,
+               o_orderkey ASC) AS BIGINT) AS rk_first
+           FROM src)
+         SELECT o_orderkey, price, rk_last, rk_first FROM r
+         WHERE rk_last <= 20 OR rk_first <= 20""",
     "j18_full_outer" ->
       """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
            c.c_custkey IS NOT NULL AS has_cust,

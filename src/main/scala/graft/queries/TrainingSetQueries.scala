@@ -246,6 +246,32 @@ object TrainingSetQueries extends QueryPack {
       .select(col("source"), col("doc_id"), col("rk").cast("long").as("rk"))
   }
 
+  private val WSampleK = 50
+
+  /** samp7 — WEIGHTED sampling without replacement (Efraimidis &
+    * Spirakis 2006 A-Res: key = u^(1/w), keep the top-k — here the
+    * monotone-equivalent ln(u)/w, micro-fixed before ranking): longer
+    * documents are proportionally likelier to be kept, and the
+    * "randomness" u is the house content fingerprint scaled to [0,1) —
+    * reproducible across runs/partitioning with no RNG state, the
+    * samp5/samp6 stance extended to weighted selection. Top-k via
+    * orderBy+limit = TakeOrdered (per-partition heaps + one k-row
+    * merge, never a global sort). The ln is floored at 1e-9
+    * granularity so a last-ulp libm difference between engines cannot
+    * move a rank (the tx15 convention). */
+  private def samp7(s: SparkSession, d: String): DataFrame = {
+    val P = "(1e0 * 1000000007 * 998244353)"
+    t(s, d, "documents")
+      .withColumn("fp", TextFns.fingerprintOf(col("text")))
+      .withColumn("key_micro", expr(
+        s"""CAST(floor(ln(greatest(CAST(fp AS DOUBLE) / $P, 1e-300))
+            / n_chars * 1000000000.0) AS BIGINT)"""))
+      .orderBy(col("key_micro").desc, col("doc_id").asc)
+      .limit(WSampleK)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        col("key_micro"))
+  }
+
   private val PackShards = 8
   private val PackBudget = 512L
 
@@ -331,6 +357,7 @@ object TrainingSetQueries extends QueryPack {
     "samp4_dsir_importance" -> (samp4 _),
     "samp5_hash_split" -> (samp5 _),
     "samp6_source_quota" -> (samp6 _),
+    "samp7_weighted_sample" -> (samp7 _),
     "pack1_sequence_packing" -> (pack1 _),
     "pack2_packing_stats" -> (pack2 _),
     "pack3_epoch_shuffle" -> (pack3 _),
@@ -468,6 +495,16 @@ object TrainingSetQueries extends QueryPack {
                ORDER BY md5(text), doc_id) AS BIGINT) AS rk
            FROM documents)
          SELECT source, doc_id, rk FROM r WHERE rk <= $QuotaK""",
+    "samp7_weighted_sample" ->
+      s"""WITH k AS (
+           SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(floor(ln(greatest(
+               CAST(${TextFns.fingerprintDuckSql("text")} AS DOUBLE)
+                 / (1e0 * 1000000007 * 998244353), 1e-300))
+               / n_chars * 1000000000.0) AS BIGINT) AS key_micro
+           FROM documents)
+         SELECT doc_id, n_chars, key_micro FROM k
+         ORDER BY key_micro DESC, doc_id LIMIT $WSampleK""",
     "dc1_decontamination" ->
       ("""WITH tk AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
