@@ -389,7 +389,46 @@ object AdminQueries extends QueryPack {
       .agg(count(lit(1)).as("n"), sum("vmicro").as("sum_vmicro"))
   }
 
+  /** adm16 — ANALYZE-style table profile (the optimizer-statistics /
+    * data-quality pass every warehouse ships): one row per column of
+    * `orders` with non-null count, EXACT distinct count, and canonical
+    * lo/hi bounds. Everything is computed in a SINGLE aggregate node
+    * over ONE scan — Spark plans the 6 `count(distinct …)` via one
+    * Expand (6× row multiplication map-side, the standard
+    * multi-distinct shape: rows×6 flow into partial aggregates, never
+    * a second scan) — then the 24 scalars pivot to rows driver-side
+    * with a 6-element explode. Bounds are canonicalized BEFORE min/max
+    * (price → cents BIGINT → string, timestamp → yyyy-MM-dd) so no
+    * engine-specific float/date rendering enters the hash. */
+  private def adm16(s: SparkSession, d: String): DataFrame = {
+    val canon = t(s, d, "orders").select(
+      col("o_orderkey").as("r1"),
+      col("o_custkey").as("r2"),
+      col("o_orderstatus").as("k3"),
+      expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("r4"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("k5"),
+      col("o_orderpriority").as("k6"))
+    def stats(i: Int, src: String) = Seq(
+      count(col(src)).as(s"n$i"),
+      count_distinct(col(src)).as(s"d$i"),
+      min(col(src)).cast("string").as(s"lo$i"),
+      max(col(src)).cast("string").as(s"hi$i"))
+    val names = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val srcs = Seq("r1", "r2", "k3", "r4", "k5", "k6")
+    val aggs = srcs.zipWithIndex.flatMap { case (c, i) => stats(i + 1, c) }
+    canon.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(names.zipWithIndex.map { case (n, ix) =>
+        val i = ix + 1
+        struct(lit(n).as("column_name"), col(s"n$i").as("n_nonnull"),
+          col(s"d$i").as("n_distinct"), col(s"lo$i").as("lo"),
+          col(s"hi$i").as("hi"))
+      }: _*)).as("r"))
+      .select("r.*")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "adm16_table_profile" -> (adm16 _),
     "j14_dpp_partition_join" -> (j14 _),
     "adm12_zonemap_skipping" -> (adm12 _),
     "adm10_incremental_backup" -> (adm10 _),
@@ -420,6 +459,27 @@ object AdminQueries extends QueryPack {
        FROM orders WHERE o_orderkey % 10 = 1"""
 
   override val oracles: Map[String, String] = Map(
+    "adm16_table_profile" ->
+      """WITH canon AS (
+           SELECT o_orderkey AS r1, o_custkey AS r2, o_orderstatus AS k3,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS r4,
+                  strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS k5,
+                  o_orderpriority AS k6
+           FROM orders)
+         SELECT 'o_orderkey' AS column_name, count(r1) AS n_nonnull,
+                count(DISTINCT r1) AS n_distinct,
+                CAST(min(r1) AS VARCHAR) AS lo, CAST(max(r1) AS VARCHAR) AS hi
+         FROM canon
+         UNION ALL SELECT 'o_custkey', count(r2), count(DISTINCT r2),
+                CAST(min(r2) AS VARCHAR), CAST(max(r2) AS VARCHAR) FROM canon
+         UNION ALL SELECT 'o_orderstatus', count(k3), count(DISTINCT k3),
+                min(k3), max(k3) FROM canon
+         UNION ALL SELECT 'o_totalprice', count(r4), count(DISTINCT r4),
+                CAST(min(r4) AS VARCHAR), CAST(max(r4) AS VARCHAR) FROM canon
+         UNION ALL SELECT 'o_orderdate', count(k5), count(DISTINCT k5),
+                min(k5), max(k5) FROM canon
+         UNION ALL SELECT 'o_orderpriority', count(k6), count(DISTINCT k6),
+                min(k6), max(k6) FROM canon""",
     "adm12_zonemap_skipping" ->
       """WITH e AS (SELECT event_type,
                     epoch_us(CAST(ts AS TIMESTAMP)) AS tus,

@@ -123,14 +123,67 @@ object EventAnalytics extends QueryPack {
            (PARTITION BY from_type)) AS BIGINT)"""))
   }
 
+  /** ev9 — rolling z-score anomaly detection (the monitoring-pipeline
+    * outlier filter): a value is anomalous when it sits more than 3
+    * standard deviations from the mean of the SAME user's previous ≤20
+    * values. The whole test runs in BIGINT: with S = Σprev, Q = Σprev²
+    * over n trailing values (milli fixed-point), z² > 9 is EXACTLY
+    * `(n·x − S)² > 9·(n·Q − S²)` — the float mean/stddev/sqrt chain is
+    * algebraically cleared out, so no cross-engine ulp can flip a flag
+    * (and a var-0 window flags any deviation, the correct limit).
+    * Magnitudes are audited: value ≤ 491 → milli ≤ 4.92e5, n ≤ 20 ⇒
+    * n·Q ≤ 9.7e13, ×9 well inside BIGINT even at 10⁶× the fixture.
+    * One user-keyed window over `(tns, event_id)` — the family's
+    * single shuffle key; state is ROWS-framed (20 rows), constant per
+    * user regardless of corpus size. */
+  private def ev9(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("tns"), col("event_id"))
+      .rowsBetween(-20, -1)
+    ev(s, d)
+      .select(col("user_id"), col("event_id"),
+        col("tns"), expr("CAST(floor(value * 1000) AS BIGINT)").as("vmilli"))
+      .withColumn("n_prev", count(lit(1)).over(w))
+      .withColumn("s1", sum("vmilli").over(w))
+      .withColumn("s2", sum(col("vmilli") * col("vmilli")).over(w))
+      .filter(col("n_prev") >= 8)
+      .withColumn("num", col("n_prev") * col("vmilli") - col("s1"))
+      .withColumn("den", col("n_prev") * col("s2") - col("s1") * col("s1"))
+      .filter(col("num") * col("num") > lit(9L) * col("den"))
+      .select(col("user_id"), col("event_id"), col("vmilli"),
+        col("n_prev"), col("num"), col("den"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev5_funnel" -> (ev5 _),
     "ev6_retention" -> (ev6 _),
     "ev7_ewma_decay" -> (ev7 _),
     "ev8_transition_matrix" -> (ev8 _),
+    "ev9_anomaly_zscore" -> (ev9 _),
   )
 
   override val oracles: Map[String, String] = Map(
+    "ev9_anomaly_zscore" ->
+      """WITH e AS (
+           SELECT user_id, event_id,
+                  epoch_ns(CAST(ts AS TIMESTAMP)) AS tns,
+                  CAST(floor(value * 1000) AS BIGINT) AS vmilli
+           FROM events),
+         w AS (
+           SELECT user_id, event_id, vmilli,
+                  count(*) OVER win AS n_prev,
+                  sum(vmilli) OVER win AS s1,
+                  sum(vmilli * vmilli) OVER win AS s2
+           FROM e
+           WINDOW win AS (PARTITION BY user_id ORDER BY tns, event_id
+                          ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+         SELECT user_id, event_id, vmilli, n_prev,
+                n_prev * vmilli - s1 AS num,
+                n_prev * s2 - s1 * s1 AS den
+         FROM w
+         WHERE n_prev >= 8
+           AND (n_prev * vmilli - s1) * (n_prev * vmilli - s1)
+               > 9 * (n_prev * s2 - s1 * s1)""",
     "ev8_transition_matrix" ->
       """WITH e AS (
            SELECT user_id, event_type, event_id,

@@ -270,8 +270,31 @@ object GraphQueries extends QueryPack {
     }
   }
 
+  /** g11 — co-occurrence graph (co-purchase edges): parts appearing in
+    * the same order, edge weight = number of co-occurring orders, top
+    * 100 pairs under the full `(n_orders DESC, p1, p2)` total order.
+    * The scale properties are the ones that matter on a real basket
+    * corpus: the pair generation is an ORDER-KEYED equi-self-join over
+    * `distinct(orderkey, partkey)` — cost Σ|order|², bounded because a
+    * TPC-H-ish order holds ≤7 parts (a viral container key would get
+    * the j11 salting treatment); raw pairs partial-aggregate map-side
+    * before the one pair-keyed exchange; and the top-k is TakeOrdered
+    * (per-partition heaps), never a global sort. */
+  private def g11(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    li.as("a")
+      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+      .limit(100)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_transitive_closure" -> (g1 _),
+    "g11_copurchase" -> (g11 _),
     "rel1_bidirectional" -> (rel1 _),
     "g2_connected_components" -> (g2 _),
     "g3_pagerank" -> (g3 _),
@@ -288,6 +311,15 @@ object GraphQueries extends QueryPack {
     "SELECT p_partkey AS child, p_partkey // 2 AS parent FROM part WHERE p_partkey // 2 >= 1"
 
   override val oracles: Map[String, String] = Map(
+    "g11_copurchase" ->
+      """WITH li AS (
+           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+         SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                count(*) AS n_orders
+         FROM li a JOIN li b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2
+         ORDER BY n_orders DESC, p1, p2 LIMIT 100""",
     // all root-to-node walks (DAG away from the root => terminates),
     // then min — path-algebra ground truth for the relaxation
     "g10_weighted_paths" ->

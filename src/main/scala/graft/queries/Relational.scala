@@ -840,6 +840,35 @@ object Relational extends QueryPack {
         round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
         round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
 
+  /** A16 — per-group OLS regression (price on quantity) with the float
+    * chain algebraically cleared: a12's `corr` had to round against
+    * cross-engine moment-merge drift, but the regression line itself
+    * needs no floats at all — x is integer-valued quantity, y exact
+    * cents, and slope = (nΣxy−ΣxΣy)/(nΣxx−Σx²), intercept =
+    * (ΣyΣxx−ΣxΣxy)/(nΣxx−Σx²) are ratios of EXACT integer sums, emitted
+    * as truncated micros (Spark `DIV` and DuckDB HUGEINT `//` both
+    * truncate toward zero, so even the negative-slope group agrees
+    * bit-for-bit). Sums run in DECIMAL(38,0) because the cross products
+    * overflow BIGINT at real scale (nΣxy ~ 2·10¹⁹ already at sf0.1);
+    * decimal sums are Spark's exact, order-independent path — the same
+    * one-aggregate shape as any groupBy, map-side partials included. */
+  private def a16(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("decimal(38,0)").as("x"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS DECIMAL(38,0))").as("y"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+      .select(col("l_returnflag"), col("n_rows"),
+        expr("""CAST((CAST(n_rows AS DECIMAL(38,0)) * sxy - sx * sy) * 1000000
+                DIV (CAST(n_rows AS DECIMAL(38,0)) * sxx - sx * sx) AS BIGINT)""")
+          .as("slope_micro"),
+        expr("""CAST((sy * sxx - sx * sxy) * 1000000
+                DIV (CAST(n_rows AS DECIMAL(38,0)) * sxx - sx * sx) AS BIGINT)""")
+          .as("icpt_micro"))
+
   /** F8b — JSON extraction (SURVEY §2.8 F8 "json functions"): parse the
     * events.props JSON payload and aggregate on an extracted field. */
   private def f9(s: SparkSession, d: String): DataFrame =
@@ -871,6 +900,7 @@ object Relational extends QueryPack {
     "j10_interval_join" -> (j10 _),
     "a12_stats_aggregates" -> (a12 _),
     "a13_percentiles" -> (a13 _),
+    "a16_regression_ols" -> (a16 _),
     "j11_salted_skew_join" -> (j11 _),
     "j12_banded_range_join" -> (j12 _),
     "j13_grid_spatial_join" -> (j13 _),
@@ -974,6 +1004,25 @@ object Relational extends QueryPack {
                 round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
                 round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
          FROM lineitem GROUP BY l_returnflag""",
+    "a16_regression_ols" ->
+      """WITH s AS (
+           SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+                  count(*) AS n_rows,
+                  CAST(sum(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS sx,
+                  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                       AS HUGEINT) AS sy,
+                  CAST(sum(CAST(l_quantity AS BIGINT) *
+                           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                       AS HUGEINT) AS sxy,
+                  CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                       AS HUGEINT) AS sxx
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, n_rows,
+                CAST((n * sxy - sx * sy) * 1000000
+                     // (n * sxx - sx * sx) AS BIGINT) AS slope_micro,
+                CAST((sy * sxx - sx * sxy) * 1000000
+                     // (n * sxx - sx * sx) AS BIGINT) AS icpt_micro
+         FROM s""",
     "j11_salted_skew_join" ->
       """SELECT 'Q' || CAST(CAST(l_quantity AS INT) AS VARCHAR) AS q_label,
                 count(*) AS n, CAST(sum(l_linenumber) AS BIGINT) AS sum_line

@@ -539,7 +539,45 @@ object TextAnalysis extends QueryPack {
       .withColumn("keep", col("n_hits") === 0L)
   }
 
+  /** Phrase queries for tx17 — a standing query table, the IR shape
+    * (fixed phrase set, growing corpus). */
+  private val PhraseQueries = Seq("hash join", "table scan", "sort merge")
+
+  /** tx17 — exact PHRASE search over a positional inverted index: the
+    * corpus posexplodes ONCE into (tok, doc_id, pos) postings, each
+    * phrase filters its term postings (at real scale: an equi-join
+    * against a broadcast term list — the postings for query terms,
+    * never the whole index, flow into the join) and adjacent terms
+    * align by `pos_k = pos_1 + k`, the classic positional-index
+    * intersection (Manning et al., IR book §2.4). Output is per
+    * (phrase, doc) hit count + first offset. Substring LIKE '%w1 w2%'
+    * is NOT equivalent (token boundaries); the oracle builds the same
+    * postings relationally. */
+  private def tx17(s: SparkSession, d: String): DataFrame = {
+    val idx = t(s, d, "documents")
+      .select(col("doc_id"), posexplode(expr("split(trim(text), '\\\\s+')")))
+      .select(col("doc_id"), (col("pos") + lit(1)).cast("long").as("pos"),
+        col("col").as("tok"))
+    PhraseQueries.map { q =>
+      val ws = q.split(" ")
+      val head = idx.filter(col("tok") === ws.head).select("doc_id", "pos")
+      val matched = ws.zipWithIndex.drop(1).foldLeft(head) {
+        case (acc, (w, i)) =>
+          val nxt = idx.filter(col("tok") === w)
+            .select(col("doc_id").as("d2"), col("pos").as("p2"))
+          acc.join(nxt, col("doc_id") === col("d2") &&
+              col("p2") === col("pos") + lit(i.toLong))
+            .select("doc_id", "pos")
+      }
+      matched.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hits"), min("pos").as("first_pos"))
+        .select(lit(q).as("phrase"), col("doc_id"), col("n_hits"),
+          col("first_pos"))
+    }.reduce(_ unionByName _)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx17_phrase_search" -> (tx17 _),
     "tx16_blocklist_filter" -> (tx16 _),
     "tx15_tfidf_keywords" -> (tx15 _),
     "tx1_token_count" -> (tx1 _),
@@ -577,6 +615,28 @@ object TextAnalysis extends QueryPack {
     .mkString(",\n           ")
 
   override val oracles: Map[String, String] = Map(
+    "tx17_phrase_search" -> {
+      val branches = PhraseQueries.map { q =>
+        val ws = q.split(" ")
+        val joins = ws.zipWithIndex.drop(1).map { case (w, i) =>
+          s"""JOIN tk t$i ON t0.doc_id = t$i.doc_id
+              AND t$i.pos = t0.pos + $i AND t$i.tok = '$w'"""
+        }.mkString("\n           ")
+        s"""SELECT '$q' AS phrase, t0.doc_id, t0.pos FROM tk t0
+           $joins
+           WHERE t0.tok = '${ws.head}'"""
+      }.mkString("\n         UNION ALL ")
+      s"""WITH tk AS (
+           SELECT doc_id,
+                  unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok,
+                  CAST(generate_subscripts(
+                    regexp_split_to_array(trim(text), '\\s+'), 1) AS BIGINT) AS pos
+           FROM documents),
+         hits AS (
+         $branches)
+         SELECT phrase, doc_id, count(*) AS n_hits, min(pos) AS first_pos
+         FROM hits GROUP BY 1, 2"""
+    },
     "tx16_blocklist_filter" ->
       """WITH tk AS (
            SELECT doc_id,

@@ -338,6 +338,31 @@ class PlanAuditSpec extends SparkSpec {
       s"fixpoint result must not re-derive (joins belong to the finished loop):\n$p")
   }
 
+  test("g11 co-purchase top-k is TakeOrdered, never a global sort") {
+    val p = plan(graft.queries.GraphQueries, "g11_copurchase")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 must run as per-partition heaps + one k-row merge:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"pair generation must stay an order-keyed equi-join:\n$p")
+  }
+
+  test("adm16 profile runs in ONE scan (multi-distinct via Expand, no re-read)") {
+    val df = graft.queries.AdminQueries.queries("adm16_table_profile")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected a single orders scan, saw $scans:\n$p")
+    assert(p.contains("Expand"),
+      s"6-way count(distinct) should plan as one Expand over one scan:\n$p")
+  }
+
+  test("ev9 anomaly window shuffles once, keyed by user_id") {
+    val df = graft.queries.EventAnalytics.queries("ev9_anomaly_zscore")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val shuffles = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(shuffles.size == 1 && shuffles.head.contains("user_id"),
+      s"expected exactly one user-keyed exchange:\n$p")
+  }
+
   test("scan projection prunes to the read schema on the documents table") {
     val p = plan(graft.queries.TextAnalysis, "tx4_fingerprint")
     // fingerprint reads doc_id + text only; the scan must not read lang/source
