@@ -427,7 +427,41 @@ object AdminQueries extends QueryPack {
       .select("r.*")
   }
 
+  /** adm17 — merge-on-read DELETE via deletion vectors
+    * ([[graft.store.TableStore.deleteMor]]): each delete commits only a
+    * tombstone set (bytes ∝ deleted rows, ZERO data dirs rewritten —
+    * the shape that makes a scattered delete of a 100 TB table a
+    * metadata-sized operation; the reference's diff-bitmap design,
+    * `Kernel/README.md:6`, applied to row visibility). The gate pins
+    * the full lifecycle the oracle can express: two MOR deletes with a
+    * batch INSERTED BETWEEN them — rows matching the first predicate
+    * but arriving after its tombstone must stay (a vector is
+    * point-in-time, not a filter) while the second delete hits them —
+    * then [[graft.store.TableStore.applyDeletes]] materializes the debt
+    * and compaction folds, both result-invariant. DeletionVectorSpec
+    * pins the physical side (zero-rewrite, vacuum/backup/clone/zonemap
+    * composition). */
+  private def adm17(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s)
+    val base = t(s, d, "orders").select(
+      col("o_orderkey"), col("o_orderstatus"),
+      expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+    st.create("t17", base.filter(col("o_orderkey") % 2 === 0))
+    st.insert("t17", base.filter(col("o_orderkey") % 2 === 1))
+    st.deleteMor("t17",
+      col("o_orderstatus") === "F" && col("cents") % 7 === 3)
+    // arrives AFTER the first tombstone: its pred-1 matches must stay
+    st.insert("t17", base.filter(col("o_orderkey") % 100 === 42)
+      .select((col("o_orderkey") + lit(10000000L)).as("o_orderkey"),
+        col("o_orderstatus"), col("cents")))
+    st.deleteMor("t17", col("cents") % 5 === 1)
+    st.applyDeletes("t17")
+    st.compact("t17")
+    st.read("t17")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "adm17_deletion_vectors" -> (adm17 _),
     "adm16_table_profile" -> (adm16 _),
     "j14_dpp_partition_join" -> (j14 _),
     "adm12_zonemap_skipping" -> (adm12 _),
@@ -459,6 +493,21 @@ object AdminQueries extends QueryPack {
        FROM orders WHERE o_orderkey % 10 = 1"""
 
   override val oracles: Map[String, String] = Map(
+    "adm17_deletion_vectors" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_orderstatus,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM orders),
+         surv1 AS (
+           SELECT * FROM base
+           WHERE NOT (o_orderstatus = 'F' AND cents % 7 = 3)),
+         late AS (
+           SELECT o_orderkey + 10000000 AS o_orderkey, o_orderstatus, cents
+           FROM base WHERE o_orderkey % 100 = 42),
+         live AS (
+           SELECT * FROM surv1 UNION ALL SELECT * FROM late)
+         SELECT o_orderkey, o_orderstatus, cents
+         FROM live WHERE NOT (cents % 5 = 1)""",
     "adm16_table_profile" ->
       """WITH canon AS (
            SELECT o_orderkey AS r1, o_custkey AS r2, o_orderstatus AS k3,

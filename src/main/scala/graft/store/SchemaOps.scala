@@ -95,10 +95,26 @@ private[store] final case class PartColsEntry(cols: Seq[String]) extends Manifes
   * preserve it. Keys and values must not contain tabs or newlines. */
 private[store] final case class PropsEntry(props: Map[String, String]) extends ManifestEntry
 
+/** Deletion vector (merge-on-read DELETE): `dir` is a table-namespace
+  * parquet dir of `(file: String, pos: Long)` rows naming physical rows
+  * — by the immutable data file's path and its `_metadata.row_index` —
+  * that every read must suppress. A MOR delete of a 100 TB table writes
+  * only this tombstone set (bytes ∝ deleted rows) instead of the
+  * copy-on-write dir rewrite (bytes ∝ touched dirs); the read path
+  * anti-joins the scan against the vector set (small side, broadcast).
+  * File paths are globally unique, so a vector applies to the whole
+  * log regardless of its line position; vectors referencing files a
+  * later rewrite/compaction replaced are dangling no-ops, never wrong.
+  * The reference's diff-bitmap design (`Kernel/README.md:6`) applied
+  * to row visibility rather than backup. */
+private[store] final case class DvEntry(dir: String) extends ManifestEntry
+
 private[store] object ManifestEntry {
   def parse(line: String): ManifestEntry =
     if (line.startsWith("@partcols\t"))
       PartColsEntry(line.split("\t", 2)(1).split(",").toSeq.filter(_.nonEmpty))
+    else if (line.startsWith("@dv\t"))
+      DvEntry(line.split("\t", 2)(1))
     else if (line.startsWith("@props\t"))
       PropsEntry(line.split("\t").drop(1).filter(_.nonEmpty)
         .map { kv => val i = kv.indexOf('='); kv.take(i) -> kv.drop(i + 1) }.toMap)
@@ -108,6 +124,7 @@ private[store] object ManifestEntry {
     case DataDir(d) => d
     case OpEntry(op) => op.encode
     case PartColsEntry(cs) => s"@partcols\t${cs.mkString(",")}"
+    case DvEntry(d) => s"@dv\t$d"
     case PropsEntry(ps) =>
       "@props\t" + ps.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("\t")
   }

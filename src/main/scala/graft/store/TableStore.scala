@@ -187,6 +187,7 @@ final class TableStore(val spark: SparkSession, val root: String) {
   private[graft] def entriesAsRefs(table: String): Seq[ManifestEntry] =
     currentEntries(table).map {
       case DataDir(d) if !d.contains("/") => DataDir(s"$table/$d")
+      case DvEntry(d) if !d.contains("/") => DvEntry(s"$table/$d")
       case e => e
     }
 
@@ -252,10 +253,20 @@ final class TableStore(val spark: SparkSession, val root: String) {
   private[store] def readLog(table: String, entries: Seq[ManifestEntry],
       decorate: DataFrame => DataFrame = identity): DataFrame = {
     val partitioned = entries.exists(_.isInstanceOf[PartColsEntry])
+    val dvs = entries.collect { case DvEntry(d) => d }
+    // deletion vectors suppress physical rows: stamp every raw scan
+    // with its (file, row_index) identity BEFORE the caller's decorate
+    // and any schema op ( `_metadata` resolves only on the file
+    // relation), anti-join the vector set once at the end. The vector
+    // side is bytes ∝ deleted rows — AQE broadcasts it, so the fact
+    // scan never shuffles for visibility.
+    val dec: DataFrame => DataFrame =
+      if (dvs.isEmpty) decorate
+      else df => decorate(dvStamp(df))
     var acc: Option[DataFrame] = None
     var run = Vector.empty[String]
     def flushRun(): Unit = if (run.nonEmpty) {
-      val batch = readDirs(table, run, partitioned, decorate)
+      val batch = readDirs(table, run, partitioned, dec)
       acc = Some(acc.fold(batch)(_.unionByName(batch)))
       run = Vector.empty
     }
@@ -268,10 +279,38 @@ final class TableStore(val spark: SparkSession, val root: String) {
       // partition column in every run's scan
       case PartColsEntry(_) => ()
       case PropsEntry(_) => ()
+      // visibility metadata, not data: dirs around it stay one run
+      case DvEntry(_) => ()
     }
     flushRun()
-    acc.getOrElse(throw new IllegalArgumentException(
+    val full = acc.getOrElse(throw new IllegalArgumentException(
       s"table $table has no data dirs"))
+    if (dvs.isEmpty) full else applyDv(table, dvs, full)
+  }
+
+  /** Physical row identity for deletion vectors: the file path FROM its
+    * `data-<uuid>` dir segment down (dir names are store-unique UUIDs),
+    * plus the row index. Root-RELATIVE on purpose — an incremental
+    * backup or a relocated store keeps every vector valid, where an
+    * absolute path would silently stop matching and resurrect rows. */
+  private[store] def dvStamp(df: DataFrame): DataFrame = df
+    .withColumn(TableStore.DvFileCol,
+      regexp_extract(col("_metadata.file_path"), "^.*/(data-[^/]+/.*)$", 1))
+    .withColumn(TableStore.DvPosCol, col("_metadata.row_index"))
+
+  /** Anti-join `df` (carrying [[TableStore.DvFileCol]]/[[TableStore.DvPosCol]])
+    * against the union of the given deletion-vector dirs, dropping the
+    * identity columns afterwards. */
+  private[store] def applyDv(table: String, dvs: Seq[String],
+      df: DataFrame): DataFrame = {
+    val dv = readDirs(table, dvs)
+      .select(col("file").as(TableStore.DvMatchFile),
+        col("pos").as(TableStore.DvMatchPos)).distinct()
+    df.join(dv,
+        df(TableStore.DvFileCol) === dv(TableStore.DvMatchFile) &&
+          df(TableStore.DvPosCol) === dv(TableStore.DvMatchPos),
+        "left_anti")
+      .drop(TableStore.DvFileCol, TableStore.DvPosCol)
   }
 
   // ----------------------------------------------------------- public API
@@ -489,6 +528,37 @@ final class TableStore(val spark: SparkSession, val root: String) {
     CheckConstraints.advanceAfterDelete(tx, name, preCk)
     JoinViews.rebuildRegistered(tx, name)
   }
+
+  /** Merge-on-read DELETE — identical semantics and integration
+    * (referential RESTRICT, view maintenance, constraint chain) to
+    * [[delete]], but the commit writes only a deletion vector
+    * ([[Txn.deleteMor]]): bytes ∝ deleted rows, zero data dirs
+    * rewritten. The physical rewrite is deferred to [[applyDeletes]]
+    * or the next compaction/COW touching the affected dirs. */
+  def deleteMor(name: String, cond: Column): Unit = transaction { tx =>
+    CheckConstraints.restrictDelete(tx, name, coalesce(cond, lit(false)))
+    val preCk = tx.manifestName(name)
+    if (MaterializedView.hasRegistered(tx, name)) {
+      val pre = tx.manifestName(name)
+      val removed = tx.read(name).filter(coalesce(cond, lit(false))).localCheckpoint()
+      try {
+        tx.deleteMor(name, cond)
+        MaterializedView.refreshRegisteredDelete(tx, name, removed, pre)
+      } finally removed.unpersist()
+    } else tx.deleteMor(name, cond)
+    CheckConstraints.advanceAfterDelete(tx, name, preCk)
+    JoinViews.rebuildRegistered(tx, name)
+  }
+
+  /** Materialize accumulated deletion vectors — see [[Txn.applyDeletes]].
+    * Returns the number of data dirs rewritten. Result-invariant, so no
+    * constraint/view interaction. */
+  def applyDeletes(name: String): Int = transaction(_.applyDeletes(name))
+
+  /** Current `@dv` (deletion-vector) dirs of a table — observability
+    * for specs and monitoring (how much MOR-delete debt is pending). */
+  def deletionVectorDirs(name: String): Seq[String] =
+    currentEntries(name).collect { case DvEntry(d) => d }
 
   def truncate(name: String): Unit = transaction { tx =>
     CheckConstraints.restrictDelete(tx, name, lit(true))
@@ -764,8 +834,12 @@ final class TableStore(val spark: SparkSession, val root: String) {
       val dst = new TableStore(spark, destDir)
       val entries = currentEntries(name)
       var copied = 0; var carried = 0; var bytes = 0L
+      // deletion-vector dirs ship exactly like data dirs: a restore
+      // missing one would resurrect its tombstoned rows
       entries.foreach {
-        case DataDir(d) =>
+        case e @ (DataDir(_) | DvEntry(_)) =>
+          val d = e match { case DataDir(x) => x; case DvEntry(x) => x
+            case _ => throw new MatchError(e) }
           // a cross-table ref (`otherTable/data-x`, package pointer
           // share) keeps its owning table's namespace at the dest, so
           // two backed-up tables sharing a dir share its copy too
@@ -857,6 +931,10 @@ final class TableStore(val spark: SparkSession, val root: String) {
       val mPath = rootPath.resolve(t).resolve(m)
       if (Files.exists(mPath)) readEntries(t, m).foreach {
         case DataDir(d) =>
+          liveDirs += (if (d.contains("/")) d else s"$t/$d")
+        // deletion-vector dirs are as load-bearing as data dirs: losing
+        // one resurrects its tombstoned rows
+        case DvEntry(d) =>
           liveDirs += (if (d.contains("/")) d else s"$t/$d")
         case _ => ()
       }
@@ -1023,7 +1101,8 @@ final class Txn(store: TableStore) {
     entries.foreach {
       case DataDir(_) => if (!inRun) { runs += 1; inRun = true }
       case OpEntry(_) => inRun = false
-      case PartColsEntry(_) | PropsEntry(_) => () // property lines — don't split a run
+      // property/visibility lines — don't split a run
+      case PartColsEntry(_) | PropsEntry(_) | DvEntry(_) => ()
     }
     runs
   }
@@ -1112,7 +1191,16 @@ final class Txn(store: TableStore) {
       store.dirBytes(name, e.dir) <= smallBytes)
     if (small.size < 2) CompactStats(0, tailDirs.size)
     else {
-      val folded = store.readDirs(name, small.map(_.dir), cols.nonEmpty)
+      // fold through any deletion vectors: the rewritten files get NEW
+      // paths, so a vector row naming an old small-dir file would
+      // silently stop matching — tombstoned rows must not resurrect.
+      // Vectors for prefix/big files don't match the folded subset and
+      // pass through untouched (their `@dv` lines carry over below).
+      val dvDirs = entries.collect { case DvEntry(d) => d }
+      val raw = store.readDirs(name, small.map(_.dir), cols.nonEmpty,
+        decorate = if (dvDirs.isEmpty) identity else store.dvStamp)
+      val folded =
+        if (dvDirs.isEmpty) raw else store.applyDv(name, dvDirs, raw)
       val newDir = DataDir(store.writeData(name, folded, cols))
       val keepNonData = tail.filterNot(_.isInstanceOf[DataDir])
       pending += name -> store.writeTableManifest(name,
@@ -1333,6 +1421,78 @@ final class Txn(store: TableStore) {
       hits = _.filter(coalesce(cond, lit(false))),
       rewrite = _.filter(not(coalesce(cond, lit(false)))))
 
+  /** Merge-on-read DELETE: append a deletion vector ([[DvEntry]]) of
+    * the matched rows' physical identities instead of rewriting any
+    * data dir. Write cost ∝ matched rows (one pushed-down probe scan +
+    * a tombstone-sized parquet write); the copy-on-write [[delete]]
+    * pays a rewrite of every TOUCHED dir — at 100 TB, a delete
+    * scattered across many dirs is only affordable this way, with
+    * [[applyDeletes]]/compaction amortizing the physical rewrite later.
+    * Accumulated vectors past [[TableStore.MaxDvEntries]] fold into one
+    * dir in the same commit (cost ∝ total deleted rows) so the read
+    * path never unions an unbounded number of vector scans. */
+  def deleteMor(name: String, cond: Column): Unit = {
+    val entries = entriesOf(name)
+    // read through existing vectors (a row deleted twice must not be
+    // tombstoned twice) in the LOGICAL schema, carrying each row's
+    // physical identity from the raw scan
+    val withId = store.readLog(name, entries, decorate = df => df
+      .withColumn("__mor_file",
+        regexp_extract(col("_metadata.file_path"), "^.*/(data-[^/]+/.*)$", 1))
+      .withColumn("__mor_pos", col("_metadata.row_index")))
+    val hits = withId.filter(coalesce(cond, lit(false)))
+      .select(col("__mor_file").as("file"), col("__mor_pos").as("pos"))
+    val existing = entries.collect { case DvEntry(d) => d }
+    if (existing.size + 1 > TableStore.MaxDvEntries) {
+      val all = store.readDirs(name, existing)
+        .select(col("file"), col("pos")).unionByName(hits)
+      pending += name -> store.writeTableManifest(name,
+        entries.filterNot(_.isInstanceOf[DvEntry]) :+
+          DvEntry(store.writeData(name, all)))
+    } else
+      pending += name -> store.writeTableManifest(name,
+        entries :+ DvEntry(store.writeData(name, hits)))
+  }
+
+  /** Materialize accumulated deletion vectors: rewrite ONLY the data
+    * dirs holding tombstoned rows (dir-granular, like [[rewriteMatched]]
+    * — the vector's file paths name the touched dirs directly, no probe
+    * scan needed), drop every `@dv` line, carry untouched dirs by
+    * reference. Returns the number of dirs rewritten. */
+  def applyDeletes(name: String): Int = {
+    val entries = entriesOf(name)
+    val dvDirs = entries.collect { case DvEntry(d) => d }
+    if (dvDirs.isEmpty) return 0
+    // vector identities are `data-<uuid>/...` relative paths — the
+    // touched dir NAMES fall straight out of the first segment (the
+    // collect is dir-count rows, like rewriteMatched's probe)
+    val touchedDirNames = store.readDirs(name, dvDirs)
+      .select(regexp_extract(col("file"), "^(data-[^/]+)", 1).as("p"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val dirs = entries.collect { case DataDir(d) => d }
+    val touched: Set[String] =
+      dirs.filter(d => touchedDirNames(d.split("/").last)).toSet
+    // fold ONLY the touched dirs through the log (vectors apply inside
+    // readLog, so the rebuilt dir holds exactly the live rows); ops
+    // before a touched dir still apply to it
+    val touchedLog = entries.filter {
+      case DataDir(d) => touched(d)
+      case _ => true
+    }
+    val cols = entries.collectFirst { case PartColsEntry(cs) => cs }.getOrElse(Nil)
+    val rebuilt =
+      if (touched.isEmpty) None
+      else Some(DataDir(store.writeData(name,
+        store.readLog(name, touchedLog), cols)))
+    pending += name -> store.writeTableManifest(name,
+      entries.filter {
+        case DataDir(d) => !touched(d)
+        case _: DvEntry => false
+        case _ => true
+      } ++ rebuilt.toSeq)
+    touched.size
+  }
+
   def truncate(name: String): Unit =
     create(name, read(name).filter(lit(false)))
 
@@ -1357,6 +1517,20 @@ object TableStore {
     * the sweeping JVM can't observe (another driver's open txn). */
   val VacuumGraceMsConf = "spark.graft.store.vacuumGraceMs"
   val DefaultVacuumGraceMs: Long = 10 * 60 * 1000L
+
+  /** Row-identity columns the read path stamps while deletion vectors
+    * are in play (dropped before the frame leaves [[TableStore.readLog]]);
+    * `__dv`-prefixed so they can't collide with the match-side aliases. */
+  private[store] val DvFileCol = "__dv_file"
+  private[store] val DvPosCol = "__dv_pos"
+  private[store] val DvMatchFile = "__dv_match_file"
+  private[store] val DvMatchPos = "__dv_match_pos"
+
+  /** Max `@dv` manifest lines before [[Txn.deleteMor]] folds the
+    * accumulated vectors (plus the new one) into a single dir — the
+    * read path otherwise unions one small parquet scan per MOR delete
+    * ever issued. Folding cost ∝ total deleted rows, never table size. */
+  private[graft] val MaxDvEntries = 8
 }
 
 object Txn {

@@ -103,8 +103,17 @@ object ZoneMaps {
       }
     }
     if (kept.isEmpty) exact(store.read(table)).limit(0)
-    else exact(store.readDirs(table, kept,
-      entries.exists(_.isInstanceOf[PartColsEntry])))
+    else {
+      // the pruned read bypasses readLog, so deletion vectors must
+      // apply here too — a zone-map read must never resurrect
+      // MOR-deleted rows (the interval stays a sound over-approximation
+      // after deletes; only visibility needs re-checking)
+      val dvDirs = entries.collect { case DvEntry(d) => d }
+      val raw = store.readDirs(table, kept,
+        entries.exists(_.isInstanceOf[PartColsEntry]),
+        decorate = if (dvDirs.isEmpty) identity else store.dvStamp)
+      exact(if (dvDirs.isEmpty) raw else store.applyDv(table, dvDirs, raw))
+    }
   }
 
   /** The dirs [[readRange]] would open — the spec/monitoring probe
