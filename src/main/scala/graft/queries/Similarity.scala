@@ -746,7 +746,59 @@ object Similarity extends QueryPack {
     assign(c2).select(col("vec_id"), col("cluster"), round(col("d2"), 6).as("d2"))
   }
 
+  /** Chunking for ann10: the 64-dim embedding viewed as 4 "token"
+    * sub-vectors of 16 dims — the late-interaction data model with the
+    * fixture's single-vector table. */
+  private val MsChunks = 4
+  private val MsDim = 16
+  private val MsCands = 25 // candidates per probe entering the rerank
+
+  /** ann10 — late-interaction MaxSim rerank (the ColBERT scoring model,
+    * Khattab & Zaharia SIGIR'20): stage 1 generates candidates by
+    * whole-vector cosine (the ann1 shape here; in production the stored
+    * IVF index, ann6, feeds this stage), stage 2 re-scores each
+    * (probe, candidate) pair with MaxSim over token-level vectors —
+    * score = Σ_i max_j cos(p_i, c_j). The rerank is ONE within-row
+    * expression over the two arrays (16 chunk dots + 8 norms, fixed
+    * left-to-right folds → bit-identical across engines; the sum and
+    * `greatest` orders are literal): no row explosion, cost ∝
+    * candidates — so at 100 TB the expensive part stays the
+    * index-bounded candidate gen, and the rerank rides along map-side. */
+  private def ann10(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFns.register(s)
+    val e = t(s, d, "embeddings")
+    val probes = e.filter(col("vec_id") < NPROBES)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("vp"),
+        expr("sqrt(graft_dot_f(embedding, embedding))").as("np"))
+    val corpus = e.repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("vn"),
+        expr("sqrt(graft_dot_f(embedding, embedding))").as("nn"))
+    val wCos = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    val cands = broadcast(probes)
+      .join(corpus, col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", expr("graft_dot_f(vp, vn) / (np * nn)"))
+      .withColumn("crank", row_number().over(wCos))
+      .filter(col("crank") <= MsCands)
+    def chunk(v: String, i: Int) = s"slice($v, ${MsDim * i + 1}, $MsDim)"
+    def chunkCos(i: Int, j: Int) =
+      s"graft_dot_f(${chunk("vp", i)}, ${chunk("vn", j)}) / " +
+        s"(sqrt(graft_dot_f(${chunk("vp", i)}, ${chunk("vp", i)})) * " +
+        s"sqrt(graft_dot_f(${chunk("vn", j)}, ${chunk("vn", j)})))"
+    val maxsim = (0 until MsChunks).map { i =>
+      s"greatest(${(0 until MsChunks).map(j => chunkCos(i, j)).mkString(", ")})"
+    }.mkString(" + ")
+    val wMs = Window.partitionBy(col("probe_id"))
+      .orderBy(col("maxsim").desc, col("neighbor_id").asc)
+    cands.withColumn("maxsim", expr(maxsim))
+      .withColumn("rank", row_number().over(wMs).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("probe_id"), col("neighbor_id"),
+        round(col("maxsim"), 6).as("maxsim"), col("rank"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann10_maxsim_rerank" -> (ann10 _),
     "km1_kmeans_assign" -> (km1 _),
     "ann8_hybrid_rrf" -> (ann8 _),
     "ann9_incremental_index" -> (ann9 _),
@@ -841,6 +893,47 @@ object Similarity extends QueryPack {
        WHERE rank <= $K"""
 
   override val oracles: Map[String, String] = Map(
+    // same candidate stage as ann1's proven oracle; the MaxSim rerank
+    // mirrors the Spark expression term-for-term — DuckDB 1-based
+    // inclusive slices vp[a:b] ≡ Spark slice(vp, a, len), and the sum /
+    // greatest orders are the same literals, so the doubles match
+    // bit-for-bit before the 6-decimal rounding
+    "ann10_maxsim_rerank" -> {
+      def chunk(v: String, i: Int) =
+        s"$v[${MsDim * i + 1}:${MsDim * (i + 1)}]"
+      def chunkCos(i: Int, j: Int) =
+        s"list_dot_product(${chunk("vp", i)}, ${chunk("vn", j)}) / " +
+          s"(sqrt(list_dot_product(${chunk("vp", i)}, ${chunk("vp", i)})) * " +
+          s"sqrt(list_dot_product(${chunk("vn", j)}, ${chunk("vn", j)})))"
+      val maxsim = (0 until MsChunks).map { i =>
+        s"greatest(${(0 until MsChunks).map(j => chunkCos(i, j)).mkString(", ")})"
+      }.mkString(" + ")
+      s"""WITH e AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[]))) AS nrm
+           FROM embeddings),
+         cand AS (
+           SELECT probe_id, neighbor_id, vp, vn,
+                  row_number() OVER (PARTITION BY probe_id
+                    ORDER BY cos_sim DESC, neighbor_id ASC) AS crank
+           FROM (
+             SELECT p.vec_id AS probe_id, n.vec_id AS neighbor_id,
+                    p.v AS vp, n.v AS vn,
+                    list_dot_product(p.v, n.v) / (p.nrm * n.nrm) AS cos_sim
+             FROM e p JOIN e n ON p.vec_id != n.vec_id
+             WHERE p.vec_id < $NPROBES)),
+         scored AS (
+           SELECT probe_id, neighbor_id, $maxsim AS maxsim
+           FROM cand WHERE crank <= $MsCands)
+         SELECT probe_id, neighbor_id, round(maxsim, 6) AS maxsim, rank
+         FROM (
+           SELECT probe_id, neighbor_id, maxsim,
+                  row_number() OVER (PARTITION BY probe_id
+                    ORDER BY maxsim DESC, neighbor_id ASC) AS rank
+           FROM scored)
+         WHERE rank <= $K"""
+    },
     // the same two assignment passes, distances as list_reduce left
     // folds over a 0.0-prepended term list (≡ Spark aggregate's seeded
     // left fold), centroid means from micro-fixed BIGINT sums
