@@ -460,7 +460,33 @@ object AdminQueries extends QueryPack {
     st.read("t17")
   }
 
+  /** adm18 — PARTITION EVOLUTION (the Iceberg headline feature,
+    * [[graft.store.TableStore.evolvePartitioning]]): re-partition a
+    * table for all FUTURE writes in one metadata-only commit — zero
+    * data moved, so the same operation costs the same at 100 TB. Old
+    * dirs keep and read under the layout they were written in; a
+    * post-evolution insert lands in the new layout; a COW delete
+    * touching BOTH vintages rewrites its rows into the current layout.
+    * The gate runs that full sequence and returns the final table —
+    * visibility semantics under a full oracle; the physical contract
+    * (zero-move evolve, per-vintage dir layouts, fold migration,
+    * compaction fences) is PartitionEvolutionSpec. */
+  private def adm18(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s)
+    val base = t(s, d, "orders").select(
+      col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+      expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+    st.createPartitioned("t18", base.filter(col("o_orderkey") % 2 === 0),
+      Seq("o_orderstatus"))
+    st.evolvePartitioning("t18", Seq("o_orderpriority"))
+    st.insert("t18", base.filter(col("o_orderkey") % 2 === 1))
+    st.delete("t18", col("cents") % 9 === 4)
+    st.read("t18")
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority", "cents")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "adm18_partition_evolution" -> (adm18 _),
     "adm17_deletion_vectors" -> (adm17 _),
     "adm16_table_profile" -> (adm16 _),
     "j14_dpp_partition_join" -> (j14 _),
@@ -493,6 +519,11 @@ object AdminQueries extends QueryPack {
        FROM orders WHERE o_orderkey % 10 = 1"""
 
   override val oracles: Map[String, String] = Map(
+    "adm18_partition_evolution" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+         FROM orders
+         WHERE NOT (CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) % 9 = 4)""",
     "adm17_deletion_vectors" ->
       """WITH base AS (
            SELECT o_orderkey, o_orderstatus,

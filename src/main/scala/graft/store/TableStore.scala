@@ -252,7 +252,6 @@ final class TableStore(val spark: SparkSession, val root: String) {
     * existed. */
   private[store] def readLog(table: String, entries: Seq[ManifestEntry],
       decorate: DataFrame => DataFrame = identity): DataFrame = {
-    val partitioned = entries.exists(_.isInstanceOf[PartColsEntry])
     val dvs = entries.collect { case DvEntry(d) => d }
     // deletion vectors suppress physical rows: stamp every raw scan
     // with its (file, row_index) identity BEFORE the caller's decorate
@@ -265,19 +264,24 @@ final class TableStore(val spark: SparkSession, val root: String) {
       else df => decorate(dvStamp(df))
     var acc: Option[DataFrame] = None
     var run = Vector.empty[String]
+    var layout: Seq[String] = Nil // in effect for the dirs in `run`
     def flushRun(): Unit = if (run.nonEmpty) {
-      val batch = readDirs(table, run, partitioned, dec)
+      val batch = readDirs(table, run, layout.nonEmpty, dec)
       acc = Some(acc.fold(batch)(_.unionByName(batch)))
       run = Vector.empty
     }
     entries.foreach {
       case DataDir(d) => run :+= d
       case OpEntry(op) => flushRun(); acc = acc.map(op.apply)
-      // a table property, not a log op: dirs around it stay one run.
-      // Reading partitioned dirs needs no special handling — each dir
-      // is its own discovery root, so `col=value/` subdirs surface the
-      // partition column in every run's scan
-      case PartColsEntry(_) => ()
+      // a layout line applies to the dirs AFTER it (partition
+      // evolution): earlier dirs must read under THEIR layout, so the
+      // run flushes here. The legacy shape — one line, first — flushes
+      // an empty run, i.e. behaves exactly as before. Reading a
+      // partitioned run needs no other handling: each dir is its own
+      // discovery root, `col=value/` subdirs surface the partition
+      // column in every scan, and unionByName reconciles the vintages'
+      // column orders
+      case PartColsEntry(cs) => flushRun(); layout = cs
       case PropsEntry(_) => ()
       // visibility metadata, not data: dirs around it stay one run
       case DvEntry(_) => ()
@@ -406,7 +410,7 @@ final class TableStore(val spark: SparkSession, val root: String) {
 
   /** The partition columns `name` was created with (empty = unpartitioned). */
   def partitionColumns(name: String): Seq[String] =
-    currentEntries(name).collectFirst { case PartColsEntry(cs) => cs }.getOrElse(Nil)
+    TableStore.currentLayout(currentEntries(name))
 
   /** Table properties pinned at creation (layout parameters the data
     * bakes in — see [[PropsEntry]]); empty when none were recorded. */
@@ -627,6 +631,10 @@ final class TableStore(val spark: SparkSession, val root: String) {
   /** Size-aware tail compaction — see [[Txn.compact]]. */
   def compact(name: String, smallBytes: Long = Long.MaxValue): CompactStats =
     transaction(_.compact(name, smallBytes))
+
+  /** Partition evolution — see [[Txn.evolvePartitioning]]. */
+  def evolvePartitioning(name: String, cols: Seq[String]): Unit =
+    transaction(_.evolvePartitioning(name, cols))
 
   /** On-disk bytes of one data dir (driver-side filesystem metadata —
     * vacuum's scale class: proportional to file count, never data). */
@@ -1047,8 +1055,8 @@ final class Txn(store: TableStore) {
     * table doesn't exist yet) — every write path consults it so a
     * partitioned table can never silently gain unpartitioned dirs. */
   private def partColsOf(name: String): Seq[String] =
-    manifestOf(name).map(m => store.readEntries(name, m)).getOrElse(Seq.empty)
-      .collectFirst { case PartColsEntry(cs) => cs }.getOrElse(Nil)
+    TableStore.currentLayout(
+      manifestOf(name).map(m => store.readEntries(name, m)).getOrElse(Seq.empty))
 
   private def propsOf(name: String): Map[String, String] =
     manifestOf(name).map(m => store.readEntries(name, m)).getOrElse(Seq.empty)
@@ -1101,8 +1109,10 @@ final class Txn(store: TableStore) {
     entries.foreach {
       case DataDir(_) => if (!inRun) { runs += 1; inRun = true }
       case OpEntry(_) => inRun = false
+      // a layout line splits a read run too (partition evolution)
+      case PartColsEntry(_) => inRun = false
       // property/visibility lines — don't split a run
-      case PartColsEntry(_) | PropsEntry(_) | DvEntry(_) => ()
+      case PropsEntry(_) | DvEntry(_) => ()
     }
     runs
   }
@@ -1116,7 +1126,7 @@ final class Txn(store: TableStore) {
       case Some(m) => store.readEntries(name, m)
       case None => Seq.empty
     }
-    val cols = entries.collectFirst { case PartColsEntry(cs) => cs }.getOrElse(Nil)
+    val cols = TableStore.currentLayout(entries)
     // appended AFTER every op line: the new files carry the current
     // logical schema, so no op ever re-applies to them on read
     val newDir = DataDir(store.writeData(name, rows, cols))
@@ -1157,11 +1167,15 @@ final class Txn(store: TableStore) {
     props.get(ZoneMaps.ColsProp).foreach { cs =>
       val cols = cs.split(',').toSeq.filter(_.nonEmpty)
       val entries = entriesOf(name)
-      val partitioned = entries.exists(_.isInstanceOf[PartColsEntry])
+      // per-dir layout: an evolved table mixes vintages, and reading a
+      // dir under the wrong flag either loses its partition column or
+      // fails discovery
+      val layouts = TableStore.dirLayouts(entries)
       val missing = entries.collect { case DataDir(d) => d }
         .filter(d => !cols.forall(c => props.contains(ZoneMaps.statKey(d, c))))
       val add = missing.flatMap(d =>
-        ZoneMaps.statsFor(store, name, d, cols, partitioned)).toMap
+        ZoneMaps.statsFor(store, name, d, cols,
+          layouts.getOrElse(d, Nil).nonEmpty)).toMap
       if (add.nonEmpty) mergeProps(name, add)
     }
   }
@@ -1184,7 +1198,12 @@ final class Txn(store: TableStore) {
   def compact(name: String, smallBytes: Long = Long.MaxValue): CompactStats = {
     val entries = entriesOf(name)
     val cols = partColsOf(name)
-    val lastOp = entries.lastIndexWhere(_.isInstanceOf[OpEntry])
+    // folding never crosses an op line (ops apply to the dirs before
+    // them) NOR a layout line (a pre-evolution dir moved past it would
+    // be read under the wrong partitioning) — so the foldable tail is
+    // uniformly in the CURRENT layout
+    val lastOp = entries.lastIndexWhere(e =>
+      e.isInstanceOf[OpEntry] || e.isInstanceOf[PartColsEntry])
     val (prefix, tail) = entries.splitAt(lastOp + 1)
     val tailDirs = tail.collect { case e: DataDir => e }
     val (small, big) = tailDirs.partition(e =>
@@ -1209,6 +1228,24 @@ final class Txn(store: TableStore) {
     }
   }
 
+  /** PARTITION EVOLUTION (the Iceberg headline feature, re-based on the
+    * manifest log): append a layout line changing the partitioning of
+    * all FUTURE writes — metadata-only, zero data moved, so evolving a
+    * 100 TB table is one manifest commit. Dirs already written keep the
+    * layout they were written under (each reads under its own vintage;
+    * a filter on the new column dir-prunes only new-vintage dirs — the
+    * Iceberg behavior); any whole-log rewrite (migrate, the vintage
+    * fold) migrates history to the current layout as a side effect. */
+  def evolvePartitioning(name: String, cols: Seq[String]): Unit = {
+    val entries = entriesOf(name)
+    val schema = store.readLog(name, entries).columns.toSet
+    require(cols.forall(schema),
+      s"partition cols ${cols.mkString(",")} must exist on $name")
+    require(cols != TableStore.currentLayout(entries),
+      s"$name already partitioned by ${cols.mkString(",")}")
+    pending += name -> store.writeTableManifest(name, entries :+ PartColsEntry(cols))
+  }
+
   /** Metadata-only alter: append op lines to the log. Validated against
     * the current logical schema so a bad op fails at commit, not at the
     * next read. */
@@ -1219,8 +1256,7 @@ final class Txn(store: TableStore) {
     // dirs) and every write path's partitionBy — renaming, dropping, or
     // casting one would commit fine and then wedge every subsequent
     // write (writeData repartitions by the stale PartColsEntry name)
-    val partCols = entries.collectFirst { case PartColsEntry(cs) => cs }
-      .getOrElse(Nil).toSet
+    val partCols = TableStore.currentLayout(entries).toSet
     ops.foreach {
       case DropCol(c) if partCols(c) => throw new IllegalArgumentException(
         s"cannot drop partition column $c of $name (layout-defining)")
@@ -1311,8 +1347,9 @@ final class Txn(store: TableStore) {
       case (false, None) => None
     }
     // untouched entries keep their log positions; the new dir appends
-    // after every op line (it is already in the logical schema)
-    val cols = entries.collectFirst { case PartColsEntry(cs) => cs }.getOrElse(Nil)
+    // after every op line (it is already in the logical schema AND the
+    // current partition layout)
+    val cols = TableStore.currentLayout(entries)
     pending += name -> store.writeTableManifest(name,
       entries.filter {
         case DataDir(d) => !touched(d)
@@ -1479,7 +1516,7 @@ final class Txn(store: TableStore) {
       case DataDir(d) => touched(d)
       case _ => true
     }
-    val cols = entries.collectFirst { case PartColsEntry(cs) => cs }.getOrElse(Nil)
+    val cols = TableStore.currentLayout(entries)
     val rebuilt =
       if (touched.isEmpty) None
       else Some(DataDir(store.writeData(name,
@@ -1531,6 +1568,28 @@ object TableStore {
     * read path otherwise unions one small parquet scan per MOR delete
     * ever issued. Folding cost ∝ total deleted rows, never table size. */
   private[graft] val MaxDvEntries = 8
+
+  /** The partition layout in effect for NEW writes: the LAST
+    * `@partcols` line of the log. Partition evolution appends layout
+    * lines positionally — each data dir keeps the layout that was in
+    * effect when it was written (see [[Txn.evolvePartitioning]]) — so
+    * "the table's partitioning" for write paths means the newest one. */
+  private[store] def currentLayout(entries: Seq[ManifestEntry]): Seq[String] =
+    entries.collect { case PartColsEntry(cs) => cs }.lastOption.getOrElse(Nil)
+
+  /** Per-data-dir partition layout: the last `@partcols` line logged
+    * BEFORE the dir. Legacy single-layout manifests carry the line
+    * first, so every dir resolves to it — unchanged semantics. */
+  private[store] def dirLayouts(entries: Seq[ManifestEntry]): Map[String, Seq[String]] = {
+    var layout: Seq[String] = Nil
+    val m = Map.newBuilder[String, Seq[String]]
+    entries.foreach {
+      case PartColsEntry(cs) => layout = cs
+      case DataDir(d) => m += d -> layout
+      case _ => ()
+    }
+    m.result()
+  }
 }
 
 object Txn {

@@ -93,6 +93,12 @@ object ZoneMaps {
       df.filter(col(column).cast("long").between(lo, hi))
     val entries = store.currentEntries(table)
     if (entries.exists(_.isInstanceOf[OpEntry])) return exact(store.read(table))
+    // a mid-evolution table mixes partition layouts; the single-flag
+    // pruned read below would read some vintage under the wrong layout.
+    // Fall back to the full (correct, unpruned) read — the next fold /
+    // migrate collapses the history and pruning resumes
+    if (entries.count(_.isInstanceOf[PartColsEntry]) > 1)
+      return exact(store.read(table))
     val props = entries.collectFirst { case PropsEntry(ps) => ps }
       .getOrElse(Map.empty)
     val dirs = entries.collect { case DataDir(d) => d }
