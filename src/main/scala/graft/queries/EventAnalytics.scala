@@ -154,7 +154,45 @@ object EventAnalytics extends QueryPack {
         col("n_prev"), col("num"), col("den"))
   }
 
+  /** ev10 — row-pattern detection by gaps-and-islands (the batch form
+    * of MATCH_RECOGNIZE / CEP "drawdown" queries — Trino/Flink ship the
+    * former, this is the same semantics in three window passes):
+    * maximal runs of STRICTLY DECREASING value per user, kept when the
+    * run spans ≥ 4 events, emitting run length and endpoint values.
+    * Islands are the classic construction — `lag` marks decreases, a
+    * running sum of run-breaks numbers the islands, and per-island
+    * row_number picks the endpoints. All three windows key on user_id
+    * (the island window's (user, island) clustering is satisfied by
+    * the user_id hash partitioning — subset clustering), so the whole
+    * detection is ONE exchange, plan-audited. Values compare in milli
+    * fixed-point BIGINT — run boundaries can't flip on a ulp. */
+  private def ev10(s: SparkSession, d: String): DataFrame = {
+    val wu = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("tns"), col("event_id"))
+    val wi = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "island").orderBy(col("tns"), col("event_id"))
+    val marked = ev(s, d)
+      .select(col("user_id"), col("event_id"), col("tns"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("vmilli"))
+      .withColumn("brk",
+        when(col("vmilli") < lag("vmilli", 1).over(wu), lit(0L)).otherwise(lit(1L)))
+      .withColumn("island", sum("brk").over(wu))
+    marked
+      .withColumn("rn", row_number().over(wi))
+      .withColumn("n_run", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id", "island")))
+      .filter(col("n_run") >= 4)
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("min_event"),
+        max(when(col("rn") === 1, col("vmilli"))).as("start_vmilli"),
+        max(when(col("rn") === col("n_run"), col("vmilli"))).as("end_vmilli"))
+      .select(col("user_id"), col("n_events"), col("min_event"),
+        col("start_vmilli"), col("end_vmilli"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev10_pattern_islands" -> (ev10 _),
     "ev5_funnel" -> (ev5 _),
     "ev6_retention" -> (ev6 _),
     "ev7_ewma_decay" -> (ev7 _),
@@ -163,6 +201,32 @@ object EventAnalytics extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    "ev10_pattern_islands" ->
+      """WITH e AS (
+           SELECT user_id, event_id,
+                  epoch_ns(CAST(ts AS TIMESTAMP)) AS tns,
+                  CAST(floor(value * 1000) AS BIGINT) AS vmilli
+           FROM events),
+         m AS (
+           SELECT *, CASE WHEN vmilli < lag(vmilli) OVER
+                    (PARTITION BY user_id ORDER BY tns, event_id)
+                  THEN 0 ELSE 1 END AS brk
+           FROM e),
+         i AS (
+           SELECT *, sum(brk) OVER
+                    (PARTITION BY user_id ORDER BY tns, event_id) AS island
+           FROM m),
+         r AS (
+           SELECT *, row_number() OVER
+                    (PARTITION BY user_id, island
+                     ORDER BY tns, event_id) AS rn,
+                  count(*) OVER (PARTITION BY user_id, island) AS n_run
+           FROM i)
+         SELECT user_id, count(*) AS n_events, min(event_id) AS min_event,
+                max(CASE WHEN rn = 1 THEN vmilli END) AS start_vmilli,
+                max(CASE WHEN rn = n_run THEN vmilli END) AS end_vmilli
+         FROM r WHERE n_run >= 4
+         GROUP BY user_id, island""",
     "ev9_anomaly_zscore" ->
       """WITH e AS (
            SELECT user_id, event_id,

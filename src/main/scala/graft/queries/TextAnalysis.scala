@@ -576,7 +576,30 @@ object TextAnalysis extends QueryPack {
     }.reduce(_ unionByName _)
   }
 
+  /** tx18 — sliding-window document chunking (the RAG / long-context
+    * training staple: fixed-size overlapping token windows per doc —
+    * window 32 tokens, stride 24, so consecutive chunks share 8).
+    * Map-only per doc: tokenize once, explode the chunk index range
+    * (`(n-9) div 24` integer math — no float ceil), slice the token
+    * array per index (slice truncates at the tail, the short last
+    * chunk). Emits md5 of each chunk text so the gate's output stays
+    * row-per-chunk without shipping the corpus twice; zero exchanges
+    * before the harness's own collect (plan-audited no-shuffle like
+    * the tx1 family). */
+  private def tx18(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        split(trim(col("text")), "\\s+").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("k", explode(sequence(lit(0),
+        when(col("n") <= 32, lit(0))
+          .otherwise(expr("(n - 9) DIV 24").cast("int")))))
+      .select(col("doc_id"), col("k").cast("long").as("chunk_id"),
+        expr("size(slice(toks, k * 24 + 1, 32))").cast("long").as("n_tokens"),
+        md5(expr("array_join(slice(toks, k * 24 + 1, 32), ' ')")).as("chunk_md5"))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx18_chunking" -> (tx18 _),
     "tx17_phrase_search" -> (tx17 _),
     "tx16_blocklist_filter" -> (tx16 _),
     "tx15_tfidf_keywords" -> (tx15 _),
@@ -615,6 +638,21 @@ object TextAnalysis extends QueryPack {
     .mkString(",\n           ")
 
   override val oracles: Map[String, String] = Map(
+    "tx18_chunking" ->
+      """WITH tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents),
+         c AS (
+           SELECT doc_id, toks, len(toks) AS n,
+                  unnest(range(0, CASE WHEN len(toks) <= 32 THEN 1
+                    ELSE ((len(toks) - 9) // 24) + 1 END)) AS k
+           FROM tk)
+         SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+                CAST(len(toks[k*24 + 1 : least(k*24 + 32, n)]) AS BIGINT)
+                  AS n_tokens,
+                md5(array_to_string(toks[k*24 + 1 : least(k*24 + 32, n)], ' '))
+                  AS chunk_md5
+         FROM c""",
     "tx17_phrase_search" -> {
       val branches = PhraseQueries.map { q =>
         val ws = q.split(" ")

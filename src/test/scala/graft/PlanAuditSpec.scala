@@ -355,6 +355,20 @@ class PlanAuditSpec extends SparkSpec {
       s"6-way count(distinct) should plan as one Expand over one scan:\n$p")
   }
 
+  test("ev10 pattern islands: three windows + aggregate, ONE user-keyed exchange") {
+    val df = graft.queries.EventAnalytics.queries("ev10_pattern_islands")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val shuffles = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(shuffles.size == 1 && shuffles.head.contains("user_id"),
+      s"(user, island) windows must reuse the user_id partitioning:\n$p")
+  }
+
+  test("tx18 chunking is map-only: no exchange anywhere in the plan") {
+    val df = graft.queries.TextAnalysis.queries("tx18_chunking")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+  }
+
   test("ev9 anomaly window shuffles once, keyed by user_id") {
     val df = graft.queries.EventAnalytics.queries("ev9_anomaly_zscore")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
