@@ -36,5 +36,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(new graft.plans.ConfiguredMvRewrite(_))
     ext.injectOptimizerRule(new graft.plans.ConfiguredJvRewrite(_))
     ext.injectOptimizerRule(new graft.plans.ConfiguredFkJoinElim(_))
+    ext.injectOptimizerRule(new graft.plans.ConfiguredDistinctElim(_))
   }
 }

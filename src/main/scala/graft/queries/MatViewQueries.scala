@@ -342,9 +342,44 @@ query AddExam(student: string, score: int)
     } finally graft.plans.FkJoinElim.uninstall(s, rule)
   }
 
+  /** mv11 — UNIQUE-proven DISTINCT elimination
+    * ([[graft.plans.DistinctElim]], the fourth transparent rewrite):
+    * `SELECT DISTINCT key, col…` over a table whose validated UNIQUE
+    * key ⊆ the distinct columns is the identity — the rule drops the
+    * aggregate AND its shuffle. The fixture grows the table through
+    * admission control (watermark chain reaches the current manifest);
+    * the gate REFUSES to answer from a plan still containing an
+    * Aggregate or Exchange, and the oracle states the DISTINCT query —
+    * so "every row already unique" is externally verified. */
+  private def mv11(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s)
+    val ord = t(s, d, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    st.create("t11", ord.filter(col("o_orderkey") % 3 === 0))
+    graft.store.CheckConstraints.declareUnique(st, "t11",
+      "t11_pk", Seq("o_orderkey"))
+    graft.store.CheckConstraints.insert(st, "t11",
+      ord.filter(col("o_orderkey") % 3 =!= 0))
+    val rule = graft.plans.DistinctElim.install(s, st)
+    try {
+      val q = st.read("t11")
+        .filter(col("o_orderstatus") =!= "X")
+        .select("o_orderkey", "o_custkey").distinct()
+      val aggs = q.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+      require(aggs.isEmpty,
+        s"mv11: distinct elimination did not engage:\n${q.queryExecution.optimizedPlan}")
+      require(!q.queryExecution.executedPlan.toString.contains("Exchange"),
+        "mv11: the shuffle must disappear with the aggregate")
+      q.localCheckpoint()
+    } finally graft.plans.DistinctElim.uninstall(s, rule)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mv9_join_rewrite" -> (mv9 _),
     "mv10_fk_join_elim" -> (mv10 _),
+    "mv11_distinct_elim" -> (mv11 _),
     "mv8_chained_view" -> (mv8 _),
     "mv1_incremental_agg" -> (mv1 _),
     "mv2_incremental_delete" -> (mv2 _),
@@ -356,6 +391,9 @@ query AddExam(student: string, score: int)
   )
 
   override val oracles: Map[String, String] = Map(
+    "mv11_distinct_elim" ->
+      """SELECT DISTINCT o_orderkey, o_custkey
+         FROM orders WHERE o_orderstatus != 'X'""",
     "mv9_join_rewrite" ->
       """SELECT o.o_custkey, o.o_orderkey, o.o_orderstatus, c.c_mktsegment
          FROM orders o

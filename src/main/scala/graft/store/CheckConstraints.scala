@@ -367,6 +367,32 @@ object CheckConstraints {
     * commit since the last full validation went through admission
     * control). Consulted by [[graft.plans.FkJoinElim]] per candidate
     * join; cost is two driver-side reads of constraint-sized tables. */
+  /** True iff a `DISTINCT` (or group-only aggregate) over `cols` of
+    * `table` is PROVEN to be the identity right now: a declared UNIQUE
+    * whose key set is a SUBSET of `cols` is valid at the table's
+    * CURRENT manifest. Sound for NULL keys too — the store's UNIQUE
+    * groups NULLs together (at most one NULL-key row can ever
+    * validate), matching DISTINCT's null-equality. Consulted by
+    * [[graft.plans.DistinctElim]]; cost is two driver-side reads of
+    * constraint-sized tables. */
+  def uniqueDistinctReady(store: TableStore, table: String,
+      cols: Set[String]): Boolean = {
+    if (!store.exists(RegistryT) || !store.exists(ValidT)) false
+    else store.currentManifestName(table) match {
+      case Some(m) =>
+        val mem = store.read(ValidT).collect().map(r =>
+          r.getAs[String]("constraint_name") -> r.getAs[String]("manifest"))
+          .toMap
+        store.read(RegistryT).collect().exists { r =>
+          r.getAs[String]("kind") == "unique" &&
+            r.getAs[String]("base_table") == table &&
+            r.getAs[String]("detail").split('\t').toSet.subsetOf(cols) &&
+            mem.get(r.getAs[String]("constraint_name")).contains(m)
+        }
+      case None => false
+    }
+  }
+
   def fkEliminationReady(store: TableStore, fact: String, dim: String,
       pairs: Seq[(String, String)]): Boolean = {
     if (!store.exists(RegistryT) || !store.exists(ValidT)) false
