@@ -485,7 +485,40 @@ object AdminQueries extends QueryPack {
       .select("o_orderkey", "o_orderstatus", "o_orderpriority", "cents")
   }
 
+  /** adm19 — row-level CHANGE FEED + CDC replay
+    * ([[TableStore.changeFeed]], the Delta CDF shape): a window holding
+    * inserts AND a merge-on-read delete streams as `_change_type`
+    * insert/delete rows — deletes resolved from the window's NEW
+    * deletion-vector rows (row-level diff, fold-proof), inserts raw
+    * new-dir rows — and a replica replaying the feed (insert +
+    * [[TableStore.deleteMorMatching]]) converges to the source. The
+    * gate returns BOTH sides tagged, so a feed that missed a delete,
+    * duplicated an insert, or fabricated a delta hash-mismatches.
+    * adm13 keeps the insert-only fast path; `changesSince` now refuses
+    * MOR windows outright (CdcFeedSpec) — silent replica divergence is
+    * the failure mode this closes. */
+  private def adm19(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s)
+    val base = t(s, d, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+    st.create("src", base.filter(col("o_orderkey") % 3 === 0))
+    st.create("rep", st.read("src"))
+    st.insert("src", base.filter(col("o_orderkey") % 3 === 1))
+    st.deleteMor("src", col("cents") % 7 === 2)
+    st.insert("src", base.filter(col("o_orderkey") % 3 === 2))
+    val feed = st.changeFeed("src", 3).localCheckpoint()
+    st.insert("rep",
+      feed.filter(col("_change_type") === "insert").drop("_change_type"))
+    st.deleteMorMatching("rep",
+      feed.filter(col("_change_type") === "delete").drop("_change_type"),
+      Seq("o_orderkey"))
+    st.read("src").withColumn("side", lit("src"))
+      .unionByName(st.read("rep").withColumn("side", lit("replica")))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "adm19_change_feed" -> (adm19 _),
     "adm18_partition_evolution" -> (adm18 _),
     "adm17_deletion_vectors" -> (adm17 _),
     "adm16_table_profile" -> (adm16 _),
@@ -519,6 +552,19 @@ object AdminQueries extends QueryPack {
        FROM orders WHERE o_orderkey % 10 = 1"""
 
   override val oracles: Map[String, String] = Map(
+    "adm19_change_feed" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM orders),
+         live AS (
+           SELECT * FROM base
+           WHERE o_orderkey % 3 IN (0, 1) AND NOT (cents % 7 = 2)
+           UNION ALL
+           SELECT * FROM base WHERE o_orderkey % 3 = 2)
+         SELECT *, 'src' AS side FROM live
+         UNION ALL
+         SELECT *, 'replica' AS side FROM live""",
     "adm18_partition_evolution" ->
       """SELECT o_orderkey, o_orderstatus, o_orderpriority,
                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents

@@ -246,6 +246,23 @@ object CheckConstraints {
       }
     }
 
+  /** [[restrictDelete]] for row-SET deletes (the CDC-apply path, where
+    * the victims arrive as a frame, not a predicate): same referential
+    * RESTRICT over the already-computed removed rows. */
+  def restrictDeleteRows(tx: Txn, table: String,
+      removed: org.apache.spark.sql.DataFrame): Unit =
+    fkRows(tx).foreach { case (name, factTable, keys, refTable, refCols) =>
+      if (refTable == table && tx.exists(factTable)) {
+        val removedKeys = removed.select(refCols.map(col): _*).distinct()
+        val fact = tx.read(factTable)
+        val on = keys.zip(refCols).map { case (k, r) =>
+          fact(k) === removedKeys(r) }.reduce(_ && _)
+        val referenced = fact.join(removedKeys, on, "left_semi").count()
+        if (referenced > 0)
+          throw new CheckViolation(table, name, referenced)
+      }
+    }
+
   /** Admission control for the UPDATE path: validate the POST-image of
     * the matched rows against every declared constraint BEFORE the COW
     * rewrite commits, plus set-level referential RESTRICT when an

@@ -716,6 +716,19 @@ final class TableStore(val spark: SparkSession, val root: String) {
         "append-only over this window, so the delta cannot be expressed " +
         "as added rows; read full versions (readVersion) and diff, or " +
         "narrow the window")
+    // merge-on-read deletes don't rewrite dirs, but they still remove
+    // rows — an insert-only feed would silently diverge a replica.
+    // Tombstones only ever arrive via NEW @dv dirs (applyDeletes also
+    // rewrites, caught above), so an unchanged vector set proves the
+    // window really is insert-only.
+    val oldDvs: Set[String] = readStoreManifest(vs(versionsBack)).get(name)
+      .map(m => readEntries(name, m).collect { case DvEntry(d) => d }.toSet)
+      .getOrElse(Set.empty)
+    val curDvs = cur.collect { case DvEntry(d) => d }.toSet
+    if (oldDvs != curDvs) throw new IllegalArgumentException(
+      s"changesSince($name, $versionsBack): rows were deleted " +
+        "merge-on-read in the interval — the delta is not insert-only; " +
+        "use changeFeed for an insert+delete CDC stream")
     val feedEntries = cur.filter {
       case DataDir(d) => !oldDirs.contains(d)
       case _ => true
@@ -726,6 +739,94 @@ final class TableStore(val spark: SparkSession, val root: String) {
       readLog(name, cur).limit(0)
     else readLog(name, feedEntries)
   }
+
+  /** Row-level CHANGE FEED over the last `versionsBack` commits — the
+    * Delta CDF shape: every row tagged `_change_type` `insert` or
+    * `delete`. Inserts are the raw rows of data dirs new in the window
+    * (read WITHOUT tombstone filtering: a row inserted and MOR-deleted
+    * inside the window emits BOTH records, and a consumer applying
+    * inserts-then-deletes converges either way); deletes are the rows
+    * named by deletion-vector entries new in the window, diffed at the
+    * ROW level ((file, pos) EXCEPT), so vector folds — which rewrite
+    * the `@dv` dir names but preserve their rows — don't fabricate
+    * deltas. Copy-on-write rewrites still refuse (their row identity
+    * moved; read full versions and diff) — the MOR path is exactly
+    * what makes a 100 TB CDC stream expressible as metadata-sized
+    * increments. Apply with `insert` + [[Txn.deleteMorMatching]]. */
+  def changeFeed(name: String, versionsBack: Int): DataFrame = {
+    require(versionsBack >= 0, "versionsBack must be >= 0")
+    val vs = versions()
+    require(versionsBack < vs.size,
+      s"store has ${vs.size} retained version(s); cannot go back $versionsBack")
+    val curM = readStoreManifest(vs(0)).getOrElse(name,
+      throw new IllegalArgumentException(s"table $name does not exist at HEAD"))
+    val cur = readEntries(name, curM)
+    val oldEntries: Seq[ManifestEntry] = readStoreManifest(vs(versionsBack))
+      .get(name).map(m => readEntries(name, m)).getOrElse(Seq.empty)
+    val oldDirs = oldEntries.collect { case DataDir(d) => d }.toSet
+    val curDirs = cur.collect { case DataDir(d) => d }
+    val rewritten = oldDirs -- curDirs.toSet
+    if (rewritten.nonEmpty) throw new IllegalArgumentException(
+      s"changeFeed($name, $versionsBack): ${rewritten.size} data dir(s) " +
+        "were rewritten in the interval (copy-on-write) — row identity " +
+        "moved; read full versions (readVersion) and diff, or narrow " +
+        "the window to merge-on-read commits")
+    // inserts: new dirs, raw (strip @dv lines so in-window tombstones
+    // don't pre-filter them; op/property lines carry)
+    val newDirEntries = cur.filter {
+      case DataDir(d) => !oldDirs.contains(d)
+      case _: DvEntry => false
+      case _ => true
+    }
+    val schemaRef = readLog(name, cur.filterNot(_.isInstanceOf[DvEntry]))
+    val inserts =
+      if (!newDirEntries.exists(_.isInstanceOf[DataDir])) schemaRef.limit(0)
+      else readLog(name, newDirEntries)
+    // deletes: tombstone rows new in the window, resolved back to data
+    // rows via the stamped identity
+    val oldDvDirs = oldEntries.collect { case DvEntry(d) => d }
+    val curDvDirs = cur.collect { case DvEntry(d) => d }
+    val newTombstones = (curDvDirs, oldDvDirs) match {
+      case (Nil, _) => None
+      case (c, Nil) => Some(readDirs(name, c).select("file", "pos").distinct())
+      case (c, o) => Some(readDirs(name, c).select("file", "pos")
+        .exceptAll(readDirs(name, o).select("file", "pos")).distinct())
+    }
+    val deletes = newTombstones match {
+      case None => schemaRef.limit(0)
+      case Some(ts) =>
+        val stamped = readLog(name, cur.filterNot(_.isInstanceOf[DvEntry]),
+          decorate = dvStamp)
+        val t = ts.select(col("file").as(TableStore.DvMatchFile),
+          col("pos").as(TableStore.DvMatchPos))
+        stamped.join(t,
+            stamped(TableStore.DvFileCol) === t(TableStore.DvMatchFile) &&
+              stamped(TableStore.DvPosCol) === t(TableStore.DvMatchPos),
+            "left_semi")
+          .drop(TableStore.DvFileCol, TableStore.DvPosCol)
+    }
+    inserts.withColumn("_change_type", lit("insert"))
+      .unionByName(deletes.withColumn("_change_type", lit("delete")))
+  }
+
+  /** Row-set merge-on-read delete — see [[Txn.deleteMorMatching]].
+    * Same constraint/view integration as [[deleteMor]]. */
+  def deleteMorMatching(name: String, keyRows: DataFrame, keys: Seq[String]): Unit =
+    transaction { tx =>
+      val sel = keyRows.select(keys.map(col): _*)
+      val removed = tx.read(name).join(sel, keys, "left_semi").localCheckpoint()
+      try {
+        CheckConstraints.restrictDeleteRows(tx, name, removed)
+        val preCk = tx.manifestName(name)
+        if (MaterializedView.hasRegistered(tx, name)) {
+          val pre = tx.manifestName(name)
+          tx.deleteMorMatching(name, sel, keys)
+          MaterializedView.refreshRegisteredDelete(tx, name, removed, pre)
+        } else tx.deleteMorMatching(name, sel, keys)
+        CheckConstraints.advanceAfterDelete(tx, name, preCk)
+        JoinViews.rebuildRegistered(tx, name)
+      } finally removed.unpersist()
+    }
 
   /** S7 backup/export: write a self-contained snapshot of the table's
     * CURRENT committed state to `destDir` (plain parquet, no manifest —
@@ -1468,7 +1569,21 @@ final class Txn(store: TableStore) {
     * Accumulated vectors past [[TableStore.MaxDvEntries]] fold into one
     * dir in the same commit (cost ∝ total deleted rows) so the read
     * path never unions an unbounded number of vector scans. */
-  def deleteMor(name: String, cond: Column): Unit = {
+  def deleteMor(name: String, cond: Column): Unit =
+    deleteMorWhere(name, _.filter(coalesce(cond, lit(false))))
+
+  /** Row-SET merge-on-read delete: tombstone the rows whose `keys`
+    * match a row of `keyRows` — the CDC-apply primitive (a change
+    * feed's delete rows name their victims by key, not by a predicate
+    * expressible as one Column). Same cost shape as [[deleteMor]]; the
+    * probe is a semi-join against the batch (small side, broadcast). */
+  def deleteMorMatching(name: String, keyRows: DataFrame, keys: Seq[String]): Unit = {
+    val sel = keyRows.select(keys.map(col): _*)
+    deleteMorWhere(name, _.join(sel, keys, "left_semi"))
+  }
+
+  private def deleteMorWhere(name: String,
+      hits: DataFrame => DataFrame): Unit = {
     val entries = entriesOf(name)
     // read through existing vectors (a row deleted twice must not be
     // tombstoned twice) in the LOGICAL schema, carrying each row's
@@ -1477,18 +1592,18 @@ final class Txn(store: TableStore) {
       .withColumn("__mor_file",
         regexp_extract(col("_metadata.file_path"), "^.*/(data-[^/]+/.*)$", 1))
       .withColumn("__mor_pos", col("_metadata.row_index")))
-    val hits = withId.filter(coalesce(cond, lit(false)))
+    val matched = hits(withId)
       .select(col("__mor_file").as("file"), col("__mor_pos").as("pos"))
     val existing = entries.collect { case DvEntry(d) => d }
     if (existing.size + 1 > TableStore.MaxDvEntries) {
       val all = store.readDirs(name, existing)
-        .select(col("file"), col("pos")).unionByName(hits)
+        .select(col("file"), col("pos")).unionByName(matched)
       pending += name -> store.writeTableManifest(name,
         entries.filterNot(_.isInstanceOf[DvEntry]) :+
           DvEntry(store.writeData(name, all)))
     } else
       pending += name -> store.writeTableManifest(name,
-        entries :+ DvEntry(store.writeData(name, hits)))
+        entries :+ DvEntry(store.writeData(name, matched)))
   }
 
   /** Materialize accumulated deletion vectors: rewrite ONLY the data
