@@ -83,7 +83,47 @@ data AttendExam(student: int64, exam: int64, score: int).
           expr("CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT)")
             .as("pc"))))
 
+  /** cq5 — the 6-table TPC-H Q5 shape from LANGUAGE text: revenue per
+    * nation for one region, with the signature Q5 twist that supplier
+    * and customer must share a nation — expressed in the rule body as
+    * the SHARED VARIABLE `n` across `Cust` and `Supp` (conjunctive
+    * joins are where the rule syntax beats SQL for readability). Plan:
+    * region and nation broadcast into the probe side, the three big
+    * joins shuffle on their keys, revenue partial-aggregates map-side
+    * in exact cents. */
+  private def cq5(s: SparkSession, d: String): DataFrame =
+    HeroQL.compileCollection(
+      """data Region(r: int64).
+        |data Nation(n: int64, r: int64, nname: string).
+        |data Cust(c: int64, n: int64).
+        |data Ord(o: int64, c: int64).
+        |data Li(o: int64, sk: int64, pc: int64).
+        |data Supp(sk: int64, n: int64).
+        |""".stripMargin,
+      """collection_query(nname, revenue_c) :-
+           Region(r), Nation(n, r, nname), Cust(c, n), Ord(o, c),
+           Li(o, sk, pc), Supp(sk, n)
+         group_by nname(nname, revenue_c = Sum(pc))
+         order_by_desc revenue_c
+         ;""",
+      Map(
+        "Region" -> t(s, d, "region").filter(col("r_name") === "ASIA")
+          .select(col("r_regionkey").as("r")),
+        "Nation" -> t(s, d, "nation").select(col("n_nationkey").as("n"),
+          col("n_regionkey").as("r"), col("n_name").as("nname")),
+        "Cust" -> t(s, d, "customer")
+          .select(col("c_custkey").as("c"), col("c_nationkey").as("n")),
+        "Ord" -> t(s, d, "orders")
+          .select(col("o_orderkey").as("o"), col("o_custkey").as("c")),
+        "Li" -> t(s, d, "lineitem").select(col("l_orderkey").as("o"),
+          col("l_suppkey").as("sk"),
+          expr("CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT)")
+            .as("pc")),
+        "Supp" -> t(s, d, "supplier")
+          .select(col("s_suppkey").as("sk"), col("s_nationkey").as("n"))))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cq5_tpch_q5_shape" -> (cq5 _),
     "cq1_partition_topk" -> (cq1 _),
     "cq2_where_groupby_count" -> (cq2 _),
     "cq3_having_order_range" -> (cq3 _),
@@ -95,6 +135,19 @@ data AttendExam(student: int64, exam: int64, score: int).
               CAST(floor(l_quantity) AS INTEGER) AS score FROM lineitem"""
 
   override val oracles: Map[String, String] = Map(
+    "cq5_tpch_q5_shape" ->
+      """SELECT n_name AS nname,
+                CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                  * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
+         FROM region
+         JOIN nation ON n_regionkey = r_regionkey
+         JOIN customer ON c_nationkey = n_nationkey
+         JOIN orders ON o_custkey = c_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN supplier ON s_suppkey = l_suppkey
+           AND s_nationkey = c_nationkey
+         WHERE r_name = 'ASIA'
+         GROUP BY n_name""",
     // identical float expression, integer sum, (revenue, key) total order
     "cq4_tpch_q3_shape" ->
       """SELECT o, revenue_c FROM (

@@ -191,8 +191,33 @@ object EventAnalytics extends QueryPack {
         col("start_vmilli"), col("end_vmilli"))
   }
 
+  /** ev11 — LAST-TOUCH ATTRIBUTION (the marketing-analytics staple):
+    * each purchase attributes to the SAME user's latest preceding view
+    * or click within 7 days, else 'unattributed'; conversions and
+    * revenue roll up per channel. The lookup IS the house as-of join
+    * ([[graft.operators.AsOfJoin.asOfMatch]], j9's proven union+running-
+    * frame machinery — one user-keyed exchange, O(n) per key, never a
+    * per-purchase subquery); same-instant touch ties resolve by
+    * max(event_type), pinned identically in the oracle. Exact BIGINT
+    * nano gaps and micro revenue — no float anywhere. */
+  private def ev11(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d).select(col("user_id"), col("event_id"),
+      col("event_type"), col("tns"),
+      expr("CAST(floor(value * 1000000) AS BIGINT)").as("vmicro"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "tns", "vmicro")
+    val touches = e.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("tns"), col("event_type").as("touch"))
+    graft.operators.AsOfJoin.asOfMatch(purchases, touches,
+        "user_id", "tns", "touch",
+        tolerance = Some(lit(7L * 24 * 3600 * 1000000000L)))
+      .groupBy(coalesce(col("asof_touch"), lit("unattributed")).as("channel"))
+      .agg(count(lit(1)).as("n_conv"), sum("vmicro").as("sum_vmicro"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev10_pattern_islands" -> (ev10 _),
+    "ev11_attribution" -> (ev11 _),
     "ev5_funnel" -> (ev5 _),
     "ev6_retention" -> (ev6 _),
     "ev7_ewma_decay" -> (ev7 _),
@@ -201,6 +226,30 @@ object EventAnalytics extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // the correlated scalar lookup states the as-of semantics directly;
+    // same-ts touch ties pre-collapse to max(event_type) exactly as the
+    // operator's right-side dedup does
+    "ev11_attribution" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type,
+                  epoch_ns(CAST(ts AS TIMESTAMP)) AS tns,
+                  CAST(floor(value * 1000000) AS BIGINT) AS vmicro
+           FROM events),
+         p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+         tch AS (
+           SELECT user_id, tns, max(event_type) AS touch
+           FROM e WHERE event_type IN ('view', 'click') GROUP BY 1, 2),
+         m AS (
+           SELECT p.user_id, p.event_id, p.vmicro,
+                  (SELECT t.touch FROM tch t
+                   WHERE t.user_id = p.user_id AND t.tns <= p.tns
+                     AND p.tns - t.tns <= 604800000000000
+                   ORDER BY t.tns DESC LIMIT 1) AS touch
+           FROM p)
+         SELECT coalesce(touch, 'unattributed') AS channel,
+                count(*) AS n_conv,
+                CAST(sum(vmicro) AS BIGINT) AS sum_vmicro
+         FROM m GROUP BY 1""",
     "ev10_pattern_islands" ->
       """WITH e AS (
            SELECT user_id, event_id,
