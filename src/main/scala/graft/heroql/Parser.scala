@@ -791,7 +791,7 @@ object Parser {
     private def pipelineCommand(): Item = {
       val cmd = expectId()
       cmd match {
-        case "@insert" | "@update" | "@remove" =>
+        case "@insert" | "@update" | "@remove" | "@remove_mor" =>
           Mutation(cmd.drop(1), atomItem())
         case "@partition" =>
           expectSym("(")

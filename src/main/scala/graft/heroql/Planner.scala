@@ -1718,6 +1718,32 @@ object HeroQL {
         removed.foreach(
           graft.store.MaterializedView.refreshRegisteredDelete(tx, table, _, preManifest))
         graft.store.JoinViews.rebuildRegistered(tx, table)
+      // `@remove_mor` — identical doom selection to `@remove`, but the
+      // commit writes only a DELETION VECTOR (merge-on-read,
+      // [[graft.store.Txn.deleteMorWhere]]): bytes ∝ doomed rows, zero
+      // data dirs rewritten. The language-level retention purge for
+      // 100 TB tables; views maintain in the same commit like @remove.
+      case "remove_mor" =>
+        val keyPairs = item.atom.args.zip(fields).collect { case (TVar(v), f) => (v, f) }
+        val constCond = item.atom.args.zip(fields).collect {
+          case (TConst(l), f) => col(f) === litOf(l)
+        }.reduceOption(_ && _)
+        val keys = args
+          .select(keyPairs.map { case (v, f) => col(v).cast(fieldType(f)).as(f) }: _*)
+          .distinct()
+        val keyFields = keyPairs.map(_._2)
+        val hit = constCond.map(c => coalesce(c, lit(false)))
+        def doomedM(df: DataFrame): DataFrame =
+          hit.map(df.filter).getOrElse(df).join(keys, keyFields, "left_semi")
+        val preManifestM = tx.manifestName(table)
+        val removedM =
+          if (graft.store.MaterializedView.hasRegistered(tx, table))
+            Some(doomedM(tx.read(table)).localCheckpoint())
+          else None
+        tx.deleteMorWhere(table, doomedM)
+        removedM.foreach(
+          graft.store.MaterializedView.refreshRegisteredDelete(tx, table, _, preManifestM))
+        graft.store.JoinViews.rebuildRegistered(tx, table)
       case "update" =>
         val matchPairs = item.atom.args.zip(fields).collect { case (TVar(v), f) => (v, f) }
         val setPairs = item.atom.args.zip(fields).collect { case (TAtVar(v), f) => (v, f) }

@@ -28,6 +28,10 @@ query UpdateExam(student: string, score: int)
 query RemoveExam(student: string)
 :-  @remove Exams(student, _)
 .
+
+query PurgeExam(student: string)
+:-  @remove_mor Exams(student, _)
+.
 """
 
   private def seed(s: SparkSession, d: String): DataFrame =
@@ -71,6 +75,25 @@ query RemoveExam(student: string)
       .filter(col("o_orderkey") % 10 === 0 && col("o_orderpriority") === "5-LOW")
       .select(col("o_custkey").cast("string").as("student")).distinct()
     HeroQL.executeMutation(program, "RemoveExam", args, st)
+    st.read("Exams")
+  }
+
+  /** hm8 — `@remove_mor Exams(student, _)`: hm3's removal as a
+    * MERGE-ON-READ delete from language text — the commit writes only
+    * a deletion vector (zero data dirs rewritten; the asserted
+    * invariant), and the read answers through it. Same oracle SQL as
+    * the COW form: the two deletes must be observationally equal. */
+  private def hm8(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s, d)
+    val dirsBefore = st.dataDirs("Exams")
+    val args = t(s, d, "orders")
+      .filter(col("o_orderkey") % 10 === 0 && col("o_orderpriority") === "5-LOW")
+      .select(col("o_custkey").cast("string").as("student")).distinct()
+    HeroQL.executeMutation(program, "PurgeExam", args, st)
+    require(st.dataDirs("Exams") == dirsBefore,
+      "hm8: @remove_mor must not rewrite any data dir")
+    require(st.deletionVectorDirs("Exams").nonEmpty,
+      "hm8: the commit must carry a deletion vector")
     st.read("Exams")
   }
 
@@ -191,6 +214,7 @@ procedure Graduate(cutoff: int64, bonus: int64) {
     "hm1_hql_insert" -> (hm1 _),
     "hm2_hql_update" -> (hm2 _),
     "hm3_hql_remove" -> (hm3 _),
+    "hm8_remove_mor" -> (hm8 _),
     "hm4_transaction_let" -> (hm4 _),
     "hm5_for_set" -> (hm5 _),
     "hm6_unique_index" -> (hm6 _),
@@ -215,6 +239,11 @@ procedure Graduate(cutoff: int64, bonus: int64) {
                   FROM orders WHERE o_orderkey % 10 = 0 AND o_orderstatus = 'O')
                 THEN 999 ELSE score END AS score
          FROM ($seedSql)""",
+    "hm8_remove_mor" ->
+      s"""SELECT student, score FROM ($seedSql)
+         WHERE student NOT IN (
+           SELECT DISTINCT CAST(o_custkey AS VARCHAR)
+           FROM orders WHERE o_orderkey % 10 = 0 AND o_orderpriority = '5-LOW')""",
     "hm3_hql_remove" ->
       s"""SELECT student, score FROM ($seedSql)
          WHERE student NOT IN (

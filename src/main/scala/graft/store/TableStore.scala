@@ -1582,7 +1582,7 @@ final class Txn(store: TableStore) {
     deleteMorWhere(name, _.join(sel, keys, "left_semi"))
   }
 
-  private def deleteMorWhere(name: String,
+  private[graft] def deleteMorWhere(name: String,
       hits: DataFrame => DataFrame): Unit = {
     val entries = entriesOf(name)
     // read through existing vectors (a row deleted twice must not be
