@@ -869,6 +869,24 @@ object Relational extends QueryPack {
                 DIV (CAST(n_rows AS DECIMAL(38,0)) * sxx - sx * sx) AS BIGINT)""")
           .as("icpt_micro"))
 
+  /** F15 — bitwise surface (SURVEY §2.8 "math" tail): shift/mask/xor
+    * scalars feeding the BIT_AND/BIT_OR/BIT_XOR aggregates — the
+    * flag-word folding every permission/bitmap schema leans on. All
+    * BIGINT; identical two's-complement semantics in both engines. */
+  private def f15(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_orderkey").cast("long").as("k"),
+        expr("CAST(shiftleft(l_linenumber, 3) | (l_suppkey & 255) AS BIGINT)")
+          .as("mix"),
+        expr("CAST(l_partkey ^ l_suppkey AS BIGINT)").as("xo"))
+      .groupBy(col("l_returnflag"))
+      .agg(expr("bit_and(k)").as("band"),
+        expr("bit_or(k)").as("bor"),
+        expr("bit_xor(k)").as("bxor"),
+        sum("mix").as("sum_mix"),
+        sum(expr("bit_count(xo)").cast("long")).as("sum_bits"))
+
   /** F8b — JSON extraction (SURVEY §2.8 F8 "json functions"): parse the
     * events.props JSON payload and aggregate on an extracted field. */
   private def f9(s: SparkSession, d: String): DataFrame =
@@ -901,6 +919,7 @@ object Relational extends QueryPack {
     "a12_stats_aggregates" -> (a12 _),
     "a13_percentiles" -> (a13 _),
     "a16_regression_ols" -> (a16 _),
+    "f15_bitwise" -> (f15 _),
     "j11_salted_skew_join" -> (j11 _),
     "j12_banded_range_join" -> (j12 _),
     "j13_grid_spatial_join" -> (j13 _),
@@ -1004,6 +1023,18 @@ object Relational extends QueryPack {
                 round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
                 round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
          FROM lineitem GROUP BY l_returnflag""",
+    "f15_bitwise" ->
+      """WITH b AS (
+           SELECT l_returnflag, CAST(l_orderkey AS BIGINT) AS k,
+                  CAST((l_linenumber << 3) | (l_suppkey & 255) AS BIGINT)
+                    AS mix,
+                  CAST(xor(l_partkey, l_suppkey) AS BIGINT) AS xo
+           FROM lineitem)
+         SELECT l_returnflag,
+                bit_and(k) AS band, bit_or(k) AS bor, bit_xor(k) AS bxor,
+                CAST(sum(mix) AS BIGINT) AS sum_mix,
+                CAST(sum(bit_count(xo)) AS BIGINT) AS sum_bits
+         FROM b GROUP BY l_returnflag""",
     "a16_regression_ols" ->
       """WITH s AS (
            SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,

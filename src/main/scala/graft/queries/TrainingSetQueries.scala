@@ -348,7 +348,31 @@ object TrainingSetQueries extends QueryPack {
   private def pack3(s: SparkSession, d: String): DataFrame =
     epochShuffle(s, d, ShuffleEpoch)
 
+  private val TokenBudget = 600L
+
+  /** samp8 — per-source TOKEN-budget quota (samp6 caps documents; real
+    * mixture specs cap TOKENS per domain): documents rank per source by
+    * the deterministic md5 order and the greedy prefix whose RUNNING
+    * token sum stays within the budget survives (600 ≈ 40% of each
+    * fixture source — the cap genuinely cuts). One source-keyed exchange; the
+    * running sum is a ROWS frame over the same window as the rank, so
+    * both compute in one pass. Whitespace token counts (tx1's
+    * definition) keep the budget arithmetic in exact BIGINT. */
+  private def samp8(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("h", "doc_id")
+    t(s, d, "documents")
+      .withColumn("h", md5(col("text")))
+      .withColumn("tokens",
+        expr("CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)"))
+      .withColumn("cum_tokens", sum("tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_tokens") <= TokenBudget)
+      .select(col("source"), col("doc_id"), col("tokens"), col("cum_tokens"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "samp8_token_budget" -> (samp8 _),
     "samp1_stratified_sample" -> (samp1 _),
     "samp2_mix_stats" -> (samp2 _),
     "samp3_temperature_mix" -> (samp3 _),
@@ -488,6 +512,21 @@ object TrainingSetQueries extends QueryPack {
                 CASE WHEN substring(md5(text), 1, 2) >= 'e6'
                      THEN 'val' ELSE 'train' END AS split
          FROM documents""",
+    "samp8_token_budget" ->
+      s"""WITH r AS (
+           SELECT source, doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS tokens,
+             md5(text) AS h
+           FROM documents),
+         c AS (
+           SELECT source, doc_id, tokens,
+             sum(tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tokens
+           FROM r)
+         SELECT source, doc_id, tokens, cum_tokens
+         FROM c WHERE cum_tokens <= $TokenBudget""",
     "samp6_source_quota" ->
       s"""WITH r AS (
            SELECT source, doc_id,
