@@ -165,6 +165,25 @@ object Streaming extends QueryPack {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
   }
 
+  /** st17 — streaming ingest with a rolling MERGE-ON-READ retention
+    * purge ([[EventStreams.retentionSinkToStore]]): every micro-batch
+    * commit also tombstones rows older than a sliding id horizon —
+    * the purge never rewrites a data file (asserted: the only dirs in
+    * the final manifest are the per-batch appends, plus deletion
+    * vectors), which is what makes per-trigger retention affordable on
+    * a large table. Watermarks are monotone, so the final state is
+    * exactly "within `retain` of the global max" — the oracle. */
+  private def st17(s: SparkSession, d: String): DataFrame = {
+    val store = new graft.store.TableStore(s,
+      java.nio.file.Files.createTempDirectory("graft-ret-sink-").toString)
+    val out = EventStreams.retentionSinkToStore(s, d, store, "events_ret", 600L)
+    require(store.deletionVectorDirs("events_ret").nonEmpty,
+      "st17: the purge must run merge-on-read (deletion vectors present)")
+    out.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("vmicro").as("sum_vmicro"),
+        min("event_id").as("min_id"), max("event_id").as("max_id"))
+  }
+
   /** st5 — streaming INCREMENTAL dedup through the store (streaming
     * form of dd6): documents arrive in doc_id-ordered micro-batches;
     * each batch is anti-joined against the already-committed corpus and
@@ -461,6 +480,7 @@ object Streaming extends QueryPack {
     "st2_sliding_window" -> (st2 _),
     "st3_session_window" -> (st3 _),
     "st4_store_sink" -> (st4 _),
+    "st17_stream_retention" -> (st17 _),
     "st5_stream_dedup" -> (st5 _),
     "st5b_stream_dedup_fp" -> (st5b _),
     "st5c_stream_dedup_rows" -> (st5c _),
@@ -670,6 +690,16 @@ object Streaming extends QueryPack {
     "st4_store_sink" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY event_type""",
+    "st17_stream_retention" ->
+      """WITH live AS (
+           SELECT event_id, event_type,
+                  CAST(floor(value * 1000000) AS BIGINT) AS vmicro
+           FROM events
+           WHERE event_id >= (SELECT max(event_id) FROM events) - 600)
+         SELECT event_type, count(*) AS n,
+                CAST(sum(vmicro) AS BIGINT) AS sum_vmicro,
+                min(event_id) AS min_id, max(event_id) AS max_id
+         FROM live GROUP BY event_type""",
     // first-arrived = min doc_id (doc_id-ordered staged chunks), so the
     // streamed corpus equals the batch keep-min-per-text statement
     "st5_stream_dedup" ->

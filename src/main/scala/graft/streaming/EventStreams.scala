@@ -616,6 +616,43 @@ object EventStreams {
     store.read(table)
   }
 
+  /** [[sinkToStore]] with a rolling RETENTION PURGE riding each
+    * micro-batch commit: after a batch lands, every row whose event_id
+    * falls more than `retain` below the table's max is deleted
+    * MERGE-ON-READ ([[graft.store.TableStore.deleteMor]]) — the commit
+    * writes only a tombstone set, so a streaming table with a sliding
+    * retention horizon never pays a per-batch file rewrite (the COW
+    * form would rewrite the whole head of the table every trigger; at
+    * 100 TB that is the difference between a metadata op and an
+    * unbounded write amplification). Watermarks are monotone under the
+    * id-ordered staging, so the final state is exactly "ids within
+    * `retain` of the global max" — the oracle's statement. Re-purging
+    * already-tombstoned rows is naturally idempotent (the probe reads
+    * through existing vectors), and the vector-count fold keeps the
+    * tombstone debt bounded across any number of triggers. */
+  def retentionSinkToStore(spark: SparkSession, dir: String,
+      store: graft.store.TableStore, table: String, retain: Long): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageEventChunks(spark, dir, nFiles = 4, "event_id", "events"))
+    val q = src.select(col("event_id"), col("user_id"), col("event_type"),
+        expr("CAST(floor(value * 1000000) AS BIGINT)").as("vmicro"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (store.exists(table)) store.insert(table, batch)
+        else store.create(table, batch)
+        val hi = store.read(table).agg(max(col("event_id"))).head.getLong(0)
+        store.deleteMor(table, col("event_id") < lit(hi - retain))
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ret-ckpt-").toString)
+      .start()
+    q.awaitTermination()
+    store.read(table)
+  }
+
   /** [[sinkToStore]] through ADMISSION CONTROL: every micro-batch
     * lands via [[graft.store.CheckConstraints.insert]], so declared
     * CHECK/UNIQUE/FK constraints gate the STREAM exactly as they gate
