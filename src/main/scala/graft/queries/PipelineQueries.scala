@@ -200,7 +200,47 @@ object PipelineQueries extends QueryPack {
           .otherwise("train").as("split"))
   }
 
+  /** pipe6 — CHUNK-level curation, composing this round's operators
+    * end-to-end: sliding-window chunking (tx18's 32/24 windows) →
+    * corpus-wide exact chunk dedup (keep the first (doc, chunk)
+    * occurrence per chunk md5 — boilerplate shared across documents
+    * dies here, the chunk-granular form of dd1/dd11) → per-source
+    * TOKEN budget over the survivors (samp8's greedy running-sum
+    * prefix). Emits the surviving chunk rows. Shape at scale: chunking
+    * map-only, dedup one md5-keyed partial-agg exchange + semi-join,
+    * budget one source-keyed window — three shuffles total over
+    * chunk-sized rows, never document text re-shipped (the md5 stands
+    * in for the chunk body everywhere past stage 1). */
+  private def pipe6(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = t(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        split(trim(col("text")), "\\s+").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("k", explode(sequence(lit(0),
+        when(col("n") <= 32, lit(0))
+          .otherwise(expr("(n - 9) DIV 24").cast("int")))))
+      .select(col("doc_id"), col("source"), col("k").cast("long").as("chunk_id"),
+        expr("size(slice(toks, k * 24 + 1, 32))").cast("long").as("n_tokens"),
+        md5(expr("array_join(slice(toks, k * 24 + 1, 32), ' ')")).as("h"))
+    val first = chunks.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("f"))
+      .select(col("h").as("h2"), col("f.doc_id").as("fd"),
+        col("f.chunk_id").as("fc"))
+    val kept = chunks.join(first,
+      col("h") === col("h2") && col("doc_id") === col("fd") &&
+        col("chunk_id") === col("fc"))
+    val w = Window.partitionBy("source").orderBy("h", "doc_id", "chunk_id")
+    kept
+      .withColumn("cum_tokens", sum("n_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_tokens") <= 400L)
+      .select(col("source"), col("doc_id"), col("chunk_id"),
+        col("n_tokens"), col("cum_tokens"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe6_chunk_curation" -> (pipe6 _),
     "pipe5_curation_chain" -> (pipe5 _),
     "pipe1_training_pipeline" -> (pipe1 _),
     "pipe2_fingerprint_pipeline" -> (pipe2 _),
@@ -209,6 +249,37 @@ object PipelineQueries extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    "pipe6_chunk_curation" ->
+      """WITH tk AS (
+           SELECT doc_id, source,
+                  regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents),
+         ch AS (
+           SELECT doc_id, source, CAST(k AS BIGINT) AS chunk_id,
+                  CAST(len(toks[k*24 + 1 : least(k*24 + 32, len(toks))])
+                    AS BIGINT) AS n_tokens,
+                  md5(array_to_string(
+                    toks[k*24 + 1 : least(k*24 + 32, len(toks))], ' ')) AS h
+           FROM (SELECT doc_id, source, toks,
+                   unnest(range(0, CASE WHEN len(toks) <= 32 THEN 1
+                     ELSE ((len(toks) - 9) // 24) + 1 END)) AS k
+                 FROM tk)),
+         first AS (
+           SELECT h, min({'d': doc_id, 'c': chunk_id}) AS f FROM ch GROUP BY h),
+         kept AS (
+           SELECT c.* FROM ch c JOIN first f
+             ON c.h = f.h AND c.doc_id = (f.f).d
+                AND c.chunk_id = (f.f).c),
+         cum AS (
+           SELECT source, doc_id, chunk_id, n_tokens,
+                  sum(n_tokens) OVER (PARTITION BY source
+                    ORDER BY h, doc_id, chunk_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum_tokens
+           FROM kept)
+         SELECT source, doc_id, chunk_id, n_tokens,
+                CAST(cum_tokens AS BIGINT) AS cum_tokens
+         FROM cum WHERE cum_tokens <= 400""",
     // the chain restated: line dedup -> length bar -> md5 quota -> split
     "pipe5_curation_chain" ->
       """WITH tk AS (
