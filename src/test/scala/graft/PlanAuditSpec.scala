@@ -355,6 +355,23 @@ class PlanAuditSpec extends SparkSpec {
       s"6-way count(distinct) should plan as one Expand over one scan:\n$p")
   }
 
+  test("cq5 six-table language join: dims broadcast, no cartesian, one scan each") {
+    val df = graft.queries.CollectionQueries.queries("cq5_tpch_q5_shape")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"every join must stay an equi-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"region/nation/supplier must broadcast into the probe side:\n$p")
+  }
+
+  test("samp8 token budget: ONE source-keyed exchange for rank AND running sum") {
+    val df = graft.queries.TrainingSetQueries.queries("samp8_token_budget")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val shuffles = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(shuffles.size == 1 && shuffles.head.contains("source"),
+      s"the window pass must not re-shuffle:\n$p")
+  }
+
   test("ev10 pattern islands: three windows + aggregate, ONE user-keyed exchange") {
     val df = graft.queries.EventAnalytics.queries("ev10_pattern_islands")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
