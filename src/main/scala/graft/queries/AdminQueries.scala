@@ -517,7 +517,31 @@ object AdminQueries extends QueryPack {
       .unionByName(st.read("rep").withColumn("side", lit("replica")))
   }
 
+  /** adm20 — metadata-only row counts ([[TableStore.fastCount]], the
+    * Iceberg/Delta count-from-statistics fast path): per-dir `rows.*`
+    * stamps + live-tombstone subtraction answer count(*) without
+    * touching data files (FastCountSpec physically removes them and
+    * asks again). The gate reports the fast count after an insert, a
+    * merge-on-read delete, and a copy-on-write delete — the number
+    * must track every mutation kind exactly, under a full oracle. */
+  private def adm20(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s)
+    val base = t(s, d, "orders").select(col("o_orderkey"),
+      expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+    st.create("t20", base.filter(col("o_orderkey") % 2 === 0))
+    st.insert("t20", base.filter(col("o_orderkey") % 2 === 1))
+    val c1 = st.fastCount("t20")
+    st.deleteMor("t20", col("cents") % 5 === 2)
+    val c2 = st.fastCount("t20")
+    st.delete("t20", col("cents") % 7 === 3)
+    val c3 = st.fastCount("t20")
+    import s.implicits._
+    Seq(("after_insert", c1), ("after_mor_delete", c2),
+      ("after_cow_delete", c3)).toDF("stage", "n_rows")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "adm20_fast_count" -> (adm20 _),
     "adm19_change_feed" -> (adm19 _),
     "adm18_partition_evolution" -> (adm18 _),
     "adm17_deletion_vectors" -> (adm17 _),
@@ -552,6 +576,17 @@ object AdminQueries extends QueryPack {
        FROM orders WHERE o_orderkey % 10 = 1"""
 
   override val oracles: Map[String, String] = Map(
+    "adm20_fast_count" ->
+      """WITH base AS (
+           SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM orders)
+         SELECT 'after_insert' AS stage, count(*) AS n_rows FROM base
+         UNION ALL
+         SELECT 'after_mor_delete', count(*) FROM base
+         WHERE NOT (cents % 5 = 2)
+         UNION ALL
+         SELECT 'after_cow_delete', count(*) FROM base
+         WHERE NOT (cents % 5 = 2) AND NOT (cents % 7 = 3)""",
     "adm19_change_feed" ->
       """WITH base AS (
            SELECT o_orderkey, o_custkey, o_orderstatus,

@@ -636,6 +636,21 @@ final class TableStore(val spark: SparkSession, val root: String) {
   def evolvePartitioning(name: String, cols: Seq[String]): Unit =
     transaction(_.evolvePartitioning(name, cols))
 
+  /** METADATA-ONLY row count (the Iceberg/Delta "count(*) from
+    * statistics" fast path): Σ of per-dir row counts stamped as
+    * `rows.<dir>` table props, minus the LIVE deletion-vector rows —
+    * counting a 100 TB table touches zero data files once stamped.
+    * Dirs missing a stamp are counted once and stamped in the same
+    * call (one commit, cost ∝ unstamped dirs — parquet counts are
+    * footer-metadata reads); every later call is driver-side
+    * arithmetic plus one tombstone-sized vector scan. Tombstone
+    * liveness is exact by construction: any rewrite/fold/compaction
+    * replaces a dir under a NEW name, so a vector row is live iff its
+    * leading `data-<uuid>` segment is still a manifest dir — dangling
+    * vectors can never over-subtract. Schema-op lines don't move row
+    * counts, so stamps survive alters. */
+  def fastCount(name: String): Long = transaction(_.fastCount(name))
+
   /** On-disk bytes of one data dir (driver-side filesystem metadata —
     * vacuum's scale class: proportional to file count, never data). */
   private[store] def dirBytes(table: String, dir: String): Long = {
@@ -1251,11 +1266,15 @@ final class Txn(store: TableStore) {
 
   /** Merge `extra` over the table's creation-pinned props and rewrite
     * the pending manifest — the zone-map stamp primitive. */
-  private[store] def mergeProps(name: String, extra: Map[String, String]): Unit = {
+  private[store] def mergeProps(name: String, extra: Map[String, String]): Unit =
+    setProps(name, propsOf(name) ++ extra)
+
+  /** Replace the table's prop map wholesale (merge-with-removal — the
+    * row-count stamp pruning needs to DROP keys, which a merge can't). */
+  private[store] def setProps(name: String, all: Map[String, String]): Unit = {
     val entries = entriesOf(name)
-    val merged = propsOf(name) ++ extra
     pending += name -> store.writeTableManifest(name,
-      PropsEntry(merged) +: entries.filterNot(_.isInstanceOf[PropsEntry]))
+      PropsEntry(all) +: entries.filterNot(_.isInstanceOf[PropsEntry]))
   }
 
   /** Stamp zone-map stats ([[ZoneMaps.ColsProp]] columns) for every
@@ -1345,6 +1364,41 @@ final class Txn(store: TableStore) {
     require(cols != TableStore.currentLayout(entries),
       s"$name already partitioned by ${cols.mkString(",")}")
     pending += name -> store.writeTableManifest(name, entries :+ PartColsEntry(cols))
+  }
+
+  /** Metadata-only row count — see [[TableStore.fastCount]]. */
+  def fastCount(name: String): Long = {
+    val entries = entriesOf(name)
+    val dirs = entries.collect { case DataDir(d) => d }
+    val layouts = TableStore.dirLayouts(entries)
+    def key(d: String) = s"rows.$d"
+    val have = propsOf(name)
+    val missing = dirs.filterNot(d => have.contains(key(d)))
+    // stale stamps (dirs a rewrite replaced) prune in the same commit —
+    // the prop map must not grow with the table's mutation history
+    val stale = have.keySet.filter(k =>
+      k.startsWith("rows.") && !dirs.contains(k.drop(5)))
+    if (missing.nonEmpty || stale.nonEmpty)
+      setProps(name, (have -- stale) ++ missing.map { d =>
+        key(d) -> store.readDirs(name, Seq(d),
+          layouts.getOrElse(d, Nil).nonEmpty).count().toString
+      }.toMap)
+    val props = propsOf(name)
+    val total = dirs.map(d => props(key(d)).toLong).sum
+    val dvDirs = entries.collect { case DvEntry(d) => d }
+    val liveTombstones =
+      if (dvDirs.isEmpty) 0L
+      else {
+        // a vector row is live iff its data dir is still in the
+        // manifest (rewrites always rename dirs); distinct defensively
+        val names = dirs.map(_.split("/").last)
+        store.readDirs(name, dvDirs).select(col("file"), col("pos"))
+          .distinct()
+          .filter(regexp_extract(col("file"), "^(data-[^/]+)", 1)
+            .isin(names: _*))
+          .count()
+      }
+    total - liveTombstones
   }
 
   /** Metadata-only alter: append op lines to the log. Validated against
