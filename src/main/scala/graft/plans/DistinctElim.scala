@@ -3,8 +3,9 @@ package graft.plans
 import scala.util.control.NonFatal
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, AttributeSet, NamedExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, AttributeSet, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.LeftAnti
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
@@ -52,15 +53,30 @@ class DistinctElim(spark: SparkSession, store: TableStore)
       case _ => Set.empty
     }
 
-  /** Scan paths through attribute-only projections and deterministic
-    * filters — the shapes that preserve per-row uniqueness. */
+  /** Scan paths through attribute-only projections, deterministic
+    * filters, and the store's DELETION-VECTOR visibility shape — the
+    * shapes that preserve per-row uniqueness. A MOR-deleted table
+    * reads as scan → stamp-project (`__dv_*` aliases) → left-anti
+    * against the vector set; both steps only pass-through or REMOVE
+    * rows (a subset of unique rows stays unique), and base columns
+    * cross them untouched, so the rewrite must not stand down for
+    * pending tombstones. The `__dv_` fingerprint keeps arbitrary user
+    * projections/joins excluded — only the store's own plumbing
+    * traverses. */
+  private def dvName(n: String): Boolean = n.startsWith("__dv_")
   private def scanPaths(child: LogicalPlan): Option[Set[String]] =
     child match {
       case rel: LogicalRelation => Some(relPaths(rel))
-      case Project(projList, rel)
-          if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      case Project(projList, rel) if projList.forall {
+            case _: AttributeReference => true
+            case a: Alias => dvName(a.name) && a.deterministic
+            case _ => false
+          } =>
         scanPaths(rel)
       case Filter(cond, rel) if cond.deterministic => scanPaths(rel)
+      case Join(l, _, LeftAnti, cond, _)
+          if cond.exists(_.references.exists(a => dvName(a.name))) =>
+        scanPaths(l)
       case _ => None
     }
 

@@ -4,7 +4,7 @@ import scala.util.control.NonFatal
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Expression, IsNotNull, NamedExpression}
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -74,14 +74,34 @@ class FkJoinElim(spark: SparkSession, store: TableStore)
       case _ => Set.empty
     }
 
+  /** The store's DELETION-VECTOR visibility plumbing: the `__dv_*`
+    * stamp project and the left-anti against the vector set. Both
+    * rules' scan walkers traverse exactly this fingerprinted shape —
+    * on the FACT side any row removal preserves the FK; on the DIM
+    * side it is sound because `restrictDelete` gates every MOR delete
+    * (a committed vector can only remove UNreferenced keys, so every
+    * validated fact fk still meets a live dim row, and UNIQUE holds on
+    * any subset). Arbitrary user anti-joins don't carry the reserved
+    * names and stay excluded. */
+  private def dvName(n: String): Boolean = n.startsWith("__dv_")
+  private def dvStampProject(projList: Seq[NamedExpression]): Boolean =
+    projList.forall {
+      case _: AttributeReference => true
+      case a: Alias => dvName(a.name) && a.deterministic
+      case _ => false
+    }
+  private def dvAntiJoin(j: Join): Boolean = j.joinType == LeftAnti &&
+    j.condition.exists(_.references.exists(a => dvName(a.name)))
+
   /** Dim side: full scan paths + IsNotNull-guarded names, through
-    * attribute-only projections (the pruned shape). */
+    * attribute-only projections (the pruned shape) and the store's
+    * deletion-vector visibility shape. */
   private def dimScan(child: LogicalPlan): Option[(Set[String], Set[String])] =
     child match {
       case rel: LogicalRelation => Some((relPaths(rel), Set.empty))
-      case Project(projList, rel)
-          if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      case Project(projList, rel) if dvStampProject(projList) =>
         dimScan(rel)
+      case j: Join if dvAntiJoin(j) => dimScan(j.left)
       case Filter(cond, rel) =>
         val guarded = splitConjuncts(cond).map {
           case IsNotNull(a: AttributeReference) => a.name
@@ -91,15 +111,16 @@ class FkJoinElim(spark: SparkSession, store: TableStore)
       case _ => None
     }
 
-  /** Fact side: scan paths through attribute-only projections and ANY
+  /** Fact side: scan paths through attribute-only projections, ANY
     * deterministic filters (filtering validated rows preserves the
-    * FK; nondeterministic predicates could diverge on re-planning). */
+    * FK; nondeterministic predicates could diverge on re-planning),
+    * and the deletion-vector shape. */
   private def factScan(child: LogicalPlan): Option[Set[String]] =
     child match {
       case rel: LogicalRelation => Some(relPaths(rel))
-      case Project(projList, rel)
-          if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      case Project(projList, rel) if dvStampProject(projList) =>
         factScan(rel)
+      case j: Join if dvAntiJoin(j) => factScan(j.left)
       case Filter(cond, rel) if cond.deterministic => factScan(rel)
       case _ => None
     }

@@ -30,8 +30,13 @@ class DistinctElimSpec extends SparkSpec {
     st
   }
 
+  /** USER aggregates only: a MOR-deleted table's read plan contains the
+    * vector side's own dedup Aggregate (over `__dv_*` columns) — that's
+    * store plumbing, not the DISTINCT under test. */
   private def aggCount(df: DataFrame): Int =
-    df.queryExecution.optimizedPlan.collect { case a: LAgg => a }.size
+    df.queryExecution.optimizedPlan.collect {
+      case a: LAgg if !a.aggregateExpressions.forall(_.name.startsWith("__dv_")) => a
+    }.size
 
   private def rows(df: DataFrame): Seq[String] =
     df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
@@ -105,6 +110,20 @@ class DistinctElimSpec extends SparkSpec {
       st.insert("t", ord)
       CheckConstraints.revalidate(st, "t_pk")
       assert(aggCount(q) === 0, "revalidation must restore the rewrite")
+    } finally DistinctElim.uninstall(spark, rule)
+  }
+
+  test("survives pending deletion vectors (the MOR read shape traverses)") {
+    val st = seeded()
+    st.deleteMor("t", col("o_orderstatus") === "F" &&
+      col("o_orderkey") % 11 === 3)
+    def q = st.read("t").select("o_orderkey", "o_custkey").distinct()
+    val expected = rows(q) // rule not installed
+    val rule = DistinctElim.install(spark, st)
+    try {
+      assert(aggCount(q) === 0,
+        s"tombstones only remove rows — uniqueness holds:\n${q.queryExecution.optimizedPlan}")
+      assert(rows(q) === expected)
     } finally DistinctElim.uninstall(spark, rule)
   }
 

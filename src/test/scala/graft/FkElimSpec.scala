@@ -42,8 +42,14 @@ class FkElimSpec extends SparkSpec {
         col("o_custkey") === col("c_custkey"))
       .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
 
+  /** USER joins only: a MOR-deleted table's read plan contains the
+    * deletion-vector anti-join (on `__dv_*` columns) — store plumbing,
+    * not the dimension join under test. */
   private def joinCount(df: DataFrame): Int =
-    df.queryExecution.optimizedPlan.collect { case j: LJoin => j }.size
+    df.queryExecution.optimizedPlan.collect {
+      case j: LJoin if !j.condition.exists(
+        _.references.exists(_.name.startsWith("__dv_"))) => j
+    }.size
 
   private def rows(df: DataFrame): Seq[String] =
     df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
@@ -132,6 +138,28 @@ class FkElimSpec extends SparkSpec {
       st.update("fact", Map("o_custkey" -> lit(anyKey)),
         col("o_orderkey") % 11 === 0)
       assert(joinCount(keyOnlyJoin(st)) === 0)
+    } finally FkJoinElim.uninstall(spark, rule)
+  }
+
+  test("survives pending deletion vectors on both sides") {
+    val st = seeded()
+    // fact-side MOR delete: a subset of validated facts keeps the FK;
+    // dim-side MOR delete passes restrictDelete only for UNREFERENCED
+    // keys, so every surviving fact still meets a live dim row
+    st.deleteMor("fact", col("o_orderkey") % 7 === 2)
+    val used = st.read("fact").select(col("o_custkey")).distinct()
+    val unref = st.read("dim")
+      .join(used, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey").limit(20).collect().map(_.getLong(0))
+    assert(unref.nonEmpty, "fixture needs customers without orders")
+    st.deleteMor("dim", col("c_custkey").isin(unref.toIndexedSeq: _*))
+    val expected = rows(keyOnlyJoin(st)) // rule not installed
+    val rule = FkJoinElim.install(spark, st)
+    try {
+      val q = keyOnlyJoin(st)
+      assert(joinCount(q) === 0,
+        s"the MOR visibility shape must traverse:\n${q.queryExecution.optimizedPlan}")
+      assert(rows(q) === expected)
     } finally FkJoinElim.uninstall(spark, rule)
   }
 
