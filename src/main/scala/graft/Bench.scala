@@ -17,7 +17,7 @@ object Bench {
     "tx2_quality_score", "st1_tumbling_window", "m1b_upsert",
     "hq2_top3_per_partition", "j9_asof_join", "j12_banded_range_join",
     "w8_ignore_nulls_nav", "tx14_bigram_logprob", "cms1_heavy_hitters",
-    "ev7_ewma_decay")
+    "ev7_ewma_decay", "cq5_tpch_q5_shape")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
