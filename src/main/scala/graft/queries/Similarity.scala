@@ -797,7 +797,39 @@ object Similarity extends QueryPack {
         round(col("maxsim"), 6).as("maxsim"), col("rank"))
   }
 
+  /** ann11 — FILTERED vector search (the metadata-predicate + ANN
+    * combination every vector store ships: "nearest neighbors WHERE
+    * label = X"): each probe retrieves its top-k among ONLY the
+    * corpus vectors sharing its label. The filter composes as an extra
+    * equi-condition on the candidate join — at scale it pushes into
+    * the index scan (ann6's list-pruned store layout would partition
+    * by (label, list)), so the distance work is proportional to the
+    * FILTERED corpus, never the full one. Same proven exact-cosine
+    * arithmetic as ann1. */
+  private def ann11(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFns.register(s)
+    val e = t(s, d, "embeddings")
+    val probes = e.filter(col("vec_id") < NPROBES)
+      .select(col("vec_id").as("probe_id"), col("label").as("pl"),
+        col("embedding").as("vp"),
+        expr("sqrt(graft_dot_f(embedding, embedding))").as("np"))
+    val corpus = e.repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id").as("neighbor_id"), col("label").as("nl"),
+        col("embedding").as("vn"),
+        expr("sqrt(graft_dot_f(embedding, embedding))").as("nn"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    broadcast(probes).join(corpus,
+        col("pl") === col("nl") && col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", expr("graft_dot_f(vp, vn) / (np * nn)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("probe_id"), col("pl").as("label"), col("neighbor_id"),
+        round(col("cos_sim"), 6).as("cos_sim"), col("rank"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann11_filtered_ann" -> (ann11 _),
     "ann10_maxsim_rerank" -> (ann10 _),
     "km1_kmeans_assign" -> (km1 _),
     "ann8_hybrid_rrf" -> (ann8 _),
@@ -893,6 +925,26 @@ object Similarity extends QueryPack {
        WHERE rank <= $K"""
 
   override val oracles: Map[String, String] = Map(
+    "ann11_filtered_ann" ->
+      s"""SELECT probe_id, label, neighbor_id,
+                 round(cos_sim, 6) AS cos_sim, rank FROM (
+           SELECT probe_id, label, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY probe_id
+               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+           FROM (
+             SELECT p.vec_id AS probe_id, p.label AS label,
+               n.vec_id AS neighbor_id,
+               list_dot_product(CAST(p.embedding AS DOUBLE[]),
+                                CAST(n.embedding AS DOUBLE[])) /
+                 (sqrt(list_dot_product(CAST(p.embedding AS DOUBLE[]),
+                                        CAST(p.embedding AS DOUBLE[]))) *
+                  sqrt(list_dot_product(CAST(n.embedding AS DOUBLE[]),
+                                        CAST(n.embedding AS DOUBLE[]))))
+                 AS cos_sim
+             FROM embeddings p JOIN embeddings n
+               ON p.label = n.label AND p.vec_id != n.vec_id
+             WHERE p.vec_id < $NPROBES))
+         WHERE rank <= $K""",
     // same candidate stage as ann1's proven oracle; the MaxSim rerank
     // mirrors the Spark expression term-for-term — DuckDB 1-based
     // inclusive slices vp[a:b] ≡ Spark slice(vp, a, len), and the sum /
