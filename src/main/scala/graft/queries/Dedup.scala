@@ -197,6 +197,34 @@ object Dedup extends QueryPack {
       .select("doc_id", "keeper_id", "cluster_size")
   }
 
+  /** dd12 — QUALITY-AWARE keeper selection (dd7 keeps the min-id
+    * cluster member; real curation keeps the BEST one — here the
+    * longest, the common "keep the superset document" rule): same
+    * connected components over the near-dup pair graph, keeper =
+    * argmax(n_tokens, ties to the smaller id) per cluster, computed as
+    * ONE min-of-struct partial aggregate ((-tokens, id) — no window
+    * over a possibly-viral cluster, dd7's argument). Emits each doc
+    * with its chosen keeper and the cluster size. */
+  private def dd12(s: SparkSession, d: String): DataFrame = {
+    val edges = exactPairs(s, d)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    val cc = GraphOps.connectedComponentsDF(s, edges)
+    val docs = t(s, d, "documents").filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"),
+        expr("CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)").as("n_tokens"))
+    val labeled = docs.join(cc, docs("doc_id") === cc("node"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("component"), col("doc_id")).as("cluster"))
+    val keepers = labeled.groupBy("cluster")
+      .agg(min(struct((-col("n_tokens")).as("nt"), col("doc_id").as("d"))).as("k"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("cluster").as("c2"), col("k.d").as("keeper_id"),
+        (-col("k.nt")).as("keeper_tokens"), col("cluster_size"))
+    labeled.join(keepers, col("cluster") === col("c2"))
+      .select(col("doc_id"), col("keeper_id"), col("keeper_tokens"),
+        col("cluster_size"))
+  }
+
   /** Aligned-chunk token length: chunks are full ChunkTok except a
     * document's last. */
   private val ChunkTok = 16
@@ -406,6 +434,7 @@ object Dedup extends QueryPack {
     "dd6_incremental_dedup" -> (dd6 _),
     "dd6b_incremental_minhash" -> (dd6b _),
     "dd7_duplicate_clusters" -> (dd7 _),
+    "dd12_quality_keeper" -> (dd12 _),
     "dd8_chunk_dedup" -> (dd8 _),
     "dd9_semantic_dedup" -> (dd9 _),
     "dd10_duplicate_spans" -> (dd10 _),
@@ -477,6 +506,40 @@ object Dedup extends QueryPack {
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 10""",
     // min-label reachability: min reachable id == connected-component
     // min == the keeper GraphX's Pregel converges to
+    "dd12_quality_keeper" ->
+      s"""WITH RECURSIVE sh AS (
+           SELECT doc_id, $shingleSql AS s
+           FROM documents WHERE doc_id % 4 = 0),
+         pairs AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                 CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.25),
+         edges AS (
+           SELECT a_id AS u, b_id AS v FROM pairs
+           UNION ALL SELECT b_id, a_id FROM pairs),
+         reach(u, r) AS (
+           SELECT doc_id, doc_id FROM documents WHERE doc_id % 4 = 0
+           UNION
+           SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+         lab AS (SELECT u AS doc_id, min(r) AS cluster FROM reach GROUP BY u),
+         toks AS (
+           SELECT doc_id,
+                  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                    AS n_tokens
+           FROM documents WHERE doc_id % 4 = 0),
+         l2 AS (
+           SELECT t.doc_id, t.n_tokens, lab.cluster
+           FROM toks t JOIN lab ON t.doc_id = lab.doc_id),
+         k AS (
+           SELECT cluster, doc_id AS keeper_id, n_tokens AS keeper_tokens
+           FROM (SELECT *, row_number() OVER (PARTITION BY cluster
+                   ORDER BY n_tokens DESC, doc_id) AS rn FROM l2)
+           WHERE rn = 1),
+         sz AS (SELECT cluster, count(*) AS cluster_size FROM l2 GROUP BY cluster)
+         SELECT l2.doc_id, k.keeper_id, k.keeper_tokens, sz.cluster_size
+         FROM l2 JOIN k ON l2.cluster = k.cluster
+         JOIN sz ON l2.cluster = sz.cluster""",
     "dd7_duplicate_clusters" ->
       s"""WITH RECURSIVE sh AS (
            SELECT doc_id, $shingleSql AS s
