@@ -580,6 +580,27 @@ object Relational extends QueryPack {
         coalesce(col("n_orders"), lit(0L)).as("n_orders"))
   }
 
+  /** J19 — NULL-SAFE equi-join (`<=>` / SQL's IS NOT DISTINCT FROM):
+    * NULL keys MATCH each other instead of dropping — the semantics
+    * dimension-key joins need when "unknown" is itself a key. Both
+    * sides derive a nullable bucket (nullif), join null-safely, and
+    * aggregate; physically Spark still plans a HASH join on the
+    * null-safe key (no fallback to a nested loop), so the cost shape
+    * is j1's. The plain `===` twin would silently drop every NULL
+    * pair — the aggregate pins the difference. */
+  private def j19(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer")
+      .select(col("c_custkey"),
+        nullif(col("c_custkey") % 50, lit(7)).as("bucket"))
+    val o = t(s, d, "orders")
+      .select(col("o_orderkey"),
+        nullif(col("o_custkey") % 50, lit(7)).as("obucket"))
+      .groupBy("obucket").agg(count(lit(1)).as("n_orders"))
+    c.join(o, col("bucket") <=> col("obucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_cust"), sum("n_orders").as("sum_orders"))
+  }
+
   // ------------------------------------------------------- scalar functions
 
   /** F1/F2 — arithmetic + comparisons (`Kernel/README.md:236-238`,
@@ -920,6 +941,7 @@ object Relational extends QueryPack {
     "a13_percentiles" -> (a13 _),
     "a16_regression_ols" -> (a16 _),
     "f15_bitwise" -> (f15 _),
+    "j19_nullsafe_join" -> (j19 _),
     "j11_salted_skew_join" -> (j11 _),
     "j12_banded_range_join" -> (j12 _),
     "j13_grid_spatial_join" -> (j13 _),
@@ -1023,6 +1045,18 @@ object Relational extends QueryPack {
                 round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
                 round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
          FROM lineitem GROUP BY l_returnflag""",
+    "j19_nullsafe_join" ->
+      """WITH c AS (
+           SELECT c_custkey, nullif(c_custkey % 50, 7) AS bucket
+           FROM customer),
+         o AS (
+           SELECT nullif(o_custkey % 50, 7) AS obucket,
+                  count(*) AS n_orders
+           FROM orders GROUP BY 1)
+         SELECT c.bucket, count(*) AS n_cust,
+                CAST(sum(o.n_orders) AS BIGINT) AS sum_orders
+         FROM c JOIN o ON c.bucket IS NOT DISTINCT FROM o.obucket
+         GROUP BY c.bucket""",
     "f15_bitwise" ->
       """WITH b AS (
            SELECT l_returnflag, CAST(l_orderkey AS BIGINT) AS k,
