@@ -41,6 +41,8 @@ object Repl {
       |  :for              run the program's 'for query' statements against the store
       |  :call <P>(k=v,…)  run a declared procedure (int/double/"str"/bool params)
       |  :stream <stmt>    run a stream statement (dedup/sessionize/aggregate/enrich)
+      |  :count <T>        metadata-only row count of a store table
+      |  :changes <T> <N>  row-level CDC feed over the last N commits
       |  :help             this text
       |  :quit             exit""".stripMargin
 
@@ -176,6 +178,16 @@ object Repl {
             HeroQL.executeProcedure(program.toString, m.group(1),
               parseParams(m.group(2)), requireStore(), fileCatalog())
             out(s"procedure ${m.group(1)} committed")
+          }
+          case ":count" => attempt(":count") {
+            // metadata-only count — no data files touched once stamped
+            out(s"$rest: ${requireStore().fastCount(rest)} rows")
+          }
+          case ":changes" => attempt(":changes") {
+            // `:changes <table> <versionsBack>` — the row-level CDC feed
+            val parts = rest.split("\\s+")
+            require(parts.length == 2, ":changes syntax: :changes <table> <versionsBack>")
+            out(render(requireStore().changeFeed(parts(0), parts(1).toInt), 20))
           }
           case ":stream" => attempt(":stream") {
             // `:stream dedup Docs(…) by fingerprint(text) into corpus;`

@@ -59,6 +59,27 @@ class ReplSpec extends SparkSpec {
     assert(text.contains("more than 20 rows"), s"expected enriched rows:\n$text")
   }
 
+  test(":count and :changes expose the store's metadata surfaces") {
+    val storeDir = Files.createTempDirectory("graft-repl-cdc").toString
+    val out = collection.mutable.Buffer[String]()
+    val seed = Iterator(
+      "data T(k: int64, v: string).",
+      """procedure Load(cutoff: int64) {
+        |    region(k, name), k >= cutoff, @insert T(k, name);
+        |}""".stripMargin,
+      "data region(r_regionkey: int32, r_name: string).",
+      ":call Load(cutoff=0)",
+      ":call Load(cutoff=3)",
+      ":count T",
+      ":changes T 1",
+      ":quit")
+    val n = Repl.session(seed, out += _, spark, sf, Some(storeDir))
+    val text = out.mkString("\n")
+    assert(text.contains("T: 7 rows"), s":count expected 5 + 2 rows:\n$text")
+    assert(text.contains("_change_type"), s":changes missing CDC column:\n$text")
+    assert(n >= 7, s"expected >=7 successful inputs, got $n")
+  }
+
   test("mutation commands without a store fail with a clear message") {
     val out = collection.mutable.Buffer[String]()
     val script = Iterator(
