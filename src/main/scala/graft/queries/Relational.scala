@@ -580,6 +580,22 @@ object Relational extends QueryPack {
         coalesce(col("n_orders"), lit(0L)).as("n_orders"))
   }
 
+  /** A17 — deterministic MODE (the ordered-set aggregate): the modal
+    * quantity per return flag, ties resolved to the SMALLEST value —
+    * built-in mode() picks an arbitrary tie winner (engine-dependent),
+    * so the gate computes it as count-per-value then one
+    * min-of-struct((-n, v)) partial aggregate: two exchanges, both
+    * map-side combined, no window — and a pinned total order. */
+  private def a17(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("int").as("q"))
+      .groupBy("l_returnflag", "q").agg(count(lit(1)).as("n"))
+      .groupBy("l_returnflag")
+      .agg(min(struct((-col("n")).as("neg"), col("q").as("v"))).as("m"))
+      .select(col("l_returnflag"), col("m.v").as("mode_qty"),
+        (-col("m.neg")).cast("long").as("mode_freq"))
+
   /** J19 — NULL-SAFE equi-join (`<=>` / SQL's IS NOT DISTINCT FROM):
     * NULL keys MATCH each other instead of dropping — the semantics
     * dimension-key joins need when "unknown" is itself a key. Both
@@ -942,6 +958,7 @@ object Relational extends QueryPack {
     "a16_regression_ols" -> (a16 _),
     "f15_bitwise" -> (f15 _),
     "j19_nullsafe_join" -> (j19 _),
+    "a17_mode" -> (a17 _),
     "j11_salted_skew_join" -> (j11 _),
     "j12_banded_range_join" -> (j12 _),
     "j13_grid_spatial_join" -> (j13 _),
@@ -1045,6 +1062,17 @@ object Relational extends QueryPack {
                 round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
                 round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
          FROM lineitem GROUP BY l_returnflag""",
+    "a17_mode" ->
+      """WITH cnt AS (
+           SELECT l_returnflag, CAST(l_quantity AS INT) AS q,
+                  count(*) AS n
+           FROM lineitem GROUP BY 1, 2),
+         pick AS (
+           SELECT l_returnflag, q, n, row_number() OVER (
+             PARTITION BY l_returnflag ORDER BY n DESC, q ASC) AS rk
+           FROM cnt)
+         SELECT l_returnflag, q AS mode_qty, CAST(n AS BIGINT) AS mode_freq
+         FROM pick WHERE rk = 1""",
     "j19_nullsafe_join" ->
       """WITH c AS (
            SELECT c_custkey, nullif(c_custkey % 50, 7) AS bucket
