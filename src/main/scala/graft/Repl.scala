@@ -43,6 +43,7 @@ object Repl {
       |  :stream <stmt>    run a stream statement (dedup/sessionize/aggregate/enrich)
       |  :count <T>        metadata-only row count of a store table
       |  :changes <T> <N>  row-level CDC feed over the last N commits
+      |  :verify <gate>    run one driver gate + its DuckDB oracle locally
       |  :help             this text
       |  :quit             exit""".stripMargin
 
@@ -188,6 +189,37 @@ object Repl {
             val parts = rest.split("\\s+")
             require(parts.length == 2, ":changes syntax: :changes <table> <versionsBack>")
             out(render(requireStore().changeFeed(parts(0), parts(1).toInt), 20))
+          }
+          case ":verify" => attempt(":verify") {
+            // `:verify <gate>` — one-gate audit loop: run the
+            // registered query against the bound data dir, dump its
+            // result + oracle SQL in the driver's format, and (when
+            // python3+duckdb are present — the driver machine) run the
+            // local oracle compare on just that gate
+            val name = rest.trim
+            require(name.nonEmpty, ":verify syntax: :verify <gate>")
+            val fn = SparkEntry.queries.getOrElse(name,
+              throw Analyzer.AnalysisError(
+                s"no gate named $name — gates: ${SparkEntry.queries.keys.toSeq.sorted.take(8).mkString(", ")}, …"))
+            val outDir = Files.createTempDirectory("graft-verify-").toString
+            fn(spark, dataDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            SparkEntry.oracleSql.get(name) match {
+              case None =>
+                out(s"$name: rows-only gate (no oracle SQL) — result at $outDir/$name")
+              case Some(sql) =>
+                Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+                  s"{${Verify.jsonQuote(name)}: ${Verify.jsonQuote(sql)}}")
+                val harness = Paths.get("tools/verify_local.py").toAbsolutePath
+                if (Files.exists(harness)) {
+                  import scala.sys.process._
+                  val buf = new StringBuilder
+                  val code = Seq("python3", harness.toString, dataDir,
+                    outDir, "--strict") ! ProcessLogger(l => buf.append(l).append('\n'))
+                  out(buf.toString.trim + (if (code == 0) "" else s"\n(exit $code)"))
+                } else out(s"$name: result + oracle dumped at $outDir " +
+                  "(tools/verify_local.py not found — compare externally)")
+            }
           }
           case ":stream" => attempt(":stream") {
             // `:stream dedup Docs(…) by fingerprint(text) into corpus;`

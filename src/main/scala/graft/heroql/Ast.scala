@@ -28,16 +28,21 @@ object Ast {
       cached: Boolean = false,
       isPublic: Boolean = false)
 
-  /** `transaction query Name(args) :- items, @insert ..., @remove ... .`
-    * (`Kernel/README.md:251-254`; `Rewrite.md:4-16` "queue updates
-    * parallelly, apply single-threaded"): non-mutation prefix items bind
-    * variables, the mutation items apply IN ORDER inside one atomic
-    * multi-table commit. */
+  /** `transaction [(importance)] query Name(args) :- items, @insert
+    * ..., @remove ... .` (`Kernel/README.md:251-254`; `Rewrite.md:4-16`
+    * "queue updates parallelly, apply single-threaded"): non-mutation
+    * prefix items bind variables, the mutation items apply IN ORDER
+    * inside one atomic multi-table commit. The optional importance
+    * literal maps to the store's prioritized commit
+    * ([[graft.store.TableStore.transactionImportance]] — the
+    * reference's scheduling classes, `Lock.cpp:637-676`): under
+    * write-write contention the higher class commits first. */
   final case class TransactionDecl(
       name: String,
       inArgs: Seq[(String, String)],
       items: Seq[Item],
-      isPublic: Boolean = false)
+      isPublic: Boolean = false,
+      importance: Int = 0)
 
   /** `procedure Name(arg: type, ...) { stmt; stmt; ... }` — a named,
     * stored, parameterized multi-statement body. The reference

@@ -318,7 +318,17 @@ object Parser {
       * (`Kernel/README.md:251-254`). */
     def transactionDecl(): TransactionDecl = {
       expectId() // transaction
-      if (!atId("query")) throw ParseError("expected 'query' after 'transaction'", pos)
+      // optional scheduling class: `transaction(9) query ...`
+      val importance = if (eat("(")) {
+        val v = next() match {
+          case TNum(s) if !s.contains('.') => s.toInt
+          case t => throw ParseError(s"expected integer importance, got $t", pos - 1)
+        }
+        expectSym(")")
+        v
+      } else 0
+      if (!atId("query")) throw ParseError(
+        "expected 'query' after 'transaction'", pos)
       pos += 1
       val name = expectId()
       expectSym("(")
@@ -329,7 +339,7 @@ object Parser {
       expectSym(".")
       if (!items.exists(_.isInstanceOf[Mutation]))
         throw ParseError(s"transaction query $name has no mutation statements", pos)
-      TransactionDecl(name, args, items)
+      TransactionDecl(name, args, items, importance = importance)
     }
 
     /** `procedure Name(arg: type, ...) { stmt; stmt; ... }` — the

@@ -1698,6 +1698,14 @@ object HeroQL {
         val hit = constCond.map(c => coalesce(c, lit(false)))
         def doomed(df: DataFrame): DataFrame =
           hit.map(df.filter).getOrElse(df).join(keys, keyFields, "left_semi")
+        // referential RESTRICT + validity chain, mirroring the facade
+        // delete (TableStore.delete): a language-level remove must not
+        // orphan rows under a declared incoming FK — the FkJoinElim
+        // soundness argument assumes EVERY delete front door is gated.
+        // Lazy doomed frame: the probe only evaluates for tables some
+        // FK actually references.
+        graft.store.CheckConstraints.restrictDeleteRows(
+          tx, table, doomed(tx.read(table)))
         // registered views maintain through the delete: capture the
         // exact removed multiset from the PRE-state (old files persist
         // until vacuum, so the lazy plan stays valid), fold its negated
@@ -1717,6 +1725,7 @@ object HeroQL {
           })
         removed.foreach(
           graft.store.MaterializedView.refreshRegisteredDelete(tx, table, _, preManifest))
+        graft.store.CheckConstraints.advanceAfterDelete(tx, table, preManifest)
         graft.store.JoinViews.rebuildRegistered(tx, table)
       // `@remove_mor` — identical doom selection to `@remove`, but the
       // commit writes only a DELETION VECTOR (merge-on-read,
@@ -1735,6 +1744,10 @@ object HeroQL {
         val hit = constCond.map(c => coalesce(c, lit(false)))
         def doomedM(df: DataFrame): DataFrame =
           hit.map(df.filter).getOrElse(df).join(keys, keyFields, "left_semi")
+        // same referential RESTRICT as @remove — FkJoinElim's dim-side
+        // soundness requires restrictDelete to gate every MOR delete
+        graft.store.CheckConstraints.restrictDeleteRows(
+          tx, table, doomedM(tx.read(table)))
         val preManifestM = tx.manifestName(table)
         val removedM =
           if (graft.store.MaterializedView.hasRegistered(tx, table))
@@ -1743,6 +1756,7 @@ object HeroQL {
         tx.deleteMorWhere(table, doomedM)
         removedM.foreach(
           graft.store.MaterializedView.refreshRegisteredDelete(tx, table, _, preManifestM))
+        graft.store.CheckConstraints.advanceAfterDelete(tx, table, preManifestM)
         graft.store.JoinViews.rebuildRegistered(tx, table)
       case "update" =>
         val matchPairs = item.atom.args.zip(fields).collect { case (TVar(v), f) => (v, f) }
@@ -1823,7 +1837,10 @@ object HeroQL {
       .getOrElse(throw Analyzer.AnalysisError(s"no transaction query named $name"))
     Analyzer.analyzeConj(decls, queryDecls, Conj(td.items),
       td.inArgs.map(_._1).toSet, funcs)
-    store.transaction { tx =>
+    // the declared scheduling class rides the prioritized CAS retry:
+    // the body is pure read-compute-mutate against its Txn, so a
+    // yielded/conflicted attempt reruns against a fresh snapshot
+    store.transactionRetry(importance = td.importance, f = { tx =>
       val storeTables = decls.keys.filter(t => !catalog.contains(t) && store.exists(t))
         .map(t => t -> tx.read(t)).toMap
       val planner = new Planner(decls, queryDecls, catalog ++ storeTables, funcs,
@@ -1838,7 +1855,7 @@ object HeroQL {
         case other => throw Analyzer.AnalysisError(
           s"transaction $name: items after the first mutation must be mutations, got $other")
       }
-    }
+    })
   }
 
   /** `for query(vars) :- body ( set/remove/update ... )` text form

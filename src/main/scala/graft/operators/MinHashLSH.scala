@@ -327,6 +327,128 @@ object MinHashLSH {
     }
   }
 
+  // ----------------------------------------------------- md5 hash family
+
+  /** md5-derived 31-bit base hash of a string expression — the
+    * ORACLE-EXPRESSIBLE hash family: DuckDB computes the identical
+    * value as `CAST(('0x' || substr(md5(x),1,15)) AS BIGINT) %
+    * 2147483648`, so gates built on it get a full SQL oracle where the
+    * production xxhash64 family (not in DuckDB) only gets a rows-only
+    * check. 15 hex chars = 60 bits, so the cast never overflows and
+    * the value is non-negative (pmod == %). Production callers stay on
+    * the native xxhash64 single-pass path (~7× faster per measured
+    * note above); the md5 variants below differ ONLY in the base hash
+    * family and the band-key representation (stringified slice instead
+    * of xxhash64-of-slice, which DuckDB can mirror exactly) — the LSH
+    * algebra under oracle test IS the production algebra. */
+  def md5Hash31Sql(x: String): String =
+    s"CAST(conv(substring(md5($x), 1, 15), 16, 10) AS BIGINT) % 2147483648L"
+
+  /** Per-doc (id, sorted distinct md5-based shingle hashes, minhash
+    * signature) — the md5-family twin of the `hashed` frame in
+    * [[nearDuplicates]]. */
+  private def md5HashedSigs(docs: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int, bands: Int, rowsPerBand: Int): DataFrame =
+    docs
+      .withColumn("h", sort_array(array_distinct(expr(
+        s"transform(${TextFns.shinglesSql(textCol, shingleLen)}," +
+          s" x -> ${md5Hash31Sql("x")})"))))
+      .filter(size(col("h")) > 0)
+      .withColumn("_mh", signatureOfBases("h", bands, rowsPerBand))
+      .select(col(idCol), col("h"), col("_mh"))
+
+  /** (id, band, sig) rows with the STRINGIFIED slice as the band key —
+    * exact composite equality in both engines, vs production's
+    * xxhash64-of-slice reduction. */
+  private def md5Banded(sigs: DataFrame, idCol: String, idAs: String,
+      bands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(col(idCol).as(idAs), explode(expr(
+      s"""transform(sequence(0, ${bands - 1}),
+            bi -> struct(bi AS band,
+              array_join(transform(slice(_mh, bi * $rowsPerBand + 1, $rowsPerBand),
+                x -> CAST(x AS STRING)), ':') AS sig))""")).as("b"))
+      .select(col(idAs), col("b.band"), col("b.sig"))
+
+  /** [[nearDuplicates]] on the md5 hash family (full-oracle gates;
+    * fixture-scale — no salting/size gates, AQE handles the joins). */
+  def nearDuplicatesMd5(docsIn: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int, bands: Int, rowsPerBand: Int,
+      threshold: Double): DataFrame = {
+    graft.functions.VectorFns.register(docsIn.sparkSession)
+    val docs = docsIn.repartition(
+      docsIn.sparkSession.sparkContext.defaultParallelism)
+    val sigs = md5HashedSigs(docs, idCol, textCol, shingleLen, bands,
+      rowsPerBand).localCheckpoint()
+    val banded = md5Banded(sigs, idCol, idCol, bands, rowsPerBand)
+    val cand = banded.select(col(idCol).as("a_id"), col("band"), col("sig"))
+      .join(banded.select(col(idCol).as("b_id"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+    val sa = sigs.select(col(idCol).as("a_id"), col("h").as("sa"))
+    val sb = sigs.select(col(idCol).as("b_id"), col("h").as("sb"))
+    cand.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("inter", expr("graft_sorted_intersect_long(sa, sb)"))
+      .withColumn("jaccard",
+        TextFns.jaccardFromIntersect("inter", "size(sa)", "size(sb)"))
+      .filter(col("jaccard") >= threshold)
+      .dropDuplicates("a_id", "b_id")
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** [[nearDuplicatesEstimated]] on the md5 hash family: the k-component
+    * signature-agreement estimator, oracle-expressible end to end. */
+  def nearDuplicatesEstimatedMd5(docsIn: DataFrame, idCol: String,
+      textCol: String, shingleLen: Int, bands: Int, rowsPerBand: Int,
+      threshold: Double): DataFrame = {
+    val k = bands * rowsPerBand
+    val docs = docsIn.repartition(
+      docsIn.sparkSession.sparkContext.defaultParallelism)
+    val sigs = md5HashedSigs(docs, idCol, textCol, shingleLen, bands,
+      rowsPerBand).localCheckpoint()
+    val banded = md5Banded(sigs, idCol, idCol, bands, rowsPerBand)
+    val cand = banded.select(col(idCol).as("a_id"), col("band"), col("sig"))
+      .join(banded.select(col(idCol).as("b_id"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+    val sa = sigs.select(col(idCol).as("a_id"), col("_mh").as("ma"))
+    val sb = sigs.select(col(idCol).as("b_id"), col("_mh").as("mb"))
+    cand.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("jaccard_est", expr(
+        s"""CAST(aggregate(zip_with(ma, mb, (x, y) -> IF(x = y, 1, 0)),
+              0, (acc, v) -> acc + v) AS DOUBLE) / $k"""))
+      .filter(col("jaccard_est") >= threshold)
+      .dropDuplicates("a_id", "b_id")
+      .select("a_id", "b_id", "jaccard_est")
+  }
+
+  /** [[nearDuplicatesAgainst]] on the md5 hash family: batch-vs-corpus
+    * candidates only, exact-verified. Id spaces must be disjoint. */
+  def nearDuplicatesAgainstMd5(corpusIn: DataFrame, batchIn: DataFrame,
+      idCol: String, textCol: String, shingleLen: Int, bands: Int,
+      rowsPerBand: Int, threshold: Double): DataFrame = {
+    graft.functions.VectorFns.register(corpusIn.sparkSession)
+    val par = corpusIn.sparkSession.sparkContext.defaultParallelism
+    val corpusSigs = md5HashedSigs(corpusIn.repartition(par), idCol, textCol,
+      shingleLen, bands, rowsPerBand).localCheckpoint()
+    val batchSigs = md5HashedSigs(batchIn.repartition(par), idCol, textCol,
+      shingleLen, bands, rowsPerBand).localCheckpoint()
+    val cand = md5Banded(corpusSigs, idCol, "corpus_id", bands, rowsPerBand)
+      .join(md5Banded(batchSigs, idCol, "new_id", bands, rowsPerBand),
+        Seq("band", "sig"))
+      .select("corpus_id", "new_id")
+    val sa = corpusSigs.select(col(idCol).as("corpus_id"), col("h").as("sa"))
+    val sb = batchSigs.select(col(idCol).as("new_id"), col("h").as("sb"))
+    cand.join(sa, "corpus_id").join(sb, "new_id")
+      .withColumn("inter", expr("graft_sorted_intersect_long(sa, sb)"))
+      .withColumn("jaccard",
+        TextFns.jaccardFromIntersect("inter", "size(sa)", "size(sb)"))
+      .filter(col("jaccard") >= threshold)
+      .dropDuplicates("corpus_id", "new_id")
+      .select("corpus_id", "new_id", "jaccard")
+  }
+
   /** Bounded-intersect exact Jaccard of two sorted long arrays — the
     * Scala twin of [[graft.functions.VectorFns.SortedIntersectBounded]]
     * (same early-exit, same -1-when-dead contract folded into a

@@ -93,34 +93,52 @@ class FkJoinElim(spark: SparkSession, store: TableStore)
   private def dvAntiJoin(j: Join): Boolean = j.joinType == LeftAnti &&
     j.condition.exists(_.references.exists(a => dvName(a.name)))
 
-  /** Dim side: full scan paths + IsNotNull-guarded names, through
-    * attribute-only projections (the pruned shape) and the store's
-    * deletion-vector visibility shape. */
-  private def dimScan(child: LogicalPlan): Option[(Set[String], Set[String])] =
+  /** Root paths of the vector scan under a traversed `__dv_` anti-join
+    * — part of table IDENTITY (see [[tableFor]]): a shallow clone
+    * shares its source's data dirs, so only the vector set tells a
+    * tombstoned clone apart from the validated source. Empty (no
+    * HadoopFsRelation leaf) conservatively kills the match. */
+  private def dvScanPaths(p: LogicalPlan): Set[String] =
+    p.collectLeaves().flatMap {
+      case rel: LogicalRelation => relPaths(rel)
+      case _ => Set.empty[String]
+    }.toSet
+
+  /** Dim side: (full scan paths, vector scan paths, IsNotNull-guarded
+    * names), through attribute-only projections (the pruned shape) and
+    * the store's deletion-vector visibility shape. */
+  private def dimScan(
+      child: LogicalPlan): Option[(Set[String], Set[String], Set[String])] =
     child match {
-      case rel: LogicalRelation => Some((relPaths(rel), Set.empty))
+      case rel: LogicalRelation => Some((relPaths(rel), Set.empty, Set.empty))
       case Project(projList, rel) if dvStampProject(projList) =>
         dimScan(rel)
-      case j: Join if dvAntiJoin(j) => dimScan(j.left)
+      case j: Join if dvAntiJoin(j) =>
+        val dv = dvScanPaths(j.right)
+        if (dv.isEmpty) None
+        else dimScan(j.left).map { case (p, d, g) => (p, d ++ dv, g) }
       case Filter(cond, rel) =>
         val guarded = splitConjuncts(cond).map {
           case IsNotNull(a: AttributeReference) => a.name
           case _ => return None
         }
-        dimScan(rel).map { case (p, g) => (p, g ++ guarded) }
+        dimScan(rel).map { case (p, d, g) => (p, d, g ++ guarded) }
       case _ => None
     }
 
-  /** Fact side: scan paths through attribute-only projections, ANY
-    * deterministic filters (filtering validated rows preserves the
-    * FK; nondeterministic predicates could diverge on re-planning),
-    * and the deletion-vector shape. */
-  private def factScan(child: LogicalPlan): Option[Set[String]] =
+  /** Fact side: (scan paths, vector scan paths) through attribute-only
+    * projections, ANY deterministic filters (filtering validated rows
+    * preserves the FK; nondeterministic predicates could diverge on
+    * re-planning), and the deletion-vector shape. */
+  private def factScan(child: LogicalPlan): Option[(Set[String], Set[String])] =
     child match {
-      case rel: LogicalRelation => Some(relPaths(rel))
+      case rel: LogicalRelation => Some((relPaths(rel), Set.empty))
       case Project(projList, rel) if dvStampProject(projList) =>
         factScan(rel)
-      case j: Join if dvAntiJoin(j) => factScan(j.left)
+      case j: Join if dvAntiJoin(j) =>
+        val dv = dvScanPaths(j.right)
+        if (dv.isEmpty) None
+        else factScan(j.left).map { case (p, d) => (p, d ++ dv) }
       case Filter(cond, rel) if cond.deterministic => factScan(rel)
       case _ => None
     }
@@ -142,13 +160,23 @@ class FkJoinElim(spark: SparkSession, store: TableStore)
       case _ => None
     }
 
-  private def tableFor(paths: Set[String]): Option[String] =
-    store.tables.find(t => store.dataDirPaths(t) == paths)
+  /** Table identity = (data dirs, deletion-vector dirs), both exact.
+    * Data dirs alone are ambiguous: [[TableStore.cloneTable]] shares
+    * the source's dir set, and a MOR delete diverges visible rows
+    * without touching it — matching on the pair guarantees the
+    * resolved table has EXACTLY the visible rows the plan scans, so
+    * constraints validated on it bind. If several tables carry the
+    * identical pair their visible rows are identical too (any
+    * divergence rewrites a data dir or appends a vector), so
+    * first-match is sound. */
+  private def tableFor(paths: Set[String], dvPaths: Set[String]): Option[String] =
+    store.tables.find(t =>
+      store.dataDirPaths(t) == paths && store.dvDirPaths(t) == dvPaths)
 
   private def tryElim(j: Join, fact: LogicalPlan, dim: LogicalPlan,
       cond: Expression): Option[LogicalPlan] = {
-    val (dimPaths, dimGuard) = dimScan(dim).getOrElse(return None)
-    val factPaths = factScan(fact).getOrElse(return None)
+    val (dimPaths, dimDv, dimGuard) = dimScan(dim).getOrElse(return None)
+    val (factPaths, factDv) = factScan(fact).getOrElse(return None)
     if (dimPaths.isEmpty || factPaths.isEmpty) return None
     val pairs = equiPairs(cond, fact, dim).getOrElse(return None)
     if (pairs.isEmpty) return None
@@ -165,8 +193,8 @@ class FkJoinElim(spark: SparkSession, store: TableStore)
       if (fk.dataType != pk.dataType || (!pk.nullable && fk.nullable))
         return None
     }
-    val factT = tableFor(factPaths).getOrElse(return None)
-    val dimT = tableFor(dimPaths).getOrElse(return None)
+    val factT = tableFor(factPaths, factDv).getOrElse(return None)
+    val dimT = tableFor(dimPaths, dimDv).getOrElse(return None)
     if (factT == dimT) return None
     if (!CheckConstraints.fkEliminationReady(store, factT, dimT,
         pairs.map { case (fk, pk) => (fk.name, pk.name) })) return None

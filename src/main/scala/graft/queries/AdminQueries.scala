@@ -647,7 +647,8 @@ object AdminQueries extends QueryPack {
                     CAST(floor(value * 1000000) AS BIGINT) AS vmicro
                     FROM events),
               b AS (SELECT min(tus) AS lo FROM e)
-         SELECT event_type, count(*) AS n, sum(vmicro) AS sum_vmicro
+         SELECT event_type, count(*) AS n,
+                CAST(sum(vmicro) AS BIGINT) AS sum_vmicro
          FROM e, b
          WHERE tus >= lo + 10 * 86400000000
            AND tus <= lo + 15 * 86400000000 - 1
@@ -657,7 +658,8 @@ object AdminQueries extends QueryPack {
            ('view', 'browse'), ('click', 'browse'), ('purchase', 'buy'),
            ('signup', 'acct'), ('error', 'ops'))
          SELECT e.event_type, count(*) AS n,
-                sum(CAST(floor(value * 1000000) AS BIGINT)) AS sum_vmicro
+                CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+                  AS sum_vmicro
          FROM events e JOIN dim ON e.event_type = dim.event_type
          WHERE dim.category = 'browse'
          GROUP BY e.event_type""",

@@ -58,20 +58,31 @@ object Dedup extends QueryPack {
   private def dd2(s: SparkSession, d: String): DataFrame = exactPairs(s, d)
 
   /** dd3 — MinHash + banded LSH near-dup pairs (21 bands × 3 rows,
-    * exact-Jaccard verified ≥ 0.25). Approximate candidate recall → no
-    * SQL oracle; the driver records a rows-only check, and the ScalaTest
-    * spec checks containment against dd2's exact pairs. */
+    * exact-Jaccard verified ≥ 0.25) on the md5-derived hash family
+    * ([[MinHashLSH.md5Hash31Sql]]): DuckDB computes the identical base
+    * hashes, so the WHOLE pipeline — signature, banding, candidate
+    * collision, verification — has a full SQL oracle (the LSH algebra
+    * under test is production's; only the base hash family differs).
+    * The xxhash64 production path stays the default for callers and is
+    * what the bench times ([[dd3Production]], Bench.prodOverrides). */
   private def dd3(s: SparkSession, d: String): DataFrame =
+    MinHashLSH.nearDuplicatesMd5(
+      t(s, d, "documents").select("doc_id", "text"), "doc_id", "text",
+      shingleLen = 5, bands = 21, rowsPerBand = 3, threshold = 0.25)
+
+  /** The production xxhash64 path of dd3 — the bench subject (native
+    * single-pass shingle hashing + size-gated map-verify, the 100 TB
+    * shape). Not a driver gate: xxhash64 ∉ DuckDB. */
+  private[graft] def dd3Production(s: SparkSession, d: String): DataFrame =
     MinHashLSH.nearDuplicates(
       t(s, d, "documents").select("doc_id", "text"), "doc_id", "text",
       shingleLen = 5, bands = 21, rowsPerBand = 3, threshold = 0.25)
 
-  /** dd3b — MinHash with signature-estimated verification (no shingle
-    * re-intersect; the unbiased k-component estimator). Approximate →
-    * rows-only; DedupSpec bounds the estimator error against exact
-    * Jaccard. */
+  /** dd3b — MinHash with signature-estimated verification (the unbiased
+    * k-component estimator), md5 family → full oracle; DedupSpec also
+    * bounds the estimator error against exact Jaccard. */
   private def dd3b(s: SparkSession, d: String): DataFrame =
-    MinHashLSH.nearDuplicatesEstimated(
+    MinHashLSH.nearDuplicatesEstimatedMd5(
       t(s, d, "documents").select("doc_id", "text"), "doc_id", "text",
       shingleLen = 5, bands = 21, rowsPerBand = 3, threshold = 0.25)
 
@@ -152,11 +163,12 @@ object Dedup extends QueryPack {
 
   /** dd6b — incremental MinHash near-dup: the same batch/corpus split,
     * LSH candidates batch-vs-corpus only (never corpus×corpus), exact
-    * verified. Approximate recall → rows-only; DedupSpec checks
-    * containment in the exact cross-pair set and replica recall. */
+    * verified. md5 family → full oracle; DedupSpec keeps the
+    * containment-in-exact-cross-pairs and production-replica-recall
+    * specs on the xxhash64 path. */
   private def dd6b(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents").select("doc_id", "text")
-    MinHashLSH.nearDuplicatesAgainst(
+    MinHashLSH.nearDuplicatesAgainstMd5(
       docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0),
       "doc_id", "text", shingleLen = 5, bands = 21, rowsPerBand = 3,
       threshold = 0.25)
@@ -444,12 +456,81 @@ object Dedup extends QueryPack {
   private val shingleSql =
     "list_distinct([substr(text, x, 5) for x in range(1, greatest(length(text) - 4, 0) + 1)])"
 
+  /** Shared DuckDB CTE prefix of the md5-family LSH oracles — the exact
+    * mirror of [[MinHashLSH.nearDuplicatesMd5]]'s phases with the SAME
+    * seeded coefficients interpolated as literals: base hashes from
+    * md5 (bit-identical in both engines), per-doc minhash signature,
+    * stringified 3-row band keys. 63 = 21 bands × 3 rows; 2147483659 =
+    * the affine-map prime; 2147483648 = the 31-bit fold. */
+  private def md5LshCtes: String = {
+    val (as, bs) = MinHashLSH.coeffs(63)
+    s"""coef AS (SELECT ${as.mkString("[", ",", "]")}::BIGINT[] AS la,
+                        ${bs.mkString("[", ",", "]")}::BIGINT[] AS lb),
+       h AS (
+         SELECT doc_id,
+           list_sort(list_distinct(list_transform(
+             list_distinct(list_transform(range(1, greatest(length(text) - 4, 0) + 1),
+               y -> substr(text, y, 5))),
+             x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % 2147483648))) AS hs
+         FROM documents),
+       sig AS (
+         SELECT doc_id, hs,
+           list_transform(range(1, 64),
+             i -> list_min(list_transform(hs, h0 -> (la[i] * h0 + lb[i]) % 2147483659))) AS mh
+         FROM h, coef WHERE len(hs) > 0),
+       band AS (
+         SELECT doc_id, bi, array_to_string(mh[bi * 3 + 1 : bi * 3 + 3], ':') AS bsig
+         FROM sig, range(0, 21) t(bi))"""
+  }
+
+  private val jaccardSql =
+    """CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE) /
+       CAST(len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)"""
+
   // simhash oracle fragments — TextFns's mirrors (shared with the
   // `simhash` HeroQL builtin's oracle, so the folds can't drift)
   private val tokHashSql = TextFns.tokenHashDuckSql("tk")
   private val simhashSql = TextFns.simhashOfHashesDuckSql("hs")
 
   override val oracles: Map[String, String] = Map(
+    "dd3_minhash_lsh" ->
+      s"""WITH $md5LshCtes,
+         cand AS (
+           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM band a JOIN band b
+             ON a.bi = b.bi AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         v AS (
+           SELECT c.a_id, c.b_id, $jaccardSql AS jaccard
+           FROM cand c
+             JOIN sig ha ON ha.doc_id = c.a_id
+             JOIN sig hb ON hb.doc_id = c.b_id)
+         SELECT a_id, b_id, jaccard FROM v WHERE jaccard >= 0.25""",
+    "dd3b_minhash_estimate" ->
+      s"""WITH $md5LshCtes,
+         cand AS (
+           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM band a JOIN band b
+             ON a.bi = b.bi AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         v AS (
+           SELECT c.a_id, c.b_id,
+             CAST(len(list_filter(range(1, 64), i -> ha.mh[i] = hb.mh[i]))
+               AS DOUBLE) / 63 AS jaccard_est
+           FROM cand c
+             JOIN sig ha ON ha.doc_id = c.a_id
+             JOIN sig hb ON hb.doc_id = c.b_id)
+         SELECT a_id, b_id, jaccard_est FROM v WHERE jaccard_est >= 0.25""",
+    "dd6b_incremental_minhash" ->
+      s"""WITH $md5LshCtes,
+         cand AS (
+           SELECT DISTINCT a.doc_id AS corpus_id, b.doc_id AS new_id
+           FROM band a JOIN band b ON a.bi = b.bi AND a.bsig = b.bsig
+           WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0),
+         v AS (
+           SELECT c.corpus_id, c.new_id, $jaccardSql AS jaccard
+           FROM cand c
+             JOIN sig ha ON ha.doc_id = c.corpus_id
+             JOIN sig hb ON hb.doc_id = c.new_id)
+         SELECT corpus_id, new_id, jaccard FROM v WHERE jaccard >= 0.25""",
     "dd11_line_dedup" ->
       """WITH tk AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks

@@ -285,14 +285,14 @@ object EventAnalytics extends QueryPack {
          w AS (
            SELECT user_id, event_id, vmilli,
                   count(*) OVER win AS n_prev,
-                  sum(vmilli) OVER win AS s1,
-                  sum(vmilli * vmilli) OVER win AS s2
+                  CAST(sum(vmilli) OVER win AS BIGINT) AS s1,
+                  CAST(sum(vmilli * vmilli) OVER win AS BIGINT) AS s2
            FROM e
            WINDOW win AS (PARTITION BY user_id ORDER BY tns, event_id
                           ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
          SELECT user_id, event_id, vmilli, n_prev,
-                n_prev * vmilli - s1 AS num,
-                n_prev * s2 - s1 * s1 AS den
+                CAST(n_prev * vmilli - s1 AS BIGINT) AS num,
+                CAST(n_prev * s2 - s1 * s1 AS BIGINT) AS den
          FROM w
          WHERE n_prev >= 8
            AND (n_prev * vmilli - s1) * (n_prev * vmilli - s1)

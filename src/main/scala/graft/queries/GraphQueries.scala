@@ -193,39 +193,65 @@ object GraphQueries extends QueryPack {
       .select((col("a.nk") + 1000000L).as("u"), (col("b.nk") + 1000000L).as("v"))
     val tree = partEdges(s, d)
       .select(col("child").cast("long").as("u"), col("parent").cast("long").as("v"))
-    def vertsOf(e: DataFrame): DataFrame =
-      e.select(col("u").as("x")).unionByName(e.select(col("v").as("x"))).distinct()
     Fixpoint.withIterativeConf(s) {
+      // the LOOP materializes only what the next round needs — the
+      // struck-vertex set (control flow) and the surviving edges (the
+      // next round's base): 2 driver round-trips per round. Peel-round
+      // labels are assembled AFTER convergence in ONE job from the
+      // retained (already-cached) edge snapshots — the previous
+      // shape's per-round verts + peeled checkpoints were 2 more
+      // round-trips per round paying for information the end of the
+      // loop can derive (measured: the per-round driver constant, not
+      // the data, dominates this loop at sf0.1).
       var edges = tree.unionByName(cliq).localCheckpoint()
-      var verts = vertsOf(edges).localCheckpoint()
-      val peeled = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-      var round = 0L
+      var edgeCount = edges.count()
+      val snapshots = scala.collection.mutable.ArrayBuffer(edges)
       var done = false
       while (!done) {
+        // the struck set is NOT materialized on its own: it appears
+        // twice in the strike plan (u-side and v-side anti-join), but
+        // both sides share one canonical degree-aggregate subtree, so
+        // ReuseExchange computes the shuffle ONCE inside the single
+        // per-round job — same data work as a separate checkpoint,
+        // one driver round-trip instead of two
         val deg = edges.select(col("u").as("x"))
           .unionByName(edges.select(col("v").as("x")))
           .groupBy("x").agg(count(lit(1)).as("dg"))
-        val gone = deg.filter(col("dg") < 2).select("x").localCheckpoint()
-        if (gone.isEmpty) done = true
+        val gone = deg.filter(col("dg") < 2).select("x")
+        val next = edges
+          .join(gone.withColumnRenamed("x", "u"), Seq("u"), "left_anti")
+          .join(gone.withColumnRenamed("x", "v"), Seq("v"), "left_anti")
+          .localCheckpoint()
+        // convergence probe on the CACHED count: a struck vertex has
+        // exactly one remaining edge (degree ∈ {1} — degree-0 vertices
+        // never appear in a frame built from edges), so "nothing
+        // struck" ⟺ the edge count did not move
+        val nextCount = next.count()
+        if (nextCount == edgeCount) done = true
         else {
-          round += 1
-          edges = edges
-            .join(gone.withColumnRenamed("x", "u"), Seq("u"), "left_anti")
-            .join(gone.withColumnRenamed("x", "v"), Seq("v"), "left_anti")
-            .localCheckpoint()
-          // a vertex is peeled the round its LAST edge leaves the set —
-          // whether it was below-degree itself or its neighbors were
-          // (collateral orphans peel in the same round, as in the
-          // snapshot semantics the oracle's recursion expresses)
-          val next = vertsOf(edges).localCheckpoint()
-          peeled += verts.join(next, Seq("x"), "left_anti")
-            .withColumn("peel_round", lit(round)).localCheckpoint()
-          verts = next
+          edges = next
+          edgeCount = nextCount
+          snapshots += edges
         }
       }
-      val core = verts.withColumn("peel_round", lit(0L))
-      (peeled :+ core).reduce(_ unionByName _)
-        .select(col("x").as("v"), col("peel_round"))
+      // a vertex is peeled the round its LAST edge leaves the set —
+      // whether it was below-degree itself or its neighbors were
+      // (collateral orphans peel in the same round, as in the snapshot
+      // semantics the oracle's recursion expresses). One aggregation
+      // derives every label: tag each snapshot's endpoints with its
+      // round index; a vertex last seen in E_r was peeled in round r+1,
+      // and one seen in the final snapshot is core (0) — a single
+      // shuffle instead of a per-round anti-join chain (the chain was
+      // ~3 stages × rounds of pure scheduling in the assembly job)
+      val lastRound = (snapshots.size - 1).toLong
+      val tagged = snapshots.toSeq.zipWithIndex.map { case (e, r) =>
+        e.select(col("u").as("x"), lit(r.toLong).as("r"))
+          .unionByName(e.select(col("v").as("x"), lit(r.toLong).as("r")))
+      }.reduce(_ unionByName _)
+      tagged.groupBy("x").agg(max(col("r")).as("lr"))
+        .select(col("x").as("v"),
+          when(col("lr") === lastRound, 0L)
+            .otherwise(col("lr") + 1L).as("peel_round"))
     }
   }
 

@@ -617,7 +617,8 @@ object Streaming extends QueryPack {
     // still equal it
     "st16_checked_stream_sink" ->
       """SELECT e.event_type, count(*) AS n,
-           sum(CAST(floor(e.value * 1000000) AS BIGINT)) AS sum_vmicro
+           CAST(sum(CAST(floor(e.value * 1000000) AS BIGINT)) AS BIGINT)
+             AS sum_vmicro
          FROM events e
          JOIN (SELECT DISTINCT event_type FROM events) d
            ON e.event_type = d.event_type
@@ -633,7 +634,8 @@ object Streaming extends QueryPack {
                     event_id AS p_id, value
                     FROM events WHERE event_type = 'purchase')
          SELECT s.signup_id, count(p.p_id) AS n_purchases,
-                coalesce(sum(CAST(floor(p.value * 1000000) AS BIGINT)), 0)
+                CAST(coalesce(
+                  sum(CAST(floor(p.value * 1000000) AS BIGINT)), 0) AS BIGINT)
                   AS sum_vmicro
          FROM s LEFT JOIN p ON s.user_id = p.user_id
            AND p.ts >= s.ts0 AND p.ts < s.ts0 + INTERVAL 7 DAY

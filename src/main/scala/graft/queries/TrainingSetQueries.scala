@@ -521,8 +521,8 @@ object TrainingSetQueries extends QueryPack {
            FROM documents),
          c AS (
            SELECT source, doc_id, tokens,
-             sum(tokens) OVER (PARTITION BY source ORDER BY h, doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             CAST(sum(tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
                AS cum_tokens
            FROM r)
          SELECT source, doc_id, tokens, cum_tokens

@@ -226,42 +226,61 @@ object CheckConstraints {
   /** Referential RESTRICT for the delete path: refuse to remove rows
     * from a table that other tables' declared FKs still reference.
     * For each FK whose referenced side is `table`, the keys about to
-    * disappear are semi-joined against the referencing table — any hit
-    * rejects the whole delete (cost: one keyed semi-join per
-    * referencing FK, probe side = the removed keys). The complement of
-    * [[validate]]'s orphan check on inserts: together they make a
-    * declared FK unbreakable through the checked front doors. */
+    * DISAPPEAR — matched by the delete AND carried by no surviving row
+    * (set-level, matching [[validateUpdate]]'s stillThere check: a
+    * non-unique referenced table keeps a key alive as long as any
+    * carrier survives) — are semi-joined against the referencing
+    * table; any hit rejects the whole delete (cost: one keyed
+    * anti-join + semi-join per referencing FK, probe side = the
+    * removed keys). The complement of [[validate]]'s orphan check on
+    * inserts: together they make a declared FK unbreakable through
+    * the checked front doors. */
   def restrictDelete(tx: Txn, table: String,
       cond: org.apache.spark.sql.Column): Unit =
     fkRows(tx).foreach { case (name, factTable, keys, refTable, refCols) =>
       if (refTable == table && tx.exists(factTable)) {
-        val removedKeys = tx.read(table).filter(cond)
+        val rows = tx.read(table)
+        val matched = rows.filter(coalesce(cond, lit(false)))
           .select(refCols.map(col): _*).distinct()
-        val fact = tx.read(factTable)
-        val on = keys.zip(refCols).map { case (k, r) =>
-          fact(k) === removedKeys(r) }.reduce(_ && _)
-        val referenced = fact.join(removedKeys, on, "left_semi").count()
-        if (referenced > 0)
-          throw new CheckViolation(table, name, referenced)
+        val surviving = rows.filter(!coalesce(cond, lit(false)))
+          .select(refCols.map(col): _*)
+        val removedKeys = matched.join(surviving, refCols.toSeq, "left_anti")
+        checkNotReferenced(tx, table, name, factTable, keys, refCols,
+          removedKeys)
       }
     }
 
-  /** [[restrictDelete]] for row-SET deletes (the CDC-apply path, where
-    * the victims arrive as a frame, not a predicate): same referential
-    * RESTRICT over the already-computed removed rows. */
+  /** [[restrictDelete]] for row-SET deletes (the CDC-apply and HeroQL
+    * @remove paths, where the victims arrive as a frame, not a
+    * predicate): a key disappears iff the delete claims EVERY row
+    * carrying it — per-key multiplicity equality, since the removed
+    * frame is always a sub-multiset of the table. */
   def restrictDeleteRows(tx: Txn, table: String,
       removed: org.apache.spark.sql.DataFrame): Unit =
     fkRows(tx).foreach { case (name, factTable, keys, refTable, refCols) =>
       if (refTable == table && tx.exists(factTable)) {
-        val removedKeys = removed.select(refCols.map(col): _*).distinct()
-        val fact = tx.read(factTable)
-        val on = keys.zip(refCols).map { case (k, r) =>
-          fact(k) === removedKeys(r) }.reduce(_ && _)
-        val referenced = fact.join(removedKeys, on, "left_semi").count()
-        if (referenced > 0)
-          throw new CheckViolation(table, name, referenced)
+        val remCnt = removed.groupBy(refCols.map(col): _*)
+          .agg(count(lit(1)).as("__rm"))
+        val totCnt = tx.read(table).groupBy(refCols.map(col): _*)
+          .agg(count(lit(1)).as("__tot"))
+        val removedKeys = remCnt.join(totCnt, refCols.toSeq)
+          .filter(col("__rm") === col("__tot"))
+          .select(refCols.map(col): _*)
+        checkNotReferenced(tx, table, name, factTable, keys, refCols,
+          removedKeys)
       }
     }
+
+  private def checkNotReferenced(tx: Txn, table: String, name: String,
+      factTable: String, keys: Seq[String], refCols: Seq[String],
+      removedKeys: org.apache.spark.sql.DataFrame): Unit = {
+    val fact = tx.read(factTable)
+    val on = keys.zip(refCols).map { case (k, r) =>
+      fact(k) === removedKeys(r) }.reduce(_ && _)
+    val referenced = fact.join(removedKeys, on, "left_semi").count()
+    if (referenced > 0)
+      throw new CheckViolation(table, name, referenced)
+  }
 
   /** Admission control for the UPDATE path: validate the POST-image of
     * the matched rows against every declared constraint BEFORE the COW

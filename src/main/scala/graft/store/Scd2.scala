@@ -57,6 +57,15 @@ object Scd2 {
     try {
       val attrs = pinned.columns.filterNot(keys.contains).toSeq
       require(attrs.nonEmpty, "an SCD2 batch needs at least one attribute column")
+      // a snapshot must carry exactly one row per business key —
+      // duplicates would append multiple OPEN versions for the same
+      // key, silently breaking the one-open-row-per-key invariant
+      // (same admission guard as Txn.merge's batch-unique check)
+      val dupKeys = pinned.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).count()
+      require(dupKeys == 0,
+        s"SCD2 snapshot for $table carries $dupKeys duplicated business " +
+          s"key(s) on (${keys.mkString(", ")}) — one row per key per snapshot")
       val current = tx.read(table).filter(col(Cur))
         .select(keys.map(col) ++ attrs.map(a => col(a).as(s"__c_$a")) :+
           lit(true).as("__exists"): _*)

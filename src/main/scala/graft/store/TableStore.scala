@@ -335,6 +335,19 @@ final class TableStore(val spark: SparkSession, val root: String) {
       resolveDir(table, dir).toAbsolutePath.normalize.toString
     }.toSet
 
+  /** Absolute deletion-vector directories of `table`'s current
+    * snapshot — the OTHER half of plan identity for
+    * [[graft.plans.FkJoinElim]]: a shallow clone shares its source's
+    * data dirs, and a MOR delete diverges the visible rows WITHOUT
+    * touching them, so data dirs alone cannot distinguish the clone
+    * from the constraint-validated source. (dataDirs, dvDirs) can:
+    * any visible-row divergence either rewrites a data dir or appends
+    * a vector. */
+  def dvDirPaths(table: String): Set[String] =
+    currentEntries(table).collect { case DvEntry(dir) =>
+      resolveDir(table, dir).toAbsolutePath.normalize.toString
+    }.toSet
+
   /** Multi-table atomic transaction: all mutations in `f` become visible
     * in one pointer swap, or none do (an exception publishes nothing).
     *
@@ -346,8 +359,28 @@ final class TableStore(val spark: SparkSession, val root: String) {
     * the snapshot. Unchanged → commit (concurrent commits to OTHER
     * tables merge in — disjoint writers never conflict); changed →
     * [[WriteConflictException]], nothing published, no lost update. */
-  def transaction[T](f: Txn => T): T = {
-    val tx = new Txn(this)
+  def transaction[T](f: Txn => T): T = transactionImportance(0)(f)
+
+  /** [[transaction]] at an explicit IMPORTANCE class — the reference's
+    * prioritized transaction scheduling re-based on optimistic CAS
+    * (`Kernel/Source/Utility/Lock.cpp:637-676`: the lock scheduler
+    * grants pending transactions most-important-class first,
+    * round-robin within a class; `Rewrite.md:11-12`: "submit the
+    * transaction of highest cost, rollback all conflicted
+    * transactions"). DIVERGENCE from the lock-queue semantics,
+    * documented: there is no blocking grant queue to reorder — instead
+    * the commit point yields. A txn publishing while a HIGHER-importance
+    * open txn has buffered writes to one of the same tables throws
+    * [[WriteConflictException]] (it "rolls back" as the conflicted
+    * loser and may retry); equal-importance writers race the CAS as
+    * before. The priority inversion the reference's scheduler prevents
+    * — a low txn sneaking its commit in and forcing the expensive high
+    * txn to rerun — is prevented here at the same single-threaded
+    * commit stage. Starvation is bounded by the retry budget, and a
+    * high txn that aborts drops out of [[openTxns]], releasing the
+    * yield immediately. */
+  def transactionImportance[T](importance: Int)(f: Txn => T): T = {
+    val tx = new Txn(this, importance)
     openTxns.add(tx)
     try {
       val result = f(tx)
@@ -358,14 +391,19 @@ final class TableStore(val spark: SparkSession, val root: String) {
 
   /** [[transaction]] with automatic retry on write-write conflict: `f`
     * re-runs against a fresh snapshot (it must be idempotent — pure
-    * read-compute-mutate against its Txn). */
-  def transactionRetry[T](f: Txn => T, maxAttempts: Int = 8): T = {
+    * read-compute-mutate against its Txn). `importance` prioritizes
+    * the commit under contention ([[transactionImportance]]); lower
+    * classes back off briefly so the higher writer's window is real
+    * time, not a scheduler coin flip. */
+  def transactionRetry[T](f: Txn => T, maxAttempts: Int = 8,
+      importance: Int = 0): T = {
     var attempt = 0
     while (true) {
       attempt += 1
-      try return transaction(f)
+      try return transactionImportance(importance)(f)
       catch {
-        case _: WriteConflictException if attempt < maxAttempts => ()
+        case _: WriteConflictException if attempt < maxAttempts =>
+          if (importance <= 0) Thread.sleep(math.min(5L * attempt, 50L))
       }
     }
     sys.error("unreachable")
@@ -384,12 +422,25 @@ final class TableStore(val spark: SparkSession, val root: String) {
 
   /** Validate-and-swap: commit `pending` iff none of those tables'
     * manifests moved since `snapshot`. Concurrent commits to other
-    * tables are merged, not clobbered. */
+    * tables are merged, not clobbered. Importance gate (see
+    * [[transactionImportance]]): a publish yields — throws, to be
+    * retried — while a HIGHER-importance open txn has buffered writes
+    * to any of the same tables, so the expensive transaction wins the
+    * race instead of being forced to rerun by a cheap one. */
   private[store] def commitAtomically(snapshot: Map[String, String],
-      pending: Map[String, String]): Unit = commitLock.synchronized {
+      pending: Map[String, String], self: Txn): Unit = commitLock.synchronized {
     val now = currentTables()
     val conflicts = pending.keys.filter(t => now.get(t) != snapshot.get(t)).toSeq.sorted
     if (conflicts.nonEmpty) throw new WriteConflictException(conflicts)
+    val it = openTxns.iterator()
+    while (it.hasNext) {
+      val other = it.next()
+      if ((other ne self) && other.importance > self.importance) {
+        val contested = other.writtenTables.intersect(pending.keySet)
+        if (contested.nonEmpty)
+          throw new WriteConflictException(contested.toSeq.sorted)
+      }
+    }
     publish(now ++ pending)
   }
 
@@ -1138,12 +1189,27 @@ final class WriteConflictException(val tables: Seq[String])
 /** Buffered mutations with read-your-writes over a manifest SNAPSHOT
   * taken at open (repeatable reads — concurrent commits are invisible);
   * published atomically, with write-set validation, by
-  * [[TableStore.transaction]]. */
-final class Txn(store: TableStore) {
+  * [[TableStore.transaction]].
+  *
+  * `importance` is the reference's transaction scheduling class
+  * (`Kernel/Source/Utility/Lock.cpp:637-676` — the lock scheduler
+  * iterates pending classes from the most important down, round-robin
+  * within a class; `Rewrite.md:11-12` "submit the transaction of
+  * highest cost, rollback all conflicted transactions"): under
+  * write-write contention a LOWER-importance txn yields the commit
+  * point to an open higher-importance writer of the same table (see
+  * [[TableStore.commitAtomically]]). */
+final class Txn(store: TableStore, private[store] val importance: Int = 0) {
   /** Store manifest as of txn open — both the read view and the CAS
     * expected-value at publish. */
   private val snapshot: Map[String, String] = store.currentTables()
-  private var pending: Map[String, String] = Map.empty // table -> manifest
+  // volatile: commitAtomically reads OTHER open txns' write sets under
+  // the commit lock while their owner threads keep buffering
+  @volatile private var pending: Map[String, String] = Map.empty // table -> manifest
+
+  /** Tables this txn has buffered writes for — its declared commit
+    * intent, read cross-thread by the importance scheduler. */
+  private[store] def writtenTables: Set[String] = pending.keySet
 
   private def manifestOf(name: String): Option[String] =
     pending.get(name).orElse(snapshot.get(name))
@@ -1291,12 +1357,20 @@ final class Txn(store: TableStore) {
       // dir under the wrong flag either loses its partition column or
       // fails discovery
       val layouts = TableStore.dirLayouts(entries)
-      val missing = entries.collect { case DataDir(d) => d }
+      val dirs = entries.collect { case DataDir(d) => d }
+      val missing = dirs
         .filter(d => !cols.forall(c => props.contains(ZoneMaps.statKey(d, c))))
       val add = missing.flatMap(d =>
         ZoneMaps.statsFor(store, name, d, cols,
           layouts.getOrElse(d, Nil).nonEmpty)).toMap
-      if (add.nonEmpty) mergeProps(name, add)
+      // stale stamps (dirs a rewrite/compaction replaced, or a dropped
+      // tracked column) prune in the same commit — the prop map must
+      // not grow with the table's mutation history (fastCount's rows.*
+      // hygiene, applied to zm.*)
+      val valid = dirs.flatMap(d => cols.map(c => ZoneMaps.statKey(d, c))).toSet
+      val stale = props.keySet.filter(k => k.startsWith("zm.") && !valid(k))
+      if (add.nonEmpty || stale.nonEmpty)
+        setProps(name, (props -- stale) ++ add)
     }
   }
 
@@ -1714,7 +1788,7 @@ final class Txn(store: TableStore) {
   private[store] def liveRefs: Map[String, String] = snapshot ++ pending
 
   private[store] def publishAll(): Unit =
-    if (pending.nonEmpty) store.commitAtomically(snapshot, pending)
+    if (pending.nonEmpty) store.commitAtomically(snapshot, pending, this)
 }
 
 object TableStore {

@@ -43,8 +43,16 @@ object ZoneMaps {
 
   private[store] def statKey(dir: String, column: String) = s"zm.$dir.$column"
 
+  /** Explicit "no values" stamp for a dir whose tracked column is
+    * all-NULL (or the dir is empty): without it the key stays missing
+    * forever and [[Txn.stampZoneStats]] re-aggregates the dir on every
+    * subsequent insert. A NULL never satisfies a range predicate, so a
+    * sentinel-stamped dir PRUNES (stronger than the conservative keep a
+    * missing key gets). */
+  private[store] val NullSentinel = "-"
+
   /** Min/max stats for `dir`'s tracked columns, as manifest props.
-    * All-null (or empty) dirs record nothing — kept conservatively. */
+    * All-null (or empty) dirs stamp [[NullSentinel]]. */
   private[store] def statsFor(store: TableStore, table: String, dir: String,
       cols: Seq[String], partitioned: Boolean): Map[String, String] = {
     if (cols.isEmpty) return Map.empty
@@ -52,9 +60,9 @@ object ZoneMaps {
     val aggs = cols.flatMap(c =>
       Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
     val r = df.agg(aggs.head, aggs.tail: _*).head
-    cols.zipWithIndex.flatMap { case (c, i) =>
-      if (r.isNullAt(2 * i)) None
-      else Some(statKey(dir, c) -> s"${r.getLong(2 * i)}:${r.getLong(2 * i + 1)}")
+    cols.zipWithIndex.map { case (c, i) =>
+      if (r.isNullAt(2 * i)) statKey(dir, c) -> NullSentinel
+      else statKey(dir, c) -> s"${r.getLong(2 * i)}:${r.getLong(2 * i + 1)}"
     }.toMap
   }
 
@@ -102,12 +110,7 @@ object ZoneMaps {
     val props = entries.collectFirst { case PropsEntry(ps) => ps }
       .getOrElse(Map.empty)
     val dirs = entries.collect { case DataDir(d) => d }
-    val kept = dirs.filter { d =>
-      props.get(statKey(d, column)).flatMap(parseStat) match {
-        case Some((mn, mx)) => mx >= lo && mn <= hi
-        case None => true
-      }
-    }
+    val kept = dirs.filter(d => keepDir(props, d, column, lo, hi))
     if (kept.isEmpty) exact(store.read(table)).limit(0)
     else {
       // the pruned read bypasses readLog, so deletion vectors must
@@ -129,11 +132,21 @@ object ZoneMaps {
     val entries = store.currentEntries(table)
     val props = entries.collectFirst { case PropsEntry(ps) => ps }
       .getOrElse(Map.empty)
-    entries.collect { case DataDir(d) => d }.filter { d =>
-      props.get(statKey(d, column)).flatMap(parseStat) match {
+    entries.collect { case DataDir(d) => d }
+      .filter(d => keepDir(props, d, column, lo, hi))
+  }
+
+  /** Keep `d` in the pruned read? All-null sentinel prunes (NULL fails
+    * any range predicate), a parsed interval prunes on disjointness,
+    * anything missing/unparseable keeps conservatively. */
+  private def keepDir(props: Map[String, String], d: String,
+      column: String, lo: Long, hi: Long): Boolean =
+    props.get(statKey(d, column)) match {
+      case Some(NullSentinel) => false
+      case Some(s) => parseStat(s) match {
         case Some((mn, mx)) => mx >= lo && mn <= hi
         case None => true
       }
+      case None => true
     }
-  }
 }

@@ -183,4 +183,78 @@ class CheckConstraintsSpec extends SparkSpec {
     st.update("orders", Map("o_orderkey" -> (col("o_orderkey") + 1L)),
       col("o_orderkey") % 20 === 0)
   }
+
+  private def nonUniqueDimFixture(): TableStore = {
+    import spark.implicits._
+    val st = new TableStore(spark,
+      Files.createTempDirectory("graft-check-spec-").toString)
+    // NON-unique referenced side: key 1 carried by two rows
+    st.create("dim", Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "tag"))
+    st.create("fact", Seq((10L, 1L)).toDF("id", "fk"))
+    CheckConstraints.declareForeignKey(st, "fact", "fk1",
+      Seq("fk"), "dim", Seq("k"))
+    st
+  }
+
+  test("set-level RESTRICT: a referenced key stays alive while any carrier survives") {
+    // deleting ONE of two carriers of the referenced key keeps the key
+    // alive — must be admitted (the old row-level check falsely refused)
+    val st = nonUniqueDimFixture()
+    st.delete("dim", col("tag") === "a")
+    assert(st.read("dim").count() === 2)
+    // the LAST carrier: the key disappears — refused
+    intercept[CheckConstraints.CheckViolation] {
+      st.delete("dim", col("tag") === "b")
+    }
+    // same algebra on the merge-on-read path
+    val st2 = nonUniqueDimFixture()
+    st2.deleteMor("dim", col("tag") === "a")
+    assert(st2.read("dim").count() === 2)
+    intercept[CheckConstraints.CheckViolation] {
+      st2.deleteMor("dim", col("tag") === "b")
+    }
+  }
+
+  test("HeroQL @remove and @remove_mor are gated by referential RESTRICT") {
+    import spark.implicits._
+    val program = """
+data Dim(k: int, tag: string).
+
+query PurgeDim(k: int)
+:-  @remove_mor Dim(k, _)
+.
+
+query DropDim(k: int)
+:-  @remove Dim(k, _)
+.
+"""
+    def fixture(): TableStore = {
+      val st = new TableStore(spark,
+        Files.createTempDirectory("graft-check-spec-").toString)
+      st.create("Dim", Seq((1, "a"), (2, "b")).toDF("k", "tag"))
+      st.create("fact", Seq((10, 1)).toDF("id", "fk"))
+      CheckConstraints.declareForeignKey(st, "fact", "fkq",
+        Seq("fk"), "Dim", Seq("k"))
+      st
+    }
+    // unreferenced key: both language routes admit
+    val st = fixture()
+    graft.heroql.HeroQL.executeMutation(program, "PurgeDim",
+      Seq(2).toDF("k"), st)
+    assert(st.read("Dim").count() === 1)
+    // referenced key: both routes refuse whole (a language-level MOR
+    // delete must not orphan rows the facade delete would protect —
+    // FkJoinElim's dim-side soundness depends on this gate)
+    intercept[CheckConstraints.CheckViolation] {
+      graft.heroql.HeroQL.executeMutation(program, "PurgeDim",
+        Seq(1).toDF("k"), st)
+    }
+    intercept[CheckConstraints.CheckViolation] {
+      graft.heroql.HeroQL.executeMutation(program, "DropDim",
+        Seq(1).toDF("k"), st)
+    }
+    assert(st.read("Dim").count() === 1,
+      "a refused language delete must commit nothing")
+    assert(st.read("Dim").head.getInt(0) === 1)
+  }
 }

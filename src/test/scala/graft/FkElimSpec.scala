@@ -163,6 +163,40 @@ class FkElimSpec extends SparkSpec {
     } finally FkJoinElim.uninstall(spark, rule)
   }
 
+  test("a tombstoned shallow clone must not resolve to its validated source") {
+    val st = seeded()
+    // the clone shares its source's data dirs (zero-copy) and carries
+    // NO constraints; a MOR delete of a REFERENCED key is legal on it
+    // — but now its visible rows diverge from dim's while the data-dir
+    // sets stay IDENTICAL. Table identity must see the vector set, or
+    // the rule resolves this scan to the validated source and
+    // eliminates a join whose dim side lost a referenced key.
+    st.cloneTable("dim", "dimclone")
+    val refd = st.read("fact").select("o_custkey").head.getLong(0)
+    st.deleteMor("dimclone", col("c_custkey") === refd)
+    def cloneJoin: DataFrame =
+      st.read("fact").join(st.read("dimclone"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    val expected = rows(cloneJoin) // rule not installed: the real join
+    val rule = FkJoinElim.install(spark, st)
+    try {
+      val q = cloneJoin
+      assert(joinCount(q) === 1,
+        s"tombstoned clone misidentified as source:\n${q.queryExecution.optimizedPlan}")
+      assert(rows(q) === expected)
+      // a PRISTINE clone is bit-identical to its source, so resolving
+      // it to the validated source and eliminating IS sound — identity
+      // must not be so strict that zero-divergence clones lose the win
+      st.cloneTable("dim", "dimclone2")
+      val q2 = st.read("fact").join(st.read("dimclone2"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      assert(joinCount(q2) === 0,
+        s"pristine clone should still eliminate:\n${q2.queryExecution.optimizedPlan}")
+    } finally FkJoinElim.uninstall(spark, rule)
+  }
+
   test("refuses when dim columns beyond the key are used") {
     val st = seeded()
     val rule = FkJoinElim.install(spark, st)

@@ -948,6 +948,34 @@ class HeroQLRuntimeSpec extends SparkSpec {
     assert(!store.exists("U"))
   }
 
+  test("transaction(importance) query: the class parses and yields-then-wins under contention") {
+    import spark.implicits._
+    import graft.store.WriteConflictException
+    val store = new graft.store.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-txn-spec-").toString)
+    store.create("T", Seq((1L, 5L)).toDF("x", "y"))
+    val src =
+      """data T(x: int64, y: int64).
+        |transaction(9) query Urgent()
+        |:- @insert T(100, 100)
+        |.""".stripMargin
+    // importance is a declaration attribute: parse surfaces it
+    val ast = graft.heroql.Parser.parse(src)
+    assert(ast.transactions.head.importance == 9)
+    // and it drives the store's prioritized commit: while the language
+    // transaction's class-9 twin is open, a plain writer yields
+    store.transactionImportance(9) { hi =>
+      hi.insert("T", Seq((100L, 100L)).toDF("x", "y"))
+      intercept[WriteConflictException] {
+        store.transaction(lo => lo.insert("T", Seq((7L, 7L)).toDF("x", "y")))
+      }
+    }
+    // the language route itself executes (retry loop + importance)
+    HeroQL.executeTransaction(src, "Urgent", Map.empty, store)
+    assert(store.read("T")
+      .filter(org.apache.spark.sql.functions.col("x") === 100L).count() == 2)
+  }
+
   test("@update: a constant in match position restricts the matched rows") {
     import spark.implicits._
     val store = new graft.store.TableStore(spark,

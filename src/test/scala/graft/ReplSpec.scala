@@ -80,6 +80,26 @@ class ReplSpec extends SparkSpec {
     assert(n >= 7, s"expected >=7 successful inputs, got $n")
   }
 
+  test(":verify runs a single gate (and its oracle when the harness is present)") {
+    val out = collection.mutable.Buffer[String]()
+    val script = Iterator(
+      ":verify s1_scan_filter",    // full-oracle gate
+      ":verify a10_approx_distinct", // rows-only gate (no oracle SQL)
+      ":verify no_such_gate",
+      ":quit")
+    Repl.session(script, out += _, spark, sf, None)
+    val text = out.mkString("\n")
+    // with python3+duckdb present (this machine) the harness line is
+    // OK (1): …; without it the dump-path message appears — both are
+    // the command working
+    assert(text.contains("OK") || text.contains("compare externally"),
+      s":verify s1 must run the gate + oracle:\n$text")
+    assert(text.contains("rows-only gate"),
+      s":verify on an oracle-less gate must say so:\n$text")
+    assert(text.contains("no gate named no_such_gate"),
+      s"unknown gate must be a clear error:\n$text")
+  }
+
   test("mutation commands without a store fail with a clear message") {
     val out = collection.mutable.Buffer[String]()
     val script = Iterator(

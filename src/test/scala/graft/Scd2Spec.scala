@@ -63,6 +63,21 @@ class Scd2Spec extends SparkSpec {
       "null->value must open a new version")
   }
 
+  test("a snapshot with duplicated business keys is rejected whole") {
+    val st = freshStore()
+    Scd2.init(st, "d", dim(Seq((1L, "A", 10L))), 1000L)
+    // two rows for key 1 would append two OPEN versions — admission
+    // refuses the whole batch, nothing commits
+    val e = intercept[IllegalArgumentException] {
+      Scd2.applyBatch(st, "d",
+        dim(Seq((1L, "A2", 10L), (1L, "A3", 11L), (2L, "B", 20L))),
+        Seq("k"), 2000L)
+    }
+    assert(e.getMessage.contains("duplicated business key"))
+    assert(st.read("d").count() === 1, "a rejected snapshot must commit nothing")
+    assert(st.read("d").filter(col("is_current")).count() === 1)
+  }
+
   test("asOf returns the covering version at any instant") {
     val st = freshStore()
     Scd2.init(st, "d", dim(Seq((1L, "A", 10L))), 1000L)

@@ -205,6 +205,64 @@ class StoreSpec extends SparkSpec {
     assert(!ids(103L), "first attempt's write must not leak")
   }
 
+  test("importance: a lower-class commit yields to an open higher-class writer") {
+    import spark.implicits._
+    import graft.store.WriteConflictException
+    val st = freshStore()
+    st.create("t", seedDf)
+    st.create("u", seedDf)
+    st.transactionImportance(9) { hi =>
+      hi.insert("t", Seq((50L, "hi", 5.0)).toDF("id", "tag", "v"))
+      // while the high-class txn holds buffered intent on t, a default-
+      // class writer of the SAME table must yield (the reference's
+      // scheduler submits the most important class first — a cheap
+      // commit sneaking in would force the expensive txn to rerun)
+      val e = intercept[WriteConflictException] {
+        st.transaction(lo => lo.insert("t", Seq((60L, "lo", 6.0)).toDF("id", "tag", "v")))
+      }
+      assert(e.tables == Seq("t"))
+      // intent is per-table: a default-class write to ANOTHER table
+      // commits straight through
+      st.transaction(lo => lo.insert("u", Seq((70L, "ok", 7.0)).toDF("id", "tag", "v")))
+    }
+    val ids = st.read("t").select("id").as[Long].collect().toSet
+    assert(ids(50L) && !ids(60L),
+      "the high-class write must land, the yielded low one must not")
+    assert(st.read("u").count() == 4)
+  }
+
+  test("importance: under concurrent contention the high class commits first") {
+    import spark.implicits._
+    val st = freshStore()
+    st.create("t", seedDf) // 3 rows
+    val hiReady = new java.util.concurrent.CountDownLatch(1)
+    @volatile var hiErr: Throwable = null
+    val hiThread = new Thread(() => {
+      try st.transactionImportance(9) { hi =>
+        hi.insert("t", Seq((50L, "hi", 5.0)).toDF("id", "tag", "v"))
+        hiReady.countDown()
+        Thread.sleep(200) // stay open across the low txn's first publish
+      } catch { case e: Throwable => hiErr = e }
+    })
+    var attempts = 0
+    st.transactionRetry(maxAttempts = 50, importance = 0, f = { tx =>
+      attempts += 1
+      val n = tx.read("t").count()
+      if (attempts == 1) {
+        hiThread.start()
+        hiReady.await()
+      }
+      tx.insert("t", Seq((100L + n, "lo", 9.0)).toDF("id", "tag", "v"))
+    })
+    hiThread.join()
+    assert(hiErr == null, s"high-class txn must commit cleanly: $hiErr")
+    val ids = st.read("t").select("id").as[Long].collect().toSet
+    assert(ids(50L), "high-class write committed")
+    assert(ids(104L),
+      s"the low txn must land AFTER the high one (observing its row): $ids")
+    assert(!ids(103L), "the pre-yield attempt must not leak")
+  }
+
   test("vacuum reclaims orphaned data dirs, manifests and store manifests") {
     import spark.implicits._
     val st = freshStore()

@@ -69,6 +69,48 @@ class ZoneMapsSpec extends SparkSpec {
     assert(got.except(full).isEmpty && full.except(got).isEmpty)
   }
 
+  test("an all-null tracked dir stamps a sentinel once and prunes from every probe") {
+    val st = freshStore()
+    seed(st, bands = 2)
+    // a commit whose tracked column is entirely NULL
+    st.insert("t", spark.range(0, 10)
+      .select(lit(null).cast("long").as("k"), col("id").as("v")))
+    val sentinels = st.tableProps("t").filter { case (key, v) =>
+      key.startsWith("zm.") && v == "-" }
+    assert(sentinels.size === 1,
+      s"the all-null dir must stamp an explicit no-stats sentinel: " +
+        s"${st.tableProps("t").filter(_._1.startsWith("zm."))}")
+    // NULL fails every range predicate, so the sentinel dir PRUNES
+    assert(ZoneMaps.keptDirs(st, "t", "k", 0, 1000000).size === 2)
+    val pruned = ZoneMaps.readRange(st, "t", "k", 0, 250)
+    val full = st.read("t").filter(col("k").between(0, 250))
+    assert(pruned.except(full).isEmpty && full.except(pruned).isEmpty)
+    // the stamp is permanent: later inserts must not re-aggregate the
+    // all-null dir (its key now exists), only stamp their own dir
+    st.insert("t", spark.range(200, 210)
+      .select(col("id").as("k"), (col("id") % 7).as("v")))
+    val zm = st.tableProps("t").keys.count(_.startsWith("zm."))
+    assert(zm === st.dataDirs("t").size, "exactly one stamp per current dir")
+  }
+
+  test("zm stamps for dirs a rewrite replaced prune from the prop map") {
+    val st = freshStore()
+    seed(st)
+    val before = st.tableProps("t").keys.count(_.startsWith("zm."))
+    assert(before === 6)
+    // the COW update replaces one dir; its old stamp is now stale and
+    // the next stamp pass must drop it (the prop map must not grow
+    // with mutation history — fastCount's rows.* hygiene)
+    st.update("t", Map("v" -> lit(99L)), col("k") === 150L)
+    ZoneMaps.retrack(st, "t")
+    val dirs = st.dataDirs("t").toSet
+    val zmKeys = st.tableProps("t").keys.filter(_.startsWith("zm.")).toSeq
+    assert(zmKeys.size === dirs.size,
+      s"one live stamp per current dir, no stale keys: $zmKeys")
+    assert(zmKeys.forall(k => dirs.exists(d => k == s"zm.$d.k")),
+      s"every stamp must name a current dir: $zmKeys vs $dirs")
+  }
+
   test("untracked tables are unaffected; stats survive unrelated inserts") {
     val st = freshStore()
     st.create("u", spark.range(0, 10).select(col("id").as("k")))

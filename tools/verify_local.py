@@ -53,7 +53,70 @@ def values_equal(a, b) -> bool:
     return a == b or str(a) == str(b)
 
 
-def compare(name, got: pd.DataFrame, want: pd.DataFrame):
+def type_class(duck_type: str) -> str:
+    t = duck_type.upper()
+    if t in ("HUGEINT", "UHUGEINT"):
+        return "hugeint"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("FLOAT", "DOUBLE") or t.startswith("DECIMAL"):
+        return "float"
+    if t == "BOOLEAN":
+        return "bool"
+    return "other"
+
+
+def arrow_class(t) -> str:
+    import pyarrow.types as pt
+    if pt.is_integer(t):
+        return "int"
+    if pt.is_floating(t) or pt.is_decimal(t):
+        return "float"
+    if pt.is_boolean(t):
+        return "bool"
+    return "other"
+
+
+def spark_types(out_path: str) -> dict:
+    """True column types of the Spark output, from the parquet schema —
+    pandas would silently widen a nullable int64 to float64."""
+    import glob as g
+    import pyarrow.parquet as pq
+    files = sorted(g.glob(f"{out_path}/*.parquet")) or \
+        sorted(g.glob(f"{out_path}/**/*.parquet", recursive=True))
+    if not files:
+        return {}
+    sch = pq.read_schema(files[0])
+    return {n: arrow_class(sch.field(n).type) for n in sch.names}
+
+
+def check_types(spark_cls: dict, oracle_types: dict):
+    """Replicate the driver's typed-value hashing: an oracle column whose
+    DuckDB type widens past what Spark emits (HUGEINT from sum(BIGINT),
+    int-vs-float kind drift) hash-mismatches even when every value is
+    numerically equal. Fail on those here so the class can't ship."""
+    for c, oc in oracle_types.items():
+        gcls = spark_cls.get(c)
+        if gcls is None:
+            continue
+        ocls = type_class(oc)
+        if ocls == "hugeint":
+            return (f"oracle type HUGEINT col={c}: DuckDB widened an "
+                    f"aggregate to int128 — add CAST(... AS BIGINT) in the "
+                    f"oracle SQL (spark side is {gcls})")
+        if {ocls, gcls} == {"int", "float"}:
+            return (f"typed mismatch col={c}: oracle {oc} vs spark "
+                    f"{gcls} — driver hashes typed values")
+    return None
+
+
+def compare(name, got: pd.DataFrame, want: pd.DataFrame, oracle_types=None,
+            spark_cls=None):
+    if oracle_types:
+        terr = check_types(spark_cls or {}, oracle_types)
+        if terr:
+            return terr
     got, want = canon(got), canon(want)
     if list(got.columns) != list(want.columns):
         return f"schema mismatch: spark={list(got.columns)} oracle={list(want.columns)}"
@@ -90,11 +153,14 @@ def main():
             skipped.append((name, len(got)))
             continue
         try:
-            want = con.execute(oracle[name]).fetchdf()
+            rel = con.sql(oracle[name])
+            oracle_types = dict(zip(rel.columns, [str(t) for t in rel.types]))
+            want = rel.fetchdf()
         except Exception as e:
             fail.append((name, f"oracle sql error: {e}"))
             continue
-        err = compare(name, got, want)
+        err = compare(name, got, want, oracle_types,
+                      spark_types(f"{out_dir}/{name}"))
         if err:
             fail.append((name, err))
         else:
