@@ -40,7 +40,16 @@ object PlanDump {
       // decorrelated scalar subquery, null-aware anti join, TF-IDF
       "dd11_line_dedup", "samp6_source_quota", "km1_kmeans_assign",
       "j16_correlated_scalar", "j17_null_aware_anti",
-      "tx15_tfidf_keywords", "w9_distribution_windows")
+      "tx15_tfidf_keywords", "w9_distribution_windows",
+      // round-13/14 plan-audited gates: window-sum anomaly scan,
+      // co-purchase self-join, zero-Exchange chunking, DISTINCT
+      // elimination, the shuffle-free bucketed join, islands /
+      // attribution windows, null-safe join, token-budget window,
+      // and the md5-family LSH gate (the full-oracle twin of dd3)
+      "ev9_anomaly_zscore", "g11_copurchase", "tx18_chunking",
+      "mv11_distinct_elim", "j15_bucket_colocated_join",
+      "ev10_pattern_islands", "ev11_attribution", "j19_nullsafe_join",
+      "samp8_token_budget")
     (Bench.headline ++ extras).foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))

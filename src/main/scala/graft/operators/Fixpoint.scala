@@ -225,9 +225,15 @@ object Fixpoint {
     * anc(c, a) :- edges(c, p), anc(p, a).
     * Input columns must be named `child`/`parent`. */
   def transitiveClosure(edges: DataFrame, maxIter: Int = 64): DataFrame = {
-    var acc = edges.select(col("child"), col("parent").as("anc"))
+    val base = edges.select(col("child"), col("parent").as("anc"))
       .distinct().localCheckpoint()
-    var delta = acc
+    // accumulator = union of the checkpointed per-round deltas (the
+    // Planner fixpoint / bfsDistances pattern): each round materializes
+    // only its OWN fresh tuples — re-checkpointing the growing
+    // accumulator would be O(|closure|·depth) total cache writes
+    var deltas = List(base)
+    def acc: DataFrame = deltas.reduce(_ union _)
+    var delta = base
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -239,7 +245,7 @@ object Fixpoint {
       val newDelta = derived.except(acc).localCheckpoint()
       if (newDelta.isEmpty) done = true
       else {
-        acc = acc.union(newDelta).localCheckpoint()
+        deltas ::= newDelta
         delta = newDelta
       }
       iter += 1

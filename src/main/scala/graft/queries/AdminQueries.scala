@@ -120,6 +120,27 @@ object AdminQueries extends QueryPack {
     st.readVersion("orders", 1)
   }
 
+  /** adm21 — RESTORE: create, then a botched update + delete, then
+    * [[TableStore.restoreTable]] two versions back (to post-create),
+    * then one MORE insert on the restored table. The read must equal
+    * create-slice ∪ insert-slice exactly — the mutations' effects are
+    * rolled back by a pure pointer commit (zero data written; the
+    * metadata-only claim is pinned by StoreSpec), and the table stays
+    * fully writable afterwards. */
+  private def adm21(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s)
+    def part(r: Int) = t(s, d, "orders")
+      .filter(col("o_orderkey") % 10 === r).select(cols.map(col): _*)
+    st.create("orders", part(0))
+    st.update("orders",
+      Map("o_totalprice" -> (col("o_totalprice") * 2.0)),
+      col("o_orderpriority") === "1-URGENT")
+    st.delete("orders", col("o_orderstatus") === "F")
+    st.restoreTable("orders", 2)
+    st.insert("orders", part(1))
+    st.read("orders")
+  }
+
   /** adm6 — log compaction: a create plus five single-slice inserts
     * (the streaming-sink commit pattern — one small dir per commit),
     * compacted into one materialized dir, then one MORE insert on top —
@@ -556,6 +577,7 @@ object AdminQueries extends QueryPack {
     "adm3_vacuum_gc" -> (adm3 _),
     "adm4_backup_ring" -> (adm4 _),
     "adm5_time_travel" -> (adm5 _),
+    "adm21_restore_table" -> (adm21 _),
     "adm6_compaction" -> (adm6 _),
     "adm7_zorder_layout" -> (adm7 _),
     "adm8_check_constraints" -> (adm8 _),
@@ -767,5 +789,11 @@ object AdminQueries extends QueryPack {
                      ELSE o_totalprice END AS o_totalprice,
                 o_orderpriority
          FROM orders WHERE o_orderkey % 10 = 0""",
+    // the restored table = the pristine create slice plus the
+    // post-restore insert — the update/delete interval fully undone
+    "adm21_restore_table" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderpriority
+         FROM orders WHERE o_orderkey % 10 IN (0, 1)""",
   )
 }

@@ -57,6 +57,30 @@ object Dedup extends QueryPack {
   /** dd2 — the exact near-dup pairs (see [[exactPairs]]). */
   private def dd2(s: SparkSession, d: String): DataFrame = exactPairs(s, d)
 
+  /** dd13 — NORMALIZED exact dedup (the C4/CCNet-style canonicalization
+    * pass): casefold + collapse every non-alphanumeric run to one
+    * space, then exact-group — catches the copies exact dedup (dd1)
+    * misses for trivial formatting reasons (case, punctuation,
+    * whitespace) at exactly dd1's cost, one partial-agg exchange. The
+    * fixture corpus is already canonical, so the gate builds its
+    * variant space deterministically: every doc_id % 7 == 0 document
+    * re-enters uppercased with injected punctuation on an offset id
+    * space, and the groups must re-merge them (n_variants = 2) while
+    * untouched docs keep n_variants = 1. */
+  private def dd13(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select("doc_id", "text")
+    val variants = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("  "), upper(col("text")), lit("!!")).as("text"))
+    docs.unionByName(variants)
+      .groupBy(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+        .as("norm"))
+      .agg(min(col("doc_id")).as("keeper_id"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("text")).as("n_variants"))
+      .select("keeper_id", "n_copies", "n_variants")
+  }
+
   /** dd3 — MinHash + banded LSH near-dup pairs (21 bands × 3 rows,
     * exact-Jaccard verified ≥ 0.25) on the md5-derived hash family
     * ([[MinHashLSH.md5Hash31Sql]]): DuckDB computes the identical base
@@ -451,6 +475,7 @@ object Dedup extends QueryPack {
     "dd9_semantic_dedup" -> (dd9 _),
     "dd10_duplicate_spans" -> (dd10 _),
     "dd11_line_dedup" -> (dd11 _),
+    "dd13_normalized_dedup" -> (dd13 _),
   )
 
   private val shingleSql =
@@ -493,6 +518,17 @@ object Dedup extends QueryPack {
   private val simhashSql = TextFns.simhashOfHashesDuckSql("hs")
 
   override val oracles: Map[String, String] = Map(
+    "dd13_normalized_dedup" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, '  ' || upper(text) || '!!'
+           FROM documents WHERE doc_id % 7 = 0)
+         SELECT min(doc_id) AS keeper_id,
+                CAST(count(*) AS BIGINT) AS n_copies,
+                CAST(count(DISTINCT text) AS BIGINT) AS n_variants
+         FROM corpus
+         GROUP BY trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))""",
     "dd3_minhash_lsh" ->
       s"""WITH $md5LshCtes,
          cand AS (

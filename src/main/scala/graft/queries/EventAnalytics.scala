@@ -215,9 +215,47 @@ object EventAnalytics extends QueryPack {
       .agg(count(lit(1)).as("n_conv"), sum("vmicro").as("sum_vmicro"))
   }
 
+  /** ev12 — time-to-conversion survival curve: per signup, the delay
+    * to that user's FIRST purchase within a 14-day horizon; the curve
+    * row for day d (0..13) reports how many signups had converted by
+    * the end of day d and how many were still unconverted — the
+    * activation / Kaplan-Meier-style readout every growth pipeline
+    * reports. Scale: corpus-sized work happens exactly once — a
+    * user-keyed time-bounded join + a min-per-signup aggregate (state
+    * ∝ signups, never events); the cumulative window then runs over
+    * the 14-row day frame. Delays are exact nano BIGINTs, day = floor
+    * division. */
+  private def ev12(s: SparkSession, d: String): DataFrame = {
+    val horizonNs = 14L * 86400L * 1000000000L
+    val e = ev(s, d)
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id"),
+        col("tns").as("s_tns"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tns").as("p_tns"))
+    val firstConv = signups.join(purchases, Seq("user_id"))
+      .filter(col("p_tns") >= col("s_tns") &&
+        col("p_tns") < col("s_tns") + lit(horizonNs))
+      .groupBy("signup_id")
+      .agg(min(col("p_tns") - col("s_tns")).as("delay_ns"))
+    val byDay = firstConv
+      .select(expr("CAST(delay_ns DIV 86400000000000 AS BIGINT)").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_day"))
+    val days = s.range(0, 14).select(col("id").as("day"))
+    val win = org.apache.spark.sql.expressions.Window.orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    days.join(byDay, Seq("day"), "left")
+      .crossJoin(broadcast(signups.agg(count(lit(1)).as("n_signups"))))
+      .select(col("day"),
+        sum(coalesce(col("n_day"), lit(0L))).over(win).as("n_converted"),
+        (col("n_signups") -
+          sum(coalesce(col("n_day"), lit(0L))).over(win)).as("n_unconverted"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev10_pattern_islands" -> (ev10 _),
     "ev11_attribution" -> (ev11 _),
+    "ev12_time_to_conversion" -> (ev12 _),
     "ev5_funnel" -> (ev5 _),
     "ev6_retention" -> (ev6 _),
     "ev7_ewma_decay" -> (ev7 _),
@@ -226,6 +264,31 @@ object EventAnalytics extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    "ev12_time_to_conversion" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type,
+                  epoch_ns(CAST(ts AS TIMESTAMP)) AS tns
+           FROM events),
+         s AS (SELECT event_id AS signup_id, user_id, tns AS s_tns
+               FROM e WHERE event_type = 'signup'),
+         p AS (SELECT user_id, tns AS p_tns
+               FROM e WHERE event_type = 'purchase'),
+         f AS (SELECT signup_id, min(p_tns - s_tns) AS delay_ns
+               FROM s JOIN p USING (user_id)
+               WHERE p_tns >= s_tns AND p_tns < s_tns + 1209600000000000
+               GROUP BY signup_id),
+         bd AS (SELECT CAST(delay_ns // 86400000000000 AS BIGINT) AS day,
+                       count(*) AS n_day
+                FROM f GROUP BY 1),
+         days AS (SELECT CAST(x AS BIGINT) AS day FROM range(0, 14) t(x)),
+         tot AS (SELECT count(*) AS n_signups FROM s)
+         SELECT day,
+           CAST(sum(coalesce(n_day, 0)) OVER w AS BIGINT) AS n_converted,
+           CAST(n_signups - sum(coalesce(n_day, 0)) OVER w AS BIGINT)
+             AS n_unconverted
+         FROM days LEFT JOIN bd USING (day), tot
+         WINDOW w AS (ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
     // the correlated scalar lookup states the as-of semantics directly;
     // same-ts touch ties pre-collapse to max(event_type) exactly as the
     // operator's right-side dedup does

@@ -430,6 +430,30 @@ object Streaming extends QueryPack {
           .as("sum_vmicro"))
   }
 
+  /** st18 — stream-stream FULL OUTER join drained through a real
+    * streaming query — completes the join matrix (st8 inner, st15
+    * left outer): BOTH sides' null-padded rows are watermark-eviction
+    * artifacts — signups the engine proved purchase-less AND purchases
+    * it proved signup-less (their candidate window closed under the
+    * clock). Row-level output (matched pairs + both unmatched sides),
+    * checked against the batch FULL join over the closable-signup set. */
+  private def st18(s: SparkSession, d: String): DataFrame = {
+    val name = "st18_ssfull_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = EventStreams.streamStreamSignupFullJoin(s, d)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+      .select(col("signup_id"), col("p_id"),
+        expr("CAST(floor(coalesce(value, 0) * 1000000) AS BIGINT)")
+          .as("vmicro"))
+  }
+
   /** st16 — streaming ingest through ADMISSION CONTROL
     * ([[EventStreams.checkedSinkToStore]]): four real micro-batches of
     * events land in a store table whose event_type carries a declared
@@ -494,6 +518,7 @@ object Streaming extends QueryPack {
     "st13_watermark_dedup" -> (st13 _),
     "st14_stream_enrich_hql" -> (st14 _),
     "st15_stream_stream_left_join" -> (st15 _),
+    "st18_stream_stream_full_join" -> (st18 _),
     "ev1_sessionization" -> (ev1 _),
     "ev2_resample_ffill" -> (ev2 _),
     "ev3_resample_lerp" -> (ev3 _),
@@ -623,6 +648,24 @@ object Streaming extends QueryPack {
          JOIN (SELECT DISTINCT event_type FROM events) d
            ON e.event_type = d.event_type
          GROUP BY e.event_type""",
+    // st18: the drained FULL OUTER join equals the batch FULL join over
+    // the closable-signup set — unmatched rows on EITHER side exist
+    // only because the watermark flushed them
+    "st18_stream_stream_full_join" ->
+      """WITH s AS (SELECT event_id AS signup_id, user_id,
+                    CAST(ts AS TIMESTAMP) AS ts0
+                    FROM events WHERE event_type = 'signup'
+                      AND epoch_us(CAST(ts AS TIMESTAMP)) <=
+                        (SELECT max(epoch_us(CAST(ts AS TIMESTAMP)))
+                         FROM events) - 612000000000),
+              p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                    event_id AS p_id, value
+                    FROM events WHERE event_type = 'purchase')
+         SELECT s.signup_id, p.p_id,
+                CAST(floor(coalesce(p.value, 0) * 1000000) AS BIGINT)
+                  AS vmicro
+         FROM s FULL JOIN p ON s.user_id = p.user_id
+           AND p.ts >= s.ts0 AND p.ts < s.ts0 + INTERVAL 7 DAY""",
     "st15_stream_stream_left_join" ->
       """WITH s AS (SELECT event_id AS signup_id, user_id,
                     CAST(ts AS TIMESTAMP) AS ts0

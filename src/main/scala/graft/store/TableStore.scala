@@ -731,6 +731,31 @@ final class TableStore(val spark: SparkSession, val root: String) {
         .sortBy(storeSeq).reverse
     }
 
+  /** RESTORE `name` to its state `versionsBack` commits ago — rollback
+    * as a FORWARD commit (the Delta `RESTORE TABLE ... TO VERSION`
+    * semantics, re-based on the manifest log): the new store commit
+    * points the table back at the old version's immutable table
+    * manifest, so restoring a 100 TB table writes ZERO data bytes and
+    * zero manifest bytes — one store-pointer swap. History is
+    * preserved: the botched interval stays time-travelable behind the
+    * restore commit, and a restore of the restore is just another
+    * pointer. Requires the target version retained by [[vacuum]]
+    * (`retainVersions > versionsBack`), like [[readVersion]].
+    * Constraint / materialized-view watermarks key on manifest names,
+    * so a restore naturally trips every staleness fence — transparent
+    * rewrites stand down (never serve pre-restore proofs) until
+    * [[CheckConstraints.revalidate]] / view refresh re-stamp. */
+  def restoreTable(name: String, versionsBack: Int): Unit = {
+    require(versionsBack >= 1, "restore needs versionsBack >= 1")
+    val vs = versions()
+    require(versionsBack < vs.size,
+      s"store has ${vs.size} retained version(s); cannot go back $versionsBack")
+    val old = readStoreManifest(vs(versionsBack))
+    val m = old.getOrElse(name, throw new IllegalArgumentException(
+      s"table $name does not exist at version -$versionsBack"))
+    transaction(_.relink(name, m))
+  }
+
   /** Read `name` as of `versionsBack` commits before HEAD (0 = HEAD) —
     * snapshot isolation for free: manifests and data files are
     * immutable, so an old version is just an old pointer. Readable as
@@ -1782,6 +1807,12 @@ final class Txn(store: TableStore, private[store] val importance: Int = 0) {
     * and merge. */
   private[graft] def link(name: String, refEntries: Seq[ManifestEntry]): Unit =
     pending += name -> store.writeTableManifest(name, refEntries)
+
+  /** Point `name` at an EXISTING (immutable) table manifest — the
+    * RESTORE primitive: not even a manifest file is written, the new
+    * store commit just re-references the old one. */
+  private[store] def relink(name: String, manifest: String): Unit =
+    pending += name -> manifest
 
   /** Every (table, manifest) this txn can reach: its read snapshot plus
     * buffered writes — [[TableStore.vacuum]]'s in-flight roots. */

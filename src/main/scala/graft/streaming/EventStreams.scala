@@ -545,7 +545,21 @@ object EventStreams {
     * the restriction, tail signups' unmatched rows would still be
     * pending state at drain and the result could never equal the batch
     * left join. */
-  def streamStreamSignupLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+  def streamStreamSignupLeftJoin(spark: SparkSession, dir: String): DataFrame =
+    streamStreamSignupOuterJoin(spark, dir, "leftOuter")
+
+  /** FULL OUTER flavor — completes the stream-stream join matrix
+    * (st8 inner, st15 left, st18 full): BOTH sides' unmatched rows
+    * exist only because the watermark proved their window closed —
+    * signups with no purchase flush null-padded on the right, and
+    * purchases whose whole candidate-signup window passed flush
+    * null-padded on the left. Same watermark/heartbeat machinery; the
+    * event-time range condition bounds state on both sides. */
+  def streamStreamSignupFullJoin(spark: SparkSession, dir: String): DataFrame =
+    streamStreamSignupOuterJoin(spark, dir, "fullOuter")
+
+  private def streamStreamSignupOuterJoin(spark: SparkSession, dir: String,
+      joinType: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val staged = stageDir(dir)
     val maxMicros = tsInstant(spark.read.schema(schema).parquet(staged))
@@ -554,23 +568,43 @@ object EventStreams {
     // A watermark computed at the end of batch N applies in batch N+1 —
     // with the whole corpus in one batch, no batch ever RUNS under the
     // final watermark and the unmatched rows stay in state forever. So
-    // stage a trailing heartbeat file (one future-dated row, filtered
-    // out of both join sides below the watermark node): it becomes a
-    // final micro-batch under the post-corpus watermark, which is what
-    // flushes the closed-window NULL rows. At 100 TB this is exactly
-    // the production situation — an outer stream join only emits its
+    // stage trailing heartbeat files: each becomes a micro-batch under
+    // the post-corpus watermark, which is what flushes the
+    // closed-window NULL rows. At 100 TB this is exactly the
+    // production situation — an outer stream join only emits its
     // unmatched rows when LATER data (or a no-data trigger) advances
     // the clock past the window.
+    //
+    // Heartbeat rows must carry the sides' REAL event types: the
+    // optimizer pushes any non-event-time conjunct BELOW the
+    // EventTimeWatermark node (PushPredicateThroughNonJoin exempts
+    // only predicates referencing the watermark column), so a
+    // sentinel-typed row would be filtered before it ever reaches the
+    // watermark operator and the clock would never pass the corpus —
+    // measured: the global watermark pinned at purchase-max − 1h, and
+    // the full join's last-hour unmatched purchases never flushed.
+    // Each side instead drops its (future-dated) heartbeat with a
+    // ts-referencing conjunct, which CANNOT push below the watermark:
+    // the row advances the clock first, then dies.
     val one = spark.read.schema(schema).parquet(staged)
       .orderBy(col("ts").desc).limit(1)
-    val hb = (schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        one.withColumn("ts", col("ts") + lit(30L * 86400L * 1000000000L))
-      case _ => one.withColumn("ts", col("ts") + expr("INTERVAL 30 DAYS"))
-    }).withColumn("event_type", lit("wm_heartbeat"))
-    hb.coalesce(1).write.mode("append").parquet(staged)
-    // the watermark sits ABOVE the type filters so the heartbeat (which
-    // neither side keeps) still advances the clock
+    def heartbeat(days: Long, etype: String): Unit = {
+      val hb = (schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          one.withColumn("ts", col("ts") + lit(days * 86400L * 1000000000L))
+        case _ => one.withColumn("ts", col("ts") + expr(s"INTERVAL $days DAYS"))
+      }).withColumn("event_type", lit(etype))
+      hb.coalesce(1).write.mode("append").parquet(staged)
+    }
+    // TWO heartbeat rounds, not one: a watermark computed at the end of
+    // batch N only applies in batch N+1, and AvailableNow stops at the
+    // last FILE — without a second (later) heartbeat batch, state whose
+    // eviction needs the FIRST heartbeat's post-corpus watermark (the
+    // full join's last-hour unmatched purchases) would never flush.
+    // One row per SIDE per round: the global watermark is the MIN over
+    // both sides' nodes, so both clocks must advance.
+    heartbeat(30, "signup"); heartbeat(30, "purchase")
+    heartbeat(31, "signup"); heartbeat(31, "purchase")
     def src() = tsInstant(spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(staged))
       .withWatermark("ts", "1 hour")
@@ -578,12 +612,16 @@ object EventStreams {
         expr("unix_micros(ts)") <= lit(closableMicros))
       .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
         col("ts").as("ts0"))
-    val purchases = src().filter(col("event_type") === "purchase")
+    // the ≤ corpus-max conjunct exists to kill the heartbeat ABOVE the
+    // watermark node (it references ts, so it stays put); every real
+    // purchase satisfies it by construction
+    val purchases = src().filter(col("event_type") === "purchase" &&
+        expr("unix_micros(ts)") <= lit(maxMicros))
       .select(col("user_id"), col("ts").as("p_ts"),
         col("event_id").as("p_id"), col("value"))
     signups.join(purchases, expr(
       "s_user = user_id AND p_ts >= ts0 AND p_ts < ts0 + INTERVAL 7 DAYS"),
-      "leftOuter")
+      joinType)
       .select(col("signup_id"), col("s_user"), col("p_id"), col("value"))
   }
 

@@ -205,6 +205,34 @@ class StoreSpec extends SparkSpec {
     assert(!ids(103L), "first attempt's write must not leak")
   }
 
+  test("restore is a pointer commit: original dirs re-referenced, zero data written") {
+    import spark.implicits._
+    val st = freshStore()
+    st.create("t", seedDf)
+    val origDirs = st.dataDirPaths("t")
+    // a botched interval: COW update + delete rewrite dirs
+    st.update("t", Map("v" -> (col("v") * 2.0)), col("id") === 1L)
+    st.delete("t", col("id") === 2L)
+    val commits = st.commitCount()
+    val onDisk = st.dataDirsOnDisk("t").toSet
+    st.restoreTable("t", 2)
+    assert(st.dataDirPaths("t") == origDirs,
+      "restore must point back at the ORIGINAL immutable dirs")
+    assert(st.dataDirsOnDisk("t").toSet == onDisk,
+      "restore must write zero data bytes")
+    assert(st.commitCount() == commits + 1, "restore is one forward commit")
+    val m = st.read("t").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(m == Map(1L -> ("a", 10.0), 2L -> ("b", 20.0), 3L -> ("c", 30.0)),
+      s"restored contents must equal the pristine create: $m")
+    // the botched interval stays time-travelable behind the restore
+    assert(st.readVersion("t", 1).count() == 2, "pre-restore head = post-delete")
+    // the table stays live, and GC never reclaims the re-referenced dirs
+    st.insert("t", Seq((4L, "d", 40.0)).toDF("id", "tag", "v"))
+    st.vacuum(graceMillis = 0)
+    assert(st.read("t").count() == 4, "reads unchanged by GC after restore")
+  }
+
   test("importance: a lower-class commit yields to an open higher-class writer") {
     import spark.implicits._
     import graft.store.WriteConflictException
