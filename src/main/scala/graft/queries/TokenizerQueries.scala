@@ -180,9 +180,43 @@ object TokenizerQueries extends QueryPack {
       .select(col("w").as("tok"), col("true_cnt"), col("est_cnt"), col("over_cnt"))
   }
 
+  /** bpe3 — BPE ENCODE with a learned merge list: six merge rounds
+    * trained sequentially on the dictionary (each round's winning pair
+    * collapses to a fresh single-symbol marker — uppercase letters,
+    * which the lowercased corpus cannot contain — before the next
+    * round counts), then every document's tokens are encoded through
+    * the dictionary and the per-doc word/char/symbol totals reported:
+    * n_symbols < n_chars IS the compression the vocabulary buys.
+    * Scale: training runs entirely on the vocabulary-bounded
+    * dictionary (6 rounds of pair-count + 1-row-broadcast replace,
+    * zero driver-side collects); encoding is ONE corpus-token exchange
+    * joined against the (broadcastable) dictionary — the trained-
+    * tokenizer application shape a data pipeline actually runs. */
+  private def bpe3(s: SparkSession, d: String): DataFrame = {
+    val markers = "ABCDEF"
+    var dict = dictionary(s, d).withColumn("enc", col("w")).localCheckpoint()
+    for (r <- 0 until markers.length) {
+      val top1 = pairCounts(dict, "enc")
+        .orderBy(col("weight").desc, col("pair").asc)
+        .limit(1).select(col("pair").as("__m"))
+      dict = dict.crossJoin(broadcast(top1))
+        .select(col("w"), col("wc"),
+          expr(s"replace(enc, __m, '${markers(r)}')").as("enc"))
+        .localCheckpoint()
+    }
+    t(s, d, "documents")
+      .select(col("doc_id"), explode(expr(tokSplit)).as("w"))
+      .join(dict.select("w", "enc"), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w"))).as("n_chars"),
+        sum(length(col("enc"))).as("n_symbols"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe1_pair_counts" -> (bpe1 _),
     "bpe2_second_merge" -> (bpe2 _),
+    "bpe3_encode" -> (bpe3 _),
     "tx14_bigram_logprob" -> (tx14 _),
     "cms1_heavy_hitters" -> (cms1 _),
   )
@@ -206,7 +240,32 @@ object TokenizerQueries extends QueryPack {
         FROM dict CROSS JOIN (SELECT unnest(range(0, $CmsK)) AS j) ks"""
   }
 
+  /** The bpe3 oracle's six chained train rounds, generated so the SQL
+    * can't drift from the loop above: dictK = dict(K-1) with round K's
+    * winning pair collapsed to marker K. */
+  private val bpe3OracleSql: String = {
+    val markers = "ABCDEF"
+    val rounds = markers.indices.map { r =>
+      s"""top$r AS (SELECT pair AS m FROM (${pairSql(s"SELECT * FROM dict$r", "enc")})
+            ORDER BY weight DESC, pair ASC LIMIT 1),
+         dict${r + 1} AS (SELECT w, wc,
+            replace(enc, (SELECT m FROM top$r), '${markers(r)}') AS enc
+            FROM dict$r)"""
+    }.mkString(",\n")
+    s"""WITH dict0 AS (SELECT w, wc, w AS enc FROM ($dictSql)),
+       $rounds,
+       toks AS (SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+         FROM documents)
+       SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+              CAST(sum(length(t.w)) AS BIGINT) AS n_chars,
+              CAST(sum(length(d.enc)) AS BIGINT) AS n_symbols
+       FROM toks t JOIN dict${markers.length} d USING (w)
+       GROUP BY t.doc_id"""
+  }
+
   override val oracles: Map[String, String] = Map(
+    "bpe3_encode" -> bpe3OracleSql,
     "cms1_heavy_hitters" ->
       s"""WITH dict AS ($dictSql),
             entries AS ($cmsEntriesSql),
