@@ -43,6 +43,7 @@ object Repl {
       |  :stream <stmt>    run a stream statement (dedup/sessionize/aggregate/enrich)
       |  :count <T>        metadata-only row count of a store table
       |  :changes <T> <N>  row-level CDC feed over the last N commits
+      |  :restore <T> <N>  restore a store table to N commits back (pointer-only)
       |  :verify <gate>    run one driver gate + its DuckDB oracle locally
       |  :help             this text
       |  :quit             exit""".stripMargin
@@ -189,6 +190,16 @@ object Repl {
             val parts = rest.split("\\s+")
             require(parts.length == 2, ":changes syntax: :changes <table> <versionsBack>")
             out(render(requireStore().changeFeed(parts(0), parts(1).toInt), 20))
+          }
+          case ":restore" => attempt(":restore") {
+            // `:restore <table> <versionsBack>` — rollback as a forward
+            // pointer commit (TableStore.restoreTable); the botched
+            // interval stays time-travelable behind it
+            val parts = rest.split("\\s+")
+            require(parts.length == 2,
+              ":restore syntax: :restore <table> <versionsBack>")
+            requireStore().restoreTable(parts(0), parts(1).toInt)
+            out(s"${parts(0)} restored to -${parts(1)} (pointer commit)")
           }
           case ":verify" => attempt(":verify") {
             // `:verify <gate>` — one-gate audit loop: run the

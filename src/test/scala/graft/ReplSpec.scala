@@ -72,12 +72,20 @@ class ReplSpec extends SparkSpec {
       ":call Load(cutoff=3)",
       ":count T",
       ":changes T 1",
+      // rollback the second load: a pointer-only restore, then count.
+      // 2 back, not 1: the :count above stamped row props in its own
+      // commit, so HEAD-1 is still the post-load2 state
+      ":restore T 2",
+      ":count T",
       ":quit")
     val n = Repl.session(seed, out += _, spark, sf, Some(storeDir))
     val text = out.mkString("\n")
     assert(text.contains("T: 7 rows"), s":count expected 5 + 2 rows:\n$text")
     assert(text.contains("_change_type"), s":changes missing CDC column:\n$text")
-    assert(n >= 7, s"expected >=7 successful inputs, got $n")
+    assert(text.contains("T restored to -2"), s":restore must commit:\n$text")
+    assert(text.contains("T: 5 rows"),
+      s":count after restore expected the first load only:\n$text")
+    assert(n >= 9, s"expected >=9 successful inputs, got $n")
   }
 
   test(":verify runs a single gate (and its oracle when the harness is present)") {
