@@ -49,7 +49,12 @@ object PlanDump {
       "ev9_anomaly_zscore", "g11_copurchase", "tx18_chunking",
       "mv11_distinct_elim", "j15_bucket_colocated_join",
       "ev10_pattern_islands", "ev11_attribution", "j19_nullsafe_join",
-      "samp8_token_budget")
+      "samp8_token_budget",
+      // round-14 batch additions: survival curve (time-bounded join +
+      // 14-row window), normalized dedup (one partial-agg exchange),
+      // BPE encode (dictionary-join application; training runs at
+      // dump time — vocabulary-bounded)
+      "ev12_time_to_conversion", "dd13_normalized_dedup", "bpe3_encode")
     (Bench.headline ++ extras).foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
