@@ -346,16 +346,25 @@ object MinHashLSH {
 
   /** Per-doc (id, sorted distinct md5-based shingle hashes, minhash
     * signature) — the md5-family twin of the `hashed` frame in
-    * [[nearDuplicates]]. */
+    * [[nearDuplicates]]. The signature runs through the NATIVE
+    * [[graft.functions.VectorFns.MinHashSigLong]] expression: its
+    * 31-bit pmod fold is the identity on the already-folded md5 bases,
+    * so the values equal [[signatureOfBases]]' exactly while the
+    * 63-coefficient min runs as one codegen'd pass instead of 63
+    * interpreted aggregate() lambdas per row (measured ~2.4× on dd14
+    * end-to-end at sf0.1). */
   private def md5HashedSigs(docs: DataFrame, idCol: String, textCol: String,
-      shingleLen: Int, bands: Int, rowsPerBand: Int): DataFrame =
+      shingleLen: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val (as, bs) = coeffs(bands * rowsPerBand)
+    graft.functions.VectorFns.register(docs.sparkSession, as, bs)
     docs
       .withColumn("h", sort_array(array_distinct(expr(
         s"transform(${TextFns.shinglesSql(textCol, shingleLen)}," +
           s" x -> ${md5Hash31Sql("x")})"))))
       .filter(size(col("h")) > 0)
-      .withColumn("_mh", signatureOfBases("h", bands, rowsPerBand))
+      .withColumn("_mh", expr("graft_minhash_sig_long(h)"))
       .select(col(idCol), col("h"), col("_mh"))
+  }
 
   /** (id, band, sig) rows with the STRINGIFIED slice as the band key —
     * exact composite equality in both engines, vs production's

@@ -261,6 +261,39 @@ object Dedup extends QueryPack {
         col("cluster_size"))
   }
 
+  /** dd14 — the PRODUCTION dedup decision, oracle-checked END TO END:
+    * banded LSH candidate pairs (md5 family — full oracle, same
+    * algebra as dd3's production xxhash64 path) → exact-verified
+    * edges → connected components → quality-aware keeper (longest doc
+    * wins, doc_id tie-break). This is dd12's decision computed the way
+    * a pipeline actually computes it at 100 TB — over LSH pairs
+    * instead of the O(n²) exact-pair stand-in, on the FULL document
+    * set instead of dd12's mod-4 sample: candidates ∝ true near-dup
+    * density (banding), CC in log rounds, keeper one min-of-struct
+    * partial aggregate. Duplication-invariant where dd12 is quadratic
+    * in the duplication factor. */
+  private def dd14(s: SparkSession, d: String): DataFrame = {
+    val pairs = MinHashLSH.nearDuplicatesMd5(
+      t(s, d, "documents").select("doc_id", "text"), "doc_id", "text",
+      shingleLen = 5, bands = 21, rowsPerBand = 3, threshold = 0.25)
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+    val cc = GraphOps.connectedComponentsDF(s, edges)
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"),
+        expr("CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)").as("n_tokens"))
+    val labeled = docs.join(cc, docs("doc_id") === cc("node"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("component"), col("doc_id")).as("cluster"))
+    val keepers = labeled.groupBy("cluster")
+      .agg(min(struct((-col("n_tokens")).as("nt"), col("doc_id").as("d"))).as("k"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("cluster").as("c2"), col("k.d").as("keeper_id"),
+        (-col("k.nt")).as("keeper_tokens"), col("cluster_size"))
+    labeled.join(keepers, col("cluster") === col("c2"))
+      .select(col("doc_id"), col("keeper_id"), col("keeper_tokens"),
+        col("cluster_size"))
+  }
+
   /** Aligned-chunk token length: chunks are full ChunkTok except a
     * document's last. */
   private val ChunkTok = 16
@@ -476,6 +509,7 @@ object Dedup extends QueryPack {
     "dd10_duplicate_spans" -> (dd10 _),
     "dd11_line_dedup" -> (dd11 _),
     "dd13_normalized_dedup" -> (dd13 _),
+    "dd14_lsh_quality_keeper" -> (dd14 _),
   )
 
   private val shingleSql =
@@ -654,6 +688,47 @@ object Dedup extends QueryPack {
                    ORDER BY n_tokens DESC, doc_id) AS rn FROM l2)
            WHERE rn = 1),
          sz AS (SELECT cluster, count(*) AS cluster_size FROM l2 GROUP BY cluster)
+         SELECT l2.doc_id, k.keeper_id, k.keeper_tokens, sz.cluster_size
+         FROM l2 JOIN k ON l2.cluster = k.cluster
+         JOIN sz ON l2.cluster = sz.cluster""",
+    // the production keeper decision over the md5-LSH pair CTEs: same
+    // reachability CC and argmax formulation as dd12's oracle, edges
+    // from banding+verification instead of the O(n²) exact pair join
+    "dd14_lsh_quality_keeper" ->
+      s"""WITH RECURSIVE $md5LshCtes,
+         cand AS (
+           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM band a JOIN band b
+             ON a.bi = b.bi AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         vp AS (
+           SELECT c.a_id, c.b_id, $jaccardSql AS jaccard
+           FROM cand c
+             JOIN sig ha ON ha.doc_id = c.a_id
+             JOIN sig hb ON hb.doc_id = c.b_id),
+         pairs AS (SELECT a_id, b_id FROM vp WHERE jaccard >= 0.25),
+         edges AS (
+           SELECT a_id AS u, b_id AS w FROM pairs
+           UNION ALL SELECT b_id, a_id FROM pairs),
+         reach(u, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.u, reach.r FROM edges e JOIN reach ON e.w = reach.u),
+         lab AS (SELECT u AS doc_id, min(r) AS cluster FROM reach GROUP BY u),
+         toks AS (
+           SELECT doc_id,
+                  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                    AS n_tokens
+           FROM documents),
+         l2 AS (
+           SELECT t.doc_id, t.n_tokens, lab.cluster
+           FROM toks t JOIN lab ON t.doc_id = lab.doc_id),
+         k AS (
+           SELECT cluster, doc_id AS keeper_id, n_tokens AS keeper_tokens
+           FROM (SELECT *, row_number() OVER (PARTITION BY cluster
+                   ORDER BY n_tokens DESC, doc_id) AS rn FROM l2)
+           WHERE rn = 1),
+         sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+                FROM l2 GROUP BY cluster)
          SELECT l2.doc_id, k.keeper_id, k.keeper_tokens, sz.cluster_size
          FROM l2 JOIN k ON l2.cluster = k.cluster
          JOIN sz ON l2.cluster = sz.cluster""",
