@@ -596,6 +596,45 @@ object Relational extends QueryPack {
       .select(col("l_returnflag"), col("m.v").as("mode_qty"),
         (-col("m.neg")).cast("long").as("mode_freq"))
 
+  /** A18 — KMV (k-minimum-values) distinct-count sketch, FULLY
+    * DETERMINISTIC and oracle-checked — the theta-sketch family
+    * (Bar-Yossef et al. 2002; DataSketches' production form) next to
+    * the rows-only HLL gate: where HLL's register layout is
+    * engine-internal, KMV is pure order statistics over a hash both
+    * engines compute bit-identically (the md5-60bit derivation of the
+    * LSH family). Estimate per group = (k−1) · 2^60 / h_(k) when the
+    * group carries ≥ k distinct values, else the exact count; emitted
+    * as integer micros computed by the IDENTICAL double expression in
+    * both engines. Scale: the rank-≤-k filter under a per-key window
+    * plans with WindowGroupLimit — each map task keeps only its local
+    * top-k hashes BEFORE the exchange (a6's shape), so the shuffle
+    * carries k rows per (task, key), never the distinct set; ties
+    * cannot exist (hashes of DISTINCT values; collisions would need
+    * 2⁻⁶⁰). At 100 TB this is how you count distincts across a
+    * thousand groups in one bounded pass with a mergeable, exact-
+    * specified sketch. */
+  private def a18(s: SparkSession, d: String): DataFrame = {
+    val k = 256
+    val vals = t(s, d, "lineitem")
+      .select(col("l_returnflag").as("key"), col("l_partkey").as("v"))
+      .distinct()
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(CAST(v AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy("h", "v")
+    val sketch = vals
+      .withColumn("rn", row_number().over(win)).filter(col("rn") <= k)
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_k"), max("h").as("kth"))
+    val exact = vals.groupBy("key").agg(count(lit(1)).as("n_exact"))
+    sketch.join(exact, "key")
+      .select(col("key"), col("n_exact"),
+        when(col("n_k") < k, col("n_k") * lit(1000000L))
+          .otherwise(expr(
+            s"CAST(floor((${k - 1}.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE)) * 1000000.0) AS BIGINT)"))
+          .as("est_micro"))
+  }
+
   /** J19 — NULL-SAFE equi-join (`<=>` / SQL's IS NOT DISTINCT FROM):
     * NULL keys MATCH each other instead of dropping — the semantics
     * dimension-key joins need when "unknown" is itself a key. Both
@@ -959,6 +998,7 @@ object Relational extends QueryPack {
     "f15_bitwise" -> (f15 _),
     "j19_nullsafe_join" -> (j19 _),
     "a17_mode" -> (a17 _),
+    "a18_kmv_distinct" -> (a18 _),
     "j11_salted_skew_join" -> (j11 _),
     "j12_banded_range_join" -> (j12 _),
     "j13_grid_spatial_join" -> (j13 _),
@@ -1062,6 +1102,31 @@ object Relational extends QueryPack {
                 round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
                 round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
          FROM lineitem GROUP BY l_returnflag""",
+    "a18_kmv_distinct" ->
+      """WITH vals AS (
+           SELECT DISTINCT l_returnflag AS key, l_partkey AS v
+           FROM lineitem),
+         hashed AS (
+           SELECT key, v,
+             CAST(('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+           FROM vals),
+         topk AS (
+           SELECT key, h FROM (
+             SELECT key, h, row_number() OVER (
+               PARTITION BY key ORDER BY h, v) AS rn
+             FROM hashed)
+           WHERE rn <= 256),
+         sk AS (SELECT key, CAST(count(*) AS BIGINT) AS n_k,
+                       max(h) AS kth
+                FROM topk GROUP BY key),
+         ex AS (SELECT key, CAST(count(*) AS BIGINT) AS n_exact
+                FROM vals GROUP BY key)
+         SELECT sk.key, ex.n_exact,
+           CASE WHEN sk.n_k < 256 THEN sk.n_k * 1000000
+                ELSE CAST(floor((255.0 * 1152921504606846976.0 /
+                       CAST(sk.kth AS DOUBLE)) * 1000000.0) AS BIGINT)
+           END AS est_micro
+         FROM sk JOIN ex ON sk.key = ex.key""",
     "a17_mode" ->
       """WITH cnt AS (
            SELECT l_returnflag, CAST(l_quantity AS INT) AS q,
