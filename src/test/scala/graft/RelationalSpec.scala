@@ -27,6 +27,35 @@ class RelationalSpec extends SparkSpec {
     assert(!plan.contains("l_extendedprice"), "unprojected column read from scan")
   }
 
+  test("KMV sketches are mergeable: merged sub-sketches equal the direct sketch") {
+    // the property that makes KMV the 100 TB shape: per-partition
+    // sketches union by re-taking the k smallest of the combined
+    // k-min sets, and the result is EXACTLY the sketch of the union —
+    // top-k of a union of per-partition top-ks is the global top-k
+    val k = 256
+    import org.apache.spark.sql.expressions.Window
+    val vals = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_returnflag").as("key"), col("l_linestatus").as("sub"),
+        col("l_partkey").as("v")).distinct()
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(CAST(v AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+    def sketch(df: org.apache.spark.sql.DataFrame, parts: String*) = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(parts.map(col): _*).orderBy("h", "v")))
+      .filter(col("rn") <= k)
+    // direct: global per-key sketch; merged: per-(key,sub) sketches
+    // unioned, then re-taken to k per key. NOTE: the same v can appear
+    // under several subs, so the merge dedups hashes first (set union)
+    val direct = sketch(vals.select("key", "v", "h").distinct(), "key")
+      .groupBy("key").agg(count(lit(1)).as("n_k"), max("h").as("kth"))
+    val merged = sketch(
+      sketch(vals, "key", "sub").select("key", "v", "h").distinct(), "key")
+      .groupBy("key").agg(count(lit(1)).as("n_k"), max("h").as("kth"))
+    val d = direct.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val m = merged.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(d == m, s"merged sketch must equal the direct sketch: $d vs $m")
+  }
+
   test("top-k rank filter uses WindowGroupLimit (no full per-group sort)") {
     val plan = Relational.queries("a6_topk_per_group")(spark, sf)
       .queryExecution.executedPlan.toString
