@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Mutable KMV buffer: `hs(0 until n)` is the sorted set of the n
+  * smallest DISTINCT hashes seen so far, n ≤ k, backed by a
+  * fixed-capacity array so reduce never reallocates. */
+final case class KmvBuf(var n: Int, hs: Array[Long])
+
+/** The sketch summary: how many distinct hashes the buffer holds
+  * (min(distinct, k)) and the k-th minimum (the largest retained). */
+final case class KmvSummary(n_k: Long, kth: Long)
+
+/** KMV (k-minimum-values) distinct-count sketch as a typed
+  * [[Aggregator]] — the BOUNDED one-pass form of the a18 gate
+  * (Bar-Yossef et al. 2002, "Counting distinct elements in a data
+  * stream"; the theta-sketch family's production layout).
+  *
+  * Semantics: per group, retain the k smallest DISTINCT hash values;
+  * the summary (n_k, kth) determines the estimate
+  * `(k-1) · 2^60 / kth` exactly as the order-statistics identity
+  * specifies. Retaining "distinct hashes" (not distinct inputs) is the
+  * deliberate convention: duplicates of a value hash identically and
+  * are rejected at insert, and a 2⁻⁶⁰-probability collision between
+  * two values is deduplicated the same way a `SELECT DISTINCT h`
+  * oracle deduplicates it — both engines see the identical hash set,
+  * so the gate stays hash-strict without either engine materializing
+  * the distinct VALUE set.
+  *
+  * Scale contract (the reason this class exists — r14 verdict item 1):
+  * planned via `functions.udaf` this is a `TypedImperativeAggregate`,
+  * so Spark runs it as ObjectHashAggregate with a map-side PARTIAL
+  * pass; the only exchange carries one serialized buffer — ≤ k longs —
+  * per (map task, key), never the distinct set. The window form it
+  * replaces shuffled every distinct (key, value) pair. Mergeability
+  * (`merge(a, b)` ≡ sketch of the union) is the property RelationalSpec
+  * proved for the window form and KmvSketchSpec pins for this buffer.
+  *
+  * Cost: reduce is O(log k) when the hash is rejected (present, or ≥
+  * the current k-th min on a full buffer — the steady state on big
+  * groups) and O(k) arraycopy when it lands; merge is O(k log k)
+  * worst-case via repeated insert — at k=256 that is ~2k word moves
+  * per map-task buffer, noise next to the shuffle it deletes.
+  */
+final class KmvSketchAgg(k: Int) extends Aggregator[Long, KmvBuf, KmvSummary] {
+  require(k > 0, s"KMV needs k > 0, got $k")
+
+  override def zero: KmvBuf = KmvBuf(0, new Array[Long](k))
+
+  override def reduce(b: KmvBuf, h: Long): KmvBuf = { insert(b, h); b }
+
+  override def merge(b1: KmvBuf, b2: KmvBuf): KmvBuf = {
+    var i = 0
+    while (i < b2.n) { insert(b1, b2.hs(i)); i += 1 }
+    b1
+  }
+
+  override def finish(b: KmvBuf): KmvSummary =
+    KmvSummary(b.n.toLong, if (b.n == 0) 0L else b.hs(b.n - 1))
+
+  override def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
+  override def outputEncoder: Encoder[KmvSummary] = Encoders.product[KmvSummary]
+
+  /** Sorted-insert of h into the capped distinct prefix; no-op when h
+    * is already present or cannot rank among the k minima. */
+  private def insert(b: KmvBuf, h: Long): Unit = {
+    if (b.n == k && h >= b.hs(k - 1)) return // O(1) steady-state reject
+    var lo = 0
+    var hi = b.n
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (b.hs(mid) < h) lo = mid + 1 else hi = mid
+    }
+    if (lo < b.n && b.hs(lo) == h) return // distinct-hash semantics
+    val tail = math.min(b.n, k - 1) // full buffer: k-th min falls off
+    System.arraycopy(b.hs, lo, b.hs, lo + 1, tail - lo)
+    b.hs(lo) = h
+    if (b.n < k) b.n += 1
+  }
+}

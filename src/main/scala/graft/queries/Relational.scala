@@ -597,41 +597,40 @@ object Relational extends QueryPack {
         (-col("m.neg")).cast("long").as("mode_freq"))
 
   /** A18 — KMV (k-minimum-values) distinct-count sketch, FULLY
-    * DETERMINISTIC and oracle-checked — the theta-sketch family
-    * (Bar-Yossef et al. 2002; DataSketches' production form) next to
-    * the rows-only HLL gate: where HLL's register layout is
+    * DETERMINISTIC, oracle-checked AND bounded — the theta-sketch
+    * family (Bar-Yossef et al. 2002; DataSketches' production form)
+    * next to the rows-only HLL gate: where HLL's register layout is
     * engine-internal, KMV is pure order statistics over a hash both
     * engines compute bit-identically (the md5-60bit derivation of the
     * LSH family). Estimate per group = (k−1) · 2^60 / h_(k) when the
     * group carries ≥ k distinct values, else the exact count; emitted
     * as integer micros computed by the IDENTICAL double expression in
-    * both engines. Scale: the rank-≤-k filter under a per-key window
-    * plans with WindowGroupLimit — each map task keeps only its local
-    * top-k hashes BEFORE the exchange (a6's shape), so the shuffle
-    * carries k rows per (task, key), never the distinct set; ties
-    * cannot exist (hashes of DISTINCT values; collisions would need
-    * 2⁻⁶⁰). At 100 TB this is how you count distincts across a
-    * thousand groups in one bounded pass with a mergeable, exact-
-    * specified sketch. */
+    * both engines.
+    *
+    * Scale (the r14 "weak" fix): the sketch is a typed
+    * [[graft.functions.KmvSketchAgg]] — a `TypedImperativeAggregate`
+    * planned as ObjectHashAggregate with a map-side PARTIAL pass, so
+    * the ONLY exchange carries one ≤ k-long buffer per (map task,
+    * key). The previous form (`.distinct()` + WindowGroupLimit)
+    * shuffled the full distinct (key, value) set — the exact cost a
+    * sketch exists to cap. Duplicates and 2⁻⁶⁰ hash collisions dedup
+    * inside the buffer, identically to the oracle's `DISTINCT h`.
+    * Mergeability is spec-pinned (KmvSketchSpec); the bounded-exchange
+    * shape is plan-pinned (PlanAuditSpec). At 100 TB this is how you
+    * count distincts across a thousand groups in one bounded pass with
+    * a mergeable, exactly-specified sketch. */
   private def a18(s: SparkSession, d: String): DataFrame = {
     val k = 256
-    val vals = t(s, d, "lineitem")
-      .select(col("l_returnflag").as("key"), col("l_partkey").as("v"))
-      .distinct()
-      .withColumn("h", expr(
-        "CAST(conv(substring(md5(CAST(v AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy("key").orderBy("h", "v")
-    val sketch = vals
-      .withColumn("rn", row_number().over(win)).filter(col("rn") <= k)
-      .groupBy("key")
-      .agg(count(lit(1)).as("n_k"), max("h").as("kth"))
-    val exact = vals.groupBy("key").agg(count(lit(1)).as("n_exact"))
-    sketch.join(exact, "key")
-      .select(col("key"), col("n_exact"),
-        when(col("n_k") < k, col("n_k") * lit(1000000L))
+    val kmv = udaf(new graft.functions.KmvSketchAgg(k))
+    t(s, d, "lineitem")
+      .select(col("l_returnflag").as("key"), expr(
+        "CAST(conv(substring(md5(CAST(l_partkey AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+        .as("h"))
+      .groupBy("key").agg(kmv(col("h")).as("sk"))
+      .select(col("key"), col("sk.n_k").as("n_k"),
+        when(col("sk.n_k") < k, col("sk.n_k") * lit(1000000L))
           .otherwise(expr(
-            s"CAST(floor((${k - 1}.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE)) * 1000000.0) AS BIGINT)"))
+            s"CAST(floor((${k - 1}.0 * 1152921504606846976.0 / CAST(sk.kth AS DOUBLE)) * 1000000.0) AS BIGINT)"))
           .as("est_micro"))
   }
 
@@ -1102,31 +1101,28 @@ object Relational extends QueryPack {
                 round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
                 round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
          FROM lineitem GROUP BY l_returnflag""",
+    // mirrors the bounded sketch: distinct HASHES (not values), the
+    // exact dedup convention KmvSketchAgg's buffer applies at insert
     "a18_kmv_distinct" ->
-      """WITH vals AS (
-           SELECT DISTINCT l_returnflag AS key, l_partkey AS v
+      """WITH hashed AS (
+           SELECT DISTINCT l_returnflag AS key,
+             CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
            FROM lineitem),
-         hashed AS (
-           SELECT key, v,
-             CAST(('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-           FROM vals),
          topk AS (
            SELECT key, h FROM (
              SELECT key, h, row_number() OVER (
-               PARTITION BY key ORDER BY h, v) AS rn
+               PARTITION BY key ORDER BY h) AS rn
              FROM hashed)
            WHERE rn <= 256),
          sk AS (SELECT key, CAST(count(*) AS BIGINT) AS n_k,
                        max(h) AS kth
-                FROM topk GROUP BY key),
-         ex AS (SELECT key, CAST(count(*) AS BIGINT) AS n_exact
-                FROM vals GROUP BY key)
-         SELECT sk.key, ex.n_exact,
-           CASE WHEN sk.n_k < 256 THEN sk.n_k * 1000000
+                FROM topk GROUP BY key)
+         SELECT key, n_k,
+           CASE WHEN n_k < 256 THEN n_k * 1000000
                 ELSE CAST(floor((255.0 * 1152921504606846976.0 /
-                       CAST(sk.kth AS DOUBLE)) * 1000000.0) AS BIGINT)
+                       CAST(kth AS DOUBLE)) * 1000000.0) AS BIGINT)
            END AS est_micro
-         FROM sk JOIN ex ON sk.key = ex.key""",
+         FROM sk""",
     "a17_mode" ->
       """WITH cnt AS (
            SELECT l_returnflag, CAST(l_quantity AS INT) AS q,

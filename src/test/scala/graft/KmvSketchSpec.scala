@@ -1,0 +1,83 @@
+package graft
+
+import graft.functions.{KmvBuf, KmvSketchAgg}
+import org.apache.spark.sql.functions._
+
+/** Pins the KMV buffer's algebra — the properties that make the a18
+  * gate's bounded plan legal: the aggregator over ANY partitioning of
+  * the input equals the k smallest distinct hashes of the whole input
+  * (so partial+final aggregation cannot change the answer), and the
+  * summary matches the window form it replaced. */
+class KmvSketchSpec extends SparkSpec {
+
+  private val K = 16
+  private def agg = new KmvSketchAgg(K)
+
+  /** Brute-force reference: k smallest distinct values. */
+  private def ref(xs: Seq[Long]): Seq[Long] = xs.distinct.sorted.take(K)
+
+  private def sketchOf(xs: Seq[Long], splits: Int): KmvBuf = {
+    val a = agg
+    val parts = xs.grouped(math.max(1, math.ceil(xs.size / splits.toDouble).toInt))
+      .map(_.foldLeft(a.zero)(a.reduce)).toSeq
+    parts.reduceOption(a.merge).getOrElse(a.zero)
+  }
+
+  private def seededLongs(n: Int, card: Int, seed: Long): Seq[Long] = {
+    val r = new scala.util.Random(seed)
+    Seq.fill(n)((r.nextLong().abs % card).toLong * 982451653L % (1L << 60))
+  }
+
+  test("reduce over one partition = k smallest distinct (dups rejected)") {
+    val xs = seededLongs(5000, 400, seed = 7)
+    val b = sketchOf(xs, splits = 1)
+    assert(b.hs.take(b.n).toSeq == ref(xs))
+  }
+
+  test("merge of per-partition sketches = sketch of the union, any split") {
+    val xs = seededLongs(8000, 2000, seed = 42)
+    val whole = sketchOf(xs, 1)
+    Seq(2, 3, 7, 32, 8000).foreach { s =>
+      val split = sketchOf(xs, s)
+      assert(split.n == whole.n && split.hs.take(split.n).sameElements(
+        whole.hs.take(whole.n)), s"merge diverged at $s splits")
+    }
+  }
+
+  test("merge order cannot matter (partial buffers arrive in shuffle order)") {
+    val a = agg
+    val xs = seededLongs(3000, 900, seed = 99)
+    val parts = xs.grouped(100).map(_.foldLeft(a.zero)(a.reduce)).toSeq
+    // merge mutates its left argument — hand each pass fresh copies
+    def clones = parts.map(p => KmvBuf(p.n, p.hs.clone))
+    val fwd = clones.reduce(a.merge)
+    val rev = clones.reverse.reduce(a.merge)
+    assert(fwd.n == rev.n && fwd.hs.take(fwd.n).sameElements(rev.hs.take(rev.n)))
+  }
+
+  test("small groups summarize exactly: n_k = distinct count, kth = max retained") {
+    val xs = Seq(5L, 3L, 5L, 9L, 3L, 1L)
+    val b = sketchOf(xs, 2)
+    val out = agg.finish(b)
+    assert(out.n_k == 4L && out.kth == 9L)
+    assert(agg.finish(agg.zero) == graft.functions.KmvSummary(0L, 0L))
+  }
+
+  test("DataFrame udaf equals the window form it replaced, per group") {
+    import spark.implicits._
+    val k = 16
+    val xs = seededLongs(4000, 600, seed = 5).zipWithIndex
+      .map { case (h, i) => (s"g${i % 3}", h) }
+    val df = xs.toDF("key", "h").repartition(4)
+    val kmv = udaf(new KmvSketchAgg(k))
+    val viaAgg = df.groupBy("key").agg(kmv(col("h")).as("sk"))
+      .select(col("key"), col("sk.n_k"), col("sk.kth"))
+      .as[(String, Long, Long)].collect()
+      .map { case (g, n, kth) => g -> ((n, kth)) }.toMap
+    val viaRef = xs.groupBy(_._1).map { case (g, vs) =>
+      val top = vs.map(_._2).distinct.sorted.take(k)
+      g -> ((top.size.toLong, top.last))
+    }
+    assert(viaAgg == viaRef)
+  }
+}

@@ -18,6 +18,26 @@ class PlanAuditSpec extends SparkSpec {
       "expected map-side partial group-limit before the shuffle")
   }
 
+  test("a18 KMV is a bounded sketch: partial ObjectHashAggregate, one exchange of buffers, no distinct-set shuffle, no window") {
+    val df = graft.queries.Relational.queries("a18_kmv_distinct")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"),
+      s"KMV must plan as a TypedImperativeAggregate:\n$p")
+    assert(p.contains("partial_kmvsketchagg"),
+      s"map-side PARTIAL sketch must run before the exchange:\n$p")
+    assert(!p.contains("Window"),
+      s"the window form is the unbounded r14 shape this replaced:\n$p")
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val shuffles = raw"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]".r
+      .findAllMatchIn(fmt).map(_.group(1)).toSeq
+    assert(shuffles.size == 1, s"exactly one exchange expected:\n$fmt")
+    // the exchange must carry (key, serialized buffer ≤ k longs) — the
+    // raw hash column crossing it would be the distinct-set shuffle
+    assert(!shuffles.head.contains("h#"),
+      s"raw hash column crosses the exchange: [${shuffles.head}]")
+  }
+
   test("dd5 all-pairs cosine broadcasts one side (no shuffle of the pair stream)") {
     val p = plan(graft.queries.Dedup, "dd5_embedding_neardup")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
