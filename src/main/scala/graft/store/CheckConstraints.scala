@@ -252,9 +252,13 @@ object CheckConstraints {
 
   /** [[restrictDelete]] for row-SET deletes (the CDC-apply and HeroQL
     * @remove paths, where the victims arrive as a frame, not a
-    * predicate): a key disappears iff the delete claims EVERY row
-    * carrying it — per-key multiplicity equality, since the removed
-    * frame is always a sub-multiset of the table. */
+    * predicate): a key disappears iff the delete claims AT LEAST every
+    * row carrying it — per-key `__rm >= __tot`, not equality. The
+    * store's own callers pass table-derived frames (sub-multisets,
+    * where >= degenerates to =); >= additionally keeps the RESTRICT
+    * sound for an over-claiming frame (e.g. a replayed CDC delete
+    * whose rows are partly gone already): such a key still loses every
+    * surviving carrier, and equality would have silently skipped it. */
   def restrictDeleteRows(tx: Txn, table: String,
       removed: org.apache.spark.sql.DataFrame): Unit =
     fkRows(tx).foreach { case (name, factTable, keys, refTable, refCols) =>
@@ -264,7 +268,7 @@ object CheckConstraints {
         val totCnt = tx.read(table).groupBy(refCols.map(col): _*)
           .agg(count(lit(1)).as("__tot"))
         val removedKeys = remCnt.join(totCnt, refCols.toSeq)
-          .filter(col("__rm") === col("__tot"))
+          .filter(col("__rm") >= col("__tot"))
           .select(refCols.map(col): _*)
         checkNotReferenced(tx, table, name, factTable, keys, refCols,
           removedKeys)

@@ -376,11 +376,20 @@ final class TableStore(val spark: SparkSession, val root: String) {
     * before. The priority inversion the reference's scheduler prevents
     * — a low txn sneaking its commit in and forcing the expensive high
     * txn to rerun — is prevented here at the same single-threaded
-    * commit stage. Starvation is bounded by the retry budget, and a
-    * high txn that aborts drops out of [[openTxns]], releasing the
-    * yield immediately. */
-  def transactionImportance[T](importance: Int)(f: Txn => T): T = {
-    val tx = new Txn(this, importance)
+    * commit stage. A high txn that aborts drops out of [[openTxns]],
+    * releasing the yield immediately; a txn that keeps losing to an
+    * unbroken stream of higher-importance writers AGES through
+    * [[transactionRetry]] (once yields exceed half its retry budget it
+    * stops deferring — second documented divergence from the blocking
+    * grant queue, whose per-class FIFO is starvation-free by
+    * construction; CAS validation still guards correctness either way,
+    * aging only ends the politeness). */
+  def transactionImportance[T](importance: Int)(f: Txn => T): T =
+    transactionWith(importance, bypassYield = false)(f)
+
+  private def transactionWith[T](importance: Int, bypassYield: Boolean)
+      (f: Txn => T): T = {
+    val tx = new Txn(this, importance, bypassYield)
     openTxns.add(tx)
     try {
       val result = f(tx)
@@ -392,22 +401,47 @@ final class TableStore(val spark: SparkSession, val root: String) {
   /** [[transaction]] with automatic retry on write-write conflict: `f`
     * re-runs against a fresh snapshot (it must be idempotent — pure
     * read-compute-mutate against its Txn). `importance` prioritizes
-    * the commit under contention ([[transactionImportance]]); lower
-    * classes back off briefly so the higher writer's window is real
-    * time, not a scheduler coin flip. */
+    * the commit under contention ([[transactionImportance]]). Backoff
+    * only on an IMPORTANCE YIELD (the tagged exception — waiting out
+    * the higher writer's open window costs real time); an ordinary
+    * equal-class CAS race retries immediately, keeping the benign-
+    * contention path spin-fast. LIVENESS: once more than HALF the
+    * retry budget has gone to yields the txn has AGED — further
+    * attempts skip the importance gate (never the CAS validation), so
+    * an unbroken stream of higher-importance writers delays a retried
+    * txn by a bounded number of rounds instead of starving it. Tying
+    * patience to `maxAttempts` keeps both regimes: a briefly-open high
+    * txn always wins (the backoffs outlast its window), a perpetually-
+    * open one is eventually bypassed. */
   def transactionRetry[T](f: Txn => T, maxAttempts: Int = 8,
       importance: Int = 0): T = {
     var attempt = 0
+    var yields = 0
     while (true) {
       attempt += 1
-      try return transactionImportance(importance)(f)
+      try return transactionWith(importance,
+        bypassYield = yields > maxAttempts / 2)(f)
       catch {
-        case _: WriteConflictException if attempt < maxAttempts =>
-          if (importance <= 0) Thread.sleep(math.min(5L * attempt, 50L))
+        case e: WriteConflictException if attempt < maxAttempts =>
+          if (e.importanceYield) {
+            yields += 1
+            Thread.sleep(math.min(5L * attempt, 50L))
+          }
       }
     }
     sys.error("unreachable")
   }
+
+  /** Commit discipline for the one-shot mutation FACADES (insert /
+    * delete / update / …): each is an independent atomic op whose body
+    * is pure read-compute-mutate against its Txn, so it retries through
+    * [[transactionRetry]] instead of surfacing a spurious
+    * [[WriteConflictException]] when a higher-importance txn merely
+    * holds open buffered intent on the table (the importance yield) or
+    * a benign equal-class CAS race happens to interleave. RAW
+    * `transaction { … }` callers keep fail-fast semantics — they own
+    * their retry policy. */
+  private def mutate[T](f: Txn => T): T = transactionRetry(f)
 
   /** Serializes validate+publish for this store's writers (the designed
     * "apply single-threaded" stage; one driver JVM owns a store root). */
@@ -432,19 +466,22 @@ final class TableStore(val spark: SparkSession, val root: String) {
     val now = currentTables()
     val conflicts = pending.keys.filter(t => now.get(t) != snapshot.get(t)).toSeq.sorted
     if (conflicts.nonEmpty) throw new WriteConflictException(conflicts)
-    val it = openTxns.iterator()
-    while (it.hasNext) {
-      val other = it.next()
-      if ((other ne self) && other.importance > self.importance) {
-        val contested = other.writtenTables.intersect(pending.keySet)
-        if (contested.nonEmpty)
-          throw new WriteConflictException(contested.toSeq.sorted)
+    if (!self.bypassYield) {
+      val it = openTxns.iterator()
+      while (it.hasNext) {
+        val other = it.next()
+        if ((other ne self) && other.importance > self.importance) {
+          val contested = other.writtenTables.intersect(pending.keySet)
+          if (contested.nonEmpty)
+            throw new WriteConflictException(contested.toSeq.sorted,
+              importanceYield = true)
+        }
       }
     }
     publish(now ++ pending)
   }
 
-  def create(name: String, df: DataFrame): Unit = transaction(_.create(name, df))
+  def create(name: String, df: DataFrame): Unit = mutate(_.create(name, df))
 
   /** Create `name` hash/value-partitioned on `cols`: every data dir is
     * written `partitionBy(cols)` (inserts and COW rewrites preserve
@@ -457,7 +494,7 @@ final class TableStore(val spark: SparkSession, val root: String) {
     * store-managed ones. */
   def createPartitioned(name: String, df: DataFrame, cols: Seq[String],
       props: Map[String, String] = Map.empty): Unit =
-    transaction(_.createPartitioned(name, df, cols, props))
+    mutate(_.createPartitioned(name, df, cols, props))
 
   /** The partition columns `name` was created with (empty = unpartitioned). */
   def partitionColumns(name: String): Seq[String] =
@@ -485,7 +522,7 @@ final class TableStore(val spark: SparkSession, val root: String) {
   // maintenance — MvRewrite's base-manifest watermark then stops the
   // rewrite, so a bypassed view can go stale but never serve a stale
   // ANSWER.
-  def insert(name: String, rows: DataFrame): Unit = transaction { tx =>
+  def insert(name: String, rows: DataFrame): Unit = mutate { tx =>
     val aggViews = MaterializedView.hasRegistered(tx, name)
     val joinViews = JoinViews.hasRegistered(tx, name)
     if (aggViews || joinViews) {
@@ -502,7 +539,7 @@ final class TableStore(val spark: SparkSession, val root: String) {
   /** Registered views see an upsert as delete(matched old rows) +
     * insert(batch) — both folds in the same commit as the rewrite. */
   def upsert(name: String, rows: DataFrame, keys: Seq[String]): Unit =
-    transaction { tx =>
+    mutate { tx =>
       if (MaterializedView.hasRegistered(tx, name)) {
         val pre = tx.manifestName(name)
         val pinned = rows.localCheckpoint()
@@ -527,7 +564,7 @@ final class TableStore(val spark: SparkSession, val root: String) {
   def merge(name: String, source: DataFrame, keys: Seq[String],
       updateSet: Map[String, Column] = Map.empty,
       deleteWhen: Option[Column] = None,
-      insertNotMatched: Boolean = true): Unit = transaction { tx =>
+      insertNotMatched: Boolean = true): Unit = mutate { tx =>
     if (MaterializedView.hasRegistered(tx, name)) {
       val pre = tx.manifestName(name)
       val srcKeys = source.select(keys.map(col): _*).distinct().localCheckpoint()
@@ -543,7 +580,7 @@ final class TableStore(val spark: SparkSession, val root: String) {
   }
 
   def update(name: String, assignments: Map[String, Column], cond: Column): Unit =
-    transaction { tx =>
+    mutate { tx =>
       // admission control on the post-image + set-level RESTRICT when
       // a referenced key column is rewritten; then advance the
       // constraint validity chain (the post-image is proven)
@@ -566,7 +603,7 @@ final class TableStore(val spark: SparkSession, val root: String) {
       JoinViews.rebuildRegistered(tx, name)
     }
 
-  def delete(name: String, cond: Column): Unit = transaction { tx =>
+  def delete(name: String, cond: Column): Unit = mutate { tx =>
     // referential RESTRICT: refuse while incoming FKs still reference
     // any removed key, then advance the constraint validity chain (a
     // delete can't break CHECK/UNIQUE/outgoing-FK validity)
@@ -590,7 +627,7 @@ final class TableStore(val spark: SparkSession, val root: String) {
     * ([[Txn.deleteMor]]): bytes ∝ deleted rows, zero data dirs
     * rewritten. The physical rewrite is deferred to [[applyDeletes]]
     * or the next compaction/COW touching the affected dirs. */
-  def deleteMor(name: String, cond: Column): Unit = transaction { tx =>
+  def deleteMor(name: String, cond: Column): Unit = mutate { tx =>
     CheckConstraints.restrictDelete(tx, name, coalesce(cond, lit(false)))
     val preCk = tx.manifestName(name)
     if (MaterializedView.hasRegistered(tx, name)) {
@@ -608,14 +645,14 @@ final class TableStore(val spark: SparkSession, val root: String) {
   /** Materialize accumulated deletion vectors — see [[Txn.applyDeletes]].
     * Returns the number of data dirs rewritten. Result-invariant, so no
     * constraint/view interaction. */
-  def applyDeletes(name: String): Int = transaction(_.applyDeletes(name))
+  def applyDeletes(name: String): Int = mutate(_.applyDeletes(name))
 
   /** Current `@dv` (deletion-vector) dirs of a table — observability
     * for specs and monitoring (how much MOR-delete debt is pending). */
   def deletionVectorDirs(name: String): Seq[String] =
     currentEntries(name).collect { case DvEntry(d) => d }
 
-  def truncate(name: String): Unit = transaction { tx =>
+  def truncate(name: String): Unit = mutate { tx =>
     CheckConstraints.restrictDelete(tx, name, lit(true))
     val preCk = tx.manifestName(name)
     if (MaterializedView.hasRegistered(tx, name)) {
@@ -655,7 +692,7 @@ final class TableStore(val spark: SparkSession, val root: String) {
     * manifest commit. Backfill expressions evaluate lazily on read
     * until [[migrate]]. */
   def alterTable(name: String, ops: SchemaOp*): Unit =
-    transaction(_.alterTable(name, ops: _*))
+    mutate(_.alterTable(name, ops: _*))
 
   def addColumn(name: String, column: String, sqlType: String,
       defaultExpr: Option[String] = None): Unit =
@@ -671,7 +708,7 @@ final class TableStore(val spark: SparkSession, val root: String) {
     * physically (one rewrite), leaving a clean single-vintage manifest
     * with no pending ops. Opt-in compaction — the only schema operation
     * whose cost is proportional to table size. */
-  def migrate(name: String): Unit = transaction { tx =>
+  def migrate(name: String): Unit = mutate { tx =>
     tx.create(name, tx.read(name))
   }
 
@@ -681,11 +718,11 @@ final class TableStore(val spark: SparkSession, val root: String) {
 
   /** Size-aware tail compaction — see [[Txn.compact]]. */
   def compact(name: String, smallBytes: Long = Long.MaxValue): CompactStats =
-    transaction(_.compact(name, smallBytes))
+    mutate(_.compact(name, smallBytes))
 
   /** Partition evolution — see [[Txn.evolvePartitioning]]. */
   def evolvePartitioning(name: String, cols: Seq[String]): Unit =
-    transaction(_.evolvePartitioning(name, cols))
+    mutate(_.evolvePartitioning(name, cols))
 
   /** METADATA-ONLY row count (the Iceberg/Delta "count(*) from
     * statistics" fast path): Σ of per-dir row counts stamped as
@@ -753,7 +790,7 @@ final class TableStore(val spark: SparkSession, val root: String) {
     val old = readStoreManifest(vs(versionsBack))
     val m = old.getOrElse(name, throw new IllegalArgumentException(
       s"table $name does not exist at version -$versionsBack"))
-    transaction(_.relink(name, m))
+    mutate(_.relink(name, m))
   }
 
   /** Read `name` as of `versionsBack` commits before HEAD (0 = HEAD) —
@@ -903,7 +940,7 @@ final class TableStore(val spark: SparkSession, val root: String) {
   /** Row-set merge-on-read delete — see [[Txn.deleteMorMatching]].
     * Same constraint/view integration as [[deleteMor]]. */
   def deleteMorMatching(name: String, keyRows: DataFrame, keys: Seq[String]): Unit =
-    transaction { tx =>
+    mutate { tx =>
       val sel = keyRows.select(keys.map(col): _*)
       val removed = tx.read(name).join(sel, keys, "left_semi").localCheckpoint()
       try {
@@ -1206,10 +1243,16 @@ final case class BackupStats(dirsCopied: Int, dirsCarried: Int,
   bytesCopied: Long)
 
 /** A write-write conflict detected at publish: another transaction
-  * committed to one of this txn's written tables after it opened. */
-final class WriteConflictException(val tables: Seq[String])
+  * committed to one of this txn's written tables after it opened —
+  * or, when `importanceYield`, no manifest moved at all and this txn
+  * yielded the commit point to an OPEN higher-importance writer of the
+  * same tables (retry once that txn closes; see
+  * [[TableStore.transactionImportance]]). */
+final class WriteConflictException(val tables: Seq[String],
+    val importanceYield: Boolean = false)
   extends RuntimeException(
-    s"write-write conflict on table(s): ${tables.mkString(", ")}")
+    (if (importanceYield) "yield to higher-importance open txn on table(s): "
+     else "write-write conflict on table(s): ") + tables.mkString(", "))
 
 /** Buffered mutations with read-your-writes over a manifest SNAPSHOT
   * taken at open (repeatable reads — concurrent commits are invisible);
@@ -1224,7 +1267,8 @@ final class WriteConflictException(val tables: Seq[String])
   * write-write contention a LOWER-importance txn yields the commit
   * point to an open higher-importance writer of the same table (see
   * [[TableStore.commitAtomically]]). */
-final class Txn(store: TableStore, private[store] val importance: Int = 0) {
+final class Txn(store: TableStore, private[store] val importance: Int = 0,
+    private[store] val bypassYield: Boolean = false) {
   /** Store manifest as of txn open — both the read view and the CAS
     * expected-value at publish. */
   private val snapshot: Map[String, String] = store.currentTables()

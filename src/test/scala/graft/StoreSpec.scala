@@ -291,6 +291,39 @@ class StoreSpec extends SparkSpec {
     assert(!ids(103L), "the pre-yield attempt must not leak")
   }
 
+  test("importance aging: a retried low txn cannot starve under a never-closing high txn") {
+    import spark.implicits._
+    import graft.store.WriteConflictException
+    val st = freshStore()
+    st.create("t", seedDf)
+    // the adversarial schedule: the high-class txn holds buffered
+    // intent on t for the WHOLE low-txn lifetime (perpetual churn's
+    // limit case). Without aging the low writer yields forever and
+    // exhausts its budget; with aging it defers for half the budget,
+    // then commits through — liveness wins over unbounded deference.
+    var attempts = 0
+    val maxAttempts = 12
+    val hiFails = intercept[WriteConflictException] {
+      st.transactionImportance(9) { hi =>
+        hi.insert("t", Seq((50L, "hi", 5.0)).toDF("id", "tag", "v"))
+        st.transactionRetry(maxAttempts = maxAttempts, importance = 0, f = { tx =>
+          attempts += 1
+          tx.insert("t", Seq((60L, "lo", 6.0)).toDF("id", "tag", "v"))
+        })
+        // the low commit moved t's manifest, so the high publish must
+        // now CAS-fail (an ordinary conflict, NOT an importance yield)
+      }
+    }
+    assert(!hiFails.importanceYield, "high txn loses on CAS, not on priority")
+    // deterministic schedule: every pre-aging attempt yields (the high
+    // txn never closes), then the first aged attempt commits
+    assert(attempts == maxAttempts / 2 + 2,
+      s"expected ${maxAttempts / 2 + 1} yields then one aged commit, saw $attempts attempts")
+    val ids = st.read("t").select("id").as[Long].collect().toSet
+    assert(ids(60L) && !ids(50L),
+      s"the aged low write must land; the conflicted high one must not: $ids")
+  }
+
   test("vacuum reclaims orphaned data dirs, manifests and store manifests") {
     import spark.implicits._
     val st = freshStore()

@@ -98,13 +98,16 @@ def check_types(spark_cls: dict, oracle_types: dict):
     numerically equal. Fail on those here so the class can't ship."""
     for c, oc in oracle_types.items():
         gcls = spark_cls.get(c)
-        if gcls is None:
-            continue
         ocls = type_class(oc)
+        # HUGEINT fails the driver's typed hash no matter what the Spark
+        # side emits — flag it even when the Spark parquet schema could
+        # not be read (gcls None must not silently skip this check)
         if ocls == "hugeint":
             return (f"oracle type HUGEINT col={c}: DuckDB widened an "
                     f"aggregate to int128 — add CAST(... AS BIGINT) in the "
                     f"oracle SQL (spark side is {gcls})")
+        if gcls is None:
+            continue
         if {ocls, gcls} == {"int", "float"}:
             return (f"typed mismatch col={c}: oracle {oc} vs spark "
                     f"{gcls} — driver hashes typed values")
