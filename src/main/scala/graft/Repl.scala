@@ -45,6 +45,7 @@ object Repl {
       |  :changes <T> <N>  row-level CDC feed over the last N commits
       |  :restore <T> <N>  restore a store table to N commits back (pointer-only)
       |  :verify <gate>    run one driver gate + its DuckDB oracle locally
+      |  :verify all [pre] every gate (name-prefix filter) + one oracle pass
       |  :help             this text
       |  :quit             exit""".stripMargin
 
@@ -206,31 +207,56 @@ object Repl {
             // registered query against the bound data dir, dump its
             // result + oracle SQL in the driver's format, and (when
             // python3+duckdb are present — the driver machine) run the
-            // local oracle compare on just that gate
-            val name = rest.trim
-            require(name.nonEmpty, ":verify syntax: :verify <gate>")
-            val fn = SparkEntry.queries.getOrElse(name,
-              throw Analyzer.AnalysisError(
-                s"no gate named $name — gates: ${SparkEntry.queries.keys.toSeq.sorted.take(8).mkString(", ")}, …"))
+            // local oracle compare on just that gate.
+            // `:verify all [prefix]` — the same loop over EVERY
+            // registered gate (optionally name-prefix-filtered), one
+            // oracle compare at the end: a one-command local replica of
+            // the driver's correctness pass. Per-gate run failures are
+            // collected and reported, never fatal to the sweep.
+            val parts = rest.trim.split("\\s+").filter(_.nonEmpty)
+            require(parts.nonEmpty, ":verify syntax: :verify <gate>|all [prefix]")
+            val gates: Seq[String] =
+              if (parts(0) == "all") {
+                val pre = parts.lift(1).getOrElse("")
+                val g = SparkEntry.queries.keys.toSeq.filter(_.startsWith(pre)).sorted
+                require(g.nonEmpty, s"no gates match prefix '$pre'")
+                g
+              } else {
+                require(SparkEntry.queries.contains(parts(0)),
+                  s"no gate named ${parts(0)} — gates: " +
+                    s"${SparkEntry.queries.keys.toSeq.sorted.take(8).mkString(", ")}, …")
+                Seq(parts(0))
+              }
             val outDir = Files.createTempDirectory("graft-verify-").toString
-            fn(spark, dataDir).coalesce(1).write.mode("overwrite")
-              .parquet(s"$outDir/$name")
-            SparkEntry.oracleSql.get(name) match {
-              case None =>
-                out(s"$name: rows-only gate (no oracle SQL) — result at $outDir/$name")
-              case Some(sql) =>
-                Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
-                  s"{${Verify.jsonQuote(name)}: ${Verify.jsonQuote(sql)}}")
-                val harness = Paths.get("tools/verify_local.py").toAbsolutePath
-                if (Files.exists(harness)) {
-                  import scala.sys.process._
-                  val buf = new StringBuilder
-                  val code = Seq("python3", harness.toString, dataDir,
-                    outDir, "--strict") ! ProcessLogger(l => buf.append(l).append('\n'))
-                  out(buf.toString.trim + (if (code == 0) "" else s"\n(exit $code)"))
-                } else out(s"$name: result + oracle dumped at $outDir " +
-                  "(tools/verify_local.py not found — compare externally)")
+            val failed = scala.collection.mutable.ListBuffer[String]()
+            gates.foreach { n =>
+              try SparkEntry.queries(n)(spark, dataDir).coalesce(1).write
+                .mode("overwrite").parquet(s"$outDir/$n")
+              catch { case e: Exception =>
+                failed += s"$n (${e.getClass.getSimpleName}: ${e.getMessage})" }
             }
+            val withOracle = gates
+              .flatMap(n => SparkEntry.oracleSql.get(n).map(n -> _))
+            if (withOracle.isEmpty)
+              out(s"${gates.mkString(", ")}: rows-only gate(s) (no oracle SQL) " +
+                s"— results at $outDir")
+            else {
+              Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+                withOracle.map { case (n, sql) =>
+                  s"${Verify.jsonQuote(n)}: ${Verify.jsonQuote(sql)}"
+                }.mkString("{", ", ", "}"))
+              val harness = Paths.get("tools/verify_local.py").toAbsolutePath
+              if (Files.exists(harness)) {
+                import scala.sys.process._
+                val buf = new StringBuilder
+                val code = Seq("python3", harness.toString, dataDir,
+                  outDir, "--strict") ! ProcessLogger(l => buf.append(l).append('\n'))
+                out(buf.toString.trim + (if (code == 0) "" else s"\n(exit $code)"))
+              } else out(s"results + oracles dumped at $outDir " +
+                "(tools/verify_local.py not found — compare externally)")
+            }
+            if (failed.nonEmpty)
+              out(s"FAILED to run ${failed.size} gate(s): ${failed.mkString("; ")}")
           }
           case ":stream" => attempt(":stream") {
             // `:stream dedup Docs(…) by fingerprint(text) into corpus;`

@@ -294,6 +294,51 @@ object Dedup extends QueryPack {
         col("cluster_size"))
   }
 
+  /** dd14b — dd14's decision with the PRODUCTION LAYERING (pipe4's
+    * exact-first discipline), oracle-checked end to end: exact dedup
+    * collapses identical texts to one representative (min doc_id)
+    * FIRST; LSH banding, verification and connected components run
+    * over REPRESENTATIVES only; every document then inherits its
+    * representative's cluster for the quality-keeper decision. Same
+    * output shape as dd14. This retires dd14's adversarial-duplication
+    * caveat: replicate the corpus 10× and the banding input is
+    * unchanged (the replica cliques collapse in the exact stage, one
+    * partial-agg exchange), so the verify stage's cost tracks
+    * true-pair density over DISTINCT texts, not over replicas. At
+    * 100 TB the exact stage groups on tx4's fingerprint instead of raw
+    * text (dd1's documented stance) — same keys, ~60-bit shuffle
+    * payload. */
+  private def dd14b(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    // the exact stage's output is PINNED: three consumers (banding,
+    // cluster mapping, doc labeling) must not each recompute the
+    // corpus-wide collapse — in the production pipeline this stage's
+    // output is materialized storage (it IS the exact-dedup result)
+    val reps = docs.groupBy("text").agg(min(col("doc_id")).as("rep_id"))
+      .localCheckpoint()
+    val pairs = MinHashLSH.nearDuplicatesMd5(
+      reps.select(col("rep_id").as("doc_id"), col("text")), "doc_id", "text",
+      shingleLen = 5, bands = 21, rowsPerBand = 3, threshold = 0.25)
+    val cc = GraphOps.connectedComponentsDF(s,
+      pairs.select(col("a_id").as("src"), col("b_id").as("dst")))
+    val repCluster = reps
+      .join(cc, reps("rep_id") === cc("node"), "left")
+      .select(col("text"),
+        coalesce(col("component"), col("rep_id")).as("cluster"))
+    val labeled = docs.join(repCluster, "text")
+      .select(col("doc_id"),
+        expr("CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)").as("n_tokens"),
+        col("cluster"))
+    val keepers = labeled.groupBy("cluster")
+      .agg(min(struct((-col("n_tokens")).as("nt"), col("doc_id").as("d"))).as("k"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("cluster").as("c2"), col("k.d").as("keeper_id"),
+        (-col("k.nt")).as("keeper_tokens"), col("cluster_size"))
+    labeled.join(keepers, col("cluster") === col("c2"))
+      .select(col("doc_id"), col("keeper_id"), col("keeper_tokens"),
+        col("cluster_size"))
+  }
+
   /** Aligned-chunk token length: chunks are full ChunkTok except a
     * document's last. */
   private val ChunkTok = 16
@@ -510,6 +555,7 @@ object Dedup extends QueryPack {
     "dd11_line_dedup" -> (dd11 _),
     "dd13_normalized_dedup" -> (dd13 _),
     "dd14_lsh_quality_keeper" -> (dd14 _),
+    "dd14b_layered_lsh_keeper" -> (dd14b _),
   )
 
   private val shingleSql =
@@ -520,8 +566,10 @@ object Dedup extends QueryPack {
     * seeded coefficients interpolated as literals: base hashes from
     * md5 (bit-identical in both engines), per-doc minhash signature,
     * stringified 3-row band keys. 63 = 21 bands × 3 rows; 2147483659 =
-    * the affine-map prime; 2147483648 = the 31-bit fold. */
-  private def md5LshCtes: String = {
+    * the affine-map prime; 2147483648 = the 31-bit fold. `src` is the
+    * (doc_id, text) relation to shingle — `documents`, or dd14b's
+    * exact-collapsed `reps`. */
+  private def md5LshCtes(src: String = "documents"): String = {
     val (as, bs) = MinHashLSH.coeffs(63)
     s"""coef AS (SELECT ${as.mkString("[", ",", "]")}::BIGINT[] AS la,
                         ${bs.mkString("[", ",", "]")}::BIGINT[] AS lb),
@@ -531,7 +579,7 @@ object Dedup extends QueryPack {
              list_distinct(list_transform(range(1, greatest(length(text) - 4, 0) + 1),
                y -> substr(text, y, 5))),
              x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % 2147483648))) AS hs
-         FROM documents),
+         FROM $src),
        sig AS (
          SELECT doc_id, hs,
            list_transform(range(1, 64),
@@ -564,7 +612,7 @@ object Dedup extends QueryPack {
          FROM corpus
          GROUP BY trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))""",
     "dd3_minhash_lsh" ->
-      s"""WITH $md5LshCtes,
+      s"""WITH ${md5LshCtes()},
          cand AS (
            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
            FROM band a JOIN band b
@@ -576,7 +624,7 @@ object Dedup extends QueryPack {
              JOIN sig hb ON hb.doc_id = c.b_id)
          SELECT a_id, b_id, jaccard FROM v WHERE jaccard >= 0.25""",
     "dd3b_minhash_estimate" ->
-      s"""WITH $md5LshCtes,
+      s"""WITH ${md5LshCtes()},
          cand AS (
            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
            FROM band a JOIN band b
@@ -590,7 +638,7 @@ object Dedup extends QueryPack {
              JOIN sig hb ON hb.doc_id = c.b_id)
          SELECT a_id, b_id, jaccard_est FROM v WHERE jaccard_est >= 0.25""",
     "dd6b_incremental_minhash" ->
-      s"""WITH $md5LshCtes,
+      s"""WITH ${md5LshCtes()},
          cand AS (
            SELECT DISTINCT a.doc_id AS corpus_id, b.doc_id AS new_id
            FROM band a JOIN band b ON a.bi = b.bi AND a.bsig = b.bsig
@@ -695,7 +743,7 @@ object Dedup extends QueryPack {
     // reachability CC and argmax formulation as dd12's oracle, edges
     // from banding+verification instead of the O(n²) exact pair join
     "dd14_lsh_quality_keeper" ->
-      s"""WITH RECURSIVE $md5LshCtes,
+      s"""WITH RECURSIVE ${md5LshCtes()},
          cand AS (
            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
            FROM band a JOIN band b
@@ -722,6 +770,48 @@ object Dedup extends QueryPack {
          l2 AS (
            SELECT t.doc_id, t.n_tokens, lab.cluster
            FROM toks t JOIN lab ON t.doc_id = lab.doc_id),
+         k AS (
+           SELECT cluster, doc_id AS keeper_id, n_tokens AS keeper_tokens
+           FROM (SELECT *, row_number() OVER (PARTITION BY cluster
+                   ORDER BY n_tokens DESC, doc_id) AS rn FROM l2)
+           WHERE rn = 1),
+         sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+                FROM l2 GROUP BY cluster)
+         SELECT l2.doc_id, k.keeper_id, k.keeper_tokens, sz.cluster_size
+         FROM l2 JOIN k ON l2.cluster = k.cluster
+         JOIN sz ON l2.cluster = sz.cluster""",
+    // dd14 composed EXACT-FIRST: LSH + reachability over the exact-
+    // collapsed representatives, documents inherit their rep's cluster
+    "dd14b_layered_lsh_keeper" ->
+      s"""WITH RECURSIVE reps AS (
+           SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+         ${md5LshCtes("reps")},
+         cand AS (
+           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM band a JOIN band b
+             ON a.bi = b.bi AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         vp AS (
+           SELECT c.a_id, c.b_id, $jaccardSql AS jaccard
+           FROM cand c
+             JOIN sig ha ON ha.doc_id = c.a_id
+             JOIN sig hb ON hb.doc_id = c.b_id),
+         pairs AS (SELECT a_id, b_id FROM vp WHERE jaccard >= 0.25),
+         edges AS (
+           SELECT a_id AS u, b_id AS w FROM pairs
+           UNION ALL SELECT b_id, a_id FROM pairs),
+         reach(u, r) AS (
+           SELECT doc_id, doc_id FROM reps
+           UNION
+           SELECT e.u, reach.r FROM edges e JOIN reach ON e.w = reach.u),
+         lab AS (SELECT u AS rep_id, min(r) AS cluster FROM reach GROUP BY u),
+         l2 AS (
+           SELECT d.doc_id,
+                  CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT)
+                    AS n_tokens,
+                  lab.cluster
+           FROM documents d
+             JOIN reps r ON d.text = r.text
+             JOIN lab ON r.doc_id = lab.rep_id),
          k AS (
            SELECT cluster, doc_id AS keeper_id, n_tokens AS keeper_tokens
            FROM (SELECT *, row_number() OVER (PARTITION BY cluster

@@ -358,7 +358,14 @@ final class TableStore(val spark: SparkSession, val root: String) {
     * validate-and-swap compares each WRITTEN table's current manifest to
     * the snapshot. Unchanged → commit (concurrent commits to OTHER
     * tables merge in — disjoint writers never conflict); changed →
-    * [[WriteConflictException]], nothing published, no lost update. */
+    * [[WriteConflictException]], nothing published, no lost update.
+    *
+    * NOTE: a raw transaction can also fail with an IMPORTANCE-YIELD
+    * conflict (`importanceYield = true`) while a higher-importance txn
+    * merely holds OPEN buffered intent on a shared table, even though
+    * no manifest moved — transient by construction; retry (or use
+    * [[transactionRetry]], which the one-shot mutation facades route
+    * through). */
   def transaction[T](f: Txn => T): T = transactionImportance(0)(f)
 
   /** [[transaction]] at an explicit IMPORTANCE class — the reference's

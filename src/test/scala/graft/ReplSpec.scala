@@ -108,6 +108,26 @@ class ReplSpec extends SparkSpec {
       s"unknown gate must be a clear error:\n$text")
   }
 
+  test(":verify all sweeps a gate family through one oracle pass") {
+    val out = collection.mutable.Buffer[String]()
+    val script = Iterator(
+      ":verify all u",   // u1–u5, all full-oracle — quick family
+      ":verify all zzz", // empty prefix match must be a clear error
+      ":quit")
+    Repl.session(script, out += _, spark, sf, None)
+    val text = out.mkString("\n")
+    // driver-replica summary: one OK line naming every u-gate (or the
+    // dump-path message on machines without python3+duckdb)
+    assert(text.contains("u1_union_distinct") || text.contains("compare externally"),
+      s":verify all u must sweep the union gates:\n$text")
+    assert(text.contains("OK       (5)") || text.contains("compare externally"),
+      s":verify all u must oracle-pass all five union gates:\n$text")
+    assert(!text.contains("FAILED to run"),
+      s"no gate in the sweep may fail to execute:\n$text")
+    assert(text.contains("no gates match prefix 'zzz'"),
+      s"an unmatched prefix must be a clear error:\n$text")
+  }
+
   test("mutation commands without a store fail with a clear message") {
     val out = collection.mutable.Buffer[String]()
     val script = Iterator(
