@@ -54,10 +54,25 @@ object Synth10x {
     wr(rep(docs, Map("doc_id" -> docBase)), "documents")
     wr(rep(vecs, Map("vec_id" -> docBase)), "embeddings")
 
+    // optional 4th arg "stretch": shift each events replica k by
+    // k·31 days so TIME DENSITY stays flat while volume grows N× —
+    // the realistic 100×-corpus shape (more history, same traffic).
+    // The default (timestamps untouched) multiplies per-window density
+    // instead, which is the right adversarial shape for windows and
+    // sessions but makes every time-banded pair count grow ∝ N².
+    val stretch = args.lift(3).contains("stretch")
     val events = rd("events")
-    wr(rep(events, Map(
+    val evShift = Map(
       "event_id" -> base(events, "event_id"),
-      "user_id" -> base(events, "user_id"))), "events")
+      "user_id" -> base(events, "user_id"))
+    val evRep =
+      if (!stretch) rep(events, evShift)
+      else (0 until n).map { k =>
+        evShift.foldLeft(events) { case (df, (c, b)) =>
+          df.withColumn(c, col(c) + lit(k * b))
+        }.withColumn("ts", col("ts") + expr(s"INTERVAL '${k * 31}' DAY"))
+      }.reduce(_ unionByName _)
+    wr(evRep, "events")
 
     val orders = rd("orders")
     val li = rd("lineitem")

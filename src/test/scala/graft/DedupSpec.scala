@@ -268,6 +268,22 @@ class DedupSpec extends SparkSpec {
     assert(dd1.agg(sum("n_copies")).head.getLong(0) == docs.count())
   }
 
+  test("layered exact-first dedup (dd14b) reaches exactly dd14's decision") {
+    // exact duplicates share a text, hence a shingle set, hence a full
+    // signature — so collapsing them BEFORE banding removes no LSH
+    // edge the unlayered path would have found, and component minima
+    // agree (every doc's representative <= itself). The one divergence
+    // class — exact copies too short to shingle (< shingleLen chars),
+    // which band nowhere yet still merge through their representative
+    // — does not occur in the corpus, so the two decisions must be
+    // IDENTICAL row for row.
+    val a = Dedup.queries("dd14_lsh_quality_keeper")(spark, sf)
+    val b = Dedup.queries("dd14b_layered_lsh_keeper")(spark, sf)
+    assert(a.count() == b.count())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "layered and unlayered keeper decisions diverged")
+  }
+
   test("simhash of near-identical texts is close, distant texts differ") {
     import spark.implicits._
     val df = Seq(
