@@ -389,11 +389,21 @@ object MinHashLSH {
     val sigs = md5HashedSigs(docs, idCol, textCol, shingleLen, bands,
       rowsPerBand).localCheckpoint()
     val banded = md5Banded(sigs, idCol, idCol, bands, rowsPerBand)
+    // dedup candidate pairs BEFORE the verify joins (the oracle's
+    // SELECT DISTINCT): a true near-dup collides in up to all `bands`
+    // bands, and each duplicate would otherwise drag the full
+    // shingle-hash sets through both joins and the intersect. Measured
+    // cost-neutral on the fixture's short docs (the band self-join
+    // dominates there); the win scales with shingle-set size. (The
+    // xxhash production path makes the opposite call — its verify is a
+    // broadcast map-side probe, so dedup-after on the surviving set is
+    // cheaper there; these md5 verify joins shuffle.)
     val cand = banded.select(col(idCol).as("a_id"), col("band"), col("sig"))
       .join(banded.select(col(idCol).as("b_id"), col("band"), col("sig")),
         Seq("band", "sig"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
+      .dropDuplicates("a_id", "b_id")
     val sa = sigs.select(col(idCol).as("a_id"), col("h").as("sa"))
     val sb = sigs.select(col(idCol).as("b_id"), col("h").as("sb"))
     cand.join(sa, "a_id").join(sb, "b_id")
@@ -401,7 +411,6 @@ object MinHashLSH {
       .withColumn("jaccard",
         TextFns.jaccardFromIntersect("inter", "size(sa)", "size(sb)"))
       .filter(col("jaccard") >= threshold)
-      .dropDuplicates("a_id", "b_id")
       .select("a_id", "b_id", "jaccard")
   }
 
@@ -416,19 +425,26 @@ object MinHashLSH {
     val sigs = md5HashedSigs(docs, idCol, textCol, shingleLen, bands,
       rowsPerBand).localCheckpoint()
     val banded = md5Banded(sigs, idCol, idCol, bands, rowsPerBand)
+    // dedup candidate pairs BEFORE the signature joins (mirroring the
+    // oracle's SELECT DISTINCT): a true near-dup collides in MANY
+    // bands — up to all 21 — and each duplicate would otherwise ride
+    // through both signature joins and the 63-element comparison
     val cand = banded.select(col(idCol).as("a_id"), col("band"), col("sig"))
       .join(banded.select(col(idCol).as("b_id"), col("band"), col("sig")),
         Seq("band", "sig"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
+      .dropDuplicates("a_id", "b_id")
     val sa = sigs.select(col(idCol).as("a_id"), col("_mh").as("ma"))
     val sb = sigs.select(col(idCol).as("b_id"), col("_mh").as("mb"))
+    // native codegen'd agreement count — value-identical to the HOF
+    // fold (DedupSpec pins it), one tight loop instead of 63
+    // interpreted closure calls per pair
+    graft.functions.VectorFns.register(docsIn.sparkSession)
     cand.join(sa, "a_id").join(sb, "b_id")
       .withColumn("jaccard_est", expr(
-        s"""CAST(aggregate(zip_with(ma, mb, (x, y) -> IF(x = y, 1, 0)),
-              0, (acc, v) -> acc + v) AS DOUBLE) / $k"""))
+        s"CAST(graft_sig_agree(ma, mb) AS DOUBLE) / $k"))
       .filter(col("jaccard_est") >= threshold)
-      .dropDuplicates("a_id", "b_id")
       .select("a_id", "b_id", "jaccard_est")
   }
 
