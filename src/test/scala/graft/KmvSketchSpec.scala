@@ -63,6 +63,26 @@ class KmvSketchSpec extends SparkSpec {
     assert(agg.finish(agg.zero) == graft.functions.KmvSummary(0L, 0L))
   }
 
+  test("a18's estimate tracks the true distinct count (the bound the dropped n_exact column used to witness)") {
+    import spark.implicits._
+    val est = graft.queries.Relational.queries("a18_kmv_distinct")(spark, sf)
+      .select(col("key"), col("est_micro"))
+      .as[(String, Long)].collect().toMap
+    val exact = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy(col("l_returnflag").as("key"))
+      .agg(countDistinct("l_partkey").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      val e = est(k) / 1e6
+      // k=256 → σ ≈ 1/√254 ≈ 6.3%; 4σ keeps the deterministic fixture
+      // honest without pinning noise. Groups under k are exact.
+      val tol = if (n < 256) 1e-9 else 4 * n / math.sqrt(254.0)
+      assert(math.abs(e - n) <= tol,
+        s"key $k: estimate $e vs exact $n exceeds 4σ ($tol)")
+    }
+  }
+
   test("DataFrame udaf equals the window form it replaced, per group") {
     import spark.implicits._
     val k = 16
