@@ -64,7 +64,7 @@ final class KmvSketchAgg(k: Int) extends Aggregator[Long, KmvBuf, KmvSummary] {
 
   /** Sorted-insert of h into the capped distinct prefix; no-op when h
     * is already present or cannot rank among the k minima. */
-  private def insert(b: KmvBuf, h: Long): Unit = {
+  private[functions] def insert(b: KmvBuf, h: Long): Unit = {
     if (b.n == k && h >= b.hs(k - 1)) return // O(1) steady-state reject
     var lo = 0
     var hi = b.n
@@ -78,4 +78,26 @@ final class KmvSketchAgg(k: Int) extends Aggregator[Long, KmvBuf, KmvSummary] {
     b.hs(lo) = h
     if (b.n < k) b.n += 1
   }
+}
+
+/** [[KmvSketchAgg]] emitting the sketch's VALUES — the ascending array
+  * of the ≤ k minimum distinct hashes — instead of the (n, kth)
+  * summary. This is the representation the THETA-SKETCH SET ALGEBRA
+  * needs (a19): with each operand's full k-min sample in hand,
+  * intersection and union cardinalities are pure array expressions
+  * over ≤ k-long columns (Dasgupta et al., "Theta Sketch Framework:
+  * estimation of set expression cardinalities", and the KMV set-ops in
+  * Beyer et al. 2007) — no second pass over the data, no exchange
+  * wider than k longs per (task, key). Same buffer, same insert, same
+  * merge algebra as the summary form; only `finish` differs. */
+final class KmvValuesAgg(k: Int) extends Aggregator[Long, KmvBuf, Array[Long]] {
+  private val core = new KmvSketchAgg(k)
+  override def zero: KmvBuf = core.zero
+  override def reduce(b: KmvBuf, h: Long): KmvBuf = core.reduce(b, h)
+  override def merge(b1: KmvBuf, b2: KmvBuf): KmvBuf = core.merge(b1, b2)
+  override def finish(b: KmvBuf): Array[Long] =
+    java.util.Arrays.copyOf(b.hs, b.n)
+  override def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 }

@@ -634,6 +634,55 @@ object Relational extends QueryPack {
           .as("est_micro"))
   }
 
+  /** A19 — THETA-SKETCH SET OPERATIONS over KMV samples (Dasgupta et
+    * al., "Theta Sketch Framework"; Beyer et al. 2007 for the KMV set
+    * forms), FULL ORACLE: the part-key sets of the two l_orderkey
+    * parity halves are sketched per return flag with
+    * [[graft.functions.KmvValuesAgg]] (k=256 minimum distinct md5-60bit
+    * hashes — a18's bounded one-pass shape, values retained), then
+    * INTERSECTION and UNION cardinalities come from pure array algebra
+    * over the ≤ k-long sketch columns: θ = min(θ_A, θ_B) with θ_X =
+    * 2^60 when |X| < k else h_(k)(X); |A∩B| ≈ |{h ∈ sA ∩ sB : h < θ}|
+    * · 2^60/θ; the union sketch is the k smallest of sA ∪ sB (KMV
+    * mergeability) estimated exactly like a18. Below k everything
+    * degenerates to EXACT counts. Deterministic order statistics, so
+    * DuckDB computes the identical integers. This is how you answer
+    * "how many part keys do the two halves share?" at 100 TB in one
+    * bounded pass per side — the set-expression capability that makes
+    * theta sketches DataSketches' workhorse — without ever shuffling a
+    * distinct set (the only non-tiny exchange carries ≤ k hashes per
+    * task per (key, half)). */
+  private def a19(s: SparkSession, d: String): DataFrame = {
+    val k = 256
+    val T = "1152921504606846976" // 2^60, the hash-space size
+    val kmv = udaf(new graft.functions.KmvValuesAgg(k))
+    val sk = t(s, d, "lineitem")
+      .select(col("l_returnflag").as("key"),
+        (col("l_orderkey") % 2 === 0).as("half_a"),
+        expr("CAST(conv(substring(md5(CAST(l_partkey AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+          .as("h"))
+      .groupBy("key", "half_a").agg(kmv(col("h")).as("s"))
+    val a = sk.filter(col("half_a")).select(col("key"), col("s").as("sa"))
+    val b = sk.filter(!col("half_a")).select(col("key").as("kb"), col("s").as("sb"))
+    a.join(b, col("key") === col("kb"))
+      .withColumn("ta", expr(s"IF(size(sa) < $k, ${T}L, element_at(sa, $k))"))
+      .withColumn("tb", expr(s"IF(size(sb) < $k, ${T}L, element_at(sb, $k))"))
+      .withColumn("theta", least(col("ta"), col("tb")))
+      .withColumn("common", expr(
+        "CAST(size(filter(array_intersect(sa, sb), x -> x < theta)) AS BIGINT)"))
+      .withColumn("u", expr(s"slice(array_sort(array_union(sa, sb)), 1, $k)"))
+      .select(col("key"),
+        expr("CAST(size(sa) AS BIGINT)").as("n_a"),
+        expr("CAST(size(sb) AS BIGINT)").as("n_b"),
+        expr(s"""CAST(floor((CAST(common AS DOUBLE) * $T.0 /
+                 CAST(theta AS DOUBLE)) * 1000000.0) AS BIGINT)""")
+          .as("est_inter_micro"),
+        expr(s"""CASE WHEN size(u) < $k THEN CAST(size(u) AS BIGINT) * 1000000
+                 ELSE CAST(floor((${k - 1}.0 * $T.0 /
+                   CAST(element_at(u, $k) AS DOUBLE)) * 1000000.0) AS BIGINT)
+                 END""").as("est_union_micro"))
+  }
+
   /** J19 — NULL-SAFE equi-join (`<=>` / SQL's IS NOT DISTINCT FROM):
     * NULL keys MATCH each other instead of dropping — the semantics
     * dimension-key joins need when "unknown" is itself a key. Both
@@ -998,6 +1047,7 @@ object Relational extends QueryPack {
     "j19_nullsafe_join" -> (j19 _),
     "a17_mode" -> (a17 _),
     "a18_kmv_distinct" -> (a18 _),
+    "a19_theta_sketch_setops" -> (a19 _),
     "j11_salted_skew_join" -> (j11 _),
     "j12_banded_range_join" -> (j12 _),
     "j13_grid_spatial_join" -> (j13 _),
@@ -1123,6 +1173,48 @@ object Relational extends QueryPack {
                        CAST(kth AS DOUBLE)) * 1000000.0) AS BIGINT)
            END AS est_micro
          FROM sk""",
+    // mirrors a19's theta algebra list-for-list: per (key, parity
+    // half) KMV sample, θ = min of the halves' k-th minima (2^60 when
+    // a half is exact), intersect/union estimates from the identical
+    // double expressions
+    "a19_theta_sketch_setops" ->
+      """WITH hashed AS (
+           SELECT DISTINCT l_returnflag AS key, l_orderkey % 2 = 0 AS half_a,
+             CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+           FROM lineitem),
+         topk AS (
+           SELECT key, half_a, h FROM (
+             SELECT key, half_a, h, row_number() OVER (
+               PARTITION BY key, half_a ORDER BY h) AS rn
+             FROM hashed) WHERE rn <= 256),
+         sk AS (SELECT key, half_a, list_sort(list(h)) AS s
+                FROM topk GROUP BY key, half_a),
+         pair AS (
+           SELECT a.key, a.s AS sa, b.s AS sb
+           FROM sk a JOIN sk b ON a.key = b.key AND a.half_a AND NOT b.half_a),
+         calc AS (
+           SELECT key, sa, sb,
+             least(
+               CASE WHEN len(sa) < 256 THEN 1152921504606846976 ELSE sa[len(sa)] END,
+               CASE WHEN len(sb) < 256 THEN 1152921504606846976 ELSE sb[len(sb)] END)
+               AS theta,
+             list_sort(list_distinct(sa || sb))[1:256] AS u
+           FROM pair),
+         calc2 AS (
+           SELECT key, sa, sb, theta, u,
+             CAST(len(list_filter(list_intersect(sa, sb), x -> x < theta))
+               AS BIGINT) AS common
+           FROM calc)
+         SELECT key,
+           CAST(len(sa) AS BIGINT) AS n_a,
+           CAST(len(sb) AS BIGINT) AS n_b,
+           CAST(floor((CAST(common AS DOUBLE) * 1152921504606846976.0 /
+             CAST(theta AS DOUBLE)) * 1000000.0) AS BIGINT) AS est_inter_micro,
+           CASE WHEN len(u) < 256 THEN CAST(len(u) AS BIGINT) * 1000000
+                ELSE CAST(floor((255.0 * 1152921504606846976.0 /
+                  CAST(u[256] AS DOUBLE)) * 1000000.0) AS BIGINT)
+           END AS est_union_micro
+         FROM calc2""",
     "a17_mode" ->
       """WITH cnt AS (
            SELECT l_returnflag, CAST(l_quantity AS INT) AS q,

@@ -430,6 +430,29 @@ object Streaming extends QueryPack {
           .as("sum_vmicro"))
   }
 
+  /** st19 — KMV distinct-count sketch in STREAMING AGGREGATION STATE,
+    * drained through a real append-mode streaming query: per (1-day
+    * window, event_type) the state store holds one capped sketch
+    * buffer (≤ 256 hashes) instead of a distinct user-id set — the
+    * streaming fix for the state-explosion every distinct-count
+    * aggregation hits at scale. Windows emit on watermark close
+    * (heartbeat machinery), and the emitted (n_events, capped distinct
+    * count, estimate micros) match the batch oracle exactly because
+    * KMV is deterministic order statistics over the shared md5 hash. */
+  private def st19(s: SparkSession, d: String): DataFrame = {
+    val name = "st19_kmv_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = EventStreams.streamWindowedKmvDistinct(s, d)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
   /** st18 — stream-stream FULL OUTER join drained through a real
     * streaming query — completes the join matrix (st8 inner, st15
     * left outer): BOTH sides' null-padded rows are watermark-eviction
@@ -519,6 +542,7 @@ object Streaming extends QueryPack {
     "st14_stream_enrich_hql" -> (st14 _),
     "st15_stream_stream_left_join" -> (st15 _),
     "st18_stream_stream_full_join" -> (st18 _),
+    "st19_stream_kmv_distinct" -> (st19 _),
     "ev1_sessionization" -> (ev1 _),
     "ev2_resample_ffill" -> (ev2 _),
     "ev3_resample_lerp" -> (ev3 _),
@@ -651,6 +675,35 @@ object Streaming extends QueryPack {
     // st18: the drained FULL OUTER join equals the batch FULL join over
     // the closable-signup set — unmatched rows on EITHER side exist
     // only because the watermark flushed them
+    // the batch twin of the streaming sketch: same md5/KMV order
+    // statistics per (day window, type), same estimate expression
+    "st19_stream_kmv_distinct" ->
+      """WITH hashed AS (
+           SELECT DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)) AS win_start,
+             event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+           FROM events),
+         topk AS (
+           SELECT win_start, event_type, h FROM (
+             SELECT win_start, event_type, h, row_number() OVER (
+               PARTITION BY win_start, event_type ORDER BY h) AS rn
+             FROM hashed) WHERE rn <= 256),
+         sk AS (SELECT win_start, event_type,
+                       CAST(count(*) AS BIGINT) AS n_distinct_capped,
+                       max(h) AS kth
+                FROM topk GROUP BY win_start, event_type),
+         cnt AS (SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS win_start,
+                        event_type, count(*) AS n_events
+                 FROM events GROUP BY 1, 2)
+         SELECT cnt.win_start, cnt.event_type, cnt.n_events,
+                sk.n_distinct_capped,
+                CASE WHEN sk.n_distinct_capped < 256
+                     THEN sk.n_distinct_capped * 1000000
+                     ELSE CAST(floor((255.0 * 1152921504606846976.0 /
+                       CAST(sk.kth AS DOUBLE)) * 1000000.0) AS BIGINT)
+                END AS est_distinct_micro
+         FROM cnt JOIN sk ON cnt.win_start = sk.win_start
+           AND cnt.event_type = sk.event_type""",
     "st18_stream_stream_full_join" ->
       """WITH s AS (SELECT event_id AS signup_id, user_id,
                     CAST(ts AS TIMESTAMP) AS ts0

@@ -625,6 +625,63 @@ object EventStreams {
       .select(col("signup_id"), col("s_user"), col("p_id"), col("value"))
   }
 
+  /** Streaming tumbling-window DISTINCT-USER sketch: the KMV
+    * aggregator ([[graft.functions.KmvSketchAgg]], a18's bounded
+    * buffer) running INSIDE streaming aggregation state — per (1-day
+    * window, event_type) group the state store holds one ≤ k-long
+    * serialized sketch buffer instead of the distinct user-id set,
+    * which is THE streaming distinct-count scaling fix: state per
+    * group is capped at k hashes no matter how many distinct users a
+    * window sees, and the append-mode emission on window close carries
+    * the same deterministic (n_k, kth) summary a18's oracle checks.
+    * Watermark/heartbeat machinery identical to the outer joins (the
+    * r14 lesson baked in): heartbeats advance the clock past the last
+    * window THROUGH the watermark node, then die on a ts-referencing
+    * conjunct (which cannot push below it) before reaching the
+    * aggregation. */
+  def streamWindowedKmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val staged = stageDir(dir)
+    val maxMicros = tsInstant(spark.read.schema(schema).parquet(staged))
+      .agg(max(expr("unix_micros(ts)"))).head.getLong(0)
+    val one = spark.read.schema(schema).parquet(staged)
+      .orderBy(col("ts").desc).limit(1)
+    def heartbeat(days: Long): Unit = {
+      val hb = schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          one.withColumn("ts", col("ts") + lit(days * 86400L * 1000000000L))
+        case _ => one.withColumn("ts", col("ts") + expr(s"INTERVAL $days DAYS"))
+      }
+      hb.coalesce(1).write.mode("append").parquet(staged)
+    }
+    // two rounds — a watermark computed at the end of batch N applies
+    // in batch N+1 (the outer joins' discipline)
+    heartbeat(30); heartbeat(31)
+    val kmv = udaf(new graft.functions.KmvSketchAgg(k))
+    tsInstant(spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged))
+      .withWatermark("ts", "1 hour")
+      // kills the heartbeats ABOVE the watermark node (references ts,
+      // so the optimizer cannot push it below); every real event
+      // passes by construction
+      .filter(expr("unix_micros(ts)") <= lit(maxMicros))
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(kmv(col("h")).as("sk"), count(lit(1)).as("n_events"))
+      .select(col("w.start")
+          // the instant stream runs under the UTC session; emit NTZ to
+          // match the oracle's date_trunc type (ev2's convention)
+          .cast(org.apache.spark.sql.types.TimestampNTZType).as("win_start"),
+        col("event_type"),
+        col("n_events"), col("sk.n_k").as("n_distinct_capped"),
+        when(col("sk.n_k") < k, col("sk.n_k") * lit(1000000L))
+          .otherwise(expr(
+            s"CAST(floor((${k - 1}.0 * 1152921504606846976.0 / CAST(sk.kth AS DOUBLE)) * 1000000.0) AS BIGINT)"))
+          .as("est_distinct_micro"))
+  }
+
   /** Streaming SINK into the table store: readStream over the staged
     * events, `foreachBatch` appending each micro-batch through the
     * store's atomic-commit insert (new files only — the streaming

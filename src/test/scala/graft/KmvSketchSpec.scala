@@ -83,6 +83,33 @@ class KmvSketchSpec extends SparkSpec {
     }
   }
 
+  test("a19's theta set-op estimates track the exact intersection/union cardinalities") {
+    import spark.implicits._
+    val est = graft.queries.Relational.queries("a19_theta_sketch_setops")(spark, sf)
+      .select(col("key"), col("est_inter_micro"), col("est_union_micro"))
+      .as[(String, Long, Long)].collect()
+      .map { case (key, i, u) => key -> ((i / 1e6, u / 1e6)) }.toMap
+    val halves = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_returnflag").as("key"),
+        (col("l_orderkey") % 2 === 0).as("half_a"), col("l_partkey").as("v"))
+      .distinct().as[(String, Boolean, Long)].collect()
+      .groupBy(_._1).map { case (key, rows) =>
+        val (a, b) = rows.partition(_._2)
+        key -> ((a.map(_._3).toSet, b.map(_._3).toSet))
+      }
+    assert(est.keySet == halves.keySet)
+    halves.foreach { case (key, (a, b)) =>
+      val (inter, union) = ((a & b).size.toDouble, (a | b).size.toDouble)
+      val (ei, eu) = est(key)
+      // theta-sketch error: σ_∩ ≈ √(I·U)/√k (the retained-sample
+      // binomial), σ_∪ ≈ U/√k. 4σ bounds on the deterministic fixture.
+      assert(math.abs(ei - inter) <= 4 * math.sqrt(inter * union / 254.0) + 1,
+        s"$key: intersection est $ei vs exact $inter")
+      assert(math.abs(eu - union) <= 4 * union / math.sqrt(254.0) + 1,
+        s"$key: union est $eu vs exact $union")
+    }
+  }
+
   test("DataFrame udaf equals the window form it replaced, per group") {
     import spark.implicits._
     val k = 16

@@ -38,6 +38,20 @@ class PlanAuditSpec extends SparkSpec {
       s"raw hash column crosses the exchange: [${shuffles.head}]")
   }
 
+  test("a19 theta set-ops sketch both halves bounded: partial values-agg, no raw hash across any exchange") {
+    val df = graft.queries.Relational.queries("a19_theta_sketch_setops")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_kmvvaluesagg"),
+      s"map-side PARTIAL sketch must run before the exchange:\n$p")
+    assert(!p.contains("Window"), s"no window may replace the sketch:\n$p")
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val shuffles = raw"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]".r
+      .findAllMatchIn(fmt).map(_.group(1)).toSeq
+    shuffles.foreach(cols => assert(!cols.contains("h#"),
+      s"raw hash column crosses an exchange: [$cols]"))
+  }
+
   test("dd5 all-pairs cosine broadcasts one side (no shuffle of the pair stream)") {
     val p = plan(graft.queries.Dedup, "dd5_embedding_neardup")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),

@@ -248,6 +248,46 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("streaming KMV distinct: state rows = groups (one sketch buffer, never the distinct set)") {
+    val sdf = EventStreams.streamWindowedKmvDistinct(spark, sf)
+    val q = sdf.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stkmv_mem")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(240000)
+    // the bounded-state claim, measured at the state store: the
+    // aggregation's state rows peak at the number of LIVE (window,
+    // event_type) groups — each holding one <=k-hash buffer — not at
+    // the number of distinct users flowing through
+    val ev = EventStreams.normalizeTs(Tables.t(spark, sf, "events"))
+    val groups = ev.select(date_trunc("day", col("ts")), col("event_type"))
+      .distinct().count()
+    // what a distinct-SET state would hold: one row per live
+    // (window, type, user) triple — the thing KMV replaces
+    val naiveStateRows = ev.select(date_trunc("day", col("ts")),
+      col("event_type"), col("user_id")).distinct().count()
+    val peakState = q.recentProgress
+      .flatMap(_.stateOperators.map(_.numRowsTotal)).max
+    assert(peakState <= groups,
+      s"state rows $peakState exceed the $groups (window, type) groups")
+    assert(naiveStateRows > groups,
+      "fixture must make the distinct-set state strictly larger for the claim to bite")
+    // and the drained result covers every window exactly once
+    val streamed = spark.table("stkmv_mem")
+    assert(streamed.count() == groups)
+    val exact = ev.groupBy(date_trunc("day", col("ts")).as("w"), col("event_type"))
+      .agg(countDistinct("user_id").as("n"))
+    // below k the sketch is exact: capped count == true distinct count
+    val joined = streamed.join(exact,
+      streamed("win_start") === col("w") &&
+        streamed("event_type") === exact("event_type"))
+    assert(joined.filter(col("n") < 256 &&
+      col("n_distinct_capped") =!= col("n")).isEmpty,
+      "below-k windows must report the exact distinct count")
+  }
+
   test("incremental sessionize: per-batch maintenance, bounded state, batch parity") {
     val store = new graft.store.TableStore(spark,
       java.nio.file.Files.createTempDirectory("graft-sess-inc-").toString)
