@@ -101,3 +101,25 @@ final class KmvValuesAgg(k: Int) extends Aggregator[Long, KmvBuf, Array[Long]] {
   override def outputEncoder: Encoder[Array[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 }
+
+object KmvSketch {
+  /** Estimated distinct count of `c` as ONE deterministic BIGINT
+    * aggregate column — the a18 sketch packaged for composition (the
+    * HeroQL `@aggregate(approx_distinct(v))` builtin's engine): md5-
+    * 60bit hash (the oracle-shared family), KMV buffer, exact below k,
+    * `floor((k−1)·2^60 / h_(k))` at or above. Every arithmetic step is
+    * the order statistics + the one double expression both engines
+    * compute identically, so language queries using it stay
+    * hash-strict against DuckDB. */
+  def approxDistinct(c: org.apache.spark.sql.Column,
+      k: Int = 256): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val kmv = udaf(new KmvSketchAgg(k))
+    val h = conv(substring(md5(c.cast("string").cast("binary")), 1, 15),
+      16, 10).cast("long")
+    val sk = kmv(h)
+    when(sk.getField("n_k") < k, sk.getField("n_k"))
+      .otherwise(floor(lit((k - 1).toDouble) * lit(1152921504606846976.0) /
+        sk.getField("kth").cast("double")).cast("long"))
+  }
+}

@@ -621,6 +621,9 @@ final class Planner(decls: Map[String, DataDecl],
           case "min" => min(col(v))
           case "max" => max(col(v))
           case "collect" => sort_array(collect_list(col(v)))
+          // bounded KMV distinct-count sketch (a18's engine) as a
+          // language aggregate — deterministic, so still oracle-strict
+          case "approx_distinct" => graft.functions.KmvSketch.approxDistinct(col(v))
           case other => throw Analyzer.AnalysisError(s"unknown aggregate $other")
         }
         val grouped = st.df.get.groupBy(st.partition.map(col): _*).agg(agg.as(v))

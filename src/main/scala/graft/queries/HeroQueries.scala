@@ -30,6 +30,7 @@ data Father(father: int64, child: int64).
 data Mother(mother: int64, child: int64).
 data Person(id: int64).
 data Coef(pk: int64, a: double, b: double, c: double).
+data Items(flag: string, pk: int64).
 
 query Top10() -> (student: string, score: int)
 :-  Exams(student, score),
@@ -51,6 +52,13 @@ query AvgTop3(student: string) -> (average: int)
     order < 3,
     @aggregate(average(score)),
     average <- score
+.
+
+query ApproxParts(flag: string) -> (approx_parts: int64)
+:-  Items(flag, pk),
+    @partition(flag),
+    @aggregate(approx_distinct(pk)),
+    approx_parts <- pk
 .
 
 query Parents(parent: int64, child: int64)
@@ -214,8 +222,10 @@ query Described(student: string, score: int) -> (msg: string)
     val pairs = p.select(col("p_partkey").as("pk"),
       (col("p_partkey") % 18).as("n"),
       (expr("p_partkey div 7") % (col("p_partkey") % 18 + 1)).as("k"))
+    val items = t(s, d, "lineitem").select(
+      col("l_returnflag").as("flag"), col("l_partkey").as("pk"))
     Map("Exams" -> exams, "Father" -> father, "Mother" -> mother,
-      "Person" -> person, "Coef" -> coef,
+      "Person" -> person, "Coef" -> coef, "Items" -> items,
       "Shapes" -> shapes, "Nums" -> nums, "Pairs" -> pairs)
   }
 
@@ -314,6 +324,7 @@ query Scrubbed(id: int64) -> (sh: int64, rfp: int64)
     "hq1_top10_global" -> (run("Top10") _),
     "hq2_top3_per_partition" -> (run("Top3PerStudent") _),
     "hq3_aggregate_average" -> (run("AvgTop3") _),
+    "hq25_approx_distinct" -> (run("ApproxParts") _),
     "hq4_union_rule" -> (run("Parents") _),
     "hq5_join_rule" -> (run("GrandParents") _),
     "hq6_subrule" -> (run("GrandParentsSub") _),
@@ -367,6 +378,26 @@ query Scrubbed(id: int64) -> (sh: int64, rfp: int64)
            SELECT student, score,
              row_number() OVER (PARTITION BY student ORDER BY score DESC) AS ord
            FROM ($examsSql)) WHERE ord < 3 GROUP BY student""",
+    // the language-surface KMV sketch: same md5/order-statistics
+    // algebra as a18's oracle, emitted as a BIGINT count
+    "hq25_approx_distinct" ->
+      """WITH hashed AS (
+           SELECT DISTINCT l_returnflag AS flag,
+             CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+           FROM lineitem),
+         topk AS (
+           SELECT flag, h FROM (
+             SELECT flag, h, row_number() OVER (
+               PARTITION BY flag ORDER BY h) AS rn
+             FROM hashed) WHERE rn <= 256),
+         sk AS (SELECT flag, CAST(count(*) AS BIGINT) AS n_k, max(h) AS kth
+                FROM topk GROUP BY flag)
+         SELECT flag,
+           CASE WHEN n_k < 256 THEN n_k
+                ELSE CAST(floor(255.0 * 1152921504606846976.0 /
+                  CAST(kth AS DOUBLE)) AS BIGINT)
+           END AS approx_parts
+         FROM sk""",
     "hq4_union_rule" ->
       s"""SELECT parent, child FROM ($parentsSql)""",
     "hq5_join_rule" ->
