@@ -59,7 +59,8 @@ object PlanDump {
       // (one exchange of ≤k-hash buffers), the LSH keeper decision,
       // and its exact-first layered composition
       "a18_kmv_distinct", "dd14_lsh_quality_keeper",
-      "dd14b_layered_lsh_keeper", "a19_theta_sketch_setops")
+      "dd14b_layered_lsh_keeper", "a19_theta_sketch_setops",
+      "hq25_approx_distinct")
     (Bench.headline ++ extras).foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
