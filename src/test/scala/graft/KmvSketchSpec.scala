@@ -55,6 +55,18 @@ class KmvSketchSpec extends SparkSpec {
     assert(fwd.n == rev.n && fwd.hs.take(fwd.n).sameElements(rev.hs.take(rev.n)))
   }
 
+  test("values form (a19's operand) emits exactly the k smallest distinct, any split") {
+    val va = new graft.functions.KmvValuesAgg(K)
+    val xs = seededLongs(6000, 1500, seed = 11)
+    Seq(1, 4, 61).foreach { s =>
+      val parts = xs.grouped(math.max(1, math.ceil(xs.size / s.toDouble).toInt))
+        .map(_.foldLeft(va.zero)(va.reduce)).toSeq
+      val out = va.finish(parts.reduce(va.merge))
+      assert(out.toSeq == ref(xs), s"values diverged at $s splits")
+      assert(out.toSeq == out.toSeq.sorted, "emitted array must be ascending")
+    }
+  }
+
   test("small groups summarize exactly: n_k = distinct count, kth = max retained") {
     val xs = Seq(5L, 3L, 5L, 9L, 3L, 1L)
     val b = sketchOf(xs, 2)
