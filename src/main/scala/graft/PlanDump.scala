@@ -60,7 +60,7 @@ object PlanDump {
       // and its exact-first layered composition
       "a18_kmv_distinct", "dd14_lsh_quality_keeper",
       "dd14b_layered_lsh_keeper", "a19_theta_sketch_setops",
-      "hq25_approx_distinct")
+      "hq25_approx_distinct", "a20_tuple_sketch_sum")
     (Bench.headline ++ extras).foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))

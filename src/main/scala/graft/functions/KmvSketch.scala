@@ -123,3 +123,85 @@ object KmvSketch {
         sk.getField("kth").cast("double")).cast("long"))
   }
 }
+
+/** Buffer of the TUPLE sketch: the sorted ≤ k minimum distinct hashes
+  * plus one combinable summary per retained hash. */
+final case class KmvTupleBuf(var n: Int, hs: Array[Long], vs: Array[Long])
+
+/** The tuple-sketch summary the estimate needs: retained count, θ
+  * (2^60 below k, else the k-th minimum), and the summed summaries of
+  * the sub-θ sample (all of them below k, the k−1 smallest at k). */
+final case class KmvTupleOut(n_k: Long, theta: Long, s_below: Long)
+
+/** TUPLE sketch over KMV samples (the DataSketches Tuple Sketch:
+  * theta sketches "with values") — estimates an AGGREGATE OVER
+  * DISTINCT KEYS, the quantity a plain aggregation cannot reach
+  * without first shuffling the per-key groups: each retained minimum
+  * hash carries a summary combined from every row of that hash
+  * (`max` or `sum`), and Σ(summaries below θ) · 2^60/θ estimates the
+  * total over ALL distinct keys. Retention is sound for the same
+  * monotone-threshold reason KMV is exact: a hash below the final θ
+  * is below every intermediate threshold that saw it, so its summary
+  * accumulated every row; a hash ever evicted can never re-enter
+  * (thresholds only shrink). Deterministic given hashes and integer
+  * summaries → oracle-strict. Bounded exactly like [[KmvSketchAgg]]:
+  * the one exchange carries ≤ k (hash, summary) pairs per (task,
+  * key). */
+final class KmvTupleAgg(k: Int, combine: String)
+    extends Aggregator[(Long, Long), KmvTupleBuf, KmvTupleOut] {
+  require(combine == "max" || combine == "sum",
+    s"tuple-sketch combine must be max or sum, got $combine")
+  private val isMax = combine == "max"
+
+  override def zero: KmvTupleBuf =
+    KmvTupleBuf(0, new Array[Long](k), new Array[Long](k))
+
+  override def reduce(b: KmvTupleBuf, in: (Long, Long)): KmvTupleBuf = {
+    insert(b, in._1, in._2); b
+  }
+
+  override def merge(b1: KmvTupleBuf, b2: KmvTupleBuf): KmvTupleBuf = {
+    var i = 0
+    while (i < b2.n) { insert(b1, b2.hs(i), b2.vs(i)); i += 1 }
+    b1
+  }
+
+  override def finish(b: KmvTupleBuf): KmvTupleOut = {
+    if (b.n < k) {
+      var s = 0L; var i = 0
+      while (i < b.n) { s += b.vs(i); i += 1 }
+      KmvTupleOut(b.n.toLong, 1152921504606846976L, s)
+    } else {
+      var s = 0L; var i = 0
+      while (i < k - 1) { s += b.vs(i); i += 1 } // strictly below θ
+      KmvTupleOut(k.toLong, b.hs(k - 1), s)
+    }
+  }
+
+  override def bufferEncoder: Encoder[KmvTupleBuf] = Encoders.product[KmvTupleBuf]
+  override def outputEncoder: Encoder[KmvTupleOut] = Encoders.product[KmvTupleOut]
+
+  private def insert(b: KmvTupleBuf, h: Long, v: Long): Unit = {
+    if (b.n == k && h > b.hs(k - 1)) return
+    var lo = 0
+    var hi = b.n
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (b.hs(mid) < h) lo = mid + 1 else hi = mid
+    }
+    if (lo < b.n && b.hs(lo) == h) { // present: combine the summary
+      b.vs(lo) = if (isMax) math.max(b.vs(lo), v) else b.vs(lo) + v
+      return
+    }
+    if (b.n == k) { // full and h is new: h < hs(k-1), evict the k-th
+      System.arraycopy(b.hs, lo, b.hs, lo + 1, k - 1 - lo)
+      System.arraycopy(b.vs, lo, b.vs, lo + 1, k - 1 - lo)
+    } else {
+      System.arraycopy(b.hs, lo, b.hs, lo + 1, b.n - lo)
+      System.arraycopy(b.vs, lo, b.vs, lo + 1, b.n - lo)
+      b.n += 1
+    }
+    b.hs(lo) = h
+    b.vs(lo) = v
+  }
+}

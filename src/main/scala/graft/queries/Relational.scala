@@ -683,6 +683,36 @@ object Relational extends QueryPack {
                  END""").as("est_union_micro"))
   }
 
+  /** A20 — TUPLE sketch (theta "with values" — the DataSketches Tuple
+    * Sketch), FULL ORACLE: estimates an AGGREGATE OVER DISTINCT KEYS —
+    * here Σ over distinct part keys of each part's MAX quantity, per
+    * return flag — a quantity no row-distributive aggregate reaches
+    * without first shuffling per-key groups. Each retained minimum
+    * hash carries a max-combined summary
+    * ([[graft.functions.KmvTupleAgg]]); the estimate is
+    * Σ(sub-θ summaries) · 2^60/θ, exact below k. Deterministic order
+    * statistics + integer summaries → DuckDB computes the identical
+    * micros. Same bounded shape as a18/a19: one exchange of ≤ k
+    * (hash, summary) pairs per (task, key) — at 100 TB this answers
+    * "total deduplicated X over distinct keys" in one bounded pass
+    * where the exact form needs a full per-key aggregation exchange. */
+  private def a20(s: SparkSession, d: String): DataFrame = {
+    val k = 256
+    val tup = udaf(new graft.functions.KmvTupleAgg(k, "max"))
+    t(s, d, "lineitem")
+      .select(col("l_returnflag").as("key"),
+        expr("CAST(conv(substring(md5(CAST(l_partkey AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+          .as("h"),
+        col("l_quantity").cast("long").as("v"))
+      .groupBy("key").agg(tup(col("h"), col("v")).as("sk"))
+      .select(col("key"), col("sk.n_k").as("n_k"),
+        when(col("sk.n_k") < k, col("sk.s_below") * lit(1000000L))
+          .otherwise(expr(
+            """CAST(floor((CAST(sk.s_below AS DOUBLE) * 1152921504606846976.0 /
+               CAST(sk.theta AS DOUBLE)) * 1000000.0) AS BIGINT)"""))
+          .as("est_sum_max_micro"))
+  }
+
   /** J19 — NULL-SAFE equi-join (`<=>` / SQL's IS NOT DISTINCT FROM):
     * NULL keys MATCH each other instead of dropping — the semantics
     * dimension-key joins need when "unknown" is itself a key. Both
@@ -1048,6 +1078,7 @@ object Relational extends QueryPack {
     "a17_mode" -> (a17 _),
     "a18_kmv_distinct" -> (a18 _),
     "a19_theta_sketch_setops" -> (a19 _),
+    "a20_tuple_sketch_sum" -> (a20 _),
     "j11_salted_skew_join" -> (j11 _),
     "j12_banded_range_join" -> (j12 _),
     "j13_grid_spatial_join" -> (j13 _),
@@ -1177,6 +1208,29 @@ object Relational extends QueryPack {
     // half) KMV sample, θ = min of the halves' k-th minima (2^60 when
     // a half is exact), intersect/union estimates from the identical
     // double expressions
+    // the tuple sketch's mirror: per (key, hash) max summaries, the
+    // k-minimum retained sample, and the identical estimate expression
+    "a20_tuple_sketch_sum" ->
+      """WITH per AS (
+           SELECT l_returnflag AS key,
+             CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+             CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS mv
+           FROM lineitem GROUP BY 1, 2),
+         rk AS (SELECT key, h, mv, row_number() OVER (
+                  PARTITION BY key ORDER BY h) AS rn FROM per),
+         sk AS (
+           SELECT key,
+             CAST(count(*) FILTER (rn <= 256) AS BIGINT) AS n_k,
+             max(CASE WHEN rn = 256 THEN h END) AS kth,
+             CAST(sum(mv) FILTER (rn <= 255) AS BIGINT) AS s_below_full,
+             CAST(sum(mv) FILTER (rn <= 256) AS BIGINT) AS s_all_cap
+           FROM rk GROUP BY key)
+         SELECT key, n_k,
+           CASE WHEN n_k < 256 THEN s_all_cap * 1000000
+                ELSE CAST(floor((CAST(s_below_full AS DOUBLE) * 1152921504606846976.0 /
+                  CAST(kth AS DOUBLE)) * 1000000.0) AS BIGINT)
+           END AS est_sum_max_micro
+         FROM sk""",
     "a19_theta_sketch_setops" ->
       """WITH hashed AS (
            SELECT DISTINCT l_returnflag AS key, l_orderkey % 2 = 0 AS half_a,

@@ -122,6 +122,44 @@ class KmvSketchSpec extends SparkSpec {
     }
   }
 
+  test("tuple sketch: retained summaries are exact, any split/order; estimate tracks the true dedup aggregate") {
+    val ta = new graft.functions.KmvTupleAgg(K, "max")
+    val r = new scala.util.Random(23)
+    // many duplicate keys with differing values — the summary must
+    // max-combine across rows AND across partial buffers
+    val rows = Seq.fill(6000)((r.nextInt(800).toLong * 982451653L % (1L << 60),
+      r.nextInt(50).toLong + 1))
+    val perKey = rows.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    Seq(1, 5, 73).foreach { s =>
+      val parts = rows.grouped(math.max(1, math.ceil(rows.size / s.toDouble).toInt))
+        .map(_.foldLeft(ta.zero)((b, x) => ta.reduce(b, x))).toSeq
+      val buf = parts.reduce(ta.merge)
+      // every retained hash's summary equals the key's TRUE max
+      (0 until buf.n).foreach { i =>
+        assert(buf.vs(i) == perKey(buf.hs(i)),
+          s"summary for retained hash ${buf.hs(i)} diverged at $s splits")
+      }
+      // retained set = the K smallest distinct keys
+      assert(buf.hs.take(buf.n).toSeq == perKey.keys.toSeq.sorted.take(K))
+    }
+    // end to end on the gate: the estimate tracks the exact
+    // sum-over-distinct-parts-of-max-quantity within 4σ
+    import spark.implicits._
+    val est = graft.queries.Relational.queries("a20_tuple_sketch_sum")(spark, sf)
+      .select(col("key"), col("est_sum_max_micro"))
+      .as[(String, Long)].collect().toMap.view.mapValues(_ / 1e6).toMap
+    val exact = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy(col("l_returnflag").as("key"), col("l_partkey"))
+      .agg(max(col("l_quantity").cast("long")).as("mv"))
+      .groupBy("key").agg(sum("mv").as("s"), count(lit(1)).as("nd"))
+      .as[(String, Long, Long)].collect()
+    exact.foreach { case (k0, sTrue, nd) =>
+      val tol = if (nd < 256) 1e-6 else 4.0 * sTrue / math.sqrt(254.0)
+      assert(math.abs(est(k0) - sTrue) <= tol,
+        s"$k0: tuple estimate ${est(k0)} vs exact $sTrue (nd=$nd)")
+    }
+  }
+
   test("DataFrame udaf equals the window form it replaced, per group") {
     import spark.implicits._
     val k = 16

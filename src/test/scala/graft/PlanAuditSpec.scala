@@ -52,6 +52,20 @@ class PlanAuditSpec extends SparkSpec {
       s"raw hash column crosses an exchange: [$cols]"))
   }
 
+  test("a20 tuple sketch keeps the bounded shape: partial tuple-agg, no raw hash or value across the exchange") {
+    val df = graft.queries.Relational.queries("a20_tuple_sketch_sum")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_kmvtupleagg"),
+      s"map-side PARTIAL tuple sketch must run before the exchange:\n$p")
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val shuffles = raw"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]".r
+      .findAllMatchIn(fmt).map(_.group(1)).toSeq
+    assert(shuffles.size == 1, s"exactly one exchange expected:\n$fmt")
+    Seq("h#", "v#").foreach(c => assert(!shuffles.head.contains(c),
+      s"raw column $c crosses the exchange: [${shuffles.head}]"))
+  }
+
   test("dd5 all-pairs cosine broadcasts one side (no shuffle of the pair stream)") {
     val p = plan(graft.queries.Dedup, "dd5_embedding_neardup")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
