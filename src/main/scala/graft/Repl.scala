@@ -229,13 +229,27 @@ object Repl {
               }
             val outDir = Files.createTempDirectory("graft-verify-").toString
             val failed = scala.collection.mutable.ListBuffer[String]()
+            val produced = scala.collection.mutable.ListBuffer[String]()
             gates.foreach { n =>
-              try SparkEntry.queries(n)(spark, dataDir).coalesce(1).write
-                .mode("overwrite").parquet(s"$outDir/$n")
-              catch { case e: Exception =>
-                failed += s"$n (${e.getClass.getSimpleName}: ${e.getMessage})" }
+              try {
+                SparkEntry.queries(n)(spark, dataDir).coalesce(1).write
+                  .mode("overwrite").parquet(s"$outDir/$n")
+                produced += n
+              } catch { case e: Exception =>
+                failed += s"$n (${e.getClass.getSimpleName}: ${e.getMessage})"
+                // a gate that threw mid-write leaves a partial parquet
+                // dir; the harness read_parquets every produced dir, so
+                // a partial one would abort the WHOLE oracle pass —
+                // remove it (and keep the gate out of oracle_sql.json)
+                val dir = Paths.get(s"$outDir/$n")
+                if (Files.exists(dir)) {
+                  import scala.jdk.CollectionConverters._
+                  Files.walk(dir).iterator().asScala.toSeq.reverse
+                    .foreach(Files.deleteIfExists(_))
+                }
+              }
             }
-            val withOracle = gates
+            val withOracle = produced.toSeq
               .flatMap(n => SparkEntry.oracleSql.get(n).map(n -> _))
             if (withOracle.isEmpty)
               out(s"${gates.mkString(", ")}: rows-only gate(s) (no oracle SQL) " +

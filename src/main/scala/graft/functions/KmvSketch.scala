@@ -102,6 +102,28 @@ final class KmvValuesAgg(k: Int) extends Aggregator[Long, KmvBuf, Array[Long]] {
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 }
 
+/** [[KmvSketchAgg]] over a BOXED nullable hash input: NULL hashes are
+  * SKIPPED, the `COUNT(DISTINCT x)` convention (NULL is the absence of
+  * a value, not a 257th value). This is the form the composable
+  * [[KmvSketch.approxDistinct]] column uses: there the hash derives
+  * from arbitrary user data (`md5(NULL)` is NULL), and routing that
+  * NULL into the primitive-Long aggregator would either coerce it to a
+  * spurious 0 hash or fail in the encoder — both diverging from the
+  * oracle's NULL semantics. The gate aggregators keep the primitive
+  * form (their hash inputs are non-null by construction; boxing the
+  * hot path buys nothing). */
+final class KmvSketchAggNullable(k: Int)
+    extends Aggregator[java.lang.Long, KmvBuf, KmvSummary] {
+  private val core = new KmvSketchAgg(k)
+  override def zero: KmvBuf = core.zero
+  override def reduce(b: KmvBuf, h: java.lang.Long): KmvBuf =
+    if (h == null) b else core.reduce(b, h.longValue)
+  override def merge(b1: KmvBuf, b2: KmvBuf): KmvBuf = core.merge(b1, b2)
+  override def finish(b: KmvBuf): KmvSummary = core.finish(b)
+  override def bufferEncoder: Encoder[KmvBuf] = core.bufferEncoder
+  override def outputEncoder: Encoder[KmvSummary] = core.outputEncoder
+}
+
 object KmvSketch {
   /** Estimated distinct count of `c` as ONE deterministic BIGINT
     * aggregate column — the a18 sketch packaged for composition (the
@@ -110,11 +132,14 @@ object KmvSketch {
     * `floor((k−1)·2^60 / h_(k))` at or above. Every arithmetic step is
     * the order statistics + the one double expression both engines
     * compute identically, so language queries using it stay
-    * hash-strict against DuckDB. */
+    * hash-strict against DuckDB. NULL inputs hash to NULL and are
+    * skipped by the nullable aggregator — `COUNT(DISTINCT x)`'s NULL
+    * policy; an oracle for a nullable column must likewise
+    * `WHERE x IS NOT NULL` before hashing. */
   def approxDistinct(c: org.apache.spark.sql.Column,
       k: Int = 256): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    val kmv = udaf(new KmvSketchAgg(k))
+    val kmv = udaf(new KmvSketchAggNullable(k))
     val h = conv(substring(md5(c.cast("string").cast("binary")), 1, 15),
       16, 10).cast("long")
     val sk = kmv(h)

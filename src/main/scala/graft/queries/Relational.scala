@@ -703,7 +703,11 @@ object Relational extends QueryPack {
       .select(col("l_returnflag").as("key"),
         expr("CAST(conv(substring(md5(CAST(l_partkey AS STRING)), 1, 15), 16, 10) AS BIGINT)")
           .as("h"),
-        col("l_quantity").cast("long").as("v"))
+        // floor() EXPLICITLY on both sides: Spark's cast("long")
+        // truncates while DuckDB's CAST(AS BIGINT) rounds half-up —
+        // they agree on the fixture's integral quantities only, and a
+        // fractional quantity would silently split the hash gate
+        floor(col("l_quantity")).cast("long").as("v"))
       .groupBy("key").agg(tup(col("h"), col("v")).as("sk"))
       .select(col("key"), col("sk.n_k").as("n_k"),
         when(col("sk.n_k") < k, col("sk.s_below") * lit(1000000L))
@@ -1214,7 +1218,7 @@ object Relational extends QueryPack {
       """WITH per AS (
            SELECT l_returnflag AS key,
              CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
-             CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS mv
+             CAST(max(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS mv
            FROM lineitem GROUP BY 1, 2),
          rk AS (SELECT key, h, mv, row_number() OVER (
                   PARTITION BY key ORDER BY h) AS rn FROM per),

@@ -68,9 +68,17 @@ object Synth10x {
     val evRep =
       if (!stretch) rep(events, evShift)
       else (0 until n).map { k =>
+        // nanosAsLong fixtures read ts as BIGINT nanos — bigint +
+        // interval fails analysis, so mirror EventStreams.heartbeat's
+        // type dispatch and add raw nanos on the Long shape
+        val shiftTs = events.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            col("ts") + lit(k * 31L * 86400L * 1000000000L)
+          case _ => col("ts") + expr(s"INTERVAL '${k * 31}' DAY")
+        }
         evShift.foldLeft(events) { case (df, (c, b)) =>
           df.withColumn(c, col(c) + lit(k * b))
-        }.withColumn("ts", col("ts") + expr(s"INTERVAL '${k * 31}' DAY"))
+        }.withColumn("ts", shiftTs)
       }.reduce(_ unionByName _)
     wr(evRep, "events")
 

@@ -160,6 +160,18 @@ class KmvSketchSpec extends SparkSpec {
     }
   }
 
+  test("approxDistinct skips NULL inputs (COUNT(DISTINCT x)'s null policy)") {
+    import spark.implicits._
+    // md5(NULL) is NULL: the nullable aggregator must reject it rather
+    // than coerce to a spurious 0 hash (which would count as a value)
+    val df = Seq(("a", Option(11L)), ("a", None), ("a", Option(22L)),
+      ("a", Option(11L)), ("b", None), ("b", None)).toDF("key", "v")
+    val out = df.groupBy("key")
+      .agg(graft.functions.KmvSketch.approxDistinct(col("v")).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("a" -> 2L, "b" -> 0L))
+  }
+
   test("DataFrame udaf equals the window form it replaced, per group") {
     import spark.implicits._
     val k = 16
