@@ -172,6 +172,55 @@ final case class KmvTupleOut(n_k: Long, theta: Long, s_below: Long)
   * summaries → oracle-strict. Bounded exactly like [[KmvSketchAgg]]:
   * the one exchange carries ≤ k (hash, summary) pairs per (task,
   * key). */
+/** MERGEABLE QUANTILE SKETCH as a bottom-k hash sample (Cohen &
+  * Kaplan, "Summarizing data using bottom-k sketches", PODC 2007; the
+  * order-sample member of the KMV family): retain the rows whose
+  * ROW-HASH ranks among the k minima, carrying each retained row's
+  * VALUE; quantiles of the retained value multiset estimate the
+  * group's quantiles with ε = O(1/√k) rank error, exact below k.
+  *
+  * Why this and not KLL/GK (the verdict's suggestion evaluated):
+  * both compact by decisions that depend on ARRIVAL/MERGE ORDER — KLL
+  * keeps odd-or-even survivors per compaction, GK's tuple bands depend
+  * on insertion sequence — so two executions with different partial
+  * orders emit different (all individually valid) summaries. Spark
+  * does not fix merge order, so those sketches cannot be hash-strict
+  * against any oracle (the ann9 one-ULP argument in sketch form). The
+  * bottom-k sample IS a pure function of the input multiset: the k
+  * minimum row-hashes are the same set under any partitioning, so the
+  * emitted sample — and every rank statistic over it — is
+  * bit-reproducible and DuckDB computes the identical integers.
+  *
+  * Determinism under 2⁻⁶⁰ row-hash collisions: on hash equality the
+  * buffer max-combines the values ([[KmvTupleAgg]]'s rule), and the
+  * oracle mirrors with `GROUP BY hash → max(value)`, so even a
+  * collision cannot make the gate order-dependent.
+  *
+  * Same bounded-exchange contract as the rest of the family: planned
+  * via `functions.udaf` this is ObjectHashAggregate with a map-side
+  * PARTIAL pass, and the only exchange carries ≤ k (hash, value)
+  * pairs per (task, key) — a full sort/exact-percentile of a 100 TB
+  * group never happens; cost is one scan plus a k-sized merge. */
+final class KmvSampleAgg(k: Int)
+    extends Aggregator[(Long, Long), KmvTupleBuf, Array[Long]] {
+  private val core = new KmvTupleAgg(k, "max")
+  override def zero: KmvTupleBuf = core.zero
+  override def reduce(b: KmvTupleBuf, in: (Long, Long)): KmvTupleBuf =
+    core.reduce(b, in)
+  override def merge(b1: KmvTupleBuf, b2: KmvTupleBuf): KmvTupleBuf =
+    core.merge(b1, b2)
+  /** The retained sample's VALUES, ascending — the form rank
+    * statistics index directly (`element_at(sample, rank)`). */
+  override def finish(b: KmvTupleBuf): Array[Long] = {
+    val out = java.util.Arrays.copyOf(b.vs, b.n)
+    java.util.Arrays.sort(out)
+    out
+  }
+  override def bufferEncoder: Encoder[KmvTupleBuf] = core.bufferEncoder
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}
+
 final class KmvTupleAgg(k: Int, combine: String)
     extends Aggregator[(Long, Long), KmvTupleBuf, KmvTupleOut] {
   require(combine == "max" || combine == "sum",

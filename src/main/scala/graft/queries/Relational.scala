@@ -717,6 +717,40 @@ object Relational extends QueryPack {
           .as("est_sum_max_micro"))
   }
 
+  /** A21 — MERGEABLE QUANTILE SKETCH (bottom-k hash sample — Cohen &
+    * Kaplan 2007; see [[graft.functions.KmvSampleAgg]] for why not
+    * KLL/GK: their compactions are merge-order-dependent and so can
+    * never be hash-strict), FULL ORACLE: per return flag, p25/p50/p75/
+    * p95 of the line's price-in-cents estimated from the ≤ k = 256
+    * rows whose md5-60bit ROW-hash (over the (orderkey, linenumber)
+    * row key) ranks among the k minima — a uniform row sample that is
+    * a pure function of the input multiset, so both engines retain the
+    * identical sample and the identical nearest-rank statistics over
+    * it. Ranks are PURE INTEGER arithmetic (`ceil(p·m)` as
+    * `(num·m + den−1) div den`) — no float in the rank path at all.
+    * Exact below k (the sample IS the group). This closes the a13
+    * scale gap: exact percentiles sort every group; at 100 TB this
+    * computes the same statistic from one scan plus a ≤ k-pair
+    * exchange per (task, key), ε = O(1/√k) rank error. */
+  private def a21(s: SparkSession, d: String): DataFrame = {
+    val k = 256
+    val smp = udaf(new graft.functions.KmvSampleAgg(k))
+    def qtile(num: Int, den: Int, name: String) = expr(
+      s"element_at(sample, greatest(1, CAST(($num * size(sample) + ${den - 1}) DIV $den AS INT)))")
+      .as(name)
+    t(s, d, "lineitem")
+      .select(col("l_returnflag").as("key"),
+        expr("""CAST(conv(substring(md5(concat(CAST(l_orderkey AS STRING), '_',
+                CAST(l_linenumber AS STRING))), 1, 15), 16, 10) AS BIGINT)""")
+          .as("h"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("v"))
+      .groupBy("key").agg(smp(col("h"), col("v")).as("sample"))
+      .select(col("key"),
+        expr("CAST(size(sample) AS BIGINT)").as("m"),
+        qtile(1, 4, "p25_cents"), qtile(1, 2, "p50_cents"),
+        qtile(3, 4, "p75_cents"), qtile(19, 20, "p95_cents"))
+  }
+
   /** J19 — NULL-SAFE equi-join (`<=>` / SQL's IS NOT DISTINCT FROM):
     * NULL keys MATCH each other instead of dropping — the semantics
     * dimension-key joins need when "unknown" is itself a key. Both
@@ -1083,6 +1117,7 @@ object Relational extends QueryPack {
     "a18_kmv_distinct" -> (a18 _),
     "a19_theta_sketch_setops" -> (a19 _),
     "a20_tuple_sketch_sum" -> (a20 _),
+    "a21_sketch_quantiles" -> (a21 _),
     "j11_salted_skew_join" -> (j11 _),
     "j12_banded_range_join" -> (j12 _),
     "j13_grid_spatial_join" -> (j13 _),
@@ -1212,6 +1247,27 @@ object Relational extends QueryPack {
     // half) KMV sample, θ = min of the halves' k-th minima (2^60 when
     // a half is exact), intersect/union estimates from the identical
     // double expressions
+    // the quantile sketch's mirror: per (key, row-hash) max values
+    // (collision determinism), the k-minimum retained sample sorted by
+    // VALUE, nearest-rank indexing in pure integer arithmetic
+    "a21_sketch_quantiles" ->
+      """WITH per AS (
+           SELECT l_returnflag AS key,
+             CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_' ||
+               CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+             CAST(max(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS v
+           FROM lineitem GROUP BY 1, 2),
+         rk AS (SELECT key, h, v, row_number() OVER (
+                  PARTITION BY key ORDER BY h) AS rn FROM per),
+         smp AS (SELECT key, list_sort(list(v)) AS sample
+                 FROM rk WHERE rn <= 256 GROUP BY key)
+         SELECT key, CAST(len(sample) AS BIGINT) AS m,
+           sample[greatest(1, (1 * len(sample) + 3) // 4)] AS p25_cents,
+           sample[greatest(1, (1 * len(sample) + 1) // 2)] AS p50_cents,
+           sample[greatest(1, (3 * len(sample) + 3) // 4)] AS p75_cents,
+           sample[greatest(1, (19 * len(sample) + 19) // 20)] AS p95_cents
+         FROM smp""",
     // the tuple sketch's mirror: per (key, hash) max summaries, the
     // k-minimum retained sample, and the identical estimate expression
     "a20_tuple_sketch_sum" ->

@@ -160,6 +160,62 @@ class KmvSketchSpec extends SparkSpec {
     }
   }
 
+  test("quantile sample (a21's engine): any split yields the identical sample; below k the sample IS the group") {
+    val sa = new graft.functions.KmvSampleAgg(K)
+    val r = new scala.util.Random(31)
+    // unique row-hashes carrying values — the bottom-k sample must be
+    // the values of the K smallest hashes under ANY partitioning
+    val rows = r.shuffle((1 to 5000).map(i =>
+      (i.toLong * 982451653L % (1L << 60), r.nextInt(100000).toLong)))
+    val byHash = rows.toMap
+    val expect = rows.map(_._1).sorted.take(K).map(byHash).sorted
+    Seq(1, 3, 47, 500).foreach { s =>
+      val parts = rows.grouped(math.max(1, math.ceil(rows.size / s.toDouble).toInt))
+        .map(_.foldLeft(sa.zero)((b, x) => sa.reduce(b, x))).toSeq
+      val out = sa.finish(parts.reduce(sa.merge))
+      assert(out.toSeq == expect, s"sample diverged at $s splits")
+    }
+    // below k: exact — the sorted sample is the whole value multiset
+    val small = rows.take(K - 5)
+    val b = small.foldLeft(sa.zero)((x, y) => sa.reduce(x, y))
+    assert(sa.finish(b).toSeq == small.map(_._2).sorted)
+  }
+
+  test("a21's quantile estimates track the exact percentiles within the bottom-k rank error") {
+    import spark.implicits._
+    val est = graft.queries.Relational.queries("a21_sketch_quantiles")(spark, sf)
+      .select(col("key"), col("m"), col("p25_cents"), col("p50_cents"),
+        col("p75_cents"), col("p95_cents"))
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(est.nonEmpty)
+    val cents = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_returnflag").as("key"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("v"))
+      .as[(String, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    est.foreach { case (k0, m, p25, p50, p75, p95) =>
+      val vs = cents(k0)
+      val n = vs.size
+      // a rank-q sample statistic from a k-sample lands within
+      // ~4σ√(q(1−q))/√k of the true rank — check the VALUE at the
+      // widened rank window brackets the estimate (value-space bounds
+      // would be scale-dependent; rank-space is the guarantee)
+      def bracket(num: Int, den: Int, got: Long): Unit = {
+        if (m >= n) assert(got == vs((num * n + den - 1) / den - 1).max(vs.head))
+        else {
+          val q = num.toDouble / den
+          val dev = 4 * math.sqrt(q * (1 - q) / 256.0)
+          val lo = vs(((q - dev).max(0.0) * (n - 1)).toInt)
+          val hi = vs((((q + dev).min(1.0)) * (n - 1)).toInt)
+          assert(got >= lo && got <= hi,
+            s"$k0 q=$num/$den: $got outside rank window [$lo, $hi]")
+        }
+      }
+      bracket(1, 4, p25); bracket(1, 2, p50)
+      bracket(3, 4, p75); bracket(19, 20, p95)
+    }
+  }
+
   test("approxDistinct skips NULL inputs (COUNT(DISTINCT x)'s null policy)") {
     import spark.implicits._
     // md5(NULL) is NULL: the nullable aggregator must reject it rather

@@ -66,6 +66,24 @@ class PlanAuditSpec extends SparkSpec {
       s"raw column $c crosses the exchange: [${shuffles.head}]"))
   }
 
+  test("a21 quantile sketch keeps the bounded shape: partial sample-agg, no raw hash/value across the exchange, no sort of the data") {
+    val df = graft.queries.Relational.queries("a21_sketch_quantiles")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_kmvsampleagg"),
+      s"map-side PARTIAL sample sketch must run before the exchange:\n$p")
+    assert(!p.contains("Window"),
+      s"a window/rank over raw rows is the unbounded shape this avoids:\n$p")
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(raw"\(\d+\) Sort\b".r.findFirstIn(fmt).isEmpty,
+      s"no Sort node may touch the raw rows (exact percentiles' cost):\n$fmt")
+    val shuffles = raw"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]".r
+      .findAllMatchIn(fmt).map(_.group(1)).toSeq
+    assert(shuffles.size == 1, s"exactly one exchange expected:\n$fmt")
+    Seq("h#", "v#").foreach(c => assert(!shuffles.head.contains(c),
+      s"raw column $c crosses the exchange: [${shuffles.head}]"))
+  }
+
   test("dd5 all-pairs cosine broadcasts one side (no shuffle of the pair stream)") {
     val p = plan(graft.queries.Dedup, "dd5_embedding_neardup")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
