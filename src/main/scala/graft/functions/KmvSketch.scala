@@ -147,6 +147,31 @@ object KmvSketch {
       .otherwise(floor(lit((k - 1).toDouble) * lit(1152921504606846976.0) /
         sk.getField("kth").cast("double")).cast("long"))
   }
+
+  /** TUPLE-sketch estimate of Σ over DISTINCT `key`s of max(`value`)
+    * as ONE deterministic BIGINT aggregate column — a20's engine
+    * packaged for the HeroQL `@aggregate(approx_sum_distinct(k, v))`
+    * builtin: md5-60bit hash of the key (the oracle-shared family),
+    * max-combined summaries on the ≤ k retained minima, exact below k,
+    * `floor(Σ(sub-θ summaries) · 2^60 / θ)` at or above. NULL keys
+    * hash to NULL and are skipped (the distinct-aggregation NULL
+    * policy); a NULL value max-combines as Long.MinValue would be
+    * wrong, so callers must feed non-null values (the language's typed
+    * relations guarantee it). Deterministic order statistics + integer
+    * summaries → language queries stay hash-strict against DuckDB. */
+  def approxSumDistinct(key: org.apache.spark.sql.Column,
+      value: org.apache.spark.sql.Column,
+      k: Int = 256): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val tup = udaf(new KmvTupleAggNullable(k, "max"))
+    val h = conv(substring(md5(key.cast("string").cast("binary")), 1, 15),
+      16, 10).cast("long")
+    val sk = tup(h, value.cast("long"))
+    when(sk.getField("n_k") < k, sk.getField("s_below"))
+      .otherwise(floor(sk.getField("s_below").cast("double") *
+        lit(1152921504606846976.0) /
+        sk.getField("theta").cast("double")).cast("long"))
+  }
 }
 
 /** Buffer of the TUPLE sketch: the sorted ≤ k minimum distinct hashes
@@ -172,6 +197,24 @@ final case class KmvTupleOut(n_k: Long, theta: Long, s_below: Long)
   * summaries → oracle-strict. Bounded exactly like [[KmvSketchAgg]]:
   * the one exchange carries ≤ k (hash, summary) pairs per (task,
   * key). */
+/** [[KmvTupleAgg]] over BOXED nullable inputs: rows whose KEY hash is
+  * NULL are skipped — [[KmvSketchAggNullable]]'s policy for the
+  * composable [[KmvSketch.approxSumDistinct]] column, where the hash
+  * derives from arbitrary user data. */
+final class KmvTupleAggNullable(k: Int, combine: String)
+    extends Aggregator[(java.lang.Long, java.lang.Long), KmvTupleBuf, KmvTupleOut] {
+  private val core = new KmvTupleAgg(k, combine)
+  override def zero: KmvTupleBuf = core.zero
+  override def reduce(b: KmvTupleBuf, in: (java.lang.Long, java.lang.Long)): KmvTupleBuf =
+    if (in._1 == null || in._2 == null) b
+    else core.reduce(b, (in._1.longValue, in._2.longValue))
+  override def merge(b1: KmvTupleBuf, b2: KmvTupleBuf): KmvTupleBuf =
+    core.merge(b1, b2)
+  override def finish(b: KmvTupleBuf): KmvTupleOut = core.finish(b)
+  override def bufferEncoder: Encoder[KmvTupleBuf] = core.bufferEncoder
+  override def outputEncoder: Encoder[KmvTupleOut] = core.outputEncoder
+}
+
 /** MERGEABLE QUANTILE SKETCH as a bottom-k hash sample (Cohen &
   * Kaplan, "Summarizing data using bottom-k sketches", PODC 2007; the
   * order-sample member of the KMV family): retain the rows whose

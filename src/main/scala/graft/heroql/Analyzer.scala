@@ -156,8 +156,8 @@ object Analyzer {
         requireBound(exprVars(e), bound, "ensure")
       case Partition(vars) =>
         requireBound(vars.toSet, bound, "@partition")
-      case Aggregate(_, v) =>
-        requireBound(Set(v), bound, "@aggregate")
+      case Aggregate(_, v, v2) =>
+        requireBound(Set(v) ++ v2, bound, "@aggregate")
     }
     bound
   }

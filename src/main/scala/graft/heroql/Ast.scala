@@ -137,8 +137,13 @@ object Ast {
   /** `order <- @order_by_desc(score)` / `@order_by(...)`
     * (`Kernel/README.md:162-174`). */
   final case class RankBinding(out: String, key: Expr, desc: Boolean) extends Item
-  /** `@aggregate(average(score))` (`Kernel/README.md:188-205`). */
-  final case class Aggregate(fn: String, variable: String) extends Item
+  /** `@aggregate(average(score))` (`Kernel/README.md:188-205`).
+    * Two-variable form for the sketch aggregates that consume a
+    * (key, value) pair — `@aggregate(approx_sum_distinct(pk, qty))`
+    * estimates Σ over distinct `pk` of max(`qty`) and binds the result
+    * to the VALUE variable. */
+  final case class Aggregate(fn: String, variable: String,
+      variable2: Option[String] = None) extends Item
   /** `(parent) :- Body .` — nested anonymous sub-rule
     * (`Kernel/README.md:114-121`). */
   final case class SubQuery(outVars: Seq[String], body: Body) extends Item

@@ -819,9 +819,10 @@ object Parser {
           val fn = expectId()
           expectSym("(")
           val v = expectId()
+          val v2 = if (at(",")) { expectSym(","); Some(expectId()) } else None
           expectSym(")")
           expectSym(")")
-          Aggregate(fn, v)
+          Aggregate(fn, v, v2)
         case other => throw ParseError(s"unknown pipeline command $other", pos)
       }
     }

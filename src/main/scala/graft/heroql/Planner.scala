@@ -613,21 +613,34 @@ final class Planner(decls: Map[String, DataDecl],
           s"@$kind queries execute via HeroQL.executeMutation, not plan()")
       case Partition(vars) =>
         st = st.copy(partition = vars)
-      case Aggregate(fn, v) =>
-        val agg: Column = fn match {
-          case "average" => avg(col(v))
-          case "sum" => sum(col(v))
-          case "count" => count(col(v))
-          case "min" => min(col(v))
-          case "max" => max(col(v))
-          case "collect" => sort_array(collect_list(col(v)))
+      case Aggregate(fn, v, v2) =>
+        // two-variable sketch aggregates bind their result to the VALUE
+        // variable; the key variable is consumed by the sketch
+        val (outVar, agg): (String, Column) = (fn, v2) match {
+          // bounded TUPLE sketch (a20's engine) as a language
+          // aggregate: Σ over distinct keys of max(value) —
+          // deterministic order statistics, so still oracle-strict
+          case ("approx_sum_distinct", Some(value)) =>
+            (value, graft.functions.KmvSketch.approxSumDistinct(col(v), col(value)))
+          case ("approx_sum_distinct", None) => throw Analyzer.AnalysisError(
+            "approx_sum_distinct needs (key, value) variables")
+          case (other, Some(_)) => throw Analyzer.AnalysisError(
+            s"aggregate $other takes exactly one variable")
+          case ("average", None) => (v, avg(col(v)))
+          case ("sum", None) => (v, sum(col(v)))
+          case ("count", None) => (v, count(col(v)))
+          case ("min", None) => (v, min(col(v)))
+          case ("max", None) => (v, max(col(v)))
+          case ("collect", None) => (v, sort_array(collect_list(col(v))))
           // bounded KMV distinct-count sketch (a18's engine) as a
           // language aggregate — deterministic, so still oracle-strict
-          case "approx_distinct" => graft.functions.KmvSketch.approxDistinct(col(v))
-          case other => throw Analyzer.AnalysisError(s"unknown aggregate $other")
+          case ("approx_distinct", None) =>
+            (v, graft.functions.KmvSketch.approxDistinct(col(v)))
+          case (other, None) => throw Analyzer.AnalysisError(s"unknown aggregate $other")
         }
-        val grouped = st.df.get.groupBy(st.partition.map(col): _*).agg(agg.as(v))
-        st = State(Some(grouped), st.partition.toSet + v, st.partition)
+        val grouped = st.df.get.groupBy(st.partition.map(col): _*)
+          .agg(agg.as(outVar))
+        st = State(Some(grouped), st.partition.toSet + outVar, st.partition)
     }
     st.df.getOrElse(throw Analyzer.AnalysisError("empty rule body"))
   }

@@ -339,6 +339,66 @@ object Dedup extends QueryPack {
         col("cluster_size"))
   }
 
+  /** The exact-collapse stage of the FINGERPRINT-KEYED layered dedup
+    * (dd14c), split out so the plan audit can pin its exchange payload
+    * directly: groups on tx4's ~60-bit CRT fingerprint, so the
+    * corpus-wide collapse exchange carries (fp, doc_id) — ~16 bytes
+    * per row — and the TEXT column never crosses it. dd14b's
+    * text-keyed twin shuffles the full document text as the GROUPING
+    * KEY, which at 100 TB means megabyte keys hashed, serialized and
+    * sorted in every collapse task; this is the production stance
+    * dd1/dd14b's docs promise, now pinned. */
+  private[graft] def fpCollapse(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextFns.fingerprint("text").as("fp"))
+      .groupBy("fp").agg(min(col("doc_id")).as("rep_id"))
+
+  /** dd14c — dd14b's layered decision with the exact stage keyed on
+    * the FINGERPRINT instead of raw text, oracle-checked end to end
+    * (same output shape as dd14/dd14b): fp-collapse to one
+    * representative per fingerprint (min doc_id), fetch ONLY the
+    * representatives' text back by doc_id for LSH banding +
+    * verification + connected components, then every document inherits
+    * its fingerprint's cluster for the quality-keeper decision.
+    *
+    * Data movement ledger (the claim [[fpCollapse]]'s plan pin backs):
+    * the collapse exchange carries (fp, doc_id) only; the single place
+    * text moves at all is the representative-fetch join, where it is
+    * PAYLOAD keyed by int64 doc_id — never a grouping or sort key.
+    * Collision stance: at the ~60-bit key space the expected number of
+    * colliding text pairs across 10^9 docs is ≈ 0.5 (TextFns.fingerprint
+    * doc); a collision conflates two texts into one exact-dup group —
+    * the near-dup layer downstream would have clustered them anyway at
+    * any realistic collision density. */
+  private def dd14c(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    // pinned exact stage (three consumers, same reason as dd14b)
+    val reps = fpCollapse(docs).localCheckpoint()
+    val keyed = docs.select(col("doc_id"),
+      TextFns.fingerprint("text").as("fp"),
+      expr("CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)").as("n_tokens"))
+    val repDocs = docs.join(reps.select(col("rep_id")),
+        docs("doc_id") === col("rep_id"))
+      .select(col("doc_id"), col("text"))
+    val pairs = MinHashLSH.nearDuplicatesMd5(repDocs, "doc_id", "text",
+      shingleLen = 5, bands = 21, rowsPerBand = 3, threshold = 0.25)
+    val cc = GraphOps.connectedComponentsDF(s,
+      pairs.select(col("a_id").as("src"), col("b_id").as("dst")))
+    val fpCluster = reps
+      .join(cc, reps("rep_id") === cc("node"), "left")
+      .select(col("fp"),
+        coalesce(col("component"), col("rep_id")).as("cluster"))
+    val labeled = keyed.join(fpCluster, "fp")
+      .select(col("doc_id"), col("n_tokens"), col("cluster"))
+    val keepers = labeled.groupBy("cluster")
+      .agg(min(struct((-col("n_tokens")).as("nt"), col("doc_id").as("d"))).as("k"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("cluster").as("c2"), col("k.d").as("keeper_id"),
+        (-col("k.nt")).as("keeper_tokens"), col("cluster_size"))
+    labeled.join(keepers, col("cluster") === col("c2"))
+      .select(col("doc_id"), col("keeper_id"), col("keeper_tokens"),
+        col("cluster_size"))
+  }
+
   /** Aligned-chunk token length: chunks are full ChunkTok except a
     * document's last. */
   private val ChunkTok = 16
@@ -556,6 +616,7 @@ object Dedup extends QueryPack {
     "dd13_normalized_dedup" -> (dd13 _),
     "dd14_lsh_quality_keeper" -> (dd14 _),
     "dd14b_layered_lsh_keeper" -> (dd14b _),
+    "dd14c_fp_layered_keeper" -> (dd14c _),
   )
 
   private val shingleSql =
@@ -770,6 +831,52 @@ object Dedup extends QueryPack {
          l2 AS (
            SELECT t.doc_id, t.n_tokens, lab.cluster
            FROM toks t JOIN lab ON t.doc_id = lab.doc_id),
+         k AS (
+           SELECT cluster, doc_id AS keeper_id, n_tokens AS keeper_tokens
+           FROM (SELECT *, row_number() OVER (PARTITION BY cluster
+                   ORDER BY n_tokens DESC, doc_id) AS rn FROM l2)
+           WHERE rn = 1),
+         sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+                FROM l2 GROUP BY cluster)
+         SELECT l2.doc_id, k.keeper_id, k.keeper_tokens, sz.cluster_size
+         FROM l2 JOIN k ON l2.cluster = k.cluster
+         JOIN sz ON l2.cluster = sz.cluster""",
+    // dd14b with the collapse keyed on tx4's fingerprint: reps = min
+    // doc_id per fp, LSH over the reps' text, docs inherit via fp
+    "dd14c_fp_layered_keeper" ->
+      s"""WITH RECURSIVE docfp AS (
+           SELECT doc_id, text, ${TextFns.fingerprintDuckSql("text")} AS fp
+           FROM documents),
+         repid AS (SELECT fp, min(doc_id) AS rep_id FROM docfp GROUP BY fp),
+         reps AS (SELECT r.rep_id AS doc_id, d.text
+                  FROM repid r JOIN docfp d ON d.doc_id = r.rep_id),
+         ${md5LshCtes("reps")},
+         cand AS (
+           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM band a JOIN band b
+             ON a.bi = b.bi AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         vp AS (
+           SELECT c.a_id, c.b_id, $jaccardSql AS jaccard
+           FROM cand c
+             JOIN sig ha ON ha.doc_id = c.a_id
+             JOIN sig hb ON hb.doc_id = c.b_id),
+         pairs AS (SELECT a_id, b_id FROM vp WHERE jaccard >= 0.25),
+         edges AS (
+           SELECT a_id AS u, b_id AS w FROM pairs
+           UNION ALL SELECT b_id, a_id FROM pairs),
+         reach(u, r) AS (
+           SELECT doc_id, doc_id FROM reps
+           UNION
+           SELECT e.u, reach.r FROM edges e JOIN reach ON e.w = reach.u),
+         lab AS (SELECT u AS rep_id, min(r) AS cluster FROM reach GROUP BY u),
+         l2 AS (
+           SELECT d.doc_id,
+                  CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT)
+                    AS n_tokens,
+                  lab.cluster
+           FROM docfp d
+             JOIN repid r ON d.fp = r.fp
+             JOIN lab ON r.rep_id = lab.rep_id),
          k AS (
            SELECT cluster, doc_id AS keeper_id, n_tokens AS keeper_tokens
            FROM (SELECT *, row_number() OVER (PARTITION BY cluster

@@ -31,6 +31,7 @@ data Mother(mother: int64, child: int64).
 data Person(id: int64).
 data Coef(pk: int64, a: double, b: double, c: double).
 data Items(flag: string, pk: int64).
+data ItemsQ(flag: string, pk: int64, qty: int64).
 
 query Top10() -> (student: string, score: int)
 :-  Exams(student, score),
@@ -59,6 +60,13 @@ query ApproxParts(flag: string) -> (approx_parts: int64)
     @partition(flag),
     @aggregate(approx_distinct(pk)),
     approx_parts <- pk
+.
+
+query ApproxQtyOverParts(flag: string) -> (approx_qty: int64)
+:-  ItemsQ(flag, pk, qty),
+    @partition(flag),
+    @aggregate(approx_sum_distinct(pk, qty)),
+    approx_qty <- qty
 .
 
 query Parents(parent: int64, child: int64)
@@ -224,8 +232,12 @@ query Described(student: string, score: int) -> (msg: string)
       (expr("p_partkey div 7") % (col("p_partkey") % 18 + 1)).as("k"))
     val items = t(s, d, "lineitem").select(
       col("l_returnflag").as("flag"), col("l_partkey").as("pk"))
+    val itemsQ = t(s, d, "lineitem").select(
+      col("l_returnflag").as("flag"), col("l_partkey").as("pk"),
+      floor(col("l_quantity")).cast("long").as("qty"))
     Map("Exams" -> exams, "Father" -> father, "Mother" -> mother,
       "Person" -> person, "Coef" -> coef, "Items" -> items,
+      "ItemsQ" -> itemsQ,
       "Shapes" -> shapes, "Nums" -> nums, "Pairs" -> pairs)
   }
 
@@ -325,6 +337,7 @@ query Scrubbed(id: int64) -> (sh: int64, rfp: int64)
     "hq2_top3_per_partition" -> (run("Top3PerStudent") _),
     "hq3_aggregate_average" -> (run("AvgTop3") _),
     "hq25_approx_distinct" -> (run("ApproxParts") _),
+    "hq26_approx_sum_distinct" -> (run("ApproxQtyOverParts") _),
     "hq4_union_rule" -> (run("Parents") _),
     "hq5_join_rule" -> (run("GrandParents") _),
     "hq6_subrule" -> (run("GrandParentsSub") _),
@@ -397,6 +410,30 @@ query Scrubbed(id: int64) -> (sh: int64, rfp: int64)
                 ELSE CAST(floor(255.0 * 1152921504606846976.0 /
                   CAST(kth AS DOUBLE)) AS BIGINT)
            END AS approx_parts
+         FROM sk""",
+    // the language-surface TUPLE sketch: a20's per-(flag, hash) max
+    // summaries and retained-sample algebra, emitted as a plain BIGINT
+    // estimate of sum-over-distinct-parts-of-max-quantity
+    "hq26_approx_sum_distinct" ->
+      """WITH per AS (
+           SELECT l_returnflag AS flag,
+             CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+             CAST(max(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS mv
+           FROM lineitem GROUP BY 1, 2),
+         rk AS (SELECT flag, h, mv, row_number() OVER (
+                  PARTITION BY flag ORDER BY h) AS rn FROM per),
+         sk AS (
+           SELECT flag,
+             CAST(count(*) FILTER (rn <= 256) AS BIGINT) AS n_k,
+             max(CASE WHEN rn = 256 THEN h END) AS kth,
+             CAST(sum(mv) FILTER (rn <= 255) AS BIGINT) AS s_below_full,
+             CAST(sum(mv) FILTER (rn <= 256) AS BIGINT) AS s_all_cap
+           FROM rk GROUP BY flag)
+         SELECT flag,
+           CASE WHEN n_k < 256 THEN s_all_cap
+                ELSE CAST(floor(CAST(s_below_full AS DOUBLE) *
+                  1152921504606846976.0 / CAST(kth AS DOUBLE)) AS BIGINT)
+           END AS approx_qty
          FROM sk""",
     "hq4_union_rule" ->
       s"""SELECT parent, child FROM ($parentsSql)""",

@@ -453,6 +453,26 @@ object Streaming extends QueryPack {
     s.table(name)
   }
 
+  /** st20 — TUPLE sketch in STREAMING AGGREGATION STATE (st19's
+    * completion): per (1-day window, event_type) the state holds one
+    * ≤ 256-pair (hash, max-summary) buffer estimating the sum over
+    * DISTINCT users of each user's max event-value-in-cents — emitted
+    * on watermark close with the deterministic a20 estimate algebra,
+    * so the batch oracle is hash-strict. */
+  private def st20(s: SparkSession, d: String): DataFrame = {
+    val name = "st20_tuple_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = EventStreams.streamWindowedTupleSum(s, d)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
   /** st18 — stream-stream FULL OUTER join drained through a real
     * streaming query — completes the join matrix (st8 inner, st15
     * left outer): BOTH sides' null-padded rows are watermark-eviction
@@ -543,6 +563,7 @@ object Streaming extends QueryPack {
     "st15_stream_stream_left_join" -> (st15 _),
     "st18_stream_stream_full_join" -> (st18 _),
     "st19_stream_kmv_distinct" -> (st19 _),
+    "st20_stream_tuple_sum" -> (st20 _),
     "ev1_sessionization" -> (ev1 _),
     "ev2_resample_ffill" -> (ev2 _),
     "ev3_resample_lerp" -> (ev3 _),
@@ -702,6 +723,36 @@ object Streaming extends QueryPack {
                      ELSE CAST(floor((255.0 * 1152921504606846976.0 /
                        CAST(sk.kth AS DOUBLE)) * 1000000.0) AS BIGINT)
                 END AS est_distinct_micro
+         FROM cnt JOIN sk ON cnt.win_start = sk.win_start
+           AND cnt.event_type = sk.event_type""",
+    // st20: the streaming tuple sketch's batch twin — per (day, type,
+    // user-hash) max cents, k-minimum retained sample, a20's estimate
+    "st20_stream_tuple_sum" ->
+      """WITH per AS (
+           SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS win_start,
+             event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+             CAST(max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS mv
+           FROM events GROUP BY 1, 2, 3),
+         rk AS (SELECT win_start, event_type, h, mv, row_number() OVER (
+                  PARTITION BY win_start, event_type ORDER BY h) AS rn FROM per),
+         sk AS (
+           SELECT win_start, event_type,
+             CAST(count(*) FILTER (rn <= 256) AS BIGINT) AS n_distinct_capped,
+             max(CASE WHEN rn = 256 THEN h END) AS kth,
+             CAST(sum(mv) FILTER (rn <= 255) AS BIGINT) AS s_below_full,
+             CAST(sum(mv) FILTER (rn <= 256) AS BIGINT) AS s_all_cap
+           FROM rk GROUP BY win_start, event_type),
+         cnt AS (SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS win_start,
+                        event_type, count(*) AS n_events
+                 FROM events GROUP BY 1, 2)
+         SELECT cnt.win_start, cnt.event_type, cnt.n_events,
+                sk.n_distinct_capped,
+                CASE WHEN sk.n_distinct_capped < 256 THEN sk.s_all_cap * 1000000
+                     ELSE CAST(floor((CAST(sk.s_below_full AS DOUBLE) *
+                       1152921504606846976.0 /
+                       CAST(sk.kth AS DOUBLE)) * 1000000.0) AS BIGINT)
+                END AS est_sum_max_micro
          FROM cnt JOIN sk ON cnt.win_start = sk.win_start
            AND cnt.event_type = sk.event_type""",
     "st18_stream_stream_full_join" ->

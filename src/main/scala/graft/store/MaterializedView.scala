@@ -36,8 +36,15 @@ import org.apache.spark.sql.functions._
 object MaterializedView {
 
   /** View definition: group keys + named exact-BIGINT sum expressions,
-    * plus optional MIN/MAX expressions. The MV schema is
-    * `keys ++ (n_rows BIGINT) ++ sums ++ mins ++ maxs` by name.
+    * plus optional MIN/MAX expressions and optional KMV SKETCH columns
+    * (`kmvs`: a name and the BIGINT hash expression to sketch — the
+    * stored column is the ascending ≤ kmvK-long array of minimum
+    * distinct hashes, giving the view an incrementally-maintained
+    * approximate DISTINCT count per group without ever re-scanning
+    * history; deterministic order statistics, so exact-below-k and
+    * oracle-checkable). The MV schema is
+    * `keys ++ (n_rows BIGINT) ++ sums ++ mins ++ maxs ++ kmvs` by name.
+    * Sketches maintain under INSERTS only, like min/max.
     *
     * Sums and counts are SELF-MAINTAINABLE under both inserts and
     * deletes (they form a group under addition). Min/max are
@@ -48,7 +55,8 @@ object MaterializedView {
     * [[refreshDelete]] therefore REJECTS a spec with min/max columns
     * loudly instead of silently corrupting the view. */
   final case class MvSpec(keys: Seq[String], sums: Seq[(String, Column)],
-      mins: Seq[(String, Column)] = Nil, maxs: Seq[(String, Column)] = Nil)
+      mins: Seq[(String, Column)] = Nil, maxs: Seq[(String, Column)] = Nil,
+      kmvs: Seq[(String, Column)] = Nil, kmvK: Int = 256)
 
   /** A REGISTERABLE view definition: sums as SQL text so the
     * definition can live in the store's registry table and be
@@ -67,7 +75,9 @@ object MaterializedView {
       .agg(count(lit(1)).as("n_rows"),
         (spec.sums.map { case (n, e) => sum(e).as(n) } ++
           spec.mins.map { case (n, e) => min(e).as(n) } ++
-          spec.maxs.map { case (n, e) => max(e).as(n) }): _*)
+          spec.maxs.map { case (n, e) => max(e).as(n) } ++
+          spec.kmvs.map { case (n, e) =>
+            udaf(new graft.functions.KmvValuesAgg(spec.kmvK))(e).as(n) }): _*)
 
   /** Group-wise fold of MV rows with delta-aggregate rows — the ONE
     * merge all refresh paths share: sums/counts add, mins/maxs fold
@@ -77,7 +87,14 @@ object MaterializedView {
       .agg(sum("n_rows").as("n_rows"),
         (spec.sums.map { case (n, _) => sum(col(n)).as(n) } ++
           spec.mins.map { case (n, _) => min(col(n)).as(n) } ++
-          spec.maxs.map { case (n, _) => max(col(n)).as(n) }): _*)
+          spec.maxs.map { case (n, _) => max(col(n)).as(n) } ++
+          // KMV mergeability as pure array algebra: the k smallest
+          // distinct hashes of the union of the operand sketches IS
+          // the sketch of the union (Beyer et al. 2007) — the merge
+          // never rescans the base, exactly like the sum columns
+          spec.kmvs.map { case (n, _) =>
+            slice(array_sort(array_distinct(flatten(collect_list(col(n))))),
+              1, spec.kmvK).as(n) }): _*)
       .filter(col("n_rows") > 0)
 
   /** One-time full build: the only scan of the base this MV ever does. */
@@ -113,6 +130,10 @@ object MaterializedView {
       "min/max are not self-maintainable under deletes (removing the " +
         "extremum needs a group rescan) — rebuild the view or drop the " +
         "min/max columns from the spec")
+    require(spec.kmvs.isEmpty,
+      "KMV sketches are not self-maintainable under deletes (a sketch " +
+        "of a set minus rows is not derivable from the sketch) — " +
+        "rebuild the view or drop the sketch columns from the spec")
     merge(store, table, negatedAggregate(delta, spec), spec)
   }
 

@@ -682,6 +682,56 @@ object EventStreams {
           .as("est_distinct_micro"))
   }
 
+  /** Streaming tumbling-window TUPLE sketch — [[streamWindowedKmvDistinct]]
+    * extended to AGGREGATE-OVER-DISTINCT-KEYS in streaming state
+    * ([[graft.functions.KmvTupleAgg]], a20's engine): per (1-day
+    * window, event_type) the state store holds one ≤ k (hash, summary)
+    * buffer estimating Σ over DISTINCT users of each user's MAX
+    * event-value-in-cents — the "deduplicated value per window"
+    * statistic a plain windowed sum cannot produce without keeping
+    * every (window, user) pair in state. Same capped-state contract
+    * as st19 (state per group ≤ k pairs no matter how many distinct
+    * users a window sees) and the same deterministic order-statistics
+    * emission, so the batch oracle stays hash-strict. Watermark /
+    * heartbeat machinery identical to st19's. */
+  def streamWindowedTupleSum(spark: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val staged = stageDir(dir)
+    val maxMicros = tsInstant(spark.read.schema(schema).parquet(staged))
+      .agg(max(expr("unix_micros(ts)"))).head.getLong(0)
+    val one = spark.read.schema(schema).parquet(staged)
+      .orderBy(col("ts").desc).limit(1)
+    def heartbeat(days: Long): Unit = {
+      val hb = schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          one.withColumn("ts", col("ts") + lit(days * 86400L * 1000000000L))
+        case _ => one.withColumn("ts", col("ts") + expr(s"INTERVAL $days DAYS"))
+      }
+      hb.coalesce(1).write.mode("append").parquet(staged)
+    }
+    heartbeat(30); heartbeat(31)
+    val tup = udaf(new graft.functions.KmvTupleAgg(k, "max"))
+    tsInstant(spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged))
+      .withWatermark("ts", "1 hour")
+      .filter(expr("unix_micros(ts)") <= lit(maxMicros))
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("cents", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(tup(col("h"), col("cents")).as("sk"), count(lit(1)).as("n_events"))
+      .select(col("w.start")
+          .cast(org.apache.spark.sql.types.TimestampNTZType).as("win_start"),
+        col("event_type"), col("n_events"),
+        col("sk.n_k").as("n_distinct_capped"),
+        when(col("sk.n_k") < k, col("sk.s_below") * lit(1000000L))
+          .otherwise(expr(
+            """CAST(floor((CAST(sk.s_below AS DOUBLE) * 1152921504606846976.0 /
+               CAST(sk.theta AS DOUBLE)) * 1000000.0) AS BIGINT)"""))
+          .as("est_sum_max_micro"))
+  }
+
   /** Streaming SINK into the table store: readStream over the staged
     * events, `foreachBatch` appending each micro-batch through the
     * store's atomic-commit insert (new files only — the streaming

@@ -116,11 +116,11 @@ class HeroQLParserSpec extends AnyFunSuite {
       Conj(Seq(Atom("Mother", Seq(TVar("parent"), TVar("child")))))))
   }
 
-  test("golden: the full HeroQueries program parses (22 queries + 4 funcs + 1 union)") {
+  test("golden: the full HeroQueries program parses (23 queries + 4 funcs + 1 union)") {
     val p = Parser.parse(HeroQueries.program)
-    assert(p.datas.size == 9)
+    assert(p.datas.size == 10)
     assert(p.queries.map(_.name) == Seq("Top10", "Top3PerStudent", "AvgTop3",
-      "ApproxParts",
+      "ApproxParts", "ApproxQtyOverParts",
       "Parents", "GrandParents", "GrandParentsSub", "Anc", "AncCount", "DescOf",
       "AncestorsOf", "Quad", "Childless", "Graded",
       "ShapeAreas", "BoxedAreas", "FibOf", "ChooseOf",
@@ -132,6 +132,26 @@ class HeroQLParserSpec extends AnyFunSuite {
       UnionVariant("Circle", Seq("r" -> "double")),
       UnionVariant("Rect", Seq("w" -> "double", "h" -> "double")),
       UnionVariant("Point", Seq("x" -> "double"))))
+  }
+
+  test("golden: two-variable sketch aggregate parses; the result lands on the value variable") {
+    val p = Parser.parse(
+      """data R(g: string, k: int64, v: int64).
+        |query Q(g: string) -> (est: int64)
+        |:- R(g, k, v),
+        |   @partition(g),
+        |   @aggregate(approx_sum_distinct(k, v)),
+        |   est <- v
+        |.""".stripMargin)
+    val items = p.queries.head.body.alts.head.items
+    assert(items.contains(Aggregate("approx_sum_distinct", "k", Some("v"))))
+    // one-variable form still parses to the None shape
+    val p1 = Parser.parse(
+      """data R(g: string, v: int64).
+        |query Q(g: string) -> (v: int64)
+        |:- R(g, v), @partition(g), @aggregate(sum(v)).""".stripMargin)
+    assert(p1.queries.head.body.alts.head.items
+      .contains(Aggregate("sum", "v", None)))
   }
 
   test("golden: runtime-type patterns and expression args parse") {

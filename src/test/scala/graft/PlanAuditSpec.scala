@@ -84,6 +84,28 @@ class PlanAuditSpec extends SparkSpec {
       s"raw column $c crosses the exchange: [${shuffles.head}]"))
   }
 
+  test("dd14c exact collapse exchanges (fp, doc_id) only — text never crosses the collapse shuffle") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val df = graft.queries.Dedup.fpCollapse(docs)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"), s"collapse must partial-aggregate:\n$p")
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val shuffles = raw"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]".r
+      .findAllMatchIn(fmt).map(_.group(1)).toSeq
+    assert(shuffles.size == 1, s"exactly one collapse exchange expected:\n$fmt")
+    assert(!shuffles.head.contains("text#"),
+      s"text crosses the collapse exchange: [${shuffles.head}]")
+  }
+
+  test("dd14c equals dd14b row for row (fp keying changes the exchange payload, not the decision)") {
+    val b = graft.queries.Dedup.queries("dd14b_layered_lsh_keeper")(spark, sf)
+    val c = graft.queries.Dedup.queries("dd14c_fp_layered_keeper")(spark, sf)
+    assert(c.exceptAll(b).isEmpty && b.exceptAll(c).isEmpty,
+      "fp-keyed layering must reproduce the text-keyed decision on a collision-free corpus")
+  }
+
   test("dd5 all-pairs cosine broadcasts one side (no shuffle of the pair stream)") {
     val p = plan(graft.queries.Dedup, "dd5_embedding_neardup")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),

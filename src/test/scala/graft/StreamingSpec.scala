@@ -288,6 +288,40 @@ class StreamingSpec extends SparkSpec {
       "below-k windows must report the exact distinct count")
   }
 
+  test("streaming tuple sketch: state rows = groups; below-k windows exact on the dedup sum") {
+    val sdf = EventStreams.streamWindowedTupleSum(spark, sf)
+    val q = sdf.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("sttuple_mem")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(240000)
+    val ev = EventStreams.normalizeTs(Tables.t(spark, sf, "events"))
+    val groups = ev.select(date_trunc("day", col("ts")), col("event_type"))
+      .distinct().count()
+    val peakState = q.recentProgress
+      .flatMap(_.stateOperators.map(_.numRowsTotal)).max
+    assert(peakState <= groups,
+      s"state rows $peakState exceed the $groups (window, type) groups")
+    val streamed = spark.table("sttuple_mem")
+    assert(streamed.count() == groups)
+    // below k the tuple sketch is exact: the emitted micros equal the
+    // true sum-over-distinct-users-of-max-cents
+    val exact = ev
+      .groupBy(date_trunc("day", col("ts")).as("w"), col("event_type"),
+        col("user_id"))
+      .agg(max(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("mc"))
+      .groupBy(col("w"), col("event_type"))
+      .agg(sum("mc").as("s"), count(lit(1)).as("nd"))
+    val joined = streamed.join(exact,
+      streamed("win_start") === col("w") &&
+        streamed("event_type") === exact("event_type"))
+    assert(joined.filter(col("nd") < 256 &&
+      col("est_sum_max_micro") =!= col("s") * 1000000L).isEmpty,
+      "below-k windows must report the exact deduplicated sum")
+  }
+
   test("incremental sessionize: per-batch maintenance, bounded state, batch parity") {
     val store = new graft.store.TableStore(spark,
       java.nio.file.Files.createTempDirectory("graft-sess-inc-").toString)
