@@ -127,6 +127,47 @@ object MatViewQueries extends QueryPack {
       col("min_price"), col("max_price"))
   }
 
+  /** mv12 — SKETCH-BACKED incremental MV: the view carries a KMV
+    * distinct-partkey sketch column (the ascending ≤ 256-long array of
+    * minimum md5-60bit hashes) maintained under insert refreshes by
+    * PURE ARRAY ALGEBRA — merged = k smallest of the union (KMV
+    * mergeability, Beyer et al. 2007) — so the view serves approximate
+    * DISTINCT counts per group incrementally, without the base rescan
+    * every exact distinct-count refresh needs (distinct is famously
+    * NOT self-maintainable; the sketch is, under inserts). Build over
+    * 3/4 of lineitem + three insert batches; because the sketch of a
+    * union is batch-path-independent, the final column equals the
+    * sketch over ALL of lineitem, which is exactly what the DuckDB
+    * oracle computes (a18's algebra) — full hash-strict oracle, exact
+    * below k. At 100 TB this is how a dashboard's distinct-counts MV
+    * stays fresh: each refresh touches the delta plus #groups ≤ k-long
+    * arrays. */
+  private def mv12(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s)
+    val li = t(s, d, "lineitem")
+    val k = 256
+    val spec12 = MvSpec(Seq("l_returnflag"),
+      sums = Seq("__qty" -> expr("CAST(floor(l_quantity) AS BIGINT)")),
+      kmvs = Seq("__pk_sk" -> expr(
+        "CAST(conv(substring(md5(CAST(l_partkey AS STRING)), 1, 15), 16, 10) AS BIGINT)")),
+      kmvK = k)
+    MaterializedView.build(st, "mv", li.filter(col("l_orderkey") % 4 =!= 3), spec12)
+    (0 until 3).foreach { r =>
+      MaterializedView.refreshInsert(st, "mv",
+        li.filter(col("l_orderkey") % 4 === 3 && col("l_linenumber") % 3 === r),
+        spec12)
+    }
+    st.read("mv").select(col("l_returnflag"), col("n_rows"),
+      expr("CAST(__qty AS BIGINT)").as("sum_qty"),
+      expr("CAST(size(__pk_sk) AS BIGINT)").as("n_k"),
+      when(expr(s"size(__pk_sk) < $k"),
+          expr("CAST(size(__pk_sk) AS BIGINT)") * lit(1000000L))
+        .otherwise(expr(
+          s"""CAST(floor((${k - 1}.0 * 1152921504606846976.0 /
+             CAST(element_at(__pk_sk, $k) AS DOUBLE)) * 1000000.0) AS BIGINT)"""))
+        .as("est_distinct_micro"))
+  }
+
   /** mv5 — the language's `@insert` composes with the view registry:
     * a view registered over `Exams` stays consistent when rows arrive
     * through PARSED HeroQL (`query AddExam :- @insert Exams(...)`),
@@ -385,6 +426,7 @@ query AddExam(student: string, score: int)
     "mv2_incremental_delete" -> (mv2 _),
     "mv3_transactional_refresh" -> (mv3 _),
     "mv4_minmax_insert_only" -> (mv4 _),
+    "mv12_kmv_sketch_view" -> (mv12 _),
     "mv5_hql_write_through" -> (mv5 _),
     "mv6_transparent_rewrite" -> (mv6 _),
     "mv7_join_view" -> (mv7 _),
@@ -444,6 +486,31 @@ query AddExam(student: string, score: int)
                 min(l_extendedprice) AS min_price,
                 max(l_extendedprice) AS max_price
          FROM lineitem GROUP BY 1, 2""",
+    // mv12: the maintained sketch column is batch-path-independent, so
+    // the oracle states the same truth over the FULL base with a18's
+    // KMV order-statistics algebra
+    "mv12_kmv_sketch_view" ->
+      """WITH hashed AS (
+           SELECT DISTINCT l_returnflag AS key,
+             CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+           FROM lineitem),
+         topk AS (
+           SELECT key, h FROM (
+             SELECT key, h, row_number() OVER (
+               PARTITION BY key ORDER BY h) AS rn
+             FROM hashed) WHERE rn <= 256),
+         sk AS (SELECT key, CAST(count(*) AS BIGINT) AS n_k, max(h) AS kth
+                FROM topk GROUP BY key),
+         base AS (SELECT l_returnflag AS key, count(*) AS n_rows,
+                    CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+                      AS sum_qty
+                  FROM lineitem GROUP BY 1)
+         SELECT base.key AS l_returnflag, base.n_rows, base.sum_qty, sk.n_k,
+           CASE WHEN sk.n_k < 256 THEN sk.n_k * 1000000
+                ELSE CAST(floor((255.0 * 1152921504606846976.0 /
+                       CAST(sk.kth AS DOUBLE)) * 1000000.0) AS BIGINT)
+           END AS est_distinct_micro
+         FROM base JOIN sk ON base.key = sk.key""",
     "mv5_hql_write_through" ->
       """WITH rows AS (
            SELECT CAST(o_custkey AS VARCHAR) AS student,

@@ -77,7 +77,7 @@ object MaterializedView {
           spec.mins.map { case (n, e) => min(e).as(n) } ++
           spec.maxs.map { case (n, e) => max(e).as(n) } ++
           spec.kmvs.map { case (n, e) =>
-            udaf(new graft.functions.KmvValuesAgg(spec.kmvK))(e).as(n) }): _*)
+            udaf(new graft.functions.KmvValuesAgg(spec.kmvK)).apply(e).as(n) }): _*)
 
   /** Group-wise fold of MV rows with delta-aggregate rows — the ONE
     * merge all refresh paths share: sums/counts add, mins/maxs fold

@@ -75,6 +75,41 @@ class MatViewSpec extends SparkSpec {
       sortedRows(MaterializedView.aggregate(li, mvSpec)))
   }
 
+  test("kmv sketch column: batch-path independence, no base rescan, delete rejects") {
+    val hash = expr(
+      "CAST(conv(substring(md5(CAST(l_partkey AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+    // small k so the fixture exercises the capped (not exact) regime
+    val spec = MvSpec(Seq("l_returnflag"),
+      Seq("__qty" -> expr("CAST(floor(l_quantity) AS BIGINT)")),
+      kmvs = Seq("__sk" -> hash), kmvK = 16)
+    // no-rescan, the strong way: burn the base between build and refresh
+    val stage = Files.createTempDirectory("graft-mv-kmv-")
+    li.filter(col("l_orderkey") % 4 =!= 3)
+      .write.mode("overwrite").parquet(stage.toString)
+    val st = scratch()
+    MaterializedView.build(st, "mv", spark.read.parquet(stage.toString), spec)
+    Files.walk(stage).sorted(Comparator.reverseOrder[Path]())
+      .forEach(p => Files.delete(p))
+    (0 until 3).foreach { r =>
+      MaterializedView.refreshInsert(st, "mv",
+        li.filter(col("l_orderkey") % 4 === 3 &&
+          col("l_linenumber") % 3 === r).localCheckpoint(), spec)
+    }
+    // path independence: the maintained sketch equals the one-shot
+    // sketch over the full base (KMV merge = sketch of the union)
+    assert(sortedRows(st.read("mv")) ===
+      sortedRows(MaterializedView.aggregate(li, spec)))
+    // the capped regime is actually exercised (k smaller than distincts)
+    assert(st.read("mv").filter(size(col("__sk")) === 16).count() > 0,
+      "fixture premise: some group has >= 16 distinct parts")
+    // sketches cannot subtract: delete refresh must reject loudly
+    val ex = intercept[IllegalArgumentException] {
+      MaterializedView.refreshDelete(st, "mv",
+        li.filter(col("l_orderkey") % 7 === 0), spec)
+    }
+    assert(ex.getMessage.contains("sketch"))
+  }
+
   test("marked refresh is exactly-once: a replayed batch changes nothing") {
     val st = scratch()
     val b0 = li.filter(col("l_orderkey") % 2 === 0)
