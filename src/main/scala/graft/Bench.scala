@@ -17,7 +17,13 @@ object Bench {
     "tx2_quality_score", "st1_tumbling_window", "m1b_upsert",
     "hq2_top3_per_partition", "j9_asof_join", "j12_banded_range_join",
     "w8_ignore_nulls_nav", "tx14_bigram_logprob", "cms1_heavy_hitters",
-    "ev7_ewma_decay", "cq5_tpch_q5_shape")
+    "ev7_ewma_decay", "cq5_tpch_q5_shape",
+    // round-15/16 sketch + layered-dedup paths: the bounded-aggregator
+    // family and the production dedup decision need a regression
+    // tripwire in the headline, not just correctness gates
+    "a18_kmv_distinct", "a19_theta_sketch_setops", "a20_tuple_sketch_sum",
+    "a21_sketch_quantiles", "dd14b_layered_lsh_keeper",
+    "st19_stream_kmv_distinct")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -54,9 +60,14 @@ object Bench {
       .distinct().collect() // dir-count rows, mirroring Txn.rewriteMatched's probe
     wdf.join(wkeys, Seq("id"), "left_anti").count()
     val all = SparkEntry.queries
-    val order =
-      if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) all.keys.toSeq.sorted
-      else headline.filter(all.contains)
+    // SPARK_GRAFT_BENCH_QUERIES=a,b,c times an explicit subset (scale
+    // sweeps over the costliest quartile); BENCH_ALL=1 times everything
+    val order = sys.env.get("SPARK_GRAFT_BENCH_QUERIES") match {
+      case Some(list) => list.split(",").map(_.trim).filter(all.contains).toSeq
+      case None =>
+        if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) all.keys.toSeq.sorted
+        else headline.filter(all.contains)
+    }
     // min of N runs per query (steady state): a single sample conflates
     // the operator's cost with whatever the machine was doing that
     // second, and round-over-round comparisons need the former

@@ -60,7 +60,12 @@ object PlanDump {
       // and its exact-first layered composition
       "a18_kmv_distinct", "dd14_lsh_quality_keeper",
       "dd14b_layered_lsh_keeper", "a19_theta_sketch_setops",
-      "hq25_approx_distinct", "a20_tuple_sketch_sum")
+      "hq25_approx_distinct", "a20_tuple_sketch_sum",
+      // round-16: the quantile sample sketch, the fp-keyed layered
+      // collapse (no text across the collapse exchange), the tuple
+      // sketch through the language, and the sketch-backed MV refresh
+      "a21_sketch_quantiles", "dd14c_fp_layered_keeper",
+      "hq26_approx_sum_distinct", "mv12_kmv_sketch_view")
     (Bench.headline ++ extras).foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))

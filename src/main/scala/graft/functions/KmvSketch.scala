@@ -172,6 +172,30 @@ object KmvSketch {
         lit(1152921504606846976.0) /
         sk.getField("theta").cast("double")).cast("long"))
   }
+
+  /** MEDIAN estimate of `value` over the group's row MULTISET as ONE
+    * deterministic BIGINT aggregate column — a21's bottom-k sample
+    * sketch packaged for the HeroQL `@aggregate(approx_median(id, v))`
+    * builtin. `id` names the ROW IDENTITY (quantiles are multiset
+    * statistics, so the sample must be keyed by row, not by value —
+    * the same reason a21 hashes orderkey_linenumber): rows whose
+    * md5-60bit id-hash ranks among the k minima are retained with
+    * their values, and the nearest-rank p50 of the retained ascending
+    * sample — `ceil(m/2)` 1-indexed — is the estimate, EXACT below k,
+    * ε = O(1/√k) rank error above. NULL ids or values are skipped
+    * (the family's NULL policy). Deterministic order statistics →
+    * language queries stay hash-strict against DuckDB. */
+  def approxMedian(id: org.apache.spark.sql.Column,
+      value: org.apache.spark.sql.Column,
+      k: Int = 256): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val smp = udaf(new KmvSampleAggNullable(k))
+    val h = conv(substring(md5(id.cast("string").cast("binary")), 1, 15),
+      16, 10).cast("long")
+    val sample = smp(h, value.cast("long"))
+    element_at(sample,
+      greatest(lit(1), floor((size(sample) + lit(1)) / lit(2)).cast("int")))
+  }
 }
 
 /** Buffer of the TUPLE sketch: the sorted ≤ k minimum distinct hashes
@@ -262,6 +286,24 @@ final class KmvSampleAgg(k: Int)
   override def bufferEncoder: Encoder[KmvTupleBuf] = core.bufferEncoder
   override def outputEncoder: Encoder[Array[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}
+
+/** [[KmvSampleAgg]] over BOXED nullable inputs: rows whose row-identity
+  * hash or value is NULL are skipped — the policy of the composable
+  * [[KmvSketch.approxMedian]] column, where the hash derives from
+  * arbitrary user data (mirrors [[KmvTupleAggNullable]]). */
+final class KmvSampleAggNullable(k: Int)
+    extends Aggregator[(java.lang.Long, java.lang.Long), KmvTupleBuf, Array[Long]] {
+  private val core = new KmvSampleAgg(k)
+  override def zero: KmvTupleBuf = core.zero
+  override def reduce(b: KmvTupleBuf, in: (java.lang.Long, java.lang.Long)): KmvTupleBuf =
+    if (in._1 == null || in._2 == null) b
+    else core.reduce(b, (in._1.longValue, in._2.longValue))
+  override def merge(b1: KmvTupleBuf, b2: KmvTupleBuf): KmvTupleBuf =
+    core.merge(b1, b2)
+  override def finish(b: KmvTupleBuf): Array[Long] = core.finish(b)
+  override def bufferEncoder: Encoder[KmvTupleBuf] = core.bufferEncoder
+  override def outputEncoder: Encoder[Array[Long]] = core.outputEncoder
 }
 
 final class KmvTupleAgg(k: Int, combine: String)

@@ -624,6 +624,14 @@ final class Planner(decls: Map[String, DataDecl],
             (value, graft.functions.KmvSketch.approxSumDistinct(col(v), col(value)))
           case ("approx_sum_distinct", None) => throw Analyzer.AnalysisError(
             "approx_sum_distinct needs (key, value) variables")
+          // bounded bottom-k sample sketch (a21's engine) as a
+          // language aggregate: median over the row multiset, the
+          // first variable naming the ROW IDENTITY the sample hashes —
+          // deterministic order statistics, so still oracle-strict
+          case ("approx_median", Some(value)) =>
+            (value, graft.functions.KmvSketch.approxMedian(col(v), col(value)))
+          case ("approx_median", None) => throw Analyzer.AnalysisError(
+            "approx_median needs (row-id, value) variables")
           case (other, Some(_)) => throw Analyzer.AnalysisError(
             s"aggregate $other takes exactly one variable")
           case ("average", None) => (v, avg(col(v)))

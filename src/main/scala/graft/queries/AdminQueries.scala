@@ -410,6 +410,31 @@ object AdminQueries extends QueryPack {
       .agg(count(lit(1)).as("n"), sum("vmicro").as("sum_vmicro"))
   }
 
+  /** adm22 — manifest Bloom-filter data skipping
+    * ([[graft.store.BloomSkipping]]): events ingested as six
+    * entity-banded commits (`user_id % 6` — every dir spans the FULL
+    * user range, so zone maps prune nothing, but each holds a disjoint
+    * user SET), then a single-user equality probe opens only the
+    * commit whose filter may contain the key (BloomSpec pins kept-dir
+    * counts, no-false-negative parity, and the conservative
+    * fallbacks). The exact predicate re-applies after the prune, so
+    * the oracle is the plain equality select. At 100 TB this is the
+    * point-probe twin of adm12: driver-side manifest math prunes
+    * whole commits before a file is listed. */
+  private def adm22(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s)
+    val e = t(s, d, "events").select(col("event_id"), col("user_id"),
+      col("event_type"),
+      expr("CAST(floor(value * 1000000) AS BIGINT)").as("vmicro"))
+    graft.store.BloomSkipping.createTracked(st, "ev",
+      e.filter(col("user_id") % 6 === 0), Seq("user_id"))
+    (1 to 5).foreach(i => st.insert("ev", e.filter(col("user_id") % 6 === i)))
+    val probe = e.agg(max("user_id")).head.getLong(0)
+    graft.store.BloomSkipping.readEquals(st, "ev", "user_id", probe)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("vmicro").as("sum_vmicro"))
+  }
+
   /** adm16 — ANALYZE-style table profile (the optimizer-statistics /
     * data-quality pass every warehouse ships): one row per column of
     * `orders` with non-null count, EXACT distinct count, and canonical
@@ -569,6 +594,7 @@ object AdminQueries extends QueryPack {
     "adm16_table_profile" -> (adm16 _),
     "j14_dpp_partition_join" -> (j14 _),
     "adm12_zonemap_skipping" -> (adm12 _),
+    "adm22_bloom_skipping" -> (adm22 _),
     "adm10_incremental_backup" -> (adm10 _),
     "adm11_changefeed" -> (adm11 _),
     "adm13_changefeed_sync" -> (adm13 _),
@@ -674,6 +700,14 @@ object AdminQueries extends QueryPack {
          FROM e, b
          WHERE tus >= lo + 10 * 86400000000
            AND tus <= lo + 15 * 86400000000 - 1
+         GROUP BY event_type""",
+    "adm22_bloom_skipping" ->
+      """WITH p AS (SELECT max(user_id) AS k FROM events)
+         SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+                  AS sum_vmicro
+         FROM events, p
+         WHERE user_id = p.k
          GROUP BY event_type""",
     "j14_dpp_partition_join" ->
       """WITH dim(event_type, category) AS (VALUES

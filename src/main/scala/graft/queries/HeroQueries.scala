@@ -32,6 +32,7 @@ data Person(id: int64).
 data Coef(pk: int64, a: double, b: double, c: double).
 data Items(flag: string, pk: int64).
 data ItemsQ(flag: string, pk: int64, qty: int64).
+data ItemsP(flag: string, rid: int64, cents: int64).
 
 query Top10() -> (student: string, score: int)
 :-  Exams(student, score),
@@ -67,6 +68,13 @@ query ApproxQtyOverParts(flag: string) -> (approx_qty: int64)
     @partition(flag),
     @aggregate(approx_sum_distinct(pk, qty)),
     approx_qty <- qty
+.
+
+query ApproxMedianPrice(flag: string) -> (approx_med: int64)
+:-  ItemsP(flag, rid, cents),
+    @partition(flag),
+    @aggregate(approx_median(rid, cents)),
+    approx_med <- cents
 .
 
 query Parents(parent: int64, child: int64)
@@ -235,9 +243,15 @@ query Described(student: string, score: int) -> (msg: string)
     val itemsQ = t(s, d, "lineitem").select(
       col("l_returnflag").as("flag"), col("l_partkey").as("pk"),
       floor(col("l_quantity")).cast("long").as("qty"))
+    // rid is the collision-free row identity (linenumber is 1..7 in the
+    // warehouse, so *10 keeps it injective) the sample sketch hashes
+    val itemsP = t(s, d, "lineitem").select(
+      col("l_returnflag").as("flag"),
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("rid"),
+      expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("cents"))
     Map("Exams" -> exams, "Father" -> father, "Mother" -> mother,
       "Person" -> person, "Coef" -> coef, "Items" -> items,
-      "ItemsQ" -> itemsQ,
+      "ItemsQ" -> itemsQ, "ItemsP" -> itemsP,
       "Shapes" -> shapes, "Nums" -> nums, "Pairs" -> pairs)
   }
 
@@ -338,6 +352,7 @@ query Scrubbed(id: int64) -> (sh: int64, rfp: int64)
     "hq3_aggregate_average" -> (run("AvgTop3") _),
     "hq25_approx_distinct" -> (run("ApproxParts") _),
     "hq26_approx_sum_distinct" -> (run("ApproxQtyOverParts") _),
+    "hq27_approx_median" -> (run("ApproxMedianPrice") _),
     "hq4_union_rule" -> (run("Parents") _),
     "hq5_join_rule" -> (run("GrandParents") _),
     "hq6_subrule" -> (run("GrandParentsSub") _),
@@ -435,6 +450,25 @@ query Scrubbed(id: int64) -> (sh: int64, rfp: int64)
                   1152921504606846976.0 / CAST(kth AS DOUBLE)) AS BIGINT)
            END AS approx_qty
          FROM sk""",
+    // the language-surface QUANTILE sketch: a21's bottom-k row sample
+    // (row identity = orderkey*10+linenumber), nearest-rank p50 of the
+    // retained ascending values — exact below k, same integers both
+    // engines
+    "hq27_approx_median" ->
+      """WITH per AS (
+           SELECT l_returnflag AS flag,
+             CAST(('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber
+               AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+             CAST(max(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS v
+           FROM lineitem GROUP BY 1, 2),
+         rk AS (SELECT flag, h, v, row_number() OVER (
+                  PARTITION BY flag ORDER BY h) AS rn FROM per),
+         smp AS (SELECT flag, list_sort(list(v)) AS sample
+                 FROM rk WHERE rn <= 256 GROUP BY flag)
+         SELECT flag,
+           sample[greatest(1, (len(sample) + 1) // 2)] AS approx_med
+         FROM smp""",
     "hq4_union_rule" ->
       s"""SELECT parent, child FROM ($parentsSql)""",
     "hq5_join_rule" ->

@@ -1401,9 +1401,10 @@ final class Txn(store: TableStore, private[store] val importance: Int = 0,
           Seq(DataDir(store.writeData(name, folded, cols)), newDir),
           entries.collectFirst { case PropsEntry(ps) => ps }.getOrElse(Map.empty)))
       } else store.writeTableManifest(name, appended))
-    // zone-map-tracked tables stamp the fresh dir's min/max into the
-    // manifest in the same commit (no-op for untracked tables)
+    // zone-map- / bloom-tracked tables stamp the fresh dir's stats
+    // into the manifest in the same commit (no-op for untracked tables)
     stampZoneStats(name)
+    stampBlooms(name)
   }
 
   /** Merge `extra` over the table's creation-pinned props and rewrite
@@ -1445,6 +1446,34 @@ final class Txn(store: TableStore, private[store] val importance: Int = 0,
       // hygiene, applied to zm.*)
       val valid = dirs.flatMap(d => cols.map(c => ZoneMaps.statKey(d, c))).toSet
       val stale = props.keySet.filter(k => k.startsWith("zm.") && !valid(k))
+      if (add.nonEmpty || stale.nonEmpty)
+        setProps(name, (props -- stale) ++ add)
+    }
+  }
+
+  /** Stamp Bloom filters ([[BloomSkipping.ColsProp]] columns) for
+    * every data dir of `name` missing them — [[stampZoneStats]]'
+    * membership twin ([[BloomSkipping.createTracked]] seed, per-insert
+    * stamp, post-rewrite re-track). Same hygiene: stale `bf.*` keys
+    * (replaced dirs, dropped columns) prune in the same commit. */
+  private[store] def stampBlooms(name: String): Unit = {
+    val props = propsOf(name)
+    props.get(BloomSkipping.ColsProp).foreach { cs =>
+      val cols = cs.split(',').toSeq.filter(_.nonEmpty)
+      val m = props.get(BloomSkipping.BitsProp).map(_.toInt)
+        .getOrElse(BloomSkipping.DefaultBits)
+      val h = props.get(BloomSkipping.HashesProp).map(_.toInt)
+        .getOrElse(BloomSkipping.DefaultHashes)
+      val entries = entriesOf(name)
+      val layouts = TableStore.dirLayouts(entries)
+      val dirs = entries.collect { case DataDir(d) => d }
+      val missing = dirs
+        .filter(d => !cols.forall(c => props.contains(BloomSkipping.statKey(d, c))))
+      val add = missing.flatMap(d =>
+        BloomSkipping.bloomsFor(store, name, d, cols, m, h,
+          layouts.getOrElse(d, Nil).nonEmpty)).toMap
+      val valid = dirs.flatMap(d => cols.map(c => BloomSkipping.statKey(d, c))).toSet
+      val stale = props.keySet.filter(k => k.startsWith("bf.") && !valid(k))
       if (add.nonEmpty || stale.nonEmpty)
         setProps(name, (props -- stale) ++ add)
     }

@@ -116,11 +116,11 @@ class HeroQLParserSpec extends AnyFunSuite {
       Conj(Seq(Atom("Mother", Seq(TVar("parent"), TVar("child")))))))
   }
 
-  test("golden: the full HeroQueries program parses (23 queries + 4 funcs + 1 union)") {
+  test("golden: the full HeroQueries program parses (24 queries + 4 funcs + 1 union)") {
     val p = Parser.parse(HeroQueries.program)
-    assert(p.datas.size == 10)
+    assert(p.datas.size == 11)
     assert(p.queries.map(_.name) == Seq("Top10", "Top3PerStudent", "AvgTop3",
-      "ApproxParts", "ApproxQtyOverParts",
+      "ApproxParts", "ApproxQtyOverParts", "ApproxMedianPrice",
       "Parents", "GrandParents", "GrandParentsSub", "Anc", "AncCount", "DescOf",
       "AncestorsOf", "Quad", "Childless", "Graded",
       "ShapeAreas", "BoxedAreas", "FibOf", "ChooseOf",

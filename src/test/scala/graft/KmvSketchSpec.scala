@@ -228,6 +228,25 @@ class KmvSketchSpec extends SparkSpec {
     assert(out == Map("a" -> 2L, "b" -> 0L))
   }
 
+  test("approxMedian: exact below k, skips NULL ids and values (hq27's engine)") {
+    import spark.implicits._
+    // below k the retained sample IS the group, so the nearest-rank p50
+    // is the exact median of the non-null multiset; a NULL row id or
+    // value must be skipped, not coerced
+    val rows = Seq(
+      ("a", Option(1L), Option(10L)), ("a", Option(2L), Option(30L)),
+      ("a", Option(3L), Option(20L)), ("a", None, Option(99L)),
+      ("a", Option(4L), None),
+      ("b", Option(5L), Option(7L)), ("b", Option(6L), Option(9L)))
+    val df = rows.toDF("key", "rid", "cents").repartition(3)
+    val out = df.groupBy("key")
+      .agg(graft.functions.KmvSketch.approxMedian(col("rid"), col("cents")).as("m"))
+      .as[(String, Long)].collect().toMap
+    // a: multiset {10,30,20}, rank ceil(3/2)=2 ascending -> 20
+    // b: multiset {7,9}, rank ceil(2/2)=1 -> 7 (nearest-rank convention)
+    assert(out == Map("a" -> 20L, "b" -> 7L))
+  }
+
   test("DataFrame udaf equals the window form it replaced, per group") {
     import spark.implicits._
     val k = 16
