@@ -27,4 +27,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // scale probes only: lets a 100x run lift driver-side caps (e.g.
+  // -Dspark.driver.maxResultSize) without touching the default config
+) ++ sys.env.get("SPARK_GRAFT_EXTRA_OPTS").toSeq.flatMap(_.split(' ').filter(_.nonEmpty))
