@@ -435,6 +435,27 @@ object AdminQueries extends QueryPack {
       .agg(count(lit(1)).as("n"), sum("vmicro").as("sum_vmicro"))
   }
 
+  /** adm23 — Bloom-pruned BATCH point lookup
+    * ([[graft.store.BloomSkipping.readIn]]): the dim-key fetch shape —
+    * three consecutive user ids land in three different mod-6 bands,
+    * and the pruned read opens the UNION of their kept commits (one
+    * tiny hash job for the whole key list), never the table. Oracle is
+    * the plain IN select (the exact predicate re-applies). */
+  private def adm23(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s)
+    val e = t(s, d, "events").select(col("event_id"), col("user_id"),
+      col("event_type"),
+      expr("CAST(floor(value * 1000000) AS BIGINT)").as("vmicro"))
+    graft.store.BloomSkipping.createTracked(st, "ev",
+      e.filter(col("user_id") % 6 === 0), Seq("user_id"))
+    (1 to 5).foreach(i => st.insert("ev", e.filter(col("user_id") % 6 === i)))
+    val mx = e.agg(max("user_id")).head.getLong(0)
+    graft.store.BloomSkipping.readIn(st, "ev", "user_id",
+      Seq(mx, mx - 1, mx - 2))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("vmicro").as("sum_vmicro"))
+  }
+
   /** adm16 — ANALYZE-style table profile (the optimizer-statistics /
     * data-quality pass every warehouse ships): one row per column of
     * `orders` with non-null count, EXACT distinct count, and canonical
@@ -595,6 +616,7 @@ object AdminQueries extends QueryPack {
     "j14_dpp_partition_join" -> (j14 _),
     "adm12_zonemap_skipping" -> (adm12 _),
     "adm22_bloom_skipping" -> (adm22 _),
+    "adm23_bloom_batch_lookup" -> (adm23 _),
     "adm10_incremental_backup" -> (adm10 _),
     "adm11_changefeed" -> (adm11 _),
     "adm13_changefeed_sync" -> (adm13 _),
@@ -708,6 +730,14 @@ object AdminQueries extends QueryPack {
                   AS sum_vmicro
          FROM events, p
          WHERE user_id = p.k
+         GROUP BY event_type""",
+    "adm23_bloom_batch_lookup" ->
+      """WITH p AS (SELECT max(user_id) AS k FROM events)
+         SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+                  AS sum_vmicro
+         FROM events, p
+         WHERE user_id IN (p.k, p.k - 1, p.k - 2)
          GROUP BY event_type""",
     "j14_dpp_partition_join" ->
       """WITH dim(event_type, category) AS (VALUES

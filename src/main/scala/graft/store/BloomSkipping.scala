@@ -125,7 +125,7 @@ object BloomSkipping {
     if (entries.exists(_.isInstanceOf[OpEntry])) return exact(store.read(table))
     if (entries.count(_.isInstanceOf[PartColsEntry]) > 1)
       return exact(store.read(table))
-    val kept = keptOf(store, entries, column, key)
+    val kept = keptOf(store, entries, column, Seq(key))
     if (kept.isEmpty) exact(store.read(table)).limit(0)
     else {
       // the pruned read bypasses readLog, so deletion vectors apply
@@ -139,24 +139,56 @@ object BloomSkipping {
     }
   }
 
+  /** Batch point lookup `CAST(column AS BIGINT) IN (keys)` with
+    * manifest pruning — the dim-key fetch shape: kept dirs are the
+    * UNION of each key's kept set (one tiny hash job for the whole
+    * list, never a data scan), so read cost is ∝ dirs that may hold
+    * ANY of the keys. Same fallbacks and exact re-filter as
+    * [[readEquals]]. */
+  def readIn(store: TableStore, table: String, column: String,
+      keys: Seq[Long]): DataFrame = {
+    def exact(df: DataFrame): DataFrame =
+      df.filter(col(column).cast("long").isin(keys: _*))
+    if (keys.isEmpty) return store.read(table).limit(0)
+    val entries = store.currentEntries(table)
+    if (entries.exists(_.isInstanceOf[OpEntry])) return exact(store.read(table))
+    if (entries.count(_.isInstanceOf[PartColsEntry]) > 1)
+      return exact(store.read(table))
+    val kept = keptOf(store, entries, column, keys)
+    if (kept.isEmpty) exact(store.read(table)).limit(0)
+    else {
+      val dvDirs = entries.collect { case DvEntry(d) => d }
+      val raw = store.readDirs(table, kept,
+        entries.exists(_.isInstanceOf[PartColsEntry]),
+        decorate = if (dvDirs.isEmpty) identity else store.dvStamp)
+      exact(if (dvDirs.isEmpty) raw else store.applyDv(table, dvDirs, raw))
+    }
+  }
+
   /** The dirs [[readEquals]] would open — the spec/monitoring probe
     * (driver-side manifest math plus one 1-row hash job). */
   private[graft] def keptDirs(store: TableStore, table: String,
       column: String, key: Long): Seq[String] =
-    keptOf(store, store.currentEntries(table), column, key)
+    keptOf(store, store.currentEntries(table), column, Seq(key))
+
+  /** The dirs [[readIn]] would open. */
+  private[graft] def keptDirsIn(store: TableStore, table: String,
+      column: String, keys: Seq[Long]): Seq[String] =
+    keptOf(store, store.currentEntries(table), column, keys)
 
   private def keptOf(store: TableStore, entries: Seq[ManifestEntry],
-      column: String, key: Long): Seq[String] = {
+      column: String, keys: Seq[Long]): Seq[String] = {
     val props = entries.collectFirst { case PropsEntry(ps) => ps }
       .getOrElse(Map.empty)
     val dirs = entries.collect { case DataDir(d) => d }
     val m = props.get(BitsProp).map(_.toInt).getOrElse(DefaultBits)
     val h = props.get(HashesProp).map(_.toInt).getOrElse(DefaultHashes)
-    // the probe key's positions, by the SAME engine expression the
-    // stamp used (one 1-row local job — never a data scan)
-    val pos = store.spark.range(1)
-      .select(positions(lit(key), m, h): _*).head()
-      .toSeq.map(_.asInstanceOf[Long].toInt)
+    // every probe key's positions, by the SAME engine expression the
+    // stamp used (one |keys|-row local job — never a data scan)
+    import store.spark.implicits._
+    val posPerKey: Seq[Seq[Int]] = keys.toDS()
+      .select(array(positions(col("value"), m, h): _*)).as[Seq[Long]]
+      .collect().toSeq.map(_.map(_.toInt))
     dirs.filter { d =>
       props.get(statKey(d, column)) match {
         case Some(NullSentinel) => false
@@ -165,7 +197,7 @@ object BloomSkipping {
           catch { case _: IllegalArgumentException => null }
           // unparseable stamp keeps conservatively (the zone-map rule)
           bytes == null || bytes.length * 8 < m ||
-            pos.forall(p => (bytes(p >> 3) & (1 << (p & 7))) != 0)
+            posPerKey.exists(_.forall(p => (bytes(p >> 3) & (1 << (p & 7))) != 0))
         case None => true
       }
     }

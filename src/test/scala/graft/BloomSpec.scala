@@ -113,6 +113,22 @@ class BloomSpec extends SparkSpec {
       s"every stamp must name a current dir: $keys vs $dirs")
   }
 
+  test("batch IN-list probe opens the union of the keys' commits, answers exactly") {
+    val st = freshStore()
+    seed(st)
+    // 250 and 251 live in bands 4 and 5; the batch probe must open
+    // exactly their two dirs (one hash job for the whole list)
+    val kept = BloomSkipping.keptDirsIn(st, "t", "k", Seq(250L, 251L))
+    assert(kept.size == 2, s"expected the 2 key bands kept, got $kept")
+    val pruned = BloomSkipping.readIn(st, "t", "k", Seq(250L, 251L, 10000L))
+    val full = st.read("t").filter(col("k").isin(250L, 251L, 10000L))
+    assert(pruned.count() == 2)
+    assert(pruned.except(full).isEmpty && full.except(pruned).isEmpty)
+    // an empty key list reads nothing; an all-absent list prunes all
+    assert(BloomSkipping.readIn(st, "t", "k", Nil).count() == 0)
+    assert(BloomSkipping.keptDirsIn(st, "t", "k", Seq(10000L, 20000L)).isEmpty)
+  }
+
   test("MOR-deleted rows stay invisible through the pruned read") {
     val st = freshStore()
     seed(st)
