@@ -63,7 +63,12 @@ object Bench {
     // SPARK_GRAFT_BENCH_QUERIES=a,b,c times an explicit subset (scale
     // sweeps over the costliest quartile); BENCH_ALL=1 times everything
     val order = sys.env.get("SPARK_GRAFT_BENCH_QUERIES") match {
-      case Some(list) => list.split(",").map(_.trim).filter(all.contains).toSeq
+      case Some(list) =>
+        val req = list.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val unknown = req.filterNot(all.contains)
+        if (unknown.nonEmpty) // a typo must not silently shrink the set
+          System.err.println(s"WARN: unknown bench queries ignored: ${unknown.mkString(", ")}")
+        req.filter(all.contains)
       case None =>
         if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) all.keys.toSeq.sorted
         else headline.filter(all.contains)

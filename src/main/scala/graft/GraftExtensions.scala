@@ -34,6 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // spark.graft.store.root (a no-op until the conf key is set) —
     // the one-conf-key cluster deployment of graft.plans.MvRewrite
     ext.injectOptimizerRule(new graft.plans.ConfiguredMvRewrite(_))
+    // transparent Bloom/zone-map data skipping on the plain read path
+    // (same conf key): Filter-over-store-scan prunes to stamp-kept dirs
+    ext.injectOptimizerRule(new graft.plans.ConfiguredAutoSkip(_))
     ext.injectOptimizerRule(new graft.plans.ConfiguredJvRewrite(_))
     ext.injectOptimizerRule(new graft.plans.ConfiguredFkJoinElim(_))
     ext.injectOptimizerRule(new graft.plans.ConfiguredDistinctElim(_))

@@ -193,8 +193,12 @@ object KmvSketch {
     val h = conv(substring(md5(id.cast("string").cast("binary")), 1, 15),
       16, 10).cast("long")
     val sample = smp(h, value.cast("long"))
-    element_at(sample,
-      greatest(lit(1), floor((size(sample) + lit(1)) / lit(2)).cast("int")))
+    // a group whose ids or values are all NULL yields an empty sample:
+    // the estimate is NULL (DuckDB's quantile-of-nothing), not an ANSI
+    // INVALID_ARRAY_INDEX from element_at(sample, 1)
+    when(size(sample) > 0,
+      element_at(sample,
+        greatest(lit(1), floor((size(sample) + lit(1)) / lit(2)).cast("int"))))
   }
 }
 

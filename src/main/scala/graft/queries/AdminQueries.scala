@@ -456,6 +456,58 @@ object AdminQueries extends QueryPack {
       .agg(count(lit(1)).as("n"), sum("vmicro").as("sum_vmicro"))
   }
 
+  /** adm24 — STRING-KEY Bloom skipping: the same entity-banded layout
+    * as adm22 but keyed by a string entity id (`'u' || user_id` — the
+    * most common real key of a per-user layout: account names, device
+    * ids, url hosts). The stamp hashes the RAW string value and the
+    * probe hashes the literal identically
+    * ([[graft.store.BloomSkipping]]'s per-type hash contract;
+    * AutoSkipSpec pins the kept-dir count on this exact fixture), so
+    * string-banded ingest prunes like numeric. Oracle is the plain
+    * string-equality select — the exact predicate re-applies. */
+  private def adm24(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s)
+    val e = t(s, d, "events").select(col("event_id"),
+      concat(lit("u"), col("user_id")).as("uid"), col("user_id"),
+      col("event_type"),
+      expr("CAST(floor(value * 1000000) AS BIGINT)").as("vmicro"))
+    graft.store.BloomSkipping.createTracked(st, "ev",
+      e.filter(col("user_id") % 6 === 0).drop("user_id"), Seq("uid"))
+    (1 to 5).foreach(i =>
+      st.insert("ev", e.filter(col("user_id") % 6 === i).drop("user_id")))
+    val probe = "u" + e.agg(max("user_id")).head.getLong(0)
+    graft.store.BloomSkipping.readEquals(st, "ev", "uid", probe)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("vmicro").as("sum_vmicro"))
+  }
+
+  /** adm25 — TRANSPARENT data skipping on the plain read path
+    * ([[graft.plans.AutoSkip]]): adm22's banded store probed with NO
+    * special API — `store.read("ev").filter(user_id = k)` — and the
+    * optimizer rule narrows the scan to the Bloom-kept commits (the
+    * reference's declared-index posture, `Kernel/README.md:62-74`:
+    * queries are served by indexes without naming them; AutoSkipSpec
+    * pins that the optimized plan's scan opens 1 of 6 dirs). Oracle is
+    * the plain equality select — transparent pruning must be
+    * invisible in the answer. */
+  private def adm25(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s)
+    val e = t(s, d, "events").select(col("event_id"), col("user_id"),
+      col("event_type"),
+      expr("CAST(floor(value * 1000000) AS BIGINT)").as("vmicro"))
+    graft.store.BloomSkipping.createTracked(st, "ev",
+      e.filter(col("user_id") % 6 === 0), Seq("user_id"))
+    (1 to 5).foreach(i => st.insert("ev", e.filter(col("user_id") % 6 === i)))
+    val probe = e.agg(max("user_id")).head.getLong(0)
+    val rule = graft.plans.AutoSkip.install(s, st)
+    try
+      st.read("ev").filter(col("user_id") === probe)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("vmicro").as("sum_vmicro"))
+        .localCheckpoint() // materialize under the rule, then uninstall
+    finally graft.plans.AutoSkip.uninstall(s, rule)
+  }
+
   /** adm16 — ANALYZE-style table profile (the optimizer-statistics /
     * data-quality pass every warehouse ships): one row per column of
     * `orders` with non-null count, EXACT distinct count, and canonical
@@ -617,6 +669,8 @@ object AdminQueries extends QueryPack {
     "adm12_zonemap_skipping" -> (adm12 _),
     "adm22_bloom_skipping" -> (adm22 _),
     "adm23_bloom_batch_lookup" -> (adm23 _),
+    "adm24_bloom_string_key" -> (adm24 _),
+    "adm25_transparent_skipping" -> (adm25 _),
     "adm10_incremental_backup" -> (adm10 _),
     "adm11_changefeed" -> (adm11 _),
     "adm13_changefeed_sync" -> (adm13 _),
@@ -738,6 +792,22 @@ object AdminQueries extends QueryPack {
                   AS sum_vmicro
          FROM events, p
          WHERE user_id IN (p.k, p.k - 1, p.k - 2)
+         GROUP BY event_type""",
+    "adm24_bloom_string_key" ->
+      """WITH p AS (SELECT 'u' || max(user_id) AS k FROM events)
+         SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+                  AS sum_vmicro
+         FROM events, p
+         WHERE 'u' || user_id = p.k
+         GROUP BY event_type""",
+    "adm25_transparent_skipping" ->
+      """WITH p AS (SELECT max(user_id) AS k FROM events)
+         SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+                  AS sum_vmicro
+         FROM events, p
+         WHERE user_id = p.k
          GROUP BY event_type""",
     "j14_dpp_partition_join" ->
       """WITH dim(event_type, category) AS (VALUES

@@ -28,17 +28,18 @@ object Dedup extends QueryPack {
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
       .select("keeper_id", "n_copies")
 
-  /** Exact character-5-gram Jaccard near-dup pairs on the mod-4 sampled
-    * id space (deterministic sample; the full-space scale path is dd3).
-    * Shared by dd2 (the pairs themselves) and dd7 (cluster resolution
-    * over the pairs). */
-  private def exactPairs(s: SparkSession, d: String): DataFrame = {
+  /** Exact character-5-gram Jaccard near-dup pairs over an arbitrary
+    * (doc_id, text) relation (deterministic; the full-space scale path
+    * is dd3). Shared by dd2 (the pairs themselves on the mod-4 sample)
+    * and dd7/dd12 (cluster resolution — there the input is already
+    * exact-collapsed to representatives, see [[exactPairs]]). */
+  private def exactPairsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     graft.functions.VectorFns.register(s)
     // intersects run on sorted 64-bit shingle hashes (set sizes
     // preserved — see dd3's verification note) — long compares beat
     // UTF8String compares ~3× on the O(n²) pair stream
-    val sh = t(s, d, "documents")
-      .filter(col("doc_id") % 4 === 0)
+    val sh = docs
       .select(col("doc_id"), sort_array(
         expr(s"transform(${TextFns.shinglesSql("text", 5)}, x -> xxhash64(x))"))
         .as("s"))
@@ -53,6 +54,11 @@ object Dedup extends QueryPack {
       .filter(col("jaccard") >= 0.25)
       .select("a_id", "b_id", "jaccard")
   }
+
+  /** [[exactPairsOf]] on the mod-4 sampled id space. */
+  private def exactPairs(s: SparkSession, d: String): DataFrame =
+    exactPairsOf(t(s, d, "documents")
+      .filter(col("doc_id") % 4 === 0).select("doc_id", "text"))
 
   /** dd2 — the exact near-dup pairs (see [[exactPairs]]). */
   private def dd2(s: SparkSession, d: String): DataFrame = exactPairs(s, d)
@@ -198,6 +204,47 @@ object Dedup extends QueryPack {
       threshold = 0.25)
   }
 
+  /** dd6c — dd6b's incremental near-dup with the LAYERED corpus side
+    * (dd14c's exact-first discipline applied to the steady-state
+    * re-crawl path — the r16 100× sweep's one fatal gate: dd6b bands
+    * the RAW corpus, so replica cliques multiply band collisions and
+    * the candidate join spilled 76 GB and died at 100×). Here the
+    * corpus is fp-collapsed to one representative per distinct text
+    * FIRST ([[fpCollapse]], one ~16-byte-per-row partial-agg exchange);
+    * LSH banding + exact verification run batch-vs-REPRESENTATIVES
+    * only, so the candidate volume tracks distinct-text near-dup
+    * density, invariant under corpus duplication; then each verified
+    * (rep, new_id, jaccard) verdict is mapped back through the
+    * fingerprint to every corpus doc sharing the rep's text — sound
+    * because identical text ⇒ identical shingle set ⇒ identical bands
+    * and identical jaccard against any batch doc. Output is therefore
+    * bit-identical to dd6b's (same oracle). The fan-out join keys on
+    * the fp with the small verdict side broadcast under the size gate;
+    * past the gate it is a co-located shuffle carrying (corpus_id, fp)
+    * — the text column never moves. */
+  private def dd6c(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    // pinned exact stage — two consumers (rep-text fetch, fp fan-out map)
+    val reps = fpCollapse(corpus).localCheckpoint()
+    val repDocs = corpus.join(reps.select(col("rep_id")),
+        corpus("doc_id") === col("rep_id"))
+      .select(col("doc_id"), col("text"))
+    val pairs = MinHashLSH.nearDuplicatesAgainstMd5(repDocs, batch,
+      "doc_id", "text", shingleLen = 5, bands = 21, rowsPerBand = 3,
+      threshold = 0.25)
+    val fpVerdict = reps.join(pairs, reps("rep_id") === pairs("corpus_id"))
+      .select(col("fp"), col("new_id"), col("jaccard"))
+      .localCheckpoint()
+    val verdictRows = fpVerdict.count()
+    corpus.select(col("doc_id").as("corpus_id"),
+        TextFns.fingerprint("text").as("fp"))
+      .join(graft.operators.SizeGate.maybeBroadcast(
+        fpVerdict, verdictRows, 5000000L), "fp")
+      .select("corpus_id", "new_id", "jaccard")
+  }
+
   /** dd7 — duplicate-CLUSTER resolution: near-dup PAIRS are not yet a
     * dedup decision — "keep one per pair" over-deletes when duplicates
     * chain (a~b, b~c but a≁c must still keep exactly one of {a,b,c}).
@@ -210,18 +257,40 @@ object Dedup extends QueryPack {
     * materialization constant; GraphOpsParitySpec pins the parity) →
     * every sampled doc labeled with its keeper and cluster size. At
     * 100 TB the same composition runs over dd3's LSH pairs — candidate
-    * edges ∝ collisions, never all-pairs. */
+    * edges ∝ collisions, never all-pairs.
+    *
+    * LAYERED exact stage (dd14c's discipline, r16 100× finding): exact
+    * duplicates form cliques in the pair graph — ~n²/2 edges per
+    * replica group, the measured 536× blowup at 100× — but an exact-dup
+    * clique needs no edges at all: one fp groupBy ([[fpCollapse]], one
+    * partial-agg exchange) collapses it to a representative, pair
+    * enumeration + CC run over REPRESENTATIVES only (edge count tracks
+    * near-dup density over distinct texts, not over replicas), and
+    * every doc inherits its fingerprint's component. The output is
+    * bit-identical to the unlayered form: identical texts have
+    * identical shingle sets, so a member pairs with exactly the docs
+    * its representative pairs with, and the component label (min id)
+    * is unchanged because rep_id IS the min doc_id of its fp group. */
   private def dd7(s: SparkSession, d: String): DataFrame = {
-    val edges = exactPairs(s, d)
+    val docs = t(s, d, "documents")
+      .filter(col("doc_id") % 4 === 0).select("doc_id", "text")
+    // pinned exact stage — two consumers (rep-text fetch, fp→cluster map)
+    val reps = fpCollapse(docs).localCheckpoint()
+    val repDocs = docs.join(reps.select(col("rep_id")),
+        docs("doc_id") === col("rep_id"))
+      .select(col("doc_id"), col("text"))
+    val edges = exactPairsOf(repDocs)
       .select(col("a_id").as("src"), col("b_id").as("dst"))
     val cc = GraphOps.connectedComponentsDF(s, edges)
-    val nodes = t(s, d, "documents")
-      .filter(col("doc_id") % 4 === 0).select("doc_id")
-    // singleton docs (no near-dup pair) never enter the graph: they keep
-    // themselves
-    val labeled = nodes.join(cc, nodes("doc_id") === cc("node"), "left")
-      .select(col("doc_id"),
-        coalesce(col("component"), col("doc_id")).as("keeper_id"))
+    // singleton reps (no near-dup pair) never enter the graph: they keep
+    // themselves — and their exact-dup group keeps them via the fp map
+    val fpCluster = reps.join(cc, reps("rep_id") === cc("node"), "left")
+      .select(col("fp"),
+        coalesce(col("component"), col("rep_id")).as("keeper_id"))
+    val labeled = docs
+      .select(col("doc_id"), TextFns.fingerprint("text").as("fp"))
+      .join(fpCluster, "fp")
+      .select("doc_id", "keeper_id")
     // cluster sizes via partial-aggregated groupBy + co-located join, not
     // a window: a viral duplicate (the same boilerplate mirrored across
     // millions of docs) is one giant keeper group, and WindowExec would
@@ -240,17 +309,33 @@ object Dedup extends QueryPack {
     * argmax(n_tokens, ties to the smaller id) per cluster, computed as
     * ONE min-of-struct partial aggregate ((-tokens, id) — no window
     * over a possibly-viral cluster, dd7's argument). Emits each doc
-    * with its chosen keeper and the cluster size. */
+    * with its chosen keeper and the cluster size.
+    *
+    * Exact stage layered like dd7's (same r16 100× finding, same
+    * bit-identity argument — and the keeper decision survives the
+    * layering too: identical texts have identical n_tokens, a group's
+    * min doc_id IS its rep_id, so argmax(n_tokens, ties→min id) over
+    * the full component equals the same argmax computed over the
+    * fp-labeled doc set, which is what the keeper aggregate below
+    * consumes). */
   private def dd12(s: SparkSession, d: String): DataFrame = {
-    val edges = exactPairs(s, d)
+    val docsRaw = t(s, d, "documents")
+      .filter(col("doc_id") % 4 === 0).select("doc_id", "text")
+    val reps = fpCollapse(docsRaw).localCheckpoint()
+    val repDocs = docsRaw.join(reps.select(col("rep_id")),
+        docsRaw("doc_id") === col("rep_id"))
+      .select(col("doc_id"), col("text"))
+    val edges = exactPairsOf(repDocs)
       .select(col("a_id").as("src"), col("b_id").as("dst"))
     val cc = GraphOps.connectedComponentsDF(s, edges)
-    val docs = t(s, d, "documents").filter(col("doc_id") % 4 === 0)
-      .select(col("doc_id"),
+    val fpCluster = reps.join(cc, reps("rep_id") === cc("node"), "left")
+      .select(col("fp"),
+        coalesce(col("component"), col("rep_id")).as("cluster"))
+    val docs = docsRaw
+      .select(col("doc_id"), TextFns.fingerprint("text").as("fp"),
         expr("CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)").as("n_tokens"))
-    val labeled = docs.join(cc, docs("doc_id") === cc("node"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("component"), col("doc_id")).as("cluster"))
+    val labeled = docs.join(fpCluster, "fp")
+      .select(col("doc_id"), col("n_tokens"), col("cluster"))
     val keepers = labeled.groupBy("cluster")
       .agg(min(struct((-col("n_tokens")).as("nt"), col("doc_id").as("d"))).as("k"),
         count(lit(1)).as("cluster_size"))
@@ -607,6 +692,7 @@ object Dedup extends QueryPack {
     "dd5_embedding_neardup" -> (dd5 _),
     "dd6_incremental_dedup" -> (dd6 _),
     "dd6b_incremental_minhash" -> (dd6b _),
+    "dd6c_incremental_layered" -> (dd6c _),
     "dd7_duplicate_clusters" -> (dd7 _),
     "dd12_quality_keeper" -> (dd12 _),
     "dd8_chunk_dedup" -> (dd8 _),
@@ -699,6 +785,21 @@ object Dedup extends QueryPack {
              JOIN sig hb ON hb.doc_id = c.b_id)
          SELECT a_id, b_id, jaccard_est FROM v WHERE jaccard_est >= 0.25""",
     "dd6b_incremental_minhash" ->
+      s"""WITH ${md5LshCtes()},
+         cand AS (
+           SELECT DISTINCT a.doc_id AS corpus_id, b.doc_id AS new_id
+           FROM band a JOIN band b ON a.bi = b.bi AND a.bsig = b.bsig
+           WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0),
+         v AS (
+           SELECT c.corpus_id, c.new_id, $jaccardSql AS jaccard
+           FROM cand c
+             JOIN sig ha ON ha.doc_id = c.corpus_id
+             JOIN sig hb ON hb.doc_id = c.new_id)
+         SELECT corpus_id, new_id, jaccard FROM v WHERE jaccard >= 0.25""",
+    // the layered twin is output-identical by construction (identical
+    // text ⇒ identical bands and jaccard; see dd6c's doc), so it shares
+    // dd6b's oracle verbatim
+    "dd6c_incremental_layered" ->
       s"""WITH ${md5LshCtes()},
          cand AS (
            SELECT DISTINCT a.doc_id AS corpus_id, b.doc_id AS new_id

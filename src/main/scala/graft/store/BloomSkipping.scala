@@ -39,8 +39,9 @@ import org.apache.spark.sql.functions._
   * (default 2^15 bits ≈ 4 KB ≈ 2% fp at 4k keys/dir), and the
   * compaction hooks keep dir count bounded, so the driver-side
   * manifest stays MBs at 100 TB. Both hash sides are the engine's own
-  * codegen'd xxhash64 over the BIGINT-cast column (the zone-map cast
-  * contract), seeds 0..h−1, so stamp and probe agree bit-for-bit.
+  * codegen'd xxhash64, seeds 0..h−1 — over the BIGINT-cast column for
+  * numeric keys (the zone-map cast contract) and over the raw value
+  * for string keys — so stamp and probe agree bit-for-bit.
   */
 object BloomSkipping {
 
@@ -63,11 +64,43 @@ object BloomSkipping {
   private[store] val NullSentinel = "-"
 
   /** The h bit positions of `c` under (m, h) — the ONE hash expression
-    * both the stamp and the probe evaluate (engine-codegen'd xxhash64
-    * of the BIGINT cast, seed-salted). */
+    * both the stamp and the probe evaluate (engine-codegen'd xxhash64,
+    * seed-salted). `c` must already be in [[hashable]] form. */
   private def positions(c: org.apache.spark.sql.Column, m: Int,
       h: Int): Seq[org.apache.spark.sql.Column] =
-    (0 until h).map(i => pmod(xxhash64(c.cast("long"), lit(i)), lit(m.toLong)))
+    (0 until h).map(i => pmod(xxhash64(c, lit(i)), lit(m.toLong)))
+
+  /** The hashable form of a tracked column: numeric columns go through
+    * the BIGINT cast (the zone-map cast contract — an INT ingest and a
+    * BIGINT probe must hash alike), everything else (string entity
+    * ids, the most common real key of an entity-banded layout) hashes
+    * its RAW value — xxhash64 over the string bytes. The probe side
+    * mirrors this per key type in [[keyPositions]]. */
+  private def hashable(c: org.apache.spark.sql.Column,
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column =
+    dt match {
+      case _: org.apache.spark.sql.types.NumericType => c.cast("long")
+      case _ => c
+    }
+
+  /** A probe key's h bit positions, evaluated DRIVER-SIDE on the same
+    * Catalyst expressions the stamp ran through codegen (literal
+    * inputs → foldable → `eval`; eval and codegen agree by Spark's
+    * contract, and BloomSpec pins stamp/probe bit parity). Long keys
+    * take the numeric-cast hash form, string keys the raw form. */
+  private[graft] def keyPositions(key: Any, m: Int, h: Int): Seq[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Pmod, XxHash64}
+    val base = key match {
+      case n: Byte => Literal(n.toLong)
+      case n: Short => Literal(n.toLong)
+      case n: Int => Literal(n.toLong)
+      case n: Long => Literal(n)
+      case other => Literal.create(other) // strings: raw-value hash
+    }
+    (0 until h).map(i =>
+      Pmod(new XxHash64(Seq(base, Literal(i))), Literal(m.toLong))
+        .eval(null).asInstanceOf[Long].toInt)
+  }
 
   /** Bloom bitsets for `dir`'s tracked columns, as manifest props
     * (base64 little-endian long words). One delta-sized scan per
@@ -78,8 +111,9 @@ object BloomSkipping {
     if (cols.isEmpty) return Map.empty
     val df = store.readDirs(table, Seq(dir), partitioned)
     cols.map { c =>
+      val hc = hashable(col(c), df.schema(c).dataType)
       val pos = df.filter(col(c).isNotNull)
-        .select(explode(array(positions(col(c), m, h): _*)).as("p"))
+        .select(explode(array(positions(hc, m, h): _*)).as("p"))
         .distinct().collect().map(_.getLong(0).toInt)
       if (pos.isEmpty) statKey(dir, c) -> NullSentinel
       else {
@@ -118,14 +152,46 @@ object BloomSkipping {
     * schema ops or a mid-evolution layout (the [[ZoneMaps.readRange]]
     * fallbacks). */
   def readEquals(store: TableStore, table: String, column: String,
-      key: Long): DataFrame = {
-    def exact(df: DataFrame): DataFrame =
-      df.filter(col(column).cast("long") === key)
+      key: Long): DataFrame =
+    readPruned(store, table, column, Seq(key),
+      df => df.filter(col(column).cast("long") === key))
+
+  /** [[readEquals]] for a STRING key column (`column = 'key'`): the
+    * stamp hashed the raw string value, the probe hashes the literal
+    * the same way — per-entity layouts keyed by string ids prune like
+    * numeric ones. */
+  def readEquals(store: TableStore, table: String, column: String,
+      key: String): DataFrame =
+    readPruned(store, table, column, Seq(key),
+      df => df.filter(col(column) === key))
+
+  /** Batch point lookup `CAST(column AS BIGINT) IN (keys)` with
+    * manifest pruning — the dim-key fetch shape: kept dirs are the
+    * UNION of each key's kept set (driver-side manifest math, never a
+    * data scan), so read cost is ∝ dirs that may hold ANY of the
+    * keys. Same fallbacks and exact re-filter as [[readEquals]]. */
+  def readIn(store: TableStore, table: String, column: String,
+      keys: Seq[Long]): DataFrame = {
+    if (keys.isEmpty) return store.read(table).limit(0)
+    readPruned(store, table, column, keys,
+      df => df.filter(col(column).cast("long").isin(keys: _*)))
+  }
+
+  /** [[readIn]] for STRING keys. */
+  def readInStrings(store: TableStore, table: String, column: String,
+      keys: Seq[String]): DataFrame = {
+    if (keys.isEmpty) return store.read(table).limit(0)
+    readPruned(store, table, column, keys,
+      df => df.filter(col(column).isin(keys: _*)))
+  }
+
+  private def readPruned(store: TableStore, table: String, column: String,
+      keys: Seq[Any], exact: DataFrame => DataFrame): DataFrame = {
     val entries = store.currentEntries(table)
     if (entries.exists(_.isInstanceOf[OpEntry])) return exact(store.read(table))
     if (entries.count(_.isInstanceOf[PartColsEntry]) > 1)
       return exact(store.read(table))
-    val kept = keptOf(store, entries, column, Seq(key))
+    val kept = keptOf(entries, column, keys)
     if (kept.isEmpty) exact(store.read(table)).limit(0)
     else {
       // the pruned read bypasses readLog, so deletion vectors apply
@@ -139,67 +205,52 @@ object BloomSkipping {
     }
   }
 
-  /** Batch point lookup `CAST(column AS BIGINT) IN (keys)` with
-    * manifest pruning — the dim-key fetch shape: kept dirs are the
-    * UNION of each key's kept set (one tiny hash job for the whole
-    * list, never a data scan), so read cost is ∝ dirs that may hold
-    * ANY of the keys. Same fallbacks and exact re-filter as
-    * [[readEquals]]. */
-  def readIn(store: TableStore, table: String, column: String,
-      keys: Seq[Long]): DataFrame = {
-    def exact(df: DataFrame): DataFrame =
-      df.filter(col(column).cast("long").isin(keys: _*))
-    if (keys.isEmpty) return store.read(table).limit(0)
-    val entries = store.currentEntries(table)
-    if (entries.exists(_.isInstanceOf[OpEntry])) return exact(store.read(table))
-    if (entries.count(_.isInstanceOf[PartColsEntry]) > 1)
-      return exact(store.read(table))
-    val kept = keptOf(store, entries, column, keys)
-    if (kept.isEmpty) exact(store.read(table)).limit(0)
-    else {
-      val dvDirs = entries.collect { case DvEntry(d) => d }
-      val raw = store.readDirs(table, kept,
-        entries.exists(_.isInstanceOf[PartColsEntry]),
-        decorate = if (dvDirs.isEmpty) identity else store.dvStamp)
-      exact(if (dvDirs.isEmpty) raw else store.applyDv(table, dvDirs, raw))
-    }
-  }
-
   /** The dirs [[readEquals]] would open — the spec/monitoring probe
-    * (driver-side manifest math plus one 1-row hash job). */
+    * (pure driver-side manifest math). */
   private[graft] def keptDirs(store: TableStore, table: String,
       column: String, key: Long): Seq[String] =
-    keptOf(store, store.currentEntries(table), column, Seq(key))
+    keptOf(store.currentEntries(table), column, Seq(key))
+
+  private[graft] def keptDirsString(store: TableStore, table: String,
+      column: String, key: String): Seq[String] =
+    keptOf(store.currentEntries(table), column, Seq(key))
 
   /** The dirs [[readIn]] would open. */
   private[graft] def keptDirsIn(store: TableStore, table: String,
       column: String, keys: Seq[Long]): Seq[String] =
-    keptOf(store, store.currentEntries(table), column, keys)
+    keptOf(store.currentEntries(table), column, keys)
 
-  private def keptOf(store: TableStore, entries: Seq[ManifestEntry],
-      column: String, keys: Seq[Long]): Seq[String] = {
+  /** The kept-dir filter over an already-read manifest — shared by the
+    * explicit read APIs above and the transparent read-path rule
+    * ([[graft.plans.AutoSkip]]), so the two probes can never drift. */
+  private[graft] def keptOf(entries: Seq[ManifestEntry],
+      column: String, keys: Seq[Any]): Seq[String] = {
     val props = entries.collectFirst { case PropsEntry(ps) => ps }
       .getOrElse(Map.empty)
     val dirs = entries.collect { case DataDir(d) => d }
-    val m = props.get(BitsProp).map(_.toInt).getOrElse(DefaultBits)
-    val h = props.get(HashesProp).map(_.toInt).getOrElse(DefaultHashes)
-    // every probe key's positions, by the SAME engine expression the
-    // stamp used (one |keys|-row local job — never a data scan)
-    import store.spark.implicits._
-    val posPerKey: Seq[Seq[Int]] = keys.toDS()
-      .select(array(positions(col("value"), m, h): _*)).as[Seq[Long]]
-      .collect().toSeq.map(_.map(_.toInt))
-    dirs.filter { d =>
-      props.get(statKey(d, column)) match {
-        case Some(NullSentinel) => false
-        case Some(b64) =>
-          val bytes = try Base64.getDecoder.decode(b64)
-          catch { case _: IllegalArgumentException => null }
-          // unparseable stamp keeps conservatively (the zone-map rule)
-          bytes == null || bytes.length * 8 < m ||
-            posPerKey.exists(_.forall(p => (bytes(p >> 3) & (1 << (p & 7))) != 0))
-        case None => true
-      }
-    }
+    // corrupted size props degrade to the defaults — the same
+    // conservative-fallback contract the stamp payload parse keeps
+    val m = props.get(BitsProp).flatMap(v => scala.util.Try(v.toInt).toOption)
+      .getOrElse(DefaultBits)
+    val h = props.get(HashesProp).flatMap(v => scala.util.Try(v.toInt).toOption)
+      .getOrElse(DefaultHashes)
+    val posPerKey: Seq[Seq[Int]] = keys.map(keyPositions(_, m, h))
+    dirs.filter(d => keepDirForKeys(props, d, column, m, posPerKey))
   }
+
+  /** Keep `d` under a point/IN probe? All-NULL sentinel prunes, a
+    * stamped filter prunes when NO key's positions are all set,
+    * missing/unparseable stamps keep conservatively. */
+  private[graft] def keepDirForKeys(props: Map[String, String], d: String,
+      column: String, m: Int, posPerKey: Seq[Seq[Int]]): Boolean =
+    props.get(statKey(d, column)) match {
+      case Some(NullSentinel) => false
+      case Some(b64) =>
+        val bytes = try Base64.getDecoder.decode(b64)
+        catch { case _: IllegalArgumentException => null }
+        // unparseable stamp keeps conservatively (the zone-map rule)
+        bytes == null || bytes.length * 8 < m ||
+          posPerKey.exists(_.forall(p => (bytes(p >> 3) & (1 << (p & 7))) != 0))
+      case None => true
+    }
 }

@@ -139,7 +139,8 @@ object ZoneMaps {
   /** Keep `d` in the pruned read? All-null sentinel prunes (NULL fails
     * any range predicate), a parsed interval prunes on disjointness,
     * anything missing/unparseable keeps conservatively. */
-  private def keepDir(props: Map[String, String], d: String,
+  // shared with graft.plans.AutoSkip (the transparent read-path rule)
+  private[graft] def keepDir(props: Map[String, String], d: String,
       column: String, lo: Long, hi: Long): Boolean =
     props.get(statKey(d, column)) match {
       case Some(NullSentinel) => false

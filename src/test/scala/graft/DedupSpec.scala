@@ -140,6 +140,59 @@ class DedupSpec extends SparkSpec {
       "incremental LSH emitted a pair below the verify threshold")
   }
 
+  test("layered incremental minhash (dd6c) is pair-identical to dd6b, on both join paths") {
+    def rows(name: String) = Dedup.queries(name)(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    val unlayered = rows("dd6b_incremental_minhash")
+    assert(unlayered.nonEmpty, "dd6b found nothing at sf0.001")
+    assert(rows("dd6c_incremental_layered") == unlayered,
+      "layered incremental pairs differ from the unlayered twin")
+    // oversized verdict set: the fp fan-out falls back to a co-located
+    // shuffle and must produce the same pairs
+    spark.conf.set(graft.operators.SizeGate.MaxRowsConf, "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try assert(rows("dd6c_incremental_layered") == unlayered,
+      "layered incremental pairs differ on the shuffle fan-out path")
+    finally {
+      spark.conf.unset(graft.operators.SizeGate.MaxRowsConf)
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("layered incremental minhash keeps full replica recall on a duplicated corpus") {
+    // the scenario that killed dd6b at 100×: the corpus carries exact
+    // replicas. The layered path collapses them before banding — recall
+    // must be unchanged: every replica of a matched text is reported.
+    import spark.implicits._
+    val base = Tables.t(spark, sf, "documents").limit(30)
+      .select(col("doc_id"), col("text"))
+    // 3 exact replicas of every corpus doc on disjoint id ranges
+    val corpus = (0 to 2).map(k => base.select(
+      (col("doc_id") + k * 100000L).as("doc_id"), col("text")))
+      .reduce(_ unionByName _)
+    val batch = base.select((col("doc_id") + 900000L).as("doc_id"),
+      concat(col("text"), lit(" v2")).as("text"))
+    val reps = Dedup.fpCollapse(corpus).localCheckpoint()
+    val repDocs = corpus.join(reps.select(col("rep_id")),
+        corpus("doc_id") === col("rep_id"))
+      .select(col("doc_id"), col("text"))
+    val pairs = MinHashLSH.nearDuplicatesAgainst(repDocs, batch,
+        "doc_id", "text", shingleLen = 5, bands = 9, rowsPerBand = 7,
+        threshold = 0.7)
+    val fanned = reps.join(pairs, reps("rep_id") === pairs("corpus_id"))
+      .select(col("fp"), col("new_id"))
+      .join(corpus.select(col("doc_id").as("corpus_id"),
+        graft.operators.TextFns.fingerprint("text").as("fp")), "fp")
+      .select("corpus_id", "new_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ids = base.select("doc_id").as[Long].collect()
+    val expected = (for { i <- ids; k <- 0 to 2 }
+      yield (i + k * 100000L, i + 900000L)).toSet
+    assert((expected -- fanned).isEmpty,
+      s"replicas missed by the layered incremental path: ${expected -- fanned}")
+  }
+
   test("incremental exact dedup: shuffle fallback (gate off) matches the broadcast path") {
     def run() = Dedup.queries("dd6_incremental_dedup")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
