@@ -200,6 +200,48 @@ object KmvSketch {
       element_at(sample,
         greatest(lit(1), floor((size(sample) + lit(1)) / lit(2)).cast("int"))))
   }
+
+  /** [[approxMedian]]'s sample at an ARBITRARY quantile point: the
+    * nearest-rank p-quantile — `ceil(p·m)` 1-indexed, clamped ≥ 1 — of
+    * the retained ascending sample (for p = 0.5 this picks the same
+    * element as approxMedian's `ceil(m/2)`). EXACT below k, ε =
+    * O(1/√k) rank error above; deterministic, so language gates stay
+    * hash-strict against DuckDB. NULL on an empty sample. */
+  def approxQuantile(id: org.apache.spark.sql.Column,
+      value: org.apache.spark.sql.Column, p: Double,
+      k: Int = 256): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    require(p > 0.0 && p <= 1.0, s"quantile point $p outside (0, 1]")
+    val smp = udaf(new KmvSampleAggNullable(k))
+    val h = conv(substring(md5(id.cast("string").cast("binary")), 1, 15),
+      16, 10).cast("long")
+    val sample = smp(h, value.cast("long"))
+    when(size(sample) > 0, rankPick(sample, p))
+  }
+
+  /** Several quantile points from ONE sketch pass, as an array in the
+    * callers' point order (a21's multi-quantile shape as a reusable
+    * aggregate — the sample aggregates once; each point is a rank pick
+    * on the shared array). NULL on an empty sample. */
+  def approxQuantiles(id: org.apache.spark.sql.Column,
+      value: org.apache.spark.sql.Column, ps: Seq[Double],
+      k: Int = 256): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      s"quantile points $ps outside (0, 1]")
+    val smp = udaf(new KmvSampleAggNullable(k))
+    val h = conv(substring(md5(id.cast("string").cast("binary")), 1, 15),
+      16, 10).cast("long")
+    val sample = smp(h, value.cast("long"))
+    when(size(sample) > 0, array(ps.map(p => rankPick(sample, p)): _*))
+  }
+
+  private def rankPick(sample: org.apache.spark.sql.Column,
+      p: Double): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    element_at(sample,
+      greatest(lit(1), ceil(lit(p) * size(sample)).cast("int")))
+  }
 }
 
 /** Buffer of the TUPLE sketch: the sorted ≤ k minimum distinct hashes

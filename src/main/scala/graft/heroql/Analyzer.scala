@@ -24,6 +24,7 @@ object Analyzer {
     case EConstruct(_, fields) => fields.map(_._2).flatMap(exprVars).toSet
     case ECall(_, args) => args.flatMap(exprVars).toSet
     case ECmp(_, l, r) => exprVars(l) | exprVars(r)
+    case EIn(x, es) => exprVars(x) | es.flatMap(exprVars).toSet
     case EInterp(parts) => parts.collect { case Right(e) => exprVars(e) }
       .foldLeft(Set.empty[String])(_ | _)
     case EAnd(l, r) => exprVars(l) | exprVars(r)
@@ -156,7 +157,7 @@ object Analyzer {
         requireBound(exprVars(e), bound, "ensure")
       case Partition(vars) =>
         requireBound(vars.toSet, bound, "@partition")
-      case Aggregate(_, v, v2) =>
+      case Aggregate(_, v, v2, _) =>
         requireBound(Set(v) ++ v2, bound, "@aggregate")
     }
     bound

@@ -141,9 +141,13 @@ object Ast {
     * Two-variable form for the sketch aggregates that consume a
     * (key, value) pair — `@aggregate(approx_sum_distinct(pk, qty))`
     * estimates Σ over distinct `pk` of max(`qty`) and binds the result
-    * to the VALUE variable. */
+    * to the VALUE variable. The quantile sketches additionally take
+    * LITERAL quantile points — `@aggregate(approx_quantile(rid, v,
+    * 0.95))` (scalar) / `@aggregate(approx_quantiles(rid, v, 0.25,
+    * 0.5, 0.75))` (array) — carried in `quantiles`. */
   final case class Aggregate(fn: String, variable: String,
-      variable2: Option[String] = None) extends Item
+      variable2: Option[String] = None,
+      quantiles: Seq[Double] = Nil) extends Item
   /** `(parent) :- Body .` — nested anonymous sub-rule
     * (`Kernel/README.md:114-121`). */
   final case class SubQuery(outVars: Seq[String], body: Body) extends Item
@@ -209,6 +213,11 @@ object Ast {
     * path, which dispatches relationally. */
   final case class ECall(fn: String, args: Seq[Expr]) extends Expr
   final case class ECmp(op: String, l: Expr, r: Expr) extends Expr
+  /** `x in (e1, e2, ...)` — membership over an explicit list. Plans to
+    * Catalyst's `In`, which the transparent skipping rule
+    * ([[graft.plans.AutoSkip]]) and parquet pushdown both recognize —
+    * the language route to adm23's Bloom-pruned batch point lookup. */
+  final case class EIn(x: Expr, elems: Seq[Expr]) extends Expr
   final case class EAnd(l: Expr, r: Expr) extends Expr
   final case class EOr(l: Expr, r: Expr) extends Expr
   final case class ENot(e: Expr) extends Expr

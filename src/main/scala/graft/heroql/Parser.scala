@@ -740,6 +740,22 @@ object Parser {
 
     private def comparisonExpr(): Expr = {
       val l = exprP()
+      // `x in (e1, e2, ...)` — membership list (the IN-probe surface)
+      if (atId("in")) {
+        pos += 1
+        expectSym("(")
+        val elems = Seq.newBuilder[Expr]
+        var first = true
+        while (!at(")")) {
+          if (!first) expectSym(",")
+          first = false
+          elems += exprP()
+        }
+        expectSym(")")
+        val es = elems.result()
+        if (es.isEmpty) throw ParseError("empty `in` list", pos - 1)
+        return EIn(l, es)
+      }
       val op = next() match {
         case TSym(o) if Seq("<", "<=", ">", ">=", "==", "!=", "=").contains(o) => o
         case t => throw ParseError(s"expected comparison operator, got $t", pos - 1)
@@ -819,10 +835,24 @@ object Parser {
           val fn = expectId()
           expectSym("(")
           val v = expectId()
-          val v2 = if (at(",")) { expectSym(","); Some(expectId()) } else None
+          // optional second VARIABLE, then optional literal quantile
+          // points (numbers only — `approx_quantile(rid, v, 0.95)`)
+          var v2: Option[String] = None
+          val qs = Seq.newBuilder[Double]
+          var sawNum = false
+          while (at(",")) {
+            expectSym(",")
+            next() match {
+              case TNum(s) => sawNum = true; qs += s.toDouble
+              case TId(s) if v2.isEmpty && !sawNum => v2 = Some(s)
+              case t => throw ParseError(
+                s"bad @aggregate argument $t (variables before quantile literals)",
+                pos - 1)
+            }
+          }
           expectSym(")")
           expectSym(")")
-          Aggregate(fn, v, v2)
+          Aggregate(fn, v, v2, qs.result())
         case other => throw ParseError(s"unknown pipeline command $other", pos)
       }
     }
@@ -1064,6 +1094,7 @@ object Parser {
           case l => l
         })
         case ECmp(op, l, r) => ECmp(op, m(l), m(r))
+        case EIn(x, es) => EIn(m(x), es.map(m))
         case EAnd(l, r) => EAnd(m(l), m(r))
         case EOr(l, r) => EOr(m(l), m(r))
         case ENot(x) => ENot(m(x))

@@ -613,10 +613,30 @@ final class Planner(decls: Map[String, DataDecl],
           s"@$kind queries execute via HeroQL.executeMutation, not plan()")
       case Partition(vars) =>
         st = st.copy(partition = vars)
-      case Aggregate(fn, v, v2) =>
+      case Aggregate(fn, v, v2, qs) =>
+        if (qs.nonEmpty && fn != "approx_quantile" && fn != "approx_quantiles")
+          throw Analyzer.AnalysisError(
+            s"aggregate $fn takes no quantile literals")
         // two-variable sketch aggregates bind their result to the VALUE
         // variable; the key variable is consumed by the sketch
         val (outVar, agg): (String, Column) = (fn, v2) match {
+          // bottom-k sample sketch at an ARBITRARY quantile point
+          // (hq27's engine generalized): `approx_quantile(rid, v, p)`
+          // binds the nearest-rank p-quantile estimate to the value
+          // variable; the plural form takes several points and binds
+          // an ARRAY (a21's multi-quantile shape, one sketch pass)
+          case ("approx_quantile", Some(value)) =>
+            if (qs.size != 1) throw Analyzer.AnalysisError(
+              "approx_quantile needs (row-id, value, p) — exactly one quantile point")
+            (value, graft.functions.KmvSketch.approxQuantile(col(v), col(value), qs.head))
+          case ("approx_quantile", None) => throw Analyzer.AnalysisError(
+            "approx_quantile needs (row-id, value, p) variables")
+          case ("approx_quantiles", Some(value)) =>
+            if (qs.isEmpty) throw Analyzer.AnalysisError(
+              "approx_quantiles needs (row-id, value, p1, p2, ...) — at least one point")
+            (value, graft.functions.KmvSketch.approxQuantiles(col(v), col(value), qs))
+          case ("approx_quantiles", None) => throw Analyzer.AnalysisError(
+            "approx_quantiles needs (row-id, value, p1, ...) variables")
           // bounded TUPLE sketch (a20's engine) as a language
           // aggregate: Σ over distinct keys of max(value) —
           // deterministic order statistics, so still oracle-strict
@@ -896,6 +916,8 @@ final class Planner(decls: Map[String, DataDecl],
           case (o, _, _) => throw Analyzer.AnalysisError(s"unknown operator $o")
         }
       case ECmp(op, l, r) => cmp(op, evalExpr(l, env), evalExpr(r, env))
+      case EIn(x, es) =>
+        es.exists(e => cmp("==", evalExpr(x, env), evalExpr(e, env)))
       case EAnd(l, r) => bool(evalExpr(l, env)) && bool(evalExpr(r, env))
       case EOr(l, r) => bool(evalExpr(l, env)) || bool(evalExpr(r, env))
       case ENot(x) => !bool(evalExpr(x, env))
@@ -1354,6 +1376,10 @@ final class Planner(decls: Map[String, DataDecl],
       }: _*)
     case ECall(fn, args) => Builtins.plan(fn, args.map(exprColEnv(_, env)))
     case ECmp(op, l, r) => cmpCol(op, exprColEnv(l, env), exprColEnv(r, env))
+    // `isin` plans Catalyst `In`: parquet pushdown and the AutoSkip
+    // manifest probe both key on that node
+    case EIn(x, es) =>
+      exprColEnv(x, env).isin(es.map(exprColEnv(_, env)): _*)
     case EAnd(l, r) => exprColEnv(l, env) && exprColEnv(r, env)
     case EOr(l, r) => exprColEnv(l, env) || exprColEnv(r, env)
     case ENot(x) => !exprColEnv(x, env)
@@ -1980,6 +2006,7 @@ object HeroQL {
       case EBinary(op, l, r) => EBinary(op, mE(l), mE(r))
       case ECall(f, as) => ECall(f, as.map(mE))
       case ECmp(op, l, r) => ECmp(op, mE(l), mE(r))
+      case EIn(x, es) => EIn(mE(x), es.map(mE))
       case EAnd(l, r) => EAnd(mE(l), mE(r))
       case EOr(l, r) => EOr(mE(l), mE(r))
       case ENot(x) => ENot(mE(x))

@@ -508,6 +508,35 @@ object AdminQueries extends QueryPack {
     finally graft.plans.AutoSkip.uninstall(s, rule)
   }
 
+  /** hq29 — the IN-list point probe FROM THE LANGUAGE: adm23's
+    * Bloom-pruned batch lookup reached by a parsed HeroQL collection
+    * query (`where user_id in (k1, k2, k3)`). The `in` expression
+    * plans to Catalyst's `In`, and the transparent skipping rule
+    * ([[graft.plans.AutoSkip]]) narrows the store scan to the union of
+    * the keys' kept commits — the user writes no probe API, just the
+    * query. Oracle is the plain IN select. */
+  private def hq29(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s)
+    val e = t(s, d, "events").select(col("event_id"), col("user_id"),
+      col("event_type"),
+      expr("CAST(floor(value * 1000000) AS BIGINT)").as("vmicro"))
+    graft.store.BloomSkipping.createTracked(st, "ev",
+      e.filter(col("user_id") % 6 === 0), Seq("user_id"))
+    (1 to 5).foreach(i => st.insert("ev", e.filter(col("user_id") % 6 === i)))
+    val mx = e.agg(max("user_id")).head.getLong(0)
+    val rule = graft.plans.AutoSkip.install(s, st)
+    try graft.heroql.HeroQL.compileCollection(
+      "data Ev(event_id: int64, user_id: int64, event_type: string, vmicro: int64).",
+      s"""collection_query(event_id, user_id, event_type, vmicro) :-
+           Ev(event_id, user_id, event_type, vmicro),
+           where user_id in ($mx, ${mx - 1}, ${mx - 2})
+         group_by event_type(event_type, n = Count(event_id),
+           sum_vmicro = Sum(vmicro))
+         ;""",
+      Map("Ev" -> st.read("ev"))).localCheckpoint()
+    finally graft.plans.AutoSkip.uninstall(s, rule)
+  }
+
   /** adm16 — ANALYZE-style table profile (the optimizer-statistics /
     * data-quality pass every warehouse ships): one row per column of
     * `orders` with non-null count, EXACT distinct count, and canonical
@@ -671,6 +700,7 @@ object AdminQueries extends QueryPack {
     "adm23_bloom_batch_lookup" -> (adm23 _),
     "adm24_bloom_string_key" -> (adm24 _),
     "adm25_transparent_skipping" -> (adm25 _),
+    "hq29_bloom_in_hql" -> (hq29 _),
     "adm10_incremental_backup" -> (adm10 _),
     "adm11_changefeed" -> (adm11 _),
     "adm13_changefeed_sync" -> (adm13 _),
@@ -808,6 +838,14 @@ object AdminQueries extends QueryPack {
                   AS sum_vmicro
          FROM events, p
          WHERE user_id = p.k
+         GROUP BY event_type""",
+    "hq29_bloom_in_hql" ->
+      """WITH p AS (SELECT max(user_id) AS k FROM events)
+         SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+                  AS sum_vmicro
+         FROM events, p
+         WHERE user_id IN (p.k, p.k - 1, p.k - 2)
          GROUP BY event_type""",
     "j14_dpp_partition_join" ->
       """WITH dim(event_type, category) AS (VALUES

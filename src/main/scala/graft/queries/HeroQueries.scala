@@ -77,6 +77,13 @@ query ApproxMedianPrice(flag: string) -> (approx_med: int64)
     approx_med <- cents
 .
 
+query ApproxP95Price(flag: string) -> (approx_p95: int64)
+:-  ItemsP(flag, rid, cents),
+    @partition(flag),
+    @aggregate(approx_quantile(rid, cents, 0.95)),
+    approx_p95 <- cents
+.
+
 query Parents(parent: int64, child: int64)
 :-  Father(parent, child)
 ;   Mother(parent, child)
@@ -353,6 +360,7 @@ query Scrubbed(id: int64) -> (sh: int64, rfp: int64)
     "hq25_approx_distinct" -> (run("ApproxParts") _),
     "hq26_approx_sum_distinct" -> (run("ApproxQtyOverParts") _),
     "hq27_approx_median" -> (run("ApproxMedianPrice") _),
+    "hq28_approx_quantile" -> (run("ApproxP95Price") _),
     "hq4_union_rule" -> (run("Parents") _),
     "hq5_join_rule" -> (run("GrandParents") _),
     "hq6_subrule" -> (run("GrandParentsSub") _),
@@ -468,6 +476,22 @@ query Scrubbed(id: int64) -> (sh: int64, rfp: int64)
                  FROM rk WHERE rn <= 256 GROUP BY flag)
          SELECT flag,
            sample[greatest(1, (len(sample) + 1) // 2)] AS approx_med
+         FROM smp""",
+    "hq28_approx_quantile" ->
+      """WITH per AS (
+           SELECT l_returnflag AS flag,
+             CAST(('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber
+               AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+             CAST(max(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS v
+           FROM lineitem GROUP BY 1, 2),
+         rk AS (SELECT flag, h, v, row_number() OVER (
+                  PARTITION BY flag ORDER BY h) AS rn FROM per),
+         smp AS (SELECT flag, list_sort(list(v)) AS sample
+                 FROM rk WHERE rn <= 256 GROUP BY flag)
+         SELECT flag,
+           sample[greatest(1, CAST(ceil(0.95 * len(sample)) AS BIGINT))]
+             AS approx_p95
          FROM smp""",
     "hq4_union_rule" ->
       s"""SELECT parent, child FROM ($parentsSql)""",

@@ -135,6 +135,23 @@ class AutoSkipSpec extends SparkSpec {
     }
   }
 
+  test("a HeroQL `in` list prunes to the union of the keys' dirs") {
+    val st = freshStore()
+    seedBanded(st)
+    withRule(st) {
+      val program =
+        """data Events(k: int64, v: int64).
+          |query Hits() -> (k: int64, v: int64)
+          |:- Events(k, v), k in (250, 251).""".stripMargin
+      val df = graft.heroql.HeroQL.compile(program, "Hits",
+        Map("Events" -> st.read("t")))
+      assert(scanRoots(df) == Seq(2),
+        s"in-list atom did not prune: ${scanRoots(df)}")
+      assert(df.orderBy("k").collect().toSeq ==
+        Seq(Row(250L, 250L % 7), Row(251L, 251L % 7)))
+    }
+  }
+
   test("kill switch and non-store scans: no pruning, no interference") {
     val st = freshStore()
     seedBanded(st)

@@ -116,11 +116,11 @@ class HeroQLParserSpec extends AnyFunSuite {
       Conj(Seq(Atom("Mother", Seq(TVar("parent"), TVar("child")))))))
   }
 
-  test("golden: the full HeroQueries program parses (24 queries + 4 funcs + 1 union)") {
+  test("golden: the full HeroQueries program parses (25 queries + 4 funcs + 1 union)") {
     val p = Parser.parse(HeroQueries.program)
     assert(p.datas.size == 11)
     assert(p.queries.map(_.name) == Seq("Top10", "Top3PerStudent", "AvgTop3",
-      "ApproxParts", "ApproxQtyOverParts", "ApproxMedianPrice",
+      "ApproxParts", "ApproxQtyOverParts", "ApproxMedianPrice", "ApproxP95Price",
       "Parents", "GrandParents", "GrandParentsSub", "Anc", "AncCount", "DescOf",
       "AncestorsOf", "Quad", "Childless", "Graded",
       "ShapeAreas", "BoxedAreas", "FibOf", "ChooseOf",
@@ -152,6 +152,36 @@ class HeroQLParserSpec extends AnyFunSuite {
         |:- R(g, v), @partition(g), @aggregate(sum(v)).""".stripMargin)
     assert(p1.queries.head.body.alts.head.items
       .contains(Aggregate("sum", "v", None)))
+  }
+
+  test("golden: quantile aggregates parse with literal points; `in` parses to EIn") {
+    val p = Parser.parse(
+      """data R(g: string, rid: int64, v: int64).
+        |query Q(g: string) -> (p95: int64)
+        |:- R(g, rid, v),
+        |   @partition(g),
+        |   @aggregate(approx_quantile(rid, v, 0.95)),
+        |   p95 <- v
+        |.
+        |query M(g: string) -> (qs: int64)
+        |:- R(g, rid, v),
+        |   @partition(g),
+        |   @aggregate(approx_quantiles(rid, v, 0.25, 0.5, 0.75)),
+        |   qs <- v
+        |.
+        |query I() -> (g: string, v: int64)
+        |:- R(g, rid, v), v in (1, 2, 3).""".stripMargin)
+    assert(p.queries(0).body.alts.head.items
+      .contains(Aggregate("approx_quantile", "rid", Some("v"), Seq(0.95))))
+    assert(p.queries(1).body.alts.head.items
+      .contains(Aggregate("approx_quantiles", "rid", Some("v"),
+        Seq(0.25, 0.5, 0.75))))
+    val inItems = p.queries(2).body.alts.head.items
+    assert(inItems.exists {
+      case Filter(EIn(EVar("v"), es)) => es ==
+        Seq(ELit(LInt(1)), ELit(LInt(2)), ELit(LInt(3)))
+      case _ => false
+    }, s"no EIn filter in $inItems")
   }
 
   test("golden: runtime-type patterns and expression args parse") {
@@ -741,6 +771,41 @@ class HeroQLParserSpec extends AnyFunSuite {
   * dispatch over union tags (`Kernel/Drafts/draft_type:218-311`) and
   * demand-driven recursive funcs (`Kernel/Drafts/draft:75-89`). */
 class HeroQLRuntimeSpec extends SparkSpec {
+
+  test("multi-quantile language aggregate matches the DataFrame sketch, point by point") {
+    import org.apache.spark.sql.functions._
+    val items = Tables.t(spark, sf, "lineitem").select(
+      col("l_returnflag").as("flag"),
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("rid"),
+      expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("cents"))
+    val viaLanguage = graft.heroql.HeroQL.compile(
+      """data ItemsP(flag: string, rid: int64, cents: int64).
+        |query Quartiles(flag: string) -> (qs: string)
+        |:- ItemsP(flag, rid, cents),
+        |   @partition(flag),
+        |   @aggregate(approx_quantiles(rid, cents, 0.25, 0.5, 0.75)),
+        |   qs <- cents
+        |.""".stripMargin,
+      "Quartiles", Map("ItemsP" -> items))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val viaDf = items.groupBy("flag")
+      .agg(graft.functions.KmvSketch.approxQuantiles(
+        col("rid"), col("cents"), Seq(0.25, 0.5, 0.75)).cast("string").as("qs"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(viaLanguage == viaDf && viaLanguage.nonEmpty)
+    // each point of the array equals the scalar aggregate at that point
+    val scalars = Seq(0.25, 0.5, 0.75).map(q => items.groupBy("flag")
+      .agg(graft.functions.KmvSketch.approxQuantile(
+        col("rid"), col("cents"), q).as("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    val arrays = items.groupBy("flag")
+      .agg(graft.functions.KmvSketch.approxQuantiles(
+        col("rid"), col("cents"), Seq(0.25, 0.5, 0.75)).as("qs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    arrays.foreach { case (flag, qs) =>
+      assert(qs == scalars.map(_(flag)), s"quantile points diverge for $flag")
+    }
+  }
 
   test("r9 scrub builtins compile to the operator-form expressions, redaction effective") {
     import spark.implicits._

@@ -107,6 +107,25 @@ class PlanAuditSpec extends SparkSpec {
       s"raw column $c crosses the exchange: [${shuffles.head}]"))
   }
 
+  test("hq28 language-planned arbitrary-quantile sketch keeps a21's bounded shape") {
+    val df = graft.queries.HeroQueries.queries("hq28_approx_quantile")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_kmvsampleaggnullable") ||
+      p.contains("partial_kmvsampleagg"),
+      s"map-side PARTIAL sample sketch must run before the exchange:\n$p")
+    assert(!p.contains("Window"),
+      s"a window/rank over raw rows is the unbounded shape this avoids:\n$p")
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(raw"\(\d+\) Sort\b".r.findFirstIn(fmt).isEmpty,
+      s"no Sort node may touch the raw rows:\n$fmt")
+    val shuffles = raw"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]".r
+      .findAllMatchIn(fmt).map(_.group(1)).toSeq
+    assert(shuffles.size == 1, s"exactly one exchange expected:\n$fmt")
+    Seq("rid#", "cents#").foreach(c => assert(!shuffles.head.contains(c),
+      s"raw column $c crosses the exchange: [${shuffles.head}]"))
+  }
+
   test("dd14c exact collapse exchanges (fp, doc_id) only — text never crosses the collapse shuffle") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("text"))
