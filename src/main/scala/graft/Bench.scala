@@ -20,9 +20,12 @@ object Bench {
     "ev7_ewma_decay", "cq5_tpch_q5_shape",
     // round-15/16 sketch + layered-dedup paths: the bounded-aggregator
     // family and the production dedup decision need a regression
-    // tripwire in the headline, not just correctness gates
+    // tripwire in the headline, not just correctness gates.
+    // r17: the layered-dedup slot moved dd14b -> dd14c (two rounds of
+    // dd14c history now exist; the fp-keyed collapse IS the production
+    // shape — dd14b remains the text-keyed oracle twin in the gates)
     "a18_kmv_distinct", "a19_theta_sketch_setops", "a20_tuple_sketch_sum",
-    "a21_sketch_quantiles", "dd14b_layered_lsh_keeper",
+    "a21_sketch_quantiles", "dd14c_fp_layered_keeper",
     "st19_stream_kmv_distinct")
 
   def main(args: Array[String]): Unit = {

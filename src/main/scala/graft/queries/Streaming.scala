@@ -233,18 +233,33 @@ object Streaming extends QueryPack {
     * the batch interval join (same truth as j10, reached through the
     * streaming engine — inner stream-stream joins are append-only, so
     * once the source drains the result equals the batch join). */
-  private def st8(s: SparkSession, d: String): DataFrame = {
-    val name = "st8_ssjoin_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = EventStreams.streamStreamSignupJoin(s, d)
-      .writeStream
+  /** Drain an append-mode stream through a PARQUET file sink and read
+    * the result back. The stream-stream joins emit output LINEAR in
+    * the data — a memory sink materializes that on the DRIVER, which
+    * at the 100× probe scale only completes with
+    * `spark.driver.maxResultSize` lifted (r16 sweep); the file sink
+    * keeps it on executor/disk bytes, where a real pipeline's sink
+    * puts it, so scale probes run uncapped. Read-back pins the
+    * stream's own schema (also covers a legitimately empty drain). */
+  private def drainToParquet(s: SparkSession,
+      df: DataFrame, tag: String): DataFrame = {
+    val out = java.nio.file.Files
+      .createTempDirectory(s"graft-$tag-out-").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(s"graft-$tag-ckpt-").toString
+    val q = df.writeStream
       .outputMode("append")
-      .format("memory")
-      .queryName(name)
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(name)
+    s.read.schema(df.schema).parquet(out)
+  }
+
+  private def st8(s: SparkSession, d: String): DataFrame = {
+    drainToParquet(s, EventStreams.streamStreamSignupJoin(s, d), "st8")
       .groupBy("signup_id")
       .agg(count(lit(1)).as("n_events"),
         min("ts").cast(org.apache.spark.sql.types.TimestampNTZType).as("first_ts"),
@@ -413,17 +428,7 @@ object Streaming extends QueryPack {
     * shape. Aggregated per signup (count ignores the null p_id, sum
     * coalesces to 0) and checked against the batch left join. */
   private def st15(s: SparkSession, d: String): DataFrame = {
-    val name = "st15_ssleft_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = EventStreams.streamStreamSignupLeftJoin(s, d)
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(name)
+    drainToParquet(s, EventStreams.streamStreamSignupLeftJoin(s, d), "st15")
       .groupBy("signup_id")
       .agg(count(col("p_id")).as("n_purchases"),
         coalesce(sum(expr("CAST(floor(value * 1000000) AS BIGINT)")), lit(0L))
@@ -481,17 +486,7 @@ object Streaming extends QueryPack {
     * clock). Row-level output (matched pairs + both unmatched sides),
     * checked against the batch FULL join over the closable-signup set. */
   private def st18(s: SparkSession, d: String): DataFrame = {
-    val name = "st18_ssfull_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = EventStreams.streamStreamSignupFullJoin(s, d)
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(name)
+    drainToParquet(s, EventStreams.streamStreamSignupFullJoin(s, d), "st18")
       .select(col("signup_id"), col("p_id"),
         expr("CAST(floor(coalesce(value, 0) * 1000000) AS BIGINT)")
           .as("vmicro"))
