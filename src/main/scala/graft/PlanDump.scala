@@ -65,7 +65,14 @@ object PlanDump {
       // collapse (no text across the collapse exchange), the tuple
       // sketch through the language, and the sketch-backed MV refresh
       "a21_sketch_quantiles", "dd14c_fp_layered_keeper",
-      "hq26_approx_sum_distinct", "mv12_kmv_sketch_view")
+      "hq26_approx_sum_distinct", "mv12_kmv_sketch_view",
+      // round-17: the layered incremental dedup (corpus collapsed to
+      // representatives before banding), the arbitrary-quantile sketch
+      // through the language, the transparently pruned point read
+      // (AutoSkip narrows the scan's file roots), and the language
+      // IN-list probe over the same banded store
+      "dd6c_incremental_layered", "hq28_approx_quantile",
+      "adm25_transparent_skipping", "hq29_bloom_in_hql")
     (Bench.headline ++ extras).foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))

@@ -561,7 +561,27 @@ object EventStreams {
   private def streamStreamSignupOuterJoin(spark: SparkSession, dir: String,
       joinType: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val staged = stageDir(dir)
+    // ONE-BATCH corpus staging (unlike [[stageDir]]'s verbatim
+    // part-file copy): the drain below runs `maxFilesPerTrigger = 1`,
+    // so every staged file is one micro-batch — and each of this
+    // table's part files spans the FULL event-time range, so any
+    // corpus file after the first arrives entirely BELOW the watermark
+    // the first one advanced and is silently dropped as late (the 100×
+    // probe measured exactly that: output ≠ 100× of the sf0.1 run,
+    // plus ~390 s of per-batch bookkeeping). A real pipeline's stream
+    // arrives in rough event-time order from its source; a parquet
+    // re-read does not — so the honest equivalent is the whole corpus
+    // in ONE batch (the watermark only ADVANCES after it; the trailing
+    // heartbeat files then flush closed windows in their own
+    // micro-batches, which is the contract the heartbeat comments
+    // below describe).
+    val staged = {
+      val stage = java.nio.file.Files.createTempDirectory("graft-stream-")
+        .toString
+      spark.read.schema(schema).parquet(s"$dir/events.parquet")
+        .repartition(1).write.mode("append").parquet(stage)
+      stage
+    }
     val maxMicros = tsInstant(spark.read.schema(schema).parquet(staged))
       .agg(max(expr("unix_micros(ts)"))).head.getLong(0)
     val closableMicros = maxMicros - (7L * 24 + 2) * 3600L * 1000000L
