@@ -175,10 +175,17 @@ object MinHashLSH {
     // scan 1: corpus band keys × broadcast batch band keys → candidates
     // (collision-bounded, batch-scale — checkpointed so scan 2 gets a
     // measured count to gate on instead of a guess)
+    // pre-verify distinct: a re-crawl batch's true pairs collide in
+    // MOST bands (all 21 for an exact re-ingest), and the verify join
+    // would copy both fat hash arrays once per collision — dedup the
+    // 16-byte pairs first (see nearDuplicatesAgainstMd5's note; the
+    // ~1.09 duplication argument of the SELF-join form does not hold
+    // batch-vs-corpus)
     val cand = bandedOf(hashedOf(corpus), "corpus_id")
       .join(SizeGate.maybeBroadcast(bandedOf(batchHashed, "new_id"),
         batchRows * bands, 5000000L), Seq("band", "sig"))
-      .select("corpus_id", "new_id").localCheckpoint()
+      .select("corpus_id", "new_id")
+      .dropDuplicates("corpus_id", "new_id").localCheckpoint()
     val candRows = cand.count()
     // scan 2: exact verification — candidates broadcast INTO the corpus
     // side (never the reverse), batch shingle sets broadcast, merge-scan
@@ -459,10 +466,19 @@ object MinHashLSH {
       shingleLen, bands, rowsPerBand).localCheckpoint()
     val batchSigs = md5HashedSigs(batchIn.repartition(par), idCol, textCol,
       shingleLen, bands, rowsPerBand).localCheckpoint()
+    // PRE-verify distinct — the opposite call from nearDuplicates'
+    // raw-stream verification (there the measured same-corpus band
+    // duplication is ~1.09): a re-crawl batch contains near-copies of
+    // the corpus BY CONSTRUCTION, so a true pair collides in MOST of
+    // its 21 bands (an exact re-ingest in all 21) and the verify join
+    // would copy both ~8 KB hash arrays once per collision — the 100×
+    // probe spilled the disk exactly here. The distinct shuffles
+    // 16-byte id pairs instead.
     val cand = md5Banded(corpusSigs, idCol, "corpus_id", bands, rowsPerBand)
       .join(md5Banded(batchSigs, idCol, "new_id", bands, rowsPerBand),
         Seq("band", "sig"))
       .select("corpus_id", "new_id")
+      .dropDuplicates("corpus_id", "new_id")
     val sa = corpusSigs.select(col(idCol).as("corpus_id"), col("h").as("sa"))
     val sb = batchSigs.select(col(idCol).as("new_id"), col("h").as("sb"))
     cand.join(sa, "corpus_id").join(sb, "new_id")

@@ -195,7 +195,13 @@ object Dedup extends QueryPack {
     * LSH candidates batch-vs-corpus only (never corpus×corpus), exact
     * verified. md5 family → full oracle; DedupSpec keeps the
     * containment-in-exact-cross-pairs and production-replica-recall
-    * specs on the xxhash64 path. */
+    * specs on the xxhash64 path.
+    *
+    * SCALE STANCE: this unlayered form bands the RAW corpus — replica
+    * cliques multiply band collisions, and the r16 100× sweep killed
+    * it by shuffle spill. It is retained as the oracle twin (dd14b's
+    * role); the production path for the same output is [[dd6c]],
+    * which fp-collapses the corpus to representatives first. */
   private def dd6b(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents").select("doc_id", "text")
     MinHashLSH.nearDuplicatesAgainstMd5(
@@ -226,22 +232,39 @@ object Dedup extends QueryPack {
     val docs = t(s, d, "documents").select("doc_id", "text")
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
     val batch = docs.filter(col("doc_id") % 5 === 0)
-    // pinned exact stage — two consumers (rep-text fetch, fp fan-out map)
-    val reps = fpCollapse(corpus).localCheckpoint()
-    val repDocs = corpus.join(reps.select(col("rep_id")),
-        corpus("doc_id") === col("rep_id"))
-      .select(col("doc_id"), col("text"))
-    val pairs = MinHashLSH.nearDuplicatesAgainstMd5(repDocs, batch,
+    // pinned exact stages, BOTH sides (a re-crawl batch is itself full
+    // of exact replicas — of the corpus AND of itself): banding,
+    // verification, and the candidate volume become replication-
+    // invariant on both sides; only the final fan-out touches member
+    // rows, and it is output-bound by the gate's own semantics (every
+    // matching corpus×batch pair is emitted)
+    val cReps = fpCollapse(corpus).localCheckpoint()
+    val bReps = fpCollapse(batch).localCheckpoint()
+    def repText(side: DataFrame, reps: DataFrame): DataFrame =
+      side.join(reps.select(col("rep_id")), side("doc_id") === col("rep_id"))
+        .select(col("doc_id"), col("text"))
+    val pairs = MinHashLSH.nearDuplicatesAgainstMd5(
+      repText(corpus, cReps), repText(batch, bReps),
       "doc_id", "text", shingleLen = 5, bands = 21, rowsPerBand = 3,
       threshold = 0.25)
-    val fpVerdict = reps.join(pairs, reps("rep_id") === pairs("corpus_id"))
-      .select(col("fp"), col("new_id"), col("jaccard"))
+    // (corpus rep, batch rep, jaccard) → (corpus fp, batch fp, jaccard)
+    val fpVerdict = cReps.join(pairs, cReps("rep_id") === pairs("corpus_id"))
+      .select(col("fp").as("cfp"), col("new_id"), col("jaccard"))
+      .join(bReps.select(col("fp").as("bfp"), col("rep_id").as("brep")),
+        col("new_id") === col("brep"))
+      .select(col("cfp"), col("bfp"), col("jaccard"))
       .localCheckpoint()
     val verdictRows = fpVerdict.count()
+    // fan back out through both fingerprints — identical text means
+    // identical bands and identical jaccard, so every member pair
+    // inherits its reps' verdict; the exchanges carry (id, fp) only
+    val gated = graft.operators.SizeGate.maybeBroadcast(
+      fpVerdict, verdictRows, 5000000L)
     corpus.select(col("doc_id").as("corpus_id"),
-        TextFns.fingerprint("text").as("fp"))
-      .join(graft.operators.SizeGate.maybeBroadcast(
-        fpVerdict, verdictRows, 5000000L), "fp")
+        TextFns.fingerprint("text").as("cfp"))
+      .join(gated, "cfp")
+      .join(batch.select(col("doc_id").as("new_id"),
+        TextFns.fingerprint("text").as("bfp")), "bfp")
       .select("corpus_id", "new_id", "jaccard")
   }
 
