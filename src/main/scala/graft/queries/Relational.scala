@@ -500,13 +500,53 @@ object Relational extends QueryPack {
       .select(col("o_orderkey"),
         when(col("o_orderkey") % 7 === 0, lit(null).cast("double"))
           .otherwise(col("o_totalprice")).as("price"))
-    src
-      .withColumn("rk_last", row_number().over(Window.orderBy(
-        col("price").asc_nulls_last, col("o_orderkey").asc)).cast("long"))
-      .withColumn("rk_first", row_number().over(Window.orderBy(
-        col("price").desc_nulls_first, col("o_orderkey").asc)).cast("long"))
+    // The naive form — TWO unpartitioned row_number windows with an
+    // OR-filter across them — forces two FULL single-task global
+    // sorts (Spark's WindowGroupLimit can only push a rank limit that
+    // filters ITS OWN window): the r17 100× sweep measured 26.9 s of
+    // exactly that. Scale shape instead:
+    //  1. select the candidates per ordering SEPARATELY — each
+    //     rank-filter compiles to WindowGroupLimit (partial top-20
+    //     per partition, final over ≤20·partitions rows, no global
+    //     sort of the data);
+    //  2. reconstruct BOTH global ranks for the ≤40 candidates as
+    //     counts of rows at-or-before them in each total order — one
+    //     broadcast cross of the tiny candidate set against a single
+    //     partial-aggregated scan. The orderings are TOTAL (orderkey
+    //     tie-break), so count-at-or-before IS row_number, and the
+    //     output matches the naive form bit-for-bit.
+    val wLast = Window.orderBy(col("price").asc_nulls_last, col("o_orderkey").asc)
+    val wFirst = Window.orderBy(col("price").desc_nulls_first, col("o_orderkey").asc)
+    val last20 = src.withColumn("rk", row_number().over(wLast))
+      .filter(col("rk") <= 20).select("o_orderkey", "price")
+    val first20 = src.withColumn("rk", row_number().over(wFirst))
+      .filter(col("rk") <= 20).select("o_orderkey", "price")
+    val cand = broadcast(last20.union(first20).distinct()
+      .select(col("o_orderkey").as("x_key"), col("price").as("x_price"))
+      .localCheckpoint())
+    // y at-or-before x in (price ASC NULLS LAST, o_orderkey ASC)
+    val leLast =
+      (col("price").isNotNull && col("x_price").isNull) ||
+      (col("price").isNotNull && col("x_price").isNotNull &&
+        (col("price") < col("x_price") ||
+          (col("price") === col("x_price") && col("o_orderkey") <= col("x_key")))) ||
+      (col("price").isNull && col("x_price").isNull &&
+        col("o_orderkey") <= col("x_key"))
+    // y at-or-before x in (price DESC NULLS FIRST, o_orderkey ASC)
+    val leFirst =
+      (col("price").isNull && col("x_price").isNotNull) ||
+      (col("price").isNull && col("x_price").isNull &&
+        col("o_orderkey") <= col("x_key")) ||
+      (col("price").isNotNull && col("x_price").isNotNull &&
+        (col("price") > col("x_price") ||
+          (col("price") === col("x_price") && col("o_orderkey") <= col("x_key"))))
+    src.crossJoin(cand)
+      .groupBy(col("x_key"), col("x_price"))
+      .agg(sum(when(leLast, 1L).otherwise(0L)).as("rk_last"),
+        sum(when(leFirst, 1L).otherwise(0L)).as("rk_first"))
       .filter(col("rk_last") <= 20 || col("rk_first") <= 20)
-      .select("o_orderkey", "price", "rk_last", "rk_first")
+      .select(col("x_key").as("o_orderkey"), col("x_price").as("price"),
+        col("rk_last"), col("rk_first"))
   }
 
   // ---------------------------------------------------------------- set ops
