@@ -72,7 +72,10 @@ object PlanDump {
       // (AutoSkip narrows the scan's file roots), and the language
       // IN-list probe over the same banded store
       "dd6c_incremental_layered", "hq28_approx_quantile",
-      "adm25_transparent_skipping", "hq29_bloom_in_hql")
+      "adm25_transparent_skipping", "hq29_bloom_in_hql",
+      // the segment-tree range count (two-exchange tree build; the
+      // aggregate-only twin of j12's pair enumeration)
+      "j12b_range_count")
     (Bench.headline ++ extras).foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{BandedRangeJoin, RangeCount}
+
+/** Segment-tree range count ([[RangeCount]]): exact parity with the
+  * pair-enumerating band join on the same intervals — including
+  * misaligned boundaries, probes outside the data span, sub-leaf
+  * windows, and single-leaf intervals — plus the inner-join (no
+  * zero-count rows) contract. */
+class RangeCountSpec extends SparkSpec {
+
+  private def counts(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("matches the band-join counts on the events fixture, hour window") {
+    val ev = graft.streaming.EventStreams.tsNanos(
+      Tables.t(spark, sf, "events"), "tns")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("tns").as("t0"))
+    val all = ev.select(col("tns"))
+    val w = 3600L * 1000000000L
+    val viaTree = counts(RangeCount.rangeCount(
+      signups, all, "signup_id", "t0", "tns", w))
+    val viaPairs = counts(BandedRangeJoin.bandJoin(signups, all, "t0", "tns", w)
+      .groupBy("signup_id").agg(count(lit(1)).as("n")))
+    assert(viaTree.nonEmpty && viaTree == viaPairs)
+  }
+
+  test("adversarial windows: misaligned, sub-leaf, out-of-span, single-leaf") {
+    import spark.implicits._
+    // deterministic irregular points over ~1000 units
+    val pts = (0 until 400).map(i => (i.toLong * i % 997) * 13L + 7L)
+    val build = pts.toDF("tns")
+    // probes: windows of several sizes incl. 1 (single point), huge
+    // (covers everything), and starts beyond both ends of the data
+    val starts = Seq(-500L, 0L, 3L, 997L, 4096L, 9000L, 12961L, 13000L, 99999L)
+    for (w <- Seq(1L, 7L, 64L, 1000L, 100000L)) {
+      val probe = starts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("pid", "t0")
+      val got = counts(RangeCount.rangeCount(
+        probe, build, "pid", "t0", "tns", w, targetLeafRows = 4))
+      val want = starts.zipWithIndex.flatMap { case (t, i) =>
+        val n = pts.count(p => p >= t && p < t + w).toLong
+        if (n > 0) Some(i.toLong -> n) else None
+      }.toMap
+      assert(got == want, s"window $w: got $got want $want")
+    }
+  }
+
+  test("no zero-count rows; empty build yields empty result") {
+    import spark.implicits._
+    val build = Seq(100L, 200L).toDF("tns")
+    val probe = Seq((1L, 150L), (2L, 300L)).toDF("pid", "t0")
+    val got = counts(RangeCount.rangeCount(probe, build, "pid", "t0", "tns", 60L))
+    assert(got == Map(1L -> 1L)) // probe 2 matches nothing -> absent
+    val none = RangeCount.rangeCount(probe,
+      build.filter(col("tns") > 1000L), "pid", "t0", "tns", 60L)
+    assert(none.count() == 0)
+  }
+}
