@@ -50,12 +50,25 @@ object RangeCount {
     * unique. */
   def rangeCount(probe: DataFrame, build: DataFrame, probeIdCol: String,
       startNsCol: String, tsNsCol: String, windowNanos: Long,
-      targetLeafRows: Long = 32L): DataFrame = {
+      targetLeafRows: Long = 32L): DataFrame =
+    rangeAgg(probe, build, probeIdCol, startNsCol, tsNsCol, None,
+      windowNanos, targetLeafRows).drop("sum_value")
+
+  /** [[rangeCount]] plus a SUMMED BIGINT value per interval (tree
+    * nodes carry (count, sum) — any group-homomorphic aggregate rides
+    * the same decomposition): returns probeIdCol + `n_events` +
+    * `sum_value` (NULL-valued build rows count but contribute 0). */
+  def rangeAgg(probe: DataFrame, build: DataFrame, probeIdCol: String,
+      startNsCol: String, tsNsCol: String, valueCol: Option[String],
+      windowNanos: Long, targetLeafRows: Long = 32L): DataFrame = {
     require(windowNanos > 0, "window must be positive")
     val stats = build.agg(min(col(tsNsCol)), max(col(tsNsCol)),
       count(col(tsNsCol))).head
+    val vCol = valueCol.map(c => coalesce(col(c).cast("long"), lit(0L)))
+      .getOrElse(lit(0L))
     val empty = probe.select(col(probeIdCol))
-      .withColumn("n_events", lit(0L)).limit(0)
+      .withColumn("n_events", lit(0L))
+      .withColumn("sum_value", lit(0L)).limit(0)
     if (stats.isNullAt(0)) return empty
     val mn = stats.getLong(0)
     val mx = stats.getLong(1)
@@ -78,15 +91,16 @@ object RangeCount {
     // halving chain costs one exchange PER level, which dominated the
     // whole operator at small scale: 11 s → ~3 s at sf0.1)
     val leaves = build
-      .select(expr(s"(`$tsNsCol` - ${mn}L) div ${b}L").as("node"))
-      .groupBy("node").agg(count(lit(1)).as("cnt"))
+      .select(expr(s"(`$tsNsCol` - ${mn}L) div ${b}L").as("node"),
+        vCol.as("v"))
+      .groupBy("node").agg(count(lit(1)).as("cnt"), sum("v").as("sv"))
     val tree = leaves
       .select(explode(expr(
         s"""transform(sequence(0, $lMax),
               k -> named_struct('lvl', k, 'node', node div shiftleft(1L, k)))"""))
-        .as("a"), col("cnt"))
+        .as("a"), col("cnt"), col("sv"))
       .groupBy(col("a.lvl").as("lvl"), col("a.node").as("node"))
-      .agg(sum("cnt").as("cnt"))
+      .agg(sum("cnt").as("cnt"), sum("sv").as("sv"))
     // ---- probes: leaf window, clamped to the data's leaf space
     val p = probe.select(col(probeIdCol).as("__pid"),
         expr(s"(`$startNsCol` - ${mn}L) div ${b}L").as("__lo"),
@@ -99,10 +113,11 @@ object RangeCount {
       .select(col("__pid"), col("__t0"),
         explode(array_distinct(array(col("__lo"), col("__hi")))).as("node"))
       .join(build.select(col(tsNsCol).as("__ts"),
-        expr(s"(`$tsNsCol` - ${mn}L) div ${b}L").as("node")), Seq("node"))
+        expr(s"(`$tsNsCol` - ${mn}L) div ${b}L").as("node"), vCol.as("__v")),
+        Seq("node"))
       .filter(col("__ts") >= col("__t0") &&
         col("__ts") < col("__t0") + lit(windowNanos))
-      .groupBy("__pid").agg(count(lit(1)).as("__nb"))
+      .groupBy("__pid").agg(count(lit(1)).as("__nb"), sum("__v").as("__sb"))
     // interior: canonical decomposition of [lo+1, hi-1], clamped
     val nodesExpr =
       s"""flatten(transform(sequence(0, $lMax), k ->
@@ -121,11 +136,13 @@ object RangeCount {
         explode(array_distinct(expr(nodesExpr))).as("nd"))
       .select(col("__pid"), col("nd.lvl").as("lvl"), col("nd.node").as("node"))
       .join(tree, Seq("lvl", "node"))
-      .groupBy("__pid").agg(sum("cnt").as("__ni"))
+      .groupBy("__pid").agg(sum("cnt").as("__ni"), sum("sv").as("__si"))
     boundary.join(interior, Seq("__pid"), "full_outer")
       .select(col("__pid").as(probeIdCol),
         (coalesce(col("__nb"), lit(0L)) + coalesce(col("__ni"), lit(0L)))
-          .as("n_events"))
+          .as("n_events"),
+        (coalesce(col("__sb"), lit(0L)) + coalesce(col("__si"), lit(0L)))
+          .as("sum_value"))
       .filter(col("n_events") > 0)
   }
 }

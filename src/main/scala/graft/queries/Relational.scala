@@ -965,6 +965,22 @@ object Relational extends QueryPack {
       "t0", "tns", windowNanos = 3600L * 1000000000L)
   }
 
+  /** J12c — range SUM over the same tree ([[graft.operators.RangeCount
+    * .rangeAgg]]): count AND summed value-micros of all events within
+    * the hour after each signup — the tree nodes carry (count, sum),
+    * so any group-homomorphic aggregate rides j12b's decomposition at
+    * the same O((n + q)·log n) cost; pair enumeration never happens. */
+  private def j12c(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.streaming.EventStreams.tsNanos(t(s, d, "events"), "tns")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("tns").as("t0"))
+    val all = ev.select(col("tns"),
+      expr("CAST(floor(value * 1000000) AS BIGINT)").as("vmicro"))
+    graft.operators.RangeCount.rangeAgg(signups, all, "signup_id",
+      "t0", "tns", Some("vmicro"), windowNanos = 3600L * 1000000000L)
+      .withColumnRenamed("sum_value", "sum_vmicro")
+  }
+
   /** J13 — keyless 2-D box join via grid-cell banding
     * ([[graft.operators.GridSpatialJoin]], the ε-grid spatial join):
     * every pair of embeddings whose first two dimensions fall within
@@ -1178,6 +1194,7 @@ object Relational extends QueryPack {
     "j11_salted_skew_join" -> (j11 _),
     "j12_banded_range_join" -> (j12 _),
     "j12b_range_count" -> (j12b _),
+    "j12c_range_sum" -> (j12c _),
     "j13_grid_spatial_join" -> (j13 _),
     "w7_time_range_frame" -> (w7 _),
     "w8_ignore_nulls_nav" -> (w8 _),
@@ -1518,6 +1535,15 @@ object Relational extends QueryPack {
          FROM (SELECT event_id AS signup_id, CAST(ts AS TIMESTAMP) AS t0
                FROM events WHERE event_type = 'signup') s
          JOIN (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events) ev
+           ON ev.ts >= s.t0 AND ev.ts < s.t0 + INTERVAL 1 HOUR
+         GROUP BY 1""",
+    "j12c_range_sum" ->
+      """SELECT s.signup_id, count(*) AS n_events,
+                CAST(sum(CAST(floor(ev.value * 1000000) AS BIGINT)) AS BIGINT)
+                  AS sum_vmicro
+         FROM (SELECT event_id AS signup_id, CAST(ts AS TIMESTAMP) AS t0
+               FROM events WHERE event_type = 'signup') s
+         JOIN (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events) ev
            ON ev.ts >= s.t0 AND ev.ts < s.t0 + INTERVAL 1 HOUR
          GROUP BY 1""",
     "j10_interval_join" ->

@@ -49,6 +49,35 @@ class RangeCountSpec extends SparkSpec {
     }
   }
 
+  test("range SUM rides the same tree: band-join parity, NULL values count but add 0") {
+    import spark.implicits._
+    val build = Seq((10L, Some(5L)), (20L, None), (30L, Some(7L)),
+      (95L, Some(11L)), (170L, Some(13L))).toDF("tns", "v")
+    val probe = Seq((1L, 0L), (2L, 15L), (3L, 90L), (4L, 500L)).toDF("pid", "t0")
+    val got = RangeCount.rangeAgg(probe, build, "pid", "t0", "tns",
+        Some("v"), windowNanos = 100L, targetLeafRows = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // window 100: pid1 covers {10,20,30,95} sum 5+0+7+11; pid2 covers
+    // {20,30,95} sum 18; pid3 covers {95,170} sum 24; pid4 nothing
+    assert(got == Map(1L -> (4L, 23L), 2L -> (3L, 18L), 3L -> (2L, 24L)))
+    // fixture-scale parity against the pair-enumerating form
+    val ev = graft.streaming.EventStreams.tsNanos(
+      Tables.t(spark, sf, "events"), "tns")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("tns").as("t0"))
+    val all = ev.select(col("tns"),
+      expr("CAST(floor(value * 1000000) AS BIGINT)").as("vm"))
+    val w = 3600L * 1000000000L
+    val viaTree = RangeCount.rangeAgg(signups, all, "signup_id",
+        "t0", "tns", Some("vm"), w)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val viaPairs = BandedRangeJoin.bandJoin(signups, all, "t0", "tns", w)
+      .groupBy("signup_id")
+      .agg(count(lit(1)).as("n"), sum("vm").as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(viaTree.nonEmpty && viaTree == viaPairs)
+  }
+
   test("no zero-count rows; empty build yields empty result") {
     import spark.implicits._
     val build = Seq(100L, 200L).toDF("tns")
