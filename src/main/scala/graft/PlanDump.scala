@@ -73,9 +73,9 @@ object PlanDump {
       // IN-list probe over the same banded store
       "dd6c_incremental_layered", "hq28_approx_quantile",
       "adm25_transparent_skipping", "hq29_bloom_in_hql",
-      // the segment-tree range count (two-exchange tree build; the
+      // the segment-tree range count/sum (two-exchange tree build; the
       // aggregate-only twin of j12's pair enumeration)
-      "j12b_range_count")
+      "j12b_range_count", "j12c_range_sum")
     (Bench.headline ++ extras).foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
