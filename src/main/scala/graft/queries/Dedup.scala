@@ -590,10 +590,99 @@ object Dedup extends QueryPack {
     *    and C is the knob that splits it.
     *  - verdict: groupBy the higher id — partial-aggregated min/max,
     *    no window. */
-  private def dd9(s: SparkSession, d: String): DataFrame = {
+  private def dd9(s: SparkSession, d: String): DataFrame =
+    semanticDedup(s, d, Dd9Cents)
+
+  /** dd9b — dd9 with BOTH scale fixes the 100× probes demanded, same
+    * output, oracle = the unlayered SQL verbatim:
+    *
+    *  1. centroid count SCALED with the corpus: C = max(16, ⌈√n⌉),
+    *     the FAISS rule dd9's own docstring names but (fixture-pinned
+    *     for its oracle) never ships. With C fixed, the cluster-local
+    *     pair search is Σ|cluster|² ≈ n²/C — quadratic in corpus size
+    *     (dd9 measured 55× at the 100× probe, r17's one weak gate).
+    *     With C = √n both assignment (n·C) and pair search (n²/C) are
+    *     n^1.5. The count() that sizes C is one metadata-bound job
+    *     (Parquet row-group counts), deterministic, so the gate stays
+    *     full-oracle: the DuckDB twin computes the same
+    *     greatest(16, ceil(sqrt(count(*)))).
+    *  2. LAYERED exact-value collapse (dd7/dd12/dd14c's discipline
+    *     applied to vectors): identical embeddings — re-renders,
+    *     mirrored shards, the synth corpus's replica cliques — form
+    *     within-cluster CLIQUES under any τ ≤ 1, so the all-pairs
+    *     search is quadratic in replication no matter what C does
+    *     (measured: √n centroids alone still took 167 s at 100×
+    *     because ~100-replica groups dominate Σ|cluster|²). So: group
+    *     by the embedding VALUE itself (exact by construction — no
+    *     fingerprint, no collision caveat), assign and pair-search
+    *     DISTINCT values only, then fan the group-level verdicts back
+    *     through a gid-keyed join. Output is bit-identical to the
+    *     unlayered form: identical vectors have identical cosine
+    *     profiles (same doubles, same argmax, same tie-break), so
+    *     cluster(b) is a function of the value; dup_of(b) =
+    *     min{minId(X) : cos(X, grp(b)) ≥ τ, minId(X) < b} because the
+    *     smallest eligible a inside a value-group X IS its min id;
+    *     max_cos(b) ranges over the same cos set either way (a
+    *     group's members all contribute the SAME double). The fan
+    *     join's volume is Σ(qualifying groups × |target group|) — the
+    *     pair volume DIVIDED by the source group's replication — and
+    *     the rep-level pair search is quadratic only in DISTINCT
+    *     values per cluster, which C = √n keeps at O(√n / dup-rate).
+    *
+    * dd9 is retained as the fixture-pinned oracle twin (C=16,
+    * unlayered), the dd14b/dd14c precedent. */
+  private def dd9b(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFns.register(s)
     val e = t(s, d, "embeddings")
-    val cents = e.filter(col("vec_id") % 13 === 5).orderBy("vec_id").limit(Dd9Cents)
+    val n = e.count()
+    val nCents =
+      math.max(Dd9Cents.toLong, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
+    // centroid pick over RAW rows (not reps): the oracle's pick —
+    // duplicate-value centroids waste slots but tie-break identically
+    // in both engines, so the pick must see the duplicates
+    val cents = e.filter(col("vec_id") % 13 === 5).orderBy("vec_id").limit(nCents)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        expr("sqrt(graft_dot_f(embedding, embedding))").as("cn"))
+    // layer 0: exact-value groups; gid = the group's min vec_id (a
+    // unique long key — joins below never touch the array again)
+    val groups = e.groupBy(col("embedding")).agg(min(col("vec_id")).as("gid"))
+    val reps = groups.repartition(s.sparkContext.defaultParallelism)
+      .select(col("gid"), col("embedding").as("v"),
+        expr("sqrt(graft_dot_f(embedding, embedding))").as("nrm"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", expr("graft_dot_f(v, cv) / (nrm * cn)"))
+      .groupBy("gid")
+      .agg(max(struct(col("csim"), (-col("cid")).as("ncid"),
+        col("v"), col("nrm"))).as("k"))
+      .select(col("gid"), (-col("k.ncid")).as("cluster_id"),
+        col("k.v").as("v"), col("k.nrm").as("nrm"))
+    // DIRECTED group pairs incl. the self pair (X = Y carries the
+    // replica-to-replica cos, computed by the same expression the
+    // unlayered form evaluates on identical vectors)
+    val xs = reps.select(col("cluster_id"), col("gid").as("x_gid"),
+      col("v").as("vx"), col("nrm").as("nx"))
+    val ys = reps.select(col("cluster_id").as("yc"), col("gid").as("y_gid"),
+      col("v").as("vy"), col("nrm").as("ny"))
+    val gpairs = xs.join(ys, col("cluster_id") === col("yc"))
+      .withColumn("cos_sim", expr("graft_dot_f(vx, vy) / (nx * ny)"))
+      .filter(col("cos_sim") >= Dd9Tau)
+      .select(col("y_gid"), col("cluster_id"), col("x_gid"), col("cos_sim"))
+    // fan back: b is eligible for source group X iff X's smallest id
+    // precedes it; dup_of is then the min of those smallest ids
+    val ids = e.join(groups, Seq("embedding")).select(col("vec_id"), col("gid"))
+    ids.join(gpairs, col("gid") === col("y_gid") && col("x_gid") < col("vec_id"))
+      .groupBy(col("vec_id"), col("cluster_id"))
+      .agg(min(col("x_gid")).as("dup_of"),
+        round(max(col("cos_sim")), 6).as("max_cos"))
+  }
+
+  /** The unlayered SemDeDup pipeline at an explicit centroid count —
+    * dd9's body, and the parity reference DedupSpec holds dd9b's
+    * layered rewrite against on replica-inflated corpora. */
+  private[graft] def semanticDedup(s: SparkSession, d: String, nCents: Int): DataFrame = {
+    graft.functions.VectorFns.register(s)
+    val e = t(s, d, "embeddings")
+    val cents = e.filter(col("vec_id") % 13 === 5).orderBy("vec_id").limit(nCents)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"),
         expr("sqrt(graft_dot_f(embedding, embedding))").as("cn"))
     val assigned = e.repartition(s.sparkContext.defaultParallelism)
@@ -720,6 +809,7 @@ object Dedup extends QueryPack {
     "dd12_quality_keeper" -> (dd12 _),
     "dd8_chunk_dedup" -> (dd8 _),
     "dd9_semantic_dedup" -> (dd9 _),
+    "dd9b_semantic_dedup_scaled" -> (dd9b _),
     "dd10_duplicate_spans" -> (dd10 _),
     "dd11_line_dedup" -> (dd11 _),
     "dd13_normalized_dedup" -> (dd13 _),
@@ -1128,6 +1218,34 @@ object Dedup extends QueryPack {
          cents AS (
            SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e
            WHERE vec_id % 13 = 5 ORDER BY vec_id LIMIT $Dd9Cents),
+         asg AS (
+           SELECT vec_id, v, nrm, cid FROM (
+             SELECT e.vec_id, e.v, e.nrm, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cn) DESC,
+                          c.cid ASC) AS rn
+             FROM e CROSS JOIN cents c) WHERE rn = 1)
+         SELECT b.vec_id, b.cid AS cluster_id, min(a.vec_id) AS dup_of,
+           round(max(list_dot_product(a.v, b.v) / (a.nrm * b.nrm)), 6) AS max_cos
+         FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $Dd9Tau
+         GROUP BY b.vec_id, b.cid""",
+    // dd9 with C = greatest(16, ceil(sqrt(n))) — the scaled centroid
+    // count is computed from the same count(*) both engines see, so
+    // the gate stays hash-strict; window-rn pick instead of LIMIT so
+    // the bound can be an expression
+    "dd9b_semantic_dedup_scaled" ->
+      s"""WITH e AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+           FROM embeddings),
+         cents AS (
+           SELECT cid, cv, cn FROM (
+             SELECT vec_id AS cid, v AS cv, nrm AS cn,
+               row_number() OVER (ORDER BY vec_id) AS rn
+             FROM e WHERE vec_id % 13 = 5)
+           WHERE rn <= greatest($Dd9Cents,
+             CAST(ceil(sqrt((SELECT count(*) FROM e))) AS BIGINT))),
          asg AS (
            SELECT vec_id, v, nrm, cid FROM (
              SELECT e.vec_id, e.v, e.nrm, c.cid,

@@ -37,6 +37,15 @@ object AutoSkipProbe {
       ranges: Seq[(String, Long, Long)]): Option[Seq[String]] = {
     val entries = store.currentEntries(table)
     if (entries.exists(_.isInstanceOf[OpEntry])) return None
+    // mid-evolution layout (2+ PartColsEntry lines): the explicit
+    // readPruned path refuses to prune here, so the shared contract —
+    // the two probes can never drift — requires this probe refuse too.
+    // (Dir-narrowing alone would likely stay sound: AutoSkip only
+    // narrows dirs the plan already scans under the right layout. But
+    // "likely sound under a state the explicit APIs deliberately
+    // avoid" is not a contract; partition evolution is a transient
+    // window and full reads there cost nothing at steady state.)
+    if (entries.count(_.isInstanceOf[PartColsEntry]) > 1) return None
     val props = entries.collectFirst { case PropsEntry(ps) => ps }
       .getOrElse(Map.empty)
     if (props.isEmpty) return Some(dirs)

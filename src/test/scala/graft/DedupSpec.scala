@@ -337,6 +337,33 @@ class DedupSpec extends SparkSpec {
       "layered and unlayered keeper decisions diverged")
   }
 
+  test("dd9b layered semantic dedup is row-identical to the unlayered form on a replica-inflated corpus") {
+    // 5 exact replicas of every vector (re-keyed ids interleaved the
+    // synth way: replica k of id i gets i + k*n) — the clique layout
+    // that makes the unlayered all-pairs search quadratic at 100× and
+    // that dd9b's exact-value collapse must survive BIT-identically:
+    // identical vectors have identical cosine profiles, so cluster,
+    // dup_of (min eligible id = min of source-group min-ids), and
+    // max_cos (each group contributes one double) all agree.
+    val base = Tables.t(spark, sf, "embeddings").limit(120)
+      .select(col("vec_id"), col("embedding"))
+    val n = base.count()
+    val reps = (0 until 5).map(k => base.select(
+      (col("vec_id") + lit(k * n)).as("vec_id"), col("embedding")))
+      .reduce(_ union _)
+    val dir = java.nio.file.Files.createTempDirectory("graft-dd9b-").toString
+    reps.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val layered = Dedup.queries("dd9b_semantic_dedup_scaled")(spark, dir)
+    val c = math.max(16L,
+      math.ceil(math.sqrt((n * 5).toDouble)).toLong).toInt
+    val unlayered = Dedup.semanticDedup(spark, dir, c)
+    assert(layered.count() > 0, "replica cliques produced no verdicts")
+    assert(layered.count() == unlayered.count())
+    assert(layered.exceptAll(unlayered).isEmpty &&
+      unlayered.exceptAll(layered).isEmpty,
+      "layered and unlayered semantic-dedup verdicts diverged")
+  }
+
   test("simhash of near-identical texts is close, distant texts differ") {
     import spark.implicits._
     val df = Seq(
