@@ -75,7 +75,13 @@ object PlanDump {
       "adm25_transparent_skipping", "hq29_bloom_in_hql",
       // the segment-tree range count/sum (two-exchange tree build; the
       // aggregate-only twin of j12's pair enumeration)
-      "j12b_range_count", "j12c_range_sum")
+      "j12b_range_count", "j12c_range_sum",
+      // round-18: the layered √n-centroid semantic dedup (exact-value
+      // collapse before the cluster-local pair search), the global-
+      // value package-instance read, and the segment tree reached from
+      // parsed text (range_agg pipeline stage)
+      "dd9b_semantic_dedup_scaled", "hq30_global_values",
+      "hq31_range_agg_hql")
     (Bench.headline ++ extras).foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))

@@ -97,7 +97,13 @@ object Ast {
       pkg: Option[PackageHeader] = None,
       indexes: Seq[IndexDecl] = Seq.empty,
       globals: Seq[(String, Lit)] = Seq.empty,
-      procedures: Seq[ProcedureDecl] = Seq.empty)
+      procedures: Seq[ProcedureDecl] = Seq.empty,
+      // `Students <- new StudentPackage.` — global readonly PACKAGE
+      // INSTANCE bindings (`Kernel/README.md:249`): global name →
+      // package name. Relations of the instance are addressed
+      // `Students::Rel(...)` (the instance IS a namespace; its store
+      // tables are literally named that — Packages.Instance.table).
+      instances: Seq[(String, String)] = Seq.empty)
 
   /** `func Name(in a, out b); case Name(0, 1); case Name(a, b) :- ... ;`
     * (`Kernel/Drafts/draft:75-89`): multi-clause moded function with
@@ -165,7 +171,21 @@ object Ast {
       groupBy: Option[CqStage],
       having: Option[Compare],
       orderBy: Option[(Expr, Boolean)], // (expr, descending)
-      rangeBy: Option[(Long, Long)]) // 1-based inclusive
+      rangeBy: Option[(Long, Long)], // 1-based inclusive
+      rangeAgg: Option[RangeAggStage] = None)
+
+  /** `range_agg Rel(tsField[, valField]) within W of probeVar
+    * (out = Count(tsField)[, out2 = Sum(valField)])` — the
+    * aggregate-only interval join ([[graft.operators.RangeCount]]'s
+    * segment tree, O((n+q)·log n)) as a collection-query pipeline
+    * stage: per body row, count (and sum over) the `Rel` rows whose
+    * `tsField` falls in [probeVar, probeVar + W). The language route
+    * to the scale-safe shape — a pair-enumerating rule-body join
+    * answering the same question measures ~118× at the 100× probe
+    * where this stage is ~3×. */
+  final case class RangeAggStage(rel: String, tsVar: String,
+      valVar: Option[String], window: Long, probeVar: String,
+      binds: Seq[CqBind])
 
   /** `partition_by exam(student, exam, s = OrderByDesc(score, 3))` or
     * `group_by student(student, c = Count(score))`. */

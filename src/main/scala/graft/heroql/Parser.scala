@@ -147,6 +147,7 @@ object Parser {
       val fors = Seq.newBuilder[ForQuery]
       val indexes = Seq.newBuilder[IndexDecl]
       val globals = Seq.newBuilder[(String, Lit)]
+      val instDecls = Seq.newBuilder[(String, String)]
       val procedures = Seq.newBuilder[ProcedureDecl]
       val funcs = scala.collection.mutable.LinkedHashMap.empty[String, FuncDecl]
       // `package NAME using P1, P2;` header — the rest of the text is the
@@ -217,21 +218,43 @@ object Parser {
             val qn = Seq(qual(ns, name), name).find(funcs.contains).getOrElse(
               throw ParseError(s"case for undeclared func $name", pos))
             funcs(qn) = funcs(qn).copy(cases = funcs(qn).cases :+ c)
-          // global readonly value: `Zero <- 0.` (`Kernel/README.md:247-249`)
+          // global readonly value (`Kernel/README.md:247-249`):
+          // `Zero <- 0.` constant, or `Students <- new StudentPackage.`
+          // package-instance binding
           case Some(TId(n)) if !n.startsWith("@") &&
               toks.lift(pos + 1).contains(TSym("<-")) =>
             pos += 2
-            val e = exprP()
-            if (!eat(";")) expectSym(".")
-            globals += (reg(qual(ns, n)) -> foldConst(e))
+            if (atId("new")) {
+              pos += 1
+              val pkgName = expectId()
+              if (!eat(";")) expectSym(".")
+              instDecls += (reg(qual(ns, n)) -> pkgName)
+            } else {
+              val e = exprP()
+              if (!eat(";")) expectSym(".")
+              globals += (reg(qual(ns, n)) -> foldConst(e))
+            }
           case t => throw ParseError(
             s"expected a declaration ('data', 'query', 'let', 'transaction', 'for', 'func', 'case', 'namespace', ...), got $t", pos)
         }
       }
       while (peek.isDefined) decl("")
+      // global readonly values are DECLARATIONS: a name may bind once
+      // (readonly — `Kernel/README.md:247`), and may not reuse a name
+      // the program already declares as a relation, function, or union
+      // (which occurrence an atom means would be ambiguous)
+      val globalNames = globals.result().map(_._1) ++ instDecls.result().map(_._1)
+      globalNames.diff(globalNames.distinct).distinct.headOption.foreach(d =>
+        throw ParseError(s"global readonly value $d bound more than once", pos))
+      val declared = (datas.result().map(_.name) ++ queries.result().map(_.name)
+        ++ unions.result().map(_.name) ++ funcs.keys).toSet
+      globalNames.find(declared.contains).foreach(d =>
+        throw ParseError(
+          s"global readonly value $d collides with a declaration of the same name", pos))
       Program(datas.result(), queries.result(), funcs.values.toSeq,
         unions.result(), transactions.result(), fors.result(), pkg,
-        indexes.result(), globals.result(), procedures.result())
+        indexes.result(), globals.result(), procedures.result(),
+        instDecls.result())
     }
 
     /** Global readonly values are CONSTANTS (`Kernel/README.md:248`
@@ -613,6 +636,41 @@ object Parser {
         } else None
       val pb = stage("partition_by")
       val gb = stage("group_by")
+      // `range_agg Rel(ts[, val]) within W of probeVar (out = Count(ts)
+      // [, out2 = Sum(val)])` — the segment-tree interval aggregate
+      val ra = if (atId("range_agg")) {
+        pos += 1
+        val rel = expectId()
+        expectSym("(")
+        val tsVar = expectId()
+        val valVar = if (eat(",")) Some(expectId()) else None
+        expectSym(")")
+        if (!atId("within")) throw ParseError("expected 'within' in range_agg", pos)
+        pos += 1
+        val w = next() match {
+          case TNum(s) => s.toLong
+          case t => throw ParseError(s"expected window width, got $t", pos - 1)
+        }
+        if (!atId("of")) throw ParseError("expected 'of' in range_agg", pos)
+        pos += 1
+        val probeVar = expectId()
+        expectSym("(")
+        val binds = Seq.newBuilder[CqBind]
+        var f = true
+        while (!at(")")) {
+          if (!f) expectSym(",")
+          f = false
+          val n = expectId()
+          expectSym("=")
+          val fn = expectId()
+          expectSym("(")
+          val arg = exprP()
+          expectSym(")")
+          binds += CqBind(n, fn, arg, None)
+        }
+        expectSym(")")
+        Some(RangeAggStage(rel, tsVar, valVar, w, probeVar, binds.result()))
+      } else None
       val having = if (eat(":-")) Some(comparison().asInstanceOf[Compare]) else None
       val ob =
         if (atId("order_by_desc")) { pos += 1; Some((exprP(), true)) }
@@ -626,7 +684,7 @@ object Parser {
         Some((a, b))
       } else None
       expectSym(";")
-      CollectionQuery(head.result(), bodyConj, pb, gb, having, ob, rb)
+      CollectionQuery(head.result(), bodyConj, pb, gb, having, ob, rb, ra)
     }
 
     /** One comma-element of a conjunction → its DNF alternatives (each a

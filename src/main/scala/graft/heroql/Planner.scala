@@ -722,6 +722,63 @@ final class Planner(decls: Map[String, DataDecl],
       df = df.select(cols.map(col): _*)
     }
 
+    cq.rangeAgg.foreach { st =>
+      // the stage REPLACES the pipeline's aggregation (it is one), so
+      // composing with the row-reshaping stages would be ambiguous
+      if (cq.partitionBy.nonEmpty || cq.groupBy.nonEmpty)
+        throw Analyzer.AnalysisError(
+          "range_agg does not compose with partition_by/group_by")
+      if (!cols.contains(st.probeVar)) throw Analyzer.AnalysisError(
+        s"range_agg probe variable ${st.probeVar} is not bound by the body")
+      val probeIds = cols.filterNot(_ == st.probeVar)
+      if (probeIds.size != 1) throw Analyzer.AnalysisError(
+        s"range_agg needs a body of exactly (id, ${st.probeVar}); got $cols")
+      val decl = decls.getOrElse(st.rel,
+        throw Analyzer.AnalysisError(s"range_agg over unknown relation ${st.rel}"))
+      val bdf = catalog.getOrElse(st.rel,
+        throw Analyzer.AnalysisError(s"no table bound for relation ${st.rel}"))
+      def physical(v: String): Column = {
+        val i = decl.fields.indexWhere(_._1 == v)
+        if (i < 0) throw Analyzer.AnalysisError(
+          s"relation ${st.rel} has no field $v")
+        col(bdf.columns(i))
+      }
+      val build = st.valVar match {
+        case Some(v) => bdf.select(physical(st.tsVar).as("__ts"),
+          physical(v).as("__v"))
+        case None => bdf.select(physical(st.tsVar).as("__ts"))
+      }
+      val cnt = st.binds.filter(_.fn == "Count") match {
+        case Seq(one) => one
+        case other => throw Analyzer.AnalysisError(
+          s"range_agg needs exactly one Count binding, got ${other.size}")
+      }
+      val sumB = st.binds.filter(_.fn == "Sum") match {
+        case Seq() => None
+        case Seq(one) if st.valVar.nonEmpty => Some(one)
+        case Seq(_) => throw Analyzer.AnalysisError(
+          "range_agg Sum needs a value field: range_agg Rel(ts, val) ...")
+        case other => throw Analyzer.AnalysisError(
+          s"range_agg supports at most one Sum binding, got ${other.size}")
+      }
+      st.binds.filterNot(b => b.fn == "Count" || b.fn == "Sum") match {
+        case Seq() => ()
+        case other => throw Analyzer.AnalysisError(
+          s"range_agg aggregates are Count/Sum (group-homomorphic — the tree" +
+            s" nodes carry them); got ${other.map(_.fn).mkString(", ")}")
+      }
+      var out = graft.operators.RangeCount.rangeAgg(df, build,
+        probeIds.head, st.probeVar, "__ts", st.valVar.map(_ => "__v"),
+        st.window)
+      out = out.withColumnRenamed("n_events", cnt.out)
+      out = sumB match {
+        case Some(b) => out.withColumnRenamed("sum_value", b.out)
+        case None => out.drop("sum_value")
+      }
+      df = out
+      cols = probeIds.head +: st.binds.map(_.out)
+    }
+
     cq.having.foreach { case Compare(op, l, r) =>
       df = df.filter(cmpCol(op, exprCol(l), exprCol(r)))
     }
@@ -1545,6 +1602,24 @@ object Planner {
     * to trip the diagnostic fast). */
   private[graft] var fixpointMaxIter: Int = 512
 
+  /** Spark type → HeroQL type name — the inverse of [[sparkType]],
+    * for data declarations synthesized from stored Parquet schemas
+    * (package-instance globals). */
+  private[heroql] def heroType(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => "int64"
+      case IntegerType => "int32"
+      case ShortType => "int16"
+      case ByteType => "int8"
+      case DoubleType => "double"
+      case FloatType => "float32"
+      case StringType => "string"
+      case BooleanType => "bool"
+      case other => other.sql.toLowerCase
+    }
+  }
+
   /** HeroQL type name → Spark SQL type name (SURVEY §1.2 mapping). */
   private[heroql] def sparkType(t: String): String = t match {
     case "int" | "int32" => "int"
@@ -2052,6 +2127,51 @@ object HeroQL {
         ast.transactions.filter(_.isPublic).map(_.name)).toSet,
       using = header.using))
     ast
+  }
+
+  /** Compile a query of a program that binds GLOBAL PACKAGE INSTANCES
+    * (`Students <- new StudentPackage.` — `Kernel/README.md:249`, the
+    * second global-readonly-value form): each binding instantiates the
+    * package in `pm`'s module under the global's name on FIRST use
+    * (tables arrive through the store — the reference instantiates
+    * "through protocol", `Kernel/README.md:275-276`) and re-binds the
+    * EXISTING instance thereafter: a declaration, not a command, so
+    * re-compiling is idempotent. The instance's live tables join the
+    * catalog as `Name::Table` relations — the instance name IS a
+    * namespace, physically (Packages.Instance.table stores them under
+    * exactly that name) and syntactically (rule bodies write
+    * `Students::Customers(ck, name, ...)`) — with data declarations
+    * synthesized from the stored Parquet schema, so the analyzer
+    * checks arity/types against what is actually on disk. */
+  def compileWithPackages(program: String, queryName: String,
+      catalog: Map[String, DataFrame],
+      pm: graft.store.PackageManager): DataFrame = {
+    val ast = Parser.parse(program)
+    val extra: Seq[(String, DataFrame)] =
+      ast.instances.flatMap { case (global, pkgName) =>
+        val pkg = pm.definition(pkgName).getOrElse(
+          throw Analyzer.AnalysisError(
+            s"global $global instantiates undefined package $pkgName"))
+        val inst = pm.instance(global)
+          .getOrElse(pm.instantiate(pkgName, global))
+        if (inst.pkg != pkgName) throw Analyzer.AnalysisError(
+          s"global $global already names an instance of ${inst.pkg}, not $pkgName")
+        pkg.tables.filter(t => pm.store.exists(inst.table(t)))
+          .map(t => inst.table(t) -> pm.read(inst, t))
+      }
+    val extraDecls = extra.map { case (name, df) =>
+      DataDecl(name, df.schema.fields.toSeq.map(f =>
+        f.name -> Planner.heroType(f.dataType)))
+    }
+    val decls = (ast.datas ++ extraDecls).map(d => d.name -> d).toMap
+    val queryDecls = ast.queries.map(q => q.name -> q).toMap
+    val funcs = ast.funcs.map(f => f.name -> f).toMap
+    val unions = ast.unions.map(u => u.name -> u).toMap
+    val q = ast.queries.find(_.name == queryName).getOrElse(
+      throw Analyzer.AnalysisError(s"no query named $queryName"))
+    Analyzer.analyze(decls, queryDecls, q, funcs)
+    new Planner(decls, queryDecls, catalog ++ extra.toMap, funcs, unions)
+      .plan(q)
   }
 
   /** Compile a query of a defined package against one of its instances,

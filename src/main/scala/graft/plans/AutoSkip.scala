@@ -104,9 +104,18 @@ class AutoSkip(spark: SparkSession, store: TableStore)
       // every dir pruned: the scan is provably empty
       Some(Filter(cond, LocalRelation(lr.output)))
     else if (hfs.partitionSchema.nonEmpty)
+      // UNREACHABLE for store-managed reads, kept as defense in depth:
       // partitioned store reads are one discovery root per relation
-      // (TableStore.readDirs), so a proper subset cannot occur here;
-      // never rebuild a partitioned index
+      // (TableStore.readDirs unions per-dir legs — Spark's partition
+      // discovery rejects sibling roots), so roots.size == 1 and a
+      // PROPER subset cannot occur — kept-whole is the size-equal
+      // branch above, kept-empty the LocalRelation branch. That is
+      // exactly how non-partition-column stamps serve the fp-bucketed
+      // corpus layout (st5b's shape) transparently: each union leg
+      // prunes all-or-nothing, partition pruning inside surviving legs
+      // is Spark's own (AutoSkipSpec "partitioned store" pins both).
+      // Only a hand-built multi-root partitioned scan could land here,
+      // and rebuilding ITS index would need basePath guessing — refuse.
       None
     else {
       val idx = new InMemoryFileIndex(spark, keptPaths,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 import graft.operators.{GraphOps, MinHashLSH, TextFns}
@@ -60,7 +60,14 @@ object Dedup extends QueryPack {
     exactPairsOf(t(s, d, "documents")
       .filter(col("doc_id") % 4 === 0).select("doc_id", "text"))
 
-  /** dd2 — the exact near-dup pairs (see [[exactPairs]]). */
+  /** dd2 — the exact near-dup pairs (see [[exactPairs]]).
+    *
+    * 100×-SWEEP EXCLUSION (documented, not tribal): this gate IS the
+    * all-pairs oracle definition — O(n²) by construction, mod-4
+    * sampled so the fixture stays checkable. It is excluded from the
+    * scale sweep on purpose; its production twin dd3 (MinHash+LSH,
+    * same ≥0.25-jaccard semantics, candidate cost ∝ collisions) is
+    * what the sweep measures. */
   private def dd2(s: SparkSession, d: String): DataFrame = exactPairs(s, d)
 
   /** dd13 — NORMALIZED exact dedup (the C4/CCNet-style canonicalization
@@ -128,7 +135,14 @@ object Dedup extends QueryPack {
   }
 
   /** dd4b — SimHash near-dup pairs: Hamming distance ≤ 10 on the mod-4
-    * sample (bit_count(xor) — cheap compare, the reason SimHash exists). */
+    * sample (bit_count(xor) — cheap compare, the reason SimHash exists).
+    *
+    * 100×-SWEEP EXCLUSION (documented, not tribal): all-pairs O(n²)
+    * oracle stand-in, mod-4 sampled. The production shape for scaled
+    * Hamming search is band-bucketing the 32-bit signature (4 bytes →
+    * 4 bands of 8 bits; ≤10-bit-distant pairs collide in ≥1 band with
+    * the dd3 equi-join shape) — the signatures themselves are swept
+    * via dd4, which is map-only and scan-bound. */
   private def dd4b(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFns.register(s)
     val sh = t(s, d, "documents")
@@ -146,7 +160,15 @@ object Dedup extends QueryPack {
   }
 
   /** dd5 — embedding-cosine near-dup pairs (exact, ≥ 0.4) — all-pairs
-    * with a broadcast side; scale path is ann2's LSH bucketing. */
+    * with a broadcast side; scale path is ann2's LSH bucketing.
+    *
+    * 100×-SWEEP EXCLUSION (documented, not tribal): the exact
+    * all-pairs cosine oracle, O(n²) by definition. Its swept
+    * production twins are ann2 (LSH-bucketed cosine candidates) and
+    * dd9b (clustered SemDeDup with √n centroids and exact-value
+    * layering — full-oracle, 100× measured ~4×), which answer the
+    * same ≥τ-cosine question at candidate cost ∝ collisions/cluster
+    * width instead of n². */
   private def dd5(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFns.register(s)
     val e = t(s, d, "embeddings")
@@ -224,7 +246,8 @@ object Dedup extends QueryPack {
     * fingerprint to every corpus doc sharing the rep's text — sound
     * because identical text ⇒ identical shingle set ⇒ identical bands
     * and identical jaccard against any batch doc. Output is therefore
-    * bit-identical to dd6b's (same oracle). The fan-out join keys on
+    * identical to dd6b's (same oracle) — modulo [[fpCollapse]]'s
+    * stated fp-collision caveat. The fan-out join keys on
     * the fp with the small verdict side broadcast under the size gate;
     * past the gate it is a co-located shuffle carrying (corpus_id, fp)
     * — the text column never moves. */
@@ -261,10 +284,10 @@ object Dedup extends QueryPack {
     val gated = graft.operators.SizeGate.maybeBroadcast(
       fpVerdict, verdictRows, 5000000L)
     corpus.select(col("doc_id").as("corpus_id"),
-        TextFns.fingerprint("text").as("cfp"))
+        fpKey("text").as("cfp"))
       .join(gated, "cfp")
       .join(batch.select(col("doc_id").as("new_id"),
-        TextFns.fingerprint("text").as("bfp")), "bfp")
+        fpKey("text").as("bfp")), "bfp")
       .select("corpus_id", "new_id", "jaccard")
   }
 
@@ -290,10 +313,15 @@ object Dedup extends QueryPack {
     * enumeration + CC run over REPRESENTATIVES only (edge count tracks
     * near-dup density over distinct texts, not over replicas), and
     * every doc inherits its fingerprint's component. The output is
-    * bit-identical to the unlayered form: identical texts have
-    * identical shingle sets, so a member pairs with exactly the docs
-    * its representative pairs with, and the component label (min id)
-    * is unchanged because rep_id IS the min doc_id of its fp group. */
+    * identical to the unlayered form — identical texts have identical
+    * shingle sets, so a member pairs with exactly the docs its
+    * representative pairs with, and the component label (min id) is
+    * unchanged because rep_id IS the min doc_id of its fp group —
+    * under two stated preconditions: no fp collision ([[fpCollapse]]'s
+    * probabilistic caveat) and no DUPLICATED shingle-empty text
+    * (length < 5: unlayered, such docs form no edges and each keeps
+    * itself; layered, copies share an fp and inherit one keeper —
+    * DedupSpec pins that the fixture contains none). */
   private def dd7(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
       .filter(col("doc_id") % 4 === 0).select("doc_id", "text")
@@ -311,7 +339,7 @@ object Dedup extends QueryPack {
       .select(col("fp"),
         coalesce(col("component"), col("rep_id")).as("keeper_id"))
     val labeled = docs
-      .select(col("doc_id"), TextFns.fingerprint("text").as("fp"))
+      .select(col("doc_id"), fpKey("text").as("fp"))
       .join(fpCluster, "fp")
       .select("doc_id", "keeper_id")
     // cluster sizes via partial-aggregated groupBy + co-located join, not
@@ -335,12 +363,13 @@ object Dedup extends QueryPack {
     * with its chosen keeper and the cluster size.
     *
     * Exact stage layered like dd7's (same r16 100× finding, same
-    * bit-identity argument — and the keeper decision survives the
-    * layering too: identical texts have identical n_tokens, a group's
-    * min doc_id IS its rep_id, so argmax(n_tokens, ties→min id) over
-    * the full component equals the same argmax computed over the
-    * fp-labeled doc set, which is what the keeper aggregate below
-    * consumes). */
+    * identity argument UNDER dd7's two stated preconditions — no fp
+    * collision, no duplicated shingle-empty text; DedupSpec pins the
+    * fixture — and the keeper decision survives the layering too:
+    * identical texts have identical n_tokens, a group's min doc_id IS
+    * its rep_id, so argmax(n_tokens, ties→min id) over the full
+    * component equals the same argmax computed over the fp-labeled
+    * doc set, which is what the keeper aggregate below consumes). */
   private def dd12(s: SparkSession, d: String): DataFrame = {
     val docsRaw = t(s, d, "documents")
       .filter(col("doc_id") % 4 === 0).select("doc_id", "text")
@@ -355,7 +384,7 @@ object Dedup extends QueryPack {
       .select(col("fp"),
         coalesce(col("component"), col("rep_id")).as("cluster"))
     val docs = docsRaw
-      .select(col("doc_id"), TextFns.fingerprint("text").as("fp"),
+      .select(col("doc_id"), fpKey("text").as("fp"),
         expr("CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)").as("n_tokens"))
     val labeled = docs.join(fpCluster, "fp")
       .select(col("doc_id"), col("n_tokens"), col("cluster"))
@@ -455,9 +484,26 @@ object Dedup extends QueryPack {
     * text-keyed twin shuffles the full document text as the GROUPING
     * KEY, which at 100 TB means megabyte keys hashed, serialized and
     * sorted in every collapse task; this is the production stance
-    * dd1/dd14b's docs promise, now pinned. */
+    * dd1/dd14b's docs promise, now pinned.
+    *
+    * COLLISION STANCE — the key is 128-bit: TWO INDEPENDENT LANES
+    * (tx4's ~60-bit CRT polynomial + xxhash64), struct-grouped, ~24
+    * bytes per exchange row. A silent merge of two distinct texts now
+    * needs a simultaneous collision in both hash families — expected
+    * count at 10⁹ docs ≈ n²/2¹²⁴ ≈ 10⁻²⁰ (the single ~60-bit lane
+    * alone expected ~0.5, the r17 ADVICE finding). Both lanes are
+    * still non-cryptographic, so a determined adversary with engine
+    * knowledge could construct a double collision; corpora with
+    * actively hostile authors ⇒ use md5 (dd3's nearDuplicatesMd5
+    * already carries that plumbing). Every layered consumer
+    * (dd6c/dd7/dd12/dd14c) keys through [[fpKey]]/this function, so
+    * the stance is one place wide. */
+  private[graft] def fpKey(textCol: String): Column = struct(
+    TextFns.fingerprintOf(col(textCol)).as("f1"),
+    xxhash64(col(textCol)).as("f2"))
+
   private[graft] def fpCollapse(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), TextFns.fingerprint("text").as("fp"))
+    docs.select(col("doc_id"), fpKey("text").as("fp"))
       .groupBy("fp").agg(min(col("doc_id")).as("rep_id"))
 
   /** dd14c — dd14b's layered decision with the exact stage keyed on
@@ -482,7 +528,7 @@ object Dedup extends QueryPack {
     // pinned exact stage (three consumers, same reason as dd14b)
     val reps = fpCollapse(docs).localCheckpoint()
     val keyed = docs.select(col("doc_id"),
-      TextFns.fingerprint("text").as("fp"),
+      fpKey("text").as("fp"),
       expr("CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)").as("n_tokens"))
     val repDocs = docs.join(reps.select(col("rep_id")),
         docs("doc_id") === col("rep_id"))

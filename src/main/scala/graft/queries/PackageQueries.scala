@@ -142,11 +142,42 @@ data Empty(x: int64).
     archive
   }
 
+  /** hq30 — GLOBAL READONLY VALUES as HeroQL text, both reference
+    * forms in one program (`Kernel/README.md:247-249`): `MinBal <-
+    * 2000.0 + 2000.0.` (a constant, folded at parse and substituted
+    * into the rule body wherever not locally bound) and `Students <-
+    * new crm.` (a package-instance binding — the instance's relations
+    * are addressed `Students::Customers(...)`; here the name re-binds
+    * the module's existing seeded instance, the declaration-not-
+    * command semantics [[graft.heroql.HeroQL.compileWithPackages]]
+    * pins; PackagesSpec drives the instantiate-on-first-compile path
+    * and the reserved-name diagnostics). */
+  private val hq30Program = """
+MinBal <- 2000.0 + 2000.0.
+Students <- new crm.
+
+query Rich(ck: int64, name: string) -> (bal: double)
+:-  Students::Customers(ck, name, _, bal),
+    bal > MinBal
+.
+"""
+
+  private def hq30(s: SparkSession, d: String): DataFrame = {
+    val pm = mgr(s)
+    graft.heroql.HeroQL.definePackage(crmPackage, pm)
+    val seed = seedDf(s, d).select(
+      col("c_custkey").as("ck"), col("c_name").as("name"),
+      col("c_nationkey").as("nation"), col("c_acctbal").as("bal"))
+    pm.instantiate("crm", "Students", Map("Customers" -> seed))
+    graft.heroql.HeroQL.compileWithPackages(hq30Program, "Rich", Map.empty, pm)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pk1_package_inherit_merge" -> (pk1 _),
     "pk2_package_isolation" -> (pk2 _),
     "pk3_package_decl" -> (pk3 _),
     "pk4_package_cascade_delete" -> (pk4 _),
+    "hq30_global_values" -> (hq30 _),
   )
 
   private val seedSql =
@@ -169,6 +200,10 @@ data Empty(x: int64).
     "pk3_package_decl" ->
       s"""SELECT c_custkey AS ck, c_name AS name, c_acctbal AS bal
           FROM ($seedSql) WHERE c_acctbal > 5000.0""",
+    // MinBal folds to 4000.0 at parse; the instance table is the seed
+    "hq30_global_values" ->
+      s"""SELECT c_custkey AS ck, c_name AS name, c_acctbal AS bal
+          FROM ($seedSql) WHERE c_acctbal > 4000.0""",
     // the staging fork's mutated state, archived into reports before
     // the ordered cascade deletes both packages
     "pk4_package_cascade_delete" ->

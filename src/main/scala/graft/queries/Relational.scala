@@ -981,6 +981,30 @@ object Relational extends QueryPack {
       .withColumnRenamed("sum_value", "sum_vmicro")
   }
 
+  /** hq31 — j12c's question asked from PARSED TEXT: the `range_agg`
+    * collection-query stage plans straight to [[graft.operators
+    * .RangeCount.rangeAgg]], so the scale-safe segment-tree shape —
+    * not a pair-enumerating join — is what users reach from the
+    * language (the r17 verdict's missing item 3; PlanAuditSpec pins
+    * the no-pair-join plan). Oracle = j12c's verbatim. */
+  private def hq31(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.streaming.EventStreams.tsNanos(t(s, d, "events"), "tns")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("tns").as("t0"))
+    val all = ev.select(col("tns"),
+      expr("CAST(floor(value * 1000000) AS BIGINT)").as("vmicro"))
+    graft.heroql.HeroQL.compileCollection(
+      """data Signups(signup_id: int64, t0: int64).
+        |data Events(tns: int64, vmicro: int64).
+        |""".stripMargin,
+      """collection_query(signup_id, t0) :-
+           Signups(signup_id, t0)
+         range_agg Events(tns, vmicro) within 3600000000000 of t0
+           (n_events = Count(tns), sum_vmicro = Sum(vmicro))
+         ;""",
+      Map("Signups" -> signups, "Events" -> all))
+  }
+
   /** J13 — keyless 2-D box join via grid-cell banding
     * ([[graft.operators.GridSpatialJoin]], the ε-grid spatial join):
     * every pair of embeddings whose first two dimensions fall within
@@ -1195,6 +1219,7 @@ object Relational extends QueryPack {
     "j12_banded_range_join" -> (j12 _),
     "j12b_range_count" -> (j12b _),
     "j12c_range_sum" -> (j12c _),
+    "hq31_range_agg_hql" -> (hq31 _),
     "j13_grid_spatial_join" -> (j13 _),
     "w7_time_range_frame" -> (w7 _),
     "w8_ignore_nulls_nav" -> (w8 _),
@@ -1537,10 +1562,26 @@ object Relational extends QueryPack {
          JOIN (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events) ev
            ON ev.ts >= s.t0 AND ev.ts < s.t0 + INTERVAL 1 HOUR
          GROUP BY 1""",
+    // COALESCE pins the engine's documented semantics (RangeCount:
+    // "NULL-valued build rows count but contribute 0") for the
+    // all-NULL-window edge plain sum() would answer with NULL
     "j12c_range_sum" ->
       """SELECT s.signup_id, count(*) AS n_events,
-                CAST(sum(CAST(floor(ev.value * 1000000) AS BIGINT)) AS BIGINT)
-                  AS sum_vmicro
+                CAST(COALESCE(
+                  sum(CAST(floor(ev.value * 1000000) AS BIGINT)), 0)
+                  AS BIGINT) AS sum_vmicro
+         FROM (SELECT event_id AS signup_id, CAST(ts AS TIMESTAMP) AS t0
+               FROM events WHERE event_type = 'signup') s
+         JOIN (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events) ev
+           ON ev.ts >= s.t0 AND ev.ts < s.t0 + INTERVAL 1 HOUR
+         GROUP BY 1""",
+    // hq31: the SAME question as j12c, asked from parsed text through
+    // the range_agg pipeline stage — oracle verbatim
+    "hq31_range_agg_hql" ->
+      """SELECT s.signup_id, count(*) AS n_events,
+                CAST(COALESCE(
+                  sum(CAST(floor(ev.value * 1000000) AS BIGINT)), 0)
+                  AS BIGINT) AS sum_vmicro
          FROM (SELECT event_id AS signup_id, CAST(ts AS TIMESTAMP) AS t0
                FROM events WHERE event_type = 'signup') s
          JOIN (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events) ev

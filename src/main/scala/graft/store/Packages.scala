@@ -203,4 +203,14 @@ final class PackageManager(val store: TableStore) {
 
   def read(inst: Instance, logical: String): DataFrame =
     store.read(inst.table(logical))
+
+  /** The live instance registered under `name`, if any — the lookup
+    * `Students <- new StudentPackage.` global bindings resolve through
+    * (HeroQL.compileWithPackages): a re-compiled program re-binds the
+    * EXISTING instance rather than instantiating twice. */
+  def instance(name: String): Option[Instance] = instances.get(name)
+
+  /** The definition of `pkgName`, if defined (the table list a
+    * package-instance global exposes as `Inst::Table` relations). */
+  def definition(pkgName: String): Option[PackageDef] = packages.get(pkgName)
 }

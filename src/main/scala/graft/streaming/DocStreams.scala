@@ -22,6 +22,25 @@ import org.apache.spark.sql.functions._
   */
 object DocStreams {
 
+  /** `might_contain(bloomBytes, longCol)` as a Column: Catalyst's own
+    * [[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]]
+    * (the runtime-bloom-join probe, with `doGenCode`) over a serialized
+    * `spark.util.sketch.BloomFilter` literal. Registered under a graft
+    * name because the builtin registration is tied to the injected
+    * runtime-filter rule, while this probe is driver-built; the
+    * expression itself is the stock one — no UDF, no codegen break. */
+  private[graft] def mightContainCol(spark: SparkSession,
+      bloomBytes: Array[Byte],
+      value: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_might_contain",
+      cs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(cs(0), cs(1)),
+      "built-in")
+    org.apache.spark.sql.functions.call_function(
+      "graft_bloom_might_contain", lit(bloomBytes), value)
+  }
+
   /** Stage `documents.parquet` as `nFiles` doc_id-range chunks with
     * ascending names AND mtimes: the file source (latestFirst=false)
     * processes oldest-first, so arrival order is doc_id order — which
@@ -159,10 +178,10 @@ object DocStreams {
     *    fpp; 10⁹ fps ≈ 1.2 GB — past driver budget, turn it off via
     *    `spark.graft.dedup.bloomEnabled=false` and the flipped probe
     *    alone still never shuffles the corpus).
-    *  - The bloom membership test is a scala UDF — acceptable here and
-    *    only here because it runs over the BATCH side (micro-batch
-    *    scale), never the corpus scan; the corpus-side probe stays
-    *    whole-stage-codegen native. */
+    *  - The bloom membership test is Catalyst's BloomFilterMightContain
+    *    over the serialized filter as a binary literal ([[mightContainCol]])
+    *    — the batch pre-split stays inside whole-stage codegen end to
+    *    end; the corpus-side probe was always codegen native. */
   def dedupSinkToStoreByFp(spark: SparkSession, dir: String,
       store: graft.store.TableStore, table: String,
       idCol: String = "doc_id", textCol: String = "text",
@@ -204,7 +223,7 @@ object DocStreams {
         store.read(table).stat.bloomFilter("fp", expectedItems, 0.01)
       else org.apache.spark.util.sketch.BloomFilter.create(expectedItems, 0.01)
     // null-text guard: see dedupSinkToStore's precondition — a null fp
-    // would also silently vanish from the primitive-Long bloom UDF's
+    // would also silently vanish from the long-typed bloom probe's
     // candidate set, making the re-admission loop invisible to the probe
     val q = src.select(idCol, (textCol +: carryCols): _*)
       .filter(col(textCol).isNotNull)
@@ -222,11 +241,7 @@ object DocStreams {
             pmod(col("fp"), lit(fpBuckets.toLong)).cast("int"))
         // persist (not localCheckpoint) + unpersist at batch end: an
         // unbounded stream must not accumulate per-batch blocks; the
-        // per-batch bloom broadcast is likewise destroyed once the
-        // commit is durable, not left to leak for the stream's lifetime
         val first = firstPerFp.persist()
-        var bloomBc: org.apache.spark.broadcast.Broadcast[
-          org.apache.spark.util.sketch.BloomFilter] = null
         try {
           // no eager count: the candidate-stats aggregate below is the
           // first action and materializes the persisted batch — an
@@ -238,10 +253,23 @@ object DocStreams {
               val candFps =
                 if (bloom == null) first.select("fp")
                 else {
-                  bloomBc = spark.sparkContext.broadcast(bloom)
-                  val b = bloomBc
-                  val mightContain = udf((fp: Long) => b.value.mightContainLong(fp))
-                  first.select("fp").filter(mightContain(col("fp")))
+                  // Catalyst's own BloomFilterMightContain (the
+                  // runtime-filter-join expression, codegen'd) over
+                  // the serialized driver bloom as a BINARY literal —
+                  // the batch plan stays inside whole-stage codegen
+                  // where the previous scala UDF broke it. Same sketch
+                  // class both sides: stat.bloomFilter builds the
+                  // BloomFilterImpl this expression's readFrom expects,
+                  // and both put/probe longs directly (DocStreamsSpec
+                  // pins UDF-free plan + probe parity).
+                  val bos = new java.io.ByteArrayOutputStream()
+                  bloom.writeTo(bos)
+                  // register on the BATCH df's session: foreachBatch
+                  // hands a per-batch session CLONE whose registry
+                  // snapshot predates any outer-session registration
+                  first.select("fp")
+                    .filter(DocStreams.mightContainCol(first.sparkSession,
+                      bos.toByteArray, col("fp")))
                 }
               // ONE aggregate job yields both the candidate count (the
               // broadcast size gate) and the candidate BUCKET SET (≤
@@ -310,10 +338,7 @@ object DocStreams {
               ()
             }
           } finally if (bloom != null) novelM.unpersist(false)
-        } finally {
-          first.unpersist(false)
-          if (bloomBc != null) bloomBc.destroy()
-        }
+        } finally first.unpersist(false)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation",

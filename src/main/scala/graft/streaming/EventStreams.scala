@@ -558,8 +558,18 @@ object EventStreams {
   def streamStreamSignupFullJoin(spark: SparkSession, dir: String): DataFrame =
     streamStreamSignupOuterJoin(spark, dir, "fullOuter")
 
+  /** Spec-only MULTI-BATCH variant: the corpus staged as `slices`
+    * event-time-ordered chunks (each its own micro-batch under
+    * maxFilesPerTrigger=1), so watermark advancement ACROSS data
+    * batches — the behavior the one-batch production staging cannot
+    * exercise — stays covered by StreamingSpec with full batch
+    * parity. */
+  def streamStreamSignupLeftJoinSliced(spark: SparkSession, dir: String,
+      slices: Int): DataFrame =
+    streamStreamSignupOuterJoin(spark, dir, "leftOuter", slices)
+
   private def streamStreamSignupOuterJoin(spark: SparkSession, dir: String,
-      joinType: String): DataFrame = {
+      joinType: String, timeSlices: Int = 1): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // ONE-BATCH corpus staging (unlike [[stageDir]]'s verbatim
     // part-file copy): the drain below runs `maxFilesPerTrigger = 1`,
@@ -578,8 +588,36 @@ object EventStreams {
     val staged = {
       val stage = java.nio.file.Files.createTempDirectory("graft-stream-")
         .toString
-      spark.read.schema(schema).parquet(s"$dir/events.parquet")
-        .repartition(1).write.mode("append").parquet(stage)
+      val src = spark.read.schema(schema).parquet(s"$dir/events.parquet")
+      if (timeSlices <= 1)
+        src.repartition(1).write.mode("append").parquet(stage)
+      else {
+        // EVENT-TIME-ORDERED chunks (the spec's multi-batch path):
+        // slice k holds the k-th ts-ntile, written oldest-first with
+        // PINNED ascending mtimes (append writes land within the same
+        // clock tick, and the file source orders batches by mtime), so
+        // replay arrives in rough event-time order — a later slice is
+        // always above the watermark the previous one advanced, which
+        // is the cross-batch watermark behavior this variant exists to
+        // exercise. The ntile global sort is fine HERE because this
+        // path is spec-only; production stays one-batch (see above).
+        val sliced = src.withColumn("__slice",
+          org.apache.spark.sql.expressions.Window.orderBy(col("ts")) match {
+            case w => ntile(timeSlices).over(w)
+          })
+        val stageF = new java.io.File(stage)
+        var seen = Set.empty[String]
+        (1 to timeSlices).foreach { k =>
+          sliced.filter(col("__slice") === k).drop("__slice")
+            .repartition(1).write.mode("append").parquet(stage)
+          stageF.listFiles().filter(f => f.getName.startsWith("part-"))
+            .filterNot(f => seen(f.getName))
+            .foreach { f =>
+              f.setLastModified(1600000000000L + k * 60000L)
+              seen += f.getName
+            }
+        }
+      }
       stage
     }
     val maxMicros = tsInstant(spark.read.schema(schema).parquet(staged))

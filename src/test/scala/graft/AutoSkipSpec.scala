@@ -152,6 +152,51 @@ class AutoSkipSpec extends SparkSpec {
     }
   }
 
+  test("partitioned store: Bloom stamps on a NON-partition column prune whole commits") {
+    // the fp-bucketed 100 TB corpus layout (st5b): hash-partitioned on
+    // `bucket`, Bloom-tracked on the non-partition key `k`. Partition
+    // pruning serves bucket filters; the manifest stamps must serve k
+    // filters TRANSPARENTLY too — each commit dir is its own discovery
+    // root (readDirs unions partitioned dirs), so the rule prunes
+    // whole dirs per union leg.
+    val st = freshStore()
+    def band(i: Int): DataFrame = spark.range(0, 600L)
+      .filter(col("id") % 6 === i)
+      .select(col("id").as("k"), (col("id") % 4).as("bucket"),
+        (col("id") % 7).as("v"))
+    st.createPartitioned("pt", band(0), Seq("bucket"), Map(
+      BloomSkipping.ColsProp -> "k",
+      BloomSkipping.BitsProp -> (1 << 12).toString,
+      BloomSkipping.HashesProp -> BloomSkipping.DefaultHashes.toString))
+    BloomSkipping.retrack(st, "pt")
+    (1 until 6).foreach(i => st.insert("pt", band(i)))
+    withRule(st) {
+      // k=250 lives in exactly one band: 5 of 6 union legs collapse
+      val df = st.read("pt").filter(col("k") === 250L)
+      assert(scanRoots(df) == Seq(1),
+        s"expected 1 surviving leg of 6, scan roots: ${scanRoots(df)}")
+      assert(df.select("k", "bucket", "v").collect().toSeq ==
+        Seq(Row(250L, 250L % 4, 250L % 7)))
+      // absent key: every leg pruned
+      val none = st.read("pt").filter(col("k") === 10000L)
+      assert(scanRoots(none).isEmpty, s"scan roots: ${scanRoots(none)}")
+      assert(none.count() == 0)
+      // partition-column filters still prune via Spark's own partition
+      // pruning, untouched by the rule (bucket is unstamped: all legs
+      // stay, but each leg opens only its bucket=2 subdir)
+      val pf = st.read("pt").filter(col("bucket") === 2L)
+      assert(scanRoots(pf).size == 6 && scanRoots(pf).forall(_ == 1),
+        s"scan roots: ${scanRoots(pf)}")
+      assert(pf.count() == (0L until 600L).count(_ % 4 == 2))
+      // parity: the pruned answer equals the rule-off answer
+      spark.conf.set("spark.graft.autoskip.enabled", "false")
+      try {
+        val base = st.read("pt").filter(col("k") === 250L).collect().toSeq
+        assert(df.collect().toSeq == base)
+      } finally spark.conf.unset("spark.graft.autoskip.enabled")
+    }
+  }
+
   test("kill switch and non-store scans: no pruning, no interference") {
     val st = freshStore()
     seedBanded(st)

@@ -183,7 +183,7 @@ class DedupSpec extends SparkSpec {
     val fanned = reps.join(pairs, reps("rep_id") === pairs("corpus_id"))
       .select(col("fp"), col("new_id"))
       .join(corpus.select(col("doc_id").as("corpus_id"),
-        graft.operators.TextFns.fingerprint("text").as("fp")), "fp")
+        Dedup.fpKey("text").as("fp")), "fp")
       .select("corpus_id", "new_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val ids = base.select("doc_id").as[Long].collect()
@@ -335,6 +335,24 @@ class DedupSpec extends SparkSpec {
     assert(a.count() == b.count())
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
       "layered and unlayered keeper decisions diverged")
+  }
+
+  test("fixture precondition for dd7/dd12 layering: no duplicated shingle-empty texts") {
+    // the ONE divergence class between the layered and unlayered
+    // cluster resolutions: a text too short to shingle (< 5 chars)
+    // that occurs more than once — unlayered, the copies form no edges
+    // and each keeps itself; layered, they share a fingerprint and
+    // inherit one keeper. The gates' verbatim oracles are valid only
+    // while the fixture contains none, so pin it at both driver SFs.
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+      val dup = Tables.t(spark, d, "documents")
+        .filter(length(trim(col("text"))) < 5)
+        .groupBy("text").count().filter(col("count") > 1)
+      assert(dup.isEmpty,
+        s"$d has duplicated shingle-empty texts — dd7/dd12's layered " +
+          "rewrite would diverge from its oracle; special-case them " +
+          "to keep themselves before the fp join")
+    }
   }
 
   test("dd9b layered semantic dedup is row-identical to the unlayered form on a replica-inflated corpus") {

@@ -162,4 +162,61 @@ class PackagesSpec extends SparkSpec {
       !pm.store.exists(fork.table("T")) && !pm.store.exists(grand.table("T")))
     intercept[IllegalArgumentException](pm.undefine("base")) // already gone
   }
+
+  test("package-instance global: first compile instantiates, later compiles re-bind") {
+    val pm = freshMgr()
+    graft.heroql.HeroQL.definePackage(
+      "package led;\ndata Entries(id: int64, v: double).", pm)
+    val program =
+      """Books <- new led.
+        |query All(id: int64) -> (v: double) :- Books::Entries(id, v).
+        |""".stripMargin
+    // first compile: the binding instantiates `Books` (empty module —
+    // no tables yet, so the atom has nothing to resolve against and
+    // analysis refuses; the INSTANCE must exist afterwards regardless)
+    intercept[Exception](
+      graft.heroql.HeroQL.compileWithPackages(program, "All", Map.empty, pm))
+    assert(pm.instance("Books").exists(_.pkg == "led"),
+      "first compile must instantiate the package under the global name")
+    // data arrives through the store (the reference's "through
+    // protocol" posture); the identical declaration now re-binds
+    val inst = pm.instance("Books").get
+    pm.store.create(inst.table("Entries"), seedDf.toDF("id", "v"))
+    val out = graft.heroql.HeroQL.compileWithPackages(program, "All", Map.empty, pm)
+    assert(out.orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      == Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+    assert(pm.instance("Books").get eq inst, "re-compile must not re-instantiate")
+    // binding the same global to a DIFFERENT package refuses
+    graft.heroql.HeroQL.definePackage("package other;\ndata X(a: int64).", pm)
+    intercept[Exception](graft.heroql.HeroQL.compileWithPackages(
+      "Books <- new other.\nquery Q(a: int64) :- Books::X(a).", "Q", Map.empty, pm))
+    // an undefined package refuses with a named diagnostic
+    val e = intercept[Exception](graft.heroql.HeroQL.compileWithPackages(
+      "Ghost <- new nosuch.\nquery Q(a: int64) :- Ghost::X(a).", "Q", Map.empty, pm))
+    assert(e.getMessage.contains("nosuch"))
+  }
+
+  test("global readonly declarations: parser golden + reserved-name diagnostics") {
+    import graft.heroql.{Parser, Ast}
+    // golden: both reference forms side by side parse into their buckets
+    val p = Parser.parse(
+      """Zero <- 0.
+        |Students <- new crm.
+        |data T(x: int64).
+        |query Q(x: int64) :- T(x), x > Zero.
+        |""".stripMargin)
+    assert(p.globals == Seq("Zero" -> Ast.LInt(0)))
+    assert(p.instances == Seq("Students" -> "crm"))
+    // a global is readonly: binding the name twice is a parse error
+    val dup = intercept[Parser.ParseError](Parser.parse(
+      "Zero <- 0.\nZero <- 1.\ndata T(x: int64)."))
+    assert(dup.msg.contains("Zero"))
+    val dupMixed = intercept[Parser.ParseError](Parser.parse(
+      "Books <- new led.\nBooks <- 1.\ndata T(x: int64)."))
+    assert(dupMixed.msg.contains("Books"))
+    // a global may not reuse a declared relation/query/func name
+    val clash = intercept[Parser.ParseError](Parser.parse(
+      "data T(x: int64).\nT <- 3.\nquery Q(x: int64) :- T(x)."))
+    assert(clash.msg.contains("T"))
+  }
 }

@@ -290,6 +290,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("__band"), s"band key missing from the join plan:\n$p")
   }
 
+  test("hq31 range_agg from text plans the segment tree: equi-join on tree nodes, no pair join") {
+    val p = plan(graft.queries.Relational, "hq31_range_agg_hql")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range_agg must never enumerate pairs:\n$p")
+    // the tree probe joins on (lvl, node) — the RangeCount signature
+    assert(p.contains("lvl"), s"segment-tree node join missing:\n$p")
+  }
+
   test("tx10 BM25 scores map-only; the only exchange feeds the top-k window") {
     val df = graft.queries.TextAnalysis.queries("tx10_bm25_topk")(spark, sf)
     val p = df.queryExecution.explainString(

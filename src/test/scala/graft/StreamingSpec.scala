@@ -127,6 +127,33 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.dedup.bloomEnabled")
   }
 
+  test("bloom pre-split probe is Catalyst's might_contain: UDF-free plan, exact probe parity") {
+    import spark.implicits._
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.01)
+    (0L until 500L).map(_ * 7919L).foreach(bloom.putLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    // parquet-backed probes: over a LocalRelation the optimizer folds
+    // the (deterministic, literal-bloom) predicate away entirely,
+    // which would leave no Filter node to audit
+    val pdir = java.nio.file.Files.createTempDirectory("graft-bloomprobe-").toString
+    (0L until 2000L).map(_ * 13L).toDF("fp").write.mode("overwrite").parquet(pdir)
+    val probes = spark.read.parquet(pdir)
+    val filtered = probes.filter(
+      graft.streaming.DocStreams.mightContainCol(spark, bos.toByteArray, col("fp")))
+    // the batch pre-split must stay inside whole-stage codegen: no
+    // scala-UDF node anywhere in the plan
+    val p = filtered.queryExecution.executedPlan.toString
+    assert(!p.contains("UDF") && !p.toLowerCase.contains("batchevalpython"),
+      s"bloom pre-split fell off the codegen path:\n$p")
+    assert(p.contains("might_contain"), s"expected the native probe:\n$p")
+    // exact parity with the driver-side sketch the stream maintains
+    val kept = filtered.collect().map(_.getLong(0)).toSet
+    val expected = (0L until 2000L).map(_ * 13L)
+      .filter(bloom.mightContainLong).toSet
+    assert(kept == expected, "expression probe diverged from sketch probe")
+  }
+
   test("fp sink restart resumes against the committed partitioned corpus") {
     // second invocation against the SAME store table: the bloom must
     // seed from the committed corpus (a partitioned multi-dir read),
@@ -230,6 +257,43 @@ class StreamingSpec extends SparkSpec {
     // the trailing heartbeat batch, not append-as-matched
     assert(streamed.filter(col("n_purchases") === 0).take(1).nonEmpty,
       "no unmatched signups were flushed — outer emission did not happen")
+    val ev = EventStreams.normalizeTs(Tables.t(spark, sf, "events"))
+    val maxTs = ev.agg(max(expr("unix_micros(CAST(ts AS TIMESTAMP))"))).head.getLong(0)
+    val signups = ev.filter(col("event_type") === "signup" &&
+        expr("unix_micros(CAST(ts AS TIMESTAMP))") <=
+          lit(maxTs - (7L * 24 + 2) * 3600L * 1000000L))
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
+        col("ts").as("ts0"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+    val batch = signups.join(p,
+      col("s_user") === p("user_id") &&
+        col("p_ts") >= col("ts0") && col("p_ts") < col("ts0") + expr("INTERVAL 7 DAYS"),
+      "leftOuter")
+      .groupBy("signup_id").agg(count(col("p_id")).as("n_purchases"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
+  test("stream-stream LEFT OUTER across MULTIPLE event-time-ordered batches keeps batch parity") {
+    // the one-batch production staging proves losslessness but never
+    // advances the watermark between DATA batches; this variant slices
+    // the corpus into 4 event-time-ordered micro-batches, so join
+    // state built in batch k must survive to match purchases arriving
+    // in batch k+1, and rows the advancing watermark proves unmatched
+    // must flush — then the whole result still equals the batch join
+    val sdf = EventStreams.streamStreamSignupLeftJoinSliced(spark, sf, 4)
+    val q = sdf.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("ssleft_mb_mem")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(240000)
+    val streamed = spark.table("ssleft_mb_mem")
+      .groupBy("signup_id").agg(count(col("p_id")).as("n_purchases"))
+    assert(streamed.filter(col("n_purchases") === 0).take(1).nonEmpty,
+      "no unmatched signups were flushed across batches")
     val ev = EventStreams.normalizeTs(Tables.t(spark, sf, "events"))
     val maxTs = ev.agg(max(expr("unix_micros(CAST(ts AS TIMESTAMP))"))).head.getLong(0)
     val signups = ev.filter(col("event_type") === "signup" &&
