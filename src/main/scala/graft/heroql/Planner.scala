@@ -753,28 +753,35 @@ final class Planner(decls: Map[String, DataDecl],
         case other => throw Analyzer.AnalysisError(
           s"range_agg needs exactly one Count binding, got ${other.size}")
       }
-      val sumB = st.binds.filter(_.fn == "Sum") match {
-        case Seq() => None
-        case Seq(one) if st.valVar.nonEmpty => Some(one)
-        case Seq(_) => throw Analyzer.AnalysisError(
-          "range_agg Sum needs a value field: range_agg Rel(ts, val) ...")
-        case other => throw Analyzer.AnalysisError(
-          s"range_agg supports at most one Sum binding, got ${other.size}")
-      }
-      st.binds.filterNot(b => b.fn == "Count" || b.fn == "Sum") match {
+      def valueBind(fn: String): Option[CqBind] =
+        st.binds.filter(_.fn == fn) match {
+          case Seq() => None
+          case Seq(one) if st.valVar.nonEmpty => Some(one)
+          case Seq(_) => throw Analyzer.AnalysisError(
+            s"range_agg $fn needs a value field: range_agg Rel(ts, val) ...")
+          case other => throw Analyzer.AnalysisError(
+            s"range_agg supports at most one $fn binding, got ${other.size}")
+        }
+      val sumB = valueBind("Sum")
+      val minB = valueBind("Min")
+      val maxB = valueBind("Max")
+      st.binds.filterNot(b => Set("Count", "Sum", "Min", "Max")(b.fn)) match {
         case Seq() => ()
         case other => throw Analyzer.AnalysisError(
-          s"range_agg aggregates are Count/Sum (group-homomorphic — the tree" +
-            s" nodes carry them); got ${other.map(_.fn).mkString(", ")}")
+          s"range_agg aggregates are Count/Sum/Min/Max (the commutative-" +
+            s"monoid set the tree nodes carry); got ${other.map(_.fn).mkString(", ")}")
       }
-      var out = graft.operators.RangeCount.rangeAgg(df, build,
+      var out = graft.operators.RangeCount.rangeAggAll(df, build,
         probeIds.head, st.probeVar, "__ts", st.valVar.map(_ => "__v"),
         st.window)
       out = out.withColumnRenamed("n_events", cnt.out)
-      out = sumB match {
-        case Some(b) => out.withColumnRenamed("sum_value", b.out)
-        case None => out.drop("sum_value")
-      }
+      Seq(sumB -> "sum_value", minB -> "min_value", maxB -> "max_value")
+        .foreach { case (b, c) =>
+          out = b match {
+            case Some(bind) => out.withColumnRenamed(c, bind.out)
+            case None => out.drop(c)
+          }
+        }
       df = out
       cols = probeIds.head +: st.binds.map(_.out)
     }

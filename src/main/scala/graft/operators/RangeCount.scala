@@ -55,10 +55,25 @@ object RangeCount {
       windowNanos, targetLeafRows).drop("sum_value")
 
   /** [[rangeCount]] plus a SUMMED BIGINT value per interval (tree
-    * nodes carry (count, sum) — any group-homomorphic aggregate rides
-    * the same decomposition): returns probeIdCol + `n_events` +
-    * `sum_value` (NULL-valued build rows count but contribute 0). */
+    * nodes carry (count, sum, min, max) — any commutative-monoid
+    * aggregate rides the same decomposition): returns probeIdCol +
+    * `n_events` + `sum_value` (NULL-valued build rows count but
+    * contribute 0). */
   def rangeAgg(probe: DataFrame, build: DataFrame, probeIdCol: String,
+      startNsCol: String, tsNsCol: String, valueCol: Option[String],
+      windowNanos: Long, targetLeafRows: Long = 32L): DataFrame =
+    rangeAggAll(probe, build, probeIdCol, startNsCol, tsNsCol, valueCol,
+      windowNanos, targetLeafRows).drop("min_value", "max_value")
+
+  /** The full per-interval summary: `n_events`, `sum_value` (NULLs
+    * contribute 0), `min_value` / `max_value` (NULLs ignored — NULL
+    * when every value in the window is NULL, plain-SQL min/max
+    * semantics, so the oracle needs no COALESCE). Min and max are
+    * idempotent-commutative, so the canonical decomposition needs no
+    * disjointness — they ride the same ≤2-nodes-per-level probe as
+    * count/sum with zero extra joins, just two more longs per tree
+    * node. */
+  def rangeAggAll(probe: DataFrame, build: DataFrame, probeIdCol: String,
       startNsCol: String, tsNsCol: String, valueCol: Option[String],
       windowNanos: Long, targetLeafRows: Long = 32L): DataFrame = {
     require(windowNanos > 0, "window must be positive")
@@ -66,9 +81,15 @@ object RangeCount {
       count(col(tsNsCol))).head
     val vCol = valueCol.map(c => coalesce(col(c).cast("long"), lit(0L)))
       .getOrElse(lit(0L))
+    // the raw (un-coalesced) value for min/max: aggregate NULL-skip
+    // semantics must see the NULLs, not injected zeros
+    val rawV = valueCol.map(c => col(c).cast("long"))
+      .getOrElse(lit(null).cast("long"))
     val empty = probe.select(col(probeIdCol))
       .withColumn("n_events", lit(0L))
-      .withColumn("sum_value", lit(0L)).limit(0)
+      .withColumn("sum_value", lit(0L))
+      .withColumn("min_value", lit(null).cast("long"))
+      .withColumn("max_value", lit(null).cast("long")).limit(0)
     if (stats.isNullAt(0)) return empty
     val mn = stats.getLong(0)
     val mx = stats.getLong(1)
@@ -92,15 +113,17 @@ object RangeCount {
     // whole operator at small scale: 11 s → ~3 s at sf0.1)
     val leaves = build
       .select(expr(s"(`$tsNsCol` - ${mn}L) div ${b}L").as("node"),
-        vCol.as("v"))
-      .groupBy("node").agg(count(lit(1)).as("cnt"), sum("v").as("sv"))
+        vCol.as("v"), rawV.as("rv"))
+      .groupBy("node").agg(count(lit(1)).as("cnt"), sum("v").as("sv"),
+        min("rv").as("mnv"), max("rv").as("mxv"))
     val tree = leaves
       .select(explode(expr(
         s"""transform(sequence(0, $lMax),
               k -> named_struct('lvl', k, 'node', node div shiftleft(1L, k)))"""))
-        .as("a"), col("cnt"), col("sv"))
+        .as("a"), col("cnt"), col("sv"), col("mnv"), col("mxv"))
       .groupBy(col("a.lvl").as("lvl"), col("a.node").as("node"))
-      .agg(sum("cnt").as("cnt"), sum("sv").as("sv"))
+      .agg(sum("cnt").as("cnt"), sum("sv").as("sv"),
+        min("mnv").as("mnv"), max("mxv").as("mxv"))
     // ---- probes: leaf window, clamped to the data's leaf space
     val p = probe.select(col(probeIdCol).as("__pid"),
         expr(s"(`$startNsCol` - ${mn}L) div ${b}L").as("__lo"),
@@ -113,11 +136,13 @@ object RangeCount {
       .select(col("__pid"), col("__t0"),
         explode(array_distinct(array(col("__lo"), col("__hi")))).as("node"))
       .join(build.select(col(tsNsCol).as("__ts"),
-        expr(s"(`$tsNsCol` - ${mn}L) div ${b}L").as("node"), vCol.as("__v")),
+        expr(s"(`$tsNsCol` - ${mn}L) div ${b}L").as("node"), vCol.as("__v"),
+        rawV.as("__rv")),
         Seq("node"))
       .filter(col("__ts") >= col("__t0") &&
         col("__ts") < col("__t0") + lit(windowNanos))
-      .groupBy("__pid").agg(count(lit(1)).as("__nb"), sum("__v").as("__sb"))
+      .groupBy("__pid").agg(count(lit(1)).as("__nb"), sum("__v").as("__sb"),
+        min("__rv").as("__mnb"), max("__rv").as("__mxb"))
     // interior: canonical decomposition of [lo+1, hi-1], clamped
     val nodesExpr =
       s"""flatten(transform(sequence(0, $lMax), k ->
@@ -136,13 +161,18 @@ object RangeCount {
         explode(array_distinct(expr(nodesExpr))).as("nd"))
       .select(col("__pid"), col("nd.lvl").as("lvl"), col("nd.node").as("node"))
       .join(tree, Seq("lvl", "node"))
-      .groupBy("__pid").agg(sum("cnt").as("__ni"), sum("sv").as("__si"))
+      .groupBy("__pid").agg(sum("cnt").as("__ni"), sum("sv").as("__si"),
+        min("mnv").as("__mni"), max("mxv").as("__mxi"))
     boundary.join(interior, Seq("__pid"), "full_outer")
       .select(col("__pid").as(probeIdCol),
         (coalesce(col("__nb"), lit(0L)) + coalesce(col("__ni"), lit(0L)))
           .as("n_events"),
         (coalesce(col("__sb"), lit(0L)) + coalesce(col("__si"), lit(0L)))
-          .as("sum_value"))
+          .as("sum_value"),
+        // least/greatest skip NULLs: NULL only when BOTH sides saw
+        // no non-null value — exactly SQL min/max over the window
+        least(col("__mnb"), col("__mni")).as("min_value"),
+        greatest(col("__mxb"), col("__mxi")).as("max_value"))
       .filter(col("n_events") > 0)
   }
 }

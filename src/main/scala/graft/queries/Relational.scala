@@ -981,6 +981,28 @@ object Relational extends QueryPack {
       .withColumnRenamed("sum_value", "sum_vmicro")
   }
 
+  /** J12d — the FULL range summary off one tree ([[graft.operators
+    * .RangeCount.rangeAggAll]]): count, sum, min and max of the hour's
+    * event values per signup. Min/max are idempotent-commutative, so
+    * they ride the same canonical decomposition as count/sum with two
+    * more longs per node and ZERO extra joins — where a window-frame
+    * or pair-join answer would re-pay the whole scan. NULL semantics
+    * split exactly as SQL does: NULL values count (and add 0 to the
+    * sum) but are invisible to min/max — the oracle states min/max
+    * plainly, no COALESCE. */
+  private def j12d(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.streaming.EventStreams.tsNanos(t(s, d, "events"), "tns")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("tns").as("t0"))
+    val all = ev.select(col("tns"),
+      expr("CAST(floor(value * 1000000) AS BIGINT)").as("vmicro"))
+    graft.operators.RangeCount.rangeAggAll(signups, all, "signup_id",
+      "t0", "tns", Some("vmicro"), windowNanos = 3600L * 1000000000L)
+      .withColumnRenamed("sum_value", "sum_vmicro")
+      .withColumnRenamed("min_value", "min_vmicro")
+      .withColumnRenamed("max_value", "max_vmicro")
+  }
+
   /** hq31 — j12c's question asked from PARSED TEXT: the `range_agg`
     * collection-query stage plans straight to [[graft.operators
     * .RangeCount.rangeAgg]], so the scale-safe segment-tree shape —
@@ -1001,6 +1023,28 @@ object Relational extends QueryPack {
            Signups(signup_id, t0)
          range_agg Events(tns, vmicro) within 3600000000000 of t0
            (n_events = Count(tns), sum_vmicro = Sum(vmicro))
+         ;""",
+      Map("Signups" -> signups, "Events" -> all))
+  }
+
+  /** hq32 — the full range summary from PARSED TEXT: Min/Max join
+    * Count/Sum in the `range_agg` stage (the commutative-monoid set
+    * the tree nodes carry). Oracle = j12d's verbatim. */
+  private def hq32(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.streaming.EventStreams.tsNanos(t(s, d, "events"), "tns")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("tns").as("t0"))
+    val all = ev.select(col("tns"),
+      expr("CAST(floor(value * 1000000) AS BIGINT)").as("vmicro"))
+    graft.heroql.HeroQL.compileCollection(
+      """data Signups(signup_id: int64, t0: int64).
+        |data Events(tns: int64, vmicro: int64).
+        |""".stripMargin,
+      """collection_query(signup_id, t0) :-
+           Signups(signup_id, t0)
+         range_agg Events(tns, vmicro) within 3600000000000 of t0
+           (n_events = Count(tns), sum_vmicro = Sum(vmicro),
+            min_vmicro = Min(vmicro), max_vmicro = Max(vmicro))
          ;""",
       Map("Signups" -> signups, "Events" -> all))
   }
@@ -1219,7 +1263,9 @@ object Relational extends QueryPack {
     "j12_banded_range_join" -> (j12 _),
     "j12b_range_count" -> (j12b _),
     "j12c_range_sum" -> (j12c _),
+    "j12d_range_minmax" -> (j12d _),
     "hq31_range_agg_hql" -> (hq31 _),
+    "hq32_range_minmax_hql" -> (hq32 _),
     "j13_grid_spatial_join" -> (j13 _),
     "w7_time_range_frame" -> (w7 _),
     "w8_ignore_nulls_nav" -> (w8 _),
@@ -1570,6 +1616,33 @@ object Relational extends QueryPack {
                 CAST(COALESCE(
                   sum(CAST(floor(ev.value * 1000000) AS BIGINT)), 0)
                   AS BIGINT) AS sum_vmicro
+         FROM (SELECT event_id AS signup_id, CAST(ts AS TIMESTAMP) AS t0
+               FROM events WHERE event_type = 'signup') s
+         JOIN (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events) ev
+           ON ev.ts >= s.t0 AND ev.ts < s.t0 + INTERVAL 1 HOUR
+         GROUP BY 1""",
+    // j12c plus plain-SQL min/max over the same window (NULLs ignored
+    // by min/max in both engines, so no COALESCE on those)
+    "j12d_range_minmax" ->
+      """SELECT s.signup_id, count(*) AS n_events,
+                CAST(COALESCE(
+                  sum(CAST(floor(ev.value * 1000000) AS BIGINT)), 0)
+                  AS BIGINT) AS sum_vmicro,
+                min(CAST(floor(ev.value * 1000000) AS BIGINT)) AS min_vmicro,
+                max(CAST(floor(ev.value * 1000000) AS BIGINT)) AS max_vmicro
+         FROM (SELECT event_id AS signup_id, CAST(ts AS TIMESTAMP) AS t0
+               FROM events WHERE event_type = 'signup') s
+         JOIN (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events) ev
+           ON ev.ts >= s.t0 AND ev.ts < s.t0 + INTERVAL 1 HOUR
+         GROUP BY 1""",
+    // hq32: j12d's full summary from parsed text — oracle verbatim
+    "hq32_range_minmax_hql" ->
+      """SELECT s.signup_id, count(*) AS n_events,
+                CAST(COALESCE(
+                  sum(CAST(floor(ev.value * 1000000) AS BIGINT)), 0)
+                  AS BIGINT) AS sum_vmicro,
+                min(CAST(floor(ev.value * 1000000) AS BIGINT)) AS min_vmicro,
+                max(CAST(floor(ev.value * 1000000) AS BIGINT)) AS max_vmicro
          FROM (SELECT event_id AS signup_id, CAST(ts AS TIMESTAMP) AS t0
                FROM events WHERE event_type = 'signup') s
          JOIN (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events) ev

@@ -22,23 +22,29 @@ import org.apache.spark.sql.functions._
   */
 object DocStreams {
 
-  /** `might_contain(bloomBytes, longCol)` as a Column: Catalyst's own
-    * [[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]]
-    * (the runtime-bloom-join probe, with `doGenCode`) over a serialized
-    * `spark.util.sketch.BloomFilter` literal. Registered under a graft
-    * name because the builtin registration is tied to the injected
-    * runtime-filter rule, while this probe is driver-built; the
-    * expression itself is the stock one — no UDF, no codegen break. */
+  /** The bloom membership probe as a Column: the codegen'd
+    * [[graft.functions.BloomMightContainLong]] over a broadcast of the
+    * driver-maintained filter (see that class for why Spark's own
+    * `might_contain`-over-a-literal is a trap: multi-MB binary literals
+    * hex-render in every plan string — AQE's own explain logging OOMed
+    * on it). Registered through the session registry so the Column
+    * resolves in the batch's analyzer; the builder closes over the
+    * broadcast, so `value` is the only SQL-visible child. The
+    * registration is session-scoped mutable state: callers must not
+    * interleave two probes with DIFFERENT blooms on one session
+    * between registration and analysis — streams are safe (each gets
+    * its own per-batch session clone, and batches run sequentially
+    * within a stream). */
   private[graft] def mightContainCol(spark: SparkSession,
-      bloomBytes: Array[Byte],
+      bloomBc: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter],
       value: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bloom_might_contain",
-      cs => org.apache.spark.sql.catalyst.expressions
-        .BloomFilterMightContain(cs(0), cs(1)),
+      cs => graft.functions.BloomMightContainLong(bloomBc, cs(0)),
       "built-in")
     org.apache.spark.sql.functions.call_function(
-      "graft_bloom_might_contain", lit(bloomBytes), value)
+      "graft_bloom_might_contain", value)
   }
 
   /** Stage `documents.parquet` as `nFiles` doc_id-range chunks with
@@ -242,6 +248,10 @@ object DocStreams {
         // persist (not localCheckpoint) + unpersist at batch end: an
         // unbounded stream must not accumulate per-batch blocks; the
         val first = firstPerFp.persist()
+        // per-batch bloom broadcast, destroyed once the commit is
+        // durable — never left to leak for the stream's lifetime
+        var bloomBc: org.apache.spark.broadcast.Broadcast[
+          org.apache.spark.util.sketch.BloomFilter] = null
         try {
           // no eager count: the candidate-stats aggregate below is the
           // first action and materializes the persisted batch — an
@@ -253,23 +263,17 @@ object DocStreams {
               val candFps =
                 if (bloom == null) first.select("fp")
                 else {
-                  // Catalyst's own BloomFilterMightContain (the
-                  // runtime-filter-join expression, codegen'd) over
-                  // the serialized driver bloom as a BINARY literal —
-                  // the batch plan stays inside whole-stage codegen
-                  // where the previous scala UDF broke it. Same sketch
-                  // class both sides: stat.bloomFilter builds the
-                  // BloomFilterImpl this expression's readFrom expects,
-                  // and both put/probe longs directly (DocStreamsSpec
-                  // pins UDF-free plan + probe parity).
-                  val bos = new java.io.ByteArrayOutputStream()
-                  bloom.writeTo(bos)
-                  // register on the BATCH df's session: foreachBatch
+                  // the codegen'd broadcast-backed probe expression
+                  // (BloomMightContainLong — see its doc for why NOT a
+                  // binary literal): batch plan stays inside
+                  // whole-stage codegen where a scala UDF broke it.
+                  // Registered on the BATCH df's session: foreachBatch
                   // hands a per-batch session CLONE whose registry
-                  // snapshot predates any outer-session registration
+                  // snapshot predates any outer-session registration.
+                  bloomBc = spark.sparkContext.broadcast(bloom)
                   first.select("fp")
                     .filter(DocStreams.mightContainCol(first.sparkSession,
-                      bos.toByteArray, col("fp")))
+                      bloomBc, col("fp")))
                 }
               // ONE aggregate job yields both the candidate count (the
               // broadcast size gate) and the candidate BUCKET SET (≤
@@ -338,7 +342,10 @@ object DocStreams {
               ()
             }
           } finally if (bloom != null) novelM.unpersist(false)
-        } finally first.unpersist(false)
+        } finally {
+          first.unpersist(false)
+          if (bloomBc != null) bloomBc.destroy()
+        }
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation",

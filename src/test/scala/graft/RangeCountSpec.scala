@@ -78,6 +78,46 @@ class RangeCountSpec extends SparkSpec {
     assert(viaTree.nonEmpty && viaTree == viaPairs)
   }
 
+  test("range MIN/MAX ride the same tree: NULL-skip semantics, band-join parity") {
+    import spark.implicits._
+    val build = Seq((10L, Some(5L)), (20L, None), (30L, Some(7L)),
+      (95L, Some(11L)), (170L, Some(13L)), (250L, None)).toDF("tns", "v")
+    val probe = Seq((1L, 0L), (2L, 15L), (3L, 90L), (4L, 500L),
+      (5L, 210L)).toDF("pid", "t0")
+    val got = RangeCount.rangeAggAll(probe, build, "pid", "t0", "tns",
+        Some("v"), windowNanos = 100L, targetLeafRows = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    // pid1 {10,20,30,95}: min 5 max 11 (the NULL at 20 is invisible);
+    // pid2 {20,30,95}: min 7 max 11; pid3 {95,170}: min 11 max 13;
+    // pid5 {250}: the only row is NULL-valued — counts, sums 0, and
+    // min/max are NULL (plain SQL semantics)
+    assert(got == Map(
+      1L -> ((4L, 23L, Some(5L), Some(11L))),
+      2L -> ((3L, 18L, Some(7L), Some(11L))),
+      3L -> ((2L, 24L, Some(11L), Some(13L))),
+      5L -> ((1L, 0L, None, None))))
+    // fixture-scale parity against the pair-enumerating form
+    val ev = graft.streaming.EventStreams.tsNanos(
+      Tables.t(spark, sf, "events"), "tns")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("tns").as("t0"))
+    val all = ev.select(col("tns"),
+      expr("CAST(floor(value * 1000000) AS BIGINT)").as("vm"))
+    val w = 3600L * 1000000000L
+    val viaTree = RangeCount.rangeAggAll(signups, all, "signup_id",
+        "t0", "tns", Some("vm"), w)
+    val viaPairs = BandedRangeJoin.bandJoin(signups, all, "t0", "tns", w)
+      .groupBy("signup_id")
+      .agg(count(lit(1)).as("n_events"), sum("vm").as("sum_value"),
+        min("vm").as("min_value"), max("vm").as("max_value"))
+    assert(viaTree.count() > 0)
+    assert(viaTree.exceptAll(viaPairs).isEmpty &&
+      viaPairs.exceptAll(viaTree).isEmpty)
+  }
+
   test("no zero-count rows; empty build yields empty result") {
     import spark.implicits._
     val build = Seq(100L, 200L).toDF("tns")

@@ -131,16 +131,15 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     val bloom = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.01)
     (0L until 500L).map(_ * 7919L).foreach(bloom.putLong)
-    val bos = new java.io.ByteArrayOutputStream()
-    bloom.writeTo(bos)
+    val bc = spark.sparkContext.broadcast(bloom)
     // parquet-backed probes: over a LocalRelation the optimizer folds
-    // the (deterministic, literal-bloom) predicate away entirely,
-    // which would leave no Filter node to audit
+    // the deterministic predicate away entirely, which would leave no
+    // Filter node to audit
     val pdir = java.nio.file.Files.createTempDirectory("graft-bloomprobe-").toString
     (0L until 2000L).map(_ * 13L).toDF("fp").write.mode("overwrite").parquet(pdir)
     val probes = spark.read.parquet(pdir)
     val filtered = probes.filter(
-      graft.streaming.DocStreams.mightContainCol(spark, bos.toByteArray, col("fp")))
+      graft.streaming.DocStreams.mightContainCol(spark, bc, col("fp")))
     // the batch pre-split must stay inside whole-stage codegen: no
     // scala-UDF node anywhere in the plan
     val p = filtered.queryExecution.executedPlan.toString
