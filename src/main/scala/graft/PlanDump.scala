@@ -81,7 +81,8 @@ object PlanDump {
       // value package-instance read, and the segment tree reached from
       // parsed text (range_agg pipeline stage)
       "dd9b_semantic_dedup_scaled", "hq30_global_values",
-      "hq31_range_agg_hql", "j12d_range_minmax", "hq32_range_minmax_hql")
+      "hq31_range_agg_hql", "j12d_range_minmax", "hq32_range_minmax_hql",
+      "dd9c_incremental_semantic")
     (Bench.headline ++ extras).foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))

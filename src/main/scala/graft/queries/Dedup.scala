@@ -722,6 +722,73 @@ object Dedup extends QueryPack {
         round(max(col("cos_sim")), 6).as("max_cos"))
   }
 
+  /** dd9c — INCREMENTAL semantic dedup: dd6's batch-vs-corpus split
+    * applied to dd9b's recipe, the steady-state 100 TB shape (a crawl
+    * re-visit or a re-render lands as a batch; the question is "which
+    * batch vectors are semantic duplicates of the ALREADY-INGESTED
+    * corpus", never all-pairs over corpus ∪ batch). Centroids are a
+    * CORPUS artifact (C = max(16, ⌈√n_corpus⌉), the deterministic
+    * residue pick — the coarse quantizer is the stored index; batches
+    * are assigned into it, they do not reshape it). Per batch vector
+    * with ≥1 corpus neighbor at cos ≥ τ in its cluster: (vec_id,
+    * cluster_id, dup_of = min corpus id, max_cos). No id-order
+    * constraint — corpus membership IS precedence.
+    *
+    * Layered exactly like dd9b, BOTH sides (dd6c's discipline):
+    * exact-value collapse, assignment and the cluster-local
+    * corpus×batch pair search over DISTINCT values, verdicts fanned
+    * back per batch VALUE — a batch verdict depends only on the
+    * value, so the fan-out is one gid-keyed join, and pair volume
+    * tracks distinct-value density on both sides, invariant under
+    * replication (the synth corpus's 100 exact replicas per vector).
+    * Identity to the unlayered oracle: cluster(value) is a pure
+    * function of the value; dup_of = min over qualifying corpus
+    * groups of the group's min id (= its gid); max_cos ranges over
+    * the same per-group doubles. */
+  private def dd9c(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFns.register(s)
+    val e = t(s, d, "embeddings")
+    val corpus = e.filter(col("vec_id") % 5 =!= 0)
+    val batch = e.filter(col("vec_id") % 5 === 0)
+    val n = corpus.count()
+    val nCents =
+      math.max(Dd9Cents.toLong, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
+    val cents = corpus.filter(col("vec_id") % 13 === 5)
+      .orderBy("vec_id").limit(nCents)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        expr("sqrt(graft_dot_f(embedding, embedding))").as("cn"))
+    def collapse(df: DataFrame, gid: String): DataFrame =
+      df.groupBy(col("embedding")).agg(min(col("vec_id")).as(gid))
+    def assign(groups: DataFrame, gid: String): DataFrame = groups
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col(gid), col("embedding").as("v"),
+        expr("sqrt(graft_dot_f(embedding, embedding))").as("nrm"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", expr("graft_dot_f(v, cv) / (nrm * cn)"))
+      .groupBy(gid)
+      .agg(max(struct(col("csim"), (-col("cid")).as("ncid"),
+        col("v"), col("nrm"))).as("k"))
+      .select(col(gid), (-col("k.ncid")).as("cluster_id"),
+        col("k.v").as("v"), col("k.nrm").as("nrm"))
+    val bGroups = collapse(batch, "bgid")
+    val ca = assign(collapse(corpus, "cgid"), "cgid")
+      .select(col("cluster_id"), col("cgid"), col("v").as("vc"),
+        col("nrm").as("nc"))
+    val ba = assign(bGroups, "bgid")
+      .select(col("cluster_id").as("bc"), col("bgid"),
+        col("v").as("vb"), col("nrm").as("nb"))
+    val verdictPerValue = ca.join(ba, col("cluster_id") === col("bc"))
+      .withColumn("cos_sim", expr("graft_dot_f(vc, vb) / (nc * nb)"))
+      .filter(col("cos_sim") >= Dd9Tau)
+      .groupBy(col("bgid"), col("bc").as("cluster_id"))
+      .agg(min(col("cgid")).as("dup_of"),
+        round(max(col("cos_sim")), 6).as("max_cos"))
+    batch.join(bGroups, Seq("embedding"))
+      .select(col("vec_id"), col("bgid"))
+      .join(verdictPerValue, "bgid")
+      .select(col("vec_id"), col("cluster_id"), col("dup_of"), col("max_cos"))
+  }
+
   /** The unlayered SemDeDup pipeline at an explicit centroid count —
     * dd9's body, and the parity reference DedupSpec holds dd9b's
     * layered rewrite against on replica-inflated corpora. */
@@ -856,6 +923,7 @@ object Dedup extends QueryPack {
     "dd8_chunk_dedup" -> (dd8 _),
     "dd9_semantic_dedup" -> (dd9 _),
     "dd9b_semantic_dedup_scaled" -> (dd9b _),
+    "dd9c_incremental_semantic" -> (dd9c _),
     "dd10_duplicate_spans" -> (dd10 _),
     "dd11_line_dedup" -> (dd11 _),
     "dd13_normalized_dedup" -> (dd13 _),
@@ -1304,6 +1372,42 @@ object Dedup extends QueryPack {
          FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
          WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $Dd9Tau
          GROUP BY b.vec_id, b.cid""",
+    // incremental: corpus-only centroids (scaled to the CORPUS count),
+    // both sides assigned, batch-vs-corpus cluster-local pairs, no
+    // id-order constraint (corpus membership is precedence)
+    "dd9c_incremental_semantic" ->
+      s"""WITH e AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+           FROM embeddings),
+         co AS (SELECT * FROM e WHERE vec_id % 5 <> 0),
+         bt AS (SELECT * FROM e WHERE vec_id % 5 = 0),
+         cents AS (
+           SELECT cid, cv, cn FROM (
+             SELECT vec_id AS cid, v AS cv, nrm AS cn,
+               row_number() OVER (ORDER BY vec_id) AS rn
+             FROM co WHERE vec_id % 13 = 5)
+           WHERE rn <= greatest($Dd9Cents,
+             CAST(ceil(sqrt((SELECT count(*) FROM co))) AS BIGINT))),
+         asgc AS (
+           SELECT vec_id, v, nrm, cid FROM (
+             SELECT co.vec_id, co.v, co.nrm, c.cid,
+               row_number() OVER (PARTITION BY co.vec_id
+                 ORDER BY list_dot_product(co.v, c.cv) / (co.nrm * c.cn) DESC,
+                          c.cid ASC) AS rn
+             FROM co CROSS JOIN cents c) WHERE rn = 1),
+         asgb AS (
+           SELECT vec_id, v, nrm, cid FROM (
+             SELECT bt.vec_id, bt.v, bt.nrm, c.cid,
+               row_number() OVER (PARTITION BY bt.vec_id
+                 ORDER BY list_dot_product(bt.v, c.cv) / (bt.nrm * c.cn) DESC,
+                          c.cid ASC) AS rn
+             FROM bt CROSS JOIN cents c) WHERE rn = 1)
+         SELECT b.vec_id, b.cid AS cluster_id, min(a.vec_id) AS dup_of,
+           round(max(list_dot_product(a.v, b.v) / (a.nrm * b.nrm)), 6) AS max_cos
+         FROM asgb b JOIN asgc a ON a.cid = b.cid
+         WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $Dd9Tau
+         GROUP BY 1, 2""",
     // double-precision cosine, same formula as the Spark side
     // (list_cosine_similarity on FLOAT[] accumulates in float)
     "dd5_embedding_neardup" ->

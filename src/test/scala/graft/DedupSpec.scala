@@ -382,6 +382,61 @@ class DedupSpec extends SparkSpec {
       "layered and unlayered semantic-dedup verdicts diverged")
   }
 
+  test("dd9c incremental semantic dedup is row-identical to its unlayered form on a replica-inflated corpus") {
+    // same clique layout as the dd9b parity test; dd9c's layering
+    // additionally collapses BOTH sides and fans out per batch VALUE
+    // (no id-order constraint — corpus membership is precedence), so
+    // the unlayered reference here assigns RAW rows on both sides
+    val base = Tables.t(spark, sf, "embeddings").limit(120)
+      .select(col("vec_id"), col("embedding"))
+    val n = base.count()
+    // stride n+1 ≡ 1 (mod 5): a stride of n=120 ≡ 0 would put every
+    // replica of a clique in the SAME side of the %5 corpus/batch
+    // split and the incremental question would be vacuously empty
+    val reps = (0 until 5).map(k => base.select(
+      (col("vec_id") + lit(k * (n + 1))).as("vec_id"), col("embedding")))
+      .reduce(_ union _)
+    val dir = java.nio.file.Files.createTempDirectory("graft-dd9c-").toString
+    reps.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val layered = Dedup.queries("dd9c_incremental_semantic")(spark, dir)
+    // unlayered reference: corpus-only centroids, raw-row assignment
+    // both sides, cluster-local batch-vs-corpus pairs
+    graft.functions.VectorFns.register(spark)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val corpus = e.filter(col("vec_id") % 5 =!= 0)
+    val batch = e.filter(col("vec_id") % 5 === 0)
+    val c = math.max(16L,
+      math.ceil(math.sqrt(corpus.count().toDouble)).toLong).toInt
+    val cents = corpus.filter(col("vec_id") % 13 === 5)
+      .orderBy("vec_id").limit(c)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        expr("sqrt(graft_dot_f(embedding, embedding))").as("cn"))
+    def assignRaw(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("embedding").as("v"),
+        expr("sqrt(graft_dot_f(embedding, embedding))").as("nrm"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", expr("graft_dot_f(v, cv) / (nrm * cn)"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("csim"), (-col("cid")).as("ncid"),
+        col("v"), col("nrm"))).as("k"))
+      .select(col("vec_id"), (-col("k.ncid")).as("cluster_id"),
+        col("k.v").as("v"), col("k.nrm").as("nrm"))
+    val ac = assignRaw(corpus).select(col("cluster_id"),
+      col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
+    val ab = assignRaw(batch).select(col("cluster_id").as("bc"),
+      col("vec_id"), col("v").as("vb"), col("nrm").as("nb"))
+    val unlayered = ac.join(ab, col("cluster_id") === col("bc"))
+      .withColumn("cos_sim", expr("graft_dot_f(va, vb) / (na * nb)"))
+      .filter(col("cos_sim") >= 0.4)
+      .groupBy(col("vec_id"), col("cluster_id"))
+      .agg(min(col("a_id")).as("dup_of"),
+        round(max(col("cos_sim")), 6).as("max_cos"))
+    assert(layered.count() > 0, "replica cliques produced no verdicts")
+    assert(layered.exceptAll(unlayered).isEmpty &&
+      unlayered.exceptAll(layered).isEmpty,
+      "layered and unlayered incremental semantic verdicts diverged")
+  }
+
   test("simhash of near-identical texts is close, distant texts differ") {
     import spark.implicits._
     val df = Seq(

@@ -369,4 +369,42 @@ class PropertySpec extends SparkSpec {
       assert(a == b, s"extra=${b -- a} missing=${a -- b}")
     }
   }
+
+  test("property: segment-tree range aggregates equal a driver-side reference (10 cases)") {
+    import spark.implicits._
+    (1 to 10).foreach { _ =>
+      // clustered timestamps (duplicates and gaps), NULL-bearing
+      // values, random window widths — the canonical-decomposition
+      // arithmetic's edge surface: misaligned boundaries, sub-leaf
+      // windows, out-of-span probes
+      val n = rnd.nextInt(120) + 30
+      val build = (1 to n).map { _ =>
+        val ts = rnd.nextInt(2000).toLong * (rnd.nextInt(3) + 1)
+        val v = if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(200).toLong - 100)
+        (ts, v)
+      }
+      val probes = (1 to rnd.nextInt(40) + 10).map(i =>
+        (i.toLong, rnd.nextInt(5000).toLong - 500))
+      val w = rnd.nextInt(300).toLong + 1
+      val got = graft.operators.RangeCount.rangeAggAll(
+          probes.toDF("pid", "t0"), build.toDF("tns", "v"),
+          "pid", "t0", "tns", Some("v"), w,
+          targetLeafRows = rnd.nextInt(8) + 1)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getLong(3)),
+            if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+      val want = probes.flatMap { case (pid, t0) =>
+        val in = build.filter { case (ts, _) => ts >= t0 && ts < t0 + w }
+        if (in.isEmpty) None else {
+          val vs = in.flatMap(_._2)
+          Some(pid -> ((in.size.toLong, vs.sum,
+            vs.minOption, vs.maxOption)))
+        }
+      }.toMap
+      assert(got == want,
+        s"window=$w extra=${got.keySet -- want.keySet} missing=${want.keySet -- got.keySet} " +
+          s"diff=${got.collect { case (k, v) if want.get(k).exists(_ != v) => k -> (v, want(k)) }}")
+    }
+  }
 }
