@@ -3,7 +3,7 @@ package graft.plans
 import scala.util.control.NonFatal
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal, PredicateHelper, StartsWith}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
@@ -88,10 +88,11 @@ class AutoSkip(spark: SparkSession, store: TableStore)
         if (rel.getNameCount != 2) return None
         (p, rel.getName(0).toString, rel.getName(1).toString)
       }
-    val (points, ranges) = extract(cond, lr)
-    if (points.isEmpty && ranges.isEmpty) return None
+    val (points, ranges, sranges) = extract(cond, lr)
+    if (points.isEmpty && ranges.isEmpty && sranges.isEmpty) return None
     val keptPaths = parsed.groupBy(_._2).toSeq.flatMap { case (table, ps) =>
-      AutoSkipProbe.keptSubset(store, table, ps.map(_._3), points, ranges)
+      AutoSkipProbe.keptSubset(store, table, ps.map(_._3), points, ranges,
+        sranges)
         match {
           case None => ps.map(_._1) // schema ops: keep this table whole
           case Some(kept) =>
@@ -128,46 +129,86 @@ class AutoSkip(spark: SparkSession, store: TableStore)
 
   /** The probeable conjuncts of `cond`: equality / IN → point keys
     * (Long via the BIGINT-cast hash contract, String via the raw
-    * hash), comparisons → inclusive BIGINT ranges. Anything else is
-    * ignored (it still applies in the retained Filter). */
+    * hash), comparisons → inclusive BIGINT ranges on integral columns
+    * and byte-space intervals on string columns (LIKE \'p%\' arrives as
+    * StartsWith after LikeSimplification → the interval
+    * [p, prefixUpper(p))). Anything else is ignored (it still applies
+    * in the retained Filter). */
   private def extract(cond: Expression, lr: LogicalRelation)
-      : (Seq[(String, Seq[Any])], Seq[(String, Long, Long)]) = {
+      : (Seq[(String, Seq[Any])], Seq[(String, Long, Long)],
+         Seq[AutoSkipProbe.SRange]) = {
     val points = Seq.newBuilder[(String, Seq[Any])]
     val ranges = Seq.newBuilder[(String, Long, Long)]
+    val sranges = Seq.newBuilder[AutoSkipProbe.SRange]
+    def utf8(l: Literal): Option[Array[Byte]] = l.value match {
+      case u: UTF8String => Some(u.getBytes)
+      case s: String => Some(s.getBytes("UTF-8"))
+      case _ => None
+    }
+    def strAttr(e: Expression): Option[String] = e match {
+      case a: AttributeReference if a.dataType == StringType => Some(a.name)
+      case _ => None
+    }
+    def sband(a: Expression, l: Literal,
+        lo: Boolean, incl: Boolean): Unit =
+      for { c <- strAttr(a); bs <- utf8(l) }
+        sranges += (if (lo) AutoSkipProbe.SRange(c, Some(bs), incl, None, true)
+                    else AutoSkipProbe.SRange(c, None, true, Some(bs), incl))
     splitConjunctivePredicates(cond).foreach {
-      case EqualTo(a, l: Literal) => point(a, l, points, ranges)
-      case EqualTo(l: Literal, a) => point(a, l, points, ranges)
+      // string equality also states the degenerate zone interval
+      // [x, x] — ordered string ingest prunes on it even when the
+      // table has no Bloom stamps (both conjuncts must keep)
+      case EqualTo(a, l: Literal) =>
+        point(a, l, points, ranges)
+        sband(a, l, lo = true, incl = true); sband(a, l, lo = false, incl = true)
+      case EqualTo(l: Literal, a) =>
+        point(a, l, points, ranges)
+        sband(a, l, lo = true, incl = true); sband(a, l, lo = false, incl = true)
       case EqualNullSafe(a, l: Literal) if l.value != null =>
         point(a, l, points, ranges)
+        sband(a, l, lo = true, incl = true); sband(a, l, lo = false, incl = true)
       case EqualNullSafe(l: Literal, a) if l.value != null =>
         point(a, l, points, ranges)
+        sband(a, l, lo = true, incl = true); sband(a, l, lo = false, incl = true)
       case In(a, elems) if elems.forall(_.isInstanceOf[Literal]) =>
         inList(a, elems.map(_.asInstanceOf[Literal].value), points)
       case InSet(a, hset) => inList(a, hset.toSeq, points)
       case GreaterThanOrEqual(a, l: Literal) =>
         longKey(a, l).foreach { case (c, v) => ranges += ((c, v, Long.MaxValue)) }
+        sband(a, l, lo = true, incl = true)
       case GreaterThan(a, l: Literal) =>
         longKey(a, l).filter(_._2 != Long.MaxValue)
           .foreach { case (c, v) => ranges += ((c, v + 1, Long.MaxValue)) }
+        sband(a, l, lo = true, incl = false)
       case LessThanOrEqual(a, l: Literal) =>
         longKey(a, l).foreach { case (c, v) => ranges += ((c, Long.MinValue, v)) }
+        sband(a, l, lo = false, incl = true)
       case LessThan(a, l: Literal) =>
         longKey(a, l).filter(_._2 != Long.MinValue)
           .foreach { case (c, v) => ranges += ((c, Long.MinValue, v - 1)) }
+        sband(a, l, lo = false, incl = false)
       // mirrored literal-first comparisons: k OP col
       case GreaterThanOrEqual(l: Literal, a) =>
         longKey(a, l).foreach { case (c, v) => ranges += ((c, Long.MinValue, v)) }
+        sband(a, l, lo = false, incl = true)
       case GreaterThan(l: Literal, a) =>
         longKey(a, l).filter(_._2 != Long.MinValue)
           .foreach { case (c, v) => ranges += ((c, Long.MinValue, v - 1)) }
+        sband(a, l, lo = false, incl = false)
       case LessThanOrEqual(l: Literal, a) =>
         longKey(a, l).foreach { case (c, v) => ranges += ((c, v, Long.MaxValue)) }
+        sband(a, l, lo = true, incl = true)
       case LessThan(l: Literal, a) =>
         longKey(a, l).filter(_._2 != Long.MaxValue)
           .foreach { case (c, v) => ranges += ((c, v + 1, Long.MaxValue)) }
+        sband(a, l, lo = true, incl = false)
+      case StartsWith(a, l: Literal) =>
+        for { c <- strAttr(a); p <- utf8(l) }
+          sranges += AutoSkipProbe.SRange(c, Some(p), true,
+            graft.store.ZoneMaps.prefixUpper(p), false)
       case _ => ()
     }
-    (points.result(), ranges.result())
+    (points.result(), ranges.result(), sranges.result())
   }
 
   private def point(a: Expression, l: Literal,

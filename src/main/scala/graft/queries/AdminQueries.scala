@@ -508,6 +508,48 @@ object AdminQueries extends QueryPack {
     finally graft.plans.AutoSkip.uninstall(s, rule)
   }
 
+  /** adm26 — STRING zone-map data skipping ([[graft.store.ZoneMaps]]
+    * string stamps, r18): customers ingested as six NAME-banded
+    * commits (names are zero-padded, so key-ordered ingest IS
+    * name-ordered ingest — the URL-crawl/id-prefixed key-space shape),
+    * each dir stamped with its lexicographic [min, max] name in UTF-8
+    * byte order (the order Spark's UTF8String AND DuckDB's default
+    * collation both use, so the oracle needs no collation pinning).
+    * Two probes, both answered from pruned commits:
+    *  - an explicit inclusive name RANGE ([[ZoneMaps.readRangeString]]),
+    *  - a transparent PREFIX read — a plain `LIKE 'p%'` filter, which
+    *    Catalyst simplifies to StartsWith and [[graft.plans.AutoSkip]]
+    *    turns into the byte-interval [p, prefixUpper(p)) against the
+    *    stamps; the user writes no probe API.
+    * ZoneMapsSpec pins kept-dir counts, sentinel/conservative
+    * fallbacks, and the transparent route; the oracle is the plain
+    * predicate, so equality proves the byte-interval math drops
+    * nothing. */
+  private def adm26(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s)
+    val c = t(s, d, "customer").select(col("c_custkey"), col("c_name"),
+      expr("CAST(floor(c_acctbal * 100) AS BIGINT)").as("cents"))
+    val mx = c.agg(max("c_custkey")).head.getLong(0)
+    val step = mx / 6 + 1
+    graft.store.ZoneMaps.createTracked(st, "cust",
+      c.filter(col("c_custkey") < step), Seq("c_name"))
+    (1 to 5).foreach(i => st.insert("cust",
+      c.filter(col("c_custkey") >= i * step &&
+        col("c_custkey") < (i + 1) * step)))
+    val ranged = graft.store.ZoneMaps.readRangeString(st, "cust", "c_name",
+      "Customer#000000200", "Customer#000000399")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      .select(lit("range").as("probe"), col("n"), col("sum_cents"))
+    val rule = graft.plans.AutoSkip.install(s, st)
+    val prefixed =
+      try st.read("cust").filter(col("c_name").like("Customer#0000001%"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .select(lit("prefix").as("probe"), col("n"), col("sum_cents"))
+        .localCheckpoint() // materialize under the rule, then uninstall
+      finally graft.plans.AutoSkip.uninstall(s, rule)
+    ranged.unionByName(prefixed)
+  }
+
   /** hq29 — the IN-list point probe FROM THE LANGUAGE: adm23's
     * Bloom-pruned batch lookup reached by a parsed HeroQL collection
     * query (`where user_id in (k1, k2, k3)`). The `in` expression
@@ -700,6 +742,7 @@ object AdminQueries extends QueryPack {
     "adm23_bloom_batch_lookup" -> (adm23 _),
     "adm24_bloom_string_key" -> (adm24 _),
     "adm25_transparent_skipping" -> (adm25 _),
+    "adm26_string_zonemap" -> (adm26 _),
     "hq29_bloom_in_hql" -> (hq29 _),
     "adm10_incremental_backup" -> (adm10 _),
     "adm11_changefeed" -> (adm11 _),
@@ -807,6 +850,17 @@ object AdminQueries extends QueryPack {
          WHERE tus >= lo + 10 * 86400000000
            AND tus <= lo + 15 * 86400000000 - 1
          GROUP BY event_type""",
+    "adm26_string_zonemap" ->
+      """SELECT 'range' AS probe, count(*) AS n,
+                CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_cents
+         FROM customer
+         WHERE c_name >= 'Customer#000000200'
+           AND c_name <= 'Customer#000000399'
+         UNION ALL
+         SELECT 'prefix', count(*),
+                CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         FROM customer WHERE c_name LIKE 'Customer#0000001%'""",
     "adm22_bloom_skipping" ->
       """WITH p AS (SELECT max(user_id) AS k FROM events)
          SELECT event_type, count(*) AS n,

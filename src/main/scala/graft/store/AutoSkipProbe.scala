@@ -25,16 +25,25 @@ package graft.store
   */
 object AutoSkipProbe {
 
+  /** One string-interval conjunct in UTF-8 BYTE space (binary order —
+    * [[ZoneMaps.cmpBytes]]): optional bounds, per-side inclusivity.
+    * A prefix probe is `[prefix, prefixUpper(prefix))`. */
+  final case class SRange(column: String,
+      lo: Option[Array[Byte]], loIncl: Boolean,
+      hi: Option[Array[Byte]], hiIncl: Boolean)
+
   /** The subset of `dirs` (manifest dir-name strings, all belonging
     * to `table`) kept under the conjunction of `points` (column →
-    * equality/IN keys, Long or String) and `ranges` (column, lo, hi —
-    * inclusive, over the BIGINT cast). Returns None when the
+    * equality/IN keys, Long or String), `ranges` (column, lo, hi —
+    * inclusive, over the BIGINT cast), and `sranges` (string-interval
+    * conjuncts over the zm string stamps). Returns None when the
     * manifest's stamps must not drive pruning for this table (pending
     * schema ops). A table with no stamps at all keeps everything. */
   private[graft] def keptSubset(store: TableStore, table: String,
       dirs: Seq[String],
       points: Seq[(String, Seq[Any])],
-      ranges: Seq[(String, Long, Long)]): Option[Seq[String]] = {
+      ranges: Seq[(String, Long, Long)],
+      sranges: Seq[SRange] = Seq.empty): Option[Seq[String]] = {
     val entries = store.currentEntries(table)
     if (entries.exists(_.isInstanceOf[OpEntry])) return None
     // mid-evolution layout (2+ PartColsEntry lines): the explicit
@@ -70,7 +79,12 @@ object AutoSkipProbe {
     val rangeChecks: Seq[String => Boolean] = ranges.map { case (c, lo, hi) =>
       d => ZoneMaps.keepDir(props, d, c, lo, hi)
     }
+    val srangeChecks: Seq[String => Boolean] = sranges.map { r =>
+      d => ZoneMaps.keepDirString(props, d, r.column,
+        r.lo, r.loIncl, r.hi, r.hiIncl)
+    }
     Some(dirs.filter(d =>
-      pointChecks.forall(_(d)) && rangeChecks.forall(_(d))))
+      pointChecks.forall(_(d)) && rangeChecks.forall(_(d)) &&
+        srangeChecks.forall(_(d))))
   }
 }

@@ -52,17 +52,35 @@ object ZoneMaps {
   private[store] val NullSentinel = "-"
 
   /** Min/max stats for `dir`'s tracked columns, as manifest props.
-    * All-null (or empty) dirs stamp [[NullSentinel]]. */
+    * All-null (or empty) dirs stamp [[NullSentinel]]. BIGINT-castable
+    * columns stamp `min:max` longs; STRING columns stamp
+    * `s64:<b64 min>:<b64 max>` over the raw UTF-8 bytes (Base64
+    * because a value may contain the separator, a newline, anything).
+    * String intervals prune RANGE and PREFIX probes the way the long
+    * intervals prune numeric ranges — ordered string ingest (an
+    * id-prefixed key space, a URL crawl sharded by host) produces
+    * narrow per-commit name ranges just like time-series ingest
+    * produces narrow epoch ranges. */
   private[store] def statsFor(store: TableStore, table: String, dir: String,
       cols: Seq[String], partitioned: Boolean): Map[String, String] = {
     if (cols.isEmpty) return Map.empty
     val df = store.readDirs(table, Seq(dir), partitioned)
-    val aggs = cols.flatMap(c =>
-      Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
+    val isStr: Map[String, Boolean] = cols.map(c => c ->
+      df.schema.fields.find(_.name == c)
+        .exists(_.dataType == org.apache.spark.sql.types.StringType)).toMap
+    val aggs = cols.flatMap { c =>
+      if (isStr(c)) Seq(min(col(c)), max(col(c)))
+      else Seq(min(col(c).cast("long")), max(col(c).cast("long")))
+    }
     val r = df.agg(aggs.head, aggs.tail: _*).head
+    val b64 = java.util.Base64.getEncoder
     cols.zipWithIndex.map { case (c, i) =>
       if (r.isNullAt(2 * i)) statKey(dir, c) -> NullSentinel
-      else statKey(dir, c) -> s"${r.getLong(2 * i)}:${r.getLong(2 * i + 1)}"
+      else if (isStr(c)) {
+        val mn = b64.encodeToString(r.getString(2 * i).getBytes("UTF-8"))
+        val mx = b64.encodeToString(r.getString(2 * i + 1).getBytes("UTF-8"))
+        statKey(dir, c) -> s"s64:$mn:$mx"
+      } else statKey(dir, c) -> s"${r.getLong(2 * i)}:${r.getLong(2 * i + 1)}"
     }.toMap
   }
 
@@ -150,4 +168,125 @@ object ZoneMaps {
       }
       case None => true
     }
+
+  // ---- string zone maps ----------------------------------------------
+
+  /** Unsigned byte-wise comparison over UTF-8 bytes — the ORDER BOTH
+    * ENGINES use for strings (Spark's UTF8String.compareTo and
+    * DuckDB's collation-free default are both binary UTF-8). Java's
+    * String.compareTo (UTF-16 code units) DIVERGES on supplementary
+    * characters, so the comparison must run in byte space. */
+  private[graft] def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** The exclusive upper bound of the prefix range `[prefix, next)` —
+    * the prefix bytes with the last non-0xFF byte incremented (bytes
+    * after it dropped). None when every byte is 0xFF (no upper bound).
+    * Computed in BYTE space: the incremented sequence need not be
+    * valid UTF-8, which is fine because it only ever feeds
+    * [[cmpBytes]], never a decoder. */
+  private[graft] def prefixUpper(prefix: Array[Byte]): Option[Array[Byte]] = {
+    var i = prefix.length - 1
+    while (i >= 0 && prefix(i) == 0xff.toByte) i -= 1
+    if (i < 0) None
+    else {
+      val out = prefix.take(i + 1)
+      out(i) = (out(i) + 1).toByte
+      Some(out)
+    }
+  }
+
+  private def parseStatString(s: String): Option[(Array[Byte], Array[Byte])] =
+    if (!s.startsWith("s64:")) None
+    else s.drop(4).split(":", -1) match {
+      case Array(mn, mx) =>
+        try Some((java.util.Base64.getDecoder.decode(mn),
+          java.util.Base64.getDecoder.decode(mx)))
+        catch { case _: IllegalArgumentException => None }
+      case _ => None
+    }
+
+  /** Keep `d` under a string interval probe? `lo`/`hi` are optional
+    * UTF-8-byte bounds with per-side inclusivity (a prefix probe is
+    * `[prefix, prefixUpper)`). Sentinel prunes, missing/unparseable —
+    * including a NUMERIC stamp consulted with a string probe — keeps
+    * conservatively. */
+  private[graft] def keepDirString(props: Map[String, String], d: String,
+      column: String,
+      lo: Option[Array[Byte]], loIncl: Boolean,
+      hi: Option[Array[Byte]], hiIncl: Boolean): Boolean =
+    props.get(statKey(d, column)) match {
+      case Some(NullSentinel) => false
+      case Some(s) => parseStatString(s) match {
+        case Some((mn, mx)) =>
+          lo.forall(l => if (loIncl) cmpBytes(mx, l) >= 0
+                         else cmpBytes(mx, l) > 0) &&
+          hi.forall(h => if (hiIncl) cmpBytes(mn, h) <= 0
+                         else cmpBytes(mn, h) < 0)
+        case None => true
+      }
+      case None => true
+    }
+
+  private def utf8(s: String): Array[Byte] = s.getBytes("UTF-8")
+
+  /** Inclusive string-range probe `lo ≤ column ≤ hi` with manifest
+    * pruning — [[readRange]]'s contract on a STRING column (binary
+    * UTF-8 order both sides of the oracle). */
+  def readRangeString(store: TableStore, table: String, column: String,
+      lo: String, hi: String): DataFrame =
+    readPrunedString(store, table, column,
+      Some(utf8(lo)), loIncl = true, Some(utf8(hi)), hiIncl = true,
+      df => df.filter(col(column) >= lo && col(column) <= hi))
+
+  /** Prefix probe `column LIKE 'prefix%'` with manifest pruning: the
+    * interval `[prefix, prefixUpper)` in byte space. */
+  def readPrefix(store: TableStore, table: String, column: String,
+      prefix: String): DataFrame = {
+    val p = utf8(prefix)
+    readPrunedString(store, table, column,
+      Some(p), loIncl = true, prefixUpper(p), hiIncl = false,
+      df => df.filter(col(column).startsWith(prefix)))
+  }
+
+  /** The dirs a string probe would open (spec/monitoring). */
+  private[graft] def keptDirsString(store: TableStore, table: String,
+      column: String, lo: Option[String], hi: Option[String]): Seq[String] = {
+    val entries = store.currentEntries(table)
+    val props = entries.collectFirst { case PropsEntry(ps) => ps }
+      .getOrElse(Map.empty)
+    entries.collect { case DataDir(d) => d }
+      .filter(d => keepDirString(props, d, column,
+        lo.map(utf8), loIncl = true, hi.map(utf8), hiIncl = true))
+  }
+
+  private def readPrunedString(store: TableStore, table: String,
+      column: String, lo: Option[Array[Byte]], loIncl: Boolean,
+      hi: Option[Array[Byte]], hiIncl: Boolean,
+      exact: DataFrame => DataFrame): DataFrame = {
+    val entries = store.currentEntries(table)
+    if (entries.exists(_.isInstanceOf[OpEntry])) return exact(store.read(table))
+    if (entries.count(_.isInstanceOf[PartColsEntry]) > 1)
+      return exact(store.read(table))
+    val props = entries.collectFirst { case PropsEntry(ps) => ps }
+      .getOrElse(Map.empty)
+    val kept = entries.collect { case DataDir(d) => d }
+      .filter(d => keepDirString(props, d, column, lo, loIncl, hi, hiIncl))
+    if (kept.isEmpty) exact(store.read(table)).limit(0)
+    else {
+      val dvDirs = entries.collect { case DvEntry(d) => d }
+      val raw = store.readDirs(table, kept,
+        entries.exists(_.isInstanceOf[PartColsEntry]),
+        decorate = if (dvDirs.isEmpty) identity else store.dvStamp)
+      exact(if (dvDirs.isEmpty) raw else store.applyDv(table, dvDirs, raw))
+    }
+  }
 }

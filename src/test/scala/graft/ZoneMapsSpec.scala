@@ -121,4 +121,83 @@ class ZoneMapsSpec extends SparkSpec {
     val statKeys = st.tableProps("t").keys.filter(_.startsWith("zm."))
     assert(statKeys.size == 2, s"one stat per dir per col: $statKeys")
   }
+
+  /** Name-ordered string ingest: 6 commits, each covering one narrow
+    * lexicographic band of zero-padded keys. */
+  private def seedString(st: TableStore, bands: Int = 6,
+      perBand: Int = 100): Unit = {
+    def band(i: Int): DataFrame =
+      spark.range(i * perBand, (i + 1) * perBand)
+        .select(concat(lit("key-"), lpad(col("id").cast("string"), 6, "0"))
+          .as("name"), col("id").as("v"))
+    ZoneMaps.createTracked(st, "s", band(0), Seq("name"))
+    (1 until bands).foreach(i => st.insert("s", band(i)))
+  }
+
+  test("string zone maps: range and prefix probes keep only the overlapping commits, answers exact") {
+    val st = freshStore()
+    seedString(st)
+    // range inside band 2 plus the first key of band 3
+    val kept = ZoneMaps.keptDirsString(st, "s", "name",
+      Some("key-000250"), Some("key-000300"))
+    assert(kept.size == 2, s"expected 2 of 6 dirs kept, got ${kept.size}")
+    val pruned = ZoneMaps.readRangeString(st, "s", "name",
+      "key-000250", "key-000300")
+    val full = st.read("s")
+      .filter(col("name") >= "key-000250" && col("name") <= "key-000300")
+    assert(pruned.count() == 51)
+    assert(pruned.except(full).isEmpty && full.except(pruned).isEmpty)
+    // prefix probe: key-0001* is exactly band 1
+    val pre = ZoneMaps.readPrefix(st, "s", "name", "key-0001")
+    assert(pre.count() == 100)
+    assert(pre.except(st.read("s").filter(col("name").startsWith("key-0001")))
+      .isEmpty)
+    // a disjoint range keeps nothing and answers empty
+    assert(ZoneMaps.keptDirsString(st, "s", "name",
+      Some("zzz"), Some("zzzz")).isEmpty)
+    assert(ZoneMaps.readRangeString(st, "s", "name", "zzz", "zzzz").count() == 0)
+  }
+
+  test("string zone maps: all-null dirs prune via the sentinel; numeric stamps keep conservatively") {
+    val st = freshStore()
+    seedString(st, bands = 2)
+    import spark.implicits._
+    st.insert("s", Seq((null.asInstanceOf[String], 999L)).toDF("name", "v"))
+    // the all-null dir carries the sentinel and prunes from string probes
+    val kept = ZoneMaps.keptDirsString(st, "s", "name",
+      Some("key-000000"), Some("key-999999"))
+    assert(kept.size == 2, s"null dir must prune: $kept")
+    // a NUMERIC probe consulting the string stamp keeps conservatively
+    // (parseStat can't read s64: stamps) — answers stay exact
+    val numKept = ZoneMaps.keptDirs(st, "s", "v", 0, 10)
+    assert(numKept.size == 3, s"string stamp must keep under numeric probe: $numKept")
+  }
+
+  test("transparent string pruning: plain filtered reads route prefix and range through the stamps") {
+    val st = freshStore()
+    seedString(st)
+    val rule = graft.plans.AutoSkip.install(spark, st)
+    try {
+      def roots(df: DataFrame): Seq[Int] =
+        df.queryExecution.optimizedPlan.collect {
+          case org.apache.spark.sql.execution.datasources.LogicalRelation(
+            h: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+            _, _, _, _) => h.location.rootPaths.size
+        }
+      // LIKE 'key-0001%' simplifies to StartsWith and prunes to band 1
+      val pre = st.read("s").filter(col("name").like("key-0001%"))
+      assert(roots(pre) == Seq(1), s"prefix did not prune: ${roots(pre)}")
+      assert(pre.count() == 100)
+      // an explicit range prunes to the two overlapping bands
+      val rng = st.read("s")
+        .filter(col("name") >= "key-000250" && col("name") < "key-000301")
+      assert(roots(rng) == Seq(2), s"range did not prune: ${roots(rng)}")
+      assert(rng.count() == 51)
+      // string equality prunes through the degenerate interval even
+      // with no Bloom stamps on the table
+      val eq = st.read("s").filter(col("name") === "key-000450")
+      assert(roots(eq) == Seq(1), s"equality did not prune: ${roots(eq)}")
+      assert(eq.count() == 1)
+    } finally graft.plans.AutoSkip.uninstall(spark, rule)
+  }
 }
