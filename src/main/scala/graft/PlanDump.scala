@@ -82,7 +82,8 @@ object PlanDump {
       // parsed text (range_agg pipeline stage)
       "dd9b_semantic_dedup_scaled", "hq30_global_values",
       "hq31_range_agg_hql", "j12d_range_minmax", "hq32_range_minmax_hql",
-      "dd9c_incremental_semantic", "adm26_string_zonemap")
+      "dd9c_incremental_semantic", "adm26_string_zonemap",
+      "hq33_string_range_hql")
     (Bench.headline ++ extras).foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))

@@ -579,6 +579,40 @@ object AdminQueries extends QueryPack {
     finally graft.plans.AutoSkip.uninstall(s, rule)
   }
 
+  /** hq33 — the STRING-RANGE probe FROM THE LANGUAGE: adm26's
+    * zone-pruned name range reached by a parsed HeroQL collection
+    * query (`where name >= "…" , where name <= "…"`). The comparisons
+    * plan to Catalyst ≥/≤ on a string column, and [[graft.plans
+    * .AutoSkip]]'s SRange extraction narrows the store scan to the
+    * commits whose stamped name interval intersects — the user writes
+    * no probe API, just the predicate (hq29's posture for the string
+    * index family). Oracle is the plain range select. */
+  private def hq33(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s)
+    // store columns carry the DECLARED names (the planner binds decl
+    // fields to catalog columns by name), and the zm stamp tracks the
+    // stored name — the language predicate and the stamp meet on it
+    val c = t(s, d, "customer").select(col("c_custkey").as("ck"),
+      col("c_name").as("name"),
+      expr("CAST(floor(c_acctbal * 100) AS BIGINT)").as("cents"))
+    val mx = c.agg(max("ck")).head.getLong(0)
+    val step = mx / 6 + 1
+    graft.store.ZoneMaps.createTracked(st, "cust",
+      c.filter(col("ck") < step), Seq("name"))
+    (1 to 5).foreach(i => st.insert("cust",
+      c.filter(col("ck") >= i * step && col("ck") < (i + 1) * step)))
+    val rule = graft.plans.AutoSkip.install(s, st)
+    try graft.heroql.HeroQL.compileCollection(
+      "data Cust(ck: int64, name: string, cents: int64).",
+      """collection_query(ck, name, cents) :-
+           Cust(ck, name, cents),
+           where name >= "Customer#000000200",
+           where name <= "Customer#000000399"
+         ;""",
+      Map("Cust" -> st.read("cust"))).localCheckpoint()
+    finally graft.plans.AutoSkip.uninstall(s, rule)
+  }
+
   /** adm16 — ANALYZE-style table profile (the optimizer-statistics /
     * data-quality pass every warehouse ships): one row per column of
     * `orders` with non-null count, EXACT distinct count, and canonical
@@ -743,6 +777,7 @@ object AdminQueries extends QueryPack {
     "adm24_bloom_string_key" -> (adm24 _),
     "adm25_transparent_skipping" -> (adm25 _),
     "adm26_string_zonemap" -> (adm26 _),
+    "hq33_string_range_hql" -> (hq33 _),
     "hq29_bloom_in_hql" -> (hq29 _),
     "adm10_incremental_backup" -> (adm10 _),
     "adm11_changefeed" -> (adm11 _),
@@ -861,6 +896,12 @@ object AdminQueries extends QueryPack {
          SELECT 'prefix', count(*),
                 CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
          FROM customer WHERE c_name LIKE 'Customer#0000001%'""",
+    "hq33_string_range_hql" ->
+      """SELECT c_custkey AS ck, c_name AS name,
+                CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+         FROM customer
+         WHERE c_name >= 'Customer#000000200'
+           AND c_name <= 'Customer#000000399'""",
     "adm22_bloom_skipping" ->
       """WITH p AS (SELECT max(user_id) AS k FROM events)
          SELECT event_type, count(*) AS n,

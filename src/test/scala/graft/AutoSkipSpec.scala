@@ -197,6 +197,26 @@ class AutoSkipSpec extends SparkSpec {
     }
   }
 
+  test("a parsed HeroQL string-range predicate prunes through the zm string stamps") {
+    val st = freshStore()
+    def band(i: Int): DataFrame = spark.range(i * 100L, (i + 1) * 100L)
+      .select(concat(lit("key-"), lpad(col("id").cast("string"), 6, "0"))
+        .as("name"), col("id").as("v"))
+    graft.store.ZoneMaps.createTracked(st, "s", band(0), Seq("name"))
+    (1 until 6).foreach(i => st.insert("s", band(i)))
+    withRule(st) {
+      val program =
+        """data S(name: string, v: int64).
+          |query Hit() -> (name: string, v: int64)
+          |:- S(name, v), name >= "key-000250", name <= "key-000300".""".stripMargin
+      val df = graft.heroql.HeroQL.compile(program, "Hit",
+        Map("S" -> st.read("s")))
+      assert(scanRoots(df) == Seq(2),
+        s"string range from text did not prune: ${scanRoots(df)}")
+      assert(df.count() == 51)
+    }
+  }
+
   test("kill switch and non-store scans: no pruning, no interference") {
     val st = freshStore()
     seedBanded(st)
