@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
 import org.apache.spark.util.sketch.BloomFilter
 
 /** `mightContainLong` over a DRIVER-MAINTAINED bloom filter as a
@@ -29,6 +30,15 @@ case class BloomMightContainLong(bc: Broadcast[BloomFilter],
     child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = BooleanType
+
+  // reject a non-LONG child at ANALYSIS (a readable error naming the
+  // offending type) instead of a runtime ClassCastException in
+  // nullSafeEval / a codegen compile failure (AbstractDataType is
+  // private[sql], so checkInputDataTypes is the extension point here)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_bloom_might_contain expects a BIGINT probe value, got ${child.dataType.simpleString}")
 
   override protected def nullSafeEval(input: Any): Any =
     bc.value.mightContainLong(input.asInstanceOf[Long])

@@ -68,8 +68,16 @@ object ZoneMaps {
     val isStr: Map[String, Boolean] = cols.map(c => c ->
       df.schema.fields.find(_.name == c)
         .exists(_.dataType == org.apache.spark.sql.types.StringType)).toMap
+    // String stamps aggregate over CAST(c AS BINARY), never the String
+    // itself: Parquet UTF8-annotated binary can carry invalid UTF-8,
+    // which Spark orders by raw bytes (UTF8String) but Java sanitizes
+    // to U+FFFD on String conversion — for bytes > 0xEF the sanitized
+    // max can fall BELOW the true byte-order max and an unbounded-above
+    // probe would prune a matching dir. The string→binary cast preserves
+    // the UTF8String bytes and binary min/max compares unsigned
+    // lexicographically — exactly [[cmpBytes]]' order.
     val aggs = cols.flatMap { c =>
-      if (isStr(c)) Seq(min(col(c)), max(col(c)))
+      if (isStr(c)) Seq(min(col(c).cast("binary")), max(col(c).cast("binary")))
       else Seq(min(col(c).cast("long")), max(col(c).cast("long")))
     }
     val r = df.agg(aggs.head, aggs.tail: _*).head
@@ -77,8 +85,8 @@ object ZoneMaps {
     cols.zipWithIndex.map { case (c, i) =>
       if (r.isNullAt(2 * i)) statKey(dir, c) -> NullSentinel
       else if (isStr(c)) {
-        val mn = b64.encodeToString(r.getString(2 * i).getBytes("UTF-8"))
-        val mx = b64.encodeToString(r.getString(2 * i + 1).getBytes("UTF-8"))
+        val mn = b64.encodeToString(r.getAs[Array[Byte]](2 * i))
+        val mx = b64.encodeToString(r.getAs[Array[Byte]](2 * i + 1))
         statKey(dir, c) -> s"s64:$mn:$mx"
       } else statKey(dir, c) -> s"${r.getLong(2 * i)}:${r.getLong(2 * i + 1)}"
     }.toMap

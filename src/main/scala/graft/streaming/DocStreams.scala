@@ -30,21 +30,21 @@ object DocStreams {
     * on it). Registered through the session registry so the Column
     * resolves in the batch's analyzer; the builder closes over the
     * broadcast, so `value` is the only SQL-visible child. The
-    * registration is session-scoped mutable state: callers must not
-    * interleave two probes with DIFFERENT blooms on one session
-    * between registration and analysis — streams are safe (each gets
-    * its own per-batch session clone, and batches run sequentially
-    * within a stream). */
+    * registered name is suffixed with the BROADCAST id, so two probes
+    * with different blooms built on one session before analysis each
+    * resolve their own builder — the registration is collision-proof,
+    * not merely convention-protected (the fixed-name form silently
+    * probed whichever bloom registered last). */
   private[graft] def mightContainCol(spark: SparkSession,
       bloomBc: org.apache.spark.broadcast.Broadcast[
         org.apache.spark.util.sketch.BloomFilter],
       value: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val fn = s"graft_bloom_might_contain_${bloomBc.id}"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bloom_might_contain",
+      fn,
       cs => graft.functions.BloomMightContainLong(bloomBc, cs(0)),
       "built-in")
-    org.apache.spark.sql.functions.call_function(
-      "graft_bloom_might_contain", value)
+    org.apache.spark.sql.functions.call_function(fn, value)
   }
 
   /** Stage `documents.parquet` as `nFiles` doc_id-range chunks with

@@ -288,7 +288,7 @@ class StreamingSpec extends SparkSpec {
       .queryName("ssleft_mb_mem")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(240000)
+    assert(q.awaitTermination(240000), "stream did not drain within timeout")
     val streamed = spark.table("ssleft_mb_mem")
       .groupBy("signup_id").agg(count(col("p_id")).as("n_purchases"))
     assert(streamed.filter(col("n_purchases") === 0).take(1).nonEmpty,
