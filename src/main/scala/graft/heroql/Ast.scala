@@ -172,7 +172,8 @@ object Ast {
       having: Option[Compare],
       orderBy: Option[(Expr, Boolean)], // (expr, descending)
       rangeBy: Option[(Long, Long)], // 1-based inclusive
-      rangeAgg: Option[RangeAggStage] = None)
+      rangeAgg: Option[RangeAggStage] = None,
+      semDedup: Option[SemanticDedupStage] = None)
 
   /** `range_agg Rel(tsField[, valField]) within W of probeVar
     * (out = Count(tsField)[, out2 = Sum(valField)])` — the
@@ -186,6 +187,18 @@ object Ast {
   final case class RangeAggStage(rel: String, tsVar: String,
       valVar: Option[String], window: Long, probeVar: String,
       binds: Seq[CqBind])
+
+  /** `semantic_dedup(idVar, vecVar) threshold τ as (cluster, dup_of,
+    * max_cos)` — SemDeDup (Abbas et al. 2023) as a collection-query
+    * pipeline stage: per body row, the cluster assignment plus the
+    * smallest-id earlier neighbor at cosine ≥ τ within the cluster.
+    * Plans to [[graft.queries.Dedup.semanticDedupLayered]] — √n scaled
+    * centroids AND exact-value layering — so the language route is the
+    * 100-TB-shaped pipeline, never a raw all-pairs search (the same
+    * posture [[RangeAggStage]] takes for interval aggregation). The
+    * three `as` names rename the stage's fixed output triple. */
+  final case class SemanticDedupStage(idVar: String, vecVar: String,
+      tau: Double, outCluster: String, outDupOf: String, outMaxCos: String)
 
   /** `partition_by exam(student, exam, s = OrderByDesc(score, 3))` or
     * `group_by student(student, c = Count(score))`. */

@@ -671,6 +671,33 @@ object Parser {
         expectSym(")")
         Some(RangeAggStage(rel, tsVar, valVar, w, probeVar, binds.result()))
       } else None
+      // `semantic_dedup(idVar, vecVar) threshold 0.4
+      //    as (cluster_id, dup_of, max_cos)` — the layered SemDeDup
+      // pipeline stage (fixed output triple, renamed by the `as` list)
+      val sd = if (atId("semantic_dedup")) {
+        pos += 1
+        expectSym("(")
+        val idVar = expectId()
+        expectSym(",")
+        val vecVar = expectId()
+        expectSym(")")
+        if (!atId("threshold"))
+          throw ParseError("expected 'threshold' in semantic_dedup", pos)
+        pos += 1
+        val tau = next() match {
+          case TNum(s) => s.toDouble
+          case t => throw ParseError(s"expected threshold value, got $t", pos - 1)
+        }
+        if (!atId("as"))
+          throw ParseError("expected 'as' in semantic_dedup", pos)
+        pos += 1
+        expectSym("(")
+        val c = expectId(); expectSym(",")
+        val dof = expectId(); expectSym(",")
+        val mc = expectId()
+        expectSym(")")
+        Some(SemanticDedupStage(idVar, vecVar, tau, c, dof, mc))
+      } else None
       val having = if (eat(":-")) Some(comparison().asInstanceOf[Compare]) else None
       val ob =
         if (atId("order_by_desc")) { pos += 1; Some((exprP(), true)) }
@@ -684,7 +711,7 @@ object Parser {
         Some((a, b))
       } else None
       expectSym(";")
-      CollectionQuery(head.result(), bodyConj, pb, gb, having, ob, rb, ra)
+      CollectionQuery(head.result(), bodyConj, pb, gb, having, ob, rb, ra, sd)
     }
 
     /** One comma-element of a conjunction → its DNF alternatives (each a

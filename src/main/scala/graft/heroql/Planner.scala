@@ -771,6 +771,22 @@ final class Planner(decls: Map[String, DataDecl],
           s"range_agg aggregates are Count/Sum/Min/Max (the commutative-" +
             s"monoid set the tree nodes carry); got ${other.map(_.fn).mkString(", ")}")
       }
+      // the tree carries ONE (ts, val) build side, so every bind's
+      // argument must name exactly the field it will actually aggregate
+      // — Count over the ts (or val) field, Sum/Min/Max over the value
+      // field. Without this check a bind like `s = Sum(otherVar)` would
+      // silently aggregate the declared value field instead (the arg
+      // used to be discarded): plausible numbers, wrong query.
+      st.binds.foreach { b =>
+        val allowed: Set[String] =
+          if (b.fn == "Count") Set(st.tsVar) ++ st.valVar else st.valVar.toSet
+        b.arg match {
+          case Ast.EVar(v) if allowed(v) => ()
+          case other => throw Analyzer.AnalysisError(
+            s"range_agg ${b.fn} argument must be ${allowed.mkString(" or ")} " +
+              s"(the declared ${st.rel}(${(st.tsVar +: st.valVar.toSeq).mkString(", ")}) fields); got $other")
+        }
+      }
       var out = graft.operators.RangeCount.rangeAggAll(df, build,
         probeIds.head, st.probeVar, "__ts", st.valVar.map(_ => "__v"),
         st.window)
@@ -784,6 +800,36 @@ final class Planner(decls: Map[String, DataDecl],
         }
       df = out
       cols = probeIds.head +: st.binds.map(_.out)
+    }
+
+    cq.semDedup.foreach { st =>
+      // like range_agg, the stage REPLACES the pipeline's row shape —
+      // composing with the reshaping stages would be ambiguous
+      if (cq.partitionBy.nonEmpty || cq.groupBy.nonEmpty || cq.rangeAgg.nonEmpty)
+        throw Analyzer.AnalysisError(
+          "semantic_dedup does not compose with partition_by/group_by/range_agg")
+      if (!cols.contains(st.idVar) || !cols.contains(st.vecVar))
+        throw Analyzer.AnalysisError(
+          s"semantic_dedup(${st.idVar}, ${st.vecVar}): both variables must be bound by the body; body binds $cols")
+      if (cols.size != 2) throw Analyzer.AnalysisError(
+        s"semantic_dedup needs a body of exactly (${st.idVar}, ${st.vecVar}); got $cols")
+      val outs = Seq(st.outCluster, st.outDupOf, st.outMaxCos)
+      if (outs.distinct.size != 3 || outs.contains(st.idVar))
+        throw Analyzer.AnalysisError(
+          s"semantic_dedup output names must be distinct and differ from ${st.idVar}; got $outs")
+      if (Set("cluster_id", "dup_of", "max_cos")(st.idVar))
+        throw Analyzer.AnalysisError(
+          s"semantic_dedup id variable ${st.idVar} collides with the stage's internal output names")
+      if (st.tau.isNaN || st.tau > 1.0) throw Analyzer.AnalysisError(
+        s"semantic_dedup threshold must be a cosine in (-1, 1]; got ${st.tau}")
+      // plans to the LAYERED engine (√n centroids + exact-value
+      // collapse) — the language route is the 100-TB shape by
+      // construction; a rule-body pair join is never generated
+      df = graft.queries.Dedup.semanticDedupLayered(df.sparkSession, df,
+          st.idVar, st.vecVar, st.tau)
+        .select(col(st.idVar), col("cluster_id").as(st.outCluster),
+          col("dup_of").as(st.outDupOf), col("max_cos").as(st.outMaxCos))
+      cols = Seq(st.idVar, st.outCluster, st.outDupOf, st.outMaxCos)
     }
 
     cq.having.foreach { case Compare(op, l, r) =>

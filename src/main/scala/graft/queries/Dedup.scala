@@ -515,14 +515,12 @@ object Dedup extends QueryPack {
     * its fingerprint's cluster for the quality-keeper decision.
     *
     * Data movement ledger (the claim [[fpCollapse]]'s plan pin backs):
-    * the collapse exchange carries (fp, doc_id) only; the single place
-    * text moves at all is the representative-fetch join, where it is
-    * PAYLOAD keyed by int64 doc_id — never a grouping or sort key.
-    * Collision stance: at the ~60-bit key space the expected number of
-    * colliding text pairs across 10^9 docs is ≈ 0.5 (TextFns.fingerprint
-    * doc); a collision conflates two texts into one exact-dup group —
-    * the near-dup layer downstream would have clustered them anyway at
-    * any realistic collision density. */
+    * the collapse exchange carries (fp, doc_id) only — fp the 128-bit
+    * two-lane struct key, ~24 bytes/row (see [[fpKey]]'s collision
+    * stance: expected silent merges at 10⁹ docs ≈ 10⁻²⁰) — and the
+    * single place text moves at all is the representative-fetch join,
+    * where it is PAYLOAD keyed by int64 doc_id — never a grouping or
+    * sort key. */
   private def dd14c(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
     // pinned exact stage (three consumers, same reason as dd14b)
@@ -608,6 +606,36 @@ object Dedup extends QueryPack {
   private val Dd9Cents = 16
   private val Dd9Tau = 0.4
 
+  /** dd9b's DuckDB twin — also hq34's (the parsed `semantic_dedup`
+    * stage plans to the same layered pipeline, so the oracle is
+    * shared verbatim). C = greatest(16, ceil(sqrt(n))) computed from
+    * the same count(*) both engines see; window-rn pick instead of
+    * LIMIT so the bound can be an expression. */
+  private val Dd9bOracleSql: String =
+    s"""WITH e AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+         FROM embeddings),
+       cents AS (
+         SELECT cid, cv, cn FROM (
+           SELECT vec_id AS cid, v AS cv, nrm AS cn,
+             row_number() OVER (ORDER BY vec_id) AS rn
+           FROM e WHERE vec_id % 13 = 5)
+         WHERE rn <= greatest($Dd9Cents,
+           CAST(ceil(sqrt((SELECT count(*) FROM e))) AS BIGINT))),
+       asg AS (
+         SELECT vec_id, v, nrm, cid FROM (
+           SELECT e.vec_id, e.v, e.nrm, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cn) DESC,
+                        c.cid ASC) AS rn
+           FROM e CROSS JOIN cents c) WHERE rn = 1)
+       SELECT b.vec_id, b.cid AS cluster_id, min(a.vec_id) AS dup_of,
+         round(max(list_dot_product(a.v, b.v) / (a.nrm * b.nrm)), 6) AS max_cos
+       FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $Dd9Tau
+       GROUP BY b.vec_id, b.cid"""
+
   /** dd9 — SEMANTIC dedup (the SemDeDup recipe — Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space with a coarse
     * quantizer, then search for near-duplicate pairs ONLY within a
@@ -677,9 +705,19 @@ object Dedup extends QueryPack {
     *
     * dd9 is retained as the fixture-pinned oracle twin (C=16,
     * unlayered), the dd14b/dd14c precedent. */
-  private def dd9b(s: SparkSession, d: String): DataFrame = {
+  private def dd9b(s: SparkSession, d: String): DataFrame =
+    semanticDedupLayered(s, t(s, d, "embeddings"), "vec_id", "embedding",
+      Dd9Tau)
+
+  /** dd9b's layered SemDeDup engine over ANY (id, vector) relation —
+    * also the `semantic_dedup` collection-query stage's planning target
+    * (`heroql/Planner.scala`), so the language reaches exactly this
+    * shape and never a raw all-pairs search. Output columns:
+    * (idCol, cluster_id, dup_of, max_cos). */
+  private[graft] def semanticDedupLayered(s: SparkSession, e0: DataFrame,
+      idCol: String, vecCol: String, tau: Double): DataFrame = {
     graft.functions.VectorFns.register(s)
-    val e = t(s, d, "embeddings")
+    val e = e0.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
     val n = e.count()
     val nCents =
       math.max(Dd9Cents.toLong, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
@@ -711,7 +749,7 @@ object Dedup extends QueryPack {
       col("v").as("vy"), col("nrm").as("ny"))
     val gpairs = xs.join(ys, col("cluster_id") === col("yc"))
       .withColumn("cos_sim", expr("graft_dot_f(vx, vy) / (nx * ny)"))
-      .filter(col("cos_sim") >= Dd9Tau)
+      .filter(col("cos_sim") >= tau)
       .select(col("y_gid"), col("cluster_id"), col("x_gid"), col("cos_sim"))
     // fan back: b is eligible for source group X iff X's smallest id
     // precedes it; dup_of is then the min of those smallest ids
@@ -720,6 +758,7 @@ object Dedup extends QueryPack {
       .groupBy(col("vec_id"), col("cluster_id"))
       .agg(min(col("x_gid")).as("dup_of"),
         round(max(col("cos_sim")), 6).as("max_cos"))
+      .withColumnRenamed("vec_id", idCol)
   }
 
   /** dd9c — INCREMENTAL semantic dedup: dd6's batch-vs-corpus split
@@ -787,6 +826,26 @@ object Dedup extends QueryPack {
       .select(col("vec_id"), col("bgid"))
       .join(verdictPerValue, "bgid")
       .select(col("vec_id"), col("cluster_id"), col("dup_of"), col("max_cos"))
+  }
+
+  /** hq34 — dd9b FROM PARSED TEXT (the reference posture: every
+    * capability flows from query text, `Kernel/README.md:76-205`): the
+    * `semantic_dedup` collection-query stage plans straight to
+    * [[semanticDedupLayered]], so the language route carries BOTH
+    * scale fixes (√n centroids + exact-value collapse) by
+    * construction — a user cannot reach a raw all-pairs search from
+    * the text. Oracle = dd9b's verbatim; PlanAuditSpec pins the
+    * value-collapse exchange in the parsed plan. */
+  private def hq34(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    graft.heroql.HeroQL.compileCollection(
+      "data Embeddings(vec_id: int64, embedding: vecf32).\n",
+      s"""collection_query(vec_id, cluster_id, dup_of, max_cos) :-
+           Embeddings(vec_id, embedding)
+         semantic_dedup(vec_id, embedding) threshold $Dd9Tau
+           as (cluster_id, dup_of, max_cos)
+         ;""",
+      Map("Embeddings" -> e))
   }
 
   /** The unlayered SemDeDup pipeline at an explicit centroid count —
@@ -924,6 +983,7 @@ object Dedup extends QueryPack {
     "dd9_semantic_dedup" -> (dd9 _),
     "dd9b_semantic_dedup_scaled" -> (dd9b _),
     "dd9c_incremental_semantic" -> (dd9c _),
+    "hq34_semantic_dedup_hql" -> (hq34 _),
     "dd10_duplicate_spans" -> (dd10 _),
     "dd11_line_dedup" -> (dd11 _),
     "dd13_normalized_dedup" -> (dd13 _),
@@ -1348,30 +1408,10 @@ object Dedup extends QueryPack {
     // count is computed from the same count(*) both engines see, so
     // the gate stays hash-strict; window-rn pick instead of LIMIT so
     // the bound can be an expression
-    "dd9b_semantic_dedup_scaled" ->
-      s"""WITH e AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-           FROM embeddings),
-         cents AS (
-           SELECT cid, cv, cn FROM (
-             SELECT vec_id AS cid, v AS cv, nrm AS cn,
-               row_number() OVER (ORDER BY vec_id) AS rn
-             FROM e WHERE vec_id % 13 = 5)
-           WHERE rn <= greatest($Dd9Cents,
-             CAST(ceil(sqrt((SELECT count(*) FROM e))) AS BIGINT))),
-         asg AS (
-           SELECT vec_id, v, nrm, cid FROM (
-             SELECT e.vec_id, e.v, e.nrm, c.cid,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cn) DESC,
-                          c.cid ASC) AS rn
-             FROM e CROSS JOIN cents c) WHERE rn = 1)
-         SELECT b.vec_id, b.cid AS cluster_id, min(a.vec_id) AS dup_of,
-           round(max(list_dot_product(a.v, b.v) / (a.nrm * b.nrm)), 6) AS max_cos
-         FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
-         WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $Dd9Tau
-         GROUP BY b.vec_id, b.cid""",
+    "dd9b_semantic_dedup_scaled" -> Dd9bOracleSql,
+    // hq34 parses to the SAME layered pipeline dd9b ships, so the
+    // oracle is dd9b's verbatim — the hq31/j12c precedent
+    "hq34_semantic_dedup_hql" -> Dd9bOracleSql,
     // incremental: corpus-only centroids (scaled to the CORPUS count),
     // both sides assigned, batch-vs-corpus cluster-local pairs, no
     // id-order constraint (corpus membership is precedence)

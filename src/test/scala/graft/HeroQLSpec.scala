@@ -683,6 +683,29 @@ class HeroQLParserSpec extends AnyFunSuite {
     assert(e3.msg.contains("id variable"))
   }
 
+  test("semantic_dedup stage parses to its golden AST") {
+    val cq = Parser.parseCollection(
+      """collection_query(id, c, d, m) :-
+           Embs(id, v)
+         semantic_dedup(id, v) threshold 0.4 as (c, d, m)
+         ;""")
+    assert(cq.semDedup ==
+      Some(SemanticDedupStage("id", "v", 0.4, "c", "d", "m")))
+  }
+
+  test("semantic_dedup stage rejects malformed forms with real diagnoses") {
+    val e1 = intercept[Parser.ParseError] {
+      Parser.parseCollection(
+        "collection_query(id) :- Embs(id, v) semantic_dedup(id, v) as (c, d, m);")
+    }
+    assert(e1.msg.contains("threshold"))
+    val e2 = intercept[Parser.ParseError] {
+      Parser.parseCollection(
+        "collection_query(id) :- Embs(id, v) semantic_dedup(id, v) threshold 0.4 (c, d, m);")
+    }
+    assert(e2.msg.contains("'as'"))
+  }
+
   test("stream enrich statement parses to its golden AST") {
     val st = Parser.parseStream(
       "stream enrich Events(event_id, user_id, value) " +
@@ -771,6 +794,67 @@ class HeroQLParserSpec extends AnyFunSuite {
   * dispatch over union tags (`Kernel/Drafts/draft_type:218-311`) and
   * demand-driven recursive funcs (`Kernel/Drafts/draft:75-89`). */
 class HeroQLRuntimeSpec extends SparkSpec {
+
+  test("semantic_dedup stage: analysis rejects bad compositions and bindings") {
+    import org.apache.spark.sql.functions._
+    val e = spark.range(40).select(col("id").as("vec_id"),
+      array((col("id") % 7).cast("float"), lit(1.0f)).as("embedding"))
+    def compile(cq: String) = HeroQL.compileCollection(
+      "data Embs(vec_id: int64, embedding: vecf32).\n", cq, Map("Embs" -> e))
+    // body must bind exactly (id, vec)
+    val e1 = intercept[Analyzer.AnalysisError] { compile(
+      """collection_query(vec_id, c, d, m) :-
+           Embs(vec_id, embedding), extra <- vec_id + 1
+         semantic_dedup(vec_id, embedding) threshold 0.4 as (c, d, m);""") }
+    assert(e1.msg.contains("exactly"))
+    // does not compose with group_by (the stage IS the aggregation)
+    val e2 = intercept[Analyzer.AnalysisError] { compile(
+      """collection_query(vec_id, c, d, m) :-
+           Embs(vec_id, embedding)
+         group_by vec_id(vec_id, n = Count(embedding))
+         semantic_dedup(vec_id, embedding) threshold 0.4 as (c, d, m);""") }
+    assert(e2.msg.contains("compose"))
+    // output names must be distinct
+    val e3 = intercept[Analyzer.AnalysisError] { compile(
+      """collection_query(vec_id, c, d, m) :-
+           Embs(vec_id, embedding)
+         semantic_dedup(vec_id, embedding) threshold 0.4 as (c, c, m);""") }
+    assert(e3.msg.contains("distinct"))
+    // the happy path runs and yields the stage's fixed output shape
+    val ok = compile(
+      """collection_query(vec_id, c, d, m) :-
+           Embs(vec_id, embedding)
+         semantic_dedup(vec_id, embedding) threshold 0.4 as (c, d, m);""")
+    assert(ok.columns.toSeq == Seq("vec_id", "c", "d", "m"))
+    assert(ok.count() > 0)
+  }
+
+  test("range_agg bind arguments must resolve to the declared (ts, val) fields") {
+    import org.apache.spark.sql.functions._
+    val probes = spark.range(5).select(col("id").as("pid"),
+      (col("id") * 10).as("t0"))
+    val events = spark.range(50).select((col("id") % 40).as("tns"),
+      col("id").as("vmicro"))
+    def compile(binds: String) = HeroQL.compileCollection(
+      """data Probes(pid: int64, t0: int64).
+        |data Events(tns: int64, vmicro: int64).
+        |""".stripMargin,
+      s"""collection_query(pid, t0) :-
+           Probes(pid, t0)
+         range_agg Events(tns, vmicro) within 10 of t0 ($binds);""",
+      Map("Probes" -> probes, "Events" -> events))
+    // Sum over a variable that is NOT the declared value field used to
+    // silently aggregate vmicro anyway — now an analysis error
+    val e1 = intercept[Analyzer.AnalysisError] {
+      compile("n = Count(tns), s = Sum(t0)") }
+    assert(e1.msg.contains("argument"))
+    val e2 = intercept[Analyzer.AnalysisError] {
+      compile("n = Count(pid), s = Sum(vmicro)") }
+    assert(e2.msg.contains("argument"))
+    // the declared fields pass
+    val ok = compile("n = Count(tns), s = Sum(vmicro)")
+    assert(ok.columns.toSeq == Seq("pid", "n", "s"))
+  }
 
   test("multi-quantile language aggregate matches the DataFrame sketch, point by point") {
     import org.apache.spark.sql.functions._

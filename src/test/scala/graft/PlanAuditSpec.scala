@@ -298,6 +298,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("lvl"), s"segment-tree node join missing:\n$p")
   }
 
+  test("hq34 semantic_dedup from text plans the layered pipeline: value-collapse exchange, no cartesian pair search") {
+    val p = plan(graft.queries.Dedup, "hq34_semantic_dedup_hql")
+    // layer 0's exact-value collapse: the groupBy(embedding) exchange
+    // must be present — it is what bounds the pair search under
+    // replication (dd9b's r18 lesson; without it replica cliques keep
+    // the search quadratic no matter the centroid count)
+    assert(p.contains("hashpartitioning(embedding"),
+      s"value-collapse exchange missing from the parsed plan:\n$p")
+    // the only pair-shaped join allowed is the broadcast centroid
+    // assignment; an unbanded cartesian over rows would be the raw
+    // all-pairs shape the stage exists to prevent
+    assert(!p.contains("CartesianProduct"),
+      s"semantic_dedup from text must never enumerate raw pairs:\n$p")
+    // the cluster-local pair search keys on the assignment
+    assert(p.contains("cluster_id"),
+      s"cluster-keyed pair search missing:\n$p")
+  }
+
   test("tx10 BM25 scores map-only; the only exchange feeds the top-k window") {
     val df = graft.queries.TextAnalysis.queries("tx10_bm25_topk")(spark, sf)
     val p = df.queryExecution.explainString(
