@@ -34,9 +34,41 @@ object Bench {
     "a21_sketch_quantiles", "dd14c_fp_layered_keeper",
     "st19_stream_kmv_distinct")
 
+  /** Per-micro-batch stats one bench query's streaming drains produced,
+    * folded from [[org.apache.spark.sql.streaming.StreamingQueryListener]]
+    * progress events (r18 verdict item 1a): `batchMs` is the engine's
+    * own batchDuration per completed trigger, so a slow SAMPLE
+    * decomposes into WHICH batches were slow — checkpoint I/O and
+    * micro-batch scheduling, the axes the CPU control can't see. */
+  private final class StreamStats {
+    var batches = 0
+    var batchMsSum = 0L
+    var batchMsMax = 0L
+    var inputRows = 0L
+    var stateRowsMax = 0L
+    def fold(p: org.apache.spark.sql.streaming.StreamingQueryProgress): Unit =
+      synchronized {
+        batches += 1
+        batchMsSum += p.batchDuration
+        batchMsMax = math.max(batchMsMax, p.batchDuration)
+        inputRows += p.numInputRows
+        val st = p.stateOperators.map(_.numRowsTotal).sum
+        stateRowsMax = math.max(stateRowsMax, st)
+      }
+    def json: String =
+      s"""{"batches":$batches,"batch_ms_sum":$batchMsSum,"batch_ms_max":$batchMsMax,"input_rows":$inputRows,"state_rows_max":$stateRowsMax}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // pinned checkpoint root (r18 verdict item 1b): every streaming
+    // drain that doesn't pass its own checkpointLocation lands under
+    // THIS run's tmp root (conf root + queryName) instead of a
+    // scattered /tmp/temporary-* per query — one place to audit, and
+    // the same filesystem for every sample
+    val ckptRoot = java.nio.file.Files
+      .createTempDirectory("graft-bench-ckpt-").toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -44,8 +76,26 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.streaming.checkpointLocation", ckptRoot)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // per-micro-batch instrumentation: progress events attribute to the
+    // query being timed when they fire (queries run sequentially, so a
+    // cross-attribution would need an event outliving its sample by a
+    // full query — diagnostics-grade, not timing-grade, and the timing
+    // itself never reads this)
+    val streamStats = new java.util.concurrent.ConcurrentHashMap[String, StreamStats]()
+    @volatile var currentQuery: String = "__warmup"
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        streamStats.computeIfAbsent(currentQuery, _ => new StreamStats)
+          .fold(e.progress)
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    })
     // session warmup (codegen compiler, parquet footer IO, shuffle
     // service, AND the parquet write committer — the first write in a
     // session pays ~1.5s of class loading that otherwise lands on
@@ -82,6 +132,50 @@ object Bench {
       spark.range(30000000L).selectExpr("bit_xor(xxhash64(id))").collect()
       (System.nanoTime() - t0) / 1e9
     }.min
+    // CONSTANT-WORK I/O CONTROL (r18 verdict item 1c): the CPU control
+    // missed st19's 13.3s outlier because that query is checkpoint-I/O-
+    // and micro-batch-scheduling-bound, not CPU-bound. This probe does
+    // fixed-size work on exactly those axes: write an 8-part parquet
+    // table, read it back, then drain it through a REAL AvailableNow
+    // file-stream (maxFilesPerTrigger=1 → 8 micro-batches, each paying
+    // offset-log + commit-log + sink I/O to the same tmp filesystem the
+    // streaming gates use). Data-independent, min-of-3. Idle band is
+    // established per machine the same way as the CPU control's; a run
+    // whose control_io sits far above it had contended tmp I/O or a
+    // stalled micro-batch scheduler, and its streaming-gate numbers
+    // should be read against a re-run.
+    currentQuery = "__control_io"
+    val controlIo = (1 to 3).map { _ =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-bench-ioctl-").toString
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-bench-ioctl-out-").toString
+      val t0 = System.nanoTime()
+      // small fixed payload: the probe measures per-operation I/O and
+      // scheduling LATENCY (commit/offset/state files, trigger setup),
+      // not throughput — 4 single-file micro-batches is the signal,
+      // and the whole probe stays ~1s so three samples don't tax the
+      // headline wall time
+      spark.range(200000L).selectExpr("id", "xxhash64(id) AS h")
+        .repartition(4).write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir).count()
+      val q = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("h",
+            org.apache.spark.sql.types.LongType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir)
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", s"$out-ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      (System.nanoTime() - t0) / 1e9
+    }.min
     val all = SparkEntry.queries
     // SPARK_GRAFT_BENCH_QUERIES=a,b,c times an explicit subset (scale
     // sweeps over the costliest quartile); BENCH_ALL=1 times everything
@@ -107,6 +201,7 @@ object Bench {
     val prodOverrides: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
       Map("dd3_minhash_lsh" -> ((s, d) => graft.queries.Dedup.dd3Production(s, d)))
     val results = order.map { name =>
+      currentQuery = name
       val fn = prodOverrides.getOrElse(name, all(name))
       var failed = false
       val samples = (1 to runs).map { _ =>
@@ -145,19 +240,37 @@ object Bench {
       // the min (and the headline total) take successful samples only;
       // a query whose every run failed reports null and its flag in
       // `failed` is the signal
-      val best = samples.collect { case (dt, true) => dt } match {
-        case ss if ss.nonEmpty => Some(ss.min)
-        case _ => None
-      }
-      (name, best, failed)
+      val good = samples.collect { case (dt, true) => dt }
+      val best = if (good.nonEmpty) Some(good.min) else None
+      (name, best, failed, good)
     }
-    val qs = results.map { case (k, v, _) =>
+    val qs = results.map { case (k, v, _, _) =>
       s"\"" + k + "\":" + v.map(_.toString).getOrElse("null")
     }.mkString("{", ",", "}")
-    val failedList = results.collect { case (k, _, true) => s"\"" + k + "\"" }
+    // PER-QUERY SPREAD (r18 verdict item 7): every successful sample,
+    // not just the min — a 4.5s-min/13s-max query self-identifies as
+    // VARIANCE (environment), a 13s/13s one as REGRESSION (plan), and
+    // min-of-3 alone cannot tell them apart (the r18 st19 adjudication
+    // burned a judge re-run to establish which it was)
+    val spread = results.map { case (k, _, _, good) =>
+      s"\"" + k + "\":[" + good.map(d => f"$d%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val failedList = results.collect { case (k, _, true, _) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedList,"control":$control,"sf":"$sfDir","runs":$runs}""")
+    // streaming diagnostics: micro-batch counts/durations per bench
+    // query (accumulated over its samples); absent for non-streaming
+    // queries. Listener delivery is async — an event still in flight
+    // when the line prints is dropped from diagnostics only, never
+    // from timing.
+    val streamJson = {
+      import scala.jdk.CollectionConverters._
+      val entries = streamStats.asScala.toSeq.sortBy(_._1)
+        .filterNot(_._1 == "__warmup")
+        .map { case (k, v) => s"\"" + k + "\":" + v.json }
+      entries.mkString("{", ",", "}")
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$spread,"failed":$failedList,"control":$control,"control_io":$controlIo,"streaming":$streamJson,"sf":"$sfDir","runs":$runs}""")
     spark.stop()
   }
 }
