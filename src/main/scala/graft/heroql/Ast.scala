@@ -173,7 +173,8 @@ object Ast {
       orderBy: Option[(Expr, Boolean)], // (expr, descending)
       rangeBy: Option[(Long, Long)], // 1-based inclusive
       rangeAgg: Option[RangeAggStage] = None,
-      semDedup: Option[SemanticDedupStage] = None)
+      semDedup: Option[SemanticDedupStage] = None,
+      nearest: Option[NearestStage] = None)
 
   /** `range_agg Rel(tsField[, valField]) within W of probeVar
     * (out = Count(tsField)[, out2 = Sum(valField)])` — the
@@ -199,6 +200,21 @@ object Ast {
     * three `as` names rename the stage's fixed output triple. */
   final case class SemanticDedupStage(idVar: String, vecVar: String,
       tau: Double, outCluster: String, outDupOf: String, outMaxCos: String)
+
+  /** `nearest(idVar, vecVar) k K [probes P] as (probe, neighbor, cos,
+    * rank)` — approximate-nearest-neighbor top-k as a collection-query
+    * pipeline stage. Plans to [[graft.queries.Similarity
+    * .storedIvfPqTopKOn]]: the body's vectors are IVF-PQ-encoded into
+    * a list-partitioned stored index (built once per codebook
+    * fingerprint), each probe's candidate scan opens ONLY its probed
+    * list partitions (static partition pruning), and an exact-cosine
+    * re-rank of the bounded candidate set yields top-k — the language
+    * route is the index-backed scan-budgeted shape, never a brute
+    * all-pairs cosine. Probes follow the ann family's convention (the
+    * first `probes` ids); outputs are renamed by the `as` quadruple. */
+  final case class NearestStage(idVar: String, vecVar: String,
+      k: Int, nProbes: Int, outProbe: String, outNeighbor: String,
+      outCos: String, outRank: String)
 
   /** `partition_by exam(student, exam, s = OrderByDesc(score, 3))` or
     * `group_by student(student, c = Count(score))`. */

@@ -698,6 +698,39 @@ object Parser {
         expectSym(")")
         Some(SemanticDedupStage(idVar, vecVar, tau, c, dof, mc))
       } else None
+      // `nearest(idVar, vecVar) k 5 [probes 20]
+      //    as (probe_id, neighbor_id, cos_sim, rank)` — index-backed
+      // ANN top-k (fixed output quadruple, renamed by the `as` list)
+      val nst = if (atId("nearest")) {
+        pos += 1
+        expectSym("(")
+        val idVar = expectId()
+        expectSym(",")
+        val vecVar = expectId()
+        expectSym(")")
+        if (!atId("k")) throw ParseError("expected 'k' in nearest", pos)
+        pos += 1
+        val k = next() match {
+          case TNum(s) if !s.contains('.') => s.toInt
+          case t => throw ParseError(s"expected integer k, got $t", pos - 1)
+        }
+        val np = if (atId("probes")) {
+          pos += 1
+          next() match {
+            case TNum(s) if !s.contains('.') => s.toInt
+            case t => throw ParseError(s"expected integer probe count, got $t", pos - 1)
+          }
+        } else 20
+        if (!atId("as")) throw ParseError("expected 'as' in nearest", pos)
+        pos += 1
+        expectSym("(")
+        val p = expectId(); expectSym(",")
+        val nb = expectId(); expectSym(",")
+        val cs = expectId(); expectSym(",")
+        val rk = expectId()
+        expectSym(")")
+        Some(NearestStage(idVar, vecVar, k, np, p, nb, cs, rk))
+      } else None
       val having = if (eat(":-")) Some(comparison().asInstanceOf[Compare]) else None
       val ob =
         if (atId("order_by_desc")) { pos += 1; Some((exprP(), true)) }
@@ -711,7 +744,8 @@ object Parser {
         Some((a, b))
       } else None
       expectSym(";")
-      CollectionQuery(head.result(), bodyConj, pb, gb, having, ob, rb, ra, sd)
+      CollectionQuery(head.result(), bodyConj, pb, gb, having, ob, rb, ra, sd,
+        nst)
     }
 
     /** One comma-element of a conjunction → its DNF alternatives (each a

@@ -832,6 +832,38 @@ final class Planner(decls: Map[String, DataDecl],
       cols = Seq(st.idVar, st.outCluster, st.outDupOf, st.outMaxCos)
     }
 
+    cq.nearest.foreach { st =>
+      if (cq.partitionBy.nonEmpty || cq.groupBy.nonEmpty ||
+          cq.rangeAgg.nonEmpty || cq.semDedup.nonEmpty)
+        throw Analyzer.AnalysisError(
+          "nearest does not compose with partition_by/group_by/range_agg/semantic_dedup")
+      if (!cols.contains(st.idVar) || !cols.contains(st.vecVar))
+        throw Analyzer.AnalysisError(
+          s"nearest(${st.idVar}, ${st.vecVar}): both variables must be bound by the body; body binds $cols")
+      if (cols.size != 2) throw Analyzer.AnalysisError(
+        s"nearest needs a body of exactly (${st.idVar}, ${st.vecVar}); got $cols")
+      if (st.k <= 0 || st.nProbes <= 0) throw Analyzer.AnalysisError(
+        s"nearest k and probes must be positive; got k=${st.k}, probes=${st.nProbes}")
+      val outs = Seq(st.outProbe, st.outNeighbor, st.outCos, st.outRank)
+      if (outs.distinct.size != 4) throw Analyzer.AnalysisError(
+        s"nearest output names must be distinct; got $outs")
+      // plans to the STORED-INDEX path: IVF-PQ index built once in a
+      // session-temp table store partitioned by coarse list, probed
+      // lists pruned statically, exact re-rank over the bounded
+      // candidate set — the language route is index-backed by
+      // construction, never a brute all-pairs cosine
+      val spark = df.sparkSession
+      val store = new graft.store.TableStore(spark,
+        java.nio.file.Files.createTempDirectory("graft-hql-annidx-").toString)
+      df = graft.queries.Similarity.storedIvfPqTopKOn(spark,
+          df.select(col(st.idVar).as("vec_id"), col(st.vecVar).as("embedding")),
+          store, "ann_index", st.nProbes, st.k)
+        .select(col("probe_id").as(st.outProbe),
+          col("neighbor_id").as(st.outNeighbor),
+          col("cos_sim").as(st.outCos), col("rank").as(st.outRank))
+      cols = outs
+    }
+
     cq.having.foreach { case Compare(op, l, r) =>
       df = df.filter(cmpCol(op, exprCol(l), exprCol(r)))
     }

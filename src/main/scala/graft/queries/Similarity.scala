@@ -252,7 +252,7 @@ object Similarity extends QueryPack {
     * corpus side contributes a bare (vec_id, embedding) projection to
     * the hash probe). */
   private def exactRerank(candidates: DataFrame, e: DataFrame,
-      nProbes: Int = NPROBES): DataFrame = {
+      nProbes: Int = NPROBES, k: Int = K): DataFrame = {
     val wExact = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     val withProbeVec = candidates.join(
@@ -266,7 +266,7 @@ object Similarity extends QueryPack {
         """graft_dot_f(vp, vn) /
            (sqrt(graft_dot_f(vp, vp)) * sqrt(graft_dot_f(vn, vn)))"""))
       .withColumn("rank", row_number().over(wExact).cast("long"))
-      .filter(col("rank") <= K)
+      .filter(col("rank") <= k)
       .withColumn("cos_sim", round(col("cos_sim"), 6))
       .select("probe_id", "neighbor_id", "cos_sim", "rank")
   }
@@ -423,9 +423,18 @@ object Similarity extends QueryPack {
     * same arithmetic; spec-pinned). */
   private[graft] def storedIvfPqTopK(s: SparkSession, d: String,
       store: graft.store.TableStore, table: String,
-      nProbes: Int = NPROBES): DataFrame = {
+      nProbes: Int = NPROBES): DataFrame =
+    storedIvfPqTopKOn(s, t(s, d, "embeddings"), store, table, nProbes)
+
+  /** [[storedIvfPqTopK]] over an EXPLICIT (vec_id, embedding) relation
+    * with a caller-chosen k — the `nearest` language stage's planning
+    * target (hq35): the stage hands the body's rows here, so the text
+    * route gets the SAME build-once/partition-pruned index discipline
+    * as the Scala API. */
+  private[graft] def storedIvfPqTopKOn(s: SparkSession, e: DataFrame,
+      store: graft.store.TableStore, table: String,
+      nProbes: Int = NPROBES, k: Int = K): DataFrame = {
     graft.functions.VectorFns.register(s)
-    val e = t(s, d, "embeddings")
     val sample = unitSample(e)
     val cents = pqCodebook(sample)
     val coarse = coarseCodebook(sample)
@@ -453,13 +462,33 @@ object Similarity extends QueryPack {
     val probed = probes.select("list").distinct().collect()
       .map(r => Int.box(r.getInt(0))).toSeq
     val idx = store.read(table).filter(col("list").isin(probed: _*))
-    exactRerank(adcCandidates(probes, idx, 50), e, nProbes)
+    exactRerank(adcCandidates(probes, idx, 50), e, nProbes, k)
   }
 
   private def ann6(s: SparkSession, d: String): DataFrame = {
     val store = new graft.store.TableStore(s,
       java.nio.file.Files.createTempDirectory("graft-annidx-").toString)
     storedIvfPqTopK(s, d, store, "ann_index")
+  }
+
+  /** hq35 — ann6 FROM PARSED TEXT: the `nearest` collection-query
+    * stage plans to [[storedIvfPqTopKOn]] (list-partitioned stored
+    * index, statically pruned probed-list scan, exact re-rank), so ANN
+    * top-k reached from the language is index-backed by construction.
+    * Rows-only like the rest of the ann family (Lloyd codebooks are
+    * driver-trained and not replicable in DuckDB); DedupSpec pins the
+    * recall floor against brute force and the pruned-partition scan,
+    * and PlanAuditSpec pins the absence of an all-pairs cosine. */
+  private def hq35(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    graft.heroql.HeroQL.compileCollection(
+      "data Embeddings(vec_id: int64, embedding: vecf32).\n",
+      """collection_query(probe_id, neighbor_id, cos_sim, rank) :-
+           Embeddings(vec_id, embedding)
+         nearest(vec_id, embedding) k 5 probes 20
+           as (probe_id, neighbor_id, cos_sim, rank)
+         ;""",
+      Map("Embeddings" -> e))
   }
 
   /** ann9 — INCREMENTAL index maintenance, the production vector-store
@@ -840,6 +869,7 @@ object Similarity extends QueryPack {
     "ann4_pq_adc_topk" -> (ann4 _),
     "ann5_ivfpq_topk" -> (ann5 _),
     "ann6_stored_index_topk" -> (ann6 _),
+    "hq35_nearest_hql" -> (hq35 _),
     "ann7_ivfpq_residual_topk" -> (ann7 _),
     "emb1_quantization" -> (emb1 _),
     "emb2_dimension_stats" -> (emb2 _),

@@ -541,6 +541,75 @@ class DedupSpec extends SparkSpec {
       s"residual path recall $hit fell far below non-residual $hit5")
   }
 
+  test("hq35 nearest-from-text: row-identical to the stored-index path, recall floor holds, scan partition-pruned") {
+    // identity: the parsed `nearest` stage plans to the SAME stored-
+    // index recipe as ann5/ann6 (same deterministic codebooks, same
+    // probed lists, same re-rank), so results must match row for row
+    val inline = graft.queries.Similarity.queries("ann5_ivfpq_topk")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val viaText = graft.queries.Similarity.queries("hq35_nearest_hql")(spark, sf)
+    assert(viaText.collect().map(_.toSeq).toSet == inline,
+      "nearest-from-text results diverge from the stored-index path")
+    // recall floor directly against brute force (the ann family's
+    // documented posture for rows-only gates)
+    val exact = graft.queries.Similarity.queries("ann1_bruteforce_topk")(spark, sf)
+      .select("probe_id", "neighbor_id")
+    val hit = exact.intersect(viaText.select("probe_id", "neighbor_id")).count()
+    val total = exact.count()
+    assert(hit.toDouble / total >= 0.3,
+      s"nearest-from-text recall $hit/$total below the IVF+PQ floor")
+    // pruning: a NARROW probe set from the language must open fewer
+    // index files than the table has on disk (ann6's contract, reached
+    // through parsed text)
+    import org.apache.spark.sql.functions._
+    val e = Tables.t(spark, sf, "embeddings").select(col("vec_id"), col("embedding"))
+    val narrow = graft.heroql.HeroQL.compileCollection(
+      "data Embeddings(vec_id: int64, embedding: vecf32).\n",
+      """collection_query(p, n, c, r) :-
+           Embeddings(vec_id, embedding)
+         nearest(vec_id, embedding) k 5 probes 2 as (p, n, c, r)
+         ;""",
+      Map("Embeddings" -> e))
+    narrow.collect() // execute so scan metrics populate
+    def scans(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case r: org.apache.spark.sql.execution.ReusedSubqueryExec =>
+        scans(r.child)
+      case other => other.children.flatMap(scans)
+    }
+    val idxScans = scans(narrow.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("ann_index")))
+    assert(idxScans.nonEmpty,
+      s"no index scan in the parsed plan:\n${narrow.queryExecution.executedPlan}")
+    val read = idxScans.map(_.metrics("numFiles").value).sum
+    // the language stage builds its index under a session-temp root —
+    // recover it from the scan's own rootPaths
+    val rootStr = idxScans.head.relation.location.rootPaths.head.toString
+    val tableRoot = rootStr.substring(0, rootStr.indexOf("ann_index") + "ann_index".length)
+      .stripPrefix("file:")
+    val root = java.nio.file.Paths.get(tableRoot)
+    val onDisk = {
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(p => p.getFileName.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+    val partDirs = {
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("list=")).count()
+      finally s.close()
+    }
+    assert(read > 0, "index probe read no files")
+    if (partDirs > 16)
+      assert(read < onDisk,
+        s"text-route index probe must open a strict subset: read $read of $onDisk ($partDirs partitions)")
+  }
+
   test("ann6 stored IVF-PQ index: row-identical to ann5, probe opens only probed partitions") {
     val inline = Similarity.queries("ann5_ivfpq_topk")(spark, sf)
       .collect().map(_.toSeq).toSet

@@ -706,6 +706,23 @@ class HeroQLParserSpec extends AnyFunSuite {
     assert(e2.msg.contains("'as'"))
   }
 
+  test("nearest stage parses to its golden AST, probes optional") {
+    val cq = Parser.parseCollection(
+      """collection_query(p, n, c, r) :-
+           Embs(id, v)
+         nearest(id, v) k 5 probes 2 as (p, n, c, r)
+         ;""")
+    assert(cq.nearest == Some(NearestStage("id", "v", 5, 2, "p", "n", "c", "r")))
+    val cq2 = Parser.parseCollection(
+      "collection_query(p, n, c, r) :- Embs(id, v) nearest(id, v) k 7 as (p, n, c, r);")
+    assert(cq2.nearest == Some(NearestStage("id", "v", 7, 20, "p", "n", "c", "r")))
+    val e1 = intercept[Parser.ParseError] {
+      Parser.parseCollection(
+        "collection_query(p) :- Embs(id, v) nearest(id, v) as (p, n, c, r);")
+    }
+    assert(e1.msg.contains("'k'"))
+  }
+
   test("stream enrich statement parses to its golden AST") {
     val st = Parser.parseStream(
       "stream enrich Events(event_id, user_id, value) " +

@@ -316,6 +316,16 @@ class PlanAuditSpec extends SparkSpec {
       s"cluster-keyed pair search missing:\n$p")
   }
 
+  test("hq35 nearest from text is index-backed: no cartesian cosine, candidate join keys on list") {
+    val p = plan(graft.queries.Similarity, "hq35_nearest_hql")
+    assert(!p.contains("CartesianProduct"),
+      s"nearest from text must never brute-force all pairs:\n$p")
+    // candidate generation is the list-keyed equi-join against the
+    // stored index — the scan-budgeted shape the stage exists to reach
+    assert(p.contains("list"),
+      s"list-keyed candidate join missing from the parsed plan:\n$p")
+  }
+
   test("tx10 BM25 scores map-only; the only exchange feeds the top-k window") {
     val df = graft.queries.TextAnalysis.queries("tx10_bm25_topk")(spark, sf)
     val p = df.queryExecution.explainString(
