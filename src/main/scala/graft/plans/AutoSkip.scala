@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, Logic
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
-import org.apache.spark.sql.types.{DataType, IntegralType, LongType, StringType}
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, IntegralType, LongType, StringType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.store.{AutoSkipProbe, TableStore}
@@ -88,11 +88,12 @@ class AutoSkip(spark: SparkSession, store: TableStore)
         if (rel.getNameCount != 2) return None
         (p, rel.getName(0).toString, rel.getName(1).toString)
       }
-    val (points, ranges, sranges) = extract(cond, lr)
-    if (points.isEmpty && ranges.isEmpty && sranges.isEmpty) return None
+    val (points, ranges, sranges, tranges, dranges) = extract(cond, lr)
+    if (points.isEmpty && ranges.isEmpty && sranges.isEmpty &&
+        tranges.isEmpty && dranges.isEmpty) return None
     val keptPaths = parsed.groupBy(_._2).toSeq.flatMap { case (table, ps) =>
       AutoSkipProbe.keptSubset(store, table, ps.map(_._3), points, ranges,
-        sranges)
+        sranges, tranges, dranges)
         match {
           case None => ps.map(_._1) // schema ops: keep this table whole
           case Some(kept) =>
@@ -136,10 +137,34 @@ class AutoSkip(spark: SparkSession, store: TableStore)
     * in the retained Filter). */
   private def extract(cond: Expression, lr: LogicalRelation)
       : (Seq[(String, Seq[Any])], Seq[(String, Long, Long)],
-         Seq[AutoSkipProbe.SRange]) = {
+         Seq[AutoSkipProbe.SRange], Seq[(String, Long, Long)],
+         Seq[(String, Long, Long)]) = {
     val points = Seq.newBuilder[(String, Seq[Any])]
     val ranges = Seq.newBuilder[(String, Long, Long)]
     val sranges = Seq.newBuilder[AutoSkipProbe.SRange]
+    // tagged long-space intervals: epoch-micros (t64 timestamp stamps)
+    // and IEEE-754 total-order bits (d64 double stamps)
+    val tranges = Seq.newBuilder[(String, Long, Long)]
+    val dranges = Seq.newBuilder[(String, Long, Long)]
+    // one inclusive/exclusive bound in a tagged long space; both
+    // encodings are monotone BIJECTIONS onto contiguous longs over
+    // their value domain, so a strict bound is ±1 in encoded space
+    // (with the MinValue/MaxValue no-op guards the integral ranges use)
+    def bound(b: scala.collection.mutable.Builder[(String, Long, Long), Seq[(String, Long, Long)]],
+        k: Option[(String, Long)], lo: Boolean, incl: Boolean): Unit =
+      k.foreach { case (c, v) =>
+        if (lo) {
+          if (incl) b += ((c, v, Long.MaxValue))
+          else if (v != Long.MaxValue) b += ((c, v + 1, Long.MaxValue))
+        } else {
+          if (incl) b += ((c, Long.MinValue, v))
+          else if (v != Long.MinValue) b += ((c, Long.MinValue, v - 1))
+        }
+      }
+    def numBand(a: Expression, l: Literal, lo: Boolean, incl: Boolean): Unit = {
+      bound(tranges, tsKey(a, l), lo, incl)
+      bound(dranges, dblKey(a, l), lo, incl)
+    }
     def utf8(l: Literal): Option[Array[Byte]] = l.value match {
       case u: UTF8String => Some(u.getBytes)
       case s: String => Some(s.getBytes("UTF-8"))
@@ -161,54 +186,67 @@ class AutoSkip(spark: SparkSession, store: TableStore)
       case EqualTo(a, l: Literal) =>
         point(a, l, points, ranges)
         sband(a, l, lo = true, incl = true); sband(a, l, lo = false, incl = true)
+        numBand(a, l, lo = true, incl = true); numBand(a, l, lo = false, incl = true)
       case EqualTo(l: Literal, a) =>
         point(a, l, points, ranges)
         sband(a, l, lo = true, incl = true); sband(a, l, lo = false, incl = true)
+        numBand(a, l, lo = true, incl = true); numBand(a, l, lo = false, incl = true)
       case EqualNullSafe(a, l: Literal) if l.value != null =>
         point(a, l, points, ranges)
         sband(a, l, lo = true, incl = true); sband(a, l, lo = false, incl = true)
+        numBand(a, l, lo = true, incl = true); numBand(a, l, lo = false, incl = true)
       case EqualNullSafe(l: Literal, a) if l.value != null =>
         point(a, l, points, ranges)
         sband(a, l, lo = true, incl = true); sband(a, l, lo = false, incl = true)
+        numBand(a, l, lo = true, incl = true); numBand(a, l, lo = false, incl = true)
       case In(a, elems) if elems.forall(_.isInstanceOf[Literal]) =>
         inList(a, elems.map(_.asInstanceOf[Literal].value), points)
       case InSet(a, hset) => inList(a, hset.toSeq, points)
       case GreaterThanOrEqual(a, l: Literal) =>
         longKey(a, l).foreach { case (c, v) => ranges += ((c, v, Long.MaxValue)) }
         sband(a, l, lo = true, incl = true)
+        numBand(a, l, lo = true, incl = true)
       case GreaterThan(a, l: Literal) =>
         longKey(a, l).filter(_._2 != Long.MaxValue)
           .foreach { case (c, v) => ranges += ((c, v + 1, Long.MaxValue)) }
         sband(a, l, lo = true, incl = false)
+        numBand(a, l, lo = true, incl = false)
       case LessThanOrEqual(a, l: Literal) =>
         longKey(a, l).foreach { case (c, v) => ranges += ((c, Long.MinValue, v)) }
         sband(a, l, lo = false, incl = true)
+        numBand(a, l, lo = false, incl = true)
       case LessThan(a, l: Literal) =>
         longKey(a, l).filter(_._2 != Long.MinValue)
           .foreach { case (c, v) => ranges += ((c, Long.MinValue, v - 1)) }
         sband(a, l, lo = false, incl = false)
+        numBand(a, l, lo = false, incl = false)
       // mirrored literal-first comparisons: k OP col
       case GreaterThanOrEqual(l: Literal, a) =>
         longKey(a, l).foreach { case (c, v) => ranges += ((c, Long.MinValue, v)) }
         sband(a, l, lo = false, incl = true)
+        numBand(a, l, lo = false, incl = true)
       case GreaterThan(l: Literal, a) =>
         longKey(a, l).filter(_._2 != Long.MinValue)
           .foreach { case (c, v) => ranges += ((c, Long.MinValue, v - 1)) }
         sband(a, l, lo = false, incl = false)
+        numBand(a, l, lo = false, incl = false)
       case LessThanOrEqual(l: Literal, a) =>
         longKey(a, l).foreach { case (c, v) => ranges += ((c, v, Long.MaxValue)) }
         sband(a, l, lo = true, incl = true)
+        numBand(a, l, lo = true, incl = true)
       case LessThan(l: Literal, a) =>
         longKey(a, l).filter(_._2 != Long.MaxValue)
           .foreach { case (c, v) => ranges += ((c, v + 1, Long.MaxValue)) }
         sband(a, l, lo = true, incl = false)
+        numBand(a, l, lo = true, incl = false)
       case StartsWith(a, l: Literal) =>
         for { c <- strAttr(a); p <- utf8(l) }
           sranges += AutoSkipProbe.SRange(c, Some(p), true,
             graft.store.ZoneMaps.prefixUpper(p), false)
       case _ => ()
     }
-    (points.result(), ranges.result(), sranges.result())
+    (points.result(), ranges.result(), sranges.result(),
+      tranges.result(), dranges.result())
   }
 
   private def point(a: Expression, l: Literal,
@@ -262,6 +300,43 @@ class AutoSkip(spark: SparkSession, store: TableStore)
         case _ => None
       }
     }
+
+  /** (column, epoch micros) when `a` is a TIMESTAMP column and `l` a
+    * timestamp literal — Catalyst stores TimestampType literal values
+    * as Long micros, exactly the `t64` stamp space. */
+  private def tsKey(a: Expression, l: Literal): Option[(String, Long)] =
+    a match {
+      case attr: AttributeReference if attr.dataType == TimestampType =>
+        (l.value, l.dataType) match {
+          case (n: java.lang.Long, TimestampType) => Some((attr.name, n.longValue()))
+          case _ => None
+        }
+      case _ => None
+    }
+
+  /** (column, total-order bits) when `a` is a double/float column
+    * (through the WIDENING float→double comparison cast — exact, every
+    * float is a double) and `l` a non-NaN floating literal. NaN
+    * literals are skipped: kept conservatively, the exact filter
+    * decides. */
+  private def dblKey(a: Expression, l: Literal): Option[(String, Long)] =
+    dblAttr(a).flatMap { c =>
+      val v: Option[Double] = l.value match {
+        case d: java.lang.Double => Some(d.doubleValue())
+        case f: java.lang.Float => Some(f.floatValue().toDouble)
+        case _ => None
+      }
+      v.filterNot(_.isNaN)
+        .map(d => (c, graft.store.ZoneMaps.sortableDoubleBits(d)))
+    }
+
+  private def dblAttr(e: Expression): Option[String] = e match {
+    case a: AttributeReference
+        if a.dataType == DoubleType || a.dataType == FloatType => Some(a.name)
+    case c: Cast if c.dataType == DoubleType && c.child.dataType == FloatType =>
+      dblAttr(c.child)
+    case _ => None
+  }
 
   private def stringKey(a: Expression, l: Literal): Option[(String, String)] =
     a match {

@@ -550,6 +550,73 @@ object AdminQueries extends QueryPack {
     ranged.unionByName(prefixed)
   }
 
+  /** adm27 — TIMESTAMP and DOUBLE zone-map data skipping
+    * ([[graft.store.ZoneMaps]] `t64`/`d64` stamps): the two remaining
+    * stampable families after r18's strings.
+    *  - `ev_ts`: events ingested as six TIME-ordered commits with a
+    *    native TimestampType column — the log-shipper shape — stamped
+    *    with per-commit [min, max] EPOCH MICROS. Probed two ways: the
+    *    explicit [[ZoneMaps.readRangeMicros]] API, and a transparent
+    *    `ets >= TIMESTAMP-literal` filter that [[graft.plans.AutoSkip]]
+    *    turns into a t64 interval — no manual epoch cast anywhere.
+    *  - `ev_val`: the same events VALUE-banded into six commits with
+    *    the raw DOUBLE column stamped as IEEE-754 total-order bits
+    *    ([[ZoneMaps.sortableDoubleBits]]). Probed explicitly
+    *    ([[ZoneMaps.readRangeDouble]]) and transparently
+    *    (`value >= 0.8 * max`).
+    * ZoneMapsSpec pins kept-dir counts plus the conservatism corners
+    * (NaN, ±0.0, null-only commits); the oracle is the plain
+    * predicate, so equality proves both encodings drop nothing. */
+  private def adm27(s: SparkSession, d: String): DataFrame = {
+    val st = scratch(s)
+    val e0 = graft.streaming.EventStreams.tsInstant(t(s, d, "events"))
+    val e = e0.select(col("event_id"), col("ts").as("ets"), col("value"),
+      expr("CAST(floor(value * 1000000) AS BIGINT)").as("vmicro"))
+    val loMicros = e.agg(min(unix_micros(col("ets")))).head.getLong(0)
+    val hiMicros = e.agg(max(unix_micros(col("ets")))).head.getLong(0)
+    val step = (hiMicros - loMicros) / 6 + 1
+    graft.store.ZoneMaps.createTracked(st, "ev_ts",
+      e.filter(unix_micros(col("ets")) < loMicros + step), Seq("ets"))
+    (1 to 5).foreach(i => st.insert("ev_ts",
+      e.filter(unix_micros(col("ets")) >= loMicros + i * step &&
+        unix_micros(col("ets")) < loMicros + (i + 1) * step)))
+    // value-banded ingest: six bands over [0, max], the last a
+    // catch-all ≥ so no row can fall between bands (band edges are
+    // derived doubles; a row must land in EXACTLY one commit for the
+    // store to equal the source)
+    val vmax = e.agg(max("value")).head.getDouble(0)
+    val vstep = vmax / 6
+    graft.store.ZoneMaps.createTracked(st, "ev_val",
+      e.filter(col("value") < vstep), Seq("value"))
+    (1 to 4).foreach(i => st.insert("ev_val",
+      e.filter(col("value") >= i * vstep && col("value") < (i + 1) * vstep)))
+    st.insert("ev_val", e.filter(col("value") >= 5 * vstep))
+    val t1 = loMicros + 10 * 86400000000L
+    val t2 = loMicros + 15 * 86400000000L - 1
+    val v1 = vmax * 0.8
+    def agg(df: DataFrame, probe: String): DataFrame =
+      df.agg(count(lit(1)).as("n"), sum("vmicro").as("sum_vmicro"))
+        .select(lit(probe).as("probe"), col("n"), col("sum_vmicro"))
+    val tsRange = agg(
+      graft.store.ZoneMaps.readRangeMicros(st, "ev_ts", "ets", t1, t2),
+      "ts_range")
+    val valRange = agg(
+      graft.store.ZoneMaps.readRangeDouble(st, "ev_val", "value", v1, vmax),
+      "val_range")
+    val rule = graft.plans.AutoSkip.install(s, st)
+    val (tsTrans, valTrans) =
+      try {
+        val a = agg(st.read("ev_ts")
+          .filter(col("ets") >= expr(s"timestamp_micros(${t1}L)") &&
+            col("ets") <= expr(s"timestamp_micros(${t2}L)")), "ts_transparent")
+          .localCheckpoint()
+        val b = agg(st.read("ev_val").filter(col("value") >= v1),
+          "val_transparent").localCheckpoint()
+        (a, b)
+      } finally graft.plans.AutoSkip.uninstall(s, rule)
+    tsRange.unionByName(valRange).unionByName(tsTrans).unionByName(valTrans)
+  }
+
   /** hq29 — the IN-list point probe FROM THE LANGUAGE: adm23's
     * Bloom-pruned batch lookup reached by a parsed HeroQL collection
     * query (`where user_id in (k1, k2, k3)`). The `in` expression
@@ -777,6 +844,7 @@ object AdminQueries extends QueryPack {
     "adm24_bloom_string_key" -> (adm24 _),
     "adm25_transparent_skipping" -> (adm25 _),
     "adm26_string_zonemap" -> (adm26 _),
+    "adm27_ts_double_zonemap" -> (adm27 _),
     "hq33_string_range_hql" -> (hq33 _),
     "hq29_bloom_in_hql" -> (hq29 _),
     "adm10_incremental_backup" -> (adm10 _),
@@ -885,6 +953,32 @@ object AdminQueries extends QueryPack {
          WHERE tus >= lo + 10 * 86400000000
            AND tus <= lo + 15 * 86400000000 - 1
          GROUP BY event_type""",
+    // adm27: both probes per family state the PLAIN predicate — the
+    // Spark side answers from pruned commits, so equality proves the
+    // micros / total-order-bits interval math drops nothing
+    "adm27_ts_double_zonemap" ->
+      """WITH e AS (SELECT event_id,
+                    epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+                    value,
+                    CAST(floor(value * 1000000) AS BIGINT) AS vmicro
+                    FROM events),
+              b AS (SELECT min(tus) AS lo, max(value) AS vmax FROM e)
+         SELECT 'ts_range' AS probe, count(*) AS n,
+                CAST(sum(vmicro) AS BIGINT) AS sum_vmicro
+         FROM e, b
+         WHERE tus >= lo + 10 * 86400000000
+           AND tus <= lo + 15 * 86400000000 - 1
+         UNION ALL
+         SELECT 'val_range', count(*), CAST(sum(vmicro) AS BIGINT)
+         FROM e, b WHERE value >= vmax * 0.8 AND value <= vmax
+         UNION ALL
+         SELECT 'ts_transparent', count(*), CAST(sum(vmicro) AS BIGINT)
+         FROM e, b
+         WHERE tus >= lo + 10 * 86400000000
+           AND tus <= lo + 15 * 86400000000 - 1
+         UNION ALL
+         SELECT 'val_transparent', count(*), CAST(sum(vmicro) AS BIGINT)
+         FROM e, b WHERE value >= vmax * 0.8""",
     "adm26_string_zonemap" ->
       """SELECT 'range' AS probe, count(*) AS n,
                 CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)

@@ -43,7 +43,12 @@ object AutoSkipProbe {
       dirs: Seq[String],
       points: Seq[(String, Seq[Any])],
       ranges: Seq[(String, Long, Long)],
-      sranges: Seq[SRange] = Seq.empty): Option[Seq[String]] = {
+      sranges: Seq[SRange] = Seq.empty,
+      // tagged long-space intervals: epoch-micros conjuncts against the
+      // t64 timestamp stamps, total-order-bits conjuncts against the
+      // d64 double stamps (both inclusive; [[ZoneMaps.keepDirTagged]])
+      tranges: Seq[(String, Long, Long)] = Seq.empty,
+      dranges: Seq[(String, Long, Long)] = Seq.empty): Option[Seq[String]] = {
     val entries = store.currentEntries(table)
     if (entries.exists(_.isInstanceOf[OpEntry])) return None
     // mid-evolution layout (2+ PartColsEntry lines): the explicit
@@ -83,8 +88,15 @@ object AutoSkipProbe {
       d => ZoneMaps.keepDirString(props, d, r.column,
         r.lo, r.loIncl, r.hi, r.hiIncl)
     }
+    val trangeChecks: Seq[String => Boolean] = tranges.map { case (c, lo, hi) =>
+      d => ZoneMaps.keepDirTagged(props, d, c, "t64:", lo, hi)
+    }
+    val drangeChecks: Seq[String => Boolean] = dranges.map { case (c, lo, hi) =>
+      d => ZoneMaps.keepDirTagged(props, d, c, "d64:", lo, hi)
+    }
     Some(dirs.filter(d =>
       pointChecks.forall(_(d)) && rangeChecks.forall(_(d)) &&
-        srangeChecks.forall(_(d))))
+        srangeChecks.forall(_(d)) && trangeChecks.forall(_(d)) &&
+        drangeChecks.forall(_(d))))
   }
 }

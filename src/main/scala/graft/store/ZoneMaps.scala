@@ -52,22 +52,46 @@ object ZoneMaps {
   private[store] val NullSentinel = "-"
 
   /** Min/max stats for `dir`'s tracked columns, as manifest props.
-    * All-null (or empty) dirs stamp [[NullSentinel]]. BIGINT-castable
-    * columns stamp `min:max` longs; STRING columns stamp
-    * `s64:<b64 min>:<b64 max>` over the raw UTF-8 bytes (Base64
-    * because a value may contain the separator, a newline, anything).
-    * String intervals prune RANGE and PREFIX probes the way the long
-    * intervals prune numeric ranges — ordered string ingest (an
-    * id-prefixed key space, a URL crawl sharded by host) produces
-    * narrow per-commit name ranges just like time-series ingest
-    * produces narrow epoch ranges. */
+    * All-null (or empty) dirs stamp [[NullSentinel]]. Per column type:
+    *  - integral columns stamp `min:max` longs over CAST(c AS BIGINT);
+    *  - STRING columns stamp `s64:<b64 min>:<b64 max>` over the raw
+    *    UTF-8 bytes (Base64 because a value may contain the separator,
+    *    a newline, anything) — string intervals prune RANGE and PREFIX
+    *    probes the way long intervals prune numeric ranges;
+    *  - TIMESTAMP columns stamp `t64:min:max` EPOCH MICROS
+    *    (unix_micros — the type's physical precision, so `ts >= X`
+    *    prunes without a manual epoch cast);
+    *  - DOUBLE/FLOAT columns stamp `d64:min:max` in IEEE-754
+    *    TOTAL-ORDER BITS ([[sortableDoubleBits]] — a monotone long
+    *    encoding, so interval disjointness in bits space IS interval
+    *    disjointness in double space; -0.0 normalizes to +0.0 because
+    *    the engines compare them equal, and NaN maps above +Inf
+    *    matching both engines' NaN-greatest ordering).
+    * Anything else (e.g. TIMESTAMP_NTZ) stamps the explicit
+    * unstampable marker `u` — kept conservatively on every probe, and
+    * the present key stops [[Txn.stampZoneStats]] from re-aggregating
+    * the dir on every later insert (the [[NullSentinel]] rationale). */
   private[store] def statsFor(store: TableStore, table: String, dir: String,
       cols: Seq[String], partitioned: Boolean): Map[String, String] = {
     if (cols.isEmpty) return Map.empty
     val df = store.readDirs(table, Seq(dir), partitioned)
-    val isStr: Map[String, Boolean] = cols.map(c => c ->
-      df.schema.fields.find(_.name == c)
-        .exists(_.dataType == org.apache.spark.sql.types.StringType)).toMap
+    import org.apache.spark.sql.types._
+    sealed trait Kind
+    case object KStr extends Kind; case object KLong extends Kind
+    case object KTs extends Kind; case object KDbl extends Kind
+    case object KSkip extends Kind
+    val kind: Map[String, Kind] = cols.map(c => c ->
+      (df.schema.fields.find(_.name == c).map(_.dataType) match {
+        case Some(StringType) => KStr
+        case Some(ByteType | ShortType | IntegerType | LongType) => KLong
+        case Some(TimestampType) => KTs
+        case Some(DoubleType | FloatType) => KDbl
+        case _ => KSkip
+      })).toMap
+    val skipped = cols.filter(kind(_) == KSkip)
+      .map(c => statKey(dir, c) -> "u").toMap
+    val tracked = cols.filter(kind(_) != KSkip)
+    if (tracked.isEmpty) return skipped
     // String stamps aggregate over CAST(c AS BINARY), never the String
     // itself: Parquet UTF8-annotated binary can carry invalid UTF-8,
     // which Spark orders by raw bytes (UTF8String) but Java sanitizes
@@ -76,19 +100,37 @@ object ZoneMaps {
     // probe would prune a matching dir. The string→binary cast preserves
     // the UTF8String bytes and binary min/max compares unsigned
     // lexicographically — exactly [[cmpBytes]]' order.
-    val aggs = cols.flatMap { c =>
-      if (isStr(c)) Seq(min(col(c).cast("binary")), max(col(c).cast("binary")))
-      else Seq(min(col(c).cast("long")), max(col(c).cast("long")))
+    val aggs = tracked.flatMap { c =>
+      kind(c) match {
+        case KStr => Seq(min(col(c).cast("binary")), max(col(c).cast("binary")))
+        case KTs => Seq(min(unix_micros(col(c))), max(unix_micros(col(c))))
+        // double min/max aggregate in DOUBLE space (floats widen
+        // exactly); the bits encoding happens driver-side below. Spark
+        // min ignores... rather: Spark orders NaN greatest, so min is
+        // NaN only when the dir is all-NaN and max is NaN when any row
+        // is — both conservative under the NaN-top bits encoding.
+        case KDbl => Seq(min(col(c).cast("double")), max(col(c).cast("double")))
+        case _ => Seq(min(col(c).cast("long")), max(col(c).cast("long")))
+      }
     }
     val r = df.agg(aggs.head, aggs.tail: _*).head
     val b64 = java.util.Base64.getEncoder
-    cols.zipWithIndex.map { case (c, i) =>
+    skipped ++ tracked.zipWithIndex.map { case (c, i) =>
       if (r.isNullAt(2 * i)) statKey(dir, c) -> NullSentinel
-      else if (isStr(c)) {
-        val mn = b64.encodeToString(r.getAs[Array[Byte]](2 * i))
-        val mx = b64.encodeToString(r.getAs[Array[Byte]](2 * i + 1))
-        statKey(dir, c) -> s"s64:$mn:$mx"
-      } else statKey(dir, c) -> s"${r.getLong(2 * i)}:${r.getLong(2 * i + 1)}"
+      else kind(c) match {
+        case KStr =>
+          val mn = b64.encodeToString(r.getAs[Array[Byte]](2 * i))
+          val mx = b64.encodeToString(r.getAs[Array[Byte]](2 * i + 1))
+          statKey(dir, c) -> s"s64:$mn:$mx"
+        case KTs =>
+          statKey(dir, c) -> s"t64:${r.getLong(2 * i)}:${r.getLong(2 * i + 1)}"
+        case KDbl =>
+          val mn = sortableDoubleBits(r.getDouble(2 * i))
+          val mx = sortableDoubleBits(r.getDouble(2 * i + 1))
+          statKey(dir, c) -> s"d64:$mn:$mx"
+        case _ =>
+          statKey(dir, c) -> s"${r.getLong(2 * i)}:${r.getLong(2 * i + 1)}"
+      }
     }.toMap
   }
 
@@ -274,6 +316,95 @@ object ZoneMaps {
     entries.collect { case DataDir(d) => d }
       .filter(d => keepDirString(props, d, column,
         lo.map(utf8), loIncl = true, hi.map(utf8), hiIncl = true))
+  }
+
+  // ---- timestamp / double zone maps ------------------------------------
+
+  /** IEEE-754 double → order-preserving signed long (Lucene's
+    * sortable-bits construction): positive doubles keep their bit
+    * pattern, negative doubles flip every bit except the sign, so
+    * signed-long comparison of the encodings equals double comparison
+    * of the values. Two engine-semantics adjustments:
+    *  - -0.0 normalizes to +0.0 BEFORE encoding — Spark and DuckDB
+    *    compare them EQUAL, but their raw encodings differ, and a dir
+    *    whose max is -0.0 must keep the probe `col >= 0.0`;
+    *  - NaN (canonicalized by doubleToLongBits) encodes above +Inf —
+    *    both engines order NaN greatest, so an all-NaN dir prunes
+    *    `col <= x` (no NaN satisfies it) and keeps `col >= x` (every
+    *    NaN does). */
+  private[graft] def sortableDoubleBits(dbl: Double): Long = {
+    val d = if (dbl == 0.0) 0.0 else dbl
+    val b = java.lang.Double.doubleToLongBits(d)
+    b ^ ((b >> 63) & 0x7fffffffffffffffL)
+  }
+
+  /** Keep `d` under an inclusive [lo, hi] long-space probe against a
+    * TAGGED stamp (`t64:` epoch micros, `d64:` double bits). Sentinel
+    * prunes; a missing key, an untagged stamp, or a DIFFERENT tag —
+    * e.g. a t64 probe consulting an integral stamp — keeps
+    * conservatively (the probe and the stamp must speak the same
+    * space for disjointness to mean anything). */
+  private[graft] def keepDirTagged(props: Map[String, String], d: String,
+      column: String, tag: String, lo: Long, hi: Long): Boolean =
+    props.get(statKey(d, column)) match {
+      case Some(NullSentinel) => false
+      case Some(s) if s.startsWith(tag) => parseStat(s.drop(tag.length)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      }
+      case Some(_) => true
+      case None => true
+    }
+
+  /** Epoch-micros range probe `lo ≤ unix_micros(column) ≤ hi` on a
+    * TIMESTAMP column with manifest pruning — [[readRange]]'s contract
+    * against the `t64` stamps. */
+  def readRangeMicros(store: TableStore, table: String, column: String,
+      lo: Long, hi: Long): DataFrame =
+    readPrunedTagged(store, table, column, "t64:", lo, hi,
+      df => df.filter(unix_micros(col(column)).between(lo, hi)))
+
+  /** Inclusive double range probe `lo ≤ column ≤ hi` on a DOUBLE/FLOAT
+    * column with manifest pruning over the `d64` total-order-bits
+    * stamps. NaN bounds are rejected: a NaN endpoint makes the exact
+    * predicate vacuous and the bits interval meaningless. */
+  def readRangeDouble(store: TableStore, table: String, column: String,
+      lo: Double, hi: Double): DataFrame = {
+    require(!lo.isNaN && !hi.isNaN, "NaN range bounds are not a probe")
+    readPrunedTagged(store, table, column, "d64:",
+      sortableDoubleBits(lo), sortableDoubleBits(hi),
+      df => df.filter(col(column).cast("double").between(lo, hi)))
+  }
+
+  /** The dirs a tagged-interval probe would open (spec/monitoring). */
+  private[graft] def keptDirsTagged(store: TableStore, table: String,
+      column: String, tag: String, lo: Long, hi: Long): Seq[String] = {
+    val entries = store.currentEntries(table)
+    val props = entries.collectFirst { case PropsEntry(ps) => ps }
+      .getOrElse(Map.empty)
+    entries.collect { case DataDir(d) => d }
+      .filter(d => keepDirTagged(props, d, column, tag, lo, hi))
+  }
+
+  private def readPrunedTagged(store: TableStore, table: String,
+      column: String, tag: String, lo: Long, hi: Long,
+      exact: DataFrame => DataFrame): DataFrame = {
+    val entries = store.currentEntries(table)
+    if (entries.exists(_.isInstanceOf[OpEntry])) return exact(store.read(table))
+    if (entries.count(_.isInstanceOf[PartColsEntry]) > 1)
+      return exact(store.read(table))
+    val props = entries.collectFirst { case PropsEntry(ps) => ps }
+      .getOrElse(Map.empty)
+    val kept = entries.collect { case DataDir(d) => d }
+      .filter(d => keepDirTagged(props, d, column, tag, lo, hi))
+    if (kept.isEmpty) exact(store.read(table)).limit(0)
+    else {
+      val dvDirs = entries.collect { case DvEntry(d) => d }
+      val raw = store.readDirs(table, kept,
+        entries.exists(_.isInstanceOf[PartColsEntry]),
+        decorate = if (dvDirs.isEmpty) identity else store.dvStamp)
+      exact(if (dvDirs.isEmpty) raw else store.applyDv(table, dvDirs, raw))
+    }
   }
 
   private def readPrunedString(store: TableStore, table: String,

@@ -173,6 +173,146 @@ class ZoneMapsSpec extends SparkSpec {
     assert(numKept.size == 3, s"string stamp must keep under numeric probe: $numKept")
   }
 
+  /** Time-ordered ingest with a NATIVE TimestampType column: band i
+    * covers minutes [i·100, (i+1)·100) after a fixed epoch base. */
+  private def seedTs(st: TableStore, bands: Int = 6, perBand: Int = 100): Unit = {
+    val base = 1700000000000000L // fixed epoch micros
+    def band(i: Int): DataFrame = spark.range(i * perBand, (i + 1) * perBand)
+      .select(expr(s"timestamp_micros(${base}L + id * 60000000)").as("ets"),
+        col("id").as("v"))
+    ZoneMaps.createTracked(st, "ts", band(0), Seq("ets"))
+    (1 until bands).foreach(i => st.insert("ts", band(i)))
+  }
+
+  test("timestamp zone maps: micros probes keep only overlapping commits; transparent TIMESTAMP filter prunes") {
+    val st = freshStore()
+    seedTs(st)
+    val base = 1700000000000000L
+    def mic(i: Long) = base + i * 60000000L
+    // probe inside band 2 plus the first row of band 3
+    val kept = ZoneMaps.keptDirsTagged(st, "ts", "ets", "t64:",
+      mic(250), mic(300))
+    assert(kept.size == 2, s"expected 2 of 6 dirs kept, got ${kept.size}")
+    val pruned = ZoneMaps.readRangeMicros(st, "ts", "ets", mic(250), mic(300))
+    val full = st.read("ts")
+      .filter(unix_micros(col("ets")).between(mic(250), mic(300)))
+    assert(pruned.count() == 51)
+    assert(pruned.except(full).isEmpty && full.except(pruned).isEmpty)
+    // disjoint probe: nothing kept, answer empty
+    assert(ZoneMaps.keptDirsTagged(st, "ts", "ets", "t64:",
+      mic(10000), mic(20000)).isEmpty)
+    // a plain INTEGRAL probe consulting the t64 stamp keeps
+    // conservatively (different space — disjointness means nothing)
+    assert(ZoneMaps.keptDirs(st, "ts", "ets", 0, 1).size == 6)
+    // transparent: a plain ets >= TIMESTAMP-literal filter routes
+    // through AutoSkip's t64 extraction, no epoch cast anywhere
+    val rule = graft.plans.AutoSkip.install(spark, st)
+    try {
+      def roots(df: DataFrame): Seq[Int] =
+        df.queryExecution.optimizedPlan.collect {
+          case org.apache.spark.sql.execution.datasources.LogicalRelation(
+            h: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+            _, _, _, _) => h.location.rootPaths.size
+        }
+      val rng = st.read("ts").filter(
+        col("ets") >= expr(s"timestamp_micros(${mic(250)}L)") &&
+          col("ets") <= expr(s"timestamp_micros(${mic(300)}L)"))
+      assert(roots(rng) == Seq(2), s"timestamp range did not prune: ${roots(rng)}")
+      assert(rng.count() == 51)
+    } finally graft.plans.AutoSkip.uninstall(spark, rule)
+  }
+
+  /** Value-ordered ingest over a SIGN-SPANNING double range: band i
+    * covers [i·100 − 300, (i+1)·100 − 300) — negative encodings and
+    * the sign crossing are on the probed path, not just positives. */
+  private def seedDbl(st: TableStore, bands: Int = 6, perBand: Int = 100): Unit = {
+    def band(i: Int): DataFrame = spark.range(i * perBand, (i + 1) * perBand)
+      .select((col("id").cast("double") - 300.0).as("dv"), col("id").as("v"))
+    ZoneMaps.createTracked(st, "dbl", band(0), Seq("dv"))
+    (1 until bands).foreach(i => st.insert("dbl", band(i)))
+  }
+
+  test("double zone maps: total-order-bits probes keep only overlapping commits across the sign crossing") {
+    val st = freshStore()
+    seedDbl(st)
+    def bits(d: Double) = ZoneMaps.sortableDoubleBits(d)
+    // probe straddling the negative/positive boundary: bands 2 and 3
+    val kept = ZoneMaps.keptDirsTagged(st, "dbl", "dv", "d64:",
+      bits(-50.0), bits(0.5))
+    assert(kept.size == 2, s"expected 2 of 6 dirs kept, got ${kept.size}")
+    val pruned = ZoneMaps.readRangeDouble(st, "dbl", "dv", -50.0, 0.5)
+    val full = st.read("dbl").filter(col("dv").between(-50.0, 0.5))
+    assert(pruned.count() == 51)
+    assert(pruned.except(full).isEmpty && full.except(pruned).isEmpty)
+    assert(ZoneMaps.keptDirsTagged(st, "dbl", "dv", "d64:",
+      bits(1e6), bits(2e6)).isEmpty)
+    // transparent: plain double comparisons prune through d64
+    val rule = graft.plans.AutoSkip.install(spark, st)
+    try {
+      def roots(df: DataFrame): Seq[Int] =
+        df.queryExecution.optimizedPlan.collect {
+          case org.apache.spark.sql.execution.datasources.LogicalRelation(
+            h: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+            _, _, _, _) => h.location.rootPaths.size
+        }
+      val rng = st.read("dbl").filter(col("dv") >= -50.0 && col("dv") < 0.5)
+      assert(roots(rng) == Seq(2), s"double range did not prune: ${roots(rng)}")
+      assert(rng.count() == 51)
+    } finally graft.plans.AutoSkip.uninstall(spark, rule)
+  }
+
+  test("double zone maps conservatism: NaN, signed zero, all-null, and unstampable types stay sound") {
+    val st = freshStore()
+    import spark.implicits._
+    // band 0: ordinary values; band 1: all NaN; band 2: all -0.0;
+    // band 3: all-null
+    ZoneMaps.createTracked(st, "c",
+      Seq((1.0, 1L), (2.0, 2L)).toDF("dv", "v"), Seq("dv"))
+    st.insert("c", Seq((Double.NaN, 3L), (Double.NaN, 4L)).toDF("dv", "v"))
+    st.insert("c", Seq((-0.0, 5L)).toDF("dv", "v"))
+    st.insert("c", spark.range(1)
+      .select(lit(null).cast("double").as("dv"), lit(6L).as("v")))
+    def bits(d: Double) = ZoneMaps.sortableDoubleBits(d)
+    // dv <= 5.0: the all-NaN dir must PRUNE (both engines order NaN
+    // greatest, so no NaN satisfies ≤), the null dir prunes via the
+    // sentinel, bands 0 and 2 keep
+    val leKept = ZoneMaps.keptDirsTagged(st, "c", "dv", "d64:",
+      Long.MinValue, bits(5.0))
+    assert(leKept.size == 2, s"NaN/null dirs must prune from <=: $leKept")
+    // dv >= 1.5: the all-NaN dir must KEEP (NaN >= x is TRUE in both
+    // engines' NaN-greatest ordering) — parity proves it
+    val geKept = ZoneMaps.keptDirsTagged(st, "c", "dv", "d64:",
+      bits(1.5), Long.MaxValue)
+    assert(geKept.size == 2, s"NaN dir must keep under >=: $geKept")
+    val ge = ZoneMaps.readRangeDouble(st, "c", "dv", 1.5, Double.MaxValue)
+    // between excludes NaN (NaN <= hi is false), matching the stamp
+    // only when hi's bits sit below NaN's — the unpruned filter agrees
+    val geFull = st.read("c")
+      .filter(col("dv").between(1.5, Double.MaxValue))
+    assert(ge.except(geFull).isEmpty && geFull.except(ge).isEmpty)
+    // signed zero: the -0.0 dir stamps normalized +0.0 bits, so the
+    // probe dv >= 0.0 KEEPS it (the engines compare -0.0 == 0.0)
+    val zeroKept = ZoneMaps.keptDirsTagged(st, "c", "dv", "d64:",
+      bits(0.0), Long.MaxValue)
+    assert(zeroKept.size == 3, s"-0.0 dir must keep under >= 0.0: $zeroKept")
+    val z = ZoneMaps.readRangeDouble(st, "c", "dv", 0.0, 10.0)
+    val zFull = st.read("c").filter(col("dv").between(0.0, 10.0))
+    assert(z.except(zFull).isEmpty && zFull.except(z).isEmpty)
+    assert(z.filter(col("v") === 5L).count() == 1,
+      "the -0.0 row must answer the >= 0.0 probe")
+    // an unstampable tracked type (TIMESTAMP_NTZ) stamps the explicit
+    // 'u' marker once — kept on every probe, never re-aggregated
+    val st2 = freshStore()
+    ZoneMaps.createTracked(st2, "ntz", spark.range(3)
+      .select(expr("timestamp_ntz '2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id)").as("nts"),
+        col("id").as("v")), Seq("nts"))
+    val marks = st2.tableProps("ntz").filter { case (k, v) =>
+      k.startsWith("zm.") && v == "u" }
+    assert(marks.size == 1, s"expected one unstampable marker: $marks")
+    assert(ZoneMaps.keptDirsTagged(st2, "ntz", "nts", "t64:",
+      Long.MinValue, Long.MaxValue).size == 1)
+  }
+
   test("transparent string pruning: plain filtered reads route prefix and range through the stamps") {
     val st = freshStore()
     seedString(st)
