@@ -3,7 +3,7 @@ package graft.plans
 import scala.util.control.NonFatal
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal, PredicateHelper, StartsWith}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal, Or, PredicateHelper, StartsWith}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
@@ -243,10 +243,69 @@ class AutoSkip(spark: SparkSession, store: TableStore)
         for { c <- strAttr(a); p <- utf8(l) }
           sranges += AutoSkipProbe.SRange(c, Some(p), true,
             graft.store.ZoneMaps.prefixUpper(p), false)
+      // a disjunction whose EVERY branch is a point probe on the SAME
+      // column is an IN-list (`k = 1 OR k = 7 OR k IN (9, 11)` — the
+      // hand-written form of the multi-key lookup): the points seq
+      // already carries union-of-keys semantics (Bloom keeps on ANY
+      // key, zone on ANY degenerate interval), so the normalized list
+      // drops in directly. Mixed-column or non-point branches refuse
+      // conservatively — a disjunct the stamps can't see could match
+      // rows in any dir.
+      case o: Or => orPoints(o).foreach(points += _)
       case _ => ()
     }
     (points.result(), ranges.result(), sranges.result(),
       tranges.result(), dranges.result())
+  }
+
+  /** The (column, keys) of a disjunction iff every branch is an
+    * equality / IN on ONE shared column — the IN-list normalization.
+    * None (probe nothing) when any branch is not a point probe or the
+    * branches name different columns. */
+  private def orPoints(o: Or): Option[(String, Seq[Any])] = {
+    val keyed: Seq[Option[(String, Seq[Any])]] =
+      splitDisjunctivePredicates(o).map {
+        case EqualTo(a, l: Literal) => pointKeys(a, l)
+        case EqualTo(l: Literal, a) => pointKeys(a, l)
+        case EqualNullSafe(a, l: Literal) if l.value != null => pointKeys(a, l)
+        case EqualNullSafe(l: Literal, a) if l.value != null => pointKeys(a, l)
+        case In(a, elems) if elems.forall(_.isInstanceOf[Literal]) =>
+          listKeys(a, elems.map(_.asInstanceOf[Literal].value))
+        case InSet(a, hset) => listKeys(a, hset.toSeq)
+        case _ => None
+      }
+    if (keyed.exists(_.isEmpty)) return None
+    val flat = keyed.flatten
+    flat.map(_._1).distinct match {
+      case Seq(c) => Some((c, flat.flatMap(_._2)))
+      case _ => None // mixed-column OR: refuse conservatively
+    }
+  }
+
+  private def pointKeys(a: Expression, l: Literal): Option[(String, Seq[Any])] =
+    longKey(a, l).map { case (c, v) => (c, Seq[Any](v)) }
+      .orElse(stringKey(a, l).map { case (c, s) => (c, Seq[Any](s)) })
+
+  private def listKeys(a: Expression, values: Seq[Any]): Option[(String, Seq[Any])] = {
+    if (values.exists(_ == null)) return None
+    numericAttr(a) match {
+      case Some(c) =>
+        val longs = values.map {
+          case n: java.lang.Number => n.longValue()
+          case _ => return None
+        }
+        Some((c, longs))
+      case None => a match {
+        case attr: AttributeReference if attr.dataType == StringType =>
+          val strs = values.map {
+            case u: UTF8String => u.toString
+            case s: String => s
+            case _ => return None
+          }
+          Some((attr.name, strs))
+        case _ => None
+      }
+    }
   }
 
   private def point(a: Expression, l: Literal,

@@ -80,6 +80,32 @@ class AutoSkipSpec extends SparkSpec {
     }
   }
 
+  test("OR of point probes on one column normalizes to an IN-list; mixed-column ORs refuse") {
+    val st = freshStore()
+    seedBanded(st)
+    withRule(st) {
+      // k = 250 OR k = 251 — the hand-written IN: two dirs of six
+      val or2 = st.read("t").filter(col("k") === 250L || col("k") === 251L)
+      assert(scanRoots(or2) == Seq(2), s"scan roots: ${scanRoots(or2)}")
+      assert(or2.orderBy("k").collect().toSeq ==
+        Seq(Row(250L, 250L % 7), Row(251L, 251L % 7)))
+      // a branch that is itself an IN folds into the union
+      val orIn = st.read("t")
+        .filter(col("k") === 250L || col("k").isin(251L, 252L))
+      assert(scanRoots(orIn) == Seq(3), s"scan roots: ${scanRoots(orIn)}")
+      assert(orIn.count() == 3)
+      // mixed-column OR: a disjunct the stamps can't see could match
+      // anywhere — conservative refusal, all 6 dirs stay, answer exact
+      val mixed = st.read("t").filter(col("k") === 250L || col("v") === 3L)
+      assert(scanRoots(mixed) == Seq(6), s"scan roots: ${scanRoots(mixed)}")
+      assert(mixed.count() ==
+        st.read("t").filter(col("k") === 250L || col("v") === 3L).count())
+      // non-point branch (a range) refuses too
+      val nonPoint = st.read("t").filter(col("k") === 250L || col("k") > 500L)
+      assert(scanRoots(nonPoint) == Seq(6), s"scan roots: ${scanRoots(nonPoint)}")
+    }
+  }
+
   test("range filter prunes through zone-map stamps on ordered ingest") {
     val st = freshStore()
     def slice(i: Int): DataFrame = spark.range(i * 100L, (i + 1) * 100L)
