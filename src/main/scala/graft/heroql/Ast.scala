@@ -174,7 +174,8 @@ object Ast {
       rangeBy: Option[(Long, Long)], // 1-based inclusive
       rangeAgg: Option[RangeAggStage] = None,
       semDedup: Option[SemanticDedupStage] = None,
-      nearest: Option[NearestStage] = None)
+      nearest: Option[NearestStage] = None,
+      nearDedup: Option[NearDedupStage] = None)
 
   /** `range_agg Rel(tsField[, valField]) within W of probeVar
     * (out = Count(tsField)[, out2 = Sum(valField)])` — the
@@ -215,6 +216,20 @@ object Ast {
   final case class NearestStage(idVar: String, vecVar: String,
       k: Int, nProbes: Int, outProbe: String, outNeighbor: String,
       outCos: String, outRank: String)
+
+  /** `near_dedup(idVar, textVar) threshold τ as (keeper_id,
+    * keeper_tokens, cluster_size)` — MinHash-LSH near-duplicate
+    * clustering with quality-keeper election as a collection-query
+    * pipeline stage. Plans to [[graft.queries.Dedup.layeredLshKeeper]]
+    * (exact fp-collapse first, LSH banding over REPRESENTATIVES only,
+    * connected components, longest-then-smallest-id keeper): the text
+    * route carries the 100-TB exchange discipline — text never crosses
+    * a shuffle as key — by construction. τ is the Jaccard verification
+    * threshold; the three `as` names rename the fixed output triple
+    * appended to the id. */
+  final case class NearDedupStage(idVar: String, textVar: String,
+      tau: Double, outKeeper: String, outKeeperTokens: String,
+      outClusterSize: String)
 
   /** `partition_by exam(student, exam, s = OrderByDesc(score, 3))` or
     * `group_by student(student, c = Count(score))`. */

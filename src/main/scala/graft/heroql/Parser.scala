@@ -731,6 +731,33 @@ object Parser {
         expectSym(")")
         Some(NearestStage(idVar, vecVar, k, np, p, nb, cs, rk))
       } else None
+      // `near_dedup(idVar, textVar) threshold 0.25
+      //    as (keeper_id, keeper_tokens, cluster_size)` — layered
+      // MinHash-LSH keeper election (fixed output triple)
+      val nd = if (atId("near_dedup")) {
+        pos += 1
+        expectSym("(")
+        val idVar = expectId()
+        expectSym(",")
+        val textVar = expectId()
+        expectSym(")")
+        if (!atId("threshold"))
+          throw ParseError("expected 'threshold' in near_dedup", pos)
+        pos += 1
+        val tau = next() match {
+          case TNum(s) => s.toDouble
+          case t => throw ParseError(s"expected threshold value, got $t", pos - 1)
+        }
+        if (!atId("as"))
+          throw ParseError("expected 'as' in near_dedup", pos)
+        pos += 1
+        expectSym("(")
+        val kp = expectId(); expectSym(",")
+        val kt = expectId(); expectSym(",")
+        val csz = expectId()
+        expectSym(")")
+        Some(NearDedupStage(idVar, textVar, tau, kp, kt, csz))
+      } else None
       val having = if (eat(":-")) Some(comparison().asInstanceOf[Compare]) else None
       val ob =
         if (atId("order_by_desc")) { pos += 1; Some((exprP(), true)) }
@@ -745,7 +772,7 @@ object Parser {
       } else None
       expectSym(";")
       CollectionQuery(head.result(), bodyConj, pb, gb, having, ob, rb, ra, sd,
-        nst)
+        nst, nd)
     }
 
     /** One comma-element of a conjunction → its DNF alternatives (each a

@@ -832,11 +832,42 @@ final class Planner(decls: Map[String, DataDecl],
       cols = Seq(st.idVar, st.outCluster, st.outDupOf, st.outMaxCos)
     }
 
+    cq.nearDedup.foreach { st =>
+      if (cq.partitionBy.nonEmpty || cq.groupBy.nonEmpty ||
+          cq.rangeAgg.nonEmpty || cq.semDedup.nonEmpty || cq.nearest.nonEmpty)
+        throw Analyzer.AnalysisError(
+          "near_dedup does not compose with other pipeline stages")
+      if (!cols.contains(st.idVar) || !cols.contains(st.textVar))
+        throw Analyzer.AnalysisError(
+          s"near_dedup(${st.idVar}, ${st.textVar}): both variables must be bound by the body; body binds $cols")
+      if (cols.size != 2) throw Analyzer.AnalysisError(
+        s"near_dedup needs a body of exactly (${st.idVar}, ${st.textVar}); got $cols")
+      if (st.tau.isNaN || st.tau <= 0.0 || st.tau > 1.0)
+        throw Analyzer.AnalysisError(
+          s"near_dedup threshold must be a Jaccard similarity in (0, 1]; got ${st.tau}")
+      val outs = Seq(st.outKeeper, st.outKeeperTokens, st.outClusterSize)
+      if (outs.distinct.size != 3 || outs.contains(st.idVar))
+        throw Analyzer.AnalysisError(
+          s"near_dedup output names must be distinct and differ from ${st.idVar}; got $outs")
+      if (Set("keeper_id", "keeper_tokens", "cluster_size")(st.idVar))
+        throw Analyzer.AnalysisError(
+          s"near_dedup id variable ${st.idVar} collides with the stage's internal output names")
+      // plans to the LAYERED keeper (exact fp-collapse → LSH over
+      // representatives → CC → min-of-struct keeper) — text never
+      // crosses an exchange as key, the dd14c discipline from text
+      df = graft.queries.Dedup.layeredLshKeeper(df.sparkSession, df,
+          st.idVar, st.textVar, st.tau)
+        .select(col(st.idVar), col("keeper_id").as(st.outKeeper),
+          col("keeper_tokens").as(st.outKeeperTokens),
+          col("cluster_size").as(st.outClusterSize))
+      cols = st.idVar +: outs
+    }
+
     cq.nearest.foreach { st =>
       if (cq.partitionBy.nonEmpty || cq.groupBy.nonEmpty ||
-          cq.rangeAgg.nonEmpty || cq.semDedup.nonEmpty)
+          cq.rangeAgg.nonEmpty || cq.semDedup.nonEmpty || cq.nearDedup.nonEmpty)
         throw Analyzer.AnalysisError(
-          "nearest does not compose with partition_by/group_by/range_agg/semantic_dedup")
+          "nearest does not compose with other pipeline stages")
       if (!cols.contains(st.idVar) || !cols.contains(st.vecVar))
         throw Analyzer.AnalysisError(
           s"nearest(${st.idVar}, ${st.vecVar}): both variables must be bound by the body; body binds $cols")

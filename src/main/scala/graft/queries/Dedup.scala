@@ -521,8 +521,38 @@ object Dedup extends QueryPack {
     * single place text moves at all is the representative-fetch join,
     * where it is PAYLOAD keyed by int64 doc_id — never a grouping or
     * sort key. */
-  private def dd14c(s: SparkSession, d: String): DataFrame = {
+  private def dd14c(s: SparkSession, d: String): DataFrame =
+    layeredLshKeeper(s,
+      t(s, d, "documents").select(col("doc_id"), col("text")),
+      "doc_id", "text", 0.25)
+
+  /** hq36 — dd14c FROM PARSED TEXT: the `near_dedup` collection-query
+    * stage plans straight to [[layeredLshKeeper]], so near-duplicate
+    * clustering reached from the language carries the full exchange
+    * discipline (fp-collapse first, banding over representatives,
+    * text never a shuffle key) by construction. Oracle = dd14c's
+    * verbatim at the same τ; PlanAuditSpec pins the fp-keyed collapse
+    * exchange in the parsed plan. */
+  private def hq36(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    graft.heroql.HeroQL.compileCollection(
+      "data Docs(doc_id: int64, text: string).\n",
+      """collection_query(doc_id, keeper_id, keeper_tokens, cluster_size) :-
+           Docs(doc_id, text)
+         near_dedup(doc_id, text) threshold 0.25
+           as (keeper_id, keeper_tokens, cluster_size)
+         ;""",
+      Map("Docs" -> docs))
+  }
+
+  /** dd14c's layered LSH-keeper engine over ANY (id, text) relation —
+    * also the `near_dedup` collection-query stage's planning target
+    * (`heroql/Planner.scala`), so the text route gets the fp-collapse /
+    * reps-only-banding / min-of-struct-keeper pipeline by construction.
+    * Output: (idCol, keeper_id, keeper_tokens, cluster_size). */
+  private[graft] def layeredLshKeeper(s: SparkSession, docs0: DataFrame,
+      idCol: String, textCol: String, threshold: Double): DataFrame = {
+    val docs = docs0.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     // pinned exact stage (three consumers, same reason as dd14b)
     val reps = fpCollapse(docs).localCheckpoint()
     val keyed = docs.select(col("doc_id"),
@@ -532,7 +562,7 @@ object Dedup extends QueryPack {
         docs("doc_id") === col("rep_id"))
       .select(col("doc_id"), col("text"))
     val pairs = MinHashLSH.nearDuplicatesMd5(repDocs, "doc_id", "text",
-      shingleLen = 5, bands = 21, rowsPerBand = 3, threshold = 0.25)
+      shingleLen = 5, bands = 21, rowsPerBand = 3, threshold = threshold)
     val cc = GraphOps.connectedComponentsDF(s,
       pairs.select(col("a_id").as("src"), col("b_id").as("dst")))
     val fpCluster = reps
@@ -549,6 +579,7 @@ object Dedup extends QueryPack {
     labeled.join(keepers, col("cluster") === col("c2"))
       .select(col("doc_id"), col("keeper_id"), col("keeper_tokens"),
         col("cluster_size"))
+      .withColumnRenamed("doc_id", idCol)
   }
 
   /** Aligned-chunk token length: chunks are full ChunkTok except a
@@ -990,6 +1021,7 @@ object Dedup extends QueryPack {
     "dd14_lsh_quality_keeper" -> (dd14 _),
     "dd14b_layered_lsh_keeper" -> (dd14b _),
     "dd14c_fp_layered_keeper" -> (dd14c _),
+    "hq36_near_dedup_hql" -> (hq36 _),
   )
 
   private val shingleSql =
@@ -1032,6 +1064,55 @@ object Dedup extends QueryPack {
   // `simhash` HeroQL builtin's oracle, so the folds can't drift)
   private val tokHashSql = TextFns.tokenHashDuckSql("tk")
   private val simhashSql = TextFns.simhashOfHashesDuckSql("hs")
+
+
+  /** dd14c's DuckDB twin — also hq36's (the parsed `near_dedup` stage
+    * plans to the same layered keeper pipeline at the same threshold,
+    * so the oracle is shared verbatim). */
+  private lazy val Dd14cOracleSql: String =
+      s"""WITH RECURSIVE docfp AS (
+           SELECT doc_id, text, ${TextFns.fingerprintDuckSql("text")} AS fp
+           FROM documents),
+         repid AS (SELECT fp, min(doc_id) AS rep_id FROM docfp GROUP BY fp),
+         reps AS (SELECT r.rep_id AS doc_id, d.text
+                  FROM repid r JOIN docfp d ON d.doc_id = r.rep_id),
+         ${md5LshCtes("reps")},
+         cand AS (
+           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM band a JOIN band b
+             ON a.bi = b.bi AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         vp AS (
+           SELECT c.a_id, c.b_id, $jaccardSql AS jaccard
+           FROM cand c
+             JOIN sig ha ON ha.doc_id = c.a_id
+             JOIN sig hb ON hb.doc_id = c.b_id),
+         pairs AS (SELECT a_id, b_id FROM vp WHERE jaccard >= 0.25),
+         edges AS (
+           SELECT a_id AS u, b_id AS w FROM pairs
+           UNION ALL SELECT b_id, a_id FROM pairs),
+         reach(u, r) AS (
+           SELECT doc_id, doc_id FROM reps
+           UNION
+           SELECT e.u, reach.r FROM edges e JOIN reach ON e.w = reach.u),
+         lab AS (SELECT u AS rep_id, min(r) AS cluster FROM reach GROUP BY u),
+         l2 AS (
+           SELECT d.doc_id,
+                  CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT)
+                    AS n_tokens,
+                  lab.cluster
+           FROM docfp d
+             JOIN repid r ON d.fp = r.fp
+             JOIN lab ON r.rep_id = lab.rep_id),
+         k AS (
+           SELECT cluster, doc_id AS keeper_id, n_tokens AS keeper_tokens
+           FROM (SELECT *, row_number() OVER (PARTITION BY cluster
+                   ORDER BY n_tokens DESC, doc_id) AS rn FROM l2)
+           WHERE rn = 1),
+         sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+                FROM l2 GROUP BY cluster)
+         SELECT l2.doc_id, k.keeper_id, k.keeper_tokens, sz.cluster_size
+         FROM l2 JOIN k ON l2.cluster = k.cluster
+         JOIN sz ON l2.cluster = sz.cluster"""
 
   override val oracles: Map[String, String] = Map(
     "dd13_normalized_dedup" ->
@@ -1231,50 +1312,10 @@ object Dedup extends QueryPack {
          JOIN sz ON l2.cluster = sz.cluster""",
     // dd14b with the collapse keyed on tx4's fingerprint: reps = min
     // doc_id per fp, LSH over the reps' text, docs inherit via fp
-    "dd14c_fp_layered_keeper" ->
-      s"""WITH RECURSIVE docfp AS (
-           SELECT doc_id, text, ${TextFns.fingerprintDuckSql("text")} AS fp
-           FROM documents),
-         repid AS (SELECT fp, min(doc_id) AS rep_id FROM docfp GROUP BY fp),
-         reps AS (SELECT r.rep_id AS doc_id, d.text
-                  FROM repid r JOIN docfp d ON d.doc_id = r.rep_id),
-         ${md5LshCtes("reps")},
-         cand AS (
-           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-           FROM band a JOIN band b
-             ON a.bi = b.bi AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
-         vp AS (
-           SELECT c.a_id, c.b_id, $jaccardSql AS jaccard
-           FROM cand c
-             JOIN sig ha ON ha.doc_id = c.a_id
-             JOIN sig hb ON hb.doc_id = c.b_id),
-         pairs AS (SELECT a_id, b_id FROM vp WHERE jaccard >= 0.25),
-         edges AS (
-           SELECT a_id AS u, b_id AS w FROM pairs
-           UNION ALL SELECT b_id, a_id FROM pairs),
-         reach(u, r) AS (
-           SELECT doc_id, doc_id FROM reps
-           UNION
-           SELECT e.u, reach.r FROM edges e JOIN reach ON e.w = reach.u),
-         lab AS (SELECT u AS rep_id, min(r) AS cluster FROM reach GROUP BY u),
-         l2 AS (
-           SELECT d.doc_id,
-                  CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT)
-                    AS n_tokens,
-                  lab.cluster
-           FROM docfp d
-             JOIN repid r ON d.fp = r.fp
-             JOIN lab ON r.rep_id = lab.rep_id),
-         k AS (
-           SELECT cluster, doc_id AS keeper_id, n_tokens AS keeper_tokens
-           FROM (SELECT *, row_number() OVER (PARTITION BY cluster
-                   ORDER BY n_tokens DESC, doc_id) AS rn FROM l2)
-           WHERE rn = 1),
-         sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
-                FROM l2 GROUP BY cluster)
-         SELECT l2.doc_id, k.keeper_id, k.keeper_tokens, sz.cluster_size
-         FROM l2 JOIN k ON l2.cluster = k.cluster
-         JOIN sz ON l2.cluster = sz.cluster""",
+    "dd14c_fp_layered_keeper" -> Dd14cOracleSql,
+    // hq36 parses to the SAME layered keeper pipeline dd14c ships,
+    // at the same threshold — the oracle is shared verbatim
+    "hq36_near_dedup_hql" -> Dd14cOracleSql,
     // dd14 composed EXACT-FIRST: LSH + reachability over the exact-
     // collapsed representatives, documents inherit their rep's cluster
     "dd14b_layered_lsh_keeper" ->

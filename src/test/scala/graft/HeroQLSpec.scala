@@ -723,6 +723,21 @@ class HeroQLParserSpec extends AnyFunSuite {
     assert(e1.msg.contains("'k'"))
   }
 
+  test("near_dedup stage parses to its golden AST with real diagnoses") {
+    val cq = Parser.parseCollection(
+      """collection_query(id, k, t, n) :-
+           Docs(id, text)
+         near_dedup(id, text) threshold 0.25 as (k, t, n)
+         ;""")
+    assert(cq.nearDedup ==
+      Some(NearDedupStage("id", "text", 0.25, "k", "t", "n")))
+    val e1 = intercept[Parser.ParseError] {
+      Parser.parseCollection(
+        "collection_query(id) :- Docs(id, text) near_dedup(id, text) as (k, t, n);")
+    }
+    assert(e1.msg.contains("threshold"))
+  }
+
   test("stream enrich statement parses to its golden AST") {
     val st = Parser.parseStream(
       "stream enrich Events(event_id, user_id, value) " +

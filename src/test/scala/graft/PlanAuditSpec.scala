@@ -141,6 +141,25 @@ class PlanAuditSpec extends SparkSpec {
       s"text crosses the collapse exchange: [${shuffles.head}]")
   }
 
+  test("hq36 near_dedup from text: fp-keyed collapse present, text never a shuffle key, rows equal dd14c") {
+    val viaText = graft.queries.Dedup.queries("hq36_near_dedup_hql")(spark, sf)
+    val fmt = viaText.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // NO exchange in the parsed plan hashes raw text as its key (the
+    // fp-collapse exchange itself sits behind the engine's pinned
+    // localCheckpoint — the "dd14c exact collapse" pin covers it on
+    // the shared fpCollapse directly)
+    val keys = raw"hashpartitioning\(([^)]*)\)".r
+      .findAllMatchIn(fmt).map(_.group(1)).toSeq
+    assert(keys.forall(!_.startsWith("text#")),
+      s"raw text used as a shuffle key: $keys")
+    // identity to the Scala-API engine (same τ, same pipeline)
+    val engine = graft.queries.Dedup.queries("dd14c_fp_layered_keeper")(spark, sf)
+    assert(viaText.collect().map(_.toSeq).toSet ==
+      engine.collect().map(_.toSeq).toSet,
+      "near_dedup-from-text diverges from the layered keeper engine")
+  }
+
   test("dd14c equals dd14b row for row (fp keying changes the exchange payload, not the decision)") {
     val b = graft.queries.Dedup.queries("dd14b_layered_lsh_keeper")(spark, sf)
     val c = graft.queries.Dedup.queries("dd14c_fp_layered_keeper")(spark, sf)
