@@ -190,17 +190,23 @@ object Ast {
       valVar: Option[String], window: Long, probeVar: String,
       binds: Seq[CqBind])
 
-  /** `semantic_dedup(idVar, vecVar) threshold τ as (cluster, dup_of,
-    * max_cos)` — SemDeDup (Abbas et al. 2023) as a collection-query
-    * pipeline stage: per body row, the cluster assignment plus the
-    * smallest-id earlier neighbor at cosine ≥ τ within the cluster.
-    * Plans to [[graft.queries.Dedup.semanticDedupLayered]] — √n scaled
-    * centroids AND exact-value layering — so the language route is the
-    * 100-TB-shaped pipeline, never a raw all-pairs search (the same
-    * posture [[RangeAggStage]] takes for interval aggregation). The
-    * three `as` names rename the stage's fixed output triple. */
+  /** `semantic_dedup(idVar, vecVar) [against Rel(idField, vecField)]
+    * threshold τ as (cluster, dup_of, max_cos)` — SemDeDup (Abbas et
+    * al. 2023) as a collection-query pipeline stage: per body row, the
+    * cluster assignment plus the smallest-id earlier neighbor at
+    * cosine ≥ τ within the cluster. Without `against`, plans to
+    * [[graft.queries.Dedup.semanticDedupLayered]] (self-dedup); with
+    * `against Rel(...)`, the body rows are the arriving BATCH and
+    * `Rel` the already-ingested CORPUS — the incremental steady-state
+    * shape ([[graft.queries.Dedup.semanticDedupIncremental]]):
+    * centroids are a corpus artifact, precedence is corpus membership.
+    * Both routes carry √n scaled centroids AND exact-value layering,
+    * so the language is the 100-TB-shaped pipeline, never a raw
+    * all-pairs search (the [[RangeAggStage]] posture). The three `as`
+    * names rename the stage's fixed output triple. */
   final case class SemanticDedupStage(idVar: String, vecVar: String,
-      tau: Double, outCluster: String, outDupOf: String, outMaxCos: String)
+      tau: Double, outCluster: String, outDupOf: String, outMaxCos: String,
+      against: Option[(String, String, String)] = None)
 
   /** `nearest(idVar, vecVar) k K [probes P] as (probe, neighbor, cos,
     * rank)` — approximate-nearest-neighbor top-k as a collection-query

@@ -681,6 +681,18 @@ object Parser {
         expectSym(",")
         val vecVar = expectId()
         expectSym(")")
+        // optional `against Corpus(idField, vecField)` — incremental
+        // batch-vs-corpus form (corpus-artifact centroids)
+        val against = if (atId("against")) {
+          pos += 1
+          val rel = expectId()
+          expectSym("(")
+          val f1 = expectId()
+          expectSym(",")
+          val f2 = expectId()
+          expectSym(")")
+          Some((rel, f1, f2))
+        } else None
         if (!atId("threshold"))
           throw ParseError("expected 'threshold' in semantic_dedup", pos)
         pos += 1
@@ -696,7 +708,7 @@ object Parser {
         val dof = expectId(); expectSym(",")
         val mc = expectId()
         expectSym(")")
-        Some(SemanticDedupStage(idVar, vecVar, tau, c, dof, mc))
+        Some(SemanticDedupStage(idVar, vecVar, tau, c, dof, mc, against))
       } else None
       // `nearest(idVar, vecVar) k 5 [probes 20]
       //    as (probe_id, neighbor_id, cos_sim, rank)` — index-backed

@@ -824,9 +824,31 @@ final class Planner(decls: Map[String, DataDecl],
         s"semantic_dedup threshold must be a cosine in (-1, 1]; got ${st.tau}")
       // plans to the LAYERED engine (√n centroids + exact-value
       // collapse) — the language route is the 100-TB shape by
-      // construction; a rule-body pair join is never generated
-      df = graft.queries.Dedup.semanticDedupLayered(df.sparkSession, df,
-          st.idVar, st.vecVar, st.tau)
+      // construction; a rule-body pair join is never generated.
+      // `against Rel(...)` routes to the INCREMENTAL engine instead:
+      // the body is the arriving batch, Rel the corpus (centroids a
+      // corpus artifact, precedence corpus membership — dd9c's shape)
+      val engine = st.against match {
+        case None =>
+          graft.queries.Dedup.semanticDedupLayered(df.sparkSession, df,
+            st.idVar, st.vecVar, st.tau)
+        case Some((rel, f1, f2)) =>
+          val decl = decls.getOrElse(rel, throw Analyzer.AnalysisError(
+            s"semantic_dedup against unknown relation $rel"))
+          val bdf = catalog.getOrElse(rel, throw Analyzer.AnalysisError(
+            s"no table bound for relation $rel"))
+          def physical(v: String): Column = {
+            val i = decl.fields.indexWhere(_._1 == v)
+            if (i < 0) throw Analyzer.AnalysisError(
+              s"relation $rel has no field $v")
+            col(bdf.columns(i))
+          }
+          val corpus = bdf.select(physical(f1).as(st.idVar),
+            physical(f2).as(st.vecVar))
+          graft.queries.Dedup.semanticDedupIncremental(df.sparkSession,
+            corpus, df, st.idVar, st.vecVar, st.tau)
+      }
+      df = engine
         .select(col(st.idVar), col("cluster_id").as(st.outCluster),
           col("dup_of").as(st.outDupOf), col("max_cos").as(st.outMaxCos))
       cols = Seq(st.idVar, st.outCluster, st.outDupOf, st.outMaxCos)

@@ -816,10 +816,53 @@ object Dedup extends QueryPack {
     * groups of the group's min id (= its gid); max_cos ranges over
     * the same per-group doubles. */
   private def dd9c(s: SparkSession, d: String): DataFrame = {
-    graft.functions.VectorFns.register(s)
+    val e = t(s, d, "embeddings")
+    semanticDedupIncremental(s,
+      e.filter(col("vec_id") % 5 =!= 0), e.filter(col("vec_id") % 5 === 0),
+      "vec_id", "embedding", Dd9Tau)
+  }
+
+  /** hq37 — dd9c FROM PARSED TEXT: the `semantic_dedup … against`
+    * form plans to [[semanticDedupIncremental]] — the body rows are
+    * the arriving batch, the `against` relation the already-ingested
+    * corpus — so the steady-state incremental shape (corpus-artifact
+    * centroids, both sides exact-value collapsed, cluster-local
+    * corpus×batch pair search) is what query text reaches. Oracle =
+    * dd9c's verbatim (same split). */
+  private def hq37(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "embeddings")
     val corpus = e.filter(col("vec_id") % 5 =!= 0)
+      .select(col("vec_id"), col("embedding"))
     val batch = e.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("embedding"))
+    graft.heroql.HeroQL.compileCollection(
+      """data Batch(vec_id: int64, embedding: vecf32).
+        |data Corpus(cid: int64, cvec: vecf32).
+        |""".stripMargin,
+      s"""collection_query(vec_id, cluster_id, dup_of, max_cos) :-
+           Batch(vec_id, embedding)
+         semantic_dedup(vec_id, embedding) against Corpus(cid, cvec)
+           threshold $Dd9Tau as (cluster_id, dup_of, max_cos)
+         ;""",
+      Map("Batch" -> batch, "Corpus" -> corpus))
+  }
+
+  /** dd9c's batch-vs-corpus SemDeDup engine over ANY pair of
+    * (id, vector) relations — also the `semantic_dedup … against`
+    * collection-query stage's planning target, so the language reaches
+    * the steady-state incremental shape (centroids are a CORPUS
+    * artifact, both sides exact-value collapsed, cluster-local
+    * corpus×batch pair search over DISTINCT values only). Output:
+    * (idCol, cluster_id, dup_of, max_cos) per batch row with ≥1 corpus
+    * neighbor at cos ≥ τ. */
+  private[graft] def semanticDedupIncremental(s: SparkSession,
+      corpus0: DataFrame, batch0: DataFrame, idCol: String, vecCol: String,
+      tau: Double): DataFrame = {
+    graft.functions.VectorFns.register(s)
+    def norm(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    val corpus = norm(corpus0)
+    val batch = norm(batch0)
     val n = corpus.count()
     val nCents =
       math.max(Dd9Cents.toLong, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
@@ -849,7 +892,7 @@ object Dedup extends QueryPack {
         col("v").as("vb"), col("nrm").as("nb"))
     val verdictPerValue = ca.join(ba, col("cluster_id") === col("bc"))
       .withColumn("cos_sim", expr("graft_dot_f(vc, vb) / (nc * nb)"))
-      .filter(col("cos_sim") >= Dd9Tau)
+      .filter(col("cos_sim") >= tau)
       .groupBy(col("bgid"), col("bc").as("cluster_id"))
       .agg(min(col("cgid")).as("dup_of"),
         round(max(col("cos_sim")), 6).as("max_cos"))
@@ -857,6 +900,7 @@ object Dedup extends QueryPack {
       .select(col("vec_id"), col("bgid"))
       .join(verdictPerValue, "bgid")
       .select(col("vec_id"), col("cluster_id"), col("dup_of"), col("max_cos"))
+      .withColumnRenamed("vec_id", idCol)
   }
 
   /** hq34 — dd9b FROM PARSED TEXT (the reference posture: every
@@ -1015,6 +1059,7 @@ object Dedup extends QueryPack {
     "dd9b_semantic_dedup_scaled" -> (dd9b _),
     "dd9c_incremental_semantic" -> (dd9c _),
     "hq34_semantic_dedup_hql" -> (hq34 _),
+    "hq37_incremental_semantic_hql" -> (hq37 _),
     "dd10_duplicate_spans" -> (dd10 _),
     "dd11_line_dedup" -> (dd11 _),
     "dd13_normalized_dedup" -> (dd13 _),
@@ -1064,6 +1109,44 @@ object Dedup extends QueryPack {
   // `simhash` HeroQL builtin's oracle, so the folds can't drift)
   private val tokHashSql = TextFns.tokenHashDuckSql("tk")
   private val simhashSql = TextFns.simhashOfHashesDuckSql("hs")
+
+
+  /** dd9c's DuckDB twin — also hq37's (the parsed `semantic_dedup …
+    * against` stage plans to the same incremental engine with the
+    * same corpus/batch split, so the oracle is shared verbatim). */
+  private lazy val Dd9cOracleSql: String =
+      s"""WITH e AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+           FROM embeddings),
+         co AS (SELECT * FROM e WHERE vec_id % 5 <> 0),
+         bt AS (SELECT * FROM e WHERE vec_id % 5 = 0),
+         cents AS (
+           SELECT cid, cv, cn FROM (
+             SELECT vec_id AS cid, v AS cv, nrm AS cn,
+               row_number() OVER (ORDER BY vec_id) AS rn
+             FROM co WHERE vec_id % 13 = 5)
+           WHERE rn <= greatest($Dd9Cents,
+             CAST(ceil(sqrt((SELECT count(*) FROM co))) AS BIGINT))),
+         asgc AS (
+           SELECT vec_id, v, nrm, cid FROM (
+             SELECT co.vec_id, co.v, co.nrm, c.cid,
+               row_number() OVER (PARTITION BY co.vec_id
+                 ORDER BY list_dot_product(co.v, c.cv) / (co.nrm * c.cn) DESC,
+                          c.cid ASC) AS rn
+             FROM co CROSS JOIN cents c) WHERE rn = 1),
+         asgb AS (
+           SELECT vec_id, v, nrm, cid FROM (
+             SELECT bt.vec_id, bt.v, bt.nrm, c.cid,
+               row_number() OVER (PARTITION BY bt.vec_id
+                 ORDER BY list_dot_product(bt.v, c.cv) / (bt.nrm * c.cn) DESC,
+                          c.cid ASC) AS rn
+             FROM bt CROSS JOIN cents c) WHERE rn = 1)
+         SELECT b.vec_id, b.cid AS cluster_id, min(a.vec_id) AS dup_of,
+           round(max(list_dot_product(a.v, b.v) / (a.nrm * b.nrm)), 6) AS max_cos
+         FROM asgb b JOIN asgc a ON a.cid = b.cid
+         WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $Dd9Tau
+         GROUP BY 1, 2"""
 
 
   /** dd14c's DuckDB twin — also hq36's (the parsed `near_dedup` stage
@@ -1456,39 +1539,10 @@ object Dedup extends QueryPack {
     // incremental: corpus-only centroids (scaled to the CORPUS count),
     // both sides assigned, batch-vs-corpus cluster-local pairs, no
     // id-order constraint (corpus membership is precedence)
-    "dd9c_incremental_semantic" ->
-      s"""WITH e AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-           FROM embeddings),
-         co AS (SELECT * FROM e WHERE vec_id % 5 <> 0),
-         bt AS (SELECT * FROM e WHERE vec_id % 5 = 0),
-         cents AS (
-           SELECT cid, cv, cn FROM (
-             SELECT vec_id AS cid, v AS cv, nrm AS cn,
-               row_number() OVER (ORDER BY vec_id) AS rn
-             FROM co WHERE vec_id % 13 = 5)
-           WHERE rn <= greatest($Dd9Cents,
-             CAST(ceil(sqrt((SELECT count(*) FROM co))) AS BIGINT))),
-         asgc AS (
-           SELECT vec_id, v, nrm, cid FROM (
-             SELECT co.vec_id, co.v, co.nrm, c.cid,
-               row_number() OVER (PARTITION BY co.vec_id
-                 ORDER BY list_dot_product(co.v, c.cv) / (co.nrm * c.cn) DESC,
-                          c.cid ASC) AS rn
-             FROM co CROSS JOIN cents c) WHERE rn = 1),
-         asgb AS (
-           SELECT vec_id, v, nrm, cid FROM (
-             SELECT bt.vec_id, bt.v, bt.nrm, c.cid,
-               row_number() OVER (PARTITION BY bt.vec_id
-                 ORDER BY list_dot_product(bt.v, c.cv) / (bt.nrm * c.cn) DESC,
-                          c.cid ASC) AS rn
-             FROM bt CROSS JOIN cents c) WHERE rn = 1)
-         SELECT b.vec_id, b.cid AS cluster_id, min(a.vec_id) AS dup_of,
-           round(max(list_dot_product(a.v, b.v) / (a.nrm * b.nrm)), 6) AS max_cos
-         FROM asgb b JOIN asgc a ON a.cid = b.cid
-         WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $Dd9Tau
-         GROUP BY 1, 2""",
+    "dd9c_incremental_semantic" -> Dd9cOracleSql,
+    // hq37 parses to the SAME incremental engine dd9c ships, on the
+    // same corpus/batch split — the oracle is shared verbatim
+    "hq37_incremental_semantic_hql" -> Dd9cOracleSql,
     // double-precision cosine, same formula as the Spark side
     // (list_cosine_similarity on FLOAT[] accumulates in float)
     "dd5_embedding_neardup" ->

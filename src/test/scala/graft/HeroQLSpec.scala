@@ -723,6 +723,17 @@ class HeroQLParserSpec extends AnyFunSuite {
     assert(e1.msg.contains("'k'"))
   }
 
+  test("semantic_dedup against form parses to its golden AST") {
+    val cq = Parser.parseCollection(
+      """collection_query(id, c, d, m) :-
+           B(id, v)
+         semantic_dedup(id, v) against Corpus(cid, cv)
+           threshold 0.4 as (c, d, m)
+         ;""")
+    assert(cq.semDedup == Some(SemanticDedupStage("id", "v", 0.4,
+      "c", "d", "m", Some(("Corpus", "cid", "cv")))))
+  }
+
   test("near_dedup stage parses to its golden AST with real diagnoses") {
     val cq = Parser.parseCollection(
       """collection_query(id, k, t, n) :-
@@ -859,6 +870,30 @@ class HeroQLRuntimeSpec extends SparkSpec {
          semantic_dedup(vec_id, embedding) threshold 0.4 as (c, d, m);""")
     assert(ok.columns.toSeq == Seq("vec_id", "c", "d", "m"))
     assert(ok.count() > 0)
+  }
+
+  test("pipeline stages compose with having and order_by downstream") {
+    import org.apache.spark.sql.functions._
+    // 6 docs: two exact triples with DISJOINT vocabularies (a shared
+    // suffix would make the two groups legitimate near-dups at any
+    // low threshold) → two clusters of size 3
+    val docs = spark.range(6).select(col("id"),
+      when(col("id") % 2 === 0,
+        lit("alpha beta gamma delta epsilon zeta eta theta"))
+        .otherwise(lit("one two three four five six seven eight"))
+        .as("text"))
+    val out = HeroQL.compileCollection(
+      "data Docs(id: int64, text: string).\n",
+      """collection_query(id, k, t, n) :-
+           Docs(id, text)
+         near_dedup(id, text) threshold 0.25 as (k, t, n)
+         :- n > 1
+         order_by id;""",
+      Map("Docs" -> docs))
+    val rows = out.collect()
+    assert(rows.length == 6 && rows.map(_.getLong(0)).toSeq == (0L to 5L))
+    assert(rows.forall(_.getLong(3) == 3L),
+      s"expected two clusters of 3: ${rows.mkString(",")}")
   }
 
   test("range_agg bind arguments must resolve to the declared (ts, val) fields") {
