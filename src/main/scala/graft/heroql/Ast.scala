@@ -223,19 +223,28 @@ object Ast {
       k: Int, nProbes: Int, outProbe: String, outNeighbor: String,
       outCos: String, outRank: String)
 
-  /** `near_dedup(idVar, textVar) threshold τ as (keeper_id,
-    * keeper_tokens, cluster_size)` — MinHash-LSH near-duplicate
-    * clustering with quality-keeper election as a collection-query
-    * pipeline stage. Plans to [[graft.queries.Dedup.layeredLshKeeper]]
-    * (exact fp-collapse first, LSH banding over REPRESENTATIVES only,
-    * connected components, longest-then-smallest-id keeper): the text
-    * route carries the 100-TB exchange discipline — text never crosses
-    * a shuffle as key — by construction. τ is the Jaccard verification
-    * threshold; the three `as` names rename the fixed output triple
-    * appended to the id. */
+  /** `near_dedup(idVar, textVar) [against Rel(idField, textField)]
+    * threshold τ as (…)` — MinHash-LSH near-duplicate detection as a
+    * collection-query pipeline stage; τ is the Jaccard verification
+    * threshold. Two forms:
+    *  - SELF (no `against`): clustering + quality-keeper election,
+    *    planning to [[graft.queries.Dedup.layeredLshKeeper]] (exact
+    *    fp-collapse first, LSH banding over REPRESENTATIVES only,
+    *    connected components, longest-then-smallest-id keeper); `as`
+    *    names the output triple (keeper_id, keeper_tokens,
+    *    cluster_size) appended to the id.
+    *  - AGAINST: the body rows are the arriving BATCH and `Rel` the
+    *    already-ingested CORPUS, planning to [[graft.queries.Dedup
+    *    .incrementalNearDedup]] (both sides fp-collapsed, banding and
+    *    verification batch-vs-representatives, verdicts fanned back
+    *    through both fingerprints); one row per verified pair, `as`
+    *    names the output pair (corpus_id, jaccard) appended to the id.
+    * Either way the text route carries the 100-TB exchange
+    * discipline — text never crosses a shuffle as key — by
+    * construction. */
   final case class NearDedupStage(idVar: String, textVar: String,
-      tau: Double, outKeeper: String, outKeeperTokens: String,
-      outClusterSize: String)
+      tau: Double, outs: Seq[String],
+      against: Option[(String, String, String)] = None)
 
   /** `partition_by exam(student, exam, s = OrderByDesc(score, 3))` or
     * `group_by student(student, c = Count(score))`. */

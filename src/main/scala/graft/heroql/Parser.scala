@@ -743,9 +743,10 @@ object Parser {
         expectSym(")")
         Some(NearestStage(idVar, vecVar, k, np, p, nb, cs, rk))
       } else None
-      // `near_dedup(idVar, textVar) threshold 0.25
-      //    as (keeper_id, keeper_tokens, cluster_size)` — layered
-      // MinHash-LSH keeper election (fixed output triple)
+      // `near_dedup(idVar, textVar) [against Rel(idF, textF)]
+      //    threshold 0.25 as (...)` — layered MinHash-LSH keeper
+      // election (self form, output triple) or batch-vs-corpus pair
+      // detection (against form, output pair)
       val nd = if (atId("near_dedup")) {
         pos += 1
         expectSym("(")
@@ -753,6 +754,16 @@ object Parser {
         expectSym(",")
         val textVar = expectId()
         expectSym(")")
+        val against = if (atId("against")) {
+          pos += 1
+          val rel = expectId()
+          expectSym("(")
+          val f1 = expectId()
+          expectSym(",")
+          val f2 = expectId()
+          expectSym(")")
+          Some((rel, f1, f2))
+        } else None
         if (!atId("threshold"))
           throw ParseError("expected 'threshold' in near_dedup", pos)
         pos += 1
@@ -764,11 +775,15 @@ object Parser {
           throw ParseError("expected 'as' in near_dedup", pos)
         pos += 1
         expectSym("(")
-        val kp = expectId(); expectSym(",")
-        val kt = expectId(); expectSym(",")
-        val csz = expectId()
+        val outs = Seq.newBuilder[String]
+        var f = true
+        while (!at(")")) {
+          if (!f) expectSym(",")
+          f = false
+          outs += expectId()
+        }
         expectSym(")")
-        Some(NearDedupStage(idVar, textVar, tau, kp, kt, csz))
+        Some(NearDedupStage(idVar, textVar, tau, outs.result(), against))
       } else None
       val having = if (eat(":-")) Some(comparison().asInstanceOf[Compare]) else None
       val ob =

@@ -867,22 +867,49 @@ final class Planner(decls: Map[String, DataDecl],
       if (st.tau.isNaN || st.tau <= 0.0 || st.tau > 1.0)
         throw Analyzer.AnalysisError(
           s"near_dedup threshold must be a Jaccard similarity in (0, 1]; got ${st.tau}")
-      val outs = Seq(st.outKeeper, st.outKeeperTokens, st.outClusterSize)
-      if (outs.distinct.size != 3 || outs.contains(st.idVar))
+      val wantOuts = if (st.against.isEmpty) 3 else 2
+      if (st.outs.size != wantOuts)
         throw Analyzer.AnalysisError(
-          s"near_dedup output names must be distinct and differ from ${st.idVar}; got $outs")
-      if (Set("keeper_id", "keeper_tokens", "cluster_size")(st.idVar))
+          s"near_dedup ${if (st.against.isEmpty) "(self form) names (keeper_id, keeper_tokens, cluster_size)"
+          else "(against form) names (corpus_id, jaccard)"} — expected $wantOuts output names, got ${st.outs}")
+      if (st.outs.distinct.size != wantOuts || st.outs.contains(st.idVar))
+        throw Analyzer.AnalysisError(
+          s"near_dedup output names must be distinct and differ from ${st.idVar}; got ${st.outs}")
+      val reserved = if (st.against.isEmpty)
+        Set("keeper_id", "keeper_tokens", "cluster_size")
+      else Set("corpus_id", "jaccard") // new_id IS the id slot here
+      if (reserved(st.idVar))
         throw Analyzer.AnalysisError(
           s"near_dedup id variable ${st.idVar} collides with the stage's internal output names")
-      // plans to the LAYERED keeper (exact fp-collapse → LSH over
-      // representatives → CC → min-of-struct keeper) — text never
-      // crosses an exchange as key, the dd14c discipline from text
-      df = graft.queries.Dedup.layeredLshKeeper(df.sparkSession, df,
-          st.idVar, st.textVar, st.tau)
-        .select(col(st.idVar), col("keeper_id").as(st.outKeeper),
-          col("keeper_tokens").as(st.outKeeperTokens),
-          col("cluster_size").as(st.outClusterSize))
-      cols = st.idVar +: outs
+      // plans to the LAYERED engines — text never crosses an exchange
+      // as key (the dd14c/dd6c discipline) from text, either form
+      df = st.against match {
+        case None =>
+          graft.queries.Dedup.layeredLshKeeper(df.sparkSession, df,
+              st.idVar, st.textVar, st.tau)
+            .select(col(st.idVar), col("keeper_id").as(st.outs(0)),
+              col("keeper_tokens").as(st.outs(1)),
+              col("cluster_size").as(st.outs(2)))
+        case Some((rel, f1, f2)) =>
+          val decl = decls.getOrElse(rel, throw Analyzer.AnalysisError(
+            s"near_dedup against unknown relation $rel"))
+          val bdf = catalog.getOrElse(rel, throw Analyzer.AnalysisError(
+            s"no table bound for relation $rel"))
+          def physical(v: String): Column = {
+            val i = decl.fields.indexWhere(_._1 == v)
+            if (i < 0) throw Analyzer.AnalysisError(
+              s"relation $rel has no field $v")
+            col(bdf.columns(i))
+          }
+          val corpus = bdf.select(physical(f1).as(st.idVar),
+            physical(f2).as(st.textVar))
+          graft.queries.Dedup.incrementalNearDedup(df.sparkSession,
+              corpus, df, st.idVar, st.textVar, st.tau)
+            .select(col("new_id").as(st.idVar),
+              col("corpus_id").as(st.outs(0)),
+              col("jaccard").as(st.outs(1)))
+      }
+      cols = st.idVar +: st.outs
     }
 
     cq.nearest.foreach { st =>

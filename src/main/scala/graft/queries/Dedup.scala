@@ -253,8 +253,50 @@ object Dedup extends QueryPack {
     * — the text column never moves. */
   private def dd6c(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents").select("doc_id", "text")
+    incrementalNearDedup(s, docs.filter(col("doc_id") % 5 =!= 0),
+      docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", 0.25)
+  }
+
+  /** hq38 — dd6c FROM PARSED TEXT: the `near_dedup … against` form
+    * plans to [[incrementalNearDedup]] — the body rows are the
+    * arriving batch, the `against` relation the already-ingested
+    * corpus — so the steady-state re-crawl question ("which corpus
+    * members does each batch doc near-duplicate") reaches the layered,
+    * replication-invariant pipeline from query text. Oracle = dd6c's
+    * verbatim (same split, same column names: the body variable is
+    * `new_id` and the `as` pair names (corpus_id, jaccard)). */
+  private def hq38(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    // decl fields bind to catalog columns BY NAME (hq33's convention)
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id").as("cid"), col("text").as("ctext"))
     val batch = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("new_id"), col("text"))
+    graft.heroql.HeroQL.compileCollection(
+      """data Batch(new_id: int64, text: string).
+        |data Corpus(cid: int64, ctext: string).
+        |""".stripMargin,
+      """collection_query(new_id, corpus_id, jaccard) :-
+           Batch(new_id, text)
+         near_dedup(new_id, text) against Corpus(cid, ctext)
+           threshold 0.25 as (corpus_id, jaccard)
+         ;""",
+      Map("Batch" -> batch, "Corpus" -> corpus))
+  }
+
+  /** dd6c's batch-vs-corpus layered near-dup engine over ANY pair of
+    * (id, text) relations — also the `near_dedup … against`
+    * collection-query stage's planning target. Output one row per
+    * verified (corpus member, batch member) pair at jaccard ≥
+    * threshold: (corpus_id, new_id, jaccard) with new_id carrying the
+    * batch idCol's values. */
+  private[graft] def incrementalNearDedup(s: SparkSession,
+      corpus0: DataFrame, batch0: DataFrame, idCol: String,
+      textCol: String, threshold: Double): DataFrame = {
+    def norm(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val corpus = norm(corpus0)
+    val batch = norm(batch0)
     // pinned exact stages, BOTH sides (a re-crawl batch is itself full
     // of exact replicas — of the corpus AND of itself): banding,
     // verification, and the candidate volume become replication-
@@ -269,7 +311,7 @@ object Dedup extends QueryPack {
     val pairs = MinHashLSH.nearDuplicatesAgainstMd5(
       repText(corpus, cReps), repText(batch, bReps),
       "doc_id", "text", shingleLen = 5, bands = 21, rowsPerBand = 3,
-      threshold = 0.25)
+      threshold = threshold)
     // (corpus rep, batch rep, jaccard) → (corpus fp, batch fp, jaccard)
     val fpVerdict = cReps.join(pairs, cReps("rep_id") === pairs("corpus_id"))
       .select(col("fp").as("cfp"), col("new_id"), col("jaccard"))
@@ -1067,6 +1109,7 @@ object Dedup extends QueryPack {
     "dd14b_layered_lsh_keeper" -> (dd14b _),
     "dd14c_fp_layered_keeper" -> (dd14c _),
     "hq36_near_dedup_hql" -> (hq36 _),
+    "hq38_incremental_neardedup_hql" -> (hq38 _),
   )
 
   private val shingleSql =
@@ -1109,6 +1152,24 @@ object Dedup extends QueryPack {
   // `simhash` HeroQL builtin's oracle, so the folds can't drift)
   private val tokHashSql = TextFns.tokenHashDuckSql("tk")
   private val simhashSql = TextFns.simhashOfHashesDuckSql("hs")
+
+
+  /** dd6c's DuckDB twin — also hq38's (the parsed `near_dedup …
+    * against` stage plans to the same incremental layered engine on
+    * the same corpus/batch split, so the oracle is shared
+    * verbatim). */
+  private lazy val Dd6cOracleSql: String =
+      s"""WITH ${md5LshCtes()},
+         cand AS (
+           SELECT DISTINCT a.doc_id AS corpus_id, b.doc_id AS new_id
+           FROM band a JOIN band b ON a.bi = b.bi AND a.bsig = b.bsig
+           WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0),
+         v AS (
+           SELECT c.corpus_id, c.new_id, $jaccardSql AS jaccard
+           FROM cand c
+             JOIN sig ha ON ha.doc_id = c.corpus_id
+             JOIN sig hb ON hb.doc_id = c.new_id)
+         SELECT corpus_id, new_id, jaccard FROM v WHERE jaccard >= 0.25"""
 
 
   /** dd9c's DuckDB twin — also hq37's (the parsed `semantic_dedup …
@@ -1250,18 +1311,10 @@ object Dedup extends QueryPack {
     // the layered twin is output-identical by construction (identical
     // text ⇒ identical bands and jaccard; see dd6c's doc), so it shares
     // dd6b's oracle verbatim
-    "dd6c_incremental_layered" ->
-      s"""WITH ${md5LshCtes()},
-         cand AS (
-           SELECT DISTINCT a.doc_id AS corpus_id, b.doc_id AS new_id
-           FROM band a JOIN band b ON a.bi = b.bi AND a.bsig = b.bsig
-           WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0),
-         v AS (
-           SELECT c.corpus_id, c.new_id, $jaccardSql AS jaccard
-           FROM cand c
-             JOIN sig ha ON ha.doc_id = c.corpus_id
-             JOIN sig hb ON hb.doc_id = c.new_id)
-         SELECT corpus_id, new_id, jaccard FROM v WHERE jaccard >= 0.25""",
+    "dd6c_incremental_layered" -> Dd6cOracleSql,
+    // hq38 parses to the SAME incremental layered engine dd6c ships,
+    // on the same split — the oracle is shared verbatim
+    "hq38_incremental_neardedup_hql" -> Dd6cOracleSql,
     "dd11_line_dedup" ->
       """WITH tk AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks

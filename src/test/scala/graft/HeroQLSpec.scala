@@ -741,12 +741,21 @@ class HeroQLParserSpec extends AnyFunSuite {
          near_dedup(id, text) threshold 0.25 as (k, t, n)
          ;""")
     assert(cq.nearDedup ==
-      Some(NearDedupStage("id", "text", 0.25, "k", "t", "n")))
+      Some(NearDedupStage("id", "text", 0.25, Seq("k", "t", "n"))))
     val e1 = intercept[Parser.ParseError] {
       Parser.parseCollection(
         "collection_query(id) :- Docs(id, text) near_dedup(id, text) as (k, t, n);")
     }
     assert(e1.msg.contains("threshold"))
+    // against form: batch-vs-corpus, output pair
+    val cq2 = Parser.parseCollection(
+      """collection_query(id, c, j) :-
+           B(id, text)
+         near_dedup(id, text) against Corpus(cid, ctext)
+           threshold 0.25 as (c, j)
+         ;""")
+    assert(cq2.nearDedup == Some(NearDedupStage("id", "text", 0.25,
+      Seq("c", "j"), Some(("Corpus", "cid", "ctext")))))
   }
 
   test("stream enrich statement parses to its golden AST") {
