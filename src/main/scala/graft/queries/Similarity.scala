@@ -462,7 +462,10 @@ object Similarity extends QueryPack {
     val probed = probes.select("list").distinct().collect()
       .map(r => Int.box(r.getInt(0))).toSeq
     val idx = store.read(table).filter(col("list").isin(probed: _*))
-    exactRerank(adcCandidates(probes, idx, 50), e, nProbes, k)
+    // the candidate budget must cover the requested k: a language-
+    // supplied k above the default 50 would otherwise silently return
+    // fewer than k neighbors per probe
+    exactRerank(adcCandidates(probes, idx, math.max(50, k)), e, nProbes, k)
   }
 
   private def ann6(s: SparkSession, d: String): DataFrame = {
