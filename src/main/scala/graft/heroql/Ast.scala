@@ -208,20 +208,24 @@ object Ast {
       tau: Double, outCluster: String, outDupOf: String, outMaxCos: String,
       against: Option[(String, String, String)] = None)
 
-  /** `nearest(idVar, vecVar) k K [probes P] as (probe, neighbor, cos,
-    * rank)` — approximate-nearest-neighbor top-k as a collection-query
-    * pipeline stage. Plans to [[graft.queries.Similarity
-    * .storedIvfPqTopKOn]]: the body's vectors are IVF-PQ-encoded into
-    * a list-partitioned stored index (built once per codebook
-    * fingerprint), each probe's candidate scan opens ONLY its probed
-    * list partitions (static partition pruning), and an exact-cosine
-    * re-rank of the bounded candidate set yields top-k — the language
-    * route is the index-backed scan-budgeted shape, never a brute
-    * all-pairs cosine. Probes follow the ann family's convention (the
-    * first `probes` ids); outputs are renamed by the `as` quadruple. */
+  /** `nearest(idVar, vecVar) [for Rel(idField, vecField)] k K
+    * [probes P] as (probe, neighbor, cos, rank)` —
+    * approximate-nearest-neighbor top-k as a collection-query pipeline
+    * stage. Plans to [[graft.queries.Similarity.storedIvfPqTopKFor]]:
+    * the body's vectors are IVF-PQ-encoded into a list-partitioned
+    * stored index (built once per codebook fingerprint), each probe's
+    * candidate scan opens ONLY its probed list partitions (static
+    * partition pruning), and an exact-cosine re-rank of the bounded
+    * candidate set yields top-k — the language route is the
+    * index-backed scan-budgeted shape, never a brute all-pairs cosine.
+    * The probe set is `Rel`'s rows when `for` is given (the real query
+    * API — probe vectors need not be corpus members); otherwise the
+    * ann family's convention (the first `probes` ids of the body).
+    * Outputs are renamed by the `as` quadruple. */
   final case class NearestStage(idVar: String, vecVar: String,
       k: Int, nProbes: Int, outProbe: String, outNeighbor: String,
-      outCos: String, outRank: String)
+      outCos: String, outRank: String,
+      forRel: Option[(String, String, String)] = None)
 
   /** `near_dedup(idVar, textVar) [against Rel(idField, textField)]
     * threshold τ as (…)` — MinHash-LSH near-duplicate detection as a

@@ -720,6 +720,18 @@ object Parser {
         expectSym(",")
         val vecVar = expectId()
         expectSym(")")
+        // optional `for Probes(idField, vecField)` — explicit probe
+        // relation (otherwise the first-`probes`-ids convention)
+        val forRel = if (atId("for")) {
+          pos += 1
+          val rel = expectId()
+          expectSym("(")
+          val f1 = expectId()
+          expectSym(",")
+          val f2 = expectId()
+          expectSym(")")
+          Some((rel, f1, f2))
+        } else None
         if (!atId("k")) throw ParseError("expected 'k' in nearest", pos)
         pos += 1
         val k = next() match {
@@ -727,6 +739,8 @@ object Parser {
           case t => throw ParseError(s"expected integer k, got $t", pos - 1)
         }
         val np = if (atId("probes")) {
+          if (forRel.nonEmpty) throw ParseError(
+            "'probes N' and 'for Rel(...)' are mutually exclusive in nearest", pos)
           pos += 1
           next() match {
             case TNum(s) if !s.contains('.') => s.toInt
@@ -741,7 +755,7 @@ object Parser {
         val cs = expectId(); expectSym(",")
         val rk = expectId()
         expectSym(")")
-        Some(NearestStage(idVar, vecVar, k, np, p, nb, cs, rk))
+        Some(NearestStage(idVar, vecVar, k, np, p, nb, cs, rk, forRel))
       } else None
       // `near_dedup(idVar, textVar) [against Rel(idF, textF)]
       //    threshold 0.25 as (...)` — layered MinHash-LSH keeper

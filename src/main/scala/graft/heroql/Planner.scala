@@ -931,13 +931,35 @@ final class Planner(decls: Map[String, DataDecl],
       // session-temp table store partitioned by coarse list, probed
       // lists pruned statically, exact re-rank over the bounded
       // candidate set — the language route is index-backed by
-      // construction, never a brute all-pairs cosine
+      // construction, never a brute all-pairs cosine. `for Rel(...)`
+      // supplies an explicit probe relation (probe vectors need not be
+      // corpus members); otherwise the first-`probes`-ids convention.
       val spark = df.sparkSession
       val store = new graft.store.TableStore(spark,
         java.nio.file.Files.createTempDirectory("graft-hql-annidx-").toString)
-      df = graft.queries.Similarity.storedIvfPqTopKOn(spark,
-          df.select(col(st.idVar).as("vec_id"), col(st.vecVar).as("embedding")),
-          store, "ann_index", st.nProbes, st.k)
+      val corpus = df.select(col(st.idVar).as("vec_id"),
+        col(st.vecVar).as("embedding"))
+      val topk = st.forRel match {
+        case None =>
+          graft.queries.Similarity.storedIvfPqTopKOn(spark, corpus,
+            store, "ann_index", st.nProbes, st.k)
+        case Some((rel, f1, f2)) =>
+          val decl = decls.getOrElse(rel, throw Analyzer.AnalysisError(
+            s"nearest for unknown relation $rel"))
+          val bdf = catalog.getOrElse(rel, throw Analyzer.AnalysisError(
+            s"no table bound for relation $rel"))
+          def physical(v: String): Column = {
+            val i = decl.fields.indexWhere(_._1 == v)
+            if (i < 0) throw Analyzer.AnalysisError(
+              s"relation $rel has no field $v")
+            col(bdf.columns(i))
+          }
+          val probesDf = bdf.select(physical(f1).as("vec_id"),
+            physical(f2).as("embedding"))
+          graft.queries.Similarity.storedIvfPqTopKFor(spark, corpus,
+            probesDf, store, "ann_index", st.k)
+      }
+      df = topk
         .select(col("probe_id").as(st.outProbe),
           col("neighbor_id").as(st.outNeighbor),
           col("cos_sim").as(st.outCos), col("rank").as(st.outRank))

@@ -236,7 +236,13 @@ object Similarity extends QueryPack {
     * cent_{j,c}) — tiny side (NPROBES rows), the HOF form is fine. */
   private def probeLuts(e: DataFrame, cents: Seq[Seq[Seq[Double]]],
       nProbes: Int = NPROBES): DataFrame =
-    e.filter(col("vec_id") < nProbes)
+    probeLutsFor(e.filter(col("vec_id") < nProbes), cents)
+
+  /** [[probeLuts]] over an EXPLICIT (vec_id, embedding) probe relation
+    * (the `nearest … for` route — probes need not be corpus members). */
+  private def probeLutsFor(probesDf: DataFrame,
+      cents: Seq[Seq[Seq[Double]]]): DataFrame =
+    probesDf
       .withColumn("__cents", typedLit(cents))
       .withColumn("pu", unit)
       .withColumn("lut", expr(
@@ -252,11 +258,17 @@ object Similarity extends QueryPack {
     * corpus side contributes a bare (vec_id, embedding) projection to
     * the hash probe). */
   private def exactRerank(candidates: DataFrame, e: DataFrame,
-      nProbes: Int = NPROBES, k: Int = K): DataFrame = {
+      nProbes: Int = NPROBES, k: Int = K): DataFrame =
+    exactRerankFor(candidates, e, e.filter(col("vec_id") < nProbes), k)
+
+  /** [[exactRerank]] with the probe vectors drawn from an explicit
+    * probe relation instead of the corpus-prefix convention. */
+  private def exactRerankFor(candidates: DataFrame, e: DataFrame,
+      probesDf: DataFrame, k: Int): DataFrame = {
     val wExact = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     val withProbeVec = candidates.join(
-      broadcast(e.filter(col("vec_id") < nProbes)
+      broadcast(probesDf
         .select(col("vec_id").as("probe_id"), col("embedding").as("vp"))),
       Seq("probe_id"))
     broadcast(withProbeVec)
@@ -363,13 +375,19 @@ object Similarity extends QueryPack {
     * path (ann7) can reconstitute dot(q, c+r) = coarse_dot + adc; the
     * non-residual path ignores it. */
   private def ivfPqProbes(e: DataFrame, cents: Seq[Seq[Seq[Double]]],
-      coarse: Seq[Seq[Seq[Double]]], nProbes: Int = NPROBES): DataFrame = {
+      coarse: Seq[Seq[Seq[Double]]], nProbes: Int = NPROBES): DataFrame =
+    ivfPqProbesFor(e.filter(col("vec_id") < nProbes), cents, coarse)
+
+  /** [[ivfPqProbes]] over an explicit probe relation. */
+  private def ivfPqProbesFor(probesDf: DataFrame,
+      cents: Seq[Seq[Seq[Double]]],
+      coarse: Seq[Seq[Seq[Double]]]): DataFrame = {
     val coarseSim =
       s"""transform(sequence(0, ${IVF_C - 1}), c ->
             struct(aggregate(zip_with(pu, element_at(element_at(__coarse, 1), CAST(c + 1 AS INT)),
                 (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, z) -> a + z) AS s,
               c AS cid))"""
-    probeLuts(e, cents, nProbes)
+    probeLutsFor(probesDf, cents)
       .withColumn("__coarse", typedLit(coarse))
       .withColumn("pick", explode(expr(
         s"slice(reverse(array_sort($coarseSim)), 1, $IVF_NL)")))
@@ -433,15 +451,27 @@ object Similarity extends QueryPack {
     * as the Scala API. */
   private[graft] def storedIvfPqTopKOn(s: SparkSession, e: DataFrame,
       store: graft.store.TableStore, table: String,
-      nProbes: Int = NPROBES, k: Int = K): DataFrame = {
+      nProbes: Int = NPROBES, k: Int = K): DataFrame =
+    storedIvfPqTopKFor(s, e, e.filter(col("vec_id") < nProbes), store,
+      table, k)
+
+  /** [[storedIvfPqTopK]] with an EXPLICIT probe relation: the index
+    * is built from `e`, the queries come from `probesDf` (vec_id,
+    * embedding — ids need not be corpus members; a corpus row with the
+    * same id is still excluded as a self-match, the ann convention).
+    * The `nearest … for Probes(...)` language form's planning target.
+    *
+    * Codebook fingerprint pinned in table props: reusing an index
+    * built from DIFFERENT codebooks (another dataset, a regenerated
+    * corpus) would score fresh LUTs against stale codes — silently
+    * wrong; a mismatch rebuilds instead. */
+  private[graft] def storedIvfPqTopKFor(s: SparkSession, e: DataFrame,
+      probesDf: DataFrame, store: graft.store.TableStore, table: String,
+      k: Int = K): DataFrame = {
     graft.functions.VectorFns.register(s)
     val sample = unitSample(e)
     val cents = pqCodebook(sample)
     val coarse = coarseCodebook(sample)
-    // codebook fingerprint pinned in table props: reusing an index
-    // built from DIFFERENT codebooks (another dataset, a regenerated
-    // corpus) would score fresh LUTs against stale codes — silently
-    // wrong; a mismatch rebuilds instead
     val fp = {
       var h = 1469598103934665603L
       (cents.flatten.flatten ++ coarse.flatten.flatten).foreach { x =>
@@ -455,17 +485,18 @@ object Similarity extends QueryPack {
         Seq("list"), Map("codebook_fp" -> fp))
     // localCheckpoint: the probe plan (scan + LUT + coarse top-NL) is
     // consumed twice — the probed-list collect and the ADC join; it is
-    // ≤ nProbes×NL tiny rows, so pin it instead of recomputing
-    val probes = ivfPqProbes(e, cents, coarse, nProbes).localCheckpoint()
+    // ≤ |probes|×NL tiny rows, so pin it instead of recomputing
+    val probes = ivfPqProbesFor(probesDf, cents, coarse).localCheckpoint()
     // bounded probed-list collect → static partition pruning on the
-    // store read (≤ nProbes×NL ints, the fp-bucket-set precedent)
+    // store read (≤ |probes|×NL ints, the fp-bucket-set precedent)
     val probed = probes.select("list").distinct().collect()
       .map(r => Int.box(r.getInt(0))).toSeq
     val idx = store.read(table).filter(col("list").isin(probed: _*))
     // the candidate budget must cover the requested k: a language-
     // supplied k above the default 50 would otherwise silently return
     // fewer than k neighbors per probe
-    exactRerank(adcCandidates(probes, idx, math.max(50, k)), e, nProbes, k)
+    exactRerankFor(adcCandidates(probes, idx, math.max(50, k)), e,
+      probesDf, k)
   }
 
   private def ann6(s: SparkSession, d: String): DataFrame = {
@@ -492,6 +523,29 @@ object Similarity extends QueryPack {
            as (probe_id, neighbor_id, cos_sim, rank)
          ;""",
       Map("Embeddings" -> e))
+  }
+
+  /** hq39 — hq35 with an EXPLICIT probe relation: `nearest … for
+    * Probes(pid, pvec)` hands the stage a probe set that is a
+    * first-class relation (the real query API — a probe need not be a
+    * corpus member), planning to [[storedIvfPqTopKFor]]. The gate's
+    * probe relation is exactly the ann-family convention set, so its
+    * rows are identical to hq35/ann5 (spec-pinned); DedupSpec also
+    * pins an out-of-convention probe set through the same form. */
+  private def hq39(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    val probes = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("pid"), col("embedding").as("pvec"))
+    graft.heroql.HeroQL.compileCollection(
+      """data Embeddings(vec_id: int64, embedding: vecf32).
+        |data Probes(pid: int64, pvec: vecf32).
+        |""".stripMargin,
+      """collection_query(probe_id, neighbor_id, cos_sim, rank) :-
+           Embeddings(vec_id, embedding)
+         nearest(vec_id, embedding) for Probes(pid, pvec) k 5
+           as (probe_id, neighbor_id, cos_sim, rank)
+         ;""",
+      Map("Embeddings" -> e, "Probes" -> probes))
   }
 
   /** ann9 — INCREMENTAL index maintenance, the production vector-store
@@ -873,6 +927,7 @@ object Similarity extends QueryPack {
     "ann5_ivfpq_topk" -> (ann5 _),
     "ann6_stored_index_topk" -> (ann6 _),
     "hq35_nearest_hql" -> (hq35 _),
+    "hq39_nearest_for_hql" -> (hq39 _),
     "ann7_ivfpq_residual_topk" -> (ann7 _),
     "emb1_quantization" -> (emb1 _),
     "emb2_dimension_stats" -> (emb2 _),

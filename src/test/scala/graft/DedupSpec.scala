@@ -610,6 +610,37 @@ class DedupSpec extends SparkSpec {
         s"text-route index probe must open a strict subset: read $read of $onDisk ($partDirs partitions)")
   }
 
+  test("hq39 nearest-for: convention probe set equals hq35; arbitrary probe ids work") {
+    // with the probe relation = the ann convention set, the for form
+    // must reproduce hq35 exactly (same codebooks, same re-rank)
+    val viaConv = graft.queries.Similarity.queries("hq35_nearest_hql")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val viaFor = graft.queries.Similarity.queries("hq39_nearest_for_hql")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(viaFor == viaConv, "nearest-for diverges from the convention form")
+    // an out-of-convention probe set (ids ≥ 20) routes through the
+    // same text form and answers for exactly those probes
+    import org.apache.spark.sql.functions._
+    val e = Tables.t(spark, sf, "embeddings").select(col("vec_id"), col("embedding"))
+    val odd = e.filter(col("vec_id") % 97 === 31).limit(3)
+      .select(col("vec_id").as("pid"), col("embedding").as("pvec"))
+    val oddIds = odd.collect().map(_.getLong(0)).toSet
+    assert(oddIds.nonEmpty && oddIds.forall(_ >= 20))
+    val out = graft.heroql.HeroQL.compileCollection(
+      """data Embeddings(vec_id: int64, embedding: vecf32).
+        |data Probes(pid: int64, pvec: vecf32).
+        |""".stripMargin,
+      """collection_query(p, n, c, r) :-
+           Embeddings(vec_id, embedding)
+         nearest(vec_id, embedding) for Probes(pid, pvec) k 5
+           as (p, n, c, r)
+         ;""",
+      Map("Embeddings" -> e, "Probes" -> odd)).collect()
+    assert(out.map(_.getLong(0)).toSet == oddIds,
+      s"expected answers for exactly the probe ids $oddIds")
+    assert(out.forall(r => r.getLong(3) <= 5 && r.getLong(0) != r.getLong(1)))
+  }
+
   test("ann6 stored IVF-PQ index: row-identical to ann5, probe opens only probed partitions") {
     val inline = Similarity.queries("ann5_ivfpq_topk")(spark, sf)
       .collect().map(_.toSeq).toSet

@@ -716,6 +716,16 @@ class HeroQLParserSpec extends AnyFunSuite {
     val cq2 = Parser.parseCollection(
       "collection_query(p, n, c, r) :- Embs(id, v) nearest(id, v) k 7 as (p, n, c, r);")
     assert(cq2.nearest == Some(NearestStage("id", "v", 7, 20, "p", "n", "c", "r")))
+    // explicit probe relation; mutually exclusive with `probes N`
+    val cq3 = Parser.parseCollection(
+      "collection_query(p, n, c, r) :- Embs(id, v) nearest(id, v) for Pr(pid, pv) k 5 as (p, n, c, r);")
+    assert(cq3.nearest == Some(NearestStage("id", "v", 5, 20,
+      "p", "n", "c", "r", Some(("Pr", "pid", "pv")))))
+    val e2 = intercept[Parser.ParseError] {
+      Parser.parseCollection(
+        "collection_query(p) :- Embs(id, v) nearest(id, v) for Pr(pid, pv) k 5 probes 2 as (p, n, c, r);")
+    }
+    assert(e2.msg.contains("mutually exclusive"))
     val e1 = intercept[Parser.ParseError] {
       Parser.parseCollection(
         "collection_query(p) :- Embs(id, v) nearest(id, v) as (p, n, c, r);")
