@@ -84,11 +84,13 @@ object PlanDump {
       "hq31_range_agg_hql", "j12d_range_minmax", "hq32_range_minmax_hql",
       "dd9c_incremental_semantic", "adm26_string_zonemap",
       "hq33_string_range_hql",
-      // round-19: the language pipeline-stage trio (semantic dedup /
-      // index-backed ANN / layered LSH keeper from parsed text) and
-      // the timestamp/double zone-map probes
+      // round-19: the language pipeline-stage family (semantic dedup /
+      // index-backed ANN / layered LSH keeper — self, incremental, and
+      // explicit-probe forms, all from parsed text) and the
+      // timestamp/double zone-map probes
       "hq34_semantic_dedup_hql", "hq35_nearest_hql", "hq36_near_dedup_hql",
-      "adm27_ts_double_zonemap")
+      "adm27_ts_double_zonemap", "hq37_incremental_semantic_hql",
+      "hq38_incremental_neardedup_hql", "hq39_nearest_for_hql")
     (Bench.headline ++ extras).foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))

@@ -36,6 +36,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: sortableDoubleBits preserves engine double order (2000 cases incl NaN, ±0.0, ±Inf, subnormals)") {
+    val r = new scala.util.Random(7)
+    def gen(): Double = r.nextInt(6) match {
+      case 0 => r.nextDouble() * 2 - 1
+      case 1 => (r.nextDouble() * 2 - 1) * 1e300
+      case 2 => (r.nextDouble() * 2 - 1) * 1e-300
+      case 3 => if (r.nextBoolean()) 0.0 else -0.0
+      case 4 => if (r.nextBoolean()) Double.PositiveInfinity
+                else Double.NegativeInfinity
+      case 5 => java.lang.Double.longBitsToDouble(r.nextLong()) // any bits
+    }
+    (1 to 2000).foreach { _ =>
+      val (a, b) = (gen(), gen())
+      val (ba, bb) = (graft.store.ZoneMaps.sortableDoubleBits(a),
+        graft.store.ZoneMaps.sortableDoubleBits(b))
+      if (a.isNaN && b.isNaN) () // payloads canonicalize; no order claim
+      else if (a.isNaN) assert(ba > bb, s"NaN must sit above $b")
+      else if (b.isNaN) assert(bb > ba, s"NaN must sit above $a")
+      else {
+        // engine semantics: < and == (±0.0 compare EQUAL) must survive
+        // the encoding exactly — this is what makes interval
+        // disjointness in bits space equal disjointness in value space
+        assert((a < b) == (ba < bb), s"order broke: $a vs $b")
+        assert((a == b) == (ba == bb), s"equality broke: $a vs $b")
+      }
+    }
+  }
+
   test("property: fixpoint closure equals driver-side reference on random DAGs (10 cases)") {
     import spark.implicits._
     (1 to 10).foreach { _ =>
