@@ -24,7 +24,8 @@ object Builtins {
   /** Reserved builtin names — checked by the parser before an
     * `ident(`-shaped token run is read as a relation atom. */
   val scalar: Set[String] =
-    Set("fingerprint", "token_count", "char_count", "simhash", "redact")
+    Set("fingerprint", "token_count", "char_count", "simhash", "redact",
+      "md5hex", "substr")
 
   /** Plan a builtin call over already-planned argument columns. */
   def plan(fn: String, args: Seq[Column]): Column = (fn, args) match {
@@ -39,6 +40,12 @@ object Builtins {
     case ("simhash", Seq(text)) => graft.operators.TextFns.simhashOf(text)
     // tx7's three-stage PII scrub (email → IP → phone)
     case ("redact", Seq(text)) => graft.operators.TextFns.redactPii(text)
+    // deterministic-split keys: the lowercase-hex md5 digest (byte-
+    // identical in Spark and DuckDB) plus 1-based substring — together
+    // they express reproducible train/val hash splits (samp5's shape)
+    // and content-ranked quotas from query text, no RNG state
+    case ("md5hex", Seq(x)) => md5(x)
+    case ("substr", Seq(str, pos, len)) => str.substr(pos, len)
     case (name, as) => throw Analyzer.AnalysisError(
       s"builtin $name does not take ${as.length} argument(s)")
   }

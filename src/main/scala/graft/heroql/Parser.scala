@@ -1128,6 +1128,20 @@ object Parser {
       else primary()
     private def primary(): Expr = next() match {
       case TSym("(") => val e = exprP(); expectSym(")"); e
+      // `if <comparison> then <expr> [else <expr>]` in EXPRESSION
+      // position (binding right-hand sides) — the boolean grammar's
+      // BIf covers where-contexts; this covers `x <- if ...`. The
+      // condition is a comparison or IN (the func-guard style);
+      // `if` is reserved in expression position, as in the boolean
+      // grammar.
+      case TId("if") =>
+        val c = comparisonExpr()
+        if (!atId("then"))
+          throw ParseError("expected 'then' in if-expression", pos)
+        pos += 1
+        val t = exprP()
+        val el = if (atId("else")) { pos += 1; Some(exprP()) } else None
+        EIf(c, t, el)
       case TId("true") => ELit(LBool(true))
       case TId("false") => ELit(LBool(false))
       case TId(v0) =>

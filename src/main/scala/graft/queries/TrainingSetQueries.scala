@@ -221,6 +221,22 @@ object TrainingSetQueries extends QueryPack {
       when(substring(md5(col("text")), 1, 2) >= "e6", "val")
         .otherwise("train").as("split"))
 
+  /** hq40 — samp5's deterministic hash split FROM PARSED TEXT: the
+    * `md5hex`/`substr` builtins plus an if/then/else binding express
+    * the reproducible train/val split in the language (no RNG state,
+    * no probe API — the reference posture applied to the sampling
+    * family). Map-only plan, oracle = samp5's verbatim. */
+  private def hq40(s: SparkSession, d: String): DataFrame =
+    graft.heroql.HeroQL.compile(
+      """data Docs(doc_id: int64, text: string).
+        |query Split(doc_id: int64) -> (split: string)
+        |:- Docs(doc_id, text),
+        |   h <- substr(md5hex(text), 1, 2),
+        |   split <- if h >= "e6" then "val" else "train"
+        |.""".stripMargin,
+      "Split",
+      Map("Docs" -> t(s, d, "documents").select(col("doc_id"), col("text"))))
+
   /** samp6 per-source cap (RefinedWeb §3.1's per-domain quota: no
     * single domain may dominate the mix). */
   private val QuotaK = 10
@@ -380,6 +396,7 @@ object TrainingSetQueries extends QueryPack {
     "dc2_contamination_spans" -> (dc2 _),
     "samp4_dsir_importance" -> (samp4 _),
     "samp5_hash_split" -> (samp5 _),
+    "hq40_hash_split_hql" -> (hq40 _),
     "samp6_source_quota" -> (samp6 _),
     "samp7_weighted_sample" -> (samp7 _),
     "pack1_sequence_packing" -> (pack1 _),
@@ -392,6 +409,14 @@ object TrainingSetQueries extends QueryPack {
 
   private val docFpSql =
     TextFns.fingerprintDuckSql("CAST(doc_id AS VARCHAR)")
+
+  /** samp5's DuckDB twin — also hq40's (the parsed split is the same
+    * md5-prefix decision, so the oracle is shared verbatim). */
+  private val Samp5OracleSql: String =
+    """SELECT doc_id,
+              CASE WHEN substring(md5(text), 1, 2) >= 'e6'
+                   THEN 'val' ELSE 'train' END AS split
+       FROM documents"""
 
   override val oracles: Map[String, String] = Map(
     "samp1_stratified_sample" ->
@@ -507,11 +532,10 @@ object TrainingSetQueries extends QueryPack {
          WHERE NOT (t.$dsirTargetSql)
          GROUP BY t.doc_id""",
     // lowercase-hex md5 string comparison is identical in both engines
-    "samp5_hash_split" ->
-      """SELECT doc_id,
-                CASE WHEN substring(md5(text), 1, 2) >= 'e6'
-                     THEN 'val' ELSE 'train' END AS split
-         FROM documents""",
+    "samp5_hash_split" -> Samp5OracleSql,
+    // hq40 expresses the same split from parsed text (md5hex/substr
+    // builtins) — the oracle is shared verbatim
+    "hq40_hash_split_hql" -> Samp5OracleSql,
     "samp8_token_budget" ->
       s"""WITH r AS (
            SELECT source, doc_id,

@@ -683,6 +683,28 @@ class HeroQLParserSpec extends AnyFunSuite {
     assert(e3.msg.contains("id variable"))
   }
 
+  test("if/then/else parses in expression (binding) position") {
+    val p = Parser.parse(
+      """data Docs(id: int64, text: string).
+        |query Split(id: int64) -> (s: string)
+        |:- Docs(id, text),
+        |   h <- substr(md5hex(text), 1, 2),
+        |   s <- if h >= "e6" then "val" else "train"
+        |.""".stripMargin)
+    val items = p.queries.head.body.alts.head.items
+    assert(items.collect { case Binding("s", EIf(_, _, Some(_))) => 1 }.size == 1,
+      s"expected an if-expression binding, got $items")
+    // 'then' is required
+    val e1 = intercept[Parser.ParseError] {
+      Parser.parse(
+        """data D(id: int64).
+          |query Q(id: int64) -> (x: int64)
+          |:- D(id), x <- if id >= 1 id
+          |.""".stripMargin)
+    }
+    assert(e1.msg.contains("'then'"))
+  }
+
   test("semantic_dedup stage parses to its golden AST") {
     val cq = Parser.parseCollection(
       """collection_query(id, c, d, m) :-
