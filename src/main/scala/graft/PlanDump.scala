@@ -90,7 +90,8 @@ object PlanDump {
       // timestamp/double zone-map probes
       "hq34_semantic_dedup_hql", "hq35_nearest_hql", "hq36_near_dedup_hql",
       "adm27_ts_double_zonemap", "hq37_incremental_semantic_hql",
-      "hq38_incremental_neardedup_hql", "hq39_nearest_for_hql")
+      "hq38_incremental_neardedup_hql", "hq39_nearest_for_hql",
+      "hq40_hash_split_hql")
     (Bench.headline ++ extras).foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
