@@ -610,6 +610,24 @@ class DedupSpec extends SparkSpec {
         s"text-route index probe must open a strict subset: read $read of $onDisk ($partDirs partitions)")
   }
 
+  test("against forms match their Scala engines row for row (hq37=dd9c, hq38=dd6c)") {
+    val sem = graft.queries.Dedup.queries("hq37_incremental_semantic_hql")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val semEngine = graft.queries.Dedup.queries("dd9c_incremental_semantic")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(sem == semEngine,
+      "semantic_dedup-against from text diverges from the incremental engine")
+    import org.apache.spark.sql.functions.col
+    val near = graft.queries.Dedup.queries("hq38_incremental_neardedup_hql")(spark, sf)
+      .select(col("corpus_id"), col("new_id"), col("jaccard"))
+      .collect().map(_.toSeq).toSet
+    val nearEngine = graft.queries.Dedup.queries("dd6c_incremental_layered")(spark, sf)
+      .select(col("corpus_id"), col("new_id"), col("jaccard"))
+      .collect().map(_.toSeq).toSet
+    assert(near == nearEngine,
+      "near_dedup-against from text diverges from the incremental engine")
+  }
+
   test("hq39 nearest-for: convention probe set equals hq35; arbitrary probe ids work") {
     // with the probe relation = the ann convention set, the for form
     // must reproduce hq35 exactly (same codebooks, same re-rank)
