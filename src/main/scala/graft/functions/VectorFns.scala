@@ -558,6 +558,94 @@ object VectorFns {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  // one digest instance per thread: MessageDigest is stateful and
+  // getInstance per shingle would dominate the pass it exists to speed up
+  private val Md5Tl = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** The md5-family shingle-hash pass (shared by the interpreted eval
+    * and the generated code) — value-identical to the composed SQL
+    * `sort_array(array_distinct(transform(shingles(text, n), x ->
+    * CAST(conv(substring(md5(x),1,15),16,10) AS BIGINT) % 2147483648)))`
+    * (the oracle-expressible family of [[graft.operators.MinHashLSH.md5Hash31Sql]];
+    * Md5ShingleParitySpec pins the equality): the first 15 hex chars of
+    * the digest are its top 60 bits big-endian, so the value is
+    * `(firstEightBytesBE >>> 4) & 0x7FFFFFFF` — one digest call per
+    * window instead of substr + md5-hex + substring + conv + cast + %
+    * (six allocations and two string parses per shingle, measured 112
+    * CPU-seconds at sf0.1 on dd14c's rep corpus). Dedup at the hash
+    * level equals dedup at the shingle level composed with hash-level
+    * array_distinct, so the two-stage distinct collapses to one. */
+  def shingleHashesMd5Sorted(s: org.apache.spark.unsafe.types.UTF8String,
+      n: Int): ArrayData = {
+    val bytes = s.getBytes // one copy per row; the digest needs byte[]
+    val nb = bytes.length
+    val starts = new Array[Int](nb + 1)
+    var i = 0; var chars = 0
+    while (i < nb) {
+      starts(chars) = i
+      i += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(bytes(i))
+      chars += 1
+    }
+    starts(chars) = nb
+    if (chars < n) return EmptyLongs
+    val windows = chars - n + 1
+    val md = Md5Tl.get()
+    val dig = new Array[Byte](16)
+    val hs = new Array[Long](windows)
+    var w = 0
+    while (w < windows) {
+      md.update(bytes, starts(w), starts(w + n) - starts(w))
+      md.digest(dig, 0, 16) // digest() resets the instance for the next window
+      val hi =
+        ((dig(0) & 0xFFL) << 56) | ((dig(1) & 0xFFL) << 48) |
+        ((dig(2) & 0xFFL) << 40) | ((dig(3) & 0xFFL) << 32) |
+        ((dig(4) & 0xFFL) << 24) | ((dig(5) & 0xFFL) << 16) |
+        ((dig(6) & 0xFFL) << 8) | (dig(7) & 0xFFL)
+      hs(w) = (hi >>> 4) & 0x7FFFFFFFL
+      w += 1
+    }
+    java.util.Arrays.sort(hs)
+    var uniq = 0; var r = 0
+    while (r < windows) { // in-place dedup of the sorted run
+      if (r == 0 || hs(r) != hs(r - 1)) { hs(uniq) = hs(r); uniq += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, uniq))
+  }
+
+  /** [[ShingleHashesSorted]]'s md5-family twin (null input → empty
+    * array, mirroring the SQL CASE form — see the shared pass above). */
+  case class ShingleHashesMd5Sorted(child: Expression, n: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) EmptyLongs
+      else shingleHashesMd5Sorted(
+        v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      val c = child.genCode(ctx)
+      ev.copy(
+        code = code"""
+          |${c.code}
+          |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = ${c.isNull}
+          |  ? graft.functions.VectorFns.emptyLongArrayData()
+          |  : graft.functions.VectorFns.shingleHashesMd5Sorted(${c.value}, $n);
+        """.stripMargin,
+        isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** [[SortedIntersectCountLong]] with a Jaccard-threshold early exit:
     * returns -1 as soon as the merge scan PROVES the final intersection
     * cannot reach `ceil(t·(|A|+|B|)/(1+t))` — the minimum needed for
@@ -1009,6 +1097,7 @@ object VectorFns {
       "graft_unormalize" -> (exprs => UnicodeNormalize(exprs(0), litString(exprs(1)))),
       "graft_token_polyhash" -> (exprs => TokenPolyHash(exprs.head, 7L, 2147483647L)),
       "graft_shingle_hashes" -> (exprs => ShingleHashesSorted(exprs(0), litInt(exprs(1)), 42L)),
+      "graft_shingle_hashes_md5" -> (exprs => ShingleHashesMd5Sorted(exprs(0), litInt(exprs(1)))),
       "graft_sorted_intersect_bounded" ->
         (exprs => SortedIntersectBounded(exprs(0), exprs(1), litDouble(exprs(2)))),
       "graft_pq_encode" -> (exprs => PqEncode(exprs(0), exprs(1))),

@@ -365,9 +365,14 @@ object MinHashLSH {
     val (as, bs) = coeffs(bands * rowsPerBand)
     graft.functions.VectorFns.register(docs.sparkSession, as, bs)
     docs
-      .withColumn("h", sort_array(array_distinct(expr(
-        s"transform(${TextFns.shinglesSql(textCol, shingleLen)}," +
-          s" x -> ${md5Hash31Sql("x")})"))))
+      // NATIVE single-pass shingle+md5 hash (r20 guide §1.2 step 2):
+      // value-identical to the composed
+      // sort_array(array_distinct(transform(shingles, md5Hash31Sql)))
+      // chain (Md5ShingleParitySpec pins it) but one digest call per
+      // window instead of six allocations and two string parses — the
+      // chain was dd14c's single hottest span (112 CPU-seconds at
+      // sf0.1; sigs phase 3.5 s → ~0.3 s wall on 32 cores)
+      .withColumn("h", expr(s"graft_shingle_hashes_md5($textCol, $shingleLen)"))
       .filter(size(col("h")) > 0)
       .withColumn("_mh", expr("graft_minhash_sig_long(h)"))
       .select(col(idCol), col("h"), col("_mh"))
@@ -396,29 +401,59 @@ object MinHashLSH {
     val sigs = md5HashedSigs(docs, idCol, textCol, shingleLen, bands,
       rowsPerBand).localCheckpoint()
     val banded = md5Banded(sigs, idCol, idCol, bands, rowsPerBand)
-    // dedup candidate pairs BEFORE the verify joins (the oracle's
-    // SELECT DISTINCT): a true near-dup collides in up to all `bands`
-    // bands, and each duplicate would otherwise drag the full
-    // shingle-hash sets through both joins and the intersect. Measured
-    // cost-neutral on the fixture's short docs (the band self-join
-    // dominates there); the win scales with shingle-set size. (The
-    // xxhash production path makes the opposite call — its verify is a
-    // broadcast map-side probe, so dedup-after on the surviving set is
-    // cheaper there; these md5 verify joins shuffle.)
+    // NO pre-verify distinct (r20 realignment with the xxhash path's
+    // measured call): the fixture's same-corpus band duplication is
+    // ~1.09 (1.85M raw collisions → 1.70M distinct at sf0.1), so the
+    // distinct was a full shuffle of every candidate pair to save ~9%
+    // of intersects — dedup moves AFTER the jaccard filter, onto the
+    // ~20× smaller verified set (identical final pairs: jaccard is
+    // deterministic per pair, so which duplicate survives is
+    // immaterial and the post-filter dropDuplicates restores the
+    // oracle's SELECT DISTINCT exactly).
     val cand = banded.select(col(idCol).as("a_id"), col("band"), col("sig"))
       .join(banded.select(col(idCol).as("b_id"), col("band"), col("sig")),
         Seq("band", "sig"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
-      .dropDuplicates("a_id", "b_id")
-    val sa = sigs.select(col(idCol).as("a_id"), col("h").as("sa"))
-    val sb = sigs.select(col(idCol).as("b_id"), col("h").as("sb"))
-    cand.join(sa, "a_id").join(sb, "b_id")
-      .withColumn("inter", expr("graft_sorted_intersect_long(sa, sb)"))
-      .withColumn("jaccard",
-        TextFns.jaccardFromIntersect("inter", "size(sa)", "size(sb)"))
-      .filter(col("jaccard") >= threshold)
-      .select("a_id", "b_id", "jaccard")
+    // verification mirrors nearDuplicates (the xxhash path): under the
+    // same size gate a broadcast id→hashes map probed in ONE
+    // mapPartitions pass (a shuffle join would copy both ~2.3 KB hash
+    // arrays into every candidate row — the measured dominant verify
+    // cost); past the gate, co-located equi-joins with the BOUNDED
+    // intersect (early exit the moment Jaccard ≥ threshold is
+    // unreachable — same survivors by construction).
+    val corpusRows = sigs.count() // sigs is checkpointed — cache scan
+    val spark = docsIn.sparkSession
+    val longIds = sigs.schema(idCol).dataType ==
+      org.apache.spark.sql.types.LongType
+    if (longIds && corpusRows <= SizeGate.rowCap(spark, 250000L)) {
+      import spark.implicits._
+      val bmap = spark.sparkContext.broadcast(
+        sigs.select(col(idCol), col("h"))
+          .as[(Long, Array[Long])].collect().toMap)
+      val thr = threshold
+      cand.select(col("a_id"), col("b_id"))
+        .as[(Long, Long)]
+        .mapPartitions { it =>
+          val m = bmap.value
+          it.flatMap { case (aId, bId) =>
+            val jac = boundedJaccard(m(aId), m(bId), thr)
+            if (jac >= thr) Some((aId, bId, jac)) else None
+          }
+        }
+        .toDF("a_id", "b_id", "jaccard")
+        .dropDuplicates("a_id", "b_id")
+    } else {
+      val sa = sigs.select(col(idCol).as("a_id"), col("h").as("sa"))
+      val sb = sigs.select(col(idCol).as("b_id"), col("h").as("sb"))
+      cand.dropDuplicates("a_id", "b_id")
+        .join(sa, "a_id").join(sb, "b_id")
+        .withColumn("inter", expr(s"graft_sorted_intersect_bounded(sa, sb, ${threshold}D)"))
+        .withColumn("jaccard",
+          TextFns.jaccardFromIntersect("inter", "size(sa)", "size(sb)"))
+        .filter(col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    }
   }
 
   /** [[nearDuplicatesEstimated]] on the md5 hash family: the k-component
@@ -482,7 +517,11 @@ object MinHashLSH {
     val sa = corpusSigs.select(col(idCol).as("corpus_id"), col("h").as("sa"))
     val sb = batchSigs.select(col(idCol).as("new_id"), col("h").as("sb"))
     cand.join(sa, "corpus_id").join(sb, "new_id")
-      .withColumn("inter", expr("graft_sorted_intersect_long(sa, sb)"))
+      // bounded intersect (r20): early exit the moment the remaining
+      // elements cannot reach Jaccard ≥ threshold — the -1 dead marker
+      // makes the jaccard negative, so the filter keeps exactly the
+      // unbounded scan's pairs (the xxhash path's discipline)
+      .withColumn("inter", expr(s"graft_sorted_intersect_bounded(sa, sb, ${threshold}D)"))
       .withColumn("jaccard",
         TextFns.jaccardFromIntersect("inter", "size(sa)", "size(sb)"))
       .filter(col("jaccard") >= threshold)
