@@ -242,24 +242,39 @@ object Streaming extends QueryPack {
     * puts it, so scale probes run uncapped. Read-back pins the
     * stream's own schema (also covers a legitimately empty drain). */
   private def drainToParquet(s: SparkSession,
-      df: DataFrame, tag: String): DataFrame = {
+      df: DataFrame, tag: String, stateFan: Option[Int] = None): DataFrame = {
     val out = java.nio.file.Files
       .createTempDirectory(s"graft-$tag-out-").toString
     val ckpt = java.nio.file.Files
       .createTempDirectory(s"graft-$tag-ckpt-").toString
-    val q = df.writeStream
-      .outputMode("append")
-      .format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    def drain(): Unit = {
+      val q = df.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // corpus-sized state fan (EventStreams.stateFan): the stateful
+    // operators' per-batch state-store task count is fixed from
+    // spark.sql.shuffle.partitions at first-batch planning — size it
+    // to the data, not the core count
+    stateFan match {
+      case Some(n) => EventStreams.withShufflePartitions(s, n)(drain())
+      case None => drain()
+    }
     s.read.schema(df.schema).parquet(out)
   }
 
+  /** The events corpus's state fan — one parquet metadata count. */
+  private def eventsFan(s: SparkSession, d: String): Int =
+    EventStreams.stateFan(s, s.read.parquet(s"$d/events.parquet").count())
+
   private def st8(s: SparkSession, d: String): DataFrame = {
-    drainToParquet(s, EventStreams.streamStreamSignupJoin(s, d), "st8")
+    drainToParquet(s, EventStreams.streamStreamSignupJoin(s, d), "st8",
+        Some(eventsFan(s, d)))
       .groupBy("signup_id")
       .agg(count(lit(1)).as("n_events"),
         min("ts").cast(org.apache.spark.sql.types.TimestampNTZType).as("first_ts"),
@@ -278,14 +293,16 @@ object Streaming extends QueryPack {
   private def st9(s: SparkSession, d: String): DataFrame = {
     val name = "st9_state_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = EventStreams.runningUserTotals(s, d)
-      .writeStream
-      .outputMode("update")
-      .format("memory")
-      .queryName(name)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    EventStreams.withShufflePartitions(s, eventsFan(s, d)) {
+      val q = EventStreams.runningUserTotals(s, d)
+        .writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(name)
       .groupBy("user_id")
       .agg(max(struct(col("n_events"), col("sum_value"))).as("m"))
@@ -330,14 +347,16 @@ object Streaming extends QueryPack {
   private def st13(s: SparkSession, d: String): DataFrame = {
     val name = "st13_dedup_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = EventStreams.watermarkDedup(s, d)
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    EventStreams.withShufflePartitions(s, eventsFan(s, d)) {
+      val q = EventStreams.watermarkDedup(s, d)
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(name)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
@@ -428,7 +447,8 @@ object Streaming extends QueryPack {
     * shape. Aggregated per signup (count ignores the null p_id, sum
     * coalesces to 0) and checked against the batch left join. */
   private def st15(s: SparkSession, d: String): DataFrame = {
-    drainToParquet(s, EventStreams.streamStreamSignupLeftJoin(s, d), "st15")
+    drainToParquet(s, EventStreams.streamStreamSignupLeftJoin(s, d), "st15",
+        Some(eventsFan(s, d)))
       .groupBy("signup_id")
       .agg(count(col("p_id")).as("n_purchases"),
         coalesce(sum(expr("CAST(floor(value * 1000000) AS BIGINT)")), lit(0L))
@@ -447,14 +467,19 @@ object Streaming extends QueryPack {
   private def st19(s: SparkSession, d: String): DataFrame = {
     val name = "st19_kmv_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = EventStreams.streamWindowedKmvDistinct(s, d)
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // corpus-sized state fan — see EventStreams.stateFan (r20: the
+    // inherited 32-way fan cost each micro-batch 28 empty-partition
+    // state commits; 5.9 s → 2.9 s at sf0.1, rows identical)
+    EventStreams.withShufflePartitions(s, eventsFan(s, d)) {
+      val q = EventStreams.streamWindowedKmvDistinct(s, d)
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(name)
   }
 
@@ -467,14 +492,16 @@ object Streaming extends QueryPack {
   private def st20(s: SparkSession, d: String): DataFrame = {
     val name = "st20_tuple_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = EventStreams.streamWindowedTupleSum(s, d)
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    EventStreams.withShufflePartitions(s, eventsFan(s, d)) {
+      val q = EventStreams.streamWindowedTupleSum(s, d)
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(name)
   }
 
@@ -486,7 +513,8 @@ object Streaming extends QueryPack {
     * clock). Row-level output (matched pairs + both unmatched sides),
     * checked against the batch FULL join over the closable-signup set. */
   private def st18(s: SparkSession, d: String): DataFrame = {
-    drainToParquet(s, EventStreams.streamStreamSignupFullJoin(s, d), "st18")
+    drainToParquet(s, EventStreams.streamStreamSignupFullJoin(s, d), "st18",
+        Some(eventsFan(s, d)))
       .select(col("signup_id"), col("p_id"),
         expr("CAST(floor(coalesce(value, 0) * 1000000) AS BIGINT)")
           .as("vmicro"))

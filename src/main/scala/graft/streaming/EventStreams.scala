@@ -76,6 +76,80 @@ object EventStreams {
         throw new IllegalArgumentException(s"unsupported events.ts type: $other")
     }
 
+  /** Streaming STATE-partition fan for a corpus of `corpusRows` rows —
+    * the r20 guide-§2 discipline applied to streaming state: a stateful
+    * operator runs one state-store task per shuffle partition per
+    * micro-batch (open + update + delta-commit, a fixed ~20-40 ms each
+    * on the HDFS-backed store), so inheriting the BATCH shuffle fan
+    * (= core count) taxes every batch with empty-partition state
+    * commits. Size the fan so each state task sees enough rows per
+    * batch to amortize that fixed cost (~25k rows/task — the same
+    * amortization argument as maxPartitionBytes for scans), clamped to
+    * [4, defaultParallelism]. Measured on st19 at sf0.1/local[32]:
+    * 32 → 4 partitions halves the drain (5.9 s → 2.9 s), rows
+    * identical; at 100× the clamp returns the full parallelism, so the
+    * fan GROWS with data, not with the local core count. Deployments
+    * with different per-batch volumes override via
+    * `spark.graft.streaming.statePartitions`. */
+  def stateFan(spark: SparkSession, corpusRows: Long): Int =
+    spark.conf.getOption("spark.graft.streaming.statePartitions")
+      .map(_.toInt)
+      .getOrElse(math.max(4, math.min(
+        spark.sparkContext.defaultParallelism,
+        math.ceil(corpusRows / 25000.0).toInt)))
+
+  /** Run `f` (a streaming drain: build + start + awaitTermination)
+    * under `spark.sql.shuffle.partitions = n`, restoring after — the
+    * state-partition count is fixed at the query's first micro-batch
+    * from this conf (then pinned in its checkpoint), so the scope must
+    * cover `.start()`. Same temporary-conf pattern as
+    * [[graft.operators.Fixpoint.withIterativeConf]]. */
+  def withShufflePartitions[A](spark: SparkSession, n: Int)(f: => A): A = {
+    val was = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally spark.conf.set("spark.sql.shuffle.partitions", was)
+  }
+
+  /** The staged corpus's max-ts row as a LOCAL 1-row frame, plus its
+    * epoch micros — the shared base of every drained gate's
+    * watermark-heartbeat machinery (r20 measurement: the old shape ran
+    * one full scan+agg for maxMicros and then RE-EXECUTED a full
+    * scan+TakeOrdered per heartbeat write, because `orderBy(ts
+    * desc).limit(1)` was an unmaterialized frame each write recomputed
+    * — three full corpus passes per query build at st19, five at the
+    * outer joins). One TakeOrdered collect (a single bounded row — the
+    * sanctioned metadata-scale collect) replaces them all; heartbeat
+    * writes become local-relation jobs. maxMicros from the max-raw-ts
+    * row equals the old agg(max(unix_micros)) because every raw-ts →
+    * instant-micros mapping here is monotone (nanos div 1000; NTZ cast
+    * under the fixed UTC session; identity). */
+  private def maxTsBase(spark: SparkSession, staged: String,
+      schema: org.apache.spark.sql.types.StructType): (Long, DataFrame) = {
+    val row = spark.read.schema(schema).parquet(staged)
+      .orderBy(col("ts").desc).limit(1).collect()(0)
+    val base = spark.createDataFrame(
+      java.util.Collections.singletonList(row), schema)
+    val maxMicros = tsInstant(base)
+      .select(expr("unix_micros(ts)")).head.getLong(0)
+    (maxMicros, base)
+  }
+
+  /** Append one future-dated copy of [[maxTsBase]]'s row as its own
+    * staged file (one micro-batch under maxFilesPerTrigger=1) — the
+    * clock-advancing heartbeat. `mutate` lets the outer joins stamp a
+    * side's real event type (the predicate-pushdown lesson in their
+    * docstrings). The ts arithmetic is the exact Spark expression the
+    * per-site closures used, evaluated on the local 1-row frame. */
+  private def writeHeartbeat(base: DataFrame, staged: String, days: Long,
+      mutate: DataFrame => DataFrame = identity): Unit = {
+    val hb = base.schema("ts").dataType match {
+      case LongType =>
+        base.withColumn("ts", col("ts") + lit(days * 86400L * 1000000000L))
+      case _ => base.withColumn("ts", col("ts") + expr(s"INTERVAL $days DAYS"))
+    }
+    mutate(hb).coalesce(1).write.mode("append").parquet(staged)
+  }
+
   /** Tumbling 1-day window per event_type: count + sum(value). The
     * value sum runs on per-row micro fixed-point BIGINTs (floor(v*1e6)
     * — deterministic on identical doubles in both engines) so the
@@ -620,8 +694,7 @@ object EventStreams {
       }
       stage
     }
-    val maxMicros = tsInstant(spark.read.schema(schema).parquet(staged))
-      .agg(max(expr("unix_micros(ts)"))).head.getLong(0)
+    val (maxMicros, hbBase) = maxTsBase(spark, staged, schema)
     val closableMicros = maxMicros - (7L * 24 + 2) * 3600L * 1000000L
     // A watermark computed at the end of batch N applies in batch N+1 —
     // with the whole corpus in one batch, no batch ever RUNS under the
@@ -644,16 +717,9 @@ object EventStreams {
     // Each side instead drops its (future-dated) heartbeat with a
     // ts-referencing conjunct, which CANNOT push below the watermark:
     // the row advances the clock first, then dies.
-    val one = spark.read.schema(schema).parquet(staged)
-      .orderBy(col("ts").desc).limit(1)
-    def heartbeat(days: Long, etype: String): Unit = {
-      val hb = (schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          one.withColumn("ts", col("ts") + lit(days * 86400L * 1000000000L))
-        case _ => one.withColumn("ts", col("ts") + expr(s"INTERVAL $days DAYS"))
-      }).withColumn("event_type", lit(etype))
-      hb.coalesce(1).write.mode("append").parquet(staged)
-    }
+    def heartbeat(days: Long, etype: String): Unit =
+      writeHeartbeat(hbBase, staged, days,
+        _.withColumn("event_type", lit(etype)))
     // TWO heartbeat rounds, not one: a watermark computed at the end of
     // batch N only applies in batch N+1, and AvailableNow stops at the
     // last FILE — without a second (later) heartbeat batch, state whose
@@ -701,21 +767,10 @@ object EventStreams {
     val k = 256
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val staged = stageDir(dir)
-    val maxMicros = tsInstant(spark.read.schema(schema).parquet(staged))
-      .agg(max(expr("unix_micros(ts)"))).head.getLong(0)
-    val one = spark.read.schema(schema).parquet(staged)
-      .orderBy(col("ts").desc).limit(1)
-    def heartbeat(days: Long): Unit = {
-      val hb = schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          one.withColumn("ts", col("ts") + lit(days * 86400L * 1000000000L))
-        case _ => one.withColumn("ts", col("ts") + expr(s"INTERVAL $days DAYS"))
-      }
-      hb.coalesce(1).write.mode("append").parquet(staged)
-    }
+    val (maxMicros, hbBase) = maxTsBase(spark, staged, schema)
     // two rounds — a watermark computed at the end of batch N applies
     // in batch N+1 (the outer joins' discipline)
-    heartbeat(30); heartbeat(31)
+    writeHeartbeat(hbBase, staged, 30); writeHeartbeat(hbBase, staged, 31)
     val kmv = udaf(new graft.functions.KmvSketchAgg(k))
     tsInstant(spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(staged))
@@ -756,19 +811,8 @@ object EventStreams {
     val k = 256
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val staged = stageDir(dir)
-    val maxMicros = tsInstant(spark.read.schema(schema).parquet(staged))
-      .agg(max(expr("unix_micros(ts)"))).head.getLong(0)
-    val one = spark.read.schema(schema).parquet(staged)
-      .orderBy(col("ts").desc).limit(1)
-    def heartbeat(days: Long): Unit = {
-      val hb = schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          one.withColumn("ts", col("ts") + lit(days * 86400L * 1000000000L))
-        case _ => one.withColumn("ts", col("ts") + expr(s"INTERVAL $days DAYS"))
-      }
-      hb.coalesce(1).write.mode("append").parquet(staged)
-    }
-    heartbeat(30); heartbeat(31)
+    val (maxMicros, hbBase) = maxTsBase(spark, staged, schema)
+    writeHeartbeat(hbBase, staged, 30); writeHeartbeat(hbBase, staged, 31)
     val tup = udaf(new graft.functions.KmvTupleAgg(k, "max"))
     tsInstant(spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(staged))
