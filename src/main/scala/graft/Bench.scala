@@ -144,6 +144,18 @@ object Bench {
     // whose control_io sits far above it had contended tmp I/O or a
     // stalled micro-batch scheduler, and its streaming-gate numbers
     // should be read against a re-run.
+    // tmp hygiene (r19 ADVICE): the probe and checkpoint directories
+    // were left behind on every run, and the accumulating garbage can
+    // itself skew later control_io idle-band readings on a tmpfs —
+    // delete each sample's dirs after its timing, and the run's pinned
+    // roots before spark.stop()
+    def rmTree(p: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(root))
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .reverseIterator.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
     currentQuery = "__control_io"
     val controlIo = (1 to 3).map { _ =>
       val dir = java.nio.file.Files
@@ -174,7 +186,10 @@ object Bench {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // outside the timed span; the NEXT sample re-creates fresh dirs
+      rmTree(dir); rmTree(out); rmTree(s"$out-ckpt")
+      dt
     }.min
     val all = SparkEntry.queries
     // SPARK_GRAFT_BENCH_QUERIES=a,b,c times an explicit subset (scale
@@ -212,6 +227,11 @@ object Bench {
         // plan that still references it
         val pre = spark.sparkContext.getPersistentRDDs.keySet
         var ok = true
+        // wall-clock stamp per sample (r19 verdict item 6): controls
+        // run once per bench process, so a mid-run contention spike was
+        // only inferable from spread — the stamp lets a slow sample be
+        // cross-referenced against machine history directly
+        val epoch = System.currentTimeMillis() / 1000.0
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
@@ -234,17 +254,17 @@ object Bench {
           if (!pre.contains(id)) r.unpersist(true)
         }
         spark.catalog.clearCache()
-        (dt, ok)
+        (dt, ok, epoch)
       }
       // a failed run's time is its TIME-TO-FAILURE, not a measurement —
       // the min (and the headline total) take successful samples only;
       // a query whose every run failed reports null and its flag in
       // `failed` is the signal
-      val good = samples.collect { case (dt, true) => dt }
+      val good = samples.collect { case (dt, true, _) => dt }
       val best = if (good.nonEmpty) Some(good.min) else None
-      (name, best, failed, good)
+      (name, best, failed, good, samples.map(_._3))
     }
-    val qs = results.map { case (k, v, _, _) =>
+    val qs = results.map { case (k, v, _, _, _) =>
       s"\"" + k + "\":" + v.map(_.toString).getOrElse("null")
     }.mkString("{", ",", "}")
     // PER-QUERY SPREAD (r18 verdict item 7): every successful sample,
@@ -252,10 +272,16 @@ object Bench {
     // VARIANCE (environment), a 13s/13s one as REGRESSION (plan), and
     // min-of-3 alone cannot tell them apart (the r18 st19 adjudication
     // burned a judge re-run to establish which it was)
-    val spread = results.map { case (k, _, _, good) =>
+    val spread = results.map { case (k, _, _, good, _) =>
       s"\"" + k + "\":[" + good.map(d => f"$d%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val failedList = results.collect { case (k, _, true, _) => s"\"" + k + "\"" }
+    // per-sample wall-clock start stamps (epoch seconds) — r19 verdict
+    // item 6: attribute a contended sample directly instead of
+    // inferring contention from spread
+    val stamps = results.map { case (k, _, _, _, ts) =>
+      s"\"" + k + "\":[" + ts.map(t => f"$t%.1f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val failedList = results.collect { case (k, _, true, _, _) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
     // streaming diagnostics: micro-batch counts/durations per bench
@@ -270,7 +296,8 @@ object Bench {
         .map { case (k, v) => s"\"" + k + "\":" + v.json }
       entries.mkString("{", ",", "}")
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$spread,"failed":$failedList,"control":$control,"control_io":$controlIo,"streaming":$streamJson,"sf":"$sfDir","runs":$runs}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$spread,"sample_epoch":$stamps,"failed":$failedList,"control":$control,"control_io":$controlIo,"streaming":$streamJson,"sf":"$sfDir","runs":$runs}""")
+    rmTree(warm); rmTree(ckptRoot)
     spark.stop()
   }
 }

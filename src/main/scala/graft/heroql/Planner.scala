@@ -820,8 +820,9 @@ final class Planner(decls: Map[String, DataDecl],
       if (Set("cluster_id", "dup_of", "max_cos")(st.idVar))
         throw Analyzer.AnalysisError(
           s"semantic_dedup id variable ${st.idVar} collides with the stage's internal output names")
-      if (st.tau.isNaN || st.tau > 1.0) throw Analyzer.AnalysisError(
-        s"semantic_dedup threshold must be a cosine in (-1, 1]; got ${st.tau}")
+      if (st.tau.isNaN || st.tau > 1.0 || st.tau <= -1.0)
+        throw Analyzer.AnalysisError(
+          s"semantic_dedup threshold must be a cosine in (-1, 1]; got ${st.tau}")
       // plans to the LAYERED engine (√n centroids + exact-value
       // collapse) — the language route is the 100-TB shape by
       // construction; a rule-body pair join is never generated.
@@ -935,8 +936,10 @@ final class Planner(decls: Map[String, DataDecl],
       // supplies an explicit probe relation (probe vectors need not be
       // corpus members); otherwise the first-`probes`-ids convention.
       val spark = df.sparkSession
-      val store = new graft.store.TableStore(spark,
-        java.nio.file.Files.createTempDirectory("graft-hql-annidx-").toString)
+      // session-scoped store (see Planner.annIndexStore): repeated
+      // executions hit the codebook-fp staleness guard instead of
+      // rebuilding the index into a fresh leaked temp dir per call
+      val store = Planner.annIndexStore(spark)
       val corpus = df.select(col(st.idVar).as("vec_id"),
         col(st.vecVar).as("embedding"))
       val topk = st.forRel match {
@@ -1720,6 +1723,32 @@ final class Planner(decls: Map[String, DataDecl],
 }
 
 object Planner {
+  /** SESSION-SCOPED store root for the `nearest` stage's IVF-PQ index
+    * (r20, the r19 verdict's top item): the stage used to create a
+    * fresh temp directory and TableStore per compilation, so the
+    * codebook-fingerprint staleness guard
+    * (Similarity.storedIvfPqTopKFor) could never hit — the index was
+    * rebuilt on every execution and the directory leaked. One store
+    * per SparkSession (weak-keyed, like VectorFns.registered) lets the
+    * SECOND execution of the same `nearest` query reuse the committed
+    * index (the guard rebuilds if the corpus — hence the codebooks —
+    * changed, so reuse is exactly as safe as the Scala API's). */
+  private val annIdxStores = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      graft.store.TableStore]())
+
+  private[graft] def annIndexStore(
+      spark: org.apache.spark.sql.SparkSession): graft.store.TableStore =
+    annIdxStores.synchronized {
+      var st = annIdxStores.get(spark)
+      if (st == null) {
+        st = new graft.store.TableStore(spark,
+          java.nio.file.Files.createTempDirectory("graft-hql-annidx-").toString)
+        annIdxStores.put(spark, st)
+      }
+      st
+    }
+
   /** Demand-closure size under which recursive-func memos are computed
     * driver-side (see [[Planner.funcMemo]]) — the broadcast-small-side
     * judgement call. Mutable so specs can force the distributed path. */
