@@ -256,7 +256,7 @@ object EventStreams {
     * each enriched row exactly once). */
   def streamStaticSegmentJoin(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val src = tsInstant(spark.readStream.schema(schema).parquet(stageDir(dir)))
+    val src = tsInstant(spark.readStream.schema(schema).parquet(stageDir(spark, dir)))
     val dim = org.apache.spark.sql.functions.broadcast(
       spark.read.parquet(s"$dir/customer.parquet")
         .select(col("c_custkey"), col("c_mktsegment")))
@@ -285,24 +285,36 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("event_id")
   }
 
-  /** Stage the single-file events table into a directory (the file
-    * stream source requires one). */
-  private def stageDir(dir: String): String = {
+  /** Stage the events table into a directory (the file stream source
+    * requires one). A single-file table is copied verbatim (the gate /
+    * bench fixture shape — byte-identical staging, no Spark job). A
+    * MULTI-file table is rewritten as ONE corpus file instead of
+    * copying every part (r20): under `maxFilesPerTrigger = 1` each
+    * staged file is its own micro-batch, and a Spark-written table's
+    * part files each span the FULL event-time range — so every file
+    * after the first would arrive entirely below the watermark the
+    * first one advanced (silently dropped as late, the outer joins'
+    * long-documented hazard) while paying its own state-heavy
+    * micro-batch (the 100× probe measured st19 at 188 s over ~32
+    * single-range files; one-batch staging puts the whole corpus in
+    * batch 1 and the trailing heartbeats still advance the clock in
+    * their own batches — the same production-replay argument as
+    * streamStreamSignupOuterJoin's staging). */
+  private def stageDir(spark: SparkSession, dir: String): String = {
     val stage = java.nio.file.Files.createTempDirectory("graft-stream-")
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
     if (java.nio.file.Files.isRegularFile(src))
       java.nio.file.Files.copy(src, stage.resolve("events.parquet"))
     else {
-      // a Spark-written table is a DIRECTORY of part files — a plain
-      // Files.copy stages an empty dir and the file stream silently
-      // reads zero rows (caught by the 10× synth probe); stage every
-      // part file instead
-      val it = java.nio.file.Files.list(src).iterator()
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.getFileName.toString.endsWith(".parquet"))
-          java.nio.file.Files.copy(f, stage.resolve(f.getFileName.toString))
-      }
+      import scala.jdk.CollectionConverters._
+      val parts = java.nio.file.Files.list(src).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      if (parts.size == 1)
+        java.nio.file.Files.copy(parts.head,
+          stage.resolve(parts.head.getFileName.toString))
+      else
+        spark.read.parquet(src.toString).repartition(1)
+          .write.mode("append").parquet(stage.toString)
     }
     stage.toString
   }
@@ -595,7 +607,7 @@ object EventStreams {
     * non-negotiable for a join that runs forever. */
   def streamStreamSignupJoin(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val staged = stageDir(dir)
+    val staged = stageDir(spark, dir)
     def src() = tsInstant(spark.readStream.schema(schema).parquet(staged))
     val signups = src().filter(col("event_type") === "signup")
       .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
@@ -766,7 +778,7 @@ object EventStreams {
   def streamWindowedKmvDistinct(spark: SparkSession, dir: String): DataFrame = {
     val k = 256
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val staged = stageDir(dir)
+    val staged = stageDir(spark, dir)
     val (maxMicros, hbBase) = maxTsBase(spark, staged, schema)
     // two rounds — a watermark computed at the end of batch N applies
     // in batch N+1 (the outer joins' discipline)
@@ -810,7 +822,7 @@ object EventStreams {
   def streamWindowedTupleSum(spark: SparkSession, dir: String): DataFrame = {
     val k = 256
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val staged = stageDir(dir)
+    val staged = stageDir(spark, dir)
     val (maxMicros, hbBase) = maxTsBase(spark, staged, schema)
     writeHeartbeat(hbBase, staged, 30); writeHeartbeat(hbBase, staged, 31)
     val tup = udaf(new graft.functions.KmvTupleAgg(k, "max"))
@@ -938,7 +950,7 @@ object EventStreams {
   def streamed(spark: SparkSession, dir: String,
       transform: DataFrame => DataFrame, watermark: String = "1 hour"): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val src = tsInstant(spark.readStream.schema(schema).parquet(stageDir(dir)))
+    val src = tsInstant(spark.readStream.schema(schema).parquet(stageDir(spark, dir)))
     transform(src.withWatermark("ts", watermark))
   }
 }
