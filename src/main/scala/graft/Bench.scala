@@ -152,9 +152,14 @@ object Bench {
     def rmTree(p: String): Unit = {
       import scala.jdk.CollectionConverters._
       val root = java.nio.file.Paths.get(p)
-      if (java.nio.file.Files.exists(root))
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+      if (java.nio.file.Files.exists(root)) {
+        // close the walk stream (r20 ADVICE): each un-closed Files.walk
+        // leaks a directory fd — same hazard TableStore.listDir documents
+        val s = java.nio.file.Files.walk(root)
+        try s.iterator().asScala.toSeq
           .reverseIterator.foreach(java.nio.file.Files.deleteIfExists(_))
+        finally s.close()
+      }
     }
     currentQuery = "__control_io"
     val controlIo = (1 to 3).map { _ =>
@@ -219,7 +224,7 @@ object Bench {
       currentQuery = name
       val fn = prodOverrides.getOrElse(name, all(name))
       var failed = false
-      val samples = (1 to runs).map { _ =>
+      def sampleOnce(): (Double, Boolean, Double) = {
         // snapshot of what was persisted BEFORE this run: only blocks
         // this run creates get released afterwards, so pre-existing
         // state (warm-up checkpoints, a cached HeroQL plan from an
@@ -256,13 +261,27 @@ object Bench {
         spark.catalog.clearCache()
         (dt, ok, epoch)
       }
+      val samples = scala.collection.mutable.ArrayBuffer.empty[(Double, Boolean, Double)]
+      (1 to runs).foreach(_ => samples += sampleOnce())
+      // contention-aware extra sampling (r20 verdict item 9): a wide
+      // spread means at least one sample overlapped a machine-load
+      // excursion, and min-of-3 over contended samples still reads high
+      // — take up to 2 extra samples so the min settles on a quiet
+      // window. Additions-only: the estimator stays min-of-successful,
+      // now over >=3 samples instead of exactly 3.
+      var extra = 0
+      def wideSpread: Boolean = {
+        val good = samples.collect { case (dt, true, _) => dt }
+        good.nonEmpty && good.max > 1.5 * good.min && good.max - good.min > 0.3
+      }
+      while (extra < 2 && wideSpread) { samples += sampleOnce(); extra += 1 }
       // a failed run's time is its TIME-TO-FAILURE, not a measurement —
       // the min (and the headline total) take successful samples only;
       // a query whose every run failed reports null and its flag in
       // `failed` is the signal
-      val good = samples.collect { case (dt, true, _) => dt }
+      val good = samples.collect { case (dt, true, _) => dt }.toSeq
       val best = if (good.nonEmpty) Some(good.min) else None
-      (name, best, failed, good, samples.map(_._3))
+      (name, best, failed, good, samples.map(_._3).toSeq)
     }
     val qs = results.map { case (k, v, _, _, _) =>
       s"\"" + k + "\":" + v.map(_.toString).getOrElse("null")
@@ -296,7 +315,26 @@ object Bench {
         .map { case (k, v) => s"\"" + k + "\":" + v.json }
       entries.mkString("{", ",", "}")
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$spread,"sample_epoch":$stamps,"failed":$failedList,"control":$control,"control_io":$controlIo,"streaming":$streamJson,"sf":"$sfDir","runs":$runs}""")
+    // STDOUT CONTRACT (r20 verdict item 1): the driver tail-captures the
+    // process output, and in r19/r20 the one-line JSON outgrew that
+    // window — the front-of-line "value"/"queries" totals were cut off
+    // and BOTH rounds graded with per_query empty. Two fixes, belt and
+    // suspenders: (1) the bulky diagnostics (per-sample spreads, epoch
+    // stamps, streaming micro-batch stats) move to a SIDECAR file, so
+    // the stdout line is ~1 KB again; (2) the essentials the driver
+    // parses — queries, control, control_io, value — are ordered LAST
+    // on the line, so even a mid-line tail still contains them. Nothing
+    // is removed: every r20 key still exists, in the line or the
+    // sidecar, and the timing methodology is untouched.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
+    val detail =
+      s"""{"metric":"detail","sf":"$sfDir","runs":$runs,"samples":$spread,"sample_epoch":$stamps,"streaming":$streamJson,"failed":$failedList,"control":$control,"control_io":$controlIo,"queries":$qs,"value":$total}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"WARN: could not write bench detail sidecar $detailPath: ${e.getMessage}")
+    }
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,"detail":"$detailPath","failed":$failedList,"control":$control,"control_io":$controlIo,"queries":$qs,"value":$total}""")
     rmTree(warm); rmTree(ckptRoot)
     spark.stop()
   }
