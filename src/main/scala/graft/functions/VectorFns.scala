@@ -704,6 +704,74 @@ object VectorFns {
       copy(left = l, right = r)
   }
 
+  /** Immutable id→sorted-hashes lookup built once on the driver and
+    * shipped by BROADCAST for the LSH verify probe ([[BroadcastJaccardProbe]]):
+    * ids sorted for primitive binary search — no Long boxing per
+    * candidate, unlike a Map[Long, _] — values referenced in id order.
+    * `jaccard` is the bounded merge-scan intersect folded to the final
+    * ratio (the Scala twin of [[SortedIntersectBounded]]: -1 the moment
+    * the remaining elements cannot reach Jaccard ≥ threshold, so
+    * downstream `>= threshold` filters keep exactly the unbounded
+    * scan's pairs). A missing id — impossible when candidates derive
+    * from the same corpus frame — reads as dead (-1), never a crash. */
+  final class IdHashesMap(ids: Array[Long], hs: Array[Array[Long]])
+      extends Serializable {
+    def jaccard(a: Long, b: Long, threshold: Double): Double = {
+      val ia = java.util.Arrays.binarySearch(ids, a)
+      val ib = java.util.Arrays.binarySearch(ids, b)
+      if (ia < 0 || ib < 0) return -1.0
+      val sa = hs(ia); val sb = hs(ib)
+      val needed = math.ceil(
+        threshold / (1.0 + threshold) * (sa.length + sb.length) - 1e-9).toInt
+      var i = 0; var j = 0; var c = 0
+      while (i < sa.length && j < sb.length) {
+        val ra = sa.length - i; val rb = sb.length - j
+        if (c + (if (ra < rb) ra else rb) < needed) return -1.0
+        val x = sa(i); val y = sb(j)
+        if (x == y) { c += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      c.toDouble / (sa.length + sb.length - c)
+    }
+  }
+
+  object IdHashesMap {
+    def build(rows: Array[(Long, Array[Long])]): IdHashesMap = {
+      val sorted = rows.sortBy(_._1)
+      new IdHashesMap(sorted.map(_._1), sorted.map(_._2))
+    }
+  }
+
+  /** Exact bounded Jaccard of the two LONG id children's hash sets,
+    * probed from a broadcast [[IdHashesMap]] — the LSH verify stage as
+    * ONE whole-stage-codegen expression over the raw candidate stream:
+    * no join machinery, no Dataset encoder boundary, no per-row
+    * allocation (two primitive binary searches + the merge scan). The
+    * broadcast handle ships as a codegen reference object; its value is
+    * resolved once per task into a mutable state slot. */
+  case class BroadcastJaccardProbe(left: Expression, right: Expression,
+      bc: org.apache.spark.broadcast.Broadcast[IdHashesMap],
+      threshold: Double) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+
+    override def nullSafeEval(l: Any, r: Any): Any =
+      bc.value.jaccard(l.asInstanceOf[Long], r.asInstanceOf[Long], threshold)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bcCls = classOf[org.apache.spark.broadcast.Broadcast[_]].getName
+      val mapCls = classOf[IdHashesMap].getName
+      val bcRef = ctx.addReferenceObj("jacBc", bc, bcCls)
+      val mapVar = ctx.addMutableState(mapCls, "jacMap",
+        v => s"$v = ($mapCls) $bcRef.value();")
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = $mapVar.jaccard($a, $b, $threshold);")
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   // literal-arg helpers: the shingle length / threshold arrive as SQL
   // literals and are baked into the expression (they shape the loop,
   // not the data)

@@ -1733,21 +1733,28 @@ object Planner {
     * SECOND execution of the same `nearest` query reuse the committed
     * index (the guard rebuilds if the corpus — hence the codebooks —
     * changed, so reuse is exactly as safe as the Scala API's). */
-  private val annIdxStores = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      graft.store.TableStore]())
+  // maps the session to the store's ROOT PATH, not a TableStore (r20
+  // ADVICE, medium): a TableStore value strongly references its session
+  // (TableStore.spark), which would pin the WeakHashMap key forever —
+  // sessions and stores leaking for the JVM lifetime. The store is
+  // reconstructed on demand over the same root; table manifests live on
+  // disk, so a fresh instance sees every previously committed index.
+  private val annIdxRoots = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, String]())
 
   private[graft] def annIndexStore(
-      spark: org.apache.spark.sql.SparkSession): graft.store.TableStore =
-    annIdxStores.synchronized {
-      var st = annIdxStores.get(spark)
-      if (st == null) {
-        st = new graft.store.TableStore(spark,
-          java.nio.file.Files.createTempDirectory("graft-hql-annidx-").toString)
-        annIdxStores.put(spark, st)
+      spark: org.apache.spark.sql.SparkSession): graft.store.TableStore = {
+    val root = annIdxRoots.synchronized {
+      var r = annIdxRoots.get(spark)
+      if (r == null) {
+        r = java.nio.file.Files
+          .createTempDirectory("graft-hql-annidx-").toString
+        annIdxRoots.put(spark, r)
       }
-      st
+      r
     }
+    new graft.store.TableStore(spark, root)
+  }
 
   /** Demand-closure size under which recursive-func memos are computed
     * driver-side (see [[Planner.funcMemo]]) — the broadcast-small-side

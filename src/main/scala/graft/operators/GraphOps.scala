@@ -78,6 +78,28 @@ object GraphOps {
     */
   def connectedComponentsDF(spark: SparkSession, edges: DataFrame,
       maxIter: Int = 50): DataFrame = {
+    // FUSED checkpoint + fingerprint (r21, guide §2 — cut per-round
+    // jobs): the loop used to run TWO jobs per round, the eager
+    // localCheckpoint and then a separate (count, xor) aggregate over
+    // the checkpointed blocks — pure fixed cost per round on the modest
+    // one-shot pair graphs this form serves (the whole contraction is
+    // 0.5–0.9 s/round at sf0.1, so a second job is a large fraction).
+    // Dataset.observe folds the same aggregates into the checkpoint
+    // job itself: every row flows through the CollectMetrics node on
+    // its way into the block store, and Observation.get returns once
+    // the (completed, withAction-wrapped) checkpoint job delivers the
+    // metrics — one job per round, identical fingerprint values. The
+    // xor never overflows (sum would, under ANSI) and pairs are
+    // distinct, so (count, xor-of-pair-hashes) stays a sound set
+    // fingerprint.
+    def ckptWithFp(df: DataFrame): (DataFrame, (Long, Long)) = {
+      val obs = org.apache.spark.sql.Observation()
+      val out = df.observe(obs, count(lit(1)).as("n"),
+        expr("bit_xor(xxhash64(src, dst))").as("x")).localCheckpoint()
+      val m = obs.get
+      (out, (m("n").asInstanceOf[Long],
+        m("x") match { case null => 0L; case v => v.asInstanceOf[Long] }))
+    }
     // pin the input ONCE, outside the loop conf (map-only, no shuffle):
     // nodes and the canonical pair set both derive from it, the
     // caller's edge plan may be expensive (dd7 feeds the O(n²)-verified
@@ -86,11 +108,14 @@ object GraphOps {
     // set every round, so a large input needs the full parallelism
     // (8-task sorts of 2M-row partitions on 32 idle cores were the
     // measured 2× loss), while the default small fan suits the modest
-    // one-shot pair graphs this form is the production path for
+    // one-shot pair graphs this form is the production path for.
+    // The size probe rides the checkpoint job too (same fusion).
+    val rawObs = org.apache.spark.sql.Observation()
     val raw = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).localCheckpoint()
+      col("dst").cast("long").as("dst"))
+      .observe(rawObs, count(lit(1)).as("n")).localCheckpoint()
     val loopFan =
-      if (raw.count() >= GraphOps.LargeEdgeFanThreshold)
+      if (rawObs.get("n").asInstanceOf[Long] >= GraphOps.LargeEdgeFanThreshold)
         Some(spark.sparkContext.defaultParallelism)
       else None
     Fixpoint.withIterativeConf(spark, loopFan) {
@@ -99,17 +124,9 @@ object GraphOps {
     val nodes = raw.select(col("src").as("node"))
       .unionByName(raw.select(col("dst").as("node"))).distinct()
     // canonical larger→smaller pairs; both phases keep that orientation
-    var e = raw.filter(col("src") =!= col("dst"))
+    var (e, fp) = ckptWithFp(raw.filter(col("src") =!= col("dst"))
       .select(greatest("src", "dst").as("src"),
-        least("src", "dst").as("dst")).distinct().localCheckpoint()
-    // xor never overflows (sum would, under ANSI) and pairs are
-    // distinct, so the (count, xor) pair is a sound set fingerprint
-    def fingerprint(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)),
-        expr("bit_xor(xxhash64(src, dst))")).head
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-    }
-    var fp = fingerprint(e)
+        least("src", "dst").as("dst")).distinct())
     var iter = 0
     var done = fp._1 == 0L // no edges: nothing to converge
     while (!done && iter < maxIter) {
@@ -136,12 +153,10 @@ object GraphOps {
         .unionByName(ssMin.select(col("src"), col("m").as("dst")))
         .filter(col("src") =!= col("dst")).distinct()
       val t0 = System.nanoTime()
-      val next = ss.localCheckpoint()
-      val t1 = System.nanoTime()
-      val nfp = fingerprint(next)
+      val (next, nfp) = ckptWithFp(ss)
       if (spark.conf.getOption("spark.graft.cc.debug").contains("true"))
         println(f"[cc] round $iter%d n=${nfp._1}%d " +
-          f"ckpt=${(t1 - t0) / 1e9}%.2f fp=${(System.nanoTime() - t1) / 1e9}%.2f")
+          f"ckpt+fp=${(System.nanoTime() - t0) / 1e9}%.2f")
       if (nfp == fp) done = true
       e = next; fp = nfp
       iter += 1

@@ -212,6 +212,49 @@ object MinHashLSH {
     * (`spark.graft.dedup.saltBuckets`, PipelineQueries). */
   val BandSaltConf = "spark.graft.dedup.bandSaltBuckets"
 
+  /** Verify the raw candidate stream against a broadcast id→hashes
+    * probe — the gate-side verify engine both hash families share
+    * (r21). The probe is ONE whole-stage-codegen expression
+    * ([[graft.functions.VectorFns.BroadcastJaccardProbe]]: two
+    * primitive binary searches + the bounded merge-scan intersect per
+    * candidate) over the band join's output stage — no join machinery,
+    * no Dataset encoder boundary (the r20 form's
+    * `as[(Long,Long)].mapPartitions` paid DeserializeToObject /
+    * SerializeFromObject per candidate; a broadcast-hash-join +
+    * intersect form was measured 2× SLOWER on an idle box — Dd14Prof
+    * r21: map-verify 2.7 s, bhj-verify 5.4 s, this probe is the
+    * map-verify minus its encoder hops and allocation). The expression
+    * rides a session-registry entry only for the one analysis that
+    * resolves it (unique name, dropped immediately — the sanctioned
+    * no-internal-constructors route). The result is EAGERLY
+    * materialized so the broadcast can be destroy()ed before
+    * returning — the r20 leak: the hand-held broadcast outlived every
+    * execution and accumulated blocks across repeated in-session runs
+    * (BroadcastHygieneSpec pins the non-accumulation). */
+  private def probeVerify(sigs: DataFrame, idCol: String, hCol: String,
+      cand: DataFrame, threshold: Double): DataFrame = {
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(
+      graft.functions.VectorFns.IdHashesMap.build(
+        sigs.select(col(idCol), col(hCol)).as[(Long, Array[Long])].collect()))
+    val fname = s"graft_bjac_tmp_${java.util.UUID.randomUUID().toString.take(8)}"
+    val reg = spark.sessionState.functionRegistry
+    val out = try {
+      reg.createOrReplaceTempFunction(fname,
+        exprs => graft.functions.VectorFns.BroadcastJaccardProbe(
+          exprs(0), exprs(1), bc, threshold), "built-in")
+      cand.withColumn("jaccard", expr(s"$fname(a_id, b_id)"))
+        .filter(col("jaccard") >= threshold)
+        .dropDuplicates("a_id", "b_id")
+        .select("a_id", "b_id", "jaccard")
+        .localCheckpoint() // EAGER — the broadcast dies right after
+    } finally reg.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(fname))
+    bc.destroy()
+    out
+  }
+
   /** Self-join of band keys, optionally salted ([[BandSaltConf]]): the
     * left side salts DETERMINISTICALLY on hash(a_id) (retry-idempotent,
     * like every dedup key decision in this engine), the right side
@@ -281,47 +324,23 @@ object MinHashLSH {
     // UTF8String compares ~3× and the payload is ~2.5× smaller.
     //
     // Under the size gate (same 250k-doc × ~8 KB ≈ 2 GB ceiling a
-    // broadcast hash join would observe), verification runs as ONE
-    // mapPartitions pass over the candidate stream against a shared
-    // broadcast id→hashes map: a broadcast JOIN materializes the same
-    // map driver-side anyway, but then COPIES both ~8 KB arrays into
-    // every joined pair row — ~29 GB of memcpy for 1.8M candidates at
-    // sf0.1, the verify stage's measured dominant cost (DD3Prof:
-    // join-verify 1.18 s vs map-verify 0.81 s warm, identical pairs).
-    // The map lookup reads the arrays in place; this is the genuine
-    // per-partition-imperative case, not an expressible expression.
-    // Past the gate the joins fall back to shuffles on doc id
-    // (co-located equi-joins), the only shape that survives 10⁹ docs.
+    // broadcast join would observe), verification is the codegen'd
+    // broadcast PROBE over the raw candidate stream ([[probeVerify]] —
+    // no join, no encoder boundary, broadcast destroyed after the
+    // eager materialization). The probe keys longs — any other id type
+    // takes the join path, which is id-type-generic. Past the gate the
+    // joins fall back to shuffles on doc id (co-located equi-joins)
+    // with the bounded intersect — early exit the moment Jaccard ≥
+    // threshold is unreachable; -1 makes the jaccard negative, so the
+    // filter keeps EXACTLY the pairs the unbounded scan would — the
+    // only shape that survives 10⁹ docs.
     val corpusRows = hashed.count() // hashed is checkpointed — cache scan
     val spark = docs.sparkSession
-    // the map path keys a Long map — only sound when ids ARE longs; any
-    // other id type (string ids, ints whose output type would silently
-    // widen) takes the join path, which is id-type-generic
     val longIds = hashed.schema(idCol).dataType ==
       org.apache.spark.sql.types.LongType
     if (longIds && corpusRows <= SizeGate.rowCap(spark, 250000L)) {
-      import spark.implicits._
-      val bmap = spark.sparkContext.broadcast(
-        hashed.select(col(idCol), col("h"))
-          .as[(Long, Array[Long])].collect().toMap)
-      val thr = threshold
-      cand.select(col("a_id"), col("b_id"))
-        .as[(Long, Long)]
-        .mapPartitions { it =>
-          val m = bmap.value
-          it.flatMap { case (aId, bId) =>
-            val jac = boundedJaccard(m(aId), m(bId), thr)
-            if (jac >= thr) Some((aId, bId, jac)) else None
-          }
-        }
-        .toDF("a_id", "b_id", "jaccard")
-        .dropDuplicates("a_id", "b_id")
+      probeVerify(hashed, idCol, "h", cand, threshold)
     } else {
-      // intersect with a threshold early-exit: the scan returns -1 the
-      // moment the remaining elements can't reach Jaccard ≥ threshold
-      // (-1 makes the jaccard negative, so the filter keeps EXACTLY the
-      // pairs the unbounded scan would — ~95% of candidates are
-      // non-duplicates and exit early)
       val sa = hashed.select(col(idCol).as("a_id"), col("h").as("sa"))
       val sb = hashed.select(col(idCol).as("b_id"), col("h").as("sb"))
       cand.join(sa, "a_id")
@@ -416,33 +435,21 @@ object MinHashLSH {
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
     // verification mirrors nearDuplicates (the xxhash path): under the
-    // same size gate a broadcast id→hashes map probed in ONE
-    // mapPartitions pass (a shuffle join would copy both ~2.3 KB hash
-    // arrays into every candidate row — the measured dominant verify
-    // cost); past the gate, co-located equi-joins with the BOUNDED
-    // intersect (early exit the moment Jaccard ≥ threshold is
-    // unreachable — same survivors by construction).
+    // size gate, the codegen'd broadcast PROBE over the raw candidate
+    // stream ([[probeVerify]] — no join machinery, no encoder
+    // boundary, broadcast destroyed after the eager materialization;
+    // its docstring has the r21 measurements, including why the
+    // broadcast-hash-join + intersect alternative was REJECTED: 2×
+    // slower on an idle box). Past the gate, co-located equi-joins
+    // with the BOUNDED intersect and the pre-distinct restored (there
+    // the joins do shuffle, and the distinct dedups 16-byte pairs
+    // first) — same survivors by construction.
     val corpusRows = sigs.count() // sigs is checkpointed — cache scan
     val spark = docsIn.sparkSession
     val longIds = sigs.schema(idCol).dataType ==
       org.apache.spark.sql.types.LongType
     if (longIds && corpusRows <= SizeGate.rowCap(spark, 250000L)) {
-      import spark.implicits._
-      val bmap = spark.sparkContext.broadcast(
-        sigs.select(col(idCol), col("h"))
-          .as[(Long, Array[Long])].collect().toMap)
-      val thr = threshold
-      cand.select(col("a_id"), col("b_id"))
-        .as[(Long, Long)]
-        .mapPartitions { it =>
-          val m = bmap.value
-          it.flatMap { case (aId, bId) =>
-            val jac = boundedJaccard(m(aId), m(bId), thr)
-            if (jac >= thr) Some((aId, bId, jac)) else None
-          }
-        }
-        .toDF("a_id", "b_id", "jaccard")
-        .dropDuplicates("a_id", "b_id")
+      probeVerify(sigs, idCol, "h", cand, threshold)
     } else {
       val sa = sigs.select(col(idCol).as("a_id"), col("h").as("sa"))
       val sb = sigs.select(col(idCol).as("b_id"), col("h").as("sb"))
@@ -529,24 +536,4 @@ object MinHashLSH {
       .select("corpus_id", "new_id", "jaccard")
   }
 
-  /** Bounded-intersect exact Jaccard of two sorted long arrays — the
-    * Scala twin of [[graft.functions.VectorFns.SortedIntersectBounded]]
-    * (same early-exit, same -1-when-dead contract folded into a
-    * negative return, so filters keep exactly the unbounded scan's
-    * pairs). */
-  private def boundedJaccard(sa: Array[Long], sb: Array[Long],
-      threshold: Double): Double = {
-    val needed = math.ceil(
-      threshold / (1.0 + threshold) * (sa.length + sb.length) - 1e-9).toInt
-    var i = 0; var j = 0; var c = 0
-    while (i < sa.length && j < sb.length) {
-      val ra = sa.length - i; val rb = sb.length - j
-      if (c + (if (ra < rb) ra else rb) < needed) return -1.0
-      val x = sa(i); val y = sb(j)
-      if (x == y) { c += 1; i += 1; j += 1 }
-      else if (x < y) i += 1
-      else j += 1
-    }
-    c.toDouble / (sa.length + sb.length - c)
-  }
 }

@@ -461,10 +461,21 @@ object Similarity extends QueryPack {
     * same id is still excluded as a self-match, the ann convention).
     * The `nearest … for Probes(...)` language form's planning target.
     *
-    * Codebook fingerprint pinned in table props: reusing an index
-    * built from DIFFERENT codebooks (another dataset, a regenerated
-    * corpus) would score fresh LUTs against stale codes — silently
-    * wrong; a mismatch rebuilds instead. */
+    * Staleness key = FULL-CORPUS fingerprint (r20 ADVICE, high): the
+    * codebook fingerprint alone hashes only the ≤256-row training
+    * sample, so a corpus change invisible to the sample (appending
+    * higher-id vectors — the grow-only common case) would reuse a
+    * stale index and the new vectors could never appear as neighbors.
+    * One map-side-aggregated pass (count ⊕ xor of row hashes — both
+    * order-independent and content-complete) now keys the index, and
+    * the TABLE NAME carries the key, so distinct corpora get distinct
+    * tables: alternating two corpora in one session reuses both
+    * instead of rebuilding on every call, and a concurrent compile of
+    * a different corpus can never read this one's half-committed
+    * index. The codebook fingerprint stays in props as a
+    * defense-in-depth check (codebooks are a deterministic function
+    * of the corpus, so a matching corpus_fp implies a matching
+    * codebook_fp). */
   private[graft] def storedIvfPqTopKFor(s: SparkSession, e: DataFrame,
       probesDf: DataFrame, store: graft.store.TableStore, table: String,
       k: Int = K): DataFrame = {
@@ -479,10 +490,26 @@ object Similarity extends QueryPack {
       }
       java.lang.Long.toHexString(h)
     }
-    if (!store.exists(table) ||
-        !store.tableProps(table).get("codebook_fp").contains(fp))
-      store.createPartitioned(table, ivfPqIndexRows(e, cents, coarse),
-        Seq("list"), Map("codebook_fp" -> fp))
+    val corpusFp = {
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(vec_id, embedding))")).head
+      val x = if (r.isNullAt(1)) 0L else r.getLong(1)
+      java.lang.Long.toHexString(r.getLong(0) * 1099511628211L ^ x)
+    }
+    val tbl = s"${table}_$corpusFp"
+    // serialize same-corpus concurrent builds (two compiles racing the
+    // exists→create window would both run the full index-build job;
+    // content is deterministic per name, so the race is benign for
+    // correctness — the lock only dedups the work). Keyed on
+    // root#table: per-session stores must not contend across sessions.
+    val lock = annBuildLocks.computeIfAbsent(
+      store.root + "#" + tbl, _ => new Object)
+    lock.synchronized {
+      if (!store.exists(tbl) ||
+          !store.tableProps(tbl).get("codebook_fp").contains(fp))
+        store.createPartitioned(tbl, ivfPqIndexRows(e, cents, coarse),
+          Seq("list"), Map("codebook_fp" -> fp, "corpus_fp" -> corpusFp))
+    }
     // localCheckpoint: the probe plan (scan + LUT + coarse top-NL) is
     // consumed twice — the probed-list collect and the ADC join; it is
     // ≤ |probes|×NL tiny rows, so pin it instead of recomputing
@@ -491,13 +518,18 @@ object Similarity extends QueryPack {
     // store read (≤ |probes|×NL ints, the fp-bucket-set precedent)
     val probed = probes.select("list").distinct().collect()
       .map(r => Int.box(r.getInt(0))).toSeq
-    val idx = store.read(table).filter(col("list").isin(probed: _*))
+    val idx = store.read(tbl).filter(col("list").isin(probed: _*))
     // the candidate budget must cover the requested k: a language-
     // supplied k above the default 50 would otherwise silently return
     // fewer than k neighbors per probe
     exactRerankFor(adcCandidates(probes, idx, math.max(50, k)), e,
       probesDf, k)
   }
+
+  /** Per-(store root, table) build locks for [[storedIvfPqTopKFor]] —
+    * see the staleness-key note there. */
+  private val annBuildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   private def ann6(s: SparkSession, d: String): DataFrame = {
     val store = new graft.store.TableStore(s,

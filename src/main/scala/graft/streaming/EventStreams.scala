@@ -256,7 +256,7 @@ object EventStreams {
     * each enriched row exactly once). */
   def streamStaticSegmentJoin(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val src = tsInstant(spark.readStream.schema(schema).parquet(stageDir(spark, dir)))
+    val src = tsInstant(spark.readStream.schema(schema).parquet(stageDir(spark, dir)._1))
     val dim = org.apache.spark.sql.functions.broadcast(
       spark.read.parquet(s"$dir/customer.parquet")
         .select(col("c_custkey"), col("c_mktsegment")))
@@ -286,37 +286,73 @@ object EventStreams {
   }
 
   /** Stage the events table into a directory (the file stream source
-    * requires one). A single-file table is copied verbatim (the gate /
-    * bench fixture shape — byte-identical staging, no Spark job). A
-    * MULTI-file table is rewritten as ONE corpus file instead of
-    * copying every part (r20): under `maxFilesPerTrigger = 1` each
-    * staged file is its own micro-batch, and a Spark-written table's
-    * part files each span the FULL event-time range — so every file
-    * after the first would arrive entirely below the watermark the
-    * first one advanced (silently dropped as late, the outer joins'
-    * long-documented hazard) while paying its own state-heavy
-    * micro-batch (the 100× probe measured st19 at 188 s over ~32
-    * single-range files; one-batch staging puts the whole corpus in
-    * batch 1 and the trailing heartbeats still advance the clock in
-    * their own batches — the same production-replay argument as
-    * streamStreamSignupOuterJoin's staging). */
-  private def stageDir(spark: SparkSession, dir: String): String = {
+    * requires one), returning (path, corpus file count). A single-file
+    * table is copied verbatim (the gate / bench fixture shape —
+    * byte-identical staging, no Spark job; count 1, so consumers that
+    * pass the count as `maxFilesPerTrigger` behave EXACTLY as the r20
+    * `maxFilesPerTrigger = 1` code did at every benched/oracled
+    * scale). A MULTI-file table is staged as ONE BATCH (r20: a
+    * Spark-written table's part files each span the full event-time
+    * range, so under per-file micro-batches every file after the first
+    * would arrive entirely below the watermark the first one advanced
+    * and be silently dropped as late — the outer joins' long-documented
+    * hazard; the 100× probe measured st19 at 188 s over ~32 per-file
+    * state-heavy batches besides). r21 (the r20 verdict's item 5): the
+    * one-batch mechanism is no longer a `repartition(1)` single-task
+    * funnel — the corpus is rewritten by a PARALLEL
+    * repartitionByRange(ts) job and the whole file set lands in batch
+    * 1 because consumers read with `maxFilesPerTrigger = <count>`; the
+    * staged files get pinned ascending mtimes in ts-range order, so
+    * they sort as the oldest batch ahead of the trailing heartbeat
+    * files (which still advance the clock in their own later
+    * batches). */
+  private def stageDir(spark: SparkSession, dir: String): (String, Int) = {
     val stage = java.nio.file.Files.createTempDirectory("graft-stream-")
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-    if (java.nio.file.Files.isRegularFile(src))
+    if (java.nio.file.Files.isRegularFile(src)) {
       java.nio.file.Files.copy(src, stage.resolve("events.parquet"))
-    else {
+      (stage.toString, 1)
+    } else {
       import scala.jdk.CollectionConverters._
       val parts = java.nio.file.Files.list(src).iterator().asScala
         .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-      if (parts.size == 1)
+      if (parts.size == 1) {
         java.nio.file.Files.copy(parts.head,
           stage.resolve(parts.head.getFileName.toString))
-      else
-        spark.read.parquet(src.toString).repartition(1)
-          .write.mode("append").parquet(stage.toString)
+        (stage.toString, 1)
+      } else {
+        stageCorpusParallel(spark,
+          spark.read.parquet(src.toString), stage.toString)
+      }
     }
-    stage.toString
+  }
+
+  /** Parallel one-batch corpus write (shared by [[stageDir]] and the
+    * outer joins' staging): repartitionByRange on `ts` spreads the
+    * rewrite over the cluster — every task writes its own
+    * range-disjoint file — and the files are stamped with pinned
+    * ascending mtimes in range order so the file source lists them as
+    * the oldest files (ahead of any heartbeat appended after). Returns
+    * (stage path, file count) for the consumer's
+    * `maxFilesPerTrigger`. */
+  private def stageCorpusParallel(spark: SparkSession, df: DataFrame,
+      stage: String): (String, Int) = {
+    val fan = spark.sparkContext.defaultParallelism
+    df.repartitionByRange(fan, col("ts")).write.mode("append").parquet(stage)
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+    val staged = try s.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .toSeq.sortBy(_.getFileName.toString) finally s.close()
+    // strictly increasing, firmly in the past: the heartbeats appended
+    // later must list after EVERY corpus file
+    var t = System.currentTimeMillis() - (staged.size + 3600L) * 1000L
+    staged.foreach { p =>
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(t))
+      t += 1000L
+    }
+    (stage, staged.size)
   }
 
   /** Gap-based sessionization with per-user session ordinals (the ev1
@@ -607,7 +643,7 @@ object EventStreams {
     * non-negotiable for a join that runs forever. */
   def streamStreamSignupJoin(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val staged = stageDir(spark, dir)
+    val (staged, _) = stageDir(spark, dir)
     def src() = tsInstant(spark.readStream.schema(schema).parquet(staged))
     val signups = src().filter(col("event_type") === "signup")
       .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
@@ -671,12 +707,17 @@ object EventStreams {
     // heartbeat files then flush closed windows in their own
     // micro-batches, which is the contract the heartbeat comments
     // below describe).
+    var corpusFiles = 1
     val staged = {
       val stage = java.nio.file.Files.createTempDirectory("graft-stream-")
         .toString
       val src = spark.read.schema(schema).parquet(s"$dir/events.parquet")
       if (timeSlices <= 1)
-        src.repartition(1).write.mode("append").parquet(stage)
+        // r21 (verdict item 5): the one-batch rewrite was a
+        // `repartition(1)` single-task funnel — now a parallel
+        // range-partitioned write whose whole file set still lands in
+        // batch 1 via maxFilesPerTrigger = corpusFiles below
+        corpusFiles = stageCorpusParallel(spark, src, stage)._2
       else {
         // EVENT-TIME-ORDERED chunks (the spec's multi-batch path):
         // slice k holds the k-th ts-ntile, written oldest-first with
@@ -741,8 +782,14 @@ object EventStreams {
     // both sides' nodes, so both clocks must advance.
     heartbeat(30, "signup"); heartbeat(30, "purchase")
     heartbeat(31, "signup"); heartbeat(31, "purchase")
+    // corpus files (pinned-older mtimes) fill batch 1 exactly; the
+    // heartbeat files appended above still land in LATER batches. With
+    // a >1-file corpus several heartbeats can share one batch — the
+    // watermark is monotone and AvailableNow runs a trailing flush
+    // batch after the last advancement, so the drained rows are
+    // identical (StreamingSpec pins batch parity at both regimes).
     def src() = tsInstant(spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(staged))
+        .option("maxFilesPerTrigger", corpusFiles.toString).parquet(staged))
       .withWatermark("ts", "1 hour")
     val signups = src().filter(col("event_type") === "signup" &&
         expr("unix_micros(ts)") <= lit(closableMicros))
@@ -778,14 +825,14 @@ object EventStreams {
   def streamWindowedKmvDistinct(spark: SparkSession, dir: String): DataFrame = {
     val k = 256
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val staged = stageDir(spark, dir)
+    val (staged, corpusFiles) = stageDir(spark, dir)
     val (maxMicros, hbBase) = maxTsBase(spark, staged, schema)
     // two rounds — a watermark computed at the end of batch N applies
     // in batch N+1 (the outer joins' discipline)
     writeHeartbeat(hbBase, staged, 30); writeHeartbeat(hbBase, staged, 31)
     val kmv = udaf(new graft.functions.KmvSketchAgg(k))
     tsInstant(spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(staged))
+        .option("maxFilesPerTrigger", corpusFiles.toString).parquet(staged))
       .withWatermark("ts", "1 hour")
       // kills the heartbeats ABOVE the watermark node (references ts,
       // so the optimizer cannot push it below); every real event
@@ -822,12 +869,12 @@ object EventStreams {
   def streamWindowedTupleSum(spark: SparkSession, dir: String): DataFrame = {
     val k = 256
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val staged = stageDir(spark, dir)
+    val (staged, corpusFiles) = stageDir(spark, dir)
     val (maxMicros, hbBase) = maxTsBase(spark, staged, schema)
     writeHeartbeat(hbBase, staged, 30); writeHeartbeat(hbBase, staged, 31)
     val tup = udaf(new graft.functions.KmvTupleAgg(k, "max"))
     tsInstant(spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(staged))
+        .option("maxFilesPerTrigger", corpusFiles.toString).parquet(staged))
       .withWatermark("ts", "1 hour")
       .filter(expr("unix_micros(ts)") <= lit(maxMicros))
       .withColumn("h", expr(
@@ -950,7 +997,7 @@ object EventStreams {
   def streamed(spark: SparkSession, dir: String,
       transform: DataFrame => DataFrame, watermark: String = "1 hour"): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val src = tsInstant(spark.readStream.schema(schema).parquet(stageDir(spark, dir)))
+    val src = tsInstant(spark.readStream.schema(schema).parquet(stageDir(spark, dir)._1))
     transform(src.withWatermark("ts", watermark))
   }
 }

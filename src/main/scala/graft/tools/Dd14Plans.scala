@@ -82,9 +82,57 @@ object Dd14Plans {
       .filter(col("jaccard") >= 0.25)
       .select("a_id", "b_id", "jaccard")
     dump("dd14c_verify_before", verifyBefore)
-    val verifyAfter = MinHashLSH.nearDuplicatesMd5(docs, "doc_id", "text",
-      shingleLen = 5, bands = 21, rowsPerBand = 3, threshold = 0.25)
-    dump("dd14c_verify_after", verifyAfter)
+    // r20 form (the r21 "before"): raw-stream broadcast map probed via
+    // a Dataset mapPartitions — the DeserializeToObject /
+    // SerializeFromObject encoder boundary the r21 expression removes
+    {
+      import spark.implicits._
+      val bmap = spark.sparkContext.broadcast(
+        sigs.select(col("doc_id"), col("h"))
+          .as[(Long, Array[Long])].collect().toMap)
+      val mapVerify = banded("a_id")
+        .join(banded("b_id"), Seq("band", "sig"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"))
+        .as[(Long, Long)]
+        .mapPartitions { it =>
+          val m = bmap.value
+          it.flatMap { case (a, b) =>
+            val sa = m(a); val sb = m(b)
+            val c = sa.intersect(sb).length // plan-shape dump only
+            val jac = c.toDouble / (sa.length + sb.length - c)
+            if (jac >= 0.25) Some((a, b, jac)) else None
+          }
+        }.toDF("a_id", "b_id", "jaccard")
+        .dropDuplicates("a_id", "b_id")
+      dump("dd14c_verify_mapverify_r20", mapVerify)
+      bmap.destroy()
+    }
+    // r21 form: the codegen'd broadcast-probe expression over the raw
+    // candidate stream — dumped PRE-checkpoint (the production
+    // probeVerify materializes eagerly so it can destroy its
+    // broadcast, which would hide this plan behind an ExistingRDD)
+    {
+      import spark.implicits._
+      val bc = spark.sparkContext.broadcast(
+        graft.functions.VectorFns.IdHashesMap.build(
+          sigs.select(col("doc_id"), col("h"))
+            .as[(Long, Array[Long])].collect()))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_bjac_dump",
+        exprs => graft.functions.VectorFns.BroadcastJaccardProbe(
+          exprs(0), exprs(1), bc, 0.25), "built-in")
+      val probeVerify = banded("a_id")
+        .join(banded("b_id"), Seq("band", "sig"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"))
+        .withColumn("jaccard", expr("graft_bjac_dump(a_id, b_id)"))
+        .filter(col("jaccard") >= 0.25)
+        .dropDuplicates("a_id", "b_id")
+        .select("a_id", "b_id", "jaccard")
+      dump("dd14c_verify_after", probeVerify)
+      bc.destroy()
+    }
     spark.stop()
   }
 }

@@ -111,6 +111,42 @@ object Dd14Prof {
           .dropDuplicates("a_id", "b_id").localCheckpoint()
         println(s"  pairs: ${p.count()}"); p
       }
+      // r21 verify candidate A: broadcast-hash-joins + bounded
+      // intersect inside WholeStageCodegen — MEASURED 2× SLOWER than
+      // the map-verify (5.4 vs 2.7 s warm), kept here as the recorded
+      // rejection
+      phase("  bhj-verify (rejected)") {
+        val sa = sigs.select(col("doc_id").as("a_id"), col("h").as("sa"))
+        val sb = sigs.select(col("doc_id").as("b_id"), col("h").as("sb"))
+        val p = rawCand.join(broadcast(sa), "a_id").join(broadcast(sb), "b_id")
+          .withColumn("inter", expr("graft_sorted_intersect_bounded(sa, sb, 0.25D)"))
+          .withColumn("jaccard", graft.operators.TextFns
+            .jaccardFromIntersect("inter", "size(sa)", "size(sb)"))
+          .filter(col("jaccard") >= 0.25)
+          .dropDuplicates("a_id", "b_id")
+          .select("a_id", "b_id", "jaccard").localCheckpoint()
+        println(s"  pairs: ${p.count()}")
+      }
+      // r21 verify candidate B (the production form): the codegen'd
+      // broadcast-probe expression over the raw candidate stream —
+      // map-verify's lookup+intersect without its encoder boundary
+      phase("  probe-verify (r21)") {
+        import spark.implicits._
+        val bc = spark.sparkContext.broadcast(
+          graft.functions.VectorFns.IdHashesMap.build(
+            sigs.select(col("doc_id"), col("h"))
+              .as[(Long, Array[Long])].collect()))
+        val fname = "graft_bjac_prof"
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(fname,
+          exprs => graft.functions.VectorFns.BroadcastJaccardProbe(
+            exprs(0), exprs(1), bc, 0.25), "built-in")
+        val p = rawCand.withColumn("jaccard", expr(s"$fname(a_id, b_id)"))
+          .filter(col("jaccard") >= 0.25)
+          .dropDuplicates("a_id", "b_id")
+          .select("a_id", "b_id", "jaccard").localCheckpoint()
+        println(s"  pairs: ${p.count()}")
+        bc.destroy()
+      }
       val cc = phase("connectedComponents") {
         val c = GraphOps.connectedComponentsDF(spark,
           pairs.select(col("a_id").as("src"), col("b_id").as("dst")))

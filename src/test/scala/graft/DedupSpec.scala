@@ -243,8 +243,14 @@ class DedupSpec extends SparkSpec {
       .select("a_id", "b_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val viaBroadcast = MinHashLSH.nearDuplicates(docs, "doc_id", "text", 5, 16, 4, 0.25)
-    assert(viaBroadcast.queryExecution.sparkPlan.toString.contains("MapPartitions"),
-      "under the gate verification must run as the broadcast-map mapPartitions pass")
+    // r21: the gated verify is the codegen'd broadcast-probe expression,
+    // EAGERLY materialized (so its broadcast can be destroyed) — the
+    // returned frame is a checkpoint scan with no join machinery left
+    val gatedPlan = viaBroadcast.queryExecution.sparkPlan.toString
+    assert(gatedPlan.contains("ExistingRDD") &&
+        !gatedPlan.contains("SortMergeJoin") &&
+        !gatedPlan.contains("ShuffledHashJoin"),
+      s"under the gate verification must run as the eager broadcast probe:\n$gatedPlan")
     val expected = pairs(viaBroadcast)
     // corpus "too big": gate forced shut, auto-broadcast off — the plan
     // must hold with shuffle joins only, and produce identical pairs
@@ -589,9 +595,15 @@ class DedupSpec extends SparkSpec {
     val read = idxScans.map(_.metrics("numFiles").value).sum
     // the language stage builds its index under a session-temp root —
     // recover it from the scan's own rootPaths
+    // r21: the table name is fingerprint-keyed (ann_index_<corpusFp>) —
+    // take the whole path segment that starts with ann_index
     val rootStr = idxScans.head.relation.location.rootPaths.head.toString
-    val tableRoot = rootStr.substring(0, rootStr.indexOf("ann_index") + "ann_index".length)
-      .stripPrefix("file:")
+    val segEnd = {
+      val i = rootStr.indexOf("ann_index")
+      val rest = rootStr.indexOf('/', i)
+      if (rest < 0) rootStr.length else rest
+    }
+    val tableRoot = rootStr.substring(0, segEnd).stripPrefix("file:")
     val root = java.nio.file.Paths.get(tableRoot)
     val onDisk = {
       val s = java.nio.file.Files.walk(root)
