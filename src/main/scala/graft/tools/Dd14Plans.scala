@@ -85,7 +85,7 @@ object Dd14Plans {
     // r20 form (the r21 "before"): raw-stream broadcast map probed via
     // a Dataset mapPartitions — the DeserializeToObject /
     // SerializeFromObject encoder boundary the r21 expression removes
-    {
+    locally {
       import spark.implicits._
       val bmap = spark.sparkContext.broadcast(
         sigs.select(col("doc_id"), col("h"))
@@ -112,7 +112,7 @@ object Dd14Plans {
     // candidate stream — dumped PRE-checkpoint (the production
     // probeVerify materializes eagerly so it can destroy its
     // broadcast, which would hide this plan behind an ExistingRDD)
-    {
+    locally {
       import spark.implicits._
       val bc = spark.sparkContext.broadcast(
         graft.functions.VectorFns.IdHashesMap.build(
