@@ -134,6 +134,22 @@ object EventStreams {
     (maxMicros, base)
   }
 
+  /** Clock-advancing heartbeat ROUNDS for a drained gate (r21): ONE
+    * round suffices when the engine runs no-data micro-batches (the
+    * Spark default) — the heartbeat batch advances the watermark, and
+    * the trailing no-data batch is where the newly-computed watermark
+    * APPLIES, flushing every closed window / unmatched outer row
+    * (StreamParity pins value equality at sf0.1 and the 100× corpus;
+    * the r20 two-round discipline predates accounting for the no-data
+    * batch and cost one state-heavy micro-batch per drain). With
+    * no-data batches DISABLED there is no trailing batch, so the
+    * second, later round is restored — without it the first round's
+    * watermark would never apply and tail state would never flush. */
+  private def heartbeatRounds(spark: SparkSession): Seq[Long] =
+    if (spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled",
+        "true") == "true") Seq(30L)
+    else Seq(30L, 31L)
+
   /** Append one future-dated copy of [[maxTsBase]]'s row as its own
     * staged file (one micro-batch under maxFilesPerTrigger=1) — the
     * clock-advancing heartbeat. `mutate` lets the outer joins stamp a
@@ -770,18 +786,24 @@ object EventStreams {
     // Each side instead drops its (future-dated) heartbeat with a
     // ts-referencing conjunct, which CANNOT push below the watermark:
     // the row advances the clock first, then dies.
-    def heartbeat(days: Long, etype: String): Unit =
-      writeHeartbeat(hbBase, staged, days,
-        _.withColumn("event_type", lit(etype)))
     // TWO heartbeat rounds, not one: a watermark computed at the end of
     // batch N only applies in batch N+1, and AvailableNow stops at the
     // last FILE — without a second (later) heartbeat batch, state whose
     // eviction needs the FIRST heartbeat's post-corpus watermark (the
     // full join's last-hour unmatched purchases) would never flush.
     // One row per SIDE per round: the global watermark is the MIN over
-    // both sides' nodes, so both clocks must advance.
-    heartbeat(30, "signup"); heartbeat(30, "purchase")
-    heartbeat(31, "signup"); heartbeat(31, "purchase")
+    // both sides' nodes, so both clocks must advance. r21: both sides'
+    // rows ride ONE file per round — the watermark only updates at the
+    // END of a batch (min over both nodes either way), so two per-side
+    // files in sequence advanced nothing a combined file doesn't; each
+    // per-side file just paid its own state-heavy micro-batch (4 → 2
+    // heartbeat batches, drained rows identical — StreamParity/
+    // StreamingSpec pin it at sf0.1 and 100×).
+    def heartbeat(days: Long): Unit =
+      writeHeartbeat(hbBase, staged, days, hb =>
+        hb.withColumn("event_type", lit("signup")).unionByName(
+          hb.withColumn("event_type", lit("purchase"))))
+    heartbeatRounds(spark).foreach(heartbeat)
     // corpus files (pinned-older mtimes) fill batch 1 exactly; the
     // heartbeat files appended above still land in LATER batches. With
     // a >1-file corpus several heartbeats can share one batch — the
@@ -827,9 +849,7 @@ object EventStreams {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val (staged, corpusFiles) = stageDir(spark, dir)
     val (maxMicros, hbBase) = maxTsBase(spark, staged, schema)
-    // two rounds — a watermark computed at the end of batch N applies
-    // in batch N+1 (the outer joins' discipline)
-    writeHeartbeat(hbBase, staged, 30); writeHeartbeat(hbBase, staged, 31)
+    heartbeatRounds(spark).foreach(writeHeartbeat(hbBase, staged, _))
     val kmv = udaf(new graft.functions.KmvSketchAgg(k))
     tsInstant(spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", corpusFiles.toString).parquet(staged))
@@ -871,7 +891,7 @@ object EventStreams {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val (staged, corpusFiles) = stageDir(spark, dir)
     val (maxMicros, hbBase) = maxTsBase(spark, staged, schema)
-    writeHeartbeat(hbBase, staged, 30); writeHeartbeat(hbBase, staged, 31)
+    heartbeatRounds(spark).foreach(writeHeartbeat(hbBase, staged, _))
     val tup = udaf(new graft.functions.KmvTupleAgg(k, "max"))
     tsInstant(spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", corpusFiles.toString).parquet(staged))
