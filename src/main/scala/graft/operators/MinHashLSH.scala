@@ -244,11 +244,25 @@ object MinHashLSH {
       reg.createOrReplaceTempFunction(fname,
         exprs => graft.functions.VectorFns.BroadcastJaccardProbe(
           exprs(0), exprs(1), bc, threshold), "built-in")
-      cand.withColumn("jaccard", expr(s"$fname(a_id, b_id)"))
+      val df = cand.withColumn("jaccard", expr(s"$fname(a_id, b_id)"))
         .filter(col("jaccard") >= threshold)
         .dropDuplicates("a_id", "b_id")
         .select("a_id", "b_id", "jaccard")
-        .localCheckpoint() // EAGER — the broadcast dies right after
+      // the probe stage is CPU-HEAVY over BYTE-SMALL shuffles (~30 MB
+      // of 16-byte id pairs carrying ~5 CPU-seconds of intersect work
+      // at sf0.1, measured 2.6 µs/pair single-threaded by
+      // graft.tools.ProbeMicro) — AQE's partition coalescing sees only
+      // the bytes and was folding the band-join + probe stage onto 3
+      // tasks, serializing the verify (measured: the whole stage ran
+      // at ~1/10 of the cluster). Same disease the corpus repartition
+      // at the pipeline entry documents; coalescing is disabled just
+      // for this eager materialization (conf restored immediately)
+      val conf = spark.conf
+      val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+      val was = conf.get(coalesceKey, "true")
+      conf.set(coalesceKey, "false")
+      try df.localCheckpoint() // EAGER — the broadcast dies right after
+      finally conf.set(coalesceKey, was)
     } finally reg.dropFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier(fname))
     bc.destroy()

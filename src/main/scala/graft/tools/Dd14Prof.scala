@@ -147,6 +147,64 @@ object Dd14Prof {
         println(s"  pairs: ${p.count()}")
         bc.destroy()
       }
+      // isolation micro-phases: where does the ~2.3 s probe phase go?
+      phase("  rawCand ckpt scan only") {
+        println(s"  rows: ${rawCand.count()}")
+      }
+      phase("  probe no-dedup noop") {
+        import spark.implicits._
+        val bc = spark.sparkContext.broadcast(
+          graft.functions.VectorFns.IdHashesMap.build(
+            sigs.select(col("doc_id"), col("h"))
+              .as[(Long, Array[Long])].collect()))
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          "graft_bjac_prof2",
+          exprs => graft.functions.VectorFns.BroadcastJaccardProbe(
+            exprs(0), exprs(1), bc, 0.25), "built-in")
+        rawCand.withColumn("jaccard", expr("graft_bjac_prof2(a_id, b_id)"))
+          .filter(col("jaccard") >= 0.25)
+          .write.format("noop").mode("overwrite").save()
+        println(s"  rawCand partitions: ${rawCand.rdd.getNumPartitions}")
+        bc.destroy()
+      }
+      phase("  probe REPARTITIONED noop") {
+        import spark.implicits._
+        val bc = spark.sparkContext.broadcast(
+          graft.functions.VectorFns.IdHashesMap.build(
+            sigs.select(col("doc_id"), col("h"))
+              .as[(Long, Array[Long])].collect()))
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          "graft_bjac_prof3",
+          exprs => graft.functions.VectorFns.BroadcastJaccardProbe(
+            exprs(0), exprs(1), bc, 0.25), "built-in")
+        rawCand.repartition(spark.sparkContext.defaultParallelism)
+          .withColumn("jaccard", expr("graft_bjac_prof3(a_id, b_id)"))
+          .filter(col("jaccard") >= 0.25)
+          .write.format("noop").mode("overwrite").save()
+        bc.destroy()
+      }
+      phase("  probe HASH-repart noop") {
+        import spark.implicits._
+        val bc = spark.sparkContext.broadcast(
+          graft.functions.VectorFns.IdHashesMap.build(
+            sigs.select(col("doc_id"), col("h"))
+              .as[(Long, Array[Long])].collect()))
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          "graft_bjac_prof4",
+          exprs => graft.functions.VectorFns.BroadcastJaccardProbe(
+            exprs(0), exprs(1), bc, 0.25), "built-in")
+        rawCand.repartition(spark.sparkContext.defaultParallelism,
+            col("a_id"), col("b_id"))
+          .withColumn("jaccard", expr("graft_bjac_prof4(a_id, b_id)"))
+          .filter(col("jaccard") >= 0.25)
+          .write.format("noop").mode("overwrite").save()
+        bc.destroy()
+      }
+      phase("  repart-only noop") {
+        rawCand.repartition(spark.sparkContext.defaultParallelism,
+            col("a_id"), col("b_id"))
+          .write.format("noop").mode("overwrite").save()
+      }
       val cc = phase("connectedComponents") {
         val c = GraphOps.connectedComponentsDF(spark,
           pairs.select(col("a_id").as("src"), col("b_id").as("dst")))
